@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet sink/source for entry tables.
+  *
+  * Write: Zstd compression everywhere (the reference intends Zstd-3 but its
+  * streaming writer silently falls back to defaults — reference
+  * parquet.go:121-132 vs 161-164; we do not replicate that bug), rows
+  * pre-sorted by `(file, line_no)` which is also timestamp order, honoring
+  * the reference's sorting-columns metadata intent (parquet.go:124-127)
+  * while keeping the exact log line order reconstructible.
+  *
+  * Read: fixed schema, mapped by name; extra/unknown columns in the file are
+  * ignored and missing optional columns come back null — same tolerance as
+  * the reference reader (query.go:203-233), exercised against its committed
+  * legacy 8-column fixture.
+  */
+object ParquetIO {
+
+  /** S5-S7: write parsed entries. Accepts any DF containing at least the
+    * reference columns; extras (file, line_no, parse_error) are kept.
+    */
+  def write(entries: DataFrame, path: String, mode: String = "overwrite"): Unit = {
+    val sortCols =
+      if (entries.columns.contains(Schema.File))
+        Seq(col(Schema.File), col(Schema.LineNo))
+      else Seq(col(Schema.Timestamp), col(Schema.Group))
+    entries
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .mode(mode)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
+  /** S8: read an entry parquet (ours or the reference's). Column pruning and
+    * predicate pushdown are Catalyst-native — the reference always reads all
+    * columns (query.go:146); we get pruning for free.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val available = spark.read.parquet(path).schema.fieldNames.toSet
+    val wanted = Schema.parsedSchema.fields.filter(f => available.contains(f.name))
+    require(available.contains(Schema.Timestamp) && available.contains(Schema.Content),
+      s"required columns timestamp/content missing in $path")  // query.go:228-231
+    val df = spark.read.parquet(path)
+    df.select(wanted.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+  }
+
+  /** S10: Parquet footer metadata (rows, columns, bytes, row groups) —
+    * reference GetFileInfo (query.go:358-396).
+    */
+  case class FileInfo(rowCount: Long, columnCount: Int, fileSize: Long, numRowGroups: Int)
+
+  def fileInfo(spark: SparkSession, path: String): FileInfo = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(fs.getFileStatus(p))
+    var rows = 0L
+    var groups = 0
+    var size = 0L
+    var cols = 0
+    statuses.foreach { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        val footer = reader.getFooter
+        rows += reader.getRecordCount
+        groups += footer.getBlocks.size()
+        cols = footer.getFileMetaData.getSchema.getFieldCount
+        size += st.getLen
+      } finally reader.close()
+    }
+    FileInfo(rows, cols, size, groups)
+  }
+}

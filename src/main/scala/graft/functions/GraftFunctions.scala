@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `strip_ansi(col)` — exact reference ANSI-strip semantics ([[Ansi]]).
+  *
+  * A native Catalyst expression (not a Scala UDF) so it participates in
+  * whole-stage codegen: `doGenCode` emits a direct static call on UTF8String
+  * bytes, no Row boxing, no serialization.
+  */
+case class StripAnsi(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    Ansi.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Ansi.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAnsi =
+    copy(child = newChild)
+
+  override def prettyName: String = "strip_ansi"
+}
+
+/** `rolling_hash(col)` — 64-bit polynomial rolling hash (Rabin-Karp shape,
+  * base 257, natural wraparound mod 2^64) over the UTF-8 bytes of a string.
+  * Used for document fingerprinting in the text-analysis operator family.
+  * Codegen-friendly for the same reason as [[StripAnsi]].
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  final val Base = 257L
+  def hash(s: UTF8String): Long = hashBytes(s.getBytes)
+  def hashBytes(data: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < data.length) {
+      h = h * Base + (data(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+}
+
+object GraftFunctions {
+  def strip_ansi(c: Column): Column =
+    Shims.column(StripAnsi(Shims.expression(c)))
+
+  def rolling_hash(c: Column): Column =
+    Shims.column(RollingHash(Shims.expression(c)))
+
+  /** Register SQL-callable forms (`SELECT strip_ansi(content) ...`). */
+  def register(spark: SparkSession): Unit = {
+    Shims.registerFunction(spark, "strip_ansi", exprs => StripAnsi(exprs.head))
+    Shims.registerFunction(spark, "rolling_hash", exprs => RollingHash(exprs.head))
+  }
+}

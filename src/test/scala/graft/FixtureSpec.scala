@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-file integration against the reference's committed fixtures
+  * (read-only at /root/reference/testdata). Golden counts are the
+  * reference's own published summary (reference README.md:300-308) and were
+  * re-verified against the committed bash-example.parquet byte-for-byte.
+  */
+class FixtureSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val logPath = "/root/reference/testdata/bash-example.log"
+  private val parquetPath = "/root/reference/testdata/bash-example.parquet"
+
+  private lazy val parsed = LogParser.parse(spark, logPath).cache()
+
+  test("bash-example.log golden summary counts") {
+    val r = Queries.summary(parsed).head()
+    assert(r.getAs[Long]("total_entries") == 212L)
+    assert(r.getAs[Long]("entries_with_time") == 212L)
+    assert(r.getAs[Long]("commands") == 15L)
+    assert(r.getAs[Long]("sections") == 13L)
+    assert(r.getAs[Long]("progress") == 4L)
+    assert(r.getAs[Long]("regular_output") == 180L)
+  }
+
+  test("parse output matches the committed fixture parquet row-for-row") {
+    val ours = parsed.orderBy("line_no")
+      .select("timestamp", "content", "group",
+        "has_timestamp", "is_command", "is_group", "is_progress")
+      .collect()
+    // fixture uses the epoch-ms sentinel convention; all 212 rows have
+    // real timestamps so the null-vs-sentinel divergence is not exercised
+    val fixture = ParquetIO.read(spark, parquetPath)
+      .select("timestamp", "content", "group",
+        "has_timestamp", "is_command", "is_group", "is_progress")
+      .collect()
+    assert(ours.length == fixture.length)
+    ours.zip(fixture).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs")
+    }
+  }
+
+  test("legacy 8-column fixture reads despite unknown raw_line_size column") {
+    val df = ParquetIO.read(spark, parquetPath)
+    assert(!df.columns.contains("raw_line_size"))
+    assert(df.count() == 212L)
+  }
+
+  test("parquet round-trip with zstd preserves entries") {
+    val dir = Files.createTempDirectory("graft-rt").toString + "/entries"
+    ParquetIO.write(parsed, dir)
+    val back = ParquetIO.read(spark, dir)
+    assert(back.count() == 212L)
+    val a = parsed.orderBy("line_no").select(Schema.referenceColumns.map(col).toSeq: _*).collect()
+    val b = back.orderBy("line_no").select(Schema.referenceColumns.map(col).toSeq: _*).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("fileInfo reads the parquet footer") {
+    val info = ParquetIO.fileInfo(spark, parquetPath)
+    assert(info.rowCount == 212L)
+    assert(info.columnCount == 8) // legacy fixture carries raw_line_size
+    assert(info.numRowGroups == 1)
+    assert(info.fileSize > 0)
+  }
+
+  test("larger fixture (11k rows, 12 row groups) reads and aggregates") {
+    val path = "/root/reference/testdata/bazel-bazel_build_32517_rocky-rocky-linux-8.parquet"
+    val info = ParquetIO.fileInfo(spark, path)
+    assert(info.rowCount == 11029L)
+    assert(info.numRowGroups == 12)
+    val df = ParquetIO.read(spark, path)
+    val groups = Queries.listGroups(df)
+    assert(groups.count() > 0)
+    assert(groups.agg(sum("entry_count")).head().getLong(0) == 11029L)
+  }
+}

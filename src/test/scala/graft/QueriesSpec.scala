@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Query-operation semantics against the parsed bash-example fixture
+  * (reference query_test.go / query_seek_test.go / query_cli.go).
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark.{spark, linesDF}
+
+  private lazy val parsed =
+    LogParser.parse(spark, "/root/reference/testdata/bash-example.log").cache()
+
+  test("list-groups: 13 groups ordered by first_seen, counts sum to total") {
+    val groups = Queries.listGroups(parsed).collect()
+    assert(groups.length == 13)
+    assert(groups.map(_.getAs[Long]("entry_count")).sum == 212L)
+    assert(groups.map(_.getAs[Long]("commands")).sum == 15L)
+    assert(groups.map(_.getAs[Long]("progress")).sum == 4L)
+    val firstSeen = groups.map(_.getAs[java.sql.Timestamp]("first_seen").getTime)
+    assert(firstSeen.sameElements(firstSeen.sorted), "ordered by first_seen")
+  }
+
+  test("by-group: case-insensitive substring; every match contains pattern") {
+    // query_test.go:59-83 invariant
+    val matched = Queries.byGroup(parsed, "Environment").collect()
+    assert(matched.nonEmpty)
+    assert(matched.forall(_.getAs[String]("group").toLowerCase.contains("environment")))
+  }
+
+  test("by-group: '<no group>' pattern selects ungrouped rows") {
+    // query.go:343-348 — normalization happens BEFORE the match
+    val df = LogParser.parseLines(linesDF(Seq("pre1", "pre2", "~~~ G", "post")))
+    assert(Queries.byGroup(df, "no group").count() == 2L)
+  }
+
+  test("filter by type") {
+    assert(Queries.filterByType(parsed, "command").count() == 15L)
+    assert(Queries.filterByType(parsed, "group").count() == 13L)
+    assert(Queries.filterByType(parsed, "section").count() == 13L)
+    assert(Queries.filterByType(parsed, "progress").count() == 4L)
+    assert(Queries.filterByType(parsed, "anything-else").count() == 212L)
+  }
+
+  test("tail returns the last n rows in order") {
+    val rows = Queries.tail(parsed, 5).select("line_no").collect().map(_.getLong(0))
+    assert(rows.sameElements(Array(207L, 208L, 209L, 210L, 211L)))
+    // n larger than file -> whole file (query_cli.go:319-327 clamps to 0)
+    assert(Queries.tail(parsed, 1000).count() == 212L)
+  }
+
+  test("seek streams from row k with optional limit") {
+    val rows = Queries.seek(parsed, 100, Some(10)).select("line_no").collect().map(_.getLong(0))
+    assert(rows.toSeq == (100L to 109L).toSeq)
+    assert(Queries.seek(parsed, 200).count() == 12L)
+    // beyond EOF -> empty (the reference errors; we return empty, which is
+    // the idiomatic lazy-DataFrame shape of the same condition)
+    assert(Queries.seek(parsed, 5000).count() == 0L)
+  }
+
+  test("summary equals the reference A2 counters") {
+    val r = Queries.summary(parsed).head()
+    assert(r.getAs[Long]("total_entries") == 212L)
+    assert(r.getAs[Long]("regular_output") ==
+      212L - r.getAs[Long]("commands") - r.getAs[Long]("sections") - r.getAs[Long]("progress"))
+  }
+
+  test("group filter pushes down to the parquet scan") {
+    // P6 over a persisted entries table: predicate must reach the scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pd").toString + "/e"
+    ParquetIO.write(parsed, dir)
+    val back = ParquetIO.read(spark, dir).filter(col(Schema.IsCommand))
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(is_command), EqualTo(is_command,true)]")
+      || plan.contains("EqualTo(is_command,true)"), plan)
+  }
+}
