@@ -1,13 +1,383 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — queries over the synthetic tables plus DuckDB oracle
+  * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - every query ends in an explicit ORDER BY on a unique key;
+  *   - double aggregates go through exact DECIMAL accumulation, then a cast
+  *     back to double (identical bits in any engine), or are round()ed;
+  *   - event timestamps (parquet TIMESTAMP_NANOS) are exposed as epoch-ms
+  *     longs (`ts div 1000000` ↔ DuckDB `epoch_ms(ts)`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Exact-decimal sum of a double column, returned as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact-decimal sum of a computed double expression at 6 dp. */
+  private def dsum6(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-operator analogues over the shared tables ----
+
+    // P2-P5/P7: filter + projection, pushed to the parquet scan
+    "q_filter_project" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // A1/A2: TPC-H Q1-shaped aggregation (count/sum/avg + conditional)
+    "q1_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // A1: list-groups analogue over the events stream table
+    "q_listgroups_events" -> ((s, dir) => {
+      Tables.loadEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("entry_count"),
+          min(col("ts_ms")).as("first_seen"),
+          max(col("ts_ms")).as("last_seen"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).as("high_value_count"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("first_seen", "event_type")
+    }),
+
+    // P6: by-group normalize-then-substring-match semantics
+    "q_bygroup" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .filter(lower(when(col("source") === "", Queries.NoGroup)
+          .otherwise(col("source"))).contains("rc1"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // O1/O2: global top-k with deterministic tie-break
+    "q_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("total_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // O3: tail — last 20 events in stream order
+    "q_tail" -> ((s, dir) => {
+      Tables.loadEvents(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(20)
+        .select(col("event_id"), col("ts_ms"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // O4/S9: seek — offset into an ordered stream, with limit
+    "q_seek" -> ((s, dir) => {
+      Tables.loadEvents(s, dir)
+        .orderBy(col("event_id"))
+        .offset(100)
+        .limit(50)
+        .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
+    }),
+
+    // W1: group carry-forward analogue — last signup event per user so far
+    "q_carryforward" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"),
+          coalesce(
+            last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w),
+            lit(-1L)).as("last_signup_event"))
+        .orderBy("event_id")
+    }),
+
+    // joins: star join with broadcast dims (TPC-H Q5 shape)
+    "q_join_star" -> ((s, dir) => {
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val nation = Tables.load(s, dir, "nation")
+      val region = Tables.load(s, dir, "region")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // window rank: top-3 orders per customer
+    "q_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // ---- LLM training-data pipeline operators ----
+
+    "q_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_langid" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDup(Tables.load(s, dir, "documents"), threshold = 0.5)
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simHashTable(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      // the synthetic corpus has no true embedding dups (max cos ≈ 0.48);
+      // 0.4 exercises the operator with non-empty output
+      Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("vec_id_a", "vec_id_b")),
+
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_mm_meta" -> ((s, dir) =>
+      Multimodal.withPayload(Tables.load(s, dir, "documents"))
+        .select("doc_id", "payload_bytes", "width", "height", "frames")
+        .orderBy("doc_id")),
+
+    "q_mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.withPayload(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice * (1 - l_discount) AS net_price
+         FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_listgroups_events" ->
+      """SELECT event_type, count(*) AS entry_count,
+         min(epoch_ms(ts)) AS first_seen, max(epoch_ms(ts)) AS last_seen,
+         sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS high_value_count,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY event_type
+         ORDER BY first_seen, event_type""",
+
+    "q_bygroup" ->
+      """SELECT doc_id, source, lang FROM documents
+         WHERE lower(CASE WHEN source = '' THEN '<no group>' ELSE source END) LIKE '%rc1%'
+         ORDER BY doc_id""",
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice AS total_price
+         FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+         ORDER BY o_orderkey""",
+
+    "q_tail" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type
+         FROM (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 20)
+         ORDER BY event_id""",
+
+    "q_seek" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
+         FROM events ORDER BY event_id LIMIT 50 OFFSET 100""",
+
+    "q_carryforward" ->
+      """SELECT event_id, user_id,
+         coalesce(last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_signup_event
+         FROM events ORDER BY event_id""",
+
+    "q_join_star" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM documents
+         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         ORDER BY doc_id""",
+
+    "q_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_measured,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q_quality" ->
+      """SELECT doc_id,
+         length(text) AS n_chars_measured,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN trim(text) = '' THEN 0.0 ELSE
+           round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+             / length(string_split_regex(trim(text), '\s+')), 4) END AS avg_token_len,
+         CASE WHEN trim(text) = '' THEN 0.0 ELSE
+           round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+             / length(string_split_regex(trim(text), '\s+')), 4) END AS stopword_ratio,
+         CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+             / length(text), 4) END AS alpha_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q_langid" -> {
+      // keep marker lists in lockstep with TextAnalysis.langMarkers
+      def occ(w: String) =
+        s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      val scoreDefs = TextAnalysis.langMarkers.map { case (l, ws) =>
+        ws.map(occ).mkString(" + ") + s" AS score_$l"
+      }.mkString(",\n           ")
+      s"""SELECT doc_id, lang_label, score_en, score_de, score_fr, score_es,
+         CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+              WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+              WHEN score_fr > 0 AND score_fr >= score_es THEN 'fr'
+              WHEN score_es > 0 THEN 'es'
+              ELSE 'und' END AS lang_pred
+         FROM (SELECT doc_id, lang AS lang_label,
+           $scoreDefs
+           FROM documents) t
+         ORDER BY doc_id"""
+    },
+
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+         ORDER BY vec_id_a, vec_id_b""",
+
+    "q_embed_topk" ->
+      """SELECT query_id, vec_id, cos_sim, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE c.vec_id <> q.vec_id) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    "q_mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+         CAST(16 + n_chars % 64 AS INT) AS width,
+         CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
+         CAST(n_chars // 500 + 1 AS INT) AS frames
+         FROM documents ORDER BY doc_id""",
+    // q_fingerprint / q_minhash_neardup / q_simhash / q_ngram_jaccard /
+    // q_ivf_topk / q_mm_features: no DuckDB-expressible oracle (custom
+    // 64-bit hashes / pseudo-IVF clustering / binary feature stub) →
+    // driver records the weaker rows-only check; cross-checked instead by
+    // ScalaTest oracles (OperatorsSpec).
+  )
+
+  /** q_langid Scala-side marker lists and SQL must agree; keep both derived
+    * from [[TextAnalysis.langMarkers]].
+    */
 }

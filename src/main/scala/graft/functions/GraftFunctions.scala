@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graft.Shims
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `strip_ansi(col)` — exact reference ANSI-strip semantics ([[Ansi]]).
@@ -67,9 +67,55 @@ object RollingHash {
   }
 }
 
+/** `vec_dot(a, b)` — dot product of two `array<float>` columns in double
+  * precision. A tight codegen'd loop over the ArrayData — no intermediate
+  * array allocation (unlike `aggregate(zip_with(...))`), which is what makes
+  * per-pair similarity joins viable at scale.
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "vec_dot"
+}
+
 object GraftFunctions {
   def strip_ansi(c: Column): Column =
     Shims.column(StripAnsi(Shims.expression(c)))
+
+  def vec_dot(a: Column, b: Column): Column =
+    Shims.column(VecDot(Shims.expression(a), Shims.expression(b)))
 
   def rolling_hash(c: Column): Column =
     Shims.column(RollingHash(Shims.expression(c)))
@@ -78,5 +124,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     Shims.registerFunction(spark, "strip_ansi", exprs => StripAnsi(exprs.head))
     Shims.registerFunction(spark, "rolling_hash", exprs => RollingHash(exprs.head))
+    Shims.registerFunction(spark, "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
   }
 }

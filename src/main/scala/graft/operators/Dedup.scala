@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`.
+  *
+  * Scale design notes (the point of each choice at 100 TB):
+  *   - exact dedup is a single hash-shuffle on the dedup key; keys are
+  *     64-bit hashes, never the full text, so shuffled bytes stay small;
+  *   - MinHash+LSH bounds the candidate-pair space via band buckets — the
+  *     classic shingle→minhash→band→bucket-join pipeline; only bucket
+  *     collisions are compared, never all O(n²) pairs;
+  *   - SimHash reduces each doc to one 64-bit signature map-side;
+  *   - n-gram Jaccard joins docs only on shared shingles (exact for any
+  *     pair with jaccard > 0; a frequency cap on stop-shingles is the
+  *     standard skew guard, off by default for exactness).
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized text key: keep the smallest doc_id per key.
+    * groupBy on the key (one shuffle), map-side partial agg for free.
+    */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val key = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs
+      .groupBy(key.as("text_key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dupes"))
+      .select(col("doc_id"), col("n_dupes"))
+  }
+
+  /** Word k-shingles, distinct, as an array column. Short docs (< k tokens)
+    * contribute a single whole-doc shingle so they still participate.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signatures via explode → partial-aggregated min per
+    * permutation. The explode+groupBy shape matters: computing the
+    * signature as nested higher-order-function lambdas re-evaluates the
+    * whole shingle pipeline once per permutation per element (measured
+    * ~1000× slower); here every shingle is materialized once and each
+    * permutation is one vectorized `min` with map-side combine, so the
+    * shuffle carries numHashes longs per doc.
+    */
+  def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(shingles(col("text"), shingleSize)).as("sh"))
+    val mins = (0 until numHashes).map(p => min(xxhash64(col("sh"), lit(p))).as(s"__h$p"))
+    exploded.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(p => col(s"__h$p")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
+    * jaccard. bands × rowsPerBand == numHashes; a pair lands in the
+    * candidate set iff some band's rows all match.
+    *
+    * Returns (doc_id_a, doc_id_b, est_jaccard) with a < b,
+    * est_jaccard >= threshold.
+    */
+  def minHashNearDup(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    val sigs = minHashSignatures(docs, numHashes, shingleSize)
+
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, lit(rows)),
+              x => x.cast("string")))).as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val est = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) =>
+      when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
+      .cast("double") / numHashes
+
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        round(est, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
+    * hash each token once, majority-vote each of the 64 bits.
+    *
+    * Explode→aggregate shape for the same reason as
+    * [[minHashSignatures]]: one xxhash64 per token, then 64 vectorized
+    * conditional sums with map-side combine — the shuffle carries 64 longs
+    * per doc. Docs with no tokens get simhash 0.
+    */
+  def simHashTable(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("__h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$i"))
+    val assembled = exploded.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    docs.select("doc_id").join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+  }
+
+  /** Exact n-gram (word-shingle) Jaccard similarity pairs >= threshold.
+    * Join only on shared shingles — exact for every pair with jaccard > 0.
+    * maxShingleFreq (optional) drops shingles occurring in more than that
+    * many docs: the standard stop-shingle skew guard for web-scale corpora
+    * (makes the result approximate; None = exact).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), shingleSize)).as("sh"))
+    val pruned = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = exploded.groupBy("sh").count().filter(col("count") > cap).select("sh")
+        exploded.join(hot, Seq("sh"), "left_anti")
+      case None => exploded
+    }
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+    val inter = pruned.as("x").join(pruned.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n_sh", "n_a"), "doc_id_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n_sh", "n_b"), "doc_id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id_a", "doc_id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (default:
+    * the `label` column — at scale the blocking key is what bounds the
+    * pair space; swap in an LSH bucket for unlabeled corpora).
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      blockCol: String = "label"): DataFrame = {
+    // norms once per row before the self-join: a candidate pair costs one
+    // fused vec_dot loop, not three
+    val withN = embeddings.select(col("vec_id"), col("embedding"), col(blockCol),
+      Similarity.l2norm(col("embedding")).as("__norm"))
+    val a = withN.as("a")
+    val b = withN.as("b")
+    val sim = Similarity.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.__norm") * col("b.__norm"))
+    a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        round(sim, 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.vec_dot
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * The inner product is [[graft.functions.VecDot]] — a codegen'd loop with
+  * no per-pair array allocation. Norms are materialized ONCE per row in a
+  * projection before any join, so a pair comparison costs exactly one fused
+  * dot-product loop; naive `aggregate(zip_with(...))` per pair recomputes
+  * norms and allocates an intermediate array for every candidate pair.
+  *
+  * Scale path: [[bruteForceTopK]] is the exact baseline (broadcast the
+  * query set, one corpus pass, per-query top-k). [[ivfTopK]] is the
+  * IVF-shaped variant: centroid assignment bounds each probe to a cluster;
+  * at 100 TB the cluster id becomes the storage partition key so a probe
+  * touches one partition's files only.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
+
+  def l2norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Exact cosine — for ad-hoc use and tests. Inside joins prefer the
+    * precomputed-norm pattern used by the operators below.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Corpus projected to (idAlias, embedding, __norm) — norm computed once
+    * per row, before any join. */
+  private def withNorm(df: DataFrame, idCol: String, idAlias: String): DataFrame =
+    df.select(col(idCol).as(idAlias), col("embedding"),
+      l2norm(col("embedding")).as("__norm"))
+
+  /** Exact brute-force cosine top-k for each query vector.
+    * Similarity is rounded BEFORE ranking so ordering is reproducible
+    * across engines/float-summation orders; ties break on vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus, "vec_id", "vec_id")
+    val q = broadcast(
+      withNorm(queries, "vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_emb")
+        .withColumnRenamed("__norm", "q_norm"))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** One-pass IVF: deterministic pseudo-centroids (every `stride`-th vector
+    * stands in for a trained codebook — the assignment/probe plumbing is the
+    * operator; k-means training is an offline refinement), nearest-centroid
+    * assignment for corpus and queries, then top-k within the probed cluster
+    * (nprobe=1).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, stride: Int = 50): DataFrame = {
+    val centroids = broadcast(
+      withNorm(corpus.filter(col("vec_id") % stride === 0), "vec_id", "centroid_id")
+        .withColumnRenamed("embedding", "c_emb")
+        .withColumnRenamed("__norm", "c_norm"))
+
+    def assign(df: DataFrame): DataFrame = {
+      val idCol = df.columns.head
+      val w = Window.partitionBy(idCol)
+        .orderBy(
+          round(dot(col("c_emb"), col("embedding")) / (col("c_norm") * col("__norm")), 6).desc,
+          col("centroid_id").asc)
+      df.crossJoin(centroids)
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .drop("__r", "c_emb", "c_norm")
+    }
+
+    val assignedCorpus = assign(withNorm(corpus, "vec_id", "vec_id"))
+    val assignedQueries = assign(withNorm(queries, "vec_id", "query_id"))
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("__norm", "q_norm")
+
+    val scored = assignedCorpus.join(broadcast(assignedQueries), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.rolling_hash
+
+/** Text-analysis operators for a training-data pipeline over a `documents`
+  * table (doc_id, text, lang, source, n_chars). All pure Column expressions
+  * (codegen'd, shuffle-free projections) — at 100 TB these run map-side at
+  * scan speed with the text column pruned straight off parquet.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; empty string → empty array (split would yield [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** Count non-overlapping occurrences of ` word ` in ` text ` using the
+    * replace trick — portable across engines (same non-overlapping
+    * left-to-right semantics in Spark and ANSI SQL replace()).
+    */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $word "
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+  }
+
+  /** Token count per document. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+
+  /** Quality scoring: length stats, average token length, stopword ratio,
+    * alpha ratio. Deterministic formula; values rounded for cross-engine
+    * float stability.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stop: Seq[Column] = Seq("the", "a", "and", "of", "to").map(lit(_))
+    val nStop = size(filter(toks, t => array_contains(array(stop: _*), t))).cast("long")
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_measured"),
+      nTok.as("n_tokens"),
+      round(when(nTok > 0, sumLen.cast("double") / nTok).otherwise(0.0), 4).as("avg_token_len"),
+      round(when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0), 4).as("stopword_ratio"),
+      round(when(length(col("text")) > 0, alpha / length(col("text"))).otherwise(0.0), 4).as("alpha_ratio"))
+  }
+
+  /** Marker-word language scores + argmax prediction. N-gram-lite heuristic:
+    * counts of per-language stopword markers. The scores are the operator
+    * contract (deterministic in any engine); prediction quality is bounded
+    * by the marker lists.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "a"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "et", "la"),
+    "es" -> Seq("el", "y", "los"),
+  )
+
+  def langId(docs: DataFrame): DataFrame = {
+    val scores = langMarkers.map { case (lang, words) =>
+      words.map(w => wordOccurrences(col("text"), w)).reduce(_ + _).as(s"score_$lang")
+    }
+    val withScores = docs.select(col("doc_id") +: col("lang").as("lang_label") +: scores: _*)
+    // argmax with deterministic tie-break = declaration order:
+    // first language (in langMarkers order) whose score is >= all later ones
+    val names = langMarkers.map(_._1)
+    val pred = names.zipWithIndex.foldRight(lit("und")) { case ((lang, i), rest) =>
+      val beatsRest = names.drop(i + 1)
+        .foldLeft(col(s"score_$lang") > 0) { (acc, later) =>
+          acc && col(s"score_$lang") >= col(s"score_$later")
+        }
+      when(beatsRest, lit(lang)).otherwise(rest)
+    }
+    withScores.withColumn("lang_pred", pred)
+  }
+
+  /** Document fingerprinting via the [[graft.functions.RollingHash]] native
+    * expression: raw fingerprint over the exact text, normalized fingerprint
+    * over lower-cased, whitespace-collapsed text (near-identical docs that
+    * differ only in spacing/case share the normalized fingerprint).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      rolling_hash(col("text")).as("fingerprint"),
+      rolling_hash(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+        .as("fingerprint_normalized"))
+}

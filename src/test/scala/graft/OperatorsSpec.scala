@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RollingHash
+import graft.operators._
+
+/** Oracles-in-ScalaTest for the operators the DuckDB gate can't express
+  * (custom 64-bit hashing, LSH, IVF, the multimodal stub).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docsPath = "/root/testdata/sf0.001/documents.parquet"
+  private lazy val docs = spark.read.parquet(docsPath).cache()
+
+  test("exact dedup keeps min doc_id per normalized text") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "  HELLO WORLD  "),
+      (4L, "something else"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("ngram jaccard is exact: agrees with a hand-computed pair") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // shingles: {a b c, b c d, c d e, d e f}
+      (2L, "a b c d e g"),   // shingles: {a b c, b c d, c d e, d e g}
+      (3L, "x y z w q r"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, shingleSize = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // intersection 3, union 5 -> 0.6
+    assert(got.toSeq == Seq((1L, 2L, 0.6)))
+  }
+
+  test("minhash LSH recalls the planted near-dups found by exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val lsh = Dedup.minHashNearDup(docs, threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jaccard ≈ 0.99 pairs collide in some band with near-certainty
+    assert(exact.subsetOf(lsh),
+      s"missing pairs: ${exact.diff(lsh)}")
+    // and LSH estimates stay honest: no wildly-false positives at est>=0.5
+    val falsePos = lsh.diff(exact)
+    assert(falsePos.size <= lsh.size / 2, s"too many false positives: $falsePos")
+  }
+
+  test("simhash: identical texts equal, near-identical close, distinct far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different words nothing shared whatsoever here at all"),
+    ).toDF("doc_id", "text")
+    val h = Dedup.simHashTable(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(hamming(h(1L), h(3L)) < 16, s"near-dup hamming ${hamming(h(1L), h(3L))}")
+    assert(hamming(h(1L), h(4L)) > hamming(h(1L), h(3L)))
+  }
+
+  test("rolling-hash fingerprint matches direct computation; normalization collapses whitespace/case") {
+    val df = Seq((1L, "Spark  Query Engine"), (2L, "spark query engine")).toDF("doc_id", "text")
+    val rows = TextAnalysis.fingerprint(df).orderBy("doc_id").collect()
+    val direct = RollingHash.hashBytes("Spark  Query Engine".getBytes("UTF-8"))
+    assert(rows(0).getLong(1) == direct)
+    assert(rows(0).getLong(2) == rows(1).getLong(2), "normalized fingerprints must collapse")
+    assert(rows(0).getLong(1) != rows(1).getLong(1), "raw fingerprints must differ")
+  }
+
+  test("cosine similarity computes the exact value") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 0),
+      (3L, Array(3f, 4f, 0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val sim = df.filter($"vec_id" === 1).as("a")
+      .crossJoin(df.filter($"vec_id" === 3).as("b"))
+      .select(Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .head().getDouble(0)
+    assert(math.abs(sim - 0.6) < 1e-12)
+  }
+
+  test("brute-force top-k: correct neighbors, ranked, k per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), k = 5)
+      .collect()
+    assert(res.length == 15)
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.toSeq == sims.sortBy(-_).toSeq, "ranked descending")
+    }
+    // spot-check rank-1 of query 0 against a driver-side exact scan
+    val all = emb.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Seq[Float]]("embedding").toArray))
+    val q = all.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expectTop = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, BigDecimal(cos(q, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.head
+    val gotTop = res.filter(r => r.getAs[Long]("query_id") == 0L && r.getAs[Int]("rank") == 1)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).head
+    assert(gotTop == expectTop)
+  }
+
+  test("IVF top-k returns k hits per query from the probed cluster") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3), k = 3)
+    val n = res.groupBy("query_id").count().collect()
+    assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
+  }
+
+  test("multimodal: payload plumbing is exact, stub features are a normalized histogram") {
+    val withP = Multimodal.withPayload(docs)
+    val feats = Multimodal.extractFeatures(spark, withP)
+    assert(feats.count() == docs.count())
+    val r = feats.orderBy("doc_id").head()
+    val f = r.getAs[scala.collection.Seq[Float]]("features")
+    assert(f.length == 8)
+    assert(math.abs(f.sum - 1.0f) < 1e-3, s"histogram should normalize, got ${f.sum}")
+    // deterministic: same payload -> same features
+    assert(Multimodal.decodeStub("abc".getBytes).toSeq ==
+      Multimodal.decodeStub("abc".getBytes).toSeq)
+  }
+
+  test("text analysis goldens on inline docs") {
+    val df = Seq(
+      (1L, "the cat and the dog", "en", "s", 19L),
+      (2L, "der hund und das haus", "de", "s", 21L),
+      (3L, "", "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tok = TextAnalysis.tokenCount(df).orderBy("doc_id").collect()
+    assert(tok.map(_.getLong(2)).toSeq == Seq(5L, 5L, 0L))
+    val lid = TextAnalysis.langId(df).orderBy("doc_id").collect()
+    assert(lid(0).getAs[String]("lang_pred") == "en")
+    assert(lid(1).getAs[String]("lang_pred") == "de")
+    assert(lid(2).getAs[String]("lang_pred") == "und")
+    val q = TextAnalysis.qualityScore(df).orderBy("doc_id").collect()
+    assert(q(0).getAs[Double]("stopword_ratio") == 0.6) // the, and, the of 5
+    assert(q(2).getAs[Double]("avg_token_len") == 0.0)
+  }
+}
