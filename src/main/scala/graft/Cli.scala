@@ -1,0 +1,295 @@
+package graft
+
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `bklog`-equivalent CLI: `parse` and `query` subcommands with the
+  * reference's text/JSON output shapes (S11/S12; formats from reference
+  * cmd/bklog/main.go:268-477 and cmd/bklog/query_cli.go:154-505).
+  *
+  * All query work is lazy DataFrames; only formatting collects. The stats
+  * blocks report true totals (the reference's by-group stats double-count —
+  * query_cli.go:127-147 — which SURVEY.md §2.4 flags as a bug not to
+  * replicate).
+  */
+object Cli {
+
+  private val TsMillis = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(ZoneOffset.UTC)
+  private val TsSeconds = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+  private val TsIso = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
+
+  private def fmtMs(ms: Long, f: DateTimeFormatter): String =
+    f.format(Instant.ofEpochMilli(ms))
+
+  /** reference query_cli.go:506-514 */
+  def truncate(s: String, max: Int): String =
+    if (s.length <= max) s else s.substring(0, max - 3) + "..."
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  // ---- parse subcommand output (main.go:268-388) ----
+
+  def formatEntryText(ts: Option[Long], group: String, content: String,
+      showGroups: Boolean): String =
+    (showGroups && group.nonEmpty, ts) match {
+      case (true, Some(t))  => s"[${fmtMs(t, TsMillis)}] [$group] $content"
+      case (true, None)     => s"[$group] $content"
+      case (false, Some(t)) => s"[${fmtMs(t, TsMillis)}] $content"
+      case (false, None)    => content
+    }
+
+  def formatEntriesJson(rows: Seq[Row], showGroups: Boolean): String = {
+    val items = rows.map { r =>
+      val ts = Option(r.getAs[Any]("timestamp")).map(_.asInstanceOf[Long])
+      val group = r.getAs[String]("group")
+      val sb = new StringBuilder("  {\n")
+      ts.foreach(t => sb.append(s"""    "timestamp": "${fmtMs(t, TsIso)}",\n"""))
+      sb.append(s"""    "content": "${jsonEscape(r.getAs[String]("content"))}",\n""")
+      sb.append(s"""    "has_timestamp": ${ts.nonEmpty}""")
+      if (showGroups && group != null && group.nonEmpty)
+        sb.append(s""",\n    "group": "${jsonEscape(group)}"""")
+      sb.append("\n  }")
+      sb.toString
+    }
+    items.mkString("[\n", ",\n", "\n]")
+  }
+
+  def formatSummary(s: Row, bytesProcessed: Long): String = {
+    val total = s.getAs[Long]("total_entries")
+    val sb = new StringBuilder
+    sb.append("\n--- Processing Summary ---\n")
+    if (bytesProcessed >= 0)
+      sb.append(f"Bytes processed: ${bytesProcessed / 1024.0}%.1f KB%n")
+    else sb.append("Bytes processed: (API source - unknown)\n")
+    sb.append(s"Total entries: $total\n")
+    sb.append(s"Entries with timestamps: ${s.getAs[Long]("entries_with_time")}\n")
+    sb.append(s"Commands: ${s.getAs[Long]("commands")}\n")
+    sb.append(s"Sections: ${s.getAs[Long]("sections")}\n")
+    sb.append(s"Progress updates: ${s.getAs[Long]("progress")}\n")
+    sb.append(s"Regular output: ${s.getAs[Long]("regular_output")}\n")
+    sb.toString
+  }
+
+  // ---- query subcommand output (query_cli.go) ----
+
+  def formatGroupsTable(groups: Seq[Row]): String = {
+    val sb = new StringBuilder
+    sb.append(s"Groups found: ${groups.length}\n\n")
+    if (groups.isEmpty) { sb.append("No groups found.\n"); return sb.toString }
+    sb.append("%-40s %8s %8s %8s %19s %19s\n".format(
+      "GROUP NAME", "ENTRIES", "COMMANDS", "PROGRESS", "FIRST SEEN", "LAST SEEN"))
+    sb.append("-" * 120).append("\n")
+    groups.foreach { g =>
+      def tsStr(field: String): String =
+        Option(g.getAs[java.sql.Timestamp](field))
+          .map(t => fmtMs(t.getTime, TsSeconds)).getOrElse("")
+      sb.append("%-40s %8d %8d %8d %19s %19s\n".format(
+        truncate(g.getAs[String]("name"), 40),
+        g.getAs[Long]("entry_count"),
+        g.getAs[Long]("commands"),
+        g.getAs[Long]("progress"),
+        tsStr("first_seen"), tsStr("last_seen")))
+    }
+    sb.toString
+  }
+
+  def formatEntryWithMarkers(r: Row): String = {
+    val markers = Seq(
+      if (r.getAs[Boolean]("is_command")) Some("CMD") else None,
+      if (r.getAs[Boolean]("is_group")) Some("GRP") else None,
+      if (r.getAs[Boolean]("is_progress")) Some("PROG") else None).flatten
+    val markerStr = if (markers.nonEmpty) s" [${markers.mkString(",")}]" else ""
+    val ts = Option(r.getAs[Any]("timestamp")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    s"[${fmtMs(ts, TsMillis)}]$markerStr ${r.getAs[String]("content")}"
+  }
+
+  def formatFileInfo(path: String, info: ParquetIO.FileInfo): String =
+    s"""Parquet File Information:
+       |  File:         $path
+       |  Rows:         ${info.rowCount}
+       |  Columns:      ${info.columnCount}
+       |  File Size:    ${info.fileSize} bytes (${"%.2f".format(info.fileSize / (1024.0 * 1024.0))} MB)
+       |  Row Groups:   ${info.numRowGroups}
+       |""".stripMargin
+
+  // ---- main ----
+
+  private def buildSession(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("bklog-spark")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def parseFlags(args: Seq[String]): Map[String, String] =
+    args.grouped(2).collect {
+      case Seq(k, v) if k.startsWith("-") => k.stripPrefix("-") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        """Usage: bklog <command> [options]
+          |Commands:
+          |  parse  -file <log>  [-format text|json] [-filter command|group|progress]
+          |         [-strip-ansi true] [-show-groups true] [-summary true] [-parquet out]
+          |  query  -file <parquet> [-op list-groups|by-group|tail|seek|info]
+          |         [-group pat] [-limit N] [-tail N] [-seek K] [-format text|json] [-stats true]
+          |""".stripMargin)
+      sys.exit(1)
+    }
+    val cmd = args.head
+    val flags = parseFlags(args.tail.toSeq)
+    val spark = buildSession()
+    try cmd match {
+      case "parse" => runParse(spark, flags)
+      case "query" => runQuery(spark, flags)
+      case other =>
+        System.err.println(s"Unknown command: $other"); sys.exit(1)
+    } finally spark.stop()
+  }
+
+  def runParse(spark: SparkSession, flags: Map[String, String]): Unit = {
+    val file = flags.getOrElse("file",
+      { System.err.println("parse requires -file"); sys.exit(1) })
+    val entries = LogParser.parse(spark, file)
+    val filtered = flags.get("filter").map(Queries.filterByType(entries, _)).getOrElse(entries)
+
+    flags.get("parquet") match {
+      case Some(out) =>
+        ParquetIO.write(filtered, out)
+      case None =>
+        val strip = flags.get("strip-ansi").contains("true")
+        val showGroups = flags.get("show-groups").contains("true")
+        val display =
+          if (strip) filtered.withColumn("content",
+            graft.functions.GraftFunctions.strip_ansi(col("content")))
+          else filtered
+        val rows = display.orderBy("file", "line_no").collect()
+        if (flags.get("format").contains("json"))
+          println(formatEntriesJson(rows.toSeq, showGroups))
+        else rows.foreach { r =>
+          val ts = Option(r.getAs[Any]("timestamp")).map(_.asInstanceOf[Long])
+          println(formatEntryText(ts, r.getAs[String]("group"),
+            r.getAs[String]("content"), showGroups))
+        }
+    }
+    if (flags.get("summary").contains("true")) {
+      val bytes = try {
+        new java.io.File(file).length() match { case 0 => -1L; case n => n }
+      } catch { case _: Exception => -1L }
+      print(formatSummary(Queries.summary(entries).head(), bytes))
+    }
+  }
+
+  def runQuery(spark: SparkSession, flags: Map[String, String]): Unit = {
+    val file = flags.getOrElse("file",
+      { System.err.println("query requires -file"); sys.exit(1) })
+    val op = flags.getOrElse("op", "list-groups")
+    val json = flags.get("format").contains("json")
+    val stats = flags.get("stats").contains("true")
+    val t0 = System.nanoTime()
+    lazy val entries = ParquetIO.read(spark, file)
+    def queryMs = (System.nanoTime() - t0) / 1e6
+
+    op match {
+      case "info" =>
+        val info = ParquetIO.fileInfo(spark, file)
+        if (json) println(
+          s"""{"row_count": ${info.rowCount}, "column_count": ${info.columnCount}, """ +
+            s""""file_size_bytes": ${info.fileSize}, "num_row_groups": ${info.numRowGroups}}""")
+        else print(formatFileInfo(file, info))
+
+      case "list-groups" =>
+        val groups = Queries.listGroups(entries).collect()
+        print(formatGroupsTable(groups.toIndexedSeq))
+        if (stats) {
+          println("\n--- Query Statistics (Streaming) ---")
+          println(s"Total entries: ${entries.count()}")
+          println(s"Total groups: ${groups.length}")
+          println(f"Query time: $queryMs%.2f ms")
+        }
+
+      case "by-group" =>
+        val pattern = flags.getOrElse("group", "")
+        val limit = flags.get("limit").map(_.toInt)
+        val matchedDf = Queries.byGroup(entries, pattern)
+        val shown = limit.map(matchedDf.limit).getOrElse(matchedDf).collect()
+        val matched = shown.length
+        val limitText = limit.filter(matched >= _).map(n => s" (limited to $n)").getOrElse("")
+        println(s"Entries in group matching '$pattern': $matched$limitText\n")
+        if (shown.isEmpty) println("No entries found for the specified group.")
+        else shown.foreach(r => println(formatEntryWithMarkers(r)))
+        if (stats) {
+          println("\n--- Query Statistics (Streaming) ---")
+          println(s"Total entries: ${entries.count()}")
+          println(s"Matched entries: $matched")
+          println(f"Query time: $queryMs%.2f ms")
+        }
+
+      case "tail" =>
+        val n = flags.get("tail").map(_.toLong).filter(_ > 0).getOrElse(10L)
+        val rows = Queries.tail(entriesWithLineNo(entries), n).collect()
+        println(s"Last ${rows.length} entries:\n")
+        rows.foreach(r => println(formatEntryWithMarkers(r)))
+        if (stats) {
+          println("\n--- Tail Statistics ---")
+          println(s"Total rows in file: ${entries.count()}")
+          println(s"Entries shown: ${rows.length}")
+          println(f"Query time: $queryMs%.2f ms")
+        }
+
+      case "seek" =>
+        val k = flags.get("seek").map(_.toLong).getOrElse(0L)
+        val limit = flags.get("limit").map(_.toLong)
+        val rows = Queries.seek(entriesWithLineNo(entries), k, limit).collect()
+        val limitText = limit.filter(rows.length >= _).map(n => s" (limited to $n)").getOrElse("")
+        println(s"Entries starting from row $k: ${rows.length}$limitText\n")
+        rows.foreach(r => println(formatEntryWithMarkers(r)))
+        if (stats) {
+          println("\n--- Seek Statistics ---")
+          println(s"Start row: $k")
+          println(s"Entries shown: ${rows.length}")
+          println(f"Query time: $queryMs%.2f ms")
+        }
+
+      case other =>
+        System.err.println(s"Unknown operation: $other"); sys.exit(1)
+    }
+  }
+
+  /** Entry files written by this engine carry `line_no`; files from the
+    * reference (or any foreign writer) do not — synthesize it from the
+    * file's physical order so tail/seek keep working.
+    */
+  def entriesWithLineNo(entries: DataFrame): DataFrame =
+    if (entries.columns.contains(Schema.LineNo)) entries
+    else {
+      import org.apache.spark.sql.expressions.Window
+      entries
+        .withColumn(Schema.File, lit(""))
+        .withColumn(Schema.LineNo,
+          row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
+    }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.{LogParser, ParquetIO, Schema}
+
+/** Structured Streaming surface.
+  *
+  * The reference's "streaming" is pull-based batch iteration (SURVEY.md
+  * §2.8) — plain DataFrames already reproduce it. This module is the
+  * event-stream extension: continuous ingest of arriving log files and
+  * event-time windowed analytics with watermarks.
+  */
+object Streaming {
+
+  /** Continuous log ingest: watch `inputDir` for new log files, parse each
+    * with the exact batch semantics, append entries to `outputDir`.
+    *
+    * File-granularity processing inside foreachBatch: the group
+    * carry-forward (W1) is order-sensitive *within one file*, and a log
+    * file arrives whole — so each micro-batch re-runs the deterministic
+    * batch parser on exactly the newly-seen files. This keeps streaming
+    * and batch results bit-identical (no approximation of W1 with
+    * cross-batch state, which a raw line-stream would need).
+    */
+  def startLogIngest(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val fileStream = spark.readStream
+      .format("text")
+      .load(inputDir)
+      .select(input_file_name().as("file"))
+
+    val writer = fileStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select("file").distinct().collect().map(_.getString(0))
+        if (files.nonEmpty) {
+          val entries = LogParser.parse(batch.sparkSession, files.mkString(","))
+          entries
+            .sortWithinPartitions(Schema.File, Schema.LineNo)
+            .write.mode("append")
+            .option("compression", "zstd")
+            .parquet(outputDir)
+        }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Event-time windowed aggregation with a watermark over the events
+    * stream: counts + value sum per (window, event_type), late data beyond
+    * the watermark dropped. `ts` (nanos long) becomes the event-time
+    * column.
+    */
+  def eventWindowCounts(
+      spark: SparkSession,
+      eventsDir: String,
+      windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** Run a streaming DF to completion on currently-available data into an
+    * in-memory table; returns the result as a batch DF.
+    */
+  def runAvailableNow(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Output-format parity goldens (reference cmd/bklog/main.go:339-388,
+  * query_cli.go:154-308).
+  */
+class CliSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def captureOut(f: => Unit): String = {
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos, true, "UTF-8")) {
+      val old = System.out
+      System.setOut(new PrintStream(bos, true, "UTF-8"))
+      try f finally System.setOut(old)
+    }
+    bos.toString("UTF-8")
+  }
+
+  test("truncate matches reference truncateString") {
+    assert(Cli.truncate("short", 40) == "short")
+    val long = "x" * 50
+    assert(Cli.truncate(long, 40) == "x" * 37 + "...")
+    assert(Cli.truncate(long, 40).length == 40)
+  }
+
+  test("entry text formats (4 variants)") {
+    val ts = Some(1745322209921L)
+    assert(Cli.formatEntryText(ts, "g", "content", showGroups = true) ==
+      "[2025-04-22 11:43:29.921] [g] content")
+    assert(Cli.formatEntryText(None, "g", "content", showGroups = true) ==
+      "[g] content")
+    assert(Cli.formatEntryText(ts, "g", "content", showGroups = false) ==
+      "[2025-04-22 11:43:29.921] content")
+    assert(Cli.formatEntryText(None, "", "content", showGroups = false) ==
+      "content")
+  }
+
+  test("query list-groups text table shape") {
+    val out = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "list-groups"))
+    }
+    val lines = out.split("\n")
+    assert(lines(0) == "Groups found: 13")
+    assert(lines(2).startsWith("GROUP NAME"))
+    assert(lines(3) == "-" * 120)
+    assert(lines.length >= 17)
+    // first group row is fixed-width formatted
+    assert(lines(4).contains("~~~ Running global environment hook"))
+  }
+
+  test("query info text block") {
+    val out = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "info"))
+    }
+    assert(out.contains("Parquet File Information:"))
+    assert(out.contains("  Rows:         212"))
+    assert(out.contains("  Row Groups:   1"))
+  }
+
+  test("query by-group with markers and limit annotation") {
+    val out = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "by-group", "group" -> "environment", "limit" -> "3"))
+    }
+    assert(out.startsWith("Entries in group matching 'environment': 3 (limited to 3)\n"))
+    assert(out.contains("[GRP]") || out.contains("[CMD]"))
+  }
+
+  test("query tail and seek on a foreign parquet (no line_no column)") {
+    val tail = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "tail", "tail" -> "5"))
+    }
+    assert(tail.startsWith("Last 5 entries:\n"))
+    val seek = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "seek", "seek" -> "205", "limit" -> "4"))
+    }
+    assert(seek.startsWith("Entries starting from row 205: 4 (limited to 4)\n"))
+  }
+
+  test("parse JSON output shape") {
+    val rows = LogParser.parse(spark, "/root/reference/testdata/bash-example.log")
+      .orderBy("line_no").limit(2).collect()
+    val json = Cli.formatEntriesJson(rows.toIndexedSeq, showGroups = true)
+    assert(json.startsWith("[\n"))
+    assert(json.contains("\"timestamp\": \"2025-04-22T11:43:29.921Z\""))
+    assert(json.contains("\"has_timestamp\": true"))
+    assert(json.contains("\"group\": \"~~~ Running global environment hook\""))
+  }
+
+  test("parse summary golden block") {
+    val out = captureOut {
+      Cli.runParse(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.log",
+        "summary" -> "true", "filter" -> "command", "format" -> "text"))
+    }
+    assert(out.contains("--- Processing Summary ---"))
+    assert(out.contains("Total entries: 212"))
+    assert(out.contains("Commands: 15"))
+    assert(out.contains("Regular output: 180"))
+    // filter applied to display lines: 15 command lines above the summary
+    assert(out.linesIterator.count(_.contains("buildkite/agent/hooks")) >= 2)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmpDir(prefix: String): Path = Files.createTempDirectory(prefix)
+
+  test("streaming log ingest matches batch parse bit-for-bit, and is incremental") {
+    val in = tmpDir("stream-in")
+    val out = tmpDir("stream-out").toString + "/entries"
+    val ckpt = tmpDir("stream-ckpt").toString
+
+    val src = Paths.get("/root/reference/testdata/bash-example.log")
+    Files.copy(src, in.resolve("job1.log"))
+
+    val q1 = Streaming.startLogIngest(spark, in.toString, out, ckpt)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == 212L)
+
+    // second file arrives -> only the new file is processed (checkpointed)
+    Files.copy(src, in.resolve("job2.log"))
+    val q2 = Streaming.startLogIngest(spark, in.toString, out, ckpt)
+    q2.awaitTermination()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 424L)
+    assert(all.select("file").distinct().count() == 2L)
+
+    // per-file results identical to the batch parser
+    val streamed = all.filter(col("file").endsWith("job1.log"))
+      .orderBy("line_no")
+      .select(Schema.referenceColumns.map(col).toSeq: _*).collect()
+    val batch = LogParser.parse(spark, in.resolve("job1.log").toString)
+      .orderBy("line_no")
+      .select(Schema.referenceColumns.map(col).toSeq: _*).collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("event-time windowed aggregation equals the batch equivalent") {
+    // streaming file source requires a directory
+    val eventsDir = tmpDir("stream-events").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(eventsDir, "events.parquet"))
+    val streamed = Streaming.runAvailableNow(
+      Streaming.eventWindowCounts(spark, eventsDir), "evt_win")
+      .orderBy("window_start", "event_type").collect()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(eventsDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type").collect()
+
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+}
