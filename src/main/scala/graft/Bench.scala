@@ -31,10 +31,39 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Parse-pipeline throughput against the reference's headline number
+    // (~5.1M lines/sec single-core Go, BASELINE.md): replicate the 212-line
+    // fixture to ~1M lines, parse end-to-end (OSC split + classify + strip +
+    // carry-forward window), measure lines/sec.
+    val parseRate = try {
+      val fixture = java.nio.file.Paths.get("/root/reference/testdata/bash-example.log")
+      val tmp = java.nio.file.Files.createTempDirectory("bench-parse")
+      val src = java.nio.file.Files.readAllBytes(fixture)
+      val out = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(tmp.resolve("big.log")), 1 << 20)
+      val copies = 5000 // 212 lines * 5000 ≈ 1.06M lines
+      (1 to copies).foreach(_ => out.write(src))
+      out.close()
+      val lines = 212L * copies
+      // 4 MB splits so a single ~125 MB file exercises full parallelism;
+      // warm-up run first so codegen/class-load isn't billed as throughput
+      def run(): Unit = LogParser.parse(spark, tmp.resolve("big.log").toString,
+          splitMaxBytes = 4L * 1024 * 1024)
+        .write.format("noop").mode("overwrite").save()
+      run()
+      val t0 = System.nanoTime()
+      run()
+      val rate = lines / ((System.nanoTime() - t0) / 1e9)
+      java.nio.file.Files.delete(tmp.resolve("big.log"))
+      rate
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] parse throughput failed: $e"); -1.0
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"parse_lines_per_sec":$parseRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -197,7 +197,11 @@ object Cli {
     }
     if (flags.get("summary").contains("true")) {
       val bytes = try {
-        new java.io.File(file).length() match { case 0 => -1L; case n => n }
+        val f = new java.io.File(file)
+        val n =
+          if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length()).sum
+          else f.length()
+        if (n == 0) -1L else n
       } catch { case _: Exception => -1L }
       print(formatSummary(Queries.summary(entries).head(), bytes))
     }

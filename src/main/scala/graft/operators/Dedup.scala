@@ -137,8 +137,13 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = None): DataFrame = {
+    // shingle strings → 64-bit hashes before any shuffle: the self-join key
+    // and all shuffled bytes shrink ~5×; a cross-doc 64-bit collision is
+    // ~n²/2⁶⁴ — immaterial next to the text noise near any threshold
     val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"), shingleSize)).as("sh"))
+      .select(col("doc_id"),
+        explode(shingles(col("text"), shingleSize)).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("sh"))
     val pruned = maxShingleFreq match {
       case Some(cap) =>
         val hot = exploded.groupBy("sh").count().filter(col("count") > cap).select("sh")

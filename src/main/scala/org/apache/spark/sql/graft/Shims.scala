@@ -16,6 +16,18 @@ object Shims {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from an InternalRow RDD without the public-API
+    * CatalystTypeConverters per-row conversion — the rows are already in
+    * catalyst form (UTF8String etc.), so ingest skips a full copy+convert
+    * pass.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   def registerFunction(
       spark: SparkSession,
       name: String,

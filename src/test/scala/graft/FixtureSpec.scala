@@ -45,6 +45,18 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("fast byte-scanner path ≡ Catalyst expression path, even across tiny splits") {
+    // 4 KB splits force the prefix scan to stitch many boundaries
+    val fast = LogParser.parseFast(spark, logPath, splitMaxBytes = 4096)
+      .orderBy("line_no").collect()
+    val exprP = LogParser.parseExpr(spark, logPath, splitMaxBytes = 4096)
+      .orderBy("line_no").collect()
+    assert(fast.length == 212 && exprP.length == 212)
+    fast.zip(exprP).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a == b, s"row $i differs between fast and expression paths")
+    }
+  }
+
   test("legacy 8-column fixture reads despite unknown raw_line_size column") {
     val df = ParquetIO.read(spark, parquetPath)
     assert(!df.columns.contains("raw_line_size"))

@@ -21,7 +21,7 @@ object TestSpark {
     val s = spark
     import s.implicits._
     lines.zipWithIndex
-      .map { case (l, i) => (file, i.toLong, l) }
-      .toDF("file", "offset", "value")
+      .map { case (l, i) => (file, i.toLong, l, 0) }
+      .toDF("file", "offset", "value", "__split")
   }
 }
