@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{RollingHash, StripAnsi, VecDot}
+
+/** SparkSessionExtensions wiring: makes the engine's native expressions
+  * available to pure-SQL users at session build time —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT strip_ansi(content) FROM entries")
+  * }}}
+  *
+  * (The same registrations are available imperatively via
+  * [[graft.functions.GraftFunctions.register]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("strip_ansi"),
+      info("strip_ansi", "strip_ansi(str) - strips ANSI escape sequences (reference-lenient semantics)"),
+      (exprs: Seq[Expression]) => StripAnsi(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash of the UTF-8 bytes"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - double-precision dot product of two float arrays"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+  }
+}

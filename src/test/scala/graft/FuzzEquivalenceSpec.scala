@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded fuzz: the fast byte-scanner path and the Catalyst expression path
+  * must agree row-for-row on adversarial line mixes — OSC prefixes with
+  * valid/garbage/signed/overflowing timestamps, missing BELs, embedded BELs
+  * and CRs, ESC'd and lenient ANSI runs, group markers, multibyte UTF-8 —
+  * across pathological split sizes.
+  */
+class FuzzEquivalenceSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val Esc = "\u001b"
+  private val Bel = "\u0007"
+
+  private def randomLines(seed: Long, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("objects", "deltas", "done", "50%", "remote:", "compiling",
+      "日本語", "naïve", "x")
+    val ansi = Seq(s"$Esc[31m", s"$Esc[0m", "[90m", "[0m", "[K", s"$Esc[12;34H", "[", Esc)
+    val markers = Seq("~~~ ", "--- ", "+++ ", "$ ", "")
+    def content(): String = {
+      val parts = (0 to rnd.nextInt(6)).map { _ =>
+        if (rnd.nextBoolean()) words(rnd.nextInt(words.length))
+        else ansi(rnd.nextInt(ansi.length))
+      }
+      markers(rnd.nextInt(markers.length)) + parts.mkString(" ")
+    }
+    (1 to n).map { _ =>
+      rnd.nextInt(10) match {
+        case 0 => content() // plain line
+        case 1 => "" // empty
+        case 2 => s"$Esc" + "_bk;t=" // prefix, no BEL
+        case 3 => s"$Esc" + "_bk;t=abc$Bel" + content() // bad ts
+        case 4 => s"$Esc" + s"_bk;t=${rnd.nextLong()}$Bel" + content() // signed ts
+        case 5 => s"$Esc" + "_bk;t=99999999999999999999" + Bel + content() // overflow
+        case 6 => s"$Esc" + s"_bk;t=${math.abs(rnd.nextInt())}$Bel" + content() + Bel + "trail"
+        case 7 => s"$Esc" + s"_bk;t=${1700000000000L + rnd.nextInt(100000)}$Bel" + content() + "\r"
+        case _ => s"$Esc" + s"_bk;t=${1700000000000L + rnd.nextInt(100000)}$Bel" + content()
+      }
+    }
+  }
+
+  test("fast path ≡ expression path on 3000 fuzzed lines across split sizes") {
+    val lines = randomLines(seed = 20260812L, n = 3000)
+    val tmp = Files.createTempDirectory("fuzz")
+    Files.write(tmp.resolve("fuzz.log"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val path = tmp.resolve("fuzz.log").toString
+    for (split <- Seq(512L, 8192L, LogParser.DefaultSplitMaxBytes)) {
+      val fast = LogParser.parseFast(spark, path, split).orderBy("line_no").collect()
+      val exprP = LogParser.parseExpr(spark, path, split).orderBy("line_no").collect()
+      assert(fast.length == exprP.length, s"split=$split row count")
+      fast.zip(exprP).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"split=$split row $i:\n fast=$a\n expr=$b")
+      }
+    }
+  }
+
+  test("SQL extensions register the native functions") {
+    // extensions apply only when a NEW SparkSession is built; clear the
+    // default so the builder constructs one (reusing the SparkContext)
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // `.config("spark.sql.extensions", ...)` is a STATIC conf — it only
+      // takes effect on a fresh SparkContext; with a shared test context the
+      // programmatic hook is the way in (same class either way)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT strip_ansi('[31mred[0m'), rolling_hash('ab'), " +
+          "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head()
+      assert(r.getString(0) == "red")
+      assert(r.getLong(1) == ('a'.toLong * 257 + 'b'.toLong))
+      assert(r.getDouble(2) == 11.0)
+      // do not stop s2: it shares the local SparkContext with the suite
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+}
