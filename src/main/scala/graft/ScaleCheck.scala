@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale sanity: 1.25 GB single-file parse + heavy-operator
+  * volumetrics at sf0.1. Not part of the driver contract.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // 1.25 GB log = 50k fixture copies = 10.6M lines
+    val fixture = java.nio.file.Paths.get("/root/reference/testdata/bash-example.log")
+    val tmp = java.nio.file.Files.createTempDirectory("scale")
+    val src = java.nio.file.Files.readAllBytes(fixture)
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp.resolve("big.log")), 1 << 20)
+    (1 to 50000).foreach(_ => out.write(src))
+    out.close()
+    println("[scale] log GB: " + java.nio.file.Files.size(tmp.resolve("big.log")) / 1e9)
+
+    val parsed = time("parse 10.6M lines (32MB splits)") {
+      val df = LogParser.parse(spark, tmp.resolve("big.log").toString)
+      df.write.format("noop").mode("overwrite").save()
+      df
+    }
+    time("summary agg over 10.6M entries") {
+      Queries.summary(parsed).show()
+    }
+    time("write zstd parquet") {
+      ParquetIO.write(parsed, tmp.resolve("entries").toString)
+    }
+    val back = ParquetIO.read(spark, tmp.resolve("entries").toString)
+    time("list-groups over persisted 10.6M") {
+      Queries.listGroups(back).show(3)
+    }
+    time("seek(10_000_000, 5) via line_no pushdown") {
+      Queries.seek(Cli.entriesWithLineNo(back), 10000000L, Some(5)).show(5, 40)
+    }
+    java.nio.file.Files.delete(tmp.resolve("big.log"))
+
+    // ngram join volumetrics at sf0.1
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val ex = docs.select(col("doc_id"),
+      explode(operators.Dedup.shingles(col("text"), 3)).as("sh"))
+    val freq = ex.groupBy("sh").count()
+    println("[scale] distinct shingles: " + freq.count())
+    freq.agg(sum(col("count") * (col("count") - 1) / 2).as("pairs")).show()
+    spark.stop()
+  }
+}

@@ -150,7 +150,14 @@ object Dedup {
         exploded.join(hot, Seq("sh"), "left_anti")
       case None => exploded
     }
-    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // per-doc shingle count straight from the array length — no second
+    // explode+shuffle pass (with a frequency cap the pruned count is what
+    // jaccard must use, so fall back to counting then)
+    val sizes = maxShingleFreq match {
+      case Some(_) => pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      case None => docs.select(col("doc_id"),
+        size(shingles(col("text"), shingleSize)).cast("long").as("n_sh"))
+    }
 
     val inter = pruned.as("x").join(pruned.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
