@@ -6,6 +6,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.{LogParser, ParquetIO, Schema}
 
+/** Per-user sessionization state/rows (top-level so Encoders resolve). */
+private[streaming] case class Ev(event_id: Long, user_id: Long, ts_ms: Long)
+private[streaming] case class SessState(lastMs: Long, sessionId: Long)
+private[streaming] case class SessOut(event_id: Long, user_id: Long, session_id: Long)
+
 /** Structured Streaming surface.
   *
   * The reference's "streaming" is pull-based batch iteration (SURVEY.md
@@ -77,12 +82,64 @@ object Streaming {
         col("n"), col("total_value"))
   }
 
+  /** Streaming gap-based sessionization — custom per-key state via
+    * flatMapGroupsWithState (the one reference-shaped operator that doesn't
+    * translate to a plain window in streaming: each user's session counter
+    * and last-seen time must survive across micro-batches).
+    *
+    * Emits (event_id, user_id, session_id) with the same semantics as the
+    * batch [[graft.operators.Events.sessionize]] for in-order input.
+    */
+  def streamingSessionize(
+      spark: SparkSession,
+      eventsDir: String,
+      gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val s = spark
+    import s.implicits._
+
+    val events = spark.readStream.schema(schema).parquet(eventsDir)
+      .selectExpr("event_id", "user_id", "ts div 1000000 AS ts_ms")
+      .as[Ev]
+
+    def fn(user: Long, evs: Iterator[Ev], state: GroupState[SessState]): Iterator[SessOut] = {
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+      val out = evs.toSeq.sortBy(e => (e.ts_ms, e.event_id)).map { e =>
+        val newSession = st.lastMs == Long.MinValue || e.ts_ms - st.lastMs > gapMs
+        st = SessState(e.ts_ms, if (newSession) st.sessionId + 1 else st.sessionId)
+        SessOut(e.event_id, user, st.sessionId)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Streaming exact dedup: keep the first arrival of each normalized-text
+    * fingerprint (dropDuplicates state persists across micro-batches).
+    */
+  def streamingDedup(spark: SparkSession, docsDir: String): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    spark.readStream.schema(schema).parquet(docsDir)
+      .withColumn("text_key",
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .dropDuplicates("text_key")
+      .select(col("doc_id"), col("text_key"))
+  }
+
   /** Run a streaming DF to completion on currently-available data into an
     * in-memory table; returns the result as a batch DF.
     */
-  def runAvailableNow(df: DataFrame, name: String): DataFrame = {
+  def runAvailableNow(df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

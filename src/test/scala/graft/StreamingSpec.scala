@@ -42,6 +42,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("stateful streaming sessionization equals the batch operator") {
+    val eventsDir = tmpDir("stream-sess").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(eventsDir, "events.parquet"))
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingSessionize(spark, eventsDir), "sess", mode = "append")
+      .orderBy("event_id").collect()
+    val batch = graft.operators.Events.sessionize(
+      Tables.loadEvents(spark, "/root/testdata/sf0.001"))
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(2) == b.getLong(2),
+        s"streamed=$a batch=$b")
+    }
+  }
+
+  test("streaming dedup keeps one row per normalized text") {
+    val docsDir = tmpDir("stream-docs").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(docsDir, "documents.parquet"))
+    val got = Streaming.runAvailableNow(
+      Streaming.streamingDedup(spark, docsDir), "dedup", mode = "append")
+    assert(got.count() == got.select("text_key").distinct().count())
+    assert(got.count() ==
+      graft.operators.Dedup.exactDedup(
+        spark.read.parquet(s"$docsDir/documents.parquet")).count())
+  }
+
   test("event-time windowed aggregation equals the batch equivalent") {
     // streaming file source requires a directory
     val eventsDir = tmpDir("stream-events").toString
