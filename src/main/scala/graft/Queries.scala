@@ -58,7 +58,9 @@ object Queries {
     * parquet row-group stats instead of a physical seek.
     */
   def tail(entries: DataFrame, n: Long): DataFrame = {
-    val total = entries.agg(max(col(Schema.LineNo))).head().getLong(0) + 1
+    val maxRow = entries.agg(max(col(Schema.LineNo))).head()
+    if (maxRow.isNullAt(0)) return entries.limit(0) // empty input
+    val total = maxRow.getLong(0) + 1
     entries.filter(col(Schema.LineNo) >= math.max(0, total - n))
       .orderBy(Schema.File, Schema.LineNo)
   }

@@ -50,6 +50,10 @@ class QueriesSpec extends AnyFunSuite {
     assert(Queries.tail(parsed, 1000).count() == 212L)
   }
 
+  test("tail of an empty entries table is empty, not an error") {
+    assert(Queries.tail(parsed.filter(col("line_no") < 0), 5).count() == 0L)
+  }
+
   test("seek streams from row k with optional limit") {
     val rows = Queries.seek(parsed, 100, Some(10)).select("line_no").collect().map(_.getLong(0))
     assert(rows.toSeq == (100L to 109L).toSeq)
