@@ -29,17 +29,35 @@ object Dedup {
       .select(col("doc_id"), col("n_dupes"))
   }
 
-  /** Word k-shingles, distinct, as an array column. Short docs (< k tokens)
-    * contribute a single whole-doc shingle so they still participate.
+  /** Word k-shingles from a MATERIALIZED tokens column, distinct. Short
+    * docs (< k tokens) contribute a single whole-doc shingle so they still
+    * participate.
+    *
+    * `toks` must be a column attribute, not an inline expression: the
+    * `slice` inside the transform lambda evaluates its array argument per
+    * element, so an inline tokenize would re-run split+filter once per
+    * shingle (measured ~3s of pure re-evaluation at sf0.1).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     array_distinct(
       when(size(toks) >= k,
         transform(sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
+
+  /** (doc_id, __shingles) with tokens materialized in their own projection
+    * (multi-referenced non-cheap aliases block CollapseProject, so the
+    * tokenize runs exactly once per row).
+    */
+  def withShingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks"), k).as("__shingles"))
+
+  /** Convenience single-expression form — only for ad-hoc use on small
+    * data; operators use [[withShingles]].
+    */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), k)
 
   /** MinHash signatures via explode → partial-aggregated min per
     * permutation. The explode+groupBy shape matters: computing the
@@ -50,8 +68,8 @@ object Dedup {
     * shuffle carries numHashes longs per doc.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
-      explode(shingles(col("text"), shingleSize)).as("sh"))
+    val exploded = withShingles(docs, shingleSize)
+      .select(col("doc_id"), explode(col("__shingles")).as("sh"))
     val mins = (0 until numHashes).map(p => min(xxhash64(col("sh"), lit(p))).as(s"__h$p"))
     exploded.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -140,9 +158,8 @@ object Dedup {
     // shingle strings → 64-bit hashes before any shuffle: the self-join key
     // and all shuffled bytes shrink ~5×; a cross-doc 64-bit collision is
     // ~n²/2⁶⁴ — immaterial next to the text noise near any threshold
-    val exploded = docs
-      .select(col("doc_id"),
-        explode(shingles(col("text"), shingleSize)).as("__s"))
+    val exploded = withShingles(docs, shingleSize)
+      .select(col("doc_id"), explode(col("__shingles")).as("__s"))
       .select(col("doc_id"), xxhash64(col("__s")).as("sh"))
     val pruned = maxShingleFreq match {
       case Some(cap) =>
@@ -155,8 +172,8 @@ object Dedup {
     // jaccard must use, so fall back to counting then)
     val sizes = maxShingleFreq match {
       case Some(_) => pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      case None => docs.select(col("doc_id"),
-        size(shingles(col("text"), shingleSize)).cast("long").as("n_sh"))
+      case None => withShingles(docs, shingleSize)
+        .select(col("doc_id"), size(col("__shingles")).cast("long").as("n_sh"))
     }
 
     val inter = pruned.as("x").join(pruned.as("y"),
