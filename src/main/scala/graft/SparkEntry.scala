@@ -390,7 +390,10 @@ object SparkEntry {
     "q_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars_measured,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens
+              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(list_filter(
+           regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+           t -> NOT regexp_matches(t, '^\s+$'))) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
 
     "q_quality" ->

@@ -26,12 +26,27 @@ object TextAnalysis {
     ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
   }
 
-  /** Token count per document. */
+  /** GPT-2-style pre-tokenizer pattern (no lookarounds, so it behaves
+    * identically under Java regex and RE2): contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs, whitespace runs.
+    */
+  val BpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches that are not
+    * pure whitespace — the standard proxy for LLM token budgeting.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
+      t => !t.rlike("^\\s+$"))).cast("long")
+
+  /** Token count per document (whitespace + BPE-ish). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_measured"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
   /** Quality scoring: length stats, average token length, stopword ratio,
     * alpha ratio. Deterministic formula; values rounded for cross-engine

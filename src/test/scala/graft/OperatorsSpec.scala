@@ -147,6 +147,13 @@ class OperatorsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val tok = TextAnalysis.tokenCount(df).orderBy("doc_id").collect()
     assert(tok.map(_.getLong(2)).toSeq == Seq(5L, 5L, 0L))
+    // BPE-ish pre-tokenizer: " cat"/" and" etc. are single matches here
+    assert(tok.map(_.getAs[Long]("n_bpe_tokens")).toSeq == Seq(5L, 5L, 0L))
+    val bpe = df.sparkSession.range(1)
+      .select(TextAnalysis.bpeTokenCount(lit("it's 42 degrees, ok?")).as("n"))
+      .head().getLong(0)
+    // it | 's | " 42" | " degrees" | "," | " ok" | "?" = 7
+    assert(bpe == 7L)
     val lid = TextAnalysis.langId(df).orderBy("doc_id").collect()
     assert(lid(0).getAs[String]("lang_pred") == "en")
     assert(lid(1).getAs[String]("lang_pred") == "de")
