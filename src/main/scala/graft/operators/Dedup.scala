@@ -68,9 +68,13 @@ object Dedup {
     * shuffle carries numHashes longs per doc.
     */
   def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
+    // hash the shingle STRING once; each permutation re-hashes the 8-byte
+    // value (hash composition keeps the family uniform, ~2× cheaper than
+    // numHashes string hashes)
     val exploded = withShingles(docs, shingleSize)
-      .select(col("doc_id"), explode(col("__shingles")).as("sh"))
-    val mins = (0 until numHashes).map(p => min(xxhash64(col("sh"), lit(p))).as(s"__h$p"))
+      .select(col("doc_id"), explode(col("__shingles")).as("__s"))
+      .select(col("doc_id"), xxhash64(col("__s")).as("h0"))
+    val mins = (0 until numHashes).map(p => min(xxhash64(col("h0"), lit(p))).as(s"__h$p"))
     exploded.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
