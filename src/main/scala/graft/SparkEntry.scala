@@ -216,6 +216,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // salted two-stage aggregation — identical result to a direct groupBy
+    // (the oracle proves it), hot keys spread over 16 sub-reducers
+    "q_salted_agg" -> ((s, dir) =>
+      operators.Skew.saltedAgg(
+          Tables.load(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"))
+        .withColumnRenamed("key", "l_returnflag")
+        .orderBy("l_returnflag")),
+
     // ---- LLM training-data pipeline operators ----
 
     "q_exact_dedup" -> ((s, dir) =>
@@ -380,6 +389,11 @@ object SparkEntry {
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_exact_dedup" ->
