@@ -180,9 +180,22 @@ object Dedup {
         .select(col("doc_id"), size(col("__shingles")).cast("long").as("n_sh"))
     }
 
-    val inter = pruned.as("x").join(pruned.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_id_a"), col("y.doc_id").as("doc_id_b"))
+    // pair generation instead of a self-join: one shuffle to group doc ids
+    // per shingle, then emit each id-list's combinations inline — the
+    // second shuffle of the full exploded table and the join hash build
+    // disappear (ids is a materialized column, so element_at is a cheap
+    // array read per pair)
+    val lists = pruned.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairs = lists.select(explode(flatten(
+      transform(sequence(lit(0), size(col("ids")) - 2), i =>
+        transform(sequence(i + 1, size(col("ids")) - 1), j =>
+          struct(element_at(col("ids"), i + 1).as("doc_id_a"),
+            element_at(col("ids"), j + 1).as("doc_id_b")))))).as("p"))
+      .select(col("p.doc_id_a"), col("p.doc_id_b"))
+    val inter = pairs
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(count(lit(1)).as("inter"))
 
     inter
