@@ -265,6 +265,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_embed_lsh_neardup" -> ((s, dir) =>
+      // sign-LSH scale path for unlabeled corpora; the synthetic corpus has
+      // no true near-dups (max cos ≈ 0.48), so a low threshold exercises
+      // the bucket/verify plumbing with non-empty output
+      operators.Similarity.lshNearDup(
+          Tables.load(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("vec_id_a", "vec_id_b")),
+
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3)

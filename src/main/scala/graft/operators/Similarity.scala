@@ -60,6 +60,54 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Random-hyperplane (sign) LSH bucket id for table `t`: bit k is the
+    * sign of the projection onto a deterministic ±1 hyperplane whose
+    * components come from hashing (table, bit, dimension). `emb` must be a
+    * materialized column attribute (HOF lambdas re-evaluate captured
+    * subtrees per element).
+    */
+  def lshBucket(emb: Column, table: Int, bits: Int): Column =
+    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, k) => {
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
+          when(pmod(xxhash64(lit(table), k, d), lit(2)) === 0, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0), (a, v) => a + v)
+      acc + when(proj > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))
+    })
+
+  /** Sign-LSH near-duplicate pairs: `tables` independent hash tables of
+    * `bits`-bit buckets; a pair is a candidate iff it collides in at least
+    * one table; candidates are verified with exact cosine. The scale path
+    * for unlabeled corpora — candidate count is bounded by bucket
+    * occupancy, never O(n²). (Sign-LSH recall is high only for genuinely
+    * similar vectors; tune tables/bits to the target threshold.)
+    */
+  def lshNearDup(
+      embeddings: DataFrame,
+      threshold: Double = 0.9,
+      tables: Int = 8,
+      bits: Int = 8): DataFrame = {
+    val withN = embeddings.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("__norm"))
+    val bucketed = withN.select(col("vec_id"), col("embedding"), col("__norm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col("embedding"), t, bits).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("__norm"),
+        col("tb.t"), col("tb.b"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    val sim = dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.__norm") * col("b.__norm"))
+    a.join(b,
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+        round(sim, 4).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** One-pass IVF: deterministic pseudo-centroids (every `stride`-th vector
     * stands in for a trained codebook — the assignment/probe plumbing is the
     * operator; k-means training is an offline refinement), nearest-centroid

@@ -119,6 +119,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotTop == expectTop)
   }
 
+  test("sign-LSH finds planted high-similarity vector pairs") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val base = (0 until 20).map(_ => vec())
+    // ids 0..19 random, ids 100..119 near-duplicates of them
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      base.zipWithIndex.map { case (v, i) => (100L + i, jitter(v)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Similarity.lshNearDup(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 20).map(i => (i.toLong, 100L + i)).toSet
+    // sign-LSH at 8 tables x 8 bits: cos≈0.999 pairs collide with
+    // overwhelming probability; require near-total recall
+    assert(expected.diff(found).size <= 1, s"missed: ${expected.diff(found)}")
+  }
+
   test("IVF top-k returns k hits per query from the probed cluster") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val res = Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3), k = 3)
