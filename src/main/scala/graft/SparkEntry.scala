@@ -14,7 +14,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   *   - double aggregates go through exact DECIMAL accumulation, then a cast
   *     back to double (identical bits in any engine), or are round()ed;
   *   - event timestamps (parquet TIMESTAMP_NANOS) are exposed as epoch-ms
-  *     longs (`ts div 1000000` ↔ DuckDB `epoch_ms(ts)`).
+  *     longs (`ts div 1000000` ↔ DuckDB `epoch_ms(ts)`);
+  *   - DuckDB `sum(INTEGER)` returns HUGEINT, which pandas renders as
+  *     float64 and hash-mismatches Spark's int64 — every integer sum in
+  *     oracle SQL must be wrapped in CAST(... AS BIGINT);
+  *   - no array-typed output columns: the driver's pandas sort cannot hash
+  *     ndarray cells (flatten to scalars instead).
   */
 object SparkEntry {
 
@@ -284,10 +289,17 @@ object SparkEntry {
         .select("doc_id", "payload_bytes", "width", "height", "frames")
         .orderBy("doc_id")),
 
-    "q_mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s,
-          Multimodal.withPayload(Tables.load(s, dir, "documents")))
-        .orderBy("doc_id")),
+    "q_mm_features" -> ((s, dir) => {
+      // flatten the features array to scalar columns: the driver's compare
+      // (pandas sort over all columns) cannot hash array cells
+      val feats = Multimodal.extractFeatures(s,
+        Multimodal.withPayload(Tables.load(s, dir, "documents")))
+      feats.select(
+        col("doc_id") +: col("payload_bytes") +:
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -310,7 +322,7 @@ object SparkEntry {
     "q_listgroups_events" ->
       """SELECT event_type, count(*) AS entry_count,
          min(epoch_ms(ts)) AS first_seen, max(epoch_ms(ts)) AS last_seen,
-         sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS high_value_count,
+         CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_count,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY event_type
          ORDER BY first_seen, event_type""",
@@ -371,9 +383,9 @@ object SparkEntry {
 
     "q_sessionize" ->
       """SELECT event_id, user_id,
-         sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ms, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms,
                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
                FROM events) t

@@ -1,8 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run Verify's dumped
 oracle SQL in DuckDB against the same sf dir and compare with the Spark
-result parquet (column names sorted, values compared row-by-row)."""
-import sys, json, math
+result parquet.
+
+Models the driver's PANDAS-based compare (r1 lesson): both sides go
+through DataFrames, columns sorted by name, and values are compared
+dtype-sensitively — DuckDB HUGEINT becomes float64 in pandas and
+hash-mismatches Spark's int64 even when the numbers are equal, so a
+dtype-kind difference (int vs float) on a column is reported as FAIL.
+Array-typed cells are reported too (the driver's lexsort cannot hash
+numpy arrays)."""
+import sys, json, math, os
+import numpy as np
 import duckdb
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -15,53 +24,66 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
+
+def dtype_kind(s):
+    return s.dtype.kind  # 'i' int, 'u' uint, 'f' float, 'O' object, 'b' bool
+
 for name, sql in sorted(oracle.items()):
     try:
-        want = con.sql(sql).fetchall()
-        wcols = sorted([d[0] for d in con.sql(sql).description])
-        got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        gcols = sorted([d[0] for d in got_rel.description])
-        got = got_rel.fetchall()
+        want = con.sql(sql).df()
+        got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        wcols, gcols = sorted(want.columns), sorted(got.columns)
         if wcols != gcols:
             fails.append((name, f"schema: oracle={wcols} spark={gcols}"))
             continue
-        # reorder both to sorted-column order
-        wo = [d[0] for d in con.sql(sql).description]
-        go = [d[0] for d in got_rel.description]
-        widx = [wo.index(c) for c in wcols]
-        gidx = [go.index(c) for c in gcols]
-        wrows = [tuple(r[i] for i in widx) for r in want]
-        grows = [tuple(r[i] for i in gidx) for r in got]
-        if len(wrows) != len(grows):
-            fails.append((name, f"rowcount: oracle={len(wrows)} spark={len(grows)}"))
+        want, got = want[wcols], got[gcols]
+        if len(want) != len(got):
+            fails.append((name, f"rowcount: oracle={len(want)} spark={len(got)}"))
             continue
         bad = 0
-        for i, (a, b) in enumerate(zip(wrows, grows)):
-            ok = True
-            for x, y in zip(a, b):
-                if isinstance(x, float) and isinstance(y, float):
-                    if not (math.isclose(x, y, rel_tol=0, abs_tol=0) or x == y):
-                        ok = False
-                elif x != y:
-                    ok = False
-            if not ok:
+        for c in wcols:
+            wk, gk = dtype_kind(want[c]), dtype_kind(got[c])
+            # the driver hashes formatted values: int64 5 vs float64 5.0 differ
+            if {wk, gk} == {"i", "f"} or {wk, gk} == {"u", "f"}:
+                fails.append((name, f"dtype: col {c} oracle={want[c].dtype} spark={got[c].dtype} (pandas formats differ -> driver hash mismatch)"))
                 bad += 1
-                if bad <= 2:
-                    fails.append((name, f"row {i}: oracle={a} spark={b}"))
+                continue
+            for i, (x, y) in enumerate(zip(want[c].values, got[c].values)):
+                if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
+                    fails.append((name, f"array-typed cell in col {c} (driver lexsort crashes)"))
+                    bad += 1
+                    break
+                xn = x is None or (isinstance(x, float) and math.isnan(x))
+                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                if xn or yn:
+                    ok = xn and yn
+                elif isinstance(x, float) or isinstance(y, float):
+                    ok = float(x) == float(y)
+                else:
+                    ok = x == y
+                if not ok:
+                    bad += 1
+                    if bad <= 2:
+                        fails.append((name, f"col {c} row {i}: oracle={x!r} spark={y!r}"))
         if bad > 2:
-            fails.append((name, f"... {bad} mismatching rows total"))
+            fails.append((name, f"... {bad} mismatches total"))
         if bad == 0:
-            print(f"OK   {name}  rows={len(wrows)}")
+            print(f"OK   {name}  rows={len(want)}")
     except Exception as e:
         fails.append((name, f"ERROR {type(e).__name__}: {e}"))
 
-rowsonly = set()
-import os
 for name in sorted(os.listdir(outdir)):
     if name != "oracle_sql.json" and name not in oracle:
-        n = con.sql(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
-        tag = "OK  " if n > 0 else "WARN"
-        print(f"{tag} {name}  rows-only n={n}")
+        # rows-only queries must still survive the driver's pandas pipeline:
+        # load through .df() and probe for array cells
+        df = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        arr_cols = [c for c in df.columns
+                    if len(df) and isinstance(df[c].iloc[0], np.ndarray)]
+        if arr_cols:
+            fails.append((name, f"rows-only query has array cols {arr_cols} (driver lexsort crashes)"))
+        else:
+            tag = "OK  " if len(df) > 0 else "WARN"
+            print(f"{tag} {name}  rows-only n={len(df)}")
 
 print()
 if fails:
