@@ -30,14 +30,18 @@ object Bench {
       // noop sink forces full materialization of every output column —
       // count() would let Catalyst prune pure-projection queries to nothing.
       // min-of-2 reports steady-state compute, not first-run codegen/GC.
+      // A throwing query is recorded as -1, never as its failure latency
+      // (advisor finding, round 1).
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: $e")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     // Parse-pipeline throughput against the reference's headline number
     // (~5.1M lines/sec single-core Go, BASELINE.md): replicate the 212-line
@@ -75,7 +79,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (-1) are excluded from the total, not billed as ~0s
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"parse_lines_per_sec":$parseRate,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -119,7 +119,12 @@ object LogParser {
           octet_length(col("__raw")) >= 10)
       .withColumn("__ts_str",
         when(col("__osc"), expr("substring(__raw, 8, __bel - 8)")))
-      .withColumn(Schema.Timestamp, expr("try_cast(__ts_str as bigint)"))
+      // try_cast trims whitespace; Go's strconv.ParseInt (and LineScanner)
+      // does not — gate on digits-only so ' 123' is a parse_error in both
+      // paths (advisor finding, round 1)
+      .withColumn(Schema.Timestamp,
+        when(col("__ts_str").rlike("^[+-]?[0-9]+$"),
+          expr("try_cast(__ts_str as bigint)")))
       .withColumn(Schema.ParseError,
         col("__osc") && col(Schema.Timestamp).isNull)
       .withColumn(Schema.Content,

@@ -53,24 +53,54 @@ object Queries {
     case _                     => entries
   }
 
-  /** O3: tail — last `n` rows in order (reference query_cli.go:311-348).
-    * `line_no` is a persisted monotone column, so the filter pushes down to
-    * parquet row-group stats instead of a physical seek.
+  /** `line_no` restarts at 0 per source file, so a global row index needs
+    * the per-file counts. One tiny aggregate (a row per file, line_no is
+    * dense 0..c-1 by construction) collected to the driver, folded into a
+    * per-file predicate on (file, line_no) — which still prunes parquet
+    * row groups. Returns rows whose GLOBAL index (files in name order) is
+    * >= `start`, or an empty frame.
     */
-  def tail(entries: DataFrame, n: Long): DataFrame = {
-    val maxRow = entries.agg(max(col(Schema.LineNo))).head()
-    if (maxRow.isNullAt(0)) return entries.limit(0) // empty input
-    val total = maxRow.getLong(0) + 1
-    entries.filter(col(Schema.LineNo) >= math.max(0, total - n))
-      .orderBy(Schema.File, Schema.LineNo)
+  private def fromGlobalRow(entries: DataFrame, start: Long): DataFrame = {
+    val counts = entries.groupBy(col(Schema.File))
+      .agg((max(col(Schema.LineNo)) + 1).as("__cnt"))
+      .orderBy(Schema.File)
+      .collect()
+    if (counts.isEmpty) return entries.limit(0)
+    var cum = 0L
+    val preds = counts.toSeq.flatMap { r =>
+      val f = r.getString(0)
+      val c = r.getLong(1)
+      val lo = start - cum // first wanted line_no within this file
+      cum += c
+      if (lo >= c) None
+      else if (lo <= 0) Some(col(Schema.File) === f)
+      else Some(col(Schema.File) === f && col(Schema.LineNo) >= lo)
+    }
+    if (preds.isEmpty) entries.limit(0)
+    else entries.filter(preds.reduce(_ || _)).orderBy(Schema.File, Schema.LineNo)
   }
 
-  /** O4/S9: seek — stream from row `k`, optional limit
-    * (reference query_cli.go:352-373). Out-of-range `k` yields an error like
-    * the reference (query.go:429-433).
+  /** O3: tail — last `n` rows in global (file, line_no) order
+    * (reference query_cli.go:311-348). Multi-file aware: `line_no` restarts
+    * per file (advisor finding, round 1), so the cutoff is translated into
+    * per-file predicates instead of one global line_no threshold.
+    */
+  def tail(entries: DataFrame, n: Long): DataFrame = {
+    val totalRow = entries.groupBy(col(Schema.File))
+      .agg((max(col(Schema.LineNo)) + 1).as("__cnt"))
+      .agg(sum(col("__cnt"))).head()
+    if (totalRow.isNullAt(0)) return entries.limit(0) // empty input
+    val total = totalRow.getLong(0)
+    fromGlobalRow(entries, math.max(0, total - n))
+  }
+
+  /** O4/S9: seek — stream from global row `k`, optional limit
+    * (reference query_cli.go:352-373). Out-of-range `k` yields an empty
+    * frame (the reference errors, query.go:429-433; flagging over aborting
+    * is the distributed-friendly choice, SURVEY.md §7.4).
     */
   def seek(entries: DataFrame, k: Long, limit: Option[Long] = None): DataFrame = {
-    val df = entries.filter(col(Schema.LineNo) >= k).orderBy(Schema.File, Schema.LineNo)
+    val df = fromGlobalRow(entries, k)
     limit.fold(df)(n => df.limit(n.toInt))
   }
 

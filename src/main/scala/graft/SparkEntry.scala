@@ -491,11 +491,72 @@ object SparkEntry {
          CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
          CAST(n_chars // 500 + 1 AS INT) AS frames
          FROM documents ORDER BY doc_id""",
-    // q_fingerprint / q_minhash_neardup / q_simhash / q_ngram_jaccard /
-    // q_ivf_topk / q_mm_features: no DuckDB-expressible oracle (custom
-    // 64-bit hashes / pseudo-IVF clustering / binary feature stub) →
-    // driver records the weaker rows-only check; cross-checked instead by
-    // ScalaTest oracles (OperatorsSpec).
+
+    // exact n-gram jaccard, independently recomputed from the raw text with
+    // DuckDB list ops (string shingles, no hashing — proves the Spark side's
+    // hashed prefix-filter pipeline loses nothing)
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         )
+         SELECT doc_id_a, doc_id_b, jaccard FROM (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+         WHERE jaccard >= 0.8
+         ORDER BY doc_id_a, doc_id_b""",
+
+    // IVF is deterministic end-to-end (pseudo-centroids = vec_id % 50 = 0,
+    // 6dp-rounded assignment, 4dp-rounded scoring) so the whole
+    // assign→probe→rank pipeline is SQL-expressible
+    "q_ivf_topk" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id % 50 = 0),
+         ca AS (
+           SELECT vec_id, e, centroid_id FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (SELECT vec_id AS query_id, e, centroid_id FROM ca WHERE vec_id < 5)
+         SELECT query_id, vec_id, cos_sim, rank FROM (
+           SELECT q.query_id, a.vec_id,
+             round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.e, a.e), 4) DESC, a.vec_id) AS rank
+           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // rolling hash (base 257 mod 2^64) replayed byte-for-byte in DuckDB via
+    // HUGEINT list_reduce; valid because the corpus is ASCII (ord == byte) —
+    // the two's-complement fold at the end maps back to Spark's signed long
+    "q_fingerprint" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint,
+         CAST(CASE WHEN hn >= 9223372036854775808 THEN hn - 18446744073709551616 ELSE hn END AS BIGINT) AS fingerprint_normalized
+         FROM (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               list_transform(range(1, length(text) + 1), i -> CAST(ord(text[i]) AS HUGEINT))),
+               (acc, b) -> (acc * 257 + b) % 18446744073709551616) AS h,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+               list_transform(range(1, length(nt) + 1), i -> CAST(ord(nt[i]) AS HUGEINT))),
+               (acc, b) -> (acc * 257 + b) % 18446744073709551616) AS hn
+           FROM (SELECT doc_id, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+                 FROM documents)) t
+         ORDER BY doc_id""",
+    // q_minhash_neardup / q_simhash / q_embed_lsh_neardup / q_mm_features:
+    // no DuckDB-expressible oracle (xxhash64-derived signatures / binary
+    // feature stub) → driver records the weaker rows-only check;
+    // cross-checked instead by ScalaTest oracles (OperatorsSpec).
   )
 
   /** q_langid Scala-side marker lists and SQL must agree; keep both derived

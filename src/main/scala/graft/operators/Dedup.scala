@@ -148,61 +148,98 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** Exact n-gram (word-shingle) Jaccard similarity pairs >= threshold.
-    * Join only on shared shingles — exact for every pair with jaccard > 0.
-    * maxShingleFreq (optional) drops shingles occurring in more than that
-    * many docs: the standard stop-shingle skew guard for web-scale corpora
-    * (makes the result approximate; None = exact).
+  /** Exact n-gram (word-shingle) Jaccard similarity pairs >= threshold,
+    * via AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    * Xiao et al., WWW'08):
+    *
+    *   1. shingle sets are hashed to 64-bit (shuffle bytes ~5× smaller; a
+    *      cross-doc collision is ~n²/2⁶⁴ — immaterial near any threshold);
+    *   2. every doc's shingles are ordered by a GLOBAL total order
+    *      (frequency asc, hash asc — rarest first) and only the first
+    *      `n - ceil(t·n) + 1` form its prefix. Prefix-filter lemma: if
+    *      J(A,B) ≥ t then |A∩B| ≥ t·|A| (union ≥ |A|), and two sets with
+    *      |A∩B| ≥ α must share an element within their first |·|-α+1
+    *      elements under any common total order — so candidate generation
+    *      over PREFIX shingles only is exact (no false negatives);
+    *   3. candidates are verified with one `array_intersect` per pair on
+    *      the full hashed sets.
+    *
+    * Stop-shingles sort LAST (frequency asc) and so almost never enter a
+    * prefix — the hot-shingle n² blowup of naive shingle-joins disappears
+    * for free. Per-shingle id-lists that do survive are expanded inline
+    * only below `pairListCutoff` ids (bounding any single generated row to
+    * ~cutoff²/2 structs); larger lists go through a distributed self-join
+    * (advisor finding, round 1 — a one-row n²/2 array OOMs before it skews).
+    *
+    * maxShingleFreq (optional) additionally DROPS shingles above the given
+    * doc-frequency from the sets themselves — the web-scale stop-shingle
+    * guard; makes the measure approximate (None = exact).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleSize: Int = 3,
       threshold: Double = 0.8,
-      maxShingleFreq: Option[Int] = None): DataFrame = {
-    // shingle strings → 64-bit hashes before any shuffle: the self-join key
-    // and all shuffled bytes shrink ~5×; a cross-doc 64-bit collision is
-    // ~n²/2⁶⁴ — immaterial next to the text noise near any threshold
-    val exploded = withShingles(docs, shingleSize)
-      .select(col("doc_id"), explode(col("__shingles")).as("__s"))
-      .select(col("doc_id"), xxhash64(col("__s")).as("sh"))
-    val pruned = maxShingleFreq match {
+      maxShingleFreq: Option[Int] = None,
+      pairListCutoff: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // (doc_id, sh_set: array<long>) — distinct hashed shingles per doc
+    val rawSets = withShingles(docs, shingleSize)
+      .select(col("doc_id"),
+        array_distinct(transform(col("__shingles"), s => xxhash64(s))).as("sh_set"))
+
+    val exploded = rawSets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+    val freqs = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
+
+    // optional stop-shingle drop (approximate mode): rebuild sets from the
+    // surviving shingles; docs losing every shingle drop out entirely
+    val (sets, explodedKept) = maxShingleFreq match {
       case Some(cap) =>
-        val hot = exploded.groupBy("sh").count().filter(col("count") > cap).select("sh")
-        exploded.join(hot, Seq("sh"), "left_anti")
-      case None => exploded
-    }
-    // per-doc shingle count straight from the array length — no second
-    // explode+shuffle pass (with a frequency cap the pruned count is what
-    // jaccard must use, so fall back to counting then)
-    val sizes = maxShingleFreq match {
-      case Some(_) => pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      case None => withShingles(docs, shingleSize)
-        .select(col("doc_id"), size(col("__shingles")).cast("long").as("n_sh"))
+        val kept = exploded.join(freqs.filter(col("__df") <= cap), Seq("sh"))
+        (kept.groupBy("doc_id").agg(collect_list(col("sh")).as("sh_set")),
+          kept)
+      case None => (rawSets, exploded.join(freqs, Seq("sh")))
     }
 
-    // pair generation instead of a self-join: one shuffle to group doc ids
-    // per shingle, then emit each id-list's combinations inline — the
-    // second shuffle of the full exploded table and the join hash build
-    // disappear (ids is a materialized column, so element_at is a cheap
-    // array read per pair)
-    val lists = pruned.groupBy("sh")
+    // prefix extraction: global order = (doc-frequency asc, hash asc);
+    // prefix length n - ceil(t*n) + 1 with n = |doc's (kept) shingle set|
+    val byDoc = Window.partitionBy("doc_id")
+    val ordered = explodedKept // carries __df from the freqs join either way
+      .withColumn("__rn", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+    val prefixes = ordered
+      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select("doc_id", "sh")
+
+    // candidate pairs: docs sharing a prefix shingle. Inline expansion for
+    // short id-lists; distributed self-join for the heavy tail.
+    val lists = prefixes.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val pairs = lists.select(explode(flatten(
-      transform(sequence(lit(0), size(col("ids")) - 2), i =>
-        transform(sequence(i + 1, size(col("ids")) - 1), j =>
-          struct(element_at(col("ids"), i + 1).as("doc_id_a"),
-            element_at(col("ids"), j + 1).as("doc_id_b")))))).as("p"))
+    val smallPairs = lists.filter(size(col("ids")) <= pairListCutoff)
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("doc_id_a"),
+              element_at(col("ids"), j + 1).as("doc_id_b")))))).as("p"))
       .select(col("p.doc_id_a"), col("p.doc_id_b"))
-    val inter = pairs
-      .groupBy(col("doc_id_a"), col("doc_id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val bigIds = lists.filter(size(col("ids")) > pairListCutoff)
+      .select(col("sh"), explode(col("ids")).as("id"))
+    val bigPairs = bigIds.as("x").join(bigIds.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_id_a"), col("y.id").as("doc_id_b"))
+    val candidates = smallPairs.union(bigPairs).distinct()
 
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("n_sh", "n_a"), "doc_id_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("n_sh", "n_b"), "doc_id_b")
+    // exact verification on the full hashed sets
+    val aSets = sets.select(col("doc_id").as("doc_id_a"), col("sh_set").as("__set_a"))
+    val bSets = sets.select(col("doc_id").as("doc_id_b"), col("sh_set").as("__set_b"))
+    candidates
+      .join(aSets, "doc_id_a")
+      .join(bSets, "doc_id_b")
+      .withColumn("__inter", size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+        round(col("__inter").cast("double") /
+          (size(col("__set_a")) + size(col("__set_b")) - col("__inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_id_a", "doc_id_b", "jaccard")
   }

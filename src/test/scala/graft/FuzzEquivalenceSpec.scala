@@ -31,7 +31,7 @@ class FuzzEquivalenceSpec extends AnyFunSuite {
       markers(rnd.nextInt(markers.length)) + parts.mkString(" ")
     }
     (1 to n).map { _ =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(12) match {
         case 0 => content() // plain line
         case 1 => "" // empty
         case 2 => s"$Esc" + "_bk;t=" // prefix, no BEL
@@ -40,6 +40,10 @@ class FuzzEquivalenceSpec extends AnyFunSuite {
         case 5 => s"$Esc" + "_bk;t=99999999999999999999" + Bel + content() // overflow
         case 6 => s"$Esc" + s"_bk;t=${math.abs(rnd.nextInt())}$Bel" + content() + Bel + "trail"
         case 7 => s"$Esc" + s"_bk;t=${1700000000000L + rnd.nextInt(100000)}$Bel" + content() + "\r"
+        // whitespace-padded ts: SQL casts trim, strconv.ParseInt doesn't —
+        // both paths must flag parse_error (advisor finding, round 1)
+        case 8 => s"$Esc" + s"_bk;t= ${1700000000000L + rnd.nextInt(1000)}$Bel" + content()
+        case 9 => s"$Esc" + s"_bk;t=${1700000000000L + rnd.nextInt(1000)}\t$Bel" + content()
         case _ => s"$Esc" + s"_bk;t=${1700000000000L + rnd.nextInt(100000)}$Bel" + content()
       }
     }

@@ -40,6 +40,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 0.6)))
   }
 
+  test("ngram jaccard: inline and join-based pair generation agree") {
+    // pairListCutoff=1 forces every shingle id-list through the distributed
+    // self-join path; the default routes them through inline expansion —
+    // identical output either way (advisor finding, round 1: a hot shingle
+    // must not materialize its n²/2 pairs inside one row)
+    val hot = (1L to 40L).map(i => (i, s"common shingle text unique$i"))
+    val df = (hot :+ ((99L, "completely different content here"))).toDF("doc_id", "text")
+    val viaJoin = Dedup.ngramJaccardPairs(df, threshold = 0.3, pairListCutoff = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaInline = Dedup.ngramJaccardPairs(df, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaJoin == viaInline)
+    // every doc pair shares {common shingle text, shingle text unique*}:
+    // jaccard = 1/3 — all C(40,2) pairs qualify at 0.3
+    assert(viaInline.size == 40 * 39 / 2)
+  }
+
+  test("ngram jaccard prefix filter loses nothing vs threshold-0 exhaustive") {
+    // exhaustive ground truth at threshold 0 has an empty prefix-filter
+    // effect (prefix = whole set); re-running at 0.6 must return exactly
+    // the >=0.6 subset — the prefix-filter lemma in practice
+    val all = Dedup.ngramJaccardPairs(docs, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val filtered = Dedup.ngramJaccardPairs(docs, threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(filtered == all.filter(_._2 >= 0.6))
+  }
+
+  test("vec_dot rejects non-float32 arrays at analysis time") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.GraftFunctions.vec_dot($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("vec_dot") || e.getMessage.contains("DATATYPE"),
+      s"expected analysis-time type failure, got: ${e.getMessage}")
+  }
+
   test("minhash LSH recalls the planted near-dups found by exact jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
       .select("doc_id_a", "doc_id_b").collect()

@@ -54,6 +54,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(Queries.tail(parsed.filter(col("line_no") < 0), 5).count() == 0L)
   }
 
+  test("tail/seek over multiple files use the global row space, not per-file line_no") {
+    // line_no restarts per file (advisor finding, round 1): tail(n) must
+    // return the last n rows of the CONCATENATED stream (files in name
+    // order), not the tail of each file
+    val tmp = java.nio.file.Files.createTempDirectory("multitail")
+    java.nio.file.Files.write(tmp.resolve("a.log"), (0 until 10).map(i => s"a$i").mkString("\n").getBytes)
+    java.nio.file.Files.write(tmp.resolve("b.log"), (0 until 10).map(i => s"b$i").mkString("\n").getBytes)
+    val entries = LogParser.parse(spark, tmp.toString + "/*.log")
+    assert(entries.count() == 20L)
+    val t3 = Queries.tail(entries, 3).select("content").collect().map(_.getString(0))
+    assert(t3.toSeq == Seq("b7", "b8", "b9"), s"got ${t3.toSeq}")
+    val t12 = Queries.tail(entries, 12).select("content").collect().map(_.getString(0))
+    assert(t12.toSeq == (8 until 10).map(i => s"a$i") ++ (0 until 10).map(i => s"b$i"),
+      s"tail crossing the file boundary, got ${t12.toSeq}")
+    val s15 = Queries.seek(entries, 15, Some(3)).select("content").collect().map(_.getString(0))
+    assert(s15.toSeq == Seq("b5", "b6", "b7"), s"got ${s15.toSeq}")
+    val sAll = Queries.seek(entries, 8).select("content").collect().map(_.getString(0))
+    assert(sAll.toSeq == Seq("a8", "a9") ++ (0 until 10).map(i => s"b$i"))
+  }
+
   test("seek streams from row k with optional limit") {
     val rows = Queries.seek(parsed, 100, Some(10)).select("line_no").collect().map(_.getLong(0))
     assert(rows.toSeq == (100L to 109L).toSeq)
