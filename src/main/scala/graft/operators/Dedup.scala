@@ -18,6 +18,31 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Unordered id pairs (a < b) from a bucketed id-list table
+    * (`ids`: array<long>, pre-sorted). Lists at or under `cutoff` expand
+    * inline — one bounded array build per list, no join; longer lists (the
+    * skew tail: a hot bucket shared by thousands of ids would materialize
+    * n²/2 structs inside ONE row and OOM the executor before it ever
+    * skewed) re-explode and pair up through a distributed self-join on
+    * `keyCol`. Result is NOT deduplicated across buckets.
+    */
+  private[operators] def pairsFromIdLists(
+      lists: DataFrame, keyCol: String, cutoff: Int): DataFrame = {
+    val smallPairs = lists.filter(size(col("ids")) <= cutoff)
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("doc_id_a"),
+              element_at(col("ids"), j + 1).as("doc_id_b")))))).as("p"))
+      .select(col("p.doc_id_a"), col("p.doc_id_b"))
+    val bigIds = lists.filter(size(col("ids")) > cutoff)
+      .select(col(keyCol), explode(col("ids")).as("id"))
+    val bigPairs = bigIds.as("x").join(bigIds.as("y"),
+        col(s"x.$keyCol") === col(s"y.$keyCol") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_id_a"), col("y.id").as("doc_id_b"))
+    smallPairs.union(bigPairs)
+  }
+
   /** Exact dedup on a normalized text key: keep the smallest doc_id per key.
     * groupBy on the key (one shuffle), map-side partial agg for free.
     */
@@ -93,33 +118,39 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      pairListCutoff: Int = 128): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
+    // persisted: the signature pipeline (shingle scan + 16-way min agg)
+    // otherwise re-runs for the banding pass and BOTH verification sides
     val sigs = minHashSignatures(docs, numHashes, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // band id folded into the bucket hash → one flat join key; the bucket
+    // table carries (doc_id, bucket) only — signatures never ride through
+    // the candidate join
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, lit(rows)),
-              x => x.cast("string")))).as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+        xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            x => x.cast("string"))), b))).as("bucket"))
 
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val est = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) =>
+    val lists = banded.groupBy("bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val candidates = pairsFromIdLists(lists, "bucket", pairListCutoff).distinct()
+
+    val est = size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) =>
       when(x === y, lit(1)).otherwise(lit(0))), v => v === 1))
       .cast("double") / numHashes
-
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
-        round(est, 4).as("est_jaccard"))
-      .distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("__sig_a")), "doc_id_a")
+      .join(sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("__sig_b")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -182,11 +213,18 @@ object Dedup {
       maxShingleFreq: Option[Int] = None,
       pairListCutoff: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
 
-    // (doc_id, sh_set: array<long>) — distinct hashed shingles per doc
+    // (doc_id, sh_set: array<long>) — distinct hashed shingles per doc.
+    // PERSISTED: five downstream branches (freqs, prefix window, both
+    // verification sides) would otherwise re-run the tokenize+shingle+hash
+    // scan each — measured 4× the operator's total cost at sf0.1. The set
+    // table is tiny relative to the corpus (a few longs per doc-shingle);
+    // unreferenced blocks are reclaimed by the ContextCleaner.
     val rawSets = withShingles(docs, shingleSize)
       .select(col("doc_id"),
         array_distinct(transform(col("__shingles"), s => xxhash64(s))).as("sh_set"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val exploded = rawSets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
     val freqs = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
@@ -212,23 +250,13 @@ object Dedup {
       .select("doc_id", "sh")
 
     // candidate pairs: docs sharing a prefix shingle. Inline expansion for
-    // short id-lists; distributed self-join for the heavy tail.
+    // short id-lists; distributed self-join for the heavy tail. Persisted:
+    // both branches (and the union) would re-run the freq+window pipeline.
     val lists = prefixes.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val smallPairs = lists.filter(size(col("ids")) <= pairListCutoff)
-      .select(explode(flatten(
-        transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(sequence(i + 1, size(col("ids")) - 1), j =>
-            struct(element_at(col("ids"), i + 1).as("doc_id_a"),
-              element_at(col("ids"), j + 1).as("doc_id_b")))))).as("p"))
-      .select(col("p.doc_id_a"), col("p.doc_id_b"))
-    val bigIds = lists.filter(size(col("ids")) > pairListCutoff)
-      .select(col("sh"), explode(col("ids")).as("id"))
-    val bigPairs = bigIds.as("x").join(bigIds.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_id_a"), col("y.id").as("doc_id_b"))
-    val candidates = smallPairs.union(bigPairs).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = pairsFromIdLists(lists, "sh", pairListCutoff).distinct()
 
     // exact verification on the full hashed sets
     val aSets = sets.select(col("doc_id").as("doc_id_a"), col("sh_set").as("__set_a"))

@@ -87,24 +87,33 @@ object Similarity {
       embeddings: DataFrame,
       threshold: Double = 0.9,
       tables: Int = 8,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8,
+      pairListCutoff: Int = 128): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // vectors+norms persisted: re-read by both verification sides
     val withN = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("__norm"))
-    val bucketed = withN.select(col("vec_id"), col("embedding"), col("__norm"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bucket table carries (vec_id, bucket) ONLY — the per-vector sign
+    // projections (the expensive part) run once, and no embedding rides
+    // through the candidate join; table id folds into the bucket hash
+    val bucketed = withN.select(col("vec_id"),
       explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col("embedding"), t, bits).as("b"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("__norm"),
-        col("tb.t"), col("tb.b"))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    val sim = dot(col("a.embedding"), col("b.embedding")) /
-      (col("a.__norm") * col("b.__norm"))
-    a.join(b,
-        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
-        round(sim, 4).as("cos_sim"))
+        xxhash64(lshBucket(col("embedding"), t, bits), lit(t))): _*)).as("bucket"))
+    val lists = bucketed.groupBy("bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val candidates = Dedup.pairsFromIdLists(lists, "bucket", pairListCutoff)
       .distinct()
+      .select(col("doc_id_a").as("vec_id_a"), col("doc_id_b").as("vec_id_b"))
+
+    val sim = dot(col("__emb_a"), col("__emb_b")) / (col("__norm_a") * col("__norm_b"))
+    candidates
+      .join(withN.select(col("vec_id").as("vec_id_a"),
+        col("embedding").as("__emb_a"), col("__norm").as("__norm_a")), "vec_id_a")
+      .join(withN.select(col("vec_id").as("vec_id_b"),
+        col("embedding").as("__emb_b"), col("__norm").as("__norm_b")), "vec_id_b")
+      .select(col("vec_id_a"), col("vec_id_b"), round(sim, 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
