@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -121,12 +121,109 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "vec_dot"
 }
 
+/** `sign_lsh_buckets(emb)` — all `tables` random-hyperplane LSH bucket ids
+  * of an `array<float>` embedding in one pass: bit k of table t is the sign
+  * of the projection onto a deterministic ±1 hyperplane, whose component for
+  * dimension d is the parity of xxhash64(t, k, d) (the exact chain the
+  * HOF formulation `pmod(xxhash64(lit(t), k, d), 2)` produces).
+  *
+  * A native expression because the HOF formulation evaluates an interpreted
+  * 3-arg hash per (table, bit, dimension) with per-element lambda dispatch —
+  * measured ~2 ms/row at tables=8, bits=8, dim=64; this loop with the
+  * per-(t,k) seed prefix hoisted runs in microseconds and stays inside
+  * whole-stage codegen.
+  */
+case class SignLshBuckets(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_buckets requires array<float>, got ${t.catalogString}")
+  }
+
+  // hash-chain prefix per (table, bit): XxHash64 over (t: int, k: int, d:
+  // int) with seed 42 folds left, so the (t, k) part is a constant seed
+  private lazy val seeds: Array[Long] = Array.tabulate(tables * bits) { i =>
+    XXH64.hashInt(i % bits, XXH64.hashInt(i / bits, 42L))
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var k = 0
+      while (k < bits) {
+        val seed = seeds(t * bits + k)
+        var proj = 0.0
+        var d = 0
+        while (d < n) {
+          val x = arr.getFloat(d).toDouble
+          proj += (if ((XXH64.hashInt(d, seed) & 1L) == 0L) x else -x)
+          d += 1
+        }
+        if (proj > 0) bucket |= (1L << k)
+        k += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val k = ctx.freshName("k")
+      val d = ctx.freshName("d")
+      val seed = ctx.freshName("seed")
+      val proj = ctx.freshName("proj")
+      val bucket = ctx.freshName("bucket")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $k = 0; $k < $bits; $k++) {
+         |    long $seed = $seedsRef[$t * $bits + $k];
+         |    double $proj = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      double $x = (double) $a.getFloat($d);
+         |      $proj += (($xxh.hashInt($d, $seed) & 1L) == 0L) ? $x : -$x;
+         |    }
+         |    if ($proj > 0) $bucket |= (1L << $k);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_lsh_buckets"
+}
+
 object GraftFunctions {
   def strip_ansi(c: Column): Column =
     Shims.column(StripAnsi(Shims.expression(c)))
 
   def vec_dot(a: Column, b: Column): Column =
     Shims.column(VecDot(Shims.expression(a), Shims.expression(b)))
+
+  def sign_lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
+    Shims.column(SignLshBuckets(Shims.expression(emb), tables, bits))
 
   def rolling_hash(c: Column): Column =
     Shims.column(RollingHash(Shims.expression(c)))

@@ -62,19 +62,14 @@ object Similarity {
 
   /** Random-hyperplane (sign) LSH bucket id for table `t`: bit k is the
     * sign of the projection onto a deterministic ±1 hyperplane whose
-    * components come from hashing (table, bit, dimension). `emb` must be a
-    * materialized column attribute (HOF lambdas re-evaluate captured
-    * subtrees per element).
+    * components come from hashing (table, bit, dimension). Backed by the
+    * native [[graft.functions.SignLshBuckets]] expression (the HOF
+    * formulation it replaced is pinned byte-identical by OperatorsSpec).
     */
   def lshBucket(emb: Column, table: Int, bits: Int): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, k) => {
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
-          when(pmod(xxhash64(lit(table), k, d), lit(2)) === 0, x.cast("double"))
-            .otherwise(-x.cast("double"))),
-        lit(0.0), (a, v) => a + v)
-      acc + when(proj > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))
-    })
+    element_at(
+      graft.functions.GraftFunctions.sign_lsh_buckets(emb, table + 1, bits),
+      table + 1)
 
   /** Sign-LSH near-duplicate pairs: `tables` independent hash tables of
     * `bits`-bit buckets; a pair is a candidate iff it collides in at least
@@ -94,12 +89,13 @@ object Similarity {
     val withN = embeddings.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("__norm"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // bucket table carries (vec_id, bucket) ONLY — the per-vector sign
-    // projections (the expensive part) run once, and no embedding rides
+    // bucket table carries (vec_id, bucket) ONLY — all per-vector sign
+    // projections run in ONE native-expression pass, and no embedding rides
     // through the candidate join; table id folds into the bucket hash
     val bucketed = withN.select(col("vec_id"),
-      explode(array((0 until tables).map(t =>
-        xxhash64(lshBucket(col("embedding"), t, bits), lit(t))): _*)).as("bucket"))
+        posexplode(graft.functions.GraftFunctions
+          .sign_lsh_buckets(col("embedding"), tables, bits)))
+      .select(col("vec_id"), xxhash64(col("col"), col("pos").cast("int")).as("bucket"))
     val lists = bucketed.groupBy("bucket")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

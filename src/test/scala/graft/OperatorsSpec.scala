@@ -156,6 +156,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotTop == expectTop)
   }
 
+  test("sign_lsh_buckets native expression matches the HOF formulation bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 50).map(i => (i.toLong, Array.fill(48)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val tables = 8; val bits = 8
+    // the original Column-HOF formulation, kept here as the executable spec
+    // of the native expression's hash/sign/projection semantics
+    def hofBucket(emb: org.apache.spark.sql.Column, table: Int): org.apache.spark.sql.Column =
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, k) => {
+        val proj = aggregate(
+          zip_with(emb, sequence(lit(0), size(emb) - 1), (x, d) =>
+            when(pmod(xxhash64(lit(table), k, d), lit(2)) === 0, x.cast("double"))
+              .otherwise(-x.cast("double"))),
+          lit(0.0), (a, v) => a + v)
+        acc + when(proj > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))
+      })
+    val got = df.select($"vec_id",
+      graft.functions.GraftFunctions.sign_lsh_buckets($"embedding", tables, bits).as("nb"),
+      array((0 until tables).map(t => hofBucket($"embedding", t)): _*).as("hb")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("sign-LSH finds planted high-similarity vector pairs") {
     val rnd = new scala.util.Random(7)
     def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
