@@ -56,6 +56,23 @@ object ScaleCheck {
     val freq = ex.groupBy("sh").count()
     println("[scale] distinct shingles: " + freq.count())
     freq.agg(sum(col("count") * (col("count") - 1) / 2).as("pairs")).show()
+
+    // dedup operators at 10× corpus (50k docs), built as 10 shifted copies:
+    // a worst-case-ish shape — every shingle's doc-frequency is 10× hotter
+    // and every doc has 9 exact duplicates, so candidate lists fatten and
+    // the output itself is ~C(10,2) pairs per original doc. Exercises the
+    // prefix filter + bounded pair-gen under deliberate skew.
+    val docs10 = (0 until 10)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+    time("ngram jaccard 50k docs (10x all-dup corpus)") {
+      println("[scale] ngram pairs out: " +
+        operators.Dedup.ngramJaccardPairs(docs10, threshold = 0.8).count())
+    }
+    time("minhash neardup 50k docs (10x all-dup corpus)") {
+      println("[scale] minhash pairs out: " +
+        operators.Dedup.minHashNearDup(docs10, threshold = 0.5).count())
+    }
     spark.stop()
   }
 }
