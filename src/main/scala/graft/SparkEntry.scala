@@ -258,6 +258,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // pairs → decisions: connected components over the near-dup graph
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupClusters(docs,
+          Dedup.ngramJaccardPairs(docs, threshold = 0.8))
+        .orderBy("doc_id")
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       // the synthetic corpus has no true embedding dups (max cos ≈ 0.48);
       // 0.4 exercises the operator with non-empty output
@@ -513,6 +521,36 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
          WHERE jaccard >= 0.8
          ORDER BY doc_id_a, doc_id_b""",
+
+    // connected components of the >=0.8 jaccard graph, replayed in DuckDB
+    // as a recursive min-label closure over the same pair set
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         )
+         SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
 
     // IVF is deterministic end-to-end (pseudo-centroids = vec_id % 50 = 0,
     // 6dp-rounded assignment, 4dp-rounded scoring) so the whole

@@ -292,6 +292,50 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Near-duplicate PAIRS → dedup DECISIONS: connected components over the
+    * pair graph, labeling every doc with the smallest doc_id reachable
+    * through near-duplicate edges (`canonical_id`). A doc is kept iff
+    * `doc_id == canonical_id`; duplicate clusters of any shape (chains
+    * a~b~c where a and c never directly matched) collapse to one keeper.
+    *
+    * Iterative min-label propagation: each round every doc takes the min
+    * of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow, so a
+    * handful of rounds in practice, `maxIter` caps the worst case. Each
+    * round is one shuffle join + aggregate on the EDGE table only (the
+    * full corpus never re-shuffles); the driver-side loop with a
+    * convergence count per round is the standard Spark iterative pattern
+    * (at extreme scale swap in large-star/small-star [Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14] — same contract).
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("__nl"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("__old")), "doc_id")
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (default:
     * the `label` column — at scale the blocking key is what bounds the
     * pair space; swap in an LSH bucket for unlabeled corpora).

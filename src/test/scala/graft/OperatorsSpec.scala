@@ -68,6 +68,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(filtered == all.filter(_._2 >= 0.6))
   }
 
+  test("dedup clusters: transitive chains collapse to the min doc_id") {
+    val docsDf = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1~2~3 (1 and 3 never directly paired), pair 5~6, singletons 4,7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dedupClusters(docsDf, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("vec_dot rejects non-float32 arrays at analysis time") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     val e = intercept[Exception] {
