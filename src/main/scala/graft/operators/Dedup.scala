@@ -308,8 +308,45 @@ object Dedup {
     * (at extreme scale swap in large-star/small-star [Kiveris et al.,
     * "Connected Components in MapReduce", SoCC'14] — same contract).
     */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dedupClusters(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      driverThreshold: Int = 1 << 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+
+    // Adaptive small-graph path: the near-dup pair graph is orders of
+    // magnitude smaller than the corpus (it IS the point of near-dup
+    // filtering), so up to `driverThreshold` edges are solved with
+    // driver-side union-find in one pass and broadcast back — 2 jobs
+    // instead of ~4 per propagation round. The distributed loop below
+    // remains the contract for graphs that don't fit the driver.
+    val sample = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .limit(driverThreshold + 1).collect()
+    if (sample.length <= driverThreshold) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sample.foreach { r =>
+        val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val mapping = parent.keys.map(k => (k, find(k))).filter(kv => kv._1 != kv._2).toSeq
+      if (mapping.isEmpty)
+        return docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+      val mapDf = docs.sparkSession.createDataFrame(mapping)
+        .toDF("doc_id", "__canon")
+      return docs.select(col("doc_id"))
+        .join(broadcast(mapDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__canon"), col("doc_id")).as("canonical_id"))
+    }
+
     val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -68,14 +68,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(filtered == all.filter(_._2 >= 0.6))
   }
 
-  test("dedup clusters: transitive chains collapse to the min doc_id") {
+  test("dedup clusters: transitive chains collapse to the min doc_id (both paths)") {
     val docsDf = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1~2~3 (1 and 3 never directly paired), pair 5~6, singletons 4,7
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_id_a", "doc_id_b")
-    val got = Dedup.dedupClusters(docsDf, pairs).orderBy("doc_id")
+    val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L)
+    // driver-side union-find path (default threshold)
+    val viaDriver = Dedup.dedupClusters(docsDf, pairs).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(viaDriver.toSeq == expect)
+    // distributed min-label propagation path (threshold forced to 0)
+    val viaLoop = Dedup.dedupClusters(docsDf, pairs, driverThreshold = 0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.toSeq == expect)
   }
 
   test("vec_dot rejects non-float32 arrays at analysis time") {
