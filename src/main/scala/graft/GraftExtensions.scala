@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RollingHash, StripAnsi, VecDot}
+import graft.functions.{RollingHash, SignLshBuckets, StripAnsi, VecDot}
 
 /** SparkSessionExtensions wiring: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -37,5 +37,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double-precision dot product of two float arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sign_lsh_buckets"),
+      info("sign_lsh_buckets",
+        "sign_lsh_buckets(emb, tables, bits) - random-hyperplane LSH bucket id per table (tables/bits must be int literals)"),
+      (exprs: Seq[Expression]) => SignLshBuckets(exprs(0),
+        GraftExtensions.intLiteral(exprs(1), "tables"),
+        GraftExtensions.intLiteral(exprs(2), "bits"))))
+  }
+}
+
+object GraftExtensions {
+  private[graft] def intLiteral(e: Expression, name: String): Int = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"sign_lsh_buckets: $name must be an int literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"sign_lsh_buckets: $name must be a literal")
   }
 }

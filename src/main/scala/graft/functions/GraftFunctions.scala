@@ -233,5 +233,9 @@ object GraftFunctions {
     Shims.registerFunction(spark, "strip_ansi", exprs => StripAnsi(exprs.head))
     Shims.registerFunction(spark, "rolling_hash", exprs => RollingHash(exprs.head))
     Shims.registerFunction(spark, "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+    Shims.registerFunction(spark, "sign_lsh_buckets", exprs =>
+      SignLshBuckets(exprs(0),
+        graft.GraftExtensions.intLiteral(exprs(1), "tables"),
+        graft.GraftExtensions.intLiteral(exprs(2), "bits")))
   }
 }

@@ -84,10 +84,12 @@ class FuzzEquivalenceSpec extends AnyFunSuite {
       val r = s2.sql(
         "SELECT strip_ansi('[31mred[0m'), rolling_hash('ab'), " +
           "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-          "        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head()
+          "        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), " +
+          "sign_lsh_buckets(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 8)").head()
       assert(r.getString(0) == "red")
       assert(r.getLong(1) == ('a'.toLong * 257 + 'b'.toLong))
       assert(r.getDouble(2) == 11.0)
+      assert(r.getSeq[Long](3).length == 4)
       // do not stop s2: it shares the local SparkContext with the suite
     } finally {
       prev.foreach { p =>
