@@ -57,6 +57,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaInline.size == 40 * 39 / 2)
   }
 
+  test("prefix-filtered jaccard == scala brute force on random corpora") {
+    val rnd = new scala.util.Random(42)
+    def bruteShingles(s: String): Set[String] = {
+      val toks = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    for (trial <- 1 to 3) {
+      val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+      val docsSeq = (1L to 30L).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val df = docsSeq.toDF("doc_id", "text")
+      val sets = docsSeq.map { case (id, s) => id -> bruteShingles(s) }.toMap
+      for (t <- Seq(0.35, 0.8)) {
+        val got = Dedup.ngramJaccardPairs(df, threshold = t).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        val want = (for {
+          a <- docsSeq.map(_._1); b <- docsSeq.map(_._1) if a < b
+          inter = (sets(a) intersect sets(b)).size
+          j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+          jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if jr >= t
+        } yield ((a, b), jr)).toMap
+        assert(got == want,
+          s"trial $trial t=$t missing=${want.keySet.diff(got.keySet)} extra=${got.keySet.diff(want.keySet)}")
+      }
+    }
+  }
+
   test("ngram jaccard prefix filter loses nothing vs threshold-0 exhaustive") {
     // exhaustive ground truth at threshold 0 has an empty prefix-filter
     // effect (prefix = whole set); re-running at 0.6 must return exactly
