@@ -225,6 +225,10 @@ object GraftFunctions {
   def sign_lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
     Shims.column(SignLshBuckets(Shims.expression(emb), tables, bits))
 
+  def min_hash_sketch(h0: Column, numHashes: Int): Column =
+    Shims.column(
+      MinHashSketch(Shims.expression(h0), numHashes).toAggregateExpression())
+
   def rolling_hash(c: Column): Column =
     Shims.column(RollingHash(Shims.expression(c)))
 

@@ -114,18 +114,36 @@ object Dedup {
     * permutation is one vectorized `min` with map-side combine, so the
     * shuffle carries numHashes longs per doc.
     */
-  def minHashSignatures(docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
+  /** `fused = false` (default): one codegen'd `min` column per permutation
+    * — HashAggregate with map-side combine, fastest for narrow signatures.
+    * `fused = true`: the [[graft.functions.MinHashSketch]]
+    * TypedImperativeAggregate — one mutable buffer for the whole
+    * signature; wins when numHashes is wide (≥ ~64) where the per-column
+    * layout and update dispatch of the declarative form dominate.
+    * Both produce bit-identical signatures (pinned by OperatorsSpec).
+    */
+  def minHashSignatures(
+      docs: DataFrame,
+      numHashes: Int,
+      shingleSize: Int,
+      fused: Boolean = false): DataFrame = {
     // 64-bit shingle hash once ([[withHashedShingleSets]] — no shingle
     // strings); each permutation re-hashes the 8-byte value (hash
     // composition keeps the family uniform, ~2× cheaper than numHashes
     // string hashes)
     val exploded = withHashedShingleSets(docs, shingleSize)
       .select(col("doc_id"), explode(col("sh_set")).as("h0"))
-    val mins = (0 until numHashes).map(p => min(xxhash64(col("h0"), lit(p))).as(s"__h$p"))
-    exploded.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(p => col(s"__h$p")): _*).as("sig"))
+    if (fused)
+      exploded.groupBy("doc_id")
+        .agg(graft.functions.GraftFunctions
+          .min_hash_sketch(col("h0"), numHashes).as("sig"))
+    else {
+      val mins = (0 until numHashes).map(p => min(xxhash64(col("h0"), lit(p))).as(s"__h$p"))
+      exploded.groupBy("doc_id")
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(p => col(s"__h$p")): _*).as("sig"))
+    }
   }
 
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated

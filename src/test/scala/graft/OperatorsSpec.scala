@@ -124,6 +124,16 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected analysis-time type failure, got: ${e.getMessage}")
   }
 
+  test("fused min_hash_sketch aggregate == declarative per-permutation mins") {
+    for (n <- Seq(16, 128)) {
+      val declarative = Dedup.minHashSignatures(docs, n, 3).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      val fused = Dedup.minHashSignatures(docs, n, 3, fused = true).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      assert(declarative.toSeq == fused.toSeq, s"numHashes=$n")
+    }
+  }
+
   test("minhash LSH recalls the planted near-dups found by exact jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
       .select("doc_id_a", "doc_id_b").collect()
