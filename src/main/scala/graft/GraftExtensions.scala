@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{RollingHash, SignLshBuckets, StripAnsi, VecDot}
+import graft.functions.{MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot}
 
 /** SparkSessionExtensions wiring: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SignLshBuckets(exprs(0),
         GraftExtensions.intLiteral(exprs(1), "tables"),
         GraftExtensions.intLiteral(exprs(2), "bits"))))
+    ext.injectFunction((
+      FunctionIdentifier("min_hash_sketch"),
+      info("min_hash_sketch",
+        "min_hash_sketch(h0, numHashes) - aggregate: MinHash signature (all permutation minima) over 64-bit shingle hashes"),
+      (exprs: Seq[Expression]) => MinHashSketch(exprs(0),
+        GraftExtensions.intLiteral(exprs(1), "numHashes"))))
   }
 }
 

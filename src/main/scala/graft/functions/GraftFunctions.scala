@@ -241,5 +241,8 @@ object GraftFunctions {
       SignLshBuckets(exprs(0),
         graft.GraftExtensions.intLiteral(exprs(1), "tables"),
         graft.GraftExtensions.intLiteral(exprs(2), "bits")))
+    Shims.registerFunction(spark, "min_hash_sketch", exprs =>
+      MinHashSketch(exprs(0),
+        graft.GraftExtensions.intLiteral(exprs(1), "numHashes")))
   }
 }

@@ -90,6 +90,10 @@ class FuzzEquivalenceSpec extends AnyFunSuite {
       assert(r.getLong(1) == ('a'.toLong * 257 + 'b'.toLong))
       assert(r.getDouble(2) == 11.0)
       assert(r.getSeq[Long](3).length == 4)
+      val agg = s2.sql(
+        "SELECT min_hash_sketch(h, 4) FROM VALUES (CAST(7 AS BIGINT)), (CAST(9 AS BIGINT)) AS t(h)")
+        .head().getSeq[Long](0)
+      assert(agg.length == 4)
       // do not stop s2: it shares the local SparkContext with the suite
     } finally {
       prev.foreach { p =>
