@@ -48,6 +48,31 @@ object ParquetIO {
     df.select(wanted.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
   }
 
+  /** Bucketed parquet table write — the storage-side half of co-located
+    * joins at scale: two tables bucketed (and sorted) on the same join key
+    * with the same bucket count join with NO shuffle and no sort; a
+    * repeated large-fact join (e.g. lineitem ⋈ orders on orderkey at
+    * 100 TB) pays its exchange once at write time instead of per query.
+    * Registers `table` in the session catalog (parquet + zstd; Spark's
+    * bucketing metadata lives in the catalog, not the files — reading the
+    * bare paths won't see buckets).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    df.write
+      .mode(mode)
+      .format("parquet")
+      .option("compression", "zstd")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** S10: Parquet footer metadata (rows, columns, bytes, row groups) —
     * reference GetFileInfo (query.go:358-396).
     */

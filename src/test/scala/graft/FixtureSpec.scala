@@ -73,6 +73,38 @@ class FixtureSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+    val right = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "rv")
+    ParquetIO.writeBucketed(left, "bk_left", Seq("k"), 4)
+    ParquetIO.writeBucketed(right, "bk_right", Seq("k"), 4)
+    try {
+      val joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+      assert(joined.count() == 1000L)
+      // bucketing metadata must eliminate BOTH shuffle exchanges. Disable
+      // AQE (final plan string) and broadcast (tiny test tables would
+      // broadcast-join, which sidesteps buckets entirely) so the planner
+      // must pick the shuffle-join path a 100 TB fact⋈fact join would take.
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = spark.table("bk_left").join(spark.table("bk_right"), "k")
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+        assert(plan.contains("Bucketed: true"), s"expected bucketed scan:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
+
   test("fileInfo reads the parquet footer") {
     val info = ParquetIO.fileInfo(spark, parquetPath)
     assert(info.rowCount == 212L)
