@@ -116,16 +116,24 @@ object Similarity {
   /** One-pass IVF: deterministic pseudo-centroids (every `stride`-th vector
     * stands in for a trained codebook — the assignment/probe plumbing is the
     * operator; k-means training is an offline refinement), nearest-centroid
-    * assignment for corpus and queries, then top-k within the probed cluster
-    * (nprobe=1).
+    * assignment for the corpus, then top-k within each query's `nprobe`
+    * closest clusters. nprobe=1 is the fastest/lowest-recall point;
+    * nprobe=#centroids degenerates to exact brute force (pinned by spec).
+    * At scale the cluster id is the storage partition key, so a probe
+    * touches `nprobe` partitions' files only.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, stride: Int = 50): DataFrame = {
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      stride: Int = 50,
+      nprobe: Int = 1): DataFrame = {
     val centroids = broadcast(
       withNorm(corpus.filter(col("vec_id") % stride === 0), "vec_id", "centroid_id")
         .withColumnRenamed("embedding", "c_emb")
         .withColumnRenamed("__norm", "c_norm"))
 
-    def assign(df: DataFrame): DataFrame = {
+    def assign(df: DataFrame, probes: Int): DataFrame = {
       val idCol = df.columns.head
       val w = Window.partitionBy(idCol)
         .orderBy(
@@ -133,12 +141,12 @@ object Similarity {
           col("centroid_id").asc)
       df.crossJoin(centroids)
         .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
+        .filter(col("__r") <= probes)
         .drop("__r", "c_emb", "c_norm")
     }
 
-    val assignedCorpus = assign(withNorm(corpus, "vec_id", "vec_id"))
-    val assignedQueries = assign(withNorm(queries, "vec_id", "query_id"))
+    val assignedCorpus = assign(withNorm(corpus, "vec_id", "vec_id"), 1)
+    val assignedQueries = assign(withNorm(queries, "vec_id", "query_id"), nprobe)
       .withColumnRenamed("embedding", "q_emb")
       .withColumnRenamed("__norm", "q_norm")
 

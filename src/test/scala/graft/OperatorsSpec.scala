@@ -261,6 +261,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
+  test("IVF with all clusters probed == exact brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val nCentroids = emb.filter($"vec_id" % 50 === 0).count().toInt
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3, nprobe = nCentroids)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf == brute)
+  }
+
   test("multimodal: payload plumbing is exact, stub features are a normalized histogram") {
     val withP = Multimodal.withPayload(docs)
     val feats = Multimodal.extractFeatures(spark, withP)
