@@ -171,17 +171,26 @@ object Dedup {
 
     // band id folded into the bucket hash → one flat join key; the bucket
     // table carries (doc_id, bucket) only — signatures never ride through
-    // the candidate join
+    // the candidate join. Each band bucket is one flat xxhash64 over its
+    // `rows` signature longs + the band id (bands/rows are compile-time
+    // constants, so the hash arg list is static) — equal band slices hash
+    // equal, and no per-band string materialization (the previous
+    // concat_ws-of-casts built ~bands strings per doc; measured ~20% of the
+    // operator at sf0.1).
     val banded = sigs.select(
       col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            x => x.cast("string"))), b))).as("bucket"))
+      explode(array((0 until bands).map { b =>
+        xxhash64(((b * rows) until ((b + 1) * rows))
+          .map(i => element_at(col("sig"), i + 1)) :+ lit(b): _*)
+      }: _*)).as("bucket"))
 
+    // persisted: both pairsFromIdLists branches (inline expansion + heavy
+    // tail self-join) scan the bucket lists — without this the banding
+    // groupBy runs twice
     val lists = banded.groupBy("bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = pairsFromIdLists(lists, "bucket", pairListCutoff).distinct()
 
     val est = size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) =>
@@ -339,9 +348,19 @@ object Dedup {
     // driver-side union-find in one pass and broadcast back — 2 jobs
     // instead of ~4 per propagation round. The distributed loop below
     // remains the contract for graphs that don't fit the driver.
-    val sample = pairs.select(col("doc_id_a"), col("doc_id_b"))
-      .limit(driverThreshold + 1).collect()
-    if (sample.length <= driverThreshold) {
+    //
+    // persist + count + collect-from-cache: the size probe and the edge
+    // fetch must cost ONE full pipeline execution. A limit(N+1).collect()
+    // probe instead runs CollectLimit's incremental partition scans (1, 4,
+    // 16, … result-stage re-executions when matches are sparse) — measured
+    // ~2.5× the pipeline's one-pass cost when `pairs` is an expensive
+    // near-dup join (driver bench, round 2).
+    val p = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = p.count()
+    if (edgeCount <= driverThreshold) {
+      val sample = p.collect()
+      p.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -365,8 +384,8 @@ object Dedup {
           coalesce(col("__canon"), col("doc_id")).as("canonical_id"))
     }
 
-    val edges = pairs.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
-      .union(pairs.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+    val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+      .union(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -388,6 +407,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    p.unpersist(blocking = false)
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
