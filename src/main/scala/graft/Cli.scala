@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
+  /** Recoverable CLI usage error: `main` prints it and exits 1; library
+    * callers (tests) catch it instead of losing the JVM to `sys.exit`.
+    */
+  final class CliError(msg: String) extends RuntimeException(msg)
+
+  private def fail(msg: String): Nothing = throw new CliError(msg)
+
   private val TsMillis = DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(ZoneOffset.UTC)
   private val TsSeconds = DateTimeFormatter
@@ -87,6 +94,56 @@ object Cli {
 
   // ---- query subcommand output (query_cli.go) ----
 
+  /** One JSON object rendered like Go's `json.Encoder` with two-space
+    * indent; `pad` is the indent of the braces themselves. Values arrive
+    * pre-rendered (callers pick number vs string).
+    */
+  private def renderJsonObj(fields: Seq[(String, String)], pad: String): String =
+    fields.map { case (k, v) => s"""$pad  "$k": $v""" }
+      .mkString("{\n", ",\n", s"\n$pad}")
+
+  /** Reference JSON envelope for query ops (query_cli.go:156-177, 214-235,
+    * 377-398, 440-461): `{"<array>": [...], "stats": {...}}`. The reference
+    * tags `stats` omitempty, but Go's omitempty is a no-op on structs, so
+    * stats always prints — zero-valued unless -stats; replicated here.
+    */
+  def jsonEnvelope(arrayName: String, items: Seq[Seq[(String, String)]],
+      stats: Seq[(String, String)]): String = {
+    val arr =
+      if (items.isEmpty) "[]"
+      else items.map(renderJsonObj(_, "    ")).mkString("[\n    ", ",\n    ", "\n  ]")
+    s"""{\n  "$arrayName": $arr,\n  "stats": ${renderJsonObj(stats, "  ")}\n}"""
+  }
+
+  /** ParquetLogEntry JSON fields (reference query.go:20-28). */
+  def entryJsonFields(r: Row): Seq[(String, String)] = {
+    val ts = Option(r.getAs[Any]("timestamp")).map(_.asInstanceOf[Long])
+    Seq(
+      "timestamp" -> ts.getOrElse(0L).toString,
+      "content" -> s""""${jsonEscape(r.getAs[String]("content"))}"""",
+      "group" -> s""""${jsonEscape(Option(r.getAs[String]("group")).getOrElse(""))}"""",
+      "has_timestamp" -> ts.nonEmpty.toString,
+      "is_command" -> r.getAs[Boolean]("is_command").toString,
+      "is_group" -> r.getAs[Boolean]("is_group").toString,
+      "is_progress" -> r.getAs[Boolean]("is_progress").toString)
+  }
+
+  /** GroupInfo JSON fields (reference query.go:31-38); zero time renders as
+    * Go's `time.Time` zero value.
+    */
+  def groupJsonFields(g: Row): Seq[(String, String)] = {
+    def tsStr(field: String): String =
+      Option(g.getAs[java.sql.Timestamp](field))
+        .map(t => fmtMs(t.getTime, TsIso)).getOrElse("0001-01-01T00:00:00Z")
+    Seq(
+      "name" -> s""""${jsonEscape(g.getAs[String]("name"))}"""",
+      "entry_count" -> g.getAs[Long]("entry_count").toString,
+      "first_seen" -> s""""${tsStr("first_seen")}"""",
+      "last_seen" -> s""""${tsStr("last_seen")}"""",
+      "commands" -> g.getAs[Long]("commands").toString,
+      "progress" -> g.getAs[Long]("progress").toString)
+  }
+
   def formatGroupsTable(groups: Seq[Row]): String = {
     val sb = new StringBuilder
     sb.append(s"Groups found: ${groups.length}\n\n")
@@ -154,6 +211,8 @@ object Cli {
           |Commands:
           |  parse  -file <log>  [-format text|json] [-filter command|group|progress]
           |         [-strip-ansi true] [-show-groups true] [-summary true] [-parquet out]
+          |    OR API params: -org <o> -pipeline <p> -build <b> -job <j>
+          |    (set BUILDKITE_API_TOKEN for API access)
           |  query  -file <parquet> [-op list-groups|by-group|tail|seek|info]
           |         [-group pat] [-limit N] [-tail N] [-seek K] [-format text|json] [-stats true]
           |""".stripMargin)
@@ -167,13 +226,45 @@ object Cli {
       case "query" => runQuery(spark, flags)
       case other =>
         System.err.println(s"Unknown command: $other"); sys.exit(1)
+    } catch {
+      case e: CliError =>
+        System.err.println(s"Error: ${e.getMessage}"); sys.exit(1)
     } finally spark.stop()
   }
 
+  /** File XOR API-params source resolution (reference cmd/bklog
+    * main.go:119-141): exactly one of `-file` and the `-org/-pipeline/
+    * -build/-job` group, all four API params present, token from
+    * BUILDKITE_API_TOKEN. `-api-base`/`-api-token` override endpoint and
+    * token (test seam — the reference hardcodes the public endpoint).
+    */
+  private def resolveEntries(spark: SparkSession,
+      flags: Map[String, String]): DataFrame = {
+    val apiFlagNames = Seq("org", "pipeline", "build", "job")
+    val hasFile = flags.contains("file")
+    val hasApi = apiFlagNames.exists(flags.contains)
+    if (!hasFile && !hasApi)
+      fail("Must provide either -file or API parameters (-org, -pipeline, -build, -job)")
+    if (hasFile && hasApi)
+      fail("Cannot use both -file and API parameters simultaneously")
+    if (hasFile) LogParser.parse(spark, flags("file"))
+    else {
+      val Seq(org, pipeline, build, job) = apiFlagNames.map(flags.getOrElse(_, ""))
+      sources.BuildkiteApi.validateParams(org, pipeline, build, job).foreach(fail)
+      val client = (flags.get("api-base"), flags.get("api-token")) match {
+        case (Some(base), tok) => new sources.BuildkiteApiClient(
+          tok.orElse(sys.env.get("BUILDKITE_API_TOKEN")).getOrElse(""), baseUrl = base)
+        case (None, Some(tok)) => new sources.BuildkiteApiClient(tok)
+        case _ =>
+          try sources.BuildkiteApi.fromEnv()
+          catch { case e: IllegalArgumentException => fail(e.getMessage) }
+      }
+      client.fetchAndParse(spark, org, pipeline, build, job)
+    }
+  }
+
   def runParse(spark: SparkSession, flags: Map[String, String]): Unit = {
-    val file = flags.getOrElse("file",
-      { System.err.println("parse requires -file"); sys.exit(1) })
-    val entries = LogParser.parse(spark, file)
+    val entries = resolveEntries(spark, flags)
     val filtered = flags.get("filter").map(Queries.filterByType(entries, _)).getOrElse(entries)
 
     flags.get("parquet") match {
@@ -196,20 +287,22 @@ object Cli {
         }
     }
     if (flags.get("summary").contains("true")) {
-      val bytes = try {
-        val f = new java.io.File(file)
-        val n =
-          if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length()).sum
-          else f.length()
-        if (n == 0) -1L else n
-      } catch { case _: Exception => -1L }
+      // API sources report bytes as unknown (reference main.go:361-363)
+      val bytes = flags.get("file").map { path =>
+        try {
+          val f = new java.io.File(path)
+          val n =
+            if (f.isDirectory) f.listFiles().filter(_.isFile).map(_.length()).sum
+            else f.length()
+          if (n == 0) -1L else n
+        } catch { case _: Exception => -1L }
+      }.getOrElse(-1L)
       print(formatSummary(Queries.summary(entries).head(), bytes))
     }
   }
 
   def runQuery(spark: SparkSession, flags: Map[String, String]): Unit = {
-    val file = flags.getOrElse("file",
-      { System.err.println("query requires -file"); sys.exit(1) })
+    val file = flags.getOrElse("file", fail("query requires -file"))
     val op = flags.getOrElse("op", "list-groups")
     val json = flags.get("format").contains("json")
     val stats = flags.get("stats").contains("true")
@@ -227,12 +320,20 @@ object Cli {
 
       case "list-groups" =>
         val groups = Queries.listGroups(entries).collect()
-        print(formatGroupsTable(groups.toIndexedSeq))
-        if (stats) {
-          println("\n--- Query Statistics (Streaming) ---")
-          println(s"Total entries: ${entries.count()}")
-          println(s"Total groups: ${groups.length}")
-          println(f"Query time: $queryMs%.2f ms")
+        if (json) {
+          val total = if (stats) entries.count() else 0L
+          println(jsonEnvelope("groups", groups.toIndexedSeq.map(groupJsonFields),
+            Seq("total_entries" -> total.toString,
+              "total_groups" -> (if (stats) groups.length else 0).toString,
+              "query_time_ms" -> (if (stats) queryMs else 0.0).toString)))
+        } else {
+          print(formatGroupsTable(groups.toIndexedSeq))
+          if (stats) {
+            println("\n--- Query Statistics (Streaming) ---")
+            println(s"Total entries: ${entries.count()}")
+            println(s"Total groups: ${groups.length}")
+            println(f"Query time: $queryMs%.2f ms")
+          }
         }
 
       case "by-group" =>
@@ -241,41 +342,64 @@ object Cli {
         val matchedDf = Queries.byGroup(entries, pattern)
         val shown = limit.map(matchedDf.limit).getOrElse(matchedDf).collect()
         val matched = shown.length
-        val limitText = limit.filter(matched >= _).map(n => s" (limited to $n)").getOrElse("")
-        println(s"Entries in group matching '$pattern': $matched$limitText\n")
-        if (shown.isEmpty) println("No entries found for the specified group.")
-        else shown.foreach(r => println(formatEntryWithMarkers(r)))
-        if (stats) {
-          println("\n--- Query Statistics (Streaming) ---")
-          println(s"Total entries: ${entries.count()}")
-          println(s"Matched entries: $matched")
-          println(f"Query time: $queryMs%.2f ms")
+        if (json) {
+          val total = if (stats) entries.count() else 0L
+          println(jsonEnvelope("entries", shown.toIndexedSeq.map(entryJsonFields),
+            Seq("total_entries" -> total.toString,
+              "matched_entries" -> (if (stats) matched else 0).toString,
+              "query_time_ms" -> (if (stats) queryMs else 0.0).toString)))
+        } else {
+          val limitText = limit.filter(matched >= _).map(n => s" (limited to $n)").getOrElse("")
+          println(s"Entries in group matching '$pattern': $matched$limitText\n")
+          if (shown.isEmpty) println("No entries found for the specified group.")
+          else shown.foreach(r => println(formatEntryWithMarkers(r)))
+          if (stats) {
+            println("\n--- Query Statistics (Streaming) ---")
+            println(s"Total entries: ${entries.count()}")
+            println(s"Matched entries: $matched")
+            println(f"Query time: $queryMs%.2f ms")
+          }
         }
 
       case "tail" =>
         val n = flags.get("tail").map(_.toLong).filter(_ > 0).getOrElse(10L)
         val rows = Queries.tail(entriesWithLineNo(entries), n).collect()
-        println(s"Last ${rows.length} entries:\n")
-        rows.foreach(r => println(formatEntryWithMarkers(r)))
-        if (stats) {
-          println("\n--- Tail Statistics ---")
-          println(s"Total rows in file: ${entries.count()}")
-          println(s"Entries shown: ${rows.length}")
-          println(f"Query time: $queryMs%.2f ms")
+        if (json) {
+          val total = if (stats) entries.count() else 0L
+          println(jsonEnvelope("entries", rows.toIndexedSeq.map(entryJsonFields),
+            Seq("total_rows" -> total.toString,
+              "entries_shown" -> (if (stats) rows.length else 0).toString,
+              "query_time_ms" -> (if (stats) queryMs else 0.0).toString)))
+        } else {
+          println(s"Last ${rows.length} entries:\n")
+          rows.foreach(r => println(formatEntryWithMarkers(r)))
+          if (stats) {
+            println("\n--- Tail Statistics ---")
+            println(s"Total rows in file: ${entries.count()}")
+            println(s"Entries shown: ${rows.length}")
+            println(f"Query time: $queryMs%.2f ms")
+          }
         }
 
       case "seek" =>
         val k = flags.get("seek").map(_.toLong).getOrElse(0L)
         val limit = flags.get("limit").map(_.toLong)
         val rows = Queries.seek(entriesWithLineNo(entries), k, limit).collect()
-        val limitText = limit.filter(rows.length >= _).map(n => s" (limited to $n)").getOrElse("")
-        println(s"Entries starting from row $k: ${rows.length}$limitText\n")
-        rows.foreach(r => println(formatEntryWithMarkers(r)))
-        if (stats) {
-          println("\n--- Seek Statistics ---")
-          println(s"Start row: $k")
-          println(s"Entries shown: ${rows.length}")
-          println(f"Query time: $queryMs%.2f ms")
+        if (json) {
+          println(jsonEnvelope("entries", rows.toIndexedSeq.map(entryJsonFields),
+            Seq("start_row" -> (if (stats) k else 0L).toString,
+              "entries_shown" -> (if (stats) rows.length else 0).toString,
+              "query_time_ms" -> (if (stats) queryMs else 0.0).toString)))
+        } else {
+          val limitText = limit.filter(rows.length >= _).map(n => s" (limited to $n)").getOrElse("")
+          println(s"Entries starting from row $k: ${rows.length}$limitText\n")
+          rows.foreach(r => println(formatEntryWithMarkers(r)))
+          if (stats) {
+            println("\n--- Seek Statistics ---")
+            println(s"Start row: $k")
+            println(s"Entries shown: ${rows.length}")
+            println(f"Query time: $queryMs%.2f ms")
+          }
         }
 
       case other =>

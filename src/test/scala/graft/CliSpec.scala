@@ -100,6 +100,96 @@ class CliSpec extends AnyFunSuite {
     assert(json.contains("\"group\": \"~~~ Running global environment hook\""))
   }
 
+  test("query list-groups JSON envelope with stats (query_cli.go:156-177)") {
+    val out = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "list-groups", "format" -> "json", "stats" -> "true"))
+    }
+    assert(out.startsWith("{\n  \"groups\": [\n    {\n"))
+    assert(out.contains("\"name\": \"~~~ Running global environment hook\""))
+    assert(out.contains("\"entry_count\": "))
+    assert(out.contains("\"first_seen\": \"2025-04-22T"))
+    assert(out.contains("\"total_entries\": 212"))
+    assert(out.contains("\"total_groups\": 13"))
+    assert(out.contains("\"query_time_ms\": "))
+  }
+
+  test("query by-group JSON envelope; stats zero-valued without -stats") {
+    val out = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "by-group", "group" -> "environment", "limit" -> "2",
+        "format" -> "json"))
+    }
+    assert(out.startsWith("{\n  \"entries\": [\n    {\n"))
+    assert(out.contains("\"timestamp\": 17453222"))
+    assert(out.contains("\"is_group\": true") || out.contains("\"is_command\": true"))
+    // Go's omitempty is a no-op on structs: stats present, zeros
+    assert(out.contains("\"total_entries\": 0"))
+    assert(out.contains("\"matched_entries\": 0"))
+  }
+
+  test("query tail and seek JSON envelopes (query_cli.go:377-398, 440-461)") {
+    val tail = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "tail", "tail" -> "3", "format" -> "json", "stats" -> "true"))
+    }
+    assert(tail.startsWith("{\n  \"entries\": [\n"))
+    assert(tail.contains("\"total_rows\": 212"))
+    assert(tail.contains("\"entries_shown\": 3"))
+    assert(tail.contains("\"has_timestamp\": "))
+    val seek = captureOut {
+      Cli.runQuery(spark, Map(
+        "file" -> "/root/reference/testdata/bash-example.parquet",
+        "op" -> "seek", "seek" -> "205", "limit" -> "4",
+        "format" -> "json", "stats" -> "true"))
+    }
+    assert(seek.contains("\"start_row\": 205"))
+    assert(seek.contains("\"entries_shown\": 4"))
+  }
+
+  test("parse file-XOR-api validation (main.go:119-141)") {
+    val e1 = intercept[Cli.CliError](Cli.runParse(spark, Map.empty))
+    assert(e1.getMessage.contains("Must provide either -file or API parameters"))
+    val e2 = intercept[Cli.CliError](Cli.runParse(spark, Map(
+      "file" -> "x.log", "org" -> "o")))
+    assert(e2.getMessage == "Cannot use both -file and API parameters simultaneously")
+    val e3 = intercept[Cli.CliError](Cli.runParse(spark, Map(
+      "org" -> "o", "pipeline" -> "p")))
+    assert(e3.getMessage == "missing required API parameters: build, job")
+  }
+
+  test("parse via API flags fetches from endpoint and prints entries") {
+    import java.net.InetSocketAddress
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val osc = "_bk;t=1745322209921"
+    val logBody = s"$osc~~~ Group A\r\n${osc}api line one\r\n"
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/v2/organizations/o1/pipelines/p1/builds/7/jobs/j1/log",
+      new HttpHandler {
+        def handle(x: HttpExchange): Unit = {
+          val bytes = logBody.getBytes("UTF-8")
+          x.sendResponseHeaders(200, bytes.length)
+          x.getResponseBody.write(bytes)
+          x.close()
+        }
+      })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}/v2"
+      val out = captureOut {
+        Cli.runParse(spark, Map(
+          "org" -> "o1", "pipeline" -> "p1", "build" -> "7", "job" -> "j1",
+          "api-base" -> base, "api-token" -> "tok-cli", "summary" -> "true"))
+      }
+      assert(out.contains("api line one"))
+      assert(out.contains("Bytes processed: (API source - unknown)"))
+      assert(out.contains("Total entries: 2"))
+    } finally server.stop(0)
+  }
+
   test("parse summary golden block") {
     val out = captureOut {
       Cli.runParse(spark, Map(
