@@ -299,13 +299,16 @@ object SparkEntry {
 
     "q_mm_features" -> ((s, dir) => {
       // flatten the features array to scalar columns: the driver's compare
-      // (pandas sort over all columns) cannot hash array cells
+      // (pandas sort over all columns) cannot hash array cells. The raw
+      // float32 is widened to double UNROUNDED — IEEE float division is
+      // bit-identical across engines, so the DuckDB oracle replays it
+      // exactly (round() would re-introduce half-boundary divergence)
       val feats = Multimodal.extractFeatures(s,
         Multimodal.withPayload(Tables.load(s, dir, "documents")))
       feats.select(
         col("doc_id") +: col("payload_bytes") +:
           (0 until 8).map(i =>
-            round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+            element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
         .orderBy("doc_id")
     }),
   )
@@ -500,6 +503,26 @@ object SparkEntry {
          CAST(n_chars // 500 + 1 AS INT) AS frames
          FROM documents ORDER BY doc_id""",
 
+    // the decode STUB's 8-bin byte histogram is deterministic and (the
+    // corpus being ASCII: ord == byte, bin = byte >> 5) fully
+    // DuckDB-expressible. The float32 division is replayed with FLOAT
+    // casts — IEEE single-precision ops are bit-identical across engines,
+    // so the unrounded doubles hash-match exactly
+    "q_mm_features" -> {
+      val fcols = (0 until 8).map(i =>
+        s"""CAST(CAST(len(list_filter(bins, x -> x = $i)) AS FLOAT) /
+            CAST(greatest(payload_bytes, 1) AS FLOAT) AS DOUBLE) AS f$i""")
+        .mkString(",\n         ")
+      s"""WITH b AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+             list_transform(range(1, length(text) + 1), i -> ord(text[i]) // 32) AS bins
+           FROM documents
+         )
+         SELECT doc_id, payload_bytes,
+         $fcols
+         FROM b ORDER BY doc_id"""
+    },
+
     // exact n-gram jaccard, independently recomputed from the raw text with
     // DuckDB list ops (string shingles, no hashing — proves the Spark side's
     // hashed prefix-filter pipeline loses nothing)
@@ -552,12 +575,13 @@ object SparkEntry {
          SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
          GROUP BY id ORDER BY doc_id""",
 
-    // IVF is deterministic end-to-end (pseudo-centroids = vec_id % 50 = 0,
-    // 6dp-rounded assignment, 4dp-rounded scoring) so the whole
-    // assign→probe→rank pipeline is SQL-expressible
+    // IVF is deterministic end-to-end (pseudo-codebook = the 32 lowest
+    // vec_ids — fixed size at any corpus scale; 6dp-rounded assignment,
+    // 4dp-rounded scoring) so the whole assign→probe→rank pipeline is
+    // SQL-expressible
     "q_ivf_topk" ->
       """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
          ca AS (
            SELECT vec_id, e, centroid_id FROM (
              SELECT x.vec_id, x.e, c.centroid_id,
@@ -591,10 +615,10 @@ object SparkEntry {
            FROM (SELECT doc_id, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
                  FROM documents)) t
          ORDER BY doc_id""",
-    // q_minhash_neardup / q_simhash / q_embed_lsh_neardup / q_mm_features:
-    // no DuckDB-expressible oracle (xxhash64-derived signatures / binary
-    // feature stub) → driver records the weaker rows-only check;
-    // cross-checked instead by ScalaTest oracles (OperatorsSpec).
+    // q_minhash_neardup / q_simhash / q_embed_lsh_neardup: no
+    // DuckDB-expressible oracle (xxhash64-derived signatures) → driver
+    // records the weaker rows-only check; cross-checked instead by
+    // ScalaTest oracles (OperatorsSpec).
   )
 
   /** q_langid Scala-side marker lists and SQL must agree; keep both derived

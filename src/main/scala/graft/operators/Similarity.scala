@@ -113,9 +113,18 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
-  /** One-pass IVF: deterministic pseudo-centroids (every `stride`-th vector
-    * stands in for a trained codebook — the assignment/probe plumbing is the
-    * operator; k-means training is an offline refinement), nearest-centroid
+  /** Deterministic pseudo-codebook: the `numCentroids` lowest-id vectors.
+    * Centroid count is FIXED regardless of corpus size (round-2 verdict: a
+    * stride-derived count grows linearly with the corpus, making assignment
+    * O(n²/stride) and the broadcast codebook unbounded — a scale-killer at
+    * 100×). An offline-trained k-means codebook drops in via [[ivfTopKWith]].
+    */
+  def pseudoCentroids(corpus: DataFrame, numCentroids: Int): DataFrame =
+    corpus.filter(col("vec_id") < numCentroids)
+
+  /** One-pass IVF with the deterministic pseudo-codebook
+    * ([[pseudoCentroids]] — the assignment/probe plumbing is the operator;
+    * k-means training is an offline refinement), nearest-centroid
     * assignment for the corpus, then top-k within each query's `nprobe`
     * closest clusters. nprobe=1 is the fastest/lowest-recall point;
     * nprobe=#centroids degenerates to exact brute force (pinned by spec).
@@ -126,10 +135,22 @@ object Similarity {
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      stride: Int = 50,
+      numCentroids: Int = 32,
+      nprobe: Int = 1): DataFrame =
+    ivfTopKWith(corpus, queries, k, pseudoCentroids(corpus, numCentroids), nprobe)
+
+  /** IVF against a caller-supplied codebook `(vec_id, embedding)` — e.g. an
+    * offline-trained k-means table. Codebook size is assumed
+    * broadcast-small (thousands of centroids, not corpus-proportional).
+    */
+  def ivfTopKWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      codebook: DataFrame,
       nprobe: Int = 1): DataFrame = {
     val centroids = broadcast(
-      withNorm(corpus.filter(col("vec_id") % stride === 0), "vec_id", "centroid_id")
+      withNorm(codebook, "vec_id", "centroid_id")
         .withColumnRenamed("embedding", "c_emb")
         .withColumnRenamed("__norm", "c_norm"))
 

@@ -264,12 +264,31 @@ class OperatorsSpec extends AnyFunSuite {
   test("IVF with all clusters probed == exact brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 3)
-    val nCentroids = emb.filter($"vec_id" % 50 === 0).count().toInt
-    val ivf = Similarity.ivfTopK(emb, queries, k = 3, nprobe = nCentroids)
+    val nCentroids = 32
+    val ivf = Similarity.ivfTopK(emb, queries, k = 3,
+        numCentroids = nCentroids, nprobe = nCentroids)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
     val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
     assert(ivf == brute)
+  }
+
+  test("IVF centroid count is fixed, independent of corpus size") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(Similarity.pseudoCentroids(emb, 8).count() == 8)
+    // 2x the corpus, same codebook size — assignment work scales O(n·k), not O(n²)
+    assert(Similarity.pseudoCentroids(emb.union(emb.withColumn("vec_id", $"vec_id" + 1000)), 8)
+      .count() == 8)
+  }
+
+  test("IVF accepts an offline codebook (ivfTopKWith)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    // a hand-picked codebook: every 100th vector
+    val codebook = emb.filter($"vec_id" % 100 === 0).select("vec_id", "embedding")
+    val res = Similarity.ivfTopKWith(emb, queries, k = 3, codebook)
+    val n = res.groupBy("query_id").count().collect()
+    assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
   test("multimodal: payload plumbing is exact, stub features are a normalized histogram") {
