@@ -85,6 +85,7 @@ object Bench {
       }
       // dedup operators persist small intermediates; drop them so queries
       // don't inherit each other's cached blocks (and their GC pressure)
+      operators.CacheRegistry.release(spark)
       spark.catalog.clearCache()
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }

@@ -24,6 +24,7 @@ object Verify {
       }
       // dedup operators persist small intermediates; don't accumulate them
       // across the 32-query dump
+      operators.CacheRegistry.release(spark)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -165,9 +165,10 @@ object Dedup {
     val rows = numHashes / bands
 
     // persisted: the signature pipeline (shingle scan + 16-way min agg)
-    // otherwise re-runs for the banding pass and BOTH verification sides
-    val sigs = minHashSignatures(docs, numHashes, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // otherwise re-runs for the banding pass and BOTH verification sides.
+    // Tracked in CacheRegistry — callers release after consuming.
+    val sigs = CacheRegistry.track(minHashSignatures(docs, numHashes, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK))
 
     // band id folded into the bucket hash → one flat join key; the bucket
     // table carries (doc_id, bucket) only — signatures never ride through
@@ -187,10 +188,10 @@ object Dedup {
     // persisted: both pairsFromIdLists branches (inline expansion + heavy
     // tail self-join) scan the bucket lists — without this the banding
     // groupBy runs twice
-    val lists = banded.groupBy("bucket")
+    val lists = CacheRegistry.track(banded.groupBy("bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val candidates = pairsFromIdLists(lists, "bucket", pairListCutoff).distinct()
 
     val est = size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) =>
@@ -270,8 +271,8 @@ object Dedup {
     // scan each — measured 4× the operator's total cost at sf0.1. The set
     // table is tiny relative to the corpus (a few longs per doc-shingle);
     // unreferenced blocks are reclaimed by the ContextCleaner.
-    val rawSets = withHashedShingleSets(docs, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rawSets = CacheRegistry.track(withHashedShingleSets(docs, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK))
 
     val exploded = rawSets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
     val freqs = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
@@ -299,10 +300,10 @@ object Dedup {
     // candidate pairs: docs sharing a prefix shingle. Inline expansion for
     // short id-lists; distributed self-join for the heavy tail. Persisted:
     // both branches (and the union) would re-run the freq+window pipeline.
-    val lists = prefixes.groupBy("sh")
+    val lists = CacheRegistry.track(prefixes.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val candidates = pairsFromIdLists(lists, "sh", pairListCutoff).distinct()
 
     // exact verification on the full hashed sets
@@ -384,9 +385,15 @@ object Dedup {
           coalesce(col("__canon"), col("doc_id")).as("canonical_id"))
     }
 
+    // materialize edges from the cached pair table, then drop it BEFORE the
+    // propagation loop — p is only read to build edges, and carrying both
+    // caches through the loop is ~1.5x redundant footprint (round-2
+    // advisor finding)
     val edges = p.select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
       .union(p.select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    p.unpersist(blocking = false)
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
@@ -407,7 +414,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    p.unpersist(blocking = false)
+    // the final labels cache backs the returned (lazy) frame — hand it to
+    // the registry for caller-side release rather than dropping it here
+    CacheRegistry.track(labels)
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -85,10 +85,12 @@ object Similarity {
       bits: Int = 8,
       pairListCutoff: Int = 128): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // vectors+norms persisted: re-read by both verification sides
-    val withN = embeddings.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("__norm"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // vectors+norms persisted: re-read by both verification sides; tracked
+    // in CacheRegistry so callers can release after consuming
+    val withN = CacheRegistry.track(
+      embeddings.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("__norm"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // bucket table carries (vec_id, bucket) ONLY — all per-vector sign
     // projections run in ONE native-expression pass, and no embedding rides
     // through the candidate join; table id folds into the bucket hash

@@ -291,6 +291,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
+  test("CacheRegistry.release drops operator-persisted intermediates") {
+    // earlier tests in this suite run the same operators; drop their
+    // tracked caches first so the same-plan persist below isn't a no-op
+    CacheRegistry.release(spark)
+    docs.count() // materialize the fixture's own cache before measuring
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minHashNearDup(docs, threshold = 0.5).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "operator should have persisted intermediates")
+    CacheRegistry.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "release should unpersist every tracked intermediate")
+    // idempotent and safe when nothing is tracked
+    CacheRegistry.release(spark)
+  }
+
   test("multimodal: payload plumbing is exact, stub features are a normalized histogram") {
     val withP = Multimodal.withPayload(docs)
     val feats = Multimodal.extractFeatures(spark, withP)
