@@ -254,6 +254,12 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simHashTable(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // engine-portable signature variant: md5-derived token hash, so the
+    // full bit pattern is DuckDB-replayable (q_simhash itself is xxhash64
+    // → rows-only)
+    "q_simhash_md5" -> ((s, dir) =>
+      Dedup.simHashTablePortable(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
         .orderBy("doc_id_a", "doc_id_b")),
@@ -615,6 +621,28 @@ object SparkEntry {
            FROM (SELECT doc_id, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
                  FROM documents)) t
          ORDER BY doc_id""",
+    // the portable simhash is replayed bit-for-bit: same md5-hex-prefix
+    // token hash (60 bits), same per-bit majority vote, same bit assembly
+    "q_simhash_md5" ->
+      """WITH t AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents
+         ), h AS (
+           SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
+         ), v AS (
+           SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+           GROUP BY doc_id, i
+         ), s AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS sh
+           FROM v GROUP BY doc_id
+         )
+         SELECT d.doc_id, CAST(coalesce(s.sh, 0) AS BIGINT) AS simhash
+         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
+
     // q_minhash_neardup / q_simhash / q_embed_lsh_neardup: no
     // DuckDB-expressible oracle (xxhash64-derived signatures) → driver
     // records the weaker rows-only check; cross-checked instead by

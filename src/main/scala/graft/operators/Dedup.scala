@@ -204,30 +204,49 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens (term-frequency weighted):
-    * hash each token once, majority-vote each of the 64 bits.
+  /** SimHash over whitespace tokens (term-frequency weighted): hash each
+    * token once, majority-vote each of the `bits` signature bits.
     *
     * Explode→aggregate shape for the same reason as
-    * [[minHashSignatures]]: one xxhash64 per token, then 64 vectorized
-    * conditional sums with map-side combine — the shuffle carries 64 longs
-    * per doc. Docs with no tokens get simhash 0.
+    * [[minHashSignatures]]: one hash per token, then `bits` vectorized
+    * conditional sums with map-side combine — the shuffle carries `bits`
+    * longs per doc. Docs with no tokens get simhash 0.
     */
-  def simHashTable(docs: DataFrame): DataFrame = {
+  private def simHashOver(
+      docs: DataFrame, hashOf: Column => Column, bits: Int): DataFrame = {
     val exploded = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .withColumn("__h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(i =>
+      .withColumn("__h", hashOf(col("tok")))
+    val votes = (0 until bits).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__b$i"))
     val assembled = exploded.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i =>
+        (0 until bits).map(i =>
           when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
     docs.select("doc_id").join(assembled, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
+
+  /** 64-bit SimHash on xxhash64 token hashes — the fast in-engine default. */
+  def simHashTable(docs: DataFrame): DataFrame =
+    simHashOver(docs, xxhash64(_), 64)
+
+  /** Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16 (15 chars = 60 bits, always positive in a long).
+    * md5 is bit-identical everywhere, unlike Spark's xxhash64 seeds.
+    */
+  def md5Token60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** [[simHashTable]] variant on [[md5Token60]] (60 signature bits) —
+    * replayable bit-for-bit by any engine with md5 (DuckDB oracle in
+    * SparkEntry), at ~md5 cost per token instead of xxhash64.
+    */
+  def simHashTablePortable(docs: DataFrame): DataFrame =
+    simHashOver(docs, md5Token60, 60)
 
   /** Exact n-gram (word-shingle) Jaccard similarity pairs >= threshold,
     * via AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;

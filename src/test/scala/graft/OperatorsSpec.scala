@@ -291,6 +291,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
+  test("portable md5 simhash: token hash matches the cross-engine value") {
+    // 0x5d41402abc4b2a7 = first 15 hex chars of md5("hello"); pinned
+    // against DuckDB's CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT)
+    val v = Seq("hello").toDF("t")
+      .select(Dedup.md5Token60($"t")).head.getLong(0)
+    assert(v == 419982666956583591L)
+    val sh = Dedup.simHashTablePortable(docs)
+    assert(sh.count() == docs.count())
+    // 60-bit signatures are always non-negative
+    assert(sh.filter($"simhash" < 0L).count() == 0)
+  }
+
   test("CacheRegistry.release drops operator-persisted intermediates") {
     // earlier tests in this suite run the same operators; drop their
     // tracked caches first so the same-plan persist below isn't a no-op
