@@ -260,6 +260,10 @@ object SparkEntry {
     "q_simhash_md5" -> ((s, dir) =>
       Dedup.simHashTablePortable(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    "q_minhash_md5" -> ((s, dir) =>
+      Dedup.minHashSignaturesPortable(Tables.load(s, dir, "documents"),
+        numHashes = 8, shingleSize = 3).orderBy("doc_id")),
+
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
         .orderBy("doc_id_a", "doc_id_b")),
@@ -642,6 +646,30 @@ object SparkEntry {
          SELECT d.doc_id, CAST(coalesce(s.sh, 0) AS BIGINT) AS simhash
          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
          ORDER BY d.doc_id""",
+
+    // portable MinHash signatures replayed exactly: same string shingles
+    // as the jaccard oracle, same md5-hex-prefix hash per permutation,
+    // min per permutation
+    "q_minhash_md5" -> {
+      val scols = (0 until 8).map(p =>
+        s"""CAST(min(CAST(concat('0x', substr(md5(concat('$p', '|', sh)), 1, 15)) AS BIGINT)) AS BIGINT) AS s$p""")
+        .mkString(",\n           ")
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), shs AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), e AS (
+           SELECT doc_id, unnest(s) AS sh FROM shs
+         )
+         SELECT doc_id,
+           $scols
+         FROM e GROUP BY doc_id ORDER BY doc_id"""
+    },
 
     // q_minhash_neardup / q_simhash / q_embed_lsh_neardup: no
     // DuckDB-expressible oracle (xxhash64-derived signatures) → driver

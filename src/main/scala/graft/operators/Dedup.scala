@@ -146,6 +146,23 @@ object Dedup {
     }
   }
 
+  /** Engine-portable MinHash signatures: permutation p hashes shingle s as
+    * the first 15 md5 hex chars of "p|s" (60 bits), signature = min per
+    * permutation. String shingles and one md5 per (shingle, permutation)
+    * make this ~an order of magnitude more compute than
+    * [[minHashSignatures]]'s xxhash64 composition — it exists so the
+    * MinHash family has a bit-for-bit cross-engine oracle
+    * (q_minhash_md5); keep numHashes modest.
+    */
+  def minHashSignaturesPortable(
+      docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
+    val exploded = withShingles(docs, shingleSize)
+      .select(col("doc_id"), explode(col("__shingles")).as("sh"))
+    val mins = (0 until numHashes).map(p =>
+      min(md5Token60(concat_ws("|", lit(p.toString), col("sh")))).as(s"s$p"))
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * jaccard. bands × rowsPerBand == numHashes; a pair lands in the
     * candidate set iff some band's rows all match.
