@@ -60,21 +60,22 @@ object Cli {
       case (false, None)    => content
     }
 
-  def formatEntriesJson(rows: Seq[Row], showGroups: Boolean): String = {
-    val items = rows.map { r =>
-      val ts = Option(r.getAs[Any]("timestamp")).map(_.asInstanceOf[Long])
-      val group = r.getAs[String]("group")
-      val sb = new StringBuilder("  {\n")
-      ts.foreach(t => sb.append(s"""    "timestamp": "${fmtMs(t, TsIso)}",\n"""))
-      sb.append(s"""    "content": "${jsonEscape(r.getAs[String]("content"))}",\n""")
-      sb.append(s"""    "has_timestamp": ${ts.nonEmpty}""")
-      if (showGroups && group != null && group.nonEmpty)
-        sb.append(s""",\n    "group": "${jsonEscape(group)}"""")
-      sb.append("\n  }")
-      sb.toString
-    }
-    items.mkString("[\n", ",\n", "\n]")
+  /** One parse-output JSON item (reference main.go:339-358 shape). */
+  def formatEntryJsonItem(r: Row, showGroups: Boolean): String = {
+    val ts = Option(r.getAs[Any]("timestamp")).map(_.asInstanceOf[Long])
+    val group = r.getAs[String]("group")
+    val sb = new StringBuilder("  {\n")
+    ts.foreach(t => sb.append(s"""    "timestamp": "${fmtMs(t, TsIso)}",\n"""))
+    sb.append(s"""    "content": "${jsonEscape(r.getAs[String]("content"))}",\n""")
+    sb.append(s"""    "has_timestamp": ${ts.nonEmpty}""")
+    if (showGroups && group != null && group.nonEmpty)
+      sb.append(s""",\n    "group": "${jsonEscape(group)}"""")
+    sb.append("\n  }")
+    sb.toString
   }
+
+  def formatEntriesJson(rows: Seq[Row], showGroups: Boolean): String =
+    rows.map(formatEntryJsonItem(_, showGroups)).mkString("[\n", ",\n", "\n]")
 
   def formatSummary(s: Row, bytesProcessed: Long): String = {
     val total = s.getAs[Long]("total_entries")
@@ -277,10 +278,20 @@ object Cli {
           if (strip) filtered.withColumn("content",
             graft.functions.GraftFunctions.strip_ansi(col("content")))
           else filtered
-        val rows = display.orderBy("file", "line_no").collect()
-        if (flags.get("format").contains("json"))
-          println(formatEntriesJson(rows.toSeq, showGroups))
-        else rows.foreach { r =>
+        // toLocalIterator streams one partition at a time — the print loop
+        // stays constant-memory however large the log (round-2 advisor:
+        // collect() was the one driver-side materialization left)
+        val rows = display.orderBy("file", "line_no").toLocalIterator()
+        if (flags.get("format").contains("json")) {
+          print("[\n")
+          var first = true
+          rows.forEachRemaining { r =>
+            if (!first) print(",\n")
+            first = false
+            print(formatEntryJsonItem(r, showGroups))
+          }
+          println("\n]")
+        } else rows.forEachRemaining { r =>
           val ts = Option(r.getAs[Any]("timestamp")).map(_.asInstanceOf[Long])
           println(formatEntryText(ts, r.getAs[String]("group"),
             r.getAs[String]("content"), showGroups))
@@ -410,14 +421,22 @@ object Cli {
   /** Entry files written by this engine carry `line_no`; files from the
     * reference (or any foreign writer) do not — synthesize it from the
     * file's physical order so tail/seek keep working.
+    *
+    * `zipWithIndex` numbers rows in partition order (for a single foreign
+    * file, its split/offset order — the reference's physical row order)
+    * with one count pass over partition sizes; the previous
+    * `Window.orderBy(monotonically_increasing_id())` funneled the whole
+    * file through ONE partition (round-2 advisor finding).
     */
   def entriesWithLineNo(entries: DataFrame): DataFrame =
     if (entries.columns.contains(Schema.LineNo)) entries
     else {
-      import org.apache.spark.sql.expressions.Window
-      entries
-        .withColumn(Schema.File, lit(""))
-        .withColumn(Schema.LineNo,
-          row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long") - 1)
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val prepped = entries.withColumn(Schema.File, lit(""))
+      val schema = prepped.schema.add(Schema.LineNo, LongType, nullable = false)
+      val rdd = prepped.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      }
+      prepped.sparkSession.createDataFrame(rdd, schema)
     }
 }

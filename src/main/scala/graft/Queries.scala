@@ -54,30 +54,59 @@ object Queries {
   }
 
   /** `line_no` restarts at 0 per source file, so a global row index needs
-    * the per-file counts. One tiny aggregate (a row per file, line_no is
-    * dense 0..c-1 by construction) collected to the driver, folded into a
-    * per-file predicate on (file, line_no) — which still prunes parquet
-    * row groups. Returns rows whose GLOBAL index (files in name order) is
-    * >= `start`, or an empty frame.
+    * the per-file counts (one tiny aggregate — a row per file, line_no is
+    * dense 0..c-1 by construction). Returns rows whose GLOBAL index (files
+    * in name order) is >= `start`, or an empty frame.
+    *
+    * Two shapes by file count (round-2 verdict: the OR-chain is degenerate
+    * at millions of files):
+    *   - few files: per-file `(file, line_no >= lo)` predicates OR-chained
+    *     — fully sargable, parquet row-group stats prune the scan;
+    *   - many files: per-file offsets stay a DataFrame, broadcast-joined
+    *     onto entries with one arithmetic filter. A coarse
+    *     `file >= firstWantedFile` predicate keeps scan pruning.
     */
+  private val OrChainMaxFiles = 64
+
   private def fromGlobalRow(entries: DataFrame, start: Long): DataFrame = {
     val counts = entries.groupBy(col(Schema.File))
       .agg((max(col(Schema.LineNo)) + 1).as("__cnt"))
-      .orderBy(Schema.File)
-      .collect()
-    if (counts.isEmpty) return entries.limit(0)
-    var cum = 0L
-    val preds = counts.toSeq.flatMap { r =>
-      val f = r.getString(0)
-      val c = r.getLong(1)
-      val lo = start - cum // first wanted line_no within this file
-      cum += c
-      if (lo >= c) None
-      else if (lo <= 0) Some(col(Schema.File) === f)
-      else Some(col(Schema.File) === f && col(Schema.LineNo) >= lo)
+
+    val nFiles = counts.count()
+    if (nFiles == 0) return entries.limit(0)
+
+    if (nFiles <= OrChainMaxFiles) {
+      val rows = counts.orderBy(Schema.File).collect()
+      var cum = 0L
+      val preds = rows.toSeq.flatMap { r =>
+        val f = r.getString(0)
+        val c = r.getLong(1)
+        val lo = start - cum // first wanted line_no within this file
+        cum += c
+        if (lo >= c) None
+        else if (lo <= 0) Some(col(Schema.File) === f)
+        else Some(col(Schema.File) === f && col(Schema.LineNo) >= lo)
+      }
+      if (preds.isEmpty) entries.limit(0)
+      else entries.filter(preds.reduce(_ || _)).orderBy(Schema.File, Schema.LineNo)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      // running sum over the per-FILE counts table (bounded: one row per
+      // file), minus own count = each file's global offset
+      val offsets = counts
+        .withColumn("__off",
+          sum(col("__cnt")).over(Window.orderBy(Schema.File)) - col("__cnt"))
+        .filter(col("__off") + col("__cnt") > start) // files wholly before `start` drop out
+        .select(col(Schema.File), col("__off"))
+      val firstFile = offsets.agg(min(col(Schema.File))).head()
+      if (firstFile.isNullAt(0)) return entries.limit(0)
+      entries
+        .filter(col(Schema.File) >= firstFile.getString(0)) // sargable coarse prune
+        .join(broadcast(offsets), Seq(Schema.File))
+        .filter(col("__off") + col(Schema.LineNo) >= start)
+        .drop("__off")
+        .orderBy(Schema.File, Schema.LineNo)
     }
-    if (preds.isEmpty) entries.limit(0)
-    else entries.filter(preds.reduce(_ || _)).orderBy(Schema.File, Schema.LineNo)
   }
 
   /** O3: tail — last `n` rows in global (file, line_no) order

@@ -648,11 +648,11 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     // portable MinHash signatures replayed exactly: same string shingles
-    // as the jaccard oracle, same md5-hex-prefix hash per permutation,
-    // min per permutation
+    // as the jaccard oracle, one md5 per shingle split into two 56-bit
+    // halves a/b, permutation p = min(a + p*b) (Kirsch–Mitzenmacher)
     "q_minhash_md5" -> {
       val scols = (0 until 8).map(p =>
-        s"""CAST(min(CAST(concat('0x', substr(md5(concat('$p', '|', sh)), 1, 15)) AS BIGINT)) AS BIGINT) AS s$p""")
+        s"""CAST(min(a + $p * b) AS BIGINT) AS s$p""")
         .mkString(",\n           ")
       s"""WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
@@ -665,10 +665,15 @@ object SparkEntry {
            FROM toks
          ), e AS (
            SELECT doc_id, unnest(s) AS sh FROM shs
+         ), ab AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS a,
+             CAST(concat('0x', substr(md5(sh), 17, 14)) AS BIGINT) AS b
+           FROM e
          )
          SELECT doc_id,
            $scols
-         FROM e GROUP BY doc_id ORDER BY doc_id"""
+         FROM ab GROUP BY doc_id ORDER BY doc_id"""
     },
 
     // q_minhash_neardup / q_simhash / q_embed_lsh_neardup: no

@@ -146,20 +146,26 @@ object Dedup {
     }
   }
 
-  /** Engine-portable MinHash signatures: permutation p hashes shingle s as
-    * the first 15 md5 hex chars of "p|s" (60 bits), signature = min per
-    * permutation. String shingles and one md5 per (shingle, permutation)
-    * make this ~an order of magnitude more compute than
-    * [[minHashSignatures]]'s xxhash64 composition — it exists so the
-    * MinHash family has a bit-for-bit cross-engine oracle
-    * (q_minhash_md5); keep numHashes modest.
+  /** Engine-portable MinHash signatures via Kirsch–Mitzenmacher double
+    * hashing ("Less Hashing, Same Performance", ESA'06): ONE md5 per
+    * shingle yields two independent 56-bit halves a (hex 1-14) and
+    * b (hex 17-30); permutation p hashes s as `a + p·b` — pure int64
+    * arithmetic, no overflow for p < 128 (a,b < 2^56), and replayable
+    * bit-for-bit by any engine with md5 (q_minhash_md5 oracle). The
+    * xxhash64 family ([[minHashSignatures]]) stays the in-engine default;
+    * this variant exists for cross-engine verification.
     */
   def minHashSignaturesPortable(
       docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
+    require(numHashes < 128, "a + p*b stays below 2^63 only for p < 128")
     val exploded = withShingles(docs, shingleSize)
       .select(col("doc_id"), explode(col("__shingles")).as("sh"))
+      .withColumn("__m", md5(col("sh")))
+      .select(col("doc_id"),
+        conv(substring(col("__m"), 1, 14), 16, 10).cast("long").as("__a"),
+        conv(substring(col("__m"), 17, 14), 16, 10).cast("long").as("__b"))
     val mins = (0 until numHashes).map(p =>
-      min(md5Token60(concat_ws("|", lit(p.toString), col("sh")))).as(s"s$p"))
+      min(col("__a") + lit(p.toLong) * col("__b")).as(s"s$p"))
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
