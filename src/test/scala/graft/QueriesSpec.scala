@@ -74,6 +74,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(sAll.toSeq == Seq("a8", "a9") ++ (0 until 10).map(i => s"b$i"))
   }
 
+  test("seek/tail over many files (>64) take the broadcast-offset path") {
+    // above OrChainMaxFiles the per-file predicates become a broadcast
+    // join on per-file offsets; semantics must be identical
+    import spark.implicits._
+    val rows = for (f <- 0 until 80; i <- 0 until 5)
+      yield (f"file$f%03d", i.toLong, s"f$f-l$i")
+    val entries = rows.toDF(Schema.File, Schema.LineNo, "content")
+    val t3 = Queries.tail(entries, 3).select("content").collect().map(_.getString(0))
+    assert(t3.toSeq == Seq("f79-l2", "f79-l3", "f79-l4"), s"got ${t3.toSeq}")
+    // global row 202 = file 40 (offset 200), line 2; crosses into file 41
+    val s = Queries.seek(entries, 202, Some(4)).select("content").collect().map(_.getString(0))
+    assert(s.toSeq == Seq("f40-l2", "f40-l3", "f40-l4", "f41-l0"), s"got ${s.toSeq}")
+    assert(Queries.seek(entries, 400).count() == 0L)
+  }
+
   test("seek streams from row k with optional limit") {
     val rows = Queries.seek(parsed, 100, Some(10)).select("line_no").collect().map(_.getLong(0))
     assert(rows.toSeq == (100L to 109L).toSeq)
