@@ -94,9 +94,14 @@ object Similarity {
     // bucket table carries (vec_id, bucket) ONLY — all per-vector sign
     // projections run in ONE native-expression pass, and no embedding rides
     // through the candidate join; table id folds into the bucket hash
+    // posexplode_outer + null guard: plain posexplode of the computed
+    // bucket array makes InferFiltersFromGenerate re-run SignLshBuckets
+    // (L×b×dim work) two more times per row in a pushed-down filter
+    // (see [[Dedup.safeExplodeNote]])
     val bucketed = withN.select(col("vec_id"),
-        posexplode(graft.functions.GraftFunctions
+        posexplode_outer(graft.functions.GraftFunctions
           .sign_lsh_buckets(col("embedding"), tables, bits)))
+      .filter(col("pos").isNotNull)
       .select(col("vec_id"), xxhash64(col("col"), col("pos").cast("int")).as("bucket"))
     val lists = bucketed.groupBy("bucket")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
