@@ -291,6 +291,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
+  test("operator explodes stay free of InferFiltersFromGenerate blowup") {
+    // plain explode(computedArray) would re-inline the array pipeline into
+    // a pushed-down size()>0 filter (measured 8.5s vs 0.6s at sf0.1); the
+    // operators use explode_outer + isNotNull so no such filter may appear
+    for (df <- Seq(
+        Dedup.minHashSignatures(docs, 4, 3),
+        Dedup.minHashSignaturesPortable(docs, 4, 3),
+        Dedup.simHashTable(docs))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("size(array_distinct") && !plan.contains("size(transform(")
+        && !plan.contains("size(filter(split"),
+        s"inferred generate filter re-evaluates the array pipeline:\n${plan.take(2000)}")
+    }
+  }
+
   test("portable md5 simhash: token hash matches the cross-engine value") {
     // 0x5d41402abc4b2a7 = first 15 hex chars of md5("hello"); pinned
     // against DuckDB's CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT)
