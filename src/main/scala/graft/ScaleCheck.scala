@@ -52,7 +52,8 @@ object ScaleCheck {
     // ngram join volumetrics at sf0.1
     val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
     val ex = operators.Dedup.withShingles(docs, 3)
-      .select(col("doc_id"), explode(col("__shingles")).as("sh"))
+      .select(col("doc_id"), explode_outer(col("__shingles")).as("sh"))
+      .filter(col("sh").isNotNull) // Dedup.safeExplodeNote
     val freq = ex.groupBy("sh").count()
     println("[scale] distinct shingles: " + freq.count())
     freq.agg(sum(col("count") * (col("count") - 1) / 2).as("pairs")).show()
