@@ -230,6 +230,21 @@ object SparkEntry {
         .withColumnRenamed("key", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // as-of join: latest 'view' at or before each 'click' per user —
+    // union + one running window per key, never an inequality pair join
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "ts_ms")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      operators.AsOf.asOfJoin(clicks, views, "user_id", "ts",
+          Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("matched_event_id"), col("matched_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- LLM training-data pipeline operators ----
 
     "q_exact_dedup" -> ((s, dir) =>
@@ -512,6 +527,16 @@ object SparkEntry {
          CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
          CAST(n_chars // 500 + 1 AS INT) AS frames
          FROM documents ORDER BY doc_id""",
+
+    // DuckDB's native ASOF JOIN replays the union+window implementation:
+    // same inclusive >= match, nanosecond source timestamps
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+         r.event_id AS matched_event_id, r.value AS matched_value
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
 
     // the decode STUB's 8-bin byte histogram is deterministic and (the
     // corpus being ASCII: ord == byte, bin = byte >> 5) fully

@@ -291,6 +291,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
+  test("as-of join: inclusive latest-at-or-before per key, null when none") {
+    val left = Seq(
+      (1L, 10L, 100L), // k=10: before any right row -> no match
+      (2L, 10L, 200L), // matches right ts=200 (inclusive tie)
+      (3L, 10L, 350L), // matches right ts=300 (carry-forward past 200)
+      (4L, 20L, 500L)  // other key: only k=20 rights considered
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (90L, 10L, 200L, 2.0),
+      (91L, 10L, 300L, 3.0),
+      (92L, 20L, 400L, 4.0),
+      (93L, 30L, 100L, 9.9) // unrelated key
+    ).toDF("event_id", "user_id", "ts", "value")
+    val res = AsOf.asOfJoin(left, right, "user_id", "ts", Seq("event_id", "value"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4)))
+    assert(res.toSeq == Seq(
+      (1L, -1L, -1.0), (2L, 90L, 2.0), (3L, 91L, 3.0), (4L, 92L, 4.0)))
+  }
+
   test("operator explodes stay free of InferFiltersFromGenerate blowup") {
     // plain explode(computedArray) would re-inline the array pipeline into
     // a pushed-down size()>0 filter (measured 8.5s vs 0.6s at sf0.1); the
