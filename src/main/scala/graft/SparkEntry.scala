@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -261,6 +261,17 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")),
+
+    // corpus vocabulary: global top-k tokens by occurrence (ties on token)
+    "q_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(Tables.load(s, dir, "documents"), 100)
+        .orderBy(col("occurrences").desc, col("token"))),
+
+    // deterministic hash-bucket train/val/test assignment (md5-replayable)
+    "q_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(Tables.load(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
 
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDup(Tables.load(s, dir, "documents"), threshold = 0.5)
@@ -527,6 +538,25 @@ object SparkEntry {
          CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
          CAST(n_chars // 500 + 1 AS INT) AS frames
          FROM documents ORDER BY doc_id""",
+
+    // global top-k vocabulary; count() is BIGINT in DuckDB (no HUGEINT
+    // coercion), ties broken on the token so the cut is identical
+    "q_vocab_topk" ->
+      """SELECT token, count(*) AS occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         FROM (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
+               FROM documents)
+         GROUP BY token ORDER BY occurrences DESC, token LIMIT 100""",
+
+    // the split assignment is pure md5 arithmetic — replayed exactly
+    "q_split" ->
+      """SELECT doc_id,
+         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+               FROM documents)
+         ORDER BY doc_id""",
 
     // DuckDB's native ASOF JOIN replays the union+window implementation:
     // same inclusive >= match, nanosecond source timestamps

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * `rand()`-based sampling is non-reproducible across runs, partitionings,
+  * and engines; hash-based assignment is the standard fix: a row's split
+  * follows only its id. The hash is the md5-derived 60-bit value
+  * ([[Dedup.md5Token60]]), so any engine replays the exact
+  * assignment (DuckDB oracle q_split) — holdout membership can be audited
+  * outside Spark. Pure map-side projection: no shuffle, no state, stable
+  * under repartitioning — at 100 TB it costs a scan.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) for an id column (any type; hashed via
+    * its canonical string form).
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(Dedup.md5Token60(id.cast("string")), lit(buckets.toLong))
+
+  /** Assign each row a named split by cumulative fraction boundaries over
+    * `buckets` hash buckets, e.g. `Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1)`. Fractions must sum to ~1; the last split absorbs
+    * rounding. Reproducible: same id → same split, in any engine.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      buckets: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-6,
+      "fractions must sum to 1")
+    val bucket = hashBucket(col(idCol), buckets)
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * buckets))
+    // last boundary == buckets by construction → final otherwise is total
+    val expr = fractions.init.zip(bounds.init).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), hi)) =>
+        when(bucket < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic fraction-of-corpus sample: keep a row iff its hash
+    * bucket falls under `fraction`. The engine-portable replacement for
+    * `df.sample` in reproducible pipelines.
+    */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
+}

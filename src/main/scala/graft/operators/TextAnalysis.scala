@@ -40,6 +40,23 @@ object TextAnalysis {
     size(filter(regexp_extract_all(text, lit(BpePattern), lit(0)),
       t => !t.rlike("^\\s+$"))).cast("long")
 
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * document frequency. Explode → one hash-shuffled count per token
+    * (map-side combined) → global top-k; ties break on the token string so
+    * the cut is deterministic. At 100 TB the partial aggregation means the
+    * shuffle carries one row per distinct token per partition, not one per
+    * occurrence.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode_outer(tokens(col("text"))).as("token"),
+        col("doc_id"))
+      .filter(col("token").isNotNull) // Dedup.safeExplodeNote
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(k)
+
   /** Token count per document (whitespace + BPE-ish). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(

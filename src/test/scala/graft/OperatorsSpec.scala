@@ -291,6 +291,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
+  test("deterministic split: stable, partition-independent, ~fractional") {
+    val split = Sampling.deterministicSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.05, counts.toString)
+    // same ids -> same assignment, regardless of partitioning
+    val again = Sampling.deterministicSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    split.select("doc_id", "split").collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
+    // sample(f) is exactly the bucket-prefix subset
+    val s = Sampling.deterministicSample(docs, "doc_id", 0.3)
+    assert(math.abs(s.count() / n - 0.3) < 0.05)
+  }
+
+  test("vocabTopK: frequency-ordered with deterministic tie cut") {
+    val v = TextAnalysis.vocabTopK(docs, 20).collect()
+    assert(v.length == 20)
+    val occ = v.map(_.getLong(1))
+    assert(occ.sameElements(occ.sortBy(-_)), "descending by occurrences")
+    v.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      "doc_freq cannot exceed occurrences"))
+  }
+
   test("as-of join: inclusive latest-at-or-before per key, null when none") {
     val left = Seq(
       (1L, 10L, 100L), // k=10: before any right row -> no match
