@@ -245,6 +245,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // range join: clicks inside a 4-hour window after each error, per
+    // user — bucketed equi-join + containment filter, never a per-key
+    // nested loop
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "ts_ms")
+      val errWindows = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_event_id"),
+          col("ts").as("win_start"),
+          (col("ts") + lit(4L * 3600 * 1000 * 1000 * 1000)).as("win_end"))
+      operators.RangeJoin.pointInInterval(clicks, errWindows,
+          "user_id", "ts", "win_start", "win_end",
+          bucketWidth = 4L * 3600 * 1000 * 1000 * 1000)
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("err_event_id"))
+        .orderBy("event_id", "err_event_id")
+    }),
+
     // ---- LLM training-data pipeline operators ----
 
     "q_exact_dedup" -> ((s, dir) =>
@@ -557,6 +575,16 @@ object SparkEntry {
                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
                FROM documents)
          ORDER BY doc_id""",
+
+    // the bucketed range join must equal the plain inequality join
+    "q_range_join" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+         r.event_id AS err_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         JOIN (SELECT * FROM events WHERE event_type = 'error') r
+           ON l.user_id = r.user_id
+          AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 4 HOUR
+         ORDER BY l.event_id, r.event_id""",
 
     // DuckDB's native ASOF JOIN replays the union+window implementation:
     // same inclusive >= match, nanosecond source timestamps

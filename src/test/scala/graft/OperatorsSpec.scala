@@ -341,6 +341,29 @@ class OperatorsSpec extends AnyFunSuite {
       (1L, -1L, -1.0), (2L, 90L, 2.0), (3L, 91L, 3.0), (4L, 92L, 4.0)))
   }
 
+  test("range join: bucketed equi-join equals direct containment") {
+    val points = Seq(
+      (1L, 10L, 150L), (2L, 10L, 100L), (3L, 10L, 301L), (4L, 20L, 150L)
+    ).toDF("event_id", "user_id", "ts")
+    val intervals = Seq(
+      (90L, 10L, 100L, 300L), // matches 1 (inside), 2 (start-inclusive); not 3
+      (91L, 20L, 140L, 160L), // other key; crosses no bucket boundary
+      (92L, 10L, 250L, 500L)  // spans buckets; matches 3 and 1? 150<250 no; 301 yes
+    ).toDF("err_id", "user_id", "win_start", "win_end")
+    val res = RangeJoin.pointInInterval(points, intervals,
+        "user_id", "ts", "win_start", "win_end", bucketWidth = 100L)
+      .select("event_id", "err_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == Set((1L, 90L), (2L, 90L), (3L, 92L), (4L, 91L)))
+    // brute-force equivalence on the same data
+    val brute = points.as("l").join(intervals.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("l.ts") >= col("r.win_start") && col("l.ts") <= col("r.win_end"))
+      .select(col("l.event_id"), col("r.err_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res == brute)
+  }
+
   test("operator explodes stay free of InferFiltersFromGenerate blowup") {
     // plain explode(computedArray) would re-inline the array pipeline into
     // a pushed-down size()>0 filter (measured 8.5s vs 0.6s at sf0.1); the
