@@ -291,6 +291,11 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // sliding-window chunking: 64-token windows, 16-token overlap
+    "q_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16)
+        .orderBy("doc_id", "chunk_id")),
+
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDup(Tables.load(s, dir, "documents"), threshold = 0.5)
         .orderBy("doc_id_a", "doc_id_b")),
@@ -566,6 +571,22 @@ object SparkEntry {
                  unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
                FROM documents)
          GROUP BY token ORDER BY occurrences DESC, token LIMIT 100""",
+
+    // chunk windows replayed with list slicing (1-based inclusive bounds
+    // == Spark slice(start, length) with DuckDB's automatic clamping)
+    "q_chunks" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
+           FROM toks
+         )
+         SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
 
     // the split assignment is pure md5 arithmetic — replayed exactly
     "q_split" ->

@@ -57,6 +57,38 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("token"))
       .limit(k)
 
+  /** Sliding-window document chunking: split each doc into windows of
+    * `chunkTokens` whitespace tokens advancing by `chunkTokens - overlap`
+    * — the context-window packing step of an LLM training pipeline.
+    * Every doc yields at least one chunk (short docs come through whole),
+    * so no document silently drops out of the corpus. Pure per-row
+    * expressions + one generator: map-side at scan speed, no shuffle; the
+    * output inherits the input's partitioning for downstream writes.
+    */
+  def chunkDocuments(
+      docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = col("__toks")
+    val n = size(toks)
+    // windows needed to cover all n tokens: ceil(max(0, n-chunk)/stride)+1
+    val nChunks = ceil(greatest(n - chunkTokens, lit(0)).cast("double") / stride)
+      .cast("int") + 1
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), toks,
+        explode_outer(transform(sequence(lit(0), nChunks - 1), i =>
+          i * stride)).as("__start"))
+      .filter(col("__start").isNotNull) // Dedup.safeExplodeNote
+      .select(col("doc_id"),
+        (col("__start") / stride).cast("int").as("chunk_id"),
+        size(slice(toks, col("__start") + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(toks, col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Token count per document (whitespace + BPE-ish). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(

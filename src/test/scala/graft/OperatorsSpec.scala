@@ -309,6 +309,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s.count() / n - 0.3) < 0.05)
   }
 
+  test("chunking: sliding windows cover every token, short docs intact") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "one two"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    // stride 3: starts 0,3,6 cover tokens 1..10 with 1-token overlap
+    assert(chunks.toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4"),
+      (1L, 1, "t4 t5 t6 t7"),
+      (1L, 2, "t7 t8 t9 t10"),
+      (2L, 0, "one two"),
+      (3L, 0, "")))
+  }
+
   test("vocabTopK: frequency-ordered with deterministic tie cut") {
     val v = TextAnalysis.vocabTopK(docs, 20).collect()
     assert(v.length == 20)
