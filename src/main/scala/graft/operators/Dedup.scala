@@ -339,14 +339,22 @@ object Dedup {
     val rawSets = CacheRegistry.track(withHashedShingleSets(docs, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK))
 
-    val exploded = rawSets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+    // __n (per-doc set size) rides along from the set column: the exact
+    // branch then needs only ONE window pass (row_number) instead of a
+    // second full-partition count window over the same sort
+    val exploded = rawSets.select(col("doc_id"),
+      size(col("sh_set")).as("__n"), explode(col("sh_set")).as("sh"))
     val freqs = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
 
+    val byDoc = Window.partitionBy("doc_id")
     // optional stop-shingle drop (approximate mode): rebuild sets from the
-    // surviving shingles; docs losing every shingle drop out entirely
+    // surviving shingles (and re-count __n post-drop); docs losing every
+    // shingle drop out entirely
     val (sets, explodedKept) = maxShingleFreq match {
       case Some(cap) =>
-        val kept = exploded.join(freqs.filter(col("__df") <= cap), Seq("sh"))
+        val kept = exploded.drop("__n")
+          .join(freqs.filter(col("__df") <= cap), Seq("sh"))
+          .withColumn("__n", count(lit(1)).over(byDoc))
         (kept.groupBy("doc_id").agg(collect_list(col("sh")).as("sh_set")),
           kept)
       case None => (rawSets, exploded.join(freqs, Seq("sh")))
@@ -354,10 +362,8 @@ object Dedup {
 
     // prefix extraction: global order = (doc-frequency asc, hash asc);
     // prefix length n - ceil(t*n) + 1 with n = |doc's (kept) shingle set|
-    val byDoc = Window.partitionBy("doc_id")
     val ordered = explodedKept // carries __df from the freqs join either way
       .withColumn("__rn", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
-      .withColumn("__n", count(lit(1)).over(byDoc))
     val prefixes = ordered
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
       .select("doc_id", "sh")

@@ -309,6 +309,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(s.count() / n - 0.3) < 0.05)
   }
 
+  test("ngram jaccard: loose frequency cap equals the exact branch") {
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = key(Dedup.ngramJaccardPairs(docs, threshold = 0.8).collect())
+    // a cap no shingle reaches must not change anything (pins the
+    // capped branch's recomputed per-doc counts after the r4 rework)
+    val capped = key(Dedup.ngramJaccardPairs(docs, threshold = 0.8,
+      maxShingleFreq = Some(1 << 20)).collect())
+    assert(exact == capped)
+    assert(exact.nonEmpty)
+  }
+
   test("chunking: sliding windows cover every token, short docs intact") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
