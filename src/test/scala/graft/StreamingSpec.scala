@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite {
         spark.read.parquet(s"$docsDir/documents.parquet")).count())
   }
 
+  test("map-side pipeline ops (split, chunking) run unchanged on streams") {
+    val docsDir = tmpDir("stream-chunk").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(docsDir, "documents.parquet"))
+    val batchDocs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val streamDocs = spark.readStream.schema(batchDocs.schema).parquet(docsDir)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+    val streamedSplit = Streaming.runAvailableNow(
+      graft.operators.Sampling.deterministicSplit(streamDocs, "doc_id", fr)
+        .select("doc_id", "split"), "split_stream", mode = "append")
+      .orderBy("doc_id").collect()
+    val batchSplit = graft.operators.Sampling
+      .deterministicSplit(batchDocs, "doc_id", fr)
+      .select("doc_id", "split").orderBy("doc_id").collect()
+    assert(streamedSplit.sameElements(batchSplit))
+
+    val streamedChunks = Streaming.runAvailableNow(
+      graft.operators.TextAnalysis.chunkDocuments(streamDocs, 64, 16),
+      "chunk_stream", mode = "append")
+      .orderBy("doc_id", "chunk_id").collect()
+    val batchChunks = graft.operators.TextAnalysis
+      .chunkDocuments(batchDocs, 64, 16)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(streamedChunks.sameElements(batchChunks))
+  }
+
   test("event-time windowed aggregation equals the batch equivalent") {
     // streaming file source requires a directory
     val eventsDir = tmpDir("stream-events").toString
