@@ -296,12 +296,16 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16)
         .orderBy("doc_id", "chunk_id")),
 
+    // the FULL LSH candidate path (signature → banding → pair-gen →
+    // estimate) on the md5-portable family, so DuckDB replays every step
+    // (r4 verdict task 1). The xxhash64 default (Dedup.minHashNearDup)
+    // stays the in-engine fast path, pinned by OperatorsSpec recall and
+    // banding-equivalence specs; benching both hash families would be
+    // ballast (r4 verdict nit 4 — same reason q_simhash was retired from
+    // the suite in favor of q_simhash_md5).
     "q_minhash_neardup" -> ((s, dir) =>
-      Dedup.minHashNearDup(Tables.load(s, dir, "documents"), threshold = 0.5)
+      Dedup.minHashNearDupPortable(Tables.load(s, dir, "documents"), threshold = 0.5)
         .orderBy("doc_id_a", "doc_id_b")),
-
-    "q_simhash" -> ((s, dir) =>
-      Dedup.simHashTable(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
     // engine-portable signature variant: md5-derived token hash, so the
     // full bit pattern is DuckDB-replayable (q_simhash itself is xxhash64
@@ -780,10 +784,59 @@ object SparkEntry {
          FROM ab GROUP BY doc_id ORDER BY doc_id"""
     },
 
-    // q_minhash_neardup / q_simhash / q_embed_lsh_neardup: no
-    // DuckDB-expressible oracle (xxhash64-derived signatures) → driver
-    // records the weaker rows-only check; cross-checked instead by
-    // ScalaTest oracles (OperatorsSpec).
+    // the FULL portable LSH candidate path replayed: same md5 a+p*b
+    // signatures as q_minhash_md5, band bucket = md5 of band id + the
+    // band's signature values as decimal strings, candidates = bucket
+    // collisions (a < b, distinct), estimate = matching-permutation
+    // fraction. est values are k/16 — exact binary fractions, so the
+    // round(,4) is engine-safe.
+    "q_minhash_neardup" -> {
+      val n = 16; val bands = 4; val rows = n / bands
+      val scols = (0 until n)
+        .map(p => s"CAST(min(a + $p * b) AS BIGINT) AS s$p")
+        .mkString(",\n           ")
+      val bsel = (0 until bands).map { b =>
+        val vals = (b * rows until (b + 1) * rows)
+          .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, md5(concat_ws('_', '$b', $vals)) AS bucket FROM sig"
+      }.mkString("\n           UNION ALL ")
+      val mexpr = (0 until n)
+        .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), shs AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), e AS (
+           SELECT doc_id, unnest(s) AS sh FROM shs
+         ), ab AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS a,
+             CAST(concat('0x', substr(md5(sh), 17, 14)) AS BIGINT) AS b
+           FROM e
+         ), sig AS (
+           SELECT doc_id, $scols
+           FROM ab GROUP BY doc_id
+         ), banded AS (
+           $bsel
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         )
+         SELECT doc_id_a, doc_id_b,
+           round(($mexpr) / $n.0, 4) AS est_jaccard
+         FROM cand JOIN sig x ON x.doc_id = cand.doc_id_a JOIN sig y ON y.doc_id = cand.doc_id_b
+         WHERE est_jaccard >= 0.5
+         ORDER BY doc_id_a, doc_id_b"""
+    },
+
+    // q_embed_lsh_neardup: oracled below via serialized hyperplanes (the
+    // ±1 plane matrix is data-independent — see lshOracleSql).
   )
 
   /** q_langid Scala-side marker lists and SQL must agree; keep both derived

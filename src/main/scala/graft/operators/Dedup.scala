@@ -249,6 +249,68 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** [[minHashNearDup]] on the engine-portable md5 signature family
+    * ([[minHashSignaturesPortable]]): band bucket = md5 of the band id and
+    * its `rows` signature values rendered as decimal strings — every step
+    * (signature, banding, candidate generation, estimate) is replayable
+    * bit-for-bit by any engine with md5, so the WHOLE candidate path gets a
+    * DuckDB oracle (q_minhash_neardup), not just the signature math.
+    *
+    * Same scale shape as the xxhash64 default: signatures are computed once
+    * and persisted; the bucket table carries (doc_id, bucket) only;
+    * candidate pairs are bounded by band-bucket occupancy via
+    * [[pairsFromIdLists]]. The md5 family costs one md5 per shingle (vs one
+    * xxhash64) and a 32-char bucket key (vs 8 bytes) — the in-engine
+    * default remains [[minHashNearDup]]; this variant is the verified twin.
+    */
+  def minHashNearDupPortable(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      pairListCutoff: Int = 128): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+
+    // wide-form signatures (s0..s{n-1}) — persisted: banding and BOTH
+    // estimate sides re-read them
+    val sigs = CacheRegistry.track(
+      minHashSignaturesPortable(docs, numHashes, shingleSize)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    val banded = sigs.select(
+      col("doc_id"),
+      explode_outer(array((0 until bands).map { b =>
+        md5(concat_ws("_",
+          lit(b.toString) +:
+            ((b * rows) until ((b + 1) * rows))
+              .map(i => col(s"s$i").cast("string")): _*))
+      }: _*)).as("bucket"))
+      .filter(col("bucket").isNotNull) // see [[safeExplodeNote]]
+
+    val lists = CacheRegistry.track(banded.groupBy("bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val candidates = pairsFromIdLists(lists, "bucket", pairListCutoff).distinct()
+
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"__xs$i") === col(s"__ys$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val aSigs = sigs.select(col("doc_id").as("doc_id_a") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"__xs$i")): _*)
+    val bSigs = sigs.select(col("doc_id").as("doc_id_b") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"__ys$i")): _*)
+    candidates
+      .join(aSigs, "doc_id_a")
+      .join(bSigs, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** SimHash over whitespace tokens (term-frequency weighted): hash each
     * token once, majority-vote each of the `bits` signature bits.
     *
