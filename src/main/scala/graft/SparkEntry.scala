@@ -329,6 +329,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the composed curation pipeline end-to-end (quality → exact-dedup →
+    // near-dup-drop → split → chunk) — cross-operator composition is where
+    // optimizer-interaction bugs appear; the oracle pins the whole chain
+    "q_pipeline" -> ((s, dir) =>
+      operators.Pipeline.curate(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_id")),
+
     "q_embed_neardup" -> ((s, dir) =>
       // the synthetic corpus has no true embedding dups (max cos ≈ 0.48);
       // 0.4 exercises the operator with non-empty output
@@ -835,8 +842,110 @@ object SparkEntry {
          ORDER BY doc_id_a, doc_id_b"""
     },
 
-    // q_embed_lsh_neardup: oracled below via serialized hyperplanes (the
-    // ±1 plane matrix is data-independent — see lshOracleSql).
+    // the composed pipeline replayed as one recursive CTE: quality gate
+    // (same 4dp-rounded ratios as q_quality), exact-dedup keeper set,
+    // jaccard pairs + min-label closure (as q_dedup_clusters), then split
+    // arithmetic (as q_split) and chunk windows (as q_chunks) over the
+    // survivors
+    "q_pipeline" ->
+      """WITH RECURSIVE q AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) END AS alpha_ratio
+             FROM documents) t
+           WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
+         ), keep1 AS (
+           SELECT min(doc_id) AS doc_id FROM q
+           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         ), d2 AS (
+           SELECT q.doc_id, q.text FROM q JOIN keep1 USING (doc_id)
+         ), toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM d2
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM d2
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), canon AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
+         ), surv AS (
+           SELECT d2.doc_id, d2.text FROM d2
+           WHERE d2.doc_id IN (SELECT doc_id FROM canon WHERE doc_id = canonical_id)
+         ), tk2 AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM surv
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
+           FROM tk2
+         )
+         SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+           CAST(cid AS INT) AS chunk_id,
+           CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tk[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
+         FROM (SELECT *,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+               FROM c) t
+         ORDER BY doc_id, chunk_id""",
+
+    // sign-LSH replayed via SERIALIZED hyperplanes: the ±1 plane matrix is
+    // data-independent (SignLshBuckets.planeSigns — the exact XXH64 sign
+    // chain the codegen'd expression uses), so each (table, bit) plane
+    // ships as a 64-char '+'/'-' literal. Projections use a list_reduce
+    // LEFT FOLD, matching the expression's sequential double accumulation
+    // bit-for-bit; buckets join on (table, bucket) — Spark's
+    // xxhash64(bucket, table) join key is a pure re-keying of the same
+    // collision set. dim=64 is the embeddings-table vector width.
+    "q_embed_lsh_neardup" -> {
+      val vals = graft.functions.SignLshBuckets.planeSigns(8, 8, 64)
+        .map { case (t, k, pl) => s"($t, $k, '$pl')" }
+        .mkString(",\n           ")
+      s"""WITH planes(t, k, pl) AS (
+           VALUES $vals
+         ), e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         ), proj AS (
+           SELECT vec_id, t, k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(emb) + 1),
+                 d -> CASE WHEN substr(pl, CAST(d AS INT), 1) = '+' THEN emb[d] ELSE -emb[d] END)),
+               (acc, x) -> acc + x) AS p
+           FROM e CROSS JOIN planes
+         ), buckets AS (
+           SELECT vec_id, t,
+             CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY vec_id, t
+         ), cand AS (
+           SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+           FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         )
+         SELECT vec_id_a, vec_id_b,
+           round(list_cosine_similarity(x.emb, y.emb), 4) AS cos_sim
+         FROM cand JOIN e x ON x.vec_id = vec_id_a JOIN e y ON y.vec_id = vec_id_b
+         WHERE cos_sim >= 0.3
+         ORDER BY vec_id_a, vec_id_b"""
+    },
   )
 
   /** q_langid Scala-side marker lists and SQL must agree; keep both derived

@@ -147,7 +147,7 @@ case class SignLshBuckets(child: Expression, tables: Int, bits: Int)
   // hash-chain prefix per (table, bit): XxHash64 over (t: int, k: int, d:
   // int) with seed 42 folds left, so the (t, k) part is a constant seed
   private lazy val seeds: Array[Long] = Array.tabulate(tables * bits) { i =>
-    XXH64.hashInt(i % bits, XXH64.hashInt(i / bits, 42L))
+    SignLshBuckets.seedFor(i / bits, i % bits)
   }
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -213,6 +213,29 @@ case class SignLshBuckets(child: Expression, tables: Int, bits: Int)
     copy(child = newChild)
 
   override def prettyName: String = "sign_lsh_buckets"
+}
+
+object SignLshBuckets {
+  /** Seed for (table t, bit k): the XXH64 fold of (t, k) over seed 42 —
+    * shared by the expression's eval/codegen paths and [[planeSigns]] so
+    * the serialized oracle planes can never drift from the engine's.
+    */
+  private[functions] def seedFor(t: Int, k: Int): Long =
+    XXH64.hashInt(k, XXH64.hashInt(t, 42L))
+
+  /** The ±1 hyperplane matrix, serialized: one '+'/'-' string of length
+    * `dim` per (table, bit), where character d is the sign the expression
+    * applies to embedding component d. The matrix is data-independent, so
+    * an external engine (the DuckDB oracle) can replay bucket assembly
+    * exactly from these 64-char literals.
+    */
+  def planeSigns(tables: Int, bits: Int, dim: Int): Seq[(Int, Int, String)] =
+    for { t <- 0 until tables; k <- 0 until bits } yield {
+      val seed = seedFor(t, k)
+      (t, k, (0 until dim)
+        .map(d => if ((XXH64.hashInt(d, seed) & 1L) == 0L) '+' else '-')
+        .mkString)
+    }
 }
 
 object GraftFunctions {
