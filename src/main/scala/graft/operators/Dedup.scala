@@ -473,7 +473,8 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 20,
-      driverThreshold: Int = 1 << 20): DataFrame = {
+      driverThreshold: Int = 1 << 20,
+      checkpointEvery: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
 
     // Adaptive small-graph path: the near-dup pair graph is orders of
@@ -535,10 +536,17 @@ object Dedup {
       val prop = edges
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min(col("label")).as("__nl"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
+      val nextPlan = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // lineage hardening (round-4 verdict): persist caches DATA but the
+      // plan still chains through every prior round — an executor/block
+      // loss late in a long propagation would recompute the whole chain.
+      // localCheckpoint (which also persists) truncates the plan every few
+      // rounds, bounding any recompute to `checkpointEvery` rounds.
+      val next =
+        if ((i + 1) % checkpointEvery == 0) nextPlan.localCheckpoint(true)
+        else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
       changed = next
         .join(labels.select(col("doc_id"), col("label").as("__old")), "doc_id")
         .filter(col("label") =!= col("__old")).count()

@@ -115,6 +115,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaLoop.toSeq == expect)
   }
 
+  test("dedup clusters: long chain survives checkpointed multi-round propagation") {
+    // a 16-node path graph needs ~15 min-label rounds — well past the
+    // checkpointEvery=3 cut points, so the loop crosses several lineage
+    // truncations (localCheckpoint) and must still converge exactly
+    val n = 16L
+    val docsDf = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dedupClusters(docsDf, chain,
+        driverThreshold = 0, checkpointEvery = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L until n).map(i => (i, 0L)))
+  }
+
   test("vec_dot rejects non-float32 arrays at analysis time") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     val e = intercept[Exception] {
@@ -148,6 +161,39 @@ class OperatorsSpec extends AnyFunSuite {
     // and LSH estimates stay honest: no wildly-false positives at est>=0.5
     val falsePos = lsh.diff(exact)
     assert(falsePos.size <= lsh.size / 2, s"too many false positives: $falsePos")
+  }
+
+  test("portable minhash LSH recalls the planted near-dups too") {
+    // same contract as the xxhash64 family: the md5 a+p*b banding must not
+    // lose the jaccard≈0.99 planted pairs
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.9)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    val lsh = Dedup.minHashNearDupPortable(docs, threshold = 0.5)
+      .select("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh), s"missing pairs: ${exact.diff(lsh)}")
+  }
+
+  test("pipeline curate: keyed chunks, valid splits, survivors only") {
+    val out = Pipeline.curate(docs).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // (doc_id, chunk_id) is a key, chunk ids start at 0 per doc
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (d, rs) =>
+      val ids = rs.map(_.getInt(2)).sorted
+      assert(ids.toSeq == (0 until rs.length), s"doc $d chunk ids: ${ids.toSeq}")
+    }
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    // near-dup survivors only: every emitted doc is its own cluster canonical
+    val keepers = Dedup.dedupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, threshold = 0.8))
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byDoc.keySet.subsetOf(keepers))
+    out.unpersist()
   }
 
   test("simhash: identical texts equal, near-identical close, distinct far") {
