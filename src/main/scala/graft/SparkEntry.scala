@@ -329,6 +329,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher/MassiveText-style within-doc repetition quality stats
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // PII redaction over a corpus with deterministically PLANTED pii (the
+    // synthetic corpus contains none — every 7th doc gets an email, phone,
+    // and IP appended via the same expression the oracle uses, so the
+    // redaction path is actually exercised, not vacuously green)
+    "q_pii" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567 at 10.0.0."),
+            (col("doc_id") % 256).cast("string")))
+          .otherwise(col("text")))
+      operators.Pii.redact(planted).orderBy("doc_id")
+    }),
+
+    // per-language deterministic downsampling (keep-all default for
+    // unlisted strata — zh here)
+    "q_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.load(s, dir, "documents"),
+          "doc_id", "lang",
+          Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), default = 1.0)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // sequence packing by global token offset — distributed two-level
+    // prefix scan, never a whole-corpus single-partition window
+    "q_pack" -> ((s, dir) =>
+      operators.Packing.packSequences(
+          TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16),
+          budget = 256, docBucket = 64)
+        .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
+        .orderBy("doc_id", "chunk_id")),
+
+    // benchmark decontamination sweep: probes = doc_id < 20
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      operators.Contamination.overlapReport(docs,
+          docs.filter(col("doc_id") < 20), minShared = 2)
+        .orderBy("probe_id", "doc_id")
+    }),
+
     // the composed curation pipeline end-to-end (quality → exact-dedup →
     // near-dup-drop → split → chunk) — cross-operator composition is where
     // optimizer-interaction bugs appear; the oracle pins the whole chain
@@ -841,6 +886,105 @@ object SparkEntry {
          WHERE est_jaccard >= 0.5
          ORDER BY doc_id_a, doc_id_b"""
     },
+
+    "q_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM toks WHERE len(tk) >= 2
+         ), m AS (
+           SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS total FROM (
+             SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg) t
+           GROUP BY doc_id
+         )
+         SELECT t.doc_id AS doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           CASE WHEN len(tk) > 0
+                THEN round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4)
+                ELSE 0.0 END AS dup_token_frac,
+           coalesce(round(CAST(m.mx AS DOUBLE) / m.total, 4), 0.0) AS top_bigram_frac
+         FROM toks t LEFT JOIN m ON t.doc_id = m.doc_id
+         ORDER BY doc_id""",
+
+    // same planted-pii augmentation as the Spark side; patterns are the
+    // shared Java/RE2 subset from operators.Pii
+    "q_pii" -> {
+      import operators.Pii.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+             ELSE text END AS text
+           FROM documents
+         )
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '$EmailRe', '<EMAIL>', 'g'),
+             '$Ipv4Re', '<IP>', 'g'),
+             '$PhoneRe', '<PHONE>', 'g') AS text_redacted,
+           CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips
+         FROM aug ORDER BY doc_id"""
+    },
+
+    // same md5-bucket arithmetic as q_split, with a per-stratum cut
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b,
+             CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000
+                       ELSE 10000 END AS cut
+           FROM documents) t
+         WHERE b < cut ORDER BY doc_id""",
+
+    // chunk windows as q_chunks, then one global ordered prefix sum — the
+    // oracle's single window replays the engine's two-level distributed scan
+    "q_pack" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), ch AS (
+           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+             CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens
+           FROM c
+         ), o AS (
+           SELECT doc_id, chunk_id, n_chunk_tokens,
+             coalesce(CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS global_offset
+           FROM ch
+         )
+         SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
+           CAST(global_offset // 256 AS BIGINT) AS seq_id
+         FROM o ORDER BY doc_id, chunk_id""",
+
+    // shared-shingle counts recomputed from raw strings (the hashed join
+    // side loses nothing — same argument as the jaccard oracle)
+    "q_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pe AS (
+           SELECT doc_id AS probe_id, unnest(s) AS g FROM sh WHERE doc_id < 20
+         ), ce AS (
+           SELECT doc_id, unnest(s) AS g FROM sh
+         )
+         SELECT probe_id, doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM pe JOIN ce USING (g) WHERE probe_id <> doc_id
+         GROUP BY probe_id, doc_id HAVING count(*) >= 2
+         ORDER BY probe_id, doc_id""",
 
     // the composed pipeline replayed as one recursive CTE: quality gate
     // (same 4dp-rounded ratios as q_quality), exact-dedup keeper set,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: for each probe document (a held-out
+  * eval/benchmark item), find corpus documents sharing at least
+  * `minShared` distinct k-shingles — the standard decontamination sweep a
+  * training pipeline runs before finalizing a corpus.
+  *
+  * Same hashed-shingle substrate as the dedup family
+  * ([[Dedup.withHashedShingleSets]] — no shingle strings materialized).
+  * Candidate generation joins the EXPLODED probe shingles against the
+  * exploded corpus shingles on the 64-bit hash: the join fan-out per
+  * shingle is (corpus docs containing it) × (probes containing it) — the
+  * probe side is small by construction (a benchmark, not a corpus), so
+  * the output is bounded by probe-shingle popularity, never corpus².
+  * `maxShingleFreq` drops corpus stop-shingles above a document-frequency
+  * cap before the join — the skew guard for web-scale corpora (makes the
+  * shared-count a lower bound, exact for rare shingles).
+  */
+object Contamination {
+
+  /** (probe_id, doc_id, n_shared) for pairs sharing >= minShared distinct
+    * shingles; probe rows joined back so every probe reports its matches.
+    * Self-matches (probe_id == doc_id, when probes ⊆ corpus) are excluded.
+    */
+  def overlapReport(
+      corpus: DataFrame,
+      probes: DataFrame,
+      shingleSize: Int = 3,
+      minShared: Int = 2,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val corpusEx = Dedup.withHashedShingleSets(corpus, shingleSize)
+      .select(col("doc_id"), explode_outer(col("sh_set")).as("sh"))
+      .filter(col("sh").isNotNull) // Dedup.safeExplodeNote
+    val kept = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = corpusEx.groupBy("sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("sh")
+        corpusEx.join(hot, Seq("sh"), "left_anti")
+      case None => corpusEx
+    }
+    val probeEx = Dedup.withHashedShingleSets(probes, shingleSize)
+      .select(col("doc_id").as("probe_id"), explode_outer(col("sh_set")).as("sh"))
+      .filter(col("sh").isNotNull) // Dedup.safeExplodeNote
+    probeEx.join(kept, "sh")
+      .filter(col("probe_id") =!= col("doc_id"))
+      .groupBy("probe_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -55,4 +55,27 @@ object Sampling {
       fraction: Double,
       buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
+
+  /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
+    * down-sample over-represented languages, keep all of a rare one) with
+    * `default` for unlisted strata. Same id-hash membership as
+    * [[deterministicSample]] — a row's fate depends only on its id and its
+    * stratum's fraction, so re-balancing one stratum never reshuffles
+    * another's sample. Pure map-side filter: no shuffle, no per-stratum
+    * scan, stable under repartitioning.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fractions: Seq[(String, Double)],
+      default: Double = 0.0,
+      buckets: Int = 10000): DataFrame = {
+    val cut = fractions.foldLeft(lit(math.round(default * buckets))) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(math.round(f * buckets)))
+          .otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), buckets) < cut)
+  }
 }

@@ -117,6 +117,50 @@ object TextAnalysis {
       round(when(length(col("text")) > 0, alpha / length(col("text"))).otherwise(0.0), 4).as("alpha_ratio"))
   }
 
+  /** Within-document repetition statistics — the Gopher/MassiveText-style
+    * repetition quality rules for corpus filtering: highly repetitive docs
+    * (boilerplate, keyword stuffing, generation loops) are dropped before
+    * training.
+    *
+    *   - dup_token_frac: 1 − |distinct tokens| / |tokens| — pure map-side
+    *     array arithmetic, no shuffle;
+    *   - top_bigram_frac: occurrences of the most frequent word bigram /
+    *     total bigrams. Mode-of-bigrams needs a count per (doc, bigram):
+    *     explode → partial-aggregated count → per-doc max. The shuffle
+    *     carries one row per DISTINCT bigram per partition (map-side
+    *     combine), never one per occurrence — same scale shape as
+    *     [[vocabTopK]]. An expression-only mode (filter-count per element)
+    *     would be O(n²) per document and die on 100k-token docs.
+    *
+    * Zero-token docs score 0.0 everywhere (left join back to the corpus so
+    * no document silently drops out).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val mapSide = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        round(when(size(col("__toks")) > 0,
+          lit(1.0) - size(array_distinct(col("__toks"))).cast("double") /
+            size(col("__toks"))).otherwise(0.0), 4).as("dup_token_frac"))
+    val bigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode_outer(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(0), size(col("__toks")) - 2), i =>
+            concat_ws(" ", element_at(col("__toks"), i + 1),
+              element_at(col("__toks"), i + 2))))).as("bg"))
+      .filter(col("bg").isNotNull) // Dedup.safeExplodeNote
+    val perDoc = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("__c"))
+      .groupBy("doc_id")
+      .agg(sum(col("__c")).as("__total"), max(col("__c")).as("__max"))
+      .select(col("doc_id"),
+        round(col("__max").cast("double") / col("__total"), 4)
+          .as("top_bigram_frac"))
+    mapSide.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Marker-word language scores + argmax prediction. N-gram-lite heuristic:
     * counts of per-language stopword markers. The scores are the operator
     * contract (deterministic in any engine); prediction quality is bounded

@@ -196,6 +196,78 @@ class OperatorsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("repetition stats: hand-computed fractions, empty doc zeros") {
+    val df = Seq(
+      (1L, "a a a b"),  // 4 tokens, 2 distinct; bigrams: "a a"x2, "a b" -> 2/3
+      (2L, ""),
+      (3L, "x"),        // one token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0.5, 0.6667),
+      (2L, 0L, 0.0, 0.0),
+      (3L, 1L, 0.0, 0.0)))
+  }
+
+  test("pii redaction: emails, phones, ips replaced and counted") {
+    val df = Seq(
+      (1L, "mail a.b@x.io or call 555-123-4567 from 10.0.0.1 now"),
+      (2L, "clean text without identifiers"),
+    ).toDF("doc_id", "text")
+    val got = Pii.redact(df).orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ("mail <EMAIL> or call <PHONE> from <IP> now", 1L, 1L, 1L))
+    assert(got(1) == ("clean text without identifiers", 0L, 0L, 0L))
+  }
+
+  test("stratified sample: per-stratum fractions, keep-all and drop-all") {
+    val df = docs // has lang column
+    val all = Sampling.stratifiedSample(df, "doc_id", "lang", Seq(), default = 1.0)
+    assert(all.count() == df.count())
+    val none = Sampling.stratifiedSample(df, "doc_id", "lang", Seq(), default = 0.0)
+    assert(none.count() == 0)
+    // a stratum's members are exactly the plain deterministic sample of it
+    val en = Sampling.stratifiedSample(df, "doc_id", "lang",
+        Seq("en" -> 0.5), default = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Sampling.deterministicSample(
+        df.filter(col("lang") === "en"), "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(en == direct)
+  }
+
+  test("sequence packing: two-level scan == naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = TextAnalysis.chunkDocuments(docs, 16, 4)
+    val got = Packing.packSequences(chunks, budget = 64, docBucket = 8)
+      .select("doc_id", "chunk_id", "global_offset", "seq_id")
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val w = Window.orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = chunks.withColumn("global_offset",
+        coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("global_offset") / 64).cast("long"))
+      .select("doc_id", "chunk_id", "global_offset", "seq_id")
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("contamination: shared-shingle counts on a hand case") {
+    val corpus = Seq(
+      (10L, "a b c d e"),       // shingles: {abc, bcd, cde}
+      (11L, "a b c d x"),       // shares {abc, bcd} with 10
+      (12L, "p q r s t"),
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, "a b c d q")).toDF("doc_id", "text") // {abc, bcd, cdq}
+    val got = Contamination.overlapReport(corpus, probes, minShared = 2)
+      .orderBy("probe_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L, 2L), (1L, 11L, 2L)))
+  }
+
   test("simhash: identical texts equal, near-identical close, distinct far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val df = Seq(
