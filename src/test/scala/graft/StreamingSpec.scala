@@ -96,6 +96,26 @@ class StreamingSpec extends AnyFunSuite {
       .chunkDocuments(batchDocs, 64, 16)
       .orderBy("doc_id", "chunk_id").collect()
     assert(streamedChunks.sameElements(batchChunks))
+
+    // pii redaction and stratified sampling are map-side projections /
+    // filters too — same operator code must run unchanged on a stream
+    val streamedPii = Streaming.runAvailableNow(
+      graft.operators.Pii.redact(streamDocs), "pii_stream", mode = "append")
+      .orderBy("doc_id").collect()
+    val batchPii = graft.operators.Pii.redact(batchDocs)
+      .orderBy("doc_id").collect()
+    assert(streamedPii.sameElements(batchPii))
+
+    val strata = Seq("en" -> 0.5, "de" -> 0.25)
+    val streamedStrat = Streaming.runAvailableNow(
+      graft.operators.Sampling.stratifiedSample(
+        streamDocs, "doc_id", "lang", strata, default = 1.0)
+        .select("doc_id", "lang"), "strat_stream", mode = "append")
+      .orderBy("doc_id").collect()
+    val batchStrat = graft.operators.Sampling.stratifiedSample(
+        batchDocs, "doc_id", "lang", strata, default = 1.0)
+      .select("doc_id", "lang").orderBy("doc_id").collect()
+    assert(streamedStrat.sameElements(batchStrat))
   }
 
   test("event-time windowed aggregation equals the batch equivalent") {
