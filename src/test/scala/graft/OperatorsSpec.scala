@@ -527,6 +527,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing plan: bucketed window + broadcast offsets, no global sort of rows") {
+    val plan = Packing.packSequences(
+        TextAnalysis.chunkDocuments(docs, 64, 16), budget = 256, docBucket = 64)
+      .queryExecution.executedPlan.toString
+    // the row-scale window must be partitioned by the bucket key
+    assert(plan.contains("windowspecdefinition(__b#"),
+      s"expected a bucket-partitioned window:\n${plan.take(2000)}")
+    // bucket offsets come back via broadcast, not a row-scale shuffle join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast offsets join:\n${plan.take(2000)}")
+    // the only SinglePartition exchange feeds the per-bucket offsets
+    // aggregate (one row per bucket), never the chunk rows: it must sit
+    // above a HashAggregate on __b in the plan tree's offsets branch
+    val single = plan.linesIterator.filter(_.contains("Exchange SinglePartition")).size
+    assert(single == 1, s"expected exactly one tiny SinglePartition exchange, got $single")
+  }
+
   test("portable md5 simhash: token hash matches the cross-engine value") {
     // 0x5d41402abc4b2a7 = first 15 hex chars of md5("hello"); pinned
     // against DuckDB's CAST(concat('0x', substr(md5(tok),1,15)) AS BIGINT)
