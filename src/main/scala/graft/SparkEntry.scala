@@ -366,6 +366,18 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
         .orderBy("doc_id", "chunk_id")),
 
+    // cross-doc duplicate 32-token spans (window-fingerprint substring
+    // dedup) — md5 fingerprints, fully SQL-replayable
+    "q_dupspans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.load(s, dir, "documents"), 32, 16)
+        .orderBy("doc_id", "chunk_id")),
+
+    // per-row probability sample: keep probability scales with doc length
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.load(s, dir, "documents"),
+          "doc_id", col("n_chars") / 1000.0)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
+
     // benchmark decontamination sweep: probes = doc_id < 20
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -963,6 +975,35 @@ object SparkEntry {
          SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
            CAST(global_offset // 256 AS BIGINT) AS seq_id
          FROM o ORDER BY doc_id, chunk_id""",
+
+    // span windows replayed like q_chunks (stride 16, full 32-token
+    // windows only), fingerprint = md5 of the window text
+    "q_dupspans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), sp AS (
+           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+             md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), d AS (
+           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+           FROM sp GROUP BY span_md5 HAVING count(DISTINCT doc_id) > 1
+         )
+         SELECT doc_id, chunk_id, span_md5, n_docs_sharing
+         FROM sp JOIN d USING (span_md5)
+         ORDER BY doc_id, chunk_id""",
+
+    // same md5-bucket arithmetic as q_split with a per-row probability cut
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+               < floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)
+         ORDER BY doc_id""",
 
     // shared-shingle counts recomputed from raw strings (the hashed join
     // side loses nothing — same argument as the jaccard oracle)

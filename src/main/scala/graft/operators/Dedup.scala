@@ -453,6 +453,39 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Cross-document duplicate SPANS — the window-fingerprint approximation
+    * of exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22): fingerprint every
+    * `spanTokens`-token window at `stride`-token steps (md5 over the
+    * window text — engine-portable, q_dupspans oracle), then report every
+    * window whose fingerprint appears in MORE THAN ONE document. Catches
+    * shared boilerplate/quotations inside otherwise-distinct documents,
+    * which whole-doc and near-dup operators both miss.
+    *
+    * Scale shape: window generation is [[TextAnalysis.chunkDocuments]]
+    * (map-side, one generator); the duplicate set is one hash-shuffled
+    * aggregate on the 32-char fingerprint plus one join back. Ragged tail
+    * windows (< spanTokens) are excluded — partial-window matches are
+    * whole-doc-dedup's job, not span dedup's.
+    */
+  def duplicateSpans(
+      docs: DataFrame, spanTokens: Int = 32, stride: Int = 16): DataFrame = {
+    require(stride > 0 && stride <= spanTokens, "need 0 < stride <= spanTokens")
+    import org.apache.spark.storage.StorageLevel
+    // persisted: both the fingerprint aggregate and the join-back side
+    // re-read the spans
+    val spans = CacheRegistry.track(
+      TextAnalysis.chunkDocuments(docs, spanTokens, spanTokens - stride)
+        .filter(col("n_chunk_tokens") === spanTokens)
+        .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("span_md5"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dups = spans.groupBy("span_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+      .filter(col("n_docs_sharing") > 1)
+    spans.join(dups, "span_md5")
+      .select("doc_id", "chunk_id", "span_md5", "n_docs_sharing")
+  }
+
   /** Near-duplicate PAIRS → dedup DECISIONS: connected components over the
     * pair graph, labeling every doc with the smallest doc_id reachable
     * through near-duplicate edges (`canonical_id`). A doc is kept iff

@@ -56,6 +56,20 @@ object Sampling {
       buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
 
+  /** Probability-weighted deterministic sample: keep each row with its OWN
+    * probability from `probCol` (clamped to [0, 1]) — quality-weighted /
+    * importance resampling without `rand()`: same id and probability →
+    * same decision, in any engine, under any partitioning. Pure map-side
+    * filter.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      probCol: Column,
+      buckets: Int = 10000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) <
+      floor(least(greatest(probCol, lit(0.0)), lit(1.0)) * buckets))
+
   /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
     * down-sample over-represented languages, keep all of a rare one) with
     * `default` for unlisted strata. Same id-hash membership as

@@ -255,6 +255,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("duplicate spans: shared window found, unique text silent") {
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ") // 8-token run
+    val df = Seq(
+      (1L, s"alpha $shared beta"),
+      (2L, s"gamma delta $shared"),
+      (3L, "totally unrelated words here making up a sentence of its own"),
+    ).toDF("doc_id", "text")
+    // span 4, stride 1: the shared run yields identical 4-token windows in
+    // docs 1 and 2 (at different offsets); doc 3 must not appear
+    val got = Dedup.duplicateSpans(df, spanTokens = 4, stride = 1)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    // all-unique corpus -> empty report
+    assert(Dedup.duplicateSpans(
+      df.filter(col("doc_id") === 3L), 4, 1).count() == 0)
+  }
+
+  test("weighted sample: prob 0 drops, prob 1 keeps, column prob == literal cut") {
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
+    // a constant column probability must equal the plain sample at the
+    // same fraction (same id-hash membership)
+    val viaW = Sampling.weightedSample(docs, "doc_id", lit(0.37))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaS = Sampling.deterministicSample(docs, "doc_id", 0.37)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaW == viaS)
+  }
+
   test("contamination: shared-shingle counts on a hand case") {
     val corpus = Seq(
       (10L, "a b c d e"),       // shingles: {abc, bcd, cde}
