@@ -74,6 +74,35 @@ object ScaleCheck {
       println("[scale] minhash pairs out: " +
         operators.Dedup.minHashNearDup(docs10, threshold = 0.5).count())
     }
+    operators.CacheRegistry.release(spark)
+    // duplicate spans under total span collision: every span exists in ≥10
+    // docs, so the fingerprint aggregate and join-back both fatten 10×
+    time("duplicate spans 50k docs (10x all-dup corpus)") {
+      println("[scale] dup span rows: " +
+        operators.Dedup.duplicateSpans(docs10, 32, 16).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // sequence packing at 50k docs: two-level scan, bucket count ~50
+    time("sequence packing 50k docs") {
+      println("[scale] packed chunks: " +
+        operators.Packing.packSequences(
+          operators.TextAnalysis.chunkDocuments(docs10, 64, 16),
+          budget = 2048, docBucket = 1024).count())
+    }
+    // contamination with probes drawn from the duplicated corpus: every
+    // probe shingle is 10x hot on the corpus side
+    time("contamination 100 probes vs 50k docs") {
+      println("[scale] contaminated pairs: " +
+        operators.Contamination.overlapReport(docs10,
+          docs10.filter(col("doc_id") < 100), minShared = 2).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // the composed pipeline end-to-end on the skewed corpus
+    time("pipeline curate 50k docs (10x all-dup corpus)") {
+      println("[scale] pipeline chunks out: " +
+        operators.Pipeline.curate(docs10).count())
+    }
+    operators.CacheRegistry.release(spark)
     spark.stop()
   }
 }
