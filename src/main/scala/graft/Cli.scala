@@ -216,6 +216,11 @@ object Cli {
           |    (set BUILDKITE_API_TOKEN for API access)
           |  query  -file <parquet> [-op list-groups|by-group|tail|seek|info]
           |         [-group pat] [-limit N] [-tail N] [-seek K] [-format text|json] [-stats true]
+          |  corpus -in <documents.parquet>
+          |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
+          |              jaccard|clusters|spans|split|chunk|pack|contamination|curate]
+          |         [-out dir] [-threshold X] [-chunk-tokens N] [-overlap N] [-budget N]
+          |         [-probes parquet]
           |""".stripMargin)
       sys.exit(1)
     }
@@ -225,6 +230,7 @@ object Cli {
     try cmd match {
       case "parse" => runParse(spark, flags)
       case "query" => runQuery(spark, flags)
+      case "corpus" => runCorpus(spark, flags)
       case other =>
         System.err.println(s"Unknown command: $other"); sys.exit(1)
     } catch {
@@ -310,6 +316,57 @@ object Cli {
       }.getOrElse(-1L)
       print(formatSummary(Queries.summary(entries).head(), bytes))
     }
+  }
+
+  /** Corpus-pipeline subcommand — the training-data operator family over a
+    * documents parquet `(doc_id, text, ...)`. `-out` writes zstd parquet
+    * (lazy plan → one distributed write); without it, prints the row count
+    * and a 20-row sample. Thresholds and window sizes ride in as flags so
+    * every operator is reachable without code.
+    */
+  def runCorpus(spark: SparkSession, flags: Map[String, String]): Unit = {
+    import graft.operators._
+    val in = flags.getOrElse("in", fail("corpus requires -in <documents.parquet>"))
+    val docs = spark.read.parquet(in)
+    def threshold(d: Double) = flags.get("threshold").map(_.toDouble).getOrElse(d)
+    val result: DataFrame = flags.getOrElse("op", "curate") match {
+      case "quality"     => TextAnalysis.qualityScore(docs)
+      case "repetition"  => TextAnalysis.repetitionStats(docs)
+      case "tokens"      => TextAnalysis.tokenCount(docs)
+      case "langid"      => TextAnalysis.langId(docs)
+      case "fingerprint" => TextAnalysis.fingerprint(docs)
+      case "pii"         => Pii.redact(docs)
+      case "dedup"       => Dedup.exactDedup(docs)
+      case "neardup"     => Dedup.minHashNearDup(docs, threshold = threshold(0.5))
+      case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "clusters"    => Dedup.dedupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
+      case "spans"       => Dedup.duplicateSpans(docs)
+      case "split"       => Sampling.deterministicSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).select("doc_id", "split")
+      case "chunk"       => TextAnalysis.chunkDocuments(docs,
+        flags.getOrElse("chunk-tokens", "64").toInt,
+        flags.getOrElse("overlap", "16").toInt)
+      case "pack"        => Packing.packSequences(
+        TextAnalysis.chunkDocuments(docs,
+          flags.getOrElse("chunk-tokens", "64").toInt,
+          flags.getOrElse("overlap", "16").toInt),
+        budget = flags.getOrElse("budget", "2048").toLong)
+      case "contamination" => Contamination.overlapReport(docs,
+        spark.read.parquet(flags.getOrElse("probes",
+          fail("corpus -op contamination requires -probes <parquet>"))))
+      case "curate"      => Pipeline.curate(docs)
+      case other => fail(s"unknown corpus op: $other")
+    }
+    flags.get("out") match {
+      case Some(out) =>
+        result.write.mode("overwrite").option("compression", "zstd").parquet(out)
+        println(s"Wrote ${spark.read.parquet(out).count()} rows to $out")
+      case None =>
+        println(s"Rows: ${result.count()}")
+        result.show(20, 40)
+    }
+    CacheRegistry.release(spark)
   }
 
   def runQuery(spark: SparkSession, flags: Map[String, String]): Unit = {

@@ -190,6 +190,30 @@ class CliSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("corpus subcommand: write path, show path, flag validation") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val outDir = java.nio.file.Files.createTempDirectory("cli-corpus").toString
+    // write path: quality scores land as parquet with one row per doc
+    val wrote = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "quality", "out" -> s"$outDir/q"))
+    }
+    assert(wrote.contains("Wrote 500 rows"))
+    assert(spark.read.parquet(s"$outDir/q").columns.contains("alpha_ratio"))
+    // show path: curate prints a count + sample
+    val shown = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "split"))
+    }
+    assert(shown.contains("Rows: 500"))
+    assert(shown.contains("split"))
+    // contamination requires -probes; unknown op rejected
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "contamination"))
+    }
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "nope"))
+    }
+  }
+
   test("parse summary golden block") {
     val out = captureOut {
       Cli.runParse(spark, Map(
