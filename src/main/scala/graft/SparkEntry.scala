@@ -366,6 +366,17 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
         .orderBy("doc_id", "chunk_id")),
 
+    // per-language corpus telemetry aggregate
+    "q_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(Tables.load(s, dir, "documents"), "lang")
+        .orderBy("stratum")),
+
+    // water-filling mixture plan: largest corpus achieving the target mix
+    "q_mixture_plan" -> ((s, dir) =>
+      Sampling.mixturePlan(Tables.load(s, dir, "documents"), "lang",
+          Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+        .orderBy("stratum")),
+
     // cross-doc duplicate 32-token spans (window-fingerprint substring
     // dedup) — md5 fingerprints, fully SQL-replayable
     "q_dupspans" -> ((s, dir) =>
@@ -975,6 +986,34 @@ object SparkEntry {
          SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
            CAST(global_offset // 256 AS BIGINT) AS seq_id
          FROM o ORDER BY doc_id, chunk_id""",
+
+    "q_corpus_stats" ->
+      """SELECT stratum, count(*) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS total_tokens,
+         round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS avg_tokens,
+         CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         FROM (SELECT lang AS stratum,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE length(string_split_regex(trim(text), '\s+')) END AS nt
+               FROM documents) t
+         GROUP BY stratum ORDER BY stratum""",
+
+    // water-filling arithmetic over per-stratum BIGINT counts — identical
+    // double ops in both engines
+    "q_mixture_plan" ->
+      """WITH counts AS (
+           SELECT lang AS stratum, count(*) AS n_docs,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2
+                       WHEN 'es' THEN 0.1 ELSE 0.0 END AS target_weight
+           FROM documents GROUP BY lang
+         ), t AS (
+           SELECT min(CAST(n_docs AS DOUBLE) / target_weight) AS tt
+           FROM counts WHERE target_weight > 0
+         )
+         SELECT stratum, n_docs, target_weight,
+           round(CASE WHEN target_weight > 0 THEN target_weight * tt / n_docs
+                      ELSE 0.0 END, 6) AS keep_frac
+         FROM counts CROSS JOIN t ORDER BY stratum""",
 
     // span windows replayed like q_chunks (stride 16, full 32-token
     // windows only), fingerprint = md5 of the window text

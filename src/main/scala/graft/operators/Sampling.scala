@@ -56,6 +56,39 @@ object Sampling {
       buckets: Int = 10000): DataFrame =
     df.filter(hashBucket(col(idCol), buckets) < math.round(fraction * buckets))
 
+  /** Mixture plan: given target stratum weights (e.g. the language or
+    * domain mix a training run wants), compute the per-stratum keep
+    * fraction that achieves the LARGEST corpus with exactly that mix —
+    * classic water-filling: the binding stratum is the one with the least
+    * data relative to its weight, T = min_s(count_s / w_s) is the largest
+    * achievable total, and stratum s keeps w_s·T of its count_s docs.
+    *
+    * Output (stratum, n_docs, target_weight, keep_frac) — feed keep_frac
+    * into [[stratifiedSample]]. One tiny aggregate (rows = #strata); the
+    * cross-stratum min is a windowless aggregate joined back broadcast.
+    * Strata absent from `weights` get weight 0 → keep_frac 0.
+    */
+  def mixturePlan(
+      df: DataFrame,
+      stratumCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, v)) =>
+      when(col("stratum") === s, lit(v)).otherwise(acc)
+    }
+    val counts = df.select(col(stratumCol).as("stratum"))
+      .groupBy("stratum").agg(count(lit(1)).as("n_docs"))
+      .withColumn("target_weight", w)
+    val t = counts.filter(col("target_weight") > 0)
+      .select(min(col("n_docs").cast("double") / col("target_weight")).as("__t"))
+    counts.crossJoin(broadcast(t))
+      .select(col("stratum"), col("n_docs"), col("target_weight"),
+        round(when(col("target_weight") > 0,
+          col("target_weight") * col("__t") / col("n_docs")).otherwise(0.0), 6)
+          .as("keep_frac"))
+  }
+
   /** Probability-weighted deterministic sample: keep each row with its OWN
     * probability from `probCol` (clamped to [0, 1]) — quality-weighted /
     * importance resampling without `rand()`: same id and probability →

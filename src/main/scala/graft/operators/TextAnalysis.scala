@@ -191,6 +191,23 @@ object TextAnalysis {
     withScores.withColumn("lang_pred", pred)
   }
 
+  /** Per-stratum corpus report — the mixture/telemetry aggregate a data
+    * pipeline publishes per source or language: document count, token
+    * volume, mean token count, empty-document count. One hash-shuffled
+    * aggregate with map-side partial combine; token counts are computed
+    * in the same projection so the text column is read once.
+    */
+  def corpusStats(docs: DataFrame, groupCol: String): DataFrame =
+    docs.select(col(groupCol).as("stratum"),
+        size(tokens(col("text"))).cast("long").as("__nt"))
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        round(sum(col("__nt")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"),
+        sum(when(col("__nt") === 0, 1L).otherwise(0L)).as("n_empty"))
+
   /** Document fingerprinting via the [[graft.functions.RollingHash]] native
     * expression: raw fingerprint over the exact text, normalized fingerprint
     * over lower-cased, whitespace-collapsed text (near-identical docs that

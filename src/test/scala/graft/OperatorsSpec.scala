@@ -284,6 +284,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaW == viaS)
   }
 
+  test("mixture plan: binding stratum keeps all, mix ratios hold") {
+    val plan = Sampling.mixturePlan(docs, "lang",
+        Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // exactly one listed stratum is binding (keep_frac 1.0); zh unlisted -> 0
+    assert(plan.count { case (_, (_, w, f)) => w > 0 && f == 1.0 } == 1)
+    assert(plan("zh")._3 == 0.0)
+    // achieved mix matches target: kept_s / total_kept == w_s (±rounding)
+    val kept = plan.collect { case (s, (n, w, f)) if w > 0 => s -> (n * f, w) }
+    val total = kept.values.map(_._1).sum
+    kept.foreach { case (s, (k, w)) =>
+      assert(math.abs(k / total - w) < 1e-4, s"stratum $s off-target")
+    }
+  }
+
+  test("corpus stats: totals agree with tokenCount") {
+    val viaStats = TextAnalysis.corpusStats(docs, "lang")
+      .agg(sum(col("total_tokens"))).head.getLong(0)
+    val direct = TextAnalysis.tokenCount(docs)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(viaStats == direct)
+  }
+
   test("contamination: shared-shingle counts on a hand case") {
     val corpus = Seq(
       (10L, "a b c d e"),       // shingles: {abc, bcd, cde}
