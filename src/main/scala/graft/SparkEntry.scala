@@ -377,6 +377,11 @@ object SparkEntry {
           Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
         .orderBy("stratum")),
 
+    // fuzzy dedup: LSH candidates + exact Levenshtein verify
+    "q_edit_neardup" -> ((s, dir) =>
+      Dedup.editDistanceNearDup(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id_a", "doc_id_b")),
+
     // cross-doc duplicate 32-token spans (window-fingerprint substring
     // dedup) — md5 fingerprints, fully SQL-replayable
     "q_dupspans" -> ((s, dir) =>
@@ -865,50 +870,24 @@ object SparkEntry {
     // collisions (a < b, distinct), estimate = matching-permutation
     // fraction. est values are k/16 — exact binary fractions, so the
     // round(,4) is engine-safe.
-    "q_minhash_neardup" -> {
-      val n = 16; val bands = 4; val rows = n / bands
-      val scols = (0 until n)
-        .map(p => s"CAST(min(a + $p * b) AS BIGINT) AS s$p")
-        .mkString(",\n           ")
-      val bsel = (0 until bands).map { b =>
-        val vals = (b * rows until (b + 1) * rows)
-          .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, md5(concat_ws('_', '$b', $vals)) AS bucket FROM sig"
-      }.mkString("\n           UNION ALL ")
-      val mexpr = (0 until n)
-        .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), shs AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), e AS (
-           SELECT doc_id, unnest(s) AS sh FROM shs
-         ), ab AS (
-           SELECT doc_id,
-             CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS a,
-             CAST(concat('0x', substr(md5(sh), 17, 14)) AS BIGINT) AS b
-           FROM e
-         ), sig AS (
-           SELECT doc_id, $scols
-           FROM ab GROUP BY doc_id
-         ), banded AS (
-           $bsel
-         ), cand AS (
-           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-           FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         )
-         SELECT doc_id_a, doc_id_b,
-           round(($mexpr) / $n.0, 4) AS est_jaccard
-         FROM cand JOIN sig x ON x.doc_id = cand.doc_id_a JOIN sig y ON y.doc_id = cand.doc_id_b
+    "q_minhash_neardup" ->
+      s"""WITH ${lshCandidateCtes(16, 4)}
+         SELECT doc_id_a, doc_id_b, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
-         ORDER BY doc_id_a, doc_id_b"""
-    },
+         ORDER BY doc_id_a, doc_id_b""",
+
+    // same candidate path at the lower 0.25 cut, verified with integer
+    // Levenshtein — the classic DP, bit-identical in every engine
+    "q_edit_neardup" ->
+      s"""WITH ${lshCandidateCtes(16, 4)}
+         SELECT doc_id_a, doc_id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+         FROM est
+         JOIN documents da ON da.doc_id = doc_id_a
+         JOIN documents db ON db.doc_id = doc_id_b
+         WHERE est_jaccard >= 0.25
+           AND levenshtein(da.text, db.text) <= 64
+         ORDER BY doc_id_a, doc_id_b""",
 
     "q_repetition" ->
       """WITH toks AS (
@@ -1175,4 +1154,54 @@ object SparkEntry {
   /** q_langid Scala-side marker lists and SQL must agree; keep both derived
     * from [[TextAnalysis.langMarkers]].
     */
+
+  /** Shared oracle CTE chain replaying the portable LSH candidate path
+    * (Dedup.minHashNearDupPortable): toks → shingle sets → md5 a/b halves →
+    * wide signatures → band buckets → distinct collision pairs → `est`
+    * (doc_id_a, doc_id_b, est_jaccard). Callers append their own final
+    * SELECT over `est`.
+    */
+  private def lshCandidateCtes(n: Int, bands: Int): String = {
+    val rows = n / bands
+    val scols = (0 until n)
+      .map(p => s"CAST(min(a + $p * b) AS BIGINT) AS s$p")
+      .mkString(",\n           ")
+    val bsel = (0 until bands).map { b =>
+      val vals = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, md5(concat_ws('_', '$b', $vals)) AS bucket FROM sig"
+    }.mkString("\n           UNION ALL ")
+    val mexpr = (0 until n)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), shs AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), e AS (
+           SELECT doc_id, unnest(s) AS sh FROM shs
+         ), ab AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS a,
+             CAST(concat('0x', substr(md5(sh), 17, 14)) AS BIGINT) AS b
+           FROM e
+         ), sig AS (
+           SELECT doc_id, $scols
+           FROM ab GROUP BY doc_id
+         ), banded AS (
+           $bsel
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         ), est AS (
+           SELECT doc_id_a, doc_id_b,
+             round(($mexpr) / $n.0, 4) AS est_jaccard
+           FROM cand JOIN sig x ON x.doc_id = cand.doc_id_a JOIN sig y ON y.doc_id = cand.doc_id_b
+         )"""
+  }
 }

@@ -453,6 +453,31 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Fuzzy (edit-distance) near-duplicate pairs: LSH-bounded candidates
+    * verified with exact Levenshtein distance — the character-level dedup
+    * measure for short documents where token Jaccard is too coarse
+    * (small in-word edits barely move shingle sets but matter for exact
+    * replay). Candidate generation is [[minHashNearDupPortable]] at a low
+    * estimate cut (`candidateCut`) so the quadratic Levenshtein only ever
+    * runs on bucket collisions, never all pairs; built on the md5 family
+    * so the whole path (candidates AND distances) is oracle-replayable —
+    * Levenshtein is the same classic DP in every engine, integer output,
+    * no float drift.
+    */
+  def editDistanceNearDup(
+      docs: DataFrame,
+      maxDist: Int = 64,
+      candidateCut: Double = 0.25): DataFrame = {
+    val cand = minHashNearDupPortable(docs, threshold = candidateCut)
+      .select("doc_id_a", "doc_id_b")
+    val a = docs.select(col("doc_id").as("doc_id_a"), col("text").as("__ta"))
+    val b = docs.select(col("doc_id").as("doc_id_b"), col("text").as("__tb"))
+    cand.join(a, "doc_id_a").join(b, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Cross-document duplicate SPANS — the window-fingerprint approximation
     * of exact-substring dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL'22): fingerprint every

@@ -255,6 +255,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("edit-distance neardup: small edits found, distance exact") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tokX")),   // 1 char substitution
+      (3L, "entirely different content with no shared trigrams at all ok"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDup(df, maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("duplicate spans: shared window found, unique text silent") {
     val shared = (1 to 8).map(i => s"common$i").mkString(" ") // 8-token run
     val df = Seq(
