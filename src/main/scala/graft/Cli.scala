@@ -218,9 +218,9 @@ object Cli {
           |         [-group pat] [-limit N] [-tail N] [-seek K] [-format text|json] [-stats true]
           |  corpus -in <documents.parquet>
           |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
-          |              jaccard|clusters|spans|split|chunk|pack|contamination|curate]
-          |         [-out dir] [-threshold X] [-chunk-tokens N] [-overlap N] [-budget N]
-          |         [-probes parquet]
+          |              editdist|jaccard|clusters|spans|split|chunk|pack|contamination|curate]
+          |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
+          |         [-budget N] [-probes parquet]
           |""".stripMargin)
       sys.exit(1)
     }
@@ -338,6 +338,8 @@ object Cli {
       case "pii"         => Pii.redact(docs)
       case "dedup"       => Dedup.exactDedup(docs)
       case "neardup"     => Dedup.minHashNearDup(docs, threshold = threshold(0.5))
+      case "editdist"    => Dedup.editDistanceNearDup(docs,
+        maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
       case "clusters"    => Dedup.dedupClusters(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
