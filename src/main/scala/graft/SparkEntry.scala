@@ -263,6 +263,18 @@ object SparkEntry {
         .orderBy("event_id", "err_event_id")
     }),
 
+    // tumbling event-time windows, batch twin of the streaming
+    // eventWindowCounts (same window spec + decimal-exact sums)
+    "q_event_windows" -> ((s, dir) => {
+      Tables.loadEvents(s, dir)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(unix_millis(col("window.start")).as("window_start_ms"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start_ms", "event_type")
+    }),
+
     // ---- LLM training-data pipeline operators ----
 
     "q_exact_dedup" -> ((s, dir) =>
@@ -965,6 +977,14 @@ object SparkEntry {
          SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
            CAST(global_offset // 256 AS BIGINT) AS seq_id
          FROM o ORDER BY doc_id, chunk_id""",
+
+    // hour buckets replayed as integer floor-division on epoch-ms (Spark's
+    // window() aligns "1 hour" windows to the epoch)
+    "q_event_windows" ->
+      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_corpus_stats" ->
       """SELECT stratum, count(*) AS n_docs,
