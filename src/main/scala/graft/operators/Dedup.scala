@@ -472,10 +472,22 @@ object Dedup {
       .select("doc_id_a", "doc_id_b")
     val a = docs.select(col("doc_id").as("doc_id_a"), col("text").as("__ta"))
     val b = docs.select(col("doc_id").as("doc_id_b"), col("text").as("__tb"))
+    // two traps at scale (both hit in the first cut of this operator —
+    // 24 s single-threaded at sf0.1):
+    //   1. AQE coalesces the byte-tiny candidate join output into ONE
+    //      partition, serializing all the DP work — coalescing is
+    //      size-based and can't see per-row compute. An explicit
+    //      numPartitions repartition is exempt from coalescing.
+    //   2. unbounded levenshtein is O(|a|·|b|) per pair; the 3-arg banded
+    //      form early-exits at the threshold, O(maxDist·|a|) — it returns
+    //      -1 above the bound, which the filter range re-excludes with
+    //      identical results.
     cand.join(a, "doc_id_a").join(b, "doc_id_b")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id_a"), col("doc_id_b"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("__ta"), col("__tb"), maxDist).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
   /** Cross-document duplicate SPANS — the window-fingerprint approximation
