@@ -400,6 +400,11 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.load(s, dir, "documents"), 32, 16)
         .orderBy("doc_id", "chunk_id")),
 
+    // span telemetry folded into the per-doc drop/trim decision signal
+    "q_span_dup_frac" -> ((s, dir) =>
+      Dedup.spanDupFraction(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // per-row probability sample: keep probability scales with doc length
     "q_weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(Tables.load(s, dir, "documents"),
@@ -1035,6 +1040,31 @@ object SparkEntry {
          SELECT doc_id, chunk_id, span_md5, n_docs_sharing
          FROM sp JOIN d USING (span_md5)
          ORDER BY doc_id, chunk_id""",
+
+    "q_span_dup_frac" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), sp AS (
+           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), sh AS (
+           SELECT span_md5, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span_md5
+         ), pd AS (
+           SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+           FROM sp JOIN sh USING (span_md5) GROUP BY doc_id
+         )
+         SELECT d.doc_id AS doc_id,
+           coalesce(pd.n_spans, 0) AS n_spans,
+           coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(round(CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans, 4), 0.0) AS dup_span_frac
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         ORDER BY doc_id""",
 
     // same md5-bucket arithmetic as q_split with a per-row probability cut
     "q_weighted_sample" ->

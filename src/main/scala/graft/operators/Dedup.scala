@@ -505,22 +505,53 @@ object Dedup {
     * windows (< spanTokens) are excluded — partial-window matches are
     * whole-doc-dedup's job, not span dedup's.
     */
-  def duplicateSpans(
-      docs: DataFrame, spanTokens: Int = 32, stride: Int = 16): DataFrame = {
+  /** (doc_id, chunk_id, span_md5): md5 fingerprint of every FULL
+    * `spanTokens` window at `stride` steps — the shared substrate of
+    * [[duplicateSpans]] and [[spanDupFraction]], persisted because both
+    * consumers read it twice (fingerprint aggregate + join-back).
+    */
+  private def spanFingerprints(
+      docs: DataFrame, spanTokens: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= spanTokens, "need 0 < stride <= spanTokens")
     import org.apache.spark.storage.StorageLevel
-    // persisted: both the fingerprint aggregate and the join-back side
-    // re-read the spans
-    val spans = CacheRegistry.track(
+    CacheRegistry.track(
       TextAnalysis.chunkDocuments(docs, spanTokens, spanTokens - stride)
         .filter(col("n_chunk_tokens") === spanTokens)
         .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("span_md5"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def duplicateSpans(
+      docs: DataFrame, spanTokens: Int = 32, stride: Int = 16): DataFrame = {
+    val spans = spanFingerprints(docs, spanTokens, stride)
     val dups = spans.groupBy("span_md5")
       .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
       .filter(col("n_docs_sharing") > 1)
     spans.join(dups, "span_md5")
       .select("doc_id", "chunk_id", "span_md5", "n_docs_sharing")
+  }
+
+  /** Per-document duplicated-span fraction — [[duplicateSpans]] telemetry
+    * folded into the drop/trim decision signal: of a document's full
+    * windows, the share whose fingerprint appears in at least one OTHER
+    * document. Documents with no full window (short docs) report 0.0 so
+    * nothing silently drops out of a downstream quality gate.
+    */
+  def spanDupFraction(
+      docs: DataFrame, spanTokens: Int = 32, stride: Int = 16): DataFrame = {
+    val spans = spanFingerprints(docs, spanTokens, stride)
+    val shared = spans.groupBy("span_md5")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    val perDoc = spans.join(shared, "span_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(round(col("n_dup_spans").cast("double") / col("n_spans"), 4),
+          lit(0.0)).as("dup_span_frac"))
   }
 
   /** Near-duplicate PAIRS → dedup DECISIONS: connected components over the

@@ -282,6 +282,11 @@ class OperatorsSpec extends AnyFunSuite {
     // all-unique corpus -> empty report
     assert(Dedup.duplicateSpans(
       df.filter(col("doc_id") === 3L), 4, 1).count() == 0)
+    // fraction signal: every doc reports (short docs 0.0), dup docs > 0
+    val frac = Dedup.spanDupFraction(df, 4, 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(frac.keySet == Set(1L, 2L, 3L))
+    assert(frac(1L) > 0.0 && frac(2L) > 0.0 && frac(3L) == 0.0)
   }
 
   test("weighted sample: prob 0 drops, prob 1 keeps, column prob == literal cut") {
