@@ -452,6 +452,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // int8 scalar quantization summary (full code array summarized by its
+    // exact integer sum + first four codes — driver can't hash arrays)
+    "q_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
+        .orderBy("vec_id")),
+
     "q_mm_meta" -> ((s, dir) =>
       Multimodal.withPayload(Tables.load(s, dir, "documents"))
         .select("doc_id", "payload_bytes", "width", "height", "frames")
@@ -655,6 +661,25 @@ object SparkEntry {
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
            WHERE c.vec_id <> q.vec_id) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // float32→double widening, abs-max, and floor-plus-half are all
+    // bit-deterministic IEEE ops — the unrounded scale doubles hash-match
+    "q_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+         ), s AS (
+           SELECT vec_id, d,
+             CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+           FROM (SELECT vec_id, d, list_max(list_transform(d, x -> abs(x))) AS m FROM e) t
+         ), q AS (
+           SELECT vec_id, scale,
+             list_transform(d, x ->
+               greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) AS qs
+           FROM s
+         )
+         SELECT vec_id, scale, CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           qs[1] AS q0, qs[2] AS q1, qs[3] AS q2, qs[4] AS q3
+         FROM q ORDER BY vec_id""",
 
     "q_mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS payload_bytes,

@@ -120,6 +120,39 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the storage-side
+    * compression step for ANN at scale (4× smaller vectors; IVF probes
+    * scan quantized codes and re-rank survivors at full precision).
+    * scale = max|x|/127; code = clamp(floor(x/scale + 0.5), ±127) —
+    * floor-plus-half instead of round() because floor on doubles is
+    * bit-deterministic in every engine while round-half-even/up varies.
+    * Zero vectors take scale 1.0 (all-zero codes). Pure map-side; each
+    * intermediate (widened array, scale, codes) is materialized in its own
+    * projection so HOF lambdas never re-evaluate captured subtrees
+    * ([[Dedup.safeExplodeNote]] family of traps).
+    *
+    * Returns (vec_id, scale, q_sum, q0..q3): the driver compare can't hash
+    * array cells, so the full code array is summarized by its exact
+    * integer sum (order-independent) plus the first four codes; the
+    * round-trip error bound is pinned by spec instead.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("__d"))
+      .select(col("vec_id"), col("__d"),
+        array_max(transform(col("__d"), x => abs(x))).as("__m"))
+      .select(col("vec_id"), col("__d"),
+        when(col("__m") > 0, col("__m") / 127.0).otherwise(1.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("__d"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x / col("scale") + 0.5).cast("long")))).as("__q"))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        element_at(col("__q"), 1).as("q0"), element_at(col("__q"), 2).as("q1"),
+        element_at(col("__q"), 3).as("q2"), element_at(col("__q"), 4).as("q3"))
+
   /** Deterministic pseudo-codebook: the `numCentroids` lowest-id vectors.
     * Centroid count is FIXED regardless of corpus size (round-2 verdict: a
     * stride-derived count grows linearly with the corpus, making assignment

@@ -255,6 +255,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("int8 quantization: round-trip error bounded by half a step") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val got = Similarity.quantizeInt8(emb).orderBy("vec_id").collect()
+    val raw = emb.orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    got.foreach { r =>
+      val (id, scale) = (r.getLong(0), r.getDouble(1))
+      val xs = raw(id).map(_.toDouble)
+      assert(scale > 0)
+      // re-derive the codes and check (a) the emitted summary matches and
+      // (b) every code reconstructs within half a quantization step
+      val codes = xs.map(x => math.max(-127L, math.min(127L,
+        math.floor(x / scale + 0.5).toLong)))
+      assert(r.getLong(2) == codes.sum, s"q_sum vec $id")
+      assert(r.getLong(3) == codes(0) && r.getLong(4) == codes(1))
+      codes.zip(xs).foreach { case (q, x) =>
+        assert(math.abs(x - q * scale) <= scale * 0.5 + 1e-12,
+          s"vec $id reconstruction error")
+      }
+    }
+    emb.unpersist()
+  }
+
   test("edit-distance neardup: small edits found, distance exact") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val df = Seq(
