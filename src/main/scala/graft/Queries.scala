@@ -91,11 +91,31 @@ object Queries {
       else entries.filter(preds.reduce(_ || _)).orderBy(Schema.File, Schema.LineNo)
     } else {
       import org.apache.spark.sql.expressions.Window
-      // running sum over the per-FILE counts table (bounded: one row per
-      // file), minus own count = each file's global offset
-      val offsets = counts
-        .withColumn("__off",
-          sum(col("__cnt")).over(Window.orderBy(Schema.File)) - col("__cnt"))
+      // Two-level distributed prefix sum over the per-file counts (same
+      // shape as Packing.packSequences; fixes the r4-verdict nit where a
+      // single Window.orderBy(file) serialized all N_files rows through
+      // one partition — degenerate at ~10⁸ files): range-bucket the files
+      // (range partitions are ordered between buckets), window per bucket
+      // in parallel, then a running sum over ONE ROW PER BUCKET broadcast
+      // back. Persisted: the local windows and the bucket totals both
+      // read the bucketed counts, and the partition ids must be computed
+      // once.
+      val parts = operators.CacheRegistry.track(counts
+        .repartitionByRange(
+          counts.sparkSession.sparkContext.defaultParallelism, col(Schema.File))
+        .withColumn("__p", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val local = parts.withColumn("__lo",
+        sum(col("__cnt")).over(
+          Window.partitionBy("__p").orderBy(Schema.File)) - col("__cnt"))
+      val boff = parts.groupBy("__p").agg(sum(col("__cnt")).as("__pt"))
+        .withColumn("__poff",
+          coalesce(sum(col("__pt")).over(
+            Window.orderBy("__p").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("__p", "__poff")
+      val offsets = local.join(broadcast(boff), "__p")
+        .withColumn("__off", col("__lo") + col("__poff"))
         .filter(col("__off") + col("__cnt") > start) // files wholly before `start` drop out
         .select(col(Schema.File), col("__off"))
       val firstFile = offsets.agg(min(col(Schema.File))).head()
