@@ -292,6 +292,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // BM25-style keyword relevance (rational idf — see keywordScores doc)
+    "q_keyword_scores" -> ((s, dir) =>
+      TextAnalysis.keywordScores(Tables.load(s, dir, "documents"),
+          Seq("spark", "data", "table"))
+        .orderBy("doc_id")),
+
     // corpus vocabulary: global top-k tokens by occurrence (ties on token)
     "q_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.load(s, dir, "documents"), 100)
@@ -1015,6 +1021,39 @@ object SparkEntry {
          event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // arithmetic mirrored op-for-op; the double constants are interpolated
+    // from the SAME Scala computations the operator uses, so the parsed
+    // SQL literals are bit-identical doubles
+    "q_keyword_scores" -> {
+      val terms = Seq("spark", "data", "table")
+      val k1 = 1.2; val b = 0.75
+      val c1 = (k1 + 1.0).toString; val c2 = (1.0 - b).toString
+      val tfcols = terms.map(t =>
+        s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$t")
+        .mkString(",\n           ")
+      val dfcols = terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+        .mkString(",\n           ")
+      val scores = terms.map(t =>
+        s"""round((CAST(N AS DOUBLE) - df_$t + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)
+             * (CAST(tf_$t AS DOUBLE) * $c1)
+             / (CAST(tf_$t AS DOUBLE) + $k1 * ($c2 + $b * len_ / avg_)), 4) AS score_$t""")
+        .mkString(",\n           ")
+      s"""WITH perdoc AS (
+           SELECT doc_id, CAST(len(tk) AS BIGINT) AS len_,
+           $tfcols
+           FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+                 FROM documents) t
+         ), stats AS (
+           SELECT count(*) AS N, CAST(sum(len_) AS DOUBLE) / count(*) AS avg_,
+           $dfcols
+           FROM perdoc
+         )
+         SELECT doc_id,
+           $scores
+         FROM perdoc CROSS JOIN stats ORDER BY doc_id"""
+    },
 
     "q_corpus_stats" ->
       """SELECT stratum, count(*) AS n_docs,

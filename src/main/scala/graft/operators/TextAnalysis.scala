@@ -191,6 +191,50 @@ object TextAnalysis {
     withScores.withColumn("lang_pred", pred)
   }
 
+  /** BM25-style keyword relevance scores for a fixed term list — the
+    * retrieval-flavored quality signal (keyword-targeted corpus curation,
+    * seed-document mining). Classic BM25 with one deliberate divergence:
+    * a RATIONAL idf `(N - df + 0.5) / (df + 0.5)` instead of its log —
+    * libm `ln` may differ in the last ulp across engines, while pure
+    * rational arithmetic over exact integer counts replays bit-for-bit
+    * (same reason the fingerprint family avoids engine hashes). Ranking
+    * order is preserved (log is monotone).
+    *
+    * Shape: per-doc tf/length are map-side array ops; the corpus-level
+    * N / avg-length / per-term df reduce to ONE row (a tiny aggregate)
+    * broadcast back — no shuffle of the corpus itself.
+    */
+  def keywordScores(
+      docs: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9_]+")),
+      "terms must be simple identifiers (they become column names)")
+    val perDoc = docs
+      .select(col("doc_id"), tokens(col("text")).as("__t"))
+      .select(col("doc_id") +: size(col("__t")).cast("long").as("__len") +:
+        terms.map(t =>
+          size(filter(col("__t"), x => x === t)).cast("long").as(s"__tf_$t")): _*)
+    // explicit exact-sum/count instead of avg(): engines differ in AVG
+    // accumulation (incremental vs sum-then-divide); long-sum + one double
+    // division is bit-identical everywhere
+    val statCols = count(lit(1)).as("__N") +:
+      (sum(col("__len")).cast("double") / count(lit(1))).as("__avg") +:
+      terms.map(t =>
+        sum(when(col(s"__tf_$t") > 0, 1L).otherwise(0L)).as(s"__df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val scores = terms.map { t =>
+      val tf = col(s"__tf_$t").cast("double")
+      val idf = (col("__N").cast("double") - col(s"__df_$t") + 0.5) /
+        (col(s"__df_$t").cast("double") + 0.5)
+      val norm = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / col("__avg"))
+      round(idf * (tf * (k1 + 1.0)) / norm, 4).as(s"score_$t")
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: scores: _*)
+  }
+
   /** Per-stratum corpus report — the mixture/telemetry aggregate a data
     * pipeline publishes per source or language: document count, token
     * volume, mean token count, empty-document count. One hash-shuffled

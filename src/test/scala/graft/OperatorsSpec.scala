@@ -341,6 +341,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyword scores: absent term zero, more occurrences score higher") {
+    val df = Seq(
+      (1L, "spark spark spark on a cluster"),
+      (2L, "spark appears once here today"),
+      (3L, "no relevant words at all present"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.keywordScores(df, Seq("spark"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(got(0) > got(1), "tf saturation should still rank 3x above 1x")
+    assert(got(1) > 0.0 && got(2) == 0.0)
+  }
+
   test("corpus stats: totals agree with tokenCount") {
     val viaStats = TextAnalysis.corpusStats(docs, "lang")
       .agg(sum(col("total_tokens"))).head.getLong(0)
