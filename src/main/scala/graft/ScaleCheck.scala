@@ -97,6 +97,20 @@ object ScaleCheck {
           docs10.filter(col("doc_id") < 100), minShared = 2).count())
     }
     operators.CacheRegistry.release(spark)
+    // edit-distance dedup under total duplication: every original doc has
+    // 9 exact copies, so bucket collisions (and the DP verify) fatten ~45
+    // pairs per original — the banded DP + explicit repartition must hold
+    time("edit-distance neardup 50k docs (10x all-dup corpus)") {
+      println("[scale] edit pairs out: " +
+        operators.Dedup.editDistanceNearDup(docs10).count())
+    }
+    operators.CacheRegistry.release(spark)
+    time("span-dup fraction 50k docs") {
+      println("[scale] docs w/ dup spans: " +
+        operators.Dedup.spanDupFraction(docs10)
+          .filter(col("dup_span_frac") > 0).count())
+    }
+    operators.CacheRegistry.release(spark)
     // the composed pipeline end-to-end on the skewed corpus
     time("pipeline curate 50k docs (10x all-dup corpus)") {
       println("[scale] pipeline chunks out: " +
