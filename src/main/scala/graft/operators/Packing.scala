@@ -54,7 +54,10 @@ object Packing {
       .select("__b", "__off")
     local.join(broadcast(offsets), "__b")
       .withColumn("global_offset", col("__local") + col("__off"))
-      .withColumn("seq_id", floor(col("global_offset") / budget).cast("long"))
+      // integer `div`, not floor(double /): a double round-trip loses
+      // exactness past 2^53 — reachable global token offsets at corpus
+      // scale. Offsets are non-negative, so div == floor-div.
+      .withColumn("seq_id", expr(s"global_offset div $budget"))
       .drop("__b", "__local", "__off")
   }
 }
