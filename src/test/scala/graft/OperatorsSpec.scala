@@ -361,6 +361,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(viaStats == direct)
   }
 
+  test("sequence packing: randomized corpora match the naive cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // sparse doc ids (bucket-boundary stress), ragged chunk counts,
+      // zero-token chunks included
+      val rows = (0 until 200).flatMap { _ =>
+        val d = rnd.nextInt(100000).toLong
+        (0 until (1 + rnd.nextInt(4))).map(c => (d, c, rnd.nextInt(80).toLong))
+      }.distinctBy(r => (r._1, r._2)) // (doc, chunk) must be a key: order
+                                      // ties would make prefix sums ambiguous
+      val chunks = rows.toDF("doc_id", "chunk_id", "n_chunk_tokens")
+      val budget = 1 + rnd.nextInt(300)
+      val got = Packing.packSequences(chunks, budget, docBucket = 1 + rnd.nextInt(5000))
+        .select("doc_id", "chunk_id", "global_offset", "seq_id")
+        .orderBy("doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val w = Window.orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val naive = chunks.withColumn("global_offset",
+          coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+        .withColumn("seq_id", floor(col("global_offset") / budget).cast("long"))
+        .select("doc_id", "chunk_id", "global_offset", "seq_id")
+        .orderBy("doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == naive.toSeq, s"trial $trial budget $budget")
+    }
+  }
+
   test("contamination: shared-shingle counts on a hand case") {
     val corpus = Seq(
       (10L, "a b c d e"),       // shingles: {abc, bcd, cde}
