@@ -458,6 +458,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // deterministic k-means training summary (codebook arrays summarized
+    // by their first four components — driver can't hash arrays)
+    "q_kmeans" -> ((s, dir) => {
+      val cb = Similarity.trainCodebook(
+        Tables.load(s, dir, "embeddings"), k = 8, iters = 2)
+      cb.select(
+        col("centroid_id"), col("n_assigned"),
+        element_at(col("embedding"), 1).cast("double").as("c0"),
+        element_at(col("embedding"), 2).cast("double").as("c1"),
+        element_at(col("embedding"), 3).cast("double").as("c2"),
+        element_at(col("embedding"), 4).cast("double").as("c3"))
+        .orderBy("centroid_id")
+    }),
+
     // int8 scalar quantization summary (full code array summarized by its
     // exact integer sum + first four codes — driver can't hash arrays)
     "q_quantize" -> ((s, dir) =>
@@ -667,6 +681,48 @@ object SparkEntry {
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
            WHERE c.vec_id <> q.vec_id) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the ENTIRE iterative k-means chain replayed as chained CTEs: same
+    // init, same rounded-cosine assignment, same fixed-point means (exact
+    // integer sums in any order), same float32 storage of centroids
+    "q_kmeans" -> {
+      val k = 8; val iters = 2; val q = 1L << 20
+      val head = s"""ev AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+         ), qv AS (
+           SELECT vec_id, pos, floor(d[pos] * $q + 0.5) AS qq
+           FROM (SELECT vec_id, d, unnest(range(1, len(d) + 1)) AS pos FROM ev) t
+         ), cents0 AS (
+           SELECT vec_id AS c, d AS e FROM ev WHERE vec_id < $k
+         )"""
+      val steps = (0 until iters).map { j =>
+        s"""a$j AS (
+           SELECT vec_id, c FROM (
+             SELECT e.vec_id, c.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
+             FROM ev e CROSS JOIN cents$j c) t WHERE rn = 1
+         ), m$j AS (
+           SELECT a.c, qv.pos,
+             CAST(CAST(CAST(sum(qv.qq) AS DOUBLE) / (count(*) * $q.0) AS FLOAT) AS DOUBLE) AS mv,
+             count(*) AS cnt
+           FROM a$j a JOIN qv ON a.vec_id = qv.vec_id
+           GROUP BY a.c, qv.pos
+         ), cents${j + 1} AS (
+           SELECT p.c, CASE WHEN n.e IS NULL THEN p.e ELSE n.e END AS e
+           FROM cents$j p LEFT JOIN (
+             SELECT c, list(mv ORDER BY pos) AS e FROM m$j GROUP BY c) n ON p.c = n.c
+         )"""
+      }.mkString(",\n         ")
+      s"""WITH $head,
+         $steps
+         SELECT c AS centroid_id, coalesce(n.cnt, 0) AS n_assigned,
+           e[1] AS c0, e[2] AS c1, e[3] AS c2, e[4] AS c3
+         FROM cents$iters
+         LEFT JOIN (SELECT c AS cf, CAST(count(*) AS BIGINT) AS cnt
+                    FROM a${iters - 1} GROUP BY c) n ON c = n.cf
+         ORDER BY centroid_id"""
+    },
 
     // float32→double widening, abs-max, and floor-plus-half are all
     // bit-deterministic IEEE ops — the unrounded scale doubles hash-match

@@ -153,6 +153,85 @@ object Similarity {
         element_at(col("__q"), 1).as("q0"), element_at(col("__q"), 2).as("q1"),
         element_at(col("__q"), 3).as("q2"), element_at(col("__q"), 4).as("q3"))
 
+  /** Deterministic distributed k-means codebook training — the offline
+    * step [[ivfTopKWith]] consumes. Engine-exact and partition-order-free
+    * by construction, so the whole iterative chain carries a DuckDB oracle
+    * (q_kmeans):
+    *
+    *   - init: the `k` lowest-id vectors (same convention as
+    *     [[pseudoCentroids]]);
+    *   - assignment: nearest centroid by cosine rounded to 6 dp, ties on
+    *     centroid id (the q_ivf_topk-proven comparison);
+    *   - update: per-dimension means over FIXED-POINT values — each
+    *     component is quantized once to `floor(x·2^20 + 0.5)` (a long), so
+    *     the mean is an exact integer sum in any order divided once in
+    *     double. Naive float summation is partition-order-dependent and
+    *     can't hash-match anything, not even itself across runs. The mean
+    *     is stored back as float32 (~2^-20 quantization error is far below
+    *     codebook resolution);
+    *   - empty clusters keep their previous centroid.
+    *
+    * Each iteration is one broadcast-join assignment pass plus one
+    * (cluster, dim)-keyed partial-combined aggregate; only k×dim means
+    * (and k counts) ever reach the driver — the classic bounded k-means
+    * driver loop, same contract as [[Dedup.dedupClusters]]'s label loop.
+    *
+    * Returns (centroid_id, n_assigned, embedding: array<float>), where
+    * n_assigned counts the final assignment pass that produced the
+    * returned centroids.
+    */
+  def trainCodebook(
+      corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(k > 0 && iters > 0)
+    val Q = 1L << 20
+
+    // persisted: re-scanned every iteration (assignment) and re-joined
+    // (means); fixed-point components materialize once
+    val ev = CacheRegistry.track(
+      corpus.select(col("vec_id"), col("embedding"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val qv = CacheRegistry.track(ev
+      .select(col("vec_id"), posexplode_outer(col("embedding")))
+      .filter(col("pos").isNotNull) // Dedup.safeExplodeNote
+      .select(col("vec_id"), col("pos"),
+        floor(col("col").cast("double") * Q + 0.5).cast("long").as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+    var cents: Seq[(Long, Seq[Float])] = ev.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    var counts: Map[Long, Long] = Map.empty
+
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.toDF("c", "e"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
+      val assigned = CacheRegistry.track(ev.crossJoin(centDf)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      // k×dim mean rows + k counts — the only driver-bound data
+      val means = assigned.join(qv, "vec_id")
+        .groupBy("c", "pos")
+        .agg((sum(col("q")).cast("double") / (count(lit(1)) * Q))
+          .cast("float").as("mv"), count(lit(1)).as("__n"))
+        .collect()
+      counts = means.filter(_.getInt(1) == 0)
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val byC = means.map(r => (r.getLong(0), r.getInt(1), r.getFloat(2)))
+        .groupBy(_._1)
+        .map { case (c, rs) => c -> rs.sortBy(_._2).map(_._3).toSeq }
+      cents = cents.map { case (c, old) => (c, byC.getOrElse(c, old)) }
+      assigned.unpersist(blocking = false)
+    }
+    cents.map { case (c, e) => (c, counts.getOrElse(c, 0L), e) }
+      .toDF("centroid_id", "n_assigned", "embedding")
+  }
+
   /** Deterministic pseudo-codebook: the `numCentroids` lowest-id vectors.
     * Centroid count is FIXED regardless of corpus size (round-2 verdict: a
     * stride-derived count grows linearly with the corpus, making assignment

@@ -255,6 +255,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("k-means training: deterministic, total assignment, pluggable codebook") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val run1 = Similarity.trainCodebook(emb, k = 4, iters = 2)
+      .orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+    CacheRegistry.release(TestSpark.spark)
+    val run2 = Similarity.trainCodebook(emb, k = 4, iters = 2)
+      .orderBy("centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+    // bit-deterministic across runs (fixed-point means, no float-sum order)
+    assert(run1.toSeq == run2.toSeq)
+    // every vector assigned exactly once
+    assert(run1.map(_._2).sum == emb.count())
+    // training moved the centroids off their init vectors
+    val init = emb.filter(col("vec_id") < 4).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1))
+    assert(run1.map(_._3).zip(init).exists { case (a, b) => a != b })
+    // the trained codebook drops into the IVF probe path
+    val cb = Similarity.trainCodebook(emb, k = 4, iters = 1)
+      .select(col("centroid_id").as("vec_id"), col("embedding"))
+    val topk = Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 2), 3, cb)
+    assert(topk.groupBy("query_id").count().collect().forall(_.getLong(1) == 3))
+    emb.unpersist()
+    CacheRegistry.release(TestSpark.spark)
+  }
+
   test("int8 quantization: round-trip error bounded by half a step") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
