@@ -218,7 +218,8 @@ object Cli {
           |         [-group pat] [-limit N] [-tail N] [-seek K] [-format text|json] [-stats true]
           |  corpus -in <documents.parquet>
           |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
-          |              editdist|jaccard|clusters|spans|split|chunk|pack|contamination|curate]
+          |              editdist|jaccard|clusters|spans|split|chunk|pack|contamination|
+          |              curate|kmeans|quantize]  (kmeans/quantize: -in is an embeddings parquet)
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet]
           |""".stripMargin)
@@ -358,6 +359,11 @@ object Cli {
         spark.read.parquet(flags.getOrElse("probes",
           fail("corpus -op contamination requires -probes <parquet>"))))
       case "curate"      => Pipeline.curate(docs)
+      // embeddings-table ops (-in points at an embeddings parquet)
+      case "kmeans"      => Similarity.trainCodebook(docs,
+        k = flags.getOrElse("k", "16").toInt,
+        iters = flags.getOrElse("iters", "2").toInt)
+      case "quantize"    => Similarity.quantizeInt8(docs)
       case other => fail(s"unknown corpus op: $other")
     }
     flags.get("out") match {

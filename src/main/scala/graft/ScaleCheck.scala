@@ -111,6 +111,22 @@ object ScaleCheck {
           .filter(col("dup_span_frac") > 0).count())
     }
     operators.CacheRegistry.release(spark)
+    // embedding ops at 10× (20k vectors): k-means assignment crossJoin and
+    // the quantization projection must stay parallel
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val emb10 = (0 until 10)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+    time("k-means train 20k vectors (k=16, 2 iters)") {
+      println("[scale] kmeans assigned: " +
+        operators.Similarity.trainCodebook(emb10, k = 16, iters = 2)
+          .agg(sum(col("n_assigned"))).head.getLong(0))
+    }
+    operators.CacheRegistry.release(spark)
+    time("int8 quantize 20k vectors") {
+      println("[scale] quantized: " +
+        operators.Similarity.quantizeInt8(emb10).count())
+    }
     // the composed pipeline end-to-end on the skewed corpus
     time("pipeline curate 50k docs (10x all-dup corpus)") {
       println("[scale] pipeline chunks out: " +
