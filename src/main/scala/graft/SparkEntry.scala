@@ -693,7 +693,7 @@ object SparkEntry {
            SELECT vec_id, pos, floor(d[pos] * $q + 0.5) AS qq
            FROM (SELECT vec_id, d, unnest(range(1, len(d) + 1)) AS pos FROM ev) t
          ), cents0 AS (
-           SELECT vec_id AS c, d AS e FROM ev WHERE vec_id < $k
+           SELECT vec_id AS c, d AS e FROM ev ORDER BY vec_id LIMIT $k
          )"""
       val steps = (0 until iters).map { j =>
         s"""a$j AS (

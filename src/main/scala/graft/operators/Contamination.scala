@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
 object Contamination {
 
   /** (probe_id, doc_id, n_shared) for pairs sharing >= minShared distinct
-    * shingles; probe rows joined back so every probe reports its matches.
-    * Self-matches (probe_id == doc_id, when probes ⊆ corpus) are excluded.
+    * shingles. Output contains ONLY pairs meeting the threshold: a probe
+    * with no qualifying corpus match is absent entirely (absence == clean,
+    * not unprocessed) — left-join the probe id universe back if a
+    * row-per-probe report is needed. Self-matches (probe_id == doc_id,
+    * when probes ⊆ corpus) are excluded.
     */
   def overlapReport(
       corpus: DataFrame,

@@ -640,14 +640,23 @@ object Dedup {
       val nextPlan = labels.join(prop, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
-      // lineage hardening (round-4 verdict): persist caches DATA but the
-      // plan still chains through every prior round — an executor/block
-      // loss late in a long propagation would recompute the whole chain.
-      // localCheckpoint (which also persists) truncates the plan every few
-      // rounds, bounding any recompute to `checkpointEvery` rounds.
+      // lineage cut every `checkpointEvery` rounds: persist caches DATA
+      // but the plan still chains through every prior round, growing the
+      // analysis/optimization cost per round without bound. With a
+      // configured checkpoint dir (cluster deployments: HDFS/object
+      // store), reliable checkpoint() both truncates the plan AND
+      // survives executor loss — the fault-tolerance story for a long
+      // propagation. Without one, fall back to localCheckpoint, which
+      // truncates the plan but stores blocks ON the executors: an
+      // executor death then FAILS the job (lineage is gone) rather than
+      // recomputing — acceptable in local mode where executor==driver,
+      // never on a cluster. Configure a checkpoint dir at 100 TB.
       val next =
-        if ((i + 1) % checkpointEvery == 0) nextPlan.localCheckpoint(true)
-        else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+        if ((i + 1) % checkpointEvery == 0) {
+          if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            nextPlan.checkpoint(true)
+          else nextPlan.localCheckpoint(true)
+        } else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
       changed = next
         .join(labels.select(col("doc_id"), col("label").as("__old")), "doc_id")
         .filter(col("label") =!= col("__old")).count()

@@ -37,8 +37,13 @@ object Packing {
       budget: Long,
       docBucket: Long = 1024L): DataFrame = {
     require(budget > 0 && docBucket > 0)
+    // integer `div`, not floor(double /): doc_ids above 2^53 (64-bit
+    // hashed ids) lose exactness through a double round-trip and can land
+    // rows in the wrong bucket near boundaries, breaking the range-bucket
+    // ordering invariant (doc_ids non-negative per contract, so div ==
+    // floor-div) — same fix as seq_id below
     val bucketed = chunks.withColumn("__b",
-      floor(col("doc_id") / docBucket).cast("long"))
+      expr(s"doc_id div $docBucket"))
     val w = Window.partitionBy("__b").orderBy("doc_id", "chunk_id")
     val local = bucketed.withColumn("__local",
       coalesce(sum(col("n_chunk_tokens"))

@@ -200,9 +200,15 @@ object Similarity {
         floor(col("col").cast("double") * Q + 0.5).cast("long").as("q"))
       .persist(StorageLevel.MEMORY_AND_DISK))
 
-    var cents: Seq[(Long, Seq[Float])] = ev.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    // init = the k lowest-id vectors, whatever the id space — a
+    // `vec_id < k` filter silently under-fills the codebook when ids
+    // don't start near 0 (arbitrary parquet through `cli corpus -op
+    // kmeans`); a short codebook must fail loudly, not train quietly
+    var cents: Seq[(Long, Seq[Float])] = ev.orderBy("vec_id").limit(k)
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.size == k,
+      s"k-means init needs k=$k vectors, corpus has only ${cents.size}")
     var counts: Map[Long, Long] = Map.empty
 
     for (_ <- 0 until iters) {
