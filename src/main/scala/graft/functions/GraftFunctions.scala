@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.graft.Shims
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `strip_ansi(col)` — exact reference ANSI-strip semantics ([[Ansi]]).
@@ -238,6 +238,54 @@ object SignLshBuckets {
     }
 }
 
+/** `bloom_contains_all(positions)` — true iff every bit position in the
+  * `array<bigint>` child is set in the Bloom bitset baked into the
+  * expression. The bitset rides the plan as a reference object (the same
+  * shape Spark's own runtime bloom-join filter uses: serialized once with
+  * the task binary, shared by every row), so the membership test is a few
+  * shifts inside whole-stage codegen — no join, no shuffle, no UDF.
+  */
+case class BloomContainsAll(child: Expression, words: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains_all needs array<bigint> positions, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BloomBits.containsAll(words,
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BloomBits.containsAll($ref, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsAll =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_contains_all"
+}
+
+object BloomBits {
+  def containsAll(
+      words: Array[Long],
+      positions: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var i = 0
+    val n = positions.numElements()
+    while (i < n) {
+      val p = positions.getLong(i)
+      if (((words((p >>> 6).toInt) >>> (p & 63L).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
 object GraftFunctions {
   def strip_ansi(c: Column): Column =
     Shims.column(StripAnsi(Shims.expression(c)))
@@ -254,6 +302,9 @@ object GraftFunctions {
 
   def rolling_hash(c: Column): Column =
     Shims.column(RollingHash(Shims.expression(c)))
+
+  def bloom_contains_all(positions: Column, words: Array[Long]): Column =
+    Shims.column(BloomContainsAll(Shims.expression(positions), words))
 
   /** Register SQL-callable forms (`SELECT strip_ansi(content) ...`). */
   def register(spark: SparkSession): Unit = {

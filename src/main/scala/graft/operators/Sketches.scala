@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Fixed-memory probabilistic sketches for corpus-scale pipelines —
+  * Bloom filter (incremental-ingest dedup pre-filter), count-min sketch
+  * (approximate frequencies), HyperLogLog (approximate distinct count).
+  *
+  * All three are DETERMINISTIC and engine-portable: hashing is the
+  * [[Dedup.md5Token60]] recipe (md5 hex prefix parsed base-16), so every
+  * path replays bit-for-bit in DuckDB and carries a hash-match oracle —
+  * unlike seeded xxhash/murmur sketches whose bits are engine-private.
+  *
+  * Why sketches at 100 TB: the exact alternatives all carry state
+  * proportional to the data (a seen-key anti-join shuffles the history,
+  * an exact top-k shuffles the vocabulary, a countDistinct shuffles every
+  * key). Each sketch here is a few KB–MB regardless of corpus size, built
+  * in one pass with map-side partial aggregation, and broadcast back for
+  * O(1) per-row probes.
+  */
+object Sketches {
+
+  /** The `k` Bloom bit positions for a content key: position i =
+    * md5_60("i:key") mod mBits. Independent hashes per index (not
+    * double-hashing) keeps the oracle SQL a one-liner per position.
+    */
+  def bloomPositions(key: Column, mBits: Int, k: Int): Column =
+    array((0 until k).map { i =>
+      Dedup.md5Token60(concat_ws(":", lit(i.toString), key)) % mBits
+    }: _*)
+
+  /** Dense Bloom bitset (one long per 64 bits) over the distinct keys of
+    * `seen`. The shuffle carries DISTINCT bit positions (≤ mBits rows, with
+    * map-side combine), the driver collect is ≤ mBits/64 word rows — both
+    * bounded by the FIXED filter size, never by |seen|. At 100 TB: mBits
+    * sized for the history's cardinality (~10 bits/key for 1% FP), built
+    * once per ingest batch, shipped to executors as one array.
+    */
+  def buildBloomWords(
+      seen: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    require(mBits <= (1 << 30), s"bitset capped at 128 MB (2^30 bits), got $mBits")
+    require(k > 0)
+    val words = seen
+      .select(explode_outer(bloomPositions(key, mBits, k)).as("pos"))
+      .filter(col("pos").isNotNull) // Dedup.safeExplodeNote
+      .distinct()
+      .select(shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Incremental-ingest dedup: which rows of `incoming` are new relative
+    * to the `seen` history? EXACT result via a Bloom pre-filter:
+    *
+    *   1. build the history's Bloom bitset (fixed-size, broadcast);
+    *   2. every incoming row gets `maybe_seen` from a codegen'd bitset
+    *      probe — pure map-side, no shuffle;
+    *   3. `maybe_seen = false` rows are DEFINITELY new (Bloom has no
+    *      false negatives) and bypass the join entirely;
+    *   4. only Bloom-positive candidates (true dups + the small FP share)
+    *      anti-join the history for the exact verdict.
+    *
+    * At 100 TB with mostly-novel ingest, step 3 is the whole point: the
+    * expensive history join runs on a few percent of the batch instead of
+    * all of it. Output = incoming plus `maybe_seen` (the Bloom verdict)
+    * and `is_new` (the exact verdict); `maybe_seen && is_new` rows are the
+    * false positives — the measurable cost of the filter size chosen.
+    */
+  def incrementalDedup(
+      incoming: DataFrame,
+      seen: DataFrame,
+      keyCol: String = "key",
+      mBits: Int = 1 << 14,
+      k: Int = 5): DataFrame = {
+    val words = buildBloomWords(seen, col(keyCol), mBits, k)
+    val flagged = incoming.withColumn("maybe_seen",
+      GraftFunctions.bloom_contains_all(
+        bloomPositions(col(keyCol), mBits, k), words))
+    val definite = flagged.filter(!col("maybe_seen"))
+      .withColumn("is_new", lit(true))
+    val seenKeys = seen.select(col(keyCol)).distinct()
+      .withColumn("__hit", lit(1))
+    val checked = flagged.filter(col("maybe_seen"))
+      .join(seenKeys, Seq(keyCol), "left")
+      .withColumn("is_new", col("__hit").isNull)
+      .drop("__hit")
+    definite.unionByName(checked)
+  }
+
+  /** Count-min sketch over `items(itemCol)`: a depth×width counter table
+    * (row j, counter idx, count), idx = md5_60("j:item") mod width. One
+    * pass, map-side combined; the sketch is depth×width rows whatever the
+    * vocabulary size. Estimates only ever OVER-count (collisions add).
+    */
+  def cmsTable(
+      items: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0)
+    items
+      .select(col(itemCol).as("item"),
+        explode_outer(sequence(lit(0), lit(depth - 1))).as("j"))
+      .filter(col("j").isNotNull) // Dedup.safeExplodeNote
+      .select(col("j"),
+        (Dedup.md5Token60(concat_ws(":", col("j").cast("string"), col("item")))
+          % width).as("idx"))
+      .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe a count-min sketch: est(item) = min over rows j of
+    * counter[j][idx_j(item)] (0 when the counter never filled). The sketch
+    * side broadcasts — probes cost one tiny hash join, not a corpus scan.
+    */
+  def cmsEstimate(
+      cms: DataFrame, probes: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame =
+    probes
+      .select(col(itemCol).as("item"),
+        explode_outer(sequence(lit(0), lit(depth - 1))).as("j"))
+      .filter(col("j").isNotNull) // Dedup.safeExplodeNote
+      .select(col("item"), col("j"),
+        (Dedup.md5Token60(concat_ws(":", col("j").cast("string"), col("item")))
+          % width).as("idx"))
+      .join(broadcast(cms), Seq("j", "idx"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+
+  /** HyperLogLog distinct-count estimate over `items(itemCol)` with 2^p
+    * registers. Register index = top p bits of the 60-bit md5 hash; rho =
+    * 1 + leading zeros of the remaining (60-p)-bit field, computed with
+    * exact string/integer ops (`bin` + `length` — no libm, so DuckDB
+    * replays it). The register table is 2^p rows whatever the cardinality.
+    *
+    * The harmonic sum uses FIXED-POINT terms 2^(X - rho), X = 61 - p:
+    * exact integer addition in any partition order (the [[
+    * Similarity.trainCodebook]] lesson — float sums aren't even
+    * self-reproducible), maximum total 2^p · 2^X < 2^63. The only float
+    * op is the final constant/sum division — one deterministic IEEE op.
+    *
+    * Raw HLL estimate, no small-range (linear-counting) correction: that
+    * branch needs ln(), whose last-ulp varies by libm — the estimate is
+    * only calibrated for cardinality ≳ 2.5·2^p, so choose p accordingly.
+    * Returns one row: (n_registers_used, s_fixed, est_distinct).
+    */
+  /** alpha_m · m² · 2^(61-p) — the numerator of the raw HLL estimate,
+    * folded to ONE double so the oracle SQL can interpolate the exact same
+    * literal (Double.toString round-trips).
+    */
+  def hllConstant(p: Int): Double = {
+    val m = 1 << p
+    0.7213 / (1 + 1.079 / m) * m * m * math.pow(2.0, 61 - p)
+  }
+
+  def hllDistinct(items: DataFrame, itemCol: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val restBits = 60 - p
+    val x = 61 - p
+    val mask = (1L << restBits) - 1
+    val h = Dedup.md5Token60(col(itemCol))
+    val reg = items.filter(col(itemCol).isNotNull)
+      .select(shiftright(h, restBits).as("idx"), h.bitwiseAND(lit(mask)).as("rem"))
+      .select(col("idx"),
+        when(col("rem") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("rem")))).as("rho"))
+      .groupBy("idx").agg(max(col("rho")).as("mrho"))
+    // one shared double constant ([[hllConstant]] — the keywordScores
+    // BM25-constant technique for oracle portability)
+    val c = hllConstant(p)
+    reg.agg(
+        count(lit(1)).as("n_registers_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($x - mrho AS INT))")).as("s_used"))
+      .select(col("n_registers_used"),
+        (col("s_used") + (lit(m.toLong) - col("n_registers_used")) * (1L << x))
+          .as("s_fixed"))
+      .select(col("n_registers_used"), col("s_fixed"),
+        (lit(c) / col("s_fixed").cast("double")).as("est_distinct"))
+  }
+}

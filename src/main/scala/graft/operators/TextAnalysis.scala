@@ -16,6 +16,16 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
+  /** Canonical text form for normalization-aware dedup: lowercase, ASCII
+    * control chars → space, space runs collapsed, trimmed. Explicit char
+    * classes (not `\s`/`\p{Cntrl}`) because Java regex and RE2 disagree on
+    * those shorthands' exact membership — this form replays identically in
+    * any RE2-family engine (DuckDB oracle), pure map-side.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+
   /** Count non-overlapping occurrences of ` word ` in ` text ` using the
     * replace trick — portable across engines (same non-overlapping
     * left-to-right semantics in Spark and ANSI SQL replace()).
