@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -822,6 +822,94 @@ object SparkEntry {
            CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens,
            array_to_string(tk[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
          FROM c ORDER BY doc_id, chunk_id""",
+
+    // Bloom verdict replayed bit-for-bit: same md5-60 positions
+    // (md5("i:key") % 16384, i = 0..4), maybe_seen = every position lands
+    // in the history's position set; is_new = the exact anti-join verdict
+    "q_incr_dedup" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS key
+           FROM documents
+         ), seen AS (
+           SELECT DISTINCT key FROM keyed WHERE doc_id % 3 = 0
+         ), ii AS (
+           SELECT CAST(unnest(range(5)) AS VARCHAR) AS i
+         ), seen_pos AS (
+           SELECT DISTINCT CAST(concat('0x', substr(md5(concat(i, ':', key)), 1, 15)) AS BIGINT) % 16384 AS pos
+           FROM seen CROSS JOIN ii
+         ), inc_pos AS (
+           SELECT doc_id, key,
+             CAST(concat('0x', substr(md5(concat(i, ':', key)), 1, 15)) AS BIGINT) % 16384 AS pos
+           FROM keyed CROSS JOIN ii WHERE doc_id % 3 <> 0
+         ), flg AS (
+           SELECT q.doc_id, q.key, bool_and(p.pos IS NOT NULL) AS maybe_seen
+           FROM inc_pos q LEFT JOIN seen_pos p ON q.pos = p.pos
+           GROUP BY q.doc_id, q.key
+         )
+         SELECT f.doc_id, f.maybe_seen,
+           CASE WHEN NOT f.maybe_seen THEN TRUE ELSE (s.key IS NULL) END AS is_new
+         FROM flg f LEFT JOIN seen s ON f.key = s.key
+         ORDER BY doc_id""",
+
+    // count-min replayed exactly: counter idx = md5_60("j:token") % 4096
+    // per depth row j = 0..3, est = min over j (0 when never filled)
+    "q_cms_topk" ->
+      """WITH t AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents
+         ), jj AS (
+           SELECT CAST(unnest(range(4)) AS VARCHAR) AS j
+         ), cms AS (
+           SELECT j,
+             CAST(concat('0x', substr(md5(concat(j, ':', token)), 1, 15)) AS BIGINT) % 4096 AS idx,
+             count(*) AS cnt
+           FROM t CROSS JOIN jj GROUP BY j, idx
+         ), truth AS (
+           SELECT token, count(*) AS occurrences FROM t GROUP BY token
+           ORDER BY occurrences DESC, token LIMIT 10
+         ), probe AS (
+           SELECT tr.token, j,
+             CAST(concat('0x', substr(md5(concat(j, ':', tr.token)), 1, 15)) AS BIGINT) % 4096 AS idx
+           FROM truth tr CROSS JOIN jj
+         )
+         SELECT p.token, tr.occurrences, min(coalesce(c.cnt, 0)) AS est_count
+         FROM probe p
+         JOIN truth tr ON p.token = tr.token
+         LEFT JOIN cms c ON p.j = c.j AND p.idx = c.idx
+         GROUP BY p.token, tr.occurrences
+         ORDER BY tr.occurrences DESC, p.token""",
+
+    // HLL replayed exactly: register idx = top 10 bits of md5_60, rho from
+    // the binary length of the 50-bit remainder (string op, no libm), the
+    // harmonic sum in exact fixed point 2^(51-rho); the single double
+    // constant is Sketches.hllConstant(10) interpolated verbatim so the
+    // one float division is the same IEEE op on both engines
+    "q_hll_distinct" -> {
+      val c = graft.operators.Sketches.hllConstant(10)
+      s"""WITH it AS (
+           SELECT concat(CAST(doc_id AS VARCHAR), ':', token) AS item
+           FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+                 FROM documents)
+         ), r AS (
+           SELECT h >> 50 AS idx, h & ((CAST(1 AS BIGINT) << 50) - 1) AS rem
+           FROM (SELECT CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h FROM it)
+         ), reg AS (
+           SELECT idx,
+             max(CASE WHEN rem = 0 THEN 51 ELSE 51 - length(ltrim(bin(rem), '0')) END) AS mrho
+           FROM r GROUP BY idx
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
+             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
+           FROM reg
+         )
+         SELECT n_registers_used,
+           s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS s_fixed,
+           $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
+           (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM it) AS exact_distinct
+         FROM agg"""
+    },
 
     // the split assignment is pure md5 arithmetic — replayed exactly
     "q_split" ->

@@ -176,7 +176,10 @@ object Sketches {
     val c = hllConstant(p)
     reg.agg(
         count(lit(1)).as("n_registers_used"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($x - mrho AS INT))")).as("s_used"))
+        // coalesce: empty input must yield the all-empty-registers estimate
+        // (s_fixed = m·2^X), not NULL (advisor r6)
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($x - mrho AS INT))")),
+          lit(0L)).as("s_used"))
       .select(col("n_registers_used"),
         (col("s_used") + (lit(m.toLong) - col("n_registers_used")) * (1L << x))
           .as("s_fixed"))
