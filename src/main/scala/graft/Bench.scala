@@ -26,7 +26,7 @@ object Bench {
     // reliable-checkpoint dir (dedupClusters lineage cuts); local tmp here,
     // HDFS/object store on a cluster
     spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      CheckpointDirs.temp())
     // warm every input table (page cache + footer metadata) so per-query
     // numbers reflect compute, not first-touch IO noise
     Seq("region", "nation", "customer", "supplier", "part", "orders",

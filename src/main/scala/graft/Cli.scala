@@ -198,7 +198,7 @@ object Cli {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      CheckpointDirs.temp())
     s
   }
 

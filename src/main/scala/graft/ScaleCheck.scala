@@ -15,7 +15,7 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      CheckpointDirs.temp())
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

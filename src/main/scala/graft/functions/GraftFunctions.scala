@@ -268,6 +268,17 @@ case class BloomContainsAll(child: Expression, words: Array[Long])
   override protected def withNewChildInternal(newChild: Expression): BloomContainsAll =
     copy(child = newChild)
 
+  // Array[Long] equals/hashCode are by reference; value-based semantics keep
+  // canonicalization and subexpression elimination working across identical
+  // bitsets (advisor r6)
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomContainsAll =>
+      child == b.child && java.util.Arrays.equals(words, b.words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(words)
+
   override def prettyName: String = "bloom_contains_all"
 }
 

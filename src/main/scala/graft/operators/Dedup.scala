@@ -653,9 +653,15 @@ object Dedup {
       // never on a cluster. Configure a checkpoint dir at 100 TB.
       val next =
         if ((i + 1) % checkpointEvery == 0) {
-          if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined)
-            nextPlan.checkpoint(true)
-          else nextPlan.localCheckpoint(true)
+          if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+            // persist first: reliable checkpoint() runs a SECOND job to
+            // write the checkpoint files, which would otherwise re-execute
+            // the full lineage back to the previous cut (advisor r6)
+            nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
+            val cp = nextPlan.checkpoint(true)
+            nextPlan.unpersist()
+            cp
+          } else nextPlan.localCheckpoint(true)
         } else nextPlan.persist(StorageLevel.MEMORY_AND_DISK)
       changed = next
         .join(labels.select(col("doc_id"), col("label").as("__old")), "doc_id")

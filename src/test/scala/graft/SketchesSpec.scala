@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BloomContainsAll, GraftFunctions}
+import graft.operators.{Dedup, Sketches}
+
+/** Property specs for the fixed-memory sketch family (Sketches.scala):
+  * Bloom no-false-negatives + measured FP share, CMS over-count-only,
+  * HLL error bound at its calibrated range, and the codegen'd
+  * BloomContainsAll probe against an independent Scala evaluation.
+  */
+class SketchesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val mBits = 1 << 14
+  private val k = 5
+
+  private def keysDf(prefix: String, n: Int) =
+    (0 until n).map(i => s"$prefix-$i").toDF("key")
+
+  test("bloom: no false negatives — every inserted key probes positive") {
+    val seen = keysDf("seen", 500)
+    val words = Sketches.buildBloomWords(seen, col("key"), mBits, k)
+    val misses = seen.withColumn("hit",
+        GraftFunctions.bloom_contains_all(
+          Sketches.bloomPositions(col("key"), mBits, k), words))
+      .filter(!col("hit")).count()
+    assert(misses == 0L)
+  }
+
+  test("bloom: false-positive share on a disjoint corpus is near theory") {
+    val seen = keysDf("seen", 1000)
+    val words = Sketches.buildBloomWords(seen, col("key"), mBits, k)
+    val probes = 2000
+    val fp = keysDf("other", probes).withColumn("hit",
+        GraftFunctions.bloom_contains_all(
+          Sketches.bloomPositions(col("key"), mBits, k), words))
+      .filter(col("hit")).count()
+    // (1 - e^{-kn/m})^k at n=1000, m=16384, k=5 ≈ 0.0022 — allow 5x slack
+    assert(fp.toDouble / probes < 0.011, s"fp rate ${fp.toDouble / probes}")
+  }
+
+  test("incremental dedup: exact verdict equals a plain anti-join; bloom-negative implies new") {
+    // overlap: keys 300..699 of incoming are also in seen
+    val seen = (300 until 1000).map(i => s"k-$i").toDF("key")
+    val incoming = (0 until 700).map(i => s"k-$i").toDF("key")
+    val out = Sketches.incrementalDedup(incoming, seen, "key", mBits, k).cache()
+    val gotNew = out.filter(col("is_new")).select("key").as[String].collect().toSet
+    val wantNew = (0 until 300).map(i => s"k-$i").toSet
+    assert(gotNew == wantNew)
+    assert(out.count() == 700)
+    // no false negatives: a bloom-negative row is never actually seen
+    assert(out.filter(!col("maybe_seen") && !col("is_new")).count() == 0)
+    out.unpersist()
+  }
+
+  test("cms: estimates only ever over-count, exact on a collision-free width") {
+    val items = Seq.tabulate(600)(i => s"tok-${i % 30}").toDF("item")
+    val truth = items.groupBy("item").agg(count(lit(1)).as("truth"))
+    val cms = Sketches.cmsTable(items, "item", depth = 4, width = 1 << 12)
+    val est = Sketches.cmsEstimate(cms, truth.select("item"), "item", 4, 1 << 12)
+    val rows = est.join(truth, "item").select("item", "est_count", "truth").collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"${r.getString(0)} under-counted")
+    }
+    // 30 distinct items in 4x4096 counters: collisions are possible but the
+    // MIN over 4 independent rows colliding on ALL of them is (30/4096)^4-
+    // unlikely; the min must equal truth here
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
+  test("hll: relative error within theory bounds at the calibrated range (p=10)") {
+    val p = 10
+    // cardinality 3·2^p — inside the raw-estimate calibration (≳ 2.5·2^p,
+    // Sketches.hllDistinct doc: no linear-counting branch, p must be sized)
+    val n = 3 * (1 << p)
+    val items = (0 until n).map(i => s"item-$i").toDF("item")
+    val row = Sketches.hllDistinct(items, "item", p).collect().head
+    val est = row.getAs[Double]("est_distinct")
+    val err = math.abs(est - n) / n
+    // theoretical sigma = 1.04/sqrt(2^p) ≈ 3.25%; allow 3 sigma
+    assert(err < 0.10, s"est $est vs $n (err $err)")
+  }
+
+  test("hll: empty input yields the all-empty-registers estimate, not NULL") {
+    val empty = Seq.empty[String].toDF("item")
+    val row = Sketches.hllDistinct(empty, "item", p = 10).collect().head
+    assert(row.getLong(0) == 0L)                       // n_registers_used
+    assert(row.getLong(1) == 1024L * (1L << 51))       // s_fixed = m·2^(61-p)
+    assert(!row.isNullAt(2) && row.getAs[Double]("est_distinct") > 0.0)
+  }
+
+  test("bloom_contains_all codegen probe == independent scala bit math") {
+    val rnd = new scala.util.Random(17)
+    val words = Array.fill(mBits / 64)(rnd.nextLong())
+    val df = (0 until 200).map(i => s"probe-$i").toDF("key")
+    val got = df.select(col("key"),
+        GraftFunctions.bloom_contains_all(
+          Sketches.bloomPositions(col("key"), mBits, k), words).as("hit"),
+        Sketches.bloomPositions(col("key"), mBits, k).as("pos"))
+      .collect()
+    got.foreach { r =>
+      val want = r.getSeq[Long](2).forall(p =>
+        ((words((p >>> 6).toInt) >>> (p & 63L).toInt) & 1L) == 1L)
+      assert(r.getBoolean(1) == want, s"key ${r.getString(0)}")
+    }
+  }
+
+  test("BloomContainsAll equality is value-based over the bitset") {
+    val child = org.apache.spark.sql.graft.Shims.expression(Dedup.md5Token60(col("key")))
+    val a = Array(1L, 2L, 3L)
+    assert(BloomContainsAll(child, a) == BloomContainsAll(child, a.clone()))
+    assert(BloomContainsAll(child, a).hashCode() ==
+      BloomContainsAll(child, a.clone()).hashCode())
+    assert(BloomContainsAll(child, a) != BloomContainsAll(child, Array(1L, 2L, 4L)))
+  }
+}
