@@ -221,9 +221,11 @@ object Cli {
           |  corpus -in <documents.parquet>
           |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
           |              editdist|jaccard|clusters|spans|split|chunk|pack|contamination|
-          |              curate|kmeans|quantize]  (kmeans/quantize: -in is an embeddings parquet)
+          |              curate|kmeans|quantize|incrdedup|cms|hll]
+          |         (kmeans/quantize: -in is an embeddings parquet;
+          |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K])
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
-          |         [-budget N] [-probes parquet]
+          |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |""".stripMargin)
       sys.exit(1)
     }
@@ -361,6 +363,18 @@ object Cli {
         spark.read.parquet(flags.getOrElse("probes",
           fail("corpus -op contamination requires -probes <parquet>"))))
       case "curate"      => Pipeline.curate(docs)
+      // fixed-memory sketches (Sketches.scala)
+      case "incrdedup"   => Sketches.incrementalDedupDocs(docs,
+        spark.read.parquet(flags.getOrElse("seen",
+          fail("corpus -op incrdedup requires -seen <documents.parquet>"))),
+        mBits = flags.getOrElse("mbits", (1 << 14).toString).toInt,
+        k = flags.getOrElse("hashes", "5").toInt)
+      case "cms"         => Sketches.cmsTokenTopK(docs,
+        depth = flags.getOrElse("depth", "4").toInt,
+        width = flags.getOrElse("width", (1 << 12).toString).toInt,
+        topK = flags.getOrElse("topk", "10").toInt)
+      case "hll"         => Sketches.hllTokenIncidence(docs,
+        p = flags.getOrElse("p", "10").toInt)
       // embeddings-table ops (-in points at an embeddings parquet)
       case "kmeans"      => Similarity.trainCodebook(docs,
         k = flags.getOrElse("k", "16").toInt,

@@ -129,6 +129,20 @@ object ScaleCheck {
       println("[scale] quantized: " +
         operators.Similarity.quantizeInt8(emb10).count())
     }
+    // sketches at 10×: the Bloom bitset build and per-row probes must stay
+    // fixed-size however big the corpus — history = every 10th original
+    // text, so ~90% of the 50k incoming rows are Bloom-negative and take
+    // the no-join fast path while the hot 10% exercise the verify join;
+    // HLL register table stays 2^12 rows
+    time("bloom incremental dedup 50k incoming vs 500-doc history") {
+      println("[scale] new rows: " +
+        operators.Sketches.incrementalDedupDocs(
+            docs10, docs.filter(col("doc_id") % 10 === 0))
+          .filter(col("is_new")).count())
+    }
+    time("hll distinct (doc,token) pairs 50k docs (p=12)") {
+      operators.Sketches.hllTokenIncidence(docs10, p = 12).show()
+    }
     // the composed pipeline end-to-end on the skewed corpus
     time("pipeline curate 50k docs (10x all-dup corpus)") {
       println("[scale] pipeline chunks out: " +

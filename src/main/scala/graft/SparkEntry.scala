@@ -322,44 +322,27 @@ object SparkEntry {
     // the normalized text. maybe_seen exposes the Bloom verdict so the
     // oracle replays the bit math, is_new is the exact verdict.
     "q_incr_dedup" -> ((s, dir) => {
-      val keyed = Tables.load(s, dir, "documents").select(col("doc_id"),
-        md5(TextAnalysis.normalizeText(col("text"))).as("key"))
-      Sketches.incrementalDedup(
-          keyed.filter(col("doc_id") % 3 =!= 0),
-          keyed.filter(col("doc_id") % 3 === 0),
-          "key", mBits = 1 << 14, k = 5)
+      val docs = Tables.load(s, dir, "documents")
+      Sketches.incrementalDedupDocs(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          mBits = 1 << 14, k = 5)
         .select("doc_id", "maybe_seen", "is_new").orderBy("doc_id")
     }),
 
     // count-min sketch: 4×4096 counter table built in one pass, probed
     // with the exact top-10 tokens so the oracle shows est vs truth
     // (est only ever over-counts)
-    "q_cms_topk" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val toks = docs
-        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(col("token").isNotNull) // Dedup.safeExplodeNote
-      val cms = Sketches.cmsTable(toks, "token", depth = 4, width = 1 << 12)
-      val truth = TextAnalysis.vocabTopK(docs, 10).select("token", "occurrences")
-      Sketches.cmsEstimate(cms, truth.select("token"), "token", 4, 1 << 12)
-        .withColumnRenamed("item", "token")
-        .join(truth, "token")
-        .select("token", "occurrences", "est_count")
-        .orderBy(col("occurrences").desc, col("token"))
-    }),
+    "q_cms_topk" -> ((s, dir) =>
+      Sketches.cmsTokenTopK(Tables.load(s, dir, "documents"),
+          depth = 4, width = 1 << 12, topK = 10)
+        .orderBy(col("occurrences").desc, col("token"))),
 
     // HyperLogLog (p=10, 1024 registers) over (doc_id, token) incidence
     // pairs — posting-list cardinality from a fixed-size register table,
     // with the exact count alongside for the error story
-    "q_hll_distinct" -> ((s, dir) => {
-      val pairs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
-        .filter(col("token").isNotNull) // Dedup.safeExplodeNote
-        .select(concat_ws(":", col("doc_id"), col("token")).as("item"))
-      Sketches.hllDistinct(pairs, "item", p = 10)
-        .crossJoin(pairs.agg(countDistinct(col("item")).as("exact_distinct")))
-    }),
+    "q_hll_distinct" -> ((s, dir) =>
+      Sketches.hllTokenIncidence(Tables.load(s, dir, "documents"), p = 10)),
 
     // the FULL LSH candidate path (signature → banding → pair-gen →
     // estimate) on the md5-portable family, so DuckDB replays every step

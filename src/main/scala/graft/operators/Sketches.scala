@@ -96,6 +96,20 @@ object Sketches {
     definite.unionByName(checked)
   }
 
+  /** [[incrementalDedup]] over documents tables `(doc_id, text, ...)`:
+    * content key = md5 of the normalized text
+    * ([[TextAnalysis.normalizeText]]), the normalization-aware identity
+    * also used by exactDedup. Shared by the q_incr_dedup oracle query and
+    * `cli corpus -op incrdedup` so both drive ONE code path.
+    */
+  def incrementalDedupDocs(
+      incoming: DataFrame, seen: DataFrame,
+      mBits: Int = 1 << 14, k: Int = 5): DataFrame = {
+    def keyed(d: DataFrame) = d.select(col("doc_id"),
+      md5(TextAnalysis.normalizeText(col("text"))).as("key"))
+    incrementalDedup(keyed(incoming), keyed(seen), "key", mBits, k)
+  }
+
   /** Count-min sketch over `items(itemCol)`: a depth×width counter table
     * (row j, counter idx, count), idx = md5_60("j:item") mod width. One
     * pass, map-side combined; the sketch is depth×width rows whatever the
@@ -131,6 +145,37 @@ object Sketches {
       .join(broadcast(cms), Seq("j", "idx"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+
+  /** CMS estimates beside the exact truth for the corpus's top-k tokens —
+    * the sketch-vs-reality report q_cms_topk and `cli corpus -op cms`
+    * share. est only ever over-counts ([[cmsTable]]).
+    */
+  def cmsTokenTopK(
+      docs: DataFrame, depth: Int = 4, width: Int = 1 << 12,
+      topK: Int = 10): DataFrame = {
+    val toks = docs
+      .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull) // Dedup.safeExplodeNote
+    val cms = cmsTable(toks, "token", depth, width)
+    val truth = TextAnalysis.vocabTopK(docs, topK).select("token", "occurrences")
+    cmsEstimate(cms, truth.select("token"), "token", depth, width)
+      .withColumnRenamed("item", "token")
+      .join(truth, "token")
+      .select("token", "occurrences", "est_count")
+  }
+
+  /** HLL estimate of distinct `(doc_id, token)` incidence pairs with the
+    * exact count alongside — q_hll_distinct and `cli corpus -op hll`.
+    */
+  def hllTokenIncidence(docs: DataFrame, p: Int = 10): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull) // Dedup.safeExplodeNote
+      .select(concat_ws(":", col("doc_id"), col("token")).as("item"))
+    hllDistinct(pairs, "item", p)
+      .crossJoin(pairs.agg(countDistinct(col("item")).as("exact_distinct")))
+  }
 
   /** HyperLogLog distinct-count estimate over `items(itemCol)` with 2^p
     * registers. Register index = top p bits of the 60-bit md5 hash; rho =

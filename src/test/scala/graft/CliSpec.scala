@@ -214,6 +214,30 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus subcommand: sketch ops (incrdedup/cms/hll)") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    // incrdedup against itself: every incoming key is in the history, so
+    // nothing is new — and -seen is mandatory
+    val incr = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "incrdedup", "seen" -> docs))
+    }
+    assert(incr.contains("Rows: 500"))
+    assert(incr.contains("maybe_seen"))
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "incrdedup"))
+    }
+    val cms = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "cms", "topk" -> "5"))
+    }
+    assert(cms.contains("Rows: 5"))
+    assert(cms.contains("est_count"))
+    val hll = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "hll"))
+    }
+    assert(hll.contains("Rows: 1"))
+    assert(hll.contains("est_distinct"))
+  }
+
   test("parse summary golden block") {
     val out = captureOut {
       Cli.runParse(spark, Map(
