@@ -388,47 +388,77 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxShingleFreq: Option[Int] = None,
-      pairListCutoff: Int = 128): DataFrame = {
+      pairListCutoff: Int = 128,
+      hashOrderPrefix: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
 
+    // small-input parallelism guard: a sub-128MB corpus arrives as ONE scan
+    // partition, serializing the tokenize+shingle+hash build (the
+    // operator's heaviest map work) on one core. Repartitioning a small
+    // input is a trivially cheap shuffle; a big input already has ≥ par
+    // partitions and is left untouched.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+
     // (doc_id, sh_set: array<long>) — distinct hashed shingles per doc.
-    // PERSISTED: five downstream branches (freqs, prefix window, both
-    // verification sides) would otherwise re-run the tokenize+shingle+hash
-    // scan each — measured 4× the operator's total cost at sf0.1. The set
-    // table is tiny relative to the corpus (a few longs per doc-shingle);
+    // PERSISTED: downstream branches (prefixes, both verification sides)
+    // would otherwise re-run the tokenize+shingle+hash scan each —
+    // measured 4× the operator's total cost at sf0.1. The set table is
+    // tiny relative to the corpus (a few longs per doc-shingle);
     // unreferenced blocks are reclaimed by the ContextCleaner.
-    val rawSets = CacheRegistry.track(withHashedShingleSets(docs, shingleSize)
+    val rawSets = CacheRegistry.track(withHashedShingleSets(src, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK))
 
-    // __n (per-doc set size) rides along from the set column: the exact
-    // branch then needs only ONE window pass (row_number) instead of a
-    // second full-partition count window over the same sort
-    val exploded = rawSets.select(col("doc_id"),
-      size(col("sh_set")).as("__n"), explode(col("sh_set")).as("sh"))
-    val freqs = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
-
+    // Prefix extraction. The AllPairs prefix filter is LOSSLESS under ANY
+    // consistent global order of shingles (the theorem needs only a total
+    // order shared by all docs), which gives two implementations:
+    //   - rare-first (doc-frequency asc, the classic AllPairs order):
+    //     minimizes candidate pairs, at the cost of a corpus frequency
+    //     pass, a join back, and a per-doc sort window on the exploded
+    //     shingle stream;
+    //   - hash order (`hashOrderPrefix`): the prefix is just the first
+    //     n - ceil(t·n) + 1 elements of sort_array(sh_set) — pure
+    //     map-side array ops, three fewer shuffles of the exploded
+    //     stream, but more candidates (no rare-first pruning).
+    // Measured at sf0.1/t=0.8: hash order = 1.9× candidates (118k→222k,
+    // identical final pairs), equal wall, higher cpu — rare-first is the
+    // default; hash order is the lever when the exploded stream itself
+    // (which scales with the CORPUS, while candidates scale with dup
+    // density) dominates — e.g. a mostly-unique 100 TB crawl.
     val byDoc = Window.partitionBy("doc_id")
-    // optional stop-shingle drop (approximate mode): rebuild sets from the
-    // surviving shingles (and re-count __n post-drop); docs losing every
-    // shingle drop out entirely
-    val (sets, explodedKept) = maxShingleFreq match {
+    val (sets, prefixes) = maxShingleFreq match {
       case Some(cap) =>
-        val kept = exploded.drop("__n")
+        // approximate mode (stop-shingle drop) needs doc-frequencies
+        // anyway: always rare-first here. Docs losing every shingle drop
+        // out entirely; __n is re-counted post-drop.
+        val exploded = rawSets.select(col("doc_id"), explode(col("sh_set")).as("sh"))
+        val freqs = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
+        val kept = exploded
           .join(freqs.filter(col("__df") <= cap), Seq("sh"))
           .withColumn("__n", count(lit(1)).over(byDoc))
+        val ordered = kept
+          .withColumn("__rn", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
         (kept.groupBy("doc_id").agg(collect_list(col("sh")).as("sh_set")),
-          kept)
-      case None => (rawSets, exploded.join(freqs, Seq("sh")))
+          ordered
+            .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+            .select("doc_id", "sh"))
+      case None if hashOrderPrefix =>
+        (rawSets, rawSets.select(col("doc_id"),
+            explode_outer(slice(sort_array(col("sh_set")), lit(1),
+              (size(col("sh_set")) - ceil(lit(threshold) * size(col("sh_set"))) + 1)
+                .cast("int"))).as("sh"))
+          .filter(col("sh").isNotNull)) // Dedup.safeExplodeNote
+      case None =>
+        val exploded = rawSets.select(col("doc_id"),
+          size(col("sh_set")).as("__n"), explode(col("sh_set")).as("sh"))
+        val freqs = exploded.groupBy("sh").agg(count(lit(1)).as("__df"))
+        val ordered = exploded.join(freqs, Seq("sh"))
+          .withColumn("__rn", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
+        (rawSets, ordered
+          .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+          .select("doc_id", "sh"))
     }
-
-    // prefix extraction: global order = (doc-frequency asc, hash asc);
-    // prefix length n - ceil(t*n) + 1 with n = |doc's (kept) shingle set|
-    val ordered = explodedKept // carries __df from the freqs join either way
-      .withColumn("__rn", row_number().over(byDoc.orderBy(col("__df"), col("sh"))))
-    val prefixes = ordered
-      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select("doc_id", "sh")
 
     // candidate pairs: docs sharing a prefix shingle. Inline expansion for
     // short id-lists; distributed self-join for the heavy tail. Persisted:
@@ -437,7 +467,15 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .persist(StorageLevel.MEMORY_AND_DISK))
+    // explicit numPartitions repartition, NOT left to AQE: the candidate
+    // pair stream is byte-tiny (two longs a row) so AQE coalesces the
+    // post-distinct read to 1-2 partitions — and the expensive per-row
+    // array_intersect verification downstream of the broadcast joins then
+    // runs serialized (measured: 1.3 s on 2 of 32 cores at sf0.1).
+    // Size-based coalescing can't see per-row compute; an explicit
+    // repartition is exempt (the editDistanceNearDup lesson).
     val candidates = pairsFromIdLists(lists, "sh", pairListCutoff).distinct()
+      .repartition(par)
 
     // exact verification on the full hashed sets
     val aSets = sets.select(col("doc_id").as("doc_id_a"), col("sh_set").as("__set_a"))

@@ -88,6 +88,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard: hash-order prefix equals rare-first ordering") {
+    // the AllPairs prefix filter is lossless under any consistent global
+    // shingle order — both orders must yield identical verified pairs
+    def pairs(hashOrder: Boolean) =
+      Dedup.ngramJaccardPairs(docs, threshold = 0.6, hashOrderPrefix = hashOrder)
+        .orderBy("doc_id_a", "doc_id_b").collect().toSeq
+    assert(pairs(hashOrder = false) == pairs(hashOrder = true))
+  }
+
   test("ngram jaccard prefix filter loses nothing vs threshold-0 exhaustive") {
     // exhaustive ground truth at threshold 0 has an empty prefix-filter
     // effect (prefix = whole set); re-running at 0.6 must return exactly
