@@ -133,6 +133,27 @@ object Streaming {
       .select(col("doc_id"), col("text_key"))
   }
 
+  /** Streaming incremental-ingest dedup against a STATIC history: the
+    * batch [[graft.operators.Sketches.incrementalDedupDocs]] plan runs
+    * unchanged on a file stream — the history's Bloom bitset is built once
+    * at plan time (fixed-size, broadcast into the codegen'd probe), every
+    * arriving row gets `maybe_seen` map-side, and only Bloom-positive rows
+    * pay the stream-static left join for the exact `is_new` verdict.
+    * Append mode, no streaming state at all: the only state is the
+    * broadcast bitset, so this scales to an unbounded stream (unlike
+    * dropDuplicates, whose key state grows with the stream).
+    */
+  def streamingIncrementalDedup(
+      spark: SparkSession,
+      docsDir: String,
+      seenDocs: DataFrame,
+      mBits: Int = 1 << 14,
+      k: Int = 5): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    val incoming = spark.readStream.schema(schema).parquet(docsDir)
+    graft.operators.Sketches.incrementalDedupDocs(incoming, seenDocs, mBits, k)
+  }
+
   /** Run a streaming DF to completion on currently-available data into an
     * in-memory table; returns the result as a batch DF.
     */

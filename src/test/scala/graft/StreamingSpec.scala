@@ -71,6 +71,24 @@ class StreamingSpec extends AnyFunSuite {
         spark.read.parquet(s"$docsDir/documents.parquet")).count())
   }
 
+  test("streaming incremental dedup (bloom pre-filter) equals the batch verdicts") {
+    val docsDir = tmpDir("stream-incr").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(docsDir, "documents.parquet"))
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val seen = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingIncrementalDedup(spark, docsDir, seen),
+      "incrdedup", mode = "append")
+      .select("doc_id", "maybe_seen", "is_new")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.Sketches.incrementalDedupDocs(docs, seen)
+      .select("doc_id", "maybe_seen", "is_new")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("map-side pipeline ops (split, chunking) run unchanged on streams") {
     val docsDir = tmpDir("stream-chunk").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
