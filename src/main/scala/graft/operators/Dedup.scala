@@ -393,13 +393,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
 
-    // small-input parallelism guard: a sub-128MB corpus arrives as ONE scan
-    // partition, serializing the tokenize+shingle+hash build (the
-    // operator's heaviest map work) on one core. Repartitioning a small
-    // input is a trivially cheap shuffle; a big input already has ≥ par
-    // partitions and is left untouched.
+    // small-input parallelism guard ([[Parallelism.ensure]]): the
+    // tokenize+shingle+hash build is the operator's heaviest map work
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val src = Parallelism.ensure(docs)
 
     // (doc_id, sh_set: array<long>) — distinct hashed shingles per doc.
     // PERSISTED: downstream branches (prefixes, both verification sides)

