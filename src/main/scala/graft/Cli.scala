@@ -221,8 +221,8 @@ object Cli {
           |  corpus -in <documents.parquet>
           |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
           |              editdist|jaccard|clusters|spans|split|chunk|pack|contamination|
-          |              curate|kmeans|quantize|incrdedup|cms|hll]
-          |         (kmeans/quantize: -in is an embeddings parquet;
+          |              curate|kmeans|quantize|semdedup|incrdedup|cms|hll]
+          |         (kmeans/quantize/semdedup: -in is an embeddings parquet;
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K])
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
@@ -380,6 +380,10 @@ object Cli {
         k = flags.getOrElse("k", "16").toInt,
         iters = flags.getOrElse("iters", "2").toInt)
       case "quantize"    => Similarity.quantizeInt8(docs)
+      case "semdedup"    => Similarity.semanticDedup(docs,
+        k = flags.getOrElse("k", "8").toInt,
+        iters = flags.getOrElse("iters", "2").toInt,
+        threshold = threshold(0.95))
       case other => fail(s"unknown corpus op: $other")
     }
     flags.get("out") match {

@@ -129,6 +129,16 @@ object ScaleCheck {
       println("[scale] quantized: " +
         operators.Similarity.quantizeInt8(emb10).count())
     }
+    // semantic dedup at 10×: every original has 9 exact embedding copies
+    // in its cluster, so the within-cluster pair join runs at full dup
+    // density — 45 drops per original family; train+assign+prune must
+    // stay cluster-local
+    time("semantic dedup 20k vectors (10x all-dup corpus)") {
+      println("[scale] semdedup dropped: " +
+        operators.Similarity.semanticDedup(emb10, k = 16, iters = 2)
+          .filter(!col("keep")).count())
+    }
+    operators.CacheRegistry.release(spark)
     // sketches at 10×: the Bloom bitset build and per-row probes must stay
     // fixed-size however big the corpus — history = every 10th original
     // text, so ~90% of the 50k incoming rows are Bloom-negative and take

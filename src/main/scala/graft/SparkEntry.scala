@@ -488,6 +488,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: k-means clusters → within-cluster
+    // cosine prune → keep the lowest-id representative. Threshold 0.4
+    // because the synthetic corpus has no true embedding dups (max cos
+    // ≈ 0.48) — the plumbing is exercised with non-empty drops.
+    "q_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
+          k = 8, iters = 2, threshold = 0.4)
+        .orderBy("vec_id")),
+
     // deterministic k-means training summary (codebook arrays summarized
     // by their first four components — driver can't hash arrays)
     "q_kmeans" -> ((s, dir) => {
@@ -716,42 +725,39 @@ object SparkEntry {
     // init, same rounded-cosine assignment, same fixed-point means (exact
     // integer sums in any order), same float32 storage of centroids
     "q_kmeans" -> {
-      val k = 8; val iters = 2; val q = 1L << 20
-      val head = s"""ev AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
-         ), qv AS (
-           SELECT vec_id, pos, floor(d[pos] * $q + 0.5) AS qq
-           FROM (SELECT vec_id, d, unnest(range(1, len(d) + 1)) AS pos FROM ev) t
-         ), cents0 AS (
-           SELECT vec_id AS c, d AS e FROM ev ORDER BY vec_id LIMIT $k
-         )"""
-      val steps = (0 until iters).map { j =>
-        s"""a$j AS (
-           SELECT vec_id, c FROM (
-             SELECT e.vec_id, c.c,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
-             FROM ev e CROSS JOIN cents$j c) t WHERE rn = 1
-         ), m$j AS (
-           SELECT a.c, qv.pos,
-             CAST(CAST(CAST(sum(qv.qq) AS DOUBLE) / (count(*) * $q.0) AS FLOAT) AS DOUBLE) AS mv,
-             count(*) AS cnt
-           FROM a$j a JOIN qv ON a.vec_id = qv.vec_id
-           GROUP BY a.c, qv.pos
-         ), cents${j + 1} AS (
-           SELECT p.c, CASE WHEN n.e IS NULL THEN p.e ELSE n.e END AS e
-           FROM cents$j p LEFT JOIN (
-             SELECT c, list(mv ORDER BY pos) AS e FROM m$j GROUP BY c) n ON p.c = n.c
-         )"""
-      }.mkString(",\n         ")
-      s"""WITH $head,
-         $steps
+      val k = 8; val iters = 2
+      s"""WITH ${kmeansCtes(k, iters)}
          SELECT c AS centroid_id, coalesce(n.cnt, 0) AS n_assigned,
            e[1] AS c0, e[2] AS c1, e[3] AS c2, e[4] AS c3
          FROM cents$iters
          LEFT JOIN (SELECT c AS cf, CAST(count(*) AS BIGINT) AS cnt
                     FROM a${iters - 1} GROUP BY c) n ON c = n.cf
          ORDER BY centroid_id"""
+    },
+
+    // train → final assignment → within-cluster prune, all in one chain:
+    // the kmeans CTEs end at cents2, the assignment CTE reuses the exact
+    // rounded-cosine/tie-break comparison, and the pair prune is the
+    // q_embed_neardup-proven round(,4) cosine cut with cluster blocking
+    "q_semantic_dedup" -> {
+      val iters = 2
+      s"""WITH ${kmeansCtes(8, iters)},
+         af AS (
+           SELECT vec_id, c FROM (
+             SELECT e.vec_id, c.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
+             FROM ev e CROSS JOIN cents$iters c) t WHERE rn = 1
+         ), joined AS (
+           SELECT a.vec_id, a.c, ev.d FROM af a JOIN ev ON a.vec_id = ev.vec_id
+         ), p AS (
+           SELECT b.vec_id AS vb
+           FROM joined a JOIN joined b ON a.c = b.c AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.d, b.d), 4) >= 0.4
+         )
+         SELECT j.vec_id, j.c AS cluster_id,
+           j.vec_id NOT IN (SELECT vb FROM p) AS keep
+         FROM joined j ORDER BY vec_id"""
     },
 
     // float32→double widening, abs-max, and floor-plus-half are all
@@ -1449,6 +1455,45 @@ object SparkEntry {
     * (doc_id_a, doc_id_b, est_jaccard). Callers append their own final
     * SELECT over `est`.
     */
+  /** The exact iterative k-means replay (Similarity.trainCodebook) as
+    * chained CTEs: ev (DOUBLE[] embeddings), qv (2^20 fixed-point
+    * components), cents0 (k lowest-id init), then per iteration j the
+    * assignment a{j}, fixed-point means m{j}, and cents{j+1}. Shared by
+    * q_kmeans (reads cents{iters} + a{iters-1}) and q_semantic_dedup
+    * (assigns against cents{iters}).
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val q = 1L << 20
+    val head = s"""ev AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
+         ), qv AS (
+           SELECT vec_id, pos, floor(d[pos] * $q + 0.5) AS qq
+           FROM (SELECT vec_id, d, unnest(range(1, len(d) + 1)) AS pos FROM ev) t
+         ), cents0 AS (
+           SELECT vec_id AS c, d AS e FROM ev ORDER BY vec_id LIMIT $k
+         )"""
+    val steps = (0 until iters).map { j =>
+      s"""a$j AS (
+           SELECT vec_id, c FROM (
+             SELECT e.vec_id, c.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
+             FROM ev e CROSS JOIN cents$j c) t WHERE rn = 1
+         ), m$j AS (
+           SELECT a.c, qv.pos,
+             CAST(CAST(CAST(sum(qv.qq) AS DOUBLE) / (count(*) * $q.0) AS FLOAT) AS DOUBLE) AS mv,
+             count(*) AS cnt
+           FROM a$j a JOIN qv ON a.vec_id = qv.vec_id
+           GROUP BY a.c, qv.pos
+         ), cents${j + 1} AS (
+           SELECT p.c, CASE WHEN n.e IS NULL THEN p.e ELSE n.e END AS e
+           FROM cents$j p LEFT JOIN (
+             SELECT c, list(mv ORDER BY pos) AS e FROM m$j GROUP BY c) n ON p.c = n.c
+         )"""
+    }.mkString(",\n         ")
+    s"$head,\n         $steps"
+  }
+
   private def lshCandidateCtes(n: Int, bands: Int): String = {
     val rows = n / bands
     val scols = (0 until n)

@@ -307,4 +307,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * k-means-cluster the embedding space, compare vectors only WITHIN
+    * their cluster, and drop every vector that has a same-cluster
+    * neighbor with `round(cosine, 4) >= threshold` and a SMALLER vec_id —
+    * the deterministic keep-the-lowest-id-representative rule. Returns
+    * (vec_id, cluster_id, keep).
+    *
+    * The whole chain is engine-exact ([[trainCodebook]]'s fixed-point
+    * means + the q_embed_neardup-proven rounded-cosine comparison), so
+    * train → assign → prune replays as one DuckDB oracle
+    * (q_semantic_dedup).
+    *
+    * Scale shape: clustering is what makes the quadratic LOCAL — the
+    * pair join is blocked on cluster_id, so pair work is bounded by the
+    * largest cluster, never the corpus; assignment is one broadcast pass
+    * over k centroids; the codebook and per-iteration driver state stay
+    * k×dim. At 100 TB, size k so clusters stay joinable and reuse an
+    * offline codebook across ingest batches instead of retraining.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    val cb = trainCodebook(embeddings, k, iters)
+    val cents = broadcast(
+      cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
+    val ev = embeddings.select(col("vec_id"), col("embedding"))
+    // final assignment against the TRAINED codebook — same rounded-cosine
+    // comparison and centroid-id tie break as the training passes
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
+    val assigned = ev.crossJoin(cents)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c").as("cluster_id"))
+    val pairs = Dedup.embeddingNearDup(assigned, threshold, blockCol = "cluster_id")
+    // pairs carry vec_id_a < vec_id_b, so the b side always has a
+    // smaller-id near-dup → dropped
+    val dropped = pairs.select(col("vec_id_b").as("vec_id")).distinct()
+      .withColumn("__drop", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("__drop").isNull.as("keep"))
+  }
 }

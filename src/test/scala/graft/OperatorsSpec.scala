@@ -291,6 +291,28 @@ class OperatorsSpec extends AnyFunSuite {
     CacheRegistry.release(TestSpark.spark)
   }
 
+  test("semantic dedup: planted near-identical vector dropped, originals kept") {
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 24).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // vec 100 ≈ vec 3 (tiny perturbation → cosine ~1); vec 101 ≈ vec 7
+    def near(src: Int, id: Long) =
+      (id, base(src)._2.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    val df = (base ++ Seq(near(3, 100L), near(7, 101L)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, k = 4, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 26)
+    // the planted copies have a smaller-id near-dup (their source) → dropped
+    assert(!out(100L)._2 && !out(101L)._2)
+    assert(out(3L)._2 && out(7L)._2)
+    // a copy lands in its source's cluster (cosine ~1 → same argmax)
+    assert(out(100L)._1 == out(3L)._1)
+    assert(out(101L)._1 == out(7L)._1)
+    // random gaussians in 16-d are near-orthogonal — nothing else drops
+    assert(out.count(!_._2._2) == 2)
+  }
+
   test("int8 quantization: round-trip error bounded by half a step") {
     val emb = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
