@@ -309,6 +309,14 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // reproducible training-order shuffle: md5 sort key + contiguous
+    // global rank from the two-level prefix scan
+    "q_shuffle" -> ((s, dir) =>
+      Sampling.deterministicShuffle(Tables.load(s, dir, "documents"),
+          "doc_id", seed = 7L)
+        .select("doc_id", "shuffle_key", "shuffle_rank")
+        .orderBy("shuffle_rank")),
+
     // sliding-window chunking: 64-token windows, 16-token overlap
     "q_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16)
@@ -899,6 +907,16 @@ object SparkEntry {
            (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM it) AS exact_distinct
          FROM agg"""
     },
+
+    // the shuffle key is pure md5 arithmetic; the two-level rank must
+    // equal a flat global row_number over the same (key, id) order
+    "q_shuffle" ->
+      """SELECT doc_id,
+         md5(concat('7:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+         CAST(row_number() OVER (
+           ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id) - 1
+           AS BIGINT) AS shuffle_rank
+         FROM documents ORDER BY shuffle_rank""",
 
     // the split assignment is pure md5 arithmetic — replayed exactly
     "q_split" ->

@@ -125,4 +125,40 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol), buckets) < cut)
   }
+
+  /** Reproducible corpus shuffle for training-order determinism: every row
+    * gets `shuffle_key = md5("seed:id")` and a contiguous global
+    * `shuffle_rank` (0-based) in key order. Same seed → the same order on
+    * any engine, run, or partitioning; a new seed is a fresh epoch order;
+    * `shuffle_rank % world_size` shards an epoch.
+    *
+    * The rank is a two-level distributed prefix scan (the
+    * [[Packing.packSequences]] shape): 256 hex-prefix buckets × local
+    * row_number + a broadcast 256-row bucket-offset table — never a
+    * whole-corpus single-partition window. md5's top byte is uniform, so
+    * buckets stay balanced whatever the id distribution.
+    */
+  def deterministicShuffle(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
+    // idCol tie-break: md5 collisions are ~impossible, duplicate ids are
+    // not — the rank must be total either way
+    val w = Window.partitionBy("__b").orderBy(col("shuffle_key"), col(idCol))
+    val local = keyed.withColumn("__local", row_number().over(w).cast("long"))
+    val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__off")
+    local.join(broadcast(offsets), "__b")
+      .withColumn("shuffle_rank", col("__local") + col("__off") - 1)
+      .drop("__b", "__local", "__off")
+  }
 }

@@ -602,6 +602,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getLong(1) == 3L))
   }
 
+  test("deterministic shuffle: total 0-based rank, partition-independent, seed-sensitive") {
+    val base = docs.select("doc_id")
+    val r1 = Sampling.deterministicShuffle(base, seed = 7L)
+    val ranks = r1.select("shuffle_rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (0L until 500L))   // a permutation, contiguous
+    // the two-level rank equals a flat global row_number over the key order
+    val flat = r1.withColumn("__flat",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("shuffle_key"), col("doc_id"))).cast("long") - 1)
+      .filter(col("shuffle_rank") =!= col("__flat")).count()
+    assert(flat == 0)
+    // partitioning must not change the order
+    val r8 = Sampling.deterministicShuffle(base.repartition(8), seed = 7L)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val r1m = r1.select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(r8 == r1m)
+    // a different seed is a different epoch order
+    val r2 = Sampling.deterministicShuffle(base, seed = 8L)
+      .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(r2 != r1m)
+  }
+
   test("deterministic split: stable, partition-independent, ~fractional") {
     val split = Sampling.deterministicSplit(docs, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
