@@ -500,9 +500,12 @@ object SparkEntry {
     // cosine prune → keep the lowest-id representative. Threshold 0.4
     // because the synthetic corpus has no true embedding dups (max cos
     // ≈ 0.48) — the plumbing is exercised with non-empty drops.
+    // k=16/iters=1: SemDeDup needs only a rough partition of the space —
+    // more clusters mean a more parallel (and smaller) pair join, and one
+    // training round halves the driver-synced k-means jobs
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
-          k = 8, iters = 2, threshold = 0.4)
+          k = 16, iters = 1, threshold = 0.4)
         .orderBy("vec_id")),
 
     // deterministic k-means training summary (codebook arrays summarized
@@ -748,8 +751,8 @@ object SparkEntry {
     // rounded-cosine/tie-break comparison, and the pair prune is the
     // q_embed_neardup-proven round(,4) cosine cut with cluster blocking
     "q_semantic_dedup" -> {
-      val iters = 2
-      s"""WITH ${kmeansCtes(8, iters)},
+      val iters = 1
+      s"""WITH ${kmeansCtes(16, iters)},
          af AS (
            SELECT vec_id, c FROM (
              SELECT e.vec_id, c.c,

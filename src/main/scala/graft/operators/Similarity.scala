@@ -189,9 +189,11 @@ object Similarity {
     val Q = 1L << 20
 
     // persisted: re-scanned every iteration (assignment) and re-joined
-    // (means); fixed-point components materialize once
+    // (means); fixed-point components materialize once. Parallelism.ensure:
+    // a single-file embeddings scan would run every per-iteration
+    // crossJoin-assignment pass (the heavy compute) on one core
     val ev = CacheRegistry.track(
-      corpus.select(col("vec_id"), col("embedding"))
+      Parallelism.ensure(corpus.select(col("vec_id"), col("embedding")), "vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK))
     val qv = CacheRegistry.track(ev
       .select(col("vec_id"), posexplode_outer(col("embedding")))
@@ -335,7 +337,8 @@ object Similarity {
     val cb = trainCodebook(embeddings, k, iters)
     val cents = broadcast(
       cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
-    val ev = embeddings.select(col("vec_id"), col("embedding"))
+    val ev = Parallelism.ensure(
+      embeddings.select(col("vec_id"), col("embedding")), "vec_id")
     // final assignment against the TRAINED codebook — same rounded-cosine
     // comparison and centroid-id tie break as the training passes
     val w = Window.partitionBy("vec_id")
