@@ -238,6 +238,23 @@ class CliSpec extends AnyFunSuite {
     assert(hll.contains("est_distinct"))
   }
 
+  test("corpus subcommand: shuffle and semdedup ops") {
+    val shuffled = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/documents.parquet",
+        "op" -> "shuffle", "seed" -> "3"))
+    }
+    assert(shuffled.contains("Rows: 500"))
+    assert(shuffled.contains("shuffle_rank"))
+    val sem = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/embeddings.parquet",
+        "op" -> "semdedup", "k" -> "4", "iters" -> "1", "threshold" -> "0.4"))
+    }
+    assert(sem.contains("keep"))
+    assert(sem.contains("cluster_id"))
+  }
+
   test("parse summary golden block") {
     val out = captureOut {
       Cli.runParse(spark, Map(
