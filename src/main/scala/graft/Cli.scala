@@ -220,7 +220,7 @@ object Cli {
           |         [-group pat] [-limit N] [-tail N] [-seek K] [-format text|json] [-stats true]
           |  corpus -in <documents.parquet>
           |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
-          |              editdist|jaccard|clusters|spans|split|shuffle|chunk|pack|contamination|
+          |              editdist|jaccard|clusters|spans|split|shuffle|tokenbudget|chunk|pack|contamination|
           |              curate|kmeans|quantize|semdedup|incrdedup|cms|hll]
           |         (kmeans/quantize/semdedup: -in is an embeddings parquet;
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K])
@@ -352,6 +352,9 @@ object Cli {
       case "split"       => Sampling.deterministicSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).select("doc_id", "split")
       case "shuffle"     => Sampling.deterministicShuffle(docs,
+        seed = flags.getOrElse("seed", "0").toLong)
+      case "tokenbudget" => Sampling.tokenBudgetSample(docs,
+        budgetTokens = flags.getOrElse("budget", "1000000").toLong,
         seed = flags.getOrElse("seed", "0").toLong)
       case "chunk"       => TextAnalysis.chunkDocuments(docs,
         flags.getOrElse("chunk-tokens", "64").toInt,

@@ -317,6 +317,13 @@ object SparkEntry {
         .select("doc_id", "shuffle_key", "shuffle_rank")
         .orderBy("shuffle_rank")),
 
+    // reproducible ~10k-token subset drawn in shuffle order
+    "q_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(Tables.load(s, dir, "documents"),
+          budgetTokens = 10000L, seed = 5L)
+        .select("doc_id", "token_offset", "n_tokens")
+        .orderBy("token_offset")),
+
     // sliding-window chunking: 64-token windows, 16-token overlap
     "q_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16)
@@ -920,6 +927,25 @@ object SparkEntry {
            ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id) - 1
            AS BIGINT) AS shuffle_rank
          FROM documents ORDER BY shuffle_rank""",
+
+    // greedy prefix of the seed-5 shuffle order under a 10k-token budget:
+    // exclusive running token sum replayed with a flat window
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id,
+             md5(concat('5:', CAST(doc_id AS VARCHAR))) AS k,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS token_offset
+           FROM t
+         )
+         SELECT doc_id, token_offset, n_tokens FROM c
+         WHERE token_offset < 10000 ORDER BY token_offset""",
 
     // the split assignment is pure md5 arithmetic — replayed exactly
     "q_split" ->

@@ -138,6 +138,44 @@ object Sampling {
     * whole-corpus single-partition window. md5's top byte is uniform, so
     * buckets stay balanced whatever the id distribution.
     */
+  /** Deterministic token-budget subset: walk the corpus in
+    * [[deterministicShuffle]] order and keep every document whose
+    * PRECEDING cumulative token count is still under `budgetTokens` —
+    * "give me ~N tokens of data, reproducibly" (dataset sizing for a
+    * training run). The kept set is identical on any engine, run, or
+    * partitioning; a different seed draws a different subset of the same
+    * size shape. Returns kept docs with (token_offset, n_tokens).
+    *
+    * The running token sum is the same two-level prefix scan as the rank:
+    * per-bucket exclusive window sums + a broadcast 256-row bucket-offset
+    * table — never a whole-corpus single-partition window.
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgetTokens: Long,
+      idCol: String = "doc_id",
+      seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0)
+    val keyed = deterministicShuffle(docs, idCol, seed)
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
+    val w = Window.partitionBy("__b").orderBy(col("shuffle_key"), col(idCol))
+    val local = keyed.withColumn("__local",
+      coalesce(sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = keyed.groupBy("__b").agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__off",
+        coalesce(sum(col("__btot")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__off")
+    local.join(broadcast(offsets), "__b")
+      .withColumn("token_offset", col("__local") + col("__off"))
+      .filter(col("token_offset") < budgetTokens)
+      .drop("__b", "__local", "__off")
+  }
+
   def deterministicShuffle(
       docs: DataFrame,
       idCol: String = "doc_id",

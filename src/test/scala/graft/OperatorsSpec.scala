@@ -624,6 +624,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2 != r1m)
   }
 
+  test("token budget sample: equals a driver-side greedy walk of the shuffle order") {
+    val budget = 5000L
+    val got = Sampling.tokenBudgetSample(docs, budget, seed = 5L)
+      .select("doc_id", "token_offset", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    // independent replay: shuffle order from the operator's own key, greedy cumsum
+    val order = Sampling.deterministicShuffle(docs.select("doc_id", "text"), seed = 5L)
+      .withColumn("__nt", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .select("doc_id", "shuffle_rank", "__nt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    var cum = 0L
+    val want = order.flatMap { case (id, _, nt) =>
+      val keep = if (cum < budget) Some((id, cum, nt)) else None
+      cum += nt
+      keep
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty && got.length < 500) // strict non-trivial subset
+  }
+
   test("deterministic split: stable, partition-independent, ~fractional") {
     val split = Sampling.deterministicSplit(docs, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
