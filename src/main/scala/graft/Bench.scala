@@ -82,8 +82,16 @@ object Bench {
     def cpuNanos(): Long = osBean.getProcessCpuTime
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the suite — an iteration loop for
-    // optimizing one query without paying for the other ~56
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // optimizing one query without paying for the other ~56. Names are
+    // trimmed and validated: a typo must fail loudly, not measure an
+    // empty suite as a successful total=0 run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

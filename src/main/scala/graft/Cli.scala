@@ -226,6 +226,7 @@ object Cli {
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K])
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
+          |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
           |""".stripMargin)
       sys.exit(1)
     }

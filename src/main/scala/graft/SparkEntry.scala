@@ -322,7 +322,7 @@ object SparkEntry {
       Sampling.tokenBudgetSample(Tables.load(s, dir, "documents"),
           budgetTokens = 10000L, seed = 5L)
         .select("doc_id", "token_offset", "n_tokens")
-        .orderBy("token_offset")),
+        .orderBy("token_offset", "doc_id")),
 
     // sliding-window chunking: 64-token windows, 16-token overlap
     "q_chunks" -> ((s, dir) =>
@@ -945,7 +945,7 @@ object SparkEntry {
            FROM t
          )
          SELECT doc_id, token_offset, n_tokens FROM c
-         WHERE token_offset < 10000 ORDER BY token_offset""",
+         WHERE token_offset < 10000 ORDER BY token_offset, doc_id""",
 
     // the split assignment is pure md5 arithmetic — replayed exactly
     "q_split" ->

@@ -126,6 +126,10 @@ object Sampling {
     df.filter(hashBucket(col(idCol), buckets) < cut)
   }
 
+  /** The per-epoch shuffle key: md5("seed:id"). */
+  private def epochKey(idCol: String, seed: Long): Column =
+    md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+
   /** Reproducible corpus shuffle for training-order determinism: every row
     * gets `shuffle_key = md5("seed:id")` and a contiguous global
     * `shuffle_rank` (0-based) in key order. Same seed → the same order on
@@ -138,6 +142,29 @@ object Sampling {
     * whole-corpus single-partition window. md5's top byte is uniform, so
     * buckets stay balanced whatever the id distribution.
     */
+  def deterministicShuffle(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("shuffle_key", epochKey(idCol, seed))
+      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
+    // idCol tie-break: md5 collisions are ~impossible, duplicate ids are
+    // not — the rank must be total either way
+    val w = Window.partitionBy("__b").orderBy(col("shuffle_key"), col(idCol))
+    val local = keyed.withColumn("__local", row_number().over(w).cast("long"))
+    val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__b", "__off")
+    local.join(broadcast(offsets), "__b")
+      .withColumn("shuffle_rank", col("__local") + col("__off") - 1)
+      .drop("__b", "__local", "__off")
+  }
+
   /** Deterministic token-budget subset: walk the corpus in
     * [[deterministicShuffle]] order and keep every document whose
     * PRECEDING cumulative token count is still under `budgetTokens` —
@@ -146,9 +173,12 @@ object Sampling {
     * partitioning; a different seed draws a different subset of the same
     * size shape. Returns kept docs with (token_offset, n_tokens).
     *
-    * The running token sum is the same two-level prefix scan as the rank:
-    * per-bucket exclusive window sums + a broadcast 256-row bucket-offset
-    * table — never a whole-corpus single-partition window.
+    * Shares [[deterministicShuffle]]'s key and bucket layout but runs its
+    * OWN single window pass (the exclusive token sum) — it does not need
+    * the rank, so the shuffle's row_number machinery never executes. Null
+    * or token-free texts count 0 tokens (and still ride along at their key
+    * position); consumers ordering output should use (token_offset, id) —
+    * zero-token docs tie on offset alone.
     */
   def tokenBudgetSample(
       docs: DataFrame,
@@ -157,8 +187,11 @@ object Sampling {
       seed: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0)
-    val keyed = deterministicShuffle(docs, idCol, seed)
-      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+    val keyed = docs
+      .withColumn("shuffle_key", epochKey(idCol, seed))
+      .withColumn("n_tokens",
+        greatest(coalesce(size(TextAnalysis.tokens(col("text"))).cast("long"),
+          lit(0L)), lit(0L)))
       .withColumn("__b", substring(col("shuffle_key"), 1, 2))
     val w = Window.partitionBy("__b").orderBy(col("shuffle_key"), col(idCol))
     val local = keyed.withColumn("__local",
@@ -173,30 +206,6 @@ object Sampling {
     local.join(broadcast(offsets), "__b")
       .withColumn("token_offset", col("__local") + col("__off"))
       .filter(col("token_offset") < budgetTokens)
-      .drop("__b", "__local", "__off")
-  }
-
-  def deterministicShuffle(
-      docs: DataFrame,
-      idCol: String = "doc_id",
-      seed: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keyed = docs
-      .withColumn("shuffle_key",
-        md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
-      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
-    // idCol tie-break: md5 collisions are ~impossible, duplicate ids are
-    // not — the rank must be total either way
-    val w = Window.partitionBy("__b").orderBy(col("shuffle_key"), col(idCol))
-    val local = keyed.withColumn("__local", row_number().over(w).cast("long"))
-    val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("__b", "__off")
-    local.join(broadcast(offsets), "__b")
-      .withColumn("shuffle_rank", col("__local") + col("__off") - 1)
       .drop("__b", "__local", "__off")
   }
 }

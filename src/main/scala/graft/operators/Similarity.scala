@@ -343,10 +343,15 @@ object Similarity {
     // comparison and centroid-id tie break as the training passes
     val w = Window.partitionBy("vec_id")
       .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
-    val assigned = ev.crossJoin(cents)
+    // persisted: three consumers (both self-join sides + the keep join)
+    // would re-run the crossJoin+window assignment otherwise; at sf0.1 the
+    // A/B is wall-neutral (cache barrier ≈ re-execution cost on 2k rows)
+    // but at corpus scale assignment is the expensive pass
+    val assigned = CacheRegistry.track(ev.crossJoin(cents)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = Dedup.embeddingNearDup(assigned, threshold, blockCol = "cluster_id")
     // pairs carry vec_id_a < vec_id_b, so the b side always has a
     // smaller-id near-dup → dropped

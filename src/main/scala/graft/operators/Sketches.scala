@@ -156,18 +156,21 @@ object Sketches {
   def cmsTokenTopK(
       docs: DataFrame, depth: Int = 4, width: Int = 1 << 12,
       topK: Int = 10): DataFrame = {
-    // ONE tokenize scan feeds both the sketch and the truth side (a
-    // vocabTopK call here would re-tokenize the corpus), parallelized past
-    // the single-file scan partition — tokenize×(sketch+truth) is the
-    // dominant compute and was serialized on one core (2.3 s → 1.3 s wall
-    // at sf0.1; the cpu_sec rise is 32-way small-task overhead, a
-    // local-mode artifact that amortizes once tasks carry real data)
+    // TWO tokenize scans total — one under the sketch, one under the
+    // truth topK (a vocabTopK call here would add a third) — parallelized
+    // past the single-file scan partition (2.3 s → 1.3 s wall at sf0.1;
+    // the cpu_sec rise is 32-way small-task overhead, a local-mode
+    // artifact that amortizes once tasks carry real data). The tiny truth
+    // table persists so its two consumers (probe keys + the report join)
+    // don't each re-run the topK pipeline.
     val toks = Parallelism.ensure(docs)
       .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull) // Dedup.safeExplodeNote
     val cms = cmsTable(toks, "token", depth, width)
-    val truth = toks.groupBy("token").agg(count(lit(1)).as("occurrences"))
-      .orderBy(col("occurrences").desc, col("token")).limit(topK)
+    val truth = CacheRegistry.track(
+      toks.groupBy("token").agg(count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("token")).limit(topK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cmsEstimate(cms, truth.select("token"), "token", depth, width)
       .withColumnRenamed("item", "token")
       .join(truth, "token")
