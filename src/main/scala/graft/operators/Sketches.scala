@@ -216,19 +216,32 @@ object Sketches {
     0.7213 / (1 + 1.079 / m) * m * m * math.pow(2.0, 61 - p)
   }
 
-  def hllDistinct(items: DataFrame, itemCol: String, p: Int = 12): DataFrame = {
+  /** The register table alone — (idx, mrho), one row per used register,
+    * ≤ 2^p rows whatever the input size. Split out from [[hllDistinct]]
+    * because this single-aggregation stage is the part that runs
+    * UNCHANGED on a stream (Complete mode, bounded state = the register
+    * table); the finalize below is a second aggregation, which Structured
+    * Streaming disallows in one query — run it batch-side on the sink
+    * table ([[graft.streaming.Streaming.streamingHllRegisters]]).
+    */
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int = 12): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val m = 1 << p
     val restBits = 60 - p
-    val x = 61 - p
     val mask = (1L << restBits) - 1
     val h = Dedup.md5Token60(col(itemCol))
-    val reg = items.filter(col(itemCol).isNotNull)
+    items.filter(col(itemCol).isNotNull)
       .select(shiftright(h, restBits).as("idx"), h.bitwiseAND(lit(mask)).as("rem"))
       .select(col("idx"),
         when(col("rem") === 0, lit(restBits + 1))
           .otherwise(lit(restBits + 1) - length(bin(col("rem")))).as("rho"))
       .groupBy("idx").agg(max(col("rho")).as("mrho"))
+  }
+
+  /** Fold a register table into the distinct-count estimate. */
+  def hllFinalize(reg: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val x = 61 - p
     // one shared double constant ([[hllConstant]] — the keywordScores
     // BM25-constant technique for oracle portability)
     val c = hllConstant(p)
@@ -244,4 +257,7 @@ object Sketches {
       .select(col("n_registers_used"), col("s_fixed"),
         (lit(c) / col("s_fixed").cast("double")).as("est_distinct"))
   }
+
+  def hllDistinct(items: DataFrame, itemCol: String, p: Int = 12): DataFrame =
+    hllFinalize(hllRegisters(items, itemCol, p), p)
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse TF-IDF document vectors and term-blocked cosine similarity —
+  * the sparse-vector twin of the dense-embedding family in
+  * [[Similarity]].
+  *
+  * Scale design:
+  *   - vectors are (doc_id, term, weight) triples — the natural Spark
+  *     representation of a sparse matrix: no row-size limit, partial-agg
+  *     friendly, prunable by term;
+  *   - idf is RATIONAL, (N+1)/(df+1) with no logarithm — transcendental
+  *     functions are the one double operation engines disagree on in the
+  *     last ulp (libm vs libm), while +,·,/ and sqrt are IEEE
+  *     correctly-rounded everywhere, so the whole pipeline replays
+  *     bit-for-bit in the DuckDB oracle;
+  *   - cosine pairs are TERM-BLOCKED: the self-join key is the term, so
+  *     only documents sharing vocabulary ever meet — never an O(n²)
+  *     cross; the fractional df cap (`maxDfFrac`) drops corpus-wide
+  *     terms from pair GENERATION (the classic skew guard: a term in
+  *     half the corpus pairs everything with everything), while the dot
+  *     product itself stays exact over ALL shared terms of surviving
+  *     candidate pairs;
+  *   - dot products and norms accumulate in exact DECIMAL (weights are
+  *     4dp-rounded, so products are exactly representable) — addition
+  *     order cannot change the result, which is what makes a
+  *     shuffle-partitioned sum reproducible across engines AND across
+  *     cluster sizes.
+  */
+object Tfidf {
+
+  /** Sliding word n-grams as term strings (space-joined); `n = 1` is the
+    * plain whitespace token stream. NON-distinct — term frequency needs
+    * every occurrence. Docs shorter than `n` tokens contribute nothing.
+    */
+  private def ngramTerms(text: Column, n: Int): Column = {
+    val tk = TextAnalysis.tokens(text)
+    if (n == 1) tk
+    else when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => array_join(slice(tk, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Sparse TF-IDF vectors: one (doc_id, term, tfidf) row per distinct
+    * n-gram term per document. tfidf = tf · (N+1)/(df+1), 4dp-rounded.
+    * Two partial-agg shuffles (doc×term counts, term df) + one broadcast
+    * of the single-row corpus count.
+    */
+  def tfidfVectors(docs: DataFrame, ngram: Int = 1): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val toks = docs
+      .select(col("doc_id"), ngramTerms(col("text"), ngram).as("__t"))
+      .select(col("doc_id"), explode_outer(col("__t")).as("term"))
+      .filter(col("term").isNotNull)
+    val tfc = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tfc.groupBy("term").agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("__N"))
+    tfc.join(dft, "term")
+      .crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") * (col("__N") + lit(1.0)) /
+          (col("df") + lit(1.0)), 4).as("tfidf"))
+  }
+
+  /** Cosine-similar document pairs over sparse TF-IDF vectors.
+    *
+    * Candidate pairs come from a self-join blocked on the term; terms
+    * with df > floor(D · maxDfFrac) (D = docs present in the vector
+    * table) are excluded from pair GENERATION only — pairs sharing at
+    * least one sub-cap term still get their dot product over ALL shared
+    * terms. With `maxDfFrac = 1.0` the result is exact for every pair
+    * sharing any term.
+    *
+    * Output: (doc_id_a, doc_id_b, cos_sim) with doc_id_a < doc_id_b and
+    * cos_sim ≥ threshold, 4dp-rounded.
+    */
+  def sparseCosinePairs(
+      vectors: DataFrame,
+      threshold: Double = 0.5,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    // decimal substrate: 4dp weights are exact in DECIMAL(18,4); products
+    // and sums stay exact, so accumulation order is irrelevant
+    val w = vectors.select(col("doc_id"), col("term"),
+      col("tfidf").cast("decimal(18,4)").as("w"))
+
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
+
+    val dRow = w.agg(countDistinct(col("doc_id")).as("__D"))
+    val genTerms = w.groupBy("term").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(dRow))
+      .filter(col("__df") <= floor(col("__D") * lit(maxDfFrac)))
+      .select("term")
+    val gen = w.select("doc_id", "term").join(genTerms, "term")
+    val cand = gen.as("a").join(gen.as("b"), "term")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+
+    // exact dot over ALL shared terms of each candidate pair (not just
+    // the generating sub-cap terms)
+    val dots = cand
+      .join(w.select(col("doc_id").as("doc_id_a"), col("term"), col("w").as("wa")),
+        Seq("doc_id_a"))
+      .join(w.select(col("doc_id").as("doc_id_b"), col("term"), col("w").as("wb")),
+        Seq("doc_id_b", "term"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(sum(col("wa") * col("wb")).cast("double").as("__dot"))
+
+    dots
+      .join(norms.select(col("doc_id").as("doc_id_a"), col("norm").as("__na")), "doc_id_a")
+      .join(norms.select(col("doc_id").as("doc_id_b"), col("norm").as("__nb")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("__dot") / (col("__na") * col("__nb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

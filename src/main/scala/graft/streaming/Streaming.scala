@@ -154,6 +154,41 @@ object Streaming {
     graft.operators.Sketches.incrementalDedupDocs(incoming, seenDocs, mBits, k)
   }
 
+  /** Streaming count-min sketch over document tokens: the batch
+    * [[graft.operators.Sketches.cmsTable]] plan unchanged on a file
+    * stream. Run in Complete mode — the streaming state is the sketch
+    * itself, a FIXED depth×width counter table however unbounded the
+    * stream (that bounded-state property is the entire reason sketches
+    * exist; dropDuplicates-style key state would grow forever).
+    */
+  def streamingCmsTokens(
+      spark: SparkSession, docsDir: String,
+      depth: Int = 4, width: Int = 1 << 12): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    val toks = spark.readStream.schema(schema).parquet(docsDir)
+      .select(col("text"))
+      .select(explode_outer(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+    graft.operators.Sketches.cmsTable(toks, "token", depth, width)
+  }
+
+  /** Streaming HyperLogLog register table over document tokens — the
+    * single-aggregation stage of [[graft.operators.Sketches.hllDistinct]]
+    * on a file stream (state ≤ 2^p register rows, fixed). Structured
+    * Streaming rejects the chained finalize aggregation in the same
+    * query; fold the sink table with
+    * [[graft.operators.Sketches.hllFinalize]] after (or per-batch).
+    */
+  def streamingHllRegisters(
+      spark: SparkSession, docsDir: String, p: Int = 12): DataFrame = {
+    val schema = spark.read.parquet(docsDir).schema
+    val toks = spark.readStream.schema(schema).parquet(docsDir)
+      .select(col("text"))
+      .select(explode_outer(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+    graft.operators.Sketches.hllRegisters(toks, "token", p)
+  }
+
   /** Run a streaming DF to completion on currently-available data into an
     * in-memory table; returns the result as a batch DF.
     */

@@ -137,6 +137,147 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until n).map(i => (i, 0L)))
   }
 
+  test("z-order key: hand-computed Morton codes and per-axis monotonicity") {
+    import graft.functions.BitInterleave
+    // a=3 (bits 0,1 -> odd positions 1,3), b=5 (bits 0,2 -> even 0,4):
+    // 0b11011 = 27
+    assert(BitInterleave.zorder(3L, 5L) == 27L)
+    assert(BitInterleave.zorder(0L, 0L) == 0L)
+    assert(BitInterleave.zorder(1L, 0L) == 2L)
+    assert(BitInterleave.zorder(0L, 1L) == 1L)
+    // interleave is monotone per axis with the other fixed
+    for (v <- Seq(0L, 1L, 7L, 100L, 65535L, 0x7FFFFFFEL))
+      assert(BitInterleave.zorder(v, 9L) < BitInterleave.zorder(v + 1, 9L))
+    // 31-bit inputs produce strictly positive 62-bit keys (no sign wrap)
+    assert(BitInterleave.zorder(0x7FFFFFFFL, 0x7FFFFFFFL) > 0L)
+    // engine expression == the scala bit math, through codegen
+    val df = Seq((3L, 5L), (123456L, 654321L), (0x7FFFFFFFL, 0L))
+      .toDF("a", "b")
+    val got = df.select(graft.functions.GraftFunctions.z_order_key($"a", $"b"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(BitInterleave.zorder(3L, 5L),
+      BitInterleave.zorder(123456L, 654321L), BitInterleave.zorder(0x7FFFFFFFL, 0L)))
+  }
+
+  test("z-ordered layout: per-file spans tighten in BOTH dimensions") {
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    val grid = (1 to n).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      val files = 16
+      Layout.writeZOrdered(grid, "x", "y", s"$base/z", numFiles = files)
+      grid.repartition(files).write.parquet(s"$base/plain")
+      def meanSpanFrac(path: String): (Double, Double) = {
+        val rows = Layout.fileSpans(spark, path, "x", "y").collect()
+        val fx = rows.map(r => (r.getLong(3) - r.getLong(2)).toDouble / 1000.0)
+        val fy = rows.map(r => (r.getLong(5) - r.getLong(4)).toDouble / 1000.0)
+        (fx.sum / fx.length, fy.sum / fy.length)
+      }
+      val (zx, zy) = meanSpanFrac(s"$base/z")
+      val (px, py) = meanSpanFrac(s"$base/plain")
+      // round-robin files span ~the full domain on both axes; z-order
+      // must cut the mean span substantially in BOTH
+      assert(zx < px * 0.6, s"x span: z=$zx plain=$px")
+      assert(zy < py * 0.6, s"y span: z=$zy plain=$py")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("tfidf: hand-computed weights on a three-doc corpus") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val got = Tfidf.tfidfVectors(df).orderBy("doc_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // N=3; df(a)=2, df(b)=1, df(c)=2; idf = (N+1)/(df+1)
+    assert(got.toSeq == Seq(
+      (1L, "a", 2.0 * 4.0 / 3.0), (1L, "b", 2.0),
+      (2L, "a", 4.0 / 3.0), (2L, "c", 4.0 / 3.0),
+      (3L, "c", 4.0)).map(t => (t._1, t._2, math.rint(t._3 * 1e4) / 1e4)))
+  }
+
+  test("sparse cosine: identical docs hit 1.0, disjoint docs never pair") {
+    val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "p q r")).toDF("doc_id", "text")
+    val got = Tfidf.sparseCosinePairs(Tfidf.tfidfVectors(df), threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("sparse cosine: df cap drops stop-term pair-gen but keeps exact dots") {
+    // "the" is in every doc (df=4 > cap); docs 1,2 also share rare "alpha"
+    // so they still pair — and their dot must INCLUDE the "the" component
+    val df = Seq((1L, "the alpha"), (2L, "the alpha"),
+      (3L, "the beta"), (4L, "the gamma")).toDF("doc_id", "text")
+    val capped = Tfidf.sparseCosinePairs(Tfidf.tfidfVectors(df),
+        threshold = 0.0, maxDfFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected only the rare-term pair at cos 1.0, got ${capped.toSeq}")
+  }
+
+  test("binned quantiles: within one bucket width of the exact quantile") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map(_ => ("g1", rnd.nextDouble() * 100.0)) ++
+      (1 to 500).map(_ => ("g2", 50.0 + rnd.nextGaussian() * 5.0))
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.binnedQuantiles(df, "v", "g", bins = 1024)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for ((g, vals) <- rows.groupBy(_._1)) {
+      val sorted = vals.map(_._2).sorted
+      val width = (sorted.last - sorted.head) / 1024.0
+      val (n, p50, p95) = got(g)
+      assert(n == vals.size)
+      def exact(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+      assert(math.abs(p50 - exact(0.5)) <= width + 1e-9, s"$g p50 $p50 vs ${exact(0.5)}")
+      assert(math.abs(p95 - exact(0.95)) <= width + 1e-9, s"$g p95 $p95 vs ${exact(0.95)}")
+    }
+  }
+
+  test("binned quantiles: constant-valued group reports the constant") {
+    val df = Seq(("a", 7.5), ("a", 7.5), ("a", 7.5), ("b", 1.0), ("b", 2.0))
+      .toDF("g", "v")
+    val got = Quantiles.binnedQuantiles(df, "v", "g", bins = 4)
+      .orderBy("g").collect()
+    assert(got(0).getDouble(2) == 7.5 && got(0).getDouble(3) == 7.5)
+    assert(got(0).getLong(1) == 3L)
+  }
+
+  test("star contraction == union-find labels on chain, star, and merged shapes") {
+    val docsDf = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3-4 (depth the large-star hook must collapse), star around
+    // 6, two components merged through a bridge (9-10, 11-12, 10-11),
+    // singletons 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L), (6L, 8L),
+      (9L, 10L), (11L, 12L), (10L, 11L)).toDF("doc_id_a", "doc_id_b")
+    val expect = Dedup.dedupClusters(docsDf, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = Dedup.dedupClustersStar(docsDf, pairs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(expect.take(4).map(_._2) == Seq(1L, 1L, 1L, 1L))
+    assert(expect.drop(8).map(_._2) == Seq(9L, 9L, 9L, 9L))
+  }
+
+  test("star contraction: deep chain converges in far fewer rounds than diameter") {
+    // a 24-node path needs 23 min-label rounds; star contraction must
+    // finish inside 10 alternations (O(log² n)) — maxIter enforces it
+    val n = 24L
+    val docsDf = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dedupClustersStar(docsDf, chain, maxIter = 10, checkpointEvery = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L until n).map(i => (i, 0L)))
+  }
+
+  test("star contraction: empty pair set labels every doc by itself") {
+    val docsDf = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, Long)].toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dedupClustersStar(docsDf, none)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (1L to 5L).map(i => (i, i)))
+  }
+
   test("vec_dot rejects non-float32 arrays at analysis time") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     val e = intercept[Exception] {

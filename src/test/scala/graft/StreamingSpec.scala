@@ -89,6 +89,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CMS and HLL sketches equal their batch twins") {
+    val docsDir = tmpDir("stream-sketch").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(docsDir, "documents.parquet"))
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    val toks = docs
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
+
+    val streamedCms = Streaming.runAvailableNow(
+      Streaming.streamingCmsTokens(spark, docsDir), "cms_stream")
+      .orderBy("j", "idx").collect().toSeq
+    val batchCms = graft.operators.Sketches.cmsTable(toks, "token", 4, 1 << 12)
+      .orderBy("j", "idx").collect().toSeq
+    assert(streamedCms == batchCms && streamedCms.nonEmpty)
+
+    val streamedReg = Streaming.runAvailableNow(
+      Streaming.streamingHllRegisters(spark, docsDir), "hll_stream")
+    val streamedEst = graft.operators.Sketches.hllFinalize(streamedReg, 12)
+      .collect().toSeq
+    val batchEst = graft.operators.Sketches.hllDistinct(toks, "token", 12)
+      .collect().toSeq
+    assert(streamedEst == batchEst && streamedEst.nonEmpty)
+  }
+
   test("map-side pipeline ops (split, chunking) run unchanged on streams") {
     val docsDir = tmpDir("stream-chunk").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
