@@ -369,6 +369,28 @@ object Cli {
         spark.read.parquet(flags.getOrElse("probes",
           fail("corpus -op contamination requires -probes <parquet>"))))
       case "curate"      => Pipeline.curate(docs)
+      case "starclusters" => Dedup.dedupClustersStar(docs,
+        Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
+      case "tfidf"       => Tfidf.tfidfVectors(docs,
+        ngram = flags.getOrElse("ngram", "1").toInt)
+      case "cosine"      => Tfidf.sparseCosinePairs(
+        Tfidf.tfidfVectors(docs, ngram = flags.getOrElse("ngram", "2").toInt),
+        threshold = threshold(0.05),
+        maxDfFrac = flags.getOrElse("max-df-frac", "0.01").toDouble)
+      case "quantile"    => Quantiles.binnedQuantiles(
+        docs.join(TextAnalysis.tokenCount(docs), "doc_id"),
+        "n_tokens", flags.getOrElse("group-col", "source"),
+        bins = flags.getOrElse("bins", "1024").toInt)
+      // -dest (not -out): -out is where the RESULT table (the per-file
+      // span report) goes; -dest is the rewritten-layout directory
+      case "zorder"      =>
+        val dest = flags.getOrElse("dest",
+          fail("corpus -op zorder requires -dest <dir> (the rewritten-layout directory)"))
+        Layout.writeZOrdered(docs,
+          flags.getOrElse("col-a", "doc_id"), flags.getOrElse("col-b", "n_chars"),
+          dest, numFiles = flags.getOrElse("files", "32").toInt)
+        Layout.fileSpans(spark, dest, flags.getOrElse("col-a", "doc_id"),
+          flags.getOrElse("col-b", "n_chars"))
       // fixed-memory sketches (Sketches.scala)
       case "incrdedup"   => Sketches.incrementalDedupDocs(docs,
         spark.read.parquet(flags.getOrElse("seen",

@@ -153,6 +153,35 @@ object ScaleCheck {
     time("hll distinct (doc,token) pairs 50k docs (p=12)") {
       operators.Sketches.hllTokenIncidence(docs10, p = 12).show()
     }
+    // star-contraction CC at 10× dup density: the pair graph is ~45 edges
+    // per original family (every copy pairs with every copy), a worst case
+    // for hook fan-out; rounds must stay O(log) and the edge table must
+    // SHRINK toward one star per family
+    time("star-contraction clusters 50k docs (10x all-dup corpus)") {
+      println("[scale] star clusters kept: " +
+        operators.Dedup.dedupClustersStar(docs10,
+            operators.Dedup.ngramJaccardPairs(docs10, threshold = 0.8))
+          .filter(col("doc_id") === col("canonical_id")).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // sparse tf-idf cosine at 10×: df of every term is 10× hotter, so the
+    // 1% df cap must still bound pair generation (the cap scales with D)
+    time("sparse bigram cosine 50k docs (df cap 1%)") {
+      println("[scale] cosine pairs out: " +
+        operators.Tfidf.sparseCosinePairs(
+            operators.Tfidf.tfidfVectors(docs10, ngram = 2),
+            threshold = 0.05, maxDfFrac = 0.01).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // z-order rewrite of the 10× corpus: the layout shuffle is the only
+    // shuffle; per-file spans must tighten in both dimensions
+    time("z-order rewrite 50k docs -> 32 files") {
+      val zdir = java.nio.file.Files.createTempDirectory("scale-z").toString
+      operators.Layout.writeZOrdered(docs10, "doc_id", "n_chars", s"$zdir/z")
+      operators.Layout.fileSpans(spark, s"$zdir/z", "doc_id", "n_chars")
+        .agg(count(lit(1)).as("files"), sum(col("rows")).as("rows")).show()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
+    }
     // the composed pipeline end-to-end on the skewed corpus
     time("pipeline curate 50k docs (10x all-dup corpus)") {
       println("[scale] pipeline chunks out: " +

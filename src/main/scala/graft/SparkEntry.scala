@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Dedup, Index, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -418,6 +418,20 @@ object SparkEntry {
           Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey")
         .select("l_orderkey", "l_linenumber", "z_key")
         .orderBy("z_key", "l_orderkey", "l_linenumber")),
+
+    // inverted-index dictionary: per-term df / total tf / doc span — the
+    // scalar summary of the positional index (posting lists themselves
+    // are per-(term,doc) rows, never one giant per-term array)
+    "q_term_stats" -> ((s, dir) =>
+      Index.termStats(Tables.load(s, dir, "documents"))
+        .orderBy("term")),
+
+    // exact phrase search by positional intersection — cost bounded by
+    // the rarest phrase term's postings
+    "q_phrase" -> ((s, dir) =>
+      Index.phraseSearch(Tables.load(s, dir, "documents"),
+          Seq("order", "fast"))
+        .orderBy("doc_id")),
 
     // sparse TF-IDF triples — rational idf (no log), so every weight
     // replays bit-for-bit in the oracle
@@ -1142,6 +1156,37 @@ object SparkEntry {
          )
          SELECT l_orderkey, l_linenumber, ((a5 << 1) | b5) AS z_key
          FROM t5 ORDER BY z_key, l_orderkey, l_linenumber""",
+
+    "q_term_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, unnest(tk) AS term FROM toks
+         ), pd AS (
+           SELECT term, doc_id, count(*) AS tf FROM pos GROUP BY 1, 2
+         )
+         SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM pd GROUP BY term ORDER BY term""",
+
+    // positional intersection replay: word i's positions shifted by -i
+    // must meet word 0's exactly
+    "q_phrase" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, unnest(tk) AS term,
+             generate_subscripts(tk, 1) - 1 AS pos FROM toks
+         ), a AS (
+           SELECT doc_id, pos FROM pos WHERE term = 'order'
+         ), b AS (
+           SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'fast'
+         )
+         SELECT a.doc_id, count(*) AS n_matches
+         FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+         GROUP BY 1 ORDER BY a.doc_id""",
 
     // rational-idf TF-IDF replay: tf·(N+1)/(df+1) is +,·,/ on doubles
     // only (no log), identical bits in any IEEE engine

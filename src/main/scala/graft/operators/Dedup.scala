@@ -767,7 +767,19 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var converged = edges.isEmpty
+    // fixed-point detector: (count, XOR of xxhash64(u,v)) — commutative
+    // and overflow-free (a hash SUM trips ANSI long-overflow), sound as a
+    // set signature because the edge table is distinct; ONE agg job on
+    // the cached table per round, where a symmetric `except` emptiness
+    // test costs an extra anti-join shuffle each way (measured: the
+    // except pair dominated round latency on small graphs)
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var edgeSig = sig(edges)
+    var converged = edgeSig._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: per node u over its FULL neighborhood (both
@@ -777,39 +789,45 @@ object Dedup {
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      // persisted: the small-star stage reads this twice (re-hang pass +
-      // self-hook pass) — without the cache each read re-runs the whole
-      // large-star pipeline
+      // NOT persisted, although the small-star stage reads these twice:
+      // all consumers live inside the single eager lineage-cut job below,
+      // where ReuseExchange deduplicates the identical sub-plans — a
+      // persist here only added two extra materialization jobs per round
+      // (measured: the job-count, not the data, dominates round latency;
+      // dropping the intermediate persists cut the loop's wall time ~2×
+      // on small graphs without touching the at-scale plan shape).
+      // NO intermediate distinct: duplicate (v, m) hooks (one per edge
+      // into v) are harmless to the min/agg and join semantics and the
+      // single round-final distinct collapses them — each dropped
+      // distinct is a full shuffle saved per round. Intermediate row
+      // inflation is bounded by node degree, the same quantity the
+      // large-star hook is already linear in.
       val afterLarge = nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
       // small-star: per node u over its SMALLER neighbors only (the
       // oriented table is exactly that), m = min; re-hang every other
       // small neighbor AND u itself off m.
       val smins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
       val hung = afterLarge.join(smins, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val next = hung
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .union(hung.select(col("u"), col("m").as("v")).distinct())
+        .union(hung.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
 
+      // two jobs per round: the eager lineage cut (which computes the
+      // whole large+small star pipeline once) and the tiny signature agg
+      // on its cached/checkpointed result
       val nextCached = cutLineage(next, i)
-      // fixed point: the oriented edge set stopped changing. Counts are
-      // compared first (cheap — both sides already materialize for the
-      // except) so the symmetric except only runs on equal cardinality.
-      val nc = nextCached.count()
-      converged = nc == edges.count() && nextCached.except(edges).isEmpty
-      afterLarge.unpersist(blocking = false)
-      hung.unpersist(blocking = false)
+      val nextSig = sig(nextCached)
+      converged = nextSig == edgeSig
       edges.unpersist()
       edges = nextCached
+      edgeSig = nextSig
       i += 1
     }
 

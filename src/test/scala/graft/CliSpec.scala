@@ -255,6 +255,38 @@ class CliSpec extends AnyFunSuite {
     assert(sem.contains("cluster_id"))
   }
 
+  test("corpus subcommand: tfidf/cosine/quantile/starclusters/zorder ops") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val tfidf = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "tfidf"))
+    }
+    assert(tfidf.contains("tfidf"))
+    val cos = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "cosine",
+        "threshold" -> "0.0", "max-df-frac" -> "0.05"))
+    }
+    assert(cos.contains("cos_sim"))
+    val quant = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "quantile"))
+    }
+    assert(quant.contains("p50_est") && quant.contains("Rows: "))
+    val star = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "starclusters"))
+    }
+    assert(star.contains("canonical_id") && star.contains("Rows: 500"))
+    val zdir = java.nio.file.Files.createTempDirectory("cli-zorder").toString
+    val z = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "zorder",
+        "dest" -> s"$zdir/z", "files" -> "4"))
+    }
+    assert(z.contains("min_a") && z.contains("Rows: 4"))
+    assert(spark.read.parquet(s"$zdir/z").count() == 500L)
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "zorder"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
+  }
+
   test("parse summary golden block") {
     val out = captureOut {
       Cli.runParse(spark, Map(

@@ -137,6 +137,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until n).map(i => (i, 0L)))
   }
 
+  test("positional postings and phrase search: hand-computed fixture") {
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat the cat sat"),
+      (3L, "cat sat elsewhere entirely today"),
+      (4L, "sat cat")).toDF("doc_id", "text")
+    val postings = Index.positionalPostings(df)
+    val catRows = postings.filter($"term" === "cat").orderBy("doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getSeq[Int](3)))
+    assert(catRows.toSeq == Seq((1L, 1L, Seq(1)), (2L, 2L, Seq(1, 3)),
+      (3L, 1L, Seq(0)), (4L, 1L, Seq(1))))
+
+    val stats = Index.termStats(df).filter($"term" === "the")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // "the": doc1 ×2, doc2 ×2 -> df=2, total=4, span [1,2]
+    assert(stats.toSeq == Seq((2L, 4L, 1L, 2L)))
+
+    val hits = Index.phraseSearch(df, Seq("cat", "sat"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // "cat sat": doc1 once (1,2), doc2 once (3,4), doc3 once (0,1); doc4
+    // has the words only in the wrong order
+    assert(hits.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+
+    // three-word phrase crosses two position joins
+    val three = Index.phraseSearch(df, Seq("the", "cat", "sat"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(three.toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("z-order key: hand-computed Morton codes and per-axis monotonicity") {
     import graft.functions.BitInterleave
     // a=3 (bits 0,1 -> odd positions 1,3), b=5 (bits 0,2 -> even 0,4):
