@@ -369,6 +369,11 @@ object Cli {
         spark.read.parquet(flags.getOrElse("probes",
           fail("corpus -op contamination requires -probes <parquet>"))))
       case "curate"      => Pipeline.curate(docs)
+      case "lmscore"     => TextAnalysis.lmScore(docs)
+      case "phrase"      => Index.phraseSearch(docs,
+        flags.getOrElse("words", fail("corpus -op phrase requires -words w1,w2,..."))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case "termstats"   => Index.termStats(docs)
       case "starclusters" => Dedup.dedupClustersStar(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
       case "tfidf"       => Tfidf.tfidfVectors(docs,

@@ -419,6 +419,20 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "z_key")
         .orderBy("z_key", "l_orderkey", "l_linenumber")),
 
+    // exact-count per-stratum draw (vs q_stratified's fractional one):
+    // md5-ranked, partitioning-independent
+    "q_fixed_sample" -> ((s, dir) =>
+      Sampling.fixedSizeSample(Tables.load(s, dir, "documents"),
+          "doc_id", "lang", n = 25, seed = 7L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // corpus-bigram fluency score — the CCNet-style perplexity-filter
+    // proxy, log-free so it replays exactly
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // inverted-index dictionary: per-term df / total tf / doc span — the
     // scalar summary of the positional index (posting lists themselves
     // are per-(term,doc) rows, never one giant per-term array)
@@ -1156,6 +1170,43 @@ object SparkEntry {
          )
          SELECT l_orderkey, l_linenumber, ((a5 << 1) | b5) AS z_key
          FROM t5 ORDER BY z_key, l_orderkey, l_linenumber""",
+
+    "q_fixed_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 25 ORDER BY doc_id""",
+
+    // bigram-LM replay: conditional probs 6dp-rounded into DECIMAL before
+    // the per-doc sum (order-free exact), one double division at the end
+    "q_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), bi AS (
+           SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+             SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+               THEN list_transform(range(2, len(tk) + 1), i -> {'w1': tk[i-1], 'w2': tk[i]})
+               ELSE [] END) AS b
+             FROM toks) u
+         ), bc AS (
+           SELECT w1, w2, count(*) AS bcnt FROM bi GROUP BY 1, 2
+         ), uc AS (
+           SELECT w1, CAST(sum(bcnt) AS BIGINT) AS ucnt FROM bc GROUP BY 1
+         ), scored AS (
+           SELECT bi.doc_id, count(*) AS n_bigrams,
+             round(CAST(sum(CAST(round(CAST(bc.bcnt AS DOUBLE) / uc.ucnt, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS lm_score
+           FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+           JOIN uc ON bi.w1 = uc.w1
+           GROUP BY 1
+         )
+         SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.lm_score, 0.0) AS lm_score
+         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
 
     "q_term_stats" ->
       """WITH toks AS (

@@ -126,6 +126,34 @@ object Sampling {
     df.filter(hashBucket(col(idCol), buckets) < cut)
   }
 
+  /** Deterministic fixed-SIZE sample per stratum: exactly min(n, stratum
+    * size) rows from each group, chosen by md5 rank — the "give me 10k
+    * eval docs per language" draw, where a FRACTION ([[stratifiedSample]])
+    * can't hit an exact count. Engine-, run- and partitioning-independent
+    * for the same seed, like every sampler here.
+    *
+    * One shuffle: rows rank within their stratum by md5("seed:id") via a
+    * per-stratum window. The window partition is the STRATUM — strata are
+    * assumed many-rows-but-bounded (languages, sources); for a corpus
+    * with one giant stratum, pre-filter with [[stratifiedSample]] to a
+    * few× the target first, then rank exactly (two passes, no big
+    * window).
+    */
+  def fixedSizeSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      n: Int,
+      seed: Long = 0L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(epochKey(idCol, seed), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** The per-epoch shuffle key: md5("seed:id"). */
   private def epochKey(idCol: String, seed: Long): Column =
     md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))

@@ -127,6 +127,63 @@ object TextAnalysis {
       round(when(length(col("text")) > 0, alpha / length(col("text"))).otherwise(0.0), 4).as("alpha_ratio"))
   }
 
+  /** Corpus-statistical fluency score — a bigram language-model signal
+    * without the language model: score each document by the mean
+    * corpus-wide conditional probability of its bigrams,
+    * mean over bigram occurrences (w1,w2) of B(w1,w2)/U(w1), where B and
+    * U are corpus bigram/unigram counts. Low scores flag documents whose
+    * word transitions are atypical for the corpus (shuffled text, OCR
+    * noise, keyword stuffing) — the cheap proxy for the KenLM-perplexity
+    * filter step in web-corpus pipelines (CCNet-style), usable where no
+    * external LM exists.
+    *
+    * Deliberately NO logarithm (a real perplexity would be exp of a mean
+    * log): log is the one double op engines disagree on in the last ulp,
+    * and the mean-probability form ranks documents the same direction.
+    * Conditional probabilities are 6dp-rounded into DECIMAL before the
+    * per-doc sum, so accumulation is exact and partition-order-free; the
+    * final mean is one double division, 4dp-rounded — the whole pipeline
+    * hash-replays in the oracle.
+    *
+    * Scale shape: one bigram explode (map-side), two partial-agg count
+    * shuffles (bigram table, unigram table — both vocabulary-sized, far
+    * smaller than the corpus), one fact-to-dimension join per table, one
+    * per-doc aggregate. Hot-vocabulary skew is bounded by the vocabulary
+    * itself; no row ever carries more than one bigram.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    // (doc_id, w1, w2) per bigram OCCURRENCE (non-distinct)
+    val bi = docs
+      .select(col("doc_id"), tk.as("__t"))
+      .select(col("doc_id"),
+        when(size(col("__t")) >= 2,
+            expr("transform(sequence(1, size(__t) - 1), i -> named_struct('w1', __t[i-1], 'w2', __t[i]))"))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("__bi"))
+      .select(col("doc_id"), explode_outer(col("__bi")).as("__b"))
+      .filter(col("__b").isNotNull) // Dedup.safeExplodeNote
+      .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
+    // unigram counts over NON-FINAL positions (the conditioning contexts),
+    // which is exactly sum of bigram counts per w1 — no second tokenize
+    val uniCounts = biCounts.groupBy("w1").agg(sum(col("__bc")).as("__uc"))
+    val scored = bi
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .select(col("doc_id"),
+        round(col("__bc").cast("double") / col("__uc"), 6)
+          .cast("decimal(18,6)").as("__p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__p")).cast("double") / count(lit(1)), 4).as("lm_score"))
+    // short docs (<2 tokens) have no bigrams: report 0.0 explicitly, not
+    // absence — a quality gate must see every document
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
   /** Within-document repetition statistics — the Gopher/MassiveText-style
     * repetition quality rules for corpus filtering: highly repetitive docs
     * (boilerplate, keyword stuffing, generation loops) are dropped before

@@ -274,6 +274,22 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "starclusters"))
     }
     assert(star.contains("canonical_id") && star.contains("Rows: 500"))
+    val lm = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "lmscore"))
+    }
+    assert(lm.contains("lm_score") && lm.contains("Rows: 500"))
+    val phrase = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "phrase",
+        "words" -> "order,fast"))
+    }
+    assert(phrase.contains("n_matches"))
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "phrase"))
+    }
+    val ts = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "termstats"))
+    }
+    assert(ts.contains("total_tf") && ts.contains("Rows: 31"))
     val zdir = java.nio.file.Files.createTempDirectory("cli-zorder").toString
     val z = captureOut {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "zorder",

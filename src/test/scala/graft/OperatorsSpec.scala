@@ -137,6 +137,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until n).map(i => (i, 0L)))
   }
 
+  test("fixed-size sample: exact counts, partitioning-independent, seed-sensitive") {
+    val df = (1L to 300L).map(i => (i, s"s${i % 3}", s"doc $i"))
+      .toDF("doc_id", "src", "text")
+    val got = Sampling.fixedSizeSample(df, "doc_id", "src", n = 20, seed = 1L)
+    val counts = got.groupBy("src").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("s0" -> 20L, "s1" -> 20L, "s2" -> 20L))
+    // short stratum: take all of it
+    val tiny = Sampling.fixedSizeSample(
+      df.filter($"doc_id" <= 5), "doc_id", "src", n = 20, seed = 1L)
+    assert(tiny.count() == 5L)
+    // same rows whatever the physical partitioning
+    val a = got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.fixedSizeSample(df.repartition(13), "doc_id", "src", 20, 1L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // a different seed draws a different set
+    val c = Sampling.fixedSizeSample(df, "doc_id", "src", 20, 2L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a != c)
+  }
+
+  test("lm score: hand-computed bigram conditionals; short docs report 0") {
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // B(a,b)=2, B(a,c)=1, U(a)=3 -> p(a,b)=0.666667, p(a,c)=0.333333
+    val got = TextAnalysis.lmScore(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 1L, 0.6667), (2L, 1L, 0.3333),
+      (3L, 1L, 0.6667), (4L, 0L, 0.0)))
+  }
+
+  test("lm score: repeated fluent bigrams outrank a shuffled doc") {
+    val fluent = "the cat sat on the mat"
+    val shuffled = "mat the on sat cat the"
+    val df = (1L to 9L).map(i => (i, fluent)).toDF("doc_id", "text")
+      .union(Seq((10L, shuffled)).toDF("doc_id", "text"))
+    val scores = TextAnalysis.lmScore(df).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(scores(1L) > scores(10L),
+      s"fluent ${scores(1L)} should outrank shuffled ${scores(10L)}")
+  }
+
   test("positional postings and phrase search: hand-computed fixture") {
     val df = Seq(
       (1L, "the cat sat on the mat"),
