@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot}
+import graft.functions.{BitInterleave, MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot}
 
 /** SparkSessionExtensions wiring: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "min_hash_sketch(h0, numHashes) - aggregate: MinHash signature (all permutation minima) over 64-bit shingle hashes"),
       (exprs: Seq[Expression]) => MinHashSketch(exprs(0),
         GraftExtensions.intLiteral(exprs(1), "numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("z_order_key"),
+      info("z_order_key",
+        "z_order_key(a, b) - 62-bit Morton code interleaving the low 31 bits of two bigints (data-layout sort key)"),
+      (exprs: Seq[Expression]) => BitInterleave(exprs(0), exprs(1))))
   }
 }
 

@@ -48,8 +48,12 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0, 1], got $ps")
     val v = col(valueCol).cast("double")
+    // quantiles are over NON-NULL values (quantile_cont semantics); also
+    // keeps the cumulative walk engine-portable — Spark sorts nulls
+    // first, DuckDB last, so a null bin row would split the replay
+    val dfNN = df.filter(v.isNotNull)
 
-    val stats = df.groupBy(groupCol).agg(
+    val stats = dfNN.groupBy(groupCol).agg(
       min(v).as("__mn"), max(v).as("__mx"), count(lit(1)).as("__n"))
 
     // degenerate single-value groups (max == min) collapse to bucket 0;
@@ -60,7 +64,7 @@ object Quantiles {
         floor((v - col("__mn")) / (col("__mx") - col("__mn")) * bins),
         lit((bins - 1).toLong)))
 
-    val hist = df.join(broadcast(stats), groupCol)
+    val hist = dfNN.join(broadcast(stats), groupCol)
       .withColumn("__bin", binCol)
       .groupBy(col(groupCol), col("__bin"))
       .agg(count(lit(1)).as("__c"),

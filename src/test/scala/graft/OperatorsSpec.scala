@@ -315,6 +315,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 3L)
   }
 
+  test("binned quantiles: null values are excluded, not binned") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None), ("a", None))
+      .toDF("g", "v")
+    val got = Quantiles.binnedQuantiles(df, "v", "g", bins = 4).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
+  }
+
   test("star contraction == union-find labels on chain, star, and merged shapes") {
     val docsDf = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3-4 (depth the large-star hook must collapse), star around
