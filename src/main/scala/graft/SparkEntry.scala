@@ -400,13 +400,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // same pairs → same decisions via large-star/small-star contraction:
-    // the O(log² n)-round scale path for deep components (min-label above
-    // needs O(diameter) rounds)
+    // large-star/small-star contraction on a CHAIN-shaped pair graph:
+    // consecutive doc_ids within each normalized-text dup group, i.e.
+    // deliberately DEEP components — the O(diameter)-round worst case for
+    // min-label propagation and exactly the shape the O(log² n) star
+    // rounds exist for. The oracle needs no recursion: a chain's closure
+    // is its group, so canonical_id must equal the group min — which is
+    // precisely what the CC must reproduce by multi-round contraction.
     "q_cc_star" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Dedup.dedupClustersStar(docs,
-          Dedup.ngramJaccardPairs(docs, threshold = 0.8))
+      val keyed = docs.select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("__k"))
+      val w = Window.partitionBy("__k").orderBy("doc_id")
+      val chainPairs = keyed
+        .withColumn("__prev", lag("doc_id", 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("__prev").as("doc_id_a"), col("doc_id").as("doc_id_b"))
+      Dedup.dedupClustersStar(docs, chainPairs)
         .orderBy("doc_id")
     }),
 
@@ -1301,37 +1311,16 @@ object SparkEntry {
          WHERE cos_sim >= 0.05
          ORDER BY doc_id_a, doc_id_b""",
 
-    // star contraction computes the SAME labeling as the min-label loop
-    // (both = smallest reachable doc_id), so the oracle is the identical
-    // recursive closure — what differs is only the Spark-side round
-    // structure
+    // chain pairs close transitively into their whole normalized-text
+    // group, so the expected labeling is simply the per-group min — no
+    // recursion needed; the Spark side must reproduce it by actual
+    // multi-round star contraction over the chain edges
     "q_cc_star" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pairs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         )
-         SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
-         GROUP BY id ORDER BY doc_id""",
+      """SELECT doc_id,
+           min(doc_id) OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ) AS canonical_id
+         FROM documents ORDER BY doc_id""",
 
     // IVF is deterministic end-to-end (pseudo-codebook = the 32 lowest
     // vec_ids — fixed size at any corpus scale; 6dp-rounded assignment,

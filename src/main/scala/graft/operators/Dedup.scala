@@ -740,27 +740,43 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame = {
     import org.apache.spark.storage.StorageLevel
 
-    // EVERY round must cut lineage by default (checkpointEvery = 1),
-    // unlike the min-label loop's every-5: one star round references its
-    // input ~4× (both union branches of the small-star re-hang + the
-    // convergence except), so the un-truncated logical plan grows ~4^k —
-    // exponentially, not linearly. Measured: plan-string OOM by round 8
-    // with cuts every 4.
+    // EVERY round cuts lineage with an eager localCheckpoint, unlike the
+    // min-label loop's every-5 persist cadence: one star round references
+    // its input ~4× (both union branches of the small-star re-hang), so
+    // an un-truncated logical plan grows ~4^k — exponentially, not
+    // linearly. Measured: plan-string OOM by round 8 with cuts every 4.
+    // RELIABLE checkpoints (executor-loss durability, when a dir is
+    // configured) are layered on every `checkpointEvery` rounds only —
+    // they cost a persist + a second write job, which at one per round
+    // doubled the loop's job count for fault-tolerance no round needs
+    // twice.
     def cutLineage(df: DataFrame, round: Int): DataFrame =
-      if ((round + 1) % checkpointEvery != 0) df.persist(StorageLevel.MEMORY_AND_DISK)
-      else if (docs.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      if ((round + 1) % checkpointEvery == 0
+          && docs.sparkSession.sparkContext.getCheckpointDir.isDefined) {
         df.persist(StorageLevel.MEMORY_AND_DISK)
         val cp = df.checkpoint(true)
         df.unpersist()
         cp
       } else df.localCheckpoint(true)
 
+    // materialize the PAIR table alone first (same discipline as
+    // [[dedupClusters]]): the pair source is typically an expensive
+    // near-dup pipeline whose plan branches several ways; driving it
+    // through one simple count() fills its caches serially, where a
+    // first action with distinct+agg on top lets AQE launch the
+    // branches as concurrent stages that RACE the lazy cache fill and
+    // re-run the full scan each (measured: the tokenize/shingle scan
+    // executed 4× without this, 35 cpu-s vs 16 for the min-label twin).
+    val p = pairs.select(col("doc_id_a"), col("doc_id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+
     // oriented invariant: edges are kept as (u, v) with v < u. Self-loops
     // (u = v) carry no information and are dropped eagerly.
-    var edges = pairs
+    var edges = p
       .select(greatest(col("doc_id_a"), col("doc_id_b")).as("u"),
         least(col("doc_id_a"), col("doc_id_b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -779,6 +795,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var edgeSig = sig(edges)
+    p.unpersist(blocking = false)
     var converged = edgeSig._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
