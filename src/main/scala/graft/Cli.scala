@@ -370,6 +370,13 @@ object Cli {
           fail("corpus -op contamination requires -probes <parquet>"))))
       case "curate"      => Pipeline.curate(docs)
       case "lmscore"     => TextAnalysis.lmScore(docs)
+      case "profile"     => Stats.columnProfile(docs,
+        flags.get("cols").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(docs.columns.toSeq.filter(_ != "text")))
+      case "samplen"     => Sampling.fixedSizeSample(docs, "doc_id",
+        flags.getOrElse("group-col", "source"),
+        n = flags.getOrElse("n", "100").toInt,
+        seed = flags.getOrElse("seed", "0").toLong)
       case "phrase"      => Index.phraseSearch(docs,
         flags.getOrElse("words", fail("corpus -op phrase requires -words w1,w2,..."))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -429,6 +429,18 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "z_key")
         .orderBy("z_key", "l_orderkey", "l_linenumber")),
 
+    // distributed ANALYZE: per-column counts/nulls/min/max + HLL ndv in
+    // two partial-agg passes over the whole table
+    // est_distinct is dropped from the GATED projection: its ln-based
+    // small-range correction is not bit-replayable (Sketches
+    // .correctedEstimate); the exact register count is, and pins the
+    // whole sketch state
+    "q_column_profile" -> ((s, dir) =>
+      operators.Stats.columnProfile(Tables.load(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
+        .drop("est_distinct")
+        .orderBy("column")),
+
     // exact-count per-stratum draw (vs q_stratified's fractional one):
     // md5-ranked, partitioning-independent
     "q_fixed_sample" -> ((s, dir) =>
@@ -1180,6 +1192,45 @@ object SparkEntry {
          )
          SELECT l_orderkey, l_linenumber, ((a5 << 1) | b5) AS z_key
          FROM t5 ORDER BY z_key, l_orderkey, l_linenumber""",
+
+    // ANALYZE replay: min/max on native types cast to VARCHAR (identical
+    // rendering for ints/strings in any engine) + the p=12 HLL register
+    // math per column
+    "q_column_profile" -> {
+      s"""WITH prof AS (
+           SELECT 'l_orderkey' AS "column", count(*) AS n_rows, count(l_orderkey) AS n_non_null,
+             CAST(min(l_orderkey) AS VARCHAR) AS min_value, CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', count(*), count(l_partkey),
+             CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_suppkey', count(*), count(l_suppkey),
+             CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(*), count(l_returnflag),
+             min(l_returnflag), max(l_returnflag) FROM lineitem
+         ), vals AS (
+           SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL
+           UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem WHERE l_partkey IS NOT NULL
+           UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem WHERE l_suppkey IS NOT NULL
+           UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem WHERE l_returnflag IS NOT NULL
+         ), r AS (
+           SELECT "column", h >> 48 AS idx, h & ((CAST(1 AS BIGINT) << 48) - 1) AS rem
+           FROM (SELECT "column", CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h FROM vals)
+         ), reg AS (
+           SELECT "column", idx,
+             max(CASE WHEN rem = 0 THEN 49 ELSE 49 - length(ltrim(bin(rem), '0')) END) AS mrho
+           FROM r GROUP BY 1, 2
+         ), agg AS (
+           SELECT "column", CAST(count(*) AS BIGINT) AS n_used,
+             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
+           FROM reg GROUP BY 1
+         )
+         SELECT prof."column", prof.n_rows, prof.n_non_null, prof.min_value,
+           prof.max_value, coalesce(agg.n_used, CAST(0 AS BIGINT)) AS n_registers_used
+         FROM prof LEFT JOIN agg ON prof."column" = agg."column"
+         ORDER BY prof."column" """
+    },
 
     "q_fixed_sample" ->
       """SELECT doc_id, lang FROM (

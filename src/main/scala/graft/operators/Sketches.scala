@@ -224,40 +224,100 @@ object Sketches {
     * Streaming disallows in one query — run it batch-side on the sink
     * table ([[graft.streaming.Streaming.streamingHllRegisters]]).
     */
-  def hllRegisters(items: DataFrame, itemCol: String, p: Int = 12): DataFrame = {
+  def hllRegisters(items: DataFrame, itemCol: String, p: Int = 12): DataFrame =
+    hllRegistersBy(items, itemCol, p, Seq.empty)
+
+  /** Grouped register tables: one 2^p-bounded register set per key in
+    * `groupCols` — per-language/per-source/per-column distincts in a
+    * single pass; state is groups × 2^p rows.
+    */
+  def hllRegistersBy(
+      items: DataFrame, itemCol: String, p: Int,
+      groupCols: Seq[String]): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val restBits = 60 - p
     val mask = (1L << restBits) - 1
     val h = Dedup.md5Token60(col(itemCol))
+    val g = groupCols.map(col)
     items.filter(col(itemCol).isNotNull)
-      .select(shiftright(h, restBits).as("idx"), h.bitwiseAND(lit(mask)).as("rem"))
-      .select(col("idx"),
-        when(col("rem") === 0, lit(restBits + 1))
-          .otherwise(lit(restBits + 1) - length(bin(col("rem")))).as("rho"))
-      .groupBy("idx").agg(max(col("rho")).as("mrho"))
+      .select(g :+ shiftright(h, restBits).as("idx")
+        :+ h.bitwiseAND(lit(mask)).as("rem"): _*)
+      .select(g :+ col("idx")
+        :+ when(col("rem") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("rem")))).as("rho"): _*)
+      .groupBy(g :+ col("idx"): _*).agg(max(col("rho")).as("mrho"))
   }
 
   /** Fold a register table into the distinct-count estimate. */
-  def hllFinalize(reg: DataFrame, p: Int): DataFrame = {
+  def hllFinalize(reg: DataFrame, p: Int): DataFrame =
+    hllFinalizeBy(reg, p, Seq.empty)
+
+  /** Grouped finalize: one estimate row per key in `groupCols`. */
+  def hllFinalizeBy(reg: DataFrame, p: Int, groupCols: Seq[String]): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1 << p
     val x = 61 - p
     // one shared double constant ([[hllConstant]] — the keywordScores
     // BM25-constant technique for oracle portability)
     val c = hllConstant(p)
-    reg.agg(
-        count(lit(1)).as("n_registers_used"),
-        // coalesce: empty input must yield the all-empty-registers estimate
-        // (s_fixed = m·2^X), not NULL (advisor r6)
-        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($x - mrho AS INT))")),
-          lit(0L)).as("s_used"))
-      .select(col("n_registers_used"),
-        (col("s_used") + (lit(m.toLong) - col("n_registers_used")) * (1L << x))
-          .as("s_fixed"))
-      .select(col("n_registers_used"), col("s_fixed"),
-        (lit(c) / col("s_fixed").cast("double")).as("est_distinct"))
+    val g = groupCols.map(col)
+    val aggd =
+      if (groupCols.isEmpty)
+        reg.agg(
+          count(lit(1)).as("n_registers_used"),
+          // coalesce: empty input must yield the all-empty-registers
+          // estimate (s_fixed = m·2^X), not NULL (advisor r6)
+          coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($x - mrho AS INT))")),
+            lit(0L)).as("s_used"))
+      else
+        reg.groupBy(g: _*).agg(
+          count(lit(1)).as("n_registers_used"),
+          coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($x - mrho AS INT))")),
+            lit(0L)).as("s_used"))
+    aggd
+      .select(g :+ col("n_registers_used")
+        :+ (col("s_used") + (lit(m.toLong) - col("n_registers_used")) * (1L << x))
+          .as("s_fixed"): _*)
+      .select(g :+ col("n_registers_used") :+ col("s_fixed")
+        :+ (lit(c) / col("s_fixed").cast("double")).as("est_distinct"): _*)
   }
 
   def hllDistinct(items: DataFrame, itemCol: String, p: Int = 12): DataFrame =
     hllFinalize(hllRegisters(items, itemCol, p), p)
+
+  /** Small-range-corrected estimate from a finalized register row: below
+    * 2.5·m the raw harmonic estimator is biased (up to ~60× at tiny
+    * cardinalities — it asymptotes to α·m as registers empty), so the
+    * standard HyperLogLog fallback switches to linear counting,
+    * m·ln(m/V) over the V empty registers [Flajolet et al. 2007].
+    *
+    * NOT oracle-replayable: ln is the one operation engines disagree on
+    * in the last ulp (measured: 4 of 4096 values differ between
+    * java.lang.Math.log and DuckDB ln), so queries that gate on
+    * hash-match expose the exact integer register state and keep this
+    * estimate spec-validated instead — see [[Stats.columnProfile]].
+    */
+  def correctedEstimate(p: Int)(nUsed: Column, sFixed: Column): Column = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val raw = lit(hllConstant(p)) / sFixed.cast("double")
+    val empty = lit(m.toLong) - nUsed
+    when(raw <= lit(2.5 * m) && empty > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / empty.cast("double")))
+      .otherwise(raw)
+  }
+
+  /** Merge HLL register tables — the property that makes the sketch a
+    * distributed-aggregation citizen: registers from independently
+    * sketched shards (per partition, per day, per datacenter) combine by
+    * per-index MAX into EXACTLY the register table of the union corpus —
+    * not an approximation of it — so a 100 TB distinct count composes
+    * from per-shard sketches of 2^p rows each without touching raw data
+    * twice. Estimate the merged table with [[hllFinalize]].
+    */
+  def hllMerge(registerTables: Seq[DataFrame]): DataFrame = {
+    require(registerTables.nonEmpty, "need at least one register table")
+    registerTables.reduce(_ unionByName _)
+      .groupBy("idx").agg(max(col("mrho")).as("mrho"))
+  }
 }

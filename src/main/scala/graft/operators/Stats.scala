@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass-per-stage table profiling — the distributed `ANALYZE TABLE`:
+  * per-column row/null counts, min/max, and an HLL distinct estimate,
+  * computed in two partial-aggregated passes however wide the table or
+  * big the data.
+  *
+  *   - pass 1 is ONE global aggregate row (count/nulls/min/max for every
+  *     requested column in the same scan), unpivoted with `stack` — no
+  *     per-column jobs, no driver loops;
+  *   - pass 2 explodes each row into (column, value-as-string) pairs and
+  *     feeds the grouped HLL ([[Sketches.hllRegistersBy]]): register
+  *     state is columns × 2^p rows, fixed, whatever the cardinality.
+  *
+  * min/max are computed on the NATIVE type (string min ≠ numeric min)
+  * and cast to string only for the unified output row. The profile
+  * replays bit-for-bit in the oracle for integer- and string-typed
+  * columns (their string rendering is identical in any engine; float
+  * rendering is not — profile floats with the numeric q_binned_quantile
+  * family instead).
+  */
+object Stats {
+
+  def columnProfile(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggCols = cols.flatMap(c => Seq(
+      count(lit(1)).as(s"__tot_$c"),
+      count(col(c)).as(s"__cnt_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val oneRow = df.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = oneRow.select(expr(
+      s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', `__tot_$c`, `__cnt_$c`, `__min_$c`, `__max_$c`")
+          .mkString(", ") +
+        ") AS (column, n_rows, n_non_null, min_value, max_value)"))
+
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("__v"))): _*)).as("e"))
+      .select(col("e.column").as("column"), col("e.__v").as("__v"))
+    // n_registers_used is the engine-replayable integer the oracle gates
+    // on; est_distinct applies the ln-based small-range correction and is
+    // spec-validated (see Sketches.correctedEstimate's replay caveat)
+    val est = Sketches.hllFinalizeBy(
+        Sketches.hllRegistersBy(pairs, "__v", p, Seq("column")), p, Seq("column"))
+      .select(col("column"), col("n_registers_used"),
+        Sketches.correctedEstimate(p)(col("n_registers_used"), col("s_fixed"))
+          .as("est_distinct"))
+
+    // broadcast: both sides are a handful of rows; the join is on the
+    // column NAME, never on data
+    stacked.join(broadcast(est), Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_non_null"),
+        col("min_value"), col("max_value"),
+        coalesce(col("n_registers_used"), lit(0L)).as("n_registers_used"),
+        coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
+  }
+}

@@ -290,6 +290,15 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "termstats"))
     }
     assert(ts.contains("total_tf") && ts.contains("Rows: 31"))
+    val prof = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "profile"))
+    }
+    assert(prof.contains("est_distinct") && prof.contains("Rows: 4"))
+    val sn = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "samplen", "n" -> "10"))
+    }
+    assert(sn.contains("Rows: 200")) // 20 sources × 10
+
     val zdir = java.nio.file.Files.createTempDirectory("cli-zorder").toString
     val z = captureOut {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "zorder",

@@ -110,6 +110,26 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll merge: per-index max of shard registers == registers of the union") {
+    import spark.implicits._
+    val a = (1L to 4000L).map(i => s"key-$i").toDF("k")
+    val b = (3000L to 7000L).map(i => s"key-$i").toDF("k")
+    val merged = Sketches.hllMerge(Seq(
+        Sketches.hllRegisters(a, "k", p = 10),
+        Sketches.hllRegisters(b, "k", p = 10)))
+      .orderBy("idx").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val whole = Sketches.hllRegisters(a.union(b), "k", p = 10)
+      .orderBy("idx").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // EXACT table equality, not estimate-closeness: merge is lossless
+    assert(merged == whole && merged.nonEmpty)
+    // and the merged estimate is within theory bounds of the true union
+    val est = Sketches.hllFinalize(
+      Sketches.hllMerge(Seq(Sketches.hllRegisters(a, "k", 10),
+        Sketches.hllRegisters(b, "k", 10))), 10)
+      .head.getDouble(2)
+    assert(math.abs(est - 7000.0) / 7000.0 < 0.1, s"est $est vs 7000")
+  }
+
   test("BloomContainsAll equality is value-based over the bitset") {
     val child = org.apache.spark.sql.graft.Shims.expression(Dedup.md5Token60(col("key")))
     val a = Array(1L, 2L, 3L)
