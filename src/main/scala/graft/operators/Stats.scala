@@ -38,7 +38,11 @@ object Stats {
           .mkString(", ") +
         ") AS (column, n_rows, n_non_null, min_value, max_value)"))
 
-    val pairs = df.select(explode(array(cols.map(c =>
+    // Parallelism.ensure: a compact table arrives as ONE scan partition
+    // (anything under maxPartitionBytes), putting the explode+md5+group
+    // chain on a single core — the classic small-file/expensive-map trap
+    val pairs = Parallelism.ensure(df.select(cols.map(col): _*), cols.head)
+      .select(explode(array(cols.map(c =>
         struct(lit(c).as("column"), col(c).cast("string").as("__v"))): _*)).as("e"))
       .select(col("e.column").as("column"), col("e.__v").as("__v"))
     // n_registers_used is the engine-replayable integer the oracle gates
