@@ -51,7 +51,9 @@ object Tfidf {
     */
   def tfidfVectors(docs: DataFrame, ngram: Int = 1): DataFrame = {
     require(ngram >= 1, s"ngram must be >= 1, got $ngram")
-    val toks = docs
+    // Parallelism.ensure: a compact corpus file arrives as one scan
+    // partition, serializing the tokenize+ngram explode on one core
+    val toks = Parallelism.ensure(docs.select("doc_id", "text"))
       .select(col("doc_id"), ngramTerms(col("text"), ngram).as("__t"))
       .select(col("doc_id"), explode_outer(col("__t")).as("term"))
       .filter(col("term").isNotNull)
