@@ -154,6 +154,31 @@ object Streaming {
     graft.operators.Sketches.incrementalDedupDocs(incoming, seenDocs, mBits, k)
   }
 
+  /** Watermark-bounded streaming dedup of an event stream: keep the first
+    * arrival of each `event_id`, with dedup state EVICTED once the
+    * watermark passes — the production answer to plain
+    * `dropDuplicates`, whose key state grows with the stream forever.
+    * State is bounded by (events within the watermark horizon), not by
+    * stream length: the property that lets an at-least-once ingest
+    * (Kafka replays, retried batches) run for months. Duplicates arriving
+    * later than the watermark are NOT caught — the horizon is the
+    * contract, sized to the source's redelivery window.
+    */
+  def streamingDedupEvents(
+      spark: SparkSession,
+      eventsDir: String,
+      watermark: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Streaming count-min sketch over document tokens: the batch
     * [[graft.operators.Sketches.cmsTable]] plan unchanged on a file
     * stream. Run in Complete mode — the streaming state is the sketch

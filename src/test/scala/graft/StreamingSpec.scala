@@ -89,6 +89,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermarked streaming dedup drops planted duplicates, keeps one per id") {
+    val dir = tmpDir("stream-wmdedup").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // plant exact duplicates of a known slice, all within the watermark
+    src.union(src.filter(col("event_id") % 5 === 0))
+      .write.mode("overwrite").parquet(dir)
+    val n = src.count()
+    val got = Streaming.runAvailableNow(
+      Streaming.streamingDedupEvents(spark, dir), "wmdedup", mode = "append")
+    assert(got.count() == n, "every planted duplicate must collapse")
+    assert(got.select("event_id").distinct().count() == n)
+  }
+
   test("streaming CMS and HLL sketches equal their batch twins") {
     val docsDir = tmpDir("stream-sketch").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
