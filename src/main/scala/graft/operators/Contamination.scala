@@ -33,7 +33,8 @@ object Contamination {
       probes: DataFrame,
       shingleSize: Int = 3,
       minShared: Int = 2,
-      maxShingleFreq: Option[Long] = None): DataFrame = {
+      maxShingleFreq: Option[Long] = None,
+      broadcastProbes: Boolean = true): DataFrame = {
     val corpusEx = Dedup.withHashedShingleSets(corpus, shingleSize)
       .select(col("doc_id"), explode_outer(col("sh_set")).as("sh"))
       .filter(col("sh").isNotNull) // Dedup.safeExplodeNote
@@ -47,13 +48,18 @@ object Contamination {
     val probeEx = Dedup.withHashedShingleSets(probes, shingleSize)
       .select(col("doc_id").as("probe_id"), explode_outer(col("sh_set")).as("sh"))
       .filter(col("sh").isNotNull) // Dedup.safeExplodeNote
-    // broadcast the PROBE shingles: a benchmark suite is small by
-    // construction (thousands of items, not a corpus), so the join runs
-    // map-side against the corpus scan — the corpus' exploded shingles,
-    // the big side by orders of magnitude, never shuffle at all; the only
-    // shuffle left is the matched-pair aggregate. Measured 2.5s -> ~1s at
-    // sf0.1 (the sort-merge path was latency-bound, parallelism ~1.7/32).
-    broadcast(probeEx).join(kept, "sh")
+    // broadcast the PROBE shingles (default): a benchmark suite is small
+    // by construction (thousands of items, not a corpus), so the join
+    // runs map-side against the corpus scan — the corpus' exploded
+    // shingles, the big side by orders of magnitude, never shuffle at
+    // all; the only shuffle left is the matched-pair aggregate. Measured
+    // 2.5s -> ~1s at sf0.1 (the sort-merge path was latency-bound).
+    // `broadcastProbes = false` is the escape hatch for probe sets too
+    // big for the driver/broadcast limit — the hint is FORCED, so an
+    // oversized exploded probe table would otherwise fail the job where
+    // a shuffle join completes.
+    val probeSide = if (broadcastProbes) broadcast(probeEx) else probeEx
+    probeSide.join(kept, "sh")
       .filter(col("probe_id") =!= col("doc_id"))
       .groupBy("probe_id", "doc_id")
       .agg(count(lit(1)).as("n_shared"))

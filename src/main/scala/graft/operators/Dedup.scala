@@ -733,8 +733,13 @@ object Dedup {
     * re-shuffles. Edges strictly SHRINK toward one star per component
     * (the edge table after round k is at most the node count), so later
     * rounds get cheaper — unlike min-label, whose edge table is constant.
-    * Convergence check is an exact `except`-is-empty test on the oriented
-    * edge set, not a hash heuristic.
+    * The fixed point is detected by a (count, XOR-of-xxhash64) set
+    * signature on the distinct oriented edge table — one cheap agg job
+    * per round where a symmetric `except` costs an anti-join shuffle
+    * each way; a signature collision between two DIFFERENT consecutive
+    * edge sets (≈2⁻⁶⁴ per round) would end the loop one round early,
+    * which the maxIter safety net below turns into a consistent partial
+    * labeling rather than corrupt output.
     */
   def dedupClustersStar(
       docs: DataFrame,
@@ -851,8 +856,18 @@ object Dedup {
     // at the fixed point every edge is (member, root): label members by
     // their root, everything unpaired by itself. One broadcast-eligible
     // left join against the (small) star table finishes the labeling.
+    //
+    // maxIter safety net: a mid-contraction table can still hold several
+    // out-edges per node; joining it raw would FAN OUT to duplicate
+    // doc_id rows with conflicting labels. Collapsing to min per node
+    // keeps the one-row-per-doc contract — a consistent partial labeling
+    // (the min-label loop's own non-converged behavior), never corrupt
+    // output shape.
+    val starEdges =
+      if (converged) edges
+      else edges.groupBy("u").agg(min(col("v")).as("v"))
     val labels = docs.select(col("doc_id"))
-      .join(edges.select(col("u").as("doc_id"), col("v").as("__root")), Seq("doc_id"), "left")
+      .join(starEdges.select(col("u").as("doc_id"), col("v").as("__root")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__root"), col("doc_id")).as("canonical_id"))
     CacheRegistry.track(edges)

@@ -24,12 +24,32 @@ object Layout {
 
   /** Append a deterministic Z-order key over two integral columns (low
     * 31 bits each — see [[graft.functions.BitInterleave]]).
+    *
+    * 31-BIT DOMAIN CONTRACT: values ≥ 2^31 are interleaved modulo 2^31,
+    * which silently destroys the locality the key exists for (far-apart
+    * ids collide, every file spans the whole domain). For wide-domain
+    * keys (snowflake ids, epoch-millis), pre-map to a dense/bucketed
+    * 31-bit space first — e.g. `dense_rank`, `value / bucketWidth`, or
+    * epoch-days. `checkRange = true` adds one aggregate pass that FAILS
+    * on out-of-range values instead of degrading silently.
     */
   def withZOrderKey(
       df: DataFrame, colA: String, colB: String,
-      keyName: String = "z_key"): DataFrame =
+      keyName: String = "z_key",
+      checkRange: Boolean = false): DataFrame = {
+    if (checkRange) {
+      val lim = 1L << 31
+      val r = df.agg(
+        min(col(colA).cast("long")).as("na"), max(col(colA).cast("long")).as("xa"),
+        min(col(colB).cast("long")).as("nb"), max(col(colB).cast("long")).as("xb")).head()
+      def ok(lo: Long, hi: Long) = lo >= 0L && hi < lim
+      require(r.anyNull || (ok(r.getLong(0), r.getLong(1)) && ok(r.getLong(2), r.getLong(3))),
+        s"z-order columns must fit [0, 2^31): $colA in [${r.get(0)}, ${r.get(1)}], " +
+          s"$colB in [${r.get(2)}, ${r.get(3)}] — pre-bucket wide domains first")
+    }
     df.withColumn(keyName,
       z_order_key(col(colA).cast("long"), col(colB).cast("long")))
+  }
 
   /** Rewrite `df` into `numFiles` parquet files range-partitioned and
     * sorted by the Z-order key of (colA, colB). Range partitioning keeps

@@ -64,7 +64,12 @@ object Quantiles {
         floor((v - col("__mn")) / (col("__mx") - col("__mn")) * bins),
         lit((bins - 1).toLong)))
 
-    val hist = dfNN.join(broadcast(stats), groupCol)
+    // null-safe join key: an inner equi-join would silently DROP every
+    // row whose group key is null (stats aggregates them, the join never
+    // matches them) — null groups must report like any other group
+    val statsR = stats.withColumnRenamed(groupCol, "__g")
+    val hist = dfNN.join(broadcast(statsR), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("__bin", binCol)
       .groupBy(col(groupCol), col("__bin"))
       .agg(count(lit(1)).as("__c"),

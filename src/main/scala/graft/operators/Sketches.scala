@@ -315,9 +315,23 @@ object Sketches {
     * from per-shard sketches of 2^p rows each without touching raw data
     * twice. Estimate the merged table with [[hllFinalize]].
     */
-  def hllMerge(registerTables: Seq[DataFrame]): DataFrame = {
+  /** All tables MUST come from [[hllRegisters]] at the SAME `p`: the
+    * schema cannot carry the precision, and registers of different p
+    * have incompatible idx spaces and rho scales — the merged table
+    * would be valid for neither. `p` is taken here (and rechecked) so
+    * the call site states the shared precision it will finalize with.
+    */
+  def hllMerge(registerTables: Seq[DataFrame], p: Int = 12): DataFrame = {
     require(registerTables.nonEmpty, "need at least one register table")
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1L << p
     registerTables.reduce(_ unionByName _)
       .groupBy("idx").agg(max(col("mrho")).as("mrho"))
+      // idx outside [0, 2^p) means a table sketched at a LARGER p was
+      // mixed in — fail the job instead of returning a wrong estimate
+      .withColumn("idx",
+        when(col("idx") >= 0 && col("idx") < m, col("idx"))
+          .otherwise(raise_error(concat(lit(s"hllMerge: register idx out of range for p=$p: "),
+            col("idx").cast("string")))))
   }
 }

@@ -26,6 +26,13 @@ object Stats {
 
   def columnProfile(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    // names are spliced into a stack() SQL string as literals AND
+    // backticked aliases — restrict to identifier-safe, distinct names
+    // (the keywordScores rule) so malformed CLI input fails clearly here
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"column names must be simple identifiers, got $cols")
+    require(cols.distinct.size == cols.size,
+      s"duplicate column names in $cols")
     val aggCols = cols.flatMap(c => Seq(
       count(lit(1)).as(s"__tot_$c"),
       count(col(c)).as(s"__cnt_$c"),

@@ -152,8 +152,13 @@ object TextAnalysis {
     * itself; no row ever carries more than one bigram.
     */
   def lmScore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val tk = tokens(col("text"))
-    // (doc_id, w1, w2) per bigram OCCURRENCE (non-distinct)
+    // (doc_id, w1, w2) per bigram OCCURRENCE (non-distinct).
+    // persisted + eagerly filled: `bi` feeds the count aggregate AND the
+    // probe side of the scored join — uncached, the tokenize + bigram
+    // explode scan runs once per consumer (and AQE can race concurrent
+    // stages into more re-runs; the sparseCosinePairs pathology)
     val bi = docs
       .select(col("doc_id"), tk.as("__t"))
       .select(col("doc_id"),
@@ -163,6 +168,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode_outer(col("__bi")).as("__b"))
       .filter(col("__b").isNotNull) // Dedup.safeExplodeNote
       .select(col("doc_id"), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(bi)
+    bi.count()
     val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
     // unigram counts over NON-FINAL positions (the conditioning contexts),
     // which is exactly sum of bigram counts per w1 — no second tokenize

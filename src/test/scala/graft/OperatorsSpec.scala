@@ -334,6 +334,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getLong(1) == 3L)
   }
 
+  test("binned quantiles: null GROUP keys report like any group") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 5.0), (None, 7.0))
+      .toDF("g", "v")
+    val got = Quantiles.binnedQuantiles(df, "v", "g", bins = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    assert(got == Map(Some("a") -> 2L, None -> 2L),
+      s"null group must not vanish: $got")
+  }
+
   test("binned quantiles: null values are excluded, not binned") {
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None), ("a", None))
       .toDF("g", "v")
@@ -366,6 +375,20 @@ class OperatorsSpec extends AnyFunSuite {
     val got = Dedup.dedupClustersStar(docsDf, chain, maxIter = 10, checkpointEvery = 2)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == (0L until n).map(i => (i, 0L)))
+  }
+
+  test("star contraction: maxIter exit keeps one row per doc (consistent partial labels)") {
+    val n = 32L
+    val docsDf = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    // 1 round cannot converge a 32-node chain — the safety net must still
+    // return exactly one labeling row per doc, not a fanned-out join
+    val got = Dedup.dedupClustersStar(docsDf, chain, maxIter = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n.toInt)
+    assert(got.map(_._1).distinct.length == n.toInt)
+    // labels point DOWNHILL (never above the doc itself) even mid-way
+    assert(got.forall { case (d, c) => c <= d })
   }
 
   test("star contraction: empty pair set labels every doc by itself") {

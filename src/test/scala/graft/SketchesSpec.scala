@@ -116,7 +116,7 @@ class SketchesSpec extends AnyFunSuite {
     val b = (3000L to 7000L).map(i => s"key-$i").toDF("k")
     val merged = Sketches.hllMerge(Seq(
         Sketches.hllRegisters(a, "k", p = 10),
-        Sketches.hllRegisters(b, "k", p = 10)))
+        Sketches.hllRegisters(b, "k", p = 10)), p = 10)
       .orderBy("idx").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     val whole = Sketches.hllRegisters(a.union(b), "k", p = 10)
       .orderBy("idx").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
@@ -125,9 +125,18 @@ class SketchesSpec extends AnyFunSuite {
     // and the merged estimate is within theory bounds of the true union
     val est = Sketches.hllFinalize(
       Sketches.hllMerge(Seq(Sketches.hllRegisters(a, "k", 10),
-        Sketches.hllRegisters(b, "k", 10))), 10)
+        Sketches.hllRegisters(b, "k", 10)), 10), 10)
       .head.getDouble(2)
     assert(math.abs(est - 7000.0) / 7000.0 < 0.1, s"est $est vs 7000")
+    // mixing a larger-p register table under a smaller declared p fails
+    // loudly (out-of-range idx) instead of estimating garbage
+    val e = intercept[Exception] {
+      Sketches.hllMerge(Seq(Sketches.hllRegisters(a, "k", 10),
+        Sketches.hllRegisters(b, "k", 14)), p = 10).collect()
+    }
+    assert(e.getMessage.contains("idx out of range")
+      || Option(e.getCause).exists(_.getMessage.contains("idx out of range")),
+      s"unexpected: $e")
   }
 
   test("BloomContainsAll equality is value-based over the bitset") {
