@@ -237,6 +237,7 @@ object Cli {
       case "parse" => runParse(spark, flags)
       case "query" => runQuery(spark, flags)
       case "corpus" => runCorpus(spark, flags)
+      case "compact" => runCompact(spark, flags)
       case other =>
         System.err.println(s"Unknown command: $other"); sys.exit(1)
     } catch {
@@ -330,6 +331,20 @@ object Cli {
     * and a 20-row sample. Thresholds and window sizes ride in as flags so
     * every operator is reachable without code.
     */
+  /** `compact -in <dir> -out <dir> [-sort-cols a,b] [-files n]` — the
+    * small-file remedy ([[ParquetIO.compact]]); defaults to the entry
+    * table's (timestamp, group) sort.
+    */
+  def runCompact(spark: SparkSession, flags: Map[String, String]): Unit = {
+    val in = flags.getOrElse("in", fail("compact requires -in <dir>"))
+    val out = flags.getOrElse("out", fail("compact requires -out <dir>"))
+    val sortCols = flags.getOrElse("sort-cols", s"${Schema.Timestamp},${Schema.Group}")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val files = flags.getOrElse("files", "32").toInt
+    ParquetIO.compact(spark, in, out, sortCols, files)
+    println(s"Compacted $in -> $out (${spark.read.parquet(out).count()} rows, <= $files files)")
+  }
+
   def runCorpus(spark: SparkSession, flags: Map[String, String]): Unit = {
     import graft.operators._
     val in = flags.getOrElse("in", fail("corpus requires -in <documents.parquet>"))

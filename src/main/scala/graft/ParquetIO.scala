@@ -35,6 +35,29 @@ object ParquetIO {
       .parquet(path)
   }
 
+  /** Compact a directory of (typically many small) parquet files into
+    * `numFiles` range-partitioned, internally sorted files — the
+    * object-store small-file remedy: a streaming ingest or a
+    * fine-partitioned job leaves thousands of KB-scale files whose
+    * per-file open/footer overhead dominates scans at 100 TB; compaction
+    * pays ONE range shuffle to restore scan-sized files AND global sort
+    * order on `sortCols` (so min/max footer stats stay disjoint across
+    * files and row-group skipping works after compaction exactly as
+    * after a sorted write).
+    */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      sortCols: Seq[String],
+      numFiles: Int = 32): Unit = {
+    require(sortCols.nonEmpty, "compact needs at least one sort column")
+    spark.read.parquet(inDir)
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+  }
+
   /** S8: read an entry parquet (ours or the reference's). Column pruning and
     * predicate pushdown are Catalyst-native — the reference always reads all
     * columns (query.go:146); we get pruning for free.

@@ -312,6 +312,23 @@ class CliSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
   }
 
+  test("compact subcommand: rewrites a small-file directory") {
+    import TestSpark.spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cli-compact").toString
+    try {
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(10).write.parquet(s"$base/in")
+      val out = captureOut {
+        Cli.runCompact(spark, Map("in" -> s"$base/in", "out" -> s"$base/out",
+          "sort-cols" -> "k", "files" -> "2"))
+      }
+      assert(out.contains("100 rows"))
+      intercept[Cli.CliError] { Cli.runCompact(spark, Map("in" -> s"$base/in")) }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("parse summary golden block") {
     val out = captureOut {
       Cli.runParse(spark, Map(

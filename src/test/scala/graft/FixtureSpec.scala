@@ -105,6 +105,37 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: many small files -> n sorted files, rows identical, ranges disjoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    try {
+      // 64 tiny files (the streaming-ingest small-file shape)
+      (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartition(64).write.parquet(s"$base/small")
+      assert(spark.read.parquet(s"$base/small")
+        .select(input_file_name()).distinct().count() == 64L)
+
+      ParquetIO.compact(spark, s"$base/small", s"$base/big", Seq("k"), numFiles = 4)
+      val back = spark.read.parquet(s"$base/big")
+      assert(back.count() == 10000L)
+      assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+        (1L to 10000L))
+      // ≤4 files whose key ranges are DISJOINT (global range partitioning):
+      // footer min/max then prunes scans exactly like a sorted write
+      val spans = back.groupBy(input_file_name().as("f"))
+        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(spans.length <= 4)
+      spans.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: ${spans.toSeq}")
+        case _ =>
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("fileInfo reads the parquet footer") {
     val info = ParquetIO.fileInfo(spark, parquetPath)
     assert(info.rowCount == 212L)
