@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Quantiles, Sampling}
+
+/** Property-based specs (ScalaCheck): randomized structural properties
+  * that example tests can't cover — random graph shapes for the two
+  * connected-components implementations, random corpora for sampler
+  * determinism, random distributions for the quantile error bound.
+  *
+  * Spark jobs are expensive relative to property iterations, so each
+  * property runs a reduced-but-meaningful number of cases (the default
+  * 100 would take minutes); the generators bias toward adversarial
+  * shapes (dense cores, chains, self-contained cliques).
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Reference labeling: sequential union-find over the same edges. */
+  private def ufLabels(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      parent(x) = r; r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  test("property: star contraction == min-label == union-find on random graphs") {
+    val genCase = for {
+      n <- Gen.choose(2, 40)
+      nEdges <- Gen.choose(0, n * 2)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2))
+
+    check(Prop.forAll(genCase) { case (n, edges) =>
+      val docs = (0L until n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val pairs = edges.toDF("doc_id_a", "doc_id_b")
+      val expect = ufLabels(n, edges)
+      val star = Dedup.dedupClustersStar(docs, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minLabel = Dedup.dedupClusters(docs, pairs, driverThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      star == expect && minLabel == expect
+    }, minSuccessful = 12)
+  }
+
+  test("property: deterministic sampler families are partitioning-invariant") {
+    val genCase = for {
+      n <- Gen.choose(20, 300)
+      parts <- Gen.choose(1, 17)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (n, parts, seed)
+
+    check(Prop.forAll(genCase) { case (n, parts, seed) =>
+      val df = (1 to n).map(i => (i.toLong, s"s${i % 5}", s"doc $i"))
+        .toDF("doc_id", "src", "text")
+      def ids(d: org.apache.spark.sql.DataFrame) =
+        d.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val a = ids(Sampling.fixedSizeSample(df, "doc_id", "src", 7, seed))
+      val b = ids(Sampling.fixedSizeSample(df.repartition(parts), "doc_id", "src", 7, seed))
+      val c = ids(Sampling.deterministicSample(df, "doc_id", 0.4))
+      val d2 = ids(Sampling.deterministicSample(df.repartition(parts), "doc_id", 0.4))
+      a == b && c == d2
+    }, minSuccessful = 8)
+  }
+
+  test("property: binned quantile error stays within one bucket width") {
+    val genCase = for {
+      n <- Gen.choose(50, 2000)
+      scale <- Gen.choose(1.0, 1000.0)
+      offset <- Gen.choose(-500.0, 500.0)
+      seed <- Gen.choose(0L, 9999L)
+    } yield (n, scale, offset, seed)
+
+    check(Prop.forAll(genCase) { case (n, scale, offset, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = (1 to n).map(_ => offset + rnd.nextDouble() * scale)
+      val df = vals.map(("g", _)).toDF("g", "v")
+      val bins = 256
+      val row = Quantiles.binnedQuantiles(df, "v", "g", bins = bins).head()
+      val sorted = vals.sorted
+      val width = (sorted.last - sorted.head) / bins
+      def exact(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+      math.abs(row.getDouble(2) - exact(0.5)) <= width + 1e-9 &&
+        math.abs(row.getDouble(3) - exact(0.95)) <= width + 1e-9
+    }, minSuccessful = 8)
+  }
+}
