@@ -58,6 +58,42 @@ object ParquetIO {
       .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
   }
 
+  /** Hive-style partitioned dataset write (`path/col=value/...`) — the
+    * directory-level pruning primitive for corpus storage: a predicate
+    * on a partition column (lang, source, ingest date) eliminates whole
+    * directories at PLANNING time (`PartitionFilters` in the scan),
+    * before any file or footer is touched — the coarsest and cheapest
+    * skipping level, above z-order/footer stats. Each output partition
+    * is additionally collapsed to `filesPerPartition` files so a
+    * high-cardinality partition column doesn't shatter into a small-file
+    * swamp (every input task otherwise writes one file into EVERY
+    * partition it holds rows for).
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      filesPerPartition: Int = 1,
+      mode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    // shuffle on (partition cols + a k-way deterministic salt): each
+    // (value, salt) combination lands in one task, so every partition
+    // directory gets AT MOST filesPerPartition files — without this,
+    // every input task holding rows for a value writes its own file
+    // into that value's directory
+    val keyed = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(filesPerPartition)))
+    keyed
+      .repartition(partitionCols.map(col) :+ col("__salt"): _*)
+      .drop("__salt")
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode(mode)
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
   /** S8: read an entry parquet (ours or the reference's). Column pruning and
     * predicate pushdown are Catalyst-native — the reference always reads all
     * columns (query.go:146); we get pruning for free.

@@ -136,6 +136,31 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned write: directory pruning in the plan, bounded files per partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val base = java.nio.file.Files.createTempDirectory("partwrite").toString
+    try {
+      val df = (1L to 3000L).map(i => (i, s"lang${i % 4}", s"text $i"))
+        .toDF("doc_id", "lang", "text").repartition(16)
+      ParquetIO.writePartitioned(df, s"$base/d", Seq("lang"), filesPerPartition = 2)
+      val back = spark.read.parquet(s"$base/d")
+      assert(back.count() == 3000L)
+      // ≤2 files inside each lang= directory (salted single-shuffle write)
+      val perDir = back.filter(col("lang") === "lang1")
+        .select(input_file_name()).distinct().count()
+      assert(perDir <= 2L, s"expected <=2 files for lang1, got $perDir")
+      // a partition predicate prunes DIRECTORIES at planning time
+      val plan = back.filter(col("lang") === "lang2")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+        s"expected partition pruning in:\n$plan")
+      assert(back.filter(col("lang") === "lang2").count() == 750L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("fileInfo reads the parquet footer") {
     val info = ParquetIO.fileInfo(spark, parquetPath)
     assert(info.rowCount == 212L)
