@@ -220,13 +220,18 @@ object Cli {
           |         [-group pat] [-limit N] [-tail N] [-seek K] [-format text|json] [-stats true]
           |  corpus -in <documents.parquet>
           |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
-          |              editdist|jaccard|clusters|spans|split|shuffle|tokenbudget|chunk|pack|contamination|
-          |              curate|kmeans|quantize|semdedup|incrdedup|cms|hll]
+          |              editdist|jaccard|clusters|starclusters|spans|split|shuffle|tokenbudget|chunk|pack|
+          |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
+          |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder]
           |         (kmeans/quantize/semdedup: -in is an embeddings parquet;
-          |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K])
+          |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
+          |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
+          |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
+          |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]))
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
+          |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n]
           |""".stripMargin)
       sys.exit(1)
     }
