@@ -367,6 +367,13 @@ object SparkEntry {
     "q_hll_distinct" -> ((s, dir) =>
       Sketches.hllTokenIncidence(Tables.load(s, dir, "documents"), p = 10)),
 
+    // the grouped-sketch path: one register set + estimate per language,
+    // same calibration and bit-replay as the global q_hll_distinct
+    "q_hll_by_lang" -> ((s, dir) =>
+      Sketches.hllTokenIncidenceBy(Tables.load(s, dir, "documents"),
+          "lang", p = 10)
+        .orderBy("lang")),
+
     // the FULL LSH candidate path (signature → banding → pair-gen →
     // estimate) on the md5-portable family, so DuckDB replays every step
     // (r4 verdict task 1). The xxhash64 default (Dedup.minHashNearDup)
@@ -1033,6 +1040,35 @@ object SparkEntry {
            $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
            (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM it) AS exact_distinct
          FROM agg"""
+    },
+
+    "q_hll_by_lang" -> {
+      val c = graft.operators.Sketches.hllConstant(10)
+      s"""WITH it AS (
+           SELECT lang, concat(CAST(doc_id AS VARCHAR), ':', token) AS item
+           FROM (SELECT lang, doc_id,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+                 FROM documents)
+         ), r AS (
+           SELECT lang, h >> 50 AS idx, h & ((CAST(1 AS BIGINT) << 50) - 1) AS rem
+           FROM (SELECT lang, CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h FROM it)
+         ), reg AS (
+           SELECT lang, idx,
+             max(CASE WHEN rem = 0 THEN 51 ELSE 51 - length(ltrim(bin(rem), '0')) END) AS mrho
+           FROM r GROUP BY 1, 2
+         ), agg AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_registers_used,
+             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
+           FROM reg GROUP BY 1
+         ), ex AS (
+           SELECT lang, CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct FROM it GROUP BY 1
+         )
+         SELECT agg.lang, n_registers_used,
+           s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS s_fixed,
+           $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
+           ex.exact_distinct
+         FROM agg JOIN ex ON agg.lang = ex.lang
+         ORDER BY agg.lang"""
     },
 
     // the shuffle key is pure md5 arithmetic; the two-level rank must

@@ -190,6 +190,27 @@ object Sketches {
       .crossJoin(pairs.agg(countDistinct(col("item")).as("exact_distinct")))
   }
 
+  /** [[hllTokenIncidence]] per group key — the grouped-sketch path
+    * ([[hllRegistersBy]]) under the same calibration contract: one 2^p
+    * register set and one estimate row per group, alongside the exact
+    * truth for the report. State is groups × 2^p rows however big the
+    * corpus.
+    */
+  def hllTokenIncidenceBy(
+      docs: DataFrame, groupCol: String, p: Int = 10): DataFrame = {
+    val pairs = docs
+      .select(col(groupCol), col("doc_id"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull) // Dedup.safeExplodeNote
+      .select(col(groupCol),
+        concat_ws(":", col("doc_id"), col("token")).as("item"))
+    val est = hllFinalizeBy(
+      hllRegistersBy(pairs, "item", p, Seq(groupCol)), p, Seq(groupCol))
+    val exact = pairs.groupBy(groupCol)
+      .agg(countDistinct(col("item")).as("exact_distinct"))
+    est.join(exact, groupCol)
+  }
+
   /** HyperLogLog distinct-count estimate over `items(itemCol)` with 2^p
     * registers. Register index = top p bits of the 60-bit md5 hash; rho =
     * 1 + leading zeros of the remaining (60-p)-bit field, computed with
