@@ -82,6 +82,41 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 8)
   }
 
+  test("property: z-order key is injective and per-axis monotone (pure function)") {
+    import graft.functions.BitInterleave
+    val gen31 = Gen.choose(0L, 0x7FFFFFFFL)
+    // injective: distinct 31-bit pairs always get distinct keys (the
+    // spread is invertible bit scatter, so this is exact, not statistical)
+    check(Prop.forAll(gen31, gen31, gen31, gen31) { (a, b, c, d) =>
+      ((a, b) == (c, d)) == (BitInterleave.zorder(a, b) == BitInterleave.zorder(c, d))
+    }, minSuccessful = 500)
+    // monotone along each axis with the other fixed
+    check(Prop.forAll(gen31, gen31, gen31) { (a, b, other) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      (lo == hi) || (BitInterleave.zorder(lo, other) < BitInterleave.zorder(hi, other) &&
+        BitInterleave.zorder(other, lo) < BitInterleave.zorder(other, hi))
+    }, minSuccessful = 500)
+    // keys stay strictly non-negative over the whole 31-bit domain
+    check(Prop.forAll(gen31, gen31) { (a, b) =>
+      BitInterleave.zorder(a, b) >= 0L
+    }, minSuccessful = 500)
+  }
+
+  test("property: rolling hash distributes and is prefix-sensitive (pure function)") {
+    import graft.functions.RollingHash
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String) = RollingHash.hash(UTF8String.fromString(s))
+    // equal strings hash equal; appending any char changes the hash
+    check(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumChar) { (s, c) =>
+      h(s) == h(s) && h(s + c) != h(s)
+    }, minSuccessful = 300)
+    // order sensitivity: a transposition of two distinct adjacent chars
+    // changes the hash (fingerprints must see order, unlike bag models)
+    check(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumChar, Gen.alphaNumChar) { (s, x, y) =>
+      (x == y) || h(s + x.toString + y.toString) != h(s + y.toString + x.toString)
+    }, minSuccessful = 300)
+  }
+
   test("property: binned quantile error stays within one bucket width") {
     val genCase = for {
       n <- Gen.choose(50, 2000)
