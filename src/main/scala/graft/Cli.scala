@@ -330,12 +330,6 @@ object Cli {
     }
   }
 
-  /** Corpus-pipeline subcommand — the training-data operator family over a
-    * documents parquet `(doc_id, text, ...)`. `-out` writes zstd parquet
-    * (lazy plan → one distributed write); without it, prints the row count
-    * and a 20-row sample. Thresholds and window sizes ride in as flags so
-    * every operator is reachable without code.
-    */
   /** `compact -in <dir> -out <dir> [-sort-cols a,b] [-files n]` — the
     * small-file remedy ([[ParquetIO.compact]]); defaults to the entry
     * table's (timestamp, group) sort.
@@ -346,9 +340,21 @@ object Cli {
     val sortCols = flags.getOrElse("sort-cols", s"${Schema.Timestamp},${Schema.Group}")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val files = flags.getOrElse("files", "32").toInt
+    // count the INPUT once before the write: re-reading the fresh output
+    // for a log line would re-list the directory and touch every footer —
+    // a second full metadata pass at exactly the small-file scale this
+    // command exists to fix
+    val rows = spark.read.parquet(in).count()
     ParquetIO.compact(spark, in, out, sortCols, files)
-    println(s"Compacted $in -> $out (${spark.read.parquet(out).count()} rows, <= $files files)")
+    println(s"Compacted $in -> $out ($rows rows, <= $files files)")
   }
+
+  /** Corpus-pipeline subcommand — the training-data operator family over a
+    * documents parquet `(doc_id, text, ...)`. `-out` writes zstd parquet
+    * (lazy plan → one distributed write); without it, prints the row count
+    * and a 20-row sample. Thresholds and window sizes ride in as flags so
+    * every operator is reachable without code.
+    */
 
   def runCorpus(spark: SparkSession, flags: Map[String, String]): Unit = {
     import graft.operators._

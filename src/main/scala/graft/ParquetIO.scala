@@ -77,6 +77,8 @@ object ParquetIO {
       mode: String = "overwrite"): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
     require(filesPerPartition > 0, "filesPerPartition must be positive")
+    require(!df.columns.contains("__salt"),
+      "writePartitioned reserves the column name __salt; rename it first")
     // shuffle on (partition cols + a k-way deterministic salt): each
     // (value, salt) combination lands in one task, so every partition
     // directory gets AT MOST filesPerPartition files — without this,

@@ -180,12 +180,20 @@ object Sketches {
   /** HLL estimate of distinct `(doc_id, token)` incidence pairs with the
     * exact count alongside — q_hll_distinct and `cli corpus -op hll`.
     */
-  def hllTokenIncidence(docs: DataFrame, p: Int = 10): DataFrame = {
-    val pairs = docs
-      .select(col("doc_id"),
-        explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+  /** The (doc_id:token) incidence-item stream both incidence reports
+    * sketch over — ONE definition, because the item key format must stay
+    * in lockstep with the q_hll_distinct AND q_hll_by_lang oracle SQL.
+    */
+  private def incidenceItems(docs: DataFrame, extraCols: Seq[String]): DataFrame =
+    docs
+      .select(extraCols.map(col) :+ col("doc_id")
+        :+ explode_outer(TextAnalysis.tokens(col("text"))).as("token"): _*)
       .filter(col("token").isNotNull) // Dedup.safeExplodeNote
-      .select(concat_ws(":", col("doc_id"), col("token")).as("item"))
+      .select(extraCols.map(col)
+        :+ concat_ws(":", col("doc_id"), col("token")).as("item"): _*)
+
+  def hllTokenIncidence(docs: DataFrame, p: Int = 10): DataFrame = {
+    val pairs = incidenceItems(docs, Seq.empty)
     hllDistinct(pairs, "item", p)
       .crossJoin(pairs.agg(countDistinct(col("item")).as("exact_distinct")))
   }
@@ -198,12 +206,7 @@ object Sketches {
     */
   def hllTokenIncidenceBy(
       docs: DataFrame, groupCol: String, p: Int = 10): DataFrame = {
-    val pairs = docs
-      .select(col(groupCol), col("doc_id"),
-        explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
-      .filter(col("token").isNotNull) // Dedup.safeExplodeNote
-      .select(col(groupCol),
-        concat_ws(":", col("doc_id"), col("token")).as("item"))
+    val pairs = incidenceItems(docs, Seq(groupCol))
     val est = hllFinalizeBy(
       hllRegistersBy(pairs, "item", p, Seq(groupCol)), p, Seq(groupCol))
     val exact = pairs.groupBy(groupCol)

@@ -11,10 +11,13 @@ import graft.operators.{Dedup, Quantiles, Sampling}
   * connected-components implementations, random corpora for sampler
   * determinism, random distributions for the quantile error bound.
   *
-  * Spark jobs are expensive relative to property iterations, so each
-  * property runs a reduced-but-meaningful number of cases (the default
-  * 100 would take minutes); the generators bias toward adversarial
-  * shapes (dense cores, chains, self-contained cliques).
+  * Spark jobs are expensive relative to property iterations, so the
+  * Spark-backed properties run a reduced-but-meaningful number of cases
+  * (the default 100 would take minutes); pure-function properties run
+  * hundreds. Graph cases are uniform random (a, b) edge draws —
+  * adversarial SHAPES (deep chains, stars, bridges) are pinned by the
+  * example tests in OperatorsSpec, which this suite complements rather
+  * than replaces.
   */
 class PropertySpec extends AnyFunSuite {
   import TestSpark.spark
@@ -56,7 +59,9 @@ class PropertySpec extends AnyFunSuite {
       val expect = ufLabels(n, edges)
       val star = Dedup.dedupClustersStar(docs, pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val minLabel = Dedup.dedupClusters(docs, pairs, driverThreshold = 0)
+      // maxIter above the worst-case diameter (a 40-node random graph can
+      // be a path): the default 20 would silently return partial labels
+      val minLabel = Dedup.dedupClusters(docs, pairs, driverThreshold = 0, maxIter = 50)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       star == expect && minLabel == expect
     }, minSuccessful = 12)
