@@ -528,6 +528,19 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
         .orderBy("doc_id", "chunk_id")),
 
+    // the END-TO-END training-sequence assembly: curate (quality →
+    // exact-dedup → near-dup-drop → split → chunk), keep the train
+    // split, pack into fixed-token-budget sequences — every stage's
+    // replay is proven separately (q_pipeline, q_split, q_pack); this
+    // composes them through ONE lazy plan and ONE oracle
+    "q_pipeline_pack" -> ((s, dir) =>
+      operators.Packing.packSequences(
+          operators.Pipeline.curate(Tables.load(s, dir, "documents"))
+            .filter(col("split") === "train"),
+          budget = 256, docBucket = 64)
+        .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
+        .orderBy("doc_id", "chunk_id")),
+
     // per-language corpus telemetry aggregate
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.load(s, dir, "documents"), "lang")
@@ -1813,6 +1826,77 @@ object SparkEntry {
                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
                FROM c) t
          ORDER BY doc_id, chunk_id""",
+
+    // the composed replay: q_pipeline's curation CTE chain, train-split
+    // filter on the same md5 bucket arithmetic, then q_pack's flat window
+    // cumsum over the surviving chunk rows
+    "q_pipeline_pack" ->
+      """WITH RECURSIVE q AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) END AS alpha_ratio
+             FROM documents) t
+           WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
+         ), keep1 AS (
+           SELECT min(doc_id) AS doc_id FROM q
+           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         ), d2 AS (
+           SELECT q.doc_id, q.text FROM q JOIN keep1 USING (doc_id)
+         ), toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM d2
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM d2
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), canon AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
+         ), surv AS (
+           SELECT d2.doc_id, d2.text FROM d2
+           WHERE d2.doc_id IN (SELECT doc_id FROM canon WHERE doc_id = canonical_id)
+         ), tk2 AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM surv
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
+           FROM tk2
+         ), tr AS (
+           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+             CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens
+           FROM (SELECT *,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+                 FROM c) t
+           WHERE b < 8000
+         ), o AS (
+           SELECT doc_id, chunk_id, n_chunk_tokens,
+             coalesce(CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS global_offset
+           FROM tr
+         )
+         SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
+           CAST(global_offset // 256 AS BIGINT) AS seq_id
+         FROM o ORDER BY doc_id, chunk_id""",
 
     // sign-LSH replayed via SERIALIZED hyperplanes: the ±1 plane matrix is
     // data-independent (SignLshBuckets.planeSigns — the exact XXH64 sign
