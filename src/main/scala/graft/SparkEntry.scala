@@ -653,18 +653,14 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "q_mm_features" -> ((s, dir) => {
-      // flatten the features array to scalar columns: the driver's compare
-      // (pandas sort over all columns) cannot hash array cells. The raw
-      // float32 is widened to double UNROUNDED — IEEE float division is
-      // bit-identical across engines, so the DuckDB oracle replays it
-      // exactly (round() would re-introduce half-boundary divergence)
-      val feats = Multimodal.extractFeatures(s,
-        Multimodal.withPayload(Tables.load(s, dir, "documents")))
-      feats.select(
-        col("doc_id") +: col("payload_bytes") +:
-          (0 until 8).map(i =>
-            element_at(col("features"), i + 1).cast("double").as(s"f$i")): _*)
-        .orderBy("doc_id")
+      // REAL round trip: synthesize a conformant PPM/BMP/WAV file per doc,
+      // then sniff + decode the binary column and emit typed features. The
+      // oracle recomputes the expected features in closed form from the
+      // generation parameters, so any header/padding/byte-order bug in the
+      // codec breaks the hash. Exact integer channel sums only — no floats
+      // in the gated projection (cross-engine determinism).
+      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
+      Multimodal.decodeFeatures(s, media).orderBy("doc_id")
     }),
   )
 
@@ -1142,25 +1138,36 @@ object SparkEntry {
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
 
-    // the decode STUB's 8-bin byte histogram is deterministic and (the
-    // corpus being ASCII: ord == byte, bin = byte >> 5) fully
-    // DuckDB-expressible. The float32 division is replayed with FLOAT
-    // casts — IEEE single-precision ops are bit-identical across engines,
-    // so the unrounded doubles hash-match exactly
-    "q_mm_features" -> {
-      val fcols = (0 until 8).map(i =>
-        s"""CAST(CAST(len(list_filter(bins, x -> x = $i)) AS FLOAT) /
-            CAST(greatest(payload_bytes, 1) AS FLOAT) AS DOUBLE) AS f$i""")
-        .mkString(",\n         ")
-      s"""WITH b AS (
-           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-             list_transform(range(1, length(text) + 1), i -> ord(text[i]) // 32) AS bins
+    // closed-form replay of the synthesized-media generation parameters
+    // (Multimodal.synthesizeOne): the Spark side writes REAL PPM/BMP/WAV
+    // bytes and decodes them back, so a match here gates the whole codec
+    // round trip. Integer-only arithmetic — exact in both engines.
+    "q_mm_features" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 3 AS kind,
+             16 + n_chars % 48 AS w,
+             16 + (7 * n_chars) % 48 AS h,
+             256 + n_chars % 512 AS n
            FROM documents
          )
-         SELECT doc_id, payload_bytes,
-         $fcols
-         FROM b ORDER BY doc_id"""
-    },
+         SELECT doc_id,
+           CASE kind WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+           CAST(CASE WHEN kind < 2 THEN w ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN kind < 2 THEN h ELSE 0 END AS INT) AS height,
+           CAST(CASE WHEN kind < 2 THEN 3 ELSE 1 END AS INT) AS channels,
+           CAST(CASE WHEN kind = 2 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
+           CAST(CASE WHEN kind < 2 THEN w * h ELSE n END AS BIGINT) AS n_units,
+           CAST(CASE WHEN kind < 2
+             THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y) % 256))
+             ELSE list_sum(list_transform(range(0, n), i -> (7 * doc_id + 13 * i) % 2048 - 1024))
+           END AS BIGINT) AS c0_sum,
+           CAST(CASE WHEN kind < 2
+             THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y + 85) % 256))
+             ELSE 0 END AS BIGINT) AS c1_sum,
+           CAST(CASE WHEN kind < 2
+             THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y + 170) % 256))
+             ELSE 0 END AS BIGINT) AS c2_sum
+         FROM p ORDER BY doc_id""",
 
     // exact n-gram jaccard, independently recomputed from the raw text with
     // DuckDB list ops (string shingles, no hashing — proves the Spark side's

@@ -1071,17 +1071,97 @@ class OperatorsSpec extends AnyFunSuite {
     CacheRegistry.release(spark)
   }
 
-  test("multimodal: payload plumbing is exact, stub features are a normalized histogram") {
-    val withP = Multimodal.withPayload(docs)
-    val feats = Multimodal.extractFeatures(spark, withP)
-    assert(feats.count() == docs.count())
-    val r = feats.orderBy("doc_id").head()
-    val f = r.getAs[scala.collection.Seq[Float]]("features")
-    assert(f.length == 8)
-    assert(math.abs(f.sum - 1.0f) < 1e-3, s"histogram should normalize, got ${f.sum}")
-    // deterministic: same payload -> same features
-    assert(Multimodal.decodeStub("abc".getBytes).toSeq ==
-      Multimodal.decodeStub("abc".getBytes).toSeq)
+  test("multimodal: PPM decoder parses a hand-built fixture with header comments") {
+    // 2x2 image, comment between tokens, known pixel bytes
+    val header = "P6 # a comment\n# another\n2\n2\n255\n"
+    val px = Array[Byte](
+      10, 20, 30,  40, 50, 60,     // row 0: (10,20,30) (40,50,60)
+      70, 80, 90,  100, 110, 120)  // row 1
+    val img = Multimodal.decodePpm(header.getBytes("US-ASCII") ++ px)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == px.toSeq)
+  }
+
+  test("multimodal: BMP decoder handles row padding, bottom-up order, BGR") {
+    // hand-build a 3x2 24bpp BMP: rowSize = 12 (9 data + 3 pad), bottom-up
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rowSize = 12
+    val buf = ByteBuffer.allocate(54 + rowSize * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * 2).putInt(0).putInt(54)
+    buf.putInt(40).putInt(3).putInt(2).putShort(1).putShort(24)
+    buf.putInt(0).putInt(rowSize * 2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // file row 0 = image BOTTOM row (y=1), stored BGR
+    buf.put(Array[Byte](3, 2, 1,  6, 5, 4,  9, 8, 7,  0, 0, 0))       // y=1: RGB (1,2,3)(4,5,6)(7,8,9)
+    buf.put(Array[Byte](13, 12, 11,  16, 15, 14,  19, 18, 17,  0, 0, 0)) // y=0: RGB (11,12,13)...
+    val img = Multimodal.decodeBmp(buf.array())
+    assert(img.width == 3 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](
+      11, 12, 13, 14, 15, 16, 17, 18, 19, // top row y=0
+      1, 2, 3, 4, 5, 6, 7, 8, 9))         // bottom row y=1
+  }
+
+  test("multimodal: WAV decoder walks chunks, skipping unknown ones") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val samples = Array[Short](100, -200, 300)
+    // RIFF with a LIST chunk of odd size (tests the RIFF pad byte) before data
+    val listBody = Array[Byte](1, 2, 3) // odd size -> 1 pad byte
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(12 + 24 + (8 + 4) + 8 + dataSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(buf.capacity - 8); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1).putShort(2).putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    buf.put("LIST".getBytes); buf.putInt(3); buf.put(listBody); buf.put(0.toByte)
+    buf.put("data".getBytes); buf.putInt(dataSize)
+    samples.foreach(buf.putShort)
+    val a = Multimodal.decodeWav(buf.array())
+    assert(a.sampleRate == 44100 && a.channels == 2)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("multimodal: codecs round-trip exactly at awkward sizes") {
+    for (w <- Seq(1, 3, 5, 17); h <- Seq(1, 2, 7)) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + w + h) % 256).toByte)
+      val img = Multimodal.ImageData(w, h, rgb)
+      assert(Multimodal.decodePpm(Multimodal.encodePpm(img)).rgb.toSeq == rgb.toSeq,
+        s"ppm $w x $h")
+      val back = Multimodal.decodeBmp(Multimodal.encodeBmp(img))
+      assert(back.width == w && back.height == h && back.rgb.toSeq == rgb.toSeq,
+        s"bmp $w x $h")
+    }
+    for (n <- Seq(0, 1, 2, 255)) {
+      val s = Array.tabulate(n)(i => ((i * 991) % 65536 - 32768).toShort)
+      val a = Multimodal.decodeWav(Multimodal.encodeWav(Multimodal.AudioData(8000, 1, s)))
+      assert(a.samples.toSeq == s.toSeq && a.sampleRate == 8000, s"wav n=$n")
+    }
+  }
+
+  test("multimodal: synthesize -> sniff -> decode matches the closed form end to end") {
+    val df = Seq(
+      (0L, "x", "en", "s", 100L),  // ppm
+      (1L, "x", "en", "s", 101L),  // bmp
+      (2L, "x", "en", "s", 102L),  // wav
+      (3L, "x", "en", "s", 0L),    // ppm at the minimum size
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(spark, df))
+      .orderBy("doc_id").collect()
+    assert(feats.map(_.getString(1)).toSeq == Seq("ppm", "bmp", "wav", "ppm"))
+    // replay the generation closed form in plain Scala
+    for (r <- feats) {
+      val (id, nChars) = (r.getLong(0), Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 0L)(r.getLong(0)))
+      if (id % 3 < 2) {
+        val w = (16 + nChars % 48).toInt; val h = (16 + 7 * nChars % 48).toInt
+        assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == 3)
+        assert(r.getLong(6) == w.toLong * h)
+        for (c <- 0 until 3)
+          assert(r.getLong(7 + c) ==
+            w.toLong * (0 until h).map(y => (id + y + 85 * c) % 256).sum, s"doc $id chan $c")
+      } else {
+        val n = (256 + nChars % 512).toInt
+        assert(r.getInt(5) == 8000 && r.getInt(4) == 1 && r.getLong(6) == n)
+        assert(r.getLong(7) == (0 until n).map(i => (7 * id + 13 * i) % 2048 - 1024).sum)
+      }
+    }
   }
 
   test("text analysis goldens on inline docs") {
