@@ -615,6 +615,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // recall@k vs the brute-force truth per nprobe — the tuning dial for
+    // IVF; also regression-pins codebook quality beyond convergence
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
+        numCentroids = 32, nprobes = Seq(1, 2, 4))
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters → within-cluster
     // cosine prune → keep the lowest-id representative. Threshold 0.4
     // because the synthetic corpus has no true embedding dups (max cos
@@ -1450,6 +1458,55 @@ object SparkEntry {
                ORDER BY round(list_cosine_similarity(q.e, a.e), 4) DESC, a.vec_id) AS rank
            FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the q_ivf_topk chain extended with probe ranks: per-nprobe top-k is
+    // a filter over ONE scored candidate table, recall joins against the
+    // q_embed_topk brute-force truth; the final ratio is a single IEEE
+    // division of two BIGINTs (bit-exact in both engines)
+    "q_ivf_recall" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         ca AS (
+           SELECT vec_id, e, centroid_id FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (
+           SELECT vec_id AS query_id, e, centroid_id, rn AS probe_rank FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 4),
+         scored AS (
+           SELECT q.query_id, a.vec_id, q.probe_rank,
+             round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim
+           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id),
+         np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         ivf AS (
+           SELECT nprobe, query_id, vec_id FROM (
+             SELECT np.nprobe, s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY np.nprobe, s.query_id
+                 ORDER BY s.cos_sim DESC, s.vec_id) AS rank
+             FROM np CROSS JOIN scored s
+             WHERE s.probe_rank <= np.nprobe) WHERE rank <= 3),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
+             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
+             WHERE c2.vec_id <> q.vec_id) t WHERE rank <= 3),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
+         SELECT CAST(i.nprobe AS INT) AS nprobe,
+           tot.exact_pairs,
+           CAST(count(*) AS BIGINT) AS ivf_pairs,
+           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
+           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
+         FROM ivf i
+         LEFT JOIN exact e ON i.query_id = e.query_id AND i.vec_id = e.vec_id, tot
+         GROUP BY i.nprobe, tot.exact_pairs
+         ORDER BY nprobe""",
 
     // rolling hash (base 257 mod 2^64) replayed byte-for-byte in DuckDB via
     // HUGEINT list_reduce; valid because the corpus is ASCII (ord == byte) —

@@ -310,6 +310,84 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Recall@k telemetry for IVF vs exact brute force — how a user tunes
+    * `nprobe` (the recall/cost dial): one row per probed depth reporting
+    * |ivf∩exact| / |exact| over the query set.
+    *
+    * Cost shape: corpus assignment and candidate scoring run ONCE at
+    * nprobe = max(nprobes) with the probe rank attached; each smaller
+    * depth's top-k is a filter + re-rank over that bounded candidate
+    * table (≤ |queries|·avg-bucket rows), and the brute-force truth is
+    * computed once. Adding probe points is near-free — no per-point
+    * corpus pass.
+    */
+  def ivfRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int = 32,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val centroids = broadcast(
+      withNorm(pseudoCentroids(corpus, numCentroids), "vec_id", "centroid_id")
+        .withColumnRenamed("embedding", "c_emb")
+        .withColumnRenamed("__norm", "c_norm"))
+
+    def assign(df: DataFrame, probes: Int, rankName: String): DataFrame = {
+      val idCol = df.columns.head
+      val w = Window.partitionBy(idCol)
+        .orderBy(
+          round(dot(col("c_emb"), col("embedding")) / (col("c_norm") * col("__norm")), 6).desc,
+          col("centroid_id").asc)
+      df.crossJoin(centroids)
+        .withColumn(rankName, row_number().over(w))
+        .filter(col(rankName) <= probes)
+        .drop("c_emb", "c_norm")
+    }
+
+    val assignedCorpus = assign(withNorm(corpus, "vec_id", "vec_id"), 1, "__r").drop("__r")
+    val assignedQueries = assign(
+        withNorm(queries, "vec_id", "query_id"), nprobes.max, "probe_rank")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("__norm", "q_norm")
+    // candidates at the DEEPEST probe depth, each tagged with the probe
+    // rank of the centroid it arrived through; persisted + eagerly filled
+    // (one consumer per probe point — see the AQE cache-race note)
+    val scored = CacheRegistry.track(
+      assignedCorpus.join(broadcast(assignedQueries), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("probe_rank"),
+          round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+            .as("cos_sim"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    scored.count()
+    val exact = CacheRegistry.track(
+      bruteForceTopK(corpus, queries, k).select(col("query_id"), col("vec_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    exact.count()
+    val exactTotal = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val perProbe = nprobes.sorted.map { np =>
+      scored.filter(col("probe_rank") <= np)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "vec_id")
+        .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("ivf_pairs"), count(col("__hit")).as("hit_pairs"))
+        .select(lit(np).as("nprobe"), col("ivf_pairs"), col("hit_pairs"))
+    }
+    perProbe.reduce(_ unionByName _)
+      .crossJoin(exactTotal)
+      // one integer-ratio IEEE division — bit-exact in any engine
+      .withColumn("recall_at_k",
+        col("hit_pairs").cast("double") / col("exact_pairs").cast("double"))
+      .select("nprobe", "exact_pairs", "ivf_pairs", "hit_pairs", "recall_at_k")
+      .orderBy("nprobe")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * k-means-cluster the embedding space, compare vectors only WITHIN
     * their cluster, and drop every vector that has a same-cluster

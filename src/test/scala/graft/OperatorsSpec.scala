@@ -846,6 +846,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("IVF recall telemetry: monotone in nprobe, 1.0 at full probe depth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    val rep = Similarity.ivfRecall(emb, queries, k = 3,
+        numCentroids = 32, nprobes = Seq(1, 4, 32))
+      .orderBy("nprobe").collect()
+    assert(rep.map(_.getInt(0)).toSeq == Seq(1, 4, 32))
+    assert(rep.forall(_.getLong(1) == 9L), "exact_pairs = k * |queries|")
+    val recalls = rep.map(_.getDouble(4))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)), "recall monotone in nprobe")
+    // nprobe = numCentroids degenerates to brute force -> recall exactly 1.0
+    assert(recalls.last == 1.0)
+  }
+
   test("IVF centroid count is fixed, independent of corpus size") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert(Similarity.pseudoCentroids(emb, 8).count() == 8)
