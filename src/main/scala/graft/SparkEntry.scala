@@ -982,13 +982,15 @@ object SparkEntry {
          ), seen AS (
            SELECT DISTINCT key FROM keyed WHERE doc_id % 3 = 0
          ), ii AS (
-           SELECT CAST(unnest(range(5)) AS VARCHAR) AS i
+           SELECT unnest(range(5)) AS i
          ), seen_pos AS (
-           SELECT DISTINCT CAST(concat('0x', substr(md5(concat(i, ':', key)), 1, 15)) AS BIGINT) % 16384 AS pos
+           SELECT DISTINCT (CAST(concat('0x', substr(md5(key), 1, 14)) AS BIGINT)
+             + i * CAST(concat('0x', substr(md5(key), 17, 14)) AS BIGINT)) % 16384 AS pos
            FROM seen CROSS JOIN ii
          ), inc_pos AS (
            SELECT doc_id, key,
-             CAST(concat('0x', substr(md5(concat(i, ':', key)), 1, 15)) AS BIGINT) % 16384 AS pos
+             (CAST(concat('0x', substr(md5(key), 1, 14)) AS BIGINT)
+              + i * CAST(concat('0x', substr(md5(key), 17, 14)) AS BIGINT)) % 16384 AS pos
            FROM keyed CROSS JOIN ii WHERE doc_id % 3 <> 0
          ), flg AS (
            SELECT q.doc_id, q.key, bool_and(p.pos IS NOT NULL) AS maybe_seen
@@ -1000,33 +1002,37 @@ object SparkEntry {
          FROM flg f LEFT JOIN seen s ON f.key = s.key
          ORDER BY doc_id""",
 
-    // count-min replayed exactly: counter idx = md5_60("j:token") % 4096
-    // per depth row j = 0..3, est = min over j (0 when never filled)
+    // count-min replayed exactly with the Kirsch–Mitzenmacher index
+    // family: ONE md5 per token split into 56-bit halves a/b, counter
+    // idx_j = (a + j·b) % 4096 for depth rows j = 0..3, est = min over j
+    // (0 when never filled)
     "q_cms_topk" ->
       """WITH t AS (
            SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
            FROM documents
+         ), h AS (
+           SELECT CAST(concat('0x', substr(md5(token), 1, 14)) AS BIGINT) AS a,
+                  CAST(concat('0x', substr(md5(token), 17, 14)) AS BIGINT) AS b
+           FROM t
          ), jj AS (
-           SELECT CAST(unnest(range(4)) AS VARCHAR) AS j
+           SELECT unnest(range(4)) AS j
          ), cms AS (
-           SELECT j,
-             CAST(concat('0x', substr(md5(concat(j, ':', token)), 1, 15)) AS BIGINT) % 4096 AS idx,
-             count(*) AS cnt
-           FROM t CROSS JOIN jj GROUP BY j, idx
+           SELECT j, (a + j * b) % 4096 AS idx, count(*) AS cnt
+           FROM h CROSS JOIN jj GROUP BY j, idx
          ), truth AS (
            SELECT token, count(*) AS occurrences FROM t GROUP BY token
            ORDER BY occurrences DESC, token LIMIT 10
          ), probe AS (
-           SELECT tr.token, j,
-             CAST(concat('0x', substr(md5(concat(j, ':', tr.token)), 1, 15)) AS BIGINT) % 4096 AS idx
-           FROM truth tr CROSS JOIN jj
+           SELECT token, occurrences, j,
+             (CAST(concat('0x', substr(md5(token), 1, 14)) AS BIGINT)
+              + j * CAST(concat('0x', substr(md5(token), 17, 14)) AS BIGINT)) % 4096 AS idx
+           FROM truth CROSS JOIN jj
          )
-         SELECT p.token, tr.occurrences, min(coalesce(c.cnt, 0)) AS est_count
+         SELECT p.token, p.occurrences, min(coalesce(c.cnt, 0)) AS est_count
          FROM probe p
-         JOIN truth tr ON p.token = tr.token
          LEFT JOIN cms c ON p.j = c.j AND p.idx = c.idx
-         GROUP BY p.token, tr.occurrences
-         ORDER BY tr.occurrences DESC, p.token""",
+         GROUP BY p.token, p.occurrences
+         ORDER BY p.occurrences DESC, p.token""",
 
     // HLL replayed exactly: register idx = top 10 bits of md5_60, rho from
     // the binary length of the 50-bit remainder (string op, no libm), the

@@ -23,14 +23,31 @@ import graft.functions.GraftFunctions
   */
 object Sketches {
 
-  /** The `k` Bloom bit positions for a content key: position i =
-    * md5_60("i:key") mod mBits. Independent hashes per index (not
-    * double-hashing) keeps the oracle SQL a one-liner per position.
+  /** Two independent 56-bit halves of ONE md5 — the Kirsch–Mitzenmacher
+    * "Less Hashing, Same Performance" basis (ESA'06, their motivating use
+    * case IS the Bloom filter): probe/row i derives as `a + i·b`, so a key
+    * pays one md5 however many positions it needs (the r7 q_cms_topk cpu
+    * was depth×md5 per token — this is the 4× cut that keeps the oracle).
+    * Same hex split as [[Dedup.minHashSignaturesPortable]] (1-14, 17-30);
+    * a,b < 2^56 keeps `a + i·b` inside signed 64 for i < 128, and the
+    * whole construction replays bit-for-bit in any engine with md5.
+    * Codegen subexpression elimination collapses the repeated md5 subtree
+    * when both halves (or k array slots) appear in one projection.
     */
-  def bloomPositions(key: Column, mBits: Int, k: Int): Column =
-    array((0 until k).map { i =>
-      Dedup.md5Token60(concat_ws(":", lit(i.toString), key)) % mBits
-    }: _*)
+  private def md5HalfA(key: Column): Column =
+    conv(substring(md5(key), 1, 14), 16, 10).cast("long")
+  private def md5HalfB(key: Column): Column =
+    conv(substring(md5(key), 17, 14), 16, 10).cast("long")
+
+  /** The `k` Bloom bit positions for a content key: position i =
+    * (a + i·b) mod mBits over the md5 halves — one md5 per key, k < 128.
+    */
+  def bloomPositions(key: Column, mBits: Int, k: Int): Column = {
+    require(k > 0 && k < 128, s"k must be in [1,128), got $k")
+    val a = md5HalfA(key)
+    val b = md5HalfB(key)
+    array((0 until k).map(i => (a + lit(i.toLong) * b) % mBits): _*)
+  }
 
   /** Dense Bloom bitset (one long per 64 bits) over the distinct keys of
     * `seen`. The shuffle carries DISTINCT bit positions (≤ mBits rows, with
@@ -113,38 +130,70 @@ object Sketches {
     incrementalDedup(keyed(incoming), keyed(seen), "key", mBits, k)
   }
 
+  /** Per-(item, j) counter index. Portable family: Kirsch–Mitzenmacher
+    * over the md5 halves — hash ONCE per item (the halves are computed
+    * before the depth explode), row j's index is integer arithmetic.
+    * In-engine family: xxhash64 (codegen-native, no hex formatting) —
+    * faster still, but its bits are Spark-private, so only the portable
+    * family carries a hash-match oracle (the MinHash precedent).
+    */
+  private def withCmsIndex(
+      rows: DataFrame, depth: Int, width: Int, portable: Boolean,
+      carry: Seq[String]): DataFrame = {
+    require(depth > 0 && depth < 128 && width > 0)
+    val keyed =
+      if (portable)
+        rows.select(carry.map(col) :+ md5HalfA(col("item")).as("__a")
+          :+ md5HalfB(col("item")).as("__b"): _*)
+      else rows.select(carry.map(col) :+ col("item").as("__item"): _*)
+    val exploded = keyed
+      .select(col("*"), explode_outer(sequence(lit(0), lit(depth - 1))).as("j"))
+      .filter(col("j").isNotNull) // Dedup.safeExplodeNote
+    val idx =
+      if (portable) (col("__a") + col("j") * col("__b")) % width
+      else pmod(xxhash64(col("j"), col("__item")), lit(width.toLong))
+    exploded.select(carry.map(col) :+ col("j") :+ idx.as("idx"): _*)
+  }
+
   /** Count-min sketch over `items(itemCol)`: a depth×width counter table
-    * (row j, counter idx, count), idx = md5_60("j:item") mod width. One
-    * pass, map-side combined; the sketch is depth×width rows whatever the
-    * vocabulary size. Estimates only ever OVER-count (collisions add).
+    * (row j, counter idx, count), idx_j = (a + j·b) mod width over the
+    * key's md5 halves ([[md5HalfA]] — one md5 per item, not per depth
+    * row). One pass, map-side combined; the sketch is depth×width rows
+    * whatever the vocabulary size. Estimates only ever OVER-count
+    * (collisions add). `portable = false` switches the index family to
+    * xxhash64 for in-engine use.
     */
   def cmsTable(
-      items: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame = {
-    require(depth > 0 && width > 0)
-    items
-      .select(col(itemCol).as("item"),
-        explode_outer(sequence(lit(0), lit(depth - 1))).as("j"))
-      .filter(col("j").isNotNull) // Dedup.safeExplodeNote
-      .select(col("j"),
-        (Dedup.md5Token60(concat_ws(":", col("j").cast("string"), col("item")))
-          % width).as("idx"))
+      items: DataFrame, itemCol: String, depth: Int, width: Int,
+      portable: Boolean = true): DataFrame =
+    withCmsIndex(items.select(col(itemCol).as("item")),
+        depth, width, portable, Seq.empty)
       .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
-  }
+
+  /** [[cmsTable]] from pre-aggregated (item, weight) rows: each counter
+    * adds the weight instead of 1 — the sketch is IDENTICAL to hashing
+    * every occurrence (counter sums commute), but the hash runs once per
+    * DISTINCT item. On Zipf-shaped corpora this is the scale path: the
+    * vocabulary groupBy is map-side combined (cheap), and hashing cost
+    * follows |vocab|, not |tokens|.
+    */
+  def cmsTableWeighted(
+      items: DataFrame, itemCol: String, weightCol: String,
+      depth: Int, width: Int, portable: Boolean = true): DataFrame =
+    withCmsIndex(items.select(col(itemCol).as("item"), col(weightCol).as("__w")),
+        depth, width, portable, Seq("__w"))
+      .groupBy("j", "idx").agg(sum(col("__w")).as("cnt"))
 
   /** Probe a count-min sketch: est(item) = min over rows j of
     * counter[j][idx_j(item)] (0 when the counter never filled). The sketch
     * side broadcasts — probes cost one tiny hash join, not a corpus scan.
+    * `portable` MUST match the [[cmsTable]] that built the sketch.
     */
   def cmsEstimate(
       cms: DataFrame, probes: DataFrame, itemCol: String,
-      depth: Int, width: Int): DataFrame =
-    probes
-      .select(col(itemCol).as("item"),
-        explode_outer(sequence(lit(0), lit(depth - 1))).as("j"))
-      .filter(col("j").isNotNull) // Dedup.safeExplodeNote
-      .select(col("item"), col("j"),
-        (Dedup.md5Token60(concat_ws(":", col("j").cast("string"), col("item")))
-          % width).as("idx"))
+      depth: Int, width: Int, portable: Boolean = true): DataFrame =
+    withCmsIndex(probes.select(col(itemCol).as("item")),
+        depth, width, portable, Seq("item"))
       .join(broadcast(cms), Seq("j", "idx"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
@@ -155,23 +204,23 @@ object Sketches {
     */
   def cmsTokenTopK(
       docs: DataFrame, depth: Int = 4, width: Int = 1 << 12,
-      topK: Int = 10): DataFrame = {
-    // TWO tokenize scans total — one under the sketch, one under the
-    // truth topK (a vocabTopK call here would add a third) — parallelized
-    // past the single-file scan partition (2.3 s → 1.3 s wall at sf0.1;
-    // the cpu_sec rise is 32-way small-task overhead, a local-mode
-    // artifact that amortizes once tasks carry real data). The tiny truth
-    // table persists so its two consumers (probe keys + the report join)
-    // don't each re-run the topK pipeline.
-    val toks = Parallelism.ensure(docs)
-      .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
-      .filter(col("token").isNotNull) // Dedup.safeExplodeNote
-    val cms = cmsTable(toks, "token", depth, width)
-    val truth = CacheRegistry.track(
-      toks.groupBy("token").agg(count(lit(1)).as("occurrences"))
-        .orderBy(col("occurrences").desc, col("token")).limit(topK)
+      topK: Int = 10, portable: Boolean = true): DataFrame = {
+    // ONE tokenize scan: the map-side-combined vocabulary count feeds BOTH
+    // the sketch (via [[cmsTableWeighted]] — hash per distinct token, not
+    // per occurrence; r7's 20 cpu-s was depth×md5×|tokens|) and the truth
+    // top-k. Persisted + eagerly filled (two consumers — AQE cache-race
+    // note); the vocab table is |vocab| rows, small under Zipf.
+    val vocab = CacheRegistry.track(
+      Parallelism.ensure(docs)
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token").isNotNull) // Dedup.safeExplodeNote
+        .groupBy("token").agg(count(lit(1)).as("occurrences"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    cmsEstimate(cms, truth.select("token"), "token", depth, width)
+    vocab.count()
+    val cms = cmsTableWeighted(vocab, "token", "occurrences", depth, width, portable)
+    val truth = vocab
+      .orderBy(col("occurrences").desc, col("token")).limit(topK)
+    cmsEstimate(cms, truth.select("token"), "token", depth, width, portable)
       .withColumnRenamed("item", "token")
       .join(truth, "token")
       .select("token", "occurrences", "est_count")

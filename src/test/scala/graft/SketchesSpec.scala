@@ -73,6 +73,20 @@ class SketchesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2)))
   }
 
+  test("cms: xxhash64 in-engine family keeps the sketch contract") {
+    val items = Seq.tabulate(600)(i => s"tok-${i % 30}").toDF("item")
+    val truth = items.groupBy("item").agg(count(lit(1)).as("truth"))
+    val cms = Sketches.cmsTable(items, "item", depth = 4, width = 1 << 12,
+      portable = false)
+    val est = Sketches.cmsEstimate(cms, truth.select("item"), "item", 4, 1 << 12,
+      portable = false)
+    val rows = est.join(truth, "item").select("item", "est_count", "truth").collect()
+    assert(rows.length == 30)
+    // same over-count-only + collision-free-width exactness as the
+    // portable family (the index bits differ; the contract must not)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)}"))
+  }
+
   test("hll: relative error within theory bounds at the calibrated range (p=10)") {
     val p = 10
     // cardinality 3·2^p — inside the raw-estimate calibration (≳ 2.5·2^p,
