@@ -52,10 +52,28 @@ object ParquetIO {
       sortCols: Seq[String],
       numFiles: Int = 32): Unit = {
     require(sortCols.nonEmpty, "compact needs at least one sort column")
-    spark.read.parquet(inDir)
-      .repartitionByRange(numFiles, sortCols.map(col): _*)
+    val in = spark.read.parquet(inDir)
+    requireNotOverwritingInput(in, outDir)
+    in.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+  }
+
+  /** Overwrite-mode sinks delete the target BEFORE the lazy input scan
+    * runs — writing onto a directory the plan reads destroys the input
+    * with no error. Planning-time check: no input file of the plan may
+    * live under the output path (covers outDir == inDir and outDir
+    * nested inside it, across scheme spellings).
+    */
+  private[graft] def requireNotOverwritingInput(df: DataFrame, outPath: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outPath).toUri.getPath.stripSuffix("/")
+    val clash = df.inputFiles.exists { f =>
+      val p = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      p == out || p.startsWith(out + "/")
+    }
+    require(!clash,
+      s"output path $outPath overlaps the plan's input files; " +
+        "mode=overwrite would delete the input before reading it")
   }
 
   /** Hive-style partitioned dataset write (`path/col=value/...`) — the
@@ -79,6 +97,7 @@ object ParquetIO {
     require(filesPerPartition > 0, "filesPerPartition must be positive")
     require(!df.columns.contains("__salt"),
       "writePartitioned reserves the column name __salt; rename it first")
+    if (mode == "overwrite") requireNotOverwritingInput(df, path)
     // shuffle on (partition cols + a k-way deterministic salt): each
     // (value, salt) combination lands in one task, so every partition
     // directory gets AT MOST filesPerPartition files — without this,
@@ -132,6 +151,29 @@ object ParquetIO {
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** The read-back half of [[writeBucketed]], driven end to end: register
+    * bucketed twins of lineitem and orders on their order keys and return
+    * the fact⋈fact join ROWS — the join carries no Exchange and no sort
+    * (both sides pre-hashed and pre-sorted at write time; pinned by
+    * FixtureSpec's plan assertion), which is the whole point of paying the
+    * write-side shuffle once for a join repeated per query at 100 TB.
+    * Aggregations on top add only their own (tiny, post-join) exchange.
+    */
+  def bucketedOrderJoin(
+      spark: SparkSession, dir: String, numBuckets: Int = 8): DataFrame = {
+    writeBucketed(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "graft_bkt_lineitem", Seq("l_orderkey"), numBuckets)
+    writeBucketed(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority"),
+      "graft_bkt_orders", Seq("o_orderkey"), numBuckets)
+    spark.table("graft_bkt_lineitem")
+      .join(spark.table("graft_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
   }
 
   /** S10: Parquet footer metadata (rows, columns, bytes, row groups) —

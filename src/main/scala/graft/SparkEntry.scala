@@ -140,6 +140,19 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // the write-side-shuffle join: lineitem+orders registered as bucketed
+    // tables on their order keys, joined with ZERO Exchange past the scans
+    // (FixtureSpec asserts the plan); only the tiny post-join priority
+    // aggregate shuffles. Result is semantically a plain join — the
+    // oracle replays it directly over the raw parquet.
+    "q_bucketed_join" -> ((s, dir) =>
+      ParquetIO.bucketedOrderJoin(s, dir, numBuckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")),
+
     "q_semi_join" -> ((s, dir) => {
       Tables.load(s, dir, "customer")
         .join(Tables.load(s, dir, "orders"),
@@ -733,6 +746,16 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
          GROUP BY n_name ORDER BY n_name""",
+
+    // bucketing changes the physical plan, not the result: the oracle is
+    // the plain join over the raw parquet
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -34,7 +34,8 @@ object Contamination {
       shingleSize: Int = 3,
       minShared: Int = 2,
       maxShingleFreq: Option[Long] = None,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      broadcastRowCap: Long = 4L * 1000 * 1000): DataFrame = {
     val corpusEx = Dedup.withHashedShingleSets(corpus, shingleSize)
       .select(col("doc_id"), explode_outer(col("sh_set")).as("sh"))
       .filter(col("sh").isNotNull) // Dedup.safeExplodeNote
@@ -54,11 +55,18 @@ object Contamination {
     // shingles, the big side by orders of magnitude, never shuffle at
     // all; the only shuffle left is the matched-pair aggregate. Measured
     // 2.5s -> ~1s at sf0.1 (the sort-merge path was latency-bound).
-    // `broadcastProbes = false` is the escape hatch for probe sets too
-    // big for the driver/broadcast limit — the hint is FORCED, so an
-    // oversized exploded probe table would otherwise fail the job where
-    // a shuffle join completes.
-    val probeSide = if (broadcastProbes) broadcast(probeEx) else probeEx
+    // The hint is SIZE-GATED, not forced (advisor r7): the probe table is
+    // persisted, counted, and only broadcast when its exploded row count
+    // fits `broadcastRowCap` — an oversized probe set degrades to the
+    // shuffle join instead of failing on the driver/broadcast limit.
+    // `broadcastProbes = false` skips the count and never broadcasts.
+    val probeSide =
+      if (!broadcastProbes) probeEx
+      else {
+        val p = CacheRegistry.track(
+          probeEx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        if (p.count() <= broadcastRowCap) broadcast(p) else p
+      }
     probeSide.join(kept, "sh")
       .filter(col("probe_id") =!= col("doc_id"))
       .groupBy("probe_id", "doc_id")

@@ -58,17 +58,22 @@ object Layout {
     */
   def writeZOrdered(
       df: DataFrame, colA: String, colB: String, path: String,
-      numFiles: Int = 32): Unit =
+      numFiles: Int = 32): Unit = {
+    graft.ParquetIO.requireNotOverwritingInput(df, path)
     withZOrderKey(df, colA, colB)
       .repartitionByRange(numFiles, col("z_key"))
       .sortWithinPartitions("z_key")
       .write.mode("overwrite").option("compression", "zstd").parquet(path)
+  }
 
   /** Per-file min/max spans of two columns — the clustering-quality
     * telemetry for a layout rewrite: span fractions near (file count)⁻¹ᐟ²
     * per dimension mean a predicate on either column prunes most files.
-    * Groups by `input_file_name()`, so it reads only footers + the two
-    * columns.
+    * Groups by `input_file_name()`, so it reads the two columns IN FULL
+    * (column-pruned, but data pages, not just footers — min/max/count per
+    * file could in principle come from footer statistics alone; this
+    * implementation trades that saving for a plain aggregate). Run it as
+    * an occasional audit, not per query.
     */
   def fileSpans(spark: org.apache.spark.sql.SparkSession,
       path: String, colA: String, colB: String): DataFrame =

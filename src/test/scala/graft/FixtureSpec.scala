@@ -105,6 +105,64 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketedOrderJoin: fact-fact join plan is shuffle-free past the scans") {
+    val joined = ParquetIO.bucketedOrderJoin(spark, "/root/testdata/sf0.001", 4)
+    try {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // re-derive the join so the plan is built under the pinned confs
+        val plan = spark.table("graft_bkt_lineitem")
+          .join(spark.table("graft_bkt_orders"),
+            org.apache.spark.sql.functions.col("l_orderkey") ===
+              org.apache.spark.sql.functions.col("o_orderkey"))
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+        assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+      // and the rows are the plain join's rows
+      val want = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .join(spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey")).count()
+      assert(joined.count() == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    }
+  }
+
+  test("overwrite-onto-input guard: compact and writePartitioned refuse to destroy their source") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-guard").toString
+    (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "g")
+      .write.parquet(s"$dir/in")
+    intercept[IllegalArgumentException] {
+      ParquetIO.compact(spark, s"$dir/in", s"$dir/in", Seq("id"))
+    }
+    // nested output inside the input dir is just as destructive
+    intercept[IllegalArgumentException] {
+      ParquetIO.compact(spark, s"$dir/in", s"$dir/in/", Seq("id"))
+    }
+    val df = spark.read.parquet(s"$dir/in")
+    intercept[IllegalArgumentException] {
+      ParquetIO.writePartitioned(df, s"$dir/in", Seq("g"))
+    }
+    intercept[IllegalArgumentException] {
+      operators.Layout.writeZOrdered(df, "id", "g", s"$dir/in")
+    }
+    // and the input survived all four refusals
+    assert(spark.read.parquet(s"$dir/in").count() == 100)
+    // distinct dir still works
+    ParquetIO.compact(spark, s"$dir/in", s"$dir/out", Seq("id"), numFiles = 2)
+    assert(spark.read.parquet(s"$dir/out").count() == 100)
+  }
+
   test("compact: many small files -> n sorted files, rows identical, ranges disjoint") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
