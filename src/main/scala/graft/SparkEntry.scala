@@ -811,7 +811,7 @@ object SparkEntry {
              CASE WHEN s.mx = s.mn THEN 0
                   ELSE least(CAST(floor((l.l_extendedprice - s.mn) / (s.mx - s.mn) * 1024) AS BIGINT), 1023) END AS bin,
              count(*) AS c, max(s.mn) AS mn, max(s.mx) AS mx, max(s.n) AS n
-           FROM lineitem l JOIN s USING (l_returnflag)
+           FROM lineitem l JOIN s ON l.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
            GROUP BY 1, 2
          ), c AS (
            SELECT l_returnflag, bin, mn, mx, n,

@@ -38,12 +38,20 @@ object Quantiles {
     * Output: groupCol, n, p{p}_est columns (lower edge of the first
     * histogram bucket whose cumulative count reaches ceil(p·n)).
     */
+  /** `broadcastGroupCap` bounds the stats broadcast: the per-group stats
+    * table is one row per DISTINCT group, which is broadcast-small for
+    * report-style group columns (flags, languages, sources) but would OOM
+    * the driver for an id-like group column. The table is persisted and
+    * counted; above the cap the histogram join degrades to a shuffle join
+    * instead of failing on the broadcast limit.
+    */
   def binnedQuantiles(
       df: DataFrame,
       valueCol: String,
       groupCol: String,
       bins: Int = 1024,
-      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+      ps: Seq[Double] = Seq(0.5, 0.95),
+      broadcastGroupCap: Long = 1L * 1000 * 1000): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0, 1], got $ps")
@@ -66,9 +74,16 @@ object Quantiles {
 
     // null-safe join key: an inner equi-join would silently DROP every
     // row whose group key is null (stats aggregates them, the join never
-    // matches them) — null groups must report like any other group
-    val statsR = stats.withColumnRenamed(groupCol, "__g")
-    val hist = dfNN.join(broadcast(statsR), col(groupCol) <=> col("__g"))
+    // matches them) — null groups must report like any other group.
+    // Persist + count the stats table to size-gate the broadcast (one
+    // cheap pass over the tiny agg result; the cache keeps the join from
+    // re-running the stats aggregation).
+    val statsC = CacheRegistry.track(
+      stats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val statsR = statsC.withColumnRenamed(groupCol, "__g")
+    val statsSide =
+      if (statsC.count() <= broadcastGroupCap) broadcast(statsR) else statsR
+    val hist = dfNN.join(statsSide, col(groupCol) <=> col("__g"))
       .drop("__g")
       .withColumn("__bin", binCol)
       .groupBy(col(groupCol), col("__bin"))

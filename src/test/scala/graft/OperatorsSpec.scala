@@ -343,6 +343,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"null group must not vanish: $got")
   }
 
+  test("binned quantiles: above the broadcast cap the shuffle-join path is identical") {
+    // 50 groups of 20 values each; cap 10 forces the sort-merge fallback
+    val rows = for (g <- 0 until 50; i <- 0 until 20) yield (s"g$g", i.toDouble)
+    val df = rows.toDF("g", "v")
+    val bc = Quantiles.binnedQuantiles(df, "v", "g", bins = 16)
+      .orderBy("g").collect().toSeq
+    val sm = Quantiles.binnedQuantiles(df, "v", "g", bins = 16,
+        broadcastGroupCap = 10)
+      .orderBy("g").collect().toSeq
+    assert(bc == sm, "broadcast and shuffle-join paths must agree exactly")
+    assert(bc.length == 50)
+  }
+
   test("binned quantiles: null values are excluded, not binned") {
     val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("a", None), ("a", None))
       .toDF("g", "v")
