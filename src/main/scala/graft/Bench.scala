@@ -131,6 +131,15 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"sf":"$sfDir"}""")
+    // LAST line is a compact summary (<400 bytes): the full line above
+    // grows with the suite and a bounded tail capture truncates it from
+    // the front (BENCH_r05-r07 stored `parsed: null`) — totals and the
+    // worst offenders must survive any tail window
+    val nFailed = results.count(_._2._1 < 0)
+    val worst = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
+      .map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -605,12 +605,23 @@ object Dedup {
     * (at extreme scale swap in large-star/small-star [Kiveris et al.,
     * "Connected Components in MapReduce", SoCC'14] — same contract).
     */
+  /** `starSwitchAfter`: once that many distributed min-label rounds have
+    * run without converging, the component diameter has outgrown the
+    * O(diameter) propagation and the loop DELEGATES to
+    * [[dedupClustersStar]] (O(log² n) on any shape). The star call reuses
+    * the cached edge table and keeps the progress made: the propagated
+    * labels ride along as shortcut edges — a label only ever connects
+    * nodes of one component, so the augmented graph has identical
+    * components and a smaller effective diameter. Set >= maxIter to pin
+    * pure min-label.
+    */
   def dedupClusters(
       docs: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 20,
       driverThreshold: Int = 1 << 20,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      starSwitchAfter: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
 
     // Adaptive small-graph path: the near-dup pair graph is orders of
@@ -704,6 +715,21 @@ object Dedup {
       labels.unpersist()
       labels = next
       i += 1
+      if (changed > 0 && i >= starSwitchAfter && i < maxIter) {
+        // deep component: delegate to star contraction. Both inputs come
+        // from THIS loop's caches (edges persisted above, labels just
+        // persisted/checkpointed), so the expensive pair pipeline is not
+        // re-executed; star materializes its own pair table eagerly
+        // before we drop those caches below.
+        val remaining = edges.filter(col("src") < col("dst"))
+          .select(col("src").as("doc_id_a"), col("dst").as("doc_id_b"))
+          .union(labels.filter(col("label") =!= col("doc_id"))
+            .select(col("doc_id").as("doc_id_a"), col("label").as("doc_id_b")))
+        val out = dedupClustersStar(docs, remaining)
+        edges.unpersist()
+        labels.unpersist()
+        return out
+      }
     }
     edges.unpersist()
     // the final labels cache backs the returned (lazy) frame — hand it to

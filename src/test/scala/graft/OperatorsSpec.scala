@@ -363,6 +363,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
   }
 
+  test("dedupClusters auto-switches to star contraction on deep components") {
+    // a 64-node chain needs 63 min-label rounds (one hop per round);
+    // maxIter = 12 would leave a pure min-label run with WRONG partial
+    // labels — the default starSwitchAfter must hand off to star
+    // contraction, which converges in O(log^2 n) rounds
+    val n = 64L
+    val docsDf = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairsDf = (1L until n).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dedupClusters(docsDf, pairsDf, maxIter = 12, driverThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to n).forall(i => got(i) == 1L),
+      s"chain must collapse to root 1 inside 12 rounds: $got")
+  }
+
   test("star contraction == union-find labels on chain, star, and merged shapes") {
     val docsDf = (1L to 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // chain 1-2-3-4 (depth the large-star hook must collapse), star around
