@@ -222,8 +222,10 @@ object Cli {
           |         [-op quality|repetition|tokens|langid|fingerprint|pii|dedup|neardup|
           |              editdist|jaccard|clusters|starclusters|spans|split|shuffle|tokenbudget|chunk|pack|
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
-          |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder]
-          |         (kmeans/quantize/semdedup: -in is an embeddings parquet;
+          |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
+          |              ivfrecall|mmfeatures]
+          |         (kmeans/quantize/semdedup/ivfrecall: -in is an embeddings parquet;
+          |          ivfrecall: [-topk N] [-k centroids] [-nprobes 1,2,4] [-queries N];
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
@@ -446,6 +448,16 @@ object Cli {
         k = flags.getOrElse("k", "16").toInt,
         iters = flags.getOrElse("iters", "2").toInt)
       case "quantize"    => Similarity.quantizeInt8(docs)
+      case "ivfrecall"   => Similarity.ivfRecall(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        numCentroids = flags.getOrElse("k", "32").toInt,
+        nprobes = flags.getOrElse("nprobes", "1,2,4")
+          .split(",").map(_.trim.toInt).toSeq)
+      // real media decode: synthesize conformant PPM/BMP/WAV payloads from
+      // the documents table, then sniff + decode them back to features
+      case "mmfeatures"  => Multimodal.decodeFeatures(spark,
+        Multimodal.synthesizeMedia(spark, docs))
       case "semdedup"    => Similarity.semanticDedup(docs,
         k = flags.getOrElse("k", "8").toInt,
         iters = flags.getOrElse("iters", "2").toInt,

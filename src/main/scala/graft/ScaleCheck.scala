@@ -188,6 +188,43 @@ object ScaleCheck {
         operators.Pipeline.curate(docs10).count())
     }
     operators.CacheRegistry.release(spark)
+    // binned quantiles over a 6M-row fact: shuffled bytes stay
+    // groups x bins rows, the cumulative walk stays <=1024 rows/group
+    val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    val li10 = (0 until 10)
+      .map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionAll _)
+    time("binned quantiles 6M lineitem rows (3 groups, 1024 bins)") {
+      operators.Quantiles.binnedQuantiles(li10, "l_extendedprice", "l_returnflag")
+        .show(5)
+    }
+    operators.CacheRegistry.release(spark)
+    // column profile at 10x: one stacked agg row per column + grouped HLL
+    // registers (2^12 per column) — state never follows the corpus
+    time("column profile 50k docs (4 cols, p=12)") {
+      operators.Stats.columnProfile(docs10,
+        Seq("doc_id", "text", "lang", "source")).show()
+    }
+    operators.CacheRegistry.release(spark)
+    // positional index + phrase search at 10x: postings fatten 10x per
+    // term; the scan-pushed term filter must keep the join bounded
+    time("phrase search 50k docs") {
+      println("[scale] phrase hits: " +
+        operators.Index.phraseSearch(docs10, Seq("order", "fast")).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // compaction: 512 shattered files -> 8 range-sorted files, one range
+    // shuffle; row count must survive and the output must stay pruned
+    time("compact 512 small files -> 8 sorted (50k docs)") {
+      val cdir = java.nio.file.Files.createTempDirectory("scale-c").toString
+      docs10.repartition(512).write.parquet(s"$cdir/small")
+      ParquetIO.compact(spark, s"$cdir/small", s"$cdir/big", Seq("doc_id"), numFiles = 8)
+      val n = spark.read.parquet(s"$cdir/big").count()
+      val files = new java.io.File(s"$cdir/big").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      println(s"[scale] compacted rows: $n files: $files")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdir))
+    }
     spark.stop()
   }
 }

@@ -255,6 +255,21 @@ class CliSpec extends AnyFunSuite {
     assert(sem.contains("cluster_id"))
   }
 
+  test("corpus subcommand: ivfrecall and mmfeatures ops") {
+    val rec = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/embeddings.parquet",
+        "op" -> "ivfrecall", "nprobes" -> "1,4"))
+    }
+    assert(rec.contains("recall_at_k") && rec.contains("Rows: 2"))
+    val mm = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/documents.parquet",
+        "op" -> "mmfeatures"))
+    }
+    assert(mm.contains("c0_sum") && mm.contains("Rows: 500"))
+  }
+
   test("corpus subcommand: tfidf/cosine/quantile/starclusters/zorder ops") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tfidf = captureOut {
