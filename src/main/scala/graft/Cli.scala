@@ -223,7 +223,7 @@ object Cli {
           |              editdist|jaccard|clusters|starclusters|spans|split|shuffle|tokenbudget|chunk|pack|
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
-          |              ivfrecall|mmfeatures]
+          |              ivfrecall|mmfeatures|lshrecall]
           |         (kmeans/quantize/semdedup/ivfrecall: -in is an embeddings parquet;
           |          ivfrecall: [-topk N] [-k centroids] [-nprobes 1,2,4] [-queries N];
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
@@ -458,6 +458,7 @@ object Cli {
       // the documents table, then sniff + decode them back to features
       case "mmfeatures"  => Multimodal.decodeFeatures(spark,
         Multimodal.synthesizeMedia(spark, docs))
+      case "lshrecall"   => Dedup.lshRecall(docs, threshold = threshold(0.5))
       case "semdedup"    => Similarity.semanticDedup(docs,
         k = flags.getOrElse("k", "8").toInt,
         iters = flags.getOrElse("iters", "2").toInt,

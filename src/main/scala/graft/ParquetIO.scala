@@ -144,6 +144,18 @@ object ParquetIO {
       numBuckets: Int,
       mode: String = "overwrite"): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val spark = df.sparkSession
+    if (mode == "overwrite") {
+      // a managed table's LOCATION outlives an in-memory catalog (the
+      // session dies, the warehouse dir doesn't): drop any registered
+      // table, then remove an orphaned location a previous session left —
+      // saveAsTable refuses to CREATE over an existing directory
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode(mode)
       .format("parquet")

@@ -398,6 +398,12 @@ object SparkEntry {
       Dedup.minHashNearDupPortable(Tables.load(s, dir, "documents"), threshold = 0.5)
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // banding-recall telemetry: LSH-flagged pairs vs the exact >=0.5
+    // jaccard truth — the report a user reads to size bands/hashes, and a
+    // regression pin on the banding quality itself
+    "q_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(Tables.load(s, dir, "documents"), threshold = 0.5)),
+
     // engine-portable signature variant: md5-derived token hash, so the
     // full bit pattern is DuckDB-replayable (q_simhash itself is xxhash64
     // → rows-only)
@@ -1617,6 +1623,36 @@ object SparkEntry {
          SELECT doc_id_a, doc_id_b, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+
+    // the LSH candidate path AND the exact-jaccard truth in one chain:
+    // recall/precision are counts of their join — the two CTE families
+    // are the proven q_minhash_neardup and q_ngram_jaccard machinery
+    "q_lsh_recall" ->
+      s"""WITH ${lshCandidateCtes(16, 4)},
+         found AS (
+           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.5
+         ), exactp AS (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
+         ), c AS (
+           SELECT
+             (SELECT count(*) FROM exactp) AS exact_pairs,
+             (SELECT count(*) FROM found) AS lsh_pairs,
+             (SELECT count(*) FROM found f JOIN exactp e
+                ON f.doc_id_a = e.doc_id_a AND f.doc_id_b = e.doc_id_b) AS hit_pairs
+         )
+         SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           CAST(lsh_pairs AS BIGINT) AS lsh_pairs,
+           CAST(hit_pairs AS BIGINT) AS hit_pairs,
+           CASE WHEN exact_pairs > 0
+             THEN CAST(hit_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE)
+             ELSE 1.0 END AS recall,
+           CASE WHEN lsh_pairs > 0
+             THEN CAST(hit_pairs AS DOUBLE) / CAST(lsh_pairs AS DOUBLE)
+             ELSE 1.0 END AS lsh_precision
+         FROM c""",
 
     // same candidate path at the lower 0.25 cut, verified with integer
     // Levenshtein — the classic DP, bit-identical in every engine

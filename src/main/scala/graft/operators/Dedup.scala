@@ -488,6 +488,52 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Banding-recall telemetry for MinHash-LSH — the dial a user turns
+    * (bands × rows, hash count) the way [[Similarity.ivfRecall]] tunes
+    * nprobe: one row reporting |LSH-flagged ∩ truly-duplicate| /
+    * |truly-duplicate| (recall) and the flagged set's precision, with the
+    * exact truth from [[ngramJaccardPairs]] (lossless prefix filter) and
+    * the flagged set from the md5-portable LSH path so the WHOLE report
+    * replays as one DuckDB oracle. Cost: the two pair pipelines share the
+    * corpus scan pattern and both outputs are pair-bounded; the report
+    * joins two persisted pair tables.
+    */
+  def lshRecall(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // persisted + eagerly filled: each side has two consumers (its count
+    // and the hit join) — the AQE cache-race note
+    val exact = CacheRegistry.track(
+      ngramJaccardPairs(docs, shingleSize, threshold)
+        .select(col("doc_id_a"), col("doc_id_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    exact.count()
+    val found = CacheRegistry.track(
+      minHashNearDupPortable(docs, numHashes, bands, shingleSize, threshold)
+        .select(col("doc_id_a"), col("doc_id_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    found.count()
+    val hits = found.join(exact, Seq("doc_id_a", "doc_id_b"))
+      .agg(count(lit(1)).as("hit_pairs"))
+    exact.agg(count(lit(1)).as("exact_pairs"))
+      .crossJoin(found.agg(count(lit(1)).as("lsh_pairs")))
+      .crossJoin(hits)
+      // single BIGINT-ratio IEEE divisions; empty denominators report 1.0
+      // (nothing to find / nothing flagged is a vacuous success, and NaN
+      // would poison downstream comparisons)
+      .select(col("exact_pairs"), col("lsh_pairs"), col("hit_pairs"),
+        when(col("exact_pairs") > 0,
+            col("hit_pairs").cast("double") / col("exact_pairs").cast("double"))
+          .otherwise(lit(1.0)).as("recall"),
+        when(col("lsh_pairs") > 0,
+            col("hit_pairs").cast("double") / col("lsh_pairs").cast("double"))
+          .otherwise(lit(1.0)).as("lsh_precision"))
+  }
+
   /** Fuzzy (edit-distance) near-duplicate pairs: LSH-bounded candidates
     * verified with exact Levenshtein distance — the character-level dedup
     * measure for short documents where token Jaccard is too coarse

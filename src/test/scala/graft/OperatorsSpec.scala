@@ -363,6 +363,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
   }
 
+  test("lshRecall: perfect banding on exact duplicates; vacuous 1.0 on a clean corpus") {
+    // 3 exact-dup pairs: jaccard 1.0, every band collides -> recall 1.0,
+    // and nothing else shares a shingle -> precision 1.0
+    val dups = Seq(
+      (1L, "alpha beta gamma delta epsilon"), (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"), (4L, "one two three four five six"),
+      (5L, "red green blue cyan magenta"), (6L, "red green blue cyan magenta"),
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshRecall(dups, threshold = 0.5).head()
+    assert(r.getLong(0) == 3L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    // disjoint docs: zero exact pairs, zero flagged -> vacuous 1.0, not NaN
+    val clean = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "ff gg hh ii jj"), (3L, "kk ll mm nn oo"),
+    ).toDF("doc_id", "text")
+    val c = Dedup.lshRecall(clean, threshold = 0.5).head()
+    assert(c.getLong(0) == 0L && c.getDouble(3) == 1.0 && c.getDouble(4) == 1.0)
+  }
+
   test("dedupClusters auto-switches to star contraction on deep components") {
     // a 64-node chain needs 63 min-label rounds (one hop per round);
     // maxIter = 12 would leave a pure min-label run with WRONG partial
