@@ -1190,22 +1190,26 @@ object SparkEntry {
            SELECT doc_id, doc_id % 3 AS kind,
              16 + n_chars % 48 AS w,
              16 + (7 * n_chars) % 48 AS h,
-             256 + n_chars % 512 AS n
+             256 + n_chars % 512 AS n,
+             1 + n_chars % 2 AS ch
            FROM documents
          )
          SELECT doc_id,
            CASE kind WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
            CAST(CASE WHEN kind < 2 THEN w ELSE 0 END AS INT) AS width,
            CAST(CASE WHEN kind < 2 THEN h ELSE 0 END AS INT) AS height,
-           CAST(CASE WHEN kind < 2 THEN 3 ELSE 1 END AS INT) AS channels,
+           CAST(CASE WHEN kind < 2 THEN 3 ELSE ch END AS INT) AS channels,
            CAST(CASE WHEN kind = 2 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
            CAST(CASE WHEN kind < 2 THEN w * h ELSE n END AS BIGINT) AS n_units,
            CAST(CASE WHEN kind < 2
              THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y) % 256))
-             ELSE list_sum(list_transform(range(0, n), i -> (7 * doc_id + 13 * i) % 2048 - 1024))
+             ELSE list_sum(list_transform(range(0, n * ch), i ->
+               CASE WHEN i % ch = 0 THEN (7 * doc_id + 13 * i) % 2048 - 1024 ELSE 0 END))
            END AS BIGINT) AS c0_sum,
            CAST(CASE WHEN kind < 2
              THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y + 85) % 256))
+             WHEN ch > 1 THEN list_sum(list_transform(range(0, n * ch), i ->
+               CASE WHEN i % ch = 1 THEN (7 * doc_id + 13 * i) % 2048 - 1024 ELSE 0 END))
              ELSE 0 END AS BIGINT) AS c1_sum,
            CAST(CASE WHEN kind < 2
              THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y + 170) % 256))

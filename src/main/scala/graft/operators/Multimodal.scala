@@ -271,15 +271,18 @@ object Multimodal {
     *   image: W = 16 + n_chars % 48, H = 16 + (7·n_chars) % 48,
     *          channel c value at row y (constant across x):
     *          (doc_id + y + 85·c) % 256
-    *   audio: mono 8 kHz, N = 256 + n_chars % 512 samples,
-    *          s(i) = (7·doc_id + 13·i) % 2048 − 1024
+    *   audio: 8 kHz, channels ch = 1 + n_chars % 2 (mono/stereo mix so
+    *          the de-interleave path is oracle-gated), F = 256 +
+    *          n_chars % 512 frames, interleaved sample
+    *          s(i) = (7·doc_id + 13·i) % 2048 − 1024 for i < F·ch
     */
   private def synthesizeOne(docId: Long, nChars: Long): Array[Byte] =
     (docId % 3) match {
       case 2 =>
-        val n = (256 + nChars % 512).toInt
-        val samples = Array.tabulate(n)(i => ((7 * docId + 13 * i) % 2048 - 1024).toShort)
-        encodeWav(AudioData(8000, 1, samples))
+        val ch = (1 + nChars % 2).toInt
+        val total = (256 + nChars % 512).toInt * ch
+        val samples = Array.tabulate(total)(i => ((7 * docId + 13 * i) % 2048 - 1024).toShort)
+        encodeWav(AudioData(8000, ch, samples))
       case kind =>
         val w = (16 + nChars % 48).toInt
         val h = (16 + (7 * nChars) % 48).toInt
@@ -348,11 +351,16 @@ object Multimodal {
             Row(id, fmt, img.width, img.height, 3, 0,
               img.width.toLong * img.height, sums(0), sums(1), sums(2))
           case AudioMedia(fmt, a) =>
-            var s = 0L
+            // per-channel sums over the interleaved stream (channel =
+            // i mod ch); channels beyond the third fold into c2
+            val sums = new Array[Long](3)
             var i = 0
-            while (i < a.samples.length) { s += a.samples(i); i += 1 }
+            while (i < a.samples.length) {
+              sums(math.min(i % a.channels, 2)) += a.samples(i)
+              i += 1
+            }
             Row(id, fmt, 0, 0, a.channels, a.sampleRate,
-              a.samples.length.toLong / a.channels, s, 0L, 0L)
+              a.samples.length.toLong / a.channels, sums(0), sums(1), sums(2))
         }
       }
     }

@@ -1200,15 +1200,17 @@ class OperatorsSpec extends AnyFunSuite {
     val df = Seq(
       (0L, "x", "en", "s", 100L),  // ppm
       (1L, "x", "en", "s", 101L),  // bmp
-      (2L, "x", "en", "s", 102L),  // wav
+      (2L, "x", "en", "s", 102L),  // wav mono (even n_chars)
       (3L, "x", "en", "s", 0L),    // ppm at the minimum size
+      (5L, "x", "en", "s", 103L),  // wav stereo (odd n_chars)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     val feats = Multimodal.decodeFeatures(spark, Multimodal.synthesizeMedia(spark, df))
       .orderBy("doc_id").collect()
-    assert(feats.map(_.getString(1)).toSeq == Seq("ppm", "bmp", "wav", "ppm"))
+    assert(feats.map(_.getString(1)).toSeq == Seq("ppm", "bmp", "wav", "ppm", "wav"))
     // replay the generation closed form in plain Scala
+    val nCharsOf = Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 0L, 5L -> 103L)
     for (r <- feats) {
-      val (id, nChars) = (r.getLong(0), Map(0L -> 100L, 1L -> 101L, 2L -> 102L, 3L -> 0L)(r.getLong(0)))
+      val (id, nChars) = (r.getLong(0), nCharsOf(r.getLong(0)))
       if (id % 3 < 2) {
         val w = (16 + nChars % 48).toInt; val h = (16 + 7 * nChars % 48).toInt
         assert(r.getInt(2) == w && r.getInt(3) == h && r.getInt(4) == 3)
@@ -1217,9 +1219,13 @@ class OperatorsSpec extends AnyFunSuite {
           assert(r.getLong(7 + c) ==
             w.toLong * (0 until h).map(y => (id + y + 85 * c) % 256).sum, s"doc $id chan $c")
       } else {
-        val n = (256 + nChars % 512).toInt
-        assert(r.getInt(5) == 8000 && r.getInt(4) == 1 && r.getLong(6) == n)
-        assert(r.getLong(7) == (0 until n).map(i => (7 * id + 13 * i) % 2048 - 1024).sum)
+        val ch = (1 + nChars % 2).toInt
+        val total = (256 + nChars % 512).toInt * ch
+        assert(r.getInt(5) == 8000 && r.getInt(4) == ch && r.getLong(6) == total / ch)
+        for (c <- 0 until 2)
+          assert(r.getLong(7 + c) ==
+            (0 until total).filter(_ % ch == math.min(c, ch - 1) && ch > c)
+              .map(i => (7 * id + 13 * i) % 2048 - 1024).sum, s"doc $id chan $c")
       }
     }
   }
