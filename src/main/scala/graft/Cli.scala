@@ -233,7 +233,7 @@ object Cli {
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
-          |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n]
+          |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n | -target-mb m]
           |""".stripMargin)
       sys.exit(1)
     }
@@ -341,14 +341,24 @@ object Cli {
     val out = flags.getOrElse("out", fail("compact requires -out <dir>"))
     val sortCols = flags.getOrElse("sort-cols", s"${Schema.Timestamp},${Schema.Group}")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val files = flags.getOrElse("files", "32").toInt
     // count the INPUT once before the write: re-reading the fresh output
     // for a log line would re-list the directory and touch every footer —
     // a second full metadata pass at exactly the small-file scale this
     // command exists to fix
     val rows = spark.read.parquet(in).count()
-    ParquetIO.compact(spark, in, out, sortCols, files)
-    println(s"Compacted $in -> $out ($rows rows, <= $files files)")
+    // -target-mb sizes the output in the unit layouts are specified in;
+    // -files pins an explicit count (mutually exclusive)
+    (flags.get("target-mb"), flags.get("files")) match {
+      case (Some(_), Some(_)) =>
+        fail("compact takes -files OR -target-mb, not both")
+      case (Some(mb), None) =>
+        ParquetIO.compactToSize(spark, in, out, sortCols, mb.toLong << 20)
+        println(s"Compacted $in -> $out ($rows rows, ~$mb MB files)")
+      case (None, f) =>
+        val files = f.getOrElse("32").toInt
+        ParquetIO.compact(spark, in, out, sortCols, files)
+        println(s"Compacted $in -> $out ($rows rows, <= $files files)")
+    }
   }
 
   /** Corpus-pipeline subcommand — the training-data operator family over a

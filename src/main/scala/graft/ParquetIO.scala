@@ -76,6 +76,28 @@ object ParquetIO {
         "mode=overwrite would delete the input before reading it")
   }
 
+  /** [[compact]] with the output file count derived from the input's
+    * on-disk bytes and a target file size — the knob storage layouts are
+    * actually specified in (e.g. "512 MB files"), instead of a count that
+    * must be re-derived per dataset. The estimate uses the compressed
+    * input bytes as a proxy for output bytes (same codec family in and
+    * out; recompression drift is bounded), so files land near the target
+    * without a pre-pass over the data.
+    */
+  def compactToSize(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      sortCols: Seq[String],
+      targetFileBytes: Long = 512L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val numFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    compact(spark, inDir, outDir, sortCols, numFiles.toInt)
+  }
+
   /** Hive-style partitioned dataset write (`path/col=value/...`) — the
     * directory-level pruning primitive for corpus storage: a predicate
     * on a partition column (lang, source, ingest date) eliminates whole
@@ -156,7 +178,13 @@ object ParquetIO {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    df.write
+    // shuffle onto the bucket key BEFORE the bucketed write: without it
+    // every input task writes one file into EVERY bucket it holds rows
+    // for (tasks × buckets small files — the swamp writePartitioned also
+    // guards against); with it each bucket is exactly one file. This IS
+    // the write-side exchange the bucketing contract pays once.
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write
       .mode(mode)
       .format("parquet")
       .option("compression", "zstd")

@@ -194,6 +194,31 @@ class FixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("compactToSize derives the file count from input bytes and a target size") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.input_file_name
+    val base = java.nio.file.Files.createTempDirectory("compact-sz").toString
+    try {
+      (1L to 20000L).map(i => (i, s"value-$i")).toDF("k", "v")
+        .repartition(32).write.parquet(s"$base/small")
+      val inBytes = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(s"$base/small"))
+      // target = half the input -> exactly 2 output files
+      ParquetIO.compactToSize(spark, s"$base/small", s"$base/big", Seq("k"),
+        targetFileBytes = (inBytes + 1) / 2)
+      val back = spark.read.parquet(s"$base/big")
+      assert(back.count() == 20000L)
+      assert(back.select(input_file_name()).distinct().count() == 2L)
+      // an oversized target always yields one file
+      ParquetIO.compactToSize(spark, s"$base/small", s"$base/one", Seq("k"),
+        targetFileBytes = Long.MaxValue)
+      assert(spark.read.parquet(s"$base/one")
+        .select(input_file_name()).distinct().count() == 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("partitioned write: directory pruning in the plan, bounded files per partition") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, input_file_name}
