@@ -223,7 +223,7 @@ object Cli {
           |              editdist|jaccard|clusters|starclusters|spans|split|shuffle|tokenbudget|chunk|pack|
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
-          |              ivfrecall|mmfeatures|lshrecall]
+          |              ivfrecall|mmfeatures|lshrecall|ivfq]
           |         (kmeans/quantize/semdedup/ivfrecall: -in is an embeddings parquet;
           |          ivfrecall: [-topk N] [-k centroids] [-nprobes 1,2,4] [-queries N];
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
@@ -469,6 +469,12 @@ object Cli {
       case "mmfeatures"  => Multimodal.decodeFeatures(spark,
         Multimodal.synthesizeMedia(spark, docs))
       case "lshrecall"   => Dedup.lshRecall(docs, threshold = threshold(0.5))
+      case "ivfq"        => Similarity.ivfTopKQuantized(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        numCentroids = flags.getOrElse("k", "32").toInt,
+        nprobe = flags.getOrElse("nprobe", "2").toInt,
+        rerankFactor = flags.getOrElse("rerank", "4").toInt)
       case "semdedup"    => Similarity.semanticDedup(docs,
         k = flags.getOrElse("k", "8").toInt,
         iters = flags.getOrElse("iters", "2").toInt,

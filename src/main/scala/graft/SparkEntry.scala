@@ -634,6 +634,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the memory-bound ANN shape: int8-code probe scan + exact re-rank of
+    // the k*rerankFactor survivors (fetched by id, not rescanned)
+    "q_ivf_quantized" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopKQuantized(emb, emb.filter(col("vec_id") < 5), k = 3,
+          numCentroids = 32, nprobe = 2, rerankFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // recall@k vs the brute-force truth per nprobe — the tuning dial for
     // IVF; also regression-pins codebook quality beyond convergence
     "q_ivf_recall" -> ((s, dir) => {
@@ -1497,6 +1506,58 @@ object SparkEntry {
                ORDER BY round(list_cosine_similarity(q.e, a.e), 4) DESC, a.vec_id) AS rank
            FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the q_ivf_topk assignment + the q_quantize code chain, composed:
+    // approx score = (scale_a·scale_q)·intdot (exact integer dot, two
+    // pinned IEEE multiplies), survivors = top k·4 by approx, final rank
+    // by the exact 4dp cosine among survivors only
+    "q_ivf_quantized" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         ca AS (
+           SELECT vec_id, e, centroid_id FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (
+           SELECT vec_id AS query_id, e, centroid_id FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2),
+         qz AS (
+           SELECT vec_id, scale,
+             list_transform(d, x ->
+               greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) AS qs
+           FROM (
+             SELECT vec_id, d, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+             FROM (SELECT vec_id, e AS d, list_max(list_transform(e, x -> abs(x))) AS m
+                   FROM ec) t0) t1),
+         nz AS (
+           SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+           FROM ec),
+         scored AS (
+           SELECT q.query_id, a.vec_id, q.e AS qe, a.e AS ae,
+             round(((za.scale * zq.scale) * CAST(list_sum(
+               list_transform(range(1, len(za.qs) + 1), i -> za.qs[i] * zq.qs[i]))
+               AS DOUBLE)) / (na.nrm * nq.nrm), 6) AS approx_sim
+           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
+           JOIN qz za ON za.vec_id = a.vec_id
+           JOIN qz zq ON zq.vec_id = q.query_id
+           JOIN nz na ON na.vec_id = a.vec_id
+           JOIN nz nq ON nq.vec_id = q.query_id),
+         surv AS (
+           SELECT query_id, vec_id, qe, ae, approx_sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_sim DESC, vec_id) AS ar
+             FROM scored) WHERE ar <= 12)
+         SELECT query_id, vec_id, cos_sim, approx_sim, rank FROM (
+           SELECT query_id, vec_id, approx_sim,
+             round(list_cosine_similarity(qe, ae), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qe, ae), 4) DESC, vec_id) AS rank
+           FROM surv) WHERE rank <= 3 ORDER BY query_id, rank""",
 
     // the q_ivf_topk chain extended with probe ranks: per-nprobe top-k is
     // a filter over ONE scored candidate table, recall joins against the

@@ -136,7 +136,11 @@ object Similarity {
     * integer sum (order-independent) plus the first four codes; the
     * round-trip error bound is pinned by spec instead.
     */
-  def quantizeInt8(embeddings: DataFrame): DataFrame =
+  /** The storage form itself — (vec_id, scale, codes: array<long>) — that
+    * [[ivfTopKQuantized]] probes scan; [[quantizeInt8]] summarizes it for
+    * the driver gate.
+    */
+  def quantizeCodes(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("__d"))
@@ -147,11 +151,14 @@ object Similarity {
       .select(col("vec_id"), col("scale"),
         transform(col("__d"), x =>
           greatest(lit(-127L), least(lit(127L),
-            floor(x / col("scale") + 0.5).cast("long")))).as("__q"))
+            floor(x / col("scale") + 0.5).cast("long")))).as("codes"))
+
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    quantizeCodes(embeddings)
       .select(col("vec_id"), col("scale"),
-        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
-        element_at(col("__q"), 1).as("q0"), element_at(col("__q"), 2).as("q1"),
-        element_at(col("__q"), 3).as("q2"), element_at(col("__q"), 4).as("q3"))
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("q_sum"),
+        element_at(col("codes"), 1).as("q0"), element_at(col("codes"), 2).as("q1"),
+        element_at(col("codes"), 3).as("q2"), element_at(col("codes"), 4).as("q3"))
 
   /** Deterministic distributed k-means codebook training — the offline
     * step [[ivfTopKWith]] consumes. Engine-exact and partition-order-free
@@ -270,28 +277,40 @@ object Similarity {
     * offline-trained k-means table. Codebook size is assumed
     * broadcast-small (thousands of centroids, not corpus-proportional).
     */
+  /** Shared probe assignment: rank the broadcast centroid table per id by
+    * 6dp-rounded cosine (ties on centroid id — the oracle-proven
+    * comparison) and keep the top `probes`, rank retained in `rankName`.
+    * The centroid frame must carry (centroid_id, c_emb, c_norm).
+    */
+  private def assignProbes(
+      df: DataFrame, centroids: DataFrame, probes: Int,
+      rankName: String): DataFrame = {
+    val idCol = df.columns.head
+    val w = Window.partitionBy(idCol)
+      .orderBy(
+        round(dot(col("c_emb"), col("embedding")) / (col("c_norm") * col("__norm")), 6).desc,
+        col("centroid_id").asc)
+    df.crossJoin(centroids)
+      .withColumn(rankName, row_number().over(w))
+      .filter(col(rankName) <= probes)
+      .drop("c_emb", "c_norm")
+  }
+
+  private def broadcastCentroids(codebook: DataFrame): DataFrame =
+    broadcast(
+      withNorm(codebook, "vec_id", "centroid_id")
+        .withColumnRenamed("embedding", "c_emb")
+        .withColumnRenamed("__norm", "c_norm"))
+
   def ivfTopKWith(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       codebook: DataFrame,
       nprobe: Int = 1): DataFrame = {
-    val centroids = broadcast(
-      withNorm(codebook, "vec_id", "centroid_id")
-        .withColumnRenamed("embedding", "c_emb")
-        .withColumnRenamed("__norm", "c_norm"))
-
-    def assign(df: DataFrame, probes: Int): DataFrame = {
-      val idCol = df.columns.head
-      val w = Window.partitionBy(idCol)
-        .orderBy(
-          round(dot(col("c_emb"), col("embedding")) / (col("c_norm") * col("__norm")), 6).desc,
-          col("centroid_id").asc)
-      df.crossJoin(centroids)
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= probes)
-        .drop("__r", "c_emb", "c_norm")
-    }
+    val centroids = broadcastCentroids(codebook)
+    def assign(df: DataFrame, probes: Int): DataFrame =
+      assignProbes(df, centroids, probes, "__r").drop("__r")
 
     val assignedCorpus = assign(withNorm(corpus, "vec_id", "vec_id"), 1)
     val assignedQueries = assign(withNorm(queries, "vec_id", "query_id"), nprobe)
@@ -308,6 +327,79 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
+  /** IVF over int8-quantized codes with exact re-rank — the memory-bound
+    * ANN shape at 100 TB: the probe scan reads 4×-smaller code arrays and
+    * scores candidates with an INTEGER dot product (times the two scale
+    * factors — two pinned IEEE multiplies, so the approximate score is
+    * engine-exact and the whole operator carries a DuckDB oracle); only
+    * the `k·rerankFactor` survivors per query fetch their full-precision
+    * vectors (an id join against the corpus, not a second scan of every
+    * row) for the exact cosine that orders the final top-k.
+    *
+    * Output: (query_id, vec_id, cos_sim, approx_sim, rank) — approx_sim
+    * rides along as the probe-fidelity telemetry (how far the int8 score
+    * sits from the exact one that decided the ranking).
+    */
+  def ivfTopKQuantized(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numCentroids: Int = 32,
+      nprobe: Int = 1,
+      rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, "rerankFactor must be >= 1")
+    val centroids = broadcastCentroids(pseudoCentroids(corpus, numCentroids))
+
+    // probe side carries (centroid_id, vec_id, scale, codes, norm) — the
+    // norm is one full-precision scalar per vector (standard int8-ANN
+    // storage: codes 4× smaller, norm rides along so the probe ranks by
+    // approximate COSINE, not raw inner product); no full-precision
+    // embedding rides through the candidate join
+    val corpusCodes = assignProbes(
+        withNorm(corpus, "vec_id", "vec_id"), centroids, 1, "__r")
+      .select(col("vec_id"), col("centroid_id"), col("__norm"))
+      .join(quantizeCodes(corpus), "vec_id")
+    val queryCodes = assignProbes(
+        withNorm(queries, "vec_id", "query_id"), centroids, nprobe, "__r")
+      .select(col("query_id"), col("centroid_id"), col("__norm").as("q_norm"))
+      .join(quantizeCodes(queries).select(
+        col("vec_id").as("query_id"), col("scale").as("q_scale"),
+        col("codes").as("q_codes")), "query_id")
+
+    val intDot = aggregate(
+      zip_with(col("codes"), col("q_codes"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val scored = corpusCodes.join(broadcast(queryCodes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        // ((scale·q_scale)·intdot)/(norm·q_norm) — parenthesized the same
+        // in the oracle so every IEEE op replays in order
+        round(((col("scale") * col("q_scale")) * intDot.cast("double"))
+            / (col("__norm") * col("q_norm")), 6)
+          .as("approx_sim"))
+    val survivors = scored
+      .withColumn("__ar", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("approx_sim").desc, col("vec_id").asc)))
+      .filter(col("__ar") <= k * rerankFactor)
+      .drop("__ar")
+
+    // survivors-only full-precision fetch: an id equi-join, never a
+    // rescoring of the whole probed set
+    val reranked = survivors
+      .join(withNorm(corpus, "vec_id", "vec_id"), "vec_id")
+      .join(broadcast(withNorm(queries, "vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_emb")
+        .withColumnRenamed("__norm", "q_norm")), "query_id")
+      .select(col("query_id"), col("vec_id"), col("approx_sim"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+    reranked
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "approx_sim", "rank")
   }
 
   /** Recall@k telemetry for IVF vs exact brute force — how a user tunes
@@ -329,26 +421,12 @@ object Similarity {
       nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
     import org.apache.spark.storage.StorageLevel
-    val centroids = broadcast(
-      withNorm(pseudoCentroids(corpus, numCentroids), "vec_id", "centroid_id")
-        .withColumnRenamed("embedding", "c_emb")
-        .withColumnRenamed("__norm", "c_norm"))
+    val centroids = broadcastCentroids(pseudoCentroids(corpus, numCentroids))
 
-    def assign(df: DataFrame, probes: Int, rankName: String): DataFrame = {
-      val idCol = df.columns.head
-      val w = Window.partitionBy(idCol)
-        .orderBy(
-          round(dot(col("c_emb"), col("embedding")) / (col("c_norm") * col("__norm")), 6).desc,
-          col("centroid_id").asc)
-      df.crossJoin(centroids)
-        .withColumn(rankName, row_number().over(w))
-        .filter(col(rankName) <= probes)
-        .drop("c_emb", "c_norm")
-    }
-
-    val assignedCorpus = assign(withNorm(corpus, "vec_id", "vec_id"), 1, "__r").drop("__r")
-    val assignedQueries = assign(
-        withNorm(queries, "vec_id", "query_id"), nprobes.max, "probe_rank")
+    val assignedCorpus =
+      assignProbes(withNorm(corpus, "vec_id", "vec_id"), centroids, 1, "__r").drop("__r")
+    val assignedQueries = assignProbes(
+        withNorm(queries, "vec_id", "query_id"), centroids, nprobes.max, "probe_rank")
       .withColumnRenamed("embedding", "q_emb")
       .withColumnRenamed("__norm", "q_norm")
     // candidates at the DEEPEST probe depth, each tagged with the probe

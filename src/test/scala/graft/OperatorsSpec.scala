@@ -906,6 +906,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recalls.last == 1.0)
   }
 
+  test("quantized IVF with a full rerank pool == full-precision IVF") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    // rerank pool covers every probed candidate -> the exact-cosine final
+    // ranking must coincide with the full-precision operator's output
+    val qz = Similarity.ivfTopKQuantized(emb, queries, k = 3,
+        numCentroids = 32, nprobe = 2, rerankFactor = 100000)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val fp = Similarity.ivfTopK(emb, queries, k = 3, numCentroids = 32, nprobe = 2)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(qz == fp)
+  }
+
   test("IVF centroid count is fixed, independent of corpus size") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert(Similarity.pseudoCentroids(emb, 8).count() == 8)
