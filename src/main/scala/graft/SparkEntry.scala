@@ -426,6 +426,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // quality-aware canonical selection: keep each cluster's cleanest
+    // member (argmax alpha_ratio, n_chars; tie -> lowest id), not its
+    // lowest id — the curation refinement over q_dedup_clusters
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupRepresentatives(docs,
+          Dedup.ngramJaccardPairs(docs, threshold = 0.8))
+        .orderBy("doc_id")
+    }),
+
     // large-star/small-star contraction on a CHAIN-shaped pair graph:
     // consecutive doc_ids within each normalized-text dup group, i.e.
     // deliberately DEEP components — the O(diameter)-round worst case for
@@ -1276,6 +1286,54 @@ object SparkEntry {
          )
          SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
          GROUP BY id ORDER BY doc_id""",
+
+    // the q_dedup_clusters recursive closure + the q_quality ranking keys
+    // + one window: the representative is the cluster's argmax
+    // (alpha_ratio, n_chars, lowest id) — all 4dp-exact columns
+    "q_dedup_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), labels AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
+         ), qual AS (
+           SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) END AS alpha_ratio,
+             length(text) AS n_chars_measured
+           FROM documents
+         ), ranked AS (
+           SELECT l.doc_id, l.canonical_id,
+             row_number() OVER (PARTITION BY l.canonical_id
+               ORDER BY q.alpha_ratio DESC, q.n_chars_measured DESC, l.doc_id) AS rn
+           FROM labels l JOIN qual q ON q.doc_id = l.doc_id
+         ), reps AS (
+           SELECT canonical_id, doc_id AS rep_id FROM ranked WHERE rn = 1
+         )
+         SELECT r.doc_id, r.canonical_id, p.rep_id, r.doc_id = p.rep_id AS keep
+         FROM ranked r JOIN reps p ON p.canonical_id = r.canonical_id
+         ORDER BY r.doc_id""",
 
     // Morton-spread replay: five shift-and-mask steps per dimension on
     // 31-bit values — every intermediate stays positive, so signed-64

@@ -488,6 +488,43 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Quality-aware canonical selection over near-dup clusters: label the
+    * pair graph ([[dedupClusters]]), then keep the CLEANEST member of
+    * each cluster — argmax (alpha_ratio, n_chars, lowest doc_id) — rather
+    * than the lowest id. The standard curation refinement: near-dup
+    * copies differ by boilerplate, truncation, or OCR noise, and the kept
+    * copy should be the best one, not the one that happened to sort
+    * first. The ranking keys are the 4dp-rounded
+    * [[TextAnalysis.qualityScore]] columns, so the whole selection
+    * replays in the oracle. Output: (doc_id, canonical_id, rep_id, keep).
+    *
+    * Scale shape: the ranking window partitions by CLUSTER (bounded by
+    * dup-family size, never corpus-sized); the representative join is a
+    * cluster-count-sized equi-join.
+    */
+  def dedupRepresentatives(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val labels = dedupClusters(docs, pairs)
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("alpha_ratio"), col("n_chars_measured"))
+    // persisted + eagerly filled: the rep filter and the member join are
+    // two consumers of the ranked table (AQE cache-race note)
+    val ranked = CacheRegistry.track(labels.join(q, "doc_id")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("canonical_id")
+          .orderBy(col("alpha_ratio").desc, col("n_chars_measured").desc,
+            col("doc_id").asc)))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    ranked.count()
+    val reps = ranked.filter(col("__rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("rep_id"))
+    ranked.select("doc_id", "canonical_id")
+      .join(reps, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("keep"))
+  }
+
   /** Banding-recall telemetry for MinHash-LSH — the dial a user turns
     * (bands × rows, hash count) the way [[Similarity.ivfRecall]] tunes
     * nprobe: one row reporting |LSH-flagged ∩ truly-duplicate| /

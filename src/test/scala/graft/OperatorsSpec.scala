@@ -363,6 +363,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
   }
 
+  test("dedupRepresentatives keeps the cleanest cluster member, not the lowest id") {
+    // doc 1 is the NOISY copy (digits drop alpha_ratio), doc 2 the clean
+    // one; near-dup pair (1,2) => cluster canonical_id 1, rep must be 2.
+    // doc 9 is a singleton: its own rep.
+    val df = Seq(
+      (1L, "quick brown foxes jump over lazy dogs 111 222 333"),
+      (2L, "quick brown foxes jump over lazy dogs again today"),
+      (9L, "entirely unrelated content lives here"),
+    ).toDF("doc_id", "text")
+    val pairsDf = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val got = Dedup.dedupRepresentatives(df, pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, 1L, 2L, false),
+      (2L, 1L, 2L, true),
+      (9L, 9L, 9L, true)), s"got $got")
+  }
+
   test("lshRecall: perfect banding on exact duplicates; vacuous 1.0 on a clean corpus") {
     // 3 exact-dup pairs: jaccard 1.0, every band collides -> recall 1.0,
     // and nothing else shares a shingle -> precision 1.0
