@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Index, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Dedup, Events, Index, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -121,6 +121,18 @@ object SparkEntry {
             lit(-1L)).as("last_signup_event"))
         .orderBy("event_id")
     }),
+
+    // ordered product-analytics funnel: each stage strictly after the
+    // user's earliest qualifying previous-stage event
+    "q_funnel" -> ((s, dir) =>
+      Events.funnel(Tables.loadEvents(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
+
+    // semi-structured extraction from the JSON props column (codegen
+    // get_json_object, no UDF), aggregated per event type
+    "q_json_extract" -> ((s, dir) =>
+      Events.jsonFieldStats(Tables.loadEvents(s, dir))
+        .orderBy("event_type")),
 
     // joins: star join with broadcast dims (TPC-H Q5 shape)
     "q_join_star" -> ((s, dir) => {
@@ -760,6 +772,50 @@ object SparkEntry {
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_signup_event
          FROM events ORDER BY event_id""",
+
+    // stage tables chained on (user, strictly-later min ts); epoch_ns
+    // replays Spark's nanosAsLong ts exactly
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+         s0 AS (SELECT user_id, min(tsn) AS t FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT e.user_id, min(tsn) AS t FROM e
+                JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = 'click' AND e.tsn > s0.t GROUP BY e.user_id),
+         s2 AS (SELECT e.user_id, min(tsn) AS t FROM e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase' AND e.tsn > s1.t GROUP BY e.user_id),
+         c AS (
+           SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
+             CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+           UNION ALL SELECT CAST(1 AS INT), 'click',
+             CAST((SELECT count(*) FROM s1) AS BIGINT)
+           UNION ALL SELECT CAST(2 AS INT), 'purchase',
+             CAST((SELECT count(*) FROM s2) AS BIGINT))
+         SELECT stage_idx, stage, n_users,
+           CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) IS NULL
+                  OR lag(n_users) OVER (ORDER BY stage_idx) = 0 THEN 1.0
+                ELSE CAST(n_users AS DOUBLE) /
+                     CAST(lag(n_users) OVER (ORDER BY stage_idx) AS DOUBLE) END
+             AS conv_from_prev,
+           CASE WHEN first_value(n_users) OVER (ORDER BY stage_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 THEN 1.0
+                ELSE CAST(n_users AS DOUBLE) /
+                     CAST(first_value(n_users) OVER (ORDER BY stage_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) END
+             AS conv_from_first
+         FROM c ORDER BY stage_idx""",
+
+    // json_extract_string ≡ get_json_object for scalar number fields;
+    // integer aggregates only
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max,
+         CAST(count(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
+         FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events) t
+         GROUP BY event_type ORDER BY event_type""",
 
     "q_join_star" ->
       """SELECT n_name,

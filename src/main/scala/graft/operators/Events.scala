@@ -26,4 +26,63 @@ object Events {
         sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("event_id"), col("user_id"), col("session_id"))
   }
+
+  /** Ordered-funnel analysis: for a stage sequence (s₁ … sₖ), a user
+    * reaches stage i+1 only with an event of that type STRICTLY AFTER
+    * their earliest qualifying stage-i event (the standard
+    * product-analytics funnel, not mere per-type presence). Returns one
+    * row per stage: (stage_idx, stage, n_users, conv_from_prev,
+    * conv_from_first) — conversions are single BIGINT-ratio IEEE
+    * divisions, 1.0 (vacuous) when the previous stage is empty.
+    *
+    * Scale shape: one filtered partial aggregate per stage over the
+    * events table, each joined to the (user-count-bounded) previous-stage
+    * table on user_id; the final window runs over ≤ k summary rows — the
+    * bounded-second-level pattern, never a corpus-sized window.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // earliest qualifying timestamp per user, stage by stage
+    val reached = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy("user_id").agg(min(col("ts")).as("t"))) {
+      case (prev, stage) =>
+        events.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("t").as("__tp")), "user_id")
+          .filter(col("ts") > col("__tp"))
+          .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy("stage_idx") // ≤ k rows — bounded second level
+    counts
+      .withColumn("__prev", lag(col("n_users"), 1).over(w))
+      .withColumn("__first", first(col("n_users")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        when(col("__prev").isNull || col("__prev") === 0, lit(1.0))
+          .otherwise(col("n_users").cast("double") / col("__prev").cast("double"))
+          .as("conv_from_prev"),
+        when(col("__first") === 0, lit(1.0))
+          .otherwise(col("n_users").cast("double") / col("__first").cast("double"))
+          .as("conv_from_first"))
+  }
+
+  /** Semi-structured extraction: pull a numeric field out of the JSON
+    * `props` column (codegen'd `get_json_object`, no UDF) and aggregate
+    * per event type — the pattern for property-bag event schemas where
+    * hot fields get promoted to columns lazily. Pure map-side extract +
+    * one partial-agg shuffle of (types × 4) rows.
+    */
+  def jsonFieldStats(events: DataFrame, path: String = "$.k"): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), path).cast("long").as("__k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__k")).as("k_sum"),
+        max(col("__k")).as("k_max"),
+        count(when(col("__k") >= 50, 1)).as("n_high"))
 }

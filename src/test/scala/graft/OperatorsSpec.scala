@@ -363,6 +363,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
   }
 
+  test("funnel: stages count only when strictly ordered per user") {
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full funnel
+      (2L, 10L, "click"), (2L, 20L, "view"),                        // click BEFORE view: view only
+      (3L, 10L, "view"), (3L, 20L, "purchase"),                     // purchase without click: view only
+      (4L, 10L, "view"), (4L, 20L, "click"),                        // view+click
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(4L, 2L, 1L))
+    assert(got.map(_.getDouble(3)).toSeq == Seq(1.0, 0.5, 0.5))   // conv_from_prev
+    assert(got.map(_.getDouble(4)).toSeq == Seq(1.0, 0.5, 0.25))  // conv_from_first
+  }
+
   test("dedupRepresentatives keeps the cleanest cluster member, not the lowest id") {
     // doc 1 is the NOISY copy (digits drop alpha_ratio), doc 2 the clean
     // one; near-dup pair (1,2) => cluster canonical_id 1, rep must be 2.
