@@ -134,6 +134,12 @@ object SparkEntry {
       Events.jsonFieldStats(Tables.loadEvents(s, dir))
         .orderBy("event_type")),
 
+    // daily cohort-retention triangle: distinct active users per
+    // (first-activity day, day offset)
+    "q_retention" -> ((s, dir) =>
+      Events.retentionCohorts(Tables.loadEvents(s, dir))
+        .orderBy("cohort", "period_offset")),
+
     // joins: star join with broadcast dims (TPC-H Q5 shape)
     "q_join_star" -> ((s, dir) => {
       val customer = Tables.load(s, dir, "customer")
@@ -772,6 +778,18 @@ object SparkEntry {
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_signup_event
          FROM events ORDER BY event_id""",
+
+    // integer day buckets over epoch-ms (floor division replays exactly);
+    // DuckDB's // on BIGINT is floor division like Spark's floor(/)
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS p FROM events),
+         f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, p FROM e)
+         SELECT f.cohort, a.p - f.cohort AS period_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+         FROM a JOIN f ON a.user_id = f.user_id
+         GROUP BY f.cohort, period_offset
+         ORDER BY cohort, period_offset""",
 
     // stage tables chained on (user, strictly-later min ts); epoch_ns
     // replays Spark's nanosAsLong ts exactly

@@ -70,6 +70,26 @@ object Events {
           .as("conv_from_first"))
   }
 
+  /** Cohort-retention matrix: bucket time into `bucketMs` periods, assign
+    * each user to the cohort of their FIRST event, and count distinct
+    * active users per (cohort, period offset) — the standard retention
+    * triangle. Three bounded shuffles: first-event per user (map-side
+    * combined), distinct (user, period), and the final (cohorts ×
+    * offsets)-sized aggregate; nothing scales beyond users × periods.
+    */
+  def retentionCohorts(
+      events: DataFrame, bucketMs: Long = 24L * 3600 * 1000): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val firsts = events.groupBy("user_id").agg(min(col("ts_ms")).as("__t0"))
+      .select(col("user_id"), floor(col("__t0") / bucketMs).cast("long").as("cohort"))
+    events
+      .select(col("user_id"), floor(col("ts_ms") / bucketMs).cast("long").as("__p"))
+      .distinct()
+      .join(firsts, "user_id")
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Semi-structured extraction: pull a numeric field out of the JSON
     * `props` column (codegen'd `get_json_object`, no UDF) and aggregate
     * per event type — the pattern for property-bag event schemas where
