@@ -489,6 +489,13 @@ object SparkEntry {
     // small-range correction is not bit-replayable (Sketches
     // .correctedEstimate); the exact register count is, and pins the
     // whole sketch state
+    // exact grouped Pearson correlation: DECIMAL power sums (order-free)
+    // + a pinned-IEEE closed form — corr without float accumulation
+    "q_corr" -> ((s, dir) =>
+      operators.Stats.groupedCorrelation(Tables.load(s, dir, "lineitem"),
+          "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_returnflag")),
+
     "q_column_profile" -> ((s, dir) =>
       operators.Stats.columnProfile(Tables.load(s, dir, "lineitem"),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
@@ -921,6 +928,29 @@ object SparkEntry {
            min(CASE WHEN cum >= ceil(0.5 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p50_est,
            min(CASE WHEN cum >= ceil(0.95 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p95_est
          FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // DECIMAL power sums are exact rationals in both engines; the closed
+    // form multiplies/subtracts/sqrts/divides in the SAME pinned order
+    // (mul binds before sub in both grammars), so corr replays unrounded
+    "q_corr" ->
+      """WITH a AS (
+           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+           FROM lineitem GROUP BY l_returnflag
+         )
+         SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
+           CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             END AS corr
+         FROM a ORDER BY l_returnflag""",
 
     "q_distinct" ->
       """SELECT l_returnflag,

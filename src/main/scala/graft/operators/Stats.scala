@@ -24,6 +24,38 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Exact grouped Pearson correlation via DECIMAL power sums: Σx, Σy,
+    * Σx², Σy², Σxy accumulate as DECIMAL(18,4)-cast exact values —
+    * order-free in any partitioning (the engine-determinism rule that
+    * float sums are not even self-reproducible) — and the classic
+    * closed form runs AFTER aggregation as a handful of pinned IEEE ops
+    * (two multiplies/subtracts per moment, two correctly-rounded sqrts,
+    * one division), rounded to 6 dp for the gate — DuckDB's
+    * decimal-to-double conversion double-rounds (int128 then /10^scale),
+    * so the unrounded last ulp can differ. Built-in `corr()` is a float-accumulating aggregate and
+    * cannot do this. One partial-agg pass; output is one row per group.
+    * Degenerate groups (zero variance in either column) report NULL.
+    */
+  def groupedCorrelation(
+      df: DataFrame, xCol: String, yCol: String, groupCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,4)")
+    val y = col(yCol).cast("decimal(18,4)")
+    val aggd = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+      sum(x * y).as("__sxy"))
+    val nD = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val num = nD * col("__sxy").cast("double") - sx * sy
+    val denX = sqrt(nD * col("__sxx").cast("double") - sx * sx)
+    val denY = sqrt(nD * col("__syy").cast("double") - sy * sy)
+    aggd.select(col(groupCol), col("n"),
+      sx.as("sum_x"), sy.as("sum_y"),
+      when(denX > 0 && denY > 0, round(num / (denX * denY), 6)).as("corr"))
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String], p: Int = 12): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
     // names are spliced into a stack() SQL string as literals AND
