@@ -197,6 +197,18 @@ object Streaming {
     graft.operators.Sketches.cmsTable(toks, "token", depth, width)
   }
 
+  /** Streaming JSON-field stats over an events file stream: the batch
+    * [[graft.operators.Events.jsonFieldStats]] plan unchanged (stateless
+    * codegen extraction + one Complete-mode aggregate whose state is the
+    * handful of event-type rows).
+    */
+  def streamingJsonFieldStats(
+      spark: SparkSession, eventsDir: String, path: String = "$.k"): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    graft.operators.Events.jsonFieldStats(
+      spark.readStream.schema(schema).parquet(eventsDir), path)
+  }
+
   /** Streaming HyperLogLog register table over document tokens — the
     * single-aggregation stage of [[graft.operators.Sketches.hllDistinct]]
     * on a file stream (state ≤ 2^p register rows, fixed). Structured

@@ -127,6 +127,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedEst == batchEst && streamedEst.nonEmpty)
   }
 
+  test("streaming JSON-field stats equal the batch twin") {
+    val dir = tmpDir("stream-json").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events.parquet"))
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingJsonFieldStats(spark, dir), "json_stream")
+      .orderBy("event_type").collect().toSeq
+    val batch = graft.operators.Events.jsonFieldStats(
+        spark.read.parquet(s"$dir/events.parquet"))
+      .orderBy("event_type").collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("map-side pipeline ops (split, chunking) run unchanged on streams") {
     val docsDir = tmpDir("stream-chunk").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
