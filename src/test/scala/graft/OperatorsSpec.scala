@@ -1207,6 +1207,23 @@ class OperatorsSpec extends AnyFunSuite {
       1, 2, 3, 4, 5, 6, 7, 8, 9))         // bottom row y=1
   }
 
+  test("multimodal: BMP decoder honors top-down row order (negative height)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rowSize = 12 // 3px * 3B + 3 pad
+    val buf = ByteBuffer.allocate(54 + rowSize * 2).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * 2).putInt(0).putInt(54)
+    buf.putInt(40).putInt(3).putInt(-2).putShort(1).putShort(24) // height -2 => top-down
+    buf.putInt(0).putInt(rowSize * 2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // file row 0 IS image row y=0 in top-down order
+    buf.put(Array[Byte](13, 12, 11,  16, 15, 14,  19, 18, 17,  0, 0, 0)) // y=0
+    buf.put(Array[Byte](3, 2, 1,  6, 5, 4,  9, 8, 7,  0, 0, 0))          // y=1
+    val img = Multimodal.decodeBmp(buf.array())
+    assert(img.width == 3 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](
+      11, 12, 13, 14, 15, 16, 17, 18, 19,
+      1, 2, 3, 4, 5, 6, 7, 8, 9))
+  }
+
   test("multimodal: WAV decoder walks chunks, skipping unknown ones") {
     import java.nio.{ByteBuffer, ByteOrder}
     val samples = Array[Short](100, -200, 300)
