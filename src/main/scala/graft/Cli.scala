@@ -223,7 +223,7 @@ object Cli {
           |              editdist|jaccard|clusters|starclusters|spans|split|shuffle|tokenbudget|chunk|pack|
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
-          |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup]
+          |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix]
           |         (kmeans/quantize/semdedup/ivfrecall: -in is an embeddings parquet;
           |          ivfrecall: [-topk N] [-k centroids] [-nprobes 1,2,4] [-queries N];
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
@@ -471,6 +471,8 @@ object Cli {
       case "lshrecall"   => Dedup.lshRecall(docs, threshold = threshold(0.5))
       case "bestdedup"   => Dedup.dedupRepresentatives(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
+      case "sqrtmix"     => Sampling.sqrtTemperatureMix(docs,
+        flags.getOrElse("group-col", "lang"))
       case "ivfq"        => Similarity.ivfTopKQuantized(docs,
         docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
         k = flags.getOrElse("topk", "3").toInt,

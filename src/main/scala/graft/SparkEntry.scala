@@ -496,6 +496,13 @@ object SparkEntry {
           "l_quantity", "l_extendedprice", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // sqrt-temperature (alpha=0.5) stratum rebalancing plan: post-sample
+    // counts ∝ sqrt(n_i), rarest stratum kept whole; one ratio + one
+    // correctly-rounded sqrt per stratum — replays unrounded
+    "q_sqrt_mix" -> ((s, dir) =>
+      Sampling.sqrtTemperatureMix(Tables.load(s, dir, "documents"), "lang")
+        .orderBy("stratum")),
+
     "q_column_profile" -> ((s, dir) =>
       operators.Stats.columnProfile(Tables.load(s, dir, "lineitem"),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
@@ -928,6 +935,17 @@ object SparkEntry {
            min(CASE WHEN cum >= ceil(0.5 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p50_est,
            min(CASE WHEN cum >= ceil(0.95 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p95_est
          FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_sqrt_mix" ->
+      """WITH c AS (
+           SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang
+         ), m AS (SELECT min(n_docs) AS mn FROM c)
+         SELECT stratum, n_docs,
+           sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS keep_frac,
+           CAST(floor(CAST(n_docs AS DOUBLE) *
+             sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS target_docs
+         FROM c, m ORDER BY stratum""",
 
     // DECIMAL power sums are exact rationals in both engines; the closed
     // form multiplies/subtracts/sqrts/divides in the SAME pinned order

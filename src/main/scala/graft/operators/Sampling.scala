@@ -89,6 +89,30 @@ object Sampling {
           .as("keep_frac"))
   }
 
+  /** Square-root temperature rebalancing (α = 0.5, the standard
+    * multilingual-corpus smoothing): post-sample stratum sizes become
+    * ∝ sqrt(n_i), boosting rare strata relative to dominant ones without
+    * flattening them. keep_frac_i = sqrt(n_min / n_i) — the largest such
+    * plan that keeps the rarest stratum whole — so the per-stratum math
+    * is ONE long-ratio division and one correctly-rounded sqrt (no
+    * cross-stratum float sum to order), bit-replayable unrounded in any
+    * engine. Feed the fractions to [[stratifiedSample]] to execute.
+    */
+  def sqrtTemperatureMix(df: DataFrame, stratumCol: String): DataFrame = {
+    val frac = sqrt(col("__mn").cast("double") / col("n_docs").cast("double"))
+    // global min via a window over the AGGREGATED table — strata-count
+    // rows, the bounded-second-level pattern (one corpus scan total)
+    df.select(col(stratumCol).as("stratum"))
+      .groupBy("stratum").agg(count(lit(1)).as("n_docs"))
+      .withColumn("__mn", min(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("stratum"), col("n_docs"),
+        frac.as("keep_frac"),
+        floor(col("n_docs").cast("double") * frac).cast("long").as("target_docs"))
+  }
+
   /** Probability-weighted deterministic sample: keep each row with its OWN
     * probability from `probCol` (clamped to [0, 1]) — quality-weighted /
     * importance resampling without `rand()`: same id and probability →

@@ -363,6 +363,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
   }
 
+  test("sqrt-temperature mix keeps the rarest stratum whole, sizes others by sqrt") {
+    val df = (Seq.fill(100)("big") ++ Seq.fill(25)("mid") ++ Seq.fill(4)("rare"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "lang")
+    val got = Sampling.sqrtTemperatureMix(df, "lang")
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("big", 100L, 0.2, 20L),    // sqrt(4/100) = 0.2 -> 20 docs = sqrt(4*100)
+      ("mid", 25L, 0.4, 10L),     // sqrt(4/25)  = 0.4 -> 10 docs = sqrt(4*25)
+      ("rare", 4L, 1.0, 4L)))     // rarest kept whole
+  }
+
   test("funnel: stages count only when strictly ordered per user") {
     val ev = Seq(
       (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full funnel
