@@ -444,6 +444,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-source duplication matrix: distinct span fingerprints shared
+    // per source pair — whole-doc dups stay within a dump, boilerplate
+    // crosses crawls at the span level (the overlap forensic that sizes
+    // dedup budgets)
+    "q_cross_dup" -> ((s, dir) =>
+      Dedup.crossSourceDuplication(Tables.load(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
+
     // quality-aware canonical selection: keep each cluster's cleanest
     // member (argmax alpha_ratio, n_chars; tie -> lowest id), not its
     // lowest id — the curation refinement over q_dedup_clusters
@@ -1408,6 +1416,27 @@ object SparkEntry {
          )
          SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
          GROUP BY id ORDER BY doc_id""",
+
+    // the q_dupspans window-fingerprint chain, projected to distinct
+    // (span, source); fan-out per span is bounded by the source count
+    "q_cross_dup" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, source, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), k AS (
+           SELECT DISTINCT source,
+             md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         )
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_spans
+         FROM k a JOIN k b ON a.span_md5 = b.span_md5 AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the q_dedup_clusters recursive closure + the q_quality ranking keys
     // + one window: the representative is the cluster's argmax

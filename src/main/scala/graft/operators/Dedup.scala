@@ -488,6 +488,27 @@ object Dedup {
       .select("doc_id_a", "doc_id_b", "jaccard")
   }
 
+  /** Cross-source duplication matrix: how many distinct SPAN fingerprints
+    * ([[duplicateSpans]]' token windows) each PAIR of sources shares —
+    * the corpus forensic that sizes dedup budgets before any pairwise
+    * dedup runs: whole-document dups usually stay within a dump, but
+    * shared boilerplate (headers, licenses, templates) crosses crawls at
+    * the span level. One distinct (fingerprint, source) projection, one
+    * self-equi-join on the fingerprint (fan-out per key bounded by the
+    * SOURCE count, never the corpus), one sources²-bounded aggregate.
+    */
+  def crossSourceDuplication(
+      docs: DataFrame, sourceCol: String = "source",
+      spanTokens: Int = 32, stride: Int = 16): DataFrame = {
+    val keyed = spanFingerprints(docs, spanTokens, stride)
+      .join(docs.select(col("doc_id"), col(sourceCol).as("source")), "doc_id")
+      .select(col("span_md5"), col("source")).distinct()
+    keyed.select(col("span_md5"), col("source").as("source_a"))
+      .join(keyed.select(col("span_md5"), col("source").as("source_b")), "span_md5")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   /** Quality-aware canonical selection over near-dup clusters: label the
     * pair graph ([[dedupClusters]]), then keep the CLEANEST member of
     * each cluster — argmax (alpha_ratio, n_chars, lowest doc_id) — rather
