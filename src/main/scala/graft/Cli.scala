@@ -233,6 +233,9 @@ object Cli {
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
+          |  events -in <events.parquet> [-op sessionize|funnel|retention|json]
+          |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
+          |          sessionize: [-gap-ms n]; json: [-path $.field]) [-out dir]
           |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n | -target-mb m]
           |""".stripMargin)
       sys.exit(1)
@@ -244,6 +247,7 @@ object Cli {
       case "parse" => runParse(spark, flags)
       case "query" => runQuery(spark, flags)
       case "corpus" => runCorpus(spark, flags)
+      case "events" => runEvents(spark, flags)
       case "compact" => runCompact(spark, flags)
       case other =>
         System.err.println(s"Unknown command: $other"); sys.exit(1)
@@ -494,6 +498,38 @@ object Cli {
         result.show(20, 40)
     }
     CacheRegistry.release(spark)
+  }
+
+  /** Event-analytics subcommand over an events parquet `(event_id, ts,
+    * user_id, event_type, value, props)` — the product-analytics family
+    * (sessionize / funnel / retention / JSON extraction) from the shell.
+    */
+  def runEvents(spark: SparkSession, flags: Map[String, String]): Unit = {
+    import graft.operators._
+    val in = flags.getOrElse("in", fail("events requires -in <events.parquet>"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(in).withColumn("ts_ms", expr("ts div 1000000"))
+    val result: DataFrame = flags.getOrElse("op", "sessionize") match {
+      case "sessionize" => Events.sessionize(ev,
+        gapMs = flags.getOrElse("gap-ms", (30 * 60 * 1000L).toString).toLong)
+      case "funnel"     => Events.funnel(ev,
+        flags.getOrElse("stages", "view,click,purchase")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq).orderBy("stage_idx")
+      case "retention"  => Events.retentionCohorts(ev,
+          bucketMs = flags.getOrElse("bucket-ms", (24L * 3600 * 1000).toString).toLong)
+        .orderBy("cohort", "period_offset")
+      case "json"       => Events.jsonFieldStats(ev,
+        flags.getOrElse("path", "$.k")).orderBy("event_type")
+      case other => fail(s"unknown events op: $other")
+    }
+    flags.get("out") match {
+      case Some(out) =>
+        result.write.mode("overwrite").option("compression", "zstd").parquet(out)
+        println(s"Wrote ${spark.read.parquet(out).count()} rows to $out")
+      case None =>
+        println(s"Rows: ${result.count()}")
+        result.show(20, 40)
+    }
   }
 
   def runQuery(spark: SparkSession, flags: Map[String, String]): Unit = {

@@ -255,6 +255,29 @@ class CliSpec extends AnyFunSuite {
     assert(sem.contains("cluster_id"))
   }
 
+  test("events subcommand: funnel, retention, json, sessionize") {
+    val ev = "/root/testdata/sf0.001/events.parquet"
+    val fun = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "funnel"))
+    }
+    assert(fun.contains("conv_from_first") && fun.contains("Rows: 3"))
+    val ret = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "retention"))
+    }
+    assert(ret.contains("period_offset") && ret.contains("n_active"))
+    val js = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "json"))
+    }
+    assert(js.contains("k_sum") && js.contains("Rows: 5"))
+    val sess = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev))
+    }
+    assert(sess.contains("session_id") && sess.contains("Rows: 1000"))
+    intercept[Cli.CliError] {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "nope"))
+    }
+  }
+
   test("corpus subcommand: ivfrecall and mmfeatures ops") {
     val rec = captureOut {
       Cli.runCorpus(spark, Map(
