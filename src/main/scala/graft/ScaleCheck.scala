@@ -225,6 +225,50 @@ object ScaleCheck {
       println(s"[scale] compacted rows: $n files: $files")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdir))
     }
+    // r8 newcomers at 10x --------------------------------------------------
+    // LSH banding recall on the all-dup corpus: both pair pipelines at
+    // full duplication density, report joins two pair-bounded tables
+    time("lsh banding recall 50k docs (10x all-dup corpus)") {
+      operators.Dedup.lshRecall(docs10, threshold = 0.8).show()
+    }
+    operators.CacheRegistry.release(spark)
+    // quality-aware canonical selection: cluster labeling + a ranking
+    // window partitioned by dup family (~10 members each)
+    time("best-member dedup 50k docs (10x all-dup corpus)") {
+      println("[scale] best-dedup kept: " +
+        operators.Dedup.dedupRepresentatives(docs10,
+            operators.Dedup.ngramJaccardPairs(docs10, threshold = 0.8))
+          .filter(col("keep")).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // cross-source span matrix: every span 10x hotter; fan-out per span
+    // stays bounded by the source count
+    time("cross-source span matrix 50k docs") {
+      println("[scale] source pairs overlapping: " +
+        operators.Dedup.crossSourceDuplication(docs10).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // quantized IVF at 20k vectors: int8 probe scan + survivors-only
+    // full-precision fetch
+    time("quantized IVF top-k 20k vectors (nprobe=2)") {
+      println("[scale] ivfq rows: " +
+        operators.Similarity.ivfTopKQuantized(emb10,
+          emb10.filter(col("vec_id") < 20), k = 5, nprobe = 2).count())
+    }
+    operators.CacheRegistry.release(spark)
+    // events at 10x: funnel stage joins and the retention triangle
+    val ev = Tables.loadEvents(spark, "/root/testdata/sf0.1")
+    val ev10 = (0 until 10)
+      .map(i => ev.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionAll _)
+    time("funnel 100k events (10x users)") {
+      operators.Events.funnel(ev10, Seq("view", "click", "purchase")).show()
+    }
+    time("retention triangle 100k events (10x users)") {
+      println("[scale] retention cells: " +
+        operators.Events.retentionCohorts(ev10).count())
+    }
     spark.stop()
   }
 }
