@@ -398,6 +398,13 @@ object SparkEntry {
     "q_hll_distinct" -> ((s, dir) =>
       Sketches.hllTokenIncidence(Tables.load(s, dir, "documents"), p = 10)),
 
+    // shard-merge driven end to end: per-source sketches merged by
+    // per-index max must equal the single-pass sketch (the oracle
+    // computes the single-pass side, so the hash gates the identity)
+    "q_hll_merge" -> ((s, dir) =>
+      Sketches.hllTokenIncidenceSharded(
+        Tables.load(s, dir, "documents"), "source", p = 10)),
+
     // the grouped-sketch path: one register set + estimate per language,
     // same calibration and bit-replay as the global q_hll_distinct
     "q_hll_by_lang" -> ((s, dir) =>
@@ -1240,6 +1247,35 @@ object SparkEntry {
            s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS s_fixed,
            $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
            (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM it) AS exact_distinct
+         FROM agg"""
+    },
+
+    // the SINGLE-PASS sketch: equality with Spark's merged-shard path is
+    // the point of the gate (merge-by-max == union registers)
+    "q_hll_merge" -> {
+      val c = graft.operators.Sketches.hllConstant(10)
+      s"""WITH it AS (
+           SELECT concat(CAST(doc_id AS VARCHAR), ':', token) AS item, source
+           FROM (SELECT doc_id, source,
+                   unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
+                 FROM documents)
+         ), r AS (
+           SELECT h >> 50 AS idx, h & ((CAST(1 AS BIGINT) << 50) - 1) AS rem
+           FROM (SELECT CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h FROM it)
+         ), reg AS (
+           SELECT idx,
+             max(CASE WHEN rem = 0 THEN 51 ELSE 51 - length(ltrim(bin(rem), '0')) END) AS mrho
+           FROM r GROUP BY idx
+         ), agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
+             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
+           FROM reg
+         )
+         SELECT n_registers_used,
+           s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS s_fixed,
+           $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
+           (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM it) AS exact_distinct,
+           (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM it) AS n_shards
          FROM agg"""
     },
 

@@ -253,6 +253,28 @@ object Sketches {
     * truth for the report. State is groups × 2^p rows however big the
     * corpus.
     */
+  /** The shard-merge contract driven END TO END: sketch the (doc:token)
+    * incidence independently per `shardCol` value (the per-day /
+    * per-datacenter ingest shape), merge the shard register tables by
+    * per-index max ([[hllMerge]]), finalize. Because merged registers are
+    * EXACTLY the single-pass registers of the union, the oracle computes
+    * the single-pass sketch — a hash match proves the merge identity
+    * cross-engine, not just in a spec. Ships exact distinct + shard count
+    * alongside for the report.
+    */
+  def hllTokenIncidenceSharded(
+      docs: DataFrame, shardCol: String, p: Int = 10): DataFrame = {
+    val pairs = incidenceItems(docs, Seq(shardCol))
+    val perShard = hllRegistersBy(pairs, "item", p, Seq(shardCol))
+    // a grouped register table IS the union of its shards' tables — one
+    // grouped aggregate merges all shards, no per-shard frames
+    val merged = hllMerge(Seq(perShard.select("idx", "mrho")), p)
+    hllFinalize(merged, p)
+      .crossJoin(broadcast(pairs.agg(
+        countDistinct(col("item")).as("exact_distinct"),
+        countDistinct(col(shardCol)).as("n_shards"))))
+  }
+
   def hllTokenIncidenceBy(
       docs: DataFrame, groupCol: String, p: Int = 10): DataFrame = {
     val pairs = incidenceItems(docs, Seq(groupCol))
