@@ -122,6 +122,42 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 300)
   }
 
+  test("property: funnel stage counts never increase and respect order") {
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 6L)
+        t <- Gen.choose(1L, 50L)
+        e <- Gen.oneOf("view", "click", "purchase", "error")
+      } yield (u, t, e))
+    } yield evs
+    check(Prop.forAll(gen) { evs =>
+      val df = evs.toDF("user_id", "ts", "event_type")
+      val counts = operators.Events.funnel(df, Seq("view", "click", "purchase"))
+        .orderBy("stage_idx").collect().map(_.getLong(2))
+      counts.length == 3 && counts.sliding(2).forall(p => p(0) >= p(1))
+    }, minSuccessful = 8)
+  }
+
+  test("property: sqrt-temperature mix bounds and monotonicity") {
+    val gen = Gen.listOfN(4, Gen.choose(1, 200))
+    check(Prop.forAll(gen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s.toLong * 1000 + i, s"s$s"))
+      }
+      val got = Sampling.sqrtTemperatureMix(rows.toDF("doc_id", "lang"), "lang")
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // fractions in (0,1], the rarest stratum exactly 1.0, targets <= n,
+      // and bigger strata keep MORE docs but a SMALLER fraction
+      val sorted = got.sortBy(_._1)
+      got.forall { case (n, f, t) => f > 0 && f <= 1.0 && t <= n } &&
+        sorted.head._2 == 1.0 &&
+        sorted.sliding(2).forall { case Array((_, f1, t1), (_, f2, t2)) =>
+          f2 <= f1 && t2 >= t1
+        case _ => true }
+    }, minSuccessful = 8)
+  }
+
   test("property: binned quantile error stays within one bucket width") {
     val genCase = for {
       n <- Gen.choose(50, 2000)
