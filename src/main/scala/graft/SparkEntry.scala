@@ -250,6 +250,31 @@ object SparkEntry {
           "l_extendedprice", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // the full CUBE lattice — q_rollup's conventions over every
+    // grouping-set combination
+    "q_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
+
+    // pivot with explicitly enumerated values (the only engine-portable
+    // form: implicit value discovery is a separate nondeterministic scan)
+    "q_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+        .orderBy("l_returnflag")
+    }),
+
     // exact distinct cardinalities per group
     "q_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -919,6 +944,25 @@ object SparkEntry {
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+
+    // the full CUBE lattice (every grouping-set combination) under the
+    // q_rollup conventions: ALL sentinels for the set-level nulls, exact
+    // DECIMAL sums
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+
+    // pivoted conditional aggregation — identical semantics in any
+    // engine when the pivot values are enumerated explicitly
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F,
+         CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_percentile" ->
       """SELECT l_returnflag,
