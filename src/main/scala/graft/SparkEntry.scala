@@ -203,6 +203,23 @@ object SparkEntry {
       operators.Events.sessionize(Tables.loadEvents(s, dir))
         .orderBy("event_id")),
 
+    // running + bounded-frame window aggregates per user, DECIMAL-exact:
+    // sequential in-frame accumulation is deterministic in both engines,
+    // and DECIMAL(18,2) cents convert to double exactly at these scales
+    "q_moving_agg" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last3 = byUser.rowsBetween(-2, Window.currentRow)
+      Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").cast("decimal(18,2)").as("__v"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("__v")).over(cum).cast("double").as("running_total"),
+          sum(col("__v")).over(last3).cast("double").as("moving_sum_3"),
+          count(lit(1)).over(last3).as("n_window"))
+        .orderBy("event_id")
+    }),
+
     // rollup: hierarchical totals in one pass
     "q_rollup" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem")
@@ -936,6 +953,19 @@ object SparkEntry {
                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
                FROM events) t
          ORDER BY event_id""",
+
+    "q_moving_agg" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+           ORDER BY epoch_ns(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+           ORDER BY epoch_ns(ts), event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3,
+         CAST(count(*) OVER (PARTITION BY user_id
+           ORDER BY epoch_ns(ts), event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
+         FROM events ORDER BY event_id""",
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
