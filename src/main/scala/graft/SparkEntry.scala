@@ -344,6 +344,29 @@ object SparkEntry {
         .orderBy("event_id", "err_event_id")
     }),
 
+    // interval × interval overlap: each view opens a 1h attention window,
+    // each error a ±30min incident window; per-user pairs whose windows
+    // intersect, with the exact overlap duration — bucket-blocked
+    // equi-join, each pair emitted once by the first-shared-bucket rule
+    // (arithmetic, not a dedup shuffle), never a per-key nested loop
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.loadEvents(s, dir)
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("v_start"), (col("ts") + lit(hourNs)).as("v_end"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          (col("ts") - lit(hourNs / 2)).as("e_start"),
+          (col("ts") + lit(hourNs / 2)).as("e_end"))
+      operators.RangeJoin.intervalOverlap(views, errs, "user_id",
+          "v_start", "v_end", "e_start", "e_end", bucketWidth = hourNs)
+        .select(col("view_id"), col("err_id"), col("user_id"),
+          expr("(least(v_end, e_end) - greatest(v_start, e_start)) div 1000000")
+            .as("overlap_ms"))
+        .orderBy("view_id", "err_id")
+    }),
+
     // tumbling event-time windows, batch twin of the streaming
     // eventWindowCounts (same window spec + decimal-exact sums)
     "q_event_windows" -> ((s, dir) => {
@@ -453,6 +476,36 @@ object SparkEntry {
       Sketches.hllTokenIncidenceBy(Tables.load(s, dir, "documents"),
           "lang", p = 10)
         .orderBy("lang")),
+
+    // KMV set-operation sketch: per-source k-minimum shingle hashes →
+    // pairwise Jaccard/overlap estimates between sources — the sketch
+    // family's answer to "how much do two crawls share?" without an
+    // exact cross-source join (q_cross_dup is the exact twin). k=64 so
+    // the estimator regime (not the exact small-set regime) is gated.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val items = docs
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("source"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
+        .select(col("source"), explode(col("__sh")).as("item"))
+      val sketch = Sketches.kmvSketch(items, "item", Seq("source"), k = 64)
+      Sketches.kmvPairOverlap(sketch, "source", k = 64)
+        .orderBy("group_a", "group_b")
+    }),
+
+    // KMV distinct estimates per source from the same sketch, exact
+    // (k−1)·2⁶⁰/h_k arithmetic — HLL's estimate without registers, and
+    // the per-group base the overlap estimator composes from
+    "q_kmv_distinct" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val items = docs
+        .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("source"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
+        .select(col("source"), explode(col("__sh")).as("item"))
+      val sketch = Sketches.kmvSketch(items, "item", Seq("source"), k = 64)
+      Sketches.kmvDistinctEstimate(sketch, 64, Seq("source"))
+        .orderBy("source")
+    }),
 
     // the FULL LSH candidate path (signature → banding → pair-gen →
     // estimate) on the md5-portable family, so DuckDB replays every step
@@ -796,6 +849,22 @@ object SparkEntry {
       // in the gated projection (cross-engine determinism).
       val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
       Multimodal.decodeFeatures(s, media).orderBy("doc_id")
+    }),
+
+    // video path: synthesize a concatenated-P6 frame stream per doc, decode
+    // frame-at-a-time, keep every 2nd frame, exact channel sums over the
+    // KEPT frames — gates the stream-walking offsets and the stride logic
+    "q_mm_frames" -> ((s, dir) => {
+      val media = Multimodal.synthesizeFrameStreams(s, Tables.load(s, dir, "documents"))
+      Multimodal.frameFeatures(s, media, stride = 2).orderBy("doc_id")
+    }),
+
+    // thumbnail path: decode the mixed PPM/BMP/WAV corpus, nearest-neighbor
+    // resize images to 8x8, channel sums of the RESIZED pixels (gates the
+    // floor(x'*W/W') index math); audio rows are skipped
+    "q_mm_resize" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
+      Multimodal.resizeFeatures(s, media, outW = 8, outH = 8).orderBy("doc_id")
     }),
   )
 
@@ -1382,6 +1451,70 @@ object SparkEntry {
          ORDER BY agg.lang"""
     },
 
+    // KMV replayed exactly: same 3-token shingles as q_ngram_jaccard, same
+    // md5-60 hash as the HLL family, k=64 minima per source via QUALIFY,
+    // union-rank + membership flags for the pair estimator. Integer until
+    // the final round(·/·, 4).
+    "q_kmv_overlap" ->
+      """WITH toks AS (
+           SELECT source, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT source, unnest(CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END) AS item
+           FROM toks
+         ), hvs AS (
+           SELECT DISTINCT source, CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS hv
+           FROM sh
+         ), sk AS (
+           SELECT source, hv FROM (
+             SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
+             FROM hvs) WHERE rank <= 64
+         ), pairs AS (
+           SELECT a.source AS group_a, b.source AS group_b
+           FROM (SELECT DISTINCT source FROM documents) a
+           JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+         ), un AS (
+           SELECT p.group_a, p.group_b, s.hv,
+             max(CASE WHEN s.source = p.group_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.source = p.group_b THEN 1 ELSE 0 END) AS in_b
+           FROM pairs p JOIN sk s ON s.source IN (p.group_a, p.group_b)
+           GROUP BY 1, 2, 3
+         ), ranked AS (
+           SELECT group_a, group_b, in_a, in_b FROM (
+             SELECT *, row_number() OVER (PARTITION BY group_a, group_b ORDER BY hv) AS r
+             FROM un) WHERE r <= 64
+         )
+         SELECT group_a, group_b, count(*) AS n_union_k,
+           CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+           round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 4) AS jaccard_est
+         FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // per-source KMV distinct estimate: (k−1)·2⁶⁰ / h_k — 63·2⁶⁰ is a
+    // 6-significant-bit double, so the division replays bit-for-bit
+    "q_kmv_distinct" ->
+      """WITH toks AS (
+           SELECT source, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT source, unnest(CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END) AS item
+           FROM toks
+         ), hvs AS (
+           SELECT DISTINCT source, CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS hv
+           FROM sh
+         ), sk AS (
+           SELECT source, hv FROM (
+             SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
+             FROM hvs) WHERE rank <= 64
+         )
+         SELECT source,
+           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END AS distinct_est
+         FROM sk GROUP BY source ORDER BY source""",
+
     // the shuffle key is pure md5 arithmetic; the two-level rank must
     // equal a flat global row_number over the same (key, id) order
     "q_shuffle" ->
@@ -1430,6 +1563,25 @@ object SparkEntry {
           AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 4 HOUR
          ORDER BY l.event_id, r.event_id""",
 
+    // plain inequality join replays the bucket-blocked overlap join;
+    // arithmetic on epoch_ns BIGINTs so the overlap duration is exact
+    // integer math on both sides (floor-div of positive values)
+    "q_interval_join" ->
+      """WITH v AS (
+           SELECT event_id AS view_id, user_id, epoch_ns(ts) AS v_start,
+             epoch_ns(ts) + 3600000000000 AS v_end
+           FROM events WHERE event_type = 'view'
+         ), e AS (
+           SELECT event_id AS err_id, user_id, epoch_ns(ts) - 1800000000000 AS e_start,
+             epoch_ns(ts) + 1800000000000 AS e_end
+           FROM events WHERE event_type = 'error'
+         )
+         SELECT v.view_id, e.err_id, v.user_id,
+           CAST((least(v.v_end, e.e_end) - greatest(v.v_start, e.e_start)) // 1000000 AS BIGINT) AS overlap_ms
+         FROM v JOIN e ON v.user_id = e.user_id
+           AND v.v_start <= e.e_end AND e.e_start <= v.v_end
+         ORDER BY view_id, err_id""",
+
     // DuckDB's native ASOF JOIN replays the union+window implementation:
     // same inclusive >= match, nanosecond source timestamps
     "q_asof_join" ->
@@ -1473,6 +1625,54 @@ object SparkEntry {
            CAST(CASE WHEN kind < 2
              THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y + 170) % 256))
              ELSE 0 END AS BIGINT) AS c2_sum
+         FROM p ORDER BY doc_id""",
+
+    // closed-form replay of the frame-stream generation parameters
+    // (Multimodal.synthesizeStreamOne) with the stride-2 sampling applied
+    // in list space: f = 2·i for i < ceil(F/2). Integer-only.
+    "q_mm_frames" ->
+      """WITH p AS (
+           SELECT doc_id, 2 + doc_id % 6 AS f,
+             16 + n_chars % 32 AS w,
+             16 + (3 * n_chars) % 32 AS h
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(f AS INT) AS n_frames,
+           CAST((f + 1) // 2 AS INT) AS n_sampled,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * list_sum(list_transform(range(0, (f + 1) // 2), i ->
+             list_sum(list_transform(range(0, h), y ->
+               (doc_id + 31 * (2 * i) + y) % 256)))) AS BIGINT) AS c0_sum,
+           CAST(w * list_sum(list_transform(range(0, (f + 1) // 2), i ->
+             list_sum(list_transform(range(0, h), y ->
+               (doc_id + 31 * (2 * i) + y + 85) % 256)))) AS BIGINT) AS c1_sum,
+           CAST(w * list_sum(list_transform(range(0, (f + 1) // 2), i ->
+             list_sum(list_transform(range(0, h), y ->
+               (doc_id + 31 * (2 * i) + y + 170) % 256)))) AS BIGINT) AS c2_sum
+         FROM p ORDER BY doc_id""",
+
+    // nearest-neighbor thumbnail replay: source row of output row y' is
+    // floor(y'·H/8); the synthesized pixel value is constant across x, so
+    // each 8x8 channel sum is 8 · Σ_y' value(srcY(y')). Audio docs
+    // (doc_id % 3 = 2) are absent on both sides.
+    "q_mm_resize" ->
+      """WITH p AS (
+           SELECT doc_id, doc_id % 3 AS kind,
+             16 + (7 * n_chars) % 48 AS h
+           FROM documents WHERE doc_id % 3 < 2
+         )
+         SELECT doc_id,
+           CASE kind WHEN 0 THEN 'ppm' ELSE 'bmp' END AS format,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(8 * list_sum(list_transform(range(0, 8), y ->
+             (doc_id + (y * h) // 8) % 256)) AS BIGINT) AS c0_sum,
+           CAST(8 * list_sum(list_transform(range(0, 8), y ->
+             (doc_id + (y * h) // 8 + 85) % 256)) AS BIGINT) AS c1_sum,
+           CAST(8 * list_sum(list_transform(range(0, 8), y ->
+             (doc_id + (y * h) // 8 + 170) % 256)) AS BIGINT) AS c2_sum
          FROM p ORDER BY doc_id""",
 
     // exact n-gram jaccard, independently recomputed from the raw text with

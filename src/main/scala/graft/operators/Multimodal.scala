@@ -57,9 +57,17 @@ object Multimodal {
     * separated by whitespace, with `#`-to-EOL comments allowed anywhere
     * between tokens, then a single whitespace byte, then raw RGB data.
     */
-  def decodePpm(bytes: Array[Byte]): ImageData = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
-    var pos = 2
+  def decodePpm(bytes: Array[Byte]): ImageData = decodePpmAt(bytes, 0)._1
+
+  /** One P6 image starting at `start`; returns the image and the offset of
+    * the first byte after it — the building block for concatenated-frame
+    * streams (the codec-free "video" convention: P6 frames back to back,
+    * what e.g. image2pipe ppm output looks like).
+    */
+  private def decodePpmAt(bytes: Array[Byte], start: Int): (ImageData, Int) = {
+    require(bytes.length >= start + 2 && bytes(start) == 'P' && bytes(start + 1) == '6',
+      s"not a P6 PPM at offset $start")
+    var pos = start + 2
     def nextInt(): Int = {
       // skip whitespace and comments
       var inComment = false
@@ -84,7 +92,55 @@ object Multimodal {
     require(bytes.length - pos >= need, s"PPM truncated: need $need, have ${bytes.length - pos}")
     val rgb = new Array[Byte](need)
     System.arraycopy(bytes, pos, rgb, 0, need)
-    ImageData(w, h, rgb)
+    (ImageData(w, h, rgb), pos + need)
+  }
+
+  /** Concatenated P6 frames — the codec-free video container. */
+  def encodePpmStream(frames: Seq[ImageData]): Array[Byte] = {
+    val parts = frames.map(encodePpm)
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+    out
+  }
+
+  /** Decode every frame of a concatenated-P6 stream (frames may differ in
+    * size; each carries its own header).
+    */
+  def decodePpmStream(bytes: Array[Byte]): Seq[ImageData] = {
+    val frames = Seq.newBuilder[ImageData]
+    var pos = 0
+    while (pos < bytes.length) {
+      val (img, next) = decodePpmAt(bytes, pos)
+      frames += img
+      pos = next
+    }
+    frames.result()
+  }
+
+  /** Nearest-neighbor resize: out pixel (x', y') samples source pixel
+    * (⌊x'·W/W'⌋, ⌊y'·H/H'⌋) — integer index math only, so the result is
+    * bit-identical in any engine (no filtering kernels, no float rounding).
+    */
+  def resizeNearest(img: ImageData, outW: Int, outH: Int): ImageData = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val rgb = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val srcY = (y.toLong * img.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val srcX = (x.toLong * img.width / outW).toInt
+        val src = (srcY * img.width + srcX) * 3
+        val dst = (y * outW + x) * 3
+        rgb(dst) = img.rgb(src)
+        rgb(dst + 1) = img.rgb(src + 1)
+        rgb(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    ImageData(outW, outH, rgb)
   }
 
   // ------------------------------------------------------- BMP (24bpp, BI_RGB)
@@ -330,6 +386,115 @@ object Multimodal {
     StructField("c0_sum", LongType, nullable = false),
     StructField("c1_sum", LongType, nullable = false),
     StructField("c2_sum", LongType, nullable = false)))
+
+  /** Frame-stream ("video") synthesis, closed-form so the oracle can replay
+    * it without touching bytes:
+    *   F = 2 + doc_id % 6 frames, each W = 16 + n_chars % 32,
+    *   H = 16 + (3·n_chars) % 32; channel c at row y of frame f (constant
+    *   across x) = (doc_id + 31·f + y + 85·c) % 256.
+    */
+  private def synthesizeStreamOne(docId: Long, nChars: Long): Array[Byte] = {
+    val nFrames = (2 + docId % 6).toInt
+    val w = (16 + nChars % 32).toInt
+    val h = (16 + (3 * nChars) % 32).toInt
+    val frames = (0 until nFrames).map { f =>
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var c = 0
+        while (c < 3) {
+          val v = ((docId + 31 * f + y + 85 * c) % 256).toByte
+          var x = 0
+          while (x < w) { rgb((y * w + x) * 3 + c) = v; x += 1 }
+          c += 1
+        }
+        y += 1
+      }
+      ImageData(w, h, rgb)
+    }
+    encodePpmStream(frames)
+  }
+
+  /** One concatenated-P6 stream per document — partition-parallel. */
+  def synthesizeFrameStreams(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val out = docs.select("doc_id", "n_chars").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, synthesizeStreamOne(id, r.getLong(1)))
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_sampled", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("c0_sum", LongType, nullable = false),
+    StructField("c1_sum", LongType, nullable = false),
+    StructField("c2_sum", LongType, nullable = false)))
+
+  /** Frame sampling — the video path of the family: decode the
+    * concatenated-P6 stream, keep every `stride`-th frame (0, stride, …),
+    * and emit exact integer channel sums over the KEPT frames only. On a
+    * real corpus this is the "1 fps thumbnail" pass; the stream decodes
+    * frame-at-a-time, so peak memory is one frame, not the whole payload's
+    * pixel data.
+    */
+  def frameFeatures(spark: SparkSession, media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val out = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val frames = decodePpmStream(r.getAs[Array[Byte]]("payload"))
+        val sampled = frames.indices.filter(_ % stride == 0)
+        val sums = new Array[Long](3)
+        sampled.foreach { fi =>
+          val rgb = frames(fi).rgb
+          var i = 0
+          while (i < rgb.length) { sums(i % 3) += rgb(i) & 0xff; i += 1 }
+        }
+        Row(id, frames.length, sampled.length,
+          frames.head.width, frames.head.height, sums(0), sums(1), sums(2))
+      }
+    }
+    spark.createDataFrame(out, frameFeatureSchema)
+  }
+
+  val resizeFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("c0_sum", LongType, nullable = false),
+    StructField("c1_sum", LongType, nullable = false),
+    StructField("c2_sum", LongType, nullable = false)))
+
+  /** Thumbnail pass: sniff + decode each payload, nearest-neighbor resize
+    * the images to `outW`×`outH`, emit exact channel sums of the RESIZED
+    * pixels (gates the ⌊x'·W/W'⌋ index math, not just the decode). Audio
+    * payloads are skipped — mixed corpora are the normal case.
+    */
+  def resizeFeatures(spark: SparkSession, media: DataFrame,
+      outW: Int = 8, outH: Int = 8): DataFrame = {
+    val out = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        decode(r.getAs[Array[Byte]]("payload")) match {
+          case ImageMedia(fmt, img) =>
+            val small = resizeNearest(img, outW, outH)
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < small.rgb.length) { sums(i % 3) += small.rgb(i) & 0xff; i += 1 }
+            Some(Row(id, fmt, small.width, small.height, sums(0), sums(1), sums(2)))
+          case _: AudioMedia => None
+        }
+      }
+    }
+    spark.createDataFrame(out, resizeFeatureSchema)
+  }
 
   /** Sniff + decode each payload and emit typed features: dimensions /
     * duration plus EXACT integer channel sums (order-free, so they survive

@@ -1130,6 +1130,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res == brute)
   }
 
+  test("interval overlap join: exactly-once pairs equal to brute force") {
+    val left = Seq(
+      (1L, 10L, 100L, 350L),  // spans buckets 1-3 at width 100
+      (2L, 10L, 400L, 420L),
+      (3L, 20L, 100L, 350L),  // other key
+      (4L, 10L, 500L, 900L)   // long interval, many shared buckets
+    ).toDF("left_id", "user_id", "l_start", "l_end")
+    val right = Seq(
+      (90L, 10L, 300L, 600L), // overlaps 1 (multi-bucket overlap), 2, 4
+      (91L, 10L, 840L, 1000L),// overlaps 4 only
+      (92L, 20L, 351L, 400L), // adjacent but NOT overlapping 3 (351 > 350)
+      (93L, 20L, 350L, 400L)  // touches 3 at a point — inclusive ends match
+    ).toDF("right_id", "user_id", "r_start", "r_end")
+    val res = RangeJoin.intervalOverlap(left, right, "user_id",
+        "l_start", "l_end", "r_start", "r_end", bucketWidth = 100L)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: no pair appears twice even when overlap spans buckets
+    assert(res.length == res.toSet.size, s"duplicated pairs in ${res.toSeq}")
+    val brute = left.as("l").join(right.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("l.l_start") <= col("r.r_end") && col("r.r_start") <= col("l.l_end"))
+      .select(col("l.left_id"), col("r.right_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res.toSet == brute)
+    assert(brute == Set((1L, 90L), (2L, 90L), (4L, 90L), (4L, 91L), (3L, 93L)))
+  }
+
   test("operator explodes stay free of InferFiltersFromGenerate blowup") {
     // plain explode(computedArray) would re-inline the array pipeline into
     // a pushed-down size()>0 filter (measured 8.5s vs 0.6s at sf0.1); the
@@ -1302,6 +1330,81 @@ class OperatorsSpec extends AnyFunSuite {
           assert(r.getLong(7 + c) ==
             (0 until total).filter(_ % ch == math.min(c, ch - 1) && ch > c)
               .map(i => (7 * id + 13 * i) % 2048 - 1024).sum, s"doc $id chan $c")
+      }
+    }
+  }
+
+  test("multimodal: concatenated-P6 stream decodes frame-at-a-time, mixed sizes") {
+    val f0 = Multimodal.ImageData(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    val f1 = Multimodal.ImageData(1, 2, Array[Byte](7, 8, 9, 10, 11, 12))
+    val f2 = Multimodal.ImageData(1, 1, Array[Byte](13, 14, 15))
+    val back = Multimodal.decodePpmStream(Multimodal.encodePpmStream(Seq(f0, f1, f2)))
+    assert(back.length == 3)
+    assert(back(0).width == 2 && back(0).height == 1 && back(0).rgb.toSeq == f0.rgb.toSeq)
+    assert(back(1).width == 1 && back(1).height == 2 && back(1).rgb.toSeq == f1.rgb.toSeq)
+    assert(back(2).rgb.toSeq == f2.rgb.toSeq)
+    // empty stream is zero frames, not an error
+    assert(Multimodal.decodePpmStream(Array.empty[Byte]).isEmpty)
+    // a truncated second frame must fail loudly, not return garbage
+    val bytes = Multimodal.encodePpmStream(Seq(f0, f1))
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpmStream(bytes.dropRight(1))
+    }
+  }
+
+  test("multimodal: nearest-neighbor resize samples floor(out*src/dst) exactly") {
+    // 4x2 source with distinct pixels; downscale to 2x1 keeps (0,0) and (2,0)
+    val rgb = Array.tabulate(4 * 2 * 3)(i => i.toByte)
+    val img = Multimodal.ImageData(4, 2, rgb)
+    val down = Multimodal.resizeNearest(img, 2, 1)
+    assert(down.rgb.toSeq == Seq[Byte](0, 1, 2, 6, 7, 8))
+    // upscale 2x replicates pixels: src x of out x' in 0..7 is x'//2
+    val up = Multimodal.resizeNearest(img, 8, 2)
+    for (y <- 0 until 2; x <- 0 until 8; c <- 0 until 3)
+      assert(up.rgb((y * 8 + x) * 3 + c) == rgb((y * 4 + x / 2) * 3 + c), s"($x,$y,$c)")
+    // identity resize is a no-op
+    assert(Multimodal.resizeNearest(img, 4, 2).rgb.toSeq == rgb.toSeq)
+  }
+
+  test("multimodal: frame sampling and thumbnail paths match their closed forms") {
+    val docs = Seq(
+      (0L, "x", "en", "s", 40L),  // ppm image; 2 frames
+      (1L, "x", "en", "s", 41L),  // bmp image; 3 frames
+      (2L, "x", "en", "s", 42L),  // wav — skipped by resize
+      (7L, "x", "en", "s", 43L),  // bmp image; 2+7%6=3 frames
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val nCharsOf = Map(0L -> 40L, 1L -> 41L, 2L -> 42L, 7L -> 43L)
+
+    val frames = Multimodal.frameFeatures(
+      spark, Multimodal.synthesizeFrameStreams(spark, docs), stride = 2)
+      .orderBy("doc_id").collect()
+    assert(frames.length == 4)
+    for (r <- frames) {
+      val id = r.getLong(0); val n = nCharsOf(id)
+      val nf = (2 + id % 6).toInt
+      val w = (16 + n % 32).toInt; val h = (16 + 3 * n % 32).toInt
+      assert(r.getInt(1) == nf && r.getInt(2) == (nf + 1) / 2)
+      assert(r.getInt(3) == w && r.getInt(4) == h)
+      for (c <- 0 until 3) {
+        val want = w.toLong * (0 until nf by 2).map { f =>
+          (0 until h).map(y => (id + 31 * f + y + 85 * c) % 256).sum
+        }.sum
+        assert(r.getLong(5 + c) == want, s"doc $id chan $c")
+      }
+    }
+
+    val thumbs = Multimodal.resizeFeatures(
+      spark, Multimodal.synthesizeMedia(spark, docs), outW = 8, outH = 8)
+      .orderBy("doc_id").collect()
+    assert(thumbs.map(_.getLong(0)).toSeq == Seq(0L, 1L, 7L), "audio doc skipped")
+    for (r <- thumbs) {
+      val id = r.getLong(0); val n = nCharsOf(id)
+      val h = (16 + 7 * n % 48).toInt
+      assert(r.getString(1) == (if (id % 3 == 0) "ppm" else "bmp"))
+      assert(r.getInt(2) == 8 && r.getInt(3) == 8)
+      for (c <- 0 until 3) {
+        val want = 8L * (0 until 8).map(y => (id + y * h / 8 + 85 * c) % 256).sum
+        assert(r.getLong(4 + c) == want, s"doc $id chan $c")
       }
     }
   }
