@@ -37,4 +37,36 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval overlap join on a shared key: pairs where
+    * [lStart, lEnd] and [rStart, rEnd] intersect (inclusive ends). Same
+    * bucket-blocking shape as [[pointInInterval]] — both sides explode
+    * into the buckets they cover, the join is an equi-join on
+    * (key, bucket) + the exact predicate — but a pair can now share MANY
+    * buckets, so exactly-once comes from arithmetic, not a distinct
+    * shuffle: an overlapping pair is emitted only in the FIRST bucket both
+    * cover, floor(max(lStart, rStart)/width), which overlap guarantees
+    * both sides exploded. Column names must not collide across sides
+    * (select/alias before calling).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftStartCol: String, leftEndCol: String,
+      rightStartCol: String, rightEndCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .withColumn("__bucket", explode_outer(sequence(
+        floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+      .filter(col("__bucket").isNotNull) // Dedup.safeExplodeNote
+    exploded(left, leftStartCol, leftEndCol)
+      .join(exploded(right, rightStartCol, rightEndCol), Seq(keyCol, "__bucket"))
+      .filter(col(leftStartCol) <= col(rightEndCol) &&
+        col(rightStartCol) <= col(leftEndCol))
+      .filter(col("__bucket") ===
+        floor(greatest(col(leftStartCol), col(rightStartCol)) / bucketWidth))
+      .drop("__bucket")
+  }
 }

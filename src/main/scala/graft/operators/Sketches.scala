@@ -429,4 +429,102 @@ object Sketches {
           .otherwise(raise_error(concat(lit(s"hllMerge: register idx out of range for p=$p: "),
             col("idx").cast("string")))))
   }
+
+  // ------------------------------------------------------------------- KMV
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. RANDOM'02; the
+    * "distinct sampling" of Beyer et al. SIGMOD'07): per group keep the k
+    * smallest DISTINCT [[Dedup.md5Token60]] hashes of the item column.
+    * What HLL can't do and KMV can: the kept hashes are a uniform sample
+    * of the distinct universe, so sketches of two groups compose into
+    * SET-OPERATION estimates (Jaccard / intersection via
+    * [[kmvPairOverlap]]), not just union cardinality.
+    *
+    * Scale shape (the naive plan is a trap): ranking all distinct hashes
+    * of a group in one window partition sorts the group's whole distinct
+    * universe on one task. Instead the established two-level cut (the
+    * prefix-scan pattern, Packing/Sampling):
+    *   1. distinct (group, hv)         — uniform hash shuffle, combines
+    *      map-side;
+    *   2. rank within (group, hv mod 64) — 64 deterministic bucket cells
+    *      per group, keep ≤ k per cell (the true k smallest are always a
+    *      subset of the per-bucket k smallest);
+    *   3. rank the ≤ 64·k survivors within group — bounded second level.
+    * Output: (groupCols…, rank 1-based, hv), ≤ k rows per group, hv
+    * ascending — deterministic for any partitioning.
+    */
+  def kmvSketch(items: DataFrame, itemCol: String,
+      groupCols: Seq[String], k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val hashed = items
+      .select(g :+ Dedup.md5Token60(col(itemCol)).as("hv"): _*)
+      .distinct()
+    val local = Window.partitionBy(g :+ pmod(col("hv"), lit(64)): _*).orderBy(col("hv"))
+    val global = Window.partitionBy(g: _*).orderBy(col("hv"))
+    hashed
+      .withColumn("__lr", row_number().over(local)).filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(g ++ Seq(col("rank"), col("hv")): _*)
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: below k kept hashes the
+    * sketch holds the WHOLE distinct universe (exact regime); at k the
+    * estimator is (k−1)·2⁶⁰ / h₍ₖ₎ (the k-th minimum locates the distinct
+    * density). Both sides of the division are exact in double ((k−1)·2⁶⁰
+    * is an integer times a power of two), so the value replays
+    * bit-for-bit in any IEEE engine.
+    */
+  def kmvDistinctEstimate(sketch: DataFrame, k: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    sketch.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("kth"))
+      .select(g ++ Seq(
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double"))
+          .as("distinct_est")): _*)
+  }
+
+  /** Pairwise overlap estimates between every two groups of a
+    * [[kmvSketch]] table with a single group column: for pair (a, b) take
+    * the k smallest hashes of the UNION of the two sketches and count how
+    * many sit in BOTH — that count over the union-k size estimates
+    * Jaccard(a, b). Membership flags are sound because union's k-th min
+    * never exceeds either sketch's k-th min (the union has at least each
+    * side's distinct values), so every union-k hash was retained by any
+    * sketch whose underlying set contains it.
+    *
+    * Everything is integer until the final division; the union-rank
+    * window is ≤ 2k rows per pair and the pair universe is
+    * (n_groups choose 2) — both trivially bounded. At 100 TB the raw
+    * corpus is touched ONCE (by kmvSketch); this composition runs on
+    * k-row sketches.
+    */
+  def kmvPairOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = sketch.select(col(groupCol).as("group_a"), col("hv"))
+    val b = sketch.select(col(groupCol).as("group_b"), col("hv"))
+    // every unordered pair; the join key is hv so each side's sketch rows
+    // meet only where hashes coincide — build the union row set instead
+    // by cross-pairing group names (tiny) and flagging membership
+    val names = sketch.select(col(groupCol).as("g")).distinct()
+    val pairs = names.select(col("g").as("group_a"))
+      .join(names.select(col("g").as("group_b")), col("group_a") < col("group_b"))
+    val unionRows = pairs.join(a, Seq("group_a"))
+      .select(col("group_a"), col("group_b"), col("hv"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs.join(b, Seq("group_b"))
+        .select(col("group_a"), col("group_b"), col("hv"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("group_a", "group_b", "hv")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("group_a"), col("group_b")).orderBy(col("hv"))
+    unionRows.withColumn("__r", row_number().over(w)).filter(col("__r") <= k)
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_union_k"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      .select(col("group_a"), col("group_b"), col("n_union_k"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_union_k").cast("double"), 4)
+          .as("jaccard_est"))
+  }
 }

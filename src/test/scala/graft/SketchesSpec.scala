@@ -153,6 +153,56 @@ class SketchesSpec extends AnyFunSuite {
       s"unexpected: $e")
   }
 
+  test("kmv: sketch keeps exactly the k smallest distinct hashes, any partitioning") {
+    val items = (0 until 400).map(i => ("g", s"item-${i % 200}")) // each item twice
+      .toDF("grp", "item")
+    val sk = Sketches.kmvSketch(items, "item", Seq("grp"), k = 16)
+      .orderBy("rank").collect()
+    assert(sk.length == 16)
+    assert(sk.map(_.getAs[Int]("rank")).toSeq == (1 to 16))
+    // ground truth: hash all 200 distinct items driver-side via the same hv
+    val truth = items.select(Dedup.md5Token60(col("item")).as("hv"))
+      .distinct().orderBy("hv").limit(16).collect().map(_.getLong(0)).toSeq
+    assert(sk.map(_.getAs[Long]("hv")).toSeq == truth)
+    // partitioning-independence: 1 partition and 13 partitions agree
+    val sk13 = Sketches.kmvSketch(items.repartition(13), "item", Seq("grp"), k = 16)
+      .orderBy("rank").collect().map(_.getAs[Long]("hv")).toSeq
+    assert(sk13 == truth)
+  }
+
+  test("kmv: distinct estimate is exact below k and within 30% at 16x k") {
+    val small = (0 until 10).map(i => ("s", s"x-$i")).toDF("grp", "item")
+    val exact = Sketches.kmvDistinctEstimate(
+      Sketches.kmvSketch(small, "item", Seq("grp"), k = 64), 64, Seq("grp"))
+      .head.getDouble(1)
+    assert(exact == 10.0, "below k the sketch IS the distinct set")
+    val big = (0 until 4096).map(i => ("b", s"y-$i")).toDF("grp", "item")
+    val est = Sketches.kmvDistinctEstimate(
+      Sketches.kmvSketch(big, "item", Seq("grp"), k = 256), 256, Seq("grp"))
+      .head.getDouble(1)
+    assert(math.abs(est - 4096) / 4096.0 < 0.3, s"est $est vs 4096")
+  }
+
+  test("kmv: pair overlap estimates Jaccard and nails the identical/disjoint poles") {
+    // a and b share 500 of 1000 items each -> true J = 500/1500 = 1/3;
+    // c == a exactly -> J = 1; d is disjoint from everything -> J = 0
+    val rows =
+      (0 until 1000).map(i => ("a", s"i-$i")) ++
+      (500 until 1500).map(i => ("b", s"i-$i")) ++
+      (0 until 1000).map(i => ("c", s"i-$i")) ++
+      (0 until 300).map(i => ("d", s"z-$i"))
+    val sk = Sketches.kmvSketch(rows.toDF("grp", "item"), "item", Seq("grp"), k = 128)
+    val out = Sketches.kmvPairOverlap(sk, "grp", k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("a", "c")) == 1.0, "identical sets must estimate exactly 1")
+    assert(out(("a", "d")) == 0.0 && out(("b", "d")) == 0.0 && out(("c", "d")) == 0.0)
+    assert(math.abs(out(("a", "b")) - 1.0 / 3) < 0.15, s"a-b ${out(("a", "b"))}")
+    // estimator soundness bound: n_both <= n_union_k everywhere
+    val viol = Sketches.kmvPairOverlap(sk, "grp", k = 128)
+      .filter(col("n_both") > col("n_union_k")).count()
+    assert(viol == 0)
+  }
+
   test("BloomContainsAll equality is value-based over the bitset") {
     val child = org.apache.spark.sql.graft.Shims.expression(Dedup.md5Token60(col("key")))
     val a = Array(1L, 2L, 3L)
