@@ -487,7 +487,8 @@ object SparkEntry {
       val items = docs
         .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("source"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
-        .select(col("source"), explode(col("__sh")).as("item"))
+        .select(col("source"), explode_outer(col("__sh")).as("item"))
+        .filter(col("item").isNotNull) // Dedup.safeExplodeNote
       val sketch = Sketches.kmvSketch(items, "item", Seq("source"), k = 64)
       Sketches.kmvPairOverlap(sketch, "source", k = 64)
         .orderBy("group_a", "group_b")
@@ -501,7 +502,8 @@ object SparkEntry {
       val items = docs
         .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
         .select(col("source"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
-        .select(col("source"), explode(col("__sh")).as("item"))
+        .select(col("source"), explode_outer(col("__sh")).as("item"))
+        .filter(col("item").isNotNull) // Dedup.safeExplodeNote
       val sketch = Sketches.kmvSketch(items, "item", Seq("source"), k = 64)
       Sketches.kmvDistinctEstimate(sketch, 64, Seq("source"))
         .orderBy("source")

@@ -504,12 +504,21 @@ object Sketches {
     */
   def kmvPairOverlap(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = sketch.select(col(groupCol).as("group_a"), col("hv"))
-    val b = sketch.select(col(groupCol).as("group_b"), col("hv"))
+    // the sketch is ≤ k rows per group BY CONSTRUCTION, but its upstream
+    // (corpus-wide hash + distinct + two rank levels) is the expensive
+    // part — and this composition reads it three times (group names +
+    // both pair sides). Persist the tiny table, not the pipeline.
+    // Tracked in CacheRegistry — callers release after consuming.
+    val cached = CacheRegistry.track(sketch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cached.count() // eager fill: three AQE consumers racing a lazy cache
+                   // would each run the upstream pipeline
+    val a = cached.select(col(groupCol).as("group_a"), col("hv"))
+    val b = cached.select(col(groupCol).as("group_b"), col("hv"))
     // every unordered pair; the join key is hv so each side's sketch rows
     // meet only where hashes coincide — build the union row set instead
     // by cross-pairing group names (tiny) and flagging membership
-    val names = sketch.select(col(groupCol).as("g")).distinct()
+    val names = cached.select(col(groupCol).as("g")).distinct()
     val pairs = names.select(col("g").as("group_a"))
       .join(names.select(col("g").as("group_b")), col("group_a") < col("group_b"))
     val unionRows = pairs.join(a, Seq("group_a"))
