@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Events, Index, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Cdc, Dedup, Events, Graph, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -803,6 +803,61 @@ object SparkEntry {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
         numCentroids = 32, nprobes = Seq(1, 2, 4))
+    }),
+
+    // product quantization: m=4 × ksub=16 pseudo-codebooks, ADC
+    // inner-product candidates from the broadcast lookup table (exact
+    // fixed-point sums), exact cosine re-rank of the k·4 survivors
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Pq.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+          m = 4, ksub = 16, dim = 64, rerankFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // CDC changelog apply (MERGE INTO): latest row-image per key wins,
+    // deletes drop, untouched base keys pass through one anti-join.
+    // Changelog synthesized from orders (unique seq = o_orderkey)
+    "q_cdc_apply" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val ch = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd-"), col("o_orderkey")).as("c_name"),
+        (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        when(col("o_orderkey") % 10 <= 5, "U")
+          .when(col("o_orderkey") % 10 <= 7, "I")
+          .otherwise("D").as("op"),
+        col("o_orderkey").as("seq"))
+      Cdc.applyChangelog(base, ch, "c_custkey", "seq",
+          broadcastChangedKeys = true)
+        .orderBy("c_custkey")
+    }),
+
+    // blocked record linkage: within-nation candidate pairs scored by
+    // weighted field-agreement rules, tiered match/possible
+    "q_linkage" -> ((s, dir) => {
+      import Linkage.LinkRule
+      val rules = Seq(
+        LinkRule("same_segment", 2.0,
+          (a, b) => a("c_mktsegment") === b("c_mktsegment")),
+        LinkRule("close_balance", 2.5,
+          (a, b) => abs(a("c_acctbal") - b("c_acctbal")) < lit(50.0)),
+        LinkRule("name_suffix", 1.5,
+          (a, b) => substring(a("c_name"), -2, 2) === substring(b("c_name"), -2, 2)))
+      Linkage.linkPairs(Tables.load(s, dir, "customer"),
+          "c_custkey", "c_nationkey", rules,
+          matchAt = 4.5, possibleAt = 3.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // PageRank centrality over the duplication-link graph (docs sharing
+    // a span fingerprint): the high-rank nodes are the boilerplate hubs.
+    // Fixed-point contributions make the iteration engine-exact
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Graph.spanLinkEdges(Tables.load(s, dir, "documents"))
+      Graph.pageRank(edges, iters = 3).orderBy("node")
     }),
 
     // SemDeDup-style semantic dedup: k-means clusters → within-cluster
@@ -2128,6 +2183,148 @@ object SparkEntry {
          LEFT JOIN exact e ON i.query_id = e.query_id AND i.vec_id = e.vec_id, tot
          GROUP BY i.nprobe, tot.exact_pairs
          ORDER BY nprobe""",
+
+    // the full PQ chain replayed: subvector slices, pseudo-codebooks,
+    // nearest-sub-centroid codes (6dp ‖x−c‖² with the pinned
+    // xx − 2xc + cc expression shape), fixed-point ADC lookup sums,
+    // exact-cosine re-rank of the 12 survivors
+    "q_pq_topk" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         ss AS (SELECT unnest(range(0, 4)) AS subspace),
+         sv AS (
+           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
+           FROM ec CROSS JOIN ss),
+         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
+                FROM sv WHERE vec_id < 16),
+         enc AS (
+           SELECT vec_id, subspace, centroid_id AS code FROM (
+             SELECT v.vec_id, v.subspace, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
+                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
+                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
+                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
+             CAST(floor(round(list_sum(list_transform(range(1, 17),
+               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
+           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
+         approx AS (
+           SELECT query_id, vec_id,
+             round(CAST(CAST(sum(ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
+           FROM enc JOIN lut USING (subspace, code)
+           WHERE vec_id <> query_id
+           GROUP BY query_id, vec_id),
+         surv AS (
+           SELECT query_id, vec_id, approx_ip FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_ip DESC, vec_id ASC) AS ar
+             FROM approx) WHERE ar <= 12)
+         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
+           SELECT s.query_id, s.vec_id, s.approx_ip,
+             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
+           FROM surv s
+           JOIN ec v ON v.vec_id = s.vec_id
+           JOIN ec q ON q.vec_id = s.query_id) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // MERGE INTO replay: latest row-image per key (unique seq =
+    // o_orderkey), deletes drop, anti-join passthrough of untouched keys
+    "q_cdc_apply" ->
+      """WITH ch AS (
+           SELECT o_custkey AS c_custkey,
+             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+             o_totalprice AS c_acctbal,
+             o_orderpriority AS c_mktsegment,
+             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
+                  WHEN o_orderkey % 10 <= 7 THEN 'I'
+                  ELSE 'D' END AS op,
+             o_orderkey AS seq
+           FROM orders),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey
+               ORDER BY seq DESC, op ASC) AS rn
+             FROM ch) WHERE rn = 1)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+         UNION ALL
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM latest WHERE op <> 'D'
+         ORDER BY c_custkey""",
+
+    // blocked linkage replay: within-nation pairs, the same three
+    // agreement rules, the same left-folded double score
+    "q_linkage" ->
+      """SELECT id_a, id_b, same_segment, close_balance, name_suffix, score,
+           CASE WHEN score >= 4.5 THEN 'match' ELSE 'possible' END AS tier
+         FROM (
+           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_mktsegment = b.c_mktsegment AS same_segment,
+             abs(a.c_acctbal - b.c_acctbal) < 50.0 AS close_balance,
+             right(a.c_name, 2) = right(b.c_name, 2) AS name_suffix,
+             CASE WHEN a.c_mktsegment = b.c_mktsegment
+               THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 50.0
+               THEN CAST(2.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN right(a.c_name, 2) = right(b.c_name, 2)
+               THEN CAST(1.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS score
+           FROM customer a JOIN customer b
+             ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey) t
+         WHERE score >= 3.5
+         ORDER BY id_a, id_b""",
+
+    // PageRank replay: the q_dupspans span substrate → distinct pair
+    // edges both directions → three iterations with 2^40 fixed-point
+    // contribution sums (exact integer addition in any order) and the
+    // pinned (1.0-0.85)/n + 0.85*(S/Q + dang/n/Q) rank expression
+    "q_pagerank" -> {
+      val iters = 3
+      val Q = 1L << 40
+      val iterCtes = (0 until iters).map { i =>
+        s"""d$i AS (
+           SELECT CAST(coalesce(sum(CAST(floor(rank * $Q + 0.5) AS BIGINT)), 0) AS BIGINT) AS dang
+           FROM r$i WHERE node NOT IN (SELECT src FROM od)),
+         c$i AS (
+           SELECT e.dst, CAST(sum(CAST(floor(r.rank / od.deg * $Q + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
+           GROUP BY e.dst),
+         r${i + 1} AS (
+           SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c.s, 0) AS DOUBLE) / $Q
+               + CAST(d.dang AS DOUBLE) / nn.n / $Q) AS rank
+           FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, d$i d, nn)"""
+      }.mkString(",\n         ")
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), sp AS (
+           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), p AS (
+           SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           FROM sp a JOIN sp b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
+         ), e AS (
+           SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
+         ), nodes AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+         $iterCtes
+         SELECT node, rank FROM r$iters ORDER BY node"""
+    },
 
     // rolling hash (base 257 mod 2^64) replayed byte-for-byte in DuckDB via
     // HUGEINT list_reduce; valid because the corpus is ASCII (ord == byte) —

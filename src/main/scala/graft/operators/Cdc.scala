@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog application (CDC upsert/merge) — reconcile a base snapshot
+  * with a stream of keyed insert/update/delete records, producing the
+  * next snapshot. The warehouse "MERGE INTO" shape, expressed as a pure
+  * batch plan:
+  *
+  *   1. collapse the changelog to its LATEST record per key — one
+  *      window rank over (key ORDER BY seq DESC), the only place the
+  *      changelog's history depth matters;
+  *   2. survivors with op ≠ 'D' are the upserted rows;
+  *   3. the base contributes exactly the keys the changelog never
+  *      touched — one anti-join.
+  *
+  * Scale shape: both steps shuffle on the SAME key, so the window's
+  * exchange is reused by the join (no second shuffle of the changelog),
+  * and the base-side anti-join is the standard broadcast candidate when
+  * a day's changed-key set is small relative to the snapshot — pass
+  * `broadcastChangedKeys = true` for that hint. Never a driver loop,
+  * never a collect; the changelog can be arbitrarily deep (only rank-1
+  * rows survive the first stage's partial filter).
+  *
+  * Determinism: ties on `seqCol` break on `opCol` then the remaining
+  * columns are NOT consulted — callers needing total determinism must
+  * provide a unique sequence (the normal CDC contract: log offset /
+  * LSN). The gated query uses a unique per-key sequence.
+  */
+object Cdc {
+
+  /** Apply `changes` (op ∈ I/U/D in `opCol`, ordered by `seqCol`) to
+    * `base`. Both frames must share the key column; `changes` must carry
+    * every snapshot column (an I/U row IS the new row image — the
+    * row-image convention of Debezium-style changelogs).
+    */
+  def applyChangelog(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String = "op",
+      broadcastChangedKeys: Boolean = false): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.contains(keyCol), s"base lacks key column $keyCol")
+    require(changes.columns.contains(seqCol) && changes.columns.contains(opCol),
+      s"changes must carry $seqCol and $opCol")
+    dataCols.foreach(c => require(changes.columns.contains(c),
+      s"changes lacks snapshot column $c (row-image changelog required)"))
+
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(seqCol).desc, col(opCol).asc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+
+    val changedKeys = latest.select(col(keyCol)).distinct()
+    val keysSide = if (broadcastChangedKeys) broadcast(changedKeys) else changedKeys
+    val untouched = base.join(keysSide, Seq(keyCol), "left_anti")
+
+    untouched.unionByName(upserts)
+  }
+}

@@ -649,7 +649,7 @@ object Dedup {
     * [[duplicateSpans]] and [[spanDupFraction]], persisted because both
     * consumers read it twice (fingerprint aggregate + join-back).
     */
-  private def spanFingerprints(
+  private[operators] def spanFingerprints(
       docs: DataFrame, spanTokens: Int, stride: Int): DataFrame = {
     require(stride > 0 && stride <= spanTokens, "need 0 < stride <= spanTokens")
     import org.apache.spark.storage.StorageLevel

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics over edge tables. Companion to the
+  * connected-components family ([[Dedup.dedupClusters]] /
+  * [[Dedup.dedupClustersStar]]): where CC answers "which docs are the
+  * same", PageRank answers "which nodes are structurally central" — on a
+  * duplication/link graph the high-rank nodes are the template/boilerplate
+  * hubs worth human review before a dedup pass deletes their whole
+  * neighborhood.
+  *
+  * Scale shape per iteration: contributions shuffle ON THE EDGE (one
+  * partial-combined aggregation keyed by dst), ranks are one row per
+  * node, and the only driver-bound values are two scalars (node count,
+  * dangling mass). Rank tables persist each round and release the round
+  * after — the bounded-driver-loop contract of
+  * [[Similarity.trainCodebook]].
+  *
+  * Determinism (the oracle contract): per-edge contributions are
+  * quantized ONCE to 2^40 fixed point — floor(rank/outdeg · 2^40 + 0.5)
+  * — so the per-node sum is exact integer addition in any partition
+  * order, and the new rank is one pinned IEEE expression over that sum.
+  * Float-summed PageRank is not even self-reproducible across runs.
+  */
+object Graph {
+
+  private val Q = 1L << 40
+
+  /** PageRank over `edges(srcCol, dstCol)` (directed; pass both
+    * directions for an undirected graph). Node universe = src ∪ dst.
+    * Dangling nodes (no out-edges) redistribute their mass uniformly.
+    * Returns (node, rank) with Σ rank = 1 (up to quantization).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(damping > 0.0 && damping < 1.0)
+    val spark = edges.sparkSession
+
+    val e = CacheRegistry.track(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nodes = CacheRegistry.track(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val outdeg = CacheRegistry.track(
+      e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist(blocking = false); outdeg.unpersist(blocking = false)
+      return nodes.withColumn("rank", lit(0.0))
+    }
+
+    val base = lit(1.0 - damping) / lit(n)
+    var ranks = CacheRegistry.track(
+      nodes.withColumn("rank", lit(1.0) / lit(n))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    ranks.count() // eager fill before the loop re-reads it
+
+    for (_ <- 0 until iters) {
+      // exact long mass of dangling nodes (rank quantized once per node)
+      val dang = ranks.join(outdeg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(floor(col("rank") * Q + 0.5).cast("long")), lit(0L)))
+        .collect()(0).getLong(0)
+
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          floor(col("rank") / col("deg") * Q + 0.5).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+
+      val next = CacheRegistry.track(
+        nodes.join(contribs, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (base + lit(damping) *
+              (coalesce(col("s"), lit(0L)).cast("double") / Q
+                + lit(dang).cast("double") / lit(n) / Q)).as("rank"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      next.count() // materialize before releasing the input it reads
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    e.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    ranks
+  }
+
+  /** The duplication-link graph: doc pairs sharing at least one span
+    * fingerprint ([[Dedup.duplicateSpans]] substrate), both directions.
+    * Feeds [[pageRank]] for boilerplate-hub centrality.
+    */
+  def spanLinkEdges(docs: DataFrame, spanTokens: Int = 32, stride: Int = 16): DataFrame = {
+    val spans = Dedup.spanFingerprints(docs, spanTokens, stride)
+      .select("doc_id", "span_md5")
+    val a = spans.select(col("span_md5"), col("doc_id").as("src"))
+    val b = spans.select(col("span_md5"), col("doc_id").as("dst"))
+    val pairs = a.join(b, "span_md5")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
+      .distinct()
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+}

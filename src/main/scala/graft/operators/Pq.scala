@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.vec_dot
+
+/** Product quantization (PQ) for ANN — the third point of the
+  * memory-for-recall family next to [[Similarity.ivfTopK]] (partition
+  * pruning) and [[Similarity.ivfTopKQuantized]] (int8 codes): each vector
+  * is split into `m` contiguous subvectors, each subvector is replaced by
+  * the id of its nearest subspace centroid, so storage per vector is
+  * m·log₂(ksub) BITS (m=4, ksub=16 → 2 bytes for a 64-dim float vector),
+  * and query scoring is table lookups instead of arithmetic
+  * [Jégou, Douze, Schmid: "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011].
+  *
+  * Spark shape:
+  *   - codebooks are m·ksub rows — BROADCAST everywhere they appear;
+  *   - encoding is one pass: inline the m subvectors, join the broadcast
+  *     codebook, rank-1 window per (vec, subspace) — codes shuffle
+  *     m·n skinny rows once;
+  *   - ADC scoring replays the classic in-memory lookup table as a
+  *     broadcast (query, subspace, centroid) → partial-dot table joined
+  *     to the code rows on (subspace, code), then an exact fixed-point
+  *     SUM per (query, vec) — the one aggregation shuffle, map-side
+  *     combined, m rows in per pair, 1 row out;
+  *   - survivors (k·rerankFactor by approximate inner product) fetch
+  *     full vectors BY ID for the exact cosine re-rank — the
+  *     [[Similarity.ivfTopKQuantized]] re-rank contract.
+  *
+  * Determinism / oracle: subspace distances and partial dots are rounded
+  * before ranking (ties on id), the ADC sum runs over FIXED-POINT longs
+  * (exact in any partition order — the [[Similarity.trainCodebook]]
+  * lesson), so the whole chain replays bit-for-bit in DuckDB.
+  */
+object Pq {
+
+  /** Fixed-point scale for ADC partial dots: components are O(1), a
+    * 16-dim partial dot is O(10); 2^40 scale keeps 4 summed subspace
+    * terms far inside signed-64 while quantization error (~2^-40 per
+    * term) sits below the 6dp rounding the ranking uses.
+    */
+  private val Q = 1L << 40
+
+  /** Deterministic pseudo-codebooks: subspace s's centroids are the
+    * sub-vectors of the `ksub` lowest-id corpus vectors (the
+    * [[Similarity.pseudoCentroids]] convention — codebook size FIXED, not
+    * corpus-proportional). Output: (subspace, centroid_id, c_sub).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("subspace"),
+        slice(col("embedding"), s * sub + 1, sub).as("c_sub")))
+    corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("centroid_id"), explode_outer(array(subCols: _*)).as("e"))
+      .filter(col("e").isNotNull) // Dedup.safeExplodeNote
+      .select(col("e.subspace").as("subspace"), col("centroid_id"), col("e.c_sub"))
+  }
+
+  /** (id, subspace, sub_emb) — each vector inlined into its m subvectors. */
+  private def subvectors(df: DataFrame, idCol: String, idAlias: String,
+      m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val subCols = (0 until m).map(s =>
+      struct(lit(s).as("subspace"),
+        slice(col("embedding"), s * sub + 1, sub).as("sub_emb")))
+    df.select(col(idCol).as(idAlias), explode_outer(array(subCols: _*)).as("e"))
+      .filter(col("e").isNotNull) // Dedup.safeExplodeNote
+      .select(col(idAlias), col("e.subspace").as("subspace"), col("e.sub_emb"))
+  }
+
+  /** Encode the corpus: per (vector, subspace) the nearest centroid by
+    * squared L2 distance, rounded to 6dp before ranking, ties on
+    * centroid id. Output: (vec_id, subspace, code) — the PQ code table.
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sv = subvectors(corpus, "vec_id", "vec_id", m, dim)
+    // ‖x−c‖² = x·x − 2x·c + c·c, all through the codegen'd vec_dot
+    val d2 = round(
+      vec_dot(col("sub_emb"), col("sub_emb"))
+        - lit(2.0) * vec_dot(col("sub_emb"), col("c_sub"))
+        + vec_dot(col("c_sub"), col("c_sub")), 6)
+    val w = Window.partitionBy("vec_id", "subspace")
+      .orderBy(d2.asc, col("centroid_id").asc)
+    sv.join(broadcast(codebooks), Seq("subspace"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("subspace"), col("centroid_id").as("code"))
+  }
+
+  /** Asymmetric-distance top-k by inner product with exact re-rank:
+    * approx_ip(q, v) = Σ_s ⟨q_s, centroid(s, code_s(v))⟩ from the
+    * broadcast lookup table; the k·rerankFactor best per query fetch
+    * full vectors by id for the exact 4dp cosine that orders the final
+    * top-k. Output: (query_id, vec_id, cos_sim, approx_ip, rank).
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      dim: Int = 64,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && rerankFactor >= 1)
+    val codebooks = pqCodebooks(corpus, m, ksub, dim)
+    val codes = pqEncode(corpus, codebooks, m, dim)
+
+    // the ADC lookup table: (query, subspace, centroid) → partial dot,
+    // quantized once to a long so the per-pair sum is exact integer math
+    val lut = broadcast(
+      subvectors(queries, "vec_id", "query_id", m, dim)
+        .join(broadcast(codebooks), Seq("subspace"))
+        .select(col("query_id"), col("subspace"), col("centroid_id").as("code"),
+          floor(round(vec_dot(col("sub_emb"), col("c_sub")), 6) * Q + 0.5)
+            .cast("long").as("ipq")))
+
+    val approx = codes.join(lut, Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg((sum(col("ipq")).cast("double") / Q).as("approx_ip"))
+      .withColumn("approx_ip", round(col("approx_ip"), 6))
+
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_ip").desc, col("vec_id").asc)
+    val survivors = approx.withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= k * rerankFactor)
+      .drop("__ar")
+
+    // exact re-rank: full vectors fetched by id — a join, not a rescan
+    val cNorm = corpus.select(col("vec_id"), col("embedding").as("__v_emb"),
+      sqrt(vec_dot(col("embedding"), col("embedding"))).as("__v_norm"))
+    val qNorm = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("__q_emb"),
+      sqrt(vec_dot(col("embedding"), col("embedding"))).as("__q_norm")))
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    survivors.join(cNorm, "vec_id").join(qNorm, "query_id")
+      .withColumn("cos_sim",
+        round(vec_dot(col("__q_emb"), col("__v_emb"))
+          / (col("__q_norm") * col("__v_norm")), 4))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "approx_ip", "rank")
+  }
+}

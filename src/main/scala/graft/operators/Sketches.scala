@@ -41,12 +41,30 @@ object Sketches {
 
   /** The `k` Bloom bit positions for a content key: position i =
     * (a + i·b) mod mBits over the md5 halves — one md5 per key, k < 128.
+    *
+    * `portable = false` switches the (a, b) basis to two seeded xxhash64
+    * calls (codegen-native, no hex formatting) — the in-engine family of
+    * the same Kirsch–Mitzenmacher construction (the CMS/MinHash
+    * precedent: fast bits are Spark-private, so only the md5 family
+    * carries a hash-match oracle). xxhash64 spans the full signed range,
+    * so the position arithmetic runs in pmod.
     */
-  def bloomPositions(key: Column, mBits: Int, k: Int): Column = {
+  def bloomPositions(
+      key: Column, mBits: Int, k: Int, portable: Boolean = true): Column = {
     require(k > 0 && k < 128, s"k must be in [1,128), got $k")
-    val a = md5HalfA(key)
-    val b = md5HalfB(key)
-    array((0 until k).map(i => (a + lit(i.toLong) * b) % mBits): _*)
+    if (portable) {
+      val a = md5HalfA(key)
+      val b = md5HalfB(key)
+      array((0 until k).map(i => (a + lit(i.toLong) * b) % mBits): _*)
+    } else {
+      // reduce both halves below mBits BEFORE the i·b combination: raw
+      // xxhash64 spans the full signed range and i·b would overflow
+      // ANSI long arithmetic; bounded a,b keep a + 127·b < 2^38
+      val a = pmod(xxhash64(lit(1), key), lit(mBits.toLong))
+      val b = pmod(xxhash64(lit(2), key), lit(mBits.toLong - 1)) + 1
+      array((0 until k).map(i =>
+        pmod(a + lit(i.toLong) * b, lit(mBits.toLong))): _*)
+    }
   }
 
   /** Dense Bloom bitset (one long per 64 bits) over the distinct keys of
@@ -57,13 +75,14 @@ object Sketches {
     * once per ingest batch, shipped to executors as one array.
     */
   def buildBloomWords(
-      seen: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
+      seen: DataFrame, key: Column, mBits: Int, k: Int,
+      portable: Boolean = true): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     require(mBits <= (1 << 30), s"bitset capped at 128 MB (2^30 bits), got $mBits")
     require(k > 0)
     val words = seen
-      .select(explode_outer(bloomPositions(key, mBits, k)).as("pos"))
+      .select(explode_outer(bloomPositions(key, mBits, k, portable)).as("pos"))
       .filter(col("pos").isNotNull) // Dedup.safeExplodeNote
       .distinct()
       .select(shiftright(col("pos"), 6).as("w"),
@@ -97,11 +116,12 @@ object Sketches {
       seen: DataFrame,
       keyCol: String = "key",
       mBits: Int = 1 << 14,
-      k: Int = 5): DataFrame = {
-    val words = buildBloomWords(seen, col(keyCol), mBits, k)
+      k: Int = 5,
+      portable: Boolean = true): DataFrame = {
+    val words = buildBloomWords(seen, col(keyCol), mBits, k, portable)
     val flagged = incoming.withColumn("maybe_seen",
       GraftFunctions.bloom_contains_all(
-        bloomPositions(col(keyCol), mBits, k), words))
+        bloomPositions(col(keyCol), mBits, k, portable), words))
     val definite = flagged.filter(!col("maybe_seen"))
       .withColumn("is_new", lit(true))
     val seenKeys = seen.select(col(keyCol)).distinct()
@@ -328,11 +348,16 @@ object Sketches {
     */
   def hllRegistersBy(
       items: DataFrame, itemCol: String, p: Int,
-      groupCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String], portable: Boolean = true): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val restBits = 60 - p
     val mask = (1L << restBits) - 1
-    val h = Dedup.md5Token60(col(itemCol))
+    // in-engine family: low 60 bits of xxhash64 (codegen-native, no hex
+    // round-trip) — same idx/rho split downstream; only the md5 family
+    // replays in DuckDB (the CMS/Bloom/MinHash portable-twin convention)
+    val h =
+      if (portable) Dedup.md5Token60(col(itemCol))
+      else xxhash64(col(itemCol)).bitwiseAND(lit((1L << 60) - 1))
     val g = groupCols.map(col)
     items.filter(col(itemCol).isNotNull)
       .select(g :+ shiftright(h, restBits).as("idx")
@@ -377,8 +402,9 @@ object Sketches {
         :+ (lit(c) / col("s_fixed").cast("double")).as("est_distinct"): _*)
   }
 
-  def hllDistinct(items: DataFrame, itemCol: String, p: Int = 12): DataFrame =
-    hllFinalize(hllRegisters(items, itemCol, p), p)
+  def hllDistinct(items: DataFrame, itemCol: String, p: Int = 12,
+      portable: Boolean = true): DataFrame =
+    hllFinalize(hllRegistersBy(items, itemCol, p, Seq.empty, portable), p)
 
   /** Small-range-corrected estimate from a finalized register row: below
     * 2.5·m the raw harmonic estimator is biased (up to ~60× at tiny

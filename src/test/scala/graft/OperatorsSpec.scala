@@ -1432,4 +1432,97 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q(0).getAs[Double]("stopword_ratio") == 0.6) // the, and, the of 5
     assert(q(2).getAs[Double]("avg_token_len") == 0.0)
   }
+
+  test("cdc apply: latest row-image wins, deletes drop, untouched keys pass through") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val changes = Seq(
+      (1L, "a1", 11.0, "U", 5L),  // stale update…
+      (1L, "a2", 12.0, "U", 9L),  // …latest wins
+      (2L, "b-gone", 0.0, "D", 7L), // delete key 2
+      (4L, "d", 40.0, "I", 3L),   // insert new key
+      (4L, "d-del", 0.0, "D", 1L) // stale delete loses to the later insert
+    ).toDF("id", "name", "bal", "op", "seq")
+    val got = Cdc.applyChangelog(base, changes, "id", "seq")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // non-row-image changelog must fail loudly
+    intercept[IllegalArgumentException] {
+      Cdc.applyChangelog(base, changes.drop("bal"), "id", "seq")
+    }
+  }
+
+  test("linkage: rule scores, tiers, and the oversized-block guard") {
+    import Linkage.LinkRule
+    val recs = Seq(
+      (1L, "blk1", "GOLD", 100.0),
+      (2L, "blk1", "GOLD", 120.0),  // both rules agree with 1 → 4.5 match
+      (3L, "blk1", "SILV", 130.0),  // close to 2 only → 2.5 (dropped < 3.0)
+      (4L, "blk2", "GOLD", 500.0),  // different block: never meets 1/2/3
+      (5L, "big", "GOLD", 100.0), (6L, "big", "GOLD", 100.0),
+      (7L, "big", "GOLD", 100.0),
+      (8L, "big", "GOLD", 100.0)    // 4-record block, capped out below
+    ).toDF("id", "blk", "seg", "bal")
+    val rules = Seq(
+      LinkRule("same_seg", 2.0, (a, b) => a("seg") === b("seg")),
+      LinkRule("close_bal", 2.5, (a, b) => abs(a("bal") - b("bal")) < lit(50.0)))
+    val got = Linkage.linkPairs(recs, "id", "blk", rules,
+        matchAt = 4.0, possibleAt = 3.0, maxBlockSize = 3)
+      .orderBy("id_a", "id_b").collect()
+    // the big block (4 > cap 3) is excluded entirely; blk1 yields one
+    // match pair (1,2); (1,3)/(2,3) score 2.5 < possibleAt
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(got.head.getAs[Double]("score") == 4.5)
+    assert(got.head.getAs[String]("tier") == "match")
+    val over = Linkage.oversizedBlocks(recs, "blk", maxBlockSize = 3).collect()
+    assert(over.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("big", 4L)))
+  }
+
+  test("pq: full codebook + full re-rank degenerates to exact brute force") {
+    // 12 distinct vectors, dim 8, m=2: with ksub = n every subvector
+    // encodes to its own centroid (d²=0), approx_ip = exact ip, and
+    // rerankFactor 4 (k·4 = 12 = n) re-ranks ALL rows by exact cosine —
+    // the result must equal bruteForceTopK row for row
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (1.0f + ((i * 7 + d * 3) % 11)) / 11f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    val pq = Pq.pqTopK(vecs, queries, k = 3, m = 2, ksub = 12, dim = 8,
+        rerankFactor = 4)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank").collect()
+    val bf = Similarity.bruteForceTopK(vecs, queries, k = 3)
+      .orderBy("query_id", "rank").collect()
+    assert(pq.length == bf.length)
+    pq.zip(bf).foreach { case (p, b) =>
+      assert((p.getLong(0), p.getLong(1), p.getInt(3)) ==
+        (b.getLong(0), b.getLong(1), b.getInt(3)))
+      assert(p.getDouble(2) == b.getDouble(2))
+    }
+    // codes live in [0, ksub)
+    val cb = Pq.pqCodebooks(vecs, m = 2, ksub = 4, dim = 8)
+    val codes = Pq.pqEncode(vecs, cb, m = 2, dim = 8)
+    assert(codes.count() == 24) // 12 vectors × 2 subspaces
+    assert(codes.filter(col("code") < 0 || col("code") >= 4).count() == 0)
+  }
+
+  test("pagerank: symmetric pair is uniform, star centre dominates, mass conserved") {
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(pair, iters = 3).orderBy("node").collect()
+    assert(pr.map(_.getDouble(1)).forall(r => math.abs(r - 0.5) < 1e-9))
+
+    // undirected star 0—{1,2,3,4}: centre rank strictly above every leaf,
+    // total mass ≈ 1
+    val starPairs = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val star = Graph.pageRank(starPairs.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 4L).forall(l => star(0L) > star(l)))
+    assert(math.abs(star.values.sum - 1.0) < 1e-6)
+
+    // dangling node: directed 1→2 only; 2's mass redistributes, total ≈ 1
+    val dang = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(dang.values.sum - 1.0) < 1e-6)
+    assert(dang(2L) > dang(1L)) // the sink receives 1's contribution
+  }
 }

@@ -87,6 +87,28 @@ class SketchesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)}"))
   }
 
+  test("bloom/incremental dedup: xxhash64 in-engine family keeps the exact contract") {
+    val seen = (300 until 1000).map(i => s"k-$i").toDF("key")
+    val incoming = (0 until 700).map(i => s"k-$i").toDF("key")
+    val out = Sketches.incrementalDedup(incoming, seen, "key", mBits, k,
+      portable = false).cache()
+    // exact verdicts are hash-family-independent; bloom-negative ⇒ new
+    val gotNew = out.filter(col("is_new")).select("key").as[String].collect().toSet
+    assert(gotNew == (0 until 300).map(i => s"k-$i").toSet)
+    assert(out.filter(!col("maybe_seen") && !col("is_new")).count() == 0)
+    out.unpersist()
+  }
+
+  test("hll: xxhash64 in-engine family stays inside the same error bound (p=10)") {
+    val p = 10
+    val n = 3 * (1 << p)
+    val items = (0 until n).map(i => s"item-$i").toDF("item")
+    val row = Sketches.hllDistinct(items, "item", p, portable = false).collect().head
+    val est = row.getAs[Double]("est_distinct")
+    val err = math.abs(est - n) / n
+    assert(err < 0.10, s"est $est vs $n (err $err)")
+  }
+
   test("hll: relative error within theory bounds at the calibrated range (p=10)") {
     val p = 10
     // cardinality 3·2^p — inside the raw-estimate calibration (≳ 2.5·2^p,
