@@ -223,8 +223,10 @@ object Cli {
           |              editdist|jaccard|clusters|starclusters|spans|split|shuffle|tokenbudget|chunk|pack|
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
-          |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix]
-          |         (kmeans/quantize/semdedup/ivfrecall: -in is an embeddings parquet;
+          |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pagerank]
+          |         (kmeans/quantize/semdedup/ivfrecall/pq: -in is an embeddings parquet;
+          |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
+          |          pagerank: [-span-cap N] [-iters N];
           |          ivfrecall: [-topk N] [-k centroids] [-nprobes 1,2,4] [-queries N];
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
@@ -487,6 +489,17 @@ object Cli {
         k = flags.getOrElse("k", "8").toInt,
         iters = flags.getOrElse("iters", "2").toInt,
         threshold = threshold(0.95))
+      case "pq"          => Pq.pqTopK(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        m = flags.getOrElse("m", "4").toInt,
+        ksub = flags.getOrElse("ksub", "16").toInt,
+        dim = flags.getOrElse("dim", "64").toInt,
+        rerankFactor = flags.getOrElse("rerank", "4").toInt)
+      case "pagerank"    => Graph.pageRank(
+        Graph.spanLinkEdges(docs,
+          maxDocsPerSpan = flags.getOrElse("span-cap", "64").toInt),
+        iters = flags.getOrElse("iters", "3").toInt)
       case other => fail(s"unknown corpus op: $other")
     }
     flags.get("out") match {

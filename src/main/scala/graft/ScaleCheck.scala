@@ -269,6 +269,75 @@ object ScaleCheck {
       println("[scale] retention cells: " +
         operators.Events.retentionCohorts(ev10).count())
     }
+    operators.CacheRegistry.release(spark)
+
+    // CDC at 10x: a 150k-row changelog (10 copies of orders, distinct
+    // seq) applied over a 150k-key base snapshot
+    val cust = Tables.load(spark, "/root/testdata/sf0.1", "customer")
+    val cust10 = (0 until 10)
+      .map(i => cust.withColumn("c_custkey", col("c_custkey") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+    val orders = Tables.load(spark, "/root/testdata/sf0.1", "orders")
+    val ch10 = (0 until 10)
+      .map(i => orders
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionAll _)
+      .select(col("o_custkey").as("c_custkey"),
+        concat(lit("upd-"), col("o_orderkey")).as("c_name"),
+        (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderpriority").as("c_mktsegment"),
+        when(col("o_orderkey") % 10 <= 5, "U")
+          .when(col("o_orderkey") % 10 <= 7, "I").otherwise("D").as("op"),
+        col("o_orderkey").as("seq"))
+    time("cdc apply 150k-row changelog onto 150k-key base") {
+      println("[scale] cdc snapshot rows: " +
+        operators.Cdc.applyChangelog(cust10, ch10, "c_custkey", "seq").count())
+    }
+
+    // linkage at 10x: sub-blocked (nation, custkey%64) keys keep the
+    // within-block quadratic bounded as the corpus grows
+    time("record linkage 150k customers (1600 blocks)") {
+      import operators.Linkage.LinkRule
+      val rules = Seq(
+        LinkRule("same_segment", 2.0, (a, b) => a("c_mktsegment") === b("c_mktsegment")),
+        LinkRule("close_balance", 2.5, (a, b) => abs(a("c_acctbal") - b("c_acctbal")) < lit(50.0)))
+      val blocked = cust10.withColumn("blk",
+        col("c_nationkey") * 64 + pmod(col("c_custkey"), lit(64)))
+      println("[scale] linkage pairs >= possible: " +
+        operators.Linkage.linkPairs(blocked, "c_custkey", "blk", rules,
+          matchAt = 4.5, possibleAt = 2.0).count())
+    }
+
+    // PQ ANN at 20k vectors: codes + broadcast ADC table + survivor re-rank
+    time("pq top-k 20k vectors (m=4, ksub=16)") {
+      println("[scale] pq rows: " +
+        operators.Pq.pqTopK(emb10, emb10.filter(col("vec_id") < 20),
+          k = 5, m = 4, ksub = 16, dim = 64).count())
+    }
+    operators.CacheRegistry.release(spark)
+
+    // PageRank on the 10x all-dup corpus: the span cap bounds pair-gen
+    // under extreme sharing (every span sits in ≥10 docs)
+    time("pagerank over span-link graph, 50k all-dup docs") {
+      val edges = operators.Graph.spanLinkEdges(docs10)
+      println("[scale] pagerank nodes: " +
+        operators.Graph.pageRank(edges, iters = 3).count())
+    }
+    operators.CacheRegistry.release(spark)
+
+    // KMV per-source sketches on 50k docs: k-bounded state per group
+    time("kmv overlap matrix 50k docs (k=64)") {
+      val items = docs10
+        .select(col("source"), operators.TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("source"), operators.Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
+        .select(col("source"), explode_outer(col("__sh")).as("item"))
+        .filter(col("item").isNotNull)
+      val sk = operators.Sketches.kmvSketch(items, "item", Seq("source"), k = 64)
+      println("[scale] kmv pairs: " +
+        operators.Sketches.kmvPairOverlap(sk, "source", k = 64).count())
+    }
     spark.stop()
   }
 }

@@ -846,9 +846,11 @@ object SparkEntry {
           (a, b) => abs(a("c_acctbal") - b("c_acctbal")) < lit(50.0)),
         LinkRule("name_suffix", 1.5,
           (a, b) => substring(a("c_name"), -2, 2) === substring(b("c_name"), -2, 2)))
+      // broadcastSide: 25 nations would cap a shuffled self-join at 25
+      // busy tasks; the broadcast join parallelizes over the scan
       Linkage.linkPairs(Tables.load(s, dir, "customer"),
           "c_custkey", "c_nationkey", rules,
-          matchAt = 4.5, possibleAt = 3.5)
+          matchAt = 4.5, possibleAt = 3.5, broadcastSide = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2308,12 +2310,20 @@ object SparkEntry {
            SELECT doc_id, tk,
              unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
            FROM toks
-         ), sp AS (
+         ), sp0 AS (
            SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
            FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), sp AS (
+           SELECT DISTINCT doc_id, span_md5 FROM sp0
+         ), linking AS (
+           SELECT span_md5 FROM (
+             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
+           WHERE nd > 1 AND nd <= 64
+         ), spl AS (
+           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
          ), p AS (
            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-           FROM sp a JOIN sp b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
+           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
          ), e AS (
            SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
          ), nodes AS (

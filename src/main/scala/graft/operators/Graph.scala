@@ -29,6 +29,22 @@ object Graph {
 
   private val Q = 1L << 40
 
+  /** Lineage cut (the [[Dedup.dedupClusters]] contract): persist-then-
+    * reliable-checkpoint when a checkpoint dir is configured (truncates
+    * the plan AND survives executor loss), localCheckpoint otherwise
+    * (local mode only — blocks die with executors). Without the cut,
+    * every iteration's action re-analyzes a plan that embeds the full
+    * edge-substrate subtree once per prior round — measured 10 s of pure
+    * driver-side planning for 3 rounds over a 372-edge graph.
+    */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      val cp = df.checkpoint(true)
+      df.unpersist(blocking = false)
+      cp
+    } else df.localCheckpoint(true)
+
   /** PageRank over `edges(srcCol, dstCol)` (directed; pass both
     * directions for an undirected graph). Node universe = src ∪ dst.
     * Dangling nodes (no out-edges) redistribute their mass uniformly.
@@ -44,10 +60,11 @@ object Graph {
     require(damping > 0.0 && damping < 1.0)
     val spark = edges.sparkSession
 
-    val e = CacheRegistry.track(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // one cut up front: e backs 3 plans per iteration — without it the
+    // whole edge-derivation subtree (for spanLinkEdges: chunk + md5 +
+    // self-join) rides inside every iteration's optimizer pass
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
     val nodes = CacheRegistry.track(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
@@ -63,16 +80,15 @@ object Graph {
     }
 
     val base = lit(1.0 - damping) / lit(n)
-    var ranks = CacheRegistry.track(
-      nodes.withColumn("rank", lit(1.0) / lit(n))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    ranks.count() // eager fill before the loop re-reads it
+    var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
 
     for (_ <- 0 until iters) {
       // exact long mass of dangling nodes (rank quantized once per node)
-      val dang = ranks.join(outdeg, col("node") === col("src"), "left_anti")
-        .agg(coalesce(sum(floor(col("rank") * Q + 0.5).cast("long")), lit(0L)))
-        .collect()(0).getLong(0)
+      // — a ONE-ROW frame crossed into the update instead of a driver
+      // collect: one action per iteration (the cut), not two
+      val dangDf = ranks.join(outdeg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(floor(col("rank") * Q + 0.5).cast("long")), lit(0L))
+          .as("__dang"))
 
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -81,31 +97,51 @@ object Graph {
           floor(col("rank") / col("deg") * Q + 0.5).cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
 
-      val next = CacheRegistry.track(
+      // per-iteration cut, not persist: rank rows are one-per-node but
+      // the PLAN doubles per round without truncation
+      val next = cut(
         nodes.join(contribs, col("node") === col("dst"), "left")
+          .crossJoin(dangDf)
           .select(col("node"),
             (base + lit(damping) *
               (coalesce(col("s"), lit(0L)).cast("double") / Q
-                + lit(dang).cast("double") / lit(n) / Q)).as("rank"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      next.count() // materialize before releasing the input it reads
+                + col("__dang").cast("double") / lit(n) / Q)).as("rank")))
       ranks.unpersist(blocking = false)
       ranks = next
     }
     e.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
     ranks
   }
 
   /** The duplication-link graph: doc pairs sharing at least one span
     * fingerprint ([[Dedup.duplicateSpans]] substrate), both directions.
     * Feeds [[pageRank]] for boilerplate-hub centrality.
+    *
+    * `maxDocsPerSpan` is the quadratic-blowup guard: a span shared by d
+    * docs contributes d² pair rows, so one ubiquitous boilerplate span
+    * (a license header in 100k docs) would dwarf the whole graph; spans
+    * above the cap are dropped BEFORE pair generation — same contract as
+    * [[Similarity.lshNearDup]]'s pairListCutoff and
+    * [[Tfidf.sparseCosinePairs]]' df cap.
     */
-  def spanLinkEdges(docs: DataFrame, spanTokens: Int = 32, stride: Int = 16): DataFrame = {
+  def spanLinkEdges(docs: DataFrame, spanTokens: Int = 32, stride: Int = 16,
+      maxDocsPerSpan: Int = 64): DataFrame = {
+    require(maxDocsPerSpan >= 2)
     val spans = Dedup.spanFingerprints(docs, spanTokens, stride)
-      .select("doc_id", "span_md5")
-    val a = spans.select(col("span_md5"), col("doc_id").as("src"))
-    val b = spans.select(col("span_md5"), col("doc_id").as("dst"))
+      .select("doc_id", "span_md5").distinct()
+    // eager fill of the underlying fingerprint cache: the linking agg,
+    // the slim join, and both self-join sides all hang off it — racing
+    // stages on an unfilled cache re-run the chunk+md5 pipeline each
+    spans.count()
+    val linking = spans.groupBy("span_md5")
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1 && col("__nd") <= maxDocsPerSpan)
+      .select("span_md5")
+    val slim = spans.join(linking, "span_md5")
+    val a = slim.select(col("span_md5"), col("doc_id").as("src"))
+    val b = slim.select(col("span_md5"), col("doc_id").as("dst"))
     val pairs = a.join(b, "span_md5")
       .filter(col("src") < col("dst"))
       .select("src", "dst")

@@ -43,6 +43,15 @@ object Linkage {
     * filter. Tiers: score ≥ `matchAt` → 'match', ≥ `possibleAt` →
     * 'possible'.
     */
+  /** `broadcastSide = true` broadcasts the b-side: the right plan when
+    * the record table fits an executor (a dedup pass over a dimension
+    * table) — the block join then needs NO shuffle and its parallelism
+    * follows the a-side's input partitions instead of the block-key
+    * cardinality (a 25-nation block column caps a shuffled self-join at
+    * 25 busy tasks however many cores exist). At corpus scale leave it
+    * false: high-cardinality blocking keys parallelize the shuffle join
+    * naturally.
+    */
   def linkPairs(
       records: DataFrame,
       idCol: String,
@@ -50,20 +59,30 @@ object Linkage {
       rules: Seq[LinkRule],
       matchAt: Double,
       possibleAt: Double,
-      maxBlockSize: Int = 4096): DataFrame = {
+      maxBlockSize: Int = 4096,
+      broadcastSide: Boolean = false): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     require(matchAt >= possibleAt, "matchAt must be >= possibleAt")
     require(maxBlockSize > 1)
+    // a small single-file table scans as 1-2 partitions; under
+    // broadcastSide the probe side's partitioning IS the parallelism of
+    // the whole pair evaluation, so spread it before the block join
+    val recordsP = Parallelism.ensure(records, idCol)
 
     // block-size guard: cap-exceeding blocks are excluded from pair gen
     // (they'd dominate the quadratic); count them so the exclusion is
     // visible telemetry, not silence
-    val sizes = records.groupBy(blockCol)
+    val sizes = recordsP.groupBy(blockCol)
       .agg(count(lit(1)).as("__bn"))
     val okBlocks = sizes.filter(col("__bn") <= maxBlockSize)
       .select(col(blockCol))
 
-    val slim = records.join(okBlocks, Seq(blockCol))
+    // block list broadcast only under broadcastSide (the caller's
+    // records-fit-an-executor assertion covers the ≤1-row-per-block list);
+    // in the shuffled regime block cardinality may be id-like — keep it
+    // a shuffle join there
+    val okB = if (broadcastSide) broadcast(okBlocks) else okBlocks
+    val slim = recordsP.join(okB, Seq(blockCol))
     def side(tag: String) = slim.select(
       col(blockCol).as(s"__blk_$tag") +:
         slim.columns.filterNot(_ == blockCol).map(c => col(c).as(s"${tag}_$c")): _*)
@@ -74,7 +93,8 @@ object Linkage {
     val score = rules.map(r => when(col(r.name), r.weight).otherwise(0.0))
       .reduce(_ + _)
 
-    side("a").join(side("b"),
+    val bSide = if (broadcastSide) broadcast(side("b")) else side("b")
+    side("a").join(bSide,
         col("__blk_a") === col("__blk_b") &&
           col(s"a_$idCol") < col(s"b_$idCol"))
       .select(col(s"a_$idCol").as("id_a") +: col(s"b_$idCol").as("id_b")

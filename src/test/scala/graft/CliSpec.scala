@@ -255,6 +255,21 @@ class CliSpec extends AnyFunSuite {
     assert(sem.contains("cluster_id"))
   }
 
+  test("corpus subcommand: pq and pagerank ops") {
+    val pq = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/embeddings.parquet",
+        "op" -> "pq", "topk" -> "3"))
+    }
+    assert(pq.contains("approx_ip") && pq.contains("Rows: 15"))
+    val pr = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/documents.parquet",
+        "op" -> "pagerank"))
+    }
+    assert(pr.contains("rank"))
+  }
+
   test("events subcommand: funnel, retention, json, sessionize") {
     val ev = "/root/testdata/sf0.001/events.parquet"
     val fun = captureOut {

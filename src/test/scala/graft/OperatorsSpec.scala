@@ -1506,6 +1506,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(codes.filter(col("code") < 0 || col("code") >= 4).count() == 0)
   }
 
+  test("span-link edges: ubiquitous spans are capped out of pair generation") {
+    // identical 40-token text in 5 docs → one shared span each; a cap
+    // below the sharing degree excludes it, above yields all C(5,2)
+    // pairs in both directions
+    val txt = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = (1L to 5L).map(i => (i, txt)).toDF("doc_id", "text")
+    assert(Graph.spanLinkEdges(df, 32, 16, maxDocsPerSpan = 4).count() == 0)
+    assert(Graph.spanLinkEdges(df, 32, 16, maxDocsPerSpan = 8).count() == 20)
+  }
+
   test("pagerank: symmetric pair is uniform, star centre dominates, mass conserved") {
     val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val pr = Graph.pageRank(pair, iters = 3).orderBy("node").collect()
