@@ -223,10 +223,12 @@ object Cli {
           |              editdist|jaccard|clusters|starclusters|spans|split|shuffle|tokenbudget|chunk|pack|
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
-          |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pagerank]
-          |         (kmeans/quantize/semdedup/ivfrecall/pq: -in is an embeddings parquet;
+          |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
+          |              pagerank|dsir]
+          |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
+          |          dsir: [-target-col c] [-target v] [-scale F];
           |          ivfrecall: [-topk N] [-k centroids] [-nprobes 1,2,4] [-queries N];
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
@@ -489,6 +491,17 @@ object Cli {
         k = flags.getOrElse("k", "8").toInt,
         iters = flags.getOrElse("iters", "2").toInt,
         threshold = threshold(0.95))
+      case "dsir"        => Sampling.dsirResample(docs,
+        col(flags.getOrElse("target-col", "lang")) === flags.getOrElse("target", "de"),
+        scale = flags.getOrElse("scale", "1.0").toDouble)
+      case "pqrecall"    => Pq.pqRecall(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        m = flags.getOrElse("m", "4").toInt,
+        ksub = flags.getOrElse("ksub", "16").toInt,
+        dim = flags.getOrElse("dim", "64").toInt,
+        rerankFactors = flags.getOrElse("reranks", "1,2,4")
+          .split(",").map(_.trim.toInt).toSeq)
       case "pq"          => Pq.pqTopK(docs,
         docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
         k = flags.getOrElse("topk", "3").toInt,

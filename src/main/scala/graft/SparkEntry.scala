@@ -815,6 +815,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // DSIR importance resampling: keep probability ∝ the ratio of two
+    // bigram-LM scores (target domain = 'de' docs vs the raw corpus),
+    // executed through the md5-bucket membership — domain-targeted data
+    // selection as one deterministic plan
+    "q_dsir" -> ((s, dir) =>
+      Sampling.dsirResample(Tables.load(s, dir, "documents"),
+          col("lang") === "de", scale = 1.0)
+        .orderBy("doc_id")),
+
+    // PQ recall@k vs brute force per rerank factor — the code-probe
+    // family's tuning dial next to q_ivf_recall's nprobe sweep
+    "q_pq_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Pq.pqRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
+        m = 4, ksub = 16, dim = 64, rerankFactors = Seq(1, 2, 4))
+    }),
+
     // CDC changelog apply (MERGE INTO): latest row-image per key wins,
     // deletes drop, untouched base keys pass through one anti-join.
     // Changelog synthesized from orders (unique seq = o_orderkey)
@@ -2232,6 +2249,123 @@ object SparkEntry {
            JOIN ec v ON v.vec_id = s.vec_id
            JOIN ec q ON q.vec_id = s.query_id) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // two q_lm_score chains (raw inner-join form + target LEFT-join form
+    // with unseen-bigram zeros), the ratio weight, and the md5-bucket
+    // membership filter — the full importance-resampling replay
+    "q_dsir" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), bi AS (
+           SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+             SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+               THEN list_transform(range(2, len(tk) + 1), i -> {'w1': tk[i-1], 'w2': tk[i]})
+               ELSE [] END) AS b
+             FROM toks) u
+         ), bc AS (
+           SELECT w1, w2, count(*) AS bcnt FROM bi GROUP BY 1, 2
+         ), uc AS (
+           SELECT w1, CAST(sum(bcnt) AS BIGINT) AS ucnt FROM bc GROUP BY 1
+         ), scored_r AS (
+           SELECT bi.doc_id,
+             round(CAST(sum(CAST(round(CAST(bc.bcnt AS DOUBLE) / uc.ucnt, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS lm_score
+           FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+           JOIN uc ON bi.w1 = uc.w1
+           GROUP BY 1
+         ), tgt AS (
+           SELECT doc_id FROM documents WHERE lang = 'de'
+         ), tbc AS (
+           SELECT w1, w2, count(*) AS tbcnt FROM bi JOIN tgt USING (doc_id) GROUP BY 1, 2
+         ), tuc AS (
+           SELECT w1, CAST(sum(tbcnt) AS BIGINT) AS tucnt FROM tbc GROUP BY 1
+         ), scored_t AS (
+           SELECT bi.doc_id,
+             round(CAST(sum(CAST(coalesce(round(CAST(tbc.tbcnt AS DOUBLE) / tuc.tucnt, 6), 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS lm_score
+           FROM bi LEFT JOIN tbc ON bi.w1 = tbc.w1 AND bi.w2 = tbc.w2
+           LEFT JOIN tuc ON bi.w1 = tuc.w1
+           GROUP BY 1
+         ), w AS (
+           SELECT d.doc_id,
+             coalesce(st.lm_score, 0.0) AS lm_target,
+             coalesce(sr.lm_score, 0.0) AS lm_raw
+           FROM documents d
+           LEFT JOIN scored_t st ON d.doc_id = st.doc_id
+           LEFT JOIN scored_r sr ON d.doc_id = sr.doc_id
+         ), ww AS (
+           SELECT doc_id, lm_target, lm_raw,
+             round(CASE WHEN lm_raw > 0 THEN lm_target / lm_raw
+               ELSE CAST(0.0 AS DOUBLE) END * CAST(1.0 AS DOUBLE), 6) AS weight
+           FROM w)
+         SELECT doc_id, lm_target, lm_raw, weight FROM ww
+         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+               < floor(least(greatest(weight, 0.0), 1.0) * 10000)
+         ORDER BY doc_id""",
+
+    // the q_pq_topk ADC chain extended with approx ranks: per-rf top-k
+    // filters ONE scored table, recall joins the brute-force truth
+    "q_pq_recall" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         ss AS (SELECT unnest(range(0, 4)) AS subspace),
+         sv AS (
+           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
+           FROM ec CROSS JOIN ss),
+         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
+                FROM sv WHERE vec_id < 16),
+         enc AS (
+           SELECT vec_id, subspace, centroid_id AS code FROM (
+             SELECT v.vec_id, v.subspace, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
+                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
+                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
+                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
+             CAST(floor(round(list_sum(list_transform(range(1, 17),
+               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
+           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
+         ranked AS (
+           SELECT query_id, vec_id, approx_ip,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_ip DESC, vec_id ASC) AS ar
+           FROM (
+             SELECT query_id, vec_id,
+               round(CAST(CAST(sum(ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
+             FROM enc JOIN lut USING (subspace, code)
+             WHERE vec_id <> query_id
+             GROUP BY query_id, vec_id)),
+         rf AS (SELECT unnest([1, 2, 4]) AS rerank_factor),
+         pq AS (
+           SELECT rerank_factor, query_id, vec_id FROM (
+             SELECT f.rerank_factor, r.query_id, r.vec_id,
+               row_number() OVER (PARTITION BY f.rerank_factor, r.query_id
+                 ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, r.vec_id ASC) AS rank
+             FROM ranked r
+             CROSS JOIN rf f
+             JOIN ec v ON v.vec_id = r.vec_id
+             JOIN ec q ON q.vec_id = r.query_id
+             WHERE r.ar <= f.rerank_factor * 3) WHERE rank <= 3),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
+             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
+             WHERE c2.vec_id <> q.vec_id) t WHERE rank <= 3),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
+         SELECT CAST(p.rerank_factor AS INT) AS rerank_factor,
+           tot.exact_pairs,
+           CAST(count(*) AS BIGINT) AS pq_pairs,
+           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
+           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
+         FROM pq p
+         LEFT JOIN exact e ON p.query_id = e.query_id AND p.vec_id = e.vec_id, tot
+         GROUP BY p.rerank_factor, tot.exact_pairs
+         ORDER BY rerank_factor""",
 
     // MERGE INTO replay: latest row-image per key (unique seq =
     // o_orderkey), deletes drop, anti-join passthrough of untouched keys

@@ -98,15 +98,12 @@ object Pq {
     * full vectors by id for the exact 4dp cosine that orders the final
     * top-k. Output: (query_id, vec_id, cos_sim, approx_ip, rank).
     */
-  def pqTopK(
-      corpus: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      m: Int = 4,
-      ksub: Int = 16,
-      dim: Int = 64,
-      rerankFactor: Int = 4): DataFrame = {
-    require(k > 0 && rerankFactor >= 1)
+  /** ADC-scored candidates with their approximate-IP rank `__ar` per
+    * query — the shared first stage of [[pqTopK]] and [[pqRecall]].
+    */
+  private def approxRanked(
+      corpus: DataFrame, queries: DataFrame,
+      m: Int, ksub: Int, dim: Int): DataFrame = {
     val codebooks = pqCodebooks(corpus, m, ksub, dim)
     val codes = pqEncode(corpus, codebooks, m, dim)
 
@@ -127,24 +124,93 @@ object Pq {
 
     val wA = Window.partitionBy("query_id")
       .orderBy(col("approx_ip").desc, col("vec_id").asc)
-    val survivors = approx.withColumn("__ar", row_number().over(wA))
-      .filter(col("__ar") <= k * rerankFactor)
-      .drop("__ar")
+    approx.withColumn("__ar", row_number().over(wA))
+  }
 
-    // exact re-rank: full vectors fetched by id — a join, not a rescan
+  /** Exact-cosine columns joined onto a candidate frame by id. */
+  private def withExactCosine(
+      cands: DataFrame, corpus: DataFrame, queries: DataFrame): DataFrame = {
     val cNorm = corpus.select(col("vec_id"), col("embedding").as("__v_emb"),
       sqrt(vec_dot(col("embedding"), col("embedding"))).as("__v_norm"))
     val qNorm = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("__q_emb"),
       sqrt(vec_dot(col("embedding"), col("embedding"))).as("__q_norm")))
-    val wR = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    survivors.join(cNorm, "vec_id").join(qNorm, "query_id")
+    cands.join(cNorm, "vec_id").join(qNorm, "query_id")
       .withColumn("cos_sim",
         round(vec_dot(col("__q_emb"), col("__v_emb"))
           / (col("__q_norm") * col("__v_norm")), 4))
+      .drop("__v_emb", "__v_norm", "__q_emb", "__q_norm")
+  }
+
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      dim: Int = 64,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && rerankFactor >= 1)
+    val survivors = approxRanked(corpus, queries, m, ksub, dim)
+      .filter(col("__ar") <= k * rerankFactor)
+      .drop("__ar")
+
+    // exact re-rank: full vectors fetched by id — a join, not a rescan
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    withExactCosine(survivors, corpus, queries)
       .withColumn("rank", row_number().over(wR))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos_sim", "approx_ip", "rank")
+  }
+
+  /** Recall@k against the brute-force truth per rerank factor — the PQ
+    * tuning dial ([[Similarity.ivfRecall]]'s contract for the code-probe
+    * family): rf=1 trusts the ADC ranking outright; larger rf re-ranks a
+    * deeper candidate pool and recovers vectors the quantized score
+    * misordered. One ADC table serves every rf (a filter, not a re-scan).
+    */
+  def pqRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      dim: Int = 64,
+      rerankFactors: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(k > 0 && rerankFactors.nonEmpty && rerankFactors.forall(_ >= 1))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val ranked = CacheRegistry.track(
+      withExactCosine(approxRanked(corpus, queries, m, ksub, dim), corpus, queries)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ranked.count() // one fill for every rf's consumer
+
+    val rfs = broadcast(rerankFactors.toDF("rerank_factor"))
+    val wR = Window.partitionBy("rerank_factor", "query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val pq = ranked.crossJoin(rfs)
+      .filter(col("__ar") <= col("rerank_factor") * k)
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select("rerank_factor", "query_id", "vec_id")
+
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .select(col("query_id").as("e_query_id"), col("vec_id").as("e_vec_id"))
+    val exactPairs = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
+
+    pq.join(exact,
+        col("query_id") === col("e_query_id") && col("vec_id") === col("e_vec_id"),
+        "left")
+      .groupBy("rerank_factor")
+      .agg(count(lit(1)).as("pq_pairs"),
+        count(col("e_query_id")).as("hit_pairs"))
+      .crossJoin(exactPairs)
+      .select(col("rerank_factor"), col("exact_pairs"), col("pq_pairs"),
+        col("hit_pairs"),
+        (col("hit_pairs").cast("double") / col("exact_pairs").cast("double"))
+          .as("recall_at_k"))
+      .orderBy("rerank_factor")
   }
 }

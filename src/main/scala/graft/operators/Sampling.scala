@@ -260,4 +260,41 @@ object Sampling {
       .filter(col("token_offset") < budgetTokens)
       .drop("__b", "__local", "__off")
   }
+
+  /** DSIR-style importance resampling [Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023]: select
+    * raw documents that RESEMBLE a small target domain by sampling with
+    * probability ∝ p_target(x)/p_raw(x) under two cheap corpus LMs.
+    * Here both densities are the engine-exact mean-bigram-probability
+    * models of [[TextAnalysis.lmScore]] (the paper uses hashed-n-gram
+    * bag models; same shape, no transcendentals, so the whole chain
+    * replays in the oracle):
+    *
+    *   weight(x) = round(lm_target(x) / lm_raw(x) · scale, 6), clamped
+    *   into [0,1] by the md5-bucket membership of [[weightedSample]] —
+    *   deterministic per doc id, reproducible across engines/runs.
+    *
+    * Scale shape: two LM passes (vocabulary-sized count shuffles), one
+    * id join, one map-side filter. The target subset is typically tiny
+    * (a hand-curated domain sample); its LM tables are vocabulary-bounded
+    * like the raw ones.
+    *
+    * Returns the SELECTED rows with (doc_id, lm_target, lm_raw, weight).
+    */
+  def dsirResample(
+      docs: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      scale: Double = 1.0,
+      buckets: Int = 10000): DataFrame = {
+    val t = TextAnalysis.lmScoreWith(docs, docs.filter(targetPred))
+      .select(col("doc_id"), col("lm_score").as("lm_target"))
+    val r = TextAnalysis.lmScore(docs)
+      .select(col("doc_id"), col("lm_score").as("lm_raw"))
+    val weighted = t.join(r, "doc_id")
+      .withColumn("weight",
+        round(when(col("lm_raw") > 0, col("lm_target") / col("lm_raw"))
+          .otherwise(lit(0.0)) * lit(scale), 6))
+    weightedSample(weighted, "doc_id", col("weight"), buckets)
+      .select("doc_id", "lm_target", "lm_raw", "weight")
+  }
 }

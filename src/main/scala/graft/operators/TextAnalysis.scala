@@ -151,14 +151,15 @@ object TextAnalysis {
     * per-doc aggregate. Hot-vocabulary skew is bounded by the vocabulary
     * itself; no row ever carries more than one bigram.
     */
-  def lmScore(docs: DataFrame): DataFrame = {
+  /** (doc_id, w1, w2) per bigram OCCURRENCE (non-distinct), persisted +
+    * eagerly filled: the frame always feeds ≥2 consumers (count
+    * aggregate + probe join) — uncached, the tokenize + bigram explode
+    * scan runs once per consumer (and AQE can race concurrent stages
+    * into more re-runs; the sparseCosinePairs pathology).
+    */
+  private def bigramOccurrences(docs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val tk = tokens(col("text"))
-    // (doc_id, w1, w2) per bigram OCCURRENCE (non-distinct).
-    // persisted + eagerly filled: `bi` feeds the count aggregate AND the
-    // probe side of the scored join — uncached, the tokenize + bigram
-    // explode scan runs once per consumer (and AQE can race concurrent
-    // stages into more re-runs; the sparseCosinePairs pathology)
     val bi = docs
       .select(col("doc_id"), tk.as("__t"))
       .select(col("doc_id"),
@@ -171,6 +172,11 @@ object TextAnalysis {
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheRegistry.track(bi)
     bi.count()
+    bi
+  }
+
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = bigramOccurrences(docs)
     val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
     // unigram counts over NON-FINAL positions (the conditioning contexts),
     // which is exactly sum of bigram counts per w1 — no second tokenize
@@ -186,6 +192,34 @@ object TextAnalysis {
         round(sum(col("__p")).cast("double") / count(lit(1)), 4).as("lm_score"))
     // short docs (<2 tokens) have no bigrams: report 0.0 explicitly, not
     // absence — a quality gate must see every document
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
+  /** [[lmScore]] under a FOREIGN language model: bigram/unigram counts
+    * come from `lmDocs` (e.g. a target-domain subset), scores cover every
+    * `docs` row. Bigrams unseen in the LM contribute probability 0 but
+    * still count in the mean's denominator (LEFT joins where the same-
+    * corpus form can use inner) — the score of out-of-domain text decays
+    * toward 0 instead of silently skipping its unknown transitions.
+    * Same exact-decimal accumulation, same oracle-replayable shape.
+    */
+  def lmScoreWith(docs: DataFrame, lmDocs: DataFrame): DataFrame = {
+    val bi = bigramOccurrences(docs)
+    val lmBi = bigramOccurrences(lmDocs)
+    val biCounts = lmBi.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
+    val uniCounts = biCounts.groupBy("w1").agg(sum(col("__bc")).as("__uc"))
+    val scored = bi
+      .join(biCounts, Seq("w1", "w2"), "left")
+      .join(uniCounts, Seq("w1"), "left")
+      .select(col("doc_id"),
+        coalesce(round(col("__bc").cast("double") / col("__uc"), 6), lit(0.0))
+          .cast("decimal(18,6)").as("__p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__p")).cast("double") / count(lit(1)), 4).as("lm_score"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -226,6 +226,49 @@ object Streaming {
     graft.operators.Sketches.hllRegisters(toks, "token", p)
   }
 
+  /** Streaming CDC apply: maintain a snapshot against a changelog file
+    * stream by running [[graft.operators.Cdc.applyChangelog]] once per
+    * micro-batch — the MERGE-per-trigger production shape (Debezium
+    * consumer → Delta/Iceberg MERGE). The snapshot's lineage is cut
+    * after every batch (the [[graft.operators.Graph]] iterative-plan
+    * lesson: un-truncated, the plan grows by one merge per trigger for
+    * the life of the stream).
+    *
+    * Delivery contract: batches must arrive in non-decreasing `seqCol`
+    * order PER KEY (the normal CDC log-offset guarantee). Within a
+    * batch, any order is fine — latest-wins handles it exactly.
+    *
+    * Returns the final snapshot after all available data is processed
+    * (AvailableNow). A continuously-running deployment would instead
+    * write each merged snapshot to its sink inside the batch function.
+    */
+  def streamingCdcApply(
+      spark: SparkSession,
+      changesDir: String,
+      base: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String = "op",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(changesDir).schema
+    val reader = spark.readStream.schema(schema)
+    val changes = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(changesDir)
+    var snapshot = base.localCheckpoint(true)
+    val q = changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        snapshot = graft.operators.Cdc
+          .applyChangelog(snapshot, batch.toDF(), keyCol, seqCol, opCol)
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    snapshot
+  }
+
   /** Run a streaming DF to completion on currently-available data into an
     * in-memory table; returns the result as a batch DF.
     */

@@ -1433,6 +1433,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q(2).getAs[Double]("avg_token_len") == 0.0)
   }
 
+  test("dsir resampling: disjoint-vocabulary domains separate sharply") {
+    // domain A (ids 0-9) and domain B (ids 10-19) share NO tokens; with
+    // target = A, every B bigram is unseen in the target LM → lm_target
+    // 0 → weight 0 → dropped; every A doc weights ≥ 1 → kept
+    val rows = (0 until 10).map(i => (i.toLong, s"alpha beta gamma delta e$i alpha beta")) ++
+      (10 until 20).map(i => (i.toLong, s"uno dos tres cuatro x$i uno dos"))
+    val df = rows.toDF("doc_id", "text")
+    val kept = Sampling.dsirResample(df, col("doc_id") < 10, scale = 1.0)
+      .orderBy("doc_id").collect()
+    assert(kept.map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    kept.foreach(r => assert(r.getAs[Double]("weight") >= 1.0))
+  }
+
   test("cdc apply: latest row-image wins, deletes drop, untouched keys pass through") {
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "bal")

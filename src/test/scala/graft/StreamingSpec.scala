@@ -187,6 +187,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedStrat.sameElements(batchStrat))
   }
 
+  test("streaming CDC apply (merge per micro-batch) equals the one-shot batch merge") {
+    import spark.implicits._
+    val dir = tmpDir("cdc-stream")
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    // two seq-ordered changelog files → two micro-batches (each written
+    // to a scratch dir, then its part file moved into the watched dir —
+    // the file stream globs FILES, not subdirectories)
+    def addFile(rows: Seq[(Long, String, Double, String, Long)], name: String): Unit = {
+      val scratch = tmpDir("cdc-scratch")
+      rows.toDF("id", "name", "bal", "op", "seq")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    addFile(Seq((1L, "a1", 11.0, "U", 1L), (4L, "d", 40.0, "I", 2L)), "f1.parquet")
+    addFile(Seq((1L, "a2", 12.0, "U", 3L), (2L, "x", 0.0, "D", 4L)), "f2.parquet")
+
+    val streamed = Streaming.streamingCdcApply(spark,
+        dir.toString, base, "id", "seq", maxFilesPerTrigger = Some(1))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val batch = operators.Cdc.applyChangelog(base,
+        spark.read.parquet(dir.toString), "id", "seq")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.toSeq == Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
   test("event-time windowed aggregation equals the batch equivalent") {
     // streaming file source requires a directory
     val eventsDir = tmpDir("stream-events").toString
