@@ -224,7 +224,7 @@ object Cli {
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
-          |              pagerank|dsir]
+          |              pagerank|dsir|bpe|bpeseg]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
@@ -491,6 +491,10 @@ object Cli {
         k = flags.getOrElse("k", "8").toInt,
         iters = flags.getOrElse("iters", "2").toInt,
         threshold = threshold(0.95))
+      case "bpe"         => Bpe.trainMerges(docs,
+        rounds = flags.getOrElse("rounds", "6").toInt)
+      case "bpeseg"      => Bpe.segmentVocab(docs,
+        Bpe.trainMerges(docs, rounds = flags.getOrElse("rounds", "6").toInt))
       case "dsir"        => Sampling.dsirResample(docs,
         col(flags.getOrElse("target-col", "lang")) === flags.getOrElse("target", "de"),
         scale = flags.getOrElse("scale", "1.0").toDouble)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, Dedup, Events, Graph, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Bpe, Cdc, Dedup, Events, Graph, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -814,6 +814,12 @@ object SparkEntry {
           m = 4, ksub = 16, dim = 64, rerankFactor = 4)
         .orderBy("query_id", "rank")
     }),
+
+    // BPE merge training: 6 rounds of frequency-weighted pair argmax +
+    // greedy merge application over the vocabulary's delimited symbol
+    // strings — the tokenizer-vocabulary induction step, distributed
+    "q_bpe" -> ((s, dir) =>
+      Bpe.trainMerges(Tables.load(s, dir, "documents"), rounds = 6)),
 
     // DSIR importance resampling: keep probability ∝ the ratio of two
     // bigram-LM scores (target domain = 'de' docs vs the raw corpus),
@@ -2249,6 +2255,52 @@ object SparkEntry {
            JOIN ec v ON v.vec_id = s.vec_id
            JOIN ec q ON q.vec_id = s.query_id) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the whole 6-round BPE chain replayed: per-round pair argmax
+    // (count DESC, binary string tie-break) and the delimited-string
+    // replace whose left-to-right non-overlapping semantics IS greedy
+    // merge application — identical in both engines
+    "q_bpe" -> {
+      val rounds = 6
+      val iterCtes = (0 until rounds).map { r =>
+        s"""p$r AS (
+           SELECT u.p.w1 AS w1, u.p.w2 AS w2, u.wcnt AS wcnt FROM (
+             SELECT wcnt, unnest(list_transform(range(1, len(sym)),
+               i -> {'w1': sym[i], 'w2': sym[i+1]})) AS p
+             FROM (SELECT wcnt,
+               string_split(substring(s, 2, length(s) - 2), '  ') AS sym
+               FROM s$r) t) u),
+         pc$r AS (SELECT w1, w2, CAST(sum(wcnt) AS BIGINT) AS cnt
+                  FROM p$r GROUP BY 1, 2),
+         b$r AS (SELECT w1, w2, cnt FROM pc$r
+                 ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+         s${r + 1} AS (
+           SELECT word, wcnt,
+             replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
+               ' ' || b.w1 || b.w2 || ' ') AS s
+           FROM s$r, b$r b)"""
+      }.mkString(",\n         ")
+      val finals = (0 until rounds).map(r =>
+        s"""SELECT CAST($r AS INT) AS round, w1 AS left_sym, w2 AS right_sym,
+            w1 || w2 AS merged, cnt AS pair_count FROM b$r""")
+        .mkString("\n         UNION ALL ")
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), v AS (
+           SELECT tok AS word, CAST(count(*) AS BIGINT) AS wcnt
+           FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1
+         ), s0 AS (
+           SELECT word, wcnt,
+             ' ' || array_to_string(list_append(
+               list_transform(range(1, length(word) + 1), i -> word[i:i]),
+               '</w>'), '  ') || ' ' AS s
+           FROM v
+         ),
+         $iterCtes
+         $finals
+         ORDER BY round"""
+    },
 
     // two q_lm_score chains (raw inner-join form + target LEFT-join form
     // with unseen-bigram zeros), the ratio weight, and the md5-bucket

@@ -29,21 +29,7 @@ object Graph {
 
   private val Q = 1L << 40
 
-  /** Lineage cut (the [[Dedup.dedupClusters]] contract): persist-then-
-    * reliable-checkpoint when a checkpoint dir is configured (truncates
-    * the plan AND survives executor loss), localCheckpoint otherwise
-    * (local mode only — blocks die with executors). Without the cut,
-    * every iteration's action re-analyzes a plan that embeds the full
-    * edge-substrate subtree once per prior round — measured 10 s of pure
-    * driver-side planning for 3 rounds over a 372-edge graph.
-    */
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      val cp = df.checkpoint(true)
-      df.unpersist(blocking = false)
-      cp
-    } else df.localCheckpoint(true)
+  private def cut(df: DataFrame): DataFrame = Lineage.cut(df)
 
   /** PageRank over `edges(srcCol, dstCol)` (directed; pass both
     * directions for an undirected graph). Node universe = src ∪ dst.

@@ -268,6 +268,18 @@ class CliSpec extends AnyFunSuite {
         "op" -> "pagerank"))
     }
     assert(pr.contains("rank"))
+    val bpe = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/documents.parquet",
+        "op" -> "bpe", "rounds" -> "3"))
+    }
+    assert(bpe.contains("merged") && bpe.contains("Rows: 3"))
+    val dsir = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/documents.parquet",
+        "op" -> "dsir", "target" -> "de"))
+    }
+    assert(dsir.contains("lm_target") && dsir.contains("weight"))
   }
 
   test("events subcommand: funnel, retention, json, sessionize") {

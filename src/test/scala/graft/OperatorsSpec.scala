@@ -1433,6 +1433,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(q(2).getAs[Double]("avg_token_len") == 0.0)
   }
 
+  test("bpe: hand-computed merge sequence and greedy segmentation") {
+    // vocab: aaab ×2, aab ×1. Round-by-round by hand:
+    //   r0 (a,a)=5 → aa; r1 (b,</w>)=3 → b</w>;
+    //   r2 tie (aa,a)=2 vs (a,b</w>)=2 → 'a' < 'aa' → ab</w>;
+    //   r3 (aa,ab</w>)=2 → aaab</w>
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (0, "a", "a", 5L), (1, "b", "</w>", 3L),
+      (2, "a", "b</w>", 2L), (3, "aa", "ab</w>", 2L)))
+
+    val seg = Bpe.segmentVocab(docs, Bpe.trainMerges(docs, rounds = 4))
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+    assert(seg.toSeq == Seq(("aaab", 1, "aaab</w>"), ("aab", 2, "aa b</w>")))
+
+    // early stop: all-distinct single-char words have every pair count 1
+    // < minPairCount 2 → zero merges, not a crash
+    val sparse = Seq((1L, "x y z")).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(sparse, rounds = 3).count() == 0)
+  }
+
   test("dsir resampling: disjoint-vocabulary domains separate sharply") {
     // domain A (ids 0-9) and domain B (ids 10-19) share NO tokens; with
     // target = A, every B bigram is unseen in the target LM → lm_target
