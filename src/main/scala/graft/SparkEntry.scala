@@ -27,6 +27,21 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** The synthetic row-image changelog the CDC family queries share:
+    * derived from orders (unique seq = o_orderkey), keyed on customer.
+    */
+  private def ordersChangelog(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_custkey").as("c_custkey"),
+      concat(lit("upd-"), col("o_orderkey")).as("c_name"),
+      (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderpriority").as("c_mktsegment"),
+      when(col("o_orderkey") % 10 <= 5, "U")
+        .when(col("o_orderkey") % 10 <= 7, "I")
+        .otherwise("D").as("op"),
+      col("o_orderkey").as("seq"))
+
   /** Exact-decimal sum of a computed double expression at 6 dp. */
   private def dsum6(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
@@ -841,22 +856,27 @@ object SparkEntry {
     // CDC changelog apply (MERGE INTO): latest row-image per key wins,
     // deletes drop, untouched base keys pass through one anti-join.
     // Changelog synthesized from orders (unique seq = o_orderkey)
-    "q_cdc_apply" -> ((s, dir) => {
-      val base = Tables.load(s, dir, "customer")
-      val ch = Tables.load(s, dir, "orders").select(
-        col("o_custkey").as("c_custkey"),
-        concat(lit("upd-"), col("o_orderkey")).as("c_name"),
-        (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
-        col("o_totalprice").as("c_acctbal"),
-        col("o_orderpriority").as("c_mktsegment"),
-        when(col("o_orderkey") % 10 <= 5, "U")
-          .when(col("o_orderkey") % 10 <= 7, "I")
-          .otherwise("D").as("op"),
-        col("o_orderkey").as("seq"))
-      Cdc.applyChangelog(base, ch, "c_custkey", "seq",
+    "q_cdc_apply" -> ((s, dir) =>
+      Cdc.applyChangelog(Tables.load(s, dir, "customer"),
+          ordersChangelog(s, dir), "c_custkey", "seq",
           broadcastChangedKeys = true)
-        .orderBy("c_custkey")
-    }),
+        .orderBy("c_custkey")),
+
+    // SCD Type-2 history: every I/U change becomes a validity interval,
+    // deletes close their predecessor — one window per key
+    "q_scd2" -> ((s, dir) =>
+      Cdc.scd2History(ordersChangelog(s, dir), "c_custkey", "seq")
+        .orderBy("c_custkey", "valid_from")),
+
+    // incremental aggregate maintenance: base agg + changelog delta,
+    // never a base rescan; the oracle aggregates the merged snapshot
+    // from scratch, so the hash match proves the maintenance identity
+    "q_incr_agg" -> ((s, dir) =>
+      Cdc.incrementalAgg(Tables.load(s, dir, "customer"),
+          ordersChangelog(s, dir), "c_custkey", "seq",
+          groupCol = "c_mktsegment", valueCol = "c_acctbal",
+          broadcastChangedKeys = true)
+        .orderBy("c_mktsegment")),
 
     // blocked record linkage: within-nation candidate pairs scored by
     // weighted field-agreement rules, tiered match/possible
@@ -2445,6 +2465,58 @@ object SparkEntry {
          SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM latest WHERE op <> 'D'
          ORDER BY c_custkey""",
+
+    // SCD2 replay: the same changelog, one lead() window per key over
+    // ALL ops, deletes dropped after bounding their predecessor
+    "q_scd2" ->
+      """WITH ch AS (
+           SELECT o_custkey AS c_custkey,
+             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+             o_totalprice AS c_acctbal,
+             o_orderpriority AS c_mktsegment,
+             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
+                  WHEN o_orderkey % 10 <= 7 THEN 'I'
+                  ELSE 'D' END AS op,
+             o_orderkey AS seq
+           FROM orders),
+         h AS (
+           SELECT *, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq ASC, op ASC) AS valid_to
+           FROM ch)
+         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           op, seq, valid_from, valid_to,
+           (valid_to IS NULL AND op <> 'D') AS is_current
+         FROM h WHERE op <> 'D'
+         ORDER BY c_custkey, valid_from""",
+
+    // incremental-maintenance identity: the oracle aggregates the MERGED
+    // snapshot from scratch — a hash match proves base+delta == rescan
+    "q_incr_agg" ->
+      """WITH ch AS (
+           SELECT o_custkey AS c_custkey,
+             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+             o_totalprice AS c_acctbal,
+             o_orderpriority AS c_mktsegment,
+             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
+                  WHEN o_orderkey % 10 <= 7 THEN 'I'
+                  ELSE 'D' END AS op,
+             o_orderkey AS seq
+           FROM orders),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey
+               ORDER BY seq DESC, op ASC) AS rn
+             FROM ch) WHERE rn = 1),
+         merged AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM latest WHERE op <> 'D')
+         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+         FROM merged GROUP BY 1 ORDER BY 1""",
 
     // blocked linkage replay: within-nation pairs, the same three
     // agreement rules, the same left-folded double score

@@ -65,4 +65,75 @@ object Cdc {
 
     untouched.unionByName(upserts)
   }
+
+  /** SCD Type-2 history from a changelog: every I/U row becomes a
+    * version valid over [its seq, the key's next change's seq); the
+    * key's last event leaves valid_to null, and `is_current` marks open
+    * NON-delete versions (a trailing D closes the key — its own row
+    * carries no version). One window per key, ordered by seq — the
+    * lead() runs over ALL ops (deletes bound their predecessor) before
+    * the D rows drop out.
+    *
+    * Scale shape: one shuffle on the key; history depth per key is the
+    * window's partition size, never driver state.
+    */
+  def scd2History(
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      opCol: String = "op"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).asc, col(opCol).asc)
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull && col(opCol) =!= "D")
+      .filter(col(opCol) =!= "D")
+  }
+
+  /** Incremental aggregate maintenance under a changelog: update a
+    * per-group (row count, decimal-exact value sum) WITHOUT rescanning
+    * the base — the materialized-view maintenance shape. The delta pass
+    * touches only (a) the latest change rows and (b) the base rows whose
+    * keys changed (fetched BY KEY — broadcastable like
+    * [[applyChangelog]]'s anti-join side):
+    *
+    *   maintained(g) = baseAgg(g) + Σ upserted rows in g − Σ replaced or
+    *   deleted base rows in g
+    *
+    * Returns (groupCol, n_rows, value_sum) with empty groups dropped —
+    * identical, row for row, to aggregating the merged snapshot from
+    * scratch (the q_incr_agg oracle proves exactly that identity).
+    */
+  def incrementalAgg(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      groupCol: String,
+      valueCol: String,
+      opCol: String = "op",
+      broadcastChangedKeys: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(seqCol).desc, col(opCol).asc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+
+    def grouped(df: DataFrame, sign: Int) = df.groupBy(groupCol)
+      .agg((count(lit(1)) * sign).as("__n"),
+        (sum(col(valueCol).cast("decimal(28,4)")) * sign).as("__s"))
+
+    val baseAgg = grouped(base, 1)
+    val added = grouped(latest.filter(col(opCol) =!= "D"), 1)
+    val changedKeys = latest.select(col(keyCol)).distinct()
+    val keysSide = if (broadcastChangedKeys) broadcast(changedKeys) else changedKeys
+    val removed = grouped(base.join(keysSide, Seq(keyCol), "left_semi"), -1)
+
+    baseAgg.unionByName(added).unionByName(removed)
+      .groupBy(groupCol)
+      .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("__sum"))
+      .filter(col("n_rows") > 0)
+      .select(col(groupCol), col("n_rows"),
+        col("__sum").cast("double").as("value_sum"))
+  }
 }

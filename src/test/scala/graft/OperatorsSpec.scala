@@ -1488,6 +1488,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: validity intervals per key, deletes close but emit nothing") {
+    val changes = Seq(
+      (1L, "a1", "U", 5L), (1L, "a2", "U", 9L), (1L, "gone", "D", 12L),
+      (4L, "d", "I", 3L)
+    ).toDF("id", "name", "op", "seq")
+    val got = Cdc.scd2History(changes, "id", "seq")
+      .orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1L, "a1", 5L, Some(9L), false),
+      (1L, "a2", 9L, Some(12L), false), // closed by the delete
+      (4L, "d", 3L, None, true)))
+  }
+
+  test("incremental agg maintenance equals the from-scratch aggregate") {
+    val base = Seq((1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 30.0))
+      .toDF("id", "grp", "v")
+    val changes = Seq(
+      (1L, "g2", 11.0, "U", 1L), // group move g1 → g2
+      (2L, "g1", 0.0, "D", 2L),  // delete
+      (4L, "g3", 40.0, "I", 3L), // brand-new group
+      (5L, "g4", 1.0, "I", 4L), (5L, "g4", 0.0, "D", 5L) // net no-op key
+    ).toDF("id", "grp", "v", "op", "seq")
+    val maintained = Cdc.incrementalAgg(base, changes, "id", "seq", "grp", "v")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val scratch = Cdc.applyChangelog(base, changes, "id", "seq")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(28,4)")).cast("double").as("s"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(maintained.toSeq == scratch.toSeq)
+    assert(maintained.toSeq == Seq(("g2", 2L, 41.0), ("g3", 1L, 40.0)))
+  }
+
   test("linkage: rule scores, tiers, and the oversized-block guard") {
     import Linkage.LinkRule
     val recs = Seq(
