@@ -224,7 +224,7 @@ object Cli {
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
-          |              pagerank|dsir|bpe|bpeseg]
+          |              pagerank|dsir|bpe|bpeseg|bpetokens]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
@@ -494,6 +494,8 @@ object Cli {
       case "bpe"         => Bpe.trainMerges(docs,
         rounds = flags.getOrElse("rounds", "6").toInt)
       case "bpeseg"      => Bpe.segmentVocab(docs,
+        Bpe.trainMerges(docs, rounds = flags.getOrElse("rounds", "6").toInt))
+      case "bpetokens"   => Bpe.tokenizeCorpus(docs,
         Bpe.trainMerges(docs, rounds = flags.getOrElse("rounds", "6").toInt))
       case "dsir"        => Sampling.dsirResample(docs,
         col(flags.getOrElse("target-col", "lang")) === flags.getOrElse("target", "de"),

@@ -27,6 +27,46 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** The q_bpe oracle chain: toks → vocabulary → delimited symbol
+    * strings → `rounds` alternations of (pair count, argmax b_r, replace
+    * application s_{r+1}). Shared by q_bpe (reads the b_r rows) and
+    * q_bpe_tokens (reads the final s_rounds state).
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val iterCtes = (0 until rounds).map { r =>
+      s"""p$r AS (
+           SELECT u.p.w1 AS w1, u.p.w2 AS w2, u.wcnt AS wcnt FROM (
+             SELECT wcnt, unnest(list_transform(range(1, len(sym)),
+               i -> {'w1': sym[i], 'w2': sym[i+1]})) AS p
+             FROM (SELECT wcnt,
+               string_split(substring(s, 2, length(s) - 2), '  ') AS sym
+               FROM s$r) t) u),
+         pc$r AS (SELECT w1, w2, CAST(sum(wcnt) AS BIGINT) AS cnt
+                  FROM p$r GROUP BY 1, 2),
+         b$r AS (SELECT w1, w2, cnt FROM pc$r
+                 ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
+         s${r + 1} AS (
+           SELECT word, wcnt,
+             replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
+               ' ' || b.w1 || b.w2 || ' ') AS s
+           FROM s$r, b$r b)"""
+    }.mkString(",\n         ")
+    s"""toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), v AS (
+           SELECT tok AS word, CAST(count(*) AS BIGINT) AS wcnt
+           FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1
+         ), s0 AS (
+           SELECT word, wcnt,
+             ' ' || array_to_string(list_append(
+               list_transform(range(1, length(word) + 1), i -> word[i:i]),
+               '</w>'), '  ') || ' ' AS s
+           FROM v
+         ),
+         $iterCtes"""
+  }
+
   /** The synthetic row-image changelog the CDC family queries share:
     * derived from orders (unique seq = o_orderkey), keyed on customer.
     */
@@ -835,6 +875,14 @@ object SparkEntry {
     // strings — the tokenizer-vocabulary induction step, distributed
     "q_bpe" -> ((s, dir) =>
       Bpe.trainMerges(Tables.load(s, dir, "documents"), rounds = 6)),
+
+    // tokenize the corpus under the 6-round BPE vocab: per-doc word and
+    // subword counts via ONE vocabulary segmentation + a word join
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bpe.tokenizeCorpus(docs, Bpe.trainMerges(docs, rounds = 6))
+        .orderBy("doc_id")
+    }),
 
     // DSIR importance resampling: keep probability ∝ the ratio of two
     // bigram-LM scores (target domain = 'de' docs vs the raw corpus),
@@ -2282,44 +2330,34 @@ object SparkEntry {
     // merge application — identical in both engines
     "q_bpe" -> {
       val rounds = 6
-      val iterCtes = (0 until rounds).map { r =>
-        s"""p$r AS (
-           SELECT u.p.w1 AS w1, u.p.w2 AS w2, u.wcnt AS wcnt FROM (
-             SELECT wcnt, unnest(list_transform(range(1, len(sym)),
-               i -> {'w1': sym[i], 'w2': sym[i+1]})) AS p
-             FROM (SELECT wcnt,
-               string_split(substring(s, 2, length(s) - 2), '  ') AS sym
-               FROM s$r) t) u),
-         pc$r AS (SELECT w1, w2, CAST(sum(wcnt) AS BIGINT) AS cnt
-                  FROM p$r GROUP BY 1, 2),
-         b$r AS (SELECT w1, w2, cnt FROM pc$r
-                 ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
-         s${r + 1} AS (
-           SELECT word, wcnt,
-             replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
-               ' ' || b.w1 || b.w2 || ' ') AS s
-           FROM s$r, b$r b)"""
-      }.mkString(",\n         ")
       val finals = (0 until rounds).map(r =>
         s"""SELECT CAST($r AS INT) AS round, w1 AS left_sym, w2 AS right_sym,
             w1 || w2 AS merged, cnt AS pair_count FROM b$r""")
         .mkString("\n         UNION ALL ")
-      s"""WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), v AS (
-           SELECT tok AS word, CAST(count(*) AS BIGINT) AS wcnt
-           FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1
-         ), s0 AS (
-           SELECT word, wcnt,
-             ' ' || array_to_string(list_append(
-               list_transform(range(1, length(word) + 1), i -> word[i:i]),
-               '</w>'), '  ') || ' ' AS s
-           FROM v
-         ),
-         $iterCtes
+      s"""WITH ${bpeCtes(rounds)}
          $finals
          ORDER BY round"""
+    },
+
+    // the q_bpe chain's FINAL symbol state s6 is the segmented
+    // vocabulary; per-doc counts are one word join + aggregate on top
+    "q_bpe_tokens" -> {
+      val rounds = 6
+      s"""WITH ${bpeCtes(rounds)},
+         segn AS (
+           SELECT word,
+             CAST(len(string_split(substring(s, 2, length(s) - 2), '  ')) AS BIGINT) AS n_subwords
+           FROM s$rounds),
+         words AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+         pd AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_subwords) AS BIGINT) AS n_subwords
+           FROM words JOIN segn USING (word) GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(pd.n_words, 0) AS n_words,
+           coalesce(pd.n_subwords, 0) AS n_subwords
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         ORDER BY d.doc_id"""
     },
 
     // two q_lm_score chains (raw inner-join form + target LEFT-join form

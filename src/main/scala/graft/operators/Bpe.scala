@@ -128,4 +128,29 @@ object Bpe {
       .select(col("word"), col("wcnt"), size(col("__sym")).as("n_subwords"),
         concat_ws(" ", col("__sym")).as("subwords"))
   }
+
+  /** Tokenize the corpus under a trained merge table: per-document
+    * whitespace-token and BPE-subword counts — the "how many tokens is
+    * my corpus under MY tokenizer" question every training-budget
+    * calculation starts from. The segmentation runs once per VOCABULARY
+    * word ([[segmentVocab]]); documents join it by word, so corpus cost
+    * is one explode + one vocabulary join + one per-doc aggregate —
+    * never a per-document re-segmentation. Zero-token docs report 0/0.
+    * Output: (doc_id, n_words, n_subwords).
+    */
+  def tokenizeCorpus(docs: DataFrame, mergeTable: DataFrame): DataFrame = {
+    val seg = segmentVocab(docs, mergeTable)
+      .select(col("word"), col("n_subwords"))
+    val perDoc = docs
+      .select(col("doc_id"), explode_outer(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull) // Dedup.safeExplodeNote
+      .join(seg, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_subwords").cast("long")).as("n_subwords"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+  }
 }

@@ -1454,6 +1454,14 @@ class OperatorsSpec extends AnyFunSuite {
     // < minPairCount 2 → zero merges, not a crash
     val sparse = Seq((1L, "x y z")).toDF("doc_id", "text")
     assert(Bpe.trainMerges(sparse, rounds = 3).count() == 0)
+
+    // corpus tokenization under the trained vocab: aaab→1 subword,
+    // aab→2 → doc = 3 words, 4 subwords; empty doc reports 0/0
+    val docs2 = Seq((1L, "aaab aaab aab"), (2L, "   ")).toDF("doc_id", "text")
+    val tok = Bpe.tokenizeCorpus(docs2, Bpe.trainMerges(docs, rounds = 4))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tok.toSeq == Seq((1L, 3L, 4L), (2L, 0L, 0L)))
   }
 
   test("dsir resampling: disjoint-vocabulary domains separate sharply") {
