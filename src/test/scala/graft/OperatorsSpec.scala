@@ -1512,6 +1512,26 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("cdc plan shape: broadcast anti-join under broadcastChangedKeys, broadcast probe join in linkage") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val ch = base.limit(10).select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+      lit("U").as("op"), col("c_custkey").as("seq"))
+    val plan = Cdc.applyChangelog(base, ch, "c_custkey", "seq",
+        broadcastChangedKeys = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+
+    import Linkage.LinkRule
+    val lplan = Linkage.linkPairs(base, "c_custkey", "c_nationkey",
+        Seq(LinkRule("seg", 2.0, (a, b) => a("c_mktsegment") === b("c_mktsegment"))),
+        matchAt = 2.0, possibleAt = 2.0, broadcastSide = true)
+      .queryExecution.executedPlan.toString
+    assert(lplan.contains("BroadcastHashJoin"),
+      s"expected broadcast pair join:\n$lplan")
+  }
+
   test("incremental agg maintenance equals the from-scratch aggregate") {
     val base = Seq((1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 30.0))
       .toDF("id", "grp", "v")
