@@ -843,6 +843,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the storage-level IVF shape: write the corpus hive-partitioned by
+    // centroid, probe via a partition-pruning IN filter — the scan reads
+    // nprobe directories only (PartitionFilters pinned by spec); result
+    // identical to the in-memory IVF at the same parameters
+    "q_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("ivfidx").toString + "/index"
+      Similarity.writeIvfIndex(emb, idx, numCentroids = 32)
+      Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
+          k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // the memory-bound ANN shape: int8-code probe scan + exact re-rank of
     // the k*rerankFactor survivors (fetched by id, not rescanned)
     "q_ivf_quantized" -> ((s, dir) => {
@@ -2168,6 +2182,31 @@ object SparkEntry {
                  ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
              FROM ec x CROSS JOIN c) WHERE rn = 1),
          qa AS (SELECT vec_id AS query_id, e, centroid_id FROM ca WHERE vec_id < 5)
+         SELECT query_id, vec_id, cos_sim, rank FROM (
+           SELECT q.query_id, a.vec_id,
+             round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.e, a.e), 4) DESC, a.vec_id) AS rank
+           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // the q_ivf_topk chain at nprobe=2 — the index path changes WHERE
+    // the rows are read (pruned partitions), not what they score
+    "q_ivf_indexed" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         ca AS (
+           SELECT vec_id, e, centroid_id FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (
+           SELECT vec_id AS query_id, e, centroid_id FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2)
          SELECT query_id, vec_id, cos_sim, rank FROM (
            SELECT q.query_id, a.vec_id,
              round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim,

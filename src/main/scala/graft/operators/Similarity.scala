@@ -302,6 +302,65 @@ object Similarity {
         .withColumnRenamed("embedding", "c_emb")
         .withColumnRenamed("__norm", "c_norm"))
 
+  /** Materialize the corpus as an IVF-partitioned parquet index — the
+    * "cluster id is the storage partition key" claim made real: one
+    * hive-style `centroid_id=N` directory per cluster plus a `_codebook`
+    * sidecar table. A probe then reads ONLY its nprobe partitions'
+    * files ([[ivfTopKIndexed]] — `PartitionFilters` in the scan, pinned
+    * by spec), which is the difference between an ANN probe costing
+    * O(corpus/numCentroids · nprobe) IO and a full scan at 100 TB.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, dir: String, numCentroids: Int = 32): Unit = {
+    val codebook = pseudoCentroids(corpus, numCentroids)
+      .select("vec_id", "embedding")
+    val centroids = broadcastCentroids(codebook)
+    assignProbes(withNorm(corpus, "vec_id", "vec_id"), centroids, 1, "__r")
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .option("compression", "zstd").parquet(dir)
+    codebook.write.mode("overwrite")
+      .option("compression", "zstd").parquet(dir + "_codebook")
+  }
+
+  /** Probe a [[writeIvfIndex]] index: assign each query its nprobe
+    * centroids from the sidecar codebook, collect the BOUNDED probe-id
+    * set (≤ queries × nprobe longs) into a partition-pruning IN filter,
+    * and score only the surviving partitions' rows. Result is identical
+    * to the in-memory [[ivfTopK]] at the same parameters (same oracle
+    * family), but the scan touches nprobe directories, not the corpus.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val codebook = spark.read.parquet(dir + "_codebook")
+    val centroids = broadcastCentroids(codebook)
+    val q = assignProbes(withNorm(queries, "vec_id", "query_id"),
+        centroids, nprobe, "__r").drop("__r")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("__norm", "q_norm")
+    val probeIds = q.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val corpusIdx = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("__norm"))
+    val scored = corpusIdx.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   def ivfTopKWith(
       corpus: DataFrame,
       queries: DataFrame,

@@ -1512,6 +1512,22 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("ivf index: partition-pruned probe equals the in-memory ivf") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx-spec").toString + "/ix"
+    Similarity.writeIvfIndex(emb, idx, numCentroids = 16)
+    val queries = emb.filter(col("vec_id") < 4)
+    val fromIndex = Similarity.ivfTopKIndexed(spark, idx, queries, k = 3, nprobe = 2)
+    val inMemory = Similarity.ivfTopK(emb, queries, k = 3,
+      numCentroids = 16, nprobe = 2)
+    assert(fromIndex.orderBy("query_id", "rank").collect().toSeq ==
+      inMemory.orderBy("query_id", "rank").collect().toSeq)
+    // the probe scan must prune partitions, not list every directory
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected partition-pruned index scan:\n$plan")
+  }
+
   test("cdc plan shape: broadcast anti-join under broadcastChangedKeys, broadcast probe join in linkage") {
     val base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val ch = base.limit(10).select(col("c_custkey"), col("c_name"),
