@@ -327,6 +327,47 @@ object ScaleCheck {
     }
     operators.CacheRegistry.release(spark)
 
+    // SCD2 + incremental agg on the 10x changelog
+    time("scd2 history 150k-row changelog") {
+      println("[scale] scd2 versions: " +
+        operators.Cdc.scd2History(ch10, "c_custkey", "seq").count())
+    }
+    time("incremental agg maintenance 150k changelog onto 150k base") {
+      println("[scale] incr agg groups: " +
+        operators.Cdc.incrementalAgg(cust10, ch10, "c_custkey", "seq",
+          "c_mktsegment", "c_acctbal").count())
+    }
+
+    // BPE at sf0.1 corpus vocabulary (6 rounds, vocabulary-sized state)
+    val docsSf = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    time("bpe 6 merge rounds over sf0.1 vocabulary") {
+      println("[scale] bpe merges: " +
+        operators.Bpe.trainMerges(docsSf, rounds = 6).count())
+    }
+    time("bpe corpus tokenization sf0.1") {
+      println("[scale] bpe tokenized docs: " +
+        operators.Bpe.tokenizeCorpus(docsSf,
+          operators.Bpe.trainMerges(docsSf, rounds = 6)).count())
+    }
+    operators.CacheRegistry.release(spark)
+
+    // DSIR two-LM resampling at sf0.1
+    time("dsir importance resampling sf0.1 (target lang=de)") {
+      println("[scale] dsir kept: " +
+        operators.Sampling.dsirResample(docsSf, col("lang") === "de").count())
+    }
+    operators.CacheRegistry.release(spark)
+
+    // IVF storage index at 20k vectors: write + pruned probe
+    time("ivf index write + pruned probe 20k vectors") {
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory("scale-ivfidx").toString + "/ix"
+      operators.Similarity.writeIvfIndex(emb10, ivfDir, numCentroids = 32)
+      println("[scale] indexed probe rows: " +
+        operators.Similarity.ivfTopKIndexed(spark, ivfDir,
+          emb10.filter(col("vec_id") < 20), k = 5, nprobe = 2).count())
+    }
+
     // KMV per-source sketches on 50k docs: k-bounded state per group
     time("kmv overlap matrix 50k docs (k=64)") {
       val items = docs10

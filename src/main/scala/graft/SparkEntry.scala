@@ -366,6 +366,19 @@ object SparkEntry {
         .withColumnRenamed("key", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // salted fact⋈dim join — result identical to the plain join (the
+    // oracle computes the plain join); deterministic row-id salt spreads
+    // a hot key over 8 reducers, dim replicates 8×
+    "q_salted_join" -> ((s, dir) =>
+      operators.Skew.saltedJoin(
+          Tables.load(s, dir, "orders")
+            .withColumnRenamed("o_custkey", "c_custkey"),
+          Tables.load(s, dir, "customer")
+            .select("c_custkey", "c_mktsegment"),
+          "c_custkey", "o_orderkey", saltBuckets = 8)
+        .select("o_orderkey", "c_custkey", "o_totalprice", "c_mktsegment")
+        .orderBy("o_orderkey")),
+
     // as-of join: latest 'view' at or before each 'click' per user —
     // union + one running window per key, never an inequality pair join
     "q_asof_join" -> ((s, dir) => {
@@ -1302,6 +1315,13 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // the salt is plumbing, not semantics: the oracle is the PLAIN join
+    "q_salted_join" ->
+      """SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_totalprice,
+           c.c_mktsegment
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_orderkey""",
 
     "q_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM documents

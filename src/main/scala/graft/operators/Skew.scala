@@ -37,4 +37,35 @@ object Skew {
       .agg(sum(col("__cnt")).as("n"),
         sum(col("__sum")).cast("double").as("total"))
   }
+
+  /** Salted fact⋈dim equi-join for a skewed fact key: each fact row gets
+    * a DETERMINISTIC salt (hash of its whole row id, not rand() — retry
+    * of a lost task must re-salt identically or the join drops/dups
+    * rows), the dim side replicates `saltBuckets`× via an explode, and
+    * the join key becomes (key, salt) — a hot key's fact rows spread
+    * over `saltBuckets` reducers instead of pinning one. Result is
+    * row-identical to the plain join (the q_salted_join oracle computes
+    * the plain join).
+    *
+    * This is the MANUAL fallback: AQE's skew-join split covers
+    * shuffle-join skew automatically when statistics see it; the salted
+    * rewrite is for engines/plans where it can't (e.g. a key so hot one
+    * partition exceeds every split threshold, or bucketed tables whose
+    * layout AQE won't re-split).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      factIdCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets >= 1)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(col(factIdCol)), lit(saltBuckets.toLong)))
+    val saltedDim = dim
+      .withColumn("__salt", explode_outer(
+        sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+      .filter(col("__salt").isNotNull) // Dedup.safeExplodeNote
+    saltedFact.join(saltedDim, Seq(keyCol, "__salt")).drop("__salt")
+  }
 }

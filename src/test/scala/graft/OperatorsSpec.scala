@@ -1512,6 +1512,18 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("salted join equals the plain join, including unmatched-key drops") {
+    val fact = Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0),
+      (4L, 99L, 4.0)).toDF("fid", "k", "v") // key 99 has no dim row
+    val dim = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", "fid", saltBuckets = 4)
+      .orderBy("fid").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val plain = fact.join(dim, "k")
+      .orderBy("fid").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 3) // unmatched fact key dropped, dim 30 unused
+  }
+
   test("ivf index: partition-pruned probe equals the in-memory ivf") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("ivfidx-spec").toString + "/ix"
