@@ -943,6 +943,15 @@ object SparkEntry {
       Cdc.scd2History(ordersChangelog(s, dir), "c_custkey", "seq")
         .orderBy("c_custkey", "valid_from")),
 
+    // CDC capture (the inverse): diff base vs merged snapshot back into
+    // I/U/D row images — one null-safe full-outer join
+    "q_cdc_diff" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "customer")
+      val merged = Cdc.applyChangelog(base, ordersChangelog(s, dir),
+        "c_custkey", "seq", broadcastChangedKeys = true)
+      Cdc.snapshotDiff(base, merged, "c_custkey").orderBy("c_custkey")
+    }),
+
     // incremental aggregate maintenance: base agg + changelog delta,
     // never a base rescan; the oracle aggregates the merged snapshot
     // from scratch, so the hash match proves the maintenance identity
@@ -2586,6 +2595,55 @@ object SparkEntry {
            (valid_to IS NULL AND op <> 'D') AS is_current
          FROM h WHERE op <> 'D'
          ORDER BY c_custkey, valid_from""",
+
+    // capture replay: the merged snapshot re-derived, then the same
+    // null-safe full-outer diff back to I/U/D row images
+    "q_cdc_diff" ->
+      """WITH ch AS (
+           SELECT o_custkey AS c_custkey,
+             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
+             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+             o_totalprice AS c_acctbal,
+             o_orderpriority AS c_mktsegment,
+             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
+                  WHEN o_orderkey % 10 <= 7 THEN 'I'
+                  ELSE 'D' END AS op,
+             o_orderkey AS seq
+           FROM orders),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY c_custkey
+               ORDER BY seq DESC, op ASC) AS rn
+             FROM ch) WHERE rn = 1),
+         merged AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+           UNION ALL
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM latest WHERE op <> 'D'),
+         d AS (
+           SELECT o.c_custkey AS ok, n.c_custkey AS nk,
+             o.c_name AS on_, n.c_name AS nn,
+             o.c_nationkey AS onk, n.c_nationkey AS nnk,
+             o.c_acctbal AS ob, n.c_acctbal AS nb,
+             o.c_mktsegment AS os, n.c_mktsegment AS ns,
+             CASE WHEN o.c_custkey IS NULL THEN 'I'
+                  WHEN n.c_custkey IS NULL THEN 'D'
+                  WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+                        AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
+                        AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                        AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
+                    THEN 'U' END AS op
+           FROM customer o FULL OUTER JOIN merged n ON o.c_custkey = n.c_custkey)
+         SELECT CASE WHEN op = 'D' THEN ok ELSE nk END AS c_custkey,
+           CASE WHEN op = 'D' THEN on_ ELSE nn END AS c_name,
+           CASE WHEN op = 'D' THEN onk ELSE nnk END AS c_nationkey,
+           CASE WHEN op = 'D' THEN ob ELSE nb END AS c_acctbal,
+           CASE WHEN op = 'D' THEN os ELSE ns END AS c_mktsegment,
+           op
+         FROM d WHERE op IS NOT NULL
+         ORDER BY c_custkey""",
 
     // incremental-maintenance identity: the oracle aggregates the MERGED
     // snapshot from scratch — a hash match proves base+delta == rescan

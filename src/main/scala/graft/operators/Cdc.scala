@@ -66,6 +66,43 @@ object Cdc {
     untouched.unionByName(upserts)
   }
 
+  /** Changelog CAPTURE — the inverse of [[applyChangelog]]: diff two
+    * snapshots into row-image change records. One full-outer join on
+    * the key:
+    *
+    *   - key only in `newSnap`            → I (new row image)
+    *   - key only in `oldSnap`            → D (old row image)
+    *   - in both, any column differing    → U (new row image)
+    *   - identical (null-safe, per column) → no record
+    *
+    * Column comparison is null-safe `<=>` per column, so a null→value
+    * transition is a U, not a silent equality. Round-trip law (pinned by
+    * spec): `applyChangelog(old, snapshotDiff(old, new) + any unique
+    * seq) == new`.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame, newSnap: DataFrame, keyCol: String): DataFrame = {
+    val dataCols = oldSnap.columns.toSeq
+    require(newSnap.columns.toSeq == dataCols,
+      s"snapshots must share a schema: ${dataCols} vs ${newSnap.columns.toSeq}")
+    val nonKey = dataCols.filterNot(_ == keyCol)
+    val o = oldSnap.select(col(keyCol).as("__k") +:
+      dataCols.map(c => col(c).as(s"o_$c")): _*)
+    val n = newSnap.select(col(keyCol).as("__k") +:
+      dataCols.map(c => col(c).as(s"n_$c")): _*)
+    val same = nonKey.map(c => col(s"o_$c") <=> col(s"n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, Seq("__k"), "full_outer")
+      .withColumn("op",
+        when(col(s"o_$keyCol").isNull, "I")
+          .when(col(s"n_$keyCol").isNull, "D")
+          .when(!same, "U"))
+      .filter(col("op").isNotNull)
+      .select(dataCols.map(c =>
+        when(col("op") === "D", col(s"o_$c")).otherwise(col(s"n_$c")).as(c))
+        :+ col("op"): _*)
+  }
+
   /** SCD Type-2 history from a changelog: every I/U row becomes a
     * version valid over [its seq, the key's next change's seq); the
     * key's last event leaves valid_to null, and `is_current` marks open

@@ -1496,6 +1496,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff: I/U/D capture and the apply∘diff round trip") {
+    val oldS = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val newS = Seq((1L, "a", 10.0), (2L, "b2", 20.0), (4L, "d", 40.0))
+      .toDF("id", "name", "bal")
+    val diff = Cdc.snapshotDiff(oldS, newS, "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    assert(diff.toSeq == Seq((2L, "b2", "U"), (3L, "c", "D"), (4L, "d", "I")))
+
+    // round trip: applying the captured changelog reproduces newS
+    val ch = Cdc.snapshotDiff(oldS, newS, "id")
+      .withColumn("seq", col("id")) // any unique seq works: one op per key
+    val replayed = Cdc.applyChangelog(oldS, ch, "id", "seq")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val want = newS.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(replayed.toSeq == want.toSeq)
+  }
+
   test("scd2: validity intervals per key, deletes close but emit nothing") {
     val changes = Seq(
       (1L, "a1", "U", 5L), (1L, "a2", "U", 9L), (1L, "gone", "D", 12L),
