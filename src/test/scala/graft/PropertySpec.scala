@@ -158,6 +158,58 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 8)
   }
 
+  test("property: BPE delimited-replace application == reference greedy fold") {
+    // the delimited-string replace (what trainMerges/segmentVocab run)
+    // must equal the canonical greedy left-to-right fold for ANY symbol
+    // sequence and merge pair — this is the engine-portability claim the
+    // oracle relies on, checked on arbitrary inputs
+    def foldMerge(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        acc match {
+          case h :: t if h == a && x == b => (a + b) :: t
+          case _ => x :: acc
+        }
+      }.reverse
+    def replaceMerge(syms: List[String], a: String, b: String): List[String] = {
+      val s = " " + syms.mkString("  ") + " "
+      val out = s.replace(s" $a  $b ", s" $a$b ")
+      out.substring(1, out.length - 1).split("  ").toList
+    }
+    val symGen = Gen.oneOf("a", "b", "c", "ab", "bc", "</w>")
+    val genCase = for {
+      syms <- Gen.nonEmptyListOf(symGen)
+      a <- symGen
+      b <- symGen
+    } yield (syms, a, b)
+    check(Prop.forAll(genCase) { case (syms, a, b) =>
+      replaceMerge(syms, a, b) == foldMerge(syms, a, b)
+    }, minSuccessful = 500)
+  }
+
+  test("property: snapshot diff/apply round trip on random snapshots") {
+    val rowGen = for {
+      id <- Gen.choose(0L, 15L)
+      name <- Gen.oneOf("a", "b", "c", "d")
+      bal <- Gen.choose(0, 5).map(_.toDouble)
+    } yield (id, name, bal)
+    // distinct keys per snapshot (snapshots are keyed tables)
+    def snap(rows: List[(Long, String, Double)]) =
+      rows.groupBy(_._1).map(_._2.head).toList
+    val genCase = for {
+      o <- Gen.listOf(rowGen)
+      n <- Gen.listOf(rowGen)
+    } yield (snap(o), snap(n))
+    check(Prop.forAll(genCase) { case (o, n) =>
+      val oldS = o.toDF("id", "name", "bal")
+      val newS = n.toDF("id", "name", "bal")
+      val ch = operators.Cdc.snapshotDiff(oldS, newS, "id")
+        .withColumn("seq", col("id"))
+      val replayed = operators.Cdc.applyChangelog(oldS, ch, "id", "seq")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      replayed == n.toSet
+    }, minSuccessful = 12)
+  }
+
   test("property: binned quantile error stays within one bucket width") {
     val genCase = for {
       n <- Gen.choose(50, 2000)
