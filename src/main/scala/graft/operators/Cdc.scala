@@ -128,14 +128,23 @@ object Cdc {
   }
 
   /** Incremental aggregate maintenance under a changelog: update a
-    * per-group (row count, decimal-exact value sum) WITHOUT rescanning
-    * the base — the materialized-view maintenance shape. The delta pass
-    * touches only (a) the latest change rows and (b) the base rows whose
-    * keys changed (fetched BY KEY — broadcastable like
-    * [[applyChangelog]]'s anti-join side):
+    * per-group (row count, decimal-exact value sum) — the
+    * materialized-view maintenance shape:
     *
     *   maintained(g) = baseAgg(g) + Σ upserted rows in g − Σ replaced or
     *   deleted base rows in g
+    *
+    * In production `baseAggOpt` IS the stored view (the previous call's
+    * output — (groupCol, n_rows, value_sum)); then the base is touched
+    * exactly once, KEY-PRUNED, for the replaced rows' old contributions
+    * (broadcastable like [[applyChangelog]]'s anti-join side), and the
+    * full-corpus aggregate never re-runs. Without `baseAggOpt` the base
+    * aggregate is computed here (the bootstrap call).
+    *
+    * Precision contract for the fed-back view: value_sum is an exact
+    * DECIMAL(28,4) sum surfaced as double — bit-exact to re-aggregation
+    * while |sum| < 2^49 (~5.6·10^14 at 4 dp), far above any per-group
+    * total here; the chained-maintenance spec pins the identity.
     *
     * Returns (groupCol, n_rows, value_sum) with empty groups dropped —
     * identical, row for row, to aggregating the merged snapshot from
@@ -149,7 +158,8 @@ object Cdc {
       groupCol: String,
       valueCol: String,
       opCol: String = "op",
-      broadcastChangedKeys: Boolean = false): DataFrame = {
+      broadcastChangedKeys: Boolean = false,
+      baseAggOpt: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(seqCol).desc, col(opCol).asc)
     val latest = changes
@@ -160,7 +170,10 @@ object Cdc {
       .agg((count(lit(1)) * sign).as("__n"),
         (sum(col(valueCol).cast("decimal(28,4)")) * sign).as("__s"))
 
-    val baseAgg = grouped(base, 1)
+    val baseAgg = baseAggOpt
+      .map(_.select(col(groupCol), col("n_rows").as("__n"),
+        col("value_sum").cast("decimal(28,4)").as("__s")))
+      .getOrElse(grouped(base, 1))
     val added = grouped(latest.filter(col(opCol) =!= "D"), 1)
     val changedKeys = latest.select(col(keyCol)).distinct()
     val keysSide = if (broadcastChangedKeys) broadcast(changedKeys) else changedKeys

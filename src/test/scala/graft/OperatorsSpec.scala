@@ -1599,6 +1599,24 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(maintained.toSeq == scratch.toSeq)
     assert(maintained.toSeq == Seq(("g2", 2L, 41.0), ("g3", 1L, 40.0)))
+
+    // chained maintenance: feed the view back via baseAggOpt with the
+    // NEXT batch against the CURRENT snapshot — base agg never re-runs
+    val view1 = Cdc.incrementalAgg(base, changes, "id", "seq", "grp", "v")
+    val snap1 = Cdc.applyChangelog(base, changes, "id", "seq")
+    val b2 = Seq((4L, "g3", 45.0, "U", 10L), (1L, "g2", 0.0, "D", 11L))
+      .toDF("id", "grp", "v", "op", "seq")
+    val view2 = Cdc.incrementalAgg(snap1, b2, "id", "seq", "grp", "v",
+        baseAggOpt = Some(view1))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val scratch2 = Cdc.applyChangelog(snap1, b2, "id", "seq")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(28,4)")).cast("double").as("s"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(view2.toSeq == scratch2.toSeq)
+    assert(view2.toSeq == Seq(("g2", 1L, 30.0), ("g3", 1L, 45.0)))
   }
 
   test("linkage: rule scores, tiers, and the oversized-block guard") {
