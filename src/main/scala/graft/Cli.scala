@@ -224,7 +224,7 @@ object Cli {
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
-          |              pagerank|dsir|bpe|bpeseg|bpetokens]
+          |              pagerank|dsir|bpe|bpeseg|bpetokens|containment]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
@@ -393,6 +393,9 @@ object Cli {
       case "editdist"    => Dedup.editDistanceNearDup(docs,
         maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "containment" => Dedup.containmentPairs(docs,
+        threshold = threshold(0.5),
+        maxShingleDf = flags.getOrElse("df-cap", "64").toInt)
       case "clusters"    => Dedup.dedupClusters(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
       case "spans"       => Dedup.duplicateSpans(docs)

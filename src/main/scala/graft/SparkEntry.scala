@@ -823,6 +823,13 @@ object SparkEntry {
         .orderBy("probe_id", "doc_id")
     }),
 
+    // asymmetric containment (quote/excerpt detection): what symmetric
+    // jaccard structurally misses — a short doc inside a long one
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+          k = 3, threshold = 0.2)
+        .orderBy("doc_id_a", "doc_id_b")),
+
     // the composed curation pipeline end-to-end (quality → exact-dedup →
     // near-dup-drop → split → chunk) — cross-operator composition is where
     // optimizer-interaction bugs appear; the oracle pins the whole chain
@@ -3072,6 +3079,39 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
                < floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)
          ORDER BY doc_id""",
+
+    // containment replay: same string shingles, same df cap, exact
+    // shared counts, both per-side ratios
+    "q_containment" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), shs AS (
+           SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END) AS sh
+           FROM toks
+         ), sizes AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shs GROUP BY 1
+         ), linking AS (
+           SELECT sh FROM (SELECT sh, count(*) AS df FROM shs GROUP BY 1)
+           WHERE df > 1 AND df <= 64
+         ), slim AS (
+           SELECT s.doc_id, s.sh FROM shs s JOIN linking USING (sh)
+         ), pairs AS (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM slim a JOIN slim b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT p.doc_id_a, p.doc_id_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE) / sa.sz, 4) AS containment_a,
+           round(CAST(p.n_shared AS DOUBLE) / sb.sz, 4) AS containment_b
+         FROM pairs p
+         JOIN sizes sa ON p.doc_id_a = sa.doc_id
+         JOIN sizes sb ON p.doc_id_b = sb.doc_id
+         WHERE greatest(round(CAST(p.n_shared AS DOUBLE) / sa.sz, 4),
+                        round(CAST(p.n_shared AS DOUBLE) / sb.sz, 4)) >= 0.2
+         ORDER BY doc_id_a, doc_id_b""",
 
     // shared-shingle counts recomputed from raw strings (the hashed join
     // side loses nothing — same argument as the jaccard oracle)

@@ -383,6 +383,56 @@ object Dedup {
     * doc-frequency from the sets themselves — the web-scale stop-shingle
     * guard; makes the measure approximate (None = exact).
     */
+  /** Asymmetric containment pairs — |shingles(A) ∩ shingles(B)| over
+    * EACH side's own shingle count, both directions per pair. Catches
+    * what symmetric Jaccard structurally cannot: a short document quoted
+    * whole inside a long one has near-1 containment but tiny Jaccard, so
+    * the [[ngramJaccardPairs]] prefix filter correctly (for its
+    * contract) prunes it. Quote/excerpt detection is its own operator.
+    *
+    * Candidates come from shared-shingle co-occurrence with a document-
+    * frequency cap (`maxShingleDf`): a shingle in d docs contributes d²
+    * pair rows, so boilerplate shingles are excluded from matching —
+    * the [[graft.operators.Contamination]] stop-shingle contract; the
+    * intersection counts are exact over the SURVIVING shingles (the
+    * oracle applies the identical cap). Output: (doc_id_a, doc_id_b,
+    * n_shared, containment_a, containment_b) where
+    * max(containment) ≥ threshold.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleDf: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(threshold > 0.0 && threshold <= 1.0)
+    require(maxShingleDf >= 2)
+    // (doc_id, sh) — per-doc distinct by construction (shinglesFromTokens
+    // array_distincts); persisted: sizes, df, and both join sides read it
+    val sh = CacheRegistry.track(withShingles(docs, k)
+      .select(col("doc_id"), explode_outer(col("__shingles")).as("sh"))
+      .filter(col("sh").isNotNull) // safeExplodeNote
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    sh.count()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("__sz"))
+    val linking = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1 && col("__df") <= maxShingleDf)
+      .select("sh")
+    val slim = sh.join(linking, "sh")
+    val shared = slim.select(col("sh"), col("doc_id").as("doc_id_a"))
+      .join(slim.select(col("sh"), col("doc_id").as("doc_id_b")), "sh")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_id_a"), col("__sz").as("__sza")), "doc_id_a")
+      .join(sizes.select(col("doc_id").as("doc_id_b"), col("__sz").as("__szb")), "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__sza"), 4).as("containment_a"),
+        round(col("n_shared").cast("double") / col("__szb"), 4).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+  }
+
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleSize: Int = 3,

@@ -269,6 +269,53 @@ object Streaming {
     snapshot
   }
 
+  /** Streaming materialized view: maintain a per-group (n_rows,
+    * value_sum) aggregate under a changelog file stream — per
+    * micro-batch, [[graft.operators.Cdc.incrementalAgg]] runs with the
+    * PREVIOUS batch's view fed back (`baseAggOpt`), so the full-corpus
+    * aggregate never re-runs after bootstrap; the snapshot advances via
+    * [[graft.operators.Cdc.applyChangelog]] for the next batch's
+    * replaced-row lookups. Both sides' lineage is cut per trigger.
+    * Same ordered-delivery contract as [[streamingCdcApply]].
+    *
+    * Returns the final (groupCol, n_rows, value_sum) view.
+    */
+  def streamingIncrementalAgg(
+      spark: SparkSession,
+      changesDir: String,
+      base: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      groupCol: String,
+      valueCol: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(changesDir).schema
+    val reader = spark.readStream.schema(schema)
+    val changes = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(changesDir)
+    var snapshot = base.localCheckpoint(true)
+    var view: Option[org.apache.spark.sql.DataFrame] = None
+    val q = changes.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        view = Some(graft.operators.Cdc.incrementalAgg(
+          snapshot, b, keyCol, seqCol, groupCol, valueCol,
+          baseAggOpt = view).localCheckpoint(true))
+        snapshot = graft.operators.Cdc
+          .applyChangelog(snapshot, b, keyCol, seqCol)
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    view.getOrElse(graft.operators.Cdc.incrementalAgg(
+      snapshot, spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      keyCol, seqCol, groupCol, valueCol))
+  }
+
   /** Run a streaming DF to completion on currently-available data into an
     * in-memory table; returns the result as a batch DF.
     */

@@ -1532,6 +1532,22 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("containment: a quoted short doc scores 1.0 where jaccard stays tiny") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")            // 38 shingles
+    val short = (10 to 14).map(i => s"w$i").mkString(" ")          // 3 shingles, all in long
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")))
+    assert(pairs.toSeq == Seq((1L, 2L, round4(3.0 / 38), 1.0)))
+    // the symmetric operator misses it at any threshold the pair's
+    // jaccard (3/38) can't reach
+    assert(Dedup.ngramJaccardPairs(df, threshold = 0.5).count() == 0)
+  }
+
+  private def round4(x: Double): Double = math.round(x * 10000).toDouble / 10000
+
   test("salted join equals the plain join, including unmatched-key drops") {
     val fact = Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0),
       (4L, 99L, 4.0)).toDF("fid", "k", "v") // key 99 has no dim row

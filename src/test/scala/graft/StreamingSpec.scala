@@ -216,6 +216,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d", 40.0)))
   }
 
+  test("streaming materialized view (incremental agg per batch) equals from-scratch") {
+    import spark.implicits._
+    val dir = tmpDir("mv-stream")
+    val base = Seq((1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g2", 30.0))
+      .toDF("id", "grp", "v")
+    def addFile(rows: Seq[(Long, String, Double, String, Long)], name: String): Unit = {
+      val scratch = tmpDir("mv-scratch")
+      rows.toDF("id", "grp", "v", "op", "seq")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    addFile(Seq((1L, "g2", 11.0, "U", 1L), (4L, "g3", 40.0, "I", 2L)), "f1.parquet")
+    addFile(Seq((2L, "g1", 0.0, "D", 3L), (4L, "g3", 45.0, "U", 4L)), "f2.parquet")
+
+    val view = Streaming.streamingIncrementalAgg(spark, dir.toString, base,
+        "id", "seq", "grp", "v", maxFilesPerTrigger = Some(1))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val scratch = operators.Cdc.applyChangelog(base,
+        spark.read.parquet(dir.toString), "id", "seq")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,4)")).cast("double").as("s"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(view.toSeq == scratch.toSeq)
+    // snapshot after both batches: 1→g2 11, 3→g2 30, 4→g3 45
+    assert(view.toSeq == Seq(("g2", 2L, 41.0), ("g3", 1L, 45.0)))
+  }
+
   test("event-time windowed aggregation equals the batch equivalent") {
     // streaming file source requires a directory
     val eventsDir = tmpDir("stream-events").toString
