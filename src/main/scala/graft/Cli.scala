@@ -224,7 +224,7 @@ object Cli {
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
-          |              pagerank|dsir|bpe|bpeseg|bpetokens|containment]
+          |              pagerank|dsir|bpe|bpeseg|bpetokens|containment|clusterterms]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
@@ -393,6 +393,9 @@ object Cli {
       case "editdist"    => Dedup.editDistanceNearDup(docs,
         maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "clusterterms" => Tfidf.clusterTopTerms(docs,
+        flags.getOrElse("group-col", "lang"),
+        topK = flags.getOrElse("topk", "10").toInt)
       case "containment" => Dedup.containmentPairs(docs,
         threshold = threshold(0.5),
         maxShingleDf = flags.getOrElse("df-cap", "64").toInt)

@@ -368,6 +368,27 @@ object ScaleCheck {
           emb10.filter(col("vec_id") < 20), k = 5, nprobe = 2).count())
     }
 
+    // containment at 10x all-dup corpus: df cap bounds the pair space
+    // under extreme sharing (every shingle sits in ≥10 docs)
+    time("containment pairs 50k all-dup docs (df cap 64)") {
+      println("[scale] containment pairs: " +
+        operators.Dedup.containmentPairs(docs10, threshold = 0.5).count())
+    }
+    operators.CacheRegistry.release(spark)
+
+    // salted join at 10x: 150k facts x replicated dim
+    time("salted join 150k orders x 150k customers (8 salts)") {
+      println("[scale] salted join rows: " +
+        operators.Skew.saltedJoin(
+          (0 until 10).map(i => orders
+            .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L))
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L)))
+            .reduce(_ unionAll _)
+            .withColumnRenamed("o_custkey", "c_custkey"),
+          cust10.select("c_custkey", "c_mktsegment"),
+          "c_custkey", "o_orderkey", saltBuckets = 8).count())
+    }
+
     // KMV per-source sketches on 50k docs: k-bounded state per group
     time("kmv overlap matrix 50k docs (k=64)") {
       val items = docs10

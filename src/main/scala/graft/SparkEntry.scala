@@ -823,6 +823,13 @@ object SparkEntry {
         .orderBy("probe_id", "doc_id")
     }),
 
+    // c-TF-IDF cluster term profiling: most DISTINCTIVE terms per
+    // language — rational idf over group document-frequency, no log
+    "q_cluster_terms" -> ((s, dir) =>
+      Tfidf.clusterTopTerms(Tables.load(s, dir, "documents"),
+          "lang", topK = 10)
+        .orderBy("lang", "rank")),
+
     // asymmetric containment (quote/excerpt detection): what symmetric
     // jaccard structurally misses — a short doc inside a long one
     "q_containment" -> ((s, dir) =>
@@ -3079,6 +3086,32 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
                < floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)
          ORDER BY doc_id""",
+
+    // c-TF-IDF replay: (group, term) counts, group df, the same
+    // rational-idf weight expression, rank window with term tie-break
+    "q_cluster_terms" ->
+      """WITH toks AS (
+           SELECT lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), terms AS (
+           SELECT lang, unnest(tk) AS term FROM toks
+         ), tf AS (
+           SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+           FROM terms GROUP BY 1, 2
+         ), gdf AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS gdf FROM tf GROUP BY 1
+         ), ng AS (
+           SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n FROM documents
+         ), wtd AS (
+           SELECT tf.lang, tf.term, tf.tf, gdf.gdf,
+             round(CAST(tf.tf AS DOUBLE) *
+               (CAST(ng.n + 1 AS DOUBLE) / CAST(gdf.gdf + 1 AS DOUBLE)), 4) AS weight
+           FROM tf JOIN gdf USING (term), ng)
+         SELECT lang, term, tf, gdf, weight, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY weight DESC, term ASC) AS rank
+           FROM wtd) WHERE rank <= 10
+         ORDER BY lang, rank""",
 
     // containment replay: same string shingles, same df cap, exact
     // shared counts, both per-side ratios

@@ -132,4 +132,40 @@ object Tfidf {
         round(col("__dot") / (col("__na") * col("__nb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Cluster term profiling (c-TF-IDF, the BERTopic representation step):
+    * treat each group (a k-means cluster label, a language, a source) as
+    * one pseudo-document and rank ITS most distinctive terms —
+    * weight(t, g) = tf(t, g) · (N_groups + 1)/(gdf(t) + 1), where gdf
+    * counts the GROUPS containing t. Same rational idf convention as
+    * [[tfidfVectors]] (no logarithm — the weight hash-replays), 4dp, top
+    * `topK` per group with ties on the term.
+    *
+    * Scale shape: two partial-agg shuffles over (group, term) — both
+    * vocabulary×groups-sized, far under the corpus — one single-row
+    * broadcast for the group count, one ≤topK-per-group window.
+    */
+  def clusterTopTerms(
+      docs: DataFrame, groupCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(groupCol), explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull) // Dedup.safeExplodeNote
+    val tf = terms.groupBy(groupCol, "term").agg(count(lit(1)).as("tf"))
+    val gdf = tf.groupBy("term").agg(count(lit(1)).as("gdf"))
+    val nGroups = docs.agg(
+      countDistinct(col(groupCol)).as("__ng"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("weight").desc, col("term").asc)
+    tf.join(gdf, "term")
+      .crossJoin(broadcast(nGroups))
+      .withColumn("weight",
+        round(col("tf").cast("double") *
+          ((col("__ng") + 1).cast("double") / (col("gdf") + 1).cast("double")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(groupCol), col("term"), col("tf"), col("gdf"),
+        col("weight"), col("rank"))
+  }
 }

@@ -1532,6 +1532,22 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("c-tf-idf: group-exclusive terms outrank shared ones") {
+    val df = Seq(
+      (1L, "g1", "alpha alpha shared"),
+      (2L, "g1", "alpha shared"),
+      (3L, "g2", "beta shared shared")
+    ).toDF("doc_id", "grp", "text")
+    val top = Tfidf.clusterTopTerms(df, "grp", topK = 2)
+      .orderBy("grp", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(5)))
+    // g1: alpha tf=3 gdf=1 w=3·(3/2)=4.5 beats shared tf=2 gdf=2 w=2·(3/3)=2
+    // g2: shared tf=2 w=2 beats beta tf=1 gdf=1 w=1.5
+    assert(top.toSeq == Seq(
+      ("g1", "alpha", 1), ("g1", "shared", 2),
+      ("g2", "shared", 1), ("g2", "beta", 2)))
+  }
+
   test("containment: a quoted short doc scores 1.0 where jaccard stays tiny") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")            // 38 shingles
     val short = (10 to 14).map(i => s"w$i").mkString(" ")          // 3 shingles, all in long
