@@ -823,6 +823,18 @@ object SparkEntry {
         .orderBy("probe_id", "doc_id")
     }),
 
+    // distribution drift between two corpus halves: shared-bin
+    // histograms + per-bin total-variation contribution (rational — no
+    // PSI/KL logarithm), fixed ≤bins memory
+    "q_drift" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      operators.Stats.histogramDrift(
+          li.filter(col("l_orderkey") % 2 === 0),
+          li.filter(col("l_orderkey") % 2 === 1),
+          "l_extendedprice", bins = 64)
+        .orderBy("bin")
+    }),
+
     // c-TF-IDF cluster term profiling: most DISTINCTIVE terms per
     // language — rational idf over group document-frequency, no log
     "q_cluster_terms" -> ((s, dir) =>
@@ -3086,6 +3098,45 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
                < floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)
          ORDER BY doc_id""",
+
+    // drift replay: identical shared-bin assignment and the same
+    // rounded-share TVD expression, bit-for-bit IEEE order
+    "q_drift" ->
+      """WITH av AS (
+           SELECT l_extendedprice AS v FROM lineitem
+           WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+         bv AS (
+           SELECT l_extendedprice AS v FROM lineitem
+           WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+         uni AS (
+           SELECT v, CAST(1 AS BIGINT) AS isa FROM av
+           UNION ALL SELECT v, CAST(0 AS BIGINT) AS isa FROM bv),
+         st AS (
+           SELECT min(v) AS mn, max(v) AS mx,
+             CAST(sum(isa) AS BIGINT) AS na,
+             CAST(sum(1 - isa) AS BIGINT) AS nb
+           FROM uni),
+         binned AS (
+           SELECT CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+             ELSE least(CAST(floor((v - st.mn) / (st.mx - st.mn) * 64) AS BIGINT),
+               CAST(63 AS BIGINT)) END AS bin,
+             isa, st.mn, st.mx, st.na, st.nb
+           FROM uni, st),
+         g AS (
+           SELECT bin, CAST(sum(isa) AS BIGINT) AS n_a,
+             CAST(sum(1 - isa) AS BIGINT) AS n_b,
+             any_value(mn) AS mn, any_value(mx) AS mx,
+             any_value(na) AS na, any_value(nb) AS nb
+           FROM binned GROUP BY bin)
+         SELECT bin,
+           mn + bin * (mx - mn) / 64 AS lo,
+           mn + (bin + 1) * (mx - mn) / 64 AS hi,
+           n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / na, 6) AS share_a,
+           round(CAST(n_b AS DOUBLE) / nb, 6) AS share_b,
+           round(abs(round(CAST(n_a AS DOUBLE) / na, 6)
+             - round(CAST(n_b AS DOUBLE) / nb, 6)) / 2, 6) AS tvd_term
+         FROM g ORDER BY bin""",
 
     // c-TF-IDF replay: (group, term) counts, group df, the same
     // rational-idf weight expression, rank window with term tie-break

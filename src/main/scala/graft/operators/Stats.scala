@@ -101,4 +101,55 @@ object Stats {
         coalesce(col("n_registers_used"), lit(0L)).as("n_registers_used"),
         coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
   }
+
+  /** Distribution-drift monitor between two corpora: histogram both over
+    * SHARED bins (global min/max of the union — comparing histograms on
+    * different bin edges is the classic drift-report bug) and report
+    * per-bin population shares plus the running total-variation distance
+    * contribution |p_a − p_b| / 2. TVD instead of PSI/KL: those need a
+    * logarithm (engine-varying last ulp, and undefined on empty bins);
+    * TVD is rational, bounded [0,1], and 0 iff identical — the whole
+    * report hash-replays. Σ tvd_term over the rows IS the distance.
+    *
+    * Scale shape: one stats aggregate over the union (two scans reduced
+    * to single rows), one map-side bin assignment per side, two
+    * ≤bins-row aggregates — the [[Quantiles.binnedQuantiles]] fixed-
+    * memory contract. Rows with a null value are excluded (both sides).
+    *
+    * Output: (bin, lo, hi, n_a, n_b, share_a, share_b, tvd_term),
+    * one row per OCCUPIED bin.
+    */
+  def histogramDrift(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int = 64): DataFrame = {
+    require(bins >= 1)
+    val v = col(valueCol).cast("double")
+    val aNN = a.select(v.as("__v")).filter(col("__v").isNotNull)
+    val bNN = b.select(v.as("__v")).filter(col("__v").isNotNull)
+    val both = aNN.select(col("__v"), lit(1L).as("__isa"))
+      .unionByName(bNN.select(col("__v"), lit(0L).as("__isa")))
+    val stats = broadcast(both.agg(
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      sum(col("__isa")).as("__na"),
+      sum(lit(1L) - col("__isa")).as("__nb")))
+    val binCol = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(
+        floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn")) * bins),
+        lit((bins - 1).toLong)))
+    both.crossJoin(stats)
+      .withColumn("bin", binCol)
+      .groupBy("bin")
+      .agg(sum(col("__isa")).as("n_a"),
+        sum(lit(1L) - col("__isa")).as("n_b"),
+        first(col("__mn")).as("__mn"), first(col("__mx")).as("__mx"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .select(col("bin"),
+        (col("__mn") + col("bin") * (col("__mx") - col("__mn")) / bins).as("lo"),
+        (col("__mn") + (col("bin") + 1) * (col("__mx") - col("__mn")) / bins).as("hi"),
+        col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") / col("__na"), 6).as("share_a"),
+        round(col("n_b").cast("double") / col("__nb"), 6).as("share_b"),
+        round(abs(round(col("n_a").cast("double") / col("__na"), 6)
+          - round(col("n_b").cast("double") / col("__nb"), 6)) / 2, 6).as("tvd_term"))
+  }
 }

@@ -1532,6 +1532,18 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("histogram drift: zero on identical corpora, total 1.0 on disjoint ranges") {
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val zero = Stats.histogramDrift(a, a, "x", bins = 10).collect()
+    assert(zero.nonEmpty && zero.forall(_.getAs[Double]("tvd_term") == 0.0))
+
+    val lo = (1 to 50).map(_.toDouble).toDF("x")
+    val hi = (1001 to 1050).map(_.toDouble).toDF("x")
+    val total = Stats.histogramDrift(lo, hi, "x", bins = 4)
+      .agg(sum(col("tvd_term"))).collect()(0).getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"disjoint TVD $total")
+  }
+
   test("c-tf-idf: group-exclusive terms outrank shared ones") {
     val df = Seq(
       (1L, "g1", "alpha alpha shared"),
