@@ -395,7 +395,11 @@ object Dedup {
     * pair rows, so boilerplate shingles are excluded from matching —
     * the [[graft.operators.Contamination]] stop-shingle contract; the
     * intersection counts are exact over the SURVIVING shingles (the
-    * oracle applies the identical cap). Output: (doc_id_a, doc_id_b,
+    * oracle applies the identical cap), while per-doc sizes count ALL
+    * shingles — so the reported containment is a LOWER BOUND of the
+    * true ratio, and `maxShingleDf` must scale with corpus duplication
+    * (a 10×-replicated corpus inflates every df 10×; at the default cap
+    * nothing would survive to match). Output: (doc_id_a, doc_id_b,
     * n_shared, containment_a, containment_b) where
     * max(containment) ≥ threshold.
     */
