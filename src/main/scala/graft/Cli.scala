@@ -224,7 +224,8 @@ object Cli {
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
-          |              pagerank|dsir|bpe|bpeseg|bpetokens|containment|clusterterms]
+          |              pagerank|dsir|bpe|bpeseg|bpetokens|containment|clusterterms|
+          |              kfold|purity|drift]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
@@ -393,6 +394,17 @@ object Cli {
       case "editdist"    => Dedup.editDistanceNearDup(docs,
         maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "kfold"       => Sampling.kfoldAssign(docs, "doc_id",
+        k = flags.getOrElse("k", "5").toInt)
+      case "purity"      => Similarity.clusterPurity(docs,
+        flags.getOrElse("label-col", "label"),
+        k = flags.getOrElse("k", "8").toInt,
+        iters = flags.getOrElse("iters", "2").toInt)
+      case "drift"       => operators.Stats.histogramDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        flags.getOrElse("value-col", "n_chars"),
+        bins = flags.getOrElse("bins", "64").toInt)
       case "clusterterms" => Tfidf.clusterTopTerms(docs,
         flags.getOrElse("group-col", "lang"),
         topK = flags.getOrElse("topk", "10").toInt)

@@ -823,6 +823,19 @@ object SparkEntry {
         .orderBy("probe_id", "doc_id")
     }),
 
+    // deterministic k-fold assignment — reproducible cross-validation
+    // membership from the id hash alone
+    "q_kfold" -> ((s, dir) =>
+      Sampling.kfoldAssign(Tables.load(s, dir, "documents"), "doc_id", k = 5)
+        .select("doc_id", "fold").orderBy("doc_id")),
+
+    // external cluster quality: k-means clusters scored against the
+    // ground-truth label column — majority label + purity per cluster
+    "q_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(Tables.load(s, dir, "embeddings"),
+          "label", k = 8, iters = 2)
+        .orderBy("cluster_id")),
+
     // distribution drift between two corpus halves: shared-bin
     // histograms + per-bin total-variation contribution (rational — no
     // PSI/KL logarithm), fixed ≤bins memory
@@ -3098,6 +3111,37 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
                < floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)
          ORDER BY doc_id""",
+
+    // md5-60 arithmetic replay, mod k instead of the split's buckets
+    "q_kfold" ->
+      """SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INT) AS fold
+         FROM documents ORDER BY doc_id""",
+
+    // the full k-means chain + final assignment (the q_semantic_dedup af
+    // pattern) + label majority with the same tie-break
+    "q_cluster_purity" -> {
+      val iters = 2
+      s"""WITH ${kmeansCtes(8, iters)},
+         af AS (
+           SELECT vec_id, c FROM (
+             SELECT e.vec_id, c.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
+             FROM ev e CROSS JOIN cents$iters c) t WHERE rn = 1
+         ), lc AS (
+           SELECT af.c AS cluster_id, em.label, CAST(count(*) AS BIGINT) AS lcnt
+           FROM af JOIN embeddings em ON af.vec_id = em.vec_id GROUP BY 1, 2
+         ), tot AS (
+           SELECT cluster_id, CAST(sum(lcnt) AS BIGINT) AS n FROM lc GROUP BY 1)
+         SELECT cluster_id, n, top_label, n_top,
+           round(CAST(n_top AS DOUBLE) / n, 4) AS purity FROM (
+           SELECT lc.cluster_id, tot.n, lc.label AS top_label, lc.lcnt AS n_top,
+             row_number() OVER (PARTITION BY lc.cluster_id
+               ORDER BY lc.lcnt DESC, lc.label ASC) AS r
+           FROM lc JOIN tot USING (cluster_id)) t WHERE r = 1
+         ORDER BY cluster_id"""
+    },
 
     // drift replay: identical shared-bin assignment and the same
     // rounded-share TVD expression, bit-for-bit IEEE order

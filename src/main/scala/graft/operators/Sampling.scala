@@ -45,6 +45,19 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold(row) =
+    * md5-bucket(id) mod k — same engine/run/partitioning-reproducible
+    * membership contract as [[deterministicSplit]], so fold i's
+    * train/eval complement is recomputable anywhere without storing
+    * assignments. Seeding by concatenating a salt into the id column
+    * upstream rotates folds.
+    */
+  def kfoldAssign(df: DataFrame, idCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"need at least 2 folds, got $k")
+    df.withColumn("fold", pmod(Dedup.md5Token60(col(idCol).cast("string")),
+      lit(k.toLong)).cast("int"))
+  }
+
   /** Deterministic fraction-of-corpus sample: keep a row iff its hash
     * bucket falls under `fraction`. The engine-portable replacement for
     * `df.sample` in reproducible pipelines.

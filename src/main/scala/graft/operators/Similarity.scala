@@ -544,6 +544,42 @@ object Similarity {
     * k×dim. At 100 TB, size k so clusters stay joinable and reuse an
     * offline codebook across ingest batches instead of retraining.
     */
+  /** Cluster-vs-label agreement report: train the k-means codebook,
+    * assign every vector (the semanticDedup rounded-cosine/tie-break
+    * comparison), and score each cluster against a ground-truth label
+    * column — n, majority label (ties on label value), majority count,
+    * purity = n_top/n at 4dp. The standard external cluster-quality
+    * check when any labeled subset exists; also the telemetry that says
+    * whether SemDeDup's blocks align with real structure.
+    */
+  def clusterPurity(
+      embeddings: DataFrame,
+      labelCol: String = "label",
+      k: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val cb = trainCodebook(embeddings, k, iters)
+    val cents = broadcast(
+      cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
+    val ev = Parallelism.ensure(
+      embeddings.select(col("vec_id"), col("embedding"), col(labelCol)), "vec_id")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
+    val assigned = ev.crossJoin(cents)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("c").as("cluster_id"), col(labelCol))
+    val counts = assigned.groupBy("cluster_id", labelCol)
+      .agg(count(lit(1)).as("__lc"))
+    val wTop = Window.partitionBy("cluster_id")
+      .orderBy(col("__lc").desc, col(labelCol).asc)
+    counts.withColumn("__r", row_number().over(wTop))
+      .withColumn("n", sum(col("__lc")).over(Window.partitionBy("cluster_id")))
+      .filter(col("__r") === 1)
+      .select(col("cluster_id"), col("n"),
+        col(labelCol).as("top_label"), col("__lc").as("n_top"),
+        round(col("__lc").cast("double") / col("n"), 4).as("purity"))
+  }
+
   def semanticDedup(
       embeddings: DataFrame,
       k: Int = 8,

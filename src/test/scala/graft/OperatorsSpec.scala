@@ -1532,6 +1532,36 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("kfold: total partition into k folds, invariant to data partitioning") {
+    val df = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val folds = Sampling.kfoldAssign(df, "doc_id", k = 5)
+      .groupBy("fold").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0, 1, 2, 3, 4))
+    assert(folds.values.sum == 300L)
+    folds.values.foreach(n => assert(n > 30, s"fold badly unbalanced: $folds"))
+    val repart = Sampling.kfoldAssign(df.repartition(7), "doc_id", k = 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val orig = Sampling.kfoldAssign(df, "doc_id", k = 5)
+      .select("doc_id", "fold").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(repart == orig)
+  }
+
+  test("cluster purity: separated label-aligned clusters score 1.0") {
+    val vecs = (0 until 20).map { i =>
+      val label = i % 2
+      val base = Array.fill(8)(0.01f * (i % 3))
+      base(label) = 1.0f
+      (i.toLong, base, label)
+    }.toDF("vec_id", "embedding", "label")
+    val rows = Similarity.clusterPurity(vecs, "label", k = 2, iters = 2)
+      .orderBy("cluster_id").collect()
+    assert(rows.map(_.getLong(1)).sum == 20L)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("purity") == 1.0, s"impure cluster: $r")
+    }
+  }
+
   test("histogram drift: zero on identical corpora, total 1.0 on disjoint ranges") {
     val a = (1 to 100).map(_.toDouble).toDF("x")
     val zero = Stats.histogramDrift(a, a, "x", bins = 10).collect()
