@@ -1028,6 +1028,13 @@ object SparkEntry {
       Graph.pageRank(edges, iters = 3).orderBy("node")
     }),
 
+    // weighted variant: mass splits ∝ shared-span count, so the heavy
+    // duplicators concentrate rank — same fixed-point engine-exact loop
+    "q_pagerank_w" -> ((s, dir) => {
+      val edges = Graph.spanLinkEdgesWeighted(Tables.load(s, dir, "documents"))
+      Graph.pageRank(edges, iters = 3, weightCol = Some("w")).orderBy("node")
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters → within-cluster
     // cosine prune → keep the lowest-id representative. Threshold 0.4
     // because the synthetic corpus has no true embedding dups (max cos
@@ -3111,6 +3118,61 @@ object SparkEntry {
          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
                < floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)
          ORDER BY doc_id""",
+
+    // the q_pagerank chain with shared-span edge weights: out-STRENGTH
+    // replaces out-degree, contribution carries w — same fixed point
+    "q_pagerank_w" -> {
+      val iters = 3
+      val Q = 1L << 40
+      val iterCtes = (0 until iters).map { i =>
+        s"""d$i AS (
+           SELECT CAST(coalesce(sum(CAST(floor(rank * $Q + 0.5) AS BIGINT)), 0) AS BIGINT) AS dang
+           FROM r$i WHERE node NOT IN (SELECT src FROM od)),
+         c$i AS (
+           SELECT e.dst, CAST(sum(CAST(floor(r.rank * e.w / od.deg * $Q + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
+           GROUP BY e.dst),
+         r${i + 1} AS (
+           SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c.s, 0) AS DOUBLE) / $Q
+               + CAST(d.dang AS DOUBLE) / nn.n / $Q) AS rank
+           FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, d$i d, nn)"""
+      }.mkString(",\n         ")
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), sp0 AS (
+           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), sp AS (
+           SELECT DISTINCT doc_id, span_md5 FROM sp0
+         ), linking AS (
+           SELECT span_md5 FROM (
+             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
+           WHERE nd > 1 AND nd <= 64
+         ), spl AS (
+           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
+         ), p AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS w
+           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), e AS (
+           SELECT src, dst, w FROM p
+           UNION ALL SELECT dst AS src, src AS dst, w FROM p
+         ), nodes AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         od AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+         $iterCtes
+         SELECT node, rank FROM r$iters ORDER BY node"""
+    },
 
     // md5-60 arithmetic replay, mod k instead of the split's buckets
     "q_kfold" ->

@@ -35,13 +35,22 @@ object Graph {
     * directions for an undirected graph). Node universe = src ∪ dst.
     * Dangling nodes (no out-edges) redistribute their mass uniformly.
     * Returns (node, rank) with Σ rank = 1 (up to quantization).
+    *
+    * `weightCol`: optional positive integer edge weights — a node's
+    * mass splits ∝ weight/Σ(out-weights) instead of uniformly (for
+    * [[spanLinkEdges]]-style graphs, the natural weight is how many
+    * spans a pair shares). Unweighted is weight ≡ 1. Weights must be
+    * integral: the out-strength stays an exact long, so the
+    * fixed-point contribution `floor(rank·w/strength·2^40 + 0.5)`
+    * remains one pinned IEEE expression per edge.
     */
   def pageRank(
       edges: DataFrame,
       srcCol: String = "src",
       dstCol: String = "dst",
       iters: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(damping > 0.0 && damping < 1.0)
     val spark = edges.sparkSession
@@ -49,15 +58,22 @@ object Graph {
     // one cut up front: e backs 3 plans per iteration — without it the
     // whole edge-derivation subtree (for spanLinkEdges: chunk + md5 +
     // self-join) rides inside every iteration's optimizer pass
-    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct())
+    val e = cut(weightCol match {
+      case Some(wc) => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(wc).cast("long").as("w"))
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .withColumn("w", lit(1L))
+    })
     val nodes = CacheRegistry.track(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK))
     val outdeg = CacheRegistry.track(
-      e.groupBy("src").agg(count(lit(1)).as("deg"))
+      e.groupBy("src").agg(sum(col("w")).as("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count()
     if (n == 0) {
@@ -80,7 +96,7 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
         .select(col("dst"),
-          floor(col("rank") / col("deg") * Q + 0.5).cast("long").as("c"))
+          floor(col("rank") * col("w") / col("deg") * Q + 0.5).cast("long").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
 
       // per-iteration cut, not persist: rank rows are one-per-node but
@@ -113,7 +129,16 @@ object Graph {
     * [[Tfidf.sparseCosinePairs]]' df cap.
     */
   def spanLinkEdges(docs: DataFrame, spanTokens: Int = 32, stride: Int = 16,
-      maxDocsPerSpan: Int = 64): DataFrame = {
+      maxDocsPerSpan: Int = 64): DataFrame =
+    spanLinkEdgesWeighted(docs, spanTokens, stride, maxDocsPerSpan)
+      .select("src", "dst")
+
+  /** [[spanLinkEdges]] carrying the natural edge weight: how many
+    * distinct spans the pair shares — feeds [[pageRank]]'s `weightCol`
+    * so heavily-duplicating pairs pull proportionally more rank.
+    */
+  def spanLinkEdgesWeighted(docs: DataFrame, spanTokens: Int = 32,
+      stride: Int = 16, maxDocsPerSpan: Int = 64): DataFrame = {
     require(maxDocsPerSpan >= 2)
     val spans = Dedup.spanFingerprints(docs, spanTokens, stride)
       .select("doc_id", "span_md5").distinct()
@@ -130,8 +155,7 @@ object Graph {
     val b = slim.select(col("span_md5"), col("doc_id").as("dst"))
     val pairs = a.join(b, "span_md5")
       .filter(col("src") < col("dst"))
-      .select("src", "dst")
-      .distinct()
-    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
 }

@@ -1775,5 +1775,14 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(dang.values.sum - 1.0) < 1e-6)
     assert(dang(2L) > dang(1L)) // the sink receives 1's contribution
+
+    // weighted: hub 0 splits 10:1 between leaves 1 and 2 — the heavy
+    // leaf outranks the light one; mass still conserved
+    val wEdges = Seq((0L, 1L, 10L), (1L, 0L, 10L), (0L, 2L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val wr = Graph.pageRank(wEdges, iters = 5, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wr(1L) > wr(2L), s"weighted split not respected: $wr")
+    assert(math.abs(wr.values.sum - 1.0) < 1e-6)
   }
 }
