@@ -14,10 +14,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape per iteration: contributions shuffle ON THE EDGE (one
   * partial-combined aggregation keyed by dst), ranks are one row per
-  * node, and the only driver-bound values are two scalars (node count,
-  * dangling mass). Rank tables persist each round and release the round
-  * after — the bounded-driver-loop contract of
-  * [[Similarity.trainCodebook]].
+  * node, the dangling mass rides as a crossed ONE-ROW frame (no driver
+  * collect — one action per iteration, the lineage cut), and the only
+  * driver-bound value is the node count. Rank tables are cut each round
+  * and released the round after.
   *
   * Determinism (the oracle contract): per-edge contributions are
   * quantized ONCE to 2^40 fixed point — floor(rank/outdeg · 2^40 + 0.5)
@@ -53,7 +53,6 @@ object Graph {
       weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(damping > 0.0 && damping < 1.0)
-    val spark = edges.sparkSession
 
     // one cut up front: e backs 3 plans per iteration — without it the
     // whole edge-derivation subtree (for spanLinkEdges: chunk + md5 +
