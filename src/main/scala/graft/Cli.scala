@@ -225,7 +225,7 @@ object Cli {
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
           |              pagerank|dsir|bpe|bpeseg|bpetokens|containment|clusterterms|
-          |              kfold|purity|drift]
+          |              kfold|purity|drift|collocations|gini]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
@@ -394,6 +394,10 @@ object Cli {
       case "editdist"    => Dedup.editDistanceNearDup(docs,
         maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "collocations" => TextAnalysis.collocations(docs,
+        minCount = flags.getOrElse("min-count", "5").toLong,
+        topK = flags.getOrElse("topk", "20").toInt)
+      case "gini"        => TextAnalysis.tokenDiversity(docs)
       case "kfold"       => Sampling.kfoldAssign(docs, "doc_id",
         k = flags.getOrElse("k", "5").toInt)
       case "purity"      => Similarity.clusterPurity(docs,
@@ -570,6 +574,8 @@ object Cli {
         .orderBy("cohort", "period_offset")
       case "json"       => Events.jsonFieldStats(ev,
         flags.getOrElse("path", "$.k")).orderBy("event_type")
+      case "transitions" => Events.transitionMatrix(ev)
+        .orderBy("from_type", "to_type")
       case other => fail(s"unknown events op: $other")
     }
     flags.get("out") match {

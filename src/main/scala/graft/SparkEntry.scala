@@ -823,6 +823,25 @@ object SparkEntry {
         .orderBy("probe_id", "doc_id")
     }),
 
+    // collocation mining by LIFT (rational PMI): bigrams whose
+    // co-occurrence beats independence, min-count floored
+    "q_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.load(s, dir, "documents"),
+          minCount = 5, topK = 20)
+        .orderBy("rank")),
+
+    // per-doc token diversity as Gini impurity — the log-free entropy
+    // twin, decimal-exact squared-share accumulation
+    "q_gini" -> ((s, dir) =>
+      TextAnalysis.tokenDiversity(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // empirical event-type Markov chain: per-user time-ordered
+    // transitions, counts + row-normalized probabilities
+    "q_transitions" -> ((s, dir) =>
+      operators.Events.transitionMatrix(Tables.loadEvents(s, dir))
+        .orderBy("from_type", "to_type")),
+
     // deterministic k-fold assignment — reproducible cross-validation
     // membership from the id hash alone
     "q_kfold" -> ((s, dir) =>
@@ -3173,6 +3192,82 @@ object SparkEntry {
          $iterCtes
          SELECT node, rank FROM r$iters ORDER BY node"""
     },
+
+    // lift replay on the q_lm_score bigram substrate: integer products
+    // cast to double once, one global rank with the (w1, w2) tie-break
+    "q_collocations" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), bi AS (
+           SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
+             SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+               THEN list_transform(range(2, len(tk) + 1), i -> {'w1': tk[i-1], 'w2': tk[i]})
+               ELSE [] END) AS b
+             FROM toks) u
+         ), bc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+           FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+         ), tk2 AS (SELECT unnest(tk) AS tok FROM toks),
+         uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk2 GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk2)
+         SELECT rank, w1, w2, pair_count, c1, c2, lift FROM (
+           SELECT bc.w1, bc.w2, bc.pair_count, u1.c AS c1, u2.c AS c2,
+             round(CAST(tot.n * bc.pair_count AS DOUBLE)
+               / CAST(u1.c * u2.c AS DOUBLE), 4) AS lift,
+             row_number() OVER (ORDER BY
+               round(CAST(tot.n * bc.pair_count AS DOUBLE)
+                 / CAST(u1.c * u2.c AS DOUBLE), 4) DESC, bc.w1 ASC, bc.w2 ASC) AS rank
+           FROM bc
+           JOIN uc u1 ON bc.w1 = u1.tok
+           JOIN uc u2 ON bc.w2 = u2.tok, tot) t
+         WHERE rank <= 20 ORDER BY rank""",
+
+    // gini replay: per-(doc, token) counts, windowed doc totals, 8dp
+    // squared shares into DECIMAL, the same 1 − Σp² expression
+    "q_gini" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), tc AS (
+           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+         ), tc2 AS (
+           SELECT doc_id, c,
+             CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+           FROM tc
+         ), p AS (
+           SELECT doc_id, n,
+             CAST(round(CAST(c * c AS DOUBLE) / CAST(n * n AS DOUBLE), 8)
+               AS DECIMAL(18,8)) AS p2
+           FROM tc2
+         ), g AS (
+           SELECT doc_id, any_value(n) AS n_tokens,
+             round(1.0 - CAST(sum(p2) AS DOUBLE), 6) AS gini_diversity
+           FROM p GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(g.n_tokens, 0) AS n_tokens,
+           coalesce(g.gini_diversity, 0.0) AS gini_diversity
+         FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
+         ORDER BY d.doc_id""",
+
+    // transition replay: the q_sessionize lag ordering, counts +
+    // windowed row totals, one rounded division
+    "q_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS from_type
+           FROM events
+         ), c AS (
+           SELECT from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+           FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT), 4)
+             AS p_transition
+         FROM c ORDER BY from_type, to_type""",
 
     // md5-60 arithmetic replay, mod k instead of the split's buckets
     "q_kfold" ->

@@ -27,6 +27,30 @@ object Events {
       .select(col("event_id"), col("user_id"), col("session_id"))
   }
 
+  /** First-order event-type transition matrix: counts of (from_type →
+    * to_type) over each user's time-ordered stream, plus the
+    * row-normalized probability — the empirical Markov chain behind
+    * path/next-action analysis. One lag window per user (ties on
+    * event_id, the sessionize ordering), one vocabulary²-bounded count
+    * aggregate; the probability divides by a per-from_type window over
+    * ≤|types|² rows.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val steps = events
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val counts = steps.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val wFrom = Window.partitionBy("from_type")
+    counts
+      .withColumn("__tot", sum(col("n_transitions")).over(wFrom))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") / col("__tot"), 4)
+          .as("p_transition"))
+  }
+
   /** Ordered-funnel analysis: for a stage sequence (s₁ … sₖ), a user
     * reaches stage i+1 only with an event of that type STRICTLY AFTER
     * their earliest qualifying stage-i event (the standard

@@ -198,6 +198,71 @@ object TextAnalysis {
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
+  /** Collocation mining by LIFT — corpus bigrams whose co-occurrence
+    * beats independence: lift(x,y) = N·c(xy) / (c(x)·c(y)) over token
+    * occurrence counts (N = total tokens). The rational stand-in for
+    * PMI (PMI is just log lift — the log adds nothing to the RANKING
+    * and breaks cross-engine replay). `minCount` floors c(xy): rare
+    * pairs have wildly-variant lift (the classic PMI pathology).
+    * Output: top `topK` by (4dp lift DESC, w1, w2) with counts.
+    *
+    * Scale shape: the [[lmScore]] bigram substrate — one explode, two
+    * vocabulary-sized count shuffles, one single-row broadcast.
+    */
+  def collocations(
+      docs: DataFrame, minCount: Long = 5, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val bi = bigramOccurrences(docs)
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val toks = docs
+      .select(explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull) // Dedup.safeExplodeNote
+    val uc = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+    bc
+      .join(uc.select(col("tok").as("w1"), col("__c").as("c1")), "w1")
+      .join(uc.select(col("tok").as("w2"), col("__c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        round((col("__n") * col("pair_count")).cast("double")
+          / (col("c1") * col("c2")).cast("double"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("rank", "w1", "w2", "pair_count", "c1", "c2", "lift")
+  }
+
+  /** Per-document token diversity as GINI impurity: 1 − Σ p(t)² over the
+    * doc's token distribution — 0 for a one-token loop, → 1 for fully
+    * diverse text; the log-free twin of token entropy and the
+    * continuous complement of [[repetitionStats]]' dup_token_frac.
+    * Exact DECIMAL accumulation of the squared shares (each rounded
+    * once at 8dp), map-side per doc after one (doc, token) count —
+    * zero-token docs report 0.0.
+    */
+  def tokenDiversity(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull) // Dedup.safeExplodeNote
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("__c"))
+    val per = counts
+      .withColumn("__n", sum(col("__c"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("__n"),
+        round((col("__c") * col("__c")).cast("double")
+          / (col("__n") * col("__n")).cast("double"), 8)
+          .cast("decimal(18,8)").as("__p2"))
+      .groupBy("doc_id")
+      .agg(first(col("__n")).as("n_tokens"),
+        round(lit(1.0) - sum(col("__p2")).cast("double"), 6).as("gini_diversity"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("gini_diversity"), lit(0.0)).as("gini_diversity"))
+  }
+
   /** [[lmScore]] under a FOREIGN language model: bigram/unigram counts
     * come from `lmDocs` (e.g. a target-domain subset), scores cover every
     * `docs` row. Bigrams unseen in the LM contribute probability 0 but

@@ -1532,6 +1532,30 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("collocations, gini diversity, transitions: hand-computed values") {
+    // lift: "x y" always adjacent → 30·10/(10·10) = 3.0
+    val docs = (1L to 5L).map(i => (i, "x y p x y q")).toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(docs, minCount = 5, topK = 3)
+      .orderBy("rank").collect()
+    val xy = top.find(r => r.getString(1) == "x" && r.getString(2) == "y").get
+    assert(xy.getLong(3) == 10L && xy.getAs[Double]("lift") == 3.0)
+
+    // gini: "a a b b" → 1 − (0.25 + 0.25) = 0.5; uniform repeat → 0; empty → 0
+    val g = TextAnalysis.tokenDiversity(
+        Seq((1L, "a a b b"), (2L, "a a a a"), (3L, " ")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(g.toSeq == Seq((1L, 4L, 0.5), (2L, 4L, 0.0), (3L, 0L, 0.0)))
+
+    // transitions: one user a→b→b → (a,b) p=1.0 and (b,b) p=1.0
+    val ev = Seq((1L, 100L, 7L, "a"), (2L, 200L, 7L, "b"), (3L, 300L, 7L, "b"))
+      .toDF("event_id", "ts_ms", "user_id", "event_type")
+    val tr = Events.transitionMatrix(ev)
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(tr.toSeq == Seq(("a", "b", 1L, 1.0), ("b", "b", 1L, 1.0)))
+  }
+
   test("kfold: total partition into k folds, invariant to data partitioning") {
     val df = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val folds = Sampling.kfoldAssign(df, "doc_id", k = 5)
