@@ -225,7 +225,7 @@ object Cli {
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
           |              pagerank|dsir|bpe|bpeseg|bpetokens|containment|clusterterms|
-          |              kfold|purity|drift|collocations|gini]
+          |              kfold|purity|drift|collocations|gini|vocabgrowth]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
@@ -394,6 +394,8 @@ object Cli {
       case "editdist"    => Dedup.editDistanceNearDup(docs,
         maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "vocabgrowth" => TextAnalysis.vocabGrowth(docs,
+        slices = flags.getOrElse("slices", "10").toInt)
       case "collocations" => TextAnalysis.collocations(docs,
         minCount = flags.getOrElse("min-count", "5").toLong,
         topK = flags.getOrElse("topk", "20").toInt)
@@ -576,6 +578,9 @@ object Cli {
         flags.getOrElse("path", "$.k")).orderBy("event_type")
       case "transitions" => Events.transitionMatrix(ev)
         .orderBy("from_type", "to_type")
+      case "sessionstats" => Events.sessionStats(ev,
+          gapMs = flags.getOrElse("gap-ms", (30 * 60 * 1000L).toString).toLong)
+        .orderBy("user_id", "session_id")
       case other => fail(s"unknown events op: $other")
     }
     flags.get("out") match {

@@ -823,6 +823,18 @@ object SparkEntry {
         .orderBy("probe_id", "doc_id")
     }),
 
+    // per-session duration/engagement aggregates over the sessionize
+    // assignment — the session-distribution base table
+    "q_session_stats" -> ((s, dir) =>
+      operators.Events.sessionStats(Tables.loadEvents(s, dir))
+        .orderBy("user_id", "session_id")),
+
+    // Heaps'-law vocabulary growth over md5-ordered corpus slices: one
+    // pass (first-seen slice per token), ≤slices-row running sum
+    "q_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.load(s, dir, "documents"), slices = 10)
+        .orderBy("slice")),
+
     // collocation mining by LIFT (rational PMI): bigrams whose
     // co-occurrence beats independence, min-count floored
     "q_collocations" -> ((s, dir) =>
@@ -3192,6 +3204,46 @@ object SparkEntry {
          $iterCtes
          SELECT node, rank FROM r$iters ORDER BY node"""
     },
+
+    // the q_sessionize window replay + one grouped aggregate
+    "q_session_stats" ->
+      """WITH sess AS (
+           SELECT event_id, user_id, value, ms,
+             CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ms,
+                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+                 FROM events) t)
+         SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(ms) AS start_ms, max(ms) - min(ms) AS duration_ms,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    // md5-slice replay: first-seen slice per token, ≤slices running sum
+    "q_vocab_growth" ->
+      """WITH sl AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS slice,
+             text FROM documents),
+         toks AS (
+           SELECT slice, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM sl),
+         dc AS (
+           SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(tk)) AS BIGINT) AS n_tokens
+           FROM toks GROUP BY 1),
+         fs AS (
+           SELECT tok, min(slice) AS first_slice
+           FROM (SELECT slice, unnest(tk) AS tok FROM toks) GROUP BY 1),
+         nt AS (
+           SELECT first_slice AS slice, CAST(count(*) AS BIGINT) AS new_tokens
+           FROM fs GROUP BY 1)
+         SELECT dc.slice, dc.n_docs, dc.n_tokens,
+           coalesce(nt.new_tokens, 0) AS new_tokens,
+           CAST(sum(coalesce(nt.new_tokens, 0)) OVER (ORDER BY dc.slice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         FROM dc LEFT JOIN nt USING (slice) ORDER BY slice""",
 
     // lift replay on the q_lm_score bigram substrate: integer products
     // cast to double once, one global rank with the (w1, w2) tie-break

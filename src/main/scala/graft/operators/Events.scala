@@ -27,6 +27,21 @@ object Events {
       .select(col("event_id"), col("user_id"), col("session_id"))
   }
 
+  /** Per-session aggregates over [[sessionize]]'s output joined back to
+    * the event stream: duration, event count, decimal-exact value sum —
+    * the table session-length/engagement distributions read from. One
+    * extra shuffle on (user, session) beyond sessionize's own.
+    */
+  def sessionStats(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val s = sessionize(events, gapMs).select("event_id", "session_id")
+    events.join(s, "event_id")
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+  }
+
   /** First-order event-type transition matrix: counts of (from_type →
     * to_type) over each user's time-ordered stream, plus the
     * row-normalized probability — the empirical Markov chain behind

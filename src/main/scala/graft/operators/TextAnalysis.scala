@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.rolling_hash
@@ -196,6 +197,38 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+  }
+
+  /** Vocabulary-growth (Heaps'-law) telemetry: distinct-token count as a
+    * function of corpus prefix size, over a DETERMINISTIC md5-ordered
+    * document sequence cut into `slices` equal hash-range slices. One
+    * pass, no per-prefix rescans: a token's first-seen slice is
+    * min(slice) over its docs, and cumulative vocabulary at slice d is
+    * the count of tokens with first_slice ≤ d — a ≤slices-row running
+    * sum. Sub-linear growth between slices is the healthy-corpus
+    * signature; a near-linear tail says later shards keep introducing
+    * novel vocabulary (OCR noise, a new language, id-like junk).
+    * Output: (slice, n_docs, n_tokens, new_tokens, cum_vocab).
+    */
+  def vocabGrowth(docs: DataFrame, slices: Int = 10): DataFrame = {
+    require(slices >= 2 && slices <= 10000)
+    val slice = Sampling.hashBucket(col("doc_id"), slices).as("slice")
+    val sliced = docs.select(col("doc_id"), slice, col("text"))
+    val docCounts = sliced.groupBy("slice")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val firstSeen = sliced
+      .select(col("slice"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull) // Dedup.safeExplodeNote
+      .groupBy("tok").agg(min(col("slice")).as("first_slice"))
+      .groupBy("first_slice").agg(count(lit(1)).as("new_tokens"))
+    val w = Window.orderBy("slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docCounts
+      .join(firstSeen.withColumnRenamed("first_slice", "slice"), Seq("slice"), "left")
+      .select(col("slice"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+      .withColumn("cum_vocab", sum(col("new_tokens")).over(w))
   }
 
   /** Collocation mining by LIFT — corpus bigrams whose co-occurrence

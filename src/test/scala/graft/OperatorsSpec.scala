@@ -1532,6 +1532,31 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "d", 3L, None, true)))
   }
 
+  test("vocab growth: new-token accounting sums to the full vocabulary") {
+    val docs = (0L until 40L)
+      .map(i => (i, s"shared tok$i extra${i % 7}")).toDF("doc_id", "text")
+    val g = TextAnalysis.vocabGrowth(docs, slices = 4).orderBy("slice").collect()
+    assert(g.map(_.getLong(1)).sum == 40L) // every doc in exactly one slice
+    // cumulative vocab ends at the true distinct-token count
+    val trueVocab = 1 + 40 + 7 // shared + tok0..39 + extra0..6
+    assert(g.last.getLong(4) == trueVocab.toLong)
+    // cum_vocab is non-decreasing and equals the running sum of new_tokens
+    val cums = g.map(_.getLong(4)).toSeq
+    assert(cums == g.map(_.getLong(3)).scanLeft(0L)(_ + _).tail.toSeq)
+  }
+
+  test("session stats: per-session counts and durations from the sessionize assignment") {
+    val ev = Seq(
+      (1L, 0L, 7L, "a", 1.0), (2L, 1000L, 7L, "b", 2.0),      // session 1
+      (3L, 10000000L, 7L, "a", 3.0),                          // session 2 (gap)
+      (4L, 500L, 9L, "a", 4.0)                                // other user
+    ).toDF("event_id", "ts_ms", "user_id", "event_type", "value")
+    val s = Events.sessionStats(ev).orderBy("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5)))
+    assert(s.toSeq == Seq(
+      (7L, 1L, 2L, 1000L, 3.0), (7L, 2L, 1L, 0L, 3.0), (9L, 1L, 1L, 0L, 4.0)))
+  }
+
   test("collocations, gini diversity, transitions: hand-computed values") {
     // lift: "x y" always adjacent → 30·10/(10·10) = 3.0
     val docs = (1L to 5L).map(i => (i, "x y p x y q")).toDF("doc_id", "text")
