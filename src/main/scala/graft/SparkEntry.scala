@@ -616,6 +616,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup impact report: how big are the duplicate families? two
+    // bounded aggregates over the cluster labeling
+    "q_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupClusters(docs,
+          Dedup.ngramJaccardPairs(docs, threshold = 0.8))
+        .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // cross-source duplication matrix: distinct span fingerprints shared
     // per source pair — whole-doc dups stay within a dump, boilerplate
     // crosses crawls at the span level (the overlap forensic that sizes
@@ -768,6 +779,16 @@ object SparkEntry {
           budget = 256, docBucket = 64)
         .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
         .orderBy("doc_id", "chunk_id")),
+
+    // packing efficiency: fill rate per training sequence — the
+    // wasted-FLOPs / boundary-straddle report over the packed table
+    "q_pack_stats" -> ((s, dir) =>
+      operators.Packing.packStats(
+          operators.Packing.packSequences(
+            TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16),
+            budget = 256, docBucket = 64),
+          budget = 256)
+        .orderBy("seq_id")),
 
     // the END-TO-END training-sequence assembly: curate (quality →
     // exact-dedup → near-dup-drop → split → chunk), keep the train
@@ -1997,6 +2018,38 @@ object SparkEntry {
          SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
          GROUP BY id ORDER BY doc_id""",
 
+    // the same recursive closure folded into the family-size histogram
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), canon AS (
+           SELECT id, min(lbl) AS c FROM reach GROUP BY id
+         ), sizes AS (
+           SELECT c, CAST(count(*) AS BIGINT) AS cluster_size FROM canon GROUP BY c)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY 1 ORDER BY 1""",
+
     // the q_dupspans window-fingerprint chain, projected to distinct
     // (span, source); fan-out per span is bounded by the source count
     "q_cross_dup" ->
@@ -3026,6 +3079,31 @@ object SparkEntry {
          SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
            CAST(global_offset // 256 AS BIGINT) AS seq_id
          FROM o ORDER BY doc_id, chunk_id""",
+
+    // the q_pack chain folded into the per-sequence fill report
+    "q_pack_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), ch AS (
+           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+             CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens
+           FROM c
+         ), o AS (
+           SELECT doc_id, chunk_id, n_chunk_tokens,
+             coalesce(CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS global_offset
+           FROM ch
+         ), packed AS (
+           SELECT n_chunk_tokens, CAST(global_offset // 256 AS BIGINT) AS seq_id FROM o)
+         SELECT seq_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS tokens_used,
+           round(CAST(CAST(sum(n_chunk_tokens) AS BIGINT) AS DOUBLE) / 256, 4) AS fill_rate
+         FROM packed GROUP BY 1 ORDER BY 1""",
 
     // hour buckets replayed as integer floor-division on epoch-ms (Spark's
     // window() aligns "1 hour" windows to the epoch)

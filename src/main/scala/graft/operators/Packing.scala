@@ -65,4 +65,20 @@ object Packing {
       .withColumn("seq_id", expr(s"global_offset div $budget"))
       .drop("__b", "__local", "__off")
   }
+
+  /** Packing efficiency report over [[packSequences]] output: per
+    * training sequence, chunk count, tokens used, and fill rate against
+    * the budget — under-filled tails are wasted FLOPs, over-filled rows
+    * mark chunks straddling a sequence boundary (seq_id is assigned by
+    * START offset, the documented packing contract). One bounded
+    * aggregate over the packed table.
+    */
+  def packStats(packed: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0)
+    packed.groupBy("seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("tokens_used"))
+      .select(col("seq_id"), col("n_chunks"), col("tokens_used"),
+        round(col("tokens_used").cast("double") / budget, 4).as("fill_rate"))
+  }
 }
