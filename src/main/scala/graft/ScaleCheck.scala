@@ -392,6 +392,25 @@ object ScaleCheck {
           "c_custkey", "o_orderkey", saltBuckets = 8).count())
     }
 
+    // text/eval telemetry at sf0.1: vocabulary-bounded aggregates
+    time("collocations + cluster terms + gini + vocab growth, sf0.1") {
+      println("[scale] collocations: " +
+        operators.TextAnalysis.collocations(docsSf, minCount = 20, topK = 20).count())
+      println("[scale] cluster terms: " +
+        operators.Tfidf.clusterTopTerms(docsSf, "lang", topK = 10).count())
+      println("[scale] gini docs: " +
+        operators.TextAnalysis.tokenDiversity(docsSf).count())
+      println("[scale] vocab growth slices: " +
+        operators.TextAnalysis.vocabGrowth(docsSf, slices = 10).count())
+    }
+    // events telemetry at 10x users
+    time("transitions + session stats 100k events (10x users)") {
+      println("[scale] transitions: " +
+        operators.Events.transitionMatrix(ev10).count())
+      println("[scale] sessions: " +
+        operators.Events.sessionStats(ev10).count())
+    }
+
     // KMV per-source sketches on 50k docs: k-bounded state per group
     time("kmv overlap matrix 50k docs (k=64)") {
       val items = docs10
