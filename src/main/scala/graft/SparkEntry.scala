@@ -30,7 +30,12 @@ object SparkEntry {
   /** The q_bpe oracle chain: toks → vocabulary → delimited symbol
     * strings → `rounds` alternations of (pair count, argmax b_r, replace
     * application s_{r+1}). Shared by q_bpe (reads the b_r rows) and
-    * q_bpe_tokens (reads the final s_rounds state).
+    * q_bpe_tokens (reads the final s_rounds state). b_r carries
+    * `WHERE cnt >= 2` — Bpe.trainMerges' minPairCount=2 early stop —
+    * so on a corpus that exhausts mergeable pairs before `rounds`,
+    * b_r empties, the LEFT JOIN + coalesce carries s forward
+    * unchanged, and every later round stays empty, exactly mirroring
+    * the Spark loop's termination.
     */
   private def bpeCtes(rounds: Int): String = {
     val iterCtes = (0 until rounds).map { r =>
@@ -43,13 +48,13 @@ object SparkEntry {
                FROM s$r) t) u),
          pc$r AS (SELECT w1, w2, CAST(sum(wcnt) AS BIGINT) AS cnt
                   FROM p$r GROUP BY 1, 2),
-         b$r AS (SELECT w1, w2, cnt FROM pc$r
+         b$r AS (SELECT w1, w2, cnt FROM pc$r WHERE cnt >= 2
                  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
          s${r + 1} AS (
            SELECT word, wcnt,
-             replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
-               ' ' || b.w1 || b.w2 || ' ') AS s
-           FROM s$r, b$r b)"""
+             coalesce(replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
+               ' ' || b.w1 || b.w2 || ' '), s) AS s
+           FROM s$r LEFT JOIN b$r b ON TRUE)"""
     }.mkString(",\n         ")
     s"""toks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk

@@ -73,9 +73,16 @@ object Bpe {
         .select(col("wcnt"),
           expr("split(substring(s, 2, length(s) - 2), '  ')").as("__sym"))
         .select(col("wcnt"),
-          explode_outer(expr(
-            "transform(sequence(1, size(__sym) - 1), i -> named_struct('w1', __sym[i-1], 'w2', __sym[i]))"))
-            .as("__p"))
+          // single-symbol words (fully merged within the round budget)
+          // must yield NO pairs: Spark's sequence(1, 0) is DESCENDING,
+          // so the unguarded transform would index __sym[-1] — an ANSI
+          // INVALID_ARRAY_INDEX mid-training (the bigramOccurrences
+          // guard; DuckDB's range(1, 1) is already empty)
+          when(size(col("__sym")) >= 2,
+            expr("transform(sequence(1, size(__sym) - 1), i -> named_struct('w1', __sym[i-1], 'w2', __sym[i]))"))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+            .as("__pa"))
+        .select(col("wcnt"), explode_outer(col("__pa")).as("__p"))
         .filter(col("__p").isNotNull) // Dedup.safeExplodeNote
         .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
         .agg(sum(col("wcnt")).as("cnt"))
@@ -91,11 +98,17 @@ object Bpe {
         val next = syms.select(col("word"), col("wcnt"),
           call_function("replace", col("s"),
             lit(s" $a  $b "), lit(s" $a$b ")).as("s"))
+        // cut is eager, so the new round's state is materialized before
+        // the previous round's checkpoint blocks are released — without
+        // this, up to `rounds` vocabulary-sized cached RDDs accumulate
+        // (the pageRank unpersist pattern)
         val cutNext = Lineage.cut(next)
+        syms.unpersist(blocking = false)
         syms = cutNext
         r += 1
       }
     }
+    syms.unpersist(blocking = false)
     merges.result()
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy("round")

@@ -141,10 +141,14 @@ object Cdc {
     * full-corpus aggregate never re-runs. Without `baseAggOpt` the base
     * aggregate is computed here (the bootstrap call).
     *
-    * Precision contract for the fed-back view: value_sum is an exact
-    * DECIMAL(28,4) sum surfaced as double — bit-exact to re-aggregation
-    * while |sum| < 2^49 (~5.6·10^14 at 4 dp), far above any per-group
-    * total here; the chained-maintenance spec pins the identity.
+    * Precision contract for the fed-back view: the sum is exact
+    * DECIMAL(28,4) internally, but the default double surface
+    * round-trips it bit-exactly only while the double's ulp is below
+    * 1e-4 — i.e. |sum| < 2^39 (~5.5·10^11 at 4 dp). For chained
+    * maintenance on groups that can exceed that, pass `exactOut = true`
+    * so the stored view keeps value_sum as DECIMAL(28,4) (what
+    * [[graft.streaming.Streaming.streamingIncrementalAgg]]'s fed-back
+    * loop does); the chained-maintenance spec pins the identity.
     *
     * Returns (groupCol, n_rows, value_sum) with empty groups dropped —
     * identical, row for row, to aggregating the merged snapshot from
@@ -159,7 +163,8 @@ object Cdc {
       valueCol: String,
       opCol: String = "op",
       broadcastChangedKeys: Boolean = false,
-      baseAggOpt: Option[DataFrame] = None): DataFrame = {
+      baseAggOpt: Option[DataFrame] = None,
+      exactOut: Boolean = false): DataFrame = {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(seqCol).desc, col(opCol).asc)
     val latest = changes
@@ -184,6 +189,7 @@ object Cdc {
       .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("__sum"))
       .filter(col("n_rows") > 0)
       .select(col(groupCol), col("n_rows"),
-        col("__sum").cast("double").as("value_sum"))
+        (if (exactOut) col("__sum") else col("__sum").cast("double"))
+          .as("value_sum"))
   }
 }

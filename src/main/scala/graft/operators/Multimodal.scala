@@ -446,18 +446,29 @@ object Multimodal {
   def frameFeatures(spark: SparkSession, media: DataFrame, stride: Int = 2): DataFrame = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     val out = media.select("doc_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
+      it.flatMap { r =>
         val id = r.getLong(0)
-        val frames = decodePpmStream(r.getAs[Array[Byte]]("payload"))
-        val sampled = frames.indices.filter(_ % stride == 0)
-        val sums = new Array[Long](3)
-        sampled.foreach { fi =>
-          val rgb = frames(fi).rgb
-          var i = 0
-          while (i < rgb.length) { sums(i % 3) += rgb(i) & 0xff; i += 1 }
+        val payload = r.getAs[Array[Byte]]("payload")
+        // skip empty and non-P6 payloads (the resizeFeatures audio-skip
+        // convention): mixed corpora are the normal case, and a stray
+        // WAV/BMP row must not abort the whole video pass — and an
+        // empty payload has no frames.head to read
+        if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') None
+        else {
+          val frames = decodePpmStream(payload)
+          if (frames.isEmpty) None
+          else {
+            val sampled = frames.indices.filter(_ % stride == 0)
+            val sums = new Array[Long](3)
+            sampled.foreach { fi =>
+              val rgb = frames(fi).rgb
+              var i = 0
+              while (i < rgb.length) { sums(i % 3) += rgb(i) & 0xff; i += 1 }
+            }
+            Some(Row(id, frames.length, sampled.length,
+              frames.head.width, frames.head.height, sums(0), sums(1), sums(2)))
+          }
         }
-        Row(id, frames.length, sampled.length,
-          frames.head.width, frames.head.height, sums(0), sums(1), sums(2))
       }
     }
     spark.createDataFrame(out, frameFeatureSchema)

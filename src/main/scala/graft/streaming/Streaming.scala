@@ -299,9 +299,12 @@ object Streaming {
     val q = changes.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF()
+        // exactOut: the fed-back view stays DECIMAL(28,4) so chained
+        // maintenance never loses exactness to the double surface
+        // (bit-exact only below |sum| ~ 2^39 at 4 dp — advisor r8)
         view = Some(graft.operators.Cdc.incrementalAgg(
           snapshot, b, keyCol, seqCol, groupCol, valueCol,
-          baseAggOpt = view).localCheckpoint(true))
+          baseAggOpt = view, exactOut = true).localCheckpoint(true))
         snapshot = graft.operators.Cdc
           .applyChangelog(snapshot, b, keyCol, seqCol)
           .localCheckpoint(true)
@@ -310,10 +313,13 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    view.getOrElse(graft.operators.Cdc.incrementalAgg(
-      snapshot, spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-      keyCol, seqCol, groupCol, valueCol))
+    view
+      .map(_.withColumn("value_sum",
+        org.apache.spark.sql.functions.col("value_sum").cast("double")))
+      .getOrElse(graft.operators.Cdc.incrementalAgg(
+        snapshot, spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        keyCol, seqCol, groupCol, valueCol))
   }
 
   /** Run a streaming DF to completion on currently-available data into an

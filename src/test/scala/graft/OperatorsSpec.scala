@@ -1393,6 +1393,15 @@ class OperatorsSpec extends AnyFunSuite {
       }
     }
 
+    // empty and non-P6 payloads are SKIPPED by the frame pass (the
+    // zero-frame guard), not a task-aborting NoSuchElementException /
+    // decode failure — mixed corpora are the normal case
+    val mixed = Seq(
+      (100L, Array.emptyByteArray),
+      (101L, "RIFFjunk".getBytes("ISO-8859-1")),
+    ).toDF("doc_id", "payload")
+    assert(Multimodal.frameFeatures(spark, mixed, stride = 2).count() == 0)
+
     val thumbs = Multimodal.resizeFeatures(
       spark, Multimodal.synthesizeMedia(spark, docs), outW = 8, outH = 8)
       .orderBy("doc_id").collect()
@@ -1454,6 +1463,15 @@ class OperatorsSpec extends AnyFunSuite {
     // < minPairCount 2 → zero merges, not a crash
     val sparse = Seq((1L, "x y z")).toDF("doc_id", "text")
     assert(Bpe.trainMerges(sparse, rounds = 3).count() == 0)
+
+    // fully-merged word: "ab"×3 collapses to the single symbol ab</w>
+    // after 2 rounds; round 3's pair pass over a size-1 symbol array
+    // must yield NO pairs (the ANSI sequence(1,0) guard) and stop —
+    // not throw INVALID_ARRAY_INDEX or emit null-interpolated merges
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val tinyMerges = Bpe.trainMerges(tiny, rounds = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(tinyMerges.toSeq == Seq((0, "a", "b", 3L), (1, "ab", "</w>", 3L)))
 
     // corpus tokenization under the trained vocab: aaab→1 subword,
     // aab→2 → doc = 3 words, 4 subwords; empty doc reports 0/0
