@@ -130,7 +130,8 @@ object Bench {
     // failed queries (-1) are excluded from the totals, not billed as ~0s
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"sf":"$sfDir"}"""
+    println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
     // the front (BENCH_r05-r07 stored `parsed: null`) — totals and the
@@ -139,7 +140,35 @@ object Bench {
     val worst = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
       .map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"sf":"$sfDir"}""")
+    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"sf":"$sfDir"}"""
+    println(summaryJson)
+    // DURABLE copy: the stdout capture window has truncated the full
+    // per-query wall map every round since r5 (and r8's 13 s q_cube
+    // host-noise blip cost a judge re-run to adjudicate). Full-suite
+    // runs also write the complete JSON to tools/bench-last.json and
+    // append a timestamped summary to tools/bench-history.jsonl so the
+    // per-query walls AND the cross-round parse-rate trend live in the
+    // repo, immune to any capture window. SPARK_GRAFT_ONLY iteration
+    // runs skip the write — a 3-query loop must not overwrite the
+    // full-suite record.
+    if (only.isEmpty) {
+      try {
+        val toolsDir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+          .map(java.nio.file.Paths.get(_))
+          .getOrElse(java.nio.file.Paths.get(sys.props("user.dir"), "tools"))
+        java.nio.file.Files.createDirectories(toolsDir)
+        val ts = java.time.Instant.now().toString
+        java.nio.file.Files.write(toolsDir.resolve("bench-last.json"),
+          (s"""{"ts":"$ts","full":$fullJson,"summary":$summaryJson}""" + "\n")
+            .getBytes("UTF-8"))
+        java.nio.file.Files.write(toolsDir.resolve("bench-history.jsonl"),
+          (s"""{"ts":"$ts","summary":$summaryJson}""" + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] durable write failed: $e")
+      }
+    }
     spark.stop()
   }
 }
