@@ -90,6 +90,11 @@ object Cli {
     sb.append(s"Sections: ${s.getAs[Long]("sections")}\n")
     sb.append(s"Progress updates: ${s.getAs[Long]("progress")}\n")
     sb.append(s"Regular output: ${s.getAs[Long]("regular_output")}\n")
+    // only on dirty logs: clean-log output stays byte-identical to the
+    // reference's summary block (which has no such counter — it aborts
+    // on the first malformed timestamp instead)
+    val perr = s.getAs[Long]("parse_errors")
+    if (perr > 0) sb.append(s"Parse errors: $perr\n")
     sb.toString
   }
 
@@ -207,10 +212,15 @@ object Cli {
       case Seq(k, v) if k.startsWith("-") => k.stripPrefix("-") -> v
     }.toMap
 
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) {
-      System.err.println(
-        """Usage: bklog <command> [options]
+  /** Reference cmd/bklog/main.go:13-15: version is "dev" unless
+    * overridden at deploy time (ldflags there, an env var here — a JVM
+    * library has no link-time stamping seam).
+    */
+  private val Version = sys.env.getOrElse("GRAFT_VERSION", "dev")
+
+  private def printUsage(out: java.io.PrintStream): Unit =
+    out.println(
+      """Usage: bklog <command> [options]
           |Commands:
           |  parse  -file <log>  [-format text|json] [-filter command|group|progress]
           |         [-strip-ansi true] [-show-groups true] [-summary true] [-parquet out]
@@ -242,8 +252,24 @@ object Cli {
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
           |          sessionize: [-gap-ms n]; json: [-path $.field]) [-out dir]
           |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n | -target-mb m]
+          |  version  Print version  (also -v, --version)
+          |  help     Print this usage  (also -h, --help)
           |""".stripMargin)
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      printUsage(System.err)
       sys.exit(1)
+    }
+    // version/help exit before any SparkSession: reference
+    // cmd/bklog/main.go:55-59 answers these instantly, and so must a
+    // JVM CLI — no 5 s Spark bootstrap to print one line
+    args.head match {
+      case "version" | "-v" | "--version" =>
+        println(s"bklog version $Version"); return
+      case "help" | "-h" | "--help" =>
+        printUsage(System.out); return
+      case _ => ()
     }
     val cmd = args.head
     val flags = parseFlags(args.tail.toSeq)
@@ -255,7 +281,9 @@ object Cli {
       case "events" => runEvents(spark, flags)
       case "compact" => runCompact(spark, flags)
       case other =>
-        System.err.println(s"Unknown command: $other"); sys.exit(1)
+        System.err.println(s"Unknown command: $other")
+        printUsage(System.err)
+        sys.exit(1)
     } catch {
       case e: CliError =>
         System.err.println(s"Error: ${e.getMessage}"); sys.exit(1)

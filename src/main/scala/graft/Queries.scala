@@ -164,5 +164,10 @@ object Queries {
       (count(lit(1))
         - sum(col(Schema.IsCommand).cast("long"))
         - sum(col(Schema.IsGroup).cast("long"))
-        - sum(col(Schema.IsProgress).cast("long"))).as("regular_output"))
+        - sum(col(Schema.IsProgress).cast("long"))).as("regular_output"),
+      // the lenient-parse divergence surfaced (SURVEY §7.4): the
+      // reference aborts on a malformed OSC timestamp, this engine
+      // flags the line and keeps it — so the count of flagged lines
+      // is part of the processing contract, not hidden telemetry
+      sum(col(Schema.ParseError).cast("long")).as("parse_errors"))
 }

@@ -95,6 +95,13 @@ object Events {
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i).as("stage_idx"), lit(stages(i)).as("stage"), col("n_users"))
     }.reduce(_ unionByName _)
+    funnelConv(counts)
+  }
+
+  /** Conversion rates over a (stage_idx, stage, n_users) table — ≤ k
+    * rows, so the global-order window is bounded second-level only.
+    */
+  private def funnelConv(counts: DataFrame): DataFrame = {
     val w = Window.orderBy("stage_idx") // ≤ k rows — bounded second level
     counts
       .withColumn("__prev", lag(col("n_users"), 1).over(w))
@@ -107,6 +114,26 @@ object Events {
         when(col("__first") === 0, lit(1.0))
           .otherwise(col("n_users").cast("double") / col("__first").cast("double"))
           .as("conv_from_first"))
+  }
+
+  /** The funnel table from per-(user, stage) REACH rows — the streaming
+    * twin's exactly-once emissions
+    * ([[graft.streaming.Streaming.streamingFunnelReaches]]). Unreached
+    * stages zero-fill so the output shape (one row per stage, conv
+    * rates included) is identical to [[funnel]]'s.
+    */
+  def funnelFromReaches(reaches: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = reaches.sparkSession
+    import spark.implicits._
+    val stageDf = stages.zipWithIndex
+      .map { case (st, i) => (i, st) }.toDF("stage_idx", "stage")
+    val counts = stageDf
+      .join(reaches.groupBy("stage_idx").agg(count(lit(1)).as("__n")),
+        Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("__n"), lit(0L)).as("n_users"))
+    funnelConv(counts)
   }
 
   /** Cohort-retention matrix: bucket time into `bucketMs` periods, assign

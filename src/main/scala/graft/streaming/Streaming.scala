@@ -11,6 +11,20 @@ private[streaming] case class Ev(event_id: Long, user_id: Long, ts_ms: Long)
 private[streaming] case class SessState(lastMs: Long, sessionId: Long)
 private[streaming] case class SessOut(event_id: Long, user_id: Long, session_id: Long)
 
+/** Per-user funnel / retention state and emissions (top-level for
+  * Encoders). FunnelState.times is the filled PREFIX of per-stage
+  * earliest timestamps — stages fill strictly left to right, so its
+  * length is the number of stages reached.
+  */
+private[streaming] case class FEv(
+    event_id: Long, user_id: Long, event_type: String, tsn: Long)
+private[streaming] case class FunnelState(times: Seq[Long])
+private[streaming] case class Reach(user_id: Long, stage_idx: Int, tsn: Long)
+private[streaming] case class REv(user_id: Long, ts_ms: Long)
+private[streaming] case class RetState(cohort: Long, seen: Seq[Long])
+private[streaming] case class RetHit(
+    user_id: Long, cohort: Long, period_offset: Long)
+
 /** Structured Streaming surface.
   *
   * The reference's "streaming" is pull-based batch iteration (SURVEY.md
@@ -112,6 +126,114 @@ object Streaming {
         SessOut(e.event_id, user, st.sessionId)
       }
       state.update(st)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Streaming funnel: a per-user stage-reach state machine keyed by
+    * user_id. State is the filled prefix of per-stage earliest
+    * timestamps; an event fills stage u iff u is the first unfilled
+    * stage, its type is stages(u), and its ts is strictly after the
+    * stage-(u-1) time — exactly [[graft.operators.Events.funnel]]'s
+    * min-over-qualifying chain when events are processed in event-time
+    * order (the [[streamingCdcApply]] ordered-delivery contract across
+    * micro-batches; within a batch the group sorts by (tsn, event_id)).
+    * Each (user, stage) reach is emitted EXACTLY ONCE, so
+    * [[graft.operators.Events.funnelFromReaches]] over the emissions
+    * equals the batch funnel — the streamed ≡ batch law the spec pins.
+    * State per user is ≤ `stages.length` longs: bounded, no timeout
+    * needed for correctness.
+    */
+  def streamingFunnelReaches(
+      spark: SparkSession,
+      eventsDir: String,
+      stages: Seq[String],
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val s = spark
+    import s.implicits._
+    val reader = spark.readStream.schema(schema)
+    val events = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsDir)
+      .selectExpr("event_id", "user_id", "event_type", "ts AS tsn")
+      .as[FEv]
+
+    def fn(user: Long, evs: Iterator[FEv],
+        state: GroupState[FunnelState]): Iterator[Reach] = {
+      val times = scala.collection.mutable.ArrayBuffer.from(
+        state.getOption.map(_.times).getOrElse(Seq.empty))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Reach]
+      evs.toSeq.sortBy(e => (e.tsn, e.event_id)).foreach { e =>
+        val u = times.length
+        if (u < stages.length && e.event_type == stages(u) &&
+            (u == 0 || e.tsn > times(u - 1))) {
+          times += e.tsn
+          out += Reach(user, u, e.tsn)
+        }
+      }
+      state.update(FunnelState(times.toSeq))
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Streaming cohort retention: per-user state is (cohort bucket of the
+    * first-ever event, set of period offsets already emitted); each new
+    * (user, period) is emitted exactly once, so grouping the emissions
+    * by (cohort, period_offset) with a count equals
+    * [[graft.operators.Events.retentionCohorts]]. Ordered delivery
+    * makes the first processed event the user's true min — the same
+    * contract every stateful twin here rides. State per user is one
+    * long + one offset per ACTIVE period (bounded by the covered time
+    * range / bucketMs, not by event count).
+    */
+  def streamingRetentionHits(
+      spark: SparkSession,
+      eventsDir: String,
+      bucketMs: Long = 24L * 3600 * 1000,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bucketMs > 0, "bucketMs must be positive")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val s = spark
+    import s.implicits._
+    val reader = spark.readStream.schema(schema)
+    val events = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsDir)
+      .selectExpr("user_id", "ts div 1000000 AS ts_ms")
+      .as[REv]
+
+    def fn(user: Long, evs: Iterator[REv],
+        state: GroupState[RetState]): Iterator[RetHit] = {
+      var cohort = state.getOption.map(_.cohort).getOrElse(Long.MinValue)
+      val seen = scala.collection.mutable.Set.from(
+        state.getOption.map(_.seen).getOrElse(Seq.empty))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RetHit]
+      evs.toSeq.sortBy(_.ts_ms).foreach { e =>
+        val p = Math.floorDiv(e.ts_ms, bucketMs)
+        if (cohort == Long.MinValue) cohort = p
+        val off = p - cohort
+        if (!seen(off)) {
+          seen += off
+          out += RetHit(user, cohort, off)
+        }
+      }
+      state.update(RetState(cohort, seen.toSeq))
       out.iterator
     }
 

@@ -404,7 +404,42 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("Total entries: 212"))
     assert(out.contains("Commands: 15"))
     assert(out.contains("Regular output: 180"))
+    // clean log: the parse-errors line is ABSENT so the block stays
+    // byte-identical to the reference's (which has no such counter)
+    assert(!out.contains("Parse errors"))
     // filter applied to display lines: 15 command lines above the summary
     assert(out.linesIterator.count(_.contains("buildkite/agent/hooks")) >= 2)
+  }
+
+  test("parse summary surfaces the parse-error count on dirty logs") {
+    val dir = java.nio.file.Files.createTempDirectory("cli-dirty")
+    val log = dir.resolve("dirty.log")
+    // one good OSC line, one malformed timestamp (reference scanner.go
+    // hard-errors there; we flag + count per SURVEY §7.4), one plain line
+    java.nio.file.Files.write(log, java.util.Arrays.asList(
+      "_bk;t=1745322209921echo ok",
+      "_bk;t=17453x22echo bad",
+      "plain output"))
+    try {
+      val out = captureOut {
+        Cli.runParse(spark, Map(
+          "file" -> log.toString, "summary" -> "true", "format" -> "text"))
+      }
+      assert(out.contains("Total entries: 3"))
+      assert(out.contains("Parse errors: 1"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("version and help subcommands answer before any Spark bootstrap") {
+    // reference cmd/bklog/main.go:55-59: named subcommands and both
+    // flag spellings; version to stdout, help prints the usage block
+    assert(captureOut { Cli.main(Array("version")) } == "bklog version dev\n")
+    assert(captureOut { Cli.main(Array("-v")) } == "bklog version dev\n")
+    assert(captureOut { Cli.main(Array("--version")) } == "bklog version dev\n")
+    val h = captureOut { Cli.main(Array("help")) }
+    assert(h.startsWith("Usage: bklog <command> [options]"))
+    assert(h.contains("version  Print version"))
+    assert(captureOut { Cli.main(Array("-h")) } == h)
+    assert(captureOut { Cli.main(Array("--help")) } == h)
   }
 }

@@ -270,4 +270,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming funnel reaches equal the batch funnel on the full events table") {
+    val eventsDir = tmpDir("stream-funnel").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(eventsDir, "events.parquet"))
+    val stages = Seq("view", "click", "purchase")
+    val reaches = Streaming.runAvailableNow(
+      Streaming.streamingFunnelReaches(spark, eventsDir, stages),
+      "funnel_r", mode = "append")
+    val streamed = operators.Events.funnelFromReaches(reaches, stages)
+      .orderBy("stage_idx").collect()
+    val batch = operators.Events.funnel(
+        Tables.loadEvents(spark, "/root/testdata/sf0.001"), stages)
+      .orderBy("stage_idx").collect()
+    assert(streamed.length == stages.length)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming retention hits equal the batch cohort matrix on the full events table") {
+    val eventsDir = tmpDir("stream-ret").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(eventsDir, "events.parquet"))
+    val hits = Streaming.runAvailableNow(
+      Streaming.streamingRetentionHits(spark, eventsDir),
+      "ret_r", mode = "append")
+    val streamed = hits.groupBy("cohort", "period_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "period_offset").collect()
+    val batch = operators.Events.retentionCohorts(
+        Tables.loadEvents(spark, "/root/testdata/sf0.001"))
+      .orderBy("cohort", "period_offset").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("funnel/retention state persists across micro-batches (ordered two-file replay)") {
+    import spark.implicits._
+    // hand-built ordered stream: user 1 walks all three stages SPLIT
+    // ACROSS the two files (reach of stage 1/2 depends on state from
+    // file 1); user 2 views twice (second view must not re-emit);
+    // user 3 clicks without a view (never reaches stage 0).
+    // ts in NANOS like the real events table; day-sized retention
+    // buckets relative to t0.
+    val day = 24L * 3600 * 1000
+    def nanos(dayOff: Long, ms: Long): Long = (dayOff * day + ms) * 1000000L
+    val f1 = Seq(
+      (10L, 1L, "view", nanos(0, 1000), "{}", 1.0),
+      (11L, 2L, "view", nanos(0, 2000), "{}", 1.0),
+      (12L, 3L, "click", nanos(0, 3000), "{}", 1.0))
+    val f2 = Seq(
+      (20L, 1L, "click", nanos(1, 0), "{}", 1.0),
+      (21L, 1L, "purchase", nanos(2, 0), "{}", 1.0),
+      (22L, 2L, "view", nanos(2, 500), "{}", 1.0))
+    val dir = tmpDir("funnel-2batch")
+    def addFile(rows: Seq[(Long, Long, String, Long, String, Double)], name: String): Unit = {
+      val scratch = tmpDir("funnel-scratch")
+      rows.toDF("event_id", "user_id", "event_type", "ts", "props", "value")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    addFile(f1, "f1.parquet")
+    addFile(f2, "f2.parquet")
+
+    val stages = Seq("view", "click", "purchase")
+    val reaches = Streaming.runAvailableNow(
+      Streaming.streamingFunnelReaches(spark, dir.toString, stages,
+        maxFilesPerTrigger = Some(1)),
+      "funnel_2b", mode = "append")
+      .orderBy("user_id", "stage_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // user 1: stages 0,1,2; user 2: stage 0 exactly once; user 3: none
+    assert(reaches.toSeq == Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+
+    val hits = Streaming.runAvailableNow(
+      Streaming.streamingRetentionHits(spark, dir.toString, bucketMs = day,
+        maxFilesPerTrigger = Some(1)),
+      "ret_2b", mode = "append")
+      .orderBy("user_id", "period_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // user 1 active days 0,1,2 (cohort 0); user 2 days 0,2; user 3 day 0
+    assert(hits.toSeq == Seq(
+      (1L, 0L, 0L), (1L, 0L, 1L), (1L, 0L, 2L),
+      (2L, 0L, 0L), (2L, 0L, 2L),
+      (3L, 0L, 0L)))
+  }
 }
