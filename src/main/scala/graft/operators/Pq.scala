@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -101,26 +101,40 @@ object Pq {
   /** ADC-scored candidates with their approximate-IP rank `__ar` per
     * query — the shared first stage of [[pqTopK]] and [[pqRecall]].
     */
-  private def approxRanked(
-      corpus: DataFrame, queries: DataFrame,
-      m: Int, ksub: Int, dim: Int): DataFrame = {
-    val codebooks = pqCodebooks(corpus, m, ksub, dim)
-    val codes = pqEncode(corpus, codebooks, m, dim)
-
-    // the ADC lookup table: (query, subspace, centroid) → partial dot,
-    // quantized once to a long so the per-pair sum is exact integer math
-    val lut = broadcast(
+  /** The broadcast ADC lookup table: (query_id, subspace, code) →
+    * fixed-point partial inner product `ipq` (scale 2^40), quantized
+    * once to a long so every per-pair sum downstream is exact integer
+    * math; `approx_ip = round(sum(ipq)/2^40, 6)` is the engine-exact
+    * approximate score. Shared by the flat ADC scan ([[pqTopK]]) and
+    * the IVFADC probe ([[Similarity.ivfPqTopK]]).
+    */
+  def adcLut(queries: DataFrame, codebooks: DataFrame,
+      m: Int, dim: Int): DataFrame =
+    broadcast(
       subvectors(queries, "vec_id", "query_id", m, dim)
         .join(broadcast(codebooks), Seq("subspace"))
         .select(col("query_id"), col("subspace"), col("centroid_id").as("code"),
           floor(round(vec_dot(col("sub_emb"), col("c_sub")), 6) * Q + 0.5)
             .cast("long").as("ipq")))
 
+  /** approx_ip from summed fixed-point partials — the inverse of
+    * [[adcLut]]'s quantization, pinned here so both ADC consumers
+    * compute the identical 6dp double.
+    */
+  def adcScore(ipqSum: Column): Column =
+    round(ipqSum.cast("double") / Q, 6)
+
+  private def approxRanked(
+      corpus: DataFrame, queries: DataFrame,
+      m: Int, ksub: Int, dim: Int): DataFrame = {
+    val codebooks = pqCodebooks(corpus, m, ksub, dim)
+    val codes = pqEncode(corpus, codebooks, m, dim)
+    val lut = adcLut(queries, codebooks, m, dim)
+
     val approx = codes.join(lut, Seq("subspace", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg((sum(col("ipq")).cast("double") / Q).as("approx_ip"))
-      .withColumn("approx_ip", round(col("approx_ip"), 6))
+      .agg(adcScore(sum(col("ipq"))).as("approx_ip"))
 
     val wA = Window.partitionBy("query_id")
       .orderBy(col("approx_ip").desc, col("vec_id").asc)

@@ -361,6 +361,182 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** IVFADC storage index [Jégou, Douze, Schmid: "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011 §V] — the production
+    * 100-TB ANN layout: the corpus stored as PQ CODES (m small ints per
+    * vector, not 4·dim bytes of floats), hive-partitioned by IVF
+    * centroid, with two broadcast-small sidecars (`_codebook` = IVF
+    * centroids, `_pq` = per-subspace PQ codebooks). A probe reads
+    * nprobe partitions of codes — both partition-PRUNED and ~50×
+    * narrower than the raw vectors — scores them with the integer ADC
+    * table, and only the k·rerankFactor survivors fetch full vectors
+    * by id. Codes encode the RAW vector (Faiss `by_residual=false`):
+    * residual encoding would couple every code to its centroid and
+    * break the stage-by-stage DuckDB replay the oracle family rides.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame, dir: String, numCentroids: Int = 32,
+      m: Int = 4, ksub: Int = 16, dim: Int = 64): Unit = {
+    val ivfCodebook = pseudoCentroids(corpus, numCentroids)
+      .select("vec_id", "embedding")
+    val centroids = broadcastCentroids(ivfCodebook)
+    val pqCodebooks = Pq.pqCodebooks(corpus, m, ksub, dim)
+    val assign = assignProbes(
+        withNorm(corpus, "vec_id", "vec_id"), centroids, 1, "__r")
+      .select(col("vec_id"), col("centroid_id"))
+    Pq.pqEncode(corpus, pqCodebooks, m, dim)
+      .join(assign, "vec_id")
+      .select(col("centroid_id"), col("vec_id"), col("subspace"), col("code"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .option("compression", "zstd").parquet(dir)
+    ivfCodebook.write.mode("overwrite")
+      .option("compression", "zstd").parquet(dir + "_codebook")
+    pqCodebooks.write.mode("overwrite")
+      .option("compression", "zstd").parquet(dir + "_pq")
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: nprobe centroids per query from
+    * the sidecar codebook, a partition-pruning IN filter over the code
+    * table (the scan touches nprobe directories of CODES — pinned by
+    * spec), integer ADC scoring against the broadcast lookup table,
+    * then exact-cosine re-rank of the k·rerankFactor survivors fetched
+    * from `corpus` BY ID (a join, never a second scan). Equal
+    * parameters give results identical to composing the in-memory IVF
+    * probe restriction with [[Pq.pqTopK]]'s ADC ranking — the q_ivf_pq
+    * oracle replays the whole chain.
+    * Output: (query_id, vec_id, cos_sim, approx_ip, rank).
+    */
+  def ivfPqTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      rerankFactor: Int = 4,
+      m: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(k > 0 && nprobe >= 1 && rerankFactor >= 1)
+    val centroids = broadcastCentroids(
+      spark.read.parquet(dir + "_codebook"))
+    val qa = assignProbes(
+        withNorm(queries, "vec_id", "query_id"), centroids, nprobe, "__r")
+      .select(col("query_id"), col("centroid_id"))
+    val probeIds = qa.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("vec_id"), col("subspace"), col("code"))
+    val lut = Pq.adcLut(queries, spark.read.parquet(dir + "_pq"), m, dim)
+    val approx = codes
+      .join(broadcast(qa), Seq("centroid_id"))
+      .join(lut, Seq("query_id", "subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(Pq.adcScore(sum(col("ipq"))).as("approx_ip"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_ip").desc, col("vec_id").asc)
+    val survivors = approx.withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= k * rerankFactor)
+      .drop("__ar")
+    rerankExact(survivors, corpus, queries, k)
+  }
+
+  /** Exact-cosine re-rank of an approximate candidate frame
+    * (query_id, vec_id, approx_ip): full vectors arrive by id join,
+    * the query side broadcast. Shared by [[ivfPqTopK]] and
+    * [[ivfPqRecall]].
+    */
+  private def rerankExact(
+      cands: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val cN = corpus.select(col("vec_id"), col("embedding").as("__v_emb"),
+      l2norm(col("embedding")).as("__v_norm"))
+    val qN = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("__q_emb"), l2norm(col("embedding")).as("__q_norm")))
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cands.join(cN, "vec_id").join(qN, "query_id")
+      .withColumn("cos_sim",
+        round(dot(col("__q_emb"), col("__v_emb"))
+          / (col("__q_norm") * col("__v_norm")), 4))
+      .drop("__v_emb", "__v_norm", "__q_emb", "__q_norm")
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "approx_ip", "rank")
+  }
+
+  /** Recall@k of the IVFADC probe vs the brute-force truth per nprobe —
+    * the [[ivfRecall]] telemetry for the code-probe index: one pruned
+    * code scan at the DEEPEST probe depth serves every sweep point
+    * (probe_rank tags each candidate; shallower nprobes are filters,
+    * not re-scans). Output: (nprobe, exact_pairs, ivf_pairs, hit_pairs,
+    * recall_at_k).
+    */
+  def ivfPqRecall(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nprobes: Seq[Int] = Seq(1, 2, 4),
+      rerankFactor: Int = 4,
+      m: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
+    import org.apache.spark.storage.StorageLevel
+    val centroids = broadcastCentroids(
+      spark.read.parquet(dir + "_codebook"))
+    val qa = assignProbes(
+        withNorm(queries, "vec_id", "query_id"), centroids, nprobes.max,
+        "probe_rank")
+      .select(col("query_id"), col("centroid_id"), col("probe_rank"))
+    val probeIds = qa.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("vec_id"), col("subspace"), col("code"))
+    val lut = Pq.adcLut(queries, spark.read.parquet(dir + "_pq"), m, dim)
+    // probe_rank is constant over a (query, vec) pair's m subspace rows
+    // (one centroid per corpus vector), so it rides the group-by keys
+    val approx = CacheRegistry.track(codes
+      .join(broadcast(qa), Seq("centroid_id"))
+      .join(lut, Seq("query_id", "subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id", "probe_rank")
+      .agg(Pq.adcScore(sum(col("ipq"))).as("approx_ip"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    approx.count()
+    val exact = CacheRegistry.track(
+      bruteForceTopK(corpus, queries, k).select(col("query_id"), col("vec_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    exact.count()
+    val exactTotal = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
+
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_ip").desc, col("vec_id").asc)
+    val perProbe = nprobes.sorted.map { np =>
+      val survivors = approx.filter(col("probe_rank") <= np)
+        .withColumn("__ar", row_number().over(wA))
+        .filter(col("__ar") <= k * rerankFactor)
+        .drop("__ar")
+      rerankExact(survivors, corpus, queries, k)
+        .select("query_id", "vec_id")
+        .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("ivf_pairs"), sum(col("__hit")).as("__hits"))
+        .select(lit(np).as("nprobe"), col("ivf_pairs"),
+          coalesce(col("__hits"), lit(0L)).as("hit_pairs"))
+    }.reduce(_ unionByName _)
+    perProbe.crossJoin(exactTotal)
+      .select(col("nprobe"), col("exact_pairs"), col("ivf_pairs"),
+        col("hit_pairs"),
+        (col("hit_pairs").cast("double") / col("exact_pairs").cast("double"))
+          .as("recall_at_k"))
+      .orderBy("nprobe")
+  }
+
   def ivfTopKWith(
       corpus: DataFrame,
       queries: DataFrame,

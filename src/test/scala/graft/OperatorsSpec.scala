@@ -1701,6 +1701,49 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected partition-pruned index scan:\n$plan")
   }
 
+  test("ivfadc index: pruned code probe equals flat-ADC restricted to the probe sets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString + "/ix"
+    Similarity.writeIvfPqIndex(emb, idx, numCentroids = 16, m = 4, ksub = 16, dim = 64)
+    val queries = emb.filter(col("vec_id") < 4)
+    val probed = Similarity.ivfPqTopK(spark, idx, queries, emb,
+      k = 3, nprobe = 16, rerankFactor = 4, m = 4, dim = 64)
+    // nprobe = numCentroids degenerates to the FLAT ADC scan: every
+    // partition probed, so IVFADC ≡ pqTopK row for row
+    val flat = Pq.pqTopK(emb, queries, k = 3,
+      m = 4, ksub = 16, dim = 64, rerankFactor = 4)
+    assert(probed.orderBy("query_id", "rank").collect().toSeq ==
+      flat.orderBy("query_id", "rank").collect().toSeq)
+    // at nprobe < numCentroids the code scan must partition-prune,
+    // and the index must hold CODES, not embeddings
+    val narrow = Similarity.ivfPqTopK(spark, idx, queries, emb,
+      k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected partition-pruned code scan:\n$plan")
+    assert(!spark.read.parquet(idx).columns.contains("embedding"),
+      "index must store PQ codes only")
+    // recall telemetry: NOT asserted monotone in nprobe — with a fixed
+    // rerank depth a DEEPER probe pool can crowd a true neighbor out of
+    // the ADC survivor set (observed here: 0.92 / 1.0 / 0.83 at
+    // nprobe 1/2/16), which is exactly the tuning tension the telemetry
+    // exists to expose. The pinned law instead: at nprobe = numCentroids
+    // the probe restriction vanishes, so IVFADC recall ≡ flat-ADC
+    // ([[Pq.pqRecall]]) recall at the same rerank factor.
+    val rec = Similarity.ivfPqRecall(spark, idx, queries, emb,
+        k = 3, nprobes = Seq(1, 2, 16), rerankFactor = 16, m = 4, dim = 64)
+      .orderBy("nprobe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rec.map(_._1).toSeq == Seq(1, 2, 16))
+    assert(rec.forall { case (_, ep, ip, hp, r5) =>
+      ep > 0 && ip > 0 && hp <= ip && r5 > 0.0 && r5 <= 1.0 }, rec.toSeq.toString)
+    val flatRec = Pq.pqRecall(emb, queries, k = 3,
+        m = 4, ksub = 16, dim = 64, rerankFactors = Seq(16))
+      .collect().map(_.getDouble(4))
+    assert(rec.last._5 == flatRec.head,
+      s"full-probe IVFADC recall ${rec.last._5} != flat ADC recall ${flatRec.head}")
+  }
+
   test("cdc plan shape: broadcast anti-join under broadcastChangedKeys, broadcast probe join in linkage") {
     val base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val ch = base.limit(10).select(col("c_custkey"), col("c_name"),
