@@ -234,9 +234,11 @@ object Cli {
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
-          |              pagerank|dsir|bpe|bpeseg|bpetokens|containment|clusterterms|
-          |              kfold|purity|drift|collocations|gini|vocabgrowth]
-          |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall: -in is an embeddings parquet;
+          |              ivfpq|ivfpqrecall|pagerank|dsir|bpe|bpeseg|bpetokens|containment|
+          |              clusterterms|kfold|purity|drift|collocations|gini|vocabgrowth]
+          |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall:
+          |          -in is an embeddings parquet;
+          |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N];
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
           |          dsir: [-target-col c] [-target v] [-scale F];
@@ -567,6 +569,44 @@ object Cli {
         ksub = flags.getOrElse("ksub", "16").toInt,
         dim = flags.getOrElse("dim", "64").toInt,
         rerankFactor = flags.getOrElse("rerank", "4").toInt)
+      // IVFADC: build (or reuse via -index) the code index, probe pruned
+      case "ivfpq"       => {
+        val idx = flags.getOrElse("index", java.nio.file.Files
+          .createTempDirectory("cli-ivfpq").toString + "/index")
+        if (!flags.contains("index"))
+          Similarity.writeIvfPqIndex(docs, idx,
+            numCentroids = flags.getOrElse("k", "32").toInt,
+            m = flags.getOrElse("m", "4").toInt,
+            ksub = flags.getOrElse("ksub", "16").toInt,
+            dim = flags.getOrElse("dim", "64").toInt)
+        Similarity.ivfPqTopK(spark, idx,
+          docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+          docs,
+          k = flags.getOrElse("topk", "3").toInt,
+          nprobe = flags.getOrElse("nprobe", "2").toInt,
+          rerankFactor = flags.getOrElse("rerank", "4").toInt,
+          m = flags.getOrElse("m", "4").toInt,
+          dim = flags.getOrElse("dim", "64").toInt)
+      }
+      case "ivfpqrecall" => {
+        val idx = flags.getOrElse("index", java.nio.file.Files
+          .createTempDirectory("cli-ivfpqr").toString + "/index")
+        if (!flags.contains("index"))
+          Similarity.writeIvfPqIndex(docs, idx,
+            numCentroids = flags.getOrElse("k", "32").toInt,
+            m = flags.getOrElse("m", "4").toInt,
+            ksub = flags.getOrElse("ksub", "16").toInt,
+            dim = flags.getOrElse("dim", "64").toInt)
+        Similarity.ivfPqRecall(spark, idx,
+          docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+          docs,
+          k = flags.getOrElse("topk", "3").toInt,
+          nprobes = flags.getOrElse("nprobes", "1,2,4")
+            .split(",").map(_.trim.toInt).toSeq,
+          rerankFactor = flags.getOrElse("rerank", "4").toInt,
+          m = flags.getOrElse("m", "4").toInt,
+          dim = flags.getOrElse("dim", "64").toInt)
+      }
       case "pagerank"    => Graph.pageRank(
         Graph.spanLinkEdges(docs,
           maxDocsPerSpan = flags.getOrElse("span-cap", "64").toInt),

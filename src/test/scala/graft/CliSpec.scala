@@ -282,6 +282,28 @@ class CliSpec extends AnyFunSuite {
     assert(dsir.contains("lm_target") && dsir.contains("weight"))
   }
 
+  test("corpus subcommand: ivfpq and ivfpqrecall ops (index build + reuse)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("clispec-ivfpq").toString + "/index"
+    val topk = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/embeddings.parquet",
+        "op" -> "ivfpq", "topk" -> "3", "k" -> "16"))
+    }
+    assert(topk.contains("approx_ip") && topk.contains("Rows: 15"))
+    // write an index once, probe it via -index (the production split:
+    // build offline, probe per query batch)
+    operators.Similarity.writeIvfPqIndex(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      idx, numCentroids = 16)
+    val reused = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/embeddings.parquet",
+        "op" -> "ivfpqrecall", "index" -> idx, "nprobes" -> "1,2"))
+    }
+    assert(reused.contains("recall_at_k") && reused.contains("Rows: 2"))
+  }
+
   test("events subcommand: funnel, retention, json, sessionize") {
     val ev = "/root/testdata/sf0.001/events.parquet"
     val fun = captureOut {
