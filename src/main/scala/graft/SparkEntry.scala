@@ -1007,6 +1007,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // residual IVFADC (Faiss by_residual=true — the TPAMI'11 original):
+    // codes quantize x − centroid(x) in double, the probe adds the
+    // fixed-point q·centroid base back — the same m·log₂ksub bits spend
+    // their resolution on what IVF hasn't already explained
+    "q_ivf_pq_res" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("ivfpqres").toString + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64, byResidual = true)
+      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
+          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVFADC recall@k vs brute force per nprobe — the telemetry that
     // sizes the probe depth for a target recall before any 100-TB run
     "q_ivf_pq_recall" -> ((s, dir) => {
@@ -2602,6 +2617,86 @@ object SparkEntry {
            JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
            WHERE n.vec_id <> l.query_id
            GROUP BY l.query_id, n.vec_id),
+         surv AS (
+           SELECT query_id, vec_id, approx_ip FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_ip DESC, vec_id ASC) AS ar
+             FROM approx) WHERE ar <= 12)
+         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
+           SELECT s.query_id, s.vec_id, s.approx_ip,
+             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
+           FROM surv s
+           JOIN ec v ON v.vec_id = s.vec_id
+           JOIN ec q ON q.vec_id = s.query_id) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // q_ivf_pq with residual codes: res subtracts each vector's assigned
+    // centroid IN DOUBLE, the PQ chain (codebooks, encode, LUT) runs on
+    // residual slices, and approx adds the fixed-point q·centroid base
+    // term — ⟨q, c + r̂⟩ = q·c + Σ LUT, every term through the same 2^40
+    // quantization so the integer sum stays engine-exact
+    "q_ivf_pq_res" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         ca AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT x.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (
+           SELECT vec_id AS query_id, centroid_id FROM (
+             SELECT x.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2),
+         res AS (
+           SELECT x.vec_id, list_transform(range(1, 65), i -> x.e[i] - ce.e[i]) AS r
+           FROM ec x
+           JOIN ca a ON a.vec_id = x.vec_id
+           JOIN c ce ON ce.centroid_id = a.centroid_id),
+         ss AS (SELECT unnest(range(0, 4)) AS subspace),
+         rsv AS (
+           SELECT vec_id, subspace, r[subspace*16 + 1 : subspace*16 + 16] AS sub
+           FROM res CROSS JOIN ss),
+         qsv AS (
+           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
+           FROM ec CROSS JOIN ss WHERE vec_id < 5),
+         cb AS (SELECT subspace, vec_id - 32 AS centroid_id, sub AS c_sub
+                FROM rsv WHERE vec_id >= 32 AND vec_id < 48),
+         enc AS (
+           SELECT vec_id, subspace, centroid_id AS code FROM (
+             SELECT v.vec_id, v.subspace, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
+                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
+                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
+                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM rsv v JOIN cb c USING (subspace)) WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
+             CAST(floor(round(list_sum(list_transform(range(1, 17),
+               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
+           FROM qsv q JOIN cb c USING (subspace)),
+         qc AS (
+           SELECT q.query_id, q.centroid_id,
+             CAST(floor(round(list_sum(list_transform(range(1, 65),
+               i -> qe.e[i] * ce.e[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS qcq
+           FROM qa q
+           JOIN ec qe ON qe.vec_id = q.query_id
+           JOIN c ce ON ce.centroid_id = q.centroid_id),
+         approx AS (
+           SELECT l.query_id, n.vec_id,
+             round(CAST(qc.qcq + CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
+           FROM enc n
+           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
+           JOIN ca a ON a.vec_id = n.vec_id
+           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
+           JOIN qc ON qc.query_id = l.query_id AND qc.centroid_id = a.centroid_id
+           WHERE n.vec_id <> l.query_id
+           GROUP BY l.query_id, n.vec_id, qc.qcq),
          surv AS (
            SELECT query_id, vec_id, approx_ip FROM (
              SELECT *, row_number() OVER (PARTITION BY query_id

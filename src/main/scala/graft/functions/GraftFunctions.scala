@@ -68,7 +68,9 @@ object RollingHash {
   }
 }
 
-/** `vec_dot(a, b)` — dot product of two `array<float>` columns in double
+/** `vec_dot(a, b)` — dot product of two `array<float>` (or, for the
+  * residual-IVFADC path whose subtractions must happen in double to match
+  * the oracle's arithmetic, two `array<double>`) columns in double
   * precision. A tight codegen'd loop over the ArrayData — no intermediate
   * array allocation (unlike `aggregate(zip_with(...))`), which is what makes
   * per-pair similarity joins viable at scale.
@@ -77,14 +79,23 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 
-  // reject array<double>/array<int> at analysis time: getFloat on mis-sized
-  // slots would silently return garbage (advisor finding, round 1)
+  private lazy val doubleElems: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  // reject mixed/int inputs at analysis time: a typed accessor on
+  // mis-sized slots would silently return garbage (advisor finding,
+  // round 1); both sides must share one element type
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"vec_dot requires two array<float> inputs, got ${l.catalogString} and ${r.catalogString}")
+        s"vec_dot requires two array<float> or two array<double> inputs, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -93,9 +104,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    if (doubleElems) {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    } else {
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
     }
     acc
   }
@@ -105,11 +120,12 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val get = if (doubleElems) "getDouble" else "getFloat"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += (double) $a.$get($i) * (double) $b.$get($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -45,18 +45,25 @@ object Pq {
   private val Q = 1L << 40
 
   /** Deterministic pseudo-codebooks: subspace s's centroids are the
-    * sub-vectors of the `ksub` lowest-id corpus vectors (the
-    * [[Similarity.pseudoCentroids]] convention — codebook size FIXED, not
-    * corpus-proportional). Output: (subspace, centroid_id, c_sub).
+    * sub-vectors of the `ksub` lowest-id corpus vectors at or above
+    * `idOffset` (the [[Similarity.pseudoCentroids]] convention —
+    * codebook size FIXED, not corpus-proportional), with centroid ids
+    * renumbered to 0..ksub-1. The offset exists for the residual-IVFADC
+    * path: its corpus is RESIDUALS and the vectors below numCentroids
+    * ARE the IVF centroids, so their residuals are identically zero —
+    * a codebook drawn from them would quantize everything to r̂ = 0.
+    * Output: (subspace, centroid_id, c_sub).
     */
-  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      idOffset: Long = 0L): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     val subCols = (0 until m).map(s =>
       struct(lit(s).as("subspace"),
         slice(col("embedding"), s * sub + 1, sub).as("c_sub")))
-    corpus.filter(col("vec_id") < ksub)
-      .select(col("vec_id").as("centroid_id"), explode_outer(array(subCols: _*)).as("e"))
+    corpus.filter(col("vec_id") >= idOffset && col("vec_id") < idOffset + ksub)
+      .select((col("vec_id") - idOffset).as("centroid_id"),
+        explode_outer(array(subCols: _*)).as("e"))
       .filter(col("e").isNotNull) // Dedup.safeExplodeNote
       .select(col("e.subspace").as("subspace"), col("centroid_id"), col("e.c_sub"))
   }
@@ -114,8 +121,15 @@ object Pq {
       subvectors(queries, "vec_id", "query_id", m, dim)
         .join(broadcast(codebooks), Seq("subspace"))
         .select(col("query_id"), col("subspace"), col("centroid_id").as("code"),
-          floor(round(vec_dot(col("sub_emb"), col("c_sub")), 6) * Q + 0.5)
-            .cast("long").as("ipq")))
+          ipQuantize(vec_dot(col("sub_emb"), col("c_sub"))).as("ipq")))
+
+  /** Fixed-point quantization of a 6dp-rounded inner product at the
+    * shared 2^40 scale — the single conversion every ADC term (LUT
+    * partials, the residual path's q·centroid base) goes through so
+    * their integer sums stay engine-exact.
+    */
+  def ipQuantize(ip: Column): Column =
+    floor(round(ip, 6) * Q + 0.5).cast("long")
 
   /** approx_ip from summed fixed-point partials — the inverse of
     * [[adcLut]]'s quantization, pinned here so both ADC consumers

@@ -376,15 +376,38 @@ object Similarity {
     */
   def writeIvfPqIndex(
       corpus: DataFrame, dir: String, numCentroids: Int = 32,
-      m: Int = 4, ksub: Int = 16, dim: Int = 64): Unit = {
+      m: Int = 4, ksub: Int = 16, dim: Int = 64,
+      byResidual: Boolean = false): Unit = {
     val ivfCodebook = pseudoCentroids(corpus, numCentroids)
       .select("vec_id", "embedding")
     val centroids = broadcastCentroids(ivfCodebook)
-    val pqCodebooks = Pq.pqCodebooks(corpus, m, ksub, dim)
     val assign = assignProbes(
         withNorm(corpus, "vec_id", "vec_id"), centroids, 1, "__r")
       .select(col("vec_id"), col("centroid_id"))
-    Pq.pqEncode(corpus, pqCodebooks, m, dim)
+    // residual mode (Faiss by_residual=true — Jégou §V's actual IVFADC):
+    // codes quantize x − centroid(x), whose magnitude shrinks with
+    // cluster tightness — on a corpus that clusters around its
+    // centroids the same m·log₂ksub bits buy a tighter reconstruction
+    // (on scattered data, where residuals of near-orthogonal vectors
+    // are LARGER than the vectors, raw codes can win — measured in the
+    // spec; pick per corpus). The subtraction happens in DOUBLE (float
+    // residuals would diverge from the oracle's double arithmetic at
+    // the 6dp rounding boundaries).
+    val encodeInput =
+      if (!byResidual) corpus
+      else corpus.join(assign, "vec_id")
+        .join(broadcast(ivfCodebook.select(
+          col("vec_id").as("centroid_id"), col("embedding").as("__c_emb"))),
+          "centroid_id")
+        .select(col("vec_id"),
+          expr("zip_with(cast(embedding as array<double>), " +
+            "cast(__c_emb as array<double>), (x, y) -> x - y)").as("embedding"))
+    // residual codebooks skip the first numCentroids ids: those vectors
+    // ARE the centroids, their residuals are zero, and a zero codebook
+    // quantizes every residual to r̂ = 0 (measured: 4× the ADC error)
+    val pqCodebooks = Pq.pqCodebooks(encodeInput, m, ksub, dim,
+      idOffset = if (byResidual) numCentroids.toLong else 0L)
+    Pq.pqEncode(encodeInput, pqCodebooks, m, dim)
       .join(assign, "vec_id")
       .select(col("centroid_id"), col("vec_id"), col("subspace"), col("code"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -393,6 +416,11 @@ object Similarity {
       .option("compression", "zstd").parquet(dir + "_codebook")
     pqCodebooks.write.mode("overwrite")
       .option("compression", "zstd").parquet(dir + "_pq")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((byResidual, numCentroids, m, ksub, dim))
+      .toDF("by_residual", "num_centroids", "m", "ksub", "dim")
+      .write.mode("overwrite").parquet(dir + "_meta")
   }
 
   /** Probe a [[writeIvfPqIndex]] index: nprobe centroids per query from
@@ -406,6 +434,62 @@ object Similarity {
     * oracle replays the whole chain.
     * Output: (query_id, vec_id, cos_sim, approx_ip, rank).
     */
+  /** The shared IVFADC probe core: query probe assignment (plus, in
+    * residual mode, the fixed-point q·centroid base term `__qcq` the
+    * reconstruction ⟨q, c + r̂⟩ = q·c + Σ LUT needs), partition-pruned
+    * code scan at `probes` depth, ADC join, and the per-(query, vec)
+    * integer sum. With `rankName` set, each candidate keeps the probe
+    * rank of the centroid it arrived through (the recall sweep's
+    * filter-not-rescan contract).
+    */
+  private def ivfPqApprox(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, probes: Int, m: Int, dim: Int,
+      rankName: Option[String]): DataFrame = {
+    val codebook = spark.read.parquet(dir + "_codebook")
+    val byRes = spark.read.parquet(dir + "_meta")
+      .head().getAs[Boolean]("by_residual")
+    val centroids = broadcastCentroids(codebook)
+    val ranked = assignProbes(
+      withNorm(queries, "vec_id", "query_id"), centroids, probes,
+      rankName.getOrElse("__r"))
+    val rankCols = rankName.toSeq
+    val qa =
+      if (!byRes)
+        ranked.select((Seq("query_id", "centroid_id") ++ rankCols).map(col): _*)
+      else ranked
+        .join(broadcast(codebook.select(col("vec_id").as("centroid_id"),
+          col("embedding").as("__c_emb"))), "centroid_id")
+        .select((Seq("query_id", "centroid_id") ++ rankCols).map(col) :+
+          Pq.ipQuantize(dot(
+            expr("cast(embedding as array<double>)"),
+            expr("cast(__c_emb as array<double>)"))).as("__qcq"): _*)
+    val probeIds = qa.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("vec_id"), col("subspace"), col("code"))
+    // residual codebooks are array<double> (the subtraction's type);
+    // the query side of the LUT must match — float→double is exact, so
+    // the partial dots are bit-identical to the oracle's double math
+    val lutQueries =
+      if (!byRes) queries
+      else queries.select(col("vec_id"),
+        expr("cast(embedding as array<double>)").as("embedding"))
+    val lut = Pq.adcLut(lutQueries, spark.read.parquet(dir + "_pq"), m, dim)
+    val joined = codes
+      .join(broadcast(qa), Seq("centroid_id"))
+      .join(lut, Seq("query_id", "subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val keys = Seq("query_id", "vec_id") ++ rankCols ++
+      (if (byRes) Seq("__qcq") else Nil)
+    joined.groupBy(keys.map(col): _*)
+      .agg((if (byRes) Pq.adcScore(sum(col("ipq")) + col("__qcq"))
+            else Pq.adcScore(sum(col("ipq")))).as("approx_ip"))
+      .drop("__qcq")
+  }
+
   def ivfPqTopK(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -417,24 +501,7 @@ object Similarity {
       m: Int = 4,
       dim: Int = 64): DataFrame = {
     require(k > 0 && nprobe >= 1 && rerankFactor >= 1)
-    val centroids = broadcastCentroids(
-      spark.read.parquet(dir + "_codebook"))
-    val qa = assignProbes(
-        withNorm(queries, "vec_id", "query_id"), centroids, nprobe, "__r")
-      .select(col("query_id"), col("centroid_id"))
-    val probeIds = qa.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(dir)
-      .filter(col("centroid_id").isin(probeIds: _*))
-      .select(col("centroid_id").cast("long").as("centroid_id"),
-        col("vec_id"), col("subspace"), col("code"))
-    val lut = Pq.adcLut(queries, spark.read.parquet(dir + "_pq"), m, dim)
-    val approx = codes
-      .join(broadcast(qa), Seq("centroid_id"))
-      .join(lut, Seq("query_id", "subspace", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(Pq.adcScore(sum(col("ipq"))).as("approx_ip"))
+    val approx = ivfPqApprox(spark, dir, queries, nprobe, m, dim, None)
     val wA = Window.partitionBy("query_id")
       .orderBy(col("approx_ip").desc, col("vec_id").asc)
     val survivors = approx.withColumn("__ar", row_number().over(wA))
@@ -486,28 +553,12 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
     import org.apache.spark.storage.StorageLevel
-    val centroids = broadcastCentroids(
-      spark.read.parquet(dir + "_codebook"))
-    val qa = assignProbes(
-        withNorm(queries, "vec_id", "query_id"), centroids, nprobes.max,
-        "probe_rank")
-      .select(col("query_id"), col("centroid_id"), col("probe_rank"))
-    val probeIds = qa.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(dir)
-      .filter(col("centroid_id").isin(probeIds: _*))
-      .select(col("centroid_id").cast("long").as("centroid_id"),
-        col("vec_id"), col("subspace"), col("code"))
-    val lut = Pq.adcLut(queries, spark.read.parquet(dir + "_pq"), m, dim)
     // probe_rank is constant over a (query, vec) pair's m subspace rows
     // (one centroid per corpus vector), so it rides the group-by keys
-    val approx = CacheRegistry.track(codes
-      .join(broadcast(qa), Seq("centroid_id"))
-      .join(lut, Seq("query_id", "subspace", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id", "probe_rank")
-      .agg(Pq.adcScore(sum(col("ipq"))).as("approx_ip"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val approx = CacheRegistry.track(
+      ivfPqApprox(spark, dir, queries, nprobes.max, m, dim,
+          Some("probe_rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     approx.count()
     val exact = CacheRegistry.track(
       bruteForceTopK(corpus, queries, k).select(col("query_id"), col("vec_id"))

@@ -1744,6 +1744,51 @@ class OperatorsSpec extends AnyFunSuite {
       s"full-probe IVFADC recall ${rec.last._5} != flat ADC recall ${flatRec.head}")
   }
 
+  test("residual ivfadc: same surface, non-degenerate codebooks, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    def buildAndProbe(byRes: Boolean) = {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"ivfpqres-$byRes").toString + "/ix"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 16,
+        m = 4, ksub = 16, dim = 64, byResidual = byRes)
+      (idx, Similarity.ivfPqTopK(spark, idx, queries, emb,
+        k = 3, nprobe = 4, rerankFactor = 4, m = 4, dim = 64))
+    }
+    val (idxRes, resTopK) = buildAndProbe(byRes = true)
+    val (_, rawTopK) = buildAndProbe(byRes = false)
+    // identical output surface + partition pruning in residual mode
+    assert(resTopK.columns.toSeq ==
+      Seq("query_id", "vec_id", "cos_sim", "approx_ip", "rank"))
+    assert(resTopK.count() == 12 && rawTopK.count() == 12)
+    val plan = resTopK.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"))
+    // degeneracy guard (the bug this spec caught): residual codebooks
+    // drawn from ids < numCentroids would be the centroids' OWN
+    // residuals — identically zero, quantizing every residual to r̂ = 0.
+    // The offset fix draws them from ids ≥ numCentroids; their entries
+    // must carry real mass.
+    val cbMass = spark.read.parquet(idxRes + "_pq")
+      .select(expr("aggregate(c_sub, 0d, (a, x) -> a + abs(x))").as("mass"))
+      .agg(min(col("mass"))).head().getDouble(0)
+    assert(cbMass > 0.0, "residual codebook has an all-zero entry")
+    // NO residual-beats-raw inequality here: on THIS corpus (synthetic,
+    // unclustered) residuals x − c of near-orthogonal vectors are
+    // LARGER than x, so raw codes genuinely score tighter (measured
+    // 0.18 vs 0.30 MAD) — residual encoding pays off when the corpus
+    // clusters around its centroids, which is a data property, not a
+    // code property. Correctness is gated by the q_ivf_pq_res oracle;
+    // here we pin determinism of the full build+probe chain instead.
+    val again = buildAndProbe(byRes = true)._2
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(again == resTopK.orderBy("query_id", "rank").collect().toSeq)
+    // reusing the residual index through the recall sweep works too
+    val rec = Similarity.ivfPqRecall(spark, idxRes, queries, emb,
+        k = 3, nprobes = Seq(1, 4), rerankFactor = 4, m = 4, dim = 64)
+      .collect()
+    assert(rec.length == 2 && rec.forall(_.getDouble(4) > 0.0))
+  }
+
   test("cdc plan shape: broadcast anti-join under broadcastChangedKeys, broadcast probe join in linkage") {
     val base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val ch = base.limit(10).select(col("c_custkey"), col("c_name"),
