@@ -489,13 +489,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == (1L to 5L).map(i => (i, i)))
   }
 
-  test("vec_dot rejects non-float32 arrays at analysis time") {
-    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+  test("vec_dot: float and double arrays accepted, int/mixed rejected at analysis time") {
+    // array<double> is a first-class input since the residual-IVFADC
+    // path (subtractions in double); the typed accessor dispatches
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.vec_dot($"a", $"b"))
+      .head().getDouble(0)
+    assert(dd == 11.0)
+    // int arrays: still an analysis-time failure, never silent garbage
+    val ints = Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
     val e = intercept[Exception] {
-      df.select(graft.functions.GraftFunctions.vec_dot($"a", $"b")).collect()
+      ints.select(graft.functions.GraftFunctions.vec_dot($"a", $"b")).collect()
     }
     assert(e.getMessage.contains("vec_dot") || e.getMessage.contains("DATATYPE"),
       s"expected analysis-time type failure, got: ${e.getMessage}")
+    // mixed float/double: rejected — the element accessor must agree
+    val mixed = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      mixed.select(graft.functions.GraftFunctions.vec_dot($"a", $"b")).collect()
+    }
+    assert(e2.getMessage.contains("vec_dot") || e2.getMessage.contains("DATATYPE"))
   }
 
   test("fused min_hash_sketch aggregate == declarative per-permutation mins") {
