@@ -202,6 +202,31 @@ object ScaleCheck {
       require(diff == 0, "distributed CC path != driver union-find path")
     }
     operators.CacheRegistry.release(spark)
+    // IVFADC at sf0.1: the at-rest code index must be a fraction of the
+    // raw vectors (the 100-TB claim is storage + pruned IO, not just
+    // CPU), and a 2-of-32-probe scan must stay partition-pruned
+    time("ivfadc sf0.1: build code index + 2-probe topk") {
+      val embBig = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      val idx = tmp.resolve("ivfpq-scale").toString + "/ix"
+      operators.Similarity.writeIvfPqIndex(embBig, idx, numCentroids = 32)
+      val topk = operators.Similarity.ivfPqTopK(spark, idx,
+        embBig.filter(col("vec_id") < 8), embBig, k = 5, nprobe = 2)
+      println("[scale] ivfadc topk rows: " + topk.count())
+      def dirBytes(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+      val codeBytes = dirBytes(java.nio.file.Paths.get(idx))
+      val rawBytes = dirBytes(java.nio.file.Paths.get(
+        "/root/testdata/sf0.1/embeddings.parquet"))
+      println(f"[scale] ivfadc code index MB: ${codeBytes / 1e6}%.1f " +
+        f"vs raw embeddings MB: ${rawBytes / 1e6}%.1f " +
+        f"(${codeBytes.toDouble / rawBytes * 100}%.0f%%)")
+      require(codeBytes < rawBytes,
+        "code index must be smaller than the raw vectors it replaces")
+    }
     // sparse tf-idf cosine at 10×: df of every term is 10× hotter, so the
     // 1% df cap must still bound pair generation (the cap scales with D)
     time("sparse bigram cosine 50k docs (df cap 1%)") {
