@@ -163,7 +163,10 @@ object Pq {
     val qNorm = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("__q_emb"),
       sqrt(vec_dot(col("embedding"), col("embedding"))).as("__q_norm")))
-    cands.join(cNorm, "vec_id").join(qNorm, "query_id")
+    // candidate frames are ≤ queries·k·rf rows; broadcast them so the
+    // full-vector fetch probes the corpus scan map-side instead of
+    // shuffling the corpus ([[Similarity.rerankExact]] note)
+    broadcast(cands).join(cNorm, "vec_id").join(qNorm, "query_id")
       .withColumn("cos_sim",
         round(vec_dot(col("__q_emb"), col("__v_emb"))
           / (col("__q_norm") * col("__v_norm")), 4))

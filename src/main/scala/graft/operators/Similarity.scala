@@ -524,7 +524,11 @@ object Similarity {
       col("embedding").as("__q_emb"), l2norm(col("embedding")).as("__q_norm")))
     val wR = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    cands.join(cN, "vec_id").join(qN, "query_id")
+    // survivors are ≤ queries·k·rf rows against a corpus-sized vector
+    // table: broadcast them EXPLICITLY so the id fetch is a map-side
+    // hash probe of the corpus scan, never a corpus shuffle — at 100 TB
+    // AQE only fixes this after a misestimated exchange is planned
+    broadcast(cands).join(cN, "vec_id").join(qN, "query_id")
       .withColumn("cos_sim",
         round(dot(col("__q_emb"), col("__v_emb"))
           / (col("__q_norm") * col("__v_norm")), 4))

@@ -1734,6 +1734,10 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = narrow.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
       s"expected partition-pruned code scan:\n$plan")
+    // the exact re-rank fetches survivors' full vectors by BROADCAST
+    // hash probe of the corpus scan — never a corpus shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast survivor re-rank:\n$plan")
     assert(!spark.read.parquet(idx).columns.contains("embedding"),
       "index must store PQ codes only")
     // recall telemetry: NOT asserted monotone in nprobe — with a fixed
