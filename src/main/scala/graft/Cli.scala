@@ -611,6 +611,22 @@ object Cli {
         Graph.spanLinkEdges(docs,
           maxDocsPerSpan = flags.getOrElse("span-cap", "64").toInt),
         iters = flags.getOrElse("iters", "3").toInt)
+      // retrieval-side curation (embeddings input unless noted)
+      case "hardneg"     => Similarity.hardNegatives(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "5").toInt)
+      case "mmr"         => Retrieval.mmrSelect(docs,
+        nQueries = flags.getOrElse("queries", "3").toInt,
+        m = flags.getOrElse("m", "10").toInt,
+        k = flags.getOrElse("topk", "3").toInt,
+        lambda = flags.getOrElse("lambda", "0.7").toDouble)
+      // documents input + row-aligned embeddings via -emb
+      case "rrf"         => Retrieval.rrfHybridTopK(docs,
+        spark.read.parquet(flags.getOrElse("emb",
+          fail("rrf requires -emb <embeddings.parquet>"))),
+        nQueries = flags.getOrElse("queries", "3").toInt,
+        perList = flags.getOrElse("perlist", "20").toInt,
+        k = flags.getOrElse("topk", "10").toInt)
       case other => fail(s"unknown corpus op: $other")
     }
     flags.get("out") match {

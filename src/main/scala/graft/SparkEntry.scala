@@ -946,6 +946,32 @@ object SparkEntry {
           Tables.load(s, dir, "embeddings"), threshold = 0.3)
         .orderBy("vec_id_a", "vec_id_b")),
 
+    // contrastive-training hard negatives: top-5 cross-label neighbors
+    // per query — the near-miss negatives an embedding trainer mines
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // hybrid retrieval: RRF fusion of the sparse TF-IDF cosine ranking
+    // (documents) and the dense embedding cosine ranking (row-aligned
+    // embeddings), 20-deep lists, fused top-10 per query
+    "q_rrf_hybrid" -> ((s, dir) =>
+      operators.Retrieval.rrfHybridTopK(
+          Tables.load(s, dir, "documents"),
+          Tables.load(s, dir, "embeddings"),
+          nQueries = 3, perList = 20, k = 10)
+        .orderBy("query_id", "rank")),
+
+    // diversity-aware exemplar selection: greedy MMR over the dense
+    // top-10 candidates, λ=0.7, 3 picks per query
+    "q_mmr" -> ((s, dir) =>
+      operators.Retrieval.mmrSelect(
+          Tables.load(s, dir, "embeddings"),
+          nQueries = 3, m = 10, k = 3, lambda = 0.7)
+        .orderBy("query_id", "mmr_rank")),
+
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
@@ -1544,6 +1570,135 @@ object SparkEntry {
            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
            WHERE c.vec_id <> q.vec_id) t
          WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // q_embed_topk's proven rounded-cosine ranking with the label
+    // inequality replacing the self-exclusion (same label ⊃ self)
+    "q_hard_negatives" ->
+      """SELECT query_id, vec_id, cos_sim, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+           WHERE c.label <> q.label) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // both rank lists replayed with their own proven conventions (decimal
+    // tfidf dot, rounded dense cosine), then the RRF sum as the identical
+    // fixed-order double expression; rank 0 = absent from that list
+    "q_rrf_hybrid" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), tfc AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
+         ), dft AS (
+           SELECT term, count(*) AS df FROM tfc GROUP BY 1
+         ), n AS (SELECT count(*) AS n FROM documents),
+         v AS (
+           SELECT tfc.doc_id, tfc.term,
+             CAST(round(tfc.tf * (n.n + 1.0) / (dft.df + 1.0), 4) AS DECIMAL(18,4)) AS w
+           FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
+         ), norms AS (
+           SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm FROM v GROUP BY 1
+         ), qd AS (
+           SELECT doc_id AS query_id, term, w AS qw FROM v WHERE doc_id < 3
+         ), dots AS (
+           SELECT q.query_id, v.doc_id, CAST(sum(q.qw * v.w) AS DOUBLE) AS dot
+           FROM v JOIN qd q ON v.term = q.term AND v.doc_id <> q.query_id
+           GROUP BY 1, 2
+         ), sparse AS (
+           SELECT query_id, doc_id AS item_id, rk AS rank_sparse FROM (
+             SELECT d.query_id, d.doc_id,
+               row_number() OVER (PARTITION BY d.query_id
+                 ORDER BY round(d.dot / (nq.norm * nd.norm), 4) DESC, d.doc_id) AS rk
+             FROM dots d
+             JOIN norms nq ON nq.doc_id = d.query_id
+             JOIN norms nd ON nd.doc_id = d.doc_id) t
+           WHERE rk <= 20
+         ), ec AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         ), dense AS (
+           SELECT query_id, vec_id AS item_id, rk AS rank_dense FROM (
+             SELECT q.vec_id AS query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rk
+             FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 3) q
+             WHERE c.vec_id <> q.vec_id) t
+           WHERE rk <= 20
+         ), fused AS (
+           SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.item_id, d.item_id) AS item_id,
+             coalesce(s.rank_sparse, 0) AS rank_sparse,
+             coalesce(d.rank_dense, 0) AS rank_dense,
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank_sparse), 0.0) +
+               coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank_dense), 0.0) AS rrf
+           FROM sparse s FULL OUTER JOIN dense d
+             ON s.query_id = d.query_id AND s.item_id = d.item_id
+         )
+         SELECT query_id, item_id, rank_sparse, rank_dense,
+           round(rrf, 6) AS rrf_score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, item_id) AS rank FROM fused) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the greedy loop unrolled as chained CTEs (the kmeans convention):
+    // rel/pair sims once, then per step an argmax over
+    // λ·rel − (1−λ)·max-sim-to-selected with the Scala-interpolated
+    // (1−λ) double so both engines subtract the identical constant
+    "q_mmr" -> {
+      val lambda = 0.7; val k = 3
+      val lam = lambda.toString
+      val oneMinus = (1.0 - lambda).toString
+      val steps = (2 to k).map { i =>
+        val prev = if (i == 2) "s1" else s"sel${i - 1}"
+        s""", p$i AS (
+           SELECT r.query_id, r.vec_id,
+             round(CAST($lam AS DOUBLE) * r.rel - CAST($oneMinus AS DOUBLE) * p.pen, 6) AS mmr_score
+           FROM rel r
+           JOIN (SELECT ps.query_id, ps.va AS vec_id, max(ps.sim) AS pen
+                 FROM ps JOIN $prev s ON s.query_id = ps.query_id AND s.vec_id = ps.vb
+                 GROUP BY 1, 2) p
+             ON p.query_id = r.query_id AND p.vec_id = r.vec_id
+           WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+                             WHERE s2.query_id = r.query_id AND s2.vec_id = r.vec_id)
+         ), s$i AS (
+           SELECT query_id, vec_id, mmr_score, $i AS mmr_rank FROM (
+             SELECT query_id, vec_id, mmr_score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY mmr_score DESC, vec_id) AS rk
+             FROM p$i) t WHERE rk = 1
+         ), sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)"""
+      }.mkString
+      s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         rel AS (
+           SELECT query_id, vec_id, cos_sim AS rel FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rk
+             FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 3) q
+             WHERE c.vec_id <> q.vec_id) t
+           WHERE rk <= 10
+         ), ps AS (
+           SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(ea.e, eb.e), 4) AS sim
+           FROM rel a JOIN rel b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+           JOIN ec ea ON ea.vec_id = a.vec_id
+           JOIN ec eb ON eb.vec_id = b.vec_id
+         ), s1 AS (
+           SELECT query_id, vec_id,
+             round(CAST($lam AS DOUBLE) * rel, 6) AS mmr_score, 1 AS mmr_rank FROM (
+             SELECT query_id, vec_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, vec_id) AS rk
+             FROM rel) t WHERE rk = 1
+         )$steps
+         SELECT query_id, vec_id, mmr_score, mmr_rank FROM sel$k
+         ORDER BY query_id, mmr_rank"""
+    },
 
     // the ENTIRE iterative k-means chain replayed as chained CTEs: same
     // init, same rounded-cosine assignment, same fixed-point means (exact

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side curation operators: hybrid rank fusion and
+  * diversity-aware selection over the corpus — the query-time complement
+  * of the ANN family in [[Similarity]] and the sparse scoring in
+  * [[Tfidf]]/[[TextAnalysis]]. These are the ops a training-data pipeline
+  * runs to mine few-shot exemplars, build eval panels, or assemble
+  * retrieval-augmented contexts at corpus scale.
+  *
+  * Determinism contract (shared with the ANN family): every similarity is
+  * rounded to 4dp BEFORE ranking, every rank ties on the item id, and
+  * fusion/selection arithmetic is a fixed sequence of IEEE double ops on
+  * those rounded inputs — identical bits on any engine, run, or
+  * partitioning.
+  */
+object Retrieval {
+
+  /** Sparse TF-IDF cosine top-k: rank corpus documents against each query
+    * document over shared terms. Query vectors are the rows of `vectors`
+    * whose doc_id satisfies `queryMaxId` exclusion (doc_id < queryMaxId) —
+    * the "seed document" retrieval shape.
+    *
+    * Scale shape: the query slice is tiny and BROADCAST; the corpus-side
+    * vector table is joined on term (map-side against the broadcast), so
+    * the only shuffle is the (query, doc) partial-agg dot product —
+    * bounded by queries × docs-sharing-a-term, never corpus². Norms join
+    * back on doc_id (corpus-sized but column-pruned to two columns).
+    */
+  def sparseCosineTopK(
+      vectors: DataFrame,
+      queryMaxId: Long,
+      k: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // decimal substrate: 4dp weights exact in DECIMAL(18,4) — dot/norm
+    // sums are order-free (the sparseCosinePairs-proven convention)
+    val w = vectors.select(col("doc_id"), col("term"),
+        col("tfidf").cast("decimal(18,4)").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(w)
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("__norm"))
+    val q = broadcast(
+      w.filter(col("doc_id") < queryMaxId)
+        .select(col("doc_id").as("query_id"), col("term"), col("w").as("__qw")))
+    val dots = w.join(q, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__qw") * col("w")).cast("double").as("__dot"))
+    val qNorms = broadcast(
+      norms.filter(col("doc_id") < queryMaxId)
+        .select(col("doc_id").as("query_id"), col("__norm").as("__qn")))
+    val scored = dots
+      .join(qNorms, Seq("query_id"))
+      .join(norms, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(col("__dot") / (col("__qn") * col("__norm")), 4).as("tfidf_sim"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("tfidf_sim").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "tfidf_sim", "rank")
+  }
+
+  /** Reciprocal-rank-fusion hybrid retrieval: fuse a sparse (TF-IDF
+    * cosine) and a dense (embedding cosine) ranking of the same item space
+    * with RRF(item) = Σ_lists 1/(rrfK + rank). The classic hybrid-search
+    * combiner — rank-based, so the two lists' incomparable score scales
+    * never meet.
+    *
+    * Items are identified by doc_id ≡ vec_id (the corpus convention:
+    * embeddings are row-aligned with documents). A rank of 0 in the output
+    * means the item was absent from that list (contributing 0 to the
+    * fused score).
+    *
+    * Scale shape: each per-query list is ≤ perList rows, so the fusion
+    * join and final window run on |queries|·perList rows — negligible next
+    * to the two list-producing scans, which each follow their own
+    * documented scale path ([[sparseCosineTopK]],
+    * [[Similarity.bruteForceTopK]] / its IVF variants for 100 TB).
+    */
+  def rrfHybridTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      nQueries: Int,
+      perList: Int,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val sparse = sparseCosineTopK(Tfidf.tfidfVectors(docs), nQueries, perList)
+      .select(col("query_id"), col("doc_id").as("item_id"),
+        col("rank").as("rank_sparse"))
+    val dense = Similarity.bruteForceTopK(
+        embeddings, embeddings.filter(col("vec_id") < nQueries), perList)
+      .select(col("query_id"), col("vec_id").as("item_id"),
+        col("rank").as("rank_dense"))
+    val fused = sparse.join(dense, Seq("query_id", "item_id"), "full_outer")
+      .select(col("query_id"), col("item_id"),
+        coalesce(col("rank_sparse"), lit(0)).as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0)).as("rank_dense"),
+        // fixed-order double arithmetic: each term is one int add + one
+        // double division; absent list → exact 0.0
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")), lit(0.0)))
+          .as("__rrf"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("__rrf").desc, col("item_id").asc)
+    fused.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("rank_sparse"),
+        col("rank_dense"), round(col("__rrf"), 6).as("rrf_score"), col("rank"))
+  }
+
+  /** Maximal-marginal-relevance selection: greedily pick `k` items per
+    * query from its dense top-`m` candidates, trading relevance against
+    * redundancy — score(d) = λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s).
+    * The diversity-aware exemplar picker (few-shot mining, eval-panel
+    * assembly, dedup-aware context packing).
+    *
+    * The greedy loop is inherently sequential in k, but k is a small
+    * constant and each step is a fully distributed join+window over the
+    * |queries|·m candidate frame — no driver collect, no per-query
+    * serialization. Candidates and their m² pairwise similarities are
+    * computed ONCE and persisted; each step touches only those tiny
+    * frames. At 100 TB the cost is the candidate generation (swap
+    * [[Similarity.bruteForceTopK]] for the IVF index probe); the MMR loop
+    * itself is queries×m-sized regardless of corpus size.
+    *
+    * Determinism: rel and sim are 4dp-rounded before any arithmetic;
+    * step scores are λ·rel − (1−λ)·penalty in that exact operation order,
+    * 6dp-rounded before the argmax; all argmaxes tie on vec_id.
+    */
+  def mmrSelect(
+      embeddings: DataFrame,
+      nQueries: Int,
+      m: Int = 10,
+      k: Int = 3,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
+    import org.apache.spark.storage.StorageLevel
+    val rel = Similarity.bruteForceTopK(
+        embeddings, embeddings.filter(col("vec_id") < nQueries), m)
+      .select(col("query_id"), col("vec_id"), col("cos_sim").as("__rel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(rel)
+    // pairwise sims within each query's candidate set: |Q|·m² rows, built
+    // once — the loop below never touches an embedding again
+    val withVec = rel.select("query_id", "vec_id")
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withVec.select(col("query_id"), col("vec_id").as("__va"),
+      col("embedding").as("__ea"))
+    val b = withVec.select(col("query_id"), col("vec_id").as("__vb"),
+      col("embedding").as("__eb"))
+    val pairSims = a.join(b, Seq("query_id"))
+      .filter(col("__va") =!= col("__vb"))
+      .select(col("query_id"), col("__va"), col("__vb"),
+        round(Similarity.cosine(col("__ea"), col("__eb")), 4).as("__sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(pairSims)
+
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("__rel").desc, col("vec_id").asc)
+    var selected = rel.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("vec_id"),
+        round(lit(lambda) * col("__rel"), 6).as("mmr_score"),
+        lit(1).as("mmr_rank"))
+    for (step <- 2 to k) {
+      val pen = pairSims
+        .join(selected.select(col("query_id"), col("vec_id").as("__vb")),
+          Seq("query_id", "__vb"))
+        .groupBy(col("query_id"), col("__va").as("vec_id"))
+        .agg(max(col("__sim")).as("__pen"))
+      val remaining = rel.join(selected.select("query_id", "vec_id"),
+        Seq("query_id", "vec_id"), "left_anti")
+      val scoredStep = remaining.join(pen, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(lit(lambda) * col("__rel") -
+            lit(1.0 - lambda) * col("__pen"), 6).as("mmr_score"))
+      val wi = Window.partitionBy("query_id")
+        .orderBy(col("mmr_score").desc, col("vec_id").asc)
+      val pick = scoredStep.withColumn("__rn", row_number().over(wi))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("mmr_score"),
+          lit(step).as("mmr_rank"))
+      selected = selected.unionByName(pick)
+    }
+    selected
+  }
+}

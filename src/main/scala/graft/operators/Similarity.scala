@@ -60,6 +60,36 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most-similar corpus vectors whose `label`
+    * DIFFERS from the query's — the near-miss negatives that make
+    * contrastive batches informative (random negatives are trivially
+    * easy; same-label neighbors are false negatives).
+    *
+    * Same shape and determinism contract as [[bruteForceTopK]] (broadcast
+    * queries, one corpus pass, 4dp-rounded cosine, vec_id ties); the label
+    * inequality is applied before scoring so same-label candidates never
+    * rank. At 100 TB swap the corpus pass for the IVF probe and keep the
+    * label filter on the survivor set.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("label"), col("embedding"),
+      l2norm(col("embedding")).as("__norm"))
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("label").as("__qlabel"),
+        col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm")))
+    val scored = c.crossJoin(q)
+      .filter(col("label") =!= col("__qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+  }
+
   /** Random-hyperplane (sign) LSH bucket id for table `t`: bit k is the
     * sign of the projection onto a deterministic ±1 hyperplane whose
     * components come from hashing (table, bit, dimension). Backed by the

@@ -1957,4 +1957,94 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wr(1L) > wr(2L), s"weighted split not respected: $wr")
     assert(math.abs(wr.values.sum - 1.0) < 1e-6)
   }
+
+  test("hard negatives: cross-label only, ranked like brute force on the rest") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val res = Similarity.hardNegatives(emb, emb.filter($"vec_id" < 3), k = 5)
+      .collect()
+    assert(res.length == 15)
+    res.foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) != labels(r.getAs[Long]("query_id")),
+        "a hard negative must not share the query's label")
+    }
+    // against a label-filtered brute-force replay: identical rows
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), k = 500)
+      .collect()
+      .filter(r => labels(r.getAs[Long]("vec_id")) != labels(r.getAs[Long]("query_id")))
+      .groupBy(_.getAs[Long]("query_id")).toSeq
+      .flatMap { case (_, rows) =>
+        rows.sortBy(_.getAs[Int]("rank")).take(5).zipWithIndex.map {
+          case (r, i) => (r.getLong(0), r.getLong(1), r.getDouble(2), i + 1) }
+      }.toSet
+    val got = res.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == brute)
+  }
+
+  test("RRF hybrid: fused score recomputes from the emitted ranks; both-list items win") {
+    // item 3 is rank-1 in BOTH lists for query 0: same text (sparse) and
+    // nearest embedding (dense)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "zeta eta theta iota"),
+      (2L, "kappa lambda mu nu"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "xi omicron pi rho")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f)),
+      (3L, Array(0.99f, 0.14f, 0f)),
+      (4L, Array(0.5f, -0.8f, 0.33f))).toDF("vec_id", "embedding")
+    val res = Retrieval.rrfHybridTopK(docs, emb, nQueries = 1,
+      perList = 4, k = 5).collect()
+    val top = res.filter(_.getAs[Int]("rank") == 1).head
+    assert(top.getAs[Long]("item_id") == 3L)
+    assert(top.getAs[Int]("rank_sparse") == 1 && top.getAs[Int]("rank_dense") == 1)
+    res.foreach { r =>
+      val rs = r.getAs[Int]("rank_sparse"); val rd = r.getAs[Int]("rank_dense")
+      val want = (if (rs > 0) 1.0 / (60 + rs) else 0.0) +
+        (if (rd > 0) 1.0 / (60 + rd) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf_score") - want) < 1e-6,
+        s"rrf_score must recompute from the emitted ranks: $r")
+    }
+    // scores weakly decrease in rank
+    val scores = res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("rrf_score"))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+  }
+
+  test("MMR: redundant near-twin is deferred in favor of the diverse candidate") {
+    // query 0; candidates: 1 and 2 are near-twins (rel ~0.9), 3 mirrors 1
+    // across the x-axis (same rel, dissimilar to 1). Greedy λ=0.7 must
+    // pick 1 (tie on id vs 2), then 3 (2's twin-penalty sinks it), then 2.
+    val emb = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.4359f)),
+      (2L, Array(0.9f, 0.436f)),
+      (3L, Array(0.9f, -0.4359f))).toDF("vec_id", "embedding")
+    val picks = Retrieval.mmrSelect(emb, nQueries = 1, m = 3, k = 3, lambda = 0.7)
+      .orderBy("mmr_rank").collect()
+    assert(picks.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L),
+      s"got: ${picks.mkString(", ")}")
+    // step-1 score is λ·rel; later scores carry the redundancy penalty
+    assert(picks(0).getAs[Double]("mmr_score") > picks(1).getAs[Double]("mmr_score"))
+    assert(picks(1).getAs[Double]("mmr_score") > picks(2).getAs[Double]("mmr_score"))
+  }
+
+  test("MMR on the corpus: first pick is the relevance argmax, picks are distinct") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val picks = Retrieval.mmrSelect(emb, nQueries = 2, m = 5, k = 3)
+      .collect()
+    assert(picks.length == 6)
+    picks.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 3)
+      assert(rows.map(_.getAs[Int]("mmr_rank")).sorted.toSeq == Seq(1, 2, 3))
+    }
+    val first = picks.filter(_.getAs[Int]("mmr_rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    val brute = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 2), k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(first == brute)
+  }
 }
