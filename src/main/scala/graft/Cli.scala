@@ -235,7 +235,8 @@ object Cli {
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
           |              ivfpq|ivfpqrecall|pagerank|dsir|bpe|bpeseg|bpetokens|containment|
-          |              clusterterms|kfold|purity|drift|collocations|gini|vocabgrowth]
+          |              clusterterms|kfold|purity|drift|collocations|gini|vocabgrowth|
+          |              hardneg|mmr|rrf]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall:
           |          -in is an embeddings parquet;
           |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N];
@@ -246,7 +247,10 @@ object Cli {
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
-          |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]))
+          |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]);
+          |          hardneg: embeddings -in, [-queries N] [-topk N];
+          |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
+          |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N])
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)

@@ -103,12 +103,12 @@ object Bpe {
         // this, up to `rounds` vocabulary-sized cached RDDs accumulate
         // (the pageRank unpersist pattern)
         val cutNext = Lineage.cut(next)
-        syms.unpersist(blocking = false)
+        Lineage.release(syms)
         syms = cutNext
         r += 1
       }
     }
-    syms.unpersist(blocking = false)
+    Lineage.release(syms)
     merges.result()
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy("round")

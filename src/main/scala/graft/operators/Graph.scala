@@ -76,6 +76,8 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count()
     if (n == 0) {
+      // NOT Lineage.release: the returned frame still reads e's
+      // checkpointed RDD if its own cache entry is ever evicted
       e.unpersist(blocking = false); outdeg.unpersist(blocking = false)
       return nodes.withColumn("rank", lit(0.0))
     }
@@ -107,10 +109,12 @@ object Graph {
             (base + lit(damping) *
               (coalesce(col("s"), lit(0L)).cast("double") / Q
                 + col("__dang").cast("double") / lit(n) / Q)).as("rank")))
-      ranks.unpersist(blocking = false)
+      // release, not unpersist: rounds > 0 hold a cut (localCheckpoint)
+      // result whose blocks a Dataset.unpersist cannot evict
+      Lineage.release(ranks)
       ranks = next
     }
-    e.unpersist(blocking = false)
+    Lineage.release(e)
     outdeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks

@@ -26,4 +26,24 @@ private[graft] object Lineage {
       df.unpersist(blocking = false)
       cp
     } else df.localCheckpoint(true)
+
+  /** Release the storage behind a DEAD [[cut]] result. A plain
+    * `Dataset.unpersist` only evicts cache-manager entries, so on the
+    * localCheckpoint path it is a no-op — the checkpointed RDD's
+    * storage blocks stay resident until the ContextCleaner notices
+    * (advisor r9). A cut result's analyzed plan is exactly one
+    * `LogicalRDD` leaf; unpersist that RDD directly. Only the
+    * TOP-LEVEL node is matched, never deep leaves: a derived frame may
+    * share a live cut result's RDD in its lineage, and a
+    * locally-checkpointed RDD cannot be recomputed once its blocks are
+    * dropped. Callers must not touch `df` again afterwards.
+    */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
 }

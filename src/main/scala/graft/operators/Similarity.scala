@@ -477,8 +477,16 @@ object Similarity {
       queries: DataFrame, probes: Int, m: Int, dim: Int,
       rankName: Option[String]): DataFrame = {
     val codebook = spark.read.parquet(dir + "_codebook")
-    val byRes = spark.read.parquet(dir + "_meta")
-      .head().getAs[Boolean]("by_residual")
+    // the sidecar records the build-time geometry; a caller reusing a
+    // prebuilt index (CLI -index) with mismatched -m/-dim would silently
+    // score garbage ADC sums otherwise (advisor r9) — fail loudly
+    val meta = spark.read.parquet(dir + "_meta").head()
+    val byRes = meta.getAs[Boolean]("by_residual")
+    val (metaM, metaDim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    require(metaM == m && metaDim == dim,
+      s"IVFADC index at $dir was built with m=$metaM dim=$metaDim " +
+        s"(ksub=${meta.getAs[Int]("ksub")}), but the probe was called " +
+        s"with m=$m dim=$dim — pass the build-time parameters")
     val centroids = broadcastCentroids(codebook)
     val ranked = assignProbes(
       withNorm(queries, "vec_id", "query_id"), centroids, probes,
