@@ -81,6 +81,22 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def cpuNanos(): Long = osBean.getProcessCpuTime
 
+    // host-load marker: the shared bench host has contaminated the wall
+    // totals twice (r8: 131 s recorded vs 59.8 s clean; r10: phantom
+    // q_bpe/q_lsh_recall "regressions" that took a judge re-run to
+    // dismiss). Snapshot /proc/loadavg before and after the suite so a
+    // recorded run carries its own contamination evidence — loadavg >>
+    // bench-JVM parallelism means competing processes, and the wall
+    // numbers should be read against cpu_sec instead.
+    def loadavg(): String = try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      // fields: 1/5/15-min load, running/total tasks, last pid
+      val rt = parts(3).split("/")
+      s"""{"m1":${parts(0)},"m5":${parts(1)},"m15":${parts(2)},"procs_running":${rt(0)},"procs_total":${rt(1)}}"""
+    } catch { case _: Throwable => "null" }
+    val loadStart = loadavg()
+
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the suite — an iteration loop for
     // optimizing one query without paying for the other ~56. Names are
     // trimmed and validated: a typo must fail loudly, not measure an
@@ -130,7 +146,9 @@ object Bench {
     // failed queries (-1) are excluded from the totals, not billed as ~0s
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"sf":"$sfDir"}"""
+    val loadEnd = loadavg()
+    val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
@@ -140,7 +158,7 @@ object Bench {
     val worst = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
       .map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
-    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"sf":"$sfDir"}"""
+    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"load":$loadJson,"sf":"$sfDir"}"""
     println(summaryJson)
     // DURABLE copy: the stdout capture window has truncated the full
     // per-query wall map every round since r5 (and r8's 13 s q_cube
@@ -161,8 +179,13 @@ object Bench {
         java.nio.file.Files.write(toolsDir.resolve("bench-last.json"),
           (s"""{"ts":"$ts","full":$fullJson,"summary":$summaryJson}""" + "\n")
             .getBytes("UTF-8"))
+        // history lines carry the FULL per-query wall+CPU maps, not just
+        // the summary: cross-round trend analysis (is q_bpe's CPU drifting?)
+        // previously needed git archaeology on bench-last.json, which only
+        // keeps the latest run (r10 verdict task 1c)
         java.nio.file.Files.write(toolsDir.resolve("bench-history.jsonl"),
-          (s"""{"ts":"$ts","summary":$summaryJson}""" + "\n").getBytes("UTF-8"),
+          (s"""{"ts":"$ts","summary":$summaryJson,"queries":$qs,"cpu":$cpus_}""" + "\n")
+            .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
       } catch { case e: Throwable =>

@@ -652,7 +652,8 @@ object Cli {
     import graft.operators._
     val in = flags.getOrElse("in", fail("events requires -in <events.parquet>"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(in).withColumn("ts_ms", expr("ts div 1000000"))
+    val ev = Tables.normalizeEventTs(spark.read.parquet(in))
+      .withColumn("ts_ms", expr("ts div 1000000"))
     val result: DataFrame = flags.getOrElse("op", "sessionize") match {
       case "sessionize" => Events.sessionize(ev,
         gapMs = flags.getOrElse("gap-ms", (30 * 60 * 1000L).toString).toLong)

@@ -1091,6 +1091,19 @@ object SparkEntry {
         m = 4, ksub = 16, dim = 64, rerankFactors = Seq(1, 2, 4))
     }),
 
+    // Lloyd's-TRAINED PQ codebooks (r10 verdict task 3): the pseudo
+    // draw survives as deterministic init, two fixed-point k-means
+    // iterations per subspace refine it (one distributed pass per
+    // iteration over all m subspaces at once), then the standard ADC
+    // chain probes with the trained book
+    "q_pq_trained" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Pq.pqCodebooksTrained(emb, m = 4, ksub = 16, dim = 64, iters = 2)
+      Pq.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+          m = 4, ksub = 16, dim = 64, rerankFactor = 4, codebooks = Some(cb))
+        .orderBy("query_id", "rank")
+    }),
+
     // CDC changelog apply (MERGE INTO): latest row-image per key wins,
     // deletes drop, untouched base keys pass through one anti-join.
     // Changelog synthesized from orders (unique seq = o_orderkey)
@@ -3103,6 +3116,45 @@ object SparkEntry {
          GROUP BY p.rerank_factor, tot.exact_pairs
          ORDER BY rerank_factor""",
 
+    // the q_pq_topk ADC chain with cb := the Lloyd's-trained cb2 from
+    // pqTrainCtes — training replayed via fixed-point CTE iterations
+    "q_pq_trained" ->
+      s"""WITH ${pqTrainCtes(2)},
+         enc AS (
+           SELECT vec_id, subspace, centroid_id AS code FROM (
+             SELECT v.vec_id, v.subspace, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
+                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
+                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
+                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM sv v JOIN cb2 c USING (subspace)) WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
+             CAST(floor(round(list_sum(list_transform(range(1, 17),
+               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
+           FROM sv q JOIN cb2 c USING (subspace) WHERE q.vec_id < 5),
+         approx AS (
+           SELECT query_id, vec_id,
+             round(CAST(CAST(sum(ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
+           FROM enc JOIN lut USING (subspace, code)
+           WHERE vec_id <> query_id
+           GROUP BY query_id, vec_id),
+         surv AS (
+           SELECT query_id, vec_id, approx_ip FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_ip DESC, vec_id ASC) AS ar
+             FROM approx) WHERE ar <= 12)
+         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
+           SELECT s.query_id, s.vec_id, s.approx_ip,
+             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
+           FROM surv s
+           JOIN ec v ON v.vec_id = s.vec_id
+           JOIN ec q ON q.vec_id = s.query_id) t
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
     // MERGE INTO replay: latest row-image per key (unique seq =
     // o_orderkey), deletes drop, anti-join passthrough of untouched keys
     "q_cdc_apply" ->
@@ -4200,6 +4252,51 @@ object SparkEntry {
            FROM cents$j p LEFT JOIN (
              SELECT c, list(mv ORDER BY pos) AS e FROM m$j GROUP BY c) n ON p.c = n.c
          )"""
+    }.mkString(",\n         ")
+    s"$head,\n         $steps"
+  }
+
+  /** DuckDB replay of [[graft.operators.Pq.pqCodebooksTrained]]: sv
+    * (inlined subvectors), qsv (2^20 fixed-point components), cb0 (the
+    * pseudo init), then per iteration j the per-(vec,subspace)
+    * assignment a{j}, fixed-point means m{j}, and cb{j+1}. The caller's
+    * chain reads cb{iters}. Pinned constants mirror the Spark side:
+    * m=4, ksub=16, sub=16, Q=2^20.
+    */
+  private def pqTrainCtes(iters: Int): String = {
+    val q = 1L << 20
+    val head = s"""ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         ss AS (SELECT unnest(range(0, 4)) AS subspace),
+         sv AS (
+           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
+           FROM ec CROSS JOIN ss),
+         qsv AS (
+           SELECT vec_id, subspace, pos, floor(sub[pos] * $q + 0.5) AS qq
+           FROM (SELECT vec_id, subspace, sub, unnest(range(1, 17)) AS pos FROM sv) t),
+         cb0 AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
+                 FROM sv WHERE vec_id < 16)"""
+    val steps = (0 until iters).map { j =>
+      s"""a$j AS (
+           SELECT vec_id, subspace, centroid_id AS code FROM (
+             SELECT v.vec_id, v.subspace, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
+                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
+                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
+                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM sv v JOIN cb$j c USING (subspace)) WHERE rn = 1),
+         m$j AS (
+           SELECT a.subspace, a.code, q.pos,
+             CAST(CAST(CAST(sum(q.qq) AS DOUBLE) / (count(*) * $q.0) AS FLOAT) AS DOUBLE) AS mv
+           FROM a$j a JOIN qsv q ON a.vec_id = q.vec_id AND a.subspace = q.subspace
+           GROUP BY a.subspace, a.code, q.pos),
+         cb${j + 1} AS (
+           SELECT p.subspace, p.centroid_id,
+             CASE WHEN n.e IS NULL THEN p.c_sub ELSE n.e END AS c_sub
+           FROM cb$j p LEFT JOIN (
+             SELECT subspace, code, list(mv ORDER BY pos) AS e
+             FROM m$j GROUP BY subspace, code) n
+           ON p.subspace = n.subspace AND p.centroid_id = n.code)"""
     }.mkString(",\n         ")
     s"$head,\n         $steps"
   }

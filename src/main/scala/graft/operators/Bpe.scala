@@ -103,12 +103,12 @@ object Bpe {
         // this, up to `rounds` vocabulary-sized cached RDDs accumulate
         // (the pageRank unpersist pattern)
         val cutNext = Lineage.cut(next)
-        Lineage.release(syms)
+        Lineage.release(syms, deleteFiles = true)
         syms = cutNext
         r += 1
       }
     }
-    Lineage.release(syms)
+    Lineage.release(syms, deleteFiles = true)
     merges.result()
       .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
       .orderBy("round")

@@ -870,7 +870,14 @@ object Dedup {
       changed = next
         .join(labels.select(col("doc_id"), col("label").as("__old")), "doc_id")
         .filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
+      // Lineage.release, not unpersist: on cut rounds the dead `labels`
+      // is a localCheckpoint result whose blocks a Dataset.unpersist
+      // cannot evict (r10 verdict). NO deleteFiles here: successors
+      // between cuts are merely persisted and fall back to the previous
+      // reliable checkpoint's files on executor loss — cluster
+      // deployments reclaim those via
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true.
+      Lineage.release(labels)
       labels = next
       i += 1
       if (changed > 0 && i >= starSwitchAfter && i < maxIter) {
@@ -885,7 +892,9 @@ object Dedup {
             .select(col("doc_id").as("doc_id_a"), col("label").as("doc_id_b")))
         val out = dedupClustersStar(docs, remaining)
         edges.unpersist()
-        labels.unpersist()
+        // labels may be a cut result on checkpointEvery rounds; star has
+        // already materialized its own pair table, so its blocks are dead
+        Lineage.release(labels)
         return out
       }
     }
@@ -1031,7 +1040,14 @@ object Dedup {
       val nextCached = cutLineage(next, i)
       val nextSig = sig(nextCached)
       converged = nextSig == edgeSig
-      edges.unpersist()
+      // Lineage.release, not unpersist: every round's dead `edges` is a
+      // cut result (localCheckpoint blocks, or reliable-checkpoint files
+      // on checkpointEvery rounds) that a Dataset.unpersist cannot free
+      // (r10 verdict #1). deleteFiles is safe here because nextCached is
+      // ALWAYS an eager cut — no successor recomputes through the dead
+      // round. The star loop references its input ~4× per round, so
+      // freed memory matters most exactly here.
+      Lineage.release(edges, deleteFiles = true)
       edges = nextCached
       edgeSig = nextSig
       i += 1

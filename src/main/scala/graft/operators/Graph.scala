@@ -109,12 +109,15 @@ object Graph {
             (base + lit(damping) *
               (coalesce(col("s"), lit(0L)).cast("double") / Q
                 + col("__dang").cast("double") / lit(n) / Q)).as("rank")))
-      // release, not unpersist: rounds > 0 hold a cut (localCheckpoint)
-      // result whose blocks a Dataset.unpersist cannot evict
-      Lineage.release(ranks)
+      // release, not unpersist: on the localCheckpoint path (no
+      // checkpoint dir) rounds > 0 hold blocks a Dataset.unpersist
+      // cannot evict; on the reliable path the dead round is checkpoint
+      // FILES, which deleteFiles reclaims — safe here because `next` is
+      // an eager cut with its own files before the predecessor goes
+      Lineage.release(ranks, deleteFiles = true)
       ranks = next
     }
-    Lineage.release(e)
+    Lineage.release(e, deleteFiles = true)
     outdeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks

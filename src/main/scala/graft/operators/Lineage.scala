@@ -37,12 +37,33 @@ private[graft] object Lineage {
     * share a live cut result's RDD in its lineage, and a
     * locally-checkpointed RDD cannot be recomputed once its blocks are
     * dropped. Callers must not touch `df` again afterwards.
+    *
+    * On the RELIABLE path (checkpoint dir configured — the cluster
+    * deployment), a cut's data is FILES, not storage blocks, and
+    * `rdd.unpersist` frees nothing (advisor r10). Pass
+    * `deleteFiles = true` to also delete the dead cut's checkpoint
+    * directory — safe ONLY when every frame that could still recompute
+    * through this cut is itself an eager cut (the Bpe/pageRank/
+    * star-contraction loops, which cut every round before releasing the
+    * predecessor). Loops whose successors are merely PERSISTED between
+    * cuts (the min-label CC loop) must keep the default: a persisted
+    * successor falls back to the predecessor's checkpoint files on
+    * executor loss, so those deployments should instead set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` and let
+    * the ContextCleaner delete files once the RDD is unreachable.
     */
-  def release(df: DataFrame): Unit = {
+  def release(df: DataFrame, deleteFiles: Boolean = false): Unit = {
     df.unpersist(blocking = false)
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
+        if (deleteFiles) lr.rdd.getCheckpointFile.foreach { dir =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Throwable => () } // best-effort cleanup
+        }
       case _ => ()
     }
   }

@@ -68,6 +68,80 @@ object Pq {
       .select(col("e.subspace").as("subspace"), col("centroid_id"), col("e.c_sub"))
   }
 
+  /** Lloyd's-TRAINED per-subspace codebooks — real k-means, vs the
+    * [[pqCodebooks]] pseudo draw (which survives as the deterministic
+    * INIT). Spark shape: all m subspaces train together — `subspace` is
+    * just another grouping key, so each iteration is ONE distributed
+    * assignment pass over the m·n inlined subvectors plus one
+    * centroid-sized collect (ksub·dim floats — driver-bounded, the
+    * [[Similarity.trainCodebook]] pattern), never m separate jobs.
+    *
+    * Determinism / oracle: assignment by 6dp-rounded squared L2 with
+    * ties on centroid id (the [[pqEncode]] comparison), centroid means
+    * over 2^20 fixed-point component longs cast back through float —
+    * the exact [[Similarity.trainCodebook]] arithmetic, so the whole
+    * training replays bit-for-bit in DuckDB CTEs. Empty clusters keep
+    * their previous centroid. Output: (subspace, centroid_id, c_sub).
+    */
+  def pqCodebooksTrained(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+      iters: Int = 2, idOffset: Long = 0L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(iters >= 0, "iters must be non-negative")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val Qm = 1L << 20
+
+    // persisted: the assignment pass re-scans both per iteration
+    val sv = CacheRegistry.track(
+      subvectors(corpus, "vec_id", "vec_id", m, dim)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val qsv = CacheRegistry.track(sv
+      .select(col("vec_id"), col("subspace"), posexplode_outer(col("sub_emb")))
+      .filter(col("pos").isNotNull) // Dedup.safeExplodeNote
+      .select(col("vec_id"), col("subspace"), col("pos"),
+        floor(col("col").cast("double") * Qm + 0.5).cast("long").as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+
+    var cents: Seq[(Int, Long, Seq[Float])] =
+      pqCodebooks(corpus, m, ksub, dim, idOffset).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSeq
+    require(cents.size == m * ksub,
+      s"PQ init needs ksub=$ksub vectors per subspace at or above id " +
+        s"$idOffset; got ${cents.size} of ${m * ksub} centroids")
+
+    for (_ <- 0 until iters) {
+      val cbDf = broadcast(cents.toDF("subspace", "centroid_id", "c_sub"))
+      val d2 = round(
+        vec_dot(col("sub_emb"), col("sub_emb"))
+          - lit(2.0) * vec_dot(col("sub_emb"), col("c_sub"))
+          + vec_dot(col("c_sub"), col("c_sub")), 6)
+      val w = Window.partitionBy("vec_id", "subspace")
+        .orderBy(d2.asc, col("centroid_id").asc)
+      val assigned = sv.join(cbDf, Seq("subspace"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("subspace"), col("centroid_id").as("code"))
+      // m·ksub·(dim/m) = ksub·dim mean floats — the only driver-bound
+      // data; ONE action per iteration
+      val means = assigned.join(qsv, Seq("vec_id", "subspace"))
+        .groupBy("subspace", "code", "pos")
+        .agg((sum(col("q")).cast("double")
+          / (count(lit(1)).cast("double") * lit(Qm.toDouble)))
+          .cast("float").as("mv"))
+        .collect()
+      val byKey = means
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getFloat(3))))
+        .groupBy(_._1)
+        .map { case (key, rs) => key -> rs.map(_._2).sortBy(_._1).map(_._2).toSeq }
+      cents = cents.map { case (s, c, old) =>
+        (s, c, byKey.getOrElse((s, c), old))
+      }
+    }
+    sv.unpersist(blocking = false)
+    qsv.unpersist(blocking = false)
+    cents.toDF("subspace", "centroid_id", "c_sub")
+  }
+
   /** (id, subspace, sub_emb) — each vector inlined into its m subvectors. */
   private def subvectors(df: DataFrame, idCol: String, idAlias: String,
       m: Int, dim: Int): DataFrame = {
@@ -140,8 +214,9 @@ object Pq {
 
   private def approxRanked(
       corpus: DataFrame, queries: DataFrame,
-      m: Int, ksub: Int, dim: Int): DataFrame = {
-    val codebooks = pqCodebooks(corpus, m, ksub, dim)
+      m: Int, ksub: Int, dim: Int,
+      codebooksOpt: Option[DataFrame] = None): DataFrame = {
+    val codebooks = codebooksOpt.getOrElse(pqCodebooks(corpus, m, ksub, dim))
     val codes = pqEncode(corpus, codebooks, m, dim)
     val lut = adcLut(queries, codebooks, m, dim)
 
@@ -180,9 +255,10 @@ object Pq {
       m: Int = 4,
       ksub: Int = 16,
       dim: Int = 64,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && rerankFactor >= 1)
-    val survivors = approxRanked(corpus, queries, m, ksub, dim)
+    val survivors = approxRanked(corpus, queries, m, ksub, dim, codebooks)
       .filter(col("__ar") <= k * rerankFactor)
       .drop("__ar")
 
@@ -208,13 +284,15 @@ object Pq {
       m: Int = 4,
       ksub: Int = 16,
       dim: Int = 64,
-      rerankFactors: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+      rerankFactors: Seq[Int] = Seq(1, 2, 4),
+      codebooks: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && rerankFactors.nonEmpty && rerankFactors.forall(_ >= 1))
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val ranked = CacheRegistry.track(
-      withExactCosine(approxRanked(corpus, queries, m, ksub, dim), corpus, queries)
+      withExactCosine(approxRanked(corpus, queries, m, ksub, dim, codebooks),
+          corpus, queries)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ranked.count() // one fill for every rf's consumer
 

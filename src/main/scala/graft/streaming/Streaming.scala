@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.{LogParser, ParquetIO, Schema}
+import graft.{LogParser, ParquetIO, Schema, Tables}
 
 /** Per-user sessionization state/rows (top-level so Encoders resolve). */
 private[streaming] case class Ev(event_id: Long, user_id: Long, ts_ms: Long)
@@ -84,9 +84,9 @@ object Streaming {
       watermark: String = "2 hours"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
+    Tables.normalizeEventTs(spark.readStream
       .schema(schema)
-      .parquet(eventsDir)
+      .parquet(eventsDir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowDuration), col("event_type"))
@@ -114,7 +114,8 @@ object Streaming {
     val s = spark
     import s.implicits._
 
-    val events = spark.readStream.schema(schema).parquet(eventsDir)
+    val events = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(eventsDir))
       .selectExpr("event_id", "user_id", "ts div 1000000 AS ts_ms")
       .as[Ev]
 
@@ -164,6 +165,7 @@ object Streaming {
     val events = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(eventsDir)
+      .transform(Tables.normalizeEventTs)
       .selectExpr("event_id", "user_id", "event_type", "ts AS tsn")
       .as[FEv]
 
@@ -215,6 +217,7 @@ object Streaming {
     val events = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(eventsDir)
+      .transform(Tables.normalizeEventTs)
       .selectExpr("user_id", "ts div 1000000 AS ts_ms")
       .as[REv]
 
@@ -292,9 +295,9 @@ object Streaming {
       watermark: String = "2 hours"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
+    Tables.normalizeEventTs(spark.readStream
       .schema(schema)
-      .parquet(eventsDir)
+      .parquet(eventsDir))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("event_id")

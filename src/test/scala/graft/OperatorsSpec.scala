@@ -1256,6 +1256,45 @@ class OperatorsSpec extends AnyFunSuite {
     graft.operators.Lineage.release(spark.range(5).toDF("n"))
   }
 
+  test("Lineage.release(deleteFiles) deletes a dead reliable cut's checkpoint files") {
+    // the reliable path stores a cut as FILES under the checkpoint dir;
+    // rdd.unpersist frees nothing there (advisor r10) — deleteFiles must
+    // remove the directory itself
+    val df = spark.range(50).toDF("n").withColumn("sq", $"n" * $"n")
+    df.persist()
+    val cp = df.checkpoint(true)
+    df.unpersist()
+    val lr = cp.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val dir = lr.rdd.getCheckpointFile
+    assert(dir.isDefined, "reliable checkpoint should record its file dir")
+    val p = new org.apache.hadoop.fs.Path(dir.get)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p))
+    graft.operators.Lineage.release(cp, deleteFiles = true)
+    assert(!fs.exists(p), "release(deleteFiles) should remove the dead cut's files")
+  }
+
+  test("star-contraction loop releases dead per-round cut storage") {
+    // a 24-node chain forces several contraction rounds, each cutting
+    // lineage; the loop must free every dead round's blocks as it goes
+    // (r10 verdict #1). Upper-bound identity check (anti-flake: the
+    // ContextCleaner can only REMOVE persisted ids, never add): of the
+    // RDD ids the call leaves behind, at most the final tracked edges
+    // cut should remain — a broken release leaks one id per round.
+    CacheRegistry.release(spark)
+    val n = 24L
+    val docsDf = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val labels = Dedup.dedupClustersStar(docsDf, chain, maxIter = 10, checkpointEvery = 3)
+    assert(labels.count() == n)
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(fresh.size <= 2,
+      s"star loop should free dead round cuts as it goes; leaked ids: $fresh")
+    CacheRegistry.release(spark)
+  }
+
   test("multimodal: PPM decoder parses a hand-built fixture with header comments") {
     // 2x2 image, comment between tokens, known pixel bytes
     val header = "P6 # a comment\n# another\n2\n2\n255\n"
