@@ -259,6 +259,7 @@ class StreamingSpec extends AnyFunSuite {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(eventsDir)
+      .transform(Tables.normalizeEventTs)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
