@@ -227,13 +227,79 @@ object ScaleCheck {
       require(codeBytes < rawBytes,
         "code index must be smaller than the raw vectors it replaces")
     }
-    // sparse tf-idf cosine at 10×: df of every term is 10× hotter, so the
-    // 1% df cap must still bound pair generation (the cap scales with D)
-    time("sparse bigram cosine 50k docs (df cap 1%)") {
-      println("[scale] cosine pairs out: " +
-        operators.Tfidf.sparseCosinePairs(
-            operators.Tfidf.tfidfVectors(docs10, ngram = 2),
-            threshold = 0.05, maxDfFrac = 0.01).count())
+    // ANN recall FLOORS: sized by an sf0.1 probe on this exact build
+    // shape (32-centroid IVF, m=4/ksub=16 PQ, k=5, 8 queries) — measured
+    // ivf 0.975/1.0/1.0 per nprobe {1,2,4}, ivfadc 0.725/0.65/0.60,
+    // pq rerank_factor=4 at 0.425 (pseudo AND 2-iter trained), trained
+    // rf=2 at 0.30 — floors are measurement minus margin. A quality
+    // regression (codebook corruption, probe-ordering bug, ADC table
+    // mix-up) now FAILS the scale check instead of printing an unread
+    // telemetry table.
+    time("ann recall floors sf0.1 (ivf / ivfadc / pq pseudo+trained)") {
+      val embBig = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      val qs = embBig.filter(col("vec_id") < 8)
+      def recallBy(df: org.apache.spark.sql.DataFrame, keyCol: String): Map[Int, Double] =
+        df.select(col(keyCol).cast("int"), col("recall_at_k").cast("double"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val ivf = recallBy(operators.Similarity.ivfRecall(embBig, qs, k = 5), "nprobe")
+      println(s"[scale] ivf recall per nprobe: $ivf")
+      require(ivf(1) >= 0.80 && ivf(2) >= 0.90 && ivf(4) >= 0.90,
+        s"ivf recall under floor (measured 0.975/1.0/1.0): $ivf")
+      val idx = tmp.resolve("ivfpq-scale").toString + "/ix" // written above
+      val ipq = recallBy(
+        operators.Similarity.ivfPqRecall(spark, idx, qs, embBig, k = 5), "nprobe")
+      println(s"[scale] ivfadc recall per nprobe: $ipq")
+      require(ipq.values.min >= 0.50,
+        s"ivfadc recall under floor 0.50 (measured 0.725/0.65/0.60): $ipq")
+      val pq = recallBy(operators.Pq.pqRecall(embBig, qs, k = 5), "rerank_factor")
+      println(s"[scale] pq pseudo recall per rf: $pq")
+      require(pq(4) >= 0.30,
+        s"pq pseudo recall@rf4 under floor 0.30 (measured 0.425): $pq")
+      val cb = operators.Pq.pqCodebooksTrained(embBig, m = 4, ksub = 16, dim = 64, iters = 2)
+      val pqt = recallBy(
+        operators.Pq.pqRecall(embBig, qs, k = 5, codebooks = Some(cb)), "rerank_factor")
+      println(s"[scale] pq trained recall per rf: $pqt")
+      require(pqt(4) >= 0.30 && pqt(2) >= 0.20,
+        s"pq trained recall under floor (measured rf2=0.30, rf4=0.425): $pqt")
+      operators.CacheRegistry.release(spark)
+    }
+    // sparse tf-idf cosine at 10×: df of every term is 10× hotter. The
+    // FRACTIONAL cap scales with D (a skew guard, not a scale guard), so
+    // the absolute maxDf cap is what bounds generation blocks at corpus
+    // scale: with maxDf frozen at the 1× fractional cap value, block
+    // width — and so per-term candidate pairs, C(maxDf,2) — is the same
+    // at 1× and 10×, while frac-only blocks fatten 10× (≈100× pairs).
+    time("sparse bigram cosine 50k docs (df cap 1% + absolute maxDf)") {
+      def candPairs(vecs: org.apache.spark.sql.DataFrame, frac: Double,
+          cap: Long): (Long, Long) = {
+        val d = vecs.agg(countDistinct(col("doc_id"))).head.getLong(0)
+        val eff = math.min(math.floor(d * frac).toLong, cap)
+        val r = vecs.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= eff)
+          .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L)).as("p"),
+            coalesce(max(col("df")), lit(0L)).as("w")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val v1 = operators.Tfidf.tfidfVectors(docs, ngram = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v10 = operators.Tfidf.tfidfVectors(docs10, ngram = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val d1 = v1.agg(countDistinct(col("doc_id"))).head.getLong(0)
+      val cap1 = math.floor(d1 * 0.01).toLong // 1× fractional cap, frozen
+      val (p1, w1) = candPairs(v1, 0.01, Long.MaxValue)
+      val (pFrac10, wFrac10) = candPairs(v10, 0.01, Long.MaxValue)
+      val (pAbs10, wAbs10) = candPairs(v10, 0.01, cap1)
+      println(s"[scale] cand pairs 1x frac-only: $p1 (max block $w1), " +
+        s"10x frac-only: $pFrac10 (max block $wFrac10), " +
+        s"10x abs-capped@$cap1: $pAbs10 (max block $wAbs10)")
+      require(wAbs10 <= cap1,
+        "absolute cap must bound generation block width at any scale")
+      require(pAbs10 < pFrac10,
+        "absolute cap must cut candidates vs the scale-tracking frac cap")
+      println("[scale] cosine pairs out (abs-capped): " +
+        operators.Tfidf.sparseCosinePairs(v10,
+          threshold = 0.05, maxDfFrac = 0.01, maxDf = cap1).count())
+      v1.unpersist(blocking = false); v10.unpersist(blocking = false)
     }
     operators.CacheRegistry.release(spark)
     // z-order rewrite of the 10× corpus: the layout shuffle is the only

@@ -740,12 +740,13 @@ object SparkEntry {
         .orderBy("doc_id", "term")),
 
     // term-blocked sparse cosine pairs over BIGRAM vectors, pair-gen
-    // restricted to rare terms (df ≤ 1% of docs) — the skew guard that
-    // keeps the candidate space sublinear at corpus scale
+    // restricted to rare terms: df ≤ min(1% of docs, absolute 1000) —
+    // the fractional cap guards skew, the absolute cap bounds block
+    // width (and so per-term candidates) independently of corpus size
     "q_sparse_cosine" -> ((s, dir) =>
       Tfidf.sparseCosinePairs(
           Tfidf.tfidfVectors(Tables.load(s, dir, "documents"), ngram = 2),
-          threshold = 0.05, maxDfFrac = 0.01)
+          threshold = 0.05, maxDfFrac = 0.01, maxDf = 1000L)
         .orderBy("doc_id_a", "doc_id_b")),
 
     // Gopher/MassiveText-style within-doc repetition quality stats
@@ -2487,7 +2488,7 @@ object SparkEntry {
 
     // bigram TF-IDF cosine pairs: decimal dot/norm sums (order-free),
     // sqrt/÷ correctly rounded — the whole chain replays exactly; the
-    // 1% df cap bounds pair generation on both sides identically
+    // min(1% of D, 1000) generation cap binds on both sides identically
     "q_sparse_cosine" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
@@ -2511,7 +2512,7 @@ object SparkEntry {
          ), d AS (SELECT count(DISTINCT doc_id) AS d FROM v),
          gen AS (
            SELECT v.doc_id, v.term FROM v JOIN dft ON v.term = dft.term CROSS JOIN d
-           WHERE dft.df <= floor(d.d * 0.01)
+           WHERE dft.df <= least(floor(d.d * 0.01), 1000)
          ), cand AS (
            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            FROM gen a JOIN gen b ON a.term = b.term AND a.doc_id < b.doc_id

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *     only documents sharing vocabulary ever meet — never an O(n²)
   *     cross; the fractional df cap (`maxDfFrac`) drops corpus-wide
   *     terms from pair GENERATION (the classic skew guard: a term in
-  *     half the corpus pairs everything with everything), while the dot
-  *     product itself stays exact over ALL shared terms of surviving
-  *     candidate pairs;
+  *     half the corpus pairs everything with everything) and the
+  *     absolute `maxDf` cap bounds every generation block independently
+  *     of corpus size, while the dot product itself stays exact over
+  *     ALL shared terms of surviving candidate pairs;
   *   - dot products and norms accumulate in exact DECIMAL (weights are
   *     4dp-rounded, so products are exactly representable) — addition
   *     order cannot change the result, which is what makes a
@@ -70,11 +71,26 @@ object Tfidf {
   /** Cosine-similar document pairs over sparse TF-IDF vectors.
     *
     * Candidate pairs come from a self-join blocked on the term; terms
-    * with df > floor(D · maxDfFrac) (D = docs present in the vector
-    * table) are excluded from pair GENERATION only — pairs sharing at
-    * least one sub-cap term still get their dot product over ALL shared
-    * terms. With `maxDfFrac = 1.0` the result is exact for every pair
-    * sharing any term.
+    * with df above the generation cap are excluded from pair GENERATION
+    * only — pairs sharing at least one sub-cap term still get their dot
+    * product over ALL shared terms. With `maxDfFrac = 1.0` and no
+    * `maxDf` the result is exact for every pair sharing any term.
+    *
+    * The generation cap is `min(floor(D · maxDfFrac), maxDf)` (D = docs
+    * present in the vector table). The fractional cap alone is a SKEW
+    * guard, not a scale guard: block width grows linearly with the
+    * corpus, so worst-case candidate pairs grow quadratically in D (at
+    * 10⁹ docs a 1% cap still admits 10⁷-doc blocks). The absolute
+    * `maxDf` bounds every generation block — and therefore per-term
+    * candidate pairs, at C(maxDf, 2) — independently of corpus size;
+    * set it (e.g. a few thousand) for any corpus-scale run.
+    *
+    * Shuffle shape: candidate pairs AND their sub-cap dot contributions
+    * come out of the SAME term-blocked join+aggregate (the intermediate
+    * is shared-posting-sized, never cand × doc-terms); only the few
+    * OVER-cap terms of each surviving pair ride a second join keyed on
+    * (doc_id, term), so the exact-dot completion costs cand ×
+    * over-cap-terms-per-doc — a small fraction of a doc's vocabulary.
     *
     * Output: (doc_id_a, doc_id_b, cos_sim) with doc_id_a < doc_id_b and
     * cos_sim ≥ threshold, 4dp-rounded.
@@ -82,9 +98,11 @@ object Tfidf {
   def sparseCosinePairs(
       vectors: DataFrame,
       threshold: Double = 0.5,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0,
+      maxDf: Long = Long.MaxValue): DataFrame = {
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     import org.apache.spark.storage.StorageLevel
     // decimal substrate: 4dp weights are exact in DECIMAL(18,4); products
     // and sums stay exact, so accumulation order is irrelevant.
@@ -96,34 +114,57 @@ object Tfidf {
       col("tfidf").cast("decimal(18,4)").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheRegistry.track(w)
-    // eager fill: the five consumers sit in ONE downstream query, whose
-    // concurrent stages would otherwise race the lazy cache population
-    // and each recompute the tfidf build
-    w.count()
+    // no eager w.count() needed: subDots' eager fill below scans w first,
+    // populating its cache before the final query's other consumers
+    // (norms, df table, over-cap postings) ever read it
 
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
 
     val dRow = w.agg(countDistinct(col("doc_id")).as("__D"))
-    val genTerms = w.groupBy("term").agg(count(lit(1)).as("__df"))
+    val dft = w.groupBy("term").agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(dRow))
-      .filter(col("__df") <= floor(col("__D") * lit(maxDfFrac)))
-      .select("term")
-    val gen = w.select("doc_id", "term").join(genTerms, "term")
-    val cand = gen.as("a").join(gen.as("b"), "term")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
-      .distinct()
+      .withColumn("__cap", least(floor(col("__D") * lit(maxDfFrac)), lit(maxDf)))
+    val genTerms = dft.filter(col("__df") <= col("__cap")).select("term")
 
-    // exact dot over ALL shared terms of each candidate pair (not just
-    // the generating sub-cap terms)
-    val dots = cand
-      .join(w.select(col("doc_id").as("doc_id_a"), col("term"), col("w").as("wa")),
+    // one term-blocked join does double duty: it both GENERATES the
+    // candidate pairs (any pair sharing a sub-cap term) and accumulates
+    // their dot product over those sub-cap terms — the intermediate is
+    // exactly the shared sub-cap postings, never cand × doc-terms
+    val wGen = w.join(genTerms, "term")
+    // persisted + eagerly filled: subDots feeds TWO consumers of the one
+    // downstream query (the over-cap completion's pair list and the final
+    // dot join) — uncached, the generation join+agg would run twice and
+    // the concurrent stages would race the lazy cache population
+    val subDots = wGen
+      .select(col("doc_id").as("doc_id_a"), col("term"), col("w").as("wa"))
+      .join(wGen.select(col("doc_id").as("doc_id_b"), col("term"), col("w").as("wb")),
+        "term")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(sum(col("wa") * col("wb")).as("__dot_sub"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(subDots)
+    subDots.count()
+
+    // exact-dot completion: each surviving pair's OVER-cap shared terms
+    // (the dot covers ALL shared terms, not just the generating ones) —
+    // per-doc over-cap vocabulary is small, so this join stays cand-sized
+    val wOver = w.join(dft.filter(col("__df") > col("__cap")).select("term"), "term")
+    val overDots = subDots.select("doc_id_a", "doc_id_b")
+      .join(wOver.select(col("doc_id").as("doc_id_a"), col("term"), col("w").as("wa")),
         Seq("doc_id_a"))
-      .join(w.select(col("doc_id").as("doc_id_b"), col("term"), col("w").as("wb")),
+      .join(wOver.select(col("doc_id").as("doc_id_b"), col("term"), col("w").as("wb")),
         Seq("doc_id_b", "term"))
       .groupBy("doc_id_a", "doc_id_b")
-      .agg(sum(col("wa") * col("wb")).cast("double").as("__dot"))
+      .agg(sum(col("wa") * col("wb")).as("__dot_over"))
+
+    // both partial dots are exact DECIMAL sums, so the split-and-add
+    // equals the single sum over all shared terms bit-for-bit
+    val dots = subDots.join(overDots, Seq("doc_id_a", "doc_id_b"), "left")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("__dot_sub") + coalesce(col("__dot_over"), lit(0)))
+          .cast("double").as("__dot"))
 
     dots
       .join(norms.select(col("doc_id").as("doc_id_a"), col("norm").as("__na")), "doc_id_a")

@@ -307,6 +307,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the rare-term pair at cos 1.0, got ${capped.toSeq}")
   }
 
+  test("sparse cosine: absolute maxDf caps pair-gen even when the frac cap admits") {
+    // "zeta" has df=3: a 100% frac cap admits it (3 pairs), but the
+    // absolute maxDf=2 blocks it from generation — only the rare "alpha"
+    // pair survives, and its dot still INCLUDES the zeta component
+    val df = Seq((1L, "zeta alpha"), (2L, "zeta alpha"),
+      (3L, "zeta beta"), (4L, "delta gamma")).toDF("doc_id", "text")
+    val uncapped = Tfidf.sparseCosinePairs(Tfidf.tfidfVectors(df), threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(uncapped.toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = Tfidf.sparseCosinePairs(Tfidf.tfidfVectors(df),
+        threshold = 0.0, maxDfFrac = 1.0, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected only the rare-term pair at cos 1.0, got ${capped.toSeq}")
+  }
+
   test("binned quantiles: within one bucket width of the exact quantile") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 2000).map(_ => ("g1", rnd.nextDouble() * 100.0)) ++
