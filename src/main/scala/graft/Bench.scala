@@ -20,6 +20,9 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let the ContextCleaner reclaim dead reliable-checkpoint files
+      // that Lineage.release deliberately leaves (min-label CC loop)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,7 +35,7 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+      catch { case e if scala.util.control.NonFatal(e) => () }
     }
     // Parse-pipeline throughput against the reference's headline number
     // (~5.1M lines/sec single-core Go, BASELINE.md): replicate the 212-line
@@ -68,7 +71,7 @@ object Bench {
       }.max
       java.nio.file.Files.delete(tmp.resolve("big.log"))
       rate
-    } catch { case e: Throwable =>
+    } catch { case e if scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] parse throughput failed: $e"); -1.0
     }
 
@@ -88,14 +91,15 @@ object Bench {
     // recorded run carries its own contamination evidence — loadavg >>
     // bench-JVM parallelism means competing processes, and the wall
     // numbers should be read against cpu_sec instead.
-    def loadavg(): String = try {
+    def loadavg(): (String, Double) = try {
       val parts = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
       // fields: 1/5/15-min load, running/total tasks, last pid
       val rt = parts(3).split("/")
-      s"""{"m1":${parts(0)},"m5":${parts(1)},"m15":${parts(2)},"procs_running":${rt(0)},"procs_total":${rt(1)}}"""
-    } catch { case _: Throwable => "null" }
-    val loadStart = loadavg()
+      (s"""{"m1":${parts(0)},"m5":${parts(1)},"m15":${parts(2)},"procs_running":${rt(0)},"procs_total":${rt(1)}}""",
+        parts(0).toDouble)
+    } catch { case e if scala.util.control.NonFatal(e) => ("null", -1.0) }
+    val (loadStart, m1Start) = loadavg()
 
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the suite — an iteration loop for
     // optimizing one query without paying for the other ~56. Names are
@@ -121,7 +125,7 @@ object Bench {
         val c0 = cpuNanos()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
+          catch { case e if scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: $e"); false
           }
         if (ok) ((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9)
@@ -139,6 +143,71 @@ object Bench {
     // state a long-running ingest service actually operates in
     val parseRate = if (only.isDefined) -1.0 else measureParseRate()
 
+    // contamination auto-rerun (r8/r10/r11: three recorded runs carried
+    // host-noise outliers that each took a judge-side isolated re-run to
+    // dismiss): any query whose wall exceeds 3× its bench-history median
+    // (1.5× when the host was already loaded at suite start, m1 > 1.5 —
+    // idle here is ~0.3) is re-run ONCE after the suite, when the
+    // competing load has usually drained, and BOTH numbers are recorded.
+    // The record then adjudicates itself: rerun ≈ median ⇒ contamination;
+    // rerun ≈ recorded ⇒ real regression. Capped at 6 queries so a fully
+    // thrashed host can't double the suite.
+    def historyMedians(toolsDir: java.nio.file.Path): Map[String, Double] = try {
+      val f = toolsDir.resolve("bench-history.jsonl")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val byQ = scala.collection.mutable.Map.empty[String, List[Double]]
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(f)).asScala
+          .filter(_.trim.nonEmpty).foreach { line =>
+            val qn = mapper.readTree(line).get("queries")
+            if (qn != null && qn.isObject) {
+              val it = qn.fields()
+              while (it.hasNext) {
+                val e = it.next()
+                val v = e.getValue.asDouble(-1.0)
+                if (v >= 0) byQ(e.getKey) = v :: byQ.getOrElse(e.getKey, Nil)
+              }
+            }
+          }
+        byQ.map { case (k, vs) =>
+          val s = vs.sorted; k -> s(s.size / 2)
+        }.toMap
+      }
+    } catch { case e if scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] history medians unavailable: $e"); Map.empty
+    }
+    val benchToolsDir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(sys.props("user.dir"), "tools"))
+    val reruns: Seq[(String, (Double, Double))] =
+      if (only.isDefined) Seq.empty
+      else {
+        val medians = historyMedians(benchToolsDir)
+        val factor = if (m1Start > 1.5) 1.5 else 3.0
+        val flagged = results
+          .filter { case (name, (w, _)) =>
+            w >= 0 && medians.get(name).exists(m => m > 0 && w > factor * m) }
+          .sortBy(-_._2._1).take(6).map(_._1)
+        val fnByName = SparkEntry.queries
+        flagged.map { name =>
+          val t0 = System.nanoTime(); val c0 = cpuNanos()
+          val ok =
+            try { fnByName(name)(spark, sfDir).write.format("noop")
+              .mode("overwrite").save(); true }
+            catch { case e if scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] rerun $name failed: $e"); false }
+          operators.CacheRegistry.release(spark)
+          spark.catalog.clearCache()
+          name -> (if (ok) ((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9)
+            else (-1.0, -1.0))
+        }
+      }
+    val rerunJson = reruns
+      .map { case (k, (w, c)) => "\"" + k + "\":" + s"""{"wall":$w,"cpu":$c}""" }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val cpus_ = results.map { case (k, (_, c)) => "\"" + k + "\":" + c }
@@ -146,19 +215,22 @@ object Bench {
     // failed queries (-1) are excluded from the totals, not billed as ~0s
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
-    val loadEnd = loadavg()
+    val (loadEnd, m1End) = loadavg()
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"load":$loadJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
     // the front (BENCH_r05-r07 stored `parsed: null`) — totals and the
-    // worst offenders must survive any tail window
+    // worst offenders must survive any tail window. Load appears here as
+    // just the two m1 numbers: the full object lives in fullJson /
+    // bench-last.json, and ~130 bytes of it here would erode exactly the
+    // truncation headroom this line exists to guarantee.
     val nFailed = results.count(_._2._1 < 0)
     val worst = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
       .map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
-    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"load":$loadJson,"sf":"$sfDir"}"""
+    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"n_rerun":${reruns.size},"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"m1_start":$m1Start,"m1_end":$m1End,"sf":"$sfDir"}"""
     println(summaryJson)
     // DURABLE copy: the stdout capture window has truncated the full
     // per-query wall map every round since r5 (and r8's 13 s q_cube
@@ -171,24 +243,23 @@ object Bench {
     // full-suite record.
     if (only.isEmpty) {
       try {
-        val toolsDir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
-          .map(java.nio.file.Paths.get(_))
-          .getOrElse(java.nio.file.Paths.get(sys.props("user.dir"), "tools"))
-        java.nio.file.Files.createDirectories(toolsDir)
+        java.nio.file.Files.createDirectories(benchToolsDir)
         val ts = java.time.Instant.now().toString
-        java.nio.file.Files.write(toolsDir.resolve("bench-last.json"),
+        java.nio.file.Files.write(benchToolsDir.resolve("bench-last.json"),
           (s"""{"ts":"$ts","full":$fullJson,"summary":$summaryJson}""" + "\n")
             .getBytes("UTF-8"))
         // history lines carry the FULL per-query wall+CPU maps, not just
         // the summary: cross-round trend analysis (is q_bpe's CPU drifting?)
         // previously needed git archaeology on bench-last.json, which only
-        // keeps the latest run (r10 verdict task 1c)
-        java.nio.file.Files.write(toolsDir.resolve("bench-history.jsonl"),
-          (s"""{"ts":"$ts","summary":$summaryJson,"queries":$qs,"cpu":$cpus_}""" + "\n")
+        // keeps the latest run (r10 verdict task 1c). The rerun map rides
+        // along but medians read only "queries", so a rerun never shifts
+        // the baseline it was judged against.
+        java.nio.file.Files.write(benchToolsDir.resolve("bench-history.jsonl"),
+          (s"""{"ts":"$ts","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"rerun":$rerunJson}""" + "\n")
             .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
-      } catch { case e: Throwable =>
+      } catch { case e if scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] durable write failed: $e")
       }
     }

@@ -199,6 +199,12 @@ object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // reclaim reliable-checkpoint FILES once their RDD becomes
+      // unreachable: the min-label CC loop's between-cut successors fall
+      // back to the previous checkpoint's files on executor loss, so they
+      // are deleted by the ContextCleaner, never eagerly
+      // (Lineage.release's deleteFiles contract)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

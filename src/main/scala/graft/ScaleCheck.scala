@@ -12,6 +12,7 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setCheckpointDir(
@@ -274,11 +275,13 @@ object ScaleCheck {
           cap: Long): (Long, Long) = {
         val d = vecs.agg(countDistinct(col("doc_id"))).head.getLong(0)
         val eff = math.min(math.floor(d * frac).toLong, cap)
+        // sum the (even) df·(df−1) product in LONG and halve driver-side:
+        // a `/ 2` in the agg promotes to double and loses exactness
         val r = vecs.groupBy("term").agg(count(lit(1)).as("df"))
           .filter(col("df") <= eff)
-          .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L)).as("p"),
+          .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("p2"),
             coalesce(max(col("df")), lit(0L)).as("w")).head
-        (r.getLong(0), r.getLong(1))
+        (r.getLong(0) / 2, r.getLong(1))
       }
       val v1 = operators.Tfidf.tfidfVectors(docs, ngram = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

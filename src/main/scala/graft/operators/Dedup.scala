@@ -974,12 +974,17 @@ object Dedup {
 
     // oriented invariant: edges are kept as (u, v) with v < u. Self-loops
     // (u = v) carry no information and are dropped eagerly.
-    var edges = p
+    // an eager CUT, not a lazy persist: when the loop converges in zero
+    // rounds this initial table IS the returned frame's source, and a
+    // persist would leave it lazily chained through the caller's pair
+    // caches — which the min-label star-switch path releases right after
+    // we return (advisor r11). The cut materializes it independently, so
+    // the handoff never depends on upstream cache survival.
+    var edges = Lineage.cut(p
       .select(greatest(col("doc_id_a"), col("doc_id_b")).as("u"),
         least(col("doc_id_a"), col("doc_id_b")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
 
     // fixed-point detector: (count, XOR of xxhash64(u,v)) — commutative
     // and overflow-free (a hash SUM trips ANSI long-overflow), sound as a

@@ -48,9 +48,11 @@ private[graft] object Lineage {
     * predecessor). Loops whose successors are merely PERSISTED between
     * cuts (the min-label CC loop) must keep the default: a persisted
     * successor falls back to the predecessor's checkpoint files on
-    * executor loss, so those deployments should instead set
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` and let
-    * the ContextCleaner delete files once the RDD is unreachable.
+    * executor loss, so those deployments rely on
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — set by
+    * every engine-owned session builder (Cli, Bench, Verify,
+    * ScaleCheck) — to let the ContextCleaner delete files once the RDD
+    * is unreachable.
     */
   def release(df: DataFrame, deleteFiles: Boolean = false): Unit = {
     df.unpersist(blocking = false)
@@ -62,7 +64,14 @@ private[graft] object Lineage {
             val p = new org.apache.hadoop.fs.Path(dir)
             p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
               .delete(p, true)
-          } catch { case _: Throwable => () } // best-effort cleanup
+          } catch {
+            // best-effort cleanup — but only for genuinely recoverable
+            // failures: swallowing InterruptedException would clear the
+            // interrupt flag and a VM error (OOM) must propagate
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+            case e if scala.util.control.NonFatal(e) => ()
+          }
         }
       case _ => ()
     }
