@@ -453,6 +453,49 @@ object Similarity {
       .write.mode("overwrite").parquet(dir + "_meta")
   }
 
+  /** Incremental IVFADC maintenance: encode `batch` against the index's
+    * FROZEN sidecar codebooks (IVF `_codebook`, PQ `_pq`, params from
+    * `_meta`) and APPEND its codes to the hive-partitioned code table —
+    * the streaming-ingest half of the storage index ([[writeIvfPqIndex]]
+    * is the cold build). No sidecar is rewritten: codebooks are fixed at
+    * index-creation time, which is what makes maintenance a pure per-row
+    * append (at 100 TB, re-training would mean re-encoding the entire
+    * corpus; the production pattern is periodic offline rebuild).
+    *
+    * Equality law (pinned by StreamingSpec): PQ/IVF encoding is a pure
+    * per-row function of the frozen codebooks, so seed-then-append
+    * produces a code table row-identical to a cold [[writeIvfPqIndex]]
+    * over the union — provided the seed contained the codebook-defining
+    * vectors (vec_id < max(numCentroids, ksub) under the pseudo draw).
+    */
+  def appendIvfPq(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dir: String): Unit = {
+    val meta = spark.read.parquet(dir + "_meta").head
+    val byResidual = meta.getAs[Boolean]("by_residual")
+    val m = meta.getAs[Int]("m")
+    val dim = meta.getAs[Int]("dim")
+    val ivfCodebook = spark.read.parquet(dir + "_codebook")
+    val centroids = broadcastCentroids(ivfCodebook)
+    val assign = assignProbes(
+        withNorm(batch, "vec_id", "vec_id"), centroids, 1, "__r")
+      .select(col("vec_id"), col("centroid_id"))
+    val encodeInput =
+      if (!byResidual) batch
+      else batch.join(assign, "vec_id")
+        .join(broadcast(ivfCodebook.select(
+          col("vec_id").as("centroid_id"), col("embedding").as("__c_emb"))),
+          "centroid_id")
+        .select(col("vec_id"),
+          expr("zip_with(cast(embedding as array<double>), " +
+            "cast(__c_emb as array<double>), (x, y) -> x - y)").as("embedding"))
+    val pqCodebooks = spark.read.parquet(dir + "_pq")
+    Pq.pqEncode(encodeInput, pqCodebooks, m, dim)
+      .join(assign, "vec_id")
+      .select(col("centroid_id"), col("vec_id"), col("subspace"), col("code"))
+      .write.mode("append").partitionBy("centroid_id")
+      .option("compression", "zstd").parquet(dir)
+  }
+
   /** Probe a [[writeIvfPqIndex]] index: nprobe centroids per query from
     * the sidecar codebook, a partition-pruning IN filter over the code
     * table (the scan touches nprobe directories of CODES — pinned by

@@ -447,6 +447,49 @@ object Streaming {
         keyCol, seqCol, groupCol, valueCol))
   }
 
+  /** Streaming ANN ingest: maintain an IVFADC storage index under a
+    * stream of arriving embedding files. The FIRST micro-batch
+    * bootstraps the index — training the IVF/PQ codebook sidecars via
+    * [[graft.operators.Similarity.writeIvfPqIndex]] — and every later
+    * batch encodes against those FROZEN codebooks and appends its PQ
+    * codes to the hive-partitioned code table
+    * ([[graft.operators.Similarity.appendIvfPq]]). Encoding is a pure
+    * per-row function of the frozen codebooks, so the incrementally
+    * built index is row-identical to a cold rebuild over the same rows
+    * (StreamingSpec pins both the code table and probe equality),
+    * provided the seed batch carries the codebook-defining vectors.
+    * The batch is locally checkpointed first: the bootstrap path runs
+    * several jobs over it (centroid draw, PQ init, encode) and a raw
+    * streaming-source relation would re-resolve per action.
+    */
+  def streamingIvfPqIngest(
+      spark: SparkSession,
+      embDir: String,
+      indexDir: String,
+      numCentroids: Int = 32,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = spark.read.parquet(embDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(embDir)
+    val metaPath = new org.apache.hadoop.fs.Path(indexDir + "_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint(true)
+        try {
+          if (!fs.exists(metaPath))
+            graft.operators.Similarity.writeIvfPqIndex(b, indexDir, numCentroids)
+          else graft.operators.Similarity.appendIvfPq(spark, b, indexDir)
+        } finally graft.operators.Lineage.release(b)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DF to completion on currently-available data into an
     * in-memory table; returns the result as a batch DF.
     */

@@ -272,6 +272,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming IVFADC ingest equals a cold index rebuild (codes and probes)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val srcDir = tmpDir("stream-ivfpq-src")
+    // ordered two-file replay: the seed file carries the codebook-defining
+    // vectors (vec_id < max(numCentroids=16, ksub=16)), the second file
+    // exercises the frozen-codebook append path
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir("stream-ivfpq-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, srcDir.resolve(name))
+    }
+    addFile(emb.filter(col("vec_id") < 250), "f1.parquet")
+    addFile(emb.filter(col("vec_id") >= 250), "f2.parquet")
+
+    val incIdx = tmpDir("stream-ivfpq-inc").toString + "/ix"
+    Streaming.streamingIvfPqIngest(spark, srcDir.toString, incIdx,
+      numCentroids = 16, maxFilesPerTrigger = Some(1))
+
+    val coldIdx = tmpDir("stream-ivfpq-cold").toString + "/ix"
+    graft.operators.Similarity.writeIvfPqIndex(emb, coldIdx, numCentroids = 16)
+
+    // code-table equality: same rows, same codes, same partitions
+    def codes(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("subspace"), col("code"),
+        col("centroid_id").cast("long"))
+      .orderBy("vec_id", "subspace").collect()
+    val inc = codes(incIdx)
+    val cold = codes(coldIdx)
+    assert(inc.length == cold.length && inc.length == 500 * 4)
+    assert(inc.sameElements(cold))
+
+    // probe equality end-to-end through the reader
+    val qs = emb.filter(col("vec_id") < 4)
+    def probe(dir: String) = graft.operators.Similarity
+      .ivfPqTopK(spark, dir, qs, emb, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    val pi = probe(incIdx)
+    assert(pi.nonEmpty && pi.sameElements(probe(coldIdx)))
+  }
+
   test("streaming funnel reaches equal the batch funnel on the full events table") {
     val eventsDir = tmpDir("stream-funnel").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
