@@ -304,6 +304,28 @@ class CliSpec extends AnyFunSuite {
     assert(reused.contains("recall_at_k") && reused.contains("Rows: 2"))
   }
 
+  test("corpus subcommand: retrieval curation ops (hardneg, mmr, rrf)") {
+    val embPath = "/root/testdata/sf0.001/embeddings.parquet"
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    // defaults: 5 queries x 5 negatives
+    val hn = captureOut {
+      Cli.runCorpus(spark, Map("in" -> embPath, "op" -> "hardneg"))
+    }
+    assert(hn.contains("cos_sim") && hn.contains("Rows: 25"))
+    // defaults: 3 queries x k=3 selections
+    val mmr = captureOut {
+      Cli.runCorpus(spark, Map("in" -> embPath, "op" -> "mmr"))
+    }
+    assert(mmr.contains("mmr_score") && mmr.contains("Rows: 9"))
+    // defaults: 3 queries x k=10 fused results
+    val rrf = captureOut {
+      Cli.runCorpus(spark,
+        Map("in" -> docsPath, "op" -> "rrf", "emb" -> embPath))
+    }
+    assert(rrf.contains("rrf_score") && rrf.contains("rank_sparse")
+      && rrf.contains("Rows: 30"))
+  }
+
   test("events subcommand: funnel, retention, json, sessionize") {
     val ev = "/root/testdata/sf0.001/events.parquet"
     val fun = captureOut {
