@@ -496,6 +496,34 @@ object Similarity {
       .option("compression", "zstd").parquet(dir)
   }
 
+  /** Compact an IVFADC code table that [[appendIvfPq]] has grown by
+    * accumulation: every append drops at least one new file into each
+    * touched `centroid_id=` directory, and at streaming cadence the
+    * per-file open/footer overhead eventually dominates the probe scan —
+    * the standard object-store small-file failure. Rewrites the codes
+    * into `outDir` with the SAME hive partitioning (probe pruning is
+    * untouched) and at most `filesPerPartition` files per centroid
+    * ([[graft.ParquetIO.writePartitioned]]), then copies the frozen
+    * sidecars verbatim. Writes to a NEW directory: an in-place overwrite
+    * would delete the input mid-scan (ParquetIO's overwrite guard), and
+    * on object stores the swap-to-live step is the caller's atomicity
+    * boundary anyway.
+    */
+  def compactIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      outDir: String,
+      filesPerPartition: Int = 1): Unit = {
+    require(outDir != dir, "compactIvfPq writes to a new directory")
+    graft.ParquetIO.writePartitioned(
+      spark.read.parquet(dir).select("centroid_id", "vec_id", "subspace", "code"),
+      outDir, Seq("centroid_id"), filesPerPartition)
+    Seq("_codebook", "_pq", "_meta").foreach { suffix =>
+      spark.read.parquet(dir + suffix).write.mode("overwrite")
+        .option("compression", "zstd").parquet(outDir + suffix)
+    }
+  }
+
   /** Probe a [[writeIvfPqIndex]] index: nprobe centroids per query from
     * the sidecar codebook, a partition-pruning IN filter over the code
     * table (the scan touches nprobe directories of CODES — pinned by

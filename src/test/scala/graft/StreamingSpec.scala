@@ -312,6 +312,23 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect()
     val pi = probe(incIdx)
     assert(pi.nonEmpty && pi.sameElements(probe(coldIdx)))
+
+    // compaction: appends leave ≥2 files in partitions both batches
+    // touched; the rewrite collapses every partition to one file and
+    // changes neither the codes nor the probe results
+    def partFiles(dir: String): Map[String, Int] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(partFiles(incIdx).values.exists(_ >= 2),
+      "appends should accumulate multiple files in shared partitions")
+    val compIdx = tmpDir("stream-ivfpq-comp").toString + "/ix"
+    graft.operators.Similarity.compactIvfPq(spark, incIdx, compIdx)
+    assert(partFiles(compIdx).values.forall(_ == 1))
+    assert(codes(compIdx).sameElements(cold))
+    assert(probe(compIdx).sameElements(pi))
   }
 
   test("streaming funnel reaches equal the batch funnel on the full events table") {
