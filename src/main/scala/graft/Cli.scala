@@ -240,12 +240,14 @@ object Cli {
           |              contamination|curate|kmeans|quantize|semdedup|incrdedup|cms|hll|
           |              lmscore|phrase|termstats|profile|samplen|tfidf|cosine|quantile|zorder|
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
-          |              ivfpq|ivfpqrecall|pagerank|dsir|bpe|bpeseg|bpetokens|containment|
-          |              clusterterms|kfold|purity|drift|collocations|gini|vocabgrowth|
-          |              hardneg|mmr|rrf]
+          |              ivfpq|ivfpqrecall|ivfpqappend|ivfpqcompact|pagerank|dsir|bpe|bpeseg|
+          |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
+          |              gini|vocabgrowth|hardneg|mmr|rrf]
           |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall:
           |          -in is an embeddings parquet;
           |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N];
+          |          ivfpqappend: -in <new-batch embeddings> -index dir;
+          |          ivfpqcompact: -index dir -dest dir [-files N];
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
           |          dsir: [-target-col c] [-target v] [-scale F];
@@ -597,6 +599,37 @@ object Cli {
           rerankFactor = flags.getOrElse("rerank", "4").toInt,
           m = flags.getOrElse("m", "4").toInt,
           dim = flags.getOrElse("dim", "64").toInt)
+      }
+      // IVFADC maintenance: -in is a batch of NEW vectors; encode them
+      // against the existing index's frozen codebooks and append. The
+      // result table is the per-centroid vector census after the append.
+      case "ivfpqappend" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op ivfpqappend requires -index <dir> (an existing ivfpq index)"))
+        Similarity.appendIvfPq(spark, docs, idx)
+        spark.read.parquet(idx)
+          .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+          .agg(countDistinct(col("vec_id")).as("n_vectors"))
+          .orderBy("centroid_id")
+      }
+      // collapse append-accumulated small files; -dest is the compacted
+      // index (sidecars copied), the result table its per-centroid
+      // file/vector census
+      case "ivfpqcompact" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op ivfpqcompact requires -index <dir>"))
+        val dest = flags.getOrElse("dest",
+          fail("corpus -op ivfpqcompact requires -dest <dir> (the compacted index)"))
+        Similarity.compactIvfPq(spark, idx, dest,
+          filesPerPartition = flags.getOrElse("files", "1").toInt)
+        // project the (nondeterministic) file name BEFORE aggregating —
+        // Spark rejects it inline in an aggregate's arguments
+        spark.read.parquet(dest)
+          .withColumn("__file", input_file_name())
+          .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+          .agg(countDistinct(col("__file")).as("files"),
+            countDistinct(col("vec_id")).as("n_vectors"))
+          .orderBy("centroid_id")
       }
       case "ivfpqrecall" => {
         val idx = flags.getOrElse("index", java.nio.file.Files

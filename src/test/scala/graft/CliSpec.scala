@@ -304,6 +304,31 @@ class CliSpec extends AnyFunSuite {
     assert(reused.contains("recall_at_k") && reused.contains("Rows: 2"))
   }
 
+  test("corpus subcommand: ivfpq index maintenance (append, compact)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("clispec-ivfpq-maint").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = tmp + "/ix"
+    operators.Similarity.writeIvfPqIndex(
+      emb.filter("vec_id < 250"), idx, numCentroids = 16)
+    val batchPath = tmp + "/batch"
+    emb.filter("vec_id >= 250").write.parquet(batchPath)
+    val app = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> batchPath, "op" -> "ivfpqappend", "index" -> idx))
+    }
+    assert(app.contains("n_vectors") && app.contains("Rows: "))
+    assert(spark.read.parquet(idx).select("vec_id").distinct().count() == 500L)
+    val comp = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> batchPath, "op" -> "ivfpqcompact",
+        "index" -> idx, "dest" -> (tmp + "/cx")))
+    }
+    assert(comp.contains("files") && comp.contains("Rows: "))
+    assert(spark.read.parquet(tmp + "/cx")
+      .select("vec_id").distinct().count() == 500L)
+  }
+
   test("corpus subcommand: retrieval curation ops (hardneg, mmr, rrf)") {
     val embPath = "/root/testdata/sf0.001/embeddings.parquet"
     val docsPath = "/root/testdata/sf0.001/documents.parquet"
