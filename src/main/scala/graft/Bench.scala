@@ -161,7 +161,12 @@ object Bench {
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(f)).asScala
           .filter(_.trim.nonEmpty).foreach { line =>
-            val qn = mapper.readTree(line).get("queries")
+            val root = mapper.readTree(line)
+            // only same-scale runs feed the medians: a line benched at a
+            // different SF dir would poison every threshold
+            val sfNode = Option(root.get("summary")).flatMap(s => Option(s.get("sf")))
+            val sameSf = sfNode.forall(_.asText() == sfDir)
+            val qn = if (sameSf) root.get("queries") else null
             if (qn != null && qn.isObject) {
               val it = qn.fields()
               while (it.hasNext) {
