@@ -461,13 +461,22 @@ object Streaming {
     * The batch is locally checkpointed first: the bootstrap path runs
     * several jobs over it (centroid draw, PQ init, encode) and a raw
     * streaming-source relation would re-resolve per action.
+    *
+    * Delivery contract: appends are NOT idempotent — a redelivered file
+    * would duplicate its codes in the index (and a duplicated vector can
+    * then crowd a probe's top-k twice). Pass `checkpointDir` in any
+    * deployment that can restart: the file source's checkpoint log then
+    * guarantees each source file is processed exactly once across
+    * restarts (pinned by spec). Without it, each invocation reprocesses
+    * every file present.
     */
   def streamingIvfPqIngest(
       spark: SparkSession,
       embDir: String,
       indexDir: String,
       numCentroids: Int = 32,
-      maxFilesPerTrigger: Option[Int] = None): Unit = {
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit = {
     val schema = spark.read.parquet(embDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
@@ -475,7 +484,7 @@ object Streaming {
       .parquet(embDir)
     val metaPath = new org.apache.hadoop.fs.Path(indexDir + "_meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val q = stream.writeStream
+    val writer0 = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.toDF().localCheckpoint(true)
         try {
@@ -485,8 +494,9 @@ object Streaming {
         } finally graft.operators.Lineage.release(b)
         ()
       }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val writer = checkpointDir
+      .fold(writer0)(d => writer0.option("checkpointLocation", d))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
 

@@ -329,6 +329,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(partFiles(compIdx).values.forall(_ == 1))
     assert(codes(compIdx).sameElements(cold))
     assert(probe(compIdx).sameElements(pi))
+
+    // exactly-once across restarts: with a checkpoint, a second ingest
+    // invocation over the same directory appends NOTHING (appends are
+    // not idempotent, so redelivery would duplicate codes — the file
+    // source's checkpoint log is the dedup layer)
+    val ckIdx = tmpDir("stream-ivfpq-ck").toString + "/ix"
+    val ckpt = tmpDir("stream-ivfpq-ckpt").toString
+    Streaming.streamingIvfPqIngest(spark, srcDir.toString, ckIdx,
+      numCentroids = 16, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(ckIdx).count() == 500L * 4)
+    Streaming.streamingIvfPqIngest(spark, srcDir.toString, ckIdx,
+      numCentroids = 16, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(ckIdx).count() == 500L * 4,
+      "checkpointed re-invocation must not re-append processed files")
   }
 
   test("streaming funnel reaches equal the batch funnel on the full events table") {
