@@ -27,7 +27,9 @@ object Verify {
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // NonFatal: one query's failure must not abort the dump (the driver
+      // compares per-query), but a VM error should still propagate
+      catch { case e if scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // dedup operators persist small intermediates; don't accumulate them
