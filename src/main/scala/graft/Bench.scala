@@ -168,7 +168,7 @@ object Bench {
             val sameSf = sfNode.forall(_.asText() == sfDir)
             val qn = if (sameSf) root.get("queries") else null
             if (qn != null && qn.isObject) {
-              val it = qn.fields()
+              val it = qn.properties().iterator()
               while (it.hasNext) {
                 val e = it.next()
                 val v = e.getValue.asDouble(-1.0)

@@ -843,7 +843,7 @@ object Cli {
       import org.apache.spark.sql.types.{LongType, StringType}
       val prepped = entries.withColumn(Schema.File, lit(""))
       val schema = prepped.schema.add(Schema.LineNo, LongType, nullable = false)
-      val rdd = prepped.rdd.zipWithIndex.map { case (r, i) =>
+      val rdd = prepped.rdd.zipWithIndex().map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ i)
       }
       prepped.sparkSession.createDataFrame(rdd, schema)

@@ -123,7 +123,7 @@ object ScaleCheck {
     time("k-means train 20k vectors (k=16, 2 iters)") {
       println("[scale] kmeans assigned: " +
         operators.Similarity.trainCodebook(emb10, k = 16, iters = 2)
-          .agg(sum(col("n_assigned"))).head.getLong(0))
+          .agg(sum(col("n_assigned"))).head().getLong(0))
     }
     operators.CacheRegistry.release(spark)
     time("int8 quantize 20k vectors") {
@@ -228,6 +228,36 @@ object ScaleCheck {
       require(codeBytes < rawBytes,
         "code index must be smaller than the raw vectors it replaces")
     }
+    // incremental IVFADC maintenance at 20k vectors: seed with half the
+    // corpus (codebooks freeze there), append the other half in two
+    // batches, compact the accumulated small files — the streaming-ingest
+    // lifecycle end to end. The probe over the maintained+compacted index
+    // must equal the cold rebuild's (codes are a pure per-row function of
+    // the frozen codebooks; emb10's shifted copies keep ids 0..15 intact,
+    // so seed and cold draw identical codebooks).
+    time("ivfadc incremental maintenance 20k vectors (seed + 2 appends + compact)") {
+      val maintIdx = tmp.resolve("ivfpq-maint").toString + "/ix"
+      val seed = emb10.filter(col("vec_id") < 10000L)
+      operators.Similarity.writeIvfPqIndex(seed, maintIdx, numCentroids = 32)
+      operators.Similarity.appendIvfPq(spark,
+        emb10.filter(col("vec_id") >= 10000L && col("vec_id") < 2000000L), maintIdx)
+      operators.Similarity.appendIvfPq(spark,
+        emb10.filter(col("vec_id") >= 2000000L), maintIdx)
+      val compactIdx = tmp.resolve("ivfpq-maint-c").toString + "/ix"
+      operators.Similarity.compactIvfPq(spark, maintIdx, compactIdx)
+      val coldIdx = tmp.resolve("ivfpq-cold20k").toString + "/ix"
+      operators.Similarity.writeIvfPqIndex(emb10, coldIdx, numCentroids = 32)
+      val qs20 = emb10.filter(col("vec_id") < 8)
+      def probeRows(dir: String) = operators.Similarity
+        .ivfPqTopK(spark, dir, qs20, emb10, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+        .collect().map(_.toString).toSeq
+      val pMaint = probeRows(compactIdx)
+      require(pMaint.nonEmpty && pMaint == probeRows(coldIdx),
+        "maintained+compacted index must probe identically to a cold rebuild")
+      println(s"[scale] maintained-index probe rows: ${pMaint.size} (≡ cold rebuild)")
+    }
+    operators.CacheRegistry.release(spark)
     // ANN recall FLOORS: sized by an sf0.1 probe on this exact build
     // shape (32-centroid IVF, m=4/ksub=16 PQ, k=5, 8 queries) — measured
     // ivf 0.975/1.0/1.0 per nprobe {1,2,4}, ivfadc 0.725/0.65/0.60,
@@ -273,21 +303,21 @@ object ScaleCheck {
     time("sparse bigram cosine 50k docs (df cap 1% + absolute maxDf)") {
       def candPairs(vecs: org.apache.spark.sql.DataFrame, frac: Double,
           cap: Long): (Long, Long) = {
-        val d = vecs.agg(countDistinct(col("doc_id"))).head.getLong(0)
+        val d = vecs.agg(countDistinct(col("doc_id"))).head().getLong(0)
         val eff = math.min(math.floor(d * frac).toLong, cap)
         // sum the (even) df·(df−1) product in LONG and halve driver-side:
         // a `/ 2` in the agg promotes to double and loses exactness
         val r = vecs.groupBy("term").agg(count(lit(1)).as("df"))
           .filter(col("df") <= eff)
           .agg(coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("p2"),
-            coalesce(max(col("df")), lit(0L)).as("w")).head
+            coalesce(max(col("df")), lit(0L)).as("w")).head()
         (r.getLong(0) / 2, r.getLong(1))
       }
       val v1 = operators.Tfidf.tfidfVectors(docs, ngram = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val v10 = operators.Tfidf.tfidfVectors(docs10, ngram = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val d1 = v1.agg(countDistinct(col("doc_id"))).head.getLong(0)
+      val d1 = v1.agg(countDistinct(col("doc_id"))).head().getLong(0)
       val cap1 = math.floor(d1 * 0.01).toLong // 1× fractional cap, frozen
       val (p1, w1) = candPairs(v1, 0.01, Long.MaxValue)
       val (pFrac10, wFrac10) = candPairs(v10, 0.01, Long.MaxValue)

@@ -994,7 +994,7 @@ object Dedup {
     // except pair dominated round latency on small graphs)
     def sig(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var edgeSig = sig(edges)

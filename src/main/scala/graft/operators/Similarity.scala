@@ -470,7 +470,7 @@ object Similarity {
     */
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, dir: String): Unit = {
-    val meta = spark.read.parquet(dir + "_meta").head
+    val meta = spark.read.parquet(dir + "_meta").head()
     val byResidual = meta.getAs[Boolean]("by_residual")
     val m = meta.getAs[Int]("m")
     val dim = meta.getAs[Int]("dim")
