@@ -164,8 +164,10 @@ object Bench {
             val root = mapper.readTree(line)
             // only same-scale runs feed the medians: a line benched at a
             // different SF dir would poison every threshold
+            // exists, not forall: a line with NO sf field is scale-unknown
+            // and must not feed the medians either
             val sfNode = Option(root.get("summary")).flatMap(s => Option(s.get("sf")))
-            val sameSf = sfNode.forall(_.asText() == sfDir)
+            val sameSf = sfNode.exists(_.asText() == sfDir)
             val qn = if (sameSf) root.get("queries") else null
             if (qn != null && qn.isObject) {
               val it = qn.properties().iterator()

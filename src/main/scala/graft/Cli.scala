@@ -421,8 +421,11 @@ object Cli {
 
   def runCorpus(spark: SparkSession, flags: Map[String, String]): Unit = {
     import graft.operators._
-    val in = flags.getOrElse("in", fail("corpus requires -in <documents.parquet>"))
-    val docs = spark.read.parquet(in)
+    // lazy: ops that work purely on an existing index (ivfpqcompact)
+    // take no -in at all — forcing one here would contradict the usage
+    // text and add a dead parquet read
+    lazy val docs = spark.read.parquet(
+      flags.getOrElse("in", fail("corpus requires -in <documents.parquet>")))
     def threshold(d: Double) = flags.get("threshold").map(_.toDouble).getOrElse(d)
     val result: DataFrame = flags.getOrElse("op", "curate") match {
       case "quality"     => TextAnalysis.qualityScore(docs)

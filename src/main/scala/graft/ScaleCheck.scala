@@ -228,21 +228,23 @@ object ScaleCheck {
       require(codeBytes < rawBytes,
         "code index must be smaller than the raw vectors it replaces")
     }
-    // incremental IVFADC maintenance at 20k vectors: seed with half the
-    // corpus (codebooks freeze there), append the other half in two
-    // batches, compact the accumulated small files — the streaming-ingest
-    // lifecycle end to end. The probe over the maintained+compacted index
-    // must equal the cold rebuild's (codes are a pure per-row function of
-    // the frozen codebooks; emb10's shifted copies keep ids 0..15 intact,
-    // so seed and cold draw identical codebooks).
+    // incremental IVFADC maintenance at 20k vectors: seed with HALF the
+    // corpus — emb10's ids are 10 shifted copies at i*1e6 + 0..1999, so
+    // copies 0-4 (vec_id < 5e6) are 10000 vectors — then append copies
+    // 5-6 and 7-9 as two frozen-codebook batches and compact the
+    // accumulated small files: the streaming-ingest lifecycle end to
+    // end. The probe over the maintained+compacted index must equal the
+    // cold rebuild's (codes are a pure per-row function of the frozen
+    // codebooks; the seed carries ids 0..31, so seed and cold draw
+    // identical codebooks).
     time("ivfadc incremental maintenance 20k vectors (seed + 2 appends + compact)") {
       val maintIdx = tmp.resolve("ivfpq-maint").toString + "/ix"
-      val seed = emb10.filter(col("vec_id") < 10000L)
+      val seed = emb10.filter(col("vec_id") < 5000000L)
       operators.Similarity.writeIvfPqIndex(seed, maintIdx, numCentroids = 32)
       operators.Similarity.appendIvfPq(spark,
-        emb10.filter(col("vec_id") >= 10000L && col("vec_id") < 2000000L), maintIdx)
+        emb10.filter(col("vec_id") >= 5000000L && col("vec_id") < 7000000L), maintIdx)
       operators.Similarity.appendIvfPq(spark,
-        emb10.filter(col("vec_id") >= 2000000L), maintIdx)
+        emb10.filter(col("vec_id") >= 7000000L), maintIdx)
       val compactIdx = tmp.resolve("ivfpq-maint-c").toString + "/ix"
       operators.Similarity.compactIvfPq(spark, maintIdx, compactIdx)
       val coldIdx = tmp.resolve("ivfpq-cold20k").toString + "/ix"

@@ -1075,7 +1075,16 @@ object Dedup {
       .join(starEdges.select(col("u").as("doc_id"), col("v").as("__root")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("__root"), col("doc_id")).as("canonical_id"))
-    CacheRegistry.track(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the labels OFF the final cut, then reclaim it eagerly:
+    // `edges` is a cut result whose blocks/files a registry unpersist
+    // cannot free (Lineage.release contract), so handing it to
+    // CacheRegistry would leave the loop's last checkpoint resident until
+    // the ContextCleaner got around to it. The persisted labels table is
+    // the only live consumer and is doc-count-sized.
+    labels.count()
+    Lineage.release(edges, deleteFiles = true)
+    CacheRegistry.track(labels)
     labels
   }
 

@@ -114,9 +114,14 @@ object Tfidf {
       col("tfidf").cast("decimal(18,4)").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheRegistry.track(w)
-    // no eager w.count() needed: subDots' eager fill below scans w first,
-    // populating its cache before the final query's other consumers
-    // (norms, df table, over-cap postings) ever read it
+    // NO eager w.count(): subDots' eager fill below is the first action
+    // over w. Its query does hold several leaf stages that can scan w
+    // cold concurrently (the df table, the join sides), but a cache-fill
+    // race only duplicates the racing partitions' work once — bounded —
+    // while a separate count() adds a whole materialization job.
+    // Measured at sf0.1 (min of 3, same host): 15.6 cpu-s without the
+    // count vs 23.7 with it. The final query's consumers (norms, dft,
+    // over-cap postings) all run after subDots' fill and hit warm cache.
 
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))

@@ -319,10 +319,10 @@ class CliSpec extends AnyFunSuite {
     }
     assert(app.contains("n_vectors") && app.contains("Rows: "))
     assert(spark.read.parquet(idx).select("vec_id").distinct().count() == 500L)
+    // compact takes NO -in: it works purely on the existing index
     val comp = captureOut {
       Cli.runCorpus(spark, Map(
-        "in" -> batchPath, "op" -> "ivfpqcompact",
-        "index" -> idx, "dest" -> (tmp + "/cx")))
+        "op" -> "ivfpqcompact", "index" -> idx, "dest" -> (tmp + "/cx")))
     }
     assert(comp.contains("files") && comp.contains("Rows: "))
     assert(spark.read.parquet(tmp + "/cx")

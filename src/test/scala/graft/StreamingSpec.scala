@@ -278,15 +278,23 @@ class StreamingSpec extends AnyFunSuite {
     // ordered two-file replay: the seed file carries the codebook-defining
     // vectors (vec_id < max(numCentroids=16, ksub=16)), the second file
     // exercises the frozen-codebook append path
-    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    // mtime is set EXPLICITLY: the file source orders pending files by
+    // modification time, and two quick writes can land in the same
+    // millisecond — a tie could make f2 the bootstrap batch, training
+    // codebooks from the wrong vectors
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtimeMs: Long): Unit = {
       val stage = tmpDir("stream-ivfpq-stage")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
-      Files.move(part, srcDir.resolve(name))
+      val dst = Files.move(part, srcDir.resolve(name))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
     }
-    addFile(emb.filter(col("vec_id") < 250), "f1.parquet")
-    addFile(emb.filter(col("vec_id") >= 250), "f2.parquet")
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(emb.filter(col("vec_id") < 250), "f1.parquet", t0)
+    addFile(emb.filter(col("vec_id") >= 250), "f2.parquet", t0 + 10000)
 
     val incIdx = tmpDir("stream-ivfpq-inc").toString + "/ix"
     Streaming.streamingIvfPqIngest(spark, srcDir.toString, incIdx,
