@@ -338,6 +338,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(codes(compIdx).sameElements(cold))
     assert(probe(compIdx).sameElements(pi))
 
+    // an EMPTY batch (streams deliver them) must be a no-op append
+    graft.operators.Similarity.appendIvfPq(spark,
+      emb.filter(col("vec_id") < 0), compIdx)
+    assert(codes(compIdx).sameElements(cold))
+
     // exactly-once across restarts: with a checkpoint, a second ingest
     // invocation over the same directory appends NOTHING (appends are
     // not idempotent, so redelivery would duplicate codes — the file
