@@ -610,9 +610,14 @@ object Cli {
         val idx = flags.getOrElse("index",
           fail("corpus -op ivfpqappend requires -index <dir> (an existing ivfpq index)"))
         Similarity.appendIvfPq(spark, docs, idx)
+        // n_code_rows rides along as the duplication tell (advisor r12):
+        // a clean index holds exactly m code rows per vector, so
+        // n_code_rows > m·n_vectors means a redelivered batch slipped
+        // past the checkpoint — countDistinct alone would hide it
         spark.read.parquet(idx)
           .groupBy(col("centroid_id").cast("long").as("centroid_id"))
-          .agg(countDistinct(col("vec_id")).as("n_vectors"))
+          .agg(countDistinct(col("vec_id")).as("n_vectors"),
+            count(lit(1)).as("n_code_rows"))
           .orderBy("centroid_id")
       }
       // collapse append-accumulated small files; -dest is the compacted

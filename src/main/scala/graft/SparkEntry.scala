@@ -1061,6 +1061,30 @@ object SparkEntry {
         k = 3, nprobes = Seq(1, 2, 4), rerankFactor = 4, m = 4, dim = 64)
     }),
 
+    // IVFADC maintenance, oracle-gated end-to-end: cold-build the index
+    // over a SEED (which must carry the codebook-defining pseudo draw,
+    // vec_id < numCentroids), appendIvfPq the held-out half against the
+    // frozen sidecars, re-append the SAME batch with the producer-
+    // duplicate guard (must be a no-op — a surviving duplicate would
+    // double that vector's ADC sum and hash-mismatch), then probe. The
+    // oracle replays the cold chain over the union: seed-then-append ≡
+    // cold build is the operator's contract, so the cold replay IS its
+    // truth
+    "q_ivf_pq_append" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("ivfpqapp").toString + "/index"
+      val seed = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
+      val batch = emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1)
+      Similarity.writeIvfPqIndex(seed, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.appendIvfPq(s, batch, idx)
+      Similarity.appendIvfPq(s, batch, idx, dedupeIds = true)
+      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
+          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // BPE merge training: 6 rounds of frequency-weighted pair argmax +
     // greedy merge application over the vocabulary's delimited symbol
     // strings — the tokenizer-vocabulary induction step, distributed
@@ -1237,6 +1261,70 @@ object SparkEntry {
       Multimodal.resizeFeatures(s, media, outW = 8, outH = 8).orderBy("doc_id")
     }),
   )
+
+  // the full IVFADC cold-chain replay (centroid draw, nprobe=2 probe
+  // sets, PQ codebooks/encode/LUT, fixed-point ADC sums, exact re-rank)
+  // — shared verbatim by q_ivf_pq and q_ivf_pq_append: seed-then-append
+  // over frozen codebooks is row-identical to the cold build, so both
+  // operators gate against the same pinned arithmetic
+  private val ivfPqChainSql: String =
+    """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         ca AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT x.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (
+           SELECT vec_id AS query_id, centroid_id FROM (
+             SELECT x.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2),
+         ss AS (SELECT unnest(range(0, 4)) AS subspace),
+         sv AS (
+           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
+           FROM ec CROSS JOIN ss),
+         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
+                FROM sv WHERE vec_id < 16),
+         enc AS (
+           SELECT vec_id, subspace, centroid_id AS code FROM (
+             SELECT v.vec_id, v.subspace, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
+                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
+                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
+                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
+             CAST(floor(round(list_sum(list_transform(range(1, 17),
+               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
+           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
+         approx AS (
+           SELECT l.query_id, n.vec_id,
+             round(CAST(CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
+           FROM enc n
+           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
+           JOIN ca a ON a.vec_id = n.vec_id
+           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
+           WHERE n.vec_id <> l.query_id
+           GROUP BY l.query_id, n.vec_id),
+         surv AS (
+           SELECT query_id, vec_id, approx_ip FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY approx_ip DESC, vec_id ASC) AS ar
+             FROM approx) WHERE ar <= 12)
+         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
+           SELECT s.query_id, s.vec_id, s.approx_ip,
+             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
+           FROM surv s
+           JOIN ec v ON v.vec_id = s.vec_id
+           JOIN ec q ON q.vec_id = s.query_id) t
+         WHERE rank <= 3 ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q_filter_project" ->
@@ -2742,64 +2830,17 @@ object SparkEntry {
     // among the query's nprobe=2 probes; everything else (codes, LUT,
     // fixed-point sums, exact re-rank of the 12 survivors) is the
     // identical pinned arithmetic
-    "q_ivf_pq" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         sv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss),
-         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
-                FROM sv WHERE vec_id < 16),
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
-         approx AS (
-           SELECT l.query_id, n.vec_id,
-             round(CAST(CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-           FROM enc n
-           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
-           JOIN ca a ON a.vec_id = n.vec_id
-           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
-           WHERE n.vec_id <> l.query_id
-           GROUP BY l.query_id, n.vec_id),
-         surv AS (
-           SELECT query_id, vec_id, approx_ip FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_ip DESC, vec_id ASC) AS ar
-             FROM approx) WHERE ar <= 12)
-         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
-           SELECT s.query_id, s.vec_id, s.approx_ip,
-             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
-           FROM surv s
-           JOIN ec v ON v.vec_id = s.vec_id
-           JOIN ec q ON q.vec_id = s.query_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q_ivf_pq" -> ivfPqChainSql,
+
+    // seed-index + appendIvfPq + probe (q_ivf_pq_append): encoding is a
+    // pure per-row function of the FROZEN codebooks, so the maintenance
+    // chain (cold build over the seed, frozen-codebook append of the
+    // rest, guarded re-append of the same batch as a pinned no-op) must
+    // reproduce the cold chain over the union bit-for-bit — the oracle
+    // IS the cold replay; any append-path divergence (re-trained
+    // codebook, duplicated codes doubling an ADC sum, dropped rows)
+    // hash-mismatches here
+    "q_ivf_pq_append" -> ivfPqChainSql,
 
     // q_ivf_pq with residual codes: res subtracts each vector's assigned
     // centroid IN DOUBLE, the PQ chain (codebooks, encode, LUT) runs on

@@ -467,21 +467,58 @@ object Similarity {
     * produces a code table row-identical to a cold [[writeIvfPqIndex]]
     * over the union — provided the seed contained the codebook-defining
     * vectors (vec_id < max(numCentroids, ksub) under the pseudo draw).
+    *
+    * `dedupeIds` (opt-in) drops batch rows whose `vec_id` is already
+    * coded — the producer-duplicate guard the streaming checkpoint
+    * cannot provide (it deduplicates FILES, not ids a producer wrote
+    * twice into different files). The existence scan is partition-
+    * PRUNED to the batch's own assigned centroids: a redelivered
+    * vector re-assigns to the same centroid (assignment is a pure
+    * function of the frozen codebook), so no other partition can hold
+    * its duplicate — the guard reads the touched partitions'
+    * column-pruned `vec_id`s, never the whole index. Off by default:
+    * the scan isn't free, and the default ingest path already gets
+    * file-level exactly-once from the source checkpoint.
     */
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, dir: String): Unit = {
+      batch: DataFrame, dir: String, dedupeIds: Boolean = false): Unit = {
     val meta = spark.read.parquet(dir + "_meta").head()
     val byResidual = meta.getAs[Boolean]("by_residual")
     val m = meta.getAs[Int]("m")
     val dim = meta.getAs[Int]("dim")
+    // geometry guard (advisor r12): a batch whose embedding dim differs
+    // from the index's would silently append garbage codes (the PQ slicer
+    // reads fixed [m × dim/m] windows). A wrong dim is a wiring error,
+    // uniform across the batch — checking ONE row catches it without
+    // billing a full-batch scan to every append; empty batches skip it
+    // (empty append is a pinned no-op).
+    batch.select(org.apache.spark.sql.functions.size(col("embedding")).as("__d"))
+      .head(1).foreach { r =>
+        require(r.getInt(0) == dim,
+          s"appendIvfPq: batch embedding dim ${r.getInt(0)} != index dim " +
+            s"$dim at $dir — pass batches with the index's build-time geometry")
+      }
     val ivfCodebook = spark.read.parquet(dir + "_codebook")
     val centroids = broadcastCentroids(ivfCodebook)
-    val assign = assignProbes(
+    val assignAll = assignProbes(
         withNorm(batch, "vec_id", "vec_id"), centroids, 1, "__r")
       .select(col("vec_id"), col("centroid_id"))
+    val (input, assign) =
+      if (!dedupeIds) (batch, assignAll)
+      else {
+        // centroid list is codebook-bounded (≤ numCentroids) — safe to
+        // collect; it becomes the partition-pruning IN filter below
+        val touched = assignAll.select("centroid_id").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val existing = spark.read.parquet(dir)
+          .filter(col("centroid_id").cast("long").isin(touched: _*))
+          .select("vec_id").distinct()
+        val fresh = batch.join(existing, Seq("vec_id"), "left_anti")
+        (fresh, assignAll.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi"))
+      }
     val encodeInput =
-      if (!byResidual) batch
-      else batch.join(assign, "vec_id")
+      if (!byResidual) input
+      else input.join(assign, "vec_id")
         .join(broadcast(ivfCodebook.select(
           col("vec_id").as("centroid_id"), col("embedding").as("__c_emb"))),
           "centroid_id")

@@ -318,6 +318,9 @@ class CliSpec extends AnyFunSuite {
         "in" -> batchPath, "op" -> "ivfpqappend", "index" -> idx))
     }
     assert(app.contains("n_vectors") && app.contains("Rows: "))
+    // duplication tell: a clean m=4 index carries exactly 4 code rows per
+    // vector, and the census must surface the raw count that proves it
+    assert(app.contains("n_code_rows"))
     assert(spark.read.parquet(idx).select("vec_id").distinct().count() == 500L)
     // compact takes NO -in: it works purely on the existing index
     val comp = captureOut {
