@@ -552,14 +552,26 @@ object Similarity {
       outDir: String,
       filesPerPartition: Int = 1): Unit = {
     require(outDir != dir, "compactIvfPq writes to a new directory")
-    graft.ParquetIO.writePartitioned(
-      spark.read.parquet(dir).select("centroid_id", "vec_id", "subspace", "code"),
-      outDir, Seq("centroid_id"), filesPerPartition)
+    compactIvfPqCodes(spark, dir, outDir, filesPerPartition)
     Seq("_codebook", "_pq", "_meta").foreach { suffix =>
       spark.read.parquet(dir + suffix).write.mode("overwrite")
         .option("compression", "zstd").parquet(outDir + suffix)
     }
   }
+
+  /** The code-table half of [[compactIvfPq]] without the sidecar copy —
+    * what an in-place maintenance swap wants: the sidecars are frozen
+    * and already live at their final names, so rewriting them would be
+    * wasted IO and (mid-swap) a second non-atomic surface.
+    */
+  private[graft] def compactIvfPqCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      outDir: String,
+      filesPerPartition: Int): Unit =
+    graft.ParquetIO.writePartitioned(
+      spark.read.parquet(dir).select("centroid_id", "vec_id", "subspace", "code"),
+      outDir, Seq("centroid_id"), filesPerPartition)
 
   /** Probe a [[writeIvfPqIndex]] index: nprobe centroids per query from
     * the sidecar codebook, a partition-pruning IN filter over the code

@@ -462,13 +462,38 @@ object Streaming {
     * several jobs over it (centroid draw, PQ init, encode) and a raw
     * streaming-source relation would re-resolve per action.
     *
-    * Delivery contract: appends are NOT idempotent — a redelivered file
-    * would duplicate its codes in the index (and a duplicated vector can
-    * then crowd a probe's top-k twice). Pass `checkpointDir` in any
-    * deployment that can restart: the file source's checkpoint log then
-    * guarantees each source file is processed exactly once across
-    * restarts (pinned by spec). Without it, each invocation reprocesses
-    * every file present.
+    * Delivery contract: the file source's checkpoint guarantees each
+    * source FILE enters exactly one batch across restarts, but
+    * foreachBatch itself is at-least-once — a crash after the append
+    * lands but before the streaming commit-log entry REPLAYS that batch
+    * on restart (advisor r12). The replay guard is a batchId sidecar
+    * (`<checkpointDir>/graft-ingest-committed`, written AFTER each
+    * batch's append): a replayed batchId ≤ the sidecar's is skipped, so
+    * the non-idempotent append (and the bootstrap, which a replay would
+    * otherwise re-run down the append path and duplicate the seed) runs
+    * once per batch. The sidecar lives IN the checkpoint dir because
+    * batchIds are only meaningful within one checkpoint lineage —
+    * wiping the checkpoint wipes the guard with it. One window remains:
+    * a crash BETWEEN the append and the sidecar write replays that one
+    * append — `dedupeIds` (forwarded to
+    * [[graft.operators.Similarity.appendIvfPq]]) closes it, and also
+    * covers producer-side duplicates the file checkpoint cannot see.
+    * Without `checkpointDir`, each invocation reprocesses every file
+    * present (pinned by spec).
+    *
+    * Small-file control: every batch appends ≥1 file per touched
+    * centroid, so a long-running ingest degrades the probe's open/footer
+    * cost without bound. After each batch the partition file counts are
+    * checked; past `autoCompactThreshold` the code table is rewritten
+    * ([[graft.operators.Similarity.compactIvfPqCodes]]) and SWAPPED
+    * in place via two directory renames — atomic per rename on
+    * HDFS/POSIX, so use it only where rename is atomic (on object
+    * stores leave it None and compact offline via
+    * [[graft.operators.Similarity.compactIvfPq]]); a crash between the
+    * renames leaves the data intact under `_precompact`/`_compacting`
+    * for manual recovery, never a silent loss. With the threshold unset,
+    * a count past [[compactionWatermark]] logs a compaction-needed
+    * warning instead — growth is visible either way (pinned by spec).
     */
   def streamingIvfPqIngest(
       spark: SparkSession,
@@ -476,28 +501,128 @@ object Streaming {
       indexDir: String,
       numCentroids: Int = 32,
       maxFilesPerTrigger: Option[Int] = None,
-      checkpointDir: Option[String] = None): Unit = {
+      checkpointDir: Option[String] = None,
+      autoCompactThreshold: Option[Int] = None,
+      dedupeIds: Boolean = false): Unit = {
+    autoCompactThreshold.foreach(t => require(t >= 1,
+      "autoCompactThreshold must be >= 1 file per centroid"))
     val schema = spark.read.parquet(embDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(embDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
     val metaPath = new org.apache.hadoop.fs.Path(indexDir + "_meta")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = metaPath.getFileSystem(hconf)
+    val commitPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
     val writer0 = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.toDF().localCheckpoint(true)
-        try {
-          if (!fs.exists(metaPath))
-            graft.operators.Similarity.writeIvfPqIndex(b, indexDir, numCentroids)
-          else graft.operators.Similarity.appendIvfPq(spark, b, indexDir)
-        } finally graft.operators.Lineage.release(b)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val replayed = commitPath.exists(p =>
+          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
+        if (!replayed) {
+          val b = batch.toDF().localCheckpoint(true)
+          try {
+            if (!fs.exists(metaPath))
+              graft.operators.Similarity.writeIvfPqIndex(b, indexDir, numCentroids)
+            else graft.operators.Similarity.appendIvfPq(spark, b, indexDir, dedupeIds)
+          } finally graft.operators.Lineage.release(b)
+          commitPath.foreach(p =>
+            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
+          val files = maxFilesPerCentroid(fs, indexDir)
+          autoCompactThreshold match {
+            case Some(thr) if files > thr =>
+              compactInPlace(spark, fs, indexDir)
+            case None if files > compactionWatermark =>
+              System.err.println(s"[graft] IVFADC index at $indexDir has " +
+                s"$files files in its widest centroid partition — run " +
+                "compactIvfPq (or set autoCompactThreshold) before the " +
+                "probe's per-file overhead dominates")
+            case _ => ()
+          }
+        }
         ()
       }
     val writer = checkpointDir
       .fold(writer0)(d => writer0.option("checkpointLocation", d))
     val q = writer.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+  }
+
+  /** Files-per-centroid level above which an un-thresholded ingest warns
+    * (≈ the point where probe open/footer cost is measurable next to the
+    * pruned scan itself).
+    */
+  val compactionWatermark: Int = 64
+
+  /** Widest `centroid_id=` partition of an IVFADC code table, in files —
+    * the small-file health metric. Listing cost is bounded by the
+    * codebook size (≤ numCentroids directory listings), never the data.
+    */
+  private[graft] def maxFilesPerCentroid(
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+      .foldLeft(0)(math.max)
+  }
+
+  /** Rewrite + swap the code table under its live name: compact into
+    * `<dir>_compacting`, rename the live table aside, rename the
+    * compacted table in, drop the old. Requires atomic rename (HDFS /
+    * POSIX); each step is crash-visible — a leftover `_compacting` from
+    * a dead prior attempt is deleted up front, and a crash between the
+    * two renames strands the data recoverably, never silently.
+    */
+  private def compactInPlace(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(indexDir)
+    val staging = new Path(indexDir + "_compacting")
+    val retired = new Path(indexDir + "_precompact")
+    fs.delete(staging, true)
+    graft.operators.Similarity.compactIvfPqCodes(
+      spark, indexDir, staging.toString, filesPerPartition = 1)
+    fs.delete(retired, true)
+    require(fs.rename(live, retired),
+      s"compactInPlace: rename $live -> $retired failed")
+    require(fs.rename(staging, live),
+      s"compactInPlace: rename $staging -> $live failed " +
+        s"(recover the table from $retired)")
+    fs.delete(retired, true)
+  }
+
+  /** The ingest replay guard: one tiny file holding the last batchId
+    * whose append committed. Written via create-temp + rename so a
+    * reader never sees a torn value; the delete-before-rename gap can
+    * only LOSE the marker (worst case one replayed append — the same
+    * exposure as having no guard, and `dedupeIds` covers it), never
+    * fabricate a too-high one.
+    */
+  private[graft] object IngestCommitLog {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    def lastCommitted(fs: FileSystem, p: Path): Long =
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      }
+    def commit(fs: FileSystem, p: Path, batchId: Long): Unit = {
+      val tmp = new Path(p.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"IngestCommitLog: rename $tmp -> $p failed")
+    }
   }
 
   /** Run a streaming DF to completion on currently-available data into an

@@ -343,6 +343,24 @@ class StreamingSpec extends AnyFunSuite {
       emb.filter(col("vec_id") < 0), compIdx)
     assert(codes(compIdx).sameElements(cold))
 
+    // producer-duplicate guard: re-appending an ALREADY-CODED batch with
+    // dedupeIds leaves the index row-identical (without the guard it
+    // would duplicate 250 vectors' codes and crowd probe top-ks)
+    graft.operators.Similarity.appendIvfPq(spark,
+      emb.filter(col("vec_id") >= 250), compIdx, dedupeIds = true)
+    assert(codes(compIdx).sameElements(cold))
+    assert(probe(compIdx).sameElements(pi))
+
+    // geometry guard: a batch whose embedding dim differs from the
+    // index's _meta must fail loudly, not encode garbage codes
+    val wrongDim = emb.filter(col("vec_id") >= 250)
+      .select(col("vec_id"), expr("slice(embedding, 1, 32)").as("embedding"))
+    val dimEx = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.appendIvfPq(spark, wrongDim, compIdx)
+    }
+    assert(dimEx.getMessage.contains("dim"))
+    assert(codes(compIdx).sameElements(cold))
+
     // exactly-once across restarts: with a checkpoint, a second ingest
     // invocation over the same directory appends NOTHING (appends are
     // not idempotent, so redelivery would duplicate codes — the file
@@ -356,6 +374,65 @@ class StreamingSpec extends AnyFunSuite {
       numCentroids = 16, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
     assert(spark.read.parquet(ckIdx).count() == 500L * 4,
       "checkpointed re-invocation must not re-append processed files")
+
+    // the batchId replay guard rode along: the sidecar lives in the
+    // CHECKPOINT dir (batchIds are lineage-scoped) and holds the last
+    // committed batch — two single-file batches => batchId 1
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val commitP = new org.apache.hadoop.fs.Path(ckpt, "graft-ingest-committed")
+    val cfs = commitP.getFileSystem(hconf)
+    assert(Streaming.IngestCommitLog.lastCommitted(cfs, commitP) == 1L)
+    // a batch at or below the committed id is the crash-replay case and
+    // must be skipped; a fresh id must commit — the guard's whole logic
+    Streaming.IngestCommitLog.commit(cfs, commitP, 7L)
+    assert(Streaming.IngestCommitLog.lastCommitted(cfs, commitP) == 7L)
+  }
+
+  test("streaming IVFADC ingest auto-compaction keeps files per centroid bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val srcDir = tmpDir("stream-ivfpq-ac-src")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String,
+        mtimeMs: Long): Unit = {
+      val stage = tmpDir("stream-ivfpq-ac-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = Files.move(part, srcDir.resolve(name))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    // four ordered files = a bootstrap batch + three append batches, every
+    // append landing new files in partitions the seed already populated
+    val t0 = System.currentTimeMillis() - 60000
+    addFile(emb.filter(col("vec_id") < 200), "f1.parquet", t0)
+    addFile(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300), "f2.parquet", t0 + 10000)
+    addFile(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), "f3.parquet", t0 + 20000)
+    addFile(emb.filter(col("vec_id") >= 400), "f4.parquet", t0 + 30000)
+
+    val idx = tmpDir("stream-ivfpq-ac").toString + "/ix"
+    Streaming.streamingIvfPqIngest(spark, srcDir.toString, idx,
+      numCentroids = 16, maxFilesPerTrigger = Some(1),
+      autoCompactThreshold = Some(1))
+
+    // the post-batch sweep rewrote every over-threshold partition: a long
+    // ingest cannot accumulate unbounded small files
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Streaming.maxFilesPerCentroid(fs, idx) <= 1)
+    // and the swap changed nothing: codes and probes equal a cold rebuild
+    val coldIdx = tmpDir("stream-ivfpq-ac-cold").toString + "/ix"
+    graft.operators.Similarity.writeIvfPqIndex(emb, coldIdx, numCentroids = 16)
+    def codes(dir: String) = spark.read.parquet(dir)
+      .select(col("vec_id"), col("subspace"), col("code"),
+        col("centroid_id").cast("long"))
+      .orderBy("vec_id", "subspace").collect()
+    assert(codes(idx).sameElements(codes(coldIdx)))
+    val qs = emb.filter(col("vec_id") < 4)
+    def probe(dir: String) = graft.operators.Similarity
+      .ivfPqTopK(spark, dir, qs, emb, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect()
+    val p = probe(idx)
+    assert(p.nonEmpty && p.sameElements(probe(coldIdx)))
   }
 
   test("streaming funnel reaches equal the batch funnel on the full events table") {
