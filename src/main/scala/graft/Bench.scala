@@ -152,12 +152,18 @@ object Bench {
     // The record then adjudicates itself: rerun ≈ median ⇒ contamination;
     // rerun ≈ recorded ⇒ real regression. Capped at 6 queries so a fully
     // thrashed host can't double the suite.
-    def historyMedians(toolsDir: java.nio.file.Path): Map[String, Double] = try {
+    // wall AND cpu medians per query (r12 verdict task 5): wall is the
+    // contamination-sensitive signal, cpu the load-invariant one — a
+    // genuinely regressed query on a fast idle host moves cpu while its
+    // wall stays under the wall threshold, so both must be able to flag
+    def historyMedians(toolsDir: java.nio.file.Path)
+        : (Map[String, Double], Map[String, Double]) = try {
       val f = toolsDir.resolve("bench-history.jsonl")
-      if (!java.nio.file.Files.exists(f)) Map.empty
+      if (!java.nio.file.Files.exists(f)) (Map.empty, Map.empty)
       else {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val byQ = scala.collection.mutable.Map.empty[String, List[Double]]
+        val byC = scala.collection.mutable.Map.empty[String, List[Double]]
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(f)).asScala
           .filter(_.trim.nonEmpty).foreach { line =>
@@ -168,22 +174,28 @@ object Bench {
             // and must not feed the medians either
             val sfNode = Option(root.get("summary")).flatMap(s => Option(s.get("sf")))
             val sameSf = sfNode.exists(_.asText() == sfDir)
-            val qn = if (sameSf) root.get("queries") else null
-            if (qn != null && qn.isObject) {
-              val it = qn.properties().iterator()
-              while (it.hasNext) {
-                val e = it.next()
-                val v = e.getValue.asDouble(-1.0)
-                if (v >= 0) byQ(e.getKey) = v :: byQ.getOrElse(e.getKey, Nil)
+            def collect(field: String,
+                into: scala.collection.mutable.Map[String, List[Double]]): Unit = {
+              val qn = if (sameSf) root.get(field) else null
+              if (qn != null && qn.isObject) {
+                val it = qn.properties().iterator()
+                while (it.hasNext) {
+                  val e = it.next()
+                  val v = e.getValue.asDouble(-1.0)
+                  if (v >= 0) into(e.getKey) = v :: into.getOrElse(e.getKey, Nil)
+                }
               }
             }
+            collect("queries", byQ)
+            collect("cpu", byC)
           }
-        byQ.map { case (k, vs) =>
-          val s = vs.sorted; k -> s(s.size / 2)
-        }.toMap
+        def med(m: scala.collection.mutable.Map[String, List[Double]]) =
+          m.map { case (k, vs) => val s = vs.sorted; k -> s(s.size / 2) }.toMap
+        (med(byQ), med(byC))
       }
     } catch { case e if scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] history medians unavailable: $e"); Map.empty
+      System.err.println(s"[bench] history medians unavailable: $e")
+      (Map.empty, Map.empty)
     }
     val benchToolsDir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
       .map(java.nio.file.Paths.get(_))
@@ -191,11 +203,21 @@ object Bench {
     val reruns: Seq[(String, (Double, Double))] =
       if (only.isDefined) Seq.empty
       else {
-        val medians = historyMedians(benchToolsDir)
-        val factor = if (m1Start > 1.5) 1.5 else 3.0
+        val (wallMed, cpuMed) = historyMedians(benchToolsDir)
+        // loadavg re-read AFTER the suite (advisor r12): load that
+        // arrived mid-suite shows up in the post-suite m1, and the
+        // stricter factor must apply to it — keying on m1Start alone let
+        // late-arriving contamination hide behind the lenient 3×
+        val m1PostSuite = loadavg()._2
+        val factor =
+          if (math.max(m1Start, m1PostSuite) > 1.5) 1.5 else 3.0
+        // cpu is load-invariant, so its factor never loosens or
+        // tightens with host load — a fixed 3× catches real regressions
+        // a contaminated (or suspiciously idle) wall would mask
         val flagged = results
-          .filter { case (name, (w, _)) =>
-            w >= 0 && medians.get(name).exists(m => m > 0 && w > factor * m) }
+          .filter { case (name, (w, c)) =>
+            (w >= 0 && wallMed.get(name).exists(m => m > 0 && w > factor * m)) ||
+            (c >= 0 && cpuMed.get(name).exists(m => m > 0 && c > 3.0 * m)) }
           .sortBy(-_._2._1).take(6).map(_._1)
         val fnByName = SparkEntry.queries
         flagged.map { name =>
@@ -222,9 +244,23 @@ object Bench {
     // failed queries (-1) are excluded from the totals, not billed as ~0s
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
+    // self-correcting headline (r12 verdict task 2): substitute each
+    // flagged query's clean rerun wall (when the rerun IS cleaner — a
+    // rerun that lands on still-loaded hardware must not inflate) into
+    // the total, so the recorded number no longer carries contamination
+    // the rerun map already disproved. `value` stays the raw sum: the
+    // pair is the evidence, adjusted_total the number to read.
+    val rerunByName = reruns.toMap
+    def adjWall(name: String, w: Double): Double =
+      rerunByName.get(name) match {
+        case Some((rw, _)) if rw >= 0 => math.min(w, rw)
+        case _ => w
+      }
+    val adjustedTotal = results
+      .collect { case (name, (w, _)) if w >= 0 => adjWall(name, w) }.sum
     val (loadEnd, m1End) = loadavg()
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"parse_lines_per_sec":$parseRate,"rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
@@ -234,10 +270,15 @@ object Bench {
     // bench-last.json, and ~130 bytes of it here would erode exactly the
     // truncation headroom this line exists to guarantee.
     val nFailed = results.count(_._2._1 < 0)
-    val worst = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
-      .map { case (k, (w, _)) => "\"" + k + "\":" + f"$w%.2f" }
+    // worst offenders ranked by ADJUSTED wall: a contaminated outlier
+    // whose rerun came back clean should not headline the summary (its
+    // raw wall is still in the full JSON's queries/rerun maps)
+    val worst = results.filter(_._2._1 >= 0)
+      .map { case (k, (w, _)) => k -> adjWall(k, w) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, w) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
-    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"n_rerun":${reruns.size},"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"m1_start":$m1Start,"m1_end":$m1End,"sf":"$sfDir"}"""
+    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"total_cpu_sec":$totalCpu,"n_queries":${results.size},"n_failed":$nFailed,"n_rerun":${reruns.size},"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"m1_start":$m1Start,"m1_end":$m1End,"sf":"$sfDir"}"""
     println(summaryJson)
     // DURABLE copy: the stdout capture window has truncated the full
     // per-query wall map every round since r5 (and r8's 13 s q_cube
