@@ -1076,14 +1076,22 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("__root"), col("doc_id")).as("canonical_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize the labels OFF the final cut, then reclaim it eagerly:
-    // `edges` is a cut result whose blocks/files a registry unpersist
+    // materialize the labels OFF the final cut, then reclaim its BLOCKS
+    // eagerly: `edges` is a cut result whose blocks a registry unpersist
     // cannot free (Lineage.release contract), so handing it to
     // CacheRegistry would leave the loop's last checkpoint resident until
     // the ContextCleaner got around to it. The persisted labels table is
     // the only live consumer and is doc-count-sized.
+    //
+    // deleteFiles stays FALSE here, unlike the loop-internal releases
+    // (advisor r12): `labels` is merely persisted, not cut, and on the
+    // reliable-checkpoint path a lost labels partition RECOMPUTES through
+    // the final cut's files — deleting them would fail the job on exactly
+    // the executor loss reliable checkpoints exist for. The files are
+    // reclaimed by the ContextCleaner once labels is unreachable
+    // (cleanCheckpoints=true, set by every engine-owned builder).
     labels.count()
-    Lineage.release(edges, deleteFiles = true)
+    Lineage.release(edges)
     CacheRegistry.track(labels)
     labels
   }
