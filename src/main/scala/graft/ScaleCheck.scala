@@ -337,6 +337,60 @@ object ScaleCheck {
       v1.unpersist(blocking = false); v10.unpersist(blocking = false)
     }
     operators.CacheRegistry.release(spark)
+    // containment at 10× (r12 verdict task 4 — the sparse-cosine stanza's
+    // twin): duplication inflates every shingle's df 10×, so the UNSCALED
+    // absolute cap silently stops linking exactly the shingles that
+    // carried 1× matches (the documented caller-scaling burden), while a
+    // cap scaled with duplication — or derived from the df distribution
+    // via suggestedShingleDfCap — keeps every 1× linking shingle linking
+    // AND bounds per-shingle pair fan-out at C(cap, 2) absolutely.
+    time("containment 50k docs (10x dup: unscaled vs scaled vs derived cap)") {
+      // (linking shingles, max block width, candidate pairs) under a cap
+      def linkStats(d: org.apache.spark.sql.DataFrame, cap: Long): (Long, Long, Long) = {
+        val sh = operators.Dedup.withShingles(d, 3)
+          .select(col("doc_id"), explode_outer(col("__shingles")).as("sh"))
+          .filter(col("sh").isNotNull) // Dedup.safeExplodeNote
+        val r = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 1 && col("df") <= cap)
+          .agg(count(lit(1)).as("n"),
+            coalesce(max(col("df")), lit(0L)).as("w"),
+            coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("p2")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2) / 2)
+      }
+      val cap1 = 64L
+      val (n1, _, p1) = linkStats(docs, cap1)
+      val (nDef10, wDef10, pDef10) = linkStats(docs10, cap1)
+      val (nSc10, wSc10, pSc10) = linkStats(docs10, cap1 * 10)
+      println(s"[scale] containment linking shingles 1x@$cap1: $n1 (pairs $p1), " +
+        s"10x@$cap1: $nDef10 (w $wDef10, pairs $pDef10), " +
+        s"10x@${cap1 * 10}: $nSc10 (w $wSc10, pairs $pSc10)")
+      // the absolute cap bounds generation block width — and so per-
+      // shingle pair fan-out at C(cap, 2) — at ANY corpus size
+      require(wDef10 <= cap1 && wSc10 <= cap1 * 10,
+        "containment cap must bound block width absolutely")
+      require(pSc10 <= nSc10 * (cap1 * 10) * (cap1 * 10 - 1) / 2,
+        "candidate pairs must stay within n * C(cap, 2)")
+      // a shingle linking at 1× (1 < df ≤ cap) has df' = 10·df ≤ 10·cap
+      // at 10× — the caller-scaled cap loses NOTHING the 1× run matched
+      // (it gains the 1×-unique shingles whose copies now co-occur),
+      // while the unscaled cap keeps only the 1× df ≤ cap/10 tail
+      require(nSc10 >= n1,
+        s"scaled cap must keep every 1x linking shingle: $nSc10 < $n1")
+      require(nDef10 < nSc10,
+        "unscaled cap at 10x must visibly lose linking shingles")
+      // derived cap tracks the distribution shift: the df quantile of the
+      // 10×-replicated corpus sits ~10× the 1× quantile, so deriving the
+      // cap from the data removes the caller's scaling burden entirely
+      val capD1 = operators.Dedup.suggestedShingleDfCap(docs, 3)
+      val capD10 = operators.Dedup.suggestedShingleDfCap(docs10, 3)
+      println(s"[scale] derived df cap 1x: $capD1, 10x: $capD10")
+      require(capD10 >= 5 * capD1 && capD10 <= 20L * capD1,
+        s"derived cap must track the 10x df shift: $capD1 -> $capD10")
+      println("[scale] containment pairs out (derived cap): " +
+        operators.Dedup.containmentPairs(docs10, k = 3, threshold = 0.5,
+          maxShingleDf = capD10).count())
+    }
+    operators.CacheRegistry.release(spark)
     // z-order rewrite of the 10× corpus: the layout shuffle is the only
     // shuffle; per-file spans must tighten in both dimensions
     time("z-order rewrite 50k docs -> 32 files") {

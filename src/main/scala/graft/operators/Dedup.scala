@@ -403,6 +403,29 @@ object Dedup {
     * n_shared, containment_a, containment_b) where
     * max(containment) ≥ threshold.
     */
+  /** Data-derived `maxShingleDf` for [[containmentPairs]]: the `quantile`
+    * point of the shingle doc-frequency distribution (approx, 1% error —
+    * the cap is a fan-out guard, not arithmetic). The containmentPairs
+    * doc tells callers to scale the absolute cap with corpus duplication
+    * by hand; this derives it instead — replicating a corpus 10× shifts
+    * every df 10×, so the quantile (and the cap) shifts with it
+    * (ScaleCheck proves the tracking), while boilerplate shingles above
+    * the quantile stay excluded at any scale. Floor of 2: a cap below 2
+    * can never link a pair.
+    */
+  def suggestedShingleDfCap(
+      docs: DataFrame,
+      k: Int = 3,
+      quantile: Double = 0.99): Int = {
+    require(quantile > 0.0 && quantile < 1.0)
+    val df = withShingles(docs, k)
+      .select(col("doc_id"), explode_outer(col("__shingles")).as("sh"))
+      .filter(col("sh").isNotNull) // safeExplodeNote
+      .groupBy("sh").agg(count(lit(1)).cast("double").as("df"))
+    math.max(2,
+      df.stat.approxQuantile("df", Array(quantile), 0.01).head.toInt)
+  }
+
   def containmentPairs(
       docs: DataFrame,
       k: Int = 3,

@@ -1764,6 +1764,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(df, threshold = 0.5).count() == 0)
   }
 
+  test("containment derived cap tracks corpus duplication") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cap1 = Dedup.suggestedShingleDfCap(docs, k = 3)
+    assert(cap1 >= 2, "cap floor: below 2 nothing can ever link")
+    // replicate 3x: every shingle's df triples, so the df quantile — and
+    // the derived cap with it — must shift up with the duplication
+    // instead of silently stopping matches (the fixed-cap failure the
+    // containmentPairs doc warns about)
+    val docs3 = (0 until 3)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+    val cap3 = Dedup.suggestedShingleDfCap(docs3, k = 3)
+    assert(cap3 > cap1, s"derived cap must grow under duplication: $cap1 -> $cap3")
+    // and the pairs found under the derived cap include cross-copy
+    // duplicates (copies of one base doc fully contain each other)
+    val pairs = Dedup.containmentPairs(docs3.filter(col("doc_id") % 1000000L < 50),
+      k = 3, threshold = 0.9, maxShingleDf = cap3)
+    assert(pairs.filter(col("doc_id_a") % 1000000L === col("doc_id_b") % 1000000L)
+      .count() > 0, "derived cap must keep exact cross-copy pairs matchable")
+  }
+
   private def round4(x: Double): Double = math.round(x * 10000).toDouble / 10000
 
   test("salted join equals the plain join, including unmatched-key drops") {
