@@ -256,6 +256,7 @@ object Cli {
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
           |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]);
+          |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
           |          hardneg: embeddings -in, [-queries N] [-topk N];
           |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
           |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N])
@@ -459,9 +460,15 @@ object Cli {
       case "clusterterms" => Tfidf.clusterTopTerms(docs,
         flags.getOrElse("group-col", "lang"),
         topK = flags.getOrElse("topk", "10").toInt)
+      // -df-cap auto derives the absolute cap from the corpus's shingle-df
+      // distribution (suggestedShingleDfCap) — the duplication-proof
+      // default; a numeric cap stays for oracle-replayable runs
       case "containment" => Dedup.containmentPairs(docs,
         threshold = threshold(0.5),
-        maxShingleDf = flags.getOrElse("df-cap", "64").toInt)
+        maxShingleDf = flags.getOrElse("df-cap", "64") match {
+          case "auto" => Dedup.suggestedShingleDfCap(docs)
+          case n      => n.toInt
+        })
       case "clusters"    => Dedup.dedupClusters(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
       case "spans"       => Dedup.duplicateSpans(docs)

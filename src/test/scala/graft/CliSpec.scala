@@ -332,6 +332,21 @@ class CliSpec extends AnyFunSuite {
       .select("vec_id").distinct().count() == 500L)
   }
 
+  test("corpus subcommand: containment -df-cap auto derives the cap") {
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val auto = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docsPath, "op" -> "containment",
+        "df-cap" -> "auto"))
+    }
+    assert(auto.contains("containment_a") && auto.contains("Rows: "))
+    // a numeric cap still parses (the oracle-replayable path)
+    val num = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docsPath, "op" -> "containment",
+        "df-cap" -> "64"))
+    }
+    assert(num.contains("containment_a") && num.contains("Rows: "))
+  }
+
   test("corpus subcommand: retrieval curation ops (hardneg, mmr, rrf)") {
     val embPath = "/root/testdata/sf0.001/embeddings.parquet"
     val docsPath = "/root/testdata/sf0.001/documents.parquet"
