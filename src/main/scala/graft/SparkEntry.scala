@@ -263,6 +263,12 @@ object SparkEntry {
       operators.Events.sessionize(Tables.loadEvents(s, dir))
         .orderBy("event_id")),
 
+    // per-user value anomalies: |z| > 3 vs the user's own DECIMAL-exact
+    // moments; the cut compares the 4dp-rounded z (ulp-safe membership)
+    "q_anomaly" -> ((s, dir) =>
+      operators.Events.valueAnomalies(Tables.load(s, dir, "events"))
+        .orderBy("event_id")),
+
     // running + bounded-frame window aggregates per user, DECIMAL-exact:
     // sequential in-frame accumulation is deterministic in both engines,
     // and DECIMAL(18,2) cents convert to double exactly at these scales
@@ -906,6 +912,19 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // unigram-distribution drift per source vs the corpus: exact-integer
+    // total-variation distance (the text twin of q_drift's histogram TVD)
+    "q_vocab_drift" -> ((s, dir) =>
+      TextAnalysis.vocabDrift(Tables.load(s, dir, "documents"))
+        .orderBy("source")),
+
+    // per-source content novelty: fraction of shingle occurrences whose
+    // first corpus appearance (min doc_id) is in that document — the
+    // "is this crawl new text" curve, linear in documents (no pairs)
+    "q_novelty" -> ((s, dir) =>
+      Dedup.noveltyBySource(Tables.load(s, dir, "documents"))
+        .orderBy("source")),
+
     // c-TF-IDF cluster term profiling: most DISTINCTIVE terms per
     // language — rational idf over group document-frequency, no log
     "q_cluster_terms" -> ((s, dir) =>
@@ -1209,6 +1228,14 @@ object SparkEntry {
           k = 16, iters = 1, threshold = 0.4)
         .orderBy("vec_id")),
 
+    // centroid-distance outliers: vectors whose rounded cosine to their
+    // assigned trained centroid sits under the cut — SemDeDup's inverse
+    // (too FAR from everything, not too close to a neighbor)
+    "q_embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(Tables.load(s, dir, "embeddings"),
+          k = 8, iters = 2, minCos = 0.1)
+        .orderBy("vec_id")),
+
     // deterministic k-means training summary (codebook arrays summarized
     // by their first four components — driver can't hash arrays)
     "q_kmeans" -> ((s, dir) => {
@@ -1479,6 +1506,32 @@ object SparkEntry {
          FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms,
                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
                FROM events) t
+         ORDER BY event_id""",
+
+    // per-user z outliers: DECIMAL(18,4) power sums (order-free), the
+    // q_corr pinned closed form, membership cut on the 4dp-ROUNDED z
+    "q_anomaly" ->
+      """WITH v AS (
+           SELECT event_id, user_id, value, CAST(value AS DECIMAL(18,4)) AS x
+           FROM events WHERE value IS NOT NULL
+         ), st AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx,
+             sum(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS sxx
+           FROM v GROUP BY user_id
+         )
+         SELECT event_id, user_id, value, z FROM (
+           SELECT v.event_id, v.user_id, v.value,
+             round((CAST(v.x AS DOUBLE)
+                 - CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))
+               / (sqrt(CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
+                   - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE))
+                 / CAST(st.n AS DOUBLE)), 4) AS z,
+             st.n AS n,
+             CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
+               - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE) AS varnum
+           FROM v JOIN st USING (user_id)) t
+         WHERE n >= 8 AND varnum > 0.0 AND abs(z) > 3.0
          ORDER BY event_id""",
 
     "q_moving_agg" ->
@@ -1839,6 +1892,24 @@ object SparkEntry {
          SELECT j.vec_id, j.c AS cluster_id,
            j.vec_id NOT IN (SELECT vb FROM p) AS keep
          FROM joined j ORDER BY vec_id"""
+    },
+
+    // trained-centroid assignment (the q_kmeans chain) + outlier cut on
+    // the 6dp-ROUNDED cosine — ulp-safe membership on both engines
+    "q_embed_outliers" -> {
+      val iters = 2
+      s"""WITH ${kmeansCtes(8, iters)},
+         af AS (
+           SELECT vec_id, c, cosr FROM (
+             SELECT e.vec_id, c.c,
+               round(list_cosine_similarity(e.d, c.e), 6) AS cosr,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
+             FROM ev e CROSS JOIN cents$iters c) t WHERE rn = 1
+         )
+         SELECT vec_id, c AS cluster_id, cosr AS cos_centroid,
+           cosr < 0.1 AS is_outlier
+         FROM af ORDER BY vec_id"""
     },
 
     // float32→double widening, abs-max, and floor-plus-half are all
@@ -3990,6 +4061,70 @@ object SparkEntry {
            round(abs(round(CAST(n_a AS DOUBLE) / na, 6)
              - round(CAST(n_b AS DOUBLE) / nb, 6)) / 2, 6) AS tvd_term
          FROM g ORDER BY bin""",
+
+    // exact-integer TVD per source vs corpus: per-term |c_s·N_g − c_g·N_s|
+    // sums in HUGEINT (Spark: DECIMAL(38,0)), absent terms fold in closed
+    // form (N_g − Σ_{t∈V_s} c_g), one double division rounded 6dp
+    "q_vocab_drift" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS t
+           FROM documents
+         ), bysrc AS (
+           SELECT source, t, CAST(count(*) AS BIGINT) AS c_s
+           FROM tok GROUP BY source, t
+         ), tot AS (
+           SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s,
+             CAST(count(*) AS BIGINT) AS v_s
+           FROM bysrc GROUP BY source
+         ), gl AS (
+           SELECT t, CAST(sum(c_s) AS BIGINT) AS c_g FROM bysrc GROUP BY t
+         ), ng AS (
+           SELECT CAST(sum(c_g) AS BIGINT) AS n_g FROM gl
+         ), terms AS (
+           SELECT b.source,
+             sum(abs(CAST(b.c_s AS HUGEINT) * ng.n_g
+               - CAST(g.c_g AS HUGEINT) * tt.n_s)) AS a,
+             CAST(sum(g.c_g) AS BIGINT) AS bsum
+           FROM bysrc b JOIN gl g USING (t) JOIN tot tt USING (source)
+           CROSS JOIN ng
+           GROUP BY b.source
+         )
+         SELECT tt.source, tt.n_s AS n_tokens, tt.v_s AS vocab_size,
+           round(CAST(te.a + CAST(ng.n_g - te.bsum AS HUGEINT) * tt.n_s AS DOUBLE)
+             / (2.0 * CAST(tt.n_s AS DOUBLE) * CAST(ng.n_g AS DOUBLE)), 6) AS tvd
+         FROM tot tt JOIN terms te USING (source) CROSS JOIN ng
+         ORDER BY source""",
+
+    // first-occurrence novelty per source: string shingles stand in for
+    // the engine's 64-bit-hashed ones (set identity and min-doc_id are
+    // preserved under the hash), min(doc_id) is the engine-free total
+    // order, counts exact, one rounded division
+    "q_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, source, unnest(
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END) AS s
+           FROM toks
+         ), fs AS (
+           SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+         ), perdoc AS (
+           SELECT sh.doc_id, min(sh.source) AS source,
+             CAST(count(*) AS BIGINT) AS n_sh,
+             CAST(sum(CASE WHEN sh.doc_id = fs.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+           FROM sh JOIN fs USING (s) GROUP BY sh.doc_id
+         )
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(n_novel) AS BIGINT) AS n_novel,
+           round(CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE), 6) AS novelty_rate
+         FROM perdoc GROUP BY source ORDER BY source""",
 
     // c-TF-IDF replay: (group, term) counts, group df, the same
     // rational-idf weight expression, rank window with term tie-break

@@ -162,6 +162,47 @@ object Events {
     * hot fields get promoted to columns lazily. Pure map-side extract +
     * one partial-agg shuffle of (types × 4) rows.
     */
+  /** Per-user value anomalies: events whose `value` sits more than
+    * `zCut` population standard deviations from the USER'S own mean —
+    * the per-entity outlier scan (fraud/abuse/telemetry triage) as one
+    * aggregate + one join, no per-user driver work.
+    *
+    * Determinism (the [[Stats.groupedCorrelation]] recipe): values are
+    * quantized once to DECIMAL(18,4); n, Σx, Σx² accumulate exactly in
+    * any partition order; mean/std/z are then ONE pinned IEEE expression
+    * per row (correctly-rounded ÷, ×, √ on both engines), and the cut
+    * compares the 4dp-ROUNDED |z| so an engine ulp at the boundary
+    * cannot flip membership. Users with zero variance or fewer than
+    * `minEvents` events emit nothing (z undefined).
+    *
+    * Scale shape: one partial-combined aggregate keyed by user (three
+    * longs/decimals of state per user), stats broadcast-or-shuffle
+    * joined back on the same key — linear, skew-safe (a hot user is one
+    * aggregate row).
+    *
+    * Output: (event_id, user_id, value, z) for flagged events.
+    */
+  def valueAnomalies(
+      events: DataFrame, zCut: Double = 3.0, minEvents: Int = 8): DataFrame = {
+    require(zCut > 0.0)
+    val x = col("value").cast("decimal(18,4)")
+    val v = events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"), x.as("__x"))
+    val st = v.groupBy("user_id").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val varNum = nD * col("__sxx").cast("double") - sx * sx // n² · variance
+    val z = (col("__x").cast("double") - sx / nD) / (sqrt(varNum) / nD)
+    v.join(st, "user_id")
+      .filter(col("__n") >= minEvents && varNum > 0.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(z, 4).as("z"))
+      .filter(abs(col("z")) > zCut)
+  }
+
   def jsonFieldStats(events: DataFrame, path: String = "$.k"): DataFrame =
     events
       .select(col("event_type"),

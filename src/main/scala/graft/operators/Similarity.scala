@@ -1000,4 +1000,44 @@ object Similarity {
     assigned.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster_id"), col("__drop").isNull.as("keep"))
   }
+
+  /** Centroid-distance outlier detection — the embedding-space quality
+    * filter that complements [[semanticDedup]]: where SemDeDup drops
+    * vectors too CLOSE to a neighbor, this flags vectors too FAR from
+    * every trained centroid (cosine to their assigned centroid under
+    * `minCos`) — mislabeled, garbled, or off-distribution points that a
+    * curation pass routes to review instead of training.
+    *
+    * Same deterministic chain as [[clusterPurity]]/[[semanticDedup]]:
+    * trained codebook, broadcast centroids, rounded-cosine (6dp)
+    * assignment with centroid-id tie break — and the outlier cut
+    * compares the ROUNDED cosine, so an engine ulp cannot flip a flag.
+    *
+    * Scale shape: one broadcast crossJoin (corpus × k centroids,
+    * map-side), one per-vector window over exactly k rows — linear in
+    * the corpus; no pair generation, no per-cluster materialization.
+    *
+    * Output: (vec_id, cluster_id, cos_centroid, is_outlier) — every
+    * vector, flagged, so downstream can both count and route.
+    */
+  def embedOutliers(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      minCos: Double = 0.1): DataFrame = {
+    val cb = trainCodebook(embeddings, k, iters)
+    val cents = broadcast(
+      cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
+    val ev = Parallelism.ensure(
+      embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
+    ev.crossJoin(cents)
+      .withColumn("__cos", round(cosine(col("embedding"), col("e")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("c").as("cluster_id"),
+        col("__cos").as("cos_centroid"),
+        (col("__cos") < minCos).as("is_outlier"))
+  }
 }

@@ -459,6 +459,58 @@ object TextAnalysis {
           .as("avg_tokens"),
         sum(when(col("__nt") === 0, 1L).otherwise(0L)).as("n_empty"))
 
+  /** Unigram-distribution drift per source vs the whole corpus, as exact
+    * total-variation distance: TVD(s) = ½ Σ_t |p_s(t) − p_corpus(t)|.
+    * The data-mixing dial a pipeline reads when a new crawl lands — a
+    * source whose token distribution sits far from the corpus (high TVD)
+    * shifts the training mix; one drifting between rounds changed its
+    * extraction. TVD over KL/PSI is deliberate (the [[Stats.histogramDrift]]
+    * rule): no logarithm, defined on disjoint supports, bounded [0,1],
+    * and — the gate property — computable in EXACT integer arithmetic.
+    *
+    * Determinism: per-term contributions |c_s·N_g − c_g·N_s| are exact
+    * DECIMAL(38,0) products of longs summed in any order; terms absent
+    * from the source fold in closed form (Σ_{t∉V_s} c_g = N_g − Σ_{t∈V_s}
+    * c_g), so the numerator A + (N_g − B)·N_s is exact and the ONLY
+    * float op is the final division, rounded to 6dp.
+    *
+    * Scale shape: token explode → one (source, term) partial-combined
+    * count, one term-keyed global rollup, one join back on the term key
+    * — all linear; the absent-term closed form is what keeps this from
+    * needing a vocab × sources dense cross join. Totals ride as
+    * broadcast one-row/side tables.
+    *
+    * Output: (source, n_tokens, vocab_size, tvd), one row per source.
+    */
+  def vocabDrift(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    val tok = docs
+      .select(col(sourceCol).as("source"), tokens(col("text")).as("__tk"))
+      .select(col("source"), explode_outer(col("__tk")).as("t"))
+      .filter(col("t").isNotNull)
+    val bySrc = tok.groupBy("source", "t").agg(count(lit(1)).as("__c_s"))
+    val totals = bySrc.groupBy("source")
+      .agg(sum(col("__c_s")).as("__n_s"), count(lit(1)).as("vocab_size"))
+    val global = bySrc.groupBy("t").agg(sum(col("__c_s")).as("__c_g"))
+    val ng = broadcast(global.agg(sum(col("__c_g")).as("__n_g")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // per-source partial sums over the source's OWN vocabulary only
+    val terms = bySrc.join(global, "t")
+      .join(broadcast(totals), "source")
+      .crossJoin(ng)
+      .groupBy("source")
+      .agg(
+        sum(abs(dec(col("__c_s")) * dec(col("__n_g"))
+          - dec(col("__c_g")) * dec(col("__n_s")))).as("__a"),
+        sum(col("__c_g")).as("__b"))
+    totals.join(terms, "source").crossJoin(ng)
+      .select(col("source"), col("__n_s").as("n_tokens"), col("vocab_size"),
+        round(
+          (col("__a") + dec(col("__n_g") - col("__b")) * dec(col("__n_s")))
+            .cast("double")
+            / (lit(2.0) * col("__n_s").cast("double") * col("__n_g").cast("double")),
+          6).as("tvd"))
+  }
+
   /** Document fingerprinting via the [[graft.functions.RollingHash]] native
     * expression: raw fingerprint over the exact text, normalized fingerprint
     * over lower-cased, whitespace-collapsed text (near-identical docs that

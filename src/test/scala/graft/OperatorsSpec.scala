@@ -2148,4 +2148,67 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
     assert(first == brute)
   }
+
+  test("novelty: first-occurrence shingle fractions, hand-computed") {
+    val df = Seq(
+      (1L, "a b c d", "A"), // shingles {a b c, b c d} — both first here
+      (2L, "a b c x", "A"), // {a b c (seen), b c x (new)}
+      (3L, "a b c d", "B"), // both seen in doc 1
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.noveltyBySource(df).orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("A", 2L, 4L, 3L, 0.75),
+      ("B", 1L, 2L, 0L, 0.0)))
+  }
+
+  test("vocab drift: exact TVD vs corpus on a closed-form corpus") {
+    // A: {x:2, y:1} N=3; B: {y:1, z:1} N=2; corpus: {x:2, y:2, z:1} N=5
+    // TVD(A) = (|2/3-2/5| + |1/3-2/5| + 1/5)/2 = 4/15; TVD(B) = 0.4
+    val df = Seq(
+      (1L, "x x y", "A"),
+      (2L, "y z", "B"),
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabDrift(df).orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("A", 3L, 2L, 0.266667),
+      ("B", 2L, 2L, 0.4)))
+  }
+
+  test("value anomalies: z cut on exact per-user moments, small users skipped") {
+    // user 1: ten 10.0s and one 30.0 — z(30) = 18.1818/(sqrt(4000)/11)
+    //   = sqrt(10) -> 3.1623 flagged; z(10) = -0.3162 not
+    // user 2: same spike shape but only 3 events — under minEvents
+    val rows = (1 to 10).map(i => (i.toLong, 1L, 10.0)) ++
+      Seq((11L, 1L, 30.0), (12L, 2L, 10.0), (13L, 2L, 10.0), (14L, 2L, 30.0))
+    val df = rows.toDF("event_id", "user_id", "value")
+    val got = Events.valueAnomalies(df, zCut = 3.0, minEvents = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((11L, 1L, 3.1623)))
+  }
+
+  test("embed outliers: off-manifold vector flagged, cluster members kept") {
+    // two REAL clusters (+x and +z, five members each) so 2-means locks
+    // onto them, plus one orthogonal +y vector: k-means cannot adopt the
+    // outlier as a singleton centroid (both centroids are held by five
+    // members), so its cosine to its assigned centroid stays ~0.2 while
+    // every cluster member sits above 0.9. Init order matters: vec 0 is
+    // +x and vec 1 is +z (trainCodebook seeds from the first k by id)
+    val xs = (0L until 10L by 2L).map(i => (i, Array(1.0f, 0.001f * i, 0.0f)))
+    val zs = (1L until 10L by 2L).map(i => (i, Array(0.0f, 0.001f * i, 1.0f)))
+    val odd = Seq((10L, Array(0.0f, 1.0f, 0.0f)))
+    val df = (xs ++ zs ++ odd).toDF("vec_id", "embedding")
+    val got = Similarity.embedOutliers(df, k = 2, iters = 2, minCos = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.size == 11)
+    assert(got(10L)._2 && got(10L)._1 < 0.5, s"odd: ${got(10L)}")
+    (0L until 10L).foreach { i =>
+      assert(!got(i)._2 && got(i)._1 > 0.9, s"vec $i: ${got(i)}")
+    }
+  }
 }
