@@ -242,9 +242,10 @@ object Cli {
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
           |              ivfpq|ivfpqrecall|ivfpqappend|ivfpqcompact|pagerank|dsir|bpe|bpeseg|
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
-          |              gini|vocabgrowth|hardneg|mmr|rrf]
-          |         (kmeans/quantize/semdedup/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall:
+          |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers]
+          |         (kmeans/quantize/semdedup/embedoutliers/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall:
           |          -in is an embeddings parquet;
+          |          embedoutliers: [-k N] [-iters N] [-min-cos X];
           |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N];
           |          ivfpqappend: -in <new-batch embeddings> -index dir;
           |          ivfpqcompact: -index dir -dest dir [-files N];
@@ -263,9 +264,11 @@ object Cli {
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
-          |  events -in <events.parquet> [-op sessionize|funnel|retention|json]
+          |  events -in <events.parquet> [-op sessionize|funnel|retention|json|
+          |              transitions|sessionstats|anomaly|anomalyonline]
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
-          |          sessionize: [-gap-ms n]; json: [-path $.field]) [-out dir]
+          |          sessionize: [-gap-ms n]; json: [-path $.field];
+          |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N]) [-out dir]
           |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n | -target-mb m]
           |  version  Print version  (also -v, --version)
           |  help     Print this usage  (also -h, --help)
@@ -563,6 +566,12 @@ object Cli {
         numCentroids = flags.getOrElse("k", "32").toInt,
         nprobe = flags.getOrElse("nprobe", "2").toInt,
         rerankFactor = flags.getOrElse("rerank", "4").toInt)
+      case "novelty"     => Dedup.noveltyBySource(docs)
+      case "vocabdrift"  => TextAnalysis.vocabDrift(docs)
+      case "embedoutliers" => Similarity.embedOutliers(docs,
+          k = flags.getOrElse("k", "8").toInt,
+          iters = flags.getOrElse("iters", "2").toInt,
+          minCos = flags.getOrElse("min-cos", "0.1").toDouble)
       case "semdedup"    => Similarity.semanticDedup(docs,
         k = flags.getOrElse("k", "8").toInt,
         iters = flags.getOrElse("iters", "2").toInt,
@@ -724,6 +733,14 @@ object Cli {
       case "sessionstats" => Events.sessionStats(ev,
           gapMs = flags.getOrElse("gap-ms", (30 * 60 * 1000L).toString).toLong)
         .orderBy("user_id", "session_id")
+      case "anomaly" => Events.valueAnomalies(ev,
+          zCut = flags.getOrElse("z-cut", "3.0").toDouble,
+          minEvents = flags.getOrElse("min-events", "8").toInt)
+        .orderBy("event_id")
+      case "anomalyonline" => Events.runningValueAnomalies(ev,
+          zCut = flags.getOrElse("z-cut", "3.0").toDouble,
+          minPrior = flags.getOrElse("min-prior", "8").toInt)
+        .orderBy("event_id")
       case other => fail(s"unknown events op: $other")
     }
     flags.get("out") match {

@@ -269,6 +269,13 @@ object SparkEntry {
       operators.Events.valueAnomalies(Tables.load(s, dir, "events"))
         .orderBy("event_id")),
 
+    // online twin: each event scored against STRICTLY PRIOR history in
+    // (ts, event_id) order — the alerting semantics, and the law the
+    // streaming flatMapGroupsWithState twin is spec-pinned equal to
+    "q_anomaly_online" -> ((s, dir) =>
+      operators.Events.runningValueAnomalies(Tables.load(s, dir, "events"))
+        .orderBy("event_id")),
+
     // running + bounded-frame window aggregates per user, DECIMAL-exact:
     // sequential in-frame accumulation is deterministic in both engines,
     // and DECIMAL(18,2) cents convert to double exactly at these scales
@@ -1531,6 +1538,35 @@ object SparkEntry {
              CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
                - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE) AS varnum
            FROM v JOIN st USING (user_id)) t
+         WHERE n >= 8 AND varnum > 0.0 AND abs(z) > 3.0
+         ORDER BY event_id""",
+
+    // online variant: the same pinned closed form over RUNNING window
+    // sums (sequential in-frame decimal accumulation — engine-identical)
+    "q_anomaly_online" ->
+      """WITH v AS (
+           SELECT event_id, user_id, ts, value, CAST(value AS DECIMAL(18,4)) AS x
+           FROM events WHERE value IS NOT NULL
+         ), r AS (
+           SELECT event_id, user_id, value,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             sum(x) OVER w AS sx,
+             sum(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) OVER w AS sxx,
+             CAST(x AS DOUBLE) AS xd
+           FROM v
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         )
+         SELECT event_id, user_id, value, z FROM (
+           SELECT event_id, user_id, value,
+             round((xd - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)), 4) AS z,
+             n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varnum
+           FROM r) t
          WHERE n >= 8 AND varnum > 0.0 AND abs(z) > 3.0
          ORDER BY event_id""",
 

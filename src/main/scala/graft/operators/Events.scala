@@ -203,6 +203,45 @@ object Events {
       .filter(abs(col("z")) > zCut)
   }
 
+  /** Online (prequential) twin of [[valueAnomalies]]: each event is
+    * scored against the user's STRICTLY PRIOR history in (ts, event_id)
+    * order — the semantics a live scorer has (it cannot see the future),
+    * and the law the streaming twin
+    * ([[graft.streaming.Streaming.streamingValueAnomalies]]) is pinned
+    * equal to. The global variant answers "which events were odd in
+    * hindsight"; this answers "which events LOOKED odd when they
+    * arrived" — the alerting semantics.
+    *
+    * Determinism: prior n/Σx/Σx² are running DECIMAL window sums —
+    * sequential in-frame accumulation is exact and engine-identical
+    * (the q_moving_agg precedent); z is the same pinned closed form as
+    * [[valueAnomalies]] with the cut on the 4dp-rounded value.
+    *
+    * Scale shape: ONE window partitioned by user (shuffle on user_id,
+    * frames never cross users); no self-join, no driver state.
+    */
+  def runningValueAnomalies(
+      events: DataFrame, zCut: Double = 3.0, minPrior: Int = 8): DataFrame = {
+    require(zCut > 0.0)
+    val x = col("value").cast("decimal(18,4)")
+    val v = events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        x.as("__x"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nD = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val varNum = nD * col("__sxx").cast("double") - sx * sx
+    val z = (col("__x").cast("double") - sx / nD) / (sqrt(varNum) / nD)
+    v.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .filter(col("__n") >= minPrior && varNum > 0.0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(z, 4).as("z"))
+      .filter(abs(col("z")) > zCut)
+  }
+
   def jsonFieldStats(events: DataFrame, path: String = "$.k"): DataFrame =
     events
       .select(col("event_type"),

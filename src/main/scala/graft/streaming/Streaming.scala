@@ -25,6 +25,16 @@ private[streaming] case class RetState(cohort: Long, seen: Seq[Long])
 private[streaming] case class RetHit(
     user_id: Long, cohort: Long, period_offset: Long)
 
+/** Per-user running-moment state for the online anomaly scorer: exact
+  * unscaled longs of the batch plan's DECIMAL sums (Σx at scale 4,
+  * Σx² at scale 8).
+  */
+private[streaming] case class AEv(
+    event_id: Long, user_id: Long, value: Double, tsn: Long)
+private[streaming] case class AnomState(n: Long, sxU: Long, sxxU: Long)
+private[streaming] case class AnomOut(
+    event_id: Long, user_id: Long, value: Double, z: Double)
+
 /** Structured Streaming surface.
   *
   * The reference's "streaming" is pull-based batch iteration (SURVEY.md
@@ -237,6 +247,81 @@ object Streaming {
         }
       }
       state.update(RetState(cohort, seen.toSeq))
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Streaming online anomaly scorer — the live twin of
+    * [[graft.operators.Events.runningValueAnomalies]]: per-user running
+    * moments (n, Σx, Σx²) survive across micro-batches as three exact
+    * longs of state; each event is scored against the STRICTLY PRIOR
+    * history, then folded in.
+    *
+    * The streamed ≡ batch law holds BIT-FOR-BIT because the state
+    * replicates the batch plan's decimal arithmetic exactly: values
+    * quantize to 4dp with the same HALF_UP the Cast-to-DECIMAL(18,4)
+    * uses, sums accumulate as unscaled longs (scale 4 for Σx, 8 for
+    * Σx²), and the doubles entering the pinned z expression come from
+    * `BigDecimal.valueOf(unscaled, scale).doubleValue` — the identical
+    * correctly-rounded conversion Spark's decimal→double cast performs.
+    * Long-unscaled state bounds: |Σx²| < 2⁶³ holds through ~9·10⁸
+    * events of |value| ≤ 10⁴ per user — far past any per-user stream.
+    *
+    * Same ordered-delivery contract as every stateful twin here
+    * (within a batch the group sorts by (tsn, event_id); across batches
+    * delivery order is the file arrival order).
+    */
+  def streamingValueAnomalies(
+      spark: SparkSession,
+      eventsDir: String,
+      zCut: Double = 3.0,
+      minPrior: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(zCut > 0.0)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val s = spark
+    import s.implicits._
+    val reader = spark.readStream.schema(schema)
+    val events = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsDir)
+      .transform(Tables.normalizeEventTs)
+      .where(col("value").isNotNull)
+      .selectExpr("event_id", "user_id", "value", "ts AS tsn")
+      .as[AEv]
+
+    def fn(user: Long, evs: Iterator[AEv],
+        state: GroupState[AnomState]): Iterator[AnomOut] = {
+      var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
+      evs.toSeq.sortBy(e => (e.tsn, e.event_id)).foreach { e =>
+        // the exact unscaled long of CAST(value AS DECIMAL(18,4))
+        val xU = BigDecimal(e.value)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.movePointRight(4).longValueExact
+        if (st.n >= minPrior) {
+          val nD = st.n.toDouble
+          val sxD = java.math.BigDecimal.valueOf(st.sxU, 4).doubleValue
+          val sxxD = java.math.BigDecimal.valueOf(st.sxxU, 8).doubleValue
+          val varNum = nD * sxxD - sxD * sxD
+          if (varNum > 0.0) {
+            val xD = java.math.BigDecimal.valueOf(xU, 4).doubleValue
+            val z = (xD - sxD / nD) / (math.sqrt(varNum) / nD)
+            val zr = BigDecimal(z)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (math.abs(zr) > zCut) out += AnomOut(e.event_id, user, e.value, zr)
+          }
+        }
+        st = AnomState(st.n + 1, st.sxU + xU, st.sxxU + xU * xU)
+      }
+      state.update(st)
       out.iterator
     }
 

@@ -369,6 +369,36 @@ class CliSpec extends AnyFunSuite {
       && rrf.contains("Rows: 30"))
   }
 
+  test("corpus subcommand: curation telemetry ops (novelty/vocabdrift/embedoutliers)") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val nov = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "novelty"))
+    }
+    assert(nov.contains("Rows: 20") && nov.contains("novelty_rate"))
+    val vd = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "vocabdrift"))
+    }
+    assert(vd.contains("Rows: 20") && vd.contains("tvd"))
+    val eo = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "embedoutliers"))
+    }
+    assert(eo.contains("Rows: 500") && eo.contains("is_outlier"))
+  }
+
+  test("events subcommand: anomaly ops (global and online)") {
+    val ev = "/root/testdata/sf0.001/events.parquet"
+    val an = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "anomaly"))
+    }
+    assert(an.contains("Rows: 16") && an.contains("z"))
+    val ao = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "anomalyonline",
+        "z-cut" -> "3.0", "min-prior" -> "8"))
+    }
+    assert(ao.contains("Rows: 16") && ao.contains("z"))
+  }
+
   test("events subcommand: funnel, retention, json, sessionize") {
     val ev = "/root/testdata/sf0.001/events.parquet"
     val fun = captureOut {

@@ -2191,6 +2191,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((11L, 1L, 3.1623)))
   }
 
+  test("running anomalies: prequential z against strictly-prior history") {
+    // user 1: ten alternating 10/12 (prior mean 11, popstd 1 at event 11),
+    // then a 30 -> z = 19 flagged. The trailing 10 sees the spike in ITS
+    // prior window (n=11, var inflated) -> not flagged. First ten events
+    // have n_prior < 8 -> skipped whatever their value.
+    val rows = (1 to 10).map(i =>
+      (i.toLong, 1L, i.toLong * 1000, if (i % 2 == 1) 10.0 else 12.0)) ++
+      Seq((11L, 1L, 11000L, 30.0), (12L, 1L, 12000L, 10.0))
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    val got = Events.runningValueAnomalies(df, zCut = 3.0, minPrior = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.toSeq == Seq((11L, 19.0)))
+  }
+
   test("embed outliers: off-manifold vector flagged, cluster members kept") {
     // two REAL clusters (+x and +z, five members each) so 2-means locks
     // onto them, plus one orthogonal +y vector: k-means cannot adopt the

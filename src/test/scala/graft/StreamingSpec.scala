@@ -521,4 +521,61 @@ class StreamingSpec extends AnyFunSuite {
       (2L, 0L, 0L), (2L, 0L, 2L),
       (3L, 0L, 0L)))
   }
+
+  test("streaming online anomalies equal the batch prequential operator") {
+    val eventsDir = tmpDir("stream-anom").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(eventsDir, "events.parquet"))
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingValueAnomalies(spark, eventsDir), "anom", mode = "append")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val batch = graft.operators.Events.runningValueAnomalies(
+      Tables.load(spark, "/root/testdata/sf0.001", "events"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(streamed.nonEmpty, "law would be vacuous with zero anomalies")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("online anomaly state persists across micro-batches (ordered two-file replay)") {
+    import spark.implicits._
+    // user 1's history (ten alternating 10/12: mean 11, popstd 1) lives
+    // ENTIRELY in file 1; file 2 opens with a 30 -> z = 19 is computable
+    // only if the running moments survived the batch boundary (a state
+    // reset would leave n=0 < minPrior and emit nothing). The trailing
+    // 10 sees the spike in its prior window -> unflagged.
+    def nanos(ms: Long): Long = ms * 1000000L
+    val f1 = (1 to 10).map(i => (i.toLong, 1L, "view", nanos(i * 1000L), "{}",
+      if (i % 2 == 1) 10.0 else 12.0))
+    val f2 = Seq(
+      (11L, 1L, "view", nanos(11000L), "{}", 30.0),
+      (12L, 1L, "view", nanos(12000L), "{}", 10.0))
+    val dir = tmpDir("anom-2batch")
+    def addFile(rows: Seq[(Long, Long, String, Long, String, Double)], name: String): Unit = {
+      val scratch = tmpDir("anom-scratch")
+      rows.toDF("event_id", "user_id", "event_type", "ts", "props", "value")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    addFile(f1, "f1.parquet")
+    addFile(f2, "f2.parquet")
+
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingValueAnomalies(spark, dir.toString,
+        maxFilesPerTrigger = Some(1)),
+      "anom_2b", mode = "append")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(streamed.toSeq == Seq((11L, 19.0)))
+
+    // and the whole-dir batch read agrees with the streamed emissions
+    val batch = graft.operators.Events.runningValueAnomalies(
+      spark.read.parquet(dir.toString))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(batch.toSeq == streamed.toSeq)
+  }
 }
