@@ -1030,10 +1030,15 @@ object Similarity {
       cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
     val ev = Parallelism.ensure(
       embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    // cosine materialized ONCE as an attribute; the window sorts the
+    // attribute instead of re-deriving the expression per row (the
+    // multi-reference rule: a non-cheap alias referenced by both the
+    // sort key and the output would otherwise evaluate twice)
     val w = Window.partitionBy("vec_id")
-      .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
+      .orderBy(col("__cos").desc, col("c").asc)
     ev.crossJoin(cents)
-      .withColumn("__cos", round(cosine(col("embedding"), col("e")), 6))
+      .select(col("vec_id"), col("c"),
+        round(cosine(col("embedding"), col("e")), 6).as("__cos"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("c").as("cluster_id"),
