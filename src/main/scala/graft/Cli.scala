@@ -242,7 +242,9 @@ object Cli {
           |              ivfrecall|mmfeatures|lshrecall|ivfq|bestdedup|sqrtmix|pq|pqrecall|
           |              ivfpq|ivfpqrecall|ivfpqappend|ivfpqcompact|pagerank|dsir|bpe|bpeseg|
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
-          |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers]
+          |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
+          |              winsorize]
+          |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N])
           |         (kmeans/quantize/semdedup/embedoutliers/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall:
           |          -in is an embeddings parquet;
           |          embedoutliers: [-k N] [-iters N] [-min-cos X];
@@ -568,6 +570,15 @@ object Cli {
         rerankFactor = flags.getOrElse("rerank", "4").toInt)
       case "novelty"     => Dedup.noveltyBySource(docs)
       case "vocabdrift"  => TextAnalysis.vocabDrift(docs)
+      case "winsorize"   =>
+        operators.Stats.winsorize(
+          TextAnalysis.qualityScore(docs)
+            .join(docs.select(col("doc_id"),
+              col(flags.getOrElse("group-col", "lang"))), "doc_id"),
+          flags.getOrElse("score-col", "alpha_ratio"),
+          flags.getOrElse("group-col", "lang"),
+          loNum = flags.getOrElse("lo-pct", "5").toInt,
+          hiNum = flags.getOrElse("hi-pct", "95").toInt)
       case "embedoutliers" => Similarity.embedOutliers(docs,
           k = flags.getOrElse("k", "8").toInt,
           iters = flags.getOrElse("iters", "2").toInt,

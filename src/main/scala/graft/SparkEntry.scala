@@ -476,6 +476,17 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // per-stratum winsorized quality report: exact nearest-rank
+    // [5%, 95%] bounds on the 4dp alpha_ratio via the count-table
+    // cumulative walk (no per-stratum sort), clip counts + robust mean
+    "q_winsorize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      operators.Stats.winsorize(q, "alpha_ratio", "lang")
+        .orderBy("stratum")
+    }),
+
     "q_langid" -> ((s, dir) =>
       TextAnalysis.langId(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1723,6 +1734,39 @@ object SparkEntry {
            round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
              / length(text), 4) END AS alpha_ratio
          FROM documents ORDER BY doc_id""",
+
+    // count-table cumulative walk replay: the 4dp score domain keeps the
+    // per-stratum count table tiny; nearest-rank value = smallest v whose
+    // cumulative count reaches floor((n-1)p)+1; DECIMAL-quantized clipped
+    // mean, one rounded division
+    "q_winsorize" ->
+      """WITH q AS (
+           SELECT lang AS stratum,
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) END AS v
+           FROM documents
+         ), c AS (
+           SELECT stratum, v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY stratum, v
+         ), cc AS (
+           SELECT stratum, v, c,
+             sum(c) OVER (PARTITION BY stratum ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY stratum) AS n
+           FROM c
+         ), b AS (
+           SELECT stratum,
+             min(CASE WHEN cum >= floor((n - 1) * 5 / 100) + 1 THEN v END) AS lo,
+             min(CASE WHEN cum >= floor((n - 1) * 95 / 100) + 1 THEN v END) AS hi
+           FROM cc GROUP BY stratum
+         )
+         SELECT q.stratum, CAST(count(*) AS BIGINT) AS n, b.lo, b.hi,
+           CAST(sum(CASE WHEN q.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN q.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           round(CAST(sum(CAST(least(greatest(q.v, b.lo), b.hi) AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 6) AS mean_winsorized
+         FROM q JOIN b USING (stratum)
+         GROUP BY q.stratum, b.lo, b.hi ORDER BY stratum""",
 
     "q_langid" -> {
       // keep marker lists in lockstep with TextAnalysis.langMarkers

@@ -102,6 +102,66 @@ object Stats {
         coalesce(col("est_distinct"), lit(0.0)).as("est_distinct"))
   }
 
+  /** Per-stratum winsorization report: exact nearest-rank percentile
+    * bounds [loNum/den, hiNum/den] on a score column, the clip counts,
+    * and the winsorized mean — the robust-scoring step a curation
+    * pipeline runs before thresholding on a quality metric (a handful
+    * of OCR-garbage outliers otherwise drag a stratum's mean and any
+    * z-scored cut).
+    *
+    * Exact WITHOUT a per-stratum sort — the 100-TB shape: the score
+    * domain is assumed quantized (the 4dp [[TextAnalysis.qualityScore]]
+    * ratios → ≤10⁴+1 distinct values), so per-(stratum, value) counts
+    * are a partial-combined aggregate whose result is tiny, the
+    * cumulative walk runs as a window over that ≤10⁴-row-per-stratum
+    * count table (bounded — never corpus-sized), and the nearest-rank
+    * value at rank r is the smallest value whose cumulative count
+    * reaches r. A Window.partitionBy(stratum) sort over the RAW rows
+    * would put a whole stratum in one task — the classic skew
+    * scale-killer this formulation exists to avoid. For unquantized
+    * domains use [[Quantiles.binnedQuantiles]] bounds instead.
+    *
+    * Determinism: rank indices are exact integer arithmetic
+    * (floor((n−1)·p) + 1 with p = num/den computed as correctly-rounded
+    * double division of small longs — exact for every reachable value);
+    * bounds are data values; the winsorized mean accumulates
+    * DECIMAL(18,4)-quantized clipped values (exact in any order) with
+    * one rounded division.
+    *
+    * Output: (stratum, n, lo, hi, n_below, n_above, mean_winsorized).
+    */
+  def winsorize(
+      df: DataFrame, valueCol: String, groupCol: String,
+      loNum: Int = 5, hiNum: Int = 95, den: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(den > 0 && loNum >= 0 && hiNum <= den && loNum <= hiNum,
+      s"need 0 <= $loNum <= $hiNum <= $den")
+    val v = df.select(col(groupCol).as("stratum"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val counts = v.groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
+    val wcum = Window.partitionBy("stratum").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = counts
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("stratum")))
+    def rankIdx(num: Int) =
+      floor((col("__n") - 1) * num / den) + 1
+    val bounds = withCum.groupBy("stratum").agg(
+      min(when(col("__cum") >= rankIdx(loNum), col("__v"))).as("lo"),
+      min(when(col("__cum") >= rankIdx(hiNum), col("__v"))).as("hi"))
+    v.join(broadcast(bounds), "stratum")
+      .select(col("stratum"), col("__v"), col("lo"), col("hi"),
+        least(greatest(col("__v"), col("lo")), col("hi")).as("__w"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(when(col("__v") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("__v") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+        round(sum(col("__w").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 6).as("mean_winsorized"))
+  }
+
   /** Distribution-drift monitor between two corpora: histogram both over
     * SHARED bins (global min/max of the union — comparing histograms on
     * different bin edges is the classic drift-report bug) and report

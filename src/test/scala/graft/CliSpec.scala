@@ -384,6 +384,10 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> emb, "op" -> "embedoutliers"))
     }
     assert(eo.contains("Rows: 500") && eo.contains("is_outlier"))
+    val wz = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "winsorize"))
+    }
+    assert(wz.contains("Rows: 5") && wz.contains("mean_winsorized"))
   }
 
   test("events subcommand: anomaly ops (global and online)") {

@@ -2191,6 +2191,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((11L, 1L, 3.1623)))
   }
 
+  test("winsorize: exact nearest-rank bounds, clip counts, robust mean") {
+    // stratum A: v = 0.01 .. 0.20 (n=20). loIdx = floor(19*5/100)+1 = 1
+    // -> lo = 0.01 (nothing below); hiIdx = floor(19*95/100)+1 = 19 ->
+    // hi = 0.19, one value above. mean = (sum(0.01..0.19) + 0.19)/20
+    //   = (1.90 + 0.19)/20 = 0.1045
+    // stratum B: constant 0.5 -> lo = hi = 0.5, no clips, mean 0.5.
+    val rows = (1 to 20).map(i => ("A", i / 100.0)) ++
+      (1 to 5).map(_ => ("B", 0.5))
+    val df = rows.toDF("lang", "score")
+    val got = Stats.winsorize(df, "score", "lang").orderBy("stratum")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      ("A", 20L, 0.01, 0.19, 0L, 1L, 0.1045),
+      ("B", 5L, 0.5, 0.5, 0L, 0L, 0.5)))
+  }
+
   test("running anomalies: prequential z against strictly-prior history") {
     // user 1: ten alternating 10/12 (prior mean 11, popstd 1 at event 11),
     // then a 30 -> z = 19 flagged. The trailing 10 sees the spike in ITS
