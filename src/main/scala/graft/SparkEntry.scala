@@ -1234,6 +1234,22 @@ object SparkEntry {
       Graph.pageRank(edges, iters = 3, weightCol = Some("w")).orderBy("node")
     }),
 
+    // exactly-once triangle enumeration by (deg, id) orientation over
+    // the span-duplication graph: per-node clique participation — high
+    // counts mark densely cross-copied template families
+    "q_triangles" -> ((s, dir) => {
+      val edges = Graph.spanLinkEdges(Tables.load(s, dir, "documents"))
+      Graph.triangleCounts(edges).orderBy("node")
+    }),
+
+    // one-row closure telemetry: wedges Σ C(deg,2), triangles, global
+    // clustering 3T/wedges — chains-vs-cliques before choosing the CC
+    // contraction strategy
+    "q_triangle_stats" -> ((s, dir) => {
+      val edges = Graph.spanLinkEdges(Tables.load(s, dir, "documents"))
+      Graph.triangleStats(edges)
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters → within-cluster
     // cosine prune → keep the lowest-id representative. Threshold 0.4
     // because the synthetic corpus has no true embedding dups (max cos
@@ -1312,6 +1328,41 @@ object SparkEntry {
   // — shared verbatim by q_ivf_pq and q_ivf_pq_append: seed-then-append
   // over frozen codebooks is row-identical to the cold build, so both
   // operators gate against the same pinned arithmetic
+  /** The span-duplication pair graph as a reusable CTE body (`toks` →
+    * `p`): distinct doc pairs (src < dst) sharing ≥1 span fingerprint,
+    * sharing degree capped at 64 — the exact q_dupspans substrate the
+    * q_pagerank oracle replays inline. Shared by the triangle oracles so
+    * the three graph queries provably run over ONE graph.
+    */
+  private val spanPairCte: String =
+    """toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), sp0 AS (
+           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), sp AS (
+           SELECT DISTINCT doc_id, span_md5 FROM sp0
+         ), linking AS (
+           SELECT span_md5 FROM (
+             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
+           WHERE nd > 1 AND nd <= 64
+         ), spl AS (
+           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
+         ), p AS (
+           SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
+         ), tri AS (
+           SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+           FROM p e1
+           JOIN p e2 ON e2.src = e1.dst
+           JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         )"""
+
   private val ivfPqChainSql: String =
     """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
@@ -3551,6 +3602,45 @@ object SparkEntry {
          $iterCtes
          SELECT node, rank FROM r$iters ORDER BY node"""
     },
+
+    // triangles replayed by the literal ascending 3-join over the span
+    // pair graph (src < dst makes x < y < z automatic) — the engine's
+    // (deg, id) orientation enumerates the SAME triangle set, counted
+    // once either way; zero-participant nodes kept via the left join
+    "q_triangles" ->
+      s"""WITH $spanPairCte,
+         nodes AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM p UNION ALL SELECT dst AS node FROM p)
+         ), cnt AS (
+           SELECT node, count(*) AS c FROM (
+             SELECT x AS node FROM tri
+             UNION ALL SELECT y AS node FROM tri
+             UNION ALL SELECT z AS node FROM tri)
+           GROUP BY node
+         )
+         SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
+         FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""",
+
+    // closure summary over the same graph: integer counts (// is DuckDB
+    // integer division — exact like Spark's DIV) and the one pinned
+    // (3.0 · T) / wedges IEEE division
+    "q_triangle_stats" ->
+      s"""WITH $spanPairCte,
+         deg AS (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT src AS node FROM p UNION ALL SELECT dst AS node FROM p)
+           GROUP BY node
+         ), s AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges,
+             (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
+             (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+         )
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(3.0 AS DOUBLE) * n_triangles / n_wedges END AS global_clustering
+         FROM s""",
 
     // rolling hash (base 257 mod 2^64) replayed byte-for-byte in DuckDB via
     // HUGEINT list_reduce; valid because the corpus is ASCII (ord == byte) —

@@ -164,4 +164,104 @@ object Graph {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     pairs.union(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
+
+  /** The degree-orientation triangle substrate shared by
+    * [[triangleCounts]] and [[triangleStats]]: canonical undirected
+    * edges, per-node degrees, and each triangle enumerated EXACTLY once
+    * as (u, v, w) ascending in the total order π(x) = (deg(x), x).
+    *
+    * Why orientation at 100 TB: the naive wedge join fans each vertex
+    * into C(deg, 2) pairs, so one hub with degree 10⁶ alone yields
+    * 5·10¹¹ wedge rows — the canonical graph-join skew failure. Orienting
+    * every edge toward the HIGHER (deg, id) endpoint caps out-degree at
+    * O(√m) for any graph (a node of degree d > √m has < √m higher-degree
+    * neighbors, because Σdeg = 2m), so Σ outdeg² — the wedge row count —
+    * is bounded by m^1.5 regardless of hub skew (Suri & Vassilvitskii,
+    * WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+    * Every triangle {x,y,z} with π(x)<π(y)<π(z) appears as exactly one
+    * closed wedge: both x→y and x→z are oriented out of x, and the
+    * closing edge {y,z} is necessarily oriented y→z.
+    */
+  private def orientedTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // canonical undirected pairs: a < b, self-loops out, both-direction
+    // inputs collapse — one distinct shuffle keyed on the pair
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orientation carries the DESTINATION's degree: the wedge join below
+    // re-derives π-order between two out-neighbors without re-joining deg
+    val aLower = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, col("__db")).otherwise(col("__da")).as("__dv"))
+    // wedges at u: out-neighbor pairs in π-order; closure = the oriented
+    // edge v→w exists (orientation of {v,w} is forced by π(v) < π(w))
+    val o2 = oriented.select(col("u"), col("v").as("w"), col("__dv").as("__dw"))
+    val wedges = o1Wedges(oriented, o2)
+    val tris = wedges
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select("u", "v", "w")
+    (und, deg, tris)
+  }
+
+  private def o1Wedges(o1: DataFrame, o2: DataFrame): DataFrame =
+    o1.join(o2, "u")
+      .filter(col("__dv") < col("__dw") ||
+        (col("__dv") === col("__dw") && col("v") < col("w")))
+
+  /** Per-node triangle participation over an undirected graph (directed
+    * or both-direction edge tables are canonicalized first). Output:
+    * (node, triangles) for EVERY node of the graph, zero-participants
+    * included — on a duplication graph ([[spanLinkEdges]]) the high
+    * counts are the densely cross-copied template cliques, the structural
+    * complement to [[pageRank]]'s centrality.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (_, deg, tris) = orientedTriangles(edges, srcCol, dstCol)
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__t"))
+    deg.select("node")
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"))
+  }
+
+  /** Graph-level closure summary: node/edge counts, wedge count
+    * Σ C(deg, 2), triangle count, and the global clustering coefficient
+    * (transitivity) 3·T / wedges — the one-row telemetry that says
+    * whether a duplication graph is chains (≈0, pairwise near-dups) or
+    * cliques (→1, template families), which decides CC star-contraction
+    * vs plain pair-dedup downstream. All counts are exact integers; the
+    * coefficient is one pinned IEEE division over them. Aggregates are
+    * crossed one-row frames — no driver collect.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val (und, deg, tris) = orientedTriangles(edges, srcCol, dstCol)
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        // DIV, not /: long `/` is double division, and a 100-TB-graph
+        // wedge sum overflows double's 2^53 exact-integer range
+        coalesce(sum(expr("deg * (deg - 1L) DIV 2L")), lit(0L))
+          .as("n_wedges")))
+      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("global_clustering"))
+  }
 }

@@ -2059,6 +2059,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(wr.values.sum - 1.0) < 1e-6)
   }
 
+  test("triangles: diamond counts, canonicalization, hub has none") {
+    // K4 minus {3,4}: triangles {1,2,3} and {1,2,4}
+    val diamond = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val counts = Graph.triangleCounts(diamond).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+
+    // stats: 4 nodes, 5 edges, wedges Σ C(deg,2) = 3+3+1+1 = 8,
+    // clustering = 3·2/8
+    val st = Graph.triangleStats(diamond).collect().head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)) ==
+      ((4L, 5L, 8L, 2L)))
+    assert(math.abs(st.getDouble(4) - 0.75) < 1e-12)
+
+    // reversed duplicates + self-loops canonicalize to the same graph
+    val messy = diamond
+      .union(diamond.select($"dst".as("src"), $"src".as("dst")))
+      .union(Seq((3L, 3L), (1L, 2L)).toDF("src", "dst"))
+    assert(Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == counts)
+
+    // star hub: max degree, zero triangles — the orientation points every
+    // edge AT the hub, so no wedge opens there
+    val star = (1L to 6L).map(l => (0L, l)).toDF("src", "dst")
+    val starCounts = Graph.triangleCounts(star).collect()
+    assert(starCounts.length == 7 && starCounts.forall(_.getLong(1) == 0L))
+    assert(Graph.triangleStats(star).collect().head.getDouble(4) == 0.0)
+  }
+
+  test("triangles: degree-oriented enumeration equals the id-ordered 3-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edges = Graph.spanLinkEdges(docs)
+    // independent replay, the oracle's shape: canonical a<b pairs,
+    // ascending 3-join
+    val p = edges.select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b")).distinct()
+    val e2 = p.select($"a".as("b"), $"b".as("c"))
+    val e3 = p.select($"a".as("a"), $"b".as("c"))
+    val naive = p.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
+      .select(explode(array($"a", $"b", $"c")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val engine = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine.filter(_._2 > 0L) == naive,
+      s"oriented vs naive mismatch: $engine vs $naive")
+    assert(engine.values.sum / 3 == naive.values.sum / 3)
+  }
+
   test("hard negatives: cross-label only, ranked like brute force on the rest") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = emb.select("vec_id", "label").collect()
