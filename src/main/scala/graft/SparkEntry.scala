@@ -1047,6 +1047,15 @@ object SparkEntry {
         numCentroids = 32, nprobes = Seq(1, 2, 4))
     }),
 
+    // matryoshka telemetry: recall@k of prefix-dimension cosine vs the
+    // full 64-dim exact top-k — sizes the cheap first-pass retriever
+    // (candidate cost scales linearly with the kept prefix)
+    "q_dim_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.dimRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
+        dims = Seq(8, 16, 32))
+    }),
+
     // product quantization: m=4 × ksub=16 pseudo-codebooks, ADC
     // inner-product candidates from the broadcast lookup table (exact
     // fixed-point sums), exact cosine re-rank of the k·4 survivors
@@ -2935,6 +2944,39 @@ object SparkEntry {
     // a filter over ONE scored candidate table, recall joins against the
     // q_embed_topk brute-force truth; the final ratio is a single IEEE
     // division of two BIGINTs (bit-exact in both engines)
+    // the matryoshka sweep replayed with list slicing: per-dim prefix
+    // cosine (4dp + vec_id ties, the brute-force contract) vs the
+    // full-dim exact top-k
+    "q_dim_recall" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         dims AS (SELECT unnest([8, 16, 32]) AS dim),
+         tc AS (SELECT d.dim, x.vec_id, x.e[1:d.dim] AS e FROM ec x CROSS JOIN dims d),
+         tq AS (SELECT dim, vec_id AS query_id, e FROM tc WHERE vec_id < 5),
+         tt AS (
+           SELECT dim, query_id, vec_id FROM (
+             SELECT c.dim, q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY c.dim, q.query_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rank
+             FROM tc c JOIN tq q ON c.dim = q.dim AND c.vec_id <> q.query_id)
+           WHERE rank <= 3),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
+             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
+             WHERE c2.vec_id <> q.vec_id) t WHERE rank <= 3),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
+         SELECT CAST(t.dim AS INT) AS dim,
+           tot.exact_pairs,
+           CAST(count(*) AS BIGINT) AS trunc_pairs,
+           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
+           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
+         FROM tt t
+         LEFT JOIN exact e ON t.query_id = e.query_id AND t.vec_id = e.vec_id, tot
+         GROUP BY t.dim, tot.exact_pairs
+         ORDER BY dim""",
+
     "q_ivf_recall" ->
       """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),

@@ -914,6 +914,72 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  /** Matryoshka-style truncated-dimension recall@k (Kusupati et al.,
+    * NeurIPS'22 "Matryoshka Representation Learning"): brute-force cosine
+    * over only the FIRST `d` embedding components vs the full-dim exact
+    * top-k, one row per d in `dims` — the telemetry that says how many
+    * prefix dimensions a cheap first-pass retriever needs before the
+    * full-precision re-rank.
+    *
+    * Why this is the 100-TB dial: candidate scoring cost (FLOPs, shuffle
+    * bytes, index footprint) scales LINEARLY with d, so a prefix that
+    * already carries recall ≈ 1 at d = dim/8 cuts the scan-side cost 8×
+    * with the same [[bruteForceTopK]]-shaped exact re-rank on the
+    * survivors. The truncated projections are materialized once per
+    * (row, d) — prefix slice + prefix norm in ONE pass over the corpus,
+    * no per-pair slicing — and the query side broadcasts, so the scoring
+    * join stays shuffle-free like every brute-force family member.
+    *
+    * Determinism: truncated and exact cosines share the 4dp-round +
+    * vec_id-tie contract, so the whole sweep replays in DuckDB by list
+    * slicing (q_dim_recall). Prefixes are assumed non-degenerate
+    * (all-zero prefixes would make cosine undefined in any engine).
+    */
+  def dimRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be >= 1")
+    require(dims.distinct.size == dims.size, s"duplicate dims: $dims")
+    import org.apache.spark.storage.StorageLevel
+    def truncated(df: DataFrame, idCol: String, idAlias: String): DataFrame =
+      dims.sorted.map { d =>
+        df.select(lit(d).as("dim"), col(idCol).as(idAlias),
+          slice(col("embedding"), 1, d).as("embedding"))
+      }.reduce(_ unionByName _)
+        .select(col("dim"), col(idAlias), col("embedding"),
+          l2norm(col("embedding")).as("__norm"))
+    val tc = truncated(corpus, "vec_id", "vec_id")
+    val tq = broadcast(truncated(queries, "vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("__norm", "q_norm"))
+    val w = Window.partitionBy("dim", "query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val truncTopK = tc.join(tq, Seq("dim"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("dim"), col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val exact = CacheRegistry.track(
+      bruteForceTopK(corpus, queries, k).select(col("query_id"), col("vec_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    exact.count()
+    val exactTotal = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
+    truncTopK
+      .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy("dim")
+      .agg(count(lit(1)).as("trunc_pairs"), count(col("__hit")).as("hit_pairs"))
+      .crossJoin(exactTotal)
+      // one integer-ratio IEEE division — bit-exact in any engine
+      .withColumn("recall_at_k",
+        col("hit_pairs").cast("double") / col("exact_pairs").cast("double"))
+      .select("dim", "exact_pairs", "trunc_pairs", "hit_pairs", "recall_at_k")
+      .orderBy("dim")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * k-means-cluster the embedding space, compare vectors only WITHIN
     * their cluster, and drop every vector that has a same-cluster

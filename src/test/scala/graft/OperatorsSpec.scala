@@ -2109,6 +2109,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(engine.values.sum / 3 == naive.values.sum / 3)
   }
 
+  test("dim recall: full-dim prefix is exact, sweep rows bounded and sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val res = Similarity.dimRecall(emb, emb.filter($"vec_id" < 5), k = 3,
+        dims = Seq(8, 64))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // the d = 64 prefix IS the full vector: identical scores, identical
+    // ties, recall exactly 1
+    val (ep64, tp64, hp64, r64) = res(64)
+    assert(tp64 == ep64 && hp64 == ep64 && r64 == 1.0,
+      s"full-dim prefix must reproduce exact top-k: ${res(64)}")
+    // every sweep row: k pairs per query, hits within [0, trunc]
+    res.values.foreach { case (ep, tp, hp, r) =>
+      assert(ep == 15L && tp == 15L && hp >= 0L && hp <= tp)
+      assert(math.abs(r - hp.toDouble / ep.toDouble) < 1e-15)
+    }
+    // duplicate dims are a caller bug, not a silent double-count
+    intercept[IllegalArgumentException] {
+      Similarity.dimRecall(emb, emb.limit(1), k = 1, dims = Seq(8, 8))
+    }
+  }
+
   test("hard negatives: cross-label only, ranked like brute force on the rest") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = emb.select("vec_id", "label").collect()
