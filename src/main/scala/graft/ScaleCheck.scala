@@ -391,6 +391,57 @@ object ScaleCheck {
           maxShingleDf = capD10).count())
     }
     operators.CacheRegistry.release(spark)
+    // triangle counting under hub skew: a degree-20k hub fused to a
+    // 40-clique. The naive wedge join fans C(20000, 2) ≈ 2·10⁸ rows at
+    // the hub alone; (deg, id) orientation points every star edge AT the
+    // hub (out-degree 0 there), so oriented wedge rows collapse to the
+    // clique's Σ C(outdeg, 2) = C(40, 3) — the m^1.5 bound with four
+    // orders of magnitude to spare. Counts must still be exact.
+    time("triangles: 20k-star hub + 40-clique (oriented wedge bound)") {
+      import spark.implicits._
+      val star = (1L to 20000L).map(l => (0L, l))
+      val clique = for (a <- 30000L until 30040L; b <- a + 1 until 30040L)
+        yield (a, b)
+      val edges = (star ++ clique).toDF("src", "dst")
+        .repartition(32).cache()
+      val counts = operators.Graph.triangleCounts(edges)
+        .agg(sum(col("triangles")).as("s"),
+          sum(when(col("node") >= 30000L, col("triangles"))).as("cl"),
+          sum(when(col("node") < 30000L, col("triangles"))).as("st")).head()
+      // participation sum = 3·C(40,3); every star node has zero
+      require(counts.getLong(0) == 3L * 9880L && counts.getLong(2) == 0L,
+        s"triangle counts wrong under skew: $counts")
+      // independent wedge-row census with the engine's orientation rule:
+      // Σ C(outdeg, 2) must match the clique-only closed-form and sit
+      // far under both the naive Σ C(deg, 2) and the m^1.5 guarantee
+      val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val aLow = col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b"))
+      val outdeg = und
+        .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+        .select(when(aLow, col("a")).otherwise(col("b")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("od"))
+      val stats = outdeg
+        .agg(sum(expr("od * (od - 1L) DIV 2L")).as("wedges"),
+          max(col("od")).as("maxOut")).head()
+      val naive = deg.agg(sum(expr("deg * (deg - 1L) DIV 2L")).as("w"))
+        .head().getLong(0)
+      val m = und.count()
+      println(s"[scale] oriented wedges: ${stats.getLong(0)} (max outdeg " +
+        s"${stats.getLong(1)}), naive wedges: $naive, m^1.5: " +
+        math.pow(m.toDouble, 1.5).toLong)
+      require(stats.getLong(0) == 9880L,
+        s"oriented wedges must collapse to the clique: ${stats.getLong(0)}")
+      require(naive >= 199000000L, "hub must dominate the naive wedge count")
+      require(stats.getLong(0) <= math.pow(m.toDouble, 1.5).toLong,
+        "oriented wedges must respect the m^1.5 bound")
+      edges.unpersist(blocking = false)
+    }
     // z-order rewrite of the 10× corpus: the layout shuffle is the only
     // shuffle; per-file spans must tighten in both dimensions
     time("z-order rewrite 50k docs -> 32 files") {

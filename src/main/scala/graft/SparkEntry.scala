@@ -1056,6 +1056,15 @@ object SparkEntry {
         dims = Seq(8, 16, 32))
     }),
 
+    // the two-stage retriever that telemetry sizes: 16-dim prefix
+    // candidates (k·4 survivors), exact 64-dim re-rank fetched by id
+    "q_trunc_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.truncatedTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+          d = 16, rerankFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // product quantization: m=4 × ksub=16 pseudo-codebooks, ADC
     // inner-product candidates from the broadcast lookup table (exact
     // fixed-point sums), exact cosine re-rank of the k·4 survivors
@@ -2944,6 +2953,32 @@ object SparkEntry {
     // a filter over ONE scored candidate table, recall joins against the
     // q_embed_topk brute-force truth; the final ratio is a single IEEE
     // division of two BIGINTs (bit-exact in both engines)
+    // the two-stage prefix retriever replayed: 16-component slice
+    // cosine ranks k·4 survivors, full-dim exact cosine re-ranks them
+    "q_trunc_topk" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e FROM ec WHERE vec_id < 5),
+         surv AS (
+           SELECT query_id, vec_id, prefix_sim FROM (
+             SELECT q.query_id, c.vec_id,
+               round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) AS prefix_sim,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) DESC,
+                   c.vec_id) AS pr
+             FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+           WHERE pr <= 12),
+         rer AS (
+           SELECT s.query_id, s.vec_id, s.prefix_sim,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
+           FROM surv s JOIN ec c ON s.vec_id = c.vec_id
+                       JOIN q ON s.query_id = q.query_id)
+         SELECT query_id, vec_id, prefix_sim, cos_sim, CAST(rank AS INT) AS rank FROM (
+           SELECT query_id, vec_id, prefix_sim, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM rer) WHERE rank <= 3
+         ORDER BY query_id, rank""",
+
     // the matryoshka sweep replayed with list slicing: per-dim prefix
     // cosine (4dp + vec_id ties, the brute-force contract) vs the
     // full-dim exact top-k

@@ -980,6 +980,62 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** The two-stage retriever [[dimRecall]] sizes: candidate generation
+    * over the first `d` components only (k·rerankFactor survivors per
+    * query, 4dp prefix cosine + vec_id ties), then exact full-dimension
+    * re-rank of the survivors fetched BY ID — the same
+    * generate-cheap/re-rank-exact contract as [[Pq.pqTopK]]'s ADC stage,
+    * with prefix truncation as the compression instead of quantization.
+    *
+    * At 100 TB the first stage is the only corpus-wide pass and it reads
+    * `d/dim` of the embedding bytes (store the prefix as its own parquet
+    * column — or a matryoshka-ordered model's leading slice — and column
+    * pruning does the rest); the re-rank touches k·rf rows per query via
+    * an id equi-join, never a second scan.
+    * Output: (query_id, vec_id, prefix_sim, cos_sim, rank).
+    */
+  def truncatedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      d: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && d >= 1 && rerankFactor >= 1)
+    def trunc(df: DataFrame, idCol: String, idAlias: String): DataFrame = {
+      val sliced = df.select(col(idCol).as(idAlias),
+        slice(col("embedding"), 1, d).as("embedding"))
+      sliced.select(col(idAlias), col("embedding"),
+        l2norm(col("embedding")).as("__norm"))
+    }
+    val tq = broadcast(trunc(queries, "vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("__norm", "q_norm"))
+    val survivors = trunc(corpus, "vec_id", "vec_id")
+      .crossJoin(tq)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("prefix_sim"))
+      .withColumn("__pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("prefix_sim").desc, col("vec_id").asc)))
+      .filter(col("__pr") <= k * rerankFactor)
+      .drop("__pr")
+    // survivors-only full-precision fetch: an id equi-join, never a
+    // rescoring of the whole corpus
+    survivors
+      .join(withNorm(corpus, "vec_id", "vec_id"), "vec_id")
+      .join(broadcast(withNorm(queries, "vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_emb")
+        .withColumnRenamed("__norm", "q_norm")), "query_id")
+      .select(col("query_id"), col("vec_id"), col("prefix_sim"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "prefix_sim", "cos_sim", "rank")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * k-means-cluster the embedding space, compare vectors only WITHIN
     * their cluster, and drop every vector that has a same-cluster

@@ -2131,6 +2131,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated top-k: full corpus pool and full-dim prefix both reduce to brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "vec_id", "cos_sim", "rank").collect().toSet
+    // pool ≥ corpus (500 vectors < 3·200): the 8-dim prefix can't lose
+    // any candidate, so the exact re-rank reproduces brute force
+    // regardless of prefix quality
+    val wide = Similarity.truncatedTopK(emb, queries, k = 3, d = 8,
+        rerankFactor = 200)
+      .select("query_id", "vec_id", "cos_sim", "rank").collect().toSet
+    assert(wide == brute, "full-pool truncated retrieval must be exact")
+    // d = dim: prefix scores ARE the exact scores — rf = 1 already exact,
+    // and prefix_sim must equal cos_sim row by row
+    val full = Similarity.truncatedTopK(emb, queries, k = 3, d = 64,
+      rerankFactor = 1)
+    assert(full.filter($"prefix_sim" =!= $"cos_sim").count() == 0)
+    assert(full.select("query_id", "vec_id", "cos_sim", "rank")
+      .collect().toSet == brute)
+  }
+
   test("hard negatives: cross-label only, ranked like brute force on the rest") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = emb.select("vec_id", "label").collect()
