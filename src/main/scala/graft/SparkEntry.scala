@@ -1268,6 +1268,14 @@ object SparkEntry {
       Graph.triangleStats(edges)
     }),
 
+    // 2-core of the duplication graph: template FAMILIES (cycles,
+    // cliques) survive the peel, incidental pairwise matches (trees)
+    // peel away — iterated to the unique fixpoint
+    "q_kcore" -> ((s, dir) => {
+      val edges = Graph.spanLinkEdges(Tables.load(s, dir, "documents"))
+      Graph.kCore(edges, k = 2).orderBy("node")
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters → within-cluster
     // cosine prune → keep the lowest-id representative. Threshold 0.4
     // because the synthetic corpus has no true embedding dups (max cos
@@ -1380,6 +1388,37 @@ object SparkEntry {
            JOIN p e2 ON e2.src = e1.dst
            JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
          )"""
+
+  /** Unrolled k-core peel over the `p` pair CTE ([[spanPairCte]]):
+    * round i keeps nodes with deg ≥ k in round i−1's subgraph and
+    * re-derives edges/degrees. Peeling is monotone with a unique
+    * fixpoint, so any unroll ≥ the graph's peel depth replays the
+    * engine's converge-to-fixpoint loop exactly; `rounds` carries
+    * comfortable margin over the measured depth at the oracle scales
+    * (a converged round is a no-op for every later round).
+    */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each round references its predecessor three times
+    // (degree filter + both endpoint semi-joins); DuckDB's default CTE
+    // inlining would expand the chain 3^rounds-fold
+    val iter = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT node FROM d${i - 1} WHERE deg >= $k),
+         e$i AS MATERIALIZED (
+           SELECT e.src, e.dst FROM e${i - 1} e
+           JOIN k$i sa ON e.src = sa.node
+           JOIN k$i sb ON e.dst = sb.node),
+         d$i AS MATERIALIZED (
+           SELECT node, count(*) AS deg FROM (
+             SELECT src AS node FROM e$i UNION ALL SELECT dst AS node FROM e$i)
+           GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""e0 AS MATERIALIZED (SELECT src, dst FROM p),
+         d0 AS MATERIALIZED (
+           SELECT node, count(*) AS deg FROM (
+             SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0)
+           GROUP BY node),
+         $iter"""
+  }
 
   private val ivfPqChainSql: String =
     """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -3698,6 +3737,15 @@ object SparkEntry {
          )
          SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
          FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""",
+
+    // the 2-core peel unrolled 12 rounds (measured depth ≤ 3 at the
+    // oracle scales; converged rounds are no-ops) — monotone set
+    // operation, unique fixpoint, no floats anywhere
+    "q_kcore" ->
+      s"""WITH $spanPairCte,
+         ${kcoreCtes(2, 12)}
+         SELECT node, CAST(deg AS BIGINT) AS deg FROM d12
+         WHERE deg >= 2 ORDER BY node""",
 
     // closure summary over the same graph: integer counts (// is DuckDB
     // integer division — exact like Spark's DIV) and the one pinned

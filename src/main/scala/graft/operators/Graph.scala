@@ -239,6 +239,79 @@ object Graph {
       .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"))
   }
 
+  /** The k-core of an undirected graph: the maximal subgraph in which
+    * every node has degree ≥ k, computed by iterated peeling (drop
+    * under-degree nodes, recompute degrees, repeat to fixpoint). On a
+    * duplication graph the 2-core separates template FAMILIES (cycles,
+    * cliques) from incidental pairwise matches (trees peel away
+    * completely) — the standard pre-filter before clique-shaped dedup
+    * review. Returns (node, deg): the surviving nodes with their degree
+    * INSIDE the core.
+    *
+    * Scale shape, the [[pageRank]] loop discipline: each round is one
+    * degree aggregation (map-side combined, shuffled on node) and two
+    * semi-joins (shuffled on the edge endpoints), one driver action
+    * (the edge count — the convergence test), and a lineage cut so the
+    * plan stays round-sized; dead rounds release their checkpoint files
+    * eagerly. Rounds needed = the graph's peel depth (degeneracy
+    * layers), a handful on real duplication graphs; `maxIters` fails
+    * LOUDLY rather than returning a half-peeled subgraph as if it were
+    * the core.
+    *
+    * Determinism: peeling is a monotone set operation (no floats, no
+    * ties) — the fixpoint is unique, so ANY sufficiently-unrolled replay
+    * (the q_kcore oracle's fixed CTE rounds) reaches the identical set.
+    */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxIters: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1)
+    var und = cut(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var prevEdges = und.count()
+    var iters = 0
+    while (iters < maxIters) {
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      if (prevEdges == 0L) {
+        // materialize the (empty) result before releasing its input cut —
+        // a lazy frame over deleted checkpoint files fails at the
+        // caller's first action
+        val out = cut(deg.filter(col("deg") >= k))
+        Lineage.release(und, deleteFiles = true)
+        return out
+      }
+      val next = cut(und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select("a", "b"))
+      val m = next.count()
+      if (m == prevEdges) {
+        // fixpoint: every remaining node already has deg >= k
+        Lineage.release(next, deleteFiles = true)
+        val core = deg.filter(col("deg") >= k)
+        // materialize before releasing the backing cut (the caller's
+        // frame must not read a released checkpoint)
+        val out = cut(core)
+        Lineage.release(und, deleteFiles = true)
+        return out
+      }
+      Lineage.release(und, deleteFiles = true)
+      und = next
+      prevEdges = m
+      iters += 1
+    }
+    Lineage.release(und, deleteFiles = true)
+    throw new IllegalStateException(
+      s"kCore did not converge in $maxIters rounds — peel depth exceeds " +
+        "the guard; raise maxIters")
+  }
+
   /** Graph-level closure summary: node/edge counts, wedge count
     * Σ C(deg, 2), triangle count, and the global clustering coefficient
     * (transitivity) 3·T / wedges — the one-row telemetry that says

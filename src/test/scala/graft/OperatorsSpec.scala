@@ -2109,6 +2109,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(engine.values.sum / 3 == naive.values.sum / 3)
   }
 
+  test("k-core: trees peel away, cycles survive, deep chains converge") {
+    // cycle 1-2-3-4-1 with tail 4-5-6: 2-core = the cycle, degrees all 2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val core2 = Graph.kCore(cyc, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+
+    // K4 + pendant: 3-core = the clique exactly; 4-core empty
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L)).toDF("src", "dst")
+    assert(Graph.kCore(k4, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graph.kCore(k4, k = 4).count() == 0)
+
+    // 20-node path: peeling eats one node from each end per round — the
+    // multi-round convergence path (and the empty fixpoint)
+    val path = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.kCore(path, k = 2).count() == 0)
+    // ...and the maxIters guard fails loudly instead of half-peeling
+    intercept[IllegalStateException] {
+      Graph.kCore(path, k = 2, maxIters = 3)
+    }
+
+    // k = 1 on an already-1-core graph: fixpoint on round one, identity
+    assert(Graph.kCore(cyc, k = 1).count() == 6)
+  }
+
   test("dim recall: full-dim prefix is exact, sweep rows bounded and sane") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val res = Similarity.dimRecall(emb, emb.filter($"vec_id" < 5), k = 3,
