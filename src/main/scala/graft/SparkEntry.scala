@@ -1347,6 +1347,24 @@ object SparkEntry {
       val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
       Multimodal.resizeFeatures(s, media, outW = 8, outH = 8).orderBy("doc_id")
     }),
+
+    // perceptual average-hash over DECODED thumbnails: 64-bit integer
+    // above-mean fingerprint, MSB-first — the image SimHash
+    "q_mm_phash" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
+      Multimodal.imageAHash(s, media).orderBy("doc_id")
+    }),
+
+    // banded near-dup blocking over those fingerprints: 4×16-bit bands
+    // (hamming ≤ 3 < 4 bands → pigeonhole-exact among un-capped
+    // buckets), bucket cap 64 drops degenerate-thumbnail junk from
+    // candidate generation, exact xor+bit_count verify
+    "q_mm_phash_pairs" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
+      Multimodal.aHashPairs(Multimodal.imageAHash(s, media),
+          maxHamming = 3, bands = 4, maxBucket = 64)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // the full IVFADC cold-chain replay (centroid draw, nprobe=2 probe
@@ -1419,6 +1437,40 @@ object SparkEntry {
            GROUP BY node),
          $iter"""
   }
+
+  /** The closed-form aHash replay shared by q_mm_phash and
+    * q_mm_phash_pairs: the synthesized images are row-gradient (channel
+    * value constant across x), so the 8×8 thumbnail's 64 pixels reduce to
+    * 8 row grays — gray(y) = ⌊Σc (doc_id + ⌊y·h/8⌋ + 85c) % 256 / 3⌋ —
+    * and the engine's all-integer 64·gray ≥ Σgray test becomes
+    * 8·gray(y) ≥ Σy gray. Bits pack MSB-first (row y fills byte 7−y:
+    * 255·2^(56−8y), INTEGER literals — DuckDB's ** returns DOUBLE and
+    * would round the high bytes), HUGEINT-summed, two's-complement
+    * folded to the engine's signed long (the q_fingerprint pattern).
+    */
+  private val aHashCte: String =
+    """img AS (SELECT doc_id, 16 + (7 * n_chars) % 48 AS h
+           FROM documents WHERE doc_id % 3 < 2),
+         g AS (
+           SELECT doc_id, y,
+             (((doc_id + (y * h) // 8) % 256) + ((doc_id + (y * h) // 8 + 85) % 256)
+               + ((doc_id + (y * h) // 8 + 170) % 256)) // 3 AS gray
+           FROM img, unnest(range(0, 8)) AS t(y)),
+         tot AS (SELECT doc_id, sum(gray) AS s FROM g GROUP BY doc_id),
+         bits AS (
+           SELECT g.doc_id, g.y, CASE WHEN 8 * g.gray >= t.s THEN 1 ELSE 0 END AS b
+           FROM g JOIN tot t USING (doc_id)),
+         hu AS (
+           SELECT doc_id, sum(CAST(b AS HUGEINT) * 255 * CASE y
+               WHEN 0 THEN 72057594037927936 WHEN 1 THEN 281474976710656
+               WHEN 2 THEN 1099511627776 WHEN 3 THEN 4294967296
+               WHEN 4 THEN 16777216 WHEN 5 THEN 65536 WHEN 6 THEN 256 ELSE 1 END) AS u
+           FROM bits GROUP BY doc_id),
+         ph AS (
+           SELECT doc_id,
+             CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+                  ELSE u END AS BIGINT) AS phash, u
+           FROM hu)"""
 
   private val ivfPqChainSql: String =
     """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2527,6 +2579,33 @@ object SparkEntry {
            CAST(8 * list_sum(list_transform(range(0, 8), y ->
              (doc_id + (y * h) // 8 + 170) % 256)) AS BIGINT) AS c2_sum
          FROM p ORDER BY doc_id""",
+
+    // the aHash fingerprints replayed in closed form from the generation
+    // parameters — any codec/resize/pack bug flips the 64-bit value
+    "q_mm_phash" ->
+      s"""WITH $aHashCte
+         SELECT doc_id, phash FROM ph ORDER BY doc_id""",
+
+    // the banded blocking replayed: band keys from the UNSIGNED value
+    // ((u // 2^16i) % 2^16 == the engine's >>> i·16 & 0xFFFF), bucket
+    // cap 64 ACTIVE at the oracle scales, exact hamming verify
+    "q_mm_phash_pairs" ->
+      s"""WITH $aHashCte,
+         bk AS (
+           SELECT doc_id, phash, i AS band,
+             CAST((u // CASE i WHEN 0 THEN 1 WHEN 1 THEN 65536
+               WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT) AS key
+           FROM ph, unnest(range(0, 4)) AS t(i)),
+         open_ AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64),
+         slim AS (SELECT bk.* FROM bk JOIN open_ USING (band, key)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.phash AS pa, b.phash AS pb
+           FROM slim a JOIN slim b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+         ORDER BY id_a, id_b""",
 
     // exact n-gram jaccard, independently recomputed from the raw text with
     // DuckDB list ops (string shingles, no hashing — proves the Spark side's

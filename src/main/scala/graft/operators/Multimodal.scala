@@ -507,6 +507,99 @@ object Multimodal {
     spark.createDataFrame(out, resizeFeatureSchema)
   }
 
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Perceptual average-hash over DECODED pixels: sniff + decode, 8×8
+    * nearest-neighbor thumbnail, integer luminance ⌊(r+g+b)/3⌋ per
+    * pixel, bit (y·8+x) set iff 64·gray ≥ Σ gray (the all-integer
+    * "above the mean" test — no float mean, so the hash replays exactly
+    * in any engine), packed MSB-first into one signed long. Audio
+    * payloads are skipped (the [[resizeFeatures]] convention).
+    *
+    * This is the image twin of the text [[Dedup]] SimHash family: a
+    * 64-bit content fingerprint whose Hamming distance tracks visual
+    * similarity, computed from the real container bytes so a codec or
+    * resize-index bug anywhere flips the gated hash.
+    */
+  def imageAHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        decode(r.getAs[Array[Byte]]("payload")) match {
+          case ImageMedia(_, img) =>
+            val small = resizeNearest(img, 8, 8)
+            val gray = new Array[Int](64)
+            var total = 0L
+            var i = 0
+            while (i < 64) {
+              val o = i * 3
+              gray(i) = ((small.rgb(o) & 0xff) + (small.rgb(o + 1) & 0xff) +
+                (small.rgb(o + 2) & 0xff)) / 3
+              total += gray(i)
+              i += 1
+            }
+            var h = 0L
+            i = 0
+            while (i < 64) {
+              if (64L * gray(i) >= total) h |= 1L << (63 - i)
+              i += 1
+            }
+            Some(Row(r.getLong(0), h))
+          case _: AudioMedia => None
+        }
+      }
+    }
+    spark.createDataFrame(out, aHashSchema)
+  }
+
+  /** Near-duplicate pairs from [[imageAHash]] fingerprints by banded
+    * blocking: split each 64-bit hash into `bands` disjoint key slices;
+    * a pair is a candidate iff it collides in ≥1 band whose bucket holds
+    * ≤ `maxBucket` hashes, then the exact Hamming distance (one codegen'd
+    * xor + bit_count per candidate) keeps pairs ≤ `maxHamming`.
+    *
+    * Exactness by pigeonhole: `maxHamming < bands` means a qualifying
+    * pair differs in fewer slices than there are slices, so at least one
+    * band matches — banding loses NOTHING among un-capped buckets. The
+    * bucket cap is the [[Similarity.lshNearDup]] pairListCutoff contract:
+    * a band bucket with thousands of members is aHash-collision junk
+    * (flat/degenerate thumbnails) whose C(n,2) pair fan-out would
+    * dominate the join at corpus scale; capped buckets drop out of
+    * CANDIDATE GENERATION, bounding per-bucket work at C(maxBucket, 2)
+    * absolutely — the documented lower-bound-recall trade every banded
+    * dedup op here makes.
+    */
+  def aHashPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 64): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole exactness needs maxHamming < bands: $maxHamming/$bands")
+    require(maxBucket >= 2)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bk = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until bands).map(i =>
+        shiftrightunsigned(col("phash"), i * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    val open = bk.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("band", "key")
+    val slim = bk.join(open, Seq("band", "key"))
+    val a = slim.select(col("band"), col("key"),
+      col("doc_id").as("id_a"), col("phash").as("__pa"))
+    val b = slim.select(col("band"), col("key"),
+      col("doc_id").as("id_b"), col("phash").as("__pb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__pa", "__pb").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__pa").bitwiseXOR(col("__pb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Sniff + decode each payload and emit typed features: dimensions /
     * duration plus EXACT integer channel sums (order-free, so they survive
     * any shuffle and hash-replay in any engine; see

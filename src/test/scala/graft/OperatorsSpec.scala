@@ -1393,6 +1393,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: aHash hand case, format independence, audio skipped") {
+    // 2×2 image, row 0 dark / row 1 bright: the 8×8 thumbnail maps rows
+    // 0-3 to source row 0 and 4-7 to row 1, so the above-mean test sets
+    // exactly the bottom 32 bits
+    val rgb = Array[Byte](10, 10, 10, 10, 10, 10, 100, 100, 100, 100, 100, 100)
+    val img = Multimodal.ImageData(2, 2, rgb)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, Multimodal.encodePpm(img)),
+        org.apache.spark.sql.Row(1L, Multimodal.encodeBmp(img)),
+        org.apache.spark.sql.Row(2L, Multimodal.encodeWav(
+          Multimodal.AudioData(8000, 1, Array.tabulate(16)(_.toShort)))))),
+      Multimodal.mediaSchema)
+    val hashes = Multimodal.imageAHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // audio row drops; ppm and bmp of the SAME pixels hash identically
+    assert(hashes.keySet == Set(0L, 1L))
+    assert(hashes(0L) == 0x00000000FFFFFFFFL && hashes(1L) == hashes(0L))
+  }
+
+  test("multimodal: aHash banded pairs — pigeonhole, band miss, bucket cap") {
+    def hdf(rows: (Long, Long)*) = rows.toDF("doc_id", "phash")
+    // hamming 3 inside one band: pigeonhole guarantees the pair
+    val close = Multimodal.aHashPairs(hdf(1L -> 0L, 2L -> 7L)).collect()
+    assert(close.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((1L, 2L, 3)))
+    // hamming 4 spread over all four bands: no band collides AND the
+    // verify threshold excludes it — absent either way
+    val spread = 0x0001000100010001L
+    assert(Multimodal.aHashPairs(hdf(1L -> 0L, 2L -> spread)).count() == 0)
+    // 70 identical hashes: cap 64 drops the bucket entirely, cap 128
+    // yields all C(70,2) pairs at hamming 0
+    val many = hdf((1L to 70L).map(i => i -> 42L): _*)
+    assert(Multimodal.aHashPairs(many, maxBucket = 64).count() == 0)
+    assert(Multimodal.aHashPairs(many, maxBucket = 128).count() == 70L * 69 / 2)
+    // exactness guard: maxHamming >= bands is refused, not silently lossy
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashPairs(hdf(1L -> 0L), maxHamming = 4, bands = 4)
+    }
+  }
+
   test("multimodal: synthesize -> sniff -> decode matches the closed form end to end") {
     val df = Seq(
       (0L, "x", "en", "s", 100L),  // ppm
