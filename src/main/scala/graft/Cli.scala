@@ -243,10 +243,14 @@ object Cli {
           |              ivfpq|ivfpqrecall|ivfpqappend|ivfpqcompact|pagerank|dsir|bpe|bpeseg|
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
-          |              winsorize]
-          |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N])
-          |         (kmeans/quantize/semdedup/embedoutliers/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall:
-          |          -in is an embeddings parquet;
+          |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
+          |              phash|phashpairs]
+          |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
+          |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
+          |           trunctopk: [-d N] [-rerank N] [-queries N] [-topk N];
+          |           phashpairs: [-max-hamming N] [-bands N] [-max-bucket N])
+          |         (kmeans/quantize/semdedup/embedoutliers/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall/
+          |          dimrecall/trunctopk: -in is an embeddings parquet;
           |          embedoutliers: [-k N] [-iters N] [-min-cos X];
           |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N];
           |          ivfpqappend: -in <new-batch embeddings> -index dir;
@@ -569,6 +573,30 @@ object Cli {
         nprobe = flags.getOrElse("nprobe", "2").toInt,
         rerankFactor = flags.getOrElse("rerank", "4").toInt)
       case "novelty"     => Dedup.noveltyBySource(docs)
+      // span-duplication graph analytics (documents table in, doc graph out)
+      case "triangles"   => Graph.triangleCounts(Graph.spanLinkEdges(docs))
+      case "trianglestats" => Graph.triangleStats(Graph.spanLinkEdges(docs))
+      case "kcore"       => Graph.kCore(Graph.spanLinkEdges(docs),
+        k = flags.getOrElse("k", "2").toInt)
+      // matryoshka retrieval (embeddings table in)
+      case "dimrecall"   => Similarity.dimRecall(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        dims = flags.getOrElse("dims", "8,16,32")
+          .split(",").map(_.trim.toInt).toSeq)
+      case "trunctopk"   => Similarity.truncatedTopK(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        d = flags.getOrElse("d", "16").toInt,
+        rerankFactor = flags.getOrElse("rerank", "4").toInt)
+      // perceptual image hashing over synthesized conformant payloads
+      case "phash"       => Multimodal.imageAHash(spark,
+        Multimodal.synthesizeMedia(spark, docs))
+      case "phashpairs"  => Multimodal.aHashPairs(
+        Multimodal.imageAHash(spark, Multimodal.synthesizeMedia(spark, docs)),
+        maxHamming = flags.getOrElse("max-hamming", "3").toInt,
+        bands = flags.getOrElse("bands", "4").toInt,
+        maxBucket = flags.getOrElse("max-bucket", "64").toInt)
       case "vocabdrift"  => TextAnalysis.vocabDrift(docs)
       case "winsorize"   =>
         operators.Stats.winsorize(

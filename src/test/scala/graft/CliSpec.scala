@@ -441,6 +441,40 @@ class CliSpec extends AnyFunSuite {
     assert(mm.contains("c0_sum") && mm.contains("Rows: 500"))
   }
 
+  test("corpus subcommand: graph, matryoshka and phash ops") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val tri = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "triangles"))
+    }
+    assert(tri.contains("triangles") && tri.contains("Rows: 34"))
+    val ts = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "trianglestats"))
+    }
+    assert(ts.contains("global_clustering") && ts.contains("Rows: 1"))
+    val kc = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "kcore"))
+    }
+    assert(kc.contains("deg") && kc.contains("Rows: 4"))
+    val dr = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "dimrecall",
+        "dims" -> "8,64"))
+    }
+    assert(dr.contains("recall_at_k") && dr.contains("Rows: 2"))
+    val tt = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "trunctopk"))
+    }
+    assert(tt.contains("prefix_sim") && tt.contains("Rows: 15"))
+    val ph = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "phash"))
+    }
+    assert(ph.contains("phash") && ph.contains("Rows: 334"))
+    val pp = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "phashpairs"))
+    }
+    assert(pp.contains("hamming") && pp.contains("Rows: 621"))
+  }
+
   test("corpus subcommand: tfidf/cosine/quantile/starclusters/zorder ops") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val tfidf = captureOut {
