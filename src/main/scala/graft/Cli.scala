@@ -244,7 +244,7 @@ object Cli {
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
-          |              phash|phashpairs]
+          |              phash|phashpairs|audiohash|audiohashpairs]
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
           |           trunctopk: [-d N] [-rerank N] [-queries N] [-topk N];
@@ -597,6 +597,14 @@ object Cli {
         maxHamming = flags.getOrElse("max-hamming", "3").toInt,
         bands = flags.getOrElse("bands", "4").toInt,
         maxBucket = flags.getOrElse("max-bucket", "64").toInt)
+      case "audiohash"   => Multimodal.audioEnergyHash(spark,
+        Multimodal.synthesizeMedia(spark, docs))
+      case "audiohashpairs" => Multimodal.aHashPairs(
+        Multimodal.audioEnergyHash(spark, Multimodal.synthesizeMedia(spark, docs)),
+        maxHamming = flags.getOrElse("max-hamming", "3").toInt,
+        bands = flags.getOrElse("bands", "4").toInt,
+        maxBucket = flags.getOrElse("max-bucket", "64").toInt,
+        hashCol = "ehash")
       case "vocabdrift"  => TextAnalysis.vocabDrift(docs)
       case "winsorize"   =>
         operators.Stats.winsorize(

@@ -1365,6 +1365,21 @@ object SparkEntry {
           maxHamming = 3, bands = 4, maxBucket = 64)
         .orderBy("id_a", "id_b")
     }),
+
+    // the WAV twin: 64-window interleaved energy signature from decoded
+    // RIFF bytes — the FFT-free spectral envelope fingerprint
+    "q_mm_audiohash" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
+      Multimodal.audioEnergyHash(s, media).orderBy("doc_id")
+    }),
+
+    // same banding contract over the audio hashes (hash-agnostic)
+    "q_mm_audiohash_pairs" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
+      Multimodal.aHashPairs(Multimodal.audioEnergyHash(s, media),
+          maxHamming = 3, bands = 4, maxBucket = 64, hashCol = "ehash")
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // the full IVFADC cold-chain replay (centroid draw, nprobe=2 probe
@@ -1471,6 +1486,38 @@ object SparkEntry {
              CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
                   ELSE u END AS BIGINT) AS phash, u
            FROM hu)"""
+
+  /** Closed-form audio energy-hash replay (q_mm_audiohash[_pairs]): the
+    * synthesized WAV's interleaved stream is s(i) = (7·doc_id + 13·i) %
+    * 2048 − 1024 over n = ch·frames samples, so per-window energies are
+    * exact integer sums; bits pack MSB-first via two 32-bit halves
+    * (hi·2^32 + lo — BIGINT shifts stay inside the signed range; a
+    * single 1<<63 would overflow) then two's-complement fold.
+    */
+  private val audioHashCte: String =
+    """wav AS (
+           SELECT doc_id, (1 + n_chars % 2) * (256 + n_chars % 512) AS n
+           FROM documents WHERE doc_id % 3 = 2),
+         samp AS (
+           SELECT doc_id, n, i, (7*doc_id + 13*i) % 2048 - 1024 AS s
+           FROM wav, unnest(range(0, CAST(n AS INT))) AS t(i)),
+         en AS (
+           SELECT doc_id, (i * 64) // n AS w, sum(s * s) AS e
+           FROM samp GROUP BY doc_id, (i * 64) // n),
+         tot AS (SELECT doc_id, sum(e) AS te FROM en GROUP BY doc_id),
+         ebits AS (
+           SELECT en.doc_id, en.w, CASE WHEN 64 * en.e >= t.te THEN 1 ELSE 0 END AS b
+           FROM en JOIN tot t USING (doc_id)),
+         parts AS (
+           SELECT doc_id,
+             sum(CASE WHEN w < 32 THEN b * (CAST(1 AS BIGINT) << CAST(31 - w AS INT)) ELSE 0 END) AS hi,
+             sum(CASE WHEN w >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(63 - w AS INT)) ELSE 0 END) AS lo
+           FROM ebits GROUP BY doc_id),
+         ph AS (
+           SELECT doc_id,
+             CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+                  ELSE u END AS BIGINT) AS ehash, u
+           FROM (SELECT doc_id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u FROM parts))"""
 
   private val ivfPqChainSql: String =
     """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -2601,6 +2648,32 @@ object SparkEntry {
          cand AS (
            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.phash AS pa, b.phash AS pb
+           FROM slim a JOIN slim b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+         ORDER BY id_a, id_b""",
+
+    // the audio energy signature replayed sample-by-sample in closed form
+    // — any RIFF chunk-walk / fmt / de-interleave bug flips the hash
+    "q_mm_audiohash" ->
+      s"""WITH $audioHashCte
+         SELECT doc_id, ehash FROM ph ORDER BY doc_id""",
+
+    // banding replay over the audio hashes — identical contract to
+    // q_mm_phash_pairs, proving the blocking is hash-agnostic
+    "q_mm_audiohash_pairs" ->
+      s"""WITH $audioHashCte,
+         bk AS (
+           SELECT doc_id, ehash, i AS band,
+             CAST((u // CASE i WHEN 0 THEN 1 WHEN 1 THEN 65536
+               WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT) AS key
+           FROM ph, unnest(range(0, 4)) AS t(i)),
+         open_ AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64),
+         slim AS (SELECT bk.* FROM bk JOIN open_ USING (band, key)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ehash AS pa, b.ehash AS pb
            FROM slim a JOIN slim b
              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming

@@ -184,13 +184,19 @@ object Graph {
     */
   private def orientedTriangles(edges: DataFrame, srcCol: String,
       dstCol: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
     // canonical undirected pairs: a < b, self-loops out, both-direction
-    // inputs collapse — one distinct shuffle keyed on the pair
-    val und = edges
+    // inputs collapse — one distinct shuffle keyed on the pair.
+    // PERSISTED (CacheRegistry-tracked): und backs the degree agg plus
+    // both orientation joins, and oriented backs three frames — without
+    // the pins every branch re-derives the whole upstream edge pipeline
+    // (for spanLinkEdges: the chunk+md5 self-join) once per reference
+    val und = CacheRegistry.track(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -198,13 +204,18 @@ object Graph {
     // re-derives π-order between two out-neighbors without re-joining deg
     val aLower = col("__da") < col("__db") ||
       (col("__da") === col("__db") && col("a") < col("b"))
-    val oriented = und
+    val oriented = CacheRegistry.track(und
       .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
       .select(
         when(aLower, col("a")).otherwise(col("b")).as("u"),
         when(aLower, col("b")).otherwise(col("a")).as("v"),
         when(aLower, col("__db")).otherwise(col("__da")).as("__dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // eager fill before the fan-out: three racing consumers on an
+    // unfilled cache would each run the orientation joins themselves
+    // (the lshNearDup AQE cache-race note)
+    oriented.count()
     // wedges at u: out-neighbor pairs in π-order; closure = the oriented
     // edge v→w exists (orientation of {v,w} is forced by π(v) < π(w))
     val o2 = oriented.select(col("u"), col("v").as("w"), col("__dv").as("__dw"))

@@ -553,6 +553,53 @@ object Multimodal {
     spark.createDataFrame(out, aHashSchema)
   }
 
+  val audioHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ehash", LongType, nullable = false)))
+
+  /** Audio energy-hash — the WAV twin of [[imageAHash]]: decode the RIFF
+    * container, split the interleaved sample stream into 64 windows
+    * (sample i → window ⌊i·64/n⌋), exact integer energy Σs² per window,
+    * bit w set iff 64·energy(w) ≥ Σ energy (the same all-integer
+    * above-mean test), packed MSB-first. Windowed energy is the
+    * FFT-free coarse spectral envelope: time-shifted or re-encoded
+    * copies keep their energy shape, so Hamming distance tracks
+    * perceptual similarity the way aHash does for images. Streams
+    * shorter than 64 samples are skipped (their window set is partial —
+    * no stable 64-bit signature); image payloads are skipped.
+    * Pairs: feed the output straight to [[aHashPairs]] — the banding
+    * contract is hash-agnostic.
+    */
+  def audioEnergyHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        decode(r.getAs[Array[Byte]]("payload")) match {
+          case AudioMedia(_, a) if a.samples.length >= 64 =>
+            val n = a.samples.length
+            val energy = new Array[Long](64)
+            var i = 0
+            while (i < n) {
+              val s = a.samples(i).toLong
+              energy((i.toLong * 64 / n).toInt) += s * s
+              i += 1
+            }
+            var total = 0L
+            i = 0
+            while (i < 64) { total += energy(i); i += 1 }
+            var h = 0L
+            i = 0
+            while (i < 64) {
+              if (64L * energy(i) >= total) h |= 1L << (63 - i)
+              i += 1
+            }
+            Some(Row(r.getLong(0), h))
+          case _ => None
+        }
+      }
+    }
+    spark.createDataFrame(out, audioHashSchema)
+  }
+
   /** Near-duplicate pairs from [[imageAHash]] fingerprints by banded
     * blocking: split each 64-bit hash into `bands` disjoint key slices;
     * a pair is a candidate iff it collides in ≥1 band whose bucket holds
@@ -574,17 +621,26 @@ object Multimodal {
       hashes: DataFrame,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      hashCol: String = "phash"): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole exactness needs maxHamming < bands: $maxHamming/$bands")
     require(maxBucket >= 2)
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val bk = hashes.select(col("doc_id"), col("phash"),
+    // persisted + eagerly filled: bk backs the bucket census and both
+    // sides of the candidate join — unpinned, each consumer would re-run
+    // the upstream hash derivation (for imageAHash: the whole
+    // synthesize/decode chain) per reference
+    val bk = CacheRegistry.track(hashes
+      .select(col("doc_id"), col(hashCol).as("phash"))
+      .select(col("doc_id"), col("phash"),
       posexplode(array((0 until bands).map(i =>
         shiftrightunsigned(col("phash"), i * width).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    bk.count()
     val open = bk.groupBy("band", "key").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket).select("band", "key")
     val slim = bk.join(open, Seq("band", "key"))

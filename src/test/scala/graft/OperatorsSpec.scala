@@ -1434,6 +1434,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: audio energy hash hand cases") {
+    def wav(id: Long, samples: Array[Short]) =
+      org.apache.spark.sql.Row(id,
+        Multimodal.encodeWav(Multimodal.AudioData(8000, 1, samples)))
+    val quietLoud = Array.tabulate[Short](128)(i => if (i < 64) 0 else 100)
+    val flat = Array.fill[Short](256)(7)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        wav(0L, quietLoud),           // bottom 32 windows carry all energy
+        wav(1L, flat),                // every window at the mean → all bits
+        wav(2L, Array.fill[Short](63)(5)), // < 64 samples: skipped
+        org.apache.spark.sql.Row(3L, Multimodal.encodePpm(
+          Multimodal.ImageData(1, 1, Array[Byte](1, 2, 3)))))), // image: skipped
+      Multimodal.mediaSchema)
+    val h = Multimodal.audioEnergyHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(0L, 1L))
+    assert(h(0L) == 0x00000000FFFFFFFFL, f"got ${h(0L)}%016x")
+    assert(h(1L) == -1L)
+    // the audio hashes ride the SAME banding operator
+    val hashes = Multimodal.audioEnergyHash(spark, media)
+    assert(Multimodal.aHashPairs(hashes, hashCol = "ehash").count() == 0)
+  }
+
   test("multimodal: synthesize -> sniff -> decode matches the closed form end to end") {
     val df = Seq(
       (0L, "x", "en", "s", 100L),  // ppm
