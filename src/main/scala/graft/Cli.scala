@@ -244,7 +244,7 @@ object Cli {
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
-          |              phash|phashpairs|audiohash|audiohashpairs]
+          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous]
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
           |           trunctopk: [-d N] [-rerank N] [-queries N] [-topk N];
@@ -483,6 +483,8 @@ object Cli {
       case "spans"       => Dedup.duplicateSpans(docs)
       case "split"       => Sampling.deterministicSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).select("doc_id", "split")
+      case "rendezvous"  => Sampling.rendezvousShard(docs, "doc_id",
+        shards = flags.getOrElse("shards", "16").toInt).select("doc_id", "shard")
       case "shuffle"     => Sampling.deterministicShuffle(docs,
         seed = flags.getOrElse("seed", "0").toLong)
       case "tokenbudget" => Sampling.tokenBudgetSample(docs,

@@ -504,6 +504,13 @@ object SparkEntry {
       TextAnalysis.vocabTopK(Tables.load(s, dir, "documents"), 100)
         .orderBy(col("occurrences").desc, col("token"))),
 
+    // rendezvous (HRW) shard routing: argmax of 16 per-shard md5 scores
+    // — zero-shuffle map-side assignment; growing the shard count moves
+    // only the new shard's winners (the consistent-routing law)
+    "q_rendezvous" -> ((s, dir) =>
+      Sampling.rendezvousShard(Tables.load(s, dir, "documents"), "doc_id", 16)
+        .select("doc_id", "shard").orderBy("doc_id")),
+
     // deterministic hash-bucket train/val/test assignment (md5-replayable)
     "q_split" -> ((s, dir) =>
       Sampling.deterministicSplit(Tables.load(s, dir, "documents"), "doc_id",
@@ -4444,6 +4451,17 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INT) AS fold
          FROM documents ORDER BY doc_id""",
+
+    // HRW replay: the same md5Token60 score per (key, shard), list argmax
+    // with DuckDB's 1-based first-occurrence list_position == Spark's
+    // array_position tie-break
+    "q_rendezvous" ->
+      """WITH sc AS (
+           SELECT doc_id, list_transform(range(0, 16), s ->
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)) AS l
+           FROM documents)
+         SELECT doc_id, CAST(list_position(l, list_max(l)) - 1 AS INT) AS shard
+         FROM sc ORDER BY doc_id""",
 
     // the full k-means chain + final assignment (the q_semantic_dedup af
     // pattern) + label majority with the same tie-break

@@ -45,6 +45,39 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Rendezvous (highest-random-weight) shard routing: shard(key) =
+    * argmax over s < `shards` of md5(key:s) — Thaler & Ravishankar's
+    * HRW construction. The property [[deterministicSplit]]'s mod-hash
+    * lacks: growing `shards` by one moves ONLY the keys whose new
+    * shard's score wins (≈ 1/(shards+1) of them, each to the NEW
+    * shard) — every other assignment is untouched, so a resize
+    * invalidates one shard's worth of downstream state, not all of it
+    * (the consistent routing a 1000-executor ingest tier needs for
+    * per-shard caches, stateful workers, or bucketed outputs).
+    *
+    * Shape: one projection — the per-shard scores live in ONE array
+    * expression and the argmax is `array_position(max)`, so routing is
+    * zero-shuffle map-side work, codegen'd, no explode. Scores are the
+    * md5Token60 hex prefix (engine-portable, oracle-replayable); ties
+    * break to the LOWEST shard index (array_position takes the first
+    * match — a real md5 collision, not just theory, would still route
+    * identically in any engine).
+    */
+  def rendezvousShard(
+      df: DataFrame,
+      idCol: String,
+      shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 4096, s"shards must be in [1,4096]: $shards")
+    val scores = array((0 until shards).map(s =>
+      Dedup.md5Token60(concat(col(idCol).cast("string"), lit(":" + s)))): _*)
+    // the scores ride as ONE named column so max and position share the
+    // md5 batch instead of evaluating it twice
+    df.withColumn("__hrw", scores)
+      .withColumn("shard",
+        (array_position(col("__hrw"), array_max(col("__hrw"))) - 1).cast("int"))
+      .drop("__hrw")
+  }
+
   /** Deterministic k-fold assignment for cross-validation: fold(row) =
     * md5-bucket(id) mod k — same engine/run/partitioning-reproducible
     * membership contract as [[deterministicSplit]], so fold i's

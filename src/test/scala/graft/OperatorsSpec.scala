@@ -2174,6 +2174,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(engine.values.sum / 3 == naive.values.sum / 3)
   }
 
+  test("rendezvous sharding: consistent-routing law under shard growth") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def assign(n: Int) = Sampling.rendezvousShard(docs, "doc_id", n)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val at8 = assign(8)
+    val at9 = assign(9)
+    assert(at8.values.forall(s => s >= 0 && s < 8))
+    // THE rendezvous property: growing 8 → 9 moves keys ONLY onto the
+    // new shard — every key not routed to shard 8 keeps its assignment
+    val moved = at8.keys.filter(k => at8(k) != at9(k)).toSeq
+    assert(moved.forall(k => at9(k) == 8),
+      s"a key moved between OLD shards: ${moved.map(k => (k, at8(k), at9(k))).take(3)}")
+    // expected movement ≈ 1/9 of keys; loose band (binomial on 500)
+    assert(moved.size > 20 && moved.size < 120, s"moved ${moved.size} of 500")
+    // deterministic across evaluations
+    assert(assign(8) == at8)
+  }
+
   test("k-core: trees peel away, cycles survive, deep chains converge") {
     // cycle 1-2-3-4-1 with tail 4-5-6: 2-core = the cycle, degrees all 2
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L), (5L, 6L))
