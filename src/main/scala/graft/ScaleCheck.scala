@@ -442,6 +442,36 @@ object ScaleCheck {
         "oriented wedges must respect the m^1.5 bound")
       edges.unpersist(blocking = false)
     }
+    // phash banding at sf0.1: the synthetic thumbnails are aHash-coarse
+    // (few distinct hashes over thousands of images — the all-dup worst
+    // case for any banded join), so the bucket cap is what separates a
+    // bounded candidate join from Σ C(bucket, 2) blow-up. Census the band
+    // buckets the way the operator does and require the cap's absolute
+    // bound — and that it actually bites here (≥10× fewer candidates).
+    time("phash banding: bucket census, cap 64 vs uncapped (3.3k images)") {
+      val hashes = operators.Multimodal.imageAHash(spark,
+        operators.Multimodal.synthesizeMedia(spark, docs))
+      val bands = 4
+      val bk = hashes.select(col("doc_id"),
+        posexplode(array((0 until bands).map(i =>
+          shiftrightunsigned(col("phash"), i * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "key")))
+      val census = bk.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).as("uncapped"),
+          sum(when(col("n") <= 64, expr("n * (n - 1) DIV 2"))
+            .otherwise(lit(0L))).as("capped"),
+          count(lit(1)).as("buckets"), max(col("n")).as("widest")).head()
+      println(s"[scale] phash buckets: ${census.getLong(2)} (widest " +
+        s"${census.getLong(3)}), candidate pairs uncapped ${census.getLong(0)} " +
+        s"vs capped ${census.getLong(1)}")
+      require(census.getLong(1) <= census.getLong(2) * (64L * 63 / 2),
+        "capped candidates must respect the buckets * C(cap,2) bound")
+      require(census.getLong(0) >= 10 * math.max(census.getLong(1), 1L),
+        "the cap must visibly bite on the degenerate-thumbnail corpus")
+      val pairs = operators.Multimodal.aHashPairs(hashes).count()
+      println(s"[scale] phash pairs out (hamming<=3, cap 64): $pairs")
+    }
+    operators.CacheRegistry.release(spark)
     // z-order rewrite of the 10× corpus: the layout shuffle is the only
     // shuffle; per-file spans must tighten in both dimensions
     time("z-order rewrite 50k docs -> 32 files") {

@@ -1373,6 +1373,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // end-to-end visual canonicalization: phash pairs → connected
+    // components → lowest-id representative per family (the q_dedup_
+    // clusters machinery riding the image near-dup graph unchanged)
+    "q_mm_phash_clusters" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
+      val hashes = Multimodal.imageAHash(s, media)
+      val pairs = Multimodal.aHashPairs(hashes, maxHamming = 3, bands = 4,
+          maxBucket = 64)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
+      Dedup.dedupClusters(hashes.select("doc_id"), pairs).orderBy("doc_id")
+    }),
+
     // the WAV twin: 64-window interleaved energy signature from decoded
     // RIFF bytes — the FFT-free spectral envelope fingerprint
     "q_mm_audiohash" -> ((s, dir) => {
@@ -2660,6 +2672,33 @@ object SparkEntry {
          SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
          FROM cand WHERE bit_count(xor(pa, pb)) <= 3
          ORDER BY id_a, id_b""",
+
+    // phash families closed by the recursive min-label reach over the
+    // SAME capped banded pair set — singleton images keep themselves
+    "q_mm_phash_clusters" ->
+      s"""WITH RECURSIVE $aHashCte,
+         bk AS (
+           SELECT doc_id, phash, i AS band,
+             CAST((u // CASE i WHEN 0 THEN 1 WHEN 1 THEN 65536
+               WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT) AS key
+           FROM ph, unnest(range(0, 4)) AS t(i)),
+         open_ AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64),
+         slim AS (SELECT bk.* FROM bk JOIN open_ USING (band, key)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.phash AS pa, b.phash AS pb
+           FROM slim a JOIN slim b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM img
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
+         GROUP BY id ORDER BY doc_id""",
 
     // the audio energy signature replayed sample-by-sample in closed form
     // — any RIFF chunk-walk / fmt / de-interleave bug flips the hash
