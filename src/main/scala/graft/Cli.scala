@@ -244,7 +244,8 @@ object Cli {
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
-          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous]
+          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr]
+          |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
           |           trunctopk: [-d N] [-rerank N] [-queries N] [-topk N];
@@ -576,6 +577,16 @@ object Cli {
         rerankFactor = flags.getOrElse("rerank", "4").toInt)
       case "novelty"     => Dedup.noveltyBySource(docs)
       // span-duplication graph analytics (documents table in, doc graph out)
+      case "ppr"         =>
+        val seedDf = flags.get("seed-ids") match {
+          case Some(ids) =>
+            val s = ids.split(",").map(_.trim.toLong).toSeq
+            spark.createDataFrame(s.map(Tuple1(_))).toDF("node")
+          case None => docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("node"))
+        }
+        Graph.personalizedPageRank(Graph.spanLinkEdges(docs), seedDf,
+          iters = flags.getOrElse("iters", "3").toInt)
       case "triangles"   => Graph.triangleCounts(Graph.spanLinkEdges(docs))
       case "trianglestats" => Graph.triangleStats(Graph.spanLinkEdges(docs))
       case "kcore"       => Graph.kCore(Graph.spanLinkEdges(docs),

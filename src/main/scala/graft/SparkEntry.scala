@@ -1259,6 +1259,19 @@ object SparkEntry {
       Graph.pageRank(edges, iters = 3, weightCol = Some("w")).orderBy("node")
     }),
 
+    // personalized PageRank: restart to the even-id seed docs — rank =
+    // proximity to the seed set through the duplication graph, the
+    // contamination-expansion tool (seed known-bad docs, read off the
+    // copies their family reaches)
+    "q_ppr" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val edges = Graph.spanLinkEdges(docs)
+      Graph.personalizedPageRank(edges,
+          docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
+          iters = 3)
+        .orderBy("node")
+    }),
+
     // exactly-once triangle enumeration by (deg, id) orientation over
     // the span-duplication graph: per-node clique participation — high
     // counts mark densely cross-copied template families
@@ -3913,6 +3926,46 @@ object SparkEntry {
          ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
          od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
+         $iterCtes
+         SELECT node, rank FROM r$iters ORDER BY node"""
+    },
+
+    // personalized PageRank replayed over the span pair graph: teleport
+    // share 1/|even nodes| on seeds (0 elsewhere) carried through the
+    // base term AND the dangling redistribution, same 2^40 fixed-point
+    // contribution sums and pinned IEEE rank expression as q_pagerank
+    "q_ppr" -> {
+      val iters = 3
+      val Q = 1L << 40
+      val iterCtes = (0 until iters).map { i =>
+        s"""d$i AS (
+           SELECT CAST(coalesce(sum(CAST(floor(rank * $Q + 0.5) AS BIGINT)), 0) AS BIGINT) AS dang
+           FROM r$i WHERE node NOT IN (SELECT src FROM od)),
+         c$i AS (
+           SELECT e.dst, CAST(sum(CAST(floor(r.rank / od.deg * $Q + 0.5) AS BIGINT)) AS BIGINT) AS s
+           FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
+           GROUP BY e.dst),
+         r${i + 1} AS (
+           SELECT n.node, n.share,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.share
+             + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c.s, 0) AS DOUBLE) / $Q
+               + CAST(d.dang AS DOUBLE) / $Q * n.share) AS rank
+           FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, d$i d)"""
+      }.mkString(",\n         ")
+      s"""WITH $spanPairCte,
+         e AS (
+           SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
+         ), nodes0 AS (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+         ), sn AS (
+           SELECT CAST(count(*) AS BIGINT) AS ns FROM nodes0 WHERE node % 2 = 0
+         ), nodes AS (
+           SELECT node, CASE WHEN node % 2 = 0 THEN CAST(1.0 AS DOUBLE) / sn.ns
+                        ELSE CAST(0.0 AS DOUBLE) END AS share
+           FROM nodes0, sn
+         ), od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, share, share AS rank FROM nodes),
          $iterCtes
          SELECT node, rank FROM r$iters ORDER BY node"""
     },

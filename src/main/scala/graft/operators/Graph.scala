@@ -123,6 +123,86 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set): the
+    * teleport distribution is uniform over `seeds` ∩ graph nodes instead
+    * of all nodes, and dangling mass restarts to the seeds too — so rank
+    * measures proximity to the seed set through graph structure. On a
+    * duplication graph this is the contamination-expansion tool: seed the
+    * handful of known-bad documents (leaked eval sets, spam templates)
+    * and the high-PPR nodes are the copies and near-copies the seed
+    * family reaches, ranked by connection strength — without scoring the
+    * whole corpus against every seed pairwise.
+    *
+    * Same loop discipline and determinism contract as [[pageRank]]
+    * (one action + one lineage cut per iteration, 2^40 fixed-point
+    * contribution sums, pinned IEEE rank expression); Σ rank = 1 over
+    * the graph. Seeds that are not graph nodes are ignored; an empty
+    * intersection fails loudly (a silent all-zero rank table would read
+    * as "no contamination" — the dangerous default).
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node",
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(damping > 0.0 && damping < 1.0)
+    import org.apache.spark.storage.StorageLevel
+
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct())
+    val seedIds = seeds.select(col(seedCol).as("node")).distinct()
+    val nodes = CacheRegistry.track(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .join(seedIds.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__isSeed"), lit(false)).as("__seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val outdeg = CacheRegistry.track(
+      e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val ns = nodes.filter(col("__seed")).count()
+    require(ns > 0,
+      "personalizedPageRank: no seed is a node of the graph — an all-zero " +
+        "rank table would silently read as 'nothing reachable'")
+
+    // per-node teleport share: 1/|seeds| on seeds, 0 elsewhere — the only
+    // difference from pageRank's uniform 1/n base, carried through both
+    // the base term and the dangling redistribution
+    val seedShare = when(col("__seed"), lit(1.0) / lit(ns)).otherwise(lit(0.0))
+    var ranks = nodes.withColumn("rank", seedShare)
+
+    for (_ <- 0 until iters) {
+      val dangDf = ranks.join(outdeg, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(floor(col("rank") * Q + 0.5).cast("long")), lit(0L))
+          .as("__dang"))
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          floor(col("rank") / col("deg") * Q + 0.5).cast("long").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      val next = cut(
+        nodes.join(contribs, col("node") === col("dst"), "left")
+          .crossJoin(dangDf)
+          .select(col("node"), col("__seed"),
+            (lit(1.0 - damping) * seedShare + lit(damping) *
+              (coalesce(col("s"), lit(0L)).cast("double") / Q
+                + col("__dang").cast("double") / Q * seedShare)).as("rank")))
+      Lineage.release(ranks, deleteFiles = true)
+      ranks = next
+    }
+    Lineage.release(e, deleteFiles = true)
+    outdeg.unpersist(blocking = false)
+    val out = ranks.select("node", "rank")
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** The duplication-link graph: doc pairs sharing at least one span
     * fingerprint ([[Dedup.duplicateSpans]] substrate), both directions.
     * Feeds [[pageRank]] for boilerplate-hub centrality.

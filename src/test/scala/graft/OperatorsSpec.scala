@@ -2124,6 +2124,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(wr.values.sum - 1.0) < 1e-6)
   }
 
+  test("personalized pagerank: mass stays near seeds, off-component is zero") {
+    // two disjoint undirected pairs; seed node 1 → component {3,4} gets 0
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    def seeds(ids: Long*) = ids.toDF("node")
+    val pr = Graph.personalizedPageRank(edges, seeds(1L), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(3L) == 0.0 && pr(4L) == 0.0, s"unreachable component ranked: $pr")
+    assert(pr(1L) > pr(2L) && pr(2L) > 0.0)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+
+    // seeds outside the graph are ignored — identical result
+    val prIgnored = Graph.personalizedPageRank(edges, seeds(1L, 99L), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prIgnored == pr)
+
+    // an empty seed ∩ graph intersection fails loudly
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, seeds(42L))
+    }
+  }
+
   test("triangles: diamond counts, canonicalization, hub has none") {
     // K4 minus {3,4}: triangles {1,2,3} and {1,2,4}
     val diamond = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
