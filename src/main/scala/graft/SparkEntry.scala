@@ -1288,6 +1288,16 @@ object SparkEntry {
       Graph.triangleStats(edges)
     }),
 
+    // incremental triangle maintenance: per-node triangles CREATED by
+    // appending the (src+dst)%3==0 edge batch to the rest — work ∝ the
+    // batch, never the accumulated graph (the appendIvfPq asymmetry)
+    "q_triangle_delta" -> ((s, dir) => {
+      val edges = Graph.spanLinkEdges(Tables.load(s, dir, "documents"))
+      val old = edges.filter((col("src") + col("dst")) % 3 =!= 0)
+      val batch = edges.filter((col("src") + col("dst")) % 3 === 0)
+      Graph.triangleDelta(old, batch).orderBy("node")
+    }),
+
     // 2-core of the duplication graph: template FAMILIES (cycles,
     // cliques) survive the peel, incidental pairwise matches (trees)
     // peel away — iterated to the unique fixpoint
@@ -3988,6 +3998,30 @@ object SparkEntry {
          )
          SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
          FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""",
+
+    // the maintenance law replayed as set algebra: per-node union-graph
+    // triangle counts MINUS old-subgraph counts (the engine enumerates
+    // through the batch's edges instead — identical by the law)
+    "q_triangle_delta" ->
+      s"""WITH $spanPairCte,
+         po AS (SELECT src, dst FROM p WHERE (src + dst) % 3 <> 0),
+         trio AS (
+           SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+           FROM po e1
+           JOIN po e2 ON e2.src = e1.dst
+           JOIN po e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         cu AS (
+           SELECT node, count(*) AS c FROM (
+             SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+             UNION ALL SELECT z AS node FROM tri) GROUP BY node),
+         co AS (
+           SELECT node, count(*) AS c FROM (
+             SELECT x AS node FROM trio UNION ALL SELECT y AS node FROM trio
+             UNION ALL SELECT z AS node FROM trio) GROUP BY node)
+         SELECT cu.node AS node, CAST(cu.c - coalesce(co.c, 0) AS BIGINT) AS new_triangles
+         FROM cu LEFT JOIN co ON cu.node = co.node
+         WHERE cu.c - coalesce(co.c, 0) > 0
+         ORDER BY cu.node""",
 
     // the 2-core peel unrolled 12 rounds (measured depth ≤ 3 at the
     // oracle scales; converged rounds are no-ops) — monotone set

@@ -330,6 +330,59 @@ object Graph {
       .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"))
   }
 
+  /** Incremental triangle maintenance: the per-node counts of triangles
+    * CREATED by appending `newEdges` to `oldEdges` — every triangle of
+    * the union that contains at least one new edge, each counted once.
+    * `triangleCounts(old) + triangleDelta(old, new) =
+    * triangleCounts(old ∪ new)` is the maintenance law (pinned by spec
+    * and by the q_triangle_delta oracle, which replays the subtraction).
+    *
+    * Why enumeration beats recount at scale: each new triangle is found
+    * THROUGH one of its new edges as a common-neighbor intersection in
+    * the union adjacency, so the work is Σ over new edges of
+    * deg(a)+deg(b) — proportional to the BATCH (times bounded degree),
+    * never to the accumulated graph's triangle count. The same
+    * append-vs-rebuild asymmetry as the IVFADC `appendIvfPq` path.
+    * Triangles formed by 2–3 new edges are reached through each of
+    * them; the sorted-triple `distinct` collapses the multiplicity.
+    * Output: (node, new_triangles) for nodes gaining ≥1.
+    */
+  def triangleDelta(
+      oldEdges: DataFrame,
+      newEdges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def canon(df: DataFrame) = df
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val oldC = CacheRegistry.track(
+      canon(oldEdges).persist(StorageLevel.MEMORY_AND_DISK))
+    // an "appended" edge already present in the old graph creates nothing
+    val newC = CacheRegistry.track(
+      canon(newEdges).join(oldC, Seq("a", "b"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val union = oldC.unionByName(newC)
+    val adj = CacheRegistry.track(
+      union.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(union.select(col("b").as("u"), col("a").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    adj.count()
+    // common neighbors of each new edge's endpoints in the UNION graph:
+    // expand N(a) once, then ONE (b, w) equi-join keeps w ∈ N(b) — the
+    // intersection never materializes N(a)×N(b); no-self-loop adjacency
+    // makes w ≠ a and w ≠ b structural, no residual filter
+    val tris = newC
+      .join(adj.select(col("u").as("a"), col("v").as("__w")), Seq("a"))
+      .join(adj.select(col("u").as("b"), col("v").as("__w")), Seq("b", "__w"))
+      .select(array_sort(array(col("a"), col("b"), col("__w"))).as("__t"))
+      .distinct()
+    tris.select(explode(col("__t")).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("new_triangles"))
+  }
+
   /** The k-core of an undirected graph: the maximal subgraph in which
     * every node has degree ≥ k, computed by iterated peeling (drop
     * under-degree nodes, recompute degrees, repeat to fixpoint). On a

@@ -2175,6 +2175,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.triangleStats(star).collect().head.getDouble(4) == 0.0)
   }
 
+  test("triangle delta: maintenance law old + delta == union") {
+    // K4 built in two installments: old = 4-cycle (0 triangles), batch =
+    // both diagonals → the 4 new triangles all belong to the delta
+    val old4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val diag = Seq((1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val delta = Graph.triangleDelta(old4, diag).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val union = Graph.triangleCounts(old4.union(diag)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == union.filter(_._2 > 0), s"delta $delta vs union $union")
+
+    // a batch edge already present creates nothing; a batch closing ONE
+    // wedge credits exactly that triangle's corners
+    assert(Graph.triangleDelta(old4, old4.limit(1)).count() == 0)
+    val wedge = Seq((10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val close = Seq((10L, 12L)).toDF("src", "dst")
+    assert(Graph.triangleDelta(wedge, close).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 1L, 11L -> 1L, 12L -> 1L))
+
+    // law on the real substrate: span graph split by (src+dst)%3
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edges = Graph.spanLinkEdges(docs)
+    val oldE = edges.filter(($"src" + $"dst") % 3 =!= 0)
+    val batch = edges.filter(($"src" + $"dst") % 3 === 0)
+    val d = Graph.triangleDelta(oldE, batch).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val o = Graph.triangleCounts(oldE).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val u = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    u.foreach { case (n, cu) =>
+      assert(cu == o(n) + d.getOrElse(n, 0L), s"law broken at node $n")
+    }
+  }
+
   test("triangles: degree-oriented enumeration equals the id-ordered 3-join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val edges = Graph.spanLinkEdges(docs)
