@@ -1072,6 +1072,65 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // 1-bit sign-plane quantization: Hamming candidates from packed
+    // longs (bit_count(xor), 32x less scan than fp32), exact cosine
+    // re-rank of the k·4 survivors — BQ as the cheapest corpus-wide
+    // candidate generator
+    "q_binary_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+          dim = 64, rerankFactor = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the BQ tuning dial: recall@3 vs exact cosine, swept over Hamming
+    // candidate widths rf in {1,2,4} from ONE all-pairs scoring pass
+    "q_binary_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.binaryRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
+          dim = 64, rerankFactors = Seq(1, 2, 4))
+        .orderBy("rf")
+    }),
+
+    // reciprocal top-1 pairs: both directions must agree — the
+    // high-precision pairing primitive (a near-hub pairs with at most one)
+    "q_mutual_nn" -> ((s, dir) =>
+      Similarity.mutualNeighbors(Tables.load(s, dir, "embeddings"))
+        .orderBy("vec_id_a", "vec_id_b")),
+
+    // structural link prediction on the part co-purchase graph (every
+    // 10th order keeps the graph sparse enough that non-adjacency is
+    // meaningful): part pairs never bought together whose shared
+    // neighbors say they will be
+    "q_link_predict" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      Graph.linkPredict(edges, maxDegree = 64, minCommon = 2)
+        .orderBy("node_a", "node_b")
+    }),
+
+    // median/MAD fences per event type — the outlier census whose fence
+    // the outliers themselves cannot drag (50% breakdown vs z-scores' 0%)
+    "q_mad_outliers" -> ((s, dir) =>
+      operators.Stats.madOutliers(
+          Tables.load(s, dir, "events"), "value", "event_type")
+        .orderBy("stratum")),
+
+    // k-anonymity audit over (nation, segment) quasi-identifiers: every
+    // equivalence class with its 1/n re-identification risk, k=10 flags
+    "q_kanon" -> ((s, dir) =>
+      operators.Pii.kAnonymity(Tables.load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // join-key skew profiler: the top-20 hottest user_ids with share and
+    // mean-multiple skew ratio — the "do we need salting" diagnostic
+    "q_skew_keys" -> ((s, dir) =>
+      operators.Skew.keyProfile(
+          Tables.load(s, dir, "events"), col("user_id"), topN = 20)
+        .orderBy("rank")),
+
     // product quantization: m=4 × ksub=16 pseudo-codebooks, ADC
     // inner-product candidates from the broadcast lookup table (exact
     // fixed-point sums), exact cosine re-rank of the k·4 survivors
@@ -3238,6 +3297,177 @@ object SparkEntry {
                ORDER BY cos_sim DESC, vec_id) AS rank
            FROM rer) WHERE rank <= 3
          ORDER BY query_id, rank""",
+
+    // BQ replayed via the +-1 inner-product identity: hamming =
+    // (dim - <sa, sb>) / 2 — exact integers, so DuckDB needs no bit
+    // packing to agree with the engine's bit_count(xor) popcount
+    "q_binary_topk" ->
+      """WITH ec AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS sg
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e, sg FROM ec WHERE vec_id < 5),
+         cand AS (
+           SELECT q.query_id, c.vec_id,
+             CAST(64 - CAST(list_inner_product(c.sg, q.sg) AS BIGINT) AS BIGINT) // 2 AS hamming,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
+           FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         surv AS (
+           SELECT query_id, vec_id, hamming, cos_sim FROM (
+             SELECT cand.*, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, vec_id) AS hr
+             FROM cand) WHERE hr <= 12)
+         SELECT query_id, vec_id, hamming, cos_sim, CAST(rank AS INT) AS rank FROM (
+           SELECT query_id, vec_id, hamming, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, vec_id) AS rank
+           FROM surv) WHERE rank <= 3
+         ORDER BY query_id, rank""",
+
+    // the BQ sweep: one scored CTE carries BOTH rankings (hamming
+    // candidate rank, exact cosine rank); each rf is a filter over it
+    "q_binary_recall" ->
+      """WITH ec AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS sg
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e, sg FROM ec WHERE vec_id < 5),
+         cand AS (
+           SELECT q.query_id, c.vec_id,
+             CAST(64 - CAST(list_inner_product(c.sg, q.sg) AS BIGINT) AS BIGINT) // 2 AS hamming,
+             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
+           FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+         ranked AS (
+           SELECT cand.*,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, vec_id) AS hr,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, vec_id) AS er
+           FROM cand),
+         exact AS (SELECT query_id, vec_id FROM ranked WHERE er <= 3),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact),
+         rfs AS (SELECT unnest([1, 2, 4]) AS rf),
+         bin AS (
+           SELECT rf, query_id, vec_id FROM (
+             SELECT f.rf, r.query_id, r.vec_id,
+               row_number() OVER (PARTITION BY f.rf, r.query_id
+                 ORDER BY r.cos_sim DESC, r.vec_id) AS rank
+             FROM ranked r JOIN rfs f ON r.hr <= 3 * f.rf)
+           WHERE rank <= 3)
+         SELECT CAST(b.rf AS INT) AS rf, tot.exact_pairs,
+           CAST(count(*) AS BIGINT) AS bin_pairs,
+           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
+           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
+         FROM bin b LEFT JOIN exact e
+           ON b.query_id = e.query_id AND b.vec_id = e.vec_id, tot
+         GROUP BY b.rf, tot.exact_pairs ORDER BY rf""",
+
+    // reciprocal top-1: the q_embed_topk ranking contract at rank 1 in
+    // both directions, joined on mutual agreement
+    "q_mutual_nn" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         t1 AS (
+           SELECT query_id, vec_id, cos_sim FROM (
+             SELECT q.vec_id AS query_id, c.vec_id,
+               round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC,
+                   c.vec_id) AS r
+             FROM ec c CROSS JOIN ec q WHERE c.vec_id <> q.vec_id)
+           WHERE r = 1)
+         SELECT f.query_id AS vec_id_a, f.vec_id AS vec_id_b, f.cos_sim
+         FROM t1 f JOIN t1 b ON f.query_id = b.vec_id AND f.vec_id = b.query_id
+         WHERE f.query_id < f.vec_id
+         ORDER BY vec_id_a, vec_id_b""",
+
+    // link prediction replayed over the co-purchase projection:
+    // capped-center wedges, anti-join against the edge set, decimal RA sum
+    "q_link_predict" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+           WHERE l_orderkey % 10 = 0
+         ), gok AS (
+           SELECT g FROM (SELECT g, count(*) AS ni FROM li GROUP BY g)
+           WHERE ni > 1 AND ni <= 64
+         ), lik AS (
+           SELECT li.g, li.i FROM li JOIN gok USING (g)
+         ), p AS (
+           SELECT DISTINCT a.i AS src, b.i AS dst
+           FROM lik a JOIN lik b ON a.g = b.g AND a.i < b.i
+         ), e AS (
+           SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
+         ), deg AS (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+         ), ctr AS (
+           SELECT node, deg FROM deg WHERE deg <= 64
+         ), w AS (
+           SELECT e1.dst AS x, e2.dst AS y, ct.deg AS dz
+           FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+           JOIN ctr ct ON ct.node = e1.src
+         ), na AS (
+           SELECT w.x, w.y, w.dz FROM w
+           LEFT JOIN p ON w.x = p.src AND w.y = p.dst
+           WHERE p.src IS NULL
+         ), sc AS (
+           SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+             sum(CAST(CAST(1.0 AS DOUBLE) / dz AS DECIMAL(18,12))) AS ra
+           FROM na GROUP BY x, y HAVING count(*) >= 2)
+         SELECT sc.x AS node_a, sc.y AS node_b, sc.common_neighbors,
+           round(CAST(sc.common_neighbors AS DOUBLE)
+             / (da.deg + db.deg - sc.common_neighbors), 4) AS jaccard,
+           round(CAST(sc.ra AS DOUBLE), 6) AS resource_alloc
+         FROM sc JOIN deg da ON da.node = sc.x JOIN deg db ON db.node = sc.y
+         ORDER BY node_a, node_b""",
+
+    // discrete medians (quantile_disc = the engine's cum-count order
+    // statistic), one IEEE multiply for the fence — no stddev, no logs
+    "q_mad_outliers" ->
+      """WITH v AS (
+           SELECT event_type AS stratum, value AS v FROM events
+           WHERE value IS NOT NULL
+         ), med AS (
+           SELECT stratum, quantile_disc(v, 0.5) AS med FROM v GROUP BY stratum
+         ), dev AS (
+           SELECT v.stratum, v.v, m.med, abs(v.v - m.med) AS d
+           FROM v JOIN med m USING (stratum)
+         ), mad AS (
+           SELECT stratum, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY stratum)
+         SELECT dev.stratum, CAST(count(*) AS BIGINT) AS n,
+           first(dev.med) AS med, first(mad.mad) AS mad,
+           CAST(sum(CASE WHEN mad.mad > 0 AND dev.d > CAST(3.0 AS DOUBLE) * mad.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN mad.mad > 0 AND dev.d > CAST(3.0 AS DOUBLE) * mad.mad
+             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_share
+         FROM dev JOIN mad USING (stratum)
+         GROUP BY dev.stratum ORDER BY stratum""",
+
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         round(CAST(1.0 AS DOUBLE) / count(*), 6) AS risk,
+         count(*) < 10 AS violates
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+
+    "q_skew_keys" ->
+      """WITH counts AS (
+           SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id
+         ), g AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys FROM counts
+         ), top AS (
+           SELECT key, cnt, rank FROM (
+             SELECT key, cnt,
+               row_number() OVER (ORDER BY cnt DESC, key) AS rank
+             FROM counts) WHERE rank <= 20)
+         SELECT CAST(top.rank AS INT) AS rank, top.key, top.cnt,
+           g.n_rows, g.n_keys,
+           round(CAST(top.cnt AS DOUBLE) / g.n_rows, 6) AS share,
+           round(CAST(top.cnt AS DOUBLE)
+             / (CAST(g.n_rows AS DOUBLE) / g.n_keys), 4) AS skew_ratio
+         FROM top, g ORDER BY rank""",
 
     // the matryoshka sweep replayed with list slicing: per-dim prefix
     // cosine (4dp + vec_id ties, the brute-force contract) vs the

@@ -481,4 +481,106 @@ object Graph {
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
           .as("global_clustering"))
   }
+
+  /** Co-occurrence projection of a bipartite (group, item) relation:
+    * items sharing a group become pairwise undirected edges — the
+    * basket/co-purchase graph from an order table, the co-citation
+    * graph from a link table. Canonical (src < dst, distinct) output.
+    *
+    * `maxItemsPerGroup` is the scale guard: one group with n items
+    * emits C(n, 2) pairs, so a single 10⁵-item mega-group would emit
+    * 5·10⁹ — groups above the cap are DROPPED (lower-bound semantics,
+    * the [[spanLinkEdgesWeighted]] `maxDocsPerSpan` contract: a group
+    * that large is a hub artifact, not signal, and its pairs would
+    * dominate the graph with noise).
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxItemsPerGroup: Int = 64): DataFrame = {
+    require(maxItemsPerGroup >= 2)
+    val gi = CacheRegistry.track(
+      df.select(col(groupCol).as("__g"), col(itemCol).as("__i")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    gi.count() // the linking agg and both self-join sides read it
+    val linking = gi.groupBy("__g").agg(count(lit(1)).as("__ni"))
+      .filter(col("__ni") > 1 && col("__ni") <= maxItemsPerGroup)
+      .select("__g")
+    val slim = gi.join(linking, "__g")
+    slim.select(col("__g"), col("__i").as("src"))
+      .join(slim.select(col("__g"), col("__i").as("dst")), "__g")
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+  }
+
+  /** Structural link prediction over an undirected graph: for every
+    * NON-adjacent pair (a, b) sharing >= `minCommon` common neighbors,
+    * the three classic local scores —
+    *
+    *  - `common_neighbors`: |Γ(a) ∩ Γ(b)| over capped-degree neighbors,
+    *  - `jaccard`: cn / (deg(a) + deg(b) − cn), one pinned IEEE
+    *    division at 4dp,
+    *  - `resource_alloc`: Σ_z 1/deg(z) (Zhou/Lü/Zhang '09) — chosen over
+    *    Adamic–Adar because it needs no logarithm (engine-varying last
+    *    ulp); each term is cast to decimal(18,12) before the sum so the
+    *    total is order-independent (the [[Stats.winsorize]] decimal-sum
+    *    trick), rounded to 6dp.
+    *
+    * On a duplication graph ([[spanLinkEdges]]) a predicted link is a
+    * pair of docs that share copies without sharing a span themselves —
+    * the "sibling duplicates" the direct fingerprint join structurally
+    * cannot see.
+    *
+    * Scale shape: the wedge join fans each CENTER into C(deg, 2) pairs,
+    * so one 10⁶-degree hub alone would emit 5·10¹¹ rows — `maxDegree`
+    * caps the fan-out at C(cap, 2) per node ABSOLUTELY, independent of
+    * corpus size. The price is documented lower-bound semantics: a
+    * common neighbor with deg > cap contributes to neither the count
+    * nor the scores (its RA term 1/deg is the smallest in the sum, so
+    * the score loss is the least-informative tail — the same
+    * cap-the-hubs trade as [[graft.operators.Dedup]]'s `maxDf`).
+    * Degrees in the jaccard denominator stay UNCAPPED — only wedge
+    * enumeration is bounded.
+    */
+  def linkPredict(
+      edges: DataFrame,
+      maxDegree: Int = 64,
+      minCommon: Int = 2,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(maxDegree >= 2 && minCommon >= 1)
+    val und = CacheRegistry.track(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    und.count() // eager: degrees, adjacency, and the anti-join all read it
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("a").as("z"), col("b").as("x"))
+      .union(und.select(col("b").as("z"), col("a").as("x")))
+    // cap BEFORE the self-join: the capped center list is what bounds
+    // the wedge row count at C(maxDegree, 2) per center
+    val ctrAdj = adj.join(
+      deg.filter(col("deg") <= maxDegree)
+        .select(col("node").as("z"), col("deg").as("__dz")), "z")
+    val wedges = ctrAdj
+      .join(ctrAdj.select(col("z"), col("x").as("y")), "z")
+      .filter(col("x") < col("y"))
+    val nonAdj = wedges.join(und,
+      wedges("x") === und("a") && wedges("y") === und("b"), "left_anti")
+    val scored = nonAdj.groupBy("x", "y").agg(
+      count(lit(1)).as("common_neighbors"),
+      sum((lit(1.0) / col("__dz")).cast("decimal(18,12)")).as("__ra"))
+      .filter(col("common_neighbors") >= minCommon)
+    scored
+      .join(deg.select(col("node").as("x"), col("deg").as("__da")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("__db")), "y")
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("common_neighbors"),
+        round(col("common_neighbors").cast("double")
+          / (col("__da") + col("__db") - col("common_neighbors")), 4)
+          .as("jaccard"),
+        round(col("__ra").cast("double"), 6).as("resource_alloc"))
+  }
 }

@@ -43,4 +43,32 @@ object Pii {
       countMatches(col("text"), PhoneRe).as("n_phones"),
       countMatches(col("text"), Ipv4Re).as("n_ips"))
   }
+
+  /** k-anonymity audit over a set of quasi-identifier columns: one row
+    * per equivalence class (the distinct quasi-identifier combination)
+    * with its population, the re-identification risk 1/n (the
+    * prosecutor-model worst case, 6dp), and whether the class violates
+    * k-anonymity (n < k). The release-gate companion to [[redact]]:
+    * redaction removes DIRECT identifiers; this measures whether the
+    * remaining attribute combinations still single people out
+    * (Sweeney '02).
+    *
+    * One hash aggregate keyed on the quasi-identifier tuple — map-side
+    * partials shrink each partition to its distinct classes, so the
+    * shuffle carries classes, not rows; no window, no driver collect.
+    * Returning ALL classes (violations flagged, not filtered) is
+    * deliberate: the same scan answers "is this release safe" and "how
+    * far from safe is it", and the caller's filter on `violates` is
+    * free.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("n"),
+        round(lit(1.0) / col("n"), 6).as("risk"),
+        (col("n") < k).as("violates")): _*)
+  }
 }

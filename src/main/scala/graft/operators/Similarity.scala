@@ -1167,4 +1167,184 @@ object Similarity {
         col("__cos").as("cos_centroid"),
         (col("__cos") < minCos).as("is_outlier"))
   }
+
+  /** Reciprocal (mutual) nearest-neighbor pairs: (a, b) with a < b where
+    * each is the other's exact top-1 cosine neighbor (4dp rounding +
+    * vec_id ties — the [[bruteForceTopK]] contract). RNN pairs are the
+    * high-precision pairing primitive: both directions must agree, so a
+    * hub that is merely NEAR many vectors pairs with at most one — the
+    * classic seed for dedup clusters and alignment mining, far more
+    * selective than any one-directional threshold.
+    *
+    * One all-pairs scoring pass feeds both directions (the rank-1
+    * window ranks within query_id; direction b→a is the same scored
+    * frame re-keyed), and the mutual join is rank-1-list sized —
+    * |corpus| rows, never pairs. At 100 TB the scoring pass swaps for
+    * an IVF/BQ candidate generator: mutuality only needs each vector's
+    * candidate set to contain its true top-1. Output:
+    * (vec_id_a, vec_id_b, cos_sim) — cos_sim is direction-symmetric
+    * because the dot loop and the norm product are order-identical.
+    */
+  def mutualNeighbors(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val c = withNorm(embeddings, "vec_id", "vec_id")
+    val q = broadcast(c.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("__norm").as("q_norm")))
+    val top1 = CacheRegistry.track(c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+      .withColumn("__r", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("__r") === 1)
+      .drop("__r")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    top1.count()
+    top1.as("f")
+      .join(top1.select(col("query_id").as("__bq"), col("vec_id").as("__bv")),
+        col("f.query_id") === col("__bv") && col("f.vec_id") === col("__bq"))
+      .filter(col("f.query_id") < col("f.vec_id"))
+      .select(col("f.query_id").as("vec_id_a"), col("f.vec_id").as("vec_id_b"),
+        col("f.cos_sim"))
+  }
+
+  // ---- 1-bit (sign-plane) binary quantization ------------------------
+
+  /** Packs a `dim`-float embedding into ceil(dim/64) sign words: bit `i`
+    * of word `w` is set iff component `w*64 + i` is >= 0. The packing is
+    * unrolled at PLAN time (no lambda, no per-row loop state): each word
+    * is an OR-reduce of 64 `when(x >= 0, 1L << i)` terms over
+    * `element_at`, which whole-stage codegen collapses to straight-line
+    * branch-free long arithmetic. `bitwiseOR` instead of `+` so the
+    * i = 63 term (Long.MinValue) can never trip ANSI overflow checks.
+    *
+    * Why: a sign plane is a 32x compression of fp32 — at 100 TB of
+    * embeddings the packed planes are ~3 TB, and a Hamming scan over
+    * them is `bit_count(xor)` on longs, the cheapest whole-corpus
+    * candidate generator there is (BQ in FAISS / Lucene terms). The
+    * bit-level layout is engine-internal: correctness only depends on
+    * Hamming distances, which any engine can replay from the sign
+    * vectors themselves (the DuckDB oracle uses the +-1 inner-product
+    * identity `hamming = (dim - <sa, sb>) / 2` — exact integers, no
+    * float tolerance).
+    */
+  def binarySignWords(emb: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      val n = math.min(64, dim - w * 64)
+      (0 until n).map { i =>
+        when(element_at(emb, w * 64 + i + 1) >= 0f, lit(1L << i)).otherwise(0L)
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign-word arrays: popcount of
+    * the XOR, summed across words — stays inside codegen end to end. */
+  def binaryHamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (vec_id, sign_bits) — the persisted form of the binary index. */
+  def binaryQuantize(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"),
+      binarySignWords(col("embedding"), dim).as("sign_bits"))
+
+  /** All-pairs (query x corpus) scoring shared by [[binaryTopK]] and
+    * [[binaryRecall]]: Hamming from the packed planes, exact rounded
+    * cosine, and the Hamming candidate rank (`hr`, ties on vec_id). */
+  private def binaryScored(
+      corpus: DataFrame, queries: DataFrame, dim: Int): DataFrame = {
+    def packed(df: DataFrame, idAlias: String): DataFrame =
+      withNorm(df, "vec_id", idAlias)
+        .withColumn("__bits", binarySignWords(col("embedding"), dim))
+    val c = packed(corpus, "vec_id")
+    val q = broadcast(packed(queries, "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("__norm", "q_norm")
+      .withColumnRenamed("__bits", "q_bits"))
+    c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        binaryHamming(col("__bits"), col("q_bits")).as("hamming"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+      .withColumn("__hr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("hamming").asc, col("vec_id").asc)))
+  }
+
+  /** Two-stage binary-quantized retrieval: Hamming over the packed sign
+    * planes generates k*rerankFactor candidates per query (ties on
+    * vec_id), exact full-precision cosine re-ranks the survivors — the
+    * [[truncatedTopK]] generate-cheap/re-rank-exact contract with 1-bit
+    * quantization as the compression. At 100 TB the Hamming stage is the
+    * only corpus-wide pass and it reads 1/32 of the embedding bytes
+    * (store `sign_bits` as its own column and column pruning does the
+    * rest); the re-rank touches k*rf rows per query.
+    *
+    * Output: (query_id, vec_id, hamming, cos_sim, rank).
+    */
+  def binaryTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      rerankFactor: Int = 4): DataFrame = {
+    require(k >= 1 && rerankFactor >= 1)
+    binaryScored(corpus, queries, dim)
+      .filter(col("__hr") <= k * rerankFactor)
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "hamming", "cos_sim", "rank")
+  }
+
+  /** Recall@k of [[binaryTopK]] against the exact cosine top-k, swept
+    * over rerank factors — the tuning dial that says how much Hamming
+    * candidate width buys back the 1-bit quantization loss. One all-
+    * pairs scoring pass feeds every rf AND the exact baseline (the
+    * exact list is the cos_sim ranking of the same scored frame), so
+    * the sweep costs one corpus scan regardless of how many factors it
+    * reports. Output: (rf, exact_pairs, bin_pairs, hit_pairs,
+    * recall_at_k), one row per rf; the recall is a single
+    * integer-ratio IEEE division, bit-exact in any engine.
+    */
+  def binaryRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      rerankFactors: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(k >= 1 && rerankFactors.nonEmpty && rerankFactors.forall(_ >= 1))
+    require(rerankFactors.distinct.size == rerankFactors.size,
+      s"duplicate rerank factors: $rerankFactors")
+    import org.apache.spark.storage.StorageLevel
+    val scored = CacheRegistry.track(
+      binaryScored(corpus, queries, dim).persist(StorageLevel.MEMORY_AND_DISK))
+    scored.count()
+    val exact = scored
+      .withColumn("__er", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("__er") <= k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("__hit"))
+    val exactTotal = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
+    val rfs = rerankFactors.sorted.map(lit(_))
+    val bin = scored
+      .select(col("query_id"), col("vec_id"), col("cos_sim"), col("__hr"),
+        explode(array(rfs: _*)).as("rf"))
+      .filter(col("__hr") <= lit(k) * col("rf"))
+      .withColumn("rank", row_number().over(Window.partitionBy("rf", "query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+    bin.join(exact, Seq("query_id", "vec_id"), "left")
+      .groupBy("rf")
+      .agg(count(lit(1)).as("bin_pairs"), count(col("__hit")).as("hit_pairs"))
+      .crossJoin(exactTotal)
+      .withColumn("recall_at_k",
+        col("hit_pairs").cast("double") / col("exact_pairs").cast("double"))
+      .select("rf", "exact_pairs", "bin_pairs", "hit_pairs", "recall_at_k")
+      .orderBy("rf")
+  }
 }

@@ -68,4 +68,45 @@ object Skew {
       .filter(col("__salt").isNotNull) // Dedup.safeExplodeNote
     saltedFact.join(saltedDim, Seq(keyCol, "__salt")).drop("__salt")
   }
+
+  /** Join-key skew profiler: the diagnostic that says WHETHER
+    * [[saltedAgg]]/[[saltedJoin]]/AQE-skew-split are needed before
+    * anyone pays for them. Reports the top `topN` heaviest keys (ties
+    * on the key value) with
+    *
+    *  - `share`: this key's fraction of all rows (6dp),
+    *  - `skew_ratio`: its count over the MEAN per-key count (4dp) — the
+    *    direct "how many reducers' worth of work is this one key"
+    *    number; a ratio of 40 on 32 slots means the key alone outweighs
+    *    the average reducer 40×,
+    *
+    * plus the global context on every row (n_rows, n_keys) so one
+    * result frame is a self-contained report.
+    *
+    * One grouped count (map-side partials shrink each partition to its
+    * distinct keys), a single-row global aggregate crossed in, and a
+    * top-N window over the per-key counts — at 100 TB the window input
+    * is |keys| rows, never |rows|, and the output is `topN` rows.
+    */
+  def keyProfile(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(key.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("cnt"))
+    val globals = broadcast(counts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys")))
+    // orderBy+limit, NOT a global window: Catalyst plans this as
+    // TakeOrderedAndProject (per-partition top-N then a topN-row merge);
+    // an unpartitioned row_number window would drag ALL |keys| rows
+    // through one task. The rank window below runs over <= topN rows.
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+      .crossJoin(globals)
+      .withColumn("__r", row_number().over(Window.partitionBy()
+        .orderBy(col("cnt").desc, col("key").asc)))
+      .select(col("__r").as("rank"), col("key"), col("cnt"),
+        col("n_rows"), col("n_keys"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cnt").cast("double")
+          / (col("n_rows").cast("double") / col("n_keys")), 4).as("skew_ratio"))
+  }
 }

@@ -212,4 +212,67 @@ object Stats {
         round(abs(round(col("n_a").cast("double") / col("__na"), 6)
           - round(col("n_b").cast("double") / col("__nb"), 6)) / 2, 6).as("tvd_term"))
   }
+
+  /** Per-group DISCRETE median (the order statistic at 1-based index
+    * floor((n−1)/2) + 1 — DuckDB's `quantile_disc(0.5)`, no
+    * interpolation, so the result is always an actual data value and
+    * replays engine-exactly). Computed without a per-group sort of the
+    * raw rows: aggregate to (group, value, count), ONE ordered window
+    * over the distinct values for the cumulative count, then the first
+    * value whose cumulative count reaches the index — the
+    * [[winsorize]] shape, O(distinct values) window width.
+    */
+  private def discMedian(v: DataFrame, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = v.groupBy("stratum", "__v").agg(count(lit(1)).as("__c"))
+    val wcum = Window.partitionBy("stratum").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy("stratum")))
+      .groupBy("stratum")
+      .agg(min(when(col("__cum") >= floor((col("__n") - 1) / 2) + 1, col("__v")))
+        .as(out))
+  }
+
+  /** Robust per-group outlier census: median / MAD (median absolute
+    * deviation) instead of mean / stddev, so the fence itself cannot be
+    * dragged by the outliers it is meant to catch — the estimator a
+    * value-quality monitor actually wants (50% breakdown point vs 0%
+    * for z-scores). A row is an outlier iff `mad > 0 AND
+    * |v − med| > cutoff · mad`; when MAD is 0 (over half the group
+    * identical) the fence is degenerate and nothing is flagged — the
+    * conservative convention, reported via the `mad` column itself.
+    *
+    * Both medians are [[discMedian]] order statistics and the fence
+    * comparison is one IEEE multiply — every engine computes the
+    * identical booleans, so the whole census hash-replays (no
+    * stddev-accumulation-order variance, the reason this is NOT
+    * mean ± k·σ).
+    *
+    * Scale shape: two grouped-count + bounded-window passes (distinct
+    * values per group, never raw rows in a window) and one broadcast
+    * fence join — no per-group sort of the data, no driver collect.
+    * Output: (stratum, n, med, mad, n_outliers, outlier_share).
+    */
+  def madOutliers(
+      df: DataFrame, valueCol: String, groupCol: String,
+      cutoff: Double = 3.0): DataFrame = {
+    require(cutoff > 0, s"cutoff must be > 0, got $cutoff")
+    val v = df.select(col(groupCol).as("stratum"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = discMedian(v, "med")
+    val dev = v.join(broadcast(med), "stratum")
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val mad = discMedian(dev.select(col("stratum"), col("__d").as("__v")), "mad")
+    dev.join(broadcast(mad), "stratum")
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("mad") > 0 && col("__d") > lit(cutoff) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
 }

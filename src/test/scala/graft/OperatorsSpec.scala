@@ -2322,6 +2322,143 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().toSet == brute)
   }
 
+  test("binary quantization: packed hamming is exact, wide pool reduces to brute force") {
+    // hand-checked packing: dim 70 spans two words, and the hamming is
+    // the count of sign disagreements regardless of word layout
+    val a = Array.tabulate(70)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val b = Array.tabulate(70)(i => if (i % 5 == 0) 1.0f else -1.0f)
+    val expected = (0 until 70).count(i => (i % 3 == 0) != (i % 5 == 0))
+    val hd = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.binaryHamming(
+        Similarity.binarySignWords($"a", 70),
+        Similarity.binarySignWords($"b", 70)).as("h"))
+      .collect()(0).getLong(0)
+    assert(hd == expected.toLong, s"hamming $hd != $expected")
+    // identical vectors → 0; negated vectors → dim
+    val az = Seq((a, a.map(-_))).toDF("a", "b")
+    assert(az.select(Similarity.binaryHamming(
+        Similarity.binarySignWords($"a", 70),
+        Similarity.binarySignWords($"a", 70)).as("h"))
+      .collect()(0).getLong(0) == 0L)
+    assert(az.select(Similarity.binaryHamming(
+        Similarity.binarySignWords($"a", 70),
+        Similarity.binarySignWords($"b", 70)).as("h"))
+      .collect()(0).getLong(0) == 70L)
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select("query_id", "vec_id", "cos_sim", "rank").collect().toSet
+    // pool ≥ corpus (500 < 3·200): Hamming can't lose a candidate, so
+    // the exact re-rank reproduces brute force
+    val wide = Similarity.binaryTopK(emb, queries, k = 3, dim = 64,
+        rerankFactor = 200)
+      .select("query_id", "vec_id", "cos_sim", "rank").collect().toSet
+    assert(wide == brute, "full-pool binary retrieval must be exact")
+
+    // recall sweep: monotone in rf, bounded, and exact at full width
+    val sweep = Similarity.binaryRecall(emb, queries, k = 3, dim = 64,
+        rerankFactors = Seq(1, 4, 200))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val recalls = Seq(1, 4, 200).map(rf => sweep(rf)._4)
+    assert(recalls == recalls.sorted, s"recall must be monotone in rf: $recalls")
+    sweep.values.foreach { case (ep, bp, hp, r) =>
+      assert(ep == 15L && bp == 15L && hp >= 0L && hp <= bp)
+      assert(math.abs(r - hp.toDouble / ep.toDouble) < 1e-15)
+    }
+    assert(sweep(200)._4 == 1.0, "full-width rf must recover exact top-k")
+    intercept[IllegalArgumentException] {
+      Similarity.binaryRecall(emb, emb.limit(1), k = 1, rerankFactors = Seq(2, 2))
+    }
+  }
+
+  test("mutual nearest neighbors: hand geometry, symmetry, and hub exclusion") {
+    // e0/e1 are each other's top-1; e2's top-1 is e0 but e0's is e1 —
+    // one-directional attraction must NOT pair
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.7f, -0.7f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.98f, 0.2f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mutualNeighbors(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (3L, 4L)), s"got $got")
+  }
+
+  test("link prediction: hand graph scores, cap drops hub centers") {
+    // square a-b-c-d-a: the two diagonals are the only predictions,
+    // each with common neighbors {2}, RA = 1/2 + 1/2, jaccard = 1
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graph.linkPredict(square, maxDegree = 64, minCommon = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set((1L, 3L), (2L, 4L)), s"got ${got.keySet}")
+    got.values.foreach { case (cn, jac, ra) =>
+      assert(cn == 2L && jac == 1.0 && ra == 1.0, s"got $got")
+    }
+    // path a-b-c at minCommon=1: predict (a, c) through b, RA = 1/deg(b)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.linkPredict(path, maxDegree = 64, minCommon = 1).collect()
+    assert(p.length == 1)
+    assert((p(0).getLong(0), p(0).getLong(1), p(0).getLong(2),
+      p(0).getDouble(3), p(0).getDouble(4)) == ((1L, 3L, 1L, 1.0, 0.5)))
+    // a star center above the degree cap is not enumerated: no output
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    assert(Graph.linkPredict(star, maxDegree = 4, minCommon = 1).count() == 0)
+    // ...and just below the cap the leaves pair through the center
+    assert(Graph.linkPredict(star, maxDegree = 5, minCommon = 1).count() == 10)
+  }
+
+  test("MAD outliers: hand medians, zero-MAD guard") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9999.0),
+    ).toDF("grp", "v")
+    val got = Stats.madOutliers(df, "v", "grp", cutoff = 3.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // group a: disc-median of {1,2,3,100} = 2; deviations {1,0,1,98},
+    // disc-median = 1 → fence 3: only 98 exceeds
+    assert(got("a") == ((4L, 2.0, 1.0, 1L)), s"got ${got("a")}")
+    // group b: MAD = 0 (3 of 4 identical) → degenerate fence flags NOTHING,
+    // even though 9999 is wildly off — the documented conservative rule
+    assert(got("b") == ((4L, 5.0, 0.0, 0L)), s"got ${got("b")}")
+  }
+
+  test("k-anonymity: class populations, risk, and violation flags") {
+    val df = Seq(
+      (25, "A"), (25, "A"), (25, "A"), (30, "A"), (30, "B"), (30, "B"),
+    ).toDF("age", "seg")
+    val got = Pii.kAnonymity(df, Seq("age", "seg"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(25 -> "A") == ((3L, 0.333333, false)))
+    assert(got(30 -> "A") == ((1L, 1.0, true)))
+    assert(got(30 -> "B") == ((2L, 0.5, true)))
+    intercept[IllegalArgumentException] { Pii.kAnonymity(df, Seq(), k = 3) }
+    intercept[IllegalArgumentException] { Pii.kAnonymity(df, Seq("age"), k = 1) }
+  }
+
+  test("key profile: heavy hitter share and skew ratio, plan avoids a global window over keys") {
+    val df = (Seq.fill(8)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val rows = Skew.keyProfile(df, col("k"), topN = 2).orderBy("rank").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    // key 7: 8 of 12 rows over 5 distinct keys → share 8/12, ratio 8/(12/5)
+    assert((r0.getInt(0), r0.getLong(1), r0.getLong(2), r0.getLong(3),
+      r0.getLong(4)) == ((1, 7L, 8L, 12L, 5L)))
+    assert(r0.getDouble(5) == 0.666667 && r0.getDouble(6) == math.rint(8.0 / 2.4 * 1e4) / 1e4)
+    assert(rows(1).getLong(1) == 1L, "ties below the top key break on key value")
+    // the |keys|-sized top-N must be TakeOrderedAndProject, not a
+    // single-partition window over every key
+    val plan = Skew.keyProfile(df, col("k"), topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
   test("hard negatives: cross-label only, ranked like brute force on the rest") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val labels = emb.select("vec_id", "label").collect()
