@@ -267,7 +267,12 @@ object Cli {
           |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
           |          hardneg: embeddings -in, [-queries N] [-topk N];
           |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
-          |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N])
+          |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N];
+          |          binarytopk/binaryrecall: embeddings -in, [-queries N] [-topk N] [-dim N] [-rerank N|N,N,...];
+          |          mutualnn: embeddings -in;
+          |          linkpredict: documents -in, [-span-cap N] [-max-degree N] [-min-common N];
+          |          madoutliers: [-value c] [-group c] [-cutoff X];
+          |          kanon: -quasi c1,c2,... [-k N]; skewkeys: -key c [-topn N])
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
@@ -754,6 +759,39 @@ object Cli {
         nQueries = flags.getOrElse("queries", "3").toInt,
         perList = flags.getOrElse("perlist", "20").toInt,
         k = flags.getOrElse("topk", "10").toInt)
+      // 1-bit sign-plane retrieval (embeddings input)
+      case "binarytopk" => Similarity.binaryTopK(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        dim = flags.getOrElse("dim", "64").toInt,
+        rerankFactor = flags.getOrElse("rerank", "4").toInt)
+      case "binaryrecall" => Similarity.binaryRecall(docs,
+        docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
+        k = flags.getOrElse("topk", "3").toInt,
+        dim = flags.getOrElse("dim", "64").toInt,
+        rerankFactors = flags.getOrElse("rerank", "1,2,4")
+          .split(",").map(_.trim.toInt).toSeq)
+      case "mutualnn"    => Similarity.mutualNeighbors(docs)
+      // link prediction over the span-duplication graph (documents input)
+      case "linkpredict" => Graph.linkPredict(
+        Graph.spanLinkEdges(docs,
+          maxDocsPerSpan = flags.getOrElse("span-cap", "64").toInt),
+        maxDegree = flags.getOrElse("max-degree", "64").toInt,
+        minCommon = flags.getOrElse("min-common", "1").toInt)
+      // robust per-group outlier census (any table via -in)
+      case "madoutliers" => operators.Stats.madOutliers(docs,
+        flags.getOrElse("value", "value"),
+        flags.getOrElse("group", "event_type"),
+        cutoff = flags.getOrElse("cutoff", "3.0").toDouble)
+      case "kanon"       => Pii.kAnonymity(docs,
+        flags.getOrElse("quasi", fail(
+          "corpus -op kanon requires -quasi <col,col,...>"))
+          .split(",").map(_.trim).toSeq,
+        k = flags.getOrElse("k", "10").toInt)
+      case "skewkeys"    => Skew.keyProfile(docs,
+        col(flags.getOrElse("key", fail(
+          "corpus -op skewkeys requires -key <column>"))),
+        topN = flags.getOrElse("topn", "20").toInt)
       case other => fail(s"unknown corpus op: $other")
     }
     flags.get("out") match {

@@ -369,6 +369,50 @@ class CliSpec extends AnyFunSuite {
       && rrf.contains("Rows: 30"))
   }
 
+  test("corpus subcommand: binary retrieval, mutual-NN, link prediction, audits") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val ev = "/root/testdata/sf0.001/events.parquet"
+    val cust = "/root/testdata/sf0.001/customer.parquet"
+    // defaults: 5 queries x k=3
+    val bt = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "binarytopk"))
+    }
+    assert(bt.contains("hamming") && bt.contains("Rows: 15"))
+    // defaults: rf sweep 1,2,4 -> 3 rows
+    val br = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "binaryrecall"))
+    }
+    assert(br.contains("recall_at_k") && br.contains("Rows: 3"))
+    val mn = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "mutualnn"))
+    }
+    assert(mn.contains("vec_id_a") && mn.contains("Rows: "))
+    val lp = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "linkpredict"))
+    }
+    assert(lp.contains("resource_alloc") && lp.contains("Rows: "))
+    // events carry 5 event types -> 5 per-group fence rows
+    val mo = captureOut {
+      Cli.runCorpus(spark, Map("in" -> ev, "op" -> "madoutliers"))
+    }
+    assert(mo.contains("outlier_share") && mo.contains("Rows: 5"))
+    val ka = captureOut {
+      Cli.runCorpus(spark, Map("in" -> cust, "op" -> "kanon",
+        "quasi" -> "c_nationkey,c_mktsegment", "k" -> "5"))
+    }
+    assert(ka.contains("violates") && ka.contains("Rows: "))
+    // skewkeys requires an explicit -key; then returns exactly topn rows
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> ev, "op" -> "skewkeys"))
+    }
+    val sk = captureOut {
+      Cli.runCorpus(spark, Map("in" -> ev, "op" -> "skewkeys",
+        "key" -> "user_id", "topn" -> "5"))
+    }
+    assert(sk.contains("skew_ratio") && sk.contains("Rows: 5"))
+  }
+
   test("corpus subcommand: curation telemetry ops (novelty/vocabdrift/embedoutliers)") {
     val docs = "/root/testdata/sf0.001/documents.parquet"
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
