@@ -272,7 +272,9 @@ object Cli {
           |          mutualnn: embeddings -in;
           |          linkpredict: documents -in, [-span-cap N] [-max-degree N] [-min-common N];
           |          madoutliers: [-value c] [-group c] [-cutoff X];
-          |          kanon: -quasi c1,c2,... [-k N]; skewkeys: -key c [-topn N])
+          |          kanon: -quasi c1,c2,... [-k N]; skewkeys: -key c [-topn N];
+          |          centroiddrift: embeddings -in [-group c]; chisq: [-col-a c] [-col-b c];
+          |          fdcheck: -lhs c1,c2,... -rhs c; benford: -value c)
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
@@ -783,6 +785,17 @@ object Cli {
         flags.getOrElse("value", "value"),
         flags.getOrElse("group", "event_type"),
         cutoff = flags.getOrElse("cutoff", "3.0").toDouble)
+      case "centroiddrift" => Similarity.centroidDrift(docs,
+        flags.getOrElse("group", "label"))
+      case "fdcheck"     => operators.Stats.fdViolations(docs,
+        flags.getOrElse("lhs", fail(
+          "corpus -op fdcheck requires -lhs <col,col,...>"))
+          .split(",").map(_.trim).toSeq,
+        flags.getOrElse("rhs", fail("corpus -op fdcheck requires -rhs <col>")))
+      case "benford"     => operators.Stats.benford(docs,
+        flags.getOrElse("value", fail("corpus -op benford requires -value <col>")))
+      case "chisq"       => operators.Stats.chiSquare(docs,
+        flags.getOrElse("col-a", "lang"), flags.getOrElse("col-b", "source"))
       case "kanon"       => Pii.kAnonymity(docs,
         flags.getOrElse("quasi", fail(
           "corpus -op kanon requires -quasi <col,col,...>"))

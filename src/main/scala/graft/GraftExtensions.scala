@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitInterleave, MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot}
+import graft.functions.{BitInterleave, MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot, VecHamming}
 
 /** SparkSessionExtensions wiring: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - double-precision dot product of two float arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_hamming"),
+      info("vec_hamming", "vec_hamming(a, b) - popcount Hamming distance between two packed sign-word bigint arrays"),
+      (exprs: Seq[Expression]) => VecHamming(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("sign_lsh_buckets"),
       info("sign_lsh_buckets",

@@ -1131,6 +1131,33 @@ object SparkEntry {
           Tables.load(s, dir, "events"), col("user_id"), topN = 20)
         .orderBy("rank")),
 
+    // per-label centroid drift vs the corpus centroid: fixed-point
+    // integer dim sums, scale-invariant cosine computed ON the sums
+    "q_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(Tables.load(s, dir, "embeddings"), "label")
+        .orderBy("label")),
+
+    // functional-dependency audit: l_partkey does NOT determine
+    // l_suppkey — every violating part with its distinct supplier count
+    "q_fd_check" -> ((s, dir) =>
+      operators.Stats.fdViolations(Tables.load(s, dir, "lineitem"),
+          Seq("l_partkey"), "l_suppkey")
+        .orderBy("l_partkey")),
+
+    // Benford first-digit audit over extended prices — the fabricated-
+    // data smell test (deviation per digit vs log10(1+1/d) literals)
+    "q_benford" -> ((s, dir) =>
+      operators.Stats.benford(
+          Tables.load(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")),
+
+    // chi-square independence of (lang, source): per-cell contributions
+    // plus the decimal-summed statistic — no logs, fully replayable
+    "q_chisq" -> ((s, dir) =>
+      operators.Stats.chiSquare(
+          Tables.load(s, dir, "documents"), "lang", "source")
+        .orderBy("a", "b")),
+
     // product quantization: m=4 × ksub=16 pseudo-codebooks, ADC
     // inner-product candidates from the broadcast lookup table (exact
     // fixed-point sums), exact cosine re-rank of the k·4 survivors
@@ -3468,6 +3495,94 @@ object SparkEntry {
            round(CAST(top.cnt AS DOUBLE)
              / (CAST(g.n_rows AS DOUBLE) / g.n_keys), 4) AS skew_ratio
          FROM top, g ORDER BY rank""",
+
+    // centroid drift replayed with the q_pagerank fixed-point trick:
+    // 2^20 integer dim sums (order-free), cosine on the sums themselves
+    "q_centroid_drift" ->
+      """WITH fx AS (
+           SELECT label AS grp, pos,
+             CAST(floor(x * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS fx
+           FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+                 FROM embeddings)
+         ), bg AS (
+           SELECT grp, pos, CAST(sum(fx) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM fx GROUP BY grp, pos
+         ), ga AS (
+           SELECT grp, max(n) AS n, list(CAST(s AS DOUBLE) ORDER BY pos) AS v
+           FROM bg GROUP BY grp
+         ), gg AS (
+           SELECT CAST(max(nt) AS BIGINT) AS gn,
+             list(CAST(gs AS DOUBLE) ORDER BY pos) AS gv
+           FROM (SELECT pos, CAST(sum(s) AS BIGINT) AS gs,
+                   CAST(sum(n) AS BIGINT) AS nt
+                 FROM bg GROUP BY pos))
+         SELECT grp AS label, n,
+           round(list_cosine_similarity(v, gv), 4) AS cos_to_global,
+           round((sqrt(list_inner_product(v, v)) / n)
+             / (sqrt(list_inner_product(gv, gv)) / gn), 4) AS norm_ratio
+         FROM ga, gg ORDER BY label""",
+
+    "q_fd_check" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+         FROM lineitem GROUP BY l_partkey
+         HAVING count(DISTINCT l_suppkey) > 1 ORDER BY l_partkey""",
+
+    // the digit comes from floor(log10) used only to integer precision;
+    // expected shares are 12dp DOUBLE literals, never engine logs
+    "q_benford" ->
+      """WITH v AS (
+           SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+         ), d AS (
+           SELECT CAST(least(greatest(
+             floor(v / power(10, floor(log10(v)))), 1), 9) AS INT) AS digit
+           FROM v
+         ), t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM v),
+         e AS (
+           SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(count(*) AS DOUBLE) / t.tot, 6) AS share,
+             CASE digit
+               WHEN 1 THEN CAST(0.301029995664 AS DOUBLE)
+               WHEN 2 THEN CAST(0.176091259056 AS DOUBLE)
+               WHEN 3 THEN CAST(0.124938736608 AS DOUBLE)
+               WHEN 4 THEN CAST(0.096910013008 AS DOUBLE)
+               WHEN 5 THEN CAST(0.079181246048 AS DOUBLE)
+               WHEN 6 THEN CAST(0.066946789631 AS DOUBLE)
+               WHEN 7 THEN CAST(0.057991946978 AS DOUBLE)
+               WHEN 8 THEN CAST(0.051152522447 AS DOUBLE)
+               ELSE CAST(0.045757490561 AS DOUBLE) END AS expected
+           FROM d, t GROUP BY digit, t.tot)
+         SELECT digit, n, share, expected,
+           round(abs(share - expected), 6) AS deviation
+         FROM e ORDER BY digit""",
+
+    // per-cell chi-square contributions + the decimal-summed statistic
+    "q_chisq" ->
+      """WITH cells AS (
+           SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+         ), rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells GROUP BY a),
+         ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS rb FROM cells GROUP BY b),
+         g AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+         sc AS (
+           SELECT cells.a, cells.b, cells.n,
+             CAST(rt.ra AS DOUBLE) * ct.rb / g.nn AS e
+           FROM cells JOIN rt USING (a) JOIN ct USING (b), g
+         ), sc2 AS (
+           SELECT a, b, n, e, round((n - e) * (n - e) / e, 6) AS chi_term
+           FROM sc
+         ), tot AS (
+           SELECT CAST(sum(CAST(chi_term AS DECIMAL(18,6))) AS DOUBLE) AS chi2_total,
+             CAST((SELECT count(DISTINCT a) FROM cells) - 1 AS BIGINT)
+               * CAST((SELECT count(DISTINCT b) FROM cells) - 1 AS BIGINT) AS dof
+           FROM sc2)
+         SELECT sc2.a, sc2.b, sc2.n, round(sc2.e, 6) AS expected,
+           sc2.chi_term, tot.chi2_total, tot.dof
+         FROM sc2, tot ORDER BY a, b""",
 
     // the matryoshka sweep replayed with list slicing: per-dim prefix
     // cosine (4dp + vec_id ties, the brute-force contract) vs the

@@ -367,12 +367,73 @@ object BitInterleave {
   def zorder(a: Long, b: Long): Long = (spread(a) << 1) | spread(b)
 }
 
+/** `vec_hamming(a, b)` — popcount of the elementwise XOR of two packed
+  * sign-word arrays (`array<long>`), i.e. the Hamming distance between
+  * the bit planes [[graft.operators.Similarity.binarySignWords]] packs.
+  * A native expression for the same reason as [[VecDot]]: the
+  * `zip_with + aggregate` formulation allocates an intermediate array
+  * and a lambda frame per ROW on the hottest loop of binary retrieval
+  * (query × corpus candidate generation); this is a straight-line
+  * `Long.bitCount(x ^ y)` accumulation with no allocation, inside
+  * whole-stage codegen.
+  */
+case class VecHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_hamming requires two array<bigint> inputs, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecHamming =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "vec_hamming"
+}
+
 object GraftFunctions {
   def strip_ansi(c: Column): Column =
     Shims.column(StripAnsi(Shims.expression(c)))
 
   def vec_dot(a: Column, b: Column): Column =
     Shims.column(VecDot(Shims.expression(a), Shims.expression(b)))
+
+  def vec_hamming(a: Column, b: Column): Column =
+    Shims.column(VecHamming(Shims.expression(a), Shims.expression(b)))
 
   def sign_lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
     Shims.column(SignLshBuckets(Shims.expression(emb), tables, bits))
@@ -395,6 +456,8 @@ object GraftFunctions {
     Shims.registerFunction(spark, "strip_ansi", exprs => StripAnsi(exprs.head))
     Shims.registerFunction(spark, "rolling_hash", exprs => RollingHash(exprs.head))
     Shims.registerFunction(spark, "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+    Shims.registerFunction(spark, "vec_hamming", exprs =>
+      VecHamming(exprs(0), exprs(1)))
     Shims.registerFunction(spark, "sign_lsh_buckets", exprs =>
       SignLshBuckets(exprs(0),
         graft.GraftExtensions.intLiteral(exprs(1), "tables"),

@@ -1209,6 +1209,80 @@ object Similarity {
         col("f.cos_sim"))
   }
 
+  /** Per-group embedding centroid drift vs the global centroid: for
+    * each group, how far its mean vector points away from the corpus
+    * mean (rounded cosine) and how its mean vector length compares
+    * (norm ratio). The batch-over-batch / source-over-source telemetry
+    * that catches an encoder change, a broken modality, or a
+    * mistranslated shard BEFORE similarity search quality degrades.
+    *
+    * Determinism: per-dimension sums are 2^scaleBits fixed-point longs
+    * (float * 2^k is exact in double — the q_pagerank contribution-sum
+    * trick), so they are order-independent integers; the cosine is then
+    * computed on the INTEGER sums directly (cosine is scale-invariant,
+    * so centroid division never happens inside it) with the 4dp
+    * rounding contract. The global centroid re-aggregates the same
+    * per-group sums — one pass over the data total.
+    *
+    * Scale shape: posexplode → (group, dim) hash aggregate with
+    * map-side combine — the shuffle carries |groups|·dim longs, never
+    * vectors; the per-group array rebuild sorts dim-count lists; the
+    * global side is a broadcast one-row frame.
+    * Output: (groupCol, n, cos_to_global, norm_ratio).
+    */
+  def centroidDrift(
+      embeddings: DataFrame,
+      groupCol: String = "label",
+      scaleBits: Int = 20): DataFrame =
+    centroidDriftFromSums(
+      centroidPartialSums(embeddings, groupCol, scaleBits), groupCol)
+
+  /** The mergeable half of [[centroidDrift]]: per-(group, dim)
+    * fixed-point sums and counts. Plain integers, so partials from
+    * shards/micro-batches ADD — `streamingCentroidDrift` accumulates
+    * exactly these and finishes with [[centroidDriftFromSums]], and the
+    * result is bit-identical to the batch operator on the union (the
+    * StreamingSpec law). */
+  def centroidPartialSums(
+      embeddings: DataFrame,
+      groupCol: String,
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30, s"scaleBits: $scaleBits")
+    val q = (1L << scaleBits).toDouble
+    embeddings
+      .select(col(groupCol).as("__grp"),
+        posexplode(col("embedding")).as(Seq("pos", "__x")))
+      .select(col("__grp"), col("pos"),
+        floor(col("__x").cast("double") * q + 0.5).cast("long").as("__fx"))
+      .groupBy("__grp", "pos")
+      .agg(sum(col("__fx")).as("__s"), count(lit(1)).as("__n"))
+  }
+
+  /** Finisher over accumulated (__grp, pos, __s, __n) partials. */
+  def centroidDriftFromSums(byGroup: DataFrame, groupCol: String): DataFrame = {
+    def toVec(df: DataFrame, keyCols: Seq[Column], sCol: String): DataFrame =
+      df.groupBy(keyCols: _*)
+        .agg(max(col("__n")).as("n"),
+          array_sort(collect_list(struct(col("pos"), col(sCol)))).as("__ps"))
+        .withColumn("__v",
+          transform(col("__ps"), p => p(sCol).cast("double")))
+        .drop("__ps")
+    val groups = toVec(byGroup, Seq(col("__grp")), "__s")
+    val global = broadcast(
+      toVec(
+        byGroup.groupBy("pos")
+          .agg(sum(col("__s")).as("__gs"), sum(col("__n")).as("__n"))
+          .withColumn("__one", lit(1)),
+        Seq(col("__one")), "__gs")
+        .select(col("n").as("__gn"), col("__v").as("__gv")))
+    groups.crossJoin(global)
+      .select(col("__grp").as(groupCol), col("n"),
+        round(dot(col("__v"), col("__gv"))
+          / (l2norm(col("__v")) * l2norm(col("__gv"))), 4).as("cos_to_global"),
+        round((l2norm(col("__v")) / col("n"))
+          / (l2norm(col("__gv")) / col("__gn")), 4).as("norm_ratio"))
+  }
+
   // ---- 1-bit (sign-plane) binary quantization ------------------------
 
   /** Packs a `dim`-float embedding into ceil(dim/64) sign words: bit `i`
@@ -1240,12 +1314,13 @@ object Similarity {
     }: _*)
   }
 
-  /** Hamming distance between two packed sign-word arrays: popcount of
-    * the XOR, summed across words — stays inside codegen end to end. */
+  /** Hamming distance between two packed sign-word arrays: the native
+    * [[graft.functions.VecHamming]] popcount-of-XOR loop — no
+    * intermediate array, no lambda frame, codegen'd end to end (the
+    * `zip_with + aggregate` formulation it replaces allocated both per
+    * candidate pair; the spec pins the two equal). */
   def binaryHamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vec_hamming(a, b)
 
   /** (vec_id, sign_bits) — the persisted form of the binary index. */
   def binaryQuantize(embeddings: DataFrame, dim: Int = 64): DataFrame =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass-per-stage table profiling — the distributed `ANALYZE TABLE`:
@@ -274,5 +274,105 @@ object Stats {
           .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_share",
         round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
+  /** Functional-dependency violation audit: for a declared FD
+    * `lhs → rhs`, every lhs group where rhs is NOT constant, with its
+    * row count and distinct-rhs count — the schema-contract check a
+    * warehouse runs before trusting a "key". One hash aggregate
+    * (count + count distinct per group, map-side partials); output is
+    * violating groups only, so a HOLDING dependency costs one scan and
+    * returns nothing.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "need at least one determinant column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(rhs)).as("n_distinct"))
+      .filter(col("n_distinct") > 1)
+  }
+
+  /** Benford first-significant-digit audit over a positive value column:
+    * per digit 1..9 the observed count/share against Benford's
+    * log10(1 + 1/d) expectation, plus the absolute deviation. The
+    * classic fabricated-/truncated-data smell test for financial-shaped
+    * columns.
+    *
+    * The digit is extracted numerically: d = floor(v / 10^floor(log10 v))
+    * (clamped to [1, 9] against the one-ulp boundary case where the
+    * division rounds to exactly 10). log10 appears ONLY inside a floor
+    * to integer precision — safe cross-engine where a raw log in a
+    * reported value would not be (Java special-cases exact powers of
+    * ten; glibc agrees) — and the EXPECTED shares are 12dp literals, not
+    * engine logs. One map-side digit projection + one 9-row aggregate.
+    * Output: (digit, n, share, expected, deviation); rows with
+    * value <= 0 or null are excluded.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d), 12dp
+    val expected = Seq(
+      1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+      4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+      7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+    val v = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") > 0)
+    val digit = least(greatest(
+      floor(col("__v") / pow(lit(10.0), floor(log10(col("__v"))))), lit(1.0)),
+      lit(9.0)).cast("int")
+    // chained whens with digit 9 as the ELSE arm (digit is 1..9 after
+    // the clamp, so the fallthrough is never a silent null)
+    val exp = expected.init
+      .foldLeft(Option.empty[Column]) { case (acc, (d, e)) =>
+        Some(acc.fold(when(col("digit") === d, lit(e)))(
+          _.when(col("digit") === d, lit(e))))
+      }.get.otherwise(lit(expected.last._2))
+    v.select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("__tot"))))
+      .withColumn("share", round(col("n").cast("double") / col("__tot"), 6))
+      .withColumn("expected", exp)
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        round(abs(col("share") - col("expected")), 6).as("deviation"))
+  }
+
+  /** Pearson chi-square independence audit between two categorical
+    * columns: one row per occupied (a, b) cell with observed count,
+    * expected count under independence (row_total x col_total / N,
+    * 6dp), and the cell's chi-square contribution (observed-expected)²
+    * / expected (6dp), plus the statistic (exact decimal sum of the
+    * ROUNDED terms — order-independent) and degrees of freedom repeated
+    * on every row so the frame is a self-contained report.
+    *
+    * No logarithms anywhere (the G-test would need them): every
+    * reported number is counts, one pinned IEEE division chain, or a
+    * decimal sum — the whole report hash-replays. Scale shape: one
+    * cell-level hash aggregate (map-side combine to |cells|), two
+    * marginal re-aggregations OF the cells, one broadcast join back.
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.select(col(colA).as("a"), col(colB).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("a").agg(sum(col("n")).as("__ra"))
+    val colTot = cells.groupBy("b").agg(sum(col("n")).as("__rb"))
+    val grand = broadcast(cells.agg(sum(col("n")).as("__nn")))
+    val term = round(
+      (col("n") - col("__e")) * (col("n") - col("__e")) / col("__e"), 6)
+    val scored = cells
+      .join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .crossJoin(grand)
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__rb") / col("__nn"))
+      .withColumn("chi_term", term)
+    val totals = broadcast(scored.agg(
+      sum(col("chi_term").cast("decimal(18,6)")).cast("double")
+        .as("chi2_total"),
+      // dof from the distinct marginal counts: (|A|-1)(|B|-1)
+      ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1))
+        .as("dof")))
+    scored.crossJoin(totals)
+      .select(col("a"), col("b"), col("n"),
+        round(col("__e"), 6).as("expected"), col("chi_term"),
+        col("chi2_total"), col("dof"))
   }
 }

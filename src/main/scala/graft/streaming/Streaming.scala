@@ -532,6 +532,51 @@ object Streaming {
         keyCol, seqCol, groupCol, valueCol))
   }
 
+  /** Streaming centroid-drift maintenance: the fixed-point dim sums of
+    * [[graft.operators.Similarity.centroidDrift]] are plain integers,
+    * so the telemetry is MERGEABLE — each micro-batch contributes
+    * (group, dim, sum, n) partials that ADD into the running table
+    * (bounded state: |groups|·dim longs, however unbounded the stream);
+    * the final report comes from the accumulated sums and is
+    * bit-identical to the batch operator over the union of all files
+    * (integer addition is associative — the StreamingSpec law). This is
+    * the ingest-time encoder-change tripwire: the drift report is
+    * maintained for free while vectors land, no full-corpus re-scan.
+    */
+  def streamingCentroidDrift(
+      spark: SparkSession,
+      embDir: String,
+      groupCol: String = "label",
+      scaleBits: Int = 20,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.Similarity
+    val schema = spark.read.parquet(embDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(embDir)
+    var sums: Option[DataFrame] = None
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val part = Similarity.centroidPartialSums(
+          batch.toDF(), groupCol, scaleBits)
+        val merged = sums.fold(part)(prev =>
+          prev.unionByName(part).groupBy("__grp", "pos")
+            .agg(org.apache.spark.sql.functions.sum(col("__s")).as("__s"),
+              org.apache.spark.sql.functions.sum(col("__n")).as("__n")))
+        // localCheckpoint: the running table must not re-derive every
+        // prior batch's lineage on each new trigger
+        sums = Some(merged.localCheckpoint(true))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sums.fold(
+      Similarity.centroidDrift(spark.read.parquet(embDir).limit(0), groupCol))(
+      Similarity.centroidDriftFromSums(_, groupCol))
+  }
+
   /** Streaming ANN ingest: maintain an IVFADC storage index under a
     * stream of arriving embedding files. The FIRST micro-batch
     * bootstraps the index — training the IVF/PQ codebook sidecars via

@@ -411,6 +411,25 @@ class CliSpec extends AnyFunSuite {
         "key" -> "user_id", "topn" -> "5"))
     }
     assert(sk.contains("skew_ratio") && sk.contains("Rows: 5"))
+    // data-quality family: FD audit, Benford digits, chi-square, drift
+    val fd = captureOut {
+      Cli.runCorpus(spark, Map("in" -> ev, "op" -> "fdcheck",
+        "lhs" -> "user_id", "rhs" -> "event_type"))
+    }
+    assert(fd.contains("n_distinct") && fd.contains("Rows: "))
+    val bf = captureOut {
+      Cli.runCorpus(spark, Map("in" -> ev, "op" -> "benford",
+        "value" -> "value"))
+    }
+    assert(bf.contains("deviation") && bf.contains("expected"))
+    val cs = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "chisq"))
+    }
+    assert(cs.contains("chi2_total") && cs.contains("dof"))
+    val cd = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "centroiddrift"))
+    }
+    assert(cd.contains("cos_to_global") && cd.contains("norm_ratio"))
   }
 
   test("corpus subcommand: curation telemetry ops (novelty/vocabdrift/embedoutliers)") {

@@ -85,11 +85,13 @@ class FuzzEquivalenceSpec extends AnyFunSuite {
         "SELECT strip_ansi('[31mred[0m'), rolling_hash('ab'), " +
           "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), " +
-          "sign_lsh_buckets(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 8)").head()
+          "sign_lsh_buckets(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 8), " +
+          "vec_hamming(array(CAST(5 AS BIGINT)), array(CAST(3 AS BIGINT)))").head()
       assert(r.getString(0) == "red")
       assert(r.getLong(1) == ('a'.toLong * 257 + 'b'.toLong))
       assert(r.getDouble(2) == 11.0)
       assert(r.getSeq[Long](3).length == 4)
+      assert(r.getLong(4) == 2L) // popcount(5 ^ 3) = popcount(0b110)
       val agg = s2.sql(
         "SELECT min_hash_sketch(h, 4) FROM VALUES (CAST(7 AS BIGINT)), (CAST(9 AS BIGINT)) AS t(h)")
         .head().getSeq[Long](0)

@@ -525,6 +525,13 @@ class OperatorsSpec extends AnyFunSuite {
       mixed.select(graft.functions.GraftFunctions.vec_dot($"a", $"b")).collect()
     }
     assert(e2.getMessage.contains("vec_dot") || e2.getMessage.contains("DATATYPE"))
+    // vec_hamming: packed sign words are bigint arrays, nothing else —
+    // a float array would popcount garbage bits
+    val fl = Seq((Array(1.0f), Array(2.0f))).toDF("a", "b")
+    val e3 = intercept[Exception] {
+      fl.select(graft.functions.GraftFunctions.vec_hamming($"a", $"b")).collect()
+    }
+    assert(e3.getMessage.contains("vec_hamming") || e3.getMessage.contains("DATATYPE"))
   }
 
   test("fused min_hash_sketch aggregate == declarative per-permutation mins") {
@@ -2347,6 +2354,22 @@ class OperatorsSpec extends AnyFunSuite {
 
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
+    // the native VecHamming loop must agree with the declarative
+    // zip_with+aggregate formulation on every corpus pair vs query 0
+    val q0 = emb.filter($"vec_id" === 0)
+      .select(Similarity.binarySignWords($"embedding", 64).as("qb"))
+      .collect()(0).getSeq[Long](0).toArray
+    val disagree = emb
+      .select(Similarity.binarySignWords($"embedding", 64).as("cb"))
+      .withColumn("qb", typedLit(q0))
+      .select(
+        Similarity.binaryHamming($"cb", $"qb").as("native"),
+        aggregate(
+          zip_with($"cb", $"qb", (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("declarative"))
+      .filter($"native" =!= $"declarative").count()
+    assert(disagree == 0L, "VecHamming must equal the zip_with formulation")
+
     val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
       .select("query_id", "vec_id", "cos_sim", "rank").collect().toSet
     // pool ≥ corpus (500 < 3·200): Hamming can't lose a candidate, so
@@ -2412,6 +2435,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.linkPredict(star, maxDegree = 5, minCommon = 1).count() == 10)
   }
 
+  test("co-occurrence projection: canonical edges, group cap, duplication idempotence") {
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),  // triangle 1-2-3
+      (11L, 2L), (11L, 4L),             // edge 2-4
+      (12L, 5L),                        // singleton group: no pairs
+    ).toDF("g", "i")
+    val got = Graph.coOccurrenceEdges(baskets, "g", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)))
+    // a group over the item cap is dropped entirely
+    val capped = Graph.coOccurrenceEdges(baskets, "g", "i", maxItemsPerGroup = 2)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 4L)))
+    // duplicating every basket under fresh group ids changes NOTHING:
+    // the projection is a distinct pair set — the scale property that
+    // makes re-crawled/re-delivered groups free
+    val dup = (0 until 10).map(rep =>
+        baskets.select((col("g") + rep * 1000).as("g"), col("i")))
+      .reduce(_ unionByName _)
+    val got10 = Graph.coOccurrenceEdges(dup, "g", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got10 == got, "projection must be idempotent under basket duplication")
+  }
+
   test("MAD outliers: hand medians, zero-MAD guard") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
@@ -2457,6 +2504,71 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = Skew.keyProfile(df, col("k"), topN = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("centroid drift: single group is the identity, hand geometry agrees") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // one group == the corpus: its centroid IS the global centroid
+    val self = Similarity.centroidDrift(
+      emb.withColumn("label", lit(0)), "label").collect()
+    assert(self.length == 1)
+    assert(self(0).getDouble(2) == 1.0 && self(0).getDouble(3) == 1.0)
+    // hand geometry: group 0 sums (2,0), group 1 (0,1), global (2,1)
+    val hand = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)),
+    ).toDF("label", "embedding")
+    val got = Similarity.centroidDrift(hand, "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // cos((2,0),(2,1)) = 4/(2*sqrt(5)); ratio (2/2)/(sqrt(5)/3)
+    assert(got(0)._1 == 2L && got(0)._2 == 0.8944)
+    assert(math.abs(got(0)._3 - 3.0 / math.sqrt(5.0)) < 1e-4)
+    assert(got(1)._1 == 1L && got(1)._2 == 0.4472)
+  }
+
+  test("FD violations: holding dependency returns nothing, breaks are counted") {
+    val df = Seq(
+      (1L, "a", 10), (1L, "a", 11), (2L, "b", 12), (2L, "c", 13), (2L, "c", 14),
+    ).toDF("k", "dep", "other")
+    // k -> dep is violated only by k=2 (two distinct deps over 3 rows)
+    val got = Stats.fdViolations(df, Seq("k"), "dep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 3L, 2L)))
+    // the (k, dep) pair determines itself -> no violations
+    assert(Stats.fdViolations(df, Seq("k", "dep"), "dep").count() == 0)
+  }
+
+  test("Benford: digit extraction spans magnitudes, shares sum to one") {
+    val df = Seq(1.5, 19.0, 25.0, 0.05, 912.0, 0.0, -3.0)
+      .toDF("v") // 0 and negatives excluded; digits 1,1,2,5,9
+    val got = Stats.benford(df, "v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1, 2, 5, 9))
+    assert(got(1) == ((2L, 0.4)) && got(2) == ((1L, 0.2)))
+    assert(got.values.map(_._2).sum == 1.0)
+    // expected shares carry the Benford literals
+    val e1 = Stats.benford(df, "v").filter($"digit" === 1)
+      .collect()(0).getDouble(3)
+    assert(e1 == 0.301029995664)
+  }
+
+  test("chi-square: independent table scores zero, dof from margins") {
+    val indep = Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(10)(("y", "q"))
+    val z = Stats.chiSquare(indep.toDF("a", "b"), "a", "b").collect()
+    assert(z.length == 4)
+    z.foreach { r =>
+      assert(r.getLong(2) == 10L && r.getDouble(3) == 10.0)
+      assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0 && r.getLong(6) == 1L)
+    }
+    // dependent 2x2: cells (x,p)=20, (y,q)=20 -> e = 10 each occupied
+    // cell, chi_term = 10; occupied-cell total = 20, dof = 1
+    val dep = Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("y", "q"))
+    val d = Stats.chiSquare(dep.toDF("a", "b"), "a", "b").collect()
+    assert(d.length == 2)
+    d.foreach { r =>
+      assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 20.0 && r.getLong(6) == 1L)
+    }
   }
 
   test("hard negatives: cross-label only, ranked like brute force on the rest") {

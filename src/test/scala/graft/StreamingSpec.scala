@@ -248,6 +248,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(view.toSeq == Seq(("g2", 2L, 41.0), ("g3", 1L, 45.0)))
   }
 
+  test("streaming centroid drift (merged partial sums) equals the batch report") {
+    val dir = tmpDir("cdrift-stream")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // three files, deliberately group-skewed splits so per-batch partials
+    // are NOT proportional mini-corpora
+    emb.filter(col("vec_id") < 150).coalesce(1)
+      .write.parquet(dir.resolve("a").toString)
+    emb.filter(col("vec_id") >= 150 && col("vec_id") < 300).coalesce(1)
+      .write.parquet(dir.resolve("b").toString)
+    emb.filter(col("vec_id") >= 300).coalesce(1)
+      .write.parquet(dir.resolve("c").toString)
+    val streamed = Streaming.streamingCentroidDrift(spark,
+        dir.toString + "/{a,b,c}", maxFilesPerTrigger = Some(1))
+      .orderBy("label").collect().map(_.toString).toSeq
+    val batch = operators.Similarity.centroidDrift(
+        spark.read.parquet(dir.resolve("a").toString,
+          dir.resolve("b").toString, dir.resolve("c").toString), "label")
+      .orderBy("label").collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed drift must be bit-identical to batch:\n$streamed\nvs\n$batch")
+  }
+
   test("event-time windowed aggregation equals the batch equivalent") {
     // streaming file source requires a directory
     val eventsDir = tmpDir("stream-events").toString
