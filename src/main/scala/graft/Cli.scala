@@ -279,7 +279,7 @@ object Cli {
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
           |  events -in <events.parquet> [-op sessionize|funnel|retention|json|
-          |              transitions|sessionstats|anomaly|anomalyonline]
+          |              transitions|sessionstats|anomaly|anomalyonline|paths|dwell]
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
           |          sessionize: [-gap-ms n]; json: [-path $.field];
           |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N]) [-out dir]
@@ -852,6 +852,9 @@ object Cli {
           zCut = flags.getOrElse("z-cut", "3.0").toDouble,
           minPrior = flags.getOrElse("min-prior", "8").toInt)
         .orderBy("event_id")
+      case "paths"  => Events.pathTrigrams(ev,
+        topN = flags.getOrElse("topn", "20").toInt)
+      case "dwell"  => Events.dwellStats(ev).orderBy("from_type", "to_type")
       case other => fail(s"unknown events op: $other")
     }
     flags.get("out") match {

@@ -294,6 +294,25 @@ object ScaleCheck {
       println(s"[scale] pq trained recall per rf: $pqt")
       require(pqt(4) >= 0.30 && pqt(2) >= 0.20,
         s"pq trained recall under floor (measured rf2=0.30, rf4=0.425): $pqt")
+      // binary (1-bit) quantization: this corpus is near-random (true
+      // neighbors at cos ~0.4), so 64 sign bits are a NOISY ranker and
+      // absolute recall is inherently low — the gates are therefore
+      // (a) ~10x the random-pick baseline (rf4 selects 20 of 1999:
+      // random recall ~0.01; a sign/popcount bug collapses to that),
+      // (b) monotone in rf, (c) EXACT at full width (Hamming can drop
+      // no candidate when every candidate survives — the correctness
+      // floor that doesn't depend on corpus geometry at all).
+      val bq = operators.Similarity.binaryRecall(embBig, qs, k = 5,
+          rerankFactors = Seq(1, 4, 400))
+        .select(col("rf").cast("int"), col("recall_at_k").cast("double"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      println(s"[scale] binary recall per rf: $bq")
+      require(bq(4) >= 0.06,
+        s"binary rf4 recall under 10x-random floor 0.06 (measured 0.125): $bq")
+      require(bq(1) <= bq(4) && bq(4) <= bq(400),
+        s"binary recall must be monotone in rf: $bq")
+      require(bq(400) == 1.0,
+        s"full-width binary rerank must recover the exact top-k: $bq")
       operators.CacheRegistry.release(spark)
     }
     // sparse tf-idf cosine at 10×: df of every term is 10× hotter. The

@@ -912,6 +912,16 @@ object SparkEntry {
       operators.Events.transitionMatrix(Tables.loadEvents(s, dir))
         .orderBy("from_type", "to_type")),
 
+    // top 3-step journeys (count desc, path ties) — the two-ahead
+    // complement to the transition matrix
+    "q_paths" -> ((s, dir) =>
+      operators.Events.pathTrigrams(Tables.loadEvents(s, dir), topN = 20)),
+
+    // per-transition dwell times: n, min/max, decimal-exact mean gap
+    "q_dwell" -> ((s, dir) =>
+      operators.Events.dwellStats(Tables.loadEvents(s, dir))
+        .orderBy("from_type", "to_type")),
+
     // deterministic k-fold assignment — reproducible cross-validation
     // membership from the id hash alone
     "q_kfold" -> ((s, dir) =>
@@ -4916,6 +4926,38 @@ object SparkEntry {
              / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT), 4)
              AS p_transition
          FROM c ORDER BY from_type, to_type""",
+
+    // the trigram windows replayed with two leads; the top-20 cut is
+    // boundary-exact because ties break on the path itself
+    "q_paths" ->
+      """WITH t AS (
+           SELECT event_type AS step1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS step2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS step3
+           FROM events)
+         SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+         FROM t WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         GROUP BY step1, step2, step3
+         ORDER BY n DESC, step1, step2, step3 LIMIT 20""",
+
+    "q_dwell" ->
+      """WITH s AS (
+           SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS from_type,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS prev_ms
+           FROM events)
+         SELECT from_type, event_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(ts_ms - prev_ms) AS BIGINT) AS min_gap_ms,
+           CAST(max(ts_ms - prev_ms) AS BIGINT) AS max_gap_ms,
+           round(CAST(sum(CAST(ts_ms - prev_ms AS DECIMAL(18,0))) AS DOUBLE)
+             / count(*), 2) AS avg_gap_ms
+         FROM s WHERE from_type IS NOT NULL
+         GROUP BY from_type, to_type ORDER BY from_type, to_type""",
 
     // md5-60 arithmetic replay, mod k instead of the split's buckets
     "q_kfold" ->

@@ -66,6 +66,57 @@ object Events {
           .as("p_transition"))
   }
 
+  /** Frequent 3-step journeys: every user's time-ordered event-type
+    * trigram (the [[sessionize]] ordering — ts_ms, ties on event_id),
+    * counted corpus-wide, top `topN` by (count desc, path lexicographic)
+    * — the next-two-actions complement to [[transitionMatrix]]'s
+    * single-step chain.
+    *
+    * Scale shape: two lead windows per USER partition (state bounded by
+    * one user's stream, never corpus-wide), a vocabulary³-bounded count
+    * aggregate with map-side combine, and an orderBy+limit top-N that
+    * plans as TakeOrderedAndProject. The boundary tie-break on the path
+    * itself makes the top-N cut engine-exact.
+    */
+  def pathTrigrams(events: DataFrame, topN: Int = 20): DataFrame = {
+    require(topN >= 1)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .withColumn("__e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("__e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("__e2").isNotNull && col("__e3").isNotNull)
+      .select(col("event_type").as("step1"), col("__e2").as("step2"),
+        col("__e3").as("step3"))
+      .groupBy("step1", "step2", "step3").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topN)
+  }
+
+  /** Transition dwell-time profile: how long users sit between each
+    * consecutive (from → to) event-type pair — n, min/max gap, and the
+    * decimal-exact mean gap (ms). The latency surface behind
+    * [[transitionMatrix]]'s probabilities: a hot transition with a
+    * collapsing dwell is a bot signature; one with a growing dwell is a
+    * UX regression. Same per-user lag window + vocabulary²-bounded
+    * aggregate shape as the matrix.
+    */
+  def dwellStats(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .withColumn("__from", lag(col("event_type"), 1).over(byUser))
+      .withColumn("__prev", lag(col("ts_ms"), 1).over(byUser))
+      .filter(col("__from").isNotNull)
+      .select(col("__from").as("from_type"),
+        col("event_type").as("to_type"),
+        (col("ts_ms") - col("__prev")).as("__gap"))
+      .groupBy("from_type", "to_type").agg(
+        count(lit(1)).as("n"),
+        min(col("__gap")).as("min_gap_ms"),
+        max(col("__gap")).as("max_gap_ms"),
+        round(sum(col("__gap").cast("decimal(18,0)")).cast("double")
+          / count(lit(1)), 2).as("avg_gap_ms"))
+  }
+
   /** Ordered-funnel analysis: for a stage sequence (s₁ … sₖ), a user
     * reaches stage i+1 only with an event of that type STRICTLY AFTER
     * their earliest qualifying stage-i event (the standard

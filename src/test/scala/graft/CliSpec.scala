@@ -484,6 +484,14 @@ class CliSpec extends AnyFunSuite {
       Cli.runEvents(spark, Map("in" -> ev))
     }
     assert(sess.contains("session_id") && sess.contains("Rows: 1000"))
+    val pt = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "paths", "topn" -> "5"))
+    }
+    assert(pt.contains("step3") && pt.contains("Rows: 5"))
+    val dw = captureOut {
+      Cli.runEvents(spark, Map("in" -> ev, "op" -> "dwell"))
+    }
+    assert(dw.contains("avg_gap_ms") && dw.contains("Rows: 25"))
     intercept[Cli.CliError] {
       Cli.runEvents(spark, Map("in" -> ev, "op" -> "nope"))
     }

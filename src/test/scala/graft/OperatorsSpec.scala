@@ -2459,6 +2459,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got10 == got, "projection must be idempotent under basket duplication")
   }
 
+  test("path trigrams and dwell stats: hand streams, boundary-exact top-N") {
+    // user 1: a,b,c,d at 0/10/30/60s; user 2: a,b,c at 0/5/9s
+    val ev = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "b", 10000L), (3L, 1L, "c", 30000L),
+      (4L, 1L, "d", 60000L),
+      (5L, 2L, "a", 0L), (6L, 2L, "b", 5000L), (7L, 2L, "c", 9000L),
+    ).toDF("event_id", "user_id", "event_type", "ts_ms")
+    val tri = Events.pathTrigrams(ev, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(tri.toSet == Set(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+    // topN=1 keeps the higher count; a tie would break lexicographically
+    assert(Events.pathTrigrams(ev, topN = 1).collect()(0).getLong(3) == 2L)
+
+    val dwell = Events.dwellStats(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // a->b gaps: 10000 and 5000 -> mean 7500; b->c gaps: 20000 and 4000
+    assert(dwell("a" -> "b") == ((2L, 5000L, 10000L, 7500.0)))
+    assert(dwell("b" -> "c") == ((2L, 4000L, 20000L, 12000.0)))
+    assert(dwell("c" -> "d") == ((1L, 30000L, 30000L, 30000.0)))
+  }
+
   test("MAD outliers: hand medians, zero-MAD guard") {
     val df = Seq(
       ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
