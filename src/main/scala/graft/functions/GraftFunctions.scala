@@ -442,6 +442,11 @@ object GraftFunctions {
     Shims.column(
       MinHashSketch(Shims.expression(h0), numHashes).toAggregateExpression())
 
+  def top_k_by(score: Column, id: Column, k: Int): Column =
+    Shims.column(
+      BoundedTopK(Shims.expression(score), Shims.expression(id), k)
+        .toAggregateExpression())
+
   def rolling_hash(c: Column): Column =
     Shims.column(RollingHash(Shims.expression(c)))
 
@@ -465,6 +470,9 @@ object GraftFunctions {
     Shims.registerFunction(spark, "min_hash_sketch", exprs =>
       MinHashSketch(exprs(0),
         graft.GraftExtensions.intLiteral(exprs(1), "numHashes")))
+    Shims.registerFunction(spark, "top_k_by", exprs =>
+      BoundedTopK(exprs(0), exprs(1),
+        graft.GraftExtensions.intLiteral(exprs(2), "k")))
     Shims.registerFunction(spark, "z_order_key", exprs =>
       BitInterleave(exprs(0), exprs(1)))
   }

@@ -38,6 +38,26 @@ object Similarity {
     df.select(col(idCol).as(idAlias), col("embedding"),
       l2norm(col("embedding")).as("__norm"))
 
+  /** The window-free retrieval finisher: (query_id, vec_id, cos_sim)
+    * candidates → per-query top-k with ranks, via the mergeable
+    * [[graft.functions.BoundedTopK]] aggregate. A
+    * `row_number().over(partitionBy(query_id))` window shuffles EVERY
+    * candidate row to its query's reducer; the aggregate's map-side
+    * partial keeps k slots per query per partition, so the shuffle
+    * carries k·|queries| rows per partition — the difference between
+    * wiring |corpus| rows and wiring answers. Identical output to the
+    * window formulation including boundary ties (total order score
+    * desc, id asc — pinned by spec under adversarial repartitioning).
+    */
+  private[graft] def aggTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.GraftFunctions
+        .top_k_by(col("cos_sim"), col("vec_id"), k).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e.id").as("vec_id"),
+        col("__e.score").as("cos_sim"),
+        (col("__i") + 1).cast("int").as("rank"))
+
   /** Exact brute-force cosine top-k for each query vector.
     * Similarity is rounded BEFORE ranking so ordering is reproducible
     * across engines/float-summation orders; ties break on vec_id.
@@ -53,11 +73,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
           .as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    aggTopK(scored, k).select("query_id", "vec_id", "cos_sim", "rank")
   }
 
   /** Hard-negative mining for contrastive/embedding training: for each
@@ -83,11 +99,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
           .as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    aggTopK(scored, k).select("query_id", "vec_id", "cos_sim", "rank")
   }
 
   /** Random-hyperplane (sign) LSH bucket id for table `t`: bit k is the
@@ -1190,15 +1202,13 @@ object Similarity {
     val c = withNorm(embeddings, "vec_id", "vec_id")
     val q = broadcast(c.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), col("__norm").as("q_norm")))
-    val top1 = CacheRegistry.track(c.crossJoin(q)
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
-          .as("cos_sim"))
-      .withColumn("__r", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos_sim").desc, col("vec_id").asc)))
-      .filter(col("__r") === 1)
-      .drop("__r")
+    val top1 = CacheRegistry.track(aggTopK(
+      c.crossJoin(q)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+            .as("cos_sim")), 1)
+      .drop("rank")
       .persist(StorageLevel.MEMORY_AND_DISK))
     top1.count()
     top1.as("f")
@@ -1327,9 +1337,12 @@ object Similarity {
     embeddings.select(col("vec_id"),
       binarySignWords(col("embedding"), dim).as("sign_bits"))
 
-  /** All-pairs (query x corpus) scoring shared by [[binaryTopK]] and
-    * [[binaryRecall]]: Hamming from the packed planes, exact rounded
-    * cosine, and the Hamming candidate rank (`hr`, ties on vec_id). */
+  /** All-pairs (query x corpus) scoring for [[binaryRecall]]: Hamming
+    * from the packed planes, exact rounded cosine, and the Hamming
+    * candidate rank (`hr`, ties on vec_id). The recall diagnostic needs
+    * the exact ranking of EVERY pair anyway (it is the baseline being
+    * compared against), so all-pairs windows are its honest cost —
+    * [[binaryTopK]] itself never scores a float until stage 2. */
   private def binaryScored(
       corpus: DataFrame, queries: DataFrame, dim: Int): DataFrame = {
     def packed(df: DataFrame, idAlias: String): DataFrame =
@@ -1368,8 +1381,32 @@ object Similarity {
       dim: Int = 64,
       rerankFactor: Int = 4): DataFrame = {
     require(k >= 1 && rerankFactor >= 1)
-    binaryScored(corpus, queries, dim)
-      .filter(col("__hr") <= k * rerankFactor)
+    // stage 1 touches ONLY the packed bits — a popcount scan with the
+    // bounded [[aggTopK]] finisher (score = −hamming: desc = Hamming
+    // asc, ties on vec_id), so the shuffle carries k·rf survivors per
+    // query per partition, never the corpus
+    val c = corpus.select(col("vec_id"),
+      binarySignWords(col("embedding"), dim).as("__bits"))
+    val qb = broadcast(queries.select(col("vec_id").as("query_id"),
+      binarySignWords(col("embedding"), dim).as("q_bits")))
+    val cand = c.crossJoin(qb)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-binaryHamming(col("__bits"), col("q_bits"))).cast("double")
+          .as("cos_sim"))
+    val surv = aggTopK(cand, k * rerankFactor)
+      .select(col("query_id"), col("vec_id"),
+        (-col("cos_sim")).cast("long").as("hamming"))
+    // stage 2: full-precision fetch BY ID of the k·rf survivors; the
+    // final rank window runs over <= k·rf rows per query
+    surv
+      .join(withNorm(corpus, "vec_id", "vec_id"), "vec_id")
+      .join(broadcast(withNorm(queries, "vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_emb")
+        .withColumnRenamed("__norm", "q_norm")), "query_id")
+      .select(col("query_id"), col("vec_id"), col("hamming"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cos_sim").desc, col("vec_id").asc)))
       .filter(col("rank") <= k)
