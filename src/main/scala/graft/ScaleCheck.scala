@@ -461,6 +461,53 @@ object ScaleCheck {
         "oriented wedges must respect the m^1.5 bound")
       edges.unpersist(blocking = false)
     }
+    // triangleDelta under a planted hub: old graph = a 10⁴-degree star
+    // whose hub is the MIN-ID endpoint of every batch edge that touches
+    // it — exactly the shape where expanding the min-id endpoint fans
+    // deg(hub) rows per edge (10⁶ total here), while the (deg, id)
+    // lower-degree orientation expands min(deg(a), deg(b)) = 2. Census
+    // the expansion the way the operator does (union degrees, lower
+    // endpoint), require the bounded count, the ≥1000× naive blow-up it
+    // replaces, and the exact delta counts.
+    time("triangleDelta: 10k-star hub batch (lower-degree expansion bound)") {
+      import spark.implicits._
+      val nLeaves = 10000L
+      val old = (1L to nLeaves).map(l => (0L, l)).toDF("src", "dst")
+        .repartition(32).cache()
+      // batch: hub → 100 fresh nodes, plus fresh node i ↔ leaf i — each
+      // fresh node closes exactly one triangle (0, i, 10000+i)
+      val batch = ((1L to 100L).map(i => (0L, nLeaves + i)) ++
+        (1L to 100L).map(i => (nLeaves + i, i))).toDF("src", "dst")
+      val delta = operators.Graph.triangleDelta(old, batch)
+      val got = delta.agg(sum(col("new_triangles")).as("s"),
+        max(when(col("node") === 0L, col("new_triangles"))).as("hub")).head()
+      require(got.getLong(0) == 300L && got.getLong(1) == 100L,
+        s"delta counts wrong under hub: $got")
+      // expansion census: union degrees, per-new-edge min(da, db) vs the
+      // min-id endpoint's degree the old formulation expanded
+      val unionE = old.unionByName(batch)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val deg = unionE.select(col("a").as("node"))
+        .union(unionE.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val newC = batch
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val census = newC
+        .join(deg.select(col("node").as("a"), col("deg").as("__da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("__db")), "b")
+        .agg(sum(least(col("__da"), col("__db"))).as("bounded"),
+          sum(col("__da")).as("minId")).head()
+      println(s"[scale] delta expansion rows: bounded ${census.getLong(0)} " +
+        s"vs min-id ${census.getLong(1)} (batch ${200L})")
+      require(census.getLong(0) <= 4 * 200L,
+        s"lower-degree expansion must stay batch-bounded: ${census.getLong(0)}")
+      require(census.getLong(1) >= 1000L * census.getLong(0),
+        "the hub must dominate the min-id expansion this stanza guards against")
+      old.unpersist(blocking = false)
+    }
+    operators.CacheRegistry.release(spark)
     // phash banding at sf0.1: the synthetic thumbnails are aHash-coarse
     // (few distinct hashes over thousands of images — the all-dup worst
     // case for any banded join), so the bucket cap is what separates a

@@ -3497,7 +3497,7 @@ object SparkEntry {
          ), top AS (
            SELECT key, cnt, rank FROM (
              SELECT key, cnt,
-               row_number() OVER (ORDER BY cnt DESC, key) AS rank
+               row_number() OVER (ORDER BY cnt DESC, key NULLS LAST) AS rank
              FROM counts) WHERE rank <= 20)
          SELECT CAST(top.rank AS INT) AS rank, top.key, top.cnt,
            g.n_rows, g.n_keys,
@@ -3534,11 +3534,17 @@ object SparkEntry {
              / (sqrt(list_inner_product(gv, gv)) / gn), 4) AS norm_ratio
          FROM ga, gg ORDER BY label""",
 
+    // NULL counts as a distinct rhs state (the engine's null-aware
+    // n_distinct): count(DISTINCT) + 1 if any NULL appears in the group
     "q_fd_check" ->
       """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+         CAST(count(DISTINCT l_suppkey)
+           + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct
          FROM lineitem GROUP BY l_partkey
-         HAVING count(DISTINCT l_suppkey) > 1 ORDER BY l_partkey""",
+         HAVING count(DISTINCT l_suppkey)
+           + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) > 1
+         ORDER BY l_partkey""",
 
     // the digit comes from floor(log10) used only to integer precision;
     // expected shares are 12dp DOUBLE literals, never engine logs

@@ -123,9 +123,20 @@ object BoundedTopK {
     val ids = new Array[Long](k)
     var size: Int = 0
 
-    /** True iff (s1, i1) ranks strictly before (s2, i2). */
-    @inline private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    /** True iff (s1, i1) ranks strictly before (s2, i2). NaN sorts as
+      * GREATER than every double (Spark's window `orderBy(desc)` puts
+      * NaN first) — primitive `>` would make NaN incomparable and the
+      * buffer arrival/merge-order dependent, breaking the bit-identical-
+      * to-window contract on degenerate scores (cos = 0/0 from a
+      * zero-norm vector). 0.0 vs -0.0 stays a tie (primitive `==`),
+      * matching Spark's double ordering.
+      */
+    @inline private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val n1 = java.lang.Double.isNaN(s1)
+      val n2 = java.lang.Double.isNaN(s2)
+      if (n1 || n2) (n1 && !n2) || (n1 && n2 && i1 < i2)
+      else s1 > s2 || (s1 == s2 && i1 < i2)
+    }
 
     def insert(s: Double, i: Long): Unit = {
       if (size == k && !before(s, i, scores(k - 1), ids(k - 1))) return

@@ -339,10 +339,13 @@ object Graph {
     *
     * Why enumeration beats recount at scale: each new triangle is found
     * THROUGH one of its new edges as a common-neighbor intersection in
-    * the union adjacency, so the work is Σ over new edges of
-    * deg(a)+deg(b) — proportional to the BATCH (times bounded degree),
-    * never to the accumulated graph's triangle count. The same
-    * append-vs-rebuild asymmetry as the IVFADC `appendIvfPq` path.
+    * the union adjacency, expanded from the LOWER-degree endpoint, so
+    * the work is Σ over new edges of min(deg(a), deg(b)) —
+    * proportional to the BATCH times the smaller endpoint degree, never
+    * to the accumulated graph's triangle count, and a planted hub costs
+    * only its neighbors' degrees (pinned by the ScaleCheck hub stanza).
+    * The same append-vs-rebuild asymmetry as the IVFADC `appendIvfPq`
+    * path.
     * Triangles formed by 2–3 new edges are reached through each of
     * them; the sorted-triple `distinct` collapses the multiplicity.
     * Output: (node, new_triangles) for nodes gaining ≥1.
@@ -371,13 +374,30 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK))
     adj.count()
     // common neighbors of each new edge's endpoints in the UNION graph:
-    // expand N(a) once, then ONE (b, w) equi-join keeps w ∈ N(b) — the
-    // intersection never materializes N(a)×N(b); no-self-loop adjacency
-    // makes w ≠ a and w ≠ b structural, no residual filter
-    val tris = newC
-      .join(adj.select(col("u").as("a"), col("v").as("__w")), Seq("a"))
-      .join(adj.select(col("u").as("b"), col("v").as("__w")), Seq("b", "__w"))
-      .select(array_sort(array(col("a"), col("b"), col("__w"))).as("__t"))
+    // expand the LOWER-degree endpoint's adjacency once, then ONE
+    // (hi, w) equi-join keeps w ∈ N(hi) — the intersection never
+    // materializes N(lo)×N(hi), and the expansion side is
+    // min(deg(a), deg(b)) rows per edge. Expanding the min-ID endpoint
+    // instead would fan a 10⁶-degree hub into 10⁶ rows per touching
+    // edge (the [[orientedTriangles]] curse-of-the-last-reducer shape);
+    // orienting by (deg, id) bounds the expansion at batch × min-degree
+    // — for a hub edge that is the OTHER endpoint's degree. Degrees are
+    // UNION degrees so the intersection semantics are unchanged
+    // (π-orientation here only picks which side expands; the planted-hub
+    // ScaleCheck stanza pins the bound). No-self-loop adjacency makes
+    // w ≠ lo and w ≠ hi structural, no residual filter.
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("__deg"))
+    val aLower = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val orientedNew = newC
+      .join(deg.select(col("u").as("a"), col("__deg").as("__da")), "a")
+      .join(deg.select(col("u").as("b"), col("__deg").as("__db")), "b")
+      .select(when(aLower, col("a")).otherwise(col("b")).as("lo"),
+        when(aLower, col("b")).otherwise(col("a")).as("hi"))
+    val tris = orientedNew
+      .join(adj.select(col("u").as("lo"), col("v").as("__w")), Seq("lo"))
+      .join(adj.select(col("u").as("hi"), col("v").as("__w")), Seq("hi", "__w"))
+      .select(array_sort(array(col("lo"), col("hi"), col("__w"))).as("__t"))
       .distinct()
     tris.select(explode(col("__t")).as("node"))
       .groupBy("node").agg(count(lit(1)).as("new_triangles"))

@@ -115,12 +115,14 @@ object Pq {
         vec_dot(col("sub_emb"), col("sub_emb"))
           - lit(2.0) * vec_dot(col("sub_emb"), col("c_sub"))
           + vec_dot(col("c_sub"), col("c_sub")), 6)
-      val w = Window.partitionBy("vec_id", "subspace")
-        .orderBy(d2.asc, col("centroid_id").asc)
-      val assigned = sv.join(cbDf, Seq("subspace"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("vec_id"), col("subspace"), col("centroid_id").as("code"))
+      // rank-1 by negated distance (desc) — the [[Similarity.assignByScore]]
+      // aggregate: one row per (vec, subspace) through the exchange, not
+      // m·n·ksub sort rows
+      val assigned = Similarity.assignByScore(
+          sv.join(cbDf, Seq("subspace")), Seq("vec_id", "subspace"),
+          "centroid_id", -d2, 1, Seq.empty,
+          centAlias = "code", scoreAlias = "__sc", rankName = "__rn")
+        .select(col("vec_id"), col("subspace"), col("code"))
       // m·ksub·(dim/m) = ksub·dim mean floats — the only driver-bound
       // data; ONE action per iteration
       val means = assigned.join(qsv, Seq("vec_id", "subspace"))
@@ -160,17 +162,19 @@ object Pq {
     */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
     val sv = subvectors(corpus, "vec_id", "vec_id", m, dim)
-    // ‖x−c‖² = x·x − 2x·c + c·c, all through the codegen'd vec_dot
+    // ‖x−c‖² = x·x − 2x·c + c·c, all through the codegen'd vec_dot;
+    // rank-1 by negated distance through the assignment aggregate (ties
+    // on centroid id — negation keeps the 6dp rounding's tie classes:
+    // -0.0 == 0.0 under the buffer's primitive compare)
     val d2 = round(
       vec_dot(col("sub_emb"), col("sub_emb"))
         - lit(2.0) * vec_dot(col("sub_emb"), col("c_sub"))
         + vec_dot(col("c_sub"), col("c_sub")), 6)
-    val w = Window.partitionBy("vec_id", "subspace")
-      .orderBy(d2.asc, col("centroid_id").asc)
-    sv.join(broadcast(codebooks), Seq("subspace"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("subspace"), col("centroid_id").as("code"))
+    Similarity.assignByScore(
+        sv.join(broadcast(codebooks), Seq("subspace")),
+        Seq("vec_id", "subspace"), "centroid_id", -d2, 1, Seq.empty,
+        centAlias = "code", scoreAlias = "__sc", rankName = "__rn")
+      .select(col("vec_id"), col("subspace"), col("code"))
   }
 
   /** Asymmetric-distance top-k by inner product with exact re-rank:
@@ -212,10 +216,16 @@ object Pq {
   def adcScore(ipqSum: Column): Column =
     round(ipqSum.cast("double") / Q, 6)
 
+  /** ADC-scored candidates cut to the top `depth` per query (rank kept
+    * as `__ar`) — the candidate stream is corpus-sized, so the cut is
+    * the bounded [[Similarity.aggTopKBy]] aggregate, never a
+    * corpus-wide window shuffle.
+    */
   private def approxRanked(
       corpus: DataFrame, queries: DataFrame,
       m: Int, ksub: Int, dim: Int,
-      codebooksOpt: Option[DataFrame] = None): DataFrame = {
+      codebooksOpt: Option[DataFrame],
+      depth: Int): DataFrame = {
     val codebooks = codebooksOpt.getOrElse(pqCodebooks(corpus, m, ksub, dim))
     val codes = pqEncode(corpus, codebooks, m, dim)
     val lut = adcLut(queries, codebooks, m, dim)
@@ -225,9 +235,7 @@ object Pq {
       .groupBy("query_id", "vec_id")
       .agg(adcScore(sum(col("ipq"))).as("approx_ip"))
 
-    val wA = Window.partitionBy("query_id")
-      .orderBy(col("approx_ip").desc, col("vec_id").asc)
-    approx.withColumn("__ar", row_number().over(wA))
+    Similarity.aggTopKBy(approx, "approx_ip", depth, rankName = "__ar")
   }
 
   /** Exact-cosine columns joined onto a candidate frame by id. */
@@ -258,11 +266,14 @@ object Pq {
       rerankFactor: Int = 4,
       codebooks: Option[DataFrame] = None): DataFrame = {
     require(k > 0 && rerankFactor >= 1)
-    val survivors = approxRanked(corpus, queries, m, ksub, dim, codebooks)
-      .filter(col("__ar") <= k * rerankFactor)
-      .drop("__ar")
+    val survivors =
+      approxRanked(corpus, queries, m, ksub, dim, codebooks, k * rerankFactor)
+        .drop("__ar")
 
-    // exact re-rank: full vectors fetched by id — a join, not a rescan
+    // exact re-rank: full vectors fetched by id — a join, not a rescan;
+    // the window input is already answer-sized (≤ queries·k·rf rows from
+    // the aggregate cut), and a window keeps the approx_ip payload
+    // without a second join
     val wR = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     withExactCosine(survivors, corpus, queries)
@@ -291,18 +302,18 @@ object Pq {
     import spark.implicits._
 
     val ranked = CacheRegistry.track(
-      withExactCosine(approxRanked(corpus, queries, m, ksub, dim, codebooks),
+      withExactCosine(
+          approxRanked(corpus, queries, m, ksub, dim, codebooks,
+            k * rerankFactors.max),
           corpus, queries)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ranked.count() // one fill for every rf's consumer
 
     val rfs = broadcast(rerankFactors.toDF("rerank_factor"))
-    val wR = Window.partitionBy("rerank_factor", "query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val pq = ranked.crossJoin(rfs)
-      .filter(col("__ar") <= col("rerank_factor") * k)
-      .withColumn("rank", row_number().over(wR))
-      .filter(col("rank") <= k)
+    val pq = Similarity.aggTopKBy(
+        ranked.crossJoin(rfs)
+          .filter(col("__ar") <= col("rerank_factor") * k),
+        "cos_sim", k, groupCols = Seq("rerank_factor", "query_id"))
       .select("rerank_factor", "query_id", "vec_id")
 
     val exact = Similarity.bruteForceTopK(corpus, queries, k)

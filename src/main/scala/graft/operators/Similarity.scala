@@ -48,15 +48,69 @@ object Similarity {
     * wiring |corpus| rows and wiring answers. Identical output to the
     * window formulation including boundary ties (total order score
     * desc, id asc — pinned by spec under adversarial repartitioning).
+    *
+    * vec_id is normalized to bigint (the aggregate's slot type): any
+    * integral id works, and the OUTPUT vec_id is always long — callers
+    * with string ids must map them to longs first (zipWithIndex-style)
+    * or use the window formulation.
     */
   private[graft] def aggTopK(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("query_id")
+    aggTopKBy(scored, "cos_sim", k)
+
+  /** [[aggTopK]] generalized over the score column name, the grouping
+    * keys, and the emitted rank column — the one finisher every
+    * retrieval stage shares (IVF probes rank `approx_ip`, the
+    * int8 probe `approx_sim`, matryoshka stage 1 `prefix_sim`, the
+    * dim-sweep groups by (dim, query_id)). Same total order and
+    * boundary-tie contract as the `row_number` window it replaces:
+    * score desc, vec_id asc, rank 1-based dense prefix of length ≤ k.
+    * Null scores never rank (the windows' NULLS LAST under desc can
+    * only differ when a group has < k non-null candidates — retrieval
+    * scores here are never null, at worst NaN, which ranks FIRST in
+    * both formulations).
+    */
+  private[graft] def aggTopKBy(scored: DataFrame, scoreCol: String, k: Int,
+      groupCols: Seq[String] = Seq("query_id"),
+      rankName: String = "rank"): DataFrame =
+    scored.groupBy(groupCols.map(col): _*)
       .agg(graft.functions.GraftFunctions
-        .top_k_by(col("cos_sim"), col("vec_id"), k).as("__tk"))
-      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__i", "__e")))
-      .select(col("query_id"), col("__e.id").as("vec_id"),
-        col("__e.score").as("cos_sim"),
-        (col("__i") + 1).cast("int").as("rank"))
+        .top_k_by(col(scoreCol), col("vec_id").cast("long"), k).as("__tk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__tk")).as(Seq("__i", "__e")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__e.id").as("vec_id"),
+        col("__e.score").as(scoreCol),
+        (col("__i") + 1).cast("int").as(rankName)): _*)
+
+  /** Shared nearest-centroid assignment as ONE mergeable aggregate: per
+    * id, the top-`probes` centroids of a pre-joined (id × broadcast
+    * centroids) frame by `score` (ties on centroid id asc). The window
+    * formulation this replaces shuffled corpus × |centroids| rows —
+    * embeddings included — through a sort per id; the k-slot
+    * [[graft.functions.BoundedTopK]] partial finishes each id's group
+    * map-side (a broadcast cross join never splits an id across
+    * partitions), so the exchange carries ONE row per id. `carry`
+    * columns must be constant within an id group (they ride as
+    * `first`). Output: id, carry…, centroid id (long, `centAlias`),
+    * score (`scoreAlias`), 1-based rank (int, `rankName`).
+    */
+  private[graft] def assignByScore(
+      joined: DataFrame, idCols: Seq[String], centIdCol: String, score: Column,
+      probes: Int, carry: Seq[String], centAlias: String,
+      scoreAlias: String, rankName: String): DataFrame = {
+    val aggs = carry.map(c => first(col(c)).as(c)) :+
+      graft.functions.GraftFunctions
+        .top_k_by(col("__sc"), col(centIdCol).cast("long"), probes).as("__tk")
+    joined
+      .select(idCols.map(col) ++ carry.map(col) ++
+        Seq(col(centIdCol), score.as("__sc")): _*)
+      .groupBy(idCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(idCols.map(col) ++ carry.map(col) ++
+        Seq(posexplode(col("__tk")).as(Seq("__i", "__e"))): _*)
+      .select(idCols.map(col) ++ carry.map(col) ++
+        Seq(col("__e.id").as(centAlias), col("__e.score").as(scoreAlias),
+          (col("__i") + 1).cast("int").as(rankName)): _*)
+  }
 
   /** Exact brute-force cosine top-k for each query vector.
     * Similarity is rounded BEFORE ranking so ordering is reproducible
@@ -264,11 +318,12 @@ object Similarity {
 
     for (_ <- 0 until iters) {
       val centDf = broadcast(cents.toDF("c", "e"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
-      val assigned = CacheRegistry.track(ev.crossJoin(centDf)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // rank-1 assignment as the [[assignByScore]] aggregate: the
+      // exchange carries one row per vector, not corpus × k sort rows
+      val assigned = CacheRegistry.track(
+        assignByScore(ev.crossJoin(centDf), Seq("vec_id"), "c",
+          round(cosine(col("embedding"), col("e")), 6), 1, Seq.empty,
+          centAlias = "c", scoreAlias = "__sc", rankName = "__rn")
         .select(col("vec_id"), col("c"))
         .persist(StorageLevel.MEMORY_AND_DISK))
       // k×dim mean rows + k counts — the only driver-bound data
@@ -323,19 +378,19 @@ object Similarity {
     * 6dp-rounded cosine (ties on centroid id — the oracle-proven
     * comparison) and keep the top `probes`, rank retained in `rankName`.
     * The centroid frame must carry (centroid_id, c_emb, c_norm).
+    * Runs as the [[assignByScore]] aggregate — the exchange carries one
+    * row per assigned id, not corpus × |centroids| sort rows.
     */
   private def assignProbes(
       df: DataFrame, centroids: DataFrame, probes: Int,
       rankName: String): DataFrame = {
     val idCol = df.columns.head
-    val w = Window.partitionBy(idCol)
-      .orderBy(
-        round(dot(col("c_emb"), col("embedding")) / (col("c_norm") * col("__norm")), 6).desc,
-        col("centroid_id").asc)
-    df.crossJoin(centroids)
-      .withColumn(rankName, row_number().over(w))
-      .filter(col(rankName) <= probes)
-      .drop("c_emb", "c_norm")
+    assignByScore(df.crossJoin(centroids), Seq(idCol), "centroid_id",
+      round(dot(col("c_emb"), col("embedding")) / (col("c_norm") * col("__norm")), 6),
+      probes, carry = Seq("embedding", "__norm"),
+      centAlias = "centroid_id", scoreAlias = "__assign_sc",
+      rankName = rankName)
+      .drop("__assign_sc")
   }
 
   private def broadcastCentroids(codebook: DataFrame): DataFrame =
@@ -396,11 +451,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
           .as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    aggTopK(scored, k).select("query_id", "vec_id", "cos_sim", "rank")
   }
 
   /** IVFADC storage index [Jégou, Douze, Schmid: "Product Quantization
@@ -672,11 +723,10 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     require(k > 0 && nprobe >= 1 && rerankFactor >= 1)
     val approx = ivfPqApprox(spark, dir, queries, nprobe, m, dim, None)
-    val wA = Window.partitionBy("query_id")
-      .orderBy(col("approx_ip").desc, col("vec_id").asc)
-    val survivors = approx.withColumn("__ar", row_number().over(wA))
-      .filter(col("__ar") <= k * rerankFactor)
-      .drop("__ar")
+    // the ADC candidate stream is probe-fraction-of-corpus sized — the
+    // bounded aggregate cut, never a candidate-wide window shuffle
+    val survivors = aggTopKBy(approx, "approx_ip", k * rerankFactor)
+      .drop("rank")
     rerankExact(survivors, corpus, queries, k)
   }
 
@@ -692,6 +742,10 @@ object Similarity {
       l2norm(col("embedding")).as("__v_norm"))
     val qN = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("__q_emb"), l2norm(col("embedding")).as("__q_norm")))
+    // the re-rank window input is already ANSWER-sized (≤ queries·k·rf
+    // rows — the aggregate cut upstream bounded it), so the window
+    // shuffle carries answers, not candidates; a window keeps the
+    // approx_ip payload without a second join
     val wR = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     // survivors are ≤ queries·k·rf rows against a corpus-sized vector
@@ -740,13 +794,11 @@ object Similarity {
     exact.count()
     val exactTotal = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
 
-    val wA = Window.partitionBy("query_id")
-      .orderBy(col("approx_ip").desc, col("vec_id").asc)
     val perProbe = nprobes.sorted.map { np =>
-      val survivors = approx.filter(col("probe_rank") <= np)
-        .withColumn("__ar", row_number().over(wA))
-        .filter(col("__ar") <= k * rerankFactor)
-        .drop("__ar")
+      // probe-fraction candidate stream → bounded aggregate cut
+      val survivors = aggTopKBy(approx.filter(col("probe_rank") <= np),
+          "approx_ip", k * rerankFactor)
+        .drop("rank")
       rerankExact(survivors, corpus, queries, k)
         .select("query_id", "vec_id")
         .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "vec_id"), "left")
@@ -782,11 +834,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
           .as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos_sim", "rank")
+    aggTopK(scored, k).select("query_id", "vec_id", "cos_sim", "rank")
   }
 
   /** IVF over int8-quantized codes with exact re-rank — the memory-bound
@@ -839,11 +887,9 @@ object Similarity {
         round(((col("scale") * col("q_scale")) * intDot.cast("double"))
             / (col("__norm") * col("q_norm")), 6)
           .as("approx_sim"))
-    val survivors = scored
-      .withColumn("__ar", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("approx_sim").desc, col("vec_id").asc)))
-      .filter(col("__ar") <= k * rerankFactor)
-      .drop("__ar")
+    // probe-fraction candidate stream → bounded aggregate cut
+    val survivors = aggTopKBy(scored, "approx_sim", k * rerankFactor)
+      .drop("rank")
 
     // survivors-only full-precision fetch: an id equi-join, never a
     // rescoring of the whole probed set
@@ -906,12 +952,9 @@ object Similarity {
     exact.count()
     val exactTotal = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
     val perProbe = nprobes.sorted.map { np =>
-      scored.filter(col("probe_rank") <= np)
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+      // bucket-fraction candidate stream → bounded aggregate cut
+      aggTopK(scored.filter(col("probe_rank") <= np), k)
         .select("query_id", "vec_id")
         .join(exact.withColumn("__hit", lit(1)), Seq("query_id", "vec_id"), "left")
         .agg(count(lit(1)).as("ivf_pairs"), count(col("__hit")).as("hit_pairs"))
@@ -966,15 +1009,15 @@ object Similarity {
     val tq = broadcast(truncated(queries, "vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
       .withColumnRenamed("__norm", "q_norm"))
-    val w = Window.partitionBy("dim", "query_id")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val truncTopK = tc.join(tq, Seq("dim"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("dim"), col("query_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
-          .as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // corpus × |dims| candidate stream → bounded aggregate cut per
+    // (dim, query) group
+    val truncTopK = aggTopKBy(
+      tc.join(tq, Seq("dim"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("dim"), col("query_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+            .as("cos_sim")),
+      "cos_sim", k, groupCols = Seq("dim", "query_id"))
     val exact = CacheRegistry.track(
       bruteForceTopK(corpus, queries, k).select(col("query_id"), col("vec_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1022,16 +1065,16 @@ object Similarity {
     val tq = broadcast(trunc(queries, "vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
       .withColumnRenamed("__norm", "q_norm"))
-    val survivors = trunc(corpus, "vec_id", "vec_id")
-      .crossJoin(tq)
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
-          .as("prefix_sim"))
-      .withColumn("__pr", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("prefix_sim").desc, col("vec_id").asc)))
-      .filter(col("__pr") <= k * rerankFactor)
-      .drop("__pr")
+    // the prefix scan is the one corpus-wide pass → bounded aggregate cut
+    val survivors = aggTopKBy(
+      trunc(corpus, "vec_id", "vec_id")
+        .crossJoin(tq)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+            .as("prefix_sim")),
+      "prefix_sim", k * rerankFactor)
+      .drop("rank")
     // survivors-only full-precision fetch: an id equi-join, never a
     // rescoring of the whole corpus
     survivors
@@ -1085,12 +1128,10 @@ object Similarity {
       cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
     val ev = Parallelism.ensure(
       embeddings.select(col("vec_id"), col("embedding"), col(labelCol)), "vec_id")
-    val w = Window.partitionBy("vec_id")
-      .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
-    val assigned = ev.crossJoin(cents)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("c").as("cluster_id"), col(labelCol))
+    val assigned = assignByScore(ev.crossJoin(cents), Seq("vec_id"), "c",
+        round(cosine(col("embedding"), col("e")), 6), 1, Seq(labelCol),
+        centAlias = "cluster_id", scoreAlias = "__sc", rankName = "__rn")
+      .select(col("vec_id"), col("cluster_id"), col(labelCol))
     val counts = assigned.groupBy("cluster_id", labelCol)
       .agg(count(lit(1)).as("__lc"))
     val wTop = Window.partitionBy("cluster_id")
@@ -1114,17 +1155,16 @@ object Similarity {
     val ev = Parallelism.ensure(
       embeddings.select(col("vec_id"), col("embedding")), "vec_id")
     // final assignment against the TRAINED codebook — same rounded-cosine
-    // comparison and centroid-id tie break as the training passes
-    val w = Window.partitionBy("vec_id")
-      .orderBy(round(cosine(col("embedding"), col("e")), 6).desc, col("c").asc)
+    // comparison and centroid-id tie break as the training passes.
     // persisted: three consumers (both self-join sides + the keep join)
-    // would re-run the crossJoin+window assignment otherwise; at sf0.1 the
+    // would re-run the crossJoin+assignment otherwise; at sf0.1 the
     // A/B is wall-neutral (cache barrier ≈ re-execution cost on 2k rows)
     // but at corpus scale assignment is the expensive pass
-    val assigned = CacheRegistry.track(ev.crossJoin(cents)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("c").as("cluster_id"))
+    val assigned = CacheRegistry.track(
+      assignByScore(ev.crossJoin(cents), Seq("vec_id"), "c",
+        round(cosine(col("embedding"), col("e")), 6), 1, Seq("embedding"),
+        centAlias = "cluster_id", scoreAlias = "__sc", rankName = "__rn")
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = Dedup.embeddingNearDup(assigned, threshold, blockCol = "cluster_id")
     // pairs carry vec_id_a < vec_id_b, so the b side always has a
@@ -1164,20 +1204,15 @@ object Similarity {
       cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
     val ev = Parallelism.ensure(
       embeddings.select(col("vec_id"), col("embedding")), "vec_id")
-    // cosine materialized ONCE as an attribute; the window sorts the
-    // attribute instead of re-deriving the expression per row (the
-    // multi-reference rule: a non-cheap alias referenced by both the
-    // sort key and the output would otherwise evaluate twice)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("__cos").desc, col("c").asc)
-    ev.crossJoin(cents)
-      .select(col("vec_id"), col("c"),
-        round(cosine(col("embedding"), col("e")), 6).as("__cos"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("c").as("cluster_id"),
-        col("__cos").as("cos_centroid"),
-        (col("__cos") < minCos).as("is_outlier"))
+    // the assignment aggregate materializes the cosine once and keeps
+    // it as the emitted score — the outlier cut compares the value that
+    // decided the ranking
+    assignByScore(ev.crossJoin(cents), Seq("vec_id"), "c",
+        round(cosine(col("embedding"), col("e")), 6), 1, Seq.empty,
+        centAlias = "cluster_id", scoreAlias = "cos_centroid",
+        rankName = "__rn")
+      .select(col("vec_id"), col("cluster_id"), col("cos_centroid"),
+        (col("cos_centroid") < minCos).as("is_outlier"))
   }
 
   /** Reciprocal (mutual) nearest-neighbor pairs: (a, b) with a < b where
@@ -1191,11 +1226,17 @@ object Similarity {
     * One all-pairs scoring pass feeds both directions (the rank-1
     * window ranks within query_id; direction b→a is the same scored
     * frame re-keyed), and the mutual join is rank-1-list sized —
-    * |corpus| rows, never pairs. At 100 TB the scoring pass swaps for
-    * an IVF/BQ candidate generator: mutuality only needs each vector's
-    * candidate set to contain its true top-1. Output:
-    * (vec_id_a, vec_id_b, cos_sim) — cos_sim is direction-symmetric
-    * because the dot loop and the norm product are order-identical.
+    * |corpus| rows, never pairs.
+    *
+    * SIZE BOUND: this exact twin broadcasts the whole corpus as the
+    * query side (every vector is a query), so it is only for corpora
+    * that fit a broadcast (≲ a few hundred MB of vectors) — it is the
+    * truth baseline, not the scale path. At 100 TB use
+    * [[mutualNeighborsApprox]]: BQ-Hamming candidate generation, same
+    * mutuality rule over candidate lists, no corpus broadcast and no
+    * all-pairs scoring. Output: (vec_id_a, vec_id_b, cos_sim) —
+    * cos_sim is direction-symmetric because the dot loop and the norm
+    * product are order-identical.
     */
   def mutualNeighbors(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel

@@ -99,10 +99,14 @@ object Skew {
     // TakeOrderedAndProject (per-partition top-N then a topN-row merge);
     // an unpartitioned row_number window would drag ALL |keys| rows
     // through one task. The rank window below runs over <= topN rows.
-    counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+    // asc_nulls_last on the key tie-break: Spark's plain asc sorts NULL
+    // first while DuckDB's ORDER BY default is NULLS LAST — a null key
+    // tying on cnt at the topN boundary would cut differently across
+    // engines (the oracle pins NULLS LAST explicitly)
+    counts.orderBy(col("cnt").desc, col("key").asc_nulls_last).limit(topN)
       .crossJoin(globals)
       .withColumn("__r", row_number().over(Window.partitionBy()
-        .orderBy(col("cnt").desc, col("key").asc)))
+        .orderBy(col("cnt").desc, col("key").asc_nulls_last)))
       .select(col("__r").as("rank"), col("key"), col("cnt"),
         col("n_rows"), col("n_keys"),
         round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),

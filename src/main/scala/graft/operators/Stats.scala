@@ -283,12 +283,19 @@ object Stats {
     * (count + count distinct per group, map-side partials); output is
     * violating groups only, so a HOLDING dependency costs one scan and
     * returns nothing.
+    *
+    * NULL counts as its own rhs state: `countDistinct` ignores NULLs,
+    * so a group with rhs values {x, NULL} would read as constant and a
+    * null-vs-value inconsistency would silently pass — n_distinct here
+    * is distinct non-null values plus one if any NULL appears (an
+    * all-NULL group is constant, n_distinct = 1, not a violation).
     */
   def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
     require(lhs.nonEmpty, "need at least one determinant column")
     df.groupBy(lhs.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col(rhs)).as("n_distinct"))
+        (countDistinct(col(rhs)) +
+          max(when(col(rhs).isNull, 1L).otherwise(0L))).as("n_distinct"))
       .filter(col("n_distinct") > 1)
   }
 

@@ -2777,4 +2777,69 @@ class OperatorsSpec extends AnyFunSuite {
       assert(!got(i)._2 && got(i)._1 > 0.9, s"vec $i: ${got(i)}")
     }
   }
+
+  test("aggTopK == row_number window under adversarial repartitioning, NaN and ties included") {
+    // scores engineered for boundary ties (equal scores straddling the
+    // k cut), negative zero vs zero, and NaN (a zero-norm cosine): the
+    // aggregate must reproduce the window's total order — score desc
+    // with NaN FIRST (Spark sorts NaN greater than any double), id asc
+    // on ties — for every partitioning and merge order
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 4).flatMap { q =>
+      (0 until 200).map { i =>
+        val s = rnd.nextInt(12) match {
+          case 0 => Double.NaN
+          case 1 => 0.0
+          case 2 => -0.0
+          case n => (n - 6).toDouble / 4
+        }
+        (q.toLong, i.toLong, s)
+      }
+    }
+    val base = rows.toDF("query_id", "vec_id", "cos_sim")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val want = base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)) &
+          ~(1L << 63), r.getInt(3)))
+      .toSet // fold -0.0 into 0.0: the window emits the arbitrary tie's sign
+    for (parts <- Seq(1, 2, 7, 32)) {
+      val got = Similarity.aggTopK(base.repartition(parts), 7)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)) &
+            ~(1L << 63), r.getInt(3)))
+        .toSet
+      assert(got == want, s"parts=$parts: aggregate diverged from window")
+    }
+  }
+
+  test("IVF path is repartitioning-invariant end to end (the aggregate finishers)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 3)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(c, queries, k = 3, numCentroids = 32, nprobe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val want = run(emb)
+    for (parts <- Seq(1, 5, 32)) {
+      assert(run(emb.repartition(parts)) == want,
+        s"ivfTopK must be partitioning-invariant at parts=$parts")
+    }
+  }
+
+  test("FD violations: NULL counts as a distinct rhs state") {
+    val df = Seq[(Long, Option[String])](
+      (1L, Some("a")), (1L, None),          // {a, NULL} → violation, 2 states
+      (2L, None), (2L, None),               // all-NULL → constant, holds
+      (3L, Some("x")), (3L, Some("x")),     // constant non-null → holds
+    ).toDF("k", "dep")
+    val got = Stats.fdViolations(df, Seq("k"), "dep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L)), s"got ${got.toSeq}")
+  }
 }
