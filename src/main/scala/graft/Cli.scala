@@ -269,7 +269,7 @@ object Cli {
           |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
           |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N];
           |          binarytopk/binaryrecall: embeddings -in, [-queries N] [-topk N] [-dim N] [-rerank N|N,N,...];
-          |          mutualnn: embeddings -in;
+          |          mutualnn: embeddings -in; mutualnnivf: embeddings -in;
           |          linkpredict: documents -in, [-span-cap N] [-max-degree N] [-min-common N];
           |          madoutliers: [-value c] [-group c] [-cutoff X];
           |          kanon: -quasi c1,c2,... [-k N]; skewkeys: -key c [-topn N];
@@ -774,6 +774,7 @@ object Cli {
         rerankFactors = flags.getOrElse("rerank", "1,2,4")
           .split(",").map(_.trim.toInt).toSeq)
       case "mutualnn"    => Similarity.mutualNeighbors(docs)
+      case "mutualnnivf" => Similarity.mutualNeighborsApprox(docs)
       // link prediction over the span-duplication graph (documents input)
       case "linkpredict" => Graph.linkPredict(
         Graph.spanLinkEdges(docs,

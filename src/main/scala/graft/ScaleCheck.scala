@@ -315,6 +315,34 @@ object ScaleCheck {
         s"full-width binary rerank must recover the exact top-k: $bq")
       operators.CacheRegistry.release(spark)
     }
+    // approximate mutual-NN vs the exact truth twin: IVF-blocked
+    // candidates at the default (32 centroids, nprobe 4) must find most
+    // reciprocal-top-1 pairs even on this near-random corpus (measured
+    // 0.8125 — real clustered corpora do better), and the exhaustive
+    // probe (nprobe = numCentroids, every pair shares a block) must
+    // reproduce the exact operator EXACTLY — the geometry-free
+    // correctness law, the binaryRecall rf=full-width analogue.
+    time("mutual-NN approx recall floor + exhaustive-probe law (2k vectors)") {
+      val embBig = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("vec_id_a"), col("vec_id_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(operators.Similarity.mutualNeighbors(embBig))
+      operators.CacheRegistry.release(spark)
+      val approx = pairs(operators.Similarity.mutualNeighborsApprox(embBig))
+      operators.CacheRegistry.release(spark)
+      val recall = approx.intersect(exact).size.toDouble / exact.size
+      println(s"[scale] mutual-NN exact ${exact.size} approx ${approx.size} " +
+        f"recall $recall%.4f")
+      require(recall >= 0.70,
+        f"mutual-NN approx recall under floor 0.70 (measured 0.8125): $recall%.4f")
+      val full = pairs(
+        operators.Similarity.mutualNeighborsApprox(embBig, 8, 8))
+      operators.CacheRegistry.release(spark)
+      require(full == exact,
+        s"exhaustive-probe mutual-NN must equal the exact twin: " +
+          s"missing ${(exact -- full).take(3)}, extra ${(full -- exact).take(3)}")
+    }
     // sparse tf-idf cosine at 10×: df of every term is 10× hotter. The
     // FRACTIONAL cap scales with D (a skew guard, not a scale guard), so
     // the absolute maxDf cap is what bounds generation blocks at corpus
@@ -536,6 +564,43 @@ object ScaleCheck {
         "the cap must visibly bite on the degenerate-thumbnail corpus")
       val pairs = operators.Multimodal.aHashPairs(hashes).count()
       println(s"[scale] phash pairs out (hamming<=3, cap 64): $pairs")
+      // pigeonhole recall gate (r13 verdict task 6): with the bucket cap
+      // OFF, banding must find EXACTLY the ≤r-Hamming pairs — maxHamming
+      // < bands guarantees a qualifying pair matches in some band, so
+      // banded ⊇ exact; the final bit_count filter gives banded ⊆ exact.
+      // Run for BOTH perceptual hash families (the banding contract is
+      // hash-agnostic) and report how much the default cap drops.
+      def recallGate(hdf: org.apache.spark.sql.DataFrame, hc: String,
+          label: String): Unit = {
+        val ha = hdf.select(col("doc_id").as("id_a"), col(hc).as("__pa"))
+        val hb = hdf.select(col("doc_id").as("id_b"), col(hc).as("__pb"))
+        val exactP = ha.crossJoin(hb)
+          .filter(col("id_a") < col("id_b") &&
+            bit_count(col("__pa").bitwiseXOR(col("__pb"))) <= 3)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nExact = exactP.count()
+        val uncapped = operators.Multimodal.aHashPairs(hdf,
+            maxHamming = 3, bands = 4, maxBucket = Int.MaxValue, hashCol = hc)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nUncapped = uncapped.count()
+        val missed = exactP.join(uncapped, Seq("id_a", "id_b"), "left_anti").count()
+        val nCapped = operators.Multimodal.aHashPairs(hdf, hashCol = hc).count()
+        println(s"[scale] $label banding: exact $nExact uncapped $nUncapped " +
+          s"missed $missed capped $nCapped")
+        require(missed == 0 && nUncapped == nExact,
+          s"$label uncapped banding must equal the exact ≤3-Hamming pairs: " +
+            s"exact $nExact banded $nUncapped missed $missed")
+        require(nCapped <= nExact,
+          s"$label cap may only drop pairs, never invent: $nCapped > $nExact")
+        exactP.unpersist(blocking = false)
+        uncapped.unpersist(blocking = false)
+      }
+      recallGate(hashes, "phash", "phash")
+      val media = operators.Multimodal.synthesizeMedia(spark, docs)
+      recallGate(operators.Multimodal.audioEnergyHash(spark, media),
+        "ehash", "audiohash")
     }
     operators.CacheRegistry.release(spark)
     // z-order rewrite of the 10× corpus: the layout shuffle is the only

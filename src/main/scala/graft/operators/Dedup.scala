@@ -648,10 +648,17 @@ object Dedup {
     * dup-family size, never corpus-sized); the representative join is a
     * cluster-count-sized equi-join.
     */
-  def dedupRepresentatives(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dedupRepresentatives(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupRepresentativesFromLabels(docs, dedupClusters(docs, pairs))
+
+  /** [[dedupRepresentatives]] over a PRECOMPUTED (doc_id, canonical_id)
+    * labeling — the shared-substrate entry point: the CC labeling is the
+    * trio's (clusters / sizes / best-member) heaviest common stage, and a
+    * suite that derives all three from one labels table pays it once.
+    */
+  def dedupRepresentativesFromLabels(docs: DataFrame, labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val labels = dedupClusters(docs, pairs)
     val q = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("alpha_ratio"), col("n_chars_measured"))
     // persisted + eagerly filled: the rep filter and the member join are

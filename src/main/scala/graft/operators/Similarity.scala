@@ -1260,6 +1260,57 @@ object Similarity {
         col("f.cos_sim"))
   }
 
+  /** The 100 TB mutual-NN [[mutualNeighbors]]' docstring promises:
+    * candidate generation via IVF blocking — every vector is assigned
+    * its `nprobe` nearest centroids (the q_ivf_topk 6dp/tie contract),
+    * candidates are vectors SHARING a probed centroid, exact 4dp cosine
+    * scores candidate pairs only, and the reciprocal-agreement join
+    * runs over each side's candidate top-1. The candidate relation is
+    * symmetric (shared-centroid is direction-free), so mutuality means
+    * what it means in the exact twin; a true RNN pair is missed only
+    * when the two vectors share none of their probed centroids —
+    * recall vs the exact operator is a ScaleCheck floor.
+    *
+    * Scale shape, the [[semanticDedup]] contract: NO corpus broadcast
+    * (the exact twin's bound) and no all-pairs scoring — the pair join
+    * shuffles on centroid_id, so compute is Σ cluster² and the top-1
+    * cut is the mergeable [[aggTopK]] aggregate. A pair sharing
+    * several probed centroids scores identically through each (the
+    * cosine is a pure pair function), and identical (score, id)
+    * candidates collapse in the k-slot buffer — no dedup pass needed.
+    * Output: (vec_id_a, vec_id_b, cos_sim), a < b.
+    */
+  def mutualNeighborsApprox(
+      embeddings: DataFrame,
+      numCentroids: Int = 32,
+      nprobe: Int = 4): DataFrame = {
+    require(numCentroids >= 1 && nprobe >= 1)
+    import org.apache.spark.storage.StorageLevel
+    val centroids = broadcastCentroids(pseudoCentroids(embeddings, numCentroids))
+    val assigned = CacheRegistry.track(
+      assignProbes(withNorm(embeddings, "vec_id", "vec_id"), centroids,
+          nprobe, "__r")
+        .drop("__r")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    assigned.count() // both sides of the blocked pair join read it
+    val q = assigned.select(col("centroid_id"), col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("__norm").as("q_norm"))
+    val scored = assigned.join(q, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("__norm")), 4)
+          .as("cos_sim"))
+    val top1 = CacheRegistry.track(aggTopK(scored, 1).drop("rank")
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    top1.count()
+    top1.as("f")
+      .join(top1.select(col("query_id").as("__bq"), col("vec_id").as("__bv")),
+        col("f.query_id") === col("__bv") && col("f.vec_id") === col("__bq"))
+      .filter(col("f.query_id") < col("f.vec_id"))
+      .select(col("f.query_id").as("vec_id_a"), col("f.vec_id").as("vec_id_b"),
+        col("f.cos_sim"))
+  }
+
   /** Per-group embedding centroid drift vs the global centroid: for
     * each group, how far its mean vector points away from the corpus
     * mean (rounded cosine) and how its mean vector length compares

@@ -2832,6 +2832,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mutual-NN approx: exhaustive probe reproduces the exact twin") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id_a", "vec_id_b", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairs(Similarity.mutualNeighbors(emb))
+    assert(exact.nonEmpty)
+    // nprobe = numCentroids → every pair shares a block → the blocked
+    // operator degenerates to the exact one, cos_sim included
+    assert(pairs(Similarity.mutualNeighborsApprox(emb, 8, 8)) == exact)
+    // default blocking: every emitted pair is a genuine reciprocal
+    // top-1 over its candidate lists; on this tiny corpus the blocks
+    // still find most of the true pairs
+    val approx = pairs(Similarity.mutualNeighborsApprox(emb))
+    assert(approx.nonEmpty &&
+      approx.map(p => (p._1, p._2)).intersect(exact.map(p => (p._1, p._2))).size * 2
+        >= exact.size,
+      s"approx ${approx.size} vs exact ${exact.size}")
+  }
+
   test("FD violations: NULL counts as a distinct rhs state") {
     val df = Seq[(Long, Option[String])](
       (1L, Some("a")), (1L, None),          // {a, NULL} → violation, 2 states
