@@ -265,6 +265,7 @@ object Cli {
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
           |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]);
           |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
+          |          winnow/winnowpairs: MOSS fingerprints / shared-print pairs;
           |          hardneg: embeddings -in, [-queries N] [-topk N];
           |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
           |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N];
@@ -457,6 +458,8 @@ object Cli {
       case "editdist"    => Dedup.editDistanceNearDup(docs,
         maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "winnow"      => Dedup.winnowFingerprints(docs)
+      case "winnowpairs" => Dedup.winnowPairs(docs)
       case "vocabgrowth" => TextAnalysis.vocabGrowth(docs,
         slices = flags.getOrElse("slices", "10").toInt)
       case "collocations" => TextAnalysis.collocations(docs,

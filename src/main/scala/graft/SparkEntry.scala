@@ -513,6 +513,21 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // robust winnowing (MOSS): per-window min shingle hash, ties to the
+    // rightmost position, via the folded integer key — guaranteed-recall
+    // span spot-checks at 2/(w+1) density
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(Tables.load(s, dir, "documents"),
+          k = 3, window = 4)
+        .orderBy("doc_id", "fp_pos")),
+
+    // pairs sharing >=2 winnowed fingerprints (hash df-capped) — the
+    // guaranteed-recall complement to stride-sampled span dedup
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.load(s, dir, "documents"),
+          k = 3, window = 4, minShared = 2, maxDocsPerHash = 64)
+        .orderBy("doc_id_a", "doc_id_b")),
+
     // BM25-style keyword relevance (rational idf — see keywordScores doc)
     "q_keyword_scores" -> ((s, dir) =>
       TextAnalysis.keywordScores(Tables.load(s, dir, "documents"),
@@ -4518,6 +4533,77 @@ object SparkEntry {
            FROM (SELECT doc_id, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
                  FROM documents)) t
          ORDER BY doc_id""",
+
+    // robust winnowing replay: the (hash, rightmost-pos) selection is ONE
+    // integer min over the folded key h*2^20 + (2^20-1-pos); 40-bit
+    // md5-prefix hash, per-doc window of 4, short docs keep their overall
+    // min (pos >= least(3, maxpos))
+    "q_winnow" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), shs AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), e AS (
+           SELECT doc_id, unnest(s) AS sh, generate_subscripts(s, 1) - 1 AS pos FROM shs
+         ), keyed AS (
+           SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) * 1048576
+               + (1048575 - pos) AS key
+           FROM e
+         ), m AS (
+           SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+             max(pos) OVER (PARTITION BY doc_id) AS mp
+           FROM keyed)
+         SELECT DISTINCT doc_id,
+           CAST(1048575 - (mk % 1048576) AS BIGINT) AS fp_pos,
+           CAST(mk // 1048576 AS BIGINT) AS fp_hash
+         FROM m WHERE pos >= least(3, mp)
+         ORDER BY doc_id, fp_pos""",
+
+    "q_winnow_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), shs AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), e AS (
+           SELECT doc_id, unnest(s) AS sh, generate_subscripts(s, 1) - 1 AS pos FROM shs
+         ), keyed AS (
+           SELECT doc_id, pos,
+             CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) * 1048576
+               + (1048575 - pos) AS key
+           FROM e
+         ), m AS (
+           SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+             max(pos) OVER (PARTITION BY doc_id) AS mp
+           FROM keyed
+         ), fp AS (
+           SELECT DISTINCT doc_id, CAST(mk // 1048576 AS BIGINT) AS h
+           FROM m WHERE pos >= least(3, mp)
+         ), link AS (
+           SELECT h FROM (SELECT h, count(*) AS nd FROM fp GROUP BY h)
+           WHERE nd > 1 AND nd <= 64
+         ), sl AS (
+           SELECT fp.doc_id, fp.h FROM fp JOIN link USING (h)
+         )
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM sl a JOIN sl b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY doc_id_a, doc_id_b""",
     // the portable simhash is replayed bit-for-bit: same md5-hex-prefix
     // token hash (60 bits), same per-bit majority vote, same bit assembly
     "q_simhash_md5" ->

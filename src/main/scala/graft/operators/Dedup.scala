@@ -574,6 +574,98 @@ object Dedup {
     * self-equi-join on the fingerprint (fan-out per key bounded by the
     * SOURCE count, never the corpus), one sources²-bounded aggregate.
     */
+  /** Robust winnowing fingerprints [Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS selector]: hash every k-token shingle in
+    * POSITION order (portable 40-bit md5-prefix — the
+    * [[minHashSignaturesPortable]] hash family), slide a window of
+    * `window` consecutive shingle hashes, select each window's minimum
+    * with ties to the RIGHTMOST position, and emit the distinct
+    * selections. The winnowing guarantee: any shared token run of
+    * length ≥ window + k − 1 between two documents produces at least
+    * one shared selected fingerprint (guaranteed recall), while
+    * expected density stays 2/(window+1) — the bounded-size spot-check
+    * for plagiarism/span-dedup that [[spanFingerprints]]' fixed-stride
+    * sampling cannot promise (a shared span can straddle every stride
+    * boundary).
+    *
+    * Determinism / oracle: the two selection keys fold into ONE
+    * integer, key = h·2²⁰ + (2²⁰−1−pos) — the window minimum of the
+    * folded key IS (min hash, rightmost tie), so selection is a plain
+    * integer `min` over a per-doc window, bit-replayable in any
+    * engine. Docs with fewer than `window` shingles select their
+    * overall minimum (the full-sequence window). Positions must fit
+    * 2²⁰ shingles/doc — enforced, not assumed.
+    *
+    * Scale shape: one map-side shingle projection, one per-doc window
+    * min (partitioned by doc_id, bounded by shingle count), a distinct
+    * — no joins, no pair generation. Output: (doc_id, fp_pos, fp_hash).
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val P = 1L << 20
+    val seqd = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        when(size(col("__toks")) >= k,
+          transform(sequence(lit(0), size(col("__toks")) - k),
+            i => concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))
+          .otherwise(array(concat_ws(" ", col("__toks")))).as("__shseq"))
+      .select(col("doc_id"),
+        posexplode_outer(col("__shseq")).as(Seq("pos", "sh")))
+      .filter(col("pos").isNotNull) // safeExplodeNote
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("sh")), 1, 10), 16, 10).cast("long") * P
+          + (lit(P - 1) - col("pos"))).as("__key"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(window - 1), 0)
+    val all = Window.partitionBy("doc_id")
+    seqd
+      .withColumn("__mk", min(col("__key")).over(win))
+      .withColumn("__mp", max(col("pos")).over(all))
+      // loud failure, not a silent drop, if a doc exceeds the 2^20
+      // positions the folded key reserves
+      .withColumn("__ck", assert_true(col("__mp") < lit(P),
+        lit("winnowFingerprints: a document has more than 2^20 shingles")))
+      .filter(col("__ck").isNull)
+      .filter(col("pos") >= least(lit(window - 1), col("__mp")))
+      .select(col("doc_id"),
+        (lit(P - 1) - pmod(col("__mk"), lit(P))).as("fp_pos"),
+        expr(s"__mk DIV $P").as("fp_hash"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs over shared [[winnowFingerprints]] selections:
+    * docs sharing ≥ `minShared` distinct selected hashes, with the
+    * [[Graph.coOccurrenceEdges]] hub guard — a fingerprint selected by
+    * more than `maxDocsPerHash` docs is boilerplate (license headers,
+    * templates) and is dropped BEFORE pair generation, bounding
+    * per-hash fan-out at C(cap, 2) absolutely (documented lower-bound
+    * semantics). Thanks to the winnowing guarantee the candidate set
+    * covers every pair sharing a ≥ window+k−1 token run through an
+    * un-capped hash. Output: (doc_id_a, doc_id_b, n_shared).
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, window: Int = 4,
+      minShared: Int = 2, maxDocsPerHash: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxDocsPerHash >= 2)
+    val sel = CacheRegistry.track(
+      winnowFingerprints(docs, k, window)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    sel.count() // the linking agg and both join sides read it
+    val linking = sel.groupBy("fp_hash").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1 && col("__nd") <= maxDocsPerHash)
+      .select("fp_hash")
+    val slim = sel.join(linking, "fp_hash")
+    slim.select(col("fp_hash"), col("doc_id").as("doc_id_a"))
+      .join(slim.select(col("fp_hash"), col("doc_id").as("doc_id_b")), "fp_hash")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def crossSourceDuplication(
       docs: DataFrame, sourceCol: String = "source",
       spanTokens: Int = 32, stride: Int = 16): DataFrame = {

@@ -2852,6 +2852,49 @@ class OperatorsSpec extends AnyFunSuite {
       s"approx ${approx.size} vs exact ${exact.size}")
   }
 
+  test("winnowing: coverage guarantee, rightmost ties, density, short docs") {
+    // coverage theorem: docs sharing a run of window+k-1 = 6 tokens must
+    // share at least one selected fingerprint, whatever surrounds the run
+    val run = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $run x y z"),
+      (2L, s"$run completely different tail here"),
+      (3L, "unrelated words entirely disjoint content stream"),
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(df, k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "a shared 6-token run must yield a shared fingerprint")
+    assert(byDoc(3L).intersect(byDoc(1L) ++ byDoc(2L)).isEmpty)
+    // density: selections per doc ≤ shingle count, ≥ ceil(m / window)
+    // (each window of 4 consecutive positions selects at least one)
+    fp.groupBy(_._1).foreach { case (id, rows) =>
+      val m = df.filter($"doc_id" === id).select(
+        size(split(trim($"text"), "\\s+")) - 2).head().getInt(0)
+      assert(rows.length <= m && rows.length >= (m + 3) / 4,
+        s"doc $id: ${rows.length} selections over $m shingles")
+    }
+    // rightmost tie: identical tokens → all shingle hashes equal → every
+    // window selects the RIGHTMOST position of its frame; selections are
+    // the positions {w-1, w, ...} minima... the unique selected hash with
+    // increasing positions; verify against a brute-force replay
+    val rep = Seq((9L, "tok tok tok tok tok tok tok tok")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(rep, k = 3, window = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // 6 identical shingles, windows end at pos 3,4,5 → rightmost min is
+    // the window END each time → positions 3,4,5 with one shared hash
+    assert(got.map(_._1).toSeq == Seq(3L, 4L, 5L), s"got ${got.toSeq}")
+    assert(got.map(_._2).distinct.length == 1)
+    // short doc (fewer shingles than the window): overall min selected
+    val short = Seq((5L, "just four tokens here")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(short, k = 3, window = 4).count() == 1)
+    // pairs: the shared-run docs pair up when minShared = 1
+    val pairs = Dedup.winnowPairs(df, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("FD violations: NULL counts as a distinct rhs state") {
     val df = Seq[(Long, Option[String])](
       (1L, Some("a")), (1L, None),          // {a, NULL} → violation, 2 states
