@@ -266,6 +266,7 @@ object Cli {
           |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]);
           |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
           |          winnow/winnowpairs: MOSS fingerprints / shared-print pairs;
+          |          fuzzypairs: -block c [-id c] [-text c] [-threshold X] (Jaro-Winkler);
           |          hardneg: embeddings -in, [-queries N] [-topk N];
           |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
           |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N];
@@ -805,6 +806,12 @@ object Cli {
           "corpus -op kanon requires -quasi <col,col,...>"))
           .split(",").map(_.trim).toSeq,
         k = flags.getOrElse("k", "10").toInt)
+      case "fuzzypairs"  => Linkage.fuzzyPairs(docs,
+        idCol = flags.getOrElse("id", "doc_id"),
+        blockCol = flags.getOrElse("block", fail(
+          "corpus -op fuzzypairs requires -block <column>")),
+        textCol = flags.getOrElse("text", "text"),
+        threshold = flags.getOrElse("threshold", "0.9").toDouble)
       case "skewkeys"    => Skew.keyProfile(docs,
         col(flags.getOrElse("key", fail(
           "corpus -op skewkeys requires -key <column>"))),

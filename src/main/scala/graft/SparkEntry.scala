@@ -1405,6 +1405,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // continuous-similarity linkage: the native codegen'd Jaro-Winkler
+    // over brand-blocked part names, 4dp-rounded before the cut — gated
+    // against the oracle engine's own jaro_winkler_similarity
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      Linkage.fuzzyPairs(Tables.load(s, dir, "part"),
+          "p_partkey", "p_brand", "p_name", threshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
     // PageRank centrality over the duplication-link graph (docs sharing
     // a span fingerprint): the high-rank nodes are the boilerplate hubs.
     // Fixed-point contributions make the iteration engine-exact
@@ -4346,6 +4354,21 @@ object SparkEntry {
            FROM customer a JOIN customer b
              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey) t
          WHERE score >= 3.5
+         ORDER BY id_a, id_b""",
+
+    // the engine's native Jaro-Winkler against the oracle's own
+    // implementation — same boost threshold (0.7), prefix cap (4) and
+    // empty-string convention; 4dp rounding before the cut on BOTH sides
+    "q_fuzzy_pairs" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+         ok AS (
+           SELECT p_brand FROM (SELECT p_brand, count(*) AS n FROM p GROUP BY 1)
+           WHERE n <= 4096
+         ), s AS (SELECT p.* FROM p JOIN ok USING (p_brand))
+         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+         FROM s a JOIN s b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
          ORDER BY id_a, id_b""",
 
     // PageRank replay: the q_dupspans span substrate → distinct pair

@@ -425,6 +425,99 @@ case class VecHamming(left: Expression, right: Expression)
   override def prettyName: String = "vec_hamming"
 }
 
+/** `jaro_winkler(a, b)` — the record-linkage string similarity
+  * [Winkler 1990, building on Jaro 1989]: Jaro similarity (matches
+  * within a ⌊max(|a|,|b|)/2⌋−1 window, half-transpositions) plus the
+  * Winkler common-prefix boost `l·0.1·(1−jaro)` (prefix capped at 4,
+  * applied only above the classic 0.7 boost threshold). Semantics match
+  * DuckDB's `jaro_winkler_similarity`, which is what lets the fuzzy
+  * linkage queries carry a DuckDB oracle.
+  *
+  * Native expression, not a UDF: the scorer is one static call on the
+  * two UTF8Strings from generated code — stays inside whole-stage
+  * codegen like [[VecHamming]] (the loop itself lives in
+  * [[JaroWinkler.score]]; emitting it inline would buy nothing — the
+  * JIT inlines a static monomorphic call).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires two string inputs, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.score(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.score($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinkler =
+    copy(left = l, right = r)
+
+  override def prettyName: String = "jaro_winkler"
+}
+
+object JaroWinkler {
+  /** Static scorer, called from both eval and generated code. Works on
+    * code units (chars) — identical to the oracle engine on the BMP
+    * text this corpus carries.
+    */
+  def score(aS: UTF8String, bS: UTF8String): Double = {
+    val a = aS.toString
+    val b = bS.toString
+    val la = a.length
+    val lb = b.length
+    // either side empty → 0, INCLUDING both-empty (the oracle engine's
+    // convention, pinned by spec — some libraries return 1 there)
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb
+      + (m - t / 2).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}
+
 object GraftFunctions {
   def strip_ansi(c: Column): Column =
     Shims.column(StripAnsi(Shims.expression(c)))
@@ -434,6 +527,9 @@ object GraftFunctions {
 
   def vec_hamming(a: Column, b: Column): Column =
     Shims.column(VecHamming(Shims.expression(a), Shims.expression(b)))
+
+  def jaro_winkler(a: Column, b: Column): Column =
+    Shims.column(JaroWinkler(Shims.expression(a), Shims.expression(b)))
 
   def sign_lsh_buckets(emb: Column, tables: Int, bits: Int): Column =
     Shims.column(SignLshBuckets(Shims.expression(emb), tables, bits))
@@ -461,6 +557,8 @@ object GraftFunctions {
     Shims.registerFunction(spark, "strip_ansi", exprs => StripAnsi(exprs.head))
     Shims.registerFunction(spark, "rolling_hash", exprs => RollingHash(exprs.head))
     Shims.registerFunction(spark, "vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+    Shims.registerFunction(spark, "jaro_winkler", exprs =>
+      JaroWinkler(exprs(0), exprs(1)))
     Shims.registerFunction(spark, "vec_hamming", exprs =>
       VecHamming(exprs(0), exprs(1)))
     Shims.registerFunction(spark, "sign_lsh_buckets", exprs =>

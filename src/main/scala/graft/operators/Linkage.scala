@@ -113,4 +113,42 @@ object Linkage {
     records.groupBy(blockCol)
       .agg(count(lit(1)).as("block_size"))
       .filter(col("block_size") > maxBlockSize)
+
+  /** Fuzzy-string linkage: every same-block record pair scored with the
+    * native codegen'd [[graft.functions.JaroWinkler]] over `textCol`,
+    * kept at `threshold` or above. The score is rounded to 4dp BEFORE
+    * the cut, so an engine ulp cannot flip pair membership — the same
+    * rounded-comparison contract as every similarity operator here; the
+    * block-size cap is the [[linkPairs]] quadratic guard. Where
+    * [[linkPairs]] scores hand-written boolean rules, this is the
+    * continuous-similarity complement (typo-tolerant name/title
+    * matching). Output: (id_a, id_b, jw).
+    */
+  def fuzzyPairs(
+      records: DataFrame,
+      idCol: String,
+      blockCol: String,
+      textCol: String,
+      threshold: Double = 0.9,
+      maxBlockSize: Int = 4096): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0)
+    require(maxBlockSize > 1)
+    val recordsP = Parallelism.ensure(
+      records.select(col(idCol), col(blockCol), col(textCol)), idCol)
+    val okBlocks = recordsP.groupBy(blockCol)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBlockSize)
+      .select(col(blockCol))
+    val slim = recordsP.join(okBlocks, Seq(blockCol))
+    val a = slim.select(col(blockCol).as("__blk"), col(idCol).as("id_a"),
+      col(textCol).as("__ta"))
+    val b = slim.select(col(blockCol).as("__blk"), col(idCol).as("id_b"),
+      col(textCol).as("__tb"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.GraftFunctions
+          .jaro_winkler(col("__ta"), col("__tb")), 4).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
 }

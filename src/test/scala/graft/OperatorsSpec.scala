@@ -2895,6 +2895,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("jaro_winkler: classic reference values, boost threshold, empty convention") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // jaro .9444, prefix 3
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),                               // oracle convention
+      ("a", "b", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),      // prefix 0: no boost
+      ("aXXXX", "aYYYY", 0.4666666666666666),      // jaro<=0.7: no boost
+      ("abcd", "abdc", 0.9333333333333333),        // one transposition
+    )
+    val got = cases.toDF("a", "b", "want")
+      .select(graft.functions.GraftFunctions.jaro_winkler($"a", $"b"), $"want", $"a", $"b")
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"jw(${r.getString(2)}, ${r.getString(3)}) = ${r.getDouble(0)}, want ${r.getDouble(1)}")
+    }
+    // null propagates
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.jaro_winkler($"a", $"b")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("FD violations: NULL counts as a distinct rhs state") {
     val df = Seq[(Long, Option[String])](
       (1L, Some("a")), (1L, None),          // {a, NULL} → violation, 2 states
