@@ -281,7 +281,8 @@ object Cli {
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
           |  events -in <events.parquet> [-op sessionize|funnel|retention|json|
-          |              transitions|sessionstats|anomaly|anomalyonline|paths|dwell]
+          |              transitions|sessionstats|anomaly|anomalyonline|paths|dwell|
+          |              assoc ([-basket c] [-item c] [-min-support N])]
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
           |          sessionize: [-gap-ms n]; json: [-path $.field];
           |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N]) [-out dir]
@@ -866,6 +867,11 @@ object Cli {
       case "paths"  => Events.pathTrigrams(ev,
         topN = flags.getOrElse("topn", "20").toInt)
       case "dwell"  => Events.dwellStats(ev).orderBy("from_type", "to_type")
+      case "assoc"  => Graph.associationRules(ev,
+          flags.getOrElse("basket", "user_id"),
+          flags.getOrElse("item", "event_type"),
+          minSupportCount = flags.getOrElse("min-support", "2").toInt)
+        .orderBy("item_a", "item_b")
       case other => fail(s"unknown events op: $other")
     }
     flags.get("out") match {

@@ -1185,6 +1185,17 @@ object SparkEntry {
         .orderBy("node_a", "node_b")
     }),
 
+    // market-basket statistics on the same bipartite substrate: exact
+    // basket counts, support/confidence both directions, lift — the
+    // affinity-vs-independence read on co-purchase pairs
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+      Graph.associationRules(li, "l_orderkey", "l_partkey",
+          minSupportCount = 1, maxItemsPerBasket = 64)
+        .orderBy("item_a", "item_b")
+    }),
+
     // median/MAD fences per event type — the outlier census whose fence
     // the outliers themselves cannot drag (50% breakdown vs z-scores' 0%)
     "q_mad_outliers" -> ((s, dir) =>
@@ -3567,6 +3578,32 @@ object SparkEntry {
            round(CAST(sc.ra AS DOUBLE), 6) AS resource_alloc
          FROM sc JOIN deg da ON da.node = sc.x JOIN deg db ON db.node = sc.y
          ORDER BY node_a, node_b""",
+
+    // basket statistics replay: capped baskets drop from the WHOLE
+    // analysis (consistent denominators); ratios are single IEEE
+    // divisions over exact counts, 6dp
+    "q_assoc_rules" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+           WHERE l_orderkey % 10 = 0
+         ), ok AS (
+           SELECT b FROM (SELECT b, count(*) AS ni FROM bi GROUP BY 1)
+           WHERE ni <= 64
+         ), s AS (SELECT bi.* FROM bi JOIN ok USING (b)),
+         n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM s),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM s GROUP BY 1),
+         p AS (
+           SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+           FROM s a JOIN s b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2
+           HAVING count(*) >= 1)
+         SELECT item_a, item_b, ia.n_i AS n_a, ib.n_i AS n_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / nb, 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / ia.n_i, 6) AS conf_a_b,
+           round(CAST(n_ab AS DOUBLE) / ib.n_i, 6) AS conf_b_a,
+           round(CAST(n_ab AS DOUBLE) * nb / CAST(ia.n_i * ib.n_i AS DOUBLE), 6) AS lift
+         FROM p JOIN ic ia ON p.item_a = ia.i JOIN ic ib ON p.item_b = ib.i
+         CROSS JOIN n
+         ORDER BY item_a, item_b""",
 
     // discrete medians (quantile_disc = the engine's cum-count order
     // statistic), one IEEE multiply for the fence — no stddev, no logs

@@ -531,6 +531,62 @@ object Graph {
       .select("src", "dst").distinct()
   }
 
+  /** Pairwise association rules over a (basket, item) relation — the
+    * classic market-basket statistics on the [[coOccurrenceEdges]]
+    * substrate: for every unordered item pair co-occurring in at least
+    * `minSupportCount` baskets,
+    *
+    *  - `n_a`, `n_b`, `n_ab`: exact basket counts (distinct baskets),
+    *  - `support` = n_ab / N over the N analyzed baskets,
+    *  - `conf_a_b` = n_ab/n_a and `conf_b_a` = n_ab/n_b (both
+    *    directions — rules are directional, pairs are not),
+    *  - `lift` = n_ab·N / (n_a·n_b) — >1 is genuine affinity, ~1 is
+    *    coincidence under independence.
+    *
+    * Ratios are single IEEE divisions over exact longs, rounded to 6dp
+    * — engine-exact. Baskets larger than `maxItemsPerBasket` are
+    * excluded from the WHOLE analysis (pair counts, item counts, and
+    * N) — consistent denominators, not just a pair-generation cap; a
+    * 10⁵-item mega-basket is a hub artifact whose C(n,2) fan-out would
+    * dominate the join ([[coOccurrenceEdges]] contract).
+    *
+    * Scale shape: one distinct shuffle on (basket, item), one
+    * basket-size aggregate, the capped same-basket pair join, one
+    * item-count aggregate joined back — no corpus-sized window, no
+    * driver loop; N rides as a crossed one-row frame.
+    */
+  def associationRules(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minSupportCount: Int = 2, maxItemsPerBasket: Int = 64): DataFrame = {
+    require(minSupportCount >= 1 && maxItemsPerBasket >= 2)
+    val bi = CacheRegistry.track(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+        .join(
+          df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+            .groupBy("__b").agg(count(lit(1)).as("__ni"))
+            .filter(col("__ni") <= maxItemsPerBasket).select("__b"),
+          Seq("__b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    bi.count() // N, item counts, and both pair-join sides read it
+    val nBaskets = bi.agg(countDistinct(col("__b")).as("__N"))
+    val itemCnt = bi.groupBy("__i").agg(count(lit(1)).as("__n"))
+    val pairs = bi.select(col("__b"), col("__i").as("item_a"))
+      .join(bi.select(col("__b"), col("__i").as("item_b")), "__b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupportCount)
+    pairs
+      .join(itemCnt.select(col("__i").as("item_a"), col("__n").as("n_a")), "item_a")
+      .join(itemCnt.select(col("__i").as("item_b"), col("__n").as("n_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("__N"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_b"),
+        round(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_a"),
+        round(col("n_ab").cast("double") * col("__N")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
   /** Structural link prediction over an undirected graph: for every
     * NON-adjacent pair (a, b) sharing >= `minCommon` common neighbors,
     * the three classic local scores —

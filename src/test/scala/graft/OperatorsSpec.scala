@@ -2921,6 +2921,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("association rules: hand-computed support/confidence/lift, mega-basket exclusion") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"), (2L, "y"), // duplicate item rows collapse
+      (3L, "x"), (3L, "z"),
+      (4L, "y"),
+    ).toDF("b", "i")
+    val got = Graph.associationRules(df, "b", "i", minSupportCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    // N=4; n_x=3, n_y=3, n_z=1; (x,y) in 2 baskets, (x,z) in 1
+    assert(got(("x", "y")) == ((3L, 3L, 2L, 0.5, 0.666667, 0.666667, 0.888889)))
+    assert(got(("x", "z")) == ((3L, 1L, 1L, 0.25, 0.333333, 1.0, 1.333333)))
+    assert(got.size == 2)
+    // minSupportCount=2 keeps only the twice-co-occurring pair
+    assert(Graph.associationRules(df, "b", "i", minSupportCount = 2)
+      .count() == 1)
+    // a basket over the cap drops from pair counts AND denominators:
+    // with cap 2, basket 5 (3 items) vanishes — N=4 and counts unchanged
+    val withMega = df.union(Seq((5L, "x"), (5L, "y"), (5L, "z")).toDF("b", "i"))
+    val capped = Graph.associationRules(withMega, "b", "i",
+        minSupportCount = 1, maxItemsPerBasket = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(capped(("x", "y")) == ((3L, 3L, 2L, 0.5)))
+    assert(capped.size == 2)
+  }
+
   test("FD violations: NULL counts as a distinct rhs state") {
     val df = Seq[(Long, Option[String])](
       (1L, Some("a")), (1L, None),          // {a, NULL} → violation, 2 states
