@@ -2817,6 +2817,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("aggTopK plans as a partial (map-side) aggregate, not a candidate-wide window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3), 5)
+      .queryExecution.executedPlan.toString
+    // the TypedImperativeAggregate must run partial_top_k_by BEFORE the
+    // exchange (k-slot buffers per partition) and merge after — the
+    // whole point of replacing the row_number window; and no Window
+    // node may survive in the finisher path
+    assert(plan.contains("partial_top_k_by"), s"no partial aggregate:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"not object-hash:\n$plan")
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+  }
+
   test("IVF path is repartitioning-invariant end to end (the aggregate finishers)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 3)
