@@ -266,6 +266,7 @@ object Cli {
           |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]);
           |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
           |          winnow/winnowpairs: MOSS fingerprints / shared-print pairs;
+          |          lpa: [-span-cap N] [-iters N] (sync label-prop communities);
           |          fuzzypairs: -block c [-id c] [-text c] [-threshold X] (Jaro-Winkler);
           |          hardneg: embeddings -in, [-queries N] [-topk N];
           |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
@@ -460,6 +461,10 @@ object Cli {
       case "editdist"    => Dedup.editDistanceNearDup(docs,
         maxDist = flags.getOrElse("max-dist", "64").toInt)
       case "jaccard"     => Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))
+      case "lpa"         => Graph.labelPropagation(
+        Graph.spanLinkEdges(docs,
+          maxDocsPerSpan = flags.getOrElse("span-cap", "64").toInt),
+        iters = flags.getOrElse("iters", "3").toInt).orderBy("node")
       case "winnow"      => Dedup.winnowFingerprints(docs)
       case "winnowpairs" => Dedup.winnowPairs(docs)
       case "vocabgrowth" => TextAnalysis.vocabGrowth(docs,

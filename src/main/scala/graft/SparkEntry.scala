@@ -1497,6 +1497,13 @@ object SparkEntry {
       Graph.kCore(spanEdges(s, dir).select("src", "dst"), k = 2)
         .orderBy("node")),
 
+    // synchronous label-propagation communities (min-label ties, fixed
+    // rounds — fully integer, so the rounds unroll into an exact
+    // replay): denser substructure than CC, coarser than k-core
+    "q_lpa" -> ((s, dir) =>
+      Graph.labelPropagation(spanEdges(s, dir).select("src", "dst"), iters = 3)
+        .orderBy("node")),
+
     // SemDeDup-style semantic dedup: k-means clusters → within-cluster
     // cosine prune → keep the lowest-id representative. Threshold 0.4
     // because the synthetic corpus has no true embedding dups (max cos
@@ -4565,6 +4572,31 @@ object SparkEntry {
          ${kcoreCtes(2, 12)}
          SELECT node, CAST(deg AS BIGINT) AS deg FROM d12
          WHERE deg >= 2 ORDER BY node""",
+
+    // synchronous LPA replay: 3 unrolled rounds, each one neighbor-label
+    // count + (count desc, label asc) argmax — all-integer, no floats
+    "q_lpa" -> {
+      val iters = 3
+      val roundCtes = (0 until iters).map { i =>
+        s"""cn$i AS (
+           SELECT adj.v AS node, r$i.label, count(*) AS c
+           FROM adj JOIN r$i ON adj.u = r$i.node GROUP BY 1, 2
+         ), r${i + 1} AS (
+           SELECT n.node, coalesce(w.label, n.label) AS label
+           FROM r$i n LEFT JOIN (
+             SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (PARTITION BY node
+                 ORDER BY c DESC, label) AS rn FROM cn$i) WHERE rn = 1) w
+           ON w.node = n.node)"""
+      }.mkString(",\n         ")
+      s"""WITH $spanPairCte,
+         adj AS (
+           SELECT src AS u, dst AS v FROM p
+           UNION ALL SELECT dst AS u, src AS v FROM p
+         ), r0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+         $roundCtes
+         SELECT node, label FROM r$iters ORDER BY node"""
+    },
 
     // closure summary over the same graph: integer counts (// is DuckDB
     // integer division — exact like Spark's DIV) and the one pinned

@@ -403,6 +403,76 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("new_triangles"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert, Kumara 2007, made deterministic): every node starts
+    * labeled with its own id; each round, every node SIMULTANEOUSLY
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label — the argmax is over exact integer counts
+    * with an integer tie-break, so rounds contain no floats, no
+    * randomness, and no update-order dependence (asynchronous LPA, the
+    * usual formulation, is schedule-dependent and cannot carry an
+    * oracle). Fixed `iters` rounds rather than convergence: synchronous
+    * LPA can 2-cycle on bipartite structure, so a fixpoint test is not
+    * well-defined — callers pick the horizon, the oracle replays it
+    * exactly. Communities are the label partition after the last round:
+    * denser substructure than connected components (a chain fragments
+    * where CC keeps it whole), coarser than k-core's survivors.
+    *
+    * Scale shape, the [[pageRank]] loop discipline: each round is one
+    * edge-keyed join (labels onto neighbors), one (node, label) count
+    * aggregate with map-side combine, one argmax aggregate via
+    * max(struct(count, −label)) — NO per-node window — and a lineage
+    * cut; dead rounds release their checkpoint files. Isolated nodes
+    * don't exist in an edge table; nodes keep their label if the
+    * neighbor aggregate somehow misses them (left join + coalesce).
+    * Output: (node, label).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val und = cut(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val adj = CacheRegistry.track(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    adj.count()
+    val nodes = CacheRegistry.track(
+      adj.select(col("u").as("node")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 0 until iters) {
+      // neighbor label counts: one join keyed on the edge source, one
+      // (node, label) hash aggregate; argmax by (count desc, label asc)
+      // = max(struct(count, -label)) — labels are node ids, which the
+      // negation requires to be non-negative (enforced by the struct
+      // decode below never seeing Long.MinValue on real id spaces)
+      val counts = adj
+        .join(labels.select(col("node").as("u"), col("label")), "u")
+        .groupBy(col("v").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val winners = counts.groupBy("node")
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__w"))
+        .select(col("node"), (-col("__w.__nl")).as("__new"))
+      val next = cut(
+        labels.join(winners, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__new"), col("label")).as("label")))
+      Lineage.release(labels, deleteFiles = true)
+      labels = next
+    }
+    Lineage.release(und, deleteFiles = true)
+    adj.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels
+  }
+
   /** The k-core of an undirected graph: the maximal subgraph in which
     * every node has degree ≥ k, computed by iterated peeling (drop
     * under-degree nodes, recompute degrees, repeat to fixpoint). On a

@@ -2182,6 +2182,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Graph.triangleStats(star).collect().head.getDouble(4) == 0.0)
   }
 
+  test("label propagation: two bridged triangles separate into their communities") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4: after 3
+    // synchronous min-tie rounds each triangle converges to one label
+    // (hand-replayed: r1 = 2,1,1,3,4,4; r2 = 1,1,1,4,3,3; r3 final)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $got")
+    // one round on a star: every leaf adopts the hub's label, the hub
+    // adopts the smallest leaf's (all leaf labels tie at count 1)
+    val star = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val one = Graph.labelPropagation(star, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // reversed-duplicate edges canonicalize: same result
+    val messy = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+    assert(Graph.labelPropagation(messy, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+  }
+
   test("triangle delta: maintenance law old + delta == union") {
     // K4 built in two installments: old = 4-cycle (0 triangles), batch =
     // both diagonals → the 4 new triangles all belong to the delta
