@@ -1504,6 +1504,18 @@ object SparkEntry {
       Graph.labelPropagation(spanEdges(s, dir).select("src", "dst"), iters = 3)
         .orderBy("node")),
 
+    // multi-source BFS levels from every-10th doc: the discrete
+    // "how many copy-hops from a known-bad document" audit — exact
+    // integer distances, frontier-driven rounds
+    "q_bfs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Graph.bfsLevels(spanEdges(s, dir).select("src", "dst"),
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("node")),
+          maxDepth = 4)
+        .orderBy("node")
+    }),
+
     // SemDeDup-style semantic dedup: k-means clusters → within-cluster
     // cosine prune → keep the lowest-id representative. Threshold 0.4
     // because the synthetic corpus has no true embedding dups (max cos
@@ -4596,6 +4608,34 @@ object SparkEntry {
          ), r0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
          $roundCtes
          SELECT node, label FROM r$iters ORDER BY node"""
+    },
+
+    // BFS replay: 4 unrolled frontier-relaxation rounds — an empty
+    // frontier makes later rounds no-ops, exactly the engine's early
+    // exit, so the fixed unroll replays the loop
+    "q_bfs" -> {
+      val depth = 4
+      val rounds = (0 until depth).map { i =>
+        s"""n$i AS (
+           SELECT adj.v AS node, min(f$i.dist) + 1 AS dist
+           FROM adj JOIN f$i ON adj.u = f$i.node GROUP BY 1
+         ), x$i AS (
+           SELECT n$i.node, n$i.dist FROM n$i LEFT JOIN s$i ON s$i.node = n$i.node
+           WHERE s$i.node IS NULL
+         ), s${i + 1} AS (SELECT * FROM s$i UNION ALL SELECT * FROM x$i),
+         f${i + 1} AS (SELECT * FROM x$i)"""
+      }.mkString(",\n         ")
+      s"""WITH $spanPairCte,
+         adj AS (
+           SELECT src AS u, dst AS v FROM p
+           UNION ALL SELECT dst AS u, src AS v FROM p
+         ), s0 AS (
+           SELECT DISTINCT d.doc_id AS node, 0 AS dist FROM documents d
+           JOIN (SELECT DISTINCT u FROM adj) g ON g.u = d.doc_id
+           WHERE d.doc_id % 10 = 0
+         ), f0 AS (SELECT * FROM s0),
+         $rounds
+         SELECT node, dist FROM s$depth ORDER BY node"""
     },
 
     // closure summary over the same graph: integer counts (// is DuckDB

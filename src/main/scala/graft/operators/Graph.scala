@@ -473,6 +473,77 @@ object Graph {
     labels
   }
 
+  /** Multi-source BFS levels: the hop distance from the nearest of a
+    * SEED set to every reachable node of the undirected graph, by
+    * synchronous min-distance relaxation — `maxDepth` rounds of
+    * "dist(v) = min(dist(v), min over neighbors u of dist(u)+1)".
+    * Distances are exact integers with a unique fixpoint, so any
+    * unroll ≥ the true eccentricity replays the loop exactly (the
+    * [[kCore]] determinism contract); unreached nodes simply don't
+    * appear. On a duplication graph this is the contamination-radius
+    * complement to [[personalizedPageRank]]: PPR ranks proximity by
+    * walk probability, BFS levels answer the discrete "how many
+    * copy-hops from a known-bad document" — the audit question.
+    *
+    * Scale shape, the [[pageRank]] loop discipline: each round is one
+    * frontier join keyed on the edge source (the FRONTIER, not the
+    * full distance table, drives the expansion — work per round is
+    * frontier-adjacency-sized), one min-aggregate, one anti-join to
+    * drop already-settled nodes, and a lineage cut; one action per
+    * round (the frontier count, which also provides early exit when
+    * the frontier empties before maxDepth).
+    * Output: (node, dist), seeds at dist 0.
+    */
+  def bfsLevels(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node",
+      maxDepth: Int = 10): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, s"maxDepth: $maxDepth")
+    val und = cut(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val adj = CacheRegistry.track(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    adj.count()
+    // seeds restricted to graph nodes: a seed outside the graph has no
+    // edges to relax through and would report dist 0 for a node that
+    // isn't a node — match the q_ppr seed convention (ignored)
+    val nodes = adj.select(col("u").as("node")).distinct()
+    var settled = cut(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .withColumn("dist", lit(0)))
+    var frontier = settled
+    var depth = 0
+    var frontierSize = frontier.count()
+    while (depth < maxDepth && frontierSize > 0L) {
+      // expand the FRONTIER only; already-settled nodes keep their
+      // (necessarily smaller) distance via the anti-join
+      val next = cut(
+        adj.join(frontier.select(col("node").as("u"), col("dist")), "u")
+          .groupBy(col("v").as("node"))
+          .agg((min(col("dist")) + 1).as("dist"))
+          .join(settled, Seq("node"), "left_anti"))
+      val grown = cut(settled.unionByName(next))
+      Lineage.release(settled, deleteFiles = false)
+      if (depth > 0) Lineage.release(frontier, deleteFiles = false)
+      settled = grown
+      frontier = next
+      frontierSize = frontier.count()
+      depth += 1
+    }
+    adj.unpersist(blocking = false)
+    Lineage.release(und, deleteFiles = true)
+    settled
+  }
+
   /** The k-core of an undirected graph: the maximal subgraph in which
     * every node has degree ≥ k, computed by iterated peeling (drop
     * under-degree nodes, recompute degrees, repeat to fixpoint). On a

@@ -2204,6 +2204,23 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
   }
 
+  test("BFS levels: path distances, multi-source min, early exit, off-graph seeds") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    def run(seeds: Seq[Long], depth: Int) =
+      Graph.bfsLevels(path, seeds.toDF("node"), maxDepth = depth)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // single seed, depth 3: node 5 stays unreached
+    assert(run(Seq(1L), 3) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // both ends seeded: min over sources
+    assert(run(Seq(1L, 5L), 10) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+    // early exit: depth 10 on a 4-hop path terminates and is complete
+    assert(run(Seq(1L), 10) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // a seed that is not a graph node is ignored
+    assert(run(Seq(99L), 5).isEmpty)
+  }
+
   test("triangle delta: maintenance law old + delta == union") {
     // K4 built in two installments: old = 4-cycle (0 triangles), batch =
     // both diagonals → the 4 new triangles all belong to the delta
