@@ -466,17 +466,76 @@ case class JaroWinkler(left: Expression, right: Expression)
 }
 
 object JaroWinkler {
-  /** Static scorer, called from both eval and generated code. Works on
-    * code units (chars) — identical to the oracle engine on the BMP
-    * text this corpus carries.
+  /** Static scorer, called from both eval and generated code. ASCII
+    * inputs (the overwhelming case for names/titles) run a pure
+    * byte-array loop — no String materialization per pair, which is
+    * where the hot join spends its time; anything with a high bit falls
+    * back to the code-unit (char) loop, which is what the oracle engine
+    * compares on BMP text. Both loops implement the identical
+    * algorithm, and on ASCII bytes == chars, so the fast path cannot
+    * change a score.
     */
   def score(aS: UTF8String, bS: UTF8String): Double = {
-    val a = aS.toString
-    val b = bS.toString
+    val ab = aS.getBytes
+    val bb = bS.getBytes
+    if (allAscii(ab) && allAscii(bb)) scoreBytes(ab, bb)
+    else scoreChars(aS.toString, bS.toString)
+  }
+
+  private def allAscii(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  private def scoreBytes(a: Array[Byte], b: Array[Byte]): Double = {
     val la = a.length
     val lb = b.length
     // either side empty → 0, INCLUDING both-empty (the oracle engine's
     // convention, pinned by spec — some libraries return 1 there)
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bM(j) && a(i) == b(j)) {
+          aM(i) = true; bM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb
+      + (m - t / 2).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  private def scoreChars(a: String, b: String): Double = {
+    val la = a.length
+    val lb = b.length
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
     val aM = new Array[Boolean](la)

@@ -2959,6 +2959,7 @@ class OperatorsSpec extends AnyFunSuite {
       ("CRATE", "TRACE", 0.7333333333333334),      // prefix 0: no boost
       ("aXXXX", "aYYYY", 0.4666666666666666),      // jaro<=0.7: no boost
       ("abcd", "abdc", 0.9333333333333333),        // one transposition
+      ("héllo", "hèllo", 0.88),                    // non-ASCII char path
     )
     val got = cases.toDF("a", "b", "want")
       .select(graft.functions.GraftFunctions.jaro_winkler($"a", $"b"), $"want", $"a", $"b")
