@@ -73,6 +73,37 @@ object ScaleCheck {
       println("[scale] ngram pairs out: " +
         operators.Dedup.ngramJaccardPairs(docs10, threshold = 0.8).count())
     }
+    // winnowing under 10x duplication: every selected fingerprint's df
+    // is ~10x hotter, so the winnowPairs hash-df cap (64) is what keeps
+    // the candidate join C(cap,2)-bounded per hash — census the selected
+    // hashes the way the operator blocks on them and require the bound,
+    // and that the cap visibly bites on this all-dup corpus
+    time("winnow pairs 50k docs (10x all-dup corpus, df cap bound)") {
+      val sel = operators.Dedup.winnowFingerprints(docs10)
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val census = sel.groupBy("fp_hash").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).as("uncapped"),
+          sum(when(col("n") > 1 && col("n") <= 64, expr("n * (n - 1) DIV 2"))
+            .otherwise(lit(0L))).as("capped"),
+          count(lit(1)).as("hashes"), max(col("n")).as("widest")).head()
+      println(s"[scale] winnow hashes: ${census.getLong(2)} (widest " +
+        s"${census.getLong(3)}), pairs uncapped ${census.getLong(0)} vs " +
+        s"capped ${census.getLong(1)}")
+      require(census.getLong(1) <= census.getLong(2) * (64L * 63 / 2),
+        "capped winnow candidates must respect hashes * C(cap,2)")
+      require(census.getLong(3) >= 10L,
+        "10x duplication must produce >=10-doc fingerprint buckets")
+      // measured 39.3M uncapped vs 7.5M capped (5.2×) at 10×: winnowed
+      // prints are position-diverse, so duplication fattens buckets less
+      // brutally than the degenerate phash case — gate at 4×
+      require(census.getLong(0) >= 4 * math.max(census.getLong(1), 1L),
+        "the df cap must visibly bite on the all-dup corpus")
+      sel.unpersist(blocking = false)
+      println("[scale] winnow pairs out (cap 64): " +
+        operators.Dedup.winnowPairs(docs10).count())
+    }
+    operators.CacheRegistry.release(spark)
     time("minhash neardup 50k docs (10x all-dup corpus)") {
       println("[scale] minhash pairs out: " +
         operators.Dedup.minHashNearDup(docs10, threshold = 0.5).count())
