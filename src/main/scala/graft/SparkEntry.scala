@@ -64,6 +64,21 @@ object SparkEntry {
         Graph.spanLinkEdgesWeighted(Tables.load(s, dir, "documents")))
     })
 
+  /** Shared trained codebook for the k-means family (q_kmeans,
+    * q_cluster_purity, q_embed_outliers — all train at k=8, iters=2 on
+    * the same embeddings): training is the family's dominant cost and a
+    * pure function of (corpus, k, iters), so one table serves all
+    * three. No lineage cut needed — [[Similarity.trainCodebook]]
+    * returns a LocalRelation of driver-built rows (k×dim floats), which
+    * cannot be evicted or recomputed.
+    */
+  private val codebookMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def trainedCodebook8(s: SparkSession, dir: String): DataFrame =
+    codebookMemo.computeIfAbsent((s, dir), { _ =>
+      Similarity.trainCodebook(Tables.load(s, dir, "embeddings"), k = 8, iters = 2)
+    })
+
   /** The q_bpe oracle chain: toks → vocabulary → delimited symbol
     * strings → `rounds` alternations of (pair count, argmax b_r, replace
     * application s_{r+1}). Shared by q_bpe (reads the b_r rows) and
@@ -1006,7 +1021,8 @@ object SparkEntry {
     // ground-truth label column — majority label + purity per cluster
     "q_cluster_purity" -> ((s, dir) =>
       Similarity.clusterPurity(Tables.load(s, dir, "embeddings"),
-          "label", k = 8, iters = 2)
+          "label", k = 8, iters = 2,
+          codebook = Some(trainedCodebook8(s, dir)))
         .orderBy("cluster_id")),
 
     // distribution drift between two corpus halves: shared-bin
@@ -1533,14 +1549,14 @@ object SparkEntry {
     // (too FAR from everything, not too close to a neighbor)
     "q_embed_outliers" -> ((s, dir) =>
       Similarity.embedOutliers(Tables.load(s, dir, "embeddings"),
-          k = 8, iters = 2, minCos = 0.1)
+          k = 8, iters = 2, minCos = 0.1,
+          codebook = Some(trainedCodebook8(s, dir)))
         .orderBy("vec_id")),
 
     // deterministic k-means training summary (codebook arrays summarized
     // by their first four components — driver can't hash arrays)
     "q_kmeans" -> ((s, dir) => {
-      val cb = Similarity.trainCodebook(
-        Tables.load(s, dir, "embeddings"), k = 8, iters = 2)
+      val cb = trainedCodebook8(s, dir)
       cb.select(
         col("centroid_id"), col("n_assigned"),
         element_at(col("embedding"), 1).cast("double").as("c0"),

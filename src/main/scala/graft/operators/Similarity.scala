@@ -1122,8 +1122,13 @@ object Similarity {
       embeddings: DataFrame,
       labelCol: String = "label",
       k: Int = 8,
-      iters: Int = 2): DataFrame = {
-    val cb = trainCodebook(embeddings, k, iters)
+      iters: Int = 2,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    // codebook injection: a suite that runs the whole k-means family
+    // (purity / outliers / the training summary) trains ONCE offline
+    // and passes the table — the [[ivfTopKWith]] offline-codebook
+    // contract; None keeps the self-training behavior
+    val cb = codebook.getOrElse(trainCodebook(embeddings, k, iters))
     val cents = broadcast(
       cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
     val ev = Parallelism.ensure(
@@ -1198,8 +1203,9 @@ object Similarity {
       embeddings: DataFrame,
       k: Int = 8,
       iters: Int = 2,
-      minCos: Double = 0.1): DataFrame = {
-    val cb = trainCodebook(embeddings, k, iters)
+      minCos: Double = 0.1,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(trainCodebook(embeddings, k, iters))
     val cents = broadcast(
       cb.select(col("centroid_id").as("c"), col("embedding").as("e")))
     val ev = Parallelism.ensure(
