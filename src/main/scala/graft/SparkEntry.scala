@@ -3616,12 +3616,12 @@ object SparkEntry {
            WHERE p.src IS NULL
          ), sc AS (
            SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
-             sum(CAST(CAST(1.0 AS DOUBLE) / dz AS DECIMAL(18,12))) AS ra
+             CAST(sum(CAST(floor(CAST(1e12 AS DOUBLE) / dz + 0.5) AS BIGINT)) AS BIGINT) AS ra
            FROM na GROUP BY x, y HAVING count(*) >= 2)
          SELECT sc.x AS node_a, sc.y AS node_b, sc.common_neighbors,
            round(CAST(sc.common_neighbors AS DOUBLE)
              / (da.deg + db.deg - sc.common_neighbors), 4) AS jaccard,
-           round(CAST(sc.ra AS DOUBLE), 6) AS resource_alloc
+           round(CAST(sc.ra AS DOUBLE) / 1e12, 6) AS resource_alloc
          FROM sc JOIN deg da ON da.node = sc.x JOIN deg db ON db.node = sc.y
          ORDER BY node_a, node_b""",
 

@@ -737,9 +737,12 @@ object Graph {
     *    division at 4dp,
     *  - `resource_alloc`: Σ_z 1/deg(z) (Zhou/Lü/Zhang '09) — chosen over
     *    Adamic–Adar because it needs no logarithm (engine-varying last
-    *    ulp); each term is cast to decimal(18,12) before the sum so the
-    *    total is order-independent (the [[Stats.winsorize]] decimal-sum
-    *    trick), rounded to 6dp.
+    *    ulp); each term is quantized once to a 10^12 fixed-point long
+    *    (`floor(1e12/deg + 0.5)` — one IEEE division + floor, identical
+    *    in any engine) so the sum over the wedge stream is exact
+    *    order-free integer addition (the [[pageRank]] contribution
+    *    trick — cheaper than a decimal sum on the operator's biggest
+    *    row count), divided back and rounded to 6dp.
     *
     * On a duplication graph ([[spanLinkEdges]]) a predicted link is a
     * pair of docs that share copies without sharing a span themselves —
@@ -786,9 +789,15 @@ object Graph {
       .filter(col("x") < col("y"))
     val nonAdj = wedges.join(und,
       wedges("x") === und("a") && wedges("y") === und("b"), "left_anti")
+    // RA terms as 10^12 fixed-point LONGS, not decimal(18,12): the sum
+    // runs over the wedge stream (the operator's biggest row count) and
+    // long addition is several times cheaper than decimal — same
+    // order-independence, same engine-exactness (floor(1e12/deg + 0.5)
+    // is one IEEE division + one floor in either engine), and per-group
+    // totals are ≤ cap·10^12/2, far inside signed-64
     val scored = nonAdj.groupBy("x", "y").agg(
       count(lit(1)).as("common_neighbors"),
-      sum((lit(1.0) / col("__dz")).cast("decimal(18,12)")).as("__ra"))
+      sum(floor(lit(1e12) / col("__dz") + 0.5).cast("long")).as("__ra"))
       .filter(col("common_neighbors") >= minCommon)
     scored
       .join(deg.select(col("node").as("x"), col("deg").as("__da")), "x")
@@ -798,6 +807,6 @@ object Graph {
         round(col("common_neighbors").cast("double")
           / (col("__da") + col("__db") - col("common_neighbors")), 4)
           .as("jaccard"),
-        round(col("__ra").cast("double"), 6).as("resource_alloc"))
+        round(col("__ra").cast("double") / 1e12, 6).as("resource_alloc"))
   }
 }
