@@ -231,4 +231,40 @@ class PropertySpec extends AnyFunSuite {
         math.abs(row.getDouble(3) - exact(0.95)) <= width + 1e-9
     }, minSuccessful = 8)
   }
+
+  test("property: bounded top-k aggregate == driver-side total-order sort, any partitioning") {
+    // randomized twin of the fixed NaN/ties example in OperatorsSpec:
+    // random scores (with deliberate tie mass and occasional NaN),
+    // random k and partition count — the aggregate must reproduce the
+    // (score desc NaN-first, id asc) total order's k-prefix exactly
+    val genCase = for {
+      n <- Gen.choose(30, 400)
+      k <- Gen.choose(1, 12)
+      parts <- Gen.choose(1, 16)
+      seed <- Gen.choose(0L, 99999L)
+    } yield (n, k, parts, seed)
+
+    check(Prop.forAll(genCase) { case (n, k, parts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map { i =>
+        val s = rnd.nextInt(10) match {
+          case 0 => Double.NaN
+          case j => (j % 4).toDouble / 2 // heavy ties
+        }
+        (i.toLong % 3, i.toLong, s) // 3 query groups
+      }
+      val got = operators.Similarity.aggTopK(
+          rows.toDF("query_id", "vec_id", "cos_sim").repartition(parts), k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      // driver truth: sort by (NaN-first desc score, id asc) per group
+      def key(s: Double): Double =
+        if (s.isNaN) Double.MaxValue else s // NaN outranks every double
+      val want = rows.groupBy(_._1).flatMap { case (q, rs) =>
+        rs.sortBy { case (_, id, s) => (-key(s), id) }.take(k).zipWithIndex
+          .map { case ((_, id, _), i) => (q, i + 1) -> id }
+      }
+      got == want
+    }, minSuccessful = 15)
+  }
 }
