@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitInterleave, MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot, VecHamming}
+import graft.functions.{BitInterleave, BoundedTopK, JaroWinkler, MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot, VecHamming}
 
 /** SparkSessionExtensions wiring: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -59,6 +59,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("z_order_key",
         "z_order_key(a, b) - 62-bit Morton code interleaving the low 31 bits of two bigints (data-layout sort key)"),
       (exprs: Seq[Expression]) => BitInterleave(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler string similarity (0.7 boost threshold, 4-char prefix cap)"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      info("top_k_by",
+        "top_k_by(score, id, k) - aggregate: bounded per-group top-k as a sorted array<struct<score,id>> (score desc, id asc; k must be an int literal)"),
+      (exprs: Seq[Expression]) => BoundedTopK(exprs(0), exprs(1),
+        GraftExtensions.intLiteral(exprs(2), "k"))))
   }
 }
 

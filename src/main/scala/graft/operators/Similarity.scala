@@ -1280,7 +1280,11 @@ object Similarity {
     * Scale shape, the [[semanticDedup]] contract: NO corpus broadcast
     * (the exact twin's bound) and no all-pairs scoring — the pair join
     * shuffles on centroid_id, so compute is Σ cluster² and the top-1
-    * cut is the mergeable [[aggTopK]] aggregate. A pair sharing
+    * cut is the mergeable [[aggTopK]] aggregate. Size `numCentroids`
+    * PROPORTIONALLY to the corpus (clusters of a few thousand vectors),
+    * not as a constant: with nc fixed, Σ cluster² is still n²/nc —
+    * recall tracks nprobe (probe depth), not nc, so growing nc buys
+    * bounded blocks without the recall cost of narrower probes. A pair sharing
     * several probed centroids scores identically through each (the
     * cosine is a pure pair function), and identical (score, id)
     * candidates collapse in the k-slot buffer — no dedup pass needed.

@@ -86,16 +86,23 @@ class FuzzEquivalenceSpec extends AnyFunSuite {
           "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), " +
           "sign_lsh_buckets(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 8), " +
-          "vec_hamming(array(CAST(5 AS BIGINT)), array(CAST(3 AS BIGINT)))").head()
+          "vec_hamming(array(CAST(5 AS BIGINT)), array(CAST(3 AS BIGINT))), " +
+          "jaro_winkler('MARTHA', 'MARHTA')").head()
       assert(r.getString(0) == "red")
       assert(r.getLong(1) == ('a'.toLong * 257 + 'b'.toLong))
       assert(r.getDouble(2) == 11.0)
       assert(r.getSeq[Long](3).length == 4)
       assert(r.getLong(4) == 2L) // popcount(5 ^ 3) = popcount(0b110)
+      assert(math.abs(r.getDouble(5) - 0.9611111111111111) < 1e-12)
       val agg = s2.sql(
         "SELECT min_hash_sketch(h, 4) FROM VALUES (CAST(7 AS BIGINT)), (CAST(9 AS BIGINT)) AS t(h)")
         .head().getSeq[Long](0)
       assert(agg.length == 4)
+      val tk = s2.sql(
+        "SELECT top_k_by(s, i, 2) FROM VALUES (CAST(1.5 AS DOUBLE), CAST(7 AS BIGINT)), " +
+          "(CAST(2.5 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0.5 AS DOUBLE), CAST(9 AS BIGINT)) AS t(s, i)")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((2.5, 3L), (1.5, 7L)))
       // do not stop s2: it shares the local SparkContext with the suite
     } finally {
       prev.foreach { p =>
