@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitInterleave, BoundedTopK, JaroWinkler, MinHashSketch, RollingHash, SignLshBuckets, StripAnsi, VecDot, VecHamming}
+import graft.functions.{BitInterleave, BoundedTopK, JaroWinkler, MinHashSketch, MisraGries, RollingHash, SignLshBuckets, StripAnsi, VecDot, VecHamming}
 
 /** SparkSessionExtensions wiring: makes the engine's native expressions
   * available to pure-SQL users at session build time —
@@ -70,6 +70,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "top_k_by(score, id, k) - aggregate: bounded per-group top-k as a sorted array<struct<score,id>> (score desc, id asc; k must be an int literal)"),
       (exprs: Seq[Expression]) => BoundedTopK(exprs(0), exprs(1),
         GraftExtensions.intLiteral(exprs(2), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("mg_candidates"),
+      info("mg_candidates",
+        "mg_candidates(keyHash, k) - aggregate: mergeable Misra-Gries heavy-hitter candidates over bigint keys, sorted array<bigint> (k must be an int literal)"),
+      (exprs: Seq[Expression]) => MisraGries(exprs(0),
+        GraftExtensions.intLiteral(exprs(1), "k"))))
   }
 }
 

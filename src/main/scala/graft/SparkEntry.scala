@@ -392,6 +392,20 @@ object SparkEntry {
           "l_extendedprice", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // EXACT order statistics with NO global sort: iterative histogram
+    // refinement descends into the rank's bucket per round (sargable
+    // range filters, ≤ bins-row shuffles). bins=256/cutoff=1024 are
+    // deliberately small so sf0.01 exercises a real refinement round
+    // before the sort-limit finisher; oracle = row_number at ceil(p·n)
+    "q_exact_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val Seq(p50, p95, p99) = Seq(0.5, 0.95, 0.99).map(p =>
+        Quantiles.exactQuantile(li, "l_extendedprice", p,
+          bins = 256, cutoff = 1 << 10))
+      Seq((p50, p95, p99)).toDF("p50", "p95", "p99")
+    }),
+
     // the full CUBE lattice — q_rollup's conventions over every
     // grouping-set combination
     "q_cube" -> ((s, dir) => {
@@ -627,6 +641,24 @@ object SparkEntry {
       Sketches.cmsTokenTopK(Tables.load(s, dir, "documents"),
           depth = 4, width = 1 << 12, topK = 10)
         .orderBy(col("occurrences").desc, col("token"))),
+
+    // EXACT heavy hitters via the Misra–Gries candidate pass: keys with
+    // frequency ≥ 20% of the stream, recounted exactly — the oracle is
+    // the plain GROUP BY/HAVING the two-pass plan avoids running over
+    // the full key universe
+    "q_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitters(Tables.load(s, dir, "events"),
+          "event_type", minFrac = 0.2)
+        .orderBy("event_type")),
+
+    // absolute-threshold twin under REAL eviction pressure: 96 counters
+    // over 100 distinct suppliers, so the sketch must shed light keys
+    // while the ≥630 heavy tail (above the n/(k+1)=618 error budget)
+    // is guaranteed to survive into the recount
+    "q_heavy_supp" -> ((s, dir) =>
+      Sketches.heavyHittersAbs(Tables.load(s, dir, "lineitem"),
+          "l_suppkey", minCount = 630, k = 96)
+        .orderBy("l_suppkey")),
 
     // HyperLogLog (p=10, 1024 registers) over (doc_id, token) incidence
     // pairs — posting-list cardinality from a fixed-size register table,
@@ -1451,10 +1483,14 @@ object SparkEntry {
 
     // continuous-similarity linkage: the native codegen'd Jaro-Winkler
     // over brand-blocked part names, 4dp-rounded before the cut — gated
-    // against the oracle engine's own jaro_winkler_similarity
+    // against the oracle engine's own jaro_winkler_similarity.
+    // broadcastSide: 25 brand blocks would serialize the quadratic
+    // scoring on 25 reducers; broadcasting the capped record slim lets
+    // the row-partitioned scan side use every core
     "q_fuzzy_pairs" -> ((s, dir) =>
       Linkage.fuzzyPairs(Tables.load(s, dir, "part"),
-          "p_partkey", "p_brand", "p_name", threshold = 0.9)
+          "p_partkey", "p_brand", "p_name", threshold = 0.9,
+          broadcastSide = true)
         .orderBy("id_a", "id_b")),
 
     // PageRank centrality over the duplication-link graph (docs sharing
@@ -2102,6 +2138,21 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // the order statistic the refinement loop selects, replayed as a
+    // rank: k-th smallest at k = ceil(p*n) — the VALUE is tie-order
+    // independent, and both engines read the identical parquet double
+    "q_exact_quantile" ->
+      """WITH v AS (
+           SELECT l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+         ), r AS (
+           SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v
+         ), n AS (SELECT count(*) AS n FROM v)
+         SELECT
+           (SELECT x FROM r, n WHERE rn = CEIL(0.5 * n)) AS p50,
+           (SELECT x FROM r, n WHERE rn = CEIL(0.95 * n)) AS p95,
+           (SELECT x FROM r, n WHERE rn = CEIL(0.99 * n)) AS p99""",
+
     // replay of the fixed-width histogram walk: identical IEEE double
     // expression order on both sides (bin edge = mn + bin*(mx-mn)/1024.0),
     // so the estimates hash-match bit-for-bit
@@ -2581,6 +2632,20 @@ object SparkEntry {
          LEFT JOIN cms c ON p.j = c.j AND p.idx = c.idx
          GROUP BY p.token, p.occurrences
          ORDER BY p.occurrences DESC, p.token""",
+
+    // the exact GROUP BY/HAVING the MG candidate pass replaces — the
+    // hash match IS the exactness proof for the two-pass plan
+    "q_heavy_hitters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY event_type
+         HAVING count(*) >= CEIL(0.2 * (SELECT count(*) FROM events))
+         ORDER BY event_type""",
+
+    "q_heavy_supp" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY l_suppkey
+         HAVING count(*) >= 630
+         ORDER BY l_suppkey""",
 
     // HLL replayed exactly: register idx = top 10 bits of md5_60, rho from
     // the binary length of the 50-bit remainder (string op, no libm), the

@@ -602,6 +602,10 @@ object GraftFunctions {
       BoundedTopK(Shims.expression(score), Shims.expression(id), k)
         .toAggregateExpression())
 
+  def mg_candidates(key: Column, k: Int): Column =
+    Shims.column(
+      MisraGries(Shims.expression(key), k).toAggregateExpression())
+
   def rolling_hash(c: Column): Column =
     Shims.column(RollingHash(Shims.expression(c)))
 
@@ -632,5 +636,8 @@ object GraftFunctions {
         graft.GraftExtensions.intLiteral(exprs(2), "k")))
     Shims.registerFunction(spark, "z_order_key", exprs =>
       BitInterleave(exprs(0), exprs(1)))
+    Shims.registerFunction(spark, "mg_candidates", exprs =>
+      MisraGries(exprs(0),
+        graft.GraftExtensions.intLiteral(exprs(1), "k")))
   }
 }

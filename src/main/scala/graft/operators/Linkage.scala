@@ -124,13 +124,25 @@ object Linkage {
     * continuous-similarity complement (typo-tolerant name/title
     * matching). Output: (id_a, id_b, jw).
     */
+  /** `broadcastSide`: with a LOW-cardinality block column (brands,
+    * nations) a shuffled self-join runs the whole quadratic scoring on
+    * ≤ |blocks| busy reducers however many cores exist (the r14 bench
+    * caught q_fuzzy_pairs at 1.4 cores of 32). Broadcasting the probe
+    * side lets the scan-side partitioning — rows, not blocks — drive
+    * parallelism, the same knob as [[linkPairs]]; the broadcast is the
+    * block-capped record slim (id, block, text), which is dimension-
+    * table-sized for linkage catalogs. Leave false when records are
+    * corpus-scale AND the block column is high-cardinality (there the
+    * shuffle join is both necessary and well-spread).
+    */
   def fuzzyPairs(
       records: DataFrame,
       idCol: String,
       blockCol: String,
       textCol: String,
       threshold: Double = 0.9,
-      maxBlockSize: Int = 4096): DataFrame = {
+      maxBlockSize: Int = 4096,
+      broadcastSide: Boolean = false): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0)
     require(maxBlockSize > 1)
     val recordsP = Parallelism.ensure(
@@ -144,8 +156,23 @@ object Linkage {
       col(textCol).as("__ta"))
     val b = slim.select(col(blockCol).as("__blk"), col(idCol).as("id_b"),
       col(textCol).as("__tb"))
-    a.join(b, "__blk")
+    // provably lossless length prefilter for high thresholds: with the
+    // Winkler boost capped at l·p = 0.4, jw ≥ t forces jaro ≥ (t-.4)/.6,
+    // and jaro ≤ (2 + min/max)/3 (m ≤ min(la,lb), transpositions only
+    // lower it) — so min/max ≥ 5t − 4. The 5e-5 slack covers the
+    // round-to-4dp-before-cut contract (a true 0.89996 rounds UP into
+    // the kept set); the cheap length compare skips the O(la·lb)
+    // matcher for pairs that cannot reach the cut.
+    val lenGuard =
+      if (threshold > 0.8) {
+        val r = 5.0 * (threshold - 5e-5) - 4.0
+        least(length(col("__ta")), length(col("__tb"))).cast("double") >=
+          lit(r) * greatest(length(col("__ta")), length(col("__tb"))).cast("double")
+      } else lit(true)
+    val bSide = if (broadcastSide) broadcast(b) else b
+    a.join(bSide, "__blk")
       .filter(col("id_a") < col("id_b"))
+      .filter(lenGuard)
       .select(col("id_a"), col("id_b"),
         round(graft.functions.GraftFunctions
           .jaro_winkler(col("__ta"), col("__tb")), 4).as("jw"))

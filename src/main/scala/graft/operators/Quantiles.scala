@@ -106,4 +106,119 @@ object Quantiles {
     cum.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"), aggs: _*)
   }
+
+  /** EXACT global quantile — the k-th smallest non-null value at rank
+    * k = ceil(p·n) — by iterative histogram refinement ("distributed
+    * selection"), WITHOUT a global sort.
+    *
+    * Why not sort at 100 TB: an exact percentile via `orderBy` is a full
+    * range-shuffle of the column; via a `row_number` window it is that
+    * plus a rank per row. Selection needs neither — each round:
+    *
+    *   1. one scan histogramming the CURRENT candidate range into `bins`
+    *      equal-width buckets (`groupBy(bucket)` — map-side combined,
+    *      ≤ bins rows shuffled, ≤ bins rows collected: a bounded driver
+    *      collect like the codebooks);
+    *   2. the driver walks the ≤ bins cumulative counts and descends into
+    *      the one bucket straddling the remaining rank, carrying that
+    *      bucket's ACTUAL (min, max) as the next range and the cumulative
+    *      count below it as the next rank offset.
+    *
+    * The range filter `v BETWEEN lo AND hi` is a sargable parquet
+    * predicate — later rounds prune row groups via column min/max stats,
+    * so pass t touches roughly 1/bins^t of the data. Convergence is
+    * guaranteed: binning keys on the VALUE, so equal values share a
+    * bucket, and a range with ≥ 2 distinct values always splits (its min
+    * maps to bucket 0, its max to the last) — each round strictly
+    * shrinks the candidate set. A single-valued range (min == max — the
+    * heavy-duplicate regime that breaks naive recursion) IS the answer.
+    * When ≤ `cutoff` candidates remain, one `TakeOrderedAndProject`
+    * (sort-limit on the filtered remnant, never the corpus) finishes.
+    *
+    * Rounds are ≤ log_bins(distinct values) — ≤ 6 for the full double
+    * range at bins = 4096 — so the whole selection is a handful of
+    * ever-narrowing scans. Result is deterministic (an order statistic is
+    * a value, whatever the tie order) and engine-portable: the DuckDB
+    * oracle replays it as `row_number() = ceil(p·n)`.
+    *
+    * Global by design: per-group exact selection would put a driver loop
+    * inside a group loop — [[binnedQuantiles]] is the grouped/fixed-pass
+    * answer, this is the exact-global one (q_percentile's window formul-
+    * ation stays as the small-input truth twin).
+    */
+  def exactQuantile(
+      df: DataFrame,
+      valueCol: String,
+      p: Double,
+      bins: Int = 4096,
+      cutoff: Int = 1 << 16): Double = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(cutoff >= 1, s"cutoff must be >= 1, got $cutoff")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull).select(v.as("__v"))
+
+    val g0 = base.agg(count(lit(1)).as("n"), min("__v").as("mn"),
+      max("__v").as("mx")).head()
+    val n = g0.getLong(0)
+    require(n > 0, s"exactQuantile: no non-null values in $valueCol")
+    var need = math.ceil(p * n).toLong.max(1L)
+    var lo = g0.getDouble(1)
+    var hi = g0.getDouble(2)
+    var cnt = n
+
+    var round = 0
+    while (lo < hi && cnt > cutoff && round < 64) {
+      val w = (hi - lo) / bins
+      if (w == 0.0) {
+        // sub-ulp range: equal-width bucketing can no longer split, but a
+        // range this narrow holds only a handful of DISTINCT doubles
+        // (each at most one subnormal step apart, however many duplicate
+        // ROWS each carries). Walk the exact per-value counts — a
+        // bounded collect — and return the straddling value.
+        val vals = base.filter(col("__v") >= lo && col("__v") <= hi)
+          .groupBy("__v").agg(count(lit(1)).as("__c"))
+          .collect().sortBy(_.getDouble(0))
+        var cum = 0L
+        var i = 0
+        while (i < vals.length) {
+          cum += vals(i).getLong(1)
+          if (cum >= need) return vals(i).getDouble(0)
+          i += 1
+        }
+        throw new IllegalStateException(
+          s"exactQuantile: rank walked off the value counts (need=$need)")
+      }
+      val bucket = least(floor((col("__v") - lo) / w), lit((bins - 1).toLong))
+      val hist = base.filter(col("__v") >= lo && col("__v") <= hi)
+        .groupBy(bucket.as("__b"))
+        .agg(count(lit(1)).as("__c"), min("__v").as("__bmn"),
+          max("__v").as("__bmx"))
+        .collect()
+        .sortBy(_.getLong(0))
+      var cum = 0L
+      var i = 0
+      var found = false
+      while (i < hist.length && !found) {
+        val c = hist(i).getLong(1)
+        if (cum + c >= need) {
+          need -= cum
+          lo = hist(i).getDouble(2)
+          hi = hist(i).getDouble(3)
+          cnt = c
+          found = true
+        } else { cum += c }
+        i += 1
+      }
+      require(found, s"exactQuantile: rank walked off the histogram " +
+        s"(need=$need cum=$cum) — concurrent mutation of the input?")
+      round += 1
+    }
+    if (lo == hi) lo
+    else base.filter(col("__v") >= lo && col("__v") <= hi)
+      .orderBy(col("__v"))
+      .limit(need.toInt)
+      .agg(max("__v"))
+      .head().getDouble(0)
+  }
 }

@@ -562,4 +562,82 @@ object Sketches {
         round(col("n_both").cast("double") / col("n_union_k").cast("double"), 4)
           .as("jaccard_est"))
   }
+
+  /** EXACT heavy hitters — every key whose frequency is ≥ ceil(minFrac·n)
+    * — without ever shuffling the full key universe. Output:
+    * (keyCol, cnt) with exact counts, invariant under repartitioning.
+    *
+    * Two passes (the Misra–Gries candidate recipe —
+    * [[graft.functions.MisraGries]] has the survivor-guarantee math):
+    *   1. ONE mergeable k-counter aggregate over `xxhash64(key)` plus a
+    *      row count — the shuffle carries ≤ k longs per partition and the
+    *      driver collects one ≤ k-element array (bounded, like the
+    *      codebook collects);
+    *   2. exact recount behind an `InSet` probe on the hashed key: the
+    *      `groupBy(key)` only ever sees candidate rows, so its partial
+    *      aggregation state is ≤ k keys per task instead of the full
+    *      vocabulary.
+    * Contrast with the naive `groupBy(key).count().filter(...)`: for an
+    * n-gram corpus that shuffles billions of distinct keys to answer a
+    * hundred-row question; here the wire carries k·partitions + k rows.
+    *
+    * Exactness under hashing: a hash collision merges two counters, which
+    * only RAISES a heavy key's sketch count — the candidate set stays a
+    * superset of the true answer (a collision admits at most one spurious
+    * candidate, which the exact recount then filters). The guarantee
+    * needs threshold > n/(k+1); with k = ceil(safety/minFrac) and
+    * safety > 1: n/(k+1) < n·minFrac/safety < ceil(n·minFrac). Null keys
+    * hash to the xxhash64 seed and recount as SQL's null group (matching
+    * `GROUP BY ... HAVING`).
+    *
+    * Deliberately NOT approximate-only ([[cmsTokenTopK]] covers the
+    * sketch-estimate regime): training-data curation decisions (drop
+    * boilerplate n-grams, cap hot documents) want exact counts and a
+    * reproducible cut.
+    */
+  def heavyHitters(
+      df: DataFrame, keyCol: String, minFrac: Double,
+      safety: Double = 2.0): DataFrame = {
+    require(minFrac > 0 && minFrac < 1, s"minFrac must be in (0,1), got $minFrac")
+    require(safety > 1, s"safety must be > 1 (the guarantee margin), got $safety")
+    val k = math.ceil(safety / minFrac).toInt
+    val first = df.agg(
+      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cands = first.getSeq[Long](0)
+    val n = first.getLong(1)
+    val threshold = math.ceil(minFrac * n).toLong
+    if (cands.isEmpty || n == 0L)
+      return df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")).filter(lit(false))
+    df.filter(xxhash64(col(keyCol)).isInCollection(cands))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
+  /** [[heavyHitters]] with an ABSOLUTE count threshold and caller-chosen
+    * sketch width. Fails loudly (rather than silently under-reporting)
+    * when the sketch is too narrow for the guarantee: a k-counter summary
+    * only promises survival above n/(k+1), so `minCount` at or below that
+    * line would make the candidate pass lossy.
+    */
+  def heavyHittersAbs(
+      df: DataFrame, keyCol: String, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val first = df.agg(
+      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cands = first.getSeq[Long](0)
+    val n = first.getLong(1)
+    require(minCount > n / (k + 1.0),
+      s"heavyHittersAbs: minCount=$minCount is within the MG error budget " +
+        s"n/(k+1)=${n / (k + 1.0)} for n=$n, k=$k — widen the sketch " +
+        s"(need k > n/minCount - 1 = ${math.ceil(n.toDouble / minCount - 1).toLong})")
+    if (cands.isEmpty || n == 0L)
+      return df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")).filter(lit(false))
+    df.filter(xxhash64(col(keyCol)).isInCollection(cands))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
 }

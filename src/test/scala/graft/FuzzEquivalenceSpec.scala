@@ -103,6 +103,11 @@ class FuzzEquivalenceSpec extends AnyFunSuite {
           "(CAST(2.5 AS DOUBLE), CAST(3 AS BIGINT)), (CAST(0.5 AS DOUBLE), CAST(9 AS BIGINT)) AS t(s, i)")
         .head().getSeq[org.apache.spark.sql.Row](0)
       assert(tk.map(r => (r.getDouble(0), r.getLong(1))) == Seq((2.5, 3L), (1.5, 7L)))
+      val mg = s2.sql(
+        "SELECT mg_candidates(h, 2) FROM VALUES (CAST(7 AS BIGINT)), " +
+          "(CAST(7 AS BIGINT)), (CAST(9 AS BIGINT)) AS t(h)")
+        .head().getSeq[Long](0)
+      assert(mg.contains(7L) && mg.length <= 2)
       // do not stop s2: it shares the local SparkContext with the suite
     } finally {
       prev.foreach { p =>

@@ -379,6 +379,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
   }
 
+  test("exact quantile: matches the sorted order statistic across distributions") {
+    val rnd = new scala.util.Random(7)
+    val shapes: Seq[(String, Seq[Double])] = Seq(
+      "uniform" -> (1 to 5000).map(_ => rnd.nextDouble() * 1000.0),
+      "heavy-dup" -> ((1 to 3000).map(_ => 42.0) ++
+        (1 to 2000).map(_ => rnd.nextDouble() * 10.0)),
+      "two-valued" -> ((1 to 2500).map(_ => -1.0) ++ (1 to 2500).map(_ => 1.0)),
+      "log-skew" -> (1 to 4000).map(_ => math.exp(rnd.nextGaussian() * 3)))
+    for ((name, vals) <- shapes; p <- Seq(0.001, 0.25, 0.5, 0.95, 1.0)) {
+      val sorted = vals.sorted
+      val want = sorted(math.max(math.ceil(p * vals.size).toInt, 1) - 1)
+      // bins=16/cutoff=64 force several real refinement rounds
+      val got = Quantiles.exactQuantile(vals.toDF("v"), "v", p,
+        bins = 16, cutoff = 64)
+      assert(got == want, s"$name p=$p: got $got want $want")
+    }
+  }
+
+  test("exact quantile: all-equal input and the sub-ulp heavy-duplicate regime") {
+    // all equal: converges immediately to lo == hi
+    assert(Quantiles.exactQuantile(
+      Seq.fill(500)(3.25).toDF("v"), "v", 0.5, bins = 8, cutoff = 16) == 3.25)
+    // two subnormal-adjacent values: (hi-lo)/bins underflows to 0.0, so
+    // the equal-width histogram can't split — the distinct-value walk
+    // must finish exactly. 2000 low rows, 2000 high: p=0.4 lands in the
+    // low value, p=0.9 in the high one.
+    val lo = 0.0
+    val hi = java.lang.Double.MIN_VALUE * 100
+    val df = (Seq.fill(2000)(lo) ++ Seq.fill(2000)(hi)).toDF("v")
+    assert(Quantiles.exactQuantile(df, "v", 0.4, bins = 4096, cutoff = 16) == lo)
+    assert(Quantiles.exactQuantile(df, "v", 0.9, bins = 4096, cutoff = 16) == hi)
+  }
+
+  test("exact quantile: nulls excluded, empty input fails loudly") {
+    val df = Seq(Some(1.0), None, Some(2.0), Some(3.0), None).toDF("v")
+    // n = 3 non-null, ceil(0.5*3) = 2 -> 2.0
+    assert(Quantiles.exactQuantile(df, "v", 0.5) == 2.0)
+    val ex = intercept[IllegalArgumentException] {
+      Quantiles.exactQuantile(Seq(Option.empty[Double]).toDF("v"), "v", 0.5)
+    }
+    assert(ex.getMessage.contains("no non-null"))
+  }
+
   test("sqrt-temperature mix keeps the rarest stratum whole, sizes others by sqrt") {
     val df = (Seq.fill(100)("big") ++ Seq.fill(25)("mid") ++ Seq.fill(4)("rare"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "lang")
@@ -2062,6 +2105,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.head.getAs[String]("tier") == "match")
     val over = Linkage.oversizedBlocks(recs, "blk", maxBlockSize = 3).collect()
     assert(over.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("big", 4L)))
+  }
+
+  test("fuzzy pairs: broadcast path and length prefilter are exactly lossless") {
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcdefghijklmnop"
+    def word(n: Int) = (0 until n).map(_ => alphabet(rnd.nextInt(16))).mkString
+    // clusters of typo'd variants (same prefix, 1-2 char edits) plus
+    // unrelated names and extreme-length rows that the length guard
+    // must be allowed to drop
+    val base = (0 until 40).map(_ => word(8 + rnd.nextInt(8)))
+    val rows = base.zipWithIndex.flatMap { case (w, i) =>
+      val variant = w.updated(rnd.nextInt(w.length), 'z')
+      Seq((i * 3L, s"b${i % 3}", w), (i * 3L + 1, s"b${i % 3}", variant),
+        (i * 3L + 2, s"b${i % 3}", w + word(20))) // length outlier
+    }.toDF("id", "blk", "name")
+    def run(bc: Boolean) =
+      Linkage.fuzzyPairs(rows, "id", "blk", "name",
+          threshold = 0.9, broadcastSide = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shuffled = run(bc = false)
+    val broadcastGot = run(bc = true)
+    assert(shuffled == broadcastGot)
+    // brute-force truth WITHOUT any length guard: every same-block pair
+    val truth = {
+      val rs = rows.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      (for {
+        (ia, ba, ta) <- rs; (ib, bb, tb) <- rs
+        if ba == bb && ia < ib
+      } yield {
+        val jw = BigDecimal(graft.functions.JaroWinkler.score(
+            org.apache.spark.unsafe.types.UTF8String.fromString(ta),
+            org.apache.spark.unsafe.types.UTF8String.fromString(tb)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (ia, ib, jw)
+      }).filter(_._3 >= 0.9).toSet
+    }
+    assert(shuffled == truth, "length prefilter must not drop a kept pair")
+    assert(truth.nonEmpty)
   }
 
   test("pq: full codebook + full re-rank degenerates to exact brute force") {

@@ -225,6 +225,103 @@ class SketchesSpec extends AnyFunSuite {
     assert(viol == 0)
   }
 
+  // ---- Misra–Gries heavy hitters ----------------------------------------
+
+  /** Skewed corpus: `heavy` keys with `heavyCnt` rows each, plus `light`
+    * distinct singleton keys — distinct count far above the sketch width
+    * so evictions actually happen.
+    */
+  private def skewed(heavy: Int, heavyCnt: Int, light: Int) = {
+    val rows = (0 until heavy).flatMap(h => Seq.fill(heavyCnt)(s"hot-$h")) ++
+      (0 until light).map(i => s"cold-$i")
+    scala.util.Random.shuffle(rows).toDF("key")
+  }
+
+  test("mg buffer: planted heavy key survives any merge tree, size stays <= k") {
+    import graft.functions.MisraGries
+    val k = 8
+    // stream: 1 heavy key with 40% mass, 200 distinct light keys
+    val stream = scala.util.Random.shuffle(
+      Seq.fill(140)(7L) ++ (100L until 300L)).toArray
+    // arbitrary merge tree: split into uneven chunks, fold pairwise
+    val chunks = stream.grouped(37).map { part =>
+      val b = new MisraGries.Buf(k)
+      part.foreach(b.add(_, 1L))
+      assert(b.counts.size <= k)
+      b
+    }.toSeq
+    val merged = chunks.reduce { (a, b) => a.mergeFrom(b); a }
+    assert(merged.counts.size <= k)
+    // 140/340 > n/(k+1) = 340/9: the heavy key MUST hold a counter
+    assert(merged.counts.contains(7L))
+  }
+
+  test("heavy hitters: exact equality with groupBy truth under adversarial repartitioning") {
+    val df = skewed(heavy = 6, heavyCnt = 300, light = 3000) // n = 4800
+    val truth = df.groupBy("key").count()
+      .filter(col("count") >= math.ceil(0.05 * 4800).toLong)
+      .select(col("key"), col("count").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(truth.size == 6) // the 6 hot keys, 300 >= 240
+    for (parts <- Seq(1, 7, 32)) {
+      // minFrac 0.05, safety 2 -> k = 40 counters vs 3006 distinct keys
+      val got = Sketches.heavyHitters(df.repartition(parts), "key", 0.05)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == truth, s"parts=$parts")
+    }
+  }
+
+  test("heavy hitters abs: exact result, and the too-narrow sketch fails loudly") {
+    val df = skewed(heavy = 3, heavyCnt = 500, light = 1500) // n = 3000
+    val got = Sketches.heavyHittersAbs(df, "key", minCount = 400, k = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == (0 until 3).map(h => (s"hot-$h", 500L)).toSet)
+    // minCount 400 <= n/(k+1) = 3000/5 = 600: the guarantee is void
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.heavyHittersAbs(df, "key", minCount = 400, k = 4)
+    }
+    assert(ex.getMessage.contains("error budget"))
+  }
+
+  test("mg candidates: survivors are a superset of keys above the n/(k+1) budget") {
+    val df = skewed(heavy = 4, heavyCnt = 250, light = 2000) // n = 3000
+    val k = 30 // budget n/(k+1) ~ 96.8 < 250
+    val cands = df.repartition(13)
+      .agg(GraftFunctions.mg_candidates(xxhash64(col("key")), k))
+      .head().getSeq[Long](0).toSet
+    assert(cands.size <= k)
+    val heavyHashes = df.filter(col("key").startsWith("hot-"))
+      .select(xxhash64(col("key"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(heavyHashes.subsetOf(cands))
+  }
+
+  test("heavy hitters: null keys recount as SQL's null group") {
+    val df = (Seq.fill(50)(Some("a")) ++ Seq.fill(40)(Option.empty[String]) ++
+      (0 until 10).map(i => Some(s"x-$i"))).toDF("key")
+    val got = Sketches.heavyHitters(df, "key", 0.3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == Set((Some("a"), 50L), (None, 40L)))
+  }
+
+  test("mg_candidates is SQL-callable and matches the Column form") {
+    GraftFunctions.register(spark) // imperative path on the shared session
+    // one partition so both forms consume the identical stream (the
+    // candidate SET below the guarantee line is merge-order dependent)
+    val df = skewed(heavy = 2, heavyCnt = 100, light = 50).coalesce(1)
+    df.createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql(
+      "SELECT mg_candidates(xxhash64(key), 16) FROM mg_in")
+      .head().getSeq[Long](0)
+    val viaCol = df.agg(GraftFunctions.mg_candidates(xxhash64(col("key")), 16))
+      .head().getSeq[Long](0)
+    // same single-partition stream -> identical summaries
+    assert(viaSql == viaCol)
+    val hot = df.filter(col("key").startsWith("hot-"))
+      .select(xxhash64(col("key"))).distinct().collect().map(_.getLong(0)).toSet
+    assert(hot.subsetOf(viaSql.toSet))
+  }
+
   test("BloomContainsAll equality is value-based over the bitset") {
     val child = org.apache.spark.sql.graft.Shims.expression(Dedup.md5Token60(col("key")))
     val a = Array(1L, 2L, 3L)
