@@ -652,13 +652,18 @@ object SparkEntry {
         .orderBy("event_type")),
 
     // absolute-threshold twin under REAL eviction pressure: 96 counters
-    // over 100 distinct suppliers, so the sketch must shed light keys
-    // while the ≥630 heavy tail (above the n/(k+1)=618 error budget)
-    // is guaranteed to survive into the recount
-    "q_heavy_supp" -> ((s, dir) =>
-      Sketches.heavyHittersAbs(Tables.load(s, dir, "lineitem"),
-          "l_suppkey", minCount = 630, k = 96)
-        .orderBy("l_suppkey")),
+    // vs 100+ distinct suppliers, so the sketch must shed light keys
+    // while everything at or above minCount — just clear of the
+    // n/(k+1) error budget (618.6 at sf0.01) — survives the recount.
+    // minCount derives from the row count (1.05% of n = 630 at sf0.01)
+    // so the budget arithmetic is scale-invariant and the same k holds
+    // at every bench SF
+    "q_heavy_supp" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val minCount = math.ceil(0.0105 * li.count()).toLong
+      Sketches.heavyHittersAbs(li, "l_suppkey", minCount, k = 96)
+        .orderBy("l_suppkey")
+    }),
 
     // HyperLogLog (p=10, 1024 registers) over (doc_id, token) incidence
     // pairs — posting-list cardinality from a fixed-size register table,
@@ -2644,7 +2649,7 @@ object SparkEntry {
     "q_heavy_supp" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
          FROM lineitem GROUP BY l_suppkey
-         HAVING count(*) >= 630
+         HAVING count(*) >= CEIL(0.0105 * (SELECT count(*) FROM lineitem))
          ORDER BY l_suppkey""",
 
     // HLL replayed exactly: register idx = top 10 bits of md5_60, rho from
