@@ -651,6 +651,18 @@ object SparkEntry {
           "event_type", minFrac = 0.2)
         .orderBy("event_type")),
 
+    // the grouped shape — per-language heavy tokens with NO driver
+    // collect: candidate arrays explode into a (group, hash) table that
+    // broadcast-joins back, so the recount touches candidate rows only.
+    // The n-gram/vocabulary use case this family exists for
+    "q_heavy_tokens" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Sketches.heavyHittersBy(toks, "token", Seq("lang"), minFrac = 0.02)
+        .orderBy("lang", "token")
+    }),
+
     // absolute-threshold twin under REAL eviction pressure: 96 counters
     // vs 100+ distinct suppliers, so the sketch must shed light keys
     // while everything at or above minCount — just clear of the
@@ -2645,6 +2657,19 @@ object SparkEntry {
          FROM events GROUP BY event_type
          HAVING count(*) >= CEIL(0.2 * (SELECT count(*) FROM events))
          ORDER BY event_type""",
+
+    // per-group exact heavy hitters: threshold is each LANGUAGE's own
+    // ceil(minFrac * token count) — same tokenizer recipe as q_cms_topk
+    "q_heavy_tokens" ->
+      """WITH t AS (
+           SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents
+         ), n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang)
+         SELECT t.lang AS lang, token, CAST(count(*) AS BIGINT) AS cnt
+         FROM t JOIN n ON t.lang = n.lang
+         GROUP BY t.lang, token, n.n
+         HAVING count(*) >= CEIL(0.02 * n.n)
+         ORDER BY lang, token""",
 
     "q_heavy_supp" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt

@@ -615,6 +615,61 @@ object Sketches {
       .filter(col("cnt") >= threshold)
   }
 
+  /** Per-group EXACT heavy hitters — for each group, every key with
+    * frequency ≥ ceil(minFrac · group size) — with NO driver collect at
+    * all: the grouped shape replaces [[heavyHitters]]'s InSet probe with
+    * a candidate JOIN, so it scales to millions of groups.
+    *
+    *   1. `groupBy(group).agg(mg_candidates(xxhash64(key), k), count)` —
+    *      one mergeable pass, ≤ k+1 values per group through the wire;
+    *   2. explode the candidate arrays to a (group, hash, n) table —
+    *      ≤ k rows per group, distinct by construction (the summary
+    *      holds each key once), so the join below is multiplicity-1;
+    *   3. inner-join the corpus on (group, xxhash64(key)) — broadcast
+    *      when the candidate table is small (the common case: groups ×
+    *      k rows), size-gated like [[Quantiles.binnedQuantiles]] so an
+    *      id-like group column degrades to a shuffle join instead of
+    *      OOMing the driver — then recount exactly and cut at the
+    *      group's own ceil(minFrac·n).
+    *
+    * Per-group guarantee is the global one applied group-wise: the MG
+    * summary for group g errs by ≤ n_g/(k+1) < ceil(minFrac·n_g) for
+    * safety > 1. Output: (groupCols…, keyCol, cnt), exact and partition-
+    * invariant.
+    */
+  def heavyHittersBy(
+      df: DataFrame, keyCol: String, groupCols: Seq[String],
+      minFrac: Double, safety: Double = 2.0,
+      broadcastCandCap: Long = 4L * 1000 * 1000): DataFrame = {
+    require(minFrac > 0 && minFrac < 1, s"minFrac must be in (0,1), got $minFrac")
+    require(safety > 1, s"safety must be > 1 (the guarantee margin), got $safety")
+    val k = math.ceil(safety / minFrac).toInt
+    val g = groupCols.map(col)
+    val sketch = df.groupBy(g: _*).agg(
+      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("__cand"),
+      count(lit(1)).as("__n"))
+    // null-safe group equality (the binnedQuantiles precedent): a null
+    // group key must report like any group, as SQL's GROUP BY does
+    val candCols = groupCols.indices.map(i => s"__g$i")
+    val renamed = groupCols.zip(candCols)
+      .foldLeft(sketch.select(
+        g ++ Seq(explode(col("__cand")).as("__ch"), col("__n")): _*)) {
+        case (d, (c, r)) => d.withColumnRenamed(c, r)
+      }
+    val cands = CacheRegistry.track(renamed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candSide = if (cands.count() <= broadcastCandCap) broadcast(cands) else cands
+    val cond = groupCols.zip(candCols)
+      .map { case (c, r) => col(c) <=> col(r) }
+      .reduce(_ && _) && col("__h") === col("__ch")
+    df.withColumn("__h", xxhash64(col(keyCol)))
+      .join(candSide, cond)
+      .groupBy(g :+ col(keyCol): _*)
+      .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__gn"))
+      .filter(col("cnt") >= ceil(lit(minFrac) * col("__gn")))
+      .select(g ++ Seq(col(keyCol), col("cnt")): _*)
+  }
+
   /** [[heavyHitters]] with an ABSOLUTE count threshold and caller-chosen
     * sketch width. Fails loudly (rather than silently under-reporting)
     * when the sketch is too narrow for the guarantee: a k-counter summary

@@ -296,6 +296,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(heavyHashes.subsetOf(cands))
   }
 
+  test("heavy hitters by group: exact per-group answer under eviction and repartitioning") {
+    // 3 groups; per group: 4 hot keys of 100 rows + 600 distinct singletons
+    // (k = 40 counters per group vs 604 distinct keys -> heavy eviction)
+    val rows = for {
+      gIdx <- 0 until 3
+      row <- (0 until 4).flatMap(h => Seq.fill(100)(s"hot-$gIdx-$h")) ++
+        (0 until 600).map(i => s"cold-$gIdx-$i")
+    } yield (s"grp$gIdx", row)
+    val df = scala.util.Random.shuffle(rows).toDF("g", "key")
+    // per-group n = 1000, threshold = ceil(0.05 * 1000) = 50
+    val truth = rows.groupBy(identity).map { case ((gr, key), rs) =>
+      (gr, key, rs.size.toLong)
+    }.filter(_._3 >= 50L).toSet
+    assert(truth.size == 12)
+    for (parts <- Seq(1, 32)) {
+      val got = Sketches.heavyHittersBy(df.repartition(parts), "key", Seq("g"), 0.05)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == truth, s"parts=$parts")
+    }
+    // shuffle-join fallback (cap 0 forces it) is bit-identical
+    val fallback = Sketches.heavyHittersBy(df, "key", Seq("g"), 0.05,
+        broadcastCandCap = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(fallback == truth)
+  }
+
+  test("heavy hitters by group: null group keys report like any group") {
+    val df = (Seq.fill(30)((Some("a"), "x")) ++ Seq.fill(20)((Option.empty[String], "y")) ++
+      (0 until 10).map(i => (Option.empty[String], s"z$i"))).toDF("g", "key")
+    val got = Sketches.heavyHittersBy(df, "key", Seq("g"), 0.3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).toSet
+    // null group: n = 30, threshold 9 -> y (20) qualifies, z* (1 each) don't
+    assert(got == Set((Some("a"), "x", 30L), (None, "y", 20L)))
+  }
+
   test("heavy hitters: null keys recount as SQL's null group") {
     val df = (Seq.fill(50)(Some("a")) ++ Seq.fill(40)(Option.empty[String]) ++
       (0 until 10).map(i => Some(s"x-$i"))).toDF("key")
