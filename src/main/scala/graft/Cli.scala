@@ -244,7 +244,7 @@ object Cli {
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
-          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr]
+          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
@@ -283,7 +283,8 @@ object Cli {
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
           |  events -in <events.parquet> [-op sessionize|funnel|retention|json|
           |              transitions|sessionstats|anomaly|anomalyonline|paths|dwell|
-          |              assoc ([-basket c] [-item c] [-min-support N])]
+          |              assoc ([-basket c] [-item c] [-min-support N])|
+          |              heavy ([-min-frac f])|percentile ([-p f] [-bins n])]
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
           |          sessionize: [-gap-ms n]; json: [-path $.field];
           |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N]) [-out dir]
@@ -566,6 +567,11 @@ object Cli {
         topK = flags.getOrElse("topk", "10").toInt)
       case "hll"         => Sketches.hllTokenIncidence(docs,
         p = flags.getOrElse("p", "10").toInt)
+      case "heavytokens" => Sketches.heavyHittersBy(
+        docs.select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("token")),
+        "token", Seq("lang"),
+        minFrac = flags.getOrElse("min-frac", "0.02").toDouble)
       // embeddings-table ops (-in points at an embeddings parquet)
       case "kmeans"      => Similarity.trainCodebook(docs,
         k = flags.getOrElse("k", "16").toInt,
@@ -872,6 +878,15 @@ object Cli {
       case "paths"  => Events.pathTrigrams(ev,
         topN = flags.getOrElse("topn", "20").toInt)
       case "dwell"  => Events.dwellStats(ev).orderBy("from_type", "to_type")
+      case "heavy"  => Sketches.heavyHitters(ev, "event_type",
+          minFrac = flags.getOrElse("min-frac", "0.1").toDouble)
+        .orderBy("event_type")
+      case "percentile" =>
+        val p = flags.getOrElse("p", "0.5").toDouble
+        val v = Quantiles.exactQuantile(ev, "value", p,
+          bins = flags.getOrElse("bins", "4096").toInt)
+        import spark.implicits._
+        Seq((p, v)).toDF("p", "value")
       case "assoc"  => Graph.associationRules(ev,
           flags.getOrElse("basket", "user_id"),
           flags.getOrElse("item", "event_type"),
