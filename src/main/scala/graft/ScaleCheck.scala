@@ -660,6 +660,47 @@ object ScaleCheck {
         .show(5)
     }
     operators.CacheRegistry.release(spark)
+    // exact heavy hitters over a WIDE key universe (~400k distinct
+    // composite keys, every one far below the cut) with one planted
+    // ~1% key: the k=400-counter sketch must nominate it through heavy
+    // eviction, and the recount must equal the full-groupBy truth —
+    // while the candidate pass shuffles <= k rows per partition instead
+    // of 400k distinct keys
+    time("exact heavy hitters 6M rows (~400k distinct, planted 1% key)") {
+      val wide = li10.select(concat_ws(":", col("l_partkey"),
+        col("l_suppkey"), col("l_orderkey") % 7).as("key"))
+      val hot = spark.range(60000).select(lit("HOT-KEY").as("key"))
+      val df = wide.unionByName(hot)
+      val got = operators.Sketches.heavyHitters(df, "key", minFrac = 0.005)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      require(got.contains("HOT-KEY"),
+        s"planted hot key must survive eviction, got ${got.keySet}")
+      val n = df.count()
+      val truth = df.groupBy("key").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= math.ceil(0.005 * n).toLong)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      require(got == truth,
+        s"heavy hitters must equal groupBy truth: got ${got.size} want ${truth.size}")
+      println(s"[scale] heavy hitters: ${got.size} over wide universe (n=$n)")
+    }
+    operators.CacheRegistry.release(spark)
+    // exact quantile on the 6M-row fact: a handful of ever-narrowing
+    // range scans (no global sort); must equal the window-rank truth
+    time("exact quantile p95 over 6M rows (bins=512)") {
+      val got = operators.Quantiles.exactQuantile(li10, "l_extendedprice",
+        0.95, bins = 512, cutoff = 1 << 14)
+      val vs = li10.filter(col("l_extendedprice").isNotNull)
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val nn = vs.count()
+      // truth by distributed range sort + index (the formulation the
+      // operator exists to avoid; fine as a one-off gate)
+      val want = vs.orderBy(col("v")).rdd.zipWithIndex()
+        .filter(_._2 == math.ceil(0.95 * nn).toLong - 1)
+        .map(_._1.getDouble(0)).first()
+      require(got == want, s"exact quantile $got != sort truth $want")
+      println(s"[scale] exact quantile p95: $got (n=$nn)")
+    }
+    operators.CacheRegistry.release(spark)
     // column profile at 10x: one stacked agg row per column + grouped HLL
     // registers (2^12 per column) — state never follows the corpus
     time("column profile 50k docs (4 cols, p=12)") {

@@ -407,6 +407,28 @@ object Streaming {
     graft.operators.Sketches.cmsTable(toks, "token", depth, width)
   }
 
+  /** Streaming Misra–Gries heavy-hitter candidate summary over an events
+    * file stream: ONE Complete-mode global aggregate whose state is the
+    * fixed k-counter buffer plus a row count, however unbounded the
+    * stream — the mergeable-summaries guarantee (error ≤ n/(k+1) under
+    * any merge tree) covers micro-batch accumulation for free, which is
+    * exactly why MG is the streaming-native heavy-hitter sketch. The
+    * exact recount stays batch-side (the same second pass as
+    * [[graft.operators.Sketches.heavyHitters]]); the StreamingSpec law
+    * pins streamed-candidates + exact-recount ≡ the batch answer, even
+    * though the candidate SET below the guarantee line is merge-order
+    * dependent.
+    */
+  def streamingHeavyCandidates(
+      spark: SparkSession, eventsDir: String,
+      keyCol: String = "event_type", k: Int = 20): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .agg(graft.functions.GraftFunctions
+          .mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
+        count(lit(1)).as("n"))
+  }
+
   /** Streaming JSON-field stats over an events file stream: the batch
     * [[graft.operators.Events.jsonFieldStats]] plan unchanged (stateless
     * codegen extraction + one Complete-mode aggregate whose state is the

@@ -127,6 +127,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedEst == batchEst && streamedEst.nonEmpty)
   }
 
+  test("streaming MG candidates + exact recount equal the batch heavy hitters") {
+    val dir = tmpDir("stream-mg").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "events.parquet"))
+    // k=8 counters; minFrac 0.15 clears the n/(k+1) budget (n/9 ≈ 0.111n)
+    val row = Streaming.runAvailableNow(
+      Streaming.streamingHeavyCandidates(spark, dir, "event_type", k = 8),
+      "mg_stream").head()
+    val cands = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val threshold = math.ceil(0.15 * n).toLong
+    val got = ev.filter(xxhash64(col("event_type")).isInCollection(cands))
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = graft.operators.Sketches.heavyHitters(ev, "event_type", 0.15)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty,
+      s"streamed-candidate recount $got must equal batch heavy hitters $want")
+  }
+
   test("streaming JSON-field stats equal the batch twin") {
     val dir = tmpDir("stream-json").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
