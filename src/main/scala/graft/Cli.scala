@@ -244,7 +244,7 @@ object Cli {
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
-          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens]
+          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|snm]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
@@ -267,7 +267,8 @@ object Cli {
           |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
           |          winnow/winnowpairs: MOSS fingerprints / shared-print pairs;
           |          lpa: [-span-cap N] [-iters N] (sync label-prop communities);
-          |          fuzzypairs: -block c [-id c] [-text c] [-threshold X] (Jaro-Winkler);
+          |          fuzzypairs: -block c [-id c] [-text c] [-threshold X] [-broadcast true] (Jaro-Winkler);
+          |          snm: [-sort c] [-id c] [-text c] [-window N] [-threshold X] (sorted-neighborhood);
           |          hardneg: embeddings -in, [-queries N] [-topk N];
           |          mmr: embeddings -in, [-queries N] [-m candidates] [-topk N] [-lambda X];
           |          rrf: documents -in, -emb <embeddings.parquet> [-queries N] [-perlist N] [-topk N];
@@ -823,6 +824,13 @@ object Cli {
         blockCol = flags.getOrElse("block", fail(
           "corpus -op fuzzypairs requires -block <column>")),
         textCol = flags.getOrElse("text", "text"),
+        threshold = flags.getOrElse("threshold", "0.9").toDouble,
+        broadcastSide = flags.get("broadcast").contains("true"))
+      case "snm"         => Linkage.sortedNeighborhoodPairs(docs,
+        idCol = flags.getOrElse("id", "doc_id"),
+        sortCol = flags.getOrElse("sort", "text"),
+        textCol = flags.getOrElse("text", "text"),
+        window = flags.getOrElse("window", "8").toInt,
         threshold = flags.getOrElse("threshold", "0.9").toDouble)
       case "skewkeys"    => Skew.keyProfile(docs,
         col(flags.getOrElse("key", fail(

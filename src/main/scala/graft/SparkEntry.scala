@@ -1510,6 +1510,15 @@ object SparkEntry {
           broadcastSide = true)
         .orderBy("id_a", "id_b")),
 
+    // sorted-neighborhood (merge/purge) linkage: rank by (p_name, key),
+    // score each record against the 7 that follow — fixed n·(w−1)
+    // candidates whatever the value distribution, the complement of
+    // q_fuzzy_pairs' blocking. Global rank = range partitions + offsets
+    "q_snm_pairs" -> ((s, dir) =>
+      Linkage.sortedNeighborhoodPairs(Tables.load(s, dir, "part"),
+          "p_partkey", "p_name", "p_name", window = 8, threshold = 0.9)
+        .orderBy("id_a", "id_b")),
+
     // PageRank centrality over the duplication-link graph (docs sharing
     // a span fingerprint): the high-rank nodes are the boilerplate hubs.
     // Fixed-point contributions make the iteration engine-exact
@@ -4547,6 +4556,21 @@ object SparkEntry {
            round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
          FROM s a JOIN s b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+         ORDER BY id_a, id_b""",
+
+    // sorted-neighborhood replay: the global rank is one row_number over
+    // the SAME total order (p_name, p_partkey) the distributed two-level
+    // rank computes; neighbor pairs are rank deltas in [1, w-1]
+    "q_snm_pairs" ->
+      """WITH r AS (
+           SELECT p_partkey AS id, p_name AS name,
+                  row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+           FROM part
+         )
+         SELECT a.id AS id_a, b.id AS id_b,
+           round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 7
+         WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.9
          ORDER BY id_a, id_b""",
 
     // PageRank replay: the q_dupspans span substrate → distinct pair

@@ -178,4 +178,80 @@ object Linkage {
           .jaro_winkler(col("__ta"), col("__tb")), 4).as("jw"))
       .filter(col("jw") >= threshold)
   }
+
+  /** Sorted-neighborhood linkage (the Hernández–Stolfo merge/purge
+    * method): rank every record in the total order (`sortCol`, `idCol`),
+    * score each record against the `window − 1` records that FOLLOW it
+    * in that order, keep Jaro-Winkler ≥ `threshold` (4dp-rounded before
+    * the cut, the house contract). Output: (id_a, id_b, jw) with id_a
+    * the LOWER-RANK side.
+    *
+    * The method is the structural complement of block-based linkage
+    * ([[fuzzyPairs]]): blocking compares everything that shares a key
+    * and misses cross-block matches; SNM compares a FIXED-width sliding
+    * window over a sort order designed so near-duplicates land adjacent
+    * (name, normalized address, …) — candidate count is exactly
+    * n·(window−1) whatever the value distribution, the knob a curation
+    * pipeline wants when one brand/domain would otherwise be a mega-
+    * block.
+    *
+    * 100 TB shape, stepwise:
+    *   1. global rank WITHOUT a single-partition window:
+    *      `repartitionByRange(sortCol, idCol)` (sampled range bounds —
+    *      Spark's own skew handling), rank within each range partition,
+    *      add broadcast per-partition offsets (the two-level prefix-scan
+    *      pattern of [[Sampling.deterministicShuffle]]). The rank is a
+    *      property of the TOTAL ORDER, so sampled bounds cannot change
+    *      the result, only balance.
+    *   2. neighbor join via width-`window` rank blocks: side A at block
+    *      ⌊rank/w⌋, side B replicated to its own and the PREVIOUS block
+    *      — every pair with 1 ≤ rank_b − rank_a ≤ w−1 meets in exactly
+    *      one block, each row is materialized ≤ 3 times total, and the
+    *      join key (block id) is uniform by construction.
+    */
+  def sortedNeighborhoodPairs(
+      records: DataFrame,
+      idCol: String,
+      sortCol: String,
+      textCol: String,
+      window: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(threshold >= 0.0 && threshold <= 1.0)
+    import org.apache.spark.sql.expressions.Window
+    val w = window.toLong
+    val slim = records.select(col(idCol), col(sortCol), col(textCol))
+    val ranged = slim.repartitionByRange(col(sortCol), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // per-partition rank + broadcast offsets = global rank; the window
+    // below partitions by __pid, i.e. range-partition-sized, never global
+    val local = ranged.withColumn("__local", row_number()
+      .over(Window.partitionBy("__pid").orderBy(col(sortCol), col(idCol)))
+      .cast("long"))
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__pid", "__off")
+    val ranked = CacheRegistry.track(local
+      .join(broadcast(offsets), "__pid")
+      .withColumn("__r", col("__local") + col("__off") - 1)
+      .select(col(idCol), col(sortCol), col(textCol), col("__r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val a = ranked.select(col(idCol).as("id_a"), col(textCol).as("__ta"),
+      col("__r").as("__ra"), (col("__r") / w).cast("long").as("__blk"))
+    val bBase = ranked.select(col(idCol).as("id_b"), col(textCol).as("__tb"),
+      col("__r").as("__rb"))
+    val b = bBase
+      .withColumn("__blk", (col("__rb") / w).cast("long"))
+      .unionByName(bBase
+        .withColumn("__blk", (col("__rb") / w).cast("long") - 1))
+    a.join(b, Seq("__blk"))
+      .filter((col("__rb") - col("__ra")).between(lit(1L), lit(w - 1)))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.GraftFunctions
+          .jaro_winkler(col("__ta"), col("__tb")), 4).as("jw"))
+      .filter(col("jw") >= threshold)
+  }
 }

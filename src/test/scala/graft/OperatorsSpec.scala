@@ -2145,6 +2145,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(truth.nonEmpty)
   }
 
+  test("sorted-neighborhood pairs: equals the single-order truth under any partitioning") {
+    val rnd = new scala.util.Random(17)
+    val names = (0 until 300).map { i =>
+      val stem = s"record name ${('a' + i % 20).toChar}${i % 7}"
+      if (i % 3 == 0) stem + " variant" else stem + s" ${rnd.nextInt(10)}"
+    }
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    val w = 5
+    // truth: one in-memory sort by (name, id), score each row against
+    // the w-1 that follow
+    val sorted = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, n) => (n, id) }
+    val truth = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.length)
+    } yield {
+      val jw = BigDecimal(graft.functions.JaroWinkler.score(
+          org.apache.spark.unsafe.types.UTF8String.fromString(sorted(i)._2),
+          org.apache.spark.unsafe.types.UTF8String.fromString(sorted(j)._2)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (sorted(i)._1, sorted(j)._1, jw)
+    }).filter(_._3 >= 0.85).toSet
+    assert(truth.nonEmpty)
+    for (parts <- Seq(1, 13)) {
+      val got = Linkage.sortedNeighborhoodPairs(df.repartition(parts),
+          "id", "name", "name", window = w, threshold = 0.85)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == truth, s"parts=$parts")
+    }
+  }
+
   test("pq: full codebook + full re-rank degenerates to exact brute force") {
     // 12 distinct vectors, dim 8, m=2: with ksub = n every subvector
     // encodes to its own centroid (d²=0), approx_ip = exact ip, and
