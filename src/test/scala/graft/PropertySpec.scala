@@ -232,6 +232,57 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 8)
   }
 
+  test("property: exact quantile == sorted order statistic on random mixed distributions") {
+    // continuous mass + heavy duplicate plateaus + random p — the
+    // refinement loop must land on the exact k-th smallest every time
+    val genCase = for {
+      n <- Gen.choose(200, 3000)
+      dupShare <- Gen.choose(0.0, 0.9)
+      p <- Gen.choose(0.01, 1.0)
+      seed <- Gen.choose(0L, 99999L)
+    } yield (n, dupShare, p, seed)
+
+    check(Prop.forAll(genCase) { case (n, dupShare, p, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val plateau = rnd.nextDouble() * 100 - 50
+      val vals = (1 to n).map { _ =>
+        if (rnd.nextDouble() < dupShare) plateau
+        else rnd.nextDouble() * 1000 - 500
+      }
+      val want = vals.sorted.apply(math.max(math.ceil(p * n).toInt, 1) - 1)
+      // tiny bins/cutoff force several refinement rounds per case
+      Quantiles.exactQuantile(vals.toDF("v"), "v", p,
+        bins = 8, cutoff = 32) == want
+    }, minSuccessful = 8)
+  }
+
+  test("property: exact heavy hitters == groupBy truth on random skewed keys") {
+    import graft.operators.Sketches
+    val genCase = for {
+      nHot <- Gen.choose(1, 8)
+      hotCnt <- Gen.choose(50, 200)
+      nCold <- Gen.choose(100, 2000)
+      minFrac <- Gen.choose(0.02, 0.2)
+      parts <- Gen.choose(1, 16)
+      seed <- Gen.choose(0L, 99999L)
+    } yield (nHot, hotCnt, nCold, minFrac, parts, seed)
+
+    check(Prop.forAll(genCase) { case (nHot, hotCnt, nCold, minFrac, parts, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = rnd.shuffle(
+        (0 until nHot).flatMap(h => Seq.fill(hotCnt)(s"hot-$h")) ++
+          (0 until nCold).map(i => s"cold-$i-${rnd.nextInt(5)}"))
+      val n = rows.size
+      val threshold = math.ceil(minFrac * n).toLong
+      val truth = rows.groupBy(identity).view
+        .mapValues(_.size.toLong).filter(_._2 >= threshold).toMap
+      val got = Sketches.heavyHitters(
+          rows.toDF("key").repartition(parts), "key", minFrac)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      got == truth
+    }, minSuccessful = 8)
+  }
+
   test("property: bounded top-k aggregate == driver-side total-order sort, any partitioning") {
     // randomized twin of the fixed NaN/ties example in OperatorsSpec:
     // random scores (with deliberate tie mass and occasional NaN),
