@@ -244,7 +244,8 @@ object Cli {
           |              bpetokens|containment|clusterterms|kfold|purity|drift|collocations|
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
-          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|snm]
+          |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
+          |              topktokens|snm]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
@@ -573,6 +574,10 @@ object Cli {
           explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", Seq("lang"),
         minFrac = flags.getOrElse("min-frac", "0.02").toDouble)
+      case "topktokens"  => Sketches.topKFrequent(
+        docs.select(explode(TextAnalysis.tokens(col("text"))).as("token")),
+        "token", topK = flags.getOrElse("topk", "10").toInt,
+        k = flags.getOrElse("k", "4096").toInt)
       // embeddings-table ops (-in points at an embeddings parquet)
       case "kmeans"      => Similarity.trainCodebook(docs,
         k = flags.getOrElse("k", "16").toInt,

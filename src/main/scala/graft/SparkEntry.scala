@@ -651,6 +651,18 @@ object SparkEntry {
           "event_type", minFrac = 0.2)
         .orderBy("event_type")),
 
+    // EXACT top-k most-frequent with a runtime certificate (the k-th
+    // recounted count must clear the MG absence budget n/(k+1), so no
+    // non-candidate can outrank the cut) — the exact-regime twin of
+    // q_cms_topk's estimates
+    "q_topk_tokens" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Sketches.topKFrequent(toks, "token", topK = 10, k = 512)
+        .orderBy("rank")
+    }),
+
     // the grouped shape — per-language heavy tokens with NO driver
     // collect: candidate arrays explode into a (group, hash) table that
     // broadcast-joins back, so the recount touches candidate rows only.
@@ -2666,6 +2678,21 @@ object SparkEntry {
          FROM events GROUP BY event_type
          HAVING count(*) >= CEIL(0.2 * (SELECT count(*) FROM events))
          ORDER BY event_type""",
+
+    // certified exact top-k: plain frequency ranking, (cnt desc, token)
+    // ties — the hash match proves the candidate cut lost nothing
+    "q_topk_tokens" ->
+      """WITH t AS (
+           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents
+         ), c AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token
+         )
+         SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+         FROM c
+         ORDER BY cnt DESC, token
+         LIMIT 10""",
 
     // per-group exact heavy hitters: threshold is each LANGUAGE's own
     // ceil(minFrac * token count) — same tokenizer recipe as q_cms_topk

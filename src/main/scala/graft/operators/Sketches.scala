@@ -670,6 +670,62 @@ object Sketches {
       .select(g ++ Seq(col(keyCol), col("cnt")): _*)
   }
 
+  /** EXACT top-`topK` most frequent keys — (key, cnt, rank) with exact
+    * counts, rank by (cnt desc, key asc) — WITHOUT grouping the key
+    * universe, plus a runtime CERTIFICATE that the answer is globally
+    * correct.
+    *
+    * Same two passes as [[heavyHitters]] (MG candidates → exact
+    * recount), then the top-k of the ≤ `k` recounted candidates. The
+    * certificate is the MG absence bound: a key missing from a k-counter
+    * summary has true frequency ≤ n/(k+1) (Mergeable Summaries §3), so
+    * when the k-th selected count EXCEEDS n/(k+1), no non-candidate key
+    * can outrank any selected key — the candidate top-k IS the global
+    * top-k. When the corpus is too flat for the sketch width (k-th count
+    * at or under the budget), this fails loudly with the required width
+    * instead of silently returning a maybe-top-k; [[cmsTokenTopK]] is
+    * the approximate-regime alternative.
+    *
+    * Ties at the boundary cut deterministically by (cnt desc, key asc) —
+    * but a NON-candidate key tied exactly at the k-th count cannot be
+    * certified absent, so the certificate demands strict inequality.
+    */
+  def topKFrequent(
+      df: DataFrame, keyCol: String, topK: Int, k: Int = 4096): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(k >= topK, s"sketch width k=$k must be >= topK=$topK")
+    val first = df.agg(
+      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cands = first.getSeq[Long](0)
+    val n = first.getLong(1)
+    require(cands.nonEmpty, s"topKFrequent: empty input")
+    // recount + rank the ≤ k candidates; the window partition is the
+    // candidate set (sketch-sized), never the corpus
+    val counted = CacheRegistry.track(df
+      .filter(xxhash64(col(keyCol)).isInCollection(cands))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val top = counted
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+    val selected = top.count()
+    require(selected == topK,
+      s"topKFrequent: only $selected candidate keys survive the sketch — " +
+        s"a $topK-row answer cannot be certified complete (either the key " +
+        s"universe has < $topK distinct keys — lower topK — or widen k)")
+    val kth = top.agg(min(col("cnt"))).head().getLong(0)
+    require(kth > n / (k + 1.0),
+      s"topKFrequent: cannot certify — the $topK-th count $kth is within " +
+        s"the MG error budget n/(k+1)=${n / (k + 1.0)} (n=$n, k=$k); " +
+        s"widen the sketch (need k > n/$kth - 1 = " +
+        s"${math.ceil(n.toDouble / kth - 1).toLong})")
+    import org.apache.spark.sql.expressions.Window
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col(keyCol).asc)))
+  }
+
   /** [[heavyHitters]] with an ABSOLUTE count threshold and caller-chosen
     * sketch width. Fails loudly (rather than silently under-reporting)
     * when the sketch is too narrow for the guarantee: a k-counter summary

@@ -331,6 +331,25 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == Set((Some("a"), "x", 30L), (None, "y", 20L)))
   }
 
+  test("top-k frequent: certified exact ranking under eviction, loud failure when flat") {
+    // 20 keys with distinct descending counts + 3000 singleton keys;
+    // k=64 counters vs 3020 distinct forces evictions
+    val rows = (0 until 20).flatMap(i => Seq.fill(200 - i * 5)(s"key-$i")) ++
+      (0 until 3000).map(i => s"noise-$i")
+    val df = scala.util.Random.shuffle(rows).toDF("key")
+    val got = Sketches.topKFrequent(df, "key", topK = 10, k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val want = (0 until 10).map(i => (s"key-$i", (200 - i * 5).toLong, i + 1))
+    assert(got.toSeq == want)
+    // flat corpus: every key ties at 1 -> the k-th count is inside the
+    // absence budget and the certificate must refuse
+    val flat = (0 until 5000).map(i => s"u-$i").toDF("key")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.topKFrequent(flat, "key", topK = 10, k = 64)
+    }
+    assert(ex.getMessage.contains("certify") || ex.getMessage.contains("survive"))
+  }
+
   test("heavy hitters: null keys recount as SQL's null group") {
     val df = (Seq.fill(50)(Some("a")) ++ Seq.fill(40)(Option.empty[String]) ++
       (0 until 10).map(i => Some(s"x-$i"))).toDF("key")
