@@ -2176,6 +2176,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy pairs broadcast plan: BroadcastHashJoin carries the scoring, no block-keyed exchange") {
+    val rows = (0 until 200).map(i => (i.toLong, s"b${i % 3}", s"name $i"))
+      .toDF("id", "blk", "name")
+    val plan = Linkage.fuzzyPairs(rows, "id", "blk", "name",
+        threshold = 0.9, broadcastSide = true)
+      .queryExecution.executedPlan.toString
+    // 3 block keys would serialize a shuffled self-join on 3 reducers;
+    // the broadcast form must keep the quadratic scoring on the
+    // row-partitioned scan side
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
   test("pq: full codebook + full re-rank degenerates to exact brute force") {
     // 12 distinct vectors, dim 8, m=2: with ksub = n every subvector
     // encodes to its own centroid (d²=0), approx_ip = exact ip, and

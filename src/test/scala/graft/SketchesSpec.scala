@@ -358,6 +358,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(got == Set((Some("a"), 50L), (None, 40L)))
   }
 
+  test("heavy hitters plan: partial MG aggregate before the exchange, InSet recount probe") {
+    val df = skewed(heavy = 3, heavyCnt = 200, light = 500)
+    // pass 1 must partial-aggregate map-side (k-counter buffers per
+    // partition, <= k rows each through the wire), not shuffle raw keys
+    val p1 = df.agg(GraftFunctions.mg_candidates(xxhash64(col("key")), 40))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("partial_mg_candidates"), s"no partial aggregate:\n$p1")
+    assert(p1.contains("ObjectHashAggregate"), s"not object-hash:\n$p1")
+    // the full operator's recount must probe a compiled literal set
+    // (InSet / In) at the scan, never join or window the corpus — use a
+    // parquet source: a LocalRelation would constant-fold the probe away
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val p2 = Sketches.heavyHitters(ev, "event_type", 0.15)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("INSET") || p2.contains(" IN "), s"no in-set probe:\n$p2")
+    assert(!p2.contains("Window"), s"window in recount path:\n$p2")
+  }
+
   test("mg_candidates is SQL-callable and matches the Column form") {
     GraftFunctions.register(spark) // imperative path on the shared session
     // one partition so both forms consume the identical stream (the
