@@ -163,11 +163,22 @@ object Linkage {
     // round-to-4dp-before-cut contract (a true 0.89996 rounds UP into
     // the kept set); the cheap length compare skips the O(la·lb)
     // matcher for pairs that cannot reach the cut.
+    //
+    // The bound only holds in the UNIT the scorer counts — UTF-16 code
+    // units — while Spark's length() counts code points; on
+    // supplementary-plane text the two diverge and the cut could drop a
+    // true match. So the guard applies only where octet_length == length
+    // (pure ASCII: bytes == units == points); any non-ASCII pair skips
+    // it and goes straight to the scorer.
     val lenGuard =
       if (threshold > 0.8) {
         val r = 5.0 * (threshold - 5e-5) - 4.0
-        least(length(col("__ta")), length(col("__tb"))).cast("double") >=
-          lit(r) * greatest(length(col("__ta")), length(col("__tb"))).cast("double")
+        val asciiPair =
+          octet_length(col("__ta")) === length(col("__ta")) &&
+            octet_length(col("__tb")) === length(col("__tb"))
+        !asciiPair ||
+          least(length(col("__ta")), length(col("__tb"))).cast("double") >=
+            lit(r) * greatest(length(col("__ta")), length(col("__tb"))).cast("double")
       } else lit(true)
     val bSide = if (broadcastSide) broadcast(b) else b
     a.join(bSide, "__blk")
@@ -221,8 +232,18 @@ object Linkage {
     import org.apache.spark.sql.expressions.Window
     val w = window.toLong
     val slim = records.select(col(idCol), col(sortCol), col(textCol))
-    val ranged = slim.repartitionByRange(col(sortCol), col(idCol))
+    // PERSISTED AND MATERIALIZED BEFORE BRANCHING: __pid comes from a
+    // SAMPLED range shuffle, so it is only consistent between the local-
+    // rank branch and the offsets branch if both read the same
+    // materialization — relying on exchange reuse to dedup the two
+    // subtrees would break silently under spark.sql.exchange.reuse=false
+    // (deterministicShuffle's md5-prefix bucket is data-derived and
+    // immune; a sampled partition id is not)
+    val ranged = CacheRegistry.track(slim
+      .repartitionByRange(col(sortCol), col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ranged.count()
     // per-partition rank + broadcast offsets = global rank; the window
     // below partitions by __pid, i.e. range-partition-sized, never global
     val local = ranged.withColumn("__local", row_number()

@@ -141,6 +141,13 @@ object Quantiles {
     * a value, whatever the tie order) and engine-portable: the DuckDB
     * oracle replays it as `row_number() = ceil(p·n)`.
     *
+    * Non-finite values resolve by rank arithmetic before the descent
+    * (both engines order -Inf < finite < +Inf < NaN): their counts come
+    * from the same first pass, and the histogram only ever bins FINITE
+    * values — an infinite endpoint would degenerate the bucket width.
+    * The width itself is computed as hi/bins − lo/bins (the direct
+    * hi − lo can overflow for a range spanning most of the double line).
+    *
     * Global by design: per-group exact selection would put a driver loop
     * inside a group loop — [[binnedQuantiles]] is the grouped/fixed-pass
     * answer, this is the exact-global one (q_percentile's window formul-
@@ -156,20 +163,41 @@ object Quantiles {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(cutoff >= 1, s"cutoff must be >= 1, got $cutoff")
     val v = col(valueCol).cast("double")
-    val base = df.filter(v.isNotNull).select(v.as("__v"))
+    val all = df.filter(v.isNotNull).select(v.as("__v"))
+    // non-finite mass is counted ONCE up front and resolved by rank
+    // arithmetic (both engines order -Inf < finite < +Inf < NaN): an
+    // infinite lo/hi would make the bucket width degenerate (w = Inf
+    // puts every row in bucket 0 and the loop would never shrink), and
+    // a NaN hi would skip refinement entirely and full-sort the corpus
+    val isFin = !isnan(col("__v")) &&
+      col("__v") > Double.NegativeInfinity && col("__v") < Double.PositiveInfinity
+    val base = all.filter(isFin)
 
-    val g0 = base.agg(count(lit(1)).as("n"), min("__v").as("mn"),
-      max("__v").as("mx")).head()
+    val g0 = all.agg(count(lit(1)).as("n"),
+      count(when(col("__v") === Double.NegativeInfinity, 1)).as("nneg"),
+      count(when(col("__v") === Double.PositiveInfinity, 1)).as("npos"),
+      count(when(isnan(col("__v")), 1)).as("nnan"),
+      min(when(isFin, col("__v"))).as("mn"),
+      max(when(isFin, col("__v"))).as("mx")).head()
     val n = g0.getLong(0)
     require(n > 0, s"exactQuantile: no non-null values in $valueCol")
+    val (nNeg, nPos, nNan) = (g0.getLong(1), g0.getLong(2), g0.getLong(3))
+    val nFin = n - nNeg - nPos - nNan
     var need = math.ceil(p * n).toLong.max(1L)
-    var lo = g0.getDouble(1)
-    var hi = g0.getDouble(2)
-    var cnt = n
+    if (need <= nNeg) return Double.NegativeInfinity
+    if (need > nNeg + nFin + nPos) return Double.NaN
+    if (need > nNeg + nFin) return Double.PositiveInfinity
+    need -= nNeg
+    var lo = g0.getDouble(4)
+    var hi = g0.getDouble(5)
+    var cnt = nFin
 
     var round = 0
     while (lo < hi && cnt > cutoff && round < 64) {
-      val w = (hi - lo) / bins
+      // width computed as hi/bins - lo/bins: the direct (hi - lo) can
+      // overflow to Inf for a range spanning most of the double line,
+      // and an infinite width would stall the descent
+      val w = hi / bins - lo / bins
       if (w == 0.0) {
         // sub-ulp range: equal-width bucketing can no longer split, but a
         // range this narrow holds only a handful of DISTINCT doubles
@@ -189,7 +217,11 @@ object Quantiles {
         throw new IllegalStateException(
           s"exactQuantile: rank walked off the value counts (need=$need)")
       }
-      val bucket = least(floor((col("__v") - lo) / w), lit((bins - 1).toLong))
+      // same safe association: (v - lo)/w can overflow where v/w - lo/w
+      // cannot (each quotient is bounded by maxDouble/w); any monotone
+      // value-deterministic bucketing is correct, only balance shifts
+      val bucket = least(floor(col("__v") / w - lit(lo / w)),
+        lit((bins - 1).toLong))
       val hist = base.filter(col("__v") >= lo && col("__v") <= hi)
         .groupBy(bucket.as("__b"))
         .agg(count(lit(1)).as("__c"), min("__v").as("__bmn"),
@@ -215,10 +247,17 @@ object Quantiles {
       round += 1
     }
     if (lo == hi) lo
-    else base.filter(col("__v") >= lo && col("__v") <= hi)
-      .orderBy(col("__v"))
-      .limit(need.toInt)
-      .agg(max("__v"))
-      .head().getDouble(0)
+    else {
+      // reachable only via cnt <= cutoff (strict progress: lo and hi
+      // always land in different buckets, so the chosen bucket shrinks
+      // every round); the require is defense in depth for the .toInt
+      require(need <= cutoff,
+        s"exactQuantile: finisher invariant violated (need=$need > cutoff=$cutoff)")
+      base.filter(col("__v") >= lo && col("__v") <= hi)
+        .orderBy(col("__v"))
+        .limit(need.toInt)
+        .agg(max("__v"))
+        .head().getDouble(0)
+    }
   }
 }

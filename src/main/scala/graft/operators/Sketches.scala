@@ -595,24 +595,39 @@ object Sketches {
     * boilerplate n-grams, cap hot documents) want exact counts and a
     * reproducible cut.
     */
+  /** The shared two-pass core: ONE mergeable MG aggregate over the
+    * hashed key (plus the row count), returned as (candidates, n). The
+    * bounded driver collect is ≤ k longs.
+    */
+  private def mgPass(df: DataFrame, keyCol: String, k: Int): (Seq[Long], Long) = {
+    val first = df.agg(
+      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    (first.getSeq[Long](0), first.getLong(1))
+  }
+
+  /** Exact recount of the candidate keys behind a compiled `InSet`
+    * probe — partial aggregation only ever sees candidate rows. Empty
+    * candidates (possible only on empty input) yield the empty frame
+    * with the (keyCol, cnt) schema.
+    */
+  private def recount(df: DataFrame, keyCol: String, cands: Seq[Long]): DataFrame = {
+    val counted = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    if (cands.isEmpty) counted.filter(lit(false))
+    else df.filter(xxhash64(col(keyCol)).isInCollection(cands))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def heavyHitters(
       df: DataFrame, keyCol: String, minFrac: Double,
       safety: Double = 2.0): DataFrame = {
     require(minFrac > 0 && minFrac < 1, s"minFrac must be in (0,1), got $minFrac")
     require(safety > 1, s"safety must be > 1 (the guarantee margin), got $safety")
     val k = math.ceil(safety / minFrac).toInt
-    val first = df.agg(
-      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
-      count(lit(1)).as("n")).head()
-    val cands = first.getSeq[Long](0)
-    val n = first.getLong(1)
-    val threshold = math.ceil(minFrac * n).toLong
-    if (cands.isEmpty || n == 0L)
-      return df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")).filter(lit(false))
-    df.filter(xxhash64(col(keyCol)).isInCollection(cands))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= threshold)
+    val (cands, n) = mgPass(df, keyCol, k)
+    recount(df, keyCol, cands)
+      .filter(col("cnt") >= math.ceil(minFrac * n).toLong)
   }
 
   /** Per-group EXACT heavy hitters — for each group, every key with
@@ -694,18 +709,11 @@ object Sketches {
       df: DataFrame, keyCol: String, topK: Int, k: Int = 4096): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(k >= topK, s"sketch width k=$k must be >= topK=$topK")
-    val first = df.agg(
-      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
-      count(lit(1)).as("n")).head()
-    val cands = first.getSeq[Long](0)
-    val n = first.getLong(1)
+    val (cands, n) = mgPass(df, keyCol, k)
     require(cands.nonEmpty, s"topKFrequent: empty input")
     // recount + rank the ≤ k candidates; the window partition is the
     // candidate set (sketch-sized), never the corpus
-    val counted = CacheRegistry.track(df
-      .filter(xxhash64(col(keyCol)).isInCollection(cands))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("cnt"))
+    val counted = CacheRegistry.track(recount(df, keyCol, cands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val top = counted
       .orderBy(col("cnt").desc, col(keyCol).asc)
@@ -735,20 +743,11 @@ object Sketches {
   def heavyHittersAbs(
       df: DataFrame, keyCol: String, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val first = df.agg(
-      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
-      count(lit(1)).as("n")).head()
-    val cands = first.getSeq[Long](0)
-    val n = first.getLong(1)
+    val (cands, n) = mgPass(df, keyCol, k)
     require(minCount > n / (k + 1.0),
       s"heavyHittersAbs: minCount=$minCount is within the MG error budget " +
         s"n/(k+1)=${n / (k + 1.0)} for n=$n, k=$k — widen the sketch " +
         s"(need k > n/minCount - 1 = ${math.ceil(n.toDouble / minCount - 1).toLong})")
-    if (cands.isEmpty || n == 0L)
-      return df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")).filter(lit(false))
-    df.filter(xxhash64(col(keyCol)).isInCollection(cands))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    recount(df, keyCol, cands).filter(col("cnt") >= minCount)
   }
 }

@@ -412,6 +412,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Quantiles.exactQuantile(df, "v", 0.9, bins = 4096, cutoff = 16) == hi)
   }
 
+  test("exact quantile: non-finite values resolve by rank, huge ranges don't stall") {
+    // 10 x -Inf, 30 finite (1..30), 5 x +Inf, 5 x NaN; order is
+    // -Inf < finite < +Inf < NaN in both engines. n = 50.
+    val vals = Seq.fill(10)(Double.NegativeInfinity) ++
+      (1 to 30).map(_.toDouble) ++ Seq.fill(5)(Double.PositiveInfinity) ++
+      Seq.fill(5)(Double.NaN)
+    val df = scala.util.Random.shuffle(vals).toDF("v")
+    def q(p: Double) = Quantiles.exactQuantile(df, "v", p, bins = 4, cutoff = 8)
+    assert(q(0.1) == Double.NegativeInfinity) // rank 5
+    assert(q(0.5) == 15.0)                    // rank 25 -> finite 15th
+    assert(q(0.85) == Double.PositiveInfinity) // rank 43
+    assert(q(0.99).isNaN)                     // rank 50
+    // a range spanning most of the double line: hi - lo overflows to
+    // Inf; the hi/bins - lo/bins width must keep the descent moving
+    val wide = (Seq(-1.6e308, 1.6e308) ++ (1 to 500).map(_.toDouble)).toDF("v")
+    // n = 502, p = 0.5 -> rank 251 -> 250.0
+    assert(Quantiles.exactQuantile(wide, "v", 0.5, bins = 16, cutoff = 32) == 250.0)
+  }
+
   test("exact quantile: nulls excluded, empty input fails loudly") {
     val df = Seq(Some(1.0), None, Some(2.0), Some(3.0), None).toDF("v")
     // n = 3 non-null, ceil(0.5*3) = 2 -> 2.0
@@ -2143,6 +2162,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(shuffled == truth, "length prefilter must not drop a kept pair")
     assert(truth.nonEmpty)
+  }
+
+  test("fuzzy pairs: supplementary-plane text bypasses the length guard") {
+    // 𝐀 (U+1D400) is 1 code point but 2 UTF-16 code units: the scorer
+    // counts units, Spark length() counts points, so the ratio bound is
+    // only sound on ASCII — this pair must reach the scorer and match
+    val s1 = "𝐀𝐁"       // 2 cp, 4 cu
+    val s2 = s1 + "xy"                         // 4 cp, 6 cu
+    val jw = graft.functions.JaroWinkler.score(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s1),
+      org.apache.spark.unsafe.types.UTF8String.fromString(s2))
+    assert(jw >= 0.93, s"scenario needs a high-scoring pair, got $jw")
+    val df = Seq((1L, "b", s1), (2L, "b", s2)).toDF("id", "blk", "name")
+    val got = Linkage.fuzzyPairs(df, "id", "blk", "name", threshold = 0.93)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L,
+      "non-ASCII pair must not be dropped by the code-point length ratio")
   }
 
   test("sorted-neighborhood pairs: equals the single-order truth under any partitioning") {
