@@ -158,8 +158,26 @@ object Quantiles {
       valueCol: String,
       p: Double,
       bins: Int = 4096,
-      cutoff: Int = 1 << 16): Double = {
-    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+      cutoff: Int = 1 << 16): Double =
+    exactQuantiles(df, valueCol, Seq(p), bins, cutoff).head
+
+  /** Several [[exactQuantile]]s in one descent, sharing scans: pass 0
+    * (counts, non-finite mass, finite min/max) runs ONCE, and every
+    * round groups the still-active quantiles by their candidate range so
+    * ranges that coincide share one histogram — in round 1 ALL of them
+    * do, which removes the per-p full scans that dominate the
+    * one-at-a-time formulation (later rounds run on range-pruned slices,
+    * where a duplicate scan is cheap anyway). Returns results in `ps`
+    * order.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[Double],
+      bins: Int = 4096,
+      cutoff: Int = 1 << 16): Seq[Double] = {
+    require(ps.nonEmpty, "ps must be non-empty")
+    require(ps.forall(p => p > 0.0 && p <= 1.0), s"each p must be in (0, 1], got $ps")
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(cutoff >= 1, s"cutoff must be >= 1, got $cutoff")
     val v = col(valueCol).cast("double")
@@ -183,81 +201,104 @@ object Quantiles {
     require(n > 0, s"exactQuantile: no non-null values in $valueCol")
     val (nNeg, nPos, nNan) = (g0.getLong(1), g0.getLong(2), g0.getLong(3))
     val nFin = n - nNeg - nPos - nNan
-    var need = math.ceil(p * n).toLong.max(1L)
-    if (need <= nNeg) return Double.NegativeInfinity
-    if (need > nNeg + nFin + nPos) return Double.NaN
-    if (need > nNeg + nFin) return Double.PositiveInfinity
-    need -= nNeg
-    var lo = g0.getDouble(4)
-    var hi = g0.getDouble(5)
-    var cnt = nFin
+
+    final class State(var need: Long) {
+      var lo: Double = if (nFin > 0) g0.getDouble(4) else 0.0
+      var hi: Double = if (nFin > 0) g0.getDouble(5) else 0.0
+      var cnt: Long = nFin
+      var result: Option[Double] = None
+    }
+    val states = ps.map { p =>
+      val rank = math.ceil(p * n).toLong.max(1L)
+      val s = new State(rank - nNeg)
+      if (rank <= nNeg) s.result = Some(Double.NegativeInfinity)
+      else if (rank > nNeg + nFin + nPos) s.result = Some(Double.NaN)
+      else if (rank > nNeg + nFin) s.result = Some(Double.PositiveInfinity)
+      s
+    }
 
     var round = 0
-    while (lo < hi && cnt > cutoff && round < 64) {
-      // width computed as hi/bins - lo/bins: the direct (hi - lo) can
-      // overflow to Inf for a range spanning most of the double line,
-      // and an infinite width would stall the descent
-      val w = hi / bins - lo / bins
-      if (w == 0.0) {
-        // sub-ulp range: equal-width bucketing can no longer split, but a
-        // range this narrow holds only a handful of DISTINCT doubles
-        // (each at most one subnormal step apart, however many duplicate
-        // ROWS each carries). Walk the exact per-value counts — a
-        // bounded collect — and return the straddling value.
-        val vals = base.filter(col("__v") >= lo && col("__v") <= hi)
-          .groupBy("__v").agg(count(lit(1)).as("__c"))
-          .collect().sortBy(_.getDouble(0))
-        var cum = 0L
-        var i = 0
-        while (i < vals.length) {
-          cum += vals(i).getLong(1)
-          if (cum >= need) return vals(i).getDouble(0)
-          i += 1
+    var progressed = true
+    while (progressed && round < 64) {
+      val active = states.filter(s =>
+        s.result.isEmpty && s.lo < s.hi && s.cnt > cutoff)
+      progressed = active.nonEmpty
+      // identical ranges share one histogram scan (round 1: all of them)
+      active.groupBy(s => (s.lo, s.hi)).foreach { case ((lo, hi), group) =>
+        // width computed as hi/bins - lo/bins: the direct (hi - lo) can
+        // overflow to Inf for a range spanning most of the double line,
+        // and an infinite width would stall the descent
+        val w = hi / bins - lo / bins
+        if (w == 0.0) {
+          // sub-ulp range: equal-width bucketing can no longer split,
+          // but a range this narrow holds only a handful of DISTINCT
+          // doubles (each at most one subnormal step apart, however many
+          // duplicate ROWS each carries). Walk the exact per-value
+          // counts — a bounded collect — and resolve the whole group.
+          val vals = base.filter(col("__v") >= lo && col("__v") <= hi)
+            .groupBy("__v").agg(count(lit(1)).as("__c"))
+            .collect().sortBy(_.getDouble(0))
+          group.foreach { s =>
+            var cum = 0L
+            var i = 0
+            while (i < vals.length && s.result.isEmpty) {
+              cum += vals(i).getLong(1)
+              if (cum >= s.need) s.result = Some(vals(i).getDouble(0))
+              i += 1
+            }
+            if (s.result.isEmpty) throw new IllegalStateException(
+              s"exactQuantile: rank walked off the value counts (need=${s.need})")
+          }
+        } else {
+          // safe association: (v - lo)/w can overflow where v/w - lo/w
+          // cannot (each quotient is bounded); any monotone value-
+          // deterministic bucketing is correct, only balance shifts
+          val bucket = least(floor(col("__v") / w - lit(lo / w)),
+            lit((bins - 1).toLong))
+          val hist = base.filter(col("__v") >= lo && col("__v") <= hi)
+            .groupBy(bucket.as("__b"))
+            .agg(count(lit(1)).as("__c"), min("__v").as("__bmn"),
+              max("__v").as("__bmx"))
+            .collect()
+            .sortBy(_.getLong(0))
+          group.foreach { s =>
+            var cum = 0L
+            var i = 0
+            var found = false
+            while (i < hist.length && !found) {
+              val c = hist(i).getLong(1)
+              if (cum + c >= s.need) {
+                s.need -= cum
+                s.lo = hist(i).getDouble(2)
+                s.hi = hist(i).getDouble(3)
+                s.cnt = c
+                found = true
+              } else { cum += c }
+              i += 1
+            }
+            require(found, s"exactQuantile: rank walked off the histogram " +
+              s"(need=${s.need} cum=$cum) — concurrent mutation of the input?")
+          }
         }
-        throw new IllegalStateException(
-          s"exactQuantile: rank walked off the value counts (need=$need)")
       }
-      // same safe association: (v - lo)/w can overflow where v/w - lo/w
-      // cannot (each quotient is bounded by maxDouble/w); any monotone
-      // value-deterministic bucketing is correct, only balance shifts
-      val bucket = least(floor(col("__v") / w - lit(lo / w)),
-        lit((bins - 1).toLong))
-      val hist = base.filter(col("__v") >= lo && col("__v") <= hi)
-        .groupBy(bucket.as("__b"))
-        .agg(count(lit(1)).as("__c"), min("__v").as("__bmn"),
-          max("__v").as("__bmx"))
-        .collect()
-        .sortBy(_.getLong(0))
-      var cum = 0L
-      var i = 0
-      var found = false
-      while (i < hist.length && !found) {
-        val c = hist(i).getLong(1)
-        if (cum + c >= need) {
-          need -= cum
-          lo = hist(i).getDouble(2)
-          hi = hist(i).getDouble(3)
-          cnt = c
-          found = true
-        } else { cum += c }
-        i += 1
-      }
-      require(found, s"exactQuantile: rank walked off the histogram " +
-        s"(need=$need cum=$cum) — concurrent mutation of the input?")
       round += 1
     }
-    if (lo == hi) lo
-    else {
-      // reachable only via cnt <= cutoff (strict progress: lo and hi
-      // always land in different buckets, so the chosen bucket shrinks
-      // every round); the require is defense in depth for the .toInt
-      require(need <= cutoff,
-        s"exactQuantile: finisher invariant violated (need=$need > cutoff=$cutoff)")
-      base.filter(col("__v") >= lo && col("__v") <= hi)
-        .orderBy(col("__v"))
-        .limit(need.toInt)
-        .agg(max("__v"))
-        .head().getDouble(0)
+    states.map { s =>
+      s.result.getOrElse {
+        if (s.lo == s.hi) s.lo
+        else {
+          // reachable only via cnt <= cutoff (strict progress: lo and hi
+          // always land in different buckets, so the chosen bucket
+          // shrinks every round); defense in depth for the .toInt
+          require(s.need <= cutoff,
+            s"exactQuantile: finisher invariant violated (need=${s.need} > cutoff=$cutoff)")
+          base.filter(col("__v") >= s.lo && col("__v") <= s.hi)
+            .orderBy(col("__v"))
+            .limit(s.need.toInt)
+            .agg(max("__v"))
+            .head().getDouble(0)
+        }
+      }
     }
   }
 }

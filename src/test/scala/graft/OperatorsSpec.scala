@@ -431,6 +431,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Quantiles.exactQuantile(wide, "v", 0.5, bins = 16, cutoff = 32) == 250.0)
   }
 
+  test("exact quantiles: the shared multi-p descent equals per-p runs") {
+    val rnd = new scala.util.Random(23)
+    val vals = (1 to 4000).map(_ => rnd.nextGaussian() * 100) ++
+      Seq.fill(800)(42.0) ++ Seq(Double.PositiveInfinity, Double.NaN)
+    val df = vals.toDF("v")
+    val ps = Seq(0.01, 0.4, 0.5, 0.9, 0.999, 1.0)
+    val together = Quantiles.exactQuantiles(df, "v", ps, bins = 16, cutoff = 64)
+    val separate = ps.map(p =>
+      Quantiles.exactQuantile(df, "v", p, bins = 16, cutoff = 64))
+    assert(together.length == ps.length)
+    together.zip(separate).zipWithIndex.foreach { case ((t, s), i) =>
+      assert(t == s || (t.isNaN && s.isNaN), s"p=${ps(i)}: $t != $s")
+    }
+  }
+
   test("exact quantile: nulls excluded, empty input fails loudly") {
     val df = Seq(Some(1.0), None, Some(2.0), Some(3.0), None).toDF("v")
     // n = 3 non-null, ceil(0.5*3) = 2 -> 2.0
