@@ -245,7 +245,7 @@ object Cli {
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
-          |              topktokens|snm]
+          |              topktokens|snm|sssp]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
@@ -616,6 +616,16 @@ object Cli {
         }
         Graph.personalizedPageRank(Graph.spanLinkEdges(docs), seedDf,
           iters = flags.getOrElse("iters", "3").toInt)
+      case "sssp"        =>
+        val seedDf = flags.get("seed-ids") match {
+          case Some(ids) =>
+            val s = ids.split(",").map(_.trim.toLong).toSeq
+            spark.createDataFrame(s.map(Tuple1(_))).toDF("node")
+          case None => docs.filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id").as("node"))
+        }
+        Graph.ssspCosts(Graph.spanLinkEdgesWeighted(docs), seedDf,
+          maxRounds = flags.getOrElse("rounds", "4").toInt)
       case "triangles"   => Graph.triangleCounts(Graph.spanLinkEdges(docs))
       case "trianglestats" => Graph.triangleStats(Graph.spanLinkEdges(docs))
       case "kcore"       => Graph.kCore(Graph.spanLinkEdges(docs),

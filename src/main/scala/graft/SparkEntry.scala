@@ -1523,6 +1523,18 @@ object SparkEntry {
           broadcastSide = true)
         .orderBy("id_a", "id_b")),
 
+    // hop-bounded weighted shortest paths over the span graph: cheapest
+    // total span-weight route from the seed set within 4 edges — the
+    // weighted sibling of q_bfs (first arrival is not cheapest under
+    // weights, so improved nodes re-enter the frontier)
+    "q_sssp" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+        .filter(col("node") % 10 === 0)
+      Graph.ssspCosts(spanEdges(s, dir), seeds, maxRounds = 4)
+        .orderBy("node")
+    }),
+
     // sorted-neighborhood (merge/purge) linkage: rank by (p_name, key),
     // score each record against the 7 that follow — fixed n·(w−1)
     // candidates whatever the value distribution, the complement of
@@ -4775,6 +4787,56 @@ object SparkEntry {
 
     // BFS replay: 4 unrolled frontier-relaxation rounds — an empty
     // frontier makes later rounds no-ops, exactly the engine's early
+    // weighted Bellman-Ford unroll: d_{i+1} = min(d_i, relax(d_i)) over
+    // the WEIGHTED span pairs (the q_pagerank_w edge recipe); integer
+    // costs make every round exact, and a fixed unroll >= the engine's
+    // early exit replays the frontier loop verbatim
+    "q_sssp" -> {
+      val rounds = 4
+      val iterCtes = (0 until rounds).map { i =>
+        s"""c$i AS (
+           SELECT adj.v AS node, min(d$i.cost + adj.w) AS cost
+           FROM adj JOIN d$i ON adj.u = d$i.node GROUP BY 1
+         ), d${i + 1} AS (
+           SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
+             SELECT node, cost FROM d$i UNION ALL SELECT node, cost FROM c$i)
+           GROUP BY node)"""
+      }.mkString(",\n         ")
+      s"""WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), sp0 AS (
+           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), sp AS (
+           SELECT DISTINCT doc_id, span_md5 FROM sp0
+         ), linking AS (
+           SELECT span_md5 FROM (
+             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
+           WHERE nd > 1 AND nd <= 64
+         ), spl AS (
+           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
+         ), p AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS w
+           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ), adj AS (
+           SELECT src AS u, dst AS v, w FROM p
+           UNION ALL SELECT dst AS u, src AS v, w FROM p
+         ), d0 AS (
+           SELECT DISTINCT d.doc_id AS node, CAST(0 AS BIGINT) AS cost
+           FROM documents d
+           JOIN (SELECT DISTINCT u FROM adj) g ON g.u = d.doc_id
+           WHERE d.doc_id % 10 = 0
+         ),
+         $iterCtes
+         SELECT node, cost FROM d$rounds ORDER BY node"""
+    },
+
     // exit, so the fixed unroll replays the loop
     "q_bfs" -> {
       val depth = 4

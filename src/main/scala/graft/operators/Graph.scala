@@ -544,6 +544,83 @@ object Graph {
     settled
   }
 
+  /** Multi-source weighted shortest paths, hop-bounded: the minimum
+    * total edge weight from the nearest seed to every node reachable
+    * within `maxRounds` edges — synchronous Bellman-Ford relaxation
+    * where only the FRONTIER (nodes improved last round) expands.
+    * [[bfsLevels]]' settled-first-wins shortcut is unit-weight-only (the
+    * first arrival is NOT the cheapest under weights), so here a node
+    * re-enters the frontier whenever a cheaper path arrives; with
+    * non-negative integer weights every cost is an exact long sum and
+    * the round-k table is the unique "cheapest ≤ k-hop cost" — replayed
+    * verbatim by the unrolled oracle. Parallel edges collapse to their
+    * MINIMUM weight during canonicalization (the only weight a shortest
+    * path could use).
+    *
+    * On the span-duplication graph with w = shared-span count this
+    * reads as cheapest contamination route; the natural pipeline cost
+    * semantics (more shared spans = closer) belongs to [[bfsLevels]]/
+    * [[personalizedPageRank]] — this operator is the generic weighted
+    * metric for caller-supplied costs.
+    *
+    * Scale shape, the [[pageRank]] loop discipline: per round one
+    * frontier-adjacency join, one min-aggregate, one left join against
+    * the distance table (distance-table-sized, node-keyed), a lineage
+    * cut, one action (the improved count, doubling as early exit).
+    * Output: (node, cost), seeds at 0.
+    */
+  def ssspCosts(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w",
+      seedCol: String = "node",
+      maxRounds: Int = 10): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds: $maxRounds")
+    val und = cut(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min(col("w")).as("w")))
+    val adj = CacheRegistry.track(
+      und.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    adj.count()
+    val nodes = adj.select(col("u").as("node")).distinct()
+    var dist = cut(
+      seeds.select(col(seedCol).as("node")).distinct()
+        .join(nodes, Seq("node"), "left_semi")
+        .withColumn("cost", lit(0L)))
+    var frontier = dist
+    var round = 0
+    var improvedCnt = frontier.count()
+    while (round < maxRounds && improvedCnt > 0L) {
+      val cand = adj
+        .join(frontier.select(col("node").as("u"), col("cost")), "u")
+        .groupBy(col("v").as("node"))
+        .agg(min(col("cost") + col("w")).as("__c"))
+      val improved = cut(cand
+        .join(dist.select(col("node"), col("cost").as("__old")), Seq("node"), "left")
+        .filter(col("__old").isNull || col("__c") < col("__old"))
+        .select(col("node"), col("__c").as("cost")))
+      val grown = cut(
+        dist.join(improved.select("node"), Seq("node"), "left_anti")
+          .unionByName(improved))
+      Lineage.release(dist, deleteFiles = false)
+      if (round > 0) Lineage.release(frontier, deleteFiles = false)
+      dist = grown
+      frontier = improved
+      improvedCnt = frontier.count()
+      round += 1
+    }
+    adj.unpersist(blocking = false)
+    Lineage.release(und, deleteFiles = true)
+    dist
+  }
+
   /** The k-core of an undirected graph: the maximal subgraph in which
     * every node has degree ≥ k, computed by iterated peeling (drop
     * under-degree nodes, recompute degrees, repeat to fixpoint). On a

@@ -2396,6 +2396,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(Seq(99L), 5).isEmpty)
   }
 
+  test("SSSP costs: cheapest beats fewest hops, frontier re-entry, multi-edge min") {
+    // direct edge 1-4 costs 10; the 3-hop detour 1-2-3-4 costs 3: node 4
+    // is first REACHED via the heavy edge (round 1) and must be improved
+    // when the detour lands (round 3) — the exact case bfsLevels'
+    // settled-first-wins shortcut would get wrong
+    val g = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    def run(seeds: Seq[Long], rounds: Int) =
+      Graph.ssspCosts(g, seeds.toDF("node"), maxRounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Seq(1L), 4) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // hop bound 1: only the direct (expensive) arrival exists yet
+    assert(run(Seq(1L), 1) == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+    // parallel edges collapse to the min weight; both directions fold
+    val multi = Seq((1L, 2L, 5L), (2L, 1L, 2L), (1L, 2L, 9L))
+      .toDF("src", "dst", "w")
+    assert(Graph.ssspCosts(multi, Seq(1L).toDF("node"), maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 0L, 2L -> 2L))
+    // multi-source: min over seeds; off-graph seed ignored
+    assert(run(Seq(1L, 4L), 4) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    assert(run(Seq(42L), 3).isEmpty)
+    // randomized: equals driver Bellman-Ford (<= rounds hops) on a
+    // random weighted graph
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 60).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong, (1 + rnd.nextInt(9)).toLong))
+      .filter(e => e._1 != e._2)
+    val rounds = 5
+    val adjMin = edges.flatMap { case (a, b, w) => Seq(((a, b), w), ((b, a), w)) }
+      .groupBy(_._1).map { case (k, ws) => (k, ws.map(_._2).min) }
+    val nodes = adjMin.keySet.flatMap(k => Seq(k._1, k._2))
+    val seedSet = Seq(0L, 7L).filter(nodes.contains)
+    var d = seedSet.map(_ -> 0L).toMap
+    for (_ <- 0 until rounds) {
+      val relax = adjMin.toSeq.flatMap { case ((u, v), w) =>
+        d.get(u).map(c => v -> (c + w))
+      }.groupBy(_._1).map { case (v, cs) => v -> cs.map(_._2).min }
+      d = (d.keySet ++ relax.keySet).map { k =>
+        k -> math.min(d.getOrElse(k, Long.MaxValue), relax.getOrElse(k, Long.MaxValue))
+      }.toMap
+    }
+    val got = Graph.ssspCosts(edges.toDF("src", "dst", "w"),
+        seedSet.toDF("node"), maxRounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == d, s"random graph: got $got want $d")
+  }
+
   test("triangle delta: maintenance law old + delta == union") {
     // K4 built in two installments: old = 4-cycle (0 triangles), batch =
     // both diagonals → the 4 new triangles all belong to the delta
