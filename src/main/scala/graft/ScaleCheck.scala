@@ -684,6 +684,25 @@ object ScaleCheck {
       println(s"[scale] heavy hitters: ${got.size} over wide universe (n=$n)")
     }
     operators.CacheRegistry.release(spark)
+    // sorted-neighborhood linkage at 10x: the candidate budget is
+    // EXACTLY n*(w-1) by construction whatever the value distribution —
+    // the anti-mega-block guarantee the method exists for — and the
+    // global rank comes from range partitions, never a one-partition
+    // window
+    time("sorted-neighborhood 200k parts (window 8)") {
+      val part = Tables.load(spark, "/root/testdata/sf0.1", "part")
+      val part10 = (0 until 10)
+        .map(i => part.withColumn("p_partkey", col("p_partkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+      val n = part10.count()
+      val prs = operators.Linkage.sortedNeighborhoodPairs(part10,
+        "p_partkey", "p_name", "p_name", window = 8, threshold = 0.9)
+      val kept = prs.count()
+      require(kept <= n * 7,
+        s"SNM pair budget exceeded: $kept > ${n * 7}")
+      println(s"[scale] snm kept pairs: $kept of budget ${n * 7} (n=$n)")
+    }
+    operators.CacheRegistry.release(spark)
     // exact quantile on the 6M-row fact: a handful of ever-narrowing
     // range scans (no global sort); must equal the window-rank truth
     time("exact quantile p95 over 6M rows (bins=512)") {
