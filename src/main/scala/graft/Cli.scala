@@ -247,6 +247,7 @@ object Cli {
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|snm|sssp]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
+          |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
           |           kcore: [-k N]; dimrecall: [-dims 8,16,32] [-queries N] [-topk N];
           |           trunctopk: [-d N] [-rerank N] [-queries N] [-topk N];
@@ -444,6 +445,21 @@ object Cli {
     * every operator is reachable without code.
     */
 
+  /** Seed-node table for the graph ops: `-seed-ids a,b,c` parsed (empty
+    * segments tolerated: a trailing comma must not throw), else every
+    * doc_id divisible by `defaultMod`.
+    */
+  private def seedNodes(spark: SparkSession, flags: Map[String, String],
+      docs: DataFrame, defaultMod: Int): DataFrame =
+    flags.get("seed-ids") match {
+      case Some(ids) =>
+        val s = ids.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+        if (s.isEmpty) fail("-seed-ids must contain at least one id")
+        spark.createDataFrame(s.map(Tuple1(_))).toDF("node")
+      case None => docs.filter(col("doc_id") % defaultMod === 0)
+        .select(col("doc_id").as("node"))
+    }
+
   def runCorpus(spark: SparkSession, flags: Map[String, String]): Unit = {
     import graft.operators._
     // lazy: ops that work purely on an existing index (ivfpqcompact)
@@ -607,24 +623,12 @@ object Cli {
       case "novelty"     => Dedup.noveltyBySource(docs)
       // span-duplication graph analytics (documents table in, doc graph out)
       case "ppr"         =>
-        val seedDf = flags.get("seed-ids") match {
-          case Some(ids) =>
-            val s = ids.split(",").map(_.trim.toLong).toSeq
-            spark.createDataFrame(s.map(Tuple1(_))).toDF("node")
-          case None => docs.filter(col("doc_id") % 2 === 0)
-            .select(col("doc_id").as("node"))
-        }
-        Graph.personalizedPageRank(Graph.spanLinkEdges(docs), seedDf,
+        Graph.personalizedPageRank(Graph.spanLinkEdges(docs),
+          seedNodes(spark, flags, docs, defaultMod = 2),
           iters = flags.getOrElse("iters", "3").toInt)
       case "sssp"        =>
-        val seedDf = flags.get("seed-ids") match {
-          case Some(ids) =>
-            val s = ids.split(",").map(_.trim.toLong).toSeq
-            spark.createDataFrame(s.map(Tuple1(_))).toDF("node")
-          case None => docs.filter(col("doc_id") % 10 === 0)
-            .select(col("doc_id").as("node"))
-        }
-        Graph.ssspCosts(Graph.spanLinkEdgesWeighted(docs), seedDf,
+        Graph.ssspCosts(Graph.spanLinkEdgesWeighted(docs),
+          seedNodes(spark, flags, docs, defaultMod = 10),
           maxRounds = flags.getOrElse("rounds", "4").toInt)
       case "triangles"   => Graph.triangleCounts(Graph.spanLinkEdges(docs))
       case "trianglestats" => Graph.triangleStats(Graph.spanLinkEdges(docs))

@@ -1777,6 +1777,40 @@ object SparkEntry {
            JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
          )"""
 
+  /** [[spanPairCte]]'s WEIGHTED sibling: same tokenize/chunk/md5/df-cap
+    * recipe, but `p` carries w = shared-span count (the
+    * [[Graph.spanLinkEdgesWeighted]] definition). ONE copy shared by
+    * q_pagerank_w and q_sssp so a recipe change (stride, span width,
+    * the nd ≤ 64 cap) cannot desynchronize one weighted oracle from the
+    * engine. Plain (non-interpolated) literal: interpolated consumers
+    * splice it in as a VALUE, which the s-interpolator does not
+    * re-escape.
+    */
+  private val spanPairWeightedCte: String =
+    """toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), c AS (
+           SELECT doc_id, tk,
+             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
+           FROM toks
+         ), sp0 AS (
+           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
+           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
+         ), sp AS (
+           SELECT DISTINCT doc_id, span_md5 FROM sp0
+         ), linking AS (
+           SELECT span_md5 FROM (
+             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
+           WHERE nd > 1 AND nd <= 64
+         ), spl AS (
+           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
+         ), p AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS w
+           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         )"""
+
   /** Unrolled k-core peel over the `p` pair CTE ([[spanPairCte]]):
     * round i keeps nodes with deg ≥ k in round i−1's subgraph and
     * re-derives edges/degrees. Peeling is monotone with a unique
@@ -4785,8 +4819,6 @@ object SparkEntry {
          SELECT node, label FROM r$iters ORDER BY node"""
     },
 
-    // BFS replay: 4 unrolled frontier-relaxation rounds — an empty
-    // frontier makes later rounds no-ops, exactly the engine's early
     // weighted Bellman-Ford unroll: d_{i+1} = min(d_i, relax(d_i)) over
     // the WEIGHTED span pairs (the q_pagerank_w edge recipe); integer
     // costs make every round exact, and a fixed unroll >= the engine's
@@ -4802,29 +4834,7 @@ object SparkEntry {
              SELECT node, cost FROM d$i UNION ALL SELECT node, cost FROM c$i)
            GROUP BY node)"""
       }.mkString(",\n         ")
-      s"""WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), sp0 AS (
-           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         ), sp AS (
-           SELECT DISTINCT doc_id, span_md5 FROM sp0
-         ), linking AS (
-           SELECT span_md5 FROM (
-             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
-           WHERE nd > 1 AND nd <= 64
-         ), spl AS (
-           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
-         ), p AS (
-           SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS w
-           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-         ), adj AS (
+      s"""WITH $spanPairWeightedCte, adj AS (
            SELECT src AS u, dst AS v, w FROM p
            UNION ALL SELECT dst AS u, src AS v, w FROM p
          ), d0 AS (
@@ -4837,6 +4847,8 @@ object SparkEntry {
          SELECT node, cost FROM d$rounds ORDER BY node"""
     },
 
+    // BFS replay: 4 unrolled frontier-relaxation rounds — an empty
+    // frontier makes later rounds no-ops, exactly the engine's early
     // exit, so the fixed unroll replays the loop
     "q_bfs" -> {
       val depth = 4
@@ -5323,29 +5335,7 @@ object SparkEntry {
                + CAST(d.dang AS DOUBLE) / nn.n / $Q) AS rank
            FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, d$i d, nn)"""
       }.mkString(",\n         ")
-      s"""WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), sp0 AS (
-           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         ), sp AS (
-           SELECT DISTINCT doc_id, span_md5 FROM sp0
-         ), linking AS (
-           SELECT span_md5 FROM (
-             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
-           WHERE nd > 1 AND nd <= 64
-         ), spl AS (
-           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
-         ), p AS (
-           SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS w
-           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-         ), e AS (
+      s"""WITH $spanPairWeightedCte, e AS (
            SELECT src, dst, w FROM p
            UNION ALL SELECT dst AS src, src AS dst, w FROM p
          ), nodes AS (

@@ -578,6 +578,24 @@ object Graph {
       seedCol: String = "node",
       maxRounds: Int = 10): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds: $maxRounds")
+    // enforce the documented weight contract up front (one cheap agg
+    // over the edge table) instead of silently truncating: a fractional
+    // weight would cast-to-long as a WRONG cost (0.7 -> 0), a negative
+    // weight voids the ≤-k-hop minimality claim, a null would flow
+    // through the improvement filter into the output
+    val wd = col(weightCol).cast("double")
+    val wchk = edges.agg(count(lit(1)).as("n"), count(wd).as("nw"),
+      min(wd).as("mn"), max(abs(wd - floor(wd))).as("frac")).head()
+    require(wchk.getLong(0) == wchk.getLong(1),
+      s"ssspCosts: $weightCol has ${wchk.getLong(0) - wchk.getLong(1)} null weights")
+    if (wchk.getLong(0) > 0) {
+      require(wchk.getDouble(2) >= 0.0,
+        s"ssspCosts: negative weight ${wchk.getDouble(2)} — " +
+          "hop-bounded minimality requires non-negative costs")
+      require(wchk.getDouble(3) == 0.0,
+        s"ssspCosts: fractional weights (max frac part ${wchk.getDouble(3)}) — " +
+          "costs are exact integer sums; pre-scale to integers")
+    }
     val und = cut(edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"),
