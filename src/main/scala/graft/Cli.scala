@@ -245,7 +245,7 @@ object Cli {
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
-          |              topktokens|snm|sssp]
+          |              topktokens|topktokensby|snm|sssp]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -593,6 +593,11 @@ object Cli {
       case "topktokens"  => Sketches.topKFrequent(
         docs.select(explode(TextAnalysis.tokens(col("text"))).as("token")),
         "token", topK = flags.getOrElse("topk", "10").toInt,
+        k = flags.getOrElse("k", "4096").toInt)
+      case "topktokensby" => Sketches.topKFrequentBy(
+        docs.select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("token")),
+        "token", Seq("lang"), topK = flags.getOrElse("topk", "5").toInt,
         k = flags.getOrElse("k", "4096").toInt)
       // embeddings-table ops (-in points at an embeddings parquet)
       case "kmeans"      => Similarity.trainCodebook(docs,

@@ -664,6 +664,17 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // per-group certified top-k: each language's 5 most frequent tokens
+    // exactly, candidates joined back (no driver collect), the ranking
+    // window over the candidate table only (≤ groups×k rows)
+    "q_topk_by_lang" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      Sketches.topKFrequentBy(toks, "token", Seq("lang"), topK = 5, k = 512)
+        .orderBy("lang", "rank")
+    }),
+
     // the grouped shape — per-language heavy tokens with NO driver
     // collect: candidate arrays explode into a (group, hash) table that
     // broadcast-joins back, so the recount touches candidate rows only.
@@ -2740,6 +2751,23 @@ object SparkEntry {
          FROM c
          ORDER BY cnt DESC, token
          LIMIT 10""",
+
+    // per-group certified top-k replay: plain per-language frequency
+    // ranking — the hash match proves no group's candidate cut lost a
+    // top-5 token
+    "q_topk_by_lang" ->
+      """WITH t AS (
+           SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
+           FROM documents
+         ), c AS (
+           SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM t GROUP BY lang, token
+         )
+         SELECT lang, token, cnt, CAST(rn AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+           FROM c) WHERE rn <= 5
+         ORDER BY lang, rank""",
 
     // per-group exact heavy hitters: threshold is each LANGUAGE's own
     // ceil(minFrac * token count) — same tokenizer recipe as q_cms_topk

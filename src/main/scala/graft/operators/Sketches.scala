@@ -734,6 +734,67 @@ object Sketches {
       row_number().over(Window.orderBy(col("cnt").desc, col(keyCol).asc)))
   }
 
+  /** Per-group certified exact top-k frequent — [[topKFrequent]]'s
+    * grouped shape on [[heavyHittersBy]]'s no-driver-collect plumbing:
+    * per-group MG candidate arrays explode into a (group, hash) table,
+    * broadcast-join back for the exact recount, and a ranking window
+    * over the CANDIDATE table (≤ groups × k rows — answer-sized by
+    * construction, never the corpus) cuts each group's top `topK` by
+    * (cnt desc, key asc).
+    *
+    * The certificate is checked for EVERY group distributedly (one
+    * aggregate over the ranked rows, no collect): group g passes iff it
+    * selected exactly `topK` keys and its k-th count strictly exceeds
+    * n_g/(k+1) — the MG absence bound per group. Any failing group
+    * fails the call loudly with the group count, because silently
+    * returning a maybe-top-k for some groups is exactly what this
+    * operator exists to rule out.
+    */
+  def topKFrequentBy(
+      df: DataFrame, keyCol: String, groupCols: Seq[String], topK: Int,
+      k: Int = 4096, broadcastCandCap: Long = 4L * 1000 * 1000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(k >= topK, s"sketch width k=$k must be >= topK=$topK")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val sketch = df.groupBy(g: _*).agg(
+      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("__cand"),
+      count(lit(1)).as("__n"))
+    val candCols = groupCols.indices.map(i => s"__g$i")
+    val renamed = groupCols.zip(candCols)
+      .foldLeft(sketch.select(
+        g ++ Seq(explode(col("__cand")).as("__ch"), col("__n")): _*)) {
+        case (d, (c, r)) => d.withColumnRenamed(c, r)
+      }
+    val cands = CacheRegistry.track(renamed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candSide = if (cands.count() <= broadcastCandCap) broadcast(cands) else cands
+    val cond = groupCols.zip(candCols)
+      .map { case (c, r) => col(c) <=> col(r) }
+      .reduce(_ && _) && col("__h") === col("__ch")
+    val counted = df.withColumn("__h", xxhash64(col(keyCol)))
+      .join(candSide, cond)
+      .groupBy(g :+ col(keyCol): _*)
+      .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__gn"))
+    // candidate-sized window: ≤ k rows per group by construction
+    val ranked = CacheRegistry.track(counted
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("cnt").desc, col(keyCol).asc)))
+      .filter(col("rank") <= topK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bad = ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("__sel"), min(col("cnt")).as("__kth"),
+        max(col("__gn")).as("__n"))
+      .filter(col("__sel") < topK ||
+        col("__kth").cast("double") <= col("__n").cast("double") / (k + 1))
+      .count()
+    require(bad == 0L,
+      s"topKFrequentBy: $bad group(s) cannot certify an exact top-$topK " +
+        s"(fewer than $topK surviving candidates, or the k-th count is " +
+        s"inside the n_g/(k+1) absence budget) — widen k or lower topK")
+    ranked.select(g ++ Seq(col(keyCol), col("cnt"), col("rank")): _*)
+  }
+
   /** [[heavyHitters]] with an ABSOLUTE count threshold and caller-chosen
     * sketch width. Fails loudly (rather than silently under-reporting)
     * when the sketch is too narrow for the guarantee: a k-counter summary

@@ -350,6 +350,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("certify") || ex.getMessage.contains("survive"))
   }
 
+  test("top-k frequent by group: exact per-group ranking under eviction, loud per-group failure") {
+    // per group: 6 keys with distinct descending counts + 500 singletons
+    // (k=32 counters vs 506 distinct per group forces evictions)
+    val rows = for {
+      gi <- 0 until 3
+      row <- (0 until 6).flatMap(h => Seq.fill(60 - h * 5)(s"g$gi-hot-$h")) ++
+        (0 until 500).map(i => s"g$gi-cold-$i")
+    } yield (s"grp$gi", row)
+    val df = scala.util.Random.shuffle(rows).toDF("g", "key")
+    val got = Sketches.topKFrequentBy(df.repartition(11), "key", Seq("g"),
+        topK = 4, k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val want = (for {
+      gi <- 0 until 3; h <- 0 until 4
+    } yield (s"grp$gi", s"g$gi-hot-$h", (60 - h * 5).toLong, h + 1)).toSet
+    assert(got == want)
+    // a flat group voids its certificate and must fail the whole call
+    val flat = ((0 until 800).map(i => ("flat", s"u-$i")) ++
+      rows.filter(_._1 == "grp0")).toDF("g", "key")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.topKFrequentBy(flat, "key", Seq("g"), topK = 4, k = 32)
+    }
+    assert(ex.getMessage.contains("certify"))
+  }
+
   test("heavy hitters: null keys recount as SQL's null group") {
     val df = (Seq.fill(50)(Some("a")) ++ Seq.fill(40)(Option.empty[String]) ++
       (0 until 10).map(i => Some(s"x-$i"))).toDF("key")
