@@ -652,17 +652,24 @@ object Sketches {
     * safety > 1. Output: (groupCols…, keyCol, cnt), exact and partition-
     * invariant.
     */
-  def heavyHittersBy(
-      df: DataFrame, keyCol: String, groupCols: Seq[String],
-      minFrac: Double, safety: Double = 2.0,
-      broadcastCandCap: Long = 4L * 1000 * 1000): DataFrame = {
-    require(minFrac > 0 && minFrac < 1, s"minFrac must be in (0,1), got $minFrac")
-    require(safety > 1, s"safety must be > 1 (the guarantee margin), got $safety")
-    val k = math.ceil(safety / minFrac).toInt
+  /** The grouped candidate-join core shared by [[heavyHittersBy]] and
+    * [[topKFrequentBy]]: per-group MG sketch pass, candidate explode,
+    * size-gated broadcast join back, exact recount. Returns
+    * (counted, groups) where `counted` = (groupCols…, keyCol, cnt, __gn)
+    * over CANDIDATE keys only and `groups` = (groupCols…, __gn) — one
+    * row per group straight from the sketch pass, so callers can detect
+    * groups whose candidate set vanished entirely.
+    */
+  private def groupedRecount(
+      df: DataFrame, keyCol: String, groupCols: Seq[String], k: Int,
+      broadcastCandCap: Long): (DataFrame, DataFrame) = {
     val g = groupCols.map(col)
-    val sketch = df.groupBy(g: _*).agg(
-      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("__cand"),
-      count(lit(1)).as("__n"))
+    // persisted: the sketch feeds the candidate explode, the broadcast
+    // size gate, and the per-group row of `groups`
+    val sketch = CacheRegistry.track(df.groupBy(g: _*).agg(
+        GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("__cand"),
+        count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // null-safe group equality (the binnedQuantiles precedent): a null
     // group key must report like any group, as SQL's GROUP BY does
     val candCols = groupCols.indices.map(i => s"__g$i")
@@ -671,18 +678,30 @@ object Sketches {
         g ++ Seq(explode(col("__cand")).as("__ch"), col("__n")): _*)) {
         case (d, (c, r)) => d.withColumnRenamed(c, r)
       }
-    val cands = CacheRegistry.track(renamed
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val candSide = if (cands.count() <= broadcastCandCap) broadcast(cands) else cands
+    val nCand = sketch
+      .agg(coalesce(sum(size(col("__cand"))), lit(0L))).head().getLong(0)
+    val candSide = if (nCand <= broadcastCandCap) broadcast(renamed) else renamed
     val cond = groupCols.zip(candCols)
       .map { case (c, r) => col(c) <=> col(r) }
       .reduce(_ && _) && col("__h") === col("__ch")
-    df.withColumn("__h", xxhash64(col(keyCol)))
+    val counted = df.withColumn("__h", xxhash64(col(keyCol)))
       .join(candSide, cond)
       .groupBy(g :+ col(keyCol): _*)
       .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__gn"))
+    (counted, sketch.select(g :+ col("__n").as("__gn"): _*))
+  }
+
+  def heavyHittersBy(
+      df: DataFrame, keyCol: String, groupCols: Seq[String],
+      minFrac: Double, safety: Double = 2.0,
+      broadcastCandCap: Long = 4L * 1000 * 1000): DataFrame = {
+    require(minFrac > 0 && minFrac < 1, s"minFrac must be in (0,1), got $minFrac")
+    require(safety > 1, s"safety must be > 1 (the guarantee margin), got $safety")
+    val k = math.ceil(safety / minFrac).toInt
+    val (counted, _) = groupedRecount(df, keyCol, groupCols, k, broadcastCandCap)
+    counted
       .filter(col("cnt") >= ceil(lit(minFrac) * col("__gn")))
-      .select(g ++ Seq(col(keyCol), col("cnt")): _*)
+      .select(groupCols.map(col) ++ Seq(col(keyCol), col("cnt")): _*)
   }
 
   /** EXACT top-`topK` most frequent keys — (key, cnt, rank) with exact
@@ -742,13 +761,22 @@ object Sketches {
     * construction, never the corpus) cuts each group's top `topK` by
     * (cnt desc, key asc).
     *
-    * The certificate is checked for EVERY group distributedly (one
-    * aggregate over the ranked rows, no collect): group g passes iff it
-    * selected exactly `topK` keys and its k-th count strictly exceeds
-    * n_g/(k+1) — the MG absence bound per group. Any failing group
-    * fails the call loudly with the group count, because silently
-    * returning a maybe-top-k for some groups is exactly what this
-    * operator exists to rule out.
+    * The certificate is checked for EVERY group distributedly (no
+    * collect), through either of two sufficient proofs:
+    *   - COMPLETE: the group's recounted rows sum to its total row
+    *     count, i.e. every row matched a candidate hash — the candidate
+    *     set covers the group's whole key universe, so the ranking is
+    *     exact unconditionally (this is the no-eviction regime, and the
+    *     only regime where a group may legitimately return fewer than
+    *     `topK` rows: it simply has fewer distinct keys);
+    *   - BUDGET: the group selected exactly `topK` keys and its k-th
+    *     count strictly exceeds n_g/(k+1) — the per-group MG absence
+    *     bound, which rules out any unseen key outranking the cut.
+    * Any group proving neither — including a group whose candidate
+    * summary emptied entirely under adversarial eviction, which appears
+    * in no recount row at all — fails the call loudly with the group
+    * count, because silently returning a maybe-top-k for some groups is
+    * exactly what this operator exists to rule out.
     */
   def topKFrequentBy(
       df: DataFrame, keyCol: String, groupCols: Seq[String], topK: Int,
@@ -757,41 +785,45 @@ object Sketches {
     require(k >= topK, s"sketch width k=$k must be >= topK=$topK")
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val sketch = df.groupBy(g: _*).agg(
-      GraftFunctions.mg_candidates(xxhash64(col(keyCol)), k).as("__cand"),
-      count(lit(1)).as("__n"))
-    val candCols = groupCols.indices.map(i => s"__g$i")
-    val renamed = groupCols.zip(candCols)
-      .foldLeft(sketch.select(
-        g ++ Seq(explode(col("__cand")).as("__ch"), col("__n")): _*)) {
-        case (d, (c, r)) => d.withColumnRenamed(c, r)
-      }
-    val cands = CacheRegistry.track(renamed
+    val (counted0, groups) =
+      groupedRecount(df, keyCol, groupCols, k, broadcastCandCap)
+    // persisted: feeds the ranking AND the per-group completeness sum
+    val counted = CacheRegistry.track(counted0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val candSide = if (cands.count() <= broadcastCandCap) broadcast(cands) else cands
-    val cond = groupCols.zip(candCols)
-      .map { case (c, r) => col(c) <=> col(r) }
-      .reduce(_ && _) && col("__h") === col("__ch")
-    val counted = df.withColumn("__h", xxhash64(col(keyCol)))
-      .join(candSide, cond)
-      .groupBy(g :+ col(keyCol): _*)
-      .agg(count(lit(1)).as("cnt"), max(col("__n")).as("__gn"))
     // candidate-sized window: ≤ k rows per group by construction
     val ranked = CacheRegistry.track(counted
       .withColumn("rank", row_number().over(
         Window.partitionBy(g: _*).orderBy(col("cnt").desc, col(keyCol).asc)))
       .filter(col("rank") <= topK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val bad = ranked.groupBy(g: _*)
-      .agg(count(lit(1)).as("__sel"), min(col("cnt")).as("__kth"),
-        max(col("__gn")).as("__n"))
-      .filter(col("__sel") < topK ||
-        col("__kth").cast("double") <= col("__n").cast("double") / (k + 1))
+    // certificate frame: one row per group FROM THE SKETCH PASS (so a
+    // group whose summary emptied — and thus recounts nothing — is
+    // still judged, and judged uncertifiable), left-joined to the
+    // recount totals and the selection stats
+    def renameTo(d: DataFrame, prefix: String) = groupCols.zipWithIndex
+      .foldLeft(d) { case (dd, (c, i)) => dd.withColumnRenamed(c, s"$prefix$i") }
+    def joinCond(prefix: String) = groupCols.indices
+      .map(i => col(groupCols(i)) <=> col(s"$prefix$i")).reduce(_ && _)
+    val tot = renameTo(
+      counted.groupBy(g: _*).agg(sum(col("cnt")).as("__tot")), "__t")
+    val sel = renameTo(
+      ranked.groupBy(g: _*)
+        .agg(count(lit(1)).as("__sel"), min(col("cnt")).as("__kth")), "__s")
+    val complete = col("__tot") <=> col("__gn") // null-safe: a vanished
+                                               // group has null __tot
+    val budget = coalesce(
+      col("__sel") === topK &&
+        col("__kth").cast("double") > col("__gn").cast("double") / (k + 1),
+      lit(false))
+    val bad = groups
+      .join(tot, joinCond("__t"), "left")
+      .join(sel, joinCond("__s"), "left")
+      .filter(!(complete || budget))
       .count()
     require(bad == 0L,
       s"topKFrequentBy: $bad group(s) cannot certify an exact top-$topK " +
-        s"(fewer than $topK surviving candidates, or the k-th count is " +
-        s"inside the n_g/(k+1) absence budget) — widen k or lower topK")
+        s"(candidate set neither complete nor clear of the n_g/(k+1) " +
+        s"absence budget) — widen k or lower topK")
     ranked.select(g ++ Seq(col(keyCol), col("cnt"), col("rank")): _*)
   }
 

@@ -376,6 +376,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("certify"))
   }
 
+  test("top-k frequent by group: complete-universe groups certify; vanished summaries fail") {
+    // 3 distinct keys under k=32: no eviction, candidate set == universe,
+    // so topK=5 legitimately returns ALL 3 ranked rows even though the
+    // kth count (1) is inside the absence budget
+    val smallG = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .map(("small", _)).toDF("g", "key")
+    val got = Sketches.topKFrequentBy(smallG, "key", Seq("g"), topK = 5, k = 32)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq(("a", 5L, 1), ("b", 3L, 2), ("c", 1L, 3)))
+    // adversarial eviction can empty a group's summary entirely (k+1
+    // distinct singletons, one partition): the group must FAIL the
+    // certificate, not silently vanish from the output
+    val vanish = (Seq(("van", "x"), ("van", "y"), ("van", "z")) ++
+      Seq.fill(9)(("ok", "hot")))
+      .toDF("g", "key").coalesce(1)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.topKFrequentBy(vanish, "key", Seq("g"), topK = 1, k = 2)
+    }
+    assert(ex.getMessage.contains("certify"))
+  }
+
   test("heavy hitters: null keys recount as SQL's null group") {
     val df = (Seq.fill(50)(Some("a")) ++ Seq.fill(40)(Option.empty[String]) ++
       (0 until 10).map(i => Some(s"x-$i"))).toDF("key")
