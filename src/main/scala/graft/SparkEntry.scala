@@ -851,25 +851,40 @@ object SparkEntry {
     // violations (disorder, oracle pins 0). Rows, schema and hash prove
     // compaction is content-preserving; the literals prove the layout.
     "q_compact" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("q-compact").toString
-      Tables.load(s, dir, "documents")
-        .repartition(16).write.mode("overwrite").parquet(s"$tmp/shattered")
-      graft.ParquetIO.compact(s, s"$tmp/shattered", s"$tmp/compacted",
-        sortCols = Seq("doc_id"), numFiles = 2)
-      val back = s.read.parquet(s"$tmp/compacted")
-      // PHYSICAL row order per file via the parquet _metadata column —
-      // ordering the lag window by doc_id itself would be circular
-      val byFile = back.select(col("_metadata.file_path").as("__f"),
-        col("_metadata.row_index").as("__ri"), col("doc_id"))
-      val nFiles = byFile.select("__f").distinct().count()
-      val disorder = byFile
-        .withColumn("__prev", lag("doc_id", 1)
-          .over(Window.partitionBy("__f").orderBy("__ri")))
-        .filter(col("__prev") > col("doc_id")).count()
-      back.select(col("doc_id"), col("text"), col("lang"), col("source"),
-          col("n_chars"),
-          lit(nFiles).as("n_files"), lit(disorder).as("disorder"))
-        .orderBy("doc_id")
+      val tmpPath = java.nio.file.Files.createTempDirectory("q-compact")
+      val tmp = tmpPath.toString
+      try {
+        Tables.load(s, dir, "documents")
+          .repartition(16).write.mode("overwrite").parquet(s"$tmp/shattered")
+        graft.ParquetIO.compact(s, s"$tmp/shattered", s"$tmp/compacted",
+          sortCols = Seq("doc_id"), numFiles = 2)
+        val back = s.read.parquet(s"$tmp/compacted")
+        // PHYSICAL row order per file via the parquet _metadata column —
+        // ordering the lag window by doc_id itself would be circular
+        val byFile = back.select(col("_metadata.file_path").as("__f"),
+          col("_metadata.row_index").as("__ri"), col("doc_id"))
+        val nFiles = byFile.select("__f").distinct().count()
+        val disorder = byFile
+          .withColumn("__prev", lag("doc_id", 1)
+            .over(Window.partitionBy("__f").orderBy("__ri")))
+          .filter(col("__prev") > col("doc_id")).count()
+        val out = back.select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"),
+            lit(nFiles).as("n_files"), lit(disorder).as("disorder"))
+          .orderBy("doc_id")
+        // Materialize onto the driver BEFORE the finally deletes the temp
+        // files the lazy plan reads — gate-only: the distributed operator
+        // is ParquetIO.compact above; this local copy is the tiny verify
+        // table, and it stops repeated gate/bench runs leaking two full
+        // copies of it in /tmp per invocation.
+        s.createDataFrame(out.collectAsList(), out.schema)
+      } finally {
+        // deleteOnExit can't remove non-empty dirs — walk deepest-first
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }),
 
     // distributed ANALYZE: per-column counts/nulls/min/max + HLL ndv in

@@ -602,6 +602,11 @@ object GraftFunctions {
       BoundedTopK(Shims.expression(score), Shims.expression(id), k)
         .toAggregateExpression())
 
+  def top_k_by_str(score: Column, id: Column, k: Int): Column =
+    Shims.column(
+      BoundedTopKStr(Shims.expression(score), Shims.expression(id), k)
+        .toAggregateExpression())
+
   def mg_candidates(key: Column, k: Int): Column =
     Shims.column(
       MisraGries(Shims.expression(key), k).toAggregateExpression())
@@ -633,6 +638,9 @@ object GraftFunctions {
         graft.GraftExtensions.intLiteral(exprs(1), "numHashes")))
     Shims.registerFunction(spark, "top_k_by", exprs =>
       BoundedTopK(exprs(0), exprs(1),
+        graft.GraftExtensions.intLiteral(exprs(2), "k")))
+    Shims.registerFunction(spark, "top_k_by_str", exprs =>
+      BoundedTopKStr(exprs(0), exprs(1),
         graft.GraftExtensions.intLiteral(exprs(2), "k")))
     Shims.registerFunction(spark, "z_order_key", exprs =>
       BitInterleave(exprs(0), exprs(1)))

@@ -111,10 +111,15 @@ object Pq {
 
     for (_ <- 0 until iters) {
       val cbDf = broadcast(cents.toDF("subspace", "centroid_id", "c_sub"))
-      val d2 = round(
+      // NaN distances (non-finite vector or centroid) map to +∞ BEFORE
+      // negation: under the replaced asc window NaN sorted LAST, but
+      // -NaN is still NaN and the top-k buffer ranks NaN FIRST — nanvl
+      // keeps degenerate inputs losing the rank-1 assignment.
+      val d2 = nanvl(round(
         vec_dot(col("sub_emb"), col("sub_emb"))
           - lit(2.0) * vec_dot(col("sub_emb"), col("c_sub"))
-          + vec_dot(col("c_sub"), col("c_sub")), 6)
+          + vec_dot(col("c_sub"), col("c_sub")), 6),
+        lit(Double.PositiveInfinity))
       // rank-1 by negated distance (desc) — the [[Similarity.assignByScore]]
       // aggregate: one row per (vec, subspace) through the exchange, not
       // m·n·ksub sort rows
@@ -165,11 +170,14 @@ object Pq {
     // ‖x−c‖² = x·x − 2x·c + c·c, all through the codegen'd vec_dot;
     // rank-1 by negated distance through the assignment aggregate (ties
     // on centroid id — negation keeps the 6dp rounding's tie classes:
-    // -0.0 == 0.0 under the buffer's primitive compare)
-    val d2 = round(
+    // -0.0 == 0.0 under the buffer's primitive compare). nanvl maps NaN
+    // distances to +∞ first: the asc-window formulation this replicates
+    // sorted NaN LAST, and -NaN would rank FIRST in the top-k buffer.
+    val d2 = nanvl(round(
       vec_dot(col("sub_emb"), col("sub_emb"))
         - lit(2.0) * vec_dot(col("sub_emb"), col("c_sub"))
-        + vec_dot(col("c_sub"), col("c_sub")), 6)
+        + vec_dot(col("c_sub"), col("c_sub")), 6),
+      lit(Double.PositiveInfinity))
     Similarity.assignByScore(
         sv.join(broadcast(codebooks), Seq("subspace")),
         Seq("vec_id", "subspace"), "centroid_id", -d2, 1, Seq.empty,

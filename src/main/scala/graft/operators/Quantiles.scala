@@ -217,9 +217,16 @@ object Quantiles {
       s
     }
 
+    // Round budget scaled to the split factor: each round shrinks the
+    // candidate range by ~1/bins, and the double line spans ~2^64
+    // representable values, so ceil(64/log2(bins)) rounds reach a
+    // sub-ulp range even at bins=2; +8 margin absorbs uneven
+    // actual-min/max splits. A fixed 64 was insufficient exactly at the
+    // allowed minimum bins=2 (64 halvings + skew > 64 rounds).
+    val maxRounds = math.ceil(64.0 / (math.log(bins) / math.log(2))).toInt + 8
     var round = 0
     var progressed = true
-    while (progressed && round < 64) {
+    while (progressed && round < maxRounds) {
       val active = states.filter(s =>
         s.result.isEmpty && s.lo < s.hi && s.cnt > cutoff)
       progressed = active.nonEmpty

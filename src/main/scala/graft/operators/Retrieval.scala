@@ -58,10 +58,13 @@ object Retrieval {
       .join(norms, Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
         round(col("__dot") / (col("__qn") * col("__norm")), 4).as("tfidf_sim"))
-    val win = Window.partitionBy("query_id")
-      .orderBy(col("tfidf_sim").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(win))
-      .filter(col("rank") <= k)
+    // finisher via the mergeable BoundedTopK aggregate — the candidate
+    // set is corpus-fraction-sized (every doc sharing a term with a
+    // query), and a row_number window would shuffle ALL of it to one
+    // reducer per query; the aggregate wires k rows per query per
+    // partition instead. Bit-identical ties (score desc, doc_id asc).
+    Similarity.aggTopKBy(scored, "tfidf_sim", k,
+        Seq("query_id"), "rank", idCol = "doc_id")
       .select("query_id", "doc_id", "tfidf_sim", "rank")
   }
 
@@ -105,6 +108,9 @@ object Retrieval {
         (coalesce(lit(1.0) / (lit(rrfK) + col("rank_sparse")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_dense")), lit(0.0)))
           .as("__rrf"))
+    // answer-sized window: fused is ≤ 2·perList rows per query by
+    // construction (the union of two top-perList lists), partitioned
+    // per query — no corpus-fraction input reaches this sort
     val win = Window.partitionBy("query_id")
       .orderBy(col("__rrf").desc, col("item_id").asc)
     fused.withColumn("rank", row_number().over(win))
@@ -160,10 +166,13 @@ object Retrieval {
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheRegistry.track(pairSims)
 
-    val w1 = Window.partitionBy("query_id")
-      .orderBy(col("__rel").desc, col("vec_id").asc)
-    var selected = rel.withColumn("__rn", row_number().over(w1))
-      .filter(col("__rn") === 1)
+    // each greedy step needs only the per-query ARGMAX — a k=1
+    // BoundedTopK aggregate finishes it map-side (one row per query per
+    // partition through the wire) instead of a row_number window
+    // sorting the whole remaining candidate frame every step. Same
+    // total order (score desc, vec_id asc) → identical picks.
+    var selected = Similarity
+      .aggTopKBy(rel, "__rel", 1, Seq("query_id"), "__rn")
       .select(col("query_id"), col("vec_id"),
         round(lit(lambda) * col("__rel"), 6).as("mmr_score"),
         lit(1).as("mmr_rank"))
@@ -179,10 +188,8 @@ object Retrieval {
         .select(col("query_id"), col("vec_id"),
           round(lit(lambda) * col("__rel") -
             lit(1.0 - lambda) * col("__pen"), 6).as("mmr_score"))
-      val wi = Window.partitionBy("query_id")
-        .orderBy(col("mmr_score").desc, col("vec_id").asc)
-      val pick = scoredStep.withColumn("__rn", row_number().over(wi))
-        .filter(col("__rn") === 1)
+      val pick = Similarity
+        .aggTopKBy(scoredStep, "mmr_score", 1, Seq("query_id"), "__rn")
         .select(col("query_id"), col("vec_id"), col("mmr_score"),
           lit(step).as("mmr_rank"))
       selected = selected.unionByName(pick)

@@ -71,15 +71,26 @@ object Similarity {
     */
   private[graft] def aggTopKBy(scored: DataFrame, scoreCol: String, k: Int,
       groupCols: Seq[String] = Seq("query_id"),
-      rankName: String = "rank"): DataFrame =
+      rankName: String = "rank",
+      idCol: String = "vec_id"): DataFrame = {
+    // id dispatch by schema: string ids ride BoundedTopKStr (binary
+    // UTF-8 tiebreak = Spark `string asc`), everything integral casts
+    // to the long-slot twin — one finisher contract for both key shapes
+    val isStr = scored.schema(idCol).dataType ==
+      org.apache.spark.sql.types.StringType
+    val tk =
+      if (isStr) graft.functions.GraftFunctions
+        .top_k_by_str(col(scoreCol), col(idCol), k)
+      else graft.functions.GraftFunctions
+        .top_k_by(col(scoreCol), col(idCol).cast("long"), k)
     scored.groupBy(groupCols.map(col): _*)
-      .agg(graft.functions.GraftFunctions
-        .top_k_by(col(scoreCol), col("vec_id").cast("long"), k).as("__tk"))
+      .agg(tk.as("__tk"))
       .select(groupCols.map(col) :+
         posexplode(col("__tk")).as(Seq("__i", "__e")): _*)
-      .select(groupCols.map(col) ++ Seq(col("__e.id").as("vec_id"),
+      .select(groupCols.map(col) ++ Seq(col("__e.id").as(idCol),
         col("__e.score").as(scoreCol),
         (col("__i") + 1).cast("int").as(rankName)): _*)
+  }
 
   /** Shared nearest-centroid assignment as ONE mergeable aggregate: per
     * id, the top-`probes` centroids of a pre-joined (id × broadcast

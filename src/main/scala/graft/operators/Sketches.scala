@@ -729,7 +729,14 @@ object Sketches {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(k >= topK, s"sketch width k=$k must be >= topK=$topK")
     val (cands, n) = mgPass(df, keyCol, k)
-    require(cands.nonEmpty, s"topKFrequent: empty input")
+    // cands can empty out on NON-empty input too: adversarial eviction
+    // (e.g. k+1 distinct singletons in one partition) can decrement every
+    // counter to zero — n distinguishes the two regimes for the caller.
+    require(cands.nonEmpty,
+      if (n == 0L) "topKFrequent: empty input"
+      else s"topKFrequent: the $k-counter summary emptied under eviction " +
+        s"(n=$n rows, no key kept a positive count) — the key universe " +
+        s"is too flat for this sketch width; widen k")
     // recount + rank the ≤ k candidates; the window partition is the
     // candidate set (sketch-sized), never the corpus
     val counted = CacheRegistry.track(recount(df, keyCol, cands)

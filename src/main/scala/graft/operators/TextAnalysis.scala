@@ -253,6 +253,11 @@ object TextAnalysis {
       .filter(col("tok").isNotNull) // Dedup.safeExplodeNote
     val uc = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
     val total = toks.agg(count(lit(1)).as("__n"))
+    // Global top-K via orderBy().limit() → TakeOrderedAndProject (per-
+    // partition heaps + a K-row driver merge), NOT an unpartitioned
+    // row_number window, which would sort the entire corpus-derived
+    // bigram table through one reducer. The rank window after the cut
+    // runs over ≤ topK rows — answer-sized by construction.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
     bc
@@ -262,8 +267,9 @@ object TextAnalysis {
       .withColumn("lift",
         round((col("__n") * col("pair_count")).cast("double")
           / (col("c1") * col("c2")).cast("double"), 4))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
       .select("rank", "w1", "w2", "pair_count", "c1", "c2", "lift")
   }
 

@@ -194,7 +194,6 @@ object Tfidf {
   def clusterTopTerms(
       docs: DataFrame, groupCol: String, topK: Int = 10): DataFrame = {
     require(topK >= 1)
-    import org.apache.spark.sql.expressions.Window
     val terms = docs
       .select(col(groupCol), explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term").isNotNull) // Dedup.safeExplodeNote
@@ -202,15 +201,21 @@ object Tfidf {
     val gdf = tf.groupBy("term").agg(count(lit(1)).as("gdf"))
     val nGroups = docs.agg(
       countDistinct(col(groupCol)).as("__ng"))
-    val w = Window.partitionBy(groupCol)
-      .orderBy(col("weight").desc, col("term").asc)
-    tf.join(gdf, "term")
+    val weighted = tf.join(gdf, "term")
       .crossJoin(broadcast(nGroups))
       .withColumn("weight",
         round(col("tf").cast("double") *
           ((col("__ng") + 1).cast("double") / (col("gdf") + 1).cast("double")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    // per-group cut via the STRING-id BoundedTopK aggregate: a window
+    // here ranks each cluster's WHOLE vocabulary through one reducer —
+    // a hot cluster (most of the corpus in one label) degenerates to a
+    // single-partition vocab sort; the aggregate wires topK terms per
+    // cluster per partition. tf/gdf join back on the ≤ topK·groups
+    // survivors — answer-sized.
+    Similarity.aggTopKBy(weighted, "weight", topK,
+        Seq(groupCol), "rank", idCol = "term")
+      .join(tf, Seq(groupCol, "term"))
+      .join(gdf, Seq("term"))
       .select(col(groupCol), col("term"), col("tf"), col("gdf"),
         col("weight"), col("rank"))
   }
