@@ -3093,6 +3093,83 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window survived:\n$plan")
   }
 
+  test("string-id aggTopKBy == row_number window under adversarial repartitioning") {
+    // the BoundedTopKStr twin of the long-id law: equal weights
+    // straddling the k cut tie on the TERM (binary UTF-8 asc must equal
+    // Spark's string asc), NaN ranks first, -0.0 == 0.0 — for every
+    // partitioning and merge order
+    val rnd = new scala.util.Random(47)
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 150).map { i =>
+        val s = rnd.nextInt(10) match {
+          case 0 => Double.NaN
+          case 1 => 0.0
+          case 2 => -0.0
+          case n => (n - 5).toDouble / 3
+        }
+        // mixed-case + digits: exercises byte-wise ordering ('Z' < 'a')
+        val term = (if (i % 3 == 0) "T" else "t") + (i % 50)
+        (s"g$g", term, s)
+      }
+    }
+    // (group, term) may repeat with different scores — window rank vs
+    // aggregate must agree anyway (dedup by max handled upstream in real
+    // callers; the law is about the ranking, so dedup here)
+    val base = rows.toDF("grp", "term", "weight")
+      .groupBy("grp", "term").agg(max("weight").as("weight"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("weight").desc, col("term").asc)
+    val want = base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 6)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)) &
+          ~(1L << 63), r.getInt(3)))
+      .toSet
+    for (parts <- Seq(1, 2, 7, 32)) {
+      val got = Similarity.aggTopKBy(base.repartition(parts), "weight", 6,
+          Seq("grp"), "rank", idCol = "term")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)) &
+            ~(1L << 63), r.getInt(3)))
+        .toSet
+      assert(got == want, s"parts=$parts: string aggregate diverged from window")
+    }
+  }
+
+  test("clusterTopTerms plans the string partial aggregate, not a vocab-wide window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Tfidf.clusterTopTerms(docs, "lang", topK = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_by_str"), s"no string partial:\n$plan")
+    assert(!plan.contains("Window"), s"window survived:\n$plan")
+    // and the cut is right: ≤ topK rows per group, rank dense from 1
+    val got = df.collect().groupBy(_.getString(0))
+    got.foreach { case (g, rs) =>
+      assert(rs.length <= 3, s"group $g overflowed topK")
+      assert(rs.map(_.getInt(5)).sorted.toSeq == (1 to rs.length),
+        s"group $g ranks not dense")
+    }
+  }
+
+  test("collocations plans a TakeOrderedAndProject cut, not a global window sort") {
+    // parquet-backed input (a LocalRelation would constant-fold the
+    // interesting plan away); the corpus-derived bigram table must be
+    // cut by per-partition heaps + a topK-row merge, with the rank
+    // window running AFTER the cut (parent of TakeOrderedAndProject in
+    // the tree) over ≤ topK rows
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextAnalysis.collocations(docs, minCount = 3, topK = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no take-ordered cut:\n$plan")
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(wIdx >= 0 && wIdx < tIdx,
+      s"rank window must run on the already-cut rows (parent of the take):\n$plan")
+    assert(df.count() <= 10)
+  }
+
   test("IVF path is repartitioning-invariant end to end (the aggregate finishers)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 3)
