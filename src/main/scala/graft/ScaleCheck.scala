@@ -720,6 +720,29 @@ object ScaleCheck {
       println(s"[scale] exact quantile p95: $got (n=$nn)")
     }
     operators.CacheRegistry.release(spark)
+    // grouped exact quantile over the same 6M-row fact, 3 groups
+    // descending IN PARALLEL: state is one 3-row DataFrame per round,
+    // histograms shuffle <= groups x bins rows, and the answer must
+    // equal each group's independent global descent (itself sort-truth
+    // gated above)
+    time("grouped exact quantile p95 over 6M rows x 3 groups (bins=512)") {
+      val got = operators.Quantiles.exactQuantileBy(li10,
+          Seq("l_returnflag"), "l_extendedprice", 0.95,
+          bins = 512, cutoff = 1 << 14)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val flags = got.keySet.toSeq.sorted
+      require(flags.size == 3, s"expected 3 groups, got $flags")
+      flags.foreach { f =>
+        val slice = li10.filter(col("l_returnflag") === f)
+        val want = operators.Quantiles.exactQuantile(slice,
+          "l_extendedprice", 0.95, bins = 512, cutoff = 1 << 14)
+        require(got(f)._2 == want,
+          s"group $f: grouped descent ${got(f)._2} != global descent $want")
+      }
+      println(s"[scale] grouped exact quantile p95: $got")
+    }
+    operators.CacheRegistry.release(spark)
     // column profile at 10x: one stacked agg row per column + grouped HLL
     // registers (2^12 per column) — state never follows the corpus
     time("column profile 50k docs (4 cols, p=12)") {

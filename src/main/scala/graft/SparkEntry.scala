@@ -407,6 +407,18 @@ object SparkEntry {
       Seq((p50, p95, p99)).toDF("p50", "p95", "p99")
     }),
 
+    // per-group EXACT order statistic with no sort and no driver loop
+    // per group: the descent state is a groups-sized DataFrame and all
+    // groups refine in parallel each round (one histogram join + one
+    // ≤bins-row-per-group walk; the only driver action is the
+    // active-group count). bins/cutoff sized so sf0.01's ~20k-row
+    // groups run real refinement rounds before the finisher
+    "q_exact_quantile_by" -> ((s, dir) =>
+      Quantiles.exactQuantileBy(Tables.load(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_extendedprice", 0.95,
+          bins = 256, cutoff = 1 << 10)
+        .orderBy("l_returnflag")),
+
     // the full CUBE lattice — q_rollup's conventions over every
     // grouping-set combination
     "q_cube" -> ((s, dir) => {
@@ -2263,6 +2275,22 @@ object SparkEntry {
            (SELECT x FROM r, n WHERE rn = CEIL(0.5 * n)) AS p50,
            (SELECT x FROM r, n WHERE rn = CEIL(0.95 * n)) AS p95,
            (SELECT x FROM r, n WHERE rn = CEIL(0.99 * n)) AS p99""",
+
+    // the per-group descent, replayed as a per-group rank: the k_g-th
+    // smallest at k_g = ceil(p*n_g) — value identical whatever the tie
+    // order; n_g counts the group's non-null values
+    "q_exact_quantile_by" ->
+      """WITH v AS (
+           SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL
+         ), r AS (
+           SELECT g, x,
+             row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+           FROM v
+         )
+         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, x AS quantile
+         FROM r WHERE rn = CEIL(0.95 * n) ORDER BY g""",
 
     // replay of the fixed-width histogram walk: identical IEEE double
     // expression order on both sides (bin edge = mn + bin*(mx-mn)/1024.0),

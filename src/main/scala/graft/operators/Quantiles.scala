@@ -308,4 +308,176 @@ object Quantiles {
       }
     }
   }
+
+  /** PER-GROUP exact quantile — for every group, the k_g-th smallest
+    * non-null value at rank k_g = ceil(p·n_g) — by the same iterative
+    * histogram descent as [[exactQuantiles]], with ALL GROUPS DESCENDING
+    * IN PARALLEL. The per-group descent state (lo, hi, need, cnt) lives
+    * in a groups-sized DataFrame, NOT on the driver: each round is one
+    * null-safe join of the corpus against the active-state table, one
+    * partial-aggregated histogram (≤ groups × bins rows through the
+    * shuffle), and a ≤ bins-row-per-group cumulative walk that picks the
+    * next (lo, hi, need, cnt) — so there is no driver loop PER GROUP
+    * (the trap [[exactQuantiles]]' scaladoc warns about) and no
+    * per-group collect; the only driver action per round is the
+    * active-group count that decides termination.
+    *
+    * Group-level details shared with the global twin:
+    *   - non-finite values resolve by rank arithmetic from pass 0's
+    *     per-group (n, -Inf, +Inf, NaN) counts (-Inf < finite < +Inf <
+    *     NaN in both engines), and the histogram only ever bins FINITE
+    *     values;
+    *   - width = hi/bins − lo/bins (overflow-safe), bucket =
+    *     v/w − lo/w clamped into the last slot;
+    *   - a sub-ulp range (w == 0: ≤ ~bins distinct doubles left however
+    *     many ROWS carry them) or a ≤ `cutoff` candidate count drops the
+    *     group out of the round loop into the shared finisher: one
+    *     distinct-value count per remaining group and a cumulative walk
+    *     over those ≤ max(cutoff, bins) values picks the exact answer.
+    *
+    * Groups whose every value is null do not appear (quantile-over-
+    * nothing has no rank); null GROUP KEYS report like any other group
+    * (null-safe joins throughout). Output: groupCols…, n (non-null
+    * count), quantile. Deterministic — an order statistic is a value,
+    * whatever the tie order — and replayable by DuckDB as
+    * `row_number() = ceil(p·n_g)` per group.
+    */
+  def exactQuantileBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Double,
+      bins: Int = 4096,
+      cutoff: Int = 1 << 16): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(cutoff >= 1, s"cutoff must be >= 1, got $cutoff")
+    import org.apache.spark.storage.StorageLevel
+    val gc = groupCols.map(col)
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull)
+      .select(gc :+ v.as("__v"): _*)
+    val isFin = !isnan(col("__v")) &&
+      col("__v") > Double.NegativeInfinity && col("__v") < Double.PositiveInfinity
+
+    // pass 0: per-group counts by finiteness class + finite min/max
+    val g0 = base.groupBy(gc: _*).agg(
+      count(lit(1)).as("__n"),
+      count(when(col("__v") === Double.NegativeInfinity, 1)).as("__nneg"),
+      count(when(col("__v") === Double.PositiveInfinity, 1)).as("__npos"),
+      count(when(isnan(col("__v")), 1)).as("__nnan"),
+      min(when(isFin, col("__v"))).as("__mn"),
+      max(when(isFin, col("__v"))).as("__mx"))
+
+    val rank = greatest(ceil(lit(p) * col("__n")).cast("long"), lit(1L))
+    val nfin = col("__n") - col("__nneg") - col("__npos") - col("__nnan")
+    var state = g0.select(
+        gc ++ Seq(
+          col("__n"),
+          (rank - col("__nneg")).as("__need"),
+          coalesce(col("__mn"), lit(0.0)).as("__lo"),
+          coalesce(col("__mx"), lit(0.0)).as("__hi"),
+          nfin.as("__cnt"),
+          when(rank <= col("__nneg"), lit(Double.NegativeInfinity))
+            .when(rank > col("__nneg") + nfin + col("__npos"), lit(Double.NaN))
+            .when(rank > col("__nneg") + nfin, lit(Double.PositiveInfinity))
+            .as("__res")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(state)
+    val nGroups = state.count()
+
+    // a group stays in the round loop only while equal-width bucketing
+    // can still split it (w != 0) and the remnant is above the finisher
+    // cutoff; everything else waits for the shared finisher below
+    val activeCond = col("__res").isNull && col("__lo") < col("__hi") &&
+      col("__cnt") > cutoff &&
+      (col("__hi") / bins - col("__lo") / bins) =!= 0.0
+
+    // null-safe equi-join of the corpus against the (renamed) state
+    def stateJoin(st: DataFrame, carry: Seq[String]): DataFrame = {
+      val renamed = st.select(
+        groupCols.map(c => col(c).as(s"__g_$c")) ++ carry.map(col): _*)
+      val cond = groupCols.map(c => base(c) <=> renamed(s"__g_$c"))
+        .reduce(_ && _)
+      base.join(renamed, cond).drop(groupCols.map(c => s"__g_$c"): _*)
+    }
+
+    val maxRounds = math.ceil(64.0 / (math.log(bins) / math.log(2))).toInt + 8
+    var round = 0
+    var nActive = state.filter(activeCond).count()
+    while (nActive > 0 && round < maxRounds) {
+      val act = state.filter(activeCond)
+      val w = col("__hi") / bins - col("__lo") / bins
+      val joined = stateJoin(act, Seq("__need", "__lo", "__hi", "__n"))
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .withColumn("__w", w)
+        .withColumn("__b", least(
+          floor(col("__v") / col("__w") - col("__lo") / col("__w")),
+          lit((bins - 1).toLong)))
+      val hist = joined.groupBy(gc :+ col("__b"): _*)
+        .agg(count(lit(1)).as("__c"),
+          min(col("__v")).as("__bmn"), max(col("__v")).as("__bmx"),
+          max(col("__need")).as("__need"), max(col("__n")).as("__n"))
+      // ≤ bins rows per group: the cumulative walk's window partition is
+      // the GROUP's histogram, never its rows
+      val wCum = Window.partitionBy(gc: _*).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val stepped = hist
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .filter(col("__cum") >= col("__need"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(gc: _*).orderBy("__b")))
+        .filter(col("__rn") === 1)
+        .select(gc ++ Seq(col("__n"),
+          (col("__need") - (col("__cum") - col("__c"))).as("__need"),
+          col("__bmn").as("__lo"), col("__bmx").as("__hi"),
+          col("__c").as("__cnt"),
+          lit(null).cast("double").as("__res")): _*)
+      val newState = state.filter(!activeCond).unionByName(stepped)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      CacheRegistry.track(newState)
+      // ONE action per round: materializes the new state AND decides
+      // termination; the old state's cache is dropped immediately
+      nActive = newState.filter(activeCond).count()
+      state.unpersist(blocking = false)
+      state = newState
+      round += 1
+    }
+    require(nActive == 0,
+      s"exactQuantileBy: $nActive groups still active after $maxRounds " +
+        s"rounds — descent did not converge (concurrent input mutation?)")
+
+    val done = state.filter(col("__res").isNotNull)
+      .select(gc ++ Seq(col("__n").as("n"), col("__res").as("quantile")): _*)
+    val point = state.filter(col("__res").isNull && col("__lo") === col("__hi"))
+      .select(gc ++ Seq(col("__n").as("n"), col("__lo").as("quantile")): _*)
+    // finisher: per remaining group (≤ cutoff candidate rows, or a
+    // sub-ulp range holding ≤ ~bins distinct doubles) — ONE distinct-
+    // value count and a cumulative walk over values, never a row sort
+    val rest = state.filter(col("__res").isNull && col("__lo") < col("__hi"))
+    val vals = stateJoin(rest, Seq("__need", "__lo", "__hi", "__n"))
+      .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+      .groupBy(gc :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"), max(col("__need")).as("__need"),
+        max(col("__n")).as("__n"))
+    val wVal = Window.partitionBy(gc: _*).orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val finished = vals
+      .withColumn("__cum", sum(col("__c")).over(wVal))
+      .filter(col("__cum") >= col("__need"))
+      .groupBy(gc: _*)
+      .agg(max(col("__n")).as("n"), min(col("__v")).as("quantile"))
+    val out = done.unionByName(point).unionByName(finished)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    CacheRegistry.track(out)
+    // loud completeness check: every group that entered pass 0 must
+    // report exactly once (a group silently dropped by a join bug would
+    // otherwise under-report)
+    val nOut = out.count()
+    state.unpersist(blocking = false)
+    require(nOut == nGroups,
+      s"exactQuantileBy: $nOut results for $nGroups groups")
+    out
+  }
 }

@@ -446,6 +446,77 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped exact quantile: every group matches its sorted order statistic in parallel") {
+    val rnd = new scala.util.Random(11)
+    // group shapes chosen to diverge: size, duplication, skew, sign,
+    // plus a null GROUP KEY (must report like any group) and a group
+    // with non-finite values (rank arithmetic per group)
+    val groups: Seq[(Option[String], Seq[Double])] = Seq(
+      Some("uniform") -> (1 to 4000).map(_ => rnd.nextDouble() * 1000.0),
+      Some("heavy-dup") -> ((1 to 2500).map(_ => 42.0) ++
+        (1 to 1500).map(_ => rnd.nextDouble() * 10.0)),
+      Some("tiny") -> Seq(5.0),
+      Some("negatives") -> (1 to 800).map(_ => -rnd.nextDouble() * 50),
+      None -> (1 to 1200).map(_ => math.exp(rnd.nextGaussian() * 2)),
+      Some("nonfinite") -> (Seq.fill(100)(Double.NegativeInfinity) ++
+        (1 to 300).map(_.toDouble) ++ Seq.fill(40)(Double.PositiveInfinity) ++
+        Seq.fill(20)(Double.NaN)))
+    val rows = groups.flatMap { case (g, vs) => vs.map(v => (g, Some(v))) } ++
+      Seq((Some("uniform"), Option.empty[Double])) // null value: excluded from n
+    val df = scala.util.Random.shuffle(rows).toDF("g", "v")
+    for (p <- Seq(0.05, 0.5, 0.95, 1.0)) {
+      // bins=16/cutoff=64: the big groups run several real rounds while
+      // "tiny" exits in pass 0 — mixed progress must coexist in state
+      val got = Quantiles.exactQuantileBy(df, Seq("g"), "v", p,
+          bins = 16, cutoff = 64)
+        .collect()
+        .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(got.size == groups.size)
+      for ((g, vs) <- groups) {
+        // expected: k-th smallest under -Inf < finite < +Inf < NaN
+        val sorted = vs.sortWith((a, b) =>
+          if (a.isNaN) false else if (b.isNaN) true else a < b)
+        val want = sorted(math.max(math.ceil(p * vs.size).toInt, 1) - 1)
+        val (n, q) = got(g)
+        assert(n == vs.size, s"group $g n")
+        assert(q == want || (q.isNaN && want.isNaN),
+          s"group $g p=$p: got $q want $want")
+      }
+    }
+  }
+
+  test("grouped exact quantile: sub-ulp duplicate regime per group, no corpus-sized window") {
+    // one group stuck in a sub-ulp range (equal-width bucketing cannot
+    // split), one normal — the finisher must resolve both from the
+    // distinct-value walk
+    val lo = 0.0
+    val hi = java.lang.Double.MIN_VALUE * 100
+    val rows = (Seq.fill(2000)(("subulp", lo)) ++ Seq.fill(2000)(("subulp", hi)) ++
+      (1 to 1000).map(i => ("plain", i.toDouble)))
+    val df = rows.toDF("g", "v")
+    val got = Quantiles.exactQuantileBy(df, Seq("g"), "v", 0.9,
+        bins = 4096, cutoff = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("subulp") == hi)
+    assert(got("plain") == 900.0)
+    // plan sanity on a parquet-backed input: no window may partition by
+    // anything other than the group columns (i.e. never corpus-rows)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val out = Quantiles.exactQuantileBy(li, Seq("l_returnflag"),
+      "l_extendedprice", 0.95, bins = 16, cutoff = 64)
+    // correctness at a realistic table
+    val want = li.filter($"l_extendedprice".isNotNull)
+      .select($"l_returnflag", $"l_extendedprice")
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rs) =>
+        val vs = rs.map(_.getDouble(1)).sorted
+        g -> vs(math.max(math.ceil(0.95 * vs.length).toInt, 1) - 1)
+      }
+    val gotLi = out.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gotLi == want)
+  }
+
   test("exact quantile: nulls excluded, empty input fails loudly") {
     val df = Seq(Some(1.0), None, Some(2.0), Some(3.0), None).toDF("v")
     // n = 3 non-null, ceil(0.5*3) = 2 -> 2.0
