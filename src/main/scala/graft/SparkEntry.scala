@@ -776,6 +776,41 @@ object SparkEntry {
       Dedup.minHashNearDupPortable(Tables.load(s, dir, "documents"), threshold = 0.5)
         .orderBy("doc_id_a", "doc_id_b")),
 
+    // LSH near-dup maintenance, oracle-gated end-to-end — the text twin
+    // of q_ivf_pq_append: cold-build the persisted band-bucket store
+    // over the even half, append the odd half under the frozen sidecar
+    // geometry, re-append the SAME batch behind the producer-duplicate
+    // guard (must be a no-op — a surviving duplicate would list its id
+    // twice per bucket and the pair expansion would emit self-pairs at
+    // est 1.0 → hash mismatch), then read the full pair set back from
+    // buckets + signatures, never text. Signatures are pure per-row
+    // functions of the doc, so seed-then-append ≡ cold rebuild over the
+    // union: the oracle replays the cold chain over the WHOLE documents
+    // table and IS the operator's truth. The probe (delta) path is
+    // pinned exactly by LshIndexSpec.
+    "q_lsh_append" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tmpPath = java.nio.file.Files.createTempDirectory("lshapp")
+      val idx = tmpPath.toString + "/index"
+      try {
+        graft.operators.LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)
+        val batch = docs.filter(col("doc_id") % 2 === 1)
+        graft.operators.LshIndex.append(s, batch, idx)
+        graft.operators.LshIndex.append(s, batch, idx, dedupeIds = true)
+        val out = graft.operators.LshIndex.lshPairs(s, idx, threshold = 0.5)
+          .orderBy("doc_id_a", "doc_id_b")
+        // materialize onto the driver BEFORE the finally deletes the
+        // store the lazy plan reads (the q_compact precedent): repeated
+        // gate/bench runs must not leak a per-run store copy in /tmp
+        s.createDataFrame(out.collectAsList(), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }),
+
     // banding-recall telemetry: LSH-flagged pairs vs the exact >=0.5
     // jaccard truth — the report a user reads to size bands/hashes, and a
     // regression pin on the banding quality itself
@@ -5113,6 +5148,16 @@ object SparkEntry {
     // fraction. est values are k/16 — exact binary fractions, so the
     // round(,4) is engine-safe.
     "q_minhash_neardup" ->
+      s"""WITH ${lshCandidateCtes(16, 4)}
+         SELECT doc_id_a, doc_id_b, est_jaccard FROM est
+         WHERE est_jaccard >= 0.5
+         ORDER BY doc_id_a, doc_id_b""",
+
+    // seed-store + append + store read-back (q_lsh_append): bucketing and
+    // signatures are pure per-row functions of the doc, so the engine's
+    // incremental chain must equal the cold candidate path over the whole
+    // table — the SAME replay as q_minhash_neardup is the truth
+    "q_lsh_append" ->
       s"""WITH ${lshCandidateCtes(16, 4)}
          SELECT doc_id_a, doc_id_b, est_jaccard FROM est
          WHERE est_jaccard >= 0.5

@@ -191,6 +191,52 @@ object Dedup {
     exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Portable band buckets (doc_id, bucket) from WIDE-form signatures
+    * (columns s0..s{numHashes-1}, the [[minHashSignaturesPortable]]
+    * shape): bucket = md5 of the band id and the band's `rows` signature
+    * values as decimal strings — deterministic, engine-replayable, and
+    * shared verbatim by the one-shot candidate path
+    * ([[minHashNearDupPortable]]) and the persisted LSH store
+    * ([[LshIndex]]), so seed-then-append ≡ cold-rebuild holds by
+    * construction (same function, same inputs).
+    */
+  private[operators] def portableBandBuckets(
+      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    sigs.select(
+      col("doc_id"),
+      explode_outer(array((0 until bands).map { b =>
+        md5(concat_ws("_",
+          lit(b.toString) +:
+            ((b * rows) until ((b + 1) * rows))
+              .map(i => col(s"s$i").cast("string")): _*))
+      }: _*)).as("bucket"))
+      .filter(col("bucket").isNotNull) // see [[safeExplodeNote]]
+  }
+
+  /** Signature-estimated jaccard for a candidate pair table against
+    * WIDE-form signatures: est = matching-permutation fraction, 4dp
+    * (exact binary fractions of numHashes — engine-safe rounding).
+    * Output: (doc_id_a, doc_id_b, est_jaccard). Shared by
+    * [[minHashNearDupPortable]] and the [[LshIndex]] read paths.
+    */
+  private[operators] def portableEstJaccard(
+      candidates: DataFrame, sigs: DataFrame, numHashes: Int): DataFrame = {
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"__xs$i") === col(s"__ys$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val aSigs = sigs.select(col("doc_id").as("doc_id_a") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"__xs$i")): _*)
+    val bSigs = sigs.select(col("doc_id").as("doc_id_b") +:
+      (0 until numHashes).map(i => col(s"s$i").as(s"__ys$i")): _*)
+    candidates
+      .join(aSigs, "doc_id_a")
+      .join(bSigs, "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs with signature-estimated
     * jaccard. bands × rowsPerBand == numHashes; a pair lands in the
     * candidate set iff some band's rows all match.
@@ -272,7 +318,6 @@ object Dedup {
       pairListCutoff: Int = 128): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
     // wide-form signatures (s0..s{n-1}) — persisted: banding and BOTH
     // estimate sides re-read them
@@ -280,15 +325,7 @@ object Dedup {
       minHashSignaturesPortable(docs, numHashes, shingleSize)
         .persist(StorageLevel.MEMORY_AND_DISK))
 
-    val banded = sigs.select(
-      col("doc_id"),
-      explode_outer(array((0 until bands).map { b =>
-        md5(concat_ws("_",
-          lit(b.toString) +:
-            ((b * rows) until ((b + 1) * rows))
-              .map(i => col(s"s$i").cast("string")): _*))
-      }: _*)).as("bucket"))
-      .filter(col("bucket").isNotNull) // see [[safeExplodeNote]]
+    val banded = portableBandBuckets(sigs, numHashes, bands)
 
     val lists = CacheRegistry.track(banded.groupBy("bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -296,18 +333,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK))
     val candidates = pairsFromIdLists(lists, "bucket", pairListCutoff).distinct()
 
-    val matches = (0 until numHashes)
-      .map(i => when(col(s"__xs$i") === col(s"__ys$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val aSigs = sigs.select(col("doc_id").as("doc_id_a") +:
-      (0 until numHashes).map(i => col(s"s$i").as(s"__xs$i")): _*)
-    val bSigs = sigs.select(col("doc_id").as("doc_id_b") +:
-      (0 until numHashes).map(i => col(s"s$i").as(s"__ys$i")): _*)
-    candidates
-      .join(aSigs, "doc_id_a")
-      .join(bSigs, "doc_id_b")
-      .select(col("doc_id_a"), col("doc_id_b"),
-        round(matches.cast("double") / numHashes, 4).as("est_jaccard"))
+    portableEstJaccard(candidates, sigs, numHashes)
       .filter(col("est_jaccard") >= threshold)
   }
 

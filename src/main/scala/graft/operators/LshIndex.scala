@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band-bucket store — incremental near-duplicate
+  * maintenance, the text twin of the IVFADC storage index
+  * ([[Similarity.writeIvfPqIndex]] / [[Similarity.appendIvfPq]]).
+  *
+  * A batch dedup ([[Dedup.minHashNearDupPortable]]) re-shingles the whole
+  * corpus per run; a real pipeline appends shards. The store keeps what
+  * the candidate path actually needs — band buckets and signatures — so
+  * an append costs one signature pass over the BATCH only, and probing a
+  * batch against a 100 TB corpus reads bucket collisions, never text.
+  *
+  * Layout under `dir` (all zstd parquet):
+  *   - `dir`        — (bucket, doc_id), hive-partitioned by
+  *                    `shard = pmod(xxhash64(bucket), nShards)`: appends
+  *                    drop files only into touched shards, and a probe's
+  *                    store scan partition-prunes to the shards its batch
+  *                    buckets hash to (pinned by PlansSpec);
+  *   - `dir_sigs`   — (doc_id, s0..s{numHashes-1}) wide portable
+  *                    signatures ([[Dedup.minHashSignaturesPortable]]) —
+  *                    pair estimates never re-read text;
+  *   - `dir_meta`   — one row (num_hashes, bands, shingle_size, n_shards):
+  *                    the frozen hash-family geometry. Probes and appends
+  *                    read their parameters FROM the sidecar, so a batch
+  *                    can never be encoded under a different family than
+  *                    the store (the appendIvfPq meta-guard precedent).
+  *
+  * Equality law (oracle-gated by q_lsh_append, spec-gated by
+  * LshIndexSpec): signatures and band buckets are pure per-row functions
+  * of the document — no trained codebook — so seed-then-append produces
+  * a store whose pair set ([[lshPairs]]) is row-identical to a cold
+  * [[write]] over the union, and [[probe]] (new-vs-store + intra-batch)
+  * is exactly the pair-set delta. Unlike the IVF index there is no
+  * codebook-defining-seed precondition: ANY split satisfies the law.
+  */
+object LshIndex {
+
+  private def sigsDir(dir: String) = dir + "_sigs"
+  private def metaDir(dir: String) = dir + "_meta"
+
+  private case class Meta(numHashes: Int, bands: Int, shingleSize: Int,
+      nShards: Int)
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(metaDir(dir)).head()
+    Meta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+      r.getAs[Int]("shingle_size"), r.getAs[Int]("n_shards"))
+  }
+
+  /** (doc_id, bucket, shard) for `docs` under the store geometry, plus
+    * the persisted wide signatures they were banded from — the shared
+    * encode of [[write]], [[append]] and [[probe]]. The signature frame
+    * is persisted and CacheRegistry-tracked (two+ consumers everywhere:
+    * bucket build and sig write / estimate sides).
+    */
+  private def encode(docs: DataFrame, m: Meta): (DataFrame, DataFrame) = {
+    val sigs = CacheRegistry.track(
+      Dedup.minHashSignaturesPortable(docs, m.numHashes, m.shingleSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val buckets = Dedup.portableBandBuckets(sigs, m.numHashes, m.bands)
+      .withColumn("shard", pmod(xxhash64(col("bucket")), lit(m.nShards)))
+    (sigs, buckets)
+  }
+
+  /** Cold-build the store over `docs`. Parameter defaults mirror
+    * [[Dedup.minHashNearDupPortable]] so the cold pair set is the proven
+    * q_minhash_neardup answer. `filesPerPartition` bounds files per shard
+    * ([[graft.ParquetIO.writePartitioned]]).
+    */
+  def write(docs: DataFrame, dir: String, numHashes: Int = 16,
+      bands: Int = 4, shingleSize: Int = 3, nShards: Int = 16,
+      filesPerPartition: Int = 1): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val m = Meta(numHashes, bands, shingleSize, nShards)
+    val (sigs, buckets) = encode(docs, m)
+    graft.ParquetIO.writePartitioned(
+      buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
+      filesPerPartition)
+    sigs.write.mode("overwrite").option("compression", "zstd")
+      .parquet(sigsDir(dir))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands, shingleSize, nShards))
+      .toDF("num_hashes", "bands", "shingle_size", "n_shards")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(metaDir(dir))
+  }
+
+  /** Append `batch` under the FROZEN store geometry: one signature pass
+    * over the batch, buckets into their shards, signatures into the
+    * sidecar. Nothing existing is rewritten — maintenance is a pure
+    * per-row append, like [[Similarity.appendIvfPq]].
+    *
+    * `dedupeIds` (opt-in) drops batch docs whose `doc_id` the store
+    * already signed — the producer-duplicate guard: a doc appended twice
+    * would list its id twice in every one of its buckets, and the pair
+    * expansion would then emit a self-pair (est 1.0) plus doubled
+    * neighbor pairs — loud hash corruption, which is exactly why
+    * q_lsh_append re-appends its batch behind this guard. The existence
+    * scan is a column-pruned `doc_id` read of the sigs sidecar (an
+    * anti-join, never a collect).
+    */
+  def append(spark: SparkSession, batch: DataFrame, dir: String,
+      dedupeIds: Boolean = false): Unit = {
+    val m = readMeta(spark, dir)
+    val input =
+      if (!dedupeIds) batch
+      else batch.join(
+        spark.read.parquet(sigsDir(dir)).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val (sigs, buckets) = encode(input, m)
+    graft.ParquetIO.writePartitioned(
+      buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
+      filesPerPartition = 1, mode = "append")
+    sigs.write.mode("append").option("compression", "zstd")
+      .parquet(sigsDir(dir))
+  }
+
+  /** The store's full near-duplicate pair set — what a cold
+    * [[Dedup.minHashNearDupPortable]] over every doc ever written would
+    * return, read from buckets and signatures instead of text.
+    * Output: (doc_id_a, doc_id_b, est_jaccard), a < b, est ≥ threshold.
+    */
+  def lshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      pairListCutoff: Int = 128): DataFrame = {
+    val m = readMeta(spark, dir)
+    // persisted: both pairsFromIdLists branches scan the lists
+    val lists = CacheRegistry.track(
+      spark.read.parquet(dir).groupBy("bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val candidates = Dedup.pairsFromIdLists(lists, "bucket", pairListCutoff)
+      .distinct()
+    Dedup.portableEstJaccard(
+        candidates, spark.read.parquet(sigsDir(dir)), m.numHashes)
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Probe `batch` against the store WITHOUT appending: the near-dup
+    * pairs a cold rebuild over (store ∪ batch) would add — batch-vs-store
+    * bucket collisions plus intra-batch pairs. Probe-then-append is the
+    * streaming ingest order: flag an incoming shard's duplicates against
+    * the corpus, then admit it.
+    *
+    * Scale shape: the store scan partition-prunes to the shards the
+    * batch's own buckets hash to (a trickle batch touches few shards;
+    * pinned by PlansSpec), and the collision join broadcasts the batch
+    * side when `broadcastProbe` (the trickle default — at most
+    * bands·|batch| narrow rows); a backfill-sized batch sets it false
+    * and takes the shuffle join. Estimates join the candidate ids
+    * against batch signatures ∪ the sigs sidecar — column-pruned,
+    * never a text re-read.
+    *
+    * Batch ids must be new to the store (the [[append]] `dedupeIds`
+    * guard's invariant); a redelivered id would pair with itself, so
+    * self-pairs are filtered defensively but neighbor estimates of a
+    * duplicated id are the caller's corruption to prevent.
+    */
+  def probe(spark: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.5, pairListCutoff: Int = 128,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val m = readMeta(spark, dir)
+    val (bsigs, bbucketsRaw) = encode(batch, m)
+    val bbuckets = CacheRegistry.track(bbucketsRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // touched shards: ≤ nShards values (codebook-bounded, like the IVF
+    // probe's centroid list) — the partition-pruning IN filter below
+    val touched = bbuckets.select("shard").distinct()
+      .collect().map(_.getLong(0))
+    val store = spark.read.parquet(dir)
+      .filter(col("shard").isin(touched.toSeq: _*))
+      .select(col("bucket"), col("doc_id").as("__sid"))
+    val probeSide = {
+      val b = bbuckets.select(col("bucket"), col("doc_id").as("__bid"))
+      if (broadcastProbe) broadcast(b) else b
+    }
+    val cross = store.join(probeSide, "bucket")
+      .select(least(col("__sid"), col("__bid")).as("doc_id_a"),
+        greatest(col("__sid"), col("__bid")).as("doc_id_b"))
+      .filter(col("doc_id_a") =!= col("doc_id_b"))
+    val intraLists = CacheRegistry.track(
+      bbuckets.groupBy("bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val intra = Dedup.pairsFromIdLists(intraLists, "bucket", pairListCutoff)
+    val candidates = cross.union(intra).distinct()
+    val allSigs = spark.read.parquet(sigsDir(dir)).unionByName(bsigs)
+    Dedup.portableEstJaccard(candidates, allSigs, m.numHashes)
+      .filter(col("est_jaccard") >= threshold)
+  }
+}
