@@ -429,6 +429,36 @@ object Streaming {
         count(lit(1)).as("n"))
   }
 
+  /** Per-GROUP streaming Misra–Gries candidate sketch — the grouped twin
+    * of [[streamingHeavyCandidates]], one mergeable k-counter summary per
+    * group in Complete mode. State is groups × (≤ k counters + a row
+    * count): exactly the bounded shape the batch
+    * [[graft.operators.Sketches.heavyHittersBy]] sketch pass shuffles, so
+    * the incremental story covers the grouped form too. The candidate SET
+    * below the guarantee line is merge-order dependent (micro-batch
+    * arrival order ≠ batch partition order), but every key at or above
+    * ceil(minFrac·n_g) survives ANY merge order — the MG absence bound
+    * applied group-wise — so streamed-candidates + exact-recount equals
+    * the batch answer; the StreamingSpec law replays this across ≥ 2
+    * micro-batches (`maxFilesPerTrigger`).
+    */
+  def streamingGroupedHeavyCandidates(
+      spark: SparkSession, eventsDir: String, groupCols: Seq[String],
+      keyCol: String = "event_type", k: Int = 20,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(groupCols.nonEmpty,
+      "grouped sketch needs group columns; use streamingHeavyCandidates")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.GraftFunctions
+          .mg_candidates(xxhash64(col(keyCol)), k).as("cand"),
+        count(lit(1)).as("n"))
+  }
+
   /** Streaming JSON-field stats over an events file stream: the batch
     * [[graft.operators.Events.jsonFieldStats]] plan unchanged (stateless
     * codegen extraction + one Complete-mode aggregate whose state is the

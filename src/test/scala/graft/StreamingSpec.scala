@@ -149,6 +149,51 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed-candidate recount $got must equal batch heavy hitters $want")
   }
 
+  test("grouped streaming MG candidates + per-group recount equal batch heavyHittersBy " +
+      "across two micro-batches") {
+    import spark.implicits._
+    val dir = tmpDir("stream-mg-by")
+    // two ordered files → maxFilesPerTrigger=1 forces ≥ 2 micro-batches,
+    // so the per-group summaries MERGE across batches through the state
+    // store (the mergeability half of the law). Group column baked into
+    // the files: g = user_id % 3 over the real events table, split by
+    // event_id parity so both files feed every group.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("g", pmod(col("user_id"), lit(3)))
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-mg-by-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    addFile(ev.filter(col("event_id") % 2 === 0), "f1.parquet")
+    addFile(ev.filter(col("event_id") % 2 === 1), "f2.parquet")
+
+    // k=8 counters per group; minFrac 0.15 clears n_g/(k+1) ≈ 0.111·n_g
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingGroupedHeavyCandidates(spark, dir.toString,
+        Seq("g"), "event_type", k = 8, maxFilesPerTrigger = Some(1)),
+      "mg_by_stream")
+    // exact per-group recount of the streamed candidates — the grouped
+    // candidate-JOIN recipe (never a driver loop over groups)
+    val cands = streamed.select(col("g").as("__g"),
+      explode(col("cand")).as("__h"), col("n").as("__gn"))
+    val got = ev.withColumn("__eh", xxhash64(col("event_type")))
+      .join(cands, col("g") === col("__g") && col("__eh") === col("__h"))
+      .groupBy("g", "event_type")
+      .agg(count(lit(1)).as("cnt"), max(col("__gn")).as("__gn"))
+      .filter(col("cnt") >= ceil(lit(0.15) * col("__gn")))
+      .select("g", "event_type", "cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.operators.Sketches.heavyHittersBy(
+        ev, "event_type", Seq("g"), minFrac = 0.15)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    graft.operators.CacheRegistry.release(spark)
+    assert(got == want && got.nonEmpty,
+      s"grouped streamed-candidate recount $got must equal batch heavyHittersBy $want")
+  }
+
   test("streaming JSON-field stats equal the batch twin") {
     val dir = tmpDir("stream-json").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
