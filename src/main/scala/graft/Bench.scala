@@ -7,9 +7,60 @@ import org.apache.spark.sql.SparkSession
   * per-query wall-clock seconds.
   */
 object Bench {
+  /** 1-minute load average + running/total task counts, as (json, m1). */
+  private def loadavg(): (String, Double) = try {
+    val parts = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+    // fields: 1/5/15-min load, running/total tasks, last pid
+    val rt = parts(3).split("/")
+    (s"""{"m1":${parts(0)},"m5":${parts(1)},"m15":${parts(2)},"procs_running":${rt(0)},"procs_total":${rt(1)}}""",
+      parts(0).toDouble)
+  } catch { case e if scala.util.control.NonFatal(e) => ("null", -1.0) }
+
+  // bounded wait for the shared host to drain: poll m1 every 5 s until
+  // it falls under quietM1 or the budget runs out; returns (waited,
+  // the m1 actually proceeded under) so the record adjudicates itself
+  private def waitForQuietHost(maxWaitSec: Int, quietM1: Double): (Int, Double) = {
+    var waited = 0
+    var m1 = loadavg()._2
+    while (m1 > quietM1 && waited < maxWaitSec) {
+      Thread.sleep(5000); waited += 5; m1 = loadavg()._2
+    }
+    (waited, m1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the suite — an iteration loop for
+    // optimizing one query without paying for the other ~56. Names are
+    // trimmed and validated: a typo must fail loudly, not measure an
+    // empty suite as a successful total=0 run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
+
+    // start gate (r14 verdict task 3): the 20:56 r14 record showed the
+    // failure mode — a host already loaded at suite start inflates MORE
+    // queries than the bounded rerun pass can repair, and mid-grade
+    // (2-5×) inflation stands in the artifact. Refuse to START recording
+    // until the host drains (the same bounded wait the rerun pass
+    // already uses), and record how long we waited plus the m1 the
+    // suite actually ran under. Placed BEFORE the SparkSession and the
+    // table warm-up: the bench's own 32-thread warm-up raises m1, and
+    // gating after it would bill our own load as a 2-minute wait every
+    // run. Iteration runs (SPARK_GRAFT_ONLY) skip the gate: they are
+    // feedback loops, not records.
+    val startWaitedSec =
+      if (only.isDefined) 0
+      else waitForQuietHost(maxWaitSec = 600, quietM1 = 1.5)._1
+    val (loadStart, m1Start) = loadavg()
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,31 +138,10 @@ object Bench {
     // host-load marker: the shared bench host has contaminated the wall
     // totals twice (r8: 131 s recorded vs 59.8 s clean; r10: phantom
     // q_bpe/q_lsh_recall "regressions" that took a judge re-run to
-    // dismiss). Snapshot /proc/loadavg before and after the suite so a
-    // recorded run carries its own contamination evidence — loadavg >>
-    // bench-JVM parallelism means competing processes, and the wall
-    // numbers should be read against cpu_sec instead.
-    def loadavg(): (String, Double) = try {
-      val parts = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
-      // fields: 1/5/15-min load, running/total tasks, last pid
-      val rt = parts(3).split("/")
-      (s"""{"m1":${parts(0)},"m5":${parts(1)},"m15":${parts(2)},"procs_running":${rt(0)},"procs_total":${rt(1)}}""",
-        parts(0).toDouble)
-    } catch { case e if scala.util.control.NonFatal(e) => ("null", -1.0) }
-    val (loadStart, m1Start) = loadavg()
-
-    // SPARK_GRAFT_ONLY=q_a,q_b restricts the suite — an iteration loop for
-    // optimizing one query without paying for the other ~56. Names are
-    // trimmed and validated: a typo must fail loudly, not measure an
-    // empty suite as a successful total=0 run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
-    }
+    // dismiss). loadavg() snapshots /proc/loadavg before and after the
+    // suite so a recorded run carries its own contamination evidence —
+    // loadavg >> bench-JVM parallelism means competing processes, and
+    // the wall numbers should be read against cpu_sec instead.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -150,8 +180,8 @@ object Bench {
     // idle here is ~0.3) is re-run ONCE after the suite, when the
     // competing load has usually drained, and BOTH numbers are recorded.
     // The record then adjudicates itself: rerun ≈ median ⇒ contamination;
-    // rerun ≈ recorded ⇒ real regression. Capped at 6 queries so a fully
-    // thrashed host can't double the suite.
+    // rerun ≈ recorded ⇒ real regression. Candidates rank by inflation
+    // ratio, capped at 16 (see the flagged computation below).
     // wall AND cpu medians per query (r12 verdict task 5): wall is the
     // contamination-sensitive signal, cpu the load-invariant one — a
     // genuinely regressed query on a fast idle host moves cpu while its
@@ -203,18 +233,11 @@ object Bench {
     // r13 lesson: reruns fired while the competing load was STILL
     // running, so the rerun CPU itself was inflated (q_sparse_cosine
     // rerun cpu 111 s vs 15 s isolated) and the artifact still needed a
-    // judge-side re-run. Before rerunning, wait — bounded — for the
-    // host to drain (m1 under the quiet threshold), and record both the
-    // wait and the m1 the reruns actually ran under, so the record says
-    // on its face whether the rerun numbers are trustworthy.
-    def waitForQuietHost(maxWaitSec: Int, quietM1: Double): (Int, Double) = {
-      var waited = 0
-      var m1 = loadavg()._2
-      while (m1 > quietM1 && waited < maxWaitSec) {
-        Thread.sleep(5000); waited += 5; m1 = loadavg()._2
-      }
-      (waited, m1)
-    }
+    // judge-side re-run. Before rerunning, wait — bounded
+    // (waitForQuietHost, shared with the suite start gate) — for the
+    // host to drain, and record both the wait and the m1 the reruns
+    // actually ran under, so the record says on its face whether the
+    // rerun numbers are trustworthy.
     var rerunWaitedSec = 0
     var rerunM1 = -1.0
     val reruns: Seq[(String, (Double, Double))] =
@@ -233,11 +256,23 @@ object Bench {
         // r13), so the cpu trigger tightens under load exactly like the
         // wall one — it is load-ROBUST only on a quiet host
         val cpuFactor = if (math.max(m1Start, m1PostSuite) > 1.5) 2.0 else 3.0
+        // rank flagged queries by INFLATION RATIO vs their medians, not
+        // raw wall (r14: the wall-magnitude ranking let a big-but-clean
+        // query exhaust the cap while 2-5× inflated cheap queries stood
+        // unrepaired), and cap at 16 — wide enough for every moderate
+        // offender of a loaded r14-style run, still bounded so a fully
+        // thrashed host can't double the suite (the start gate above
+        // makes that regime rare to begin with)
         val flagged = results
-          .filter { case (name, (w, c)) =>
-            (w >= 0 && wallMed.get(name).exists(m => m > 0 && w > factor * m)) ||
-            (c >= 0 && cpuMed.get(name).exists(m => m > 0 && c > cpuFactor * m)) }
-          .sortBy(-_._2._1).take(6).map(_._1)
+          .flatMap { case (name, (w, c)) =>
+            val wInf = wallMed.get(name)
+              .collect { case m if m > 0 && w >= 0 => w / m }
+            val cInf = cpuMed.get(name)
+              .collect { case m if m > 0 && c >= 0 => c / m }
+            val trips = wInf.exists(_ > factor) || cInf.exists(_ > cpuFactor)
+            if (trips) Some(name -> (wInf.toSeq ++ cInf.toSeq).max) else None
+          }
+          .sortBy(-_._2).take(16).map(_._1)
         if (flagged.nonEmpty) {
           val (waited, m1) = waitForQuietHost(maxWaitSec = 120, quietM1 = 1.5)
           rerunWaitedSec = waited; rerunM1 = m1
@@ -294,7 +329,7 @@ object Bench {
     val adjustedTotalCpu = results
       .collect { case (name, (_, c)) if c >= 0 => adjCpu(name, c) }.sum
     val (loadEnd, m1End) = loadavg()
-    val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"rerun_m1":$rerunM1,"rerun_waited_sec":$rerunWaitedSec}"""
+    val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"start_waited_sec":$startWaitedSec,"rerun_m1":$rerunM1,"rerun_waited_sec":$rerunWaitedSec}"""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above

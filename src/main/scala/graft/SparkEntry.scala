@@ -143,6 +143,30 @@ object SparkEntry {
   private def dsum6(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Run `body` against a fresh temp directory, materialize its result
+    * onto the driver, then recursively delete the directory — the
+    * q_compact discipline (advisor r14) generalized to every
+    * index-building gate query: repeated bench/gate runs must not leak
+    * a per-invocation store copy in /tmp. The collect is gate plumbing,
+    * not operator shape — every result here is answer-sized (top-k rows,
+    * recall tables, near-dup pairs) — and it must happen BEFORE the
+    * finally deletes the files the lazy plan reads.
+    */
+  private def withTempStore(prefix: String)(
+      body: String => DataFrame): DataFrame = {
+    val tmpPath = java.nio.file.Files.createTempDirectory(prefix)
+    try {
+      val out = body(tmpPath.toString)
+      out.sparkSession.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      // deleteOnExit can't remove non-empty dirs — walk deepest-first
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -788,27 +812,15 @@ object SparkEntry {
     // union: the oracle replays the cold chain over the WHOLE documents
     // table and IS the operator's truth. The probe (delta) path is
     // pinned exactly by LshIndexSpec.
-    "q_lsh_append" -> ((s, dir) => {
+    "q_lsh_append" -> ((s, dir) => withTempStore("lshapp") { tmp =>
       val docs = Tables.load(s, dir, "documents")
-      val tmpPath = java.nio.file.Files.createTempDirectory("lshapp")
-      val idx = tmpPath.toString + "/index"
-      try {
-        graft.operators.LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)
-        val batch = docs.filter(col("doc_id") % 2 === 1)
-        graft.operators.LshIndex.append(s, batch, idx)
-        graft.operators.LshIndex.append(s, batch, idx, dedupeIds = true)
-        val out = graft.operators.LshIndex.lshPairs(s, idx, threshold = 0.5)
-          .orderBy("doc_id_a", "doc_id_b")
-        // materialize onto the driver BEFORE the finally deletes the
-        // store the lazy plan reads (the q_compact precedent): repeated
-        // gate/bench runs must not leak a per-run store copy in /tmp
-        s.createDataFrame(out.collectAsList(), out.schema)
-      } finally {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val idx = tmp + "/index"
+      graft.operators.LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      graft.operators.LshIndex.append(s, batch, idx)
+      graft.operators.LshIndex.append(s, batch, idx, dedupeIds = true)
+      graft.operators.LshIndex.lshPairs(s, idx, threshold = 0.5)
+        .orderBy("doc_id_a", "doc_id_b")
     }),
 
     // banding-recall telemetry: LSH-flagged pairs vs the exact >=0.5
@@ -897,41 +909,25 @@ object SparkEntry {
     // count (n_files, oracle pins 2) and zero within-file sort
     // violations (disorder, oracle pins 0). Rows, schema and hash prove
     // compaction is content-preserving; the literals prove the layout.
-    "q_compact" -> ((s, dir) => {
-      val tmpPath = java.nio.file.Files.createTempDirectory("q-compact")
-      val tmp = tmpPath.toString
-      try {
-        Tables.load(s, dir, "documents")
-          .repartition(16).write.mode("overwrite").parquet(s"$tmp/shattered")
-        graft.ParquetIO.compact(s, s"$tmp/shattered", s"$tmp/compacted",
-          sortCols = Seq("doc_id"), numFiles = 2)
-        val back = s.read.parquet(s"$tmp/compacted")
-        // PHYSICAL row order per file via the parquet _metadata column —
-        // ordering the lag window by doc_id itself would be circular
-        val byFile = back.select(col("_metadata.file_path").as("__f"),
-          col("_metadata.row_index").as("__ri"), col("doc_id"))
-        val nFiles = byFile.select("__f").distinct().count()
-        val disorder = byFile
-          .withColumn("__prev", lag("doc_id", 1)
-            .over(Window.partitionBy("__f").orderBy("__ri")))
-          .filter(col("__prev") > col("doc_id")).count()
-        val out = back.select(col("doc_id"), col("text"), col("lang"),
-            col("source"), col("n_chars"),
-            lit(nFiles).as("n_files"), lit(disorder).as("disorder"))
-          .orderBy("doc_id")
-        // Materialize onto the driver BEFORE the finally deletes the temp
-        // files the lazy plan reads — gate-only: the distributed operator
-        // is ParquetIO.compact above; this local copy is the tiny verify
-        // table, and it stops repeated gate/bench runs leaking two full
-        // copies of it in /tmp per invocation.
-        s.createDataFrame(out.collectAsList(), out.schema)
-      } finally {
-        // deleteOnExit can't remove non-empty dirs — walk deepest-first
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+    "q_compact" -> ((s, dir) => withTempStore("q-compact") { tmp =>
+      Tables.load(s, dir, "documents")
+        .repartition(16).write.mode("overwrite").parquet(s"$tmp/shattered")
+      graft.ParquetIO.compact(s, s"$tmp/shattered", s"$tmp/compacted",
+        sortCols = Seq("doc_id"), numFiles = 2)
+      val back = s.read.parquet(s"$tmp/compacted")
+      // PHYSICAL row order per file via the parquet _metadata column —
+      // ordering the lag window by doc_id itself would be circular
+      val byFile = back.select(col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__ri"), col("doc_id"))
+      val nFiles = byFile.select("__f").distinct().count()
+      val disorder = byFile
+        .withColumn("__prev", lag("doc_id", 1)
+          .over(Window.partitionBy("__f").orderBy("__ri")))
+        .filter(col("__prev") > col("doc_id")).count()
+      back.select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"),
+          lit(nFiles).as("n_files"), lit(disorder).as("disorder"))
+        .orderBy("doc_id")
     }),
 
     // distributed ANALYZE: per-column counts/nulls/min/max + HLL ndv in
@@ -1262,10 +1258,9 @@ object SparkEntry {
     // centroid, probe via a partition-pruning IN filter — the scan reads
     // nprobe directories only (PartitionFilters pinned by spec); result
     // identical to the in-memory IVF at the same parameters
-    "q_ivf_indexed" -> ((s, dir) => {
+    "q_ivf_indexed" -> ((s, dir) => withTempStore("ivfidx") { tmp =>
       val emb = Tables.load(s, dir, "embeddings")
-      val idx = java.nio.file.Files
-        .createTempDirectory("ivfidx").toString + "/index"
+      val idx = tmp + "/index"
       Similarity.writeIvfIndex(emb, idx, numCentroids = 32)
       Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
           k = 3, nprobe = 2)
@@ -1425,10 +1420,9 @@ object SparkEntry {
     // IVFADC: PQ codes stored INSIDE the hive-partitioned IVF index,
     // probe = partition-pruned code scan + integer ADC + exact re-rank
     // of the k·4 survivors fetched by id — the production 100-TB ANN
-    "q_ivf_pq" -> ((s, dir) => {
+    "q_ivf_pq" -> ((s, dir) => withTempStore("ivfpq") { tmp =>
       val emb = Tables.load(s, dir, "embeddings")
-      val idx = java.nio.file.Files
-        .createTempDirectory("ivfpq").toString + "/index"
+      val idx = tmp + "/index"
       Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
         m = 4, ksub = 16, dim = 64)
       Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
@@ -1440,10 +1434,9 @@ object SparkEntry {
     // codes quantize x − centroid(x) in double, the probe adds the
     // fixed-point q·centroid base back — the same m·log₂ksub bits spend
     // their resolution on what IVF hasn't already explained
-    "q_ivf_pq_res" -> ((s, dir) => {
+    "q_ivf_pq_res" -> ((s, dir) => withTempStore("ivfpqres") { tmp =>
       val emb = Tables.load(s, dir, "embeddings")
-      val idx = java.nio.file.Files
-        .createTempDirectory("ivfpqres").toString + "/index"
+      val idx = tmp + "/index"
       Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
         m = 4, ksub = 16, dim = 64, byResidual = true)
       Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
@@ -1453,10 +1446,9 @@ object SparkEntry {
 
     // IVFADC recall@k vs brute force per nprobe — the telemetry that
     // sizes the probe depth for a target recall before any 100-TB run
-    "q_ivf_pq_recall" -> ((s, dir) => {
+    "q_ivf_pq_recall" -> ((s, dir) => withTempStore("ivfpqr") { tmp =>
       val emb = Tables.load(s, dir, "embeddings")
-      val idx = java.nio.file.Files
-        .createTempDirectory("ivfpqr").toString + "/index"
+      val idx = tmp + "/index"
       Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
         m = 4, ksub = 16, dim = 64)
       Similarity.ivfPqRecall(s, idx, emb.filter(col("vec_id") < 5), emb,
@@ -1472,10 +1464,9 @@ object SparkEntry {
     // oracle replays the cold chain over the union: seed-then-append ≡
     // cold build is the operator's contract, so the cold replay IS its
     // truth
-    "q_ivf_pq_append" -> ((s, dir) => {
+    "q_ivf_pq_append" -> ((s, dir) => withTempStore("ivfpqapp") { tmp =>
       val emb = Tables.load(s, dir, "embeddings")
-      val idx = java.nio.file.Files
-        .createTempDirectory("ivfpqapp").toString + "/index"
+      val idx = tmp + "/index"
       val seed = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
       val batch = emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1)
       Similarity.writeIvfPqIndex(seed, idx, numCentroids = 32,
