@@ -141,6 +141,30 @@ object LshIndex {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Compact a bucket table that [[append]] has grown by accumulation:
+    * every append drops at least one file into each touched `shard=`
+    * directory, and at streaming cadence per-file open/footer overhead
+    * eventually dominates the probe scan — the same small-file failure
+    * [[Similarity.compactIvfPq]] exists for. Rewrites buckets into
+    * `outDir` with the SAME shard partitioning (probe pruning untouched)
+    * at `filesPerPartition` files per shard, compacts the signature
+    * sidecar to `sigFiles` files, and copies the frozen `_meta` verbatim.
+    * Writes to a NEW directory: the swap-to-live step is the caller's
+    * atomicity boundary (object-store rename semantics).
+    */
+  def compactLsh(spark: SparkSession, dir: String, outDir: String,
+      filesPerPartition: Int = 1, sigFiles: Int = 4): Unit = {
+    require(outDir != dir, "compactLsh writes to a new directory")
+    graft.ParquetIO.writePartitioned(
+      spark.read.parquet(dir).select("shard", "bucket", "doc_id"),
+      outDir, Seq("shard"), filesPerPartition)
+    spark.read.parquet(sigsDir(dir)).repartition(sigFiles)
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(sigsDir(outDir))
+    spark.read.parquet(metaDir(dir)).write.mode("overwrite")
+      .option("compression", "zstd").parquet(metaDir(outDir))
+  }
+
   /** Probe `batch` against the store WITHOUT appending: the near-dup
     * pairs a cold rebuild over (store ∪ batch) would add — batch-vs-store
     * bucket collisions plus intra-batch pairs. Probe-then-append is the

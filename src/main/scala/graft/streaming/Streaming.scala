@@ -731,6 +731,63 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming LSH-store ingest — the near-dup text twin of
+    * [[streamingIvfPqIngest]]: drive the persisted band-bucket store
+    * ([[graft.operators.LshIndex]]) from a documents file stream. The
+    * first micro-batch cold-builds the store (writing the frozen
+    * geometry sidecar); every later batch appends under that geometry.
+    * Same exactly-once story as the IVF twin: the source checkpoint
+    * gives file-level exactly-once, the batchId replay sidecar guards
+    * foreachBatch's at-least-once crash window, and `dedupeIds` covers
+    * producer redelivery the checkpoint can't see. Signatures are pure
+    * per-row functions — no codebook-defining first batch required, so
+    * ANY file order converges to the cold-rebuild store (the
+    * StreamingSpec law).
+    */
+  def streamingLshIngest(
+      spark: SparkSession,
+      docsDir: String,
+      storeDir: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      nShards: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None,
+      dedupeIds: Boolean = false): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
+    val fs = metaPath.getFileSystem(hconf)
+    val commitPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
+    val writer0 = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val replayed = commitPath.exists(p =>
+          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
+        if (!replayed) {
+          val b = batch.toDF().localCheckpoint(true)
+          try {
+            if (!fs.exists(metaPath))
+              graft.operators.LshIndex.write(b, storeDir,
+                numHashes, bands, shingleSize, nShards)
+            else graft.operators.LshIndex.append(spark, b, storeDir, dedupeIds)
+          } finally graft.operators.Lineage.release(b)
+          commitPath.foreach(p =>
+            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
+        }
+        ()
+      }
+    val writer = checkpointDir
+      .fold(writer0)(d => writer0.option("checkpointLocation", d))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Files-per-centroid level above which an un-thresholded ingest warns
     * (≈ the point where probe open/footer cost is measurable next to the
     * pruned scan itself).

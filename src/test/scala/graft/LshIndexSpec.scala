@@ -94,6 +94,32 @@ class LshIndexSpec extends AnyFunSuite {
     assert(got == cold && cold.nonEmpty)
   }
 
+  test("compactLsh preserves the pair set and bounds files per shard") {
+    val idx = freshStore("lsh-compact")
+    val out = freshStore("lsh-compacted")
+    // write + append accumulates ≥ 2 files in every touched shard
+    LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx, nShards = 4)
+    LshIndex.append(spark, docs.filter(col("doc_id") % 2 === 1), idx)
+    val before = pairSet(LshIndex.lshPairs(spark, idx, threshold = 0.5))
+    LshIndex.compactLsh(spark, idx, out)
+    val after = pairSet(LshIndex.lshPairs(spark, out, threshold = 0.5))
+    CacheRegistry.release(spark)
+    assert(after == before && before.nonEmpty)
+    // at most filesPerPartition=1 parquet file per shard directory
+    val shardDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.getFileName.toString.startsWith("shard="))
+      .iterator()
+    var checked = 0
+    while (shardDirs.hasNext) {
+      val d = shardDirs.next()
+      val n = java.nio.file.Files.list(d)
+        .filter(_.toString.endsWith(".parquet")).count()
+      assert(n <= 1, s"shard dir $d holds $n files after compaction")
+      checked += 1
+    }
+    assert(checked > 0, "compaction produced no shard directories")
+  }
+
   test("probe's store scan partition-prunes to the batch's shards") {
     val idx = freshStore("lsh-prune")
     LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)

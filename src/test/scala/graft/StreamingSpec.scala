@@ -194,6 +194,41 @@ class StreamingSpec extends AnyFunSuite {
       s"grouped streamed-candidate recount $got must equal batch heavyHittersBy $want")
   }
 
+  test("streaming LSH ingest equals a cold store rebuild, and replays are no-ops") {
+    val docsDir = tmpDir("stream-lsh")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // two ordered files + maxFilesPerTrigger=1: file 1 cold-builds the
+    // store (frozen geometry sidecar), file 2 goes through the append
+    // path — both halves of the ingest exercised in one run
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-lsh-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, docsDir.resolve(name))
+    }
+    addFile(docs.filter(col("doc_id") % 2 === 0), "f1.parquet")
+    addFile(docs.filter(col("doc_id") % 2 === 1), "f2.parquet")
+    val store = tmpDir("stream-lsh-store").toString + "/store"
+    val ckpt = tmpDir("stream-lsh-ckpt").toString
+    Streaming.streamingLshIngest(spark, docsDir.toString, store,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    val got = graft.operators.LshIndex.lshPairs(spark, store, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cold = graft.operators.Dedup.minHashNearDupPortable(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.CacheRegistry.release(spark)
+    assert(got == cold && got.nonEmpty,
+      s"streamed store pairs (${got.size}) must equal cold rebuild (${cold.size})")
+    // re-running the same AvailableNow stream from the same checkpoint
+    // sees no new files — the store must not grow (source-level
+    // exactly-once; the batchId sidecar covers the foreachBatch window)
+    val bucketRows = spark.read.parquet(store).count()
+    Streaming.streamingLshIngest(spark, docsDir.toString, store,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(store).count() == bucketRows)
+  }
+
   test("streaming JSON-field stats equal the batch twin") {
     val dir = tmpDir("stream-json").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
