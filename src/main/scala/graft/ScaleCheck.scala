@@ -109,6 +109,51 @@ object ScaleCheck {
         operators.Dedup.minHashNearDup(docs10, threshold = 0.5).count())
     }
     operators.CacheRegistry.release(spark)
+    // persisted LSH store at 10×: APPEND LOCALITY (a trickle batch must
+    // add files only under the shards its own buckets hash to — the
+    // structural fact that makes maintenance cheap against a 100 TB
+    // store) and probe recall on planted duplicates. 64 shards + a
+    // 5-doc batch: ≤ 20 batch buckets, so an append that touched every
+    // shard would prove the layout is store-sized, not batch-sized.
+    time("lsh store 50k docs: append locality + trickle probe") {
+      val storeDir = tmp.resolve("lsh-store").toString + "/store"
+      operators.LshIndex.write(docs10, storeDir, nShards = 64)
+      def shardFiles(): Map[String, Long] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(storeDir))
+          .iterator().asScala
+          .filter(_.getFileName.toString.startsWith("shard="))
+          .map { d =>
+            d.getFileName.toString ->
+              java.nio.file.Files.list(d).iterator().asScala
+                .count(_.toString.endsWith(".parquet")).toLong
+          }.toMap
+      }
+      val before = shardFiles()
+      // fresh ids, text copied from the corpus: every batch doc has ≥10
+      // exact near-dups in the store (est 1.0 at the banding level)
+      val batch = docs.limit(5).withColumn("doc_id",
+        col("doc_id") + lit(20000000L))
+      val trickleProbe = operators.LshIndex.probe(
+        spark, batch, storeDir, threshold = 0.5).count()
+      operators.CacheRegistry.release(spark)
+      operators.LshIndex.append(spark, batch, storeDir)
+      operators.CacheRegistry.release(spark)
+      val after = shardFiles()
+      val touched = after.count { case (s, n) => n != before.getOrElse(s, 0L) }
+      println(s"[scale] lsh store shards touched by 5-doc append: " +
+        s"$touched of ${after.size}; trickle probe pairs: $trickleProbe")
+      require(before.forall { case (s, n) => after.getOrElse(s, 0L) >= n },
+        "append must only ADD files, never rewrite existing shards")
+      // 5 docs × 4 bands = ≤ 20 distinct buckets → ≤ 20 shards touched
+      require(touched <= 20 && touched < after.size,
+        s"a 5-doc append touched $touched shards — appends must be " +
+          "batch-local, not store-wide")
+      require(trickleProbe >= 5L * 10,
+        s"probe found $trickleProbe pairs — each planted doc has >=10 " +
+          "exact copies in the store and must collide with all of them")
+    }
+    operators.CacheRegistry.release(spark)
     // duplicate spans under total span collision: every span exists in ≥10
     // docs, so the fingerprint aggregate and join-back both fatten 10×
     time("duplicate spans 50k docs (10x all-dup corpus)") {
