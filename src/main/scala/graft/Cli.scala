@@ -245,7 +245,7 @@ object Cli {
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
-          |              topktokens|topktokensby|snm|sssp]
+          |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -258,6 +258,10 @@ object Cli {
           |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N];
           |          ivfpqappend: -in <new-batch embeddings> -index dir;
           |          ivfpqcompact: -index dir -dest dir [-files N];
+          |          lshbuild: -in documents -index dir [-hashes N] [-bands N] [-shingle N] [-shards N];
+          |          lshappend: -in <new-batch documents> -index dir [-dedupe-ids true];
+          |          lshprobe: -in <new-batch documents> -index dir [-threshold X];
+          |          lshcompact: -index dir -dest dir [-files N];
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
           |          dsir: [-target-col c] [-target v] [-scale F];
@@ -762,6 +766,53 @@ object Cli {
           .agg(countDistinct(col("__file")).as("files"),
             countDistinct(col("vec_id")).as("n_vectors"))
           .orderBy("centroid_id")
+      }
+      // LSH near-dup store maintenance (the text twin of the ivfpq ops):
+      // lshbuild cold-builds the band-bucket store from -in documents;
+      // lshappend encodes a NEW batch under the frozen geometry sidecar
+      // and appends; lshprobe flags a batch's near-dup pairs against the
+      // store WITHOUT admitting it (probe-then-append ingest order);
+      // lshcompact collapses append-accumulated small files per shard.
+      // Census results carry n_bucket_rows next to n_docs per shard —
+      // a clean store holds each (doc, bucket) once, so rows exceeding
+      // the distinct-doc banding arithmetic is the duplication tell
+      // (the ivfpqappend n_code_rows precedent).
+      case "lshbuild" | "lshappend" => {
+        val idx = flags.getOrElse("index",
+          fail(s"corpus -op ${flags("op")} requires -index <dir>"))
+        if (flags.getOrElse("op", "") == "lshbuild")
+          LshIndex.write(docs, idx,
+            numHashes = flags.getOrElse("hashes", "16").toInt,
+            bands = flags.getOrElse("bands", "4").toInt,
+            shingleSize = flags.getOrElse("shingle", "3").toInt,
+            nShards = flags.getOrElse("shards", "16").toInt)
+        else LshIndex.append(spark, docs, idx,
+          dedupeIds = flags.get("dedupe-ids").exists(_.toBoolean))
+        spark.read.parquet(idx)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_bucket_rows"))
+          .orderBy("shard")
+      }
+      case "lshprobe" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op lshprobe requires -index <dir> (an existing lsh store)"))
+        LshIndex.probe(spark, docs, idx, threshold = threshold(0.5))
+          .orderBy("doc_id_a", "doc_id_b")
+      }
+      case "lshcompact" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op lshcompact requires -index <dir>"))
+        val dest = flags.getOrElse("dest",
+          fail("corpus -op lshcompact requires -dest <dir> (the compacted store)"))
+        LshIndex.compactLsh(spark, idx, dest,
+          filesPerPartition = flags.getOrElse("files", "1").toInt)
+        spark.read.parquet(dest)
+          .withColumn("__file", input_file_name())
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(countDistinct(col("__file")).as("files"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("shard")
       }
       case "ivfpqrecall" => {
         val idx = flags.getOrElse("index", java.nio.file.Files

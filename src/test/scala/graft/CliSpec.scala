@@ -332,6 +332,47 @@ class CliSpec extends AnyFunSuite {
       .select("vec_id").distinct().count() == 500L)
   }
 
+  test("corpus subcommand: lsh store maintenance (build, probe, append, compact)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("clispec-lsh-maint").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = tmp + "/store"
+    val seedPath = tmp + "/seed"
+    val batchPath = tmp + "/batch"
+    docs.filter("doc_id % 2 = 0").write.parquet(seedPath)
+    docs.filter("doc_id % 2 = 1").write.parquet(batchPath)
+    val build = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> seedPath, "op" -> "lshbuild", "index" -> idx))
+    }
+    // the census carries the duplication tell next to the doc count
+    assert(build.contains("n_bucket_rows") && build.contains("Rows: "))
+    // probe-then-append order: probe flags the batch's pairs WITHOUT
+    // admitting it (store row count unchanged), then the append admits
+    val rowsBefore = spark.read.parquet(idx).count()
+    val probe = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> batchPath, "op" -> "lshprobe", "index" -> idx))
+    }
+    assert(probe.contains("est_jaccard") && probe.contains("Rows: "))
+    assert(spark.read.parquet(idx).count() == rowsBefore)
+    val app = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> batchPath, "op" -> "lshappend", "index" -> idx))
+    }
+    assert(app.contains("n_docs") && app.contains("Rows: "))
+    assert(spark.read.parquet(idx + "_sigs").select("doc_id").distinct().count()
+      == docs.select("doc_id").distinct().count())
+    // compact takes NO -in: it works purely on the existing store
+    val comp = captureOut {
+      Cli.runCorpus(spark, Map(
+        "op" -> "lshcompact", "index" -> idx, "dest" -> (tmp + "/cx")))
+    }
+    assert(comp.contains("files") && comp.contains("Rows: "))
+    assert(spark.read.parquet(tmp + "/cx").count()
+      == spark.read.parquet(idx).count())
+  }
+
   test("corpus subcommand: containment -df-cap auto derives the cap") {
     val docsPath = "/root/testdata/sf0.001/documents.parquet"
     val auto = captureOut {
