@@ -41,6 +41,22 @@ object LshIndex {
   private def sigsDir(dir: String) = dir + "_sigs"
   private def metaDir(dir: String) = dir + "_meta"
 
+  // schema-explicit reads: an EMPTY seed or batch is legal (no codebook
+  // precondition), and a zero-row partitioned write leaves no parquet
+  // footer to infer from — the store's schemas are fixed by its meta,
+  // so supply them instead of inferring (pinned by the PropertySpec
+  // any-split law, whose draws include empty seeds)
+  private def readBuckets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema("bucket string, doc_id bigint, shard bigint")
+      .parquet(dir)
+
+  private def readSigs(spark: SparkSession, dir: String,
+      numHashes: Int): DataFrame =
+    spark.read.schema(
+        ("doc_id bigint" +: (0 until numHashes).map(i => s"s$i bigint"))
+          .mkString(", "))
+      .parquet(sigsDir(dir))
+
   private case class Meta(numHashes: Int, bands: Int, shingleSize: Int,
       nShards: Int)
 
@@ -110,7 +126,7 @@ object LshIndex {
     val input =
       if (!dedupeIds) batch
       else batch.join(
-        spark.read.parquet(sigsDir(dir)).select("doc_id"),
+        readSigs(spark, dir, m.numHashes).select("doc_id"),
         Seq("doc_id"), "left_anti")
     val (sigs, buckets) = encode(input, m)
     graft.ParquetIO.writePartitioned(
@@ -130,14 +146,14 @@ object LshIndex {
     val m = readMeta(spark, dir)
     // persisted: both pairsFromIdLists branches scan the lists
     val lists = CacheRegistry.track(
-      spark.read.parquet(dir).groupBy("bucket")
+      readBuckets(spark, dir).groupBy("bucket")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candidates = Dedup.pairsFromIdLists(lists, "bucket", pairListCutoff)
       .distinct()
     Dedup.portableEstJaccard(
-        candidates, spark.read.parquet(sigsDir(dir)), m.numHashes)
+        candidates, readSigs(spark, dir, m.numHashes), m.numHashes)
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -156,7 +172,7 @@ object LshIndex {
       filesPerPartition: Int = 1, sigFiles: Int = 4): Unit = {
     require(outDir != dir, "compactLsh writes to a new directory")
     graft.ParquetIO.writePartitioned(
-      spark.read.parquet(dir).select("shard", "bucket", "doc_id"),
+      readBuckets(spark, dir).select("shard", "bucket", "doc_id"),
       outDir, Seq("shard"), filesPerPartition)
     spark.read.parquet(sigsDir(dir)).repartition(sigFiles)
       .write.mode("overwrite").option("compression", "zstd")
@@ -196,7 +212,7 @@ object LshIndex {
     // probe's centroid list) — the partition-pruning IN filter below
     val touched = bbuckets.select("shard").distinct()
       .collect().map(_.getLong(0))
-    val store = spark.read.parquet(dir)
+    val store = readBuckets(spark, dir)
       .filter(col("shard").isin(touched.toSeq: _*))
       .select(col("bucket"), col("doc_id").as("__sid"))
     val probeSide = {
@@ -214,7 +230,7 @@ object LshIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val intra = Dedup.pairsFromIdLists(intraLists, "bucket", pairListCutoff)
     val candidates = cross.union(intra).distinct()
-    val allSigs = spark.read.parquet(sigsDir(dir)).unionByName(bsigs)
+    val allSigs = readSigs(spark, dir, m.numHashes).unionByName(bsigs)
     Dedup.portableEstJaccard(candidates, allSigs, m.numHashes)
       .filter(col("est_jaccard") >= threshold)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Quantiles, Sampling}
+import graft.operators.{Dedup, LshIndex, Quantiles, Sampling}
 
 /** Property-based specs (ScalaCheck): randomized structural properties
   * that example tests can't cover — random graph shapes for the two
@@ -317,5 +317,43 @@ class PropertySpec extends AnyFunSuite {
       }
       got == want
     }, minSuccessful = 15)
+  }
+
+  test("property: LSH store seed+append == cold rebuild for ANY split") {
+    // signatures and band buckets are pure per-row functions — unlike
+    // the IVF index there is NO codebook-defining-seed precondition, so
+    // the equality law must hold for every split, including empty seed
+    // and empty batch. Random corpora of near-dup-prone short texts;
+    // random split membership.
+    val genCase = for {
+      n <- Gen.choose(2, 24)
+      words <- Gen.listOfN(n,
+        Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+          .map(_.mkString(" ")))
+      inSeed <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (words, inSeed)
+    check(Prop.forAll(genCase) { case (words, inSeed) =>
+      val docs = words.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val store = java.nio.file.Files
+        .createTempDirectory("prop-lsh").toString + "/s"
+      val seedIds = inSeed.zipWithIndex.collect { case (true, i) => i.toLong }
+      val seed = docs.filter(col("doc_id").isin(seedIds: _*))
+      val batch = docs.filter(!col("doc_id").isin(seedIds: _*))
+      LshIndex.write(seed, store, numHashes = 8, bands = 2, shingleSize = 2,
+        nShards = 4)
+      val probed = LshIndex.probe(spark, batch, store, threshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val old = LshIndex.lshPairs(spark, store, threshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      LshIndex.append(spark, batch, store)
+      val after = LshIndex.lshPairs(spark, store, threshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val cold = Dedup.minHashNearDupPortable(docs, numHashes = 8, bands = 2,
+          shingleSize = 2, threshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.operators.CacheRegistry.release(spark)
+      after == cold && (old ++ probed) == cold
+    }, minSuccessful = 8)
   }
 }
