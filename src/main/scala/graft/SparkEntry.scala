@@ -579,6 +579,19 @@ object SparkEntry {
     "q_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // TRAINED quality classifier (the fastText/CCNet filter recipe):
+    // linear probe on md5-hashed bag-of-words presence features + bias,
+    // 3 full-batch gradient steps against the lang='en' label, corpus
+    // scored by the final weights. All gradient algebra is integer
+    // fixed-point (partition-order invariant), so the oracle replays the
+    // ENTIRE training loop, not just the scoring — the kmeans
+    // fixed-point-iteration precedent applied to model training
+    "q_quality_clf" -> ((s, dir) =>
+      graft.operators.Classifier.linearProbe(
+          Tables.load(s, dir, "documents"),
+          col("lang") === "en", dim = 64, iters = 3, lr2 = 0.25)
+        .orderBy("doc_id")),
+
     // per-stratum winsorized quality report: exact nearest-rank
     // [5%, 95%] bounds on the 4dp alpha_ratio via the count-table
     // cumulative walk (no per-stratum sort), clip counts + robust mean
@@ -2425,6 +2438,19 @@ object SparkEntry {
            round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
              / length(text), 4) END AS alpha_ratio
          FROM documents ORDER BY doc_id""",
+
+    // the trained linear probe replayed END-TO-END: same presence
+    // features, same integer fixed-point gradient sums, same
+    // float-collapsed step per iteration — TRAINING is part of the
+    // verified surface, not just the final scoring pass
+    "q_quality_clf" ->
+      s"""WITH ${clfCtes(64, 3, "0.25")}
+         SELECT d.doc_id, y.y,
+           round(CAST(coalesce(zf.z, 0) AS DOUBLE) / ${1L << 20}, 6) AS score
+         FROM documents d
+         JOIN y USING (doc_id)
+         LEFT JOIN zf USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // count-table cumulative walk replay: the 4dp score domain keeps the
     // per-stratum count table tiny; nearest-rank value = smallest v whose
@@ -6098,6 +6124,54 @@ object SparkEntry {
            ON p.subspace = n.subspace AND p.centroid_id = n.code)"""
     }.mkString(",\n         ")
     s"$head,\n         $steps"
+  }
+
+  /** DuckDB replay of [[graft.operators.Classifier.linearProbe]]'s FULL
+    * training loop: presence features (md5 bucket hash + bias `dim`),
+    * all-zero integer weights w0, then per gradient step j the integer
+    * doc scores z{j}, residuals r{j}, per-feature gradients g{j}, and
+    * the float-collapsed update w{j+1}. Every sum is integer (exact,
+    * order-free); the only double arithmetic is the identical
+    * floor(lr2·g/n + 0.5) expression per feature per step. The caller's
+    * chain reads zf (scores under w{iters}) and y.
+    */
+  private def clfCtes(dim: Int, iters: Int, lr2: String): String = {
+    val q = 1L << 20
+    val head = s"""toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok
+           FROM documents
+         ), feats AS (
+           SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $dim AS feat
+           FROM toks
+           UNION ALL SELECT doc_id, $dim AS feat FROM documents
+         ), y AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+           FROM documents
+         ), nn AS (SELECT count(*) AS n FROM documents),
+         w0 AS (SELECT CAST(unnest(range(${dim + 1})) AS BIGINT) AS feat,
+                  CAST(0 AS BIGINT) AS qw)"""
+    val steps = (0 until iters).map { j =>
+      s"""z$j AS (
+           SELECT f.doc_id, sum(w.qw) AS z
+           FROM feats f JOIN w$j w USING (feat) GROUP BY 1
+         ), r$j AS (
+           SELECT y.doc_id, coalesce(z.z, 0) - $q * y.y AS r
+           FROM y LEFT JOIN z$j z USING (doc_id)
+         ), g$j AS (
+           SELECT f.feat, sum(r.r) AS g
+           FROM feats f JOIN r$j r USING (doc_id) GROUP BY 1
+         ), w${j + 1} AS (
+           SELECT w.feat,
+             w.qw - CAST(floor($lr2 * CAST(coalesce(g.g, 0) AS DOUBLE) / n.n + 0.5) AS BIGINT) AS qw
+           FROM w$j w LEFT JOIN g$j g USING (feat) CROSS JOIN nn n
+         )"""
+    }.mkString(",\n         ")
+    val tail = s"""zf AS (
+           SELECT f.doc_id, sum(w.qw) AS z
+           FROM feats f JOIN w$iters w USING (feat) GROUP BY 1
+         )"""
+    s"$head,\n         $steps,\n         $tail"
   }
 
   private def lshCandidateCtes(n: Int, bands: Int): String = {
