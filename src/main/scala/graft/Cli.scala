@@ -245,7 +245,8 @@ object Cli {
           |              gini|vocabgrowth|hardneg|mmr|rrf|novelty|vocabdrift|embedoutliers|
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
-          |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact]
+          |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
+          |              qualityclf]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -262,6 +263,7 @@ object Cli {
           |          lshappend: -in <new-batch documents> -index dir [-dedupe-ids true];
           |          lshprobe: -in <new-batch documents> -index dir [-threshold X];
           |          lshcompact: -index dir -dest dir [-files N];
+          |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
           |          dsir: [-target-col c] [-target v] [-scale F];
@@ -793,6 +795,18 @@ object Cli {
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_bucket_rows"))
           .orderBy("shard")
+      }
+      // trained linear quality probe: label = (-label-col == -label-val),
+      // train on the full -in corpus, emit (doc_id, y, score). dim/iters/
+      // lr2 expose the training dials; scores feed a threshold filter
+      case "qualityclf" => {
+        val labelCol = flags.getOrElse("label-col", "lang")
+        val labelVal = flags.getOrElse("label-val", "en")
+        Classifier.linearProbe(docs, col(labelCol) === labelVal,
+            dim = flags.getOrElse("dim", "64").toInt,
+            iters = flags.getOrElse("iters", "3").toInt,
+            lr2 = flags.getOrElse("lr2", "0.25").toDouble)
+          .orderBy("doc_id")
       }
       case "lshprobe" => {
         val idx = flags.getOrElse("index",

@@ -154,6 +154,23 @@ object ScaleCheck {
           "exact copies in the store and must collide with all of them")
     }
     operators.CacheRegistry.release(spark)
+    // trained quality probe at 10× (50k docs, dim 256): training cost is
+    // iterations × (presence scan + two integer-sum shuffles); the
+    // overflow require inside the trainer is the loud divergence gate,
+    // and the trained probe must actually separate the label on the
+    // duplicated corpus (mean en score above mean non-en score)
+    time("linear probe train+score 50k docs (dim 256, 2 iters)") {
+      val w = operators.Classifier.trainLinearProbe(
+        docs10, col("lang") === "en", dim = 256, iters = 2)
+      val scored = operators.Classifier.scoreWith(
+        docs10, col("lang") === "en", w, dim = 256)
+      val m = scored.groupBy("y").agg(avg(col("score")).as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      println(s"[scale] probe mean score by label: $m")
+      require(m(1L) > m(0L),
+        "two gradient steps must separate the label means")
+      operators.CacheRegistry.release(spark)
+    }
     // duplicate spans under total span collision: every span exists in ≥10
     // docs, so the fingerprint aggregate and join-back both fatten 10×
     time("duplicate spans 50k docs (10x all-dup corpus)") {

@@ -140,18 +140,32 @@ object Classifier {
   }
 
   /** Score `docs` under trained weights: (doc_id, y, score),
-    * score = round(z/Q, 6) — one double division + display rounding,
-    * after all the exact integer algebra.
+    * score = round(z/Q, 6).
+    *
+    * Deliberately MAP-SIDE, unlike the training passes: the weight map
+    * is a literal expression (≤ dim+1 entries), the distinct bucket set
+    * comes from the row's own tokens array, and the integer fold over
+    * it is order-free (integer addition commutes — the same exactness
+    * argument as the shuffled training sums). Zero shuffles: scoring a
+    * 100 TB corpus is one projection, and the SAME code runs unchanged
+    * on a stream (train batch, score the stream — the production filter
+    * deployment; StreamingSpec law).
     */
   def scoreWith(docs: DataFrame, label: Column, w: Map[Long, Long],
       dim: Int = 64): DataFrame = {
-    val spark = docs.sparkSession
-    val feats = presence(docs, dim)
-    val z = scoresInt(spark, feats, w)
+    val wMap =
+      if (w.isEmpty) map()
+      else map(w.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val bias = lit(w.getOrElse(dim.toLong, 0L))
+    val featsArr = array_distinct(transform(
+      TextAnalysis.tokens(col("text")),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim))
+    val z = coalesce(
+      aggregate(featsArr, bias,
+        (acc, f) => acc + coalesce(element_at(wMap, f), lit(0L))),
+      bias) // null text: no token features, the bias still predicts
     docs.select(col("doc_id"),
-        coalesce(label.cast("boolean"), lit(false)).cast("long").as("y"))
-      .join(z, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("y"),
-        round(coalesce(col("__z"), lit(0L)).cast("double") / Q, 6).as("score"))
+      coalesce(label.cast("boolean"), lit(false)).cast("long").as("y"),
+      round(z.cast("double") / Q, 6).as("score"))
   }
 }

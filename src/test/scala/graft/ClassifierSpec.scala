@@ -53,6 +53,18 @@ class ClassifierSpec extends AnyFunSuite {
       "integer gradient sums must make training partition-order exact")
   }
 
+  test("scoring under frozen weights is one map-side projection (no shuffle)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Classifier.trainLinearProbe(docs, col("lang") === "en",
+      dim = 32, iters = 1)
+    CacheRegistry.release(spark)
+    val plan = Classifier.scoreWith(docs, col("lang") === "en", w, dim = 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scoring a 100 TB corpus must not shuffle:\n$plan")
+  }
+
   test("held-out scoring: train on a labeled slice, score the rest") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

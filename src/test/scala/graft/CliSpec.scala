@@ -373,6 +373,15 @@ class CliSpec extends AnyFunSuite {
       == spark.read.parquet(idx).count())
   }
 
+  test("corpus subcommand: qualityclf trains and scores") {
+    val out = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> "/root/testdata/sf0.001/documents.parquet",
+        "op" -> "qualityclf", "dim" -> "32", "iters" -> "2"))
+    }
+    assert(out.contains("score") && out.contains("Rows: "))
+  }
+
   test("corpus subcommand: containment -df-cap auto derives the cap") {
     val docsPath = "/root/testdata/sf0.001/documents.parquet"
     val auto = captureOut {

@@ -277,6 +277,22 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(streamedPii.sameElements(batchPii))
 
+    // classifier scoring under FROZEN trained weights is the same shape:
+    // a broadcast weight join + one per-doc aggregate — train batch,
+    // score the stream (the production filter deployment order)
+    val wClf = graft.operators.Classifier.trainLinearProbe(
+      batchDocs, col("lang") === "en", dim = 32, iters = 2)
+    graft.operators.CacheRegistry.release(spark)
+    val streamedScores = Streaming.runAvailableNow(
+      graft.operators.Classifier.scoreWith(
+        streamDocs, col("lang") === "en", wClf, dim = 32),
+      "clf_stream", mode = "append")
+      .orderBy("doc_id").collect()
+    val batchScores = graft.operators.Classifier.scoreWith(
+        batchDocs, col("lang") === "en", wClf, dim = 32)
+      .orderBy("doc_id").collect()
+    assert(streamedScores.sameElements(batchScores) && batchScores.nonEmpty)
+
     val strata = Seq("en" -> 0.5, "de" -> 0.25)
     val streamedStrat = Streaming.runAvailableNow(
       graft.operators.Sampling.stratifiedSample(
