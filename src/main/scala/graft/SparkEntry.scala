@@ -581,15 +581,19 @@ object SparkEntry {
 
     // TRAINED quality classifier (the fastText/CCNet filter recipe):
     // linear probe on md5-hashed bag-of-words presence features + bias,
-    // 3 full-batch gradient steps against the lang='en' label, corpus
-    // scored by the final weights. All gradient algebra is integer
-    // fixed-point (partition-order invariant), so the oracle replays the
-    // ENTIRE training loop, not just the scoring — the kmeans
-    // fixed-point-iteration precedent applied to model training
+    // 3 full-batch gradient steps, corpus scored by the final weights.
+    // The label is TEXT-derived (docs mentioning 'vector') — the
+    // synthetic lang column is independent of the text, so a metadata
+    // label would gate an unlearnable task (measured AUC 0.50); this one
+    // trains to AUC ≈ 0.8 in 3 steps at 10×, so the scores the oracle
+    // pins are a genuinely learned filter. All gradient algebra is
+    // integer fixed-point (partition-order invariant), so the oracle
+    // replays the ENTIRE training loop, not just the scoring — the
+    // kmeans fixed-point-iteration precedent applied to model training
     "q_quality_clf" -> ((s, dir) =>
       graft.operators.Classifier.linearProbe(
           Tables.load(s, dir, "documents"),
-          col("lang") === "en", dim = 64, iters = 3, lr2 = 0.25)
+          col("text").contains("vector"), dim = 64, iters = 3, lr2 = 1.0)
         .orderBy("doc_id")),
 
     // per-stratum winsorized quality report: exact nearest-rank
@@ -2444,7 +2448,7 @@ object SparkEntry {
     // float-collapsed step per iteration — TRAINING is part of the
     // verified surface, not just the final scoring pass
     "q_quality_clf" ->
-      s"""WITH ${clfCtes(64, 3, "0.25")}
+      s"""WITH ${clfCtes(64, 3, "1.0")}
          SELECT d.doc_id, y.y,
            round(CAST(coalesce(zf.z, 0) AS DOUBLE) / ${1L << 20}, 6) AS score
          FROM documents d
@@ -6132,8 +6136,10 @@ object SparkEntry {
     * doc scores z{j}, residuals r{j}, per-feature gradients g{j}, and
     * the float-collapsed update w{j+1}. Every sum is integer (exact,
     * order-free); the only double arithmetic is the identical
-    * floor(lr2·g/n + 0.5) expression per feature per step. The caller's
-    * chain reads zf (scores under w{iters}) and y.
+    * floor(lr2·g/F + 0.5) expression per feature per step (F = total
+    * presence rows — the step normalizer that keeps GD stable across
+    * corpus shapes). The caller's chain reads zf (scores under
+    * w{iters}) and y.
     */
   private def clfCtes(dim: Int, iters: Int, lr2: String): String = {
     val q = 1L << 20
@@ -6146,9 +6152,10 @@ object SparkEntry {
            FROM toks
            UNION ALL SELECT doc_id, $dim AS feat FROM documents
          ), y AS (
-           SELECT doc_id, CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+           SELECT doc_id,
+             CASE WHEN text LIKE '%vector%' THEN CAST(1 AS BIGINT) ELSE 0 END AS y
            FROM documents
-         ), nn AS (SELECT count(*) AS n FROM documents),
+         ), nn AS (SELECT count(*) AS n FROM feats),
          w0 AS (SELECT CAST(unnest(range(${dim + 1})) AS BIGINT) AS feat,
                   CAST(0 AS BIGINT) AS qw)"""
     val steps = (0 until iters).map { j =>

@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * integer sums — exact and partition-order invariant, the property
   * plain double sums cannot give. The ONLY floating-point arithmetic is
   * one scalar expression per (feature, iteration) — the step
-  * `floor(lr2 · g / n + 0.5)` — a short IEEE op sequence both engines
-  * evaluate bit-identically, so the ENTIRE training loop (not just the
-  * scoring) replays in DuckDB (q_quality_clf).
+  * `floor(lr2 · g / F + 0.5)`, F the total presence-row count — a short
+  * IEEE op sequence both engines evaluate bit-identically, so the
+  * ENTIRE training loop (not just the scoring) replays in DuckDB
+  * (q_quality_clf).
   *
   * Scale shape per iteration: one broadcast join of the ≤ dim+1 weight
   * rows onto the presence table, one groupBy(doc) integer sum (scores),
@@ -89,11 +90,20 @@ object Classifier {
       coalesce(label.cast("boolean"), lit(false)).cast("long").as("y"))
     val n = docs.count()
     require(n > 0, "linearProbe: empty corpus")
+    // step normalizer F = total presence rows = n·k̄ (k̄ = mean active
+    // features per doc). Normalizing the step by n alone diverges as
+    // soon as docs carry many active features (squared-loss GD is
+    // stable only for steps under 2/λmax, and λmax grows with k̄ — the
+    // 10× ScaleCheck stanza caught exactly this at dim 256); dividing
+    // by F makes the effective rate lr2/k̄, stable for lr2 ≤ 1 across
+    // corpus shapes. Exact integer input to the one collapsed double
+    // expression, like n.
+    val fRows = feats.count()
     var w = Map.empty[Long, Long] // absent = 0 (the all-zeros init)
     for (_ <- 0 until iters) {
       val g = gradients(spark, feats, y, w)
       // the single floating-point step, collapsed to an integer:
-      // Δqw = −lr2 · g / n, rounded half-up — floor(x+0.5) is the same
+      // Δqw = −lr2 · g / F, rounded half-up — floor(x+0.5) is the same
       // short IEEE sequence in DuckDB's replay
       w = (w.keySet ++ g.keySet).iterator.map { f =>
         val qw = w.getOrElse(f, 0L)
@@ -101,7 +111,7 @@ object Classifier {
         require(math.abs(gf) < (1L << 53),
           s"linearProbe: gradient $gf exceeds double-exact range — " +
             "lower lr2 or dim (weights diverged)")
-        f -> (qw - math.floor(lr2 * gf.toDouble / n + 0.5).toLong)
+        f -> (qw - math.floor(lr2 * gf.toDouble / fRows + 0.5).toLong)
       }.toMap
     }
     w
