@@ -143,21 +143,28 @@ object SparkEntry {
   private def dsum6(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
-  /** Run `body` against a fresh temp directory, materialize its result
-    * onto the driver, then recursively delete the directory — the
-    * q_compact discipline (advisor r14) generalized to every
-    * index-building gate query: repeated bench/gate runs must not leak
-    * a per-invocation store copy in /tmp. The collect is gate plumbing,
-    * not operator shape — every result here is answer-sized (top-k rows,
-    * recall tables, near-dup pairs) — and it must happen BEFORE the
-    * finally deletes the files the lazy plan reads.
+  /** Run `body` against a fresh temp directory, eagerly materialize its
+    * result (executor-side, spillable), then recursively delete the
+    * directory — the q_compact discipline (advisor r14) generalized to
+    * every index-building gate query: repeated bench/gate runs must not
+    * leak a per-invocation store copy in /tmp. The materialization is
+    * gate plumbing, not operator shape, and it must happen BEFORE the
+    * finally deletes the files the lazy plan reads. It is a
+    * localCheckpoint, not a collect: q_compact's result is the whole
+    * documents table, which must not be pinned on the driver heap.
     */
   private def withTempStore(prefix: String)(
       body: String => DataFrame): DataFrame = {
     val tmpPath = java.nio.file.Files.createTempDirectory(prefix)
     try {
       val out = body(tmpPath.toString)
-      out.sparkSession.createDataFrame(out.collectAsList(), out.schema)
+      // eager localCheckpoint: materialize the result into block-manager
+      // storage (MEMORY_AND_DISK — spillable, executor-side) BEFORE the
+      // finally deletes the files the lazy plan reads. collectAsList
+      // here would pin a corpus-sized result (q_compact returns the
+      // whole documents table) on the driver heap; checkpoint blocks
+      // are reclaimed by the ContextCleaner once the frame is dropped.
+      out.localCheckpoint(true)
     } finally {
       // deleteOnExit can't remove non-empty dirs — walk deepest-first
       import scala.jdk.CollectionConverters._

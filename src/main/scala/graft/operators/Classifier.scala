@@ -163,9 +163,10 @@ object Classifier {
     */
   def scoreWith(docs: DataFrame, label: Column, w: Map[Long, Long],
       dim: Int = 64): DataFrame = {
-    val wMap =
-      if (w.isEmpty) map()
-      else map(w.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // typedlit keeps MAP<BIGINT,BIGINT> even for an EMPTY weight map —
+    // a bare map() defaults to MAP<STRING,STRING>, whose string
+    // element_at would fail analysis against the long fold below
+    val wMap = typedlit(w)
     val bias = lit(w.getOrElse(dim.toLong, 0L))
     val featsArr = array_distinct(transform(
       TextAnalysis.tokens(col("text")),

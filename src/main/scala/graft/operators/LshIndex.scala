@@ -93,11 +93,18 @@ object LshIndex {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val m = Meta(numHashes, bands, shingleSize, nShards)
     val (sigs, buckets) = encode(docs, m)
-    graft.ParquetIO.writePartitioned(
-      buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
-      filesPerPartition)
-    sigs.write.mode("overwrite").option("compression", "zstd")
-      .parquet(sigsDir(dir))
+    // both sig consumers (bucket build, sidecar write) run inside this
+    // eager call, so release the cached signatures here — a streaming
+    // ingest calls write/append once per micro-batch, and leaving the
+    // release to the session-level CacheRegistry would grow executor
+    // storage by one cached frame per batch, forever
+    try {
+      graft.ParquetIO.writePartitioned(
+        buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
+        filesPerPartition)
+      sigs.write.mode("overwrite").option("compression", "zstd")
+        .parquet(sigsDir(dir))
+    } finally sigs.unpersist(false)
     val spark = docs.sparkSession
     import spark.implicits._
     Seq((numHashes, bands, shingleSize, nShards))
@@ -129,11 +136,15 @@ object LshIndex {
         readSigs(spark, dir, m.numHashes).select("doc_id"),
         Seq("doc_id"), "left_anti")
     val (sigs, buckets) = encode(input, m)
-    graft.ParquetIO.writePartitioned(
-      buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
-      filesPerPartition = 1, mode = "append")
-    sigs.write.mode("append").option("compression", "zstd")
-      .parquet(sigsDir(dir))
+    // eager consumers both run here — release the batch signatures
+    // (streaming ingest leak guard, same as [[write]])
+    try {
+      graft.ParquetIO.writePartitioned(
+        buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
+        filesPerPartition = 1, mode = "append")
+      sigs.write.mode("append").option("compression", "zstd")
+        .parquet(sigsDir(dir))
+    } finally sigs.unpersist(false)
   }
 
   /** The store's full near-duplicate pair set — what a cold

@@ -218,12 +218,16 @@ object Quantiles {
     }
 
     // Round budget scaled to the split factor: each round shrinks the
-    // candidate range by ~1/bins, and the double line spans ~2^64
-    // representable values, so ceil(64/log2(bins)) rounds reach a
-    // sub-ulp range even at bins=2; +8 margin absorbs uneven
-    // actual-min/max splits. A fixed 64 was insufficient exactly at the
-    // allowed minimum bins=2 (64 halvings + skew > 64 rounds).
-    val maxRounds = math.ceil(64.0 / (math.log(bins) / math.log(2))).toInt + 8
+    // candidate VALUE width by ~1/bins (the picked bucket spans
+    // width/bins), and the finite double line spans a width ratio of
+    // ~2^2098 (max finite over min subnormal), so ceil(2100/log2(bins))
+    // rounds provably reach a sub-ulp width from ANY starting range —
+    // counting representable values (2^64) would under-budget
+    // log-spaced heavy-duplicate inputs, whose range stays wide while
+    // counts stay above cutoff. +8 absorbs uneven actual-min/max
+    // splits. Typical descents converge in <= 6 rounds; the budget only
+    // bounds the loud non-convergence failure.
+    val maxRounds = math.ceil(2100.0 / (math.log(bins) / math.log(2))).toInt + 8
     var round = 0
     var progressed = true
     while (progressed && round < maxRounds) {
@@ -403,7 +407,9 @@ object Quantiles {
       base.join(renamed, cond).drop(groupCols.map(c => s"__g_$c"): _*)
     }
 
-    val maxRounds = math.ceil(64.0 / (math.log(bins) / math.log(2))).toInt + 8
+    // width-ratio budget, not representable-value count — see the
+    // exactQuantiles descent for the derivation
+    val maxRounds = math.ceil(2100.0 / (math.log(bins) / math.log(2))).toInt + 8
     var round = 0
     var nActive = state.filter(activeCond).count()
     while (nActive > 0 && round < maxRounds) {

@@ -211,10 +211,15 @@ object Tfidf {
     // a hot cluster (most of the corpus in one label) degenerates to a
     // single-partition vocab sort; the aggregate wires topK terms per
     // cluster per partition. tf/gdf join back on the ≤ topK·groups
-    // survivors — answer-sized.
-    Similarity.aggTopKBy(weighted, "weight", topK,
+    // survivors — answer-sized. The group join is NULL-SAFE: a null
+    // group key is a first-class cluster (groupBy keeps it), and an
+    // equi-join back would silently drop it.
+    val top = Similarity.aggTopKBy(weighted, "weight", topK,
         Seq(groupCol), "rank", idCol = "term")
-      .join(tf, Seq(groupCol, "term"))
+      .select(col(groupCol).as("__g"), col("term").as("__t"),
+        col("weight"), col("rank"))
+    top
+      .join(tf, col("__g") <=> col(groupCol) && col("__t") === col("term"))
       .join(gdf, Seq("term"))
       .select(col(groupCol), col("term"), col("tf"), col("gdf"),
         col("weight"), col("rank"))

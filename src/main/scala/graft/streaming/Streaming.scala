@@ -742,7 +742,10 @@ object Streaming {
     * producer redelivery the checkpoint can't see. Signatures are pure
     * per-row functions — no codebook-defining first batch required, so
     * ANY file order converges to the cold-rebuild store (the
-    * StreamingSpec law).
+    * StreamingSpec law). Small-file growth is never silent (the IVF
+    * twin's contract): each batch checks the widest shard's file count
+    * and either auto-compacts past `autoCompactThreshold` or warns past
+    * [[compactionWatermark]].
     */
   def streamingLshIngest(
       spark: SparkSession,
@@ -754,7 +757,8 @@ object Streaming {
       nShards: Int = 16,
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
-      dedupeIds: Boolean = false): Unit = {
+      dedupeIds: Boolean = false,
+      autoCompactThreshold: Option[Int] = None): Unit = {
     val schema = spark.read.parquet(docsDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
@@ -779,6 +783,20 @@ object Streaming {
           } finally graft.operators.Lineage.release(b)
           commitPath.foreach(p =>
             IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
+          // same small-file health check as the IVF twin: every append
+          // drops >= 1 file per touched shard forever — growth must be
+          // visible (warn) or handled (auto-compact), never silent
+          val files = maxFilesPerShard(fs, storeDir)
+          autoCompactThreshold match {
+            case Some(thr) if files > thr =>
+              compactLshInPlace(spark, fs, storeDir)
+            case None if files > compactionWatermark =>
+              System.err.println(s"[graft] LSH store at $storeDir has " +
+                s"$files files in its widest shard partition — run " +
+                "compactLsh (or set autoCompactThreshold) before the " +
+                "probe's per-file overhead dominates")
+            case _ => ()
+          }
         }
         ()
       }
@@ -835,6 +853,52 @@ object Streaming {
       s"compactInPlace: rename $staging -> $live failed " +
         s"(recover the table from $retired)")
     fs.delete(retired, true)
+  }
+
+  /** Widest `shard=` partition of an LSH bucket store, in files — the
+    * [[maxFilesPerCentroid]] twin. Listing cost is bounded by
+    * `nShards` directory listings, never the data.
+    */
+  private[graft] def maxFilesPerShard(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+      .foldLeft(0)(math.max)
+  }
+
+  /** [[compactInPlace]] for the three-directory LSH store (buckets,
+    * `_sigs`, `_meta`). The swap renames each directory independently;
+    * a crash mid-swap leaves a MIXED-layout store, which is still
+    * CORRECT — compaction preserves every directory's content verbatim
+    * (same rows, same frozen meta), only the file layout differs — and
+    * each unreplaced directory remains recoverable from its
+    * `_precompact` twin.
+    */
+  private[graft] def compactLshInPlace(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = storeDir + "_compacting"
+    for (sfx <- Seq("", "_sigs", "_meta"))
+      fs.delete(new Path(staging + sfx), true)
+    graft.operators.LshIndex.compactLsh(spark, storeDir, staging)
+    for (sfx <- Seq("", "_sigs", "_meta")) {
+      val live = new Path(storeDir + sfx)
+      val retired = new Path(storeDir + sfx + "_precompact")
+      fs.delete(retired, true)
+      require(fs.rename(live, retired),
+        s"compactLshInPlace: rename $live -> $retired failed")
+      require(fs.rename(new Path(staging + sfx), live),
+        s"compactLshInPlace: rename ${staging + sfx} -> $live failed " +
+          s"(recover the directory from $retired)")
+      fs.delete(retired, true)
+    }
   }
 
   /** The ingest replay guard: one tiny file holding the last batchId

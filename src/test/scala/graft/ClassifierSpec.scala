@@ -65,6 +65,15 @@ class ClassifierSpec extends AnyFunSuite {
       s"scoring a 100 TB corpus must not shuffle:\n$plan")
   }
 
+  test("scoring under an EMPTY weight map is bias-only, not an analysis error") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val rows = Classifier.scoreWith(docs, lit(false), Map.empty[Long, Long])
+      .orderBy("doc_id").collect()
+    // no weights anywhere: every feature lookup misses, the bias is 0
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(0.0, 0.0),
+      "empty weights must score the zero bias for every doc")
+  }
+
   test("held-out scoring: train on a labeled slice, score the rest") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

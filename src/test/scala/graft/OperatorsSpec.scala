@@ -1970,6 +1970,23 @@ class OperatorsSpec extends AnyFunSuite {
       ("g2", "shared", 1), ("g2", "beta", 2)))
   }
 
+  test("c-tf-idf: a null group key is a first-class cluster, not dropped") {
+    val df = Seq(
+      (1L, Some("g1"), "alpha alpha shared"),
+      (2L, None, "gamma gamma shared"),
+      (3L, None, "gamma shared")
+    ).toDF("doc_id", "grp", "text")
+    val top = Tfidf.clusterTopTerms(df, "grp", topK = 2)
+      .orderBy("grp", "rank").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1), r.getInt(5)))
+    // orderBy: nulls first under asc — the null cluster ranks gamma
+    // (tf=3, gdf=1) over shared (tf=2, gdf=2); g1 ranks alpha first
+    assert(top.toSeq == Seq(
+      (None, "gamma", 1), (None, "shared", 2),
+      (Some("g1"), "alpha", 1), (Some("g1"), "shared", 2)),
+      s"null-group cluster must survive the join-back: ${top.toSeq}")
+  }
+
   test("containment: a quoted short doc scores 1.0 where jaccard stays tiny") {
     val long = (1 to 40).map(i => s"w$i").mkString(" ")            // 38 shingles
     val short = (10 to 14).map(i => s"w$i").mkString(" ")          // 3 shingles, all in long

@@ -229,6 +229,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == bucketRows)
   }
 
+  test("LSH in-place compaction: widest shard shrinks, pair set unchanged") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = tmpDir("lsh-compact-inplace").toString + "/store"
+    graft.operators.LshIndex.write(docs.filter(col("doc_id") % 3 === 0), store)
+    graft.operators.LshIndex.append(
+      spark, docs.filter(col("doc_id") % 3 === 1), store)
+    graft.operators.LshIndex.append(
+      spark, docs.filter(col("doc_id") % 3 === 2), store)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val before = Streaming.maxFilesPerShard(fs, store)
+    assert(before >= 2, s"two appends must grow a shard past 1 file: $before")
+    val pairsBefore = graft.operators.LshIndex.lshPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.CacheRegistry.release(spark)
+    Streaming.compactLshInPlace(spark, fs, store)
+    assert(Streaming.maxFilesPerShard(fs, store) == 1,
+      "compaction must leave one file per shard")
+    val pairsAfter = graft.operators.LshIndex.lshPairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.CacheRegistry.release(spark)
+    assert(pairsAfter == pairsBefore && pairsAfter.nonEmpty,
+      "in-place compaction must preserve the store's pair set")
+    // a further append still works against the compacted store (the
+    // frozen geometry sidecar survived the three-directory swap)
+    graft.operators.LshIndex.append(
+      spark, docs.filter(col("doc_id") % 3 === 0), store, dedupeIds = true)
+    assert(graft.operators.LshIndex.lshPairs(spark, store)
+      .collect().length == pairsBefore.size)
+    graft.operators.CacheRegistry.release(spark)
+  }
+
   test("streaming JSON-field stats equal the batch twin") {
     val dir = tmpDir("stream-json").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
