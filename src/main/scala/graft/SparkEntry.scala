@@ -450,6 +450,18 @@ object SparkEntry {
           bins = 256, cutoff = 1 << 10)
         .orderBy("l_returnflag")),
 
+    // ONE-PASS mergeable log-histogram quantile sketch (DDSketch-style
+    // relative-error buckets on integer-exact edge arithmetic) — the
+    // streaming-native member next to q_binned_quantile's two-pass
+    // absolute-error histogram: no (min,max) pre-pass, partials merge
+    // by count addition across partitions/micro-batches, error ≤
+    // 2^(1-mBits) RELATIVE (outlier-proof where equal-width bins are
+    // not)
+    "q_loghist_quantile" -> ((s, dir) =>
+      Quantiles.logHistQuantiles(Tables.load(s, dir, "lineitem"),
+          "l_extendedprice", "l_returnflag")
+        .orderBy("l_returnflag")),
+
     // the full CUBE lattice — q_rollup's conventions over every
     // grouping-set combination
     "q_cube" -> ((s, dir) => {
@@ -2341,6 +2353,44 @@ object SparkEntry {
          )
          SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, x AS quantile
          FROM r WHERE rn = CEIL(0.95 * n) ORDER BY g""",
+
+    // replay of the log-histogram sketch: every bucket edge is integer
+    // arithmetic (floor-quantize, bit-length via bin(), power-of-two
+    // width) — no log() whose last ulp could differ between runtimes —
+    // so the walk and the estimates hash-match bit-for-bit; ceil's
+    // argument is cast to DOUBLE to pin DuckDB's decimal literal to
+    // Spark's double multiply
+    "q_loghist_quantile" ->
+      """WITH v AS (
+           SELECT l_returnflag AS g,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS nq
+           FROM lineitem WHERE l_extendedprice IS NOT NULL
+         ), k AS (
+           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
+         ), w AS (
+           SELECT g, nq, an,
+             CASE WHEN e <= 6 THEN 1.0
+                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
+           FROM k
+         ), b AS (
+           SELECT g,
+             CASE WHEN nq = 0 THEN 0.0
+                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
+                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
+             END AS lo,
+             count(*) AS c
+           FROM w GROUP BY 1, 2
+         ), cum AS (
+           SELECT g, lo,
+             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM b
+         )
+         SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
+           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
+           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
+         FROM cum GROUP BY g ORDER BY g""",
 
     // replay of the fixed-width histogram walk: identical IEEE double
     // expression order on both sides (bin edge = mn + bin*(mx-mn)/1024.0),

@@ -486,4 +486,104 @@ object Quantiles {
       s"exactQuantileBy: $nOut results for $nGroups groups")
     out
   }
+
+  /** Mergeable log-histogram quantile sketch — the ONE-PASS,
+    * streaming-native member of the quantile family.
+    *
+    * [[binnedQuantiles]] needs a (min, max) pre-pass before it can bin,
+    * and its equal-width buckets give an ABSOLUTE error bound that is
+    * useless on heavy-tailed value columns (one outlier stretches every
+    * bucket). This sketch instead buckets each value by its binary
+    * magnitude — exponent plus the top `mBits` mantissa bits of the
+    * quantized integer — which needs NO pre-pass, merges by simple count
+    * addition (across partitions, shards, or micro-batches), and bounds
+    * the RELATIVE error of every estimate by 2^(1-mBits) (~3% at the
+    * default mBits=6). That is the DDSketch recipe (Masson et al.,
+    * VLDB 2019) re-derived on integer arithmetic so every bucket edge is
+    * bit-replayable in any engine:
+    *
+    *   nq = floor(v · quantScale)        — exact integer quantization
+    *   e  = bit-length of |nq|           — length(bin(|nq|)): exact
+    *   w  = max(2^(e − mBits), 1)        — power of two: exact double
+    *   lo = floor(|nq| / w) · w          — bucket lower edge: exact
+    *                                       while |nq| < 2^53 (asserted)
+    *
+    * Negative values land at −(lo + w) (the algebraic lower edge of the
+    * mirrored magnitude bucket), zero in its own bucket — so ascending
+    * `bucket_lo` IS ascending value order and one cumulative walk serves
+    * signed inputs. Shuffled bytes per pass: ≤ groups × (2·53·2^(mBits−1)
+    * + 1) bucket rows, never corpus-sized. No log() anywhere — log-based
+    * bucket indexing (the float DDSketch) is last-ulp divergent across
+    * runtimes, which would break the DuckDB hash oracle.
+    */
+  def logHistBuckets(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      mBits: Int = 6,
+      quantScale: Double = 100.0): DataFrame = {
+    require(mBits >= 1 && mBits <= 20, s"mBits must be in [1,20], got $mBits")
+    require(quantScale > 0.0, s"quantScale must be positive, got $quantScale")
+    val v = col(valueCol).cast("double")
+    // sketch over NON-NULL values (quantile_cont semantics; also keeps
+    // the cumulative walk engine-portable — see binnedQuantiles)
+    val nq = floor(v * quantScale).cast("long")
+    val an = abs(nq)
+    val e = length(bin(an))
+    val wd = when(e <= mBits, lit(1.0))
+      .otherwise(pow(lit(2.0), (e - mBits).cast("double")))
+    val mag = floor(an.cast("double") / wd) * wd
+    val lo = when(nq === 0, lit(0.0))
+      .when(nq > 0, mag)
+      .otherwise(-(mag + wd))
+    df.filter(v.isNotNull)
+      .groupBy(col(groupCol), lo.as("bucket_lo"))
+      .agg(count(lit(1)).as("c"), max(an).as("mx"))
+  }
+
+  /** Quantile estimates from a (merged) [[logHistBuckets]] table: per
+    * group, the first bucket edge whose cumulative count reaches
+    * ceil(p·n), de-quantized. The window partition holds the GROUP's
+    * bucket rows — bounded by the sketch geometry, never corpus-sized.
+    * Fails loudly (assert_true, not a silent wrong answer) if any
+    * quantized magnitude reached 2^53, where the edge arithmetic stops
+    * being exact.
+    */
+  def logHistFinish(
+      buckets: DataFrame,
+      groupCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      quantScale: Double = 100.0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile fractions must be in (0, 1], got $ps")
+    val wCum = Window.partitionBy(groupCol).orderBy("bucket_lo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = buckets
+      .withColumn("__cum", sum(col("c")).over(wCum))
+      .withColumn("__n", sum(col("c")).over(wAll))
+      .withColumn("__ck", assert_true(col("mx") < lit(1L << 53),
+        lit("logHistQuantiles: a quantized magnitude reached 2^53 — " +
+          "bucket edges are no longer exact; lower quantScale")))
+      .filter(col("__ck").isNull)
+    val aggs = ps.map { p =>
+      (min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("bucket_lo")))
+        / quantScale).as(s"p${(p * 100).round}_est")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), aggs: _*)
+  }
+
+  /** One-pass per-group quantile estimates with relative error
+    * ≤ 2^(1−mBits): [[logHistFinish]] over [[logHistBuckets]].
+    */
+  def logHistQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      mBits: Int = 6,
+      ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
+      quantScale: Double = 100.0): DataFrame =
+    logHistFinish(logHistBuckets(df, valueCol, groupCol, mBits, quantScale),
+      groupCol, ps, quantScale)
 }

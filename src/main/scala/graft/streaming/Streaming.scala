@@ -396,6 +396,31 @@ object Streaming {
     * stream (that bounded-state property is the entire reason sketches
     * exist; dropDuplicates-style key state would grow forever).
     */
+  /** Streaming log-histogram quantile buckets over an events file
+    * stream: ONE Complete-mode aggregate whose state is the bounded
+    * bucket table (≤ groups × sketch-geometry rows) however unbounded
+    * the stream. Bucket counts merge by ADDITION — unlike Misra–Gries'
+    * merge-order-dependent candidates, the streamed bucket table equals
+    * the batch sketch BIT-FOR-BIT under any micro-batch split, so the
+    * StreamingSpec law compares the finished quantile estimates
+    * directly. Finish with [[graft.operators.Quantiles.logHistFinish]]
+    * on the sink table.
+    */
+  def streamingLogHistBuckets(
+      spark: SparkSession, eventsDir: String,
+      valueCol: String = "value", groupCol: String = "event_type",
+      mBits: Int = 6, quantScale: Double = 100.0,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .parquet(eventsDir)
+    graft.operators.Quantiles.logHistBuckets(
+      stream, valueCol, groupCol, mBits, quantScale)
+  }
+
   def streamingCmsTokens(
       spark: SparkSession, docsDir: String,
       depth: Int = 4, width: Int = 1 << 12): DataFrame = {

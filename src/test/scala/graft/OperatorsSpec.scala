@@ -379,6 +379,85 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 2L) // n counts non-null only
   }
 
+  test("log-histogram quantiles: relative-error bound on signed heavy-tailed input") {
+    val rnd = new scala.util.Random(11)
+    // log-skew magnitudes over ~6 decades, both signs, plus zeros — the
+    // shape equal-width bins cannot bound
+    val rows = (1 to 4000).map { _ =>
+      val sign = if (rnd.nextBoolean()) 1 else -1
+      ("g1", sign * math.exp(rnd.nextGaussian() * 4))
+    } ++ (1 to 500).map(_ => ("g2", 0.0)) ++
+      (1 to 500).map(_ => ("g2", rnd.nextDouble() * 10.0))
+    val df = rows.toDF("g", "v")
+    val mBits = 6
+    val scale = 100.0
+    val got = Quantiles.logHistQuantiles(df, "v", "g", mBits = mBits,
+        ps = Seq(0.05, 0.5, 0.95), quantScale = scale)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    for ((g, vals) <- rows.groupBy(_._1)) {
+      val sorted = vals.map(_._2).sorted
+      val (n, e5, e50, e95) = got(g)
+      assert(n == vals.size)
+      for ((p, est) <- Seq(0.05 -> e5, 0.5 -> e50, 0.95 -> e95)) {
+        val exact = sorted(math.ceil(p * sorted.size).toInt - 1)
+        // est is the lower edge of the exact value's magnitude bucket:
+        // never above it, and within one bucket width + one quantization
+        // step below it (width ≤ max(1, 2^(1-mBits)·|quantized|))
+        val slack = (1.0 +
+          math.max(1.0, math.pow(2, 1 - mBits) * (math.abs(exact) * scale + 1))) / scale
+        assert(est <= exact + 1e-9, s"$g p$p est $est above exact $exact")
+        assert(exact - est <= slack + 1e-9,
+          s"$g p$p est $est more than $slack below exact $exact")
+      }
+    }
+  }
+
+  test("log-histogram sketch: partials merge by addition under any split") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(i =>
+      (s"g${i % 3}", (rnd.nextGaussian() * math.pow(10, i % 5)): Double))
+    val df = rows.toDF("g", "v")
+    val whole = Quantiles.logHistBuckets(df, "v", "g")
+      .orderBy("g", "bucket_lo").collect().toSeq
+    // split on an arbitrary predicate, sketch each side independently,
+    // merge by count addition — the mergeable-summaries contract that
+    // makes the sketch micro-batch- and shard-safe
+    val h1 = Quantiles.logHistBuckets(df.filter(col("v") >= 0.5), "v", "g")
+    val h2 = Quantiles.logHistBuckets(df.filter(col("v") < 0.5), "v", "g")
+    val merged = h1.unionByName(h2)
+      .groupBy("g", "bucket_lo")
+      .agg(sum(col("c")).as("c"), max(col("mx")).as("mx"))
+      .orderBy("g", "bucket_lo").collect().toSeq
+    assert(merged == whole && whole.nonEmpty)
+    // partitioning invariance of the full estimate
+    val a = Quantiles.logHistQuantiles(df, "v", "g").orderBy("g").collect().toSeq
+    val b = Quantiles.logHistQuantiles(df.repartition(7), "v", "g")
+      .orderBy("g").collect().toSeq
+    assert(a == b)
+  }
+
+  test("log-histogram quantiles: zeros own a bucket, nulls excluded, null group kept") {
+    val df = Seq((Some("a"), Some(-5.0)), (Some("a"), Some(0.0)),
+      (Some("a"), Some(0.0)), (Some("a"), Some(3.0)), (Some("a"), None),
+      (None, Some(2.0)), (None, Some(4.0)))
+      .toDF("g", "v")
+    val rows = Quantiles.logHistQuantiles(df, "v", "g", ps = Seq(0.5, 1.0))
+      .collect()
+      .map(r => (Option(r.getString(0)), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // group "a": 4 non-null values (-5, 0, 0, 3); p50 rank 2 → 0 (its own
+    // bucket, exact); p100 rank 4 → 3.0's bucket lower edge (= 3.0, since
+    // |nq|=300 < 2^mBits... no: 300 ≥ 2^6, edge = floor(300/8)*8 = 296 → 2.96)
+    val (nA, a50, a100) = rows(Some("a"))
+    assert(nA == 4 && a50 == 0.0 && a100 == 2.96)
+    // null group key reports like any group: values 2.0, 4.0 → n = 2
+    val (nN, _, n100) = rows(None)
+    assert(nN == 2 && n100 <= 4.0 && n100 > 3.8)
+  }
+
   test("exact quantile: matches the sorted order statistic across distributions") {
     val rnd = new scala.util.Random(7)
     val shapes: Seq[(String, Seq[Double])] = Seq(

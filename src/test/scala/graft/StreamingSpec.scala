@@ -127,6 +127,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedEst == batchEst && streamedEst.nonEmpty)
   }
 
+  test("streaming log-histogram buckets equal the batch sketch across micro-batches") {
+    val dir = tmpDir("stream-loghist")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def addHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val scratch = tmpDir("loghist-scratch")
+      ev.filter(pred).coalesce(1).write.mode("overwrite")
+        .parquet(scratch.toString)
+      val part = Files.list(scratch)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, dir.resolve(name))
+    }
+    addHalf(col("event_id") % 2 === 0, "f1.parquet")
+    addHalf(col("event_id") % 2 === 1, "f2.parquet")
+
+    // two real micro-batches: bucket counts must ADD across the batch
+    // boundary (mergeable-summaries), making the streamed bucket table
+    // bit-identical to the batch sketch — a stronger law than MG's
+    // candidate containment
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingLogHistBuckets(spark, dir.toString,
+        maxFilesPerTrigger = Some(1)), "loghist_2b")
+    val batch = graft.operators.Quantiles.logHistBuckets(
+      ev, "value", "event_type")
+    assert(streamed.orderBy("event_type", "bucket_lo").collect().toSeq ==
+      batch.orderBy("event_type", "bucket_lo").collect().toSeq)
+
+    // and the finished per-group estimates agree (and are non-vacuous)
+    val sq = graft.operators.Quantiles.logHistFinish(streamed, "event_type")
+      .orderBy("event_type").collect().toSeq
+    val bq = graft.operators.Quantiles.logHistFinish(batch, "event_type")
+      .orderBy("event_type").collect().toSeq
+    assert(sq == bq && sq.nonEmpty)
+  }
+
   test("streaming MG candidates + exact recount equal the batch heavy hitters") {
     val dir = tmpDir("stream-mg").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
