@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              qualityclf]
+          |              qualityclf|loghist]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -569,6 +569,13 @@ object Cli {
         docs.join(TextAnalysis.tokenCount(docs), "doc_id"),
         "n_tokens", flags.getOrElse("group-col", "source"),
         bins = flags.getOrElse("bins", "1024").toInt)
+      // one-pass mergeable relative-error sketch — the streaming-safe
+      // sibling of -op quantile's two-pass absolute-error histogram
+      case "loghist"     => Quantiles.logHistQuantiles(
+        docs.join(TextAnalysis.tokenCount(docs), "doc_id"),
+        "n_tokens", flags.getOrElse("group-col", "source"),
+        mBits = flags.getOrElse("mbits", "6").toInt,
+        quantScale = flags.getOrElse("scale", "1").toDouble)
       // -dest (not -out): -out is where the RESULT table (the per-file
       // span report) goes; -dest is the rewritten-layout directory
       case "zorder"      =>

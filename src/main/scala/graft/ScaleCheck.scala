@@ -809,6 +809,33 @@ object ScaleCheck {
       println(s"[scale] grouped exact quantile p95: $got")
     }
     operators.CacheRegistry.release(spark)
+    // one-pass log-histogram sketch over the same 6M-row fact: the
+    // bucket table must stay at its GEOMETRY bound (groups x signed
+    // magnitude buckets), never follow the corpus, and every estimate
+    // must sit within the sketch's relative-error contract of the
+    // sort-truth-gated exact descent
+    time("log-hist quantile sketch over 6M rows x 3 groups (mBits=6)") {
+      val mBits = 6
+      val buckets = operators.Quantiles.logHistBuckets(
+        li10, "l_extendedprice", "l_returnflag", mBits = mBits)
+      val nBuckets = buckets.count()
+      val bound = 3L * (2 * 53 * (1L << (mBits - 1)) + 1)
+      require(nBuckets <= bound,
+        s"bucket table $nBuckets rows exceeds geometry bound $bound")
+      val est = operators.Quantiles.logHistFinish(buckets, "l_returnflag",
+          ps = Seq(0.95))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      est.keySet.toSeq.sorted.foreach { f =>
+        val slice = li10.filter(col("l_returnflag") === f)
+        val want = operators.Quantiles.exactQuantile(slice,
+          "l_extendedprice", 0.95, bins = 512, cutoff = 1 << 14)
+        val rel = (want - est(f)) / math.abs(want)
+        require(est(f) <= want + 1e-9 && rel <= math.pow(2, 1 - mBits) + 0.02,
+          s"group $f: est ${est(f)} misses exact $want (rel $rel)")
+      }
+      println(s"[scale] log-hist sketch p95: $est ($nBuckets bucket rows)")
+    }
+    operators.CacheRegistry.release(spark)
     // column profile at 10x: one stacked agg row per column + grouped HLL
     // registers (2^12 per column) — state never follows the corpus
     time("column profile 50k docs (4 cols, p=12)") {

@@ -462,6 +462,16 @@ object SparkEntry {
           "l_extendedprice", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // WEIGHTED log-histogram quantiles: the doc length below which p of
+    // the corpus' CHARACTERS live, per language — the curation view
+    // (one 1M-char doc = a million 1-char docs), same one-pass sketch
+    // with weight-sum counts
+    "q_loghist_weighted" -> ((s, dir) =>
+      Quantiles.logHistQuantiles(Tables.load(s, dir, "documents"),
+          "n_chars", "lang", quantScale = 1.0,
+          weightCol = Some("n_chars"))
+        .orderBy("lang")),
+
     // the full CUBE lattice — q_rollup's conventions over every
     // grouping-set combination
     "q_cube" -> ((s, dir) => {
@@ -2390,6 +2400,41 @@ object SparkEntry {
            min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
            min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
            min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
+         FROM cum GROUP BY g ORDER BY g""",
+
+    // the weighted walk: identical bucket arithmetic at quantScale=1,
+    // counts replaced by per-bucket weight sums (n = total weight)
+    "q_loghist_weighted" ->
+      """WITH v AS (
+           SELECT lang AS g,
+                  CAST(floor(CAST(n_chars AS DOUBLE) * 1.0) AS BIGINT) AS nq,
+                  CAST(n_chars AS BIGINT) AS wt
+           FROM documents WHERE n_chars IS NOT NULL
+         ), k AS (
+           SELECT g, nq, wt, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
+         ), w AS (
+           SELECT g, nq, wt, an,
+             CASE WHEN e <= 6 THEN 1.0
+                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
+           FROM k
+         ), b AS (
+           SELECT g,
+             CASE WHEN nq = 0 THEN 0.0
+                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
+                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
+             END AS lo,
+             sum(coalesce(wt, 0)) AS c
+           FROM w GROUP BY 1, 2
+         ), cum AS (
+           SELECT g, lo,
+             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM b
+         )
+         SELECT g AS lang, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 1.0 AS p50_est,
+           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 1.0 AS p95_est,
+           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 1.0 AS p99_est
          FROM cum GROUP BY g ORDER BY g""",
 
     // replay of the fixed-width histogram walk: identical IEEE double

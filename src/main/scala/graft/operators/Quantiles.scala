@@ -516,12 +516,20 @@ object Quantiles {
     * bucket indexing (the float DDSketch) is last-ulp divergent across
     * runtimes, which would break the DuckDB hash oracle.
     */
+  /** `weightCol` makes the sketch WEIGHTED: `c` accumulates the row's
+    * integer weight instead of 1, so a p-quantile answers "the value
+    * below which p of the total WEIGHT lies" (e.g. the doc length below
+    * which 95% of the corpus' characters live — the curation view, where
+    * one 1M-char doc counts for a million 1-char docs). Weights must be
+    * non-negative longs; null weights contribute 0.
+    */
   def logHistBuckets(
       df: DataFrame,
       valueCol: String,
       groupCol: String,
       mBits: Int = 6,
-      quantScale: Double = 100.0): DataFrame = {
+      quantScale: Double = 100.0,
+      weightCol: Option[String] = None): DataFrame = {
     require(mBits >= 1 && mBits <= 20, s"mBits must be in [1,20], got $mBits")
     require(quantScale > 0.0, s"quantScale must be positive, got $quantScale")
     val v = col(valueCol).cast("double")
@@ -536,9 +544,12 @@ object Quantiles {
     val lo = when(nq === 0, lit(0.0))
       .when(nq > 0, mag)
       .otherwise(-(mag + wd))
+    val cAgg = weightCol
+      .map(w => sum(coalesce(col(w).cast("long"), lit(0L))))
+      .getOrElse(count(lit(1)))
     df.filter(v.isNotNull)
       .groupBy(col(groupCol), lo.as("bucket_lo"))
-      .agg(count(lit(1)).as("c"), max(an).as("mx"))
+      .agg(cAgg.as("c"), max(an).as("mx"))
   }
 
   /** Quantile estimates from a (merged) [[logHistBuckets]] table: per
@@ -566,6 +577,12 @@ object Quantiles {
         lit("logHistQuantiles: a quantized magnitude reached 2^53 — " +
           "bucket edges are no longer exact; lower quantScale")))
       .filter(col("__ck").isNull)
+      // a negative count can only come from a negative WEIGHT, which
+      // breaks the cumulative walk's monotonicity — loud, not wrong
+      .withColumn("__cw", assert_true(col("c") >= 0,
+        lit("logHistQuantiles: negative bucket count — weights must be " +
+          "non-negative")))
+      .filter(col("__cw").isNull)
     val aggs = ps.map { p =>
       (min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("bucket_lo")))
         / quantScale).as(s"p${(p * 100).round}_est")
@@ -583,7 +600,9 @@ object Quantiles {
       groupCol: String,
       mBits: Int = 6,
       ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
-      quantScale: Double = 100.0): DataFrame =
-    logHistFinish(logHistBuckets(df, valueCol, groupCol, mBits, quantScale),
+      quantScale: Double = 100.0,
+      weightCol: Option[String] = None): DataFrame =
+    logHistFinish(
+      logHistBuckets(df, valueCol, groupCol, mBits, quantScale, weightCol),
       groupCol, ps, quantScale)
 }

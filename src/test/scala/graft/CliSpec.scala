@@ -611,6 +611,10 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "quantile"))
     }
     assert(quant.contains("p50_est") && quant.contains("Rows: "))
+    val lh = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "loghist"))
+    }
+    assert(lh.contains("p95_est") && lh.contains("Rows: "))
     val star = captureOut {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "starclusters"))
     }

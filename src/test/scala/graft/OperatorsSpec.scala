@@ -439,6 +439,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("log-histogram quantiles: weight w means the row repeated w times") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map(i =>
+      (s"g${i % 2}", rnd.nextDouble() * 1000.0, 1L + rnd.nextInt(5)))
+    val df = rows.toDF("g", "v", "wt")
+    val weighted = Quantiles.logHistQuantiles(df, "v", "g",
+        weightCol = Some("wt"))
+      .orderBy("g").collect().toSeq
+    // the semantic ground truth: physically replicate each row wt times
+    // and sketch unweighted
+    val exploded = rows.flatMap { case (g, v, w) =>
+      Seq.fill(w.toInt)((g, v)) }.toDF("g", "v")
+    val replicated = Quantiles.logHistQuantiles(exploded, "v", "g")
+      .orderBy("g").collect().toSeq
+    assert(weighted == replicated && weighted.nonEmpty)
+    // a negative weight must fail loudly, not walk a non-monotone cum
+    val bad = Seq(("g", 1.0, -2L)).toDF("g", "v", "wt")
+    val ex = intercept[Exception] {
+      Quantiles.logHistQuantiles(bad, "v", "g", weightCol = Some("wt"))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("log-histogram quantiles: zeros own a bucket, nulls excluded, null group kept") {
     val df = Seq((Some("a"), Some(-5.0)), (Some("a"), Some(0.0)),
       (Some("a"), Some(0.0)), (Some("a"), Some(3.0)), (Some("a"), None),
