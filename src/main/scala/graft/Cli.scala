@@ -573,7 +573,7 @@ object Cli {
       // sibling of -op quantile's two-pass absolute-error histogram
       case "loghist"     => Quantiles.logHistQuantiles(
         docs.join(TextAnalysis.tokenCount(docs), "doc_id"),
-        "n_tokens", flags.getOrElse("group-col", "source"),
+        "n_tokens", Seq(flags.getOrElse("group-col", "source")),
         mBits = flags.getOrElse("mbits", "6").toInt,
         quantScale = flags.getOrElse("scale", "1").toDouble)
       // -dest (not -out): -out is where the RESULT table (the per-file

@@ -817,12 +817,12 @@ object ScaleCheck {
     time("log-hist quantile sketch over 6M rows x 3 groups (mBits=6)") {
       val mBits = 6
       val buckets = operators.Quantiles.logHistBuckets(
-        li10, "l_extendedprice", "l_returnflag", mBits = mBits)
+        li10, "l_extendedprice", Seq("l_returnflag"), mBits = mBits)
       val nBuckets = buckets.count()
       val bound = 3L * (2 * 53 * (1L << (mBits - 1)) + 1)
       require(nBuckets <= bound,
         s"bucket table $nBuckets rows exceeds geometry bound $bound")
-      val est = operators.Quantiles.logHistFinish(buckets, "l_returnflag",
+      val est = operators.Quantiles.logHistFinish(buckets, Seq("l_returnflag"),
           ps = Seq(0.95))
         .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
       est.keySet.toSeq.sorted.foreach { f =>

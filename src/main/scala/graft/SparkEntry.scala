@@ -462,13 +462,27 @@ object SparkEntry {
           "l_extendedprice", "l_returnflag")
         .orderBy("l_returnflag")),
 
+    // event-time windowed percentile telemetry — p50/p95/p99 of value
+    // per (1h tumbling window, event_type) through the one-pass sketch:
+    // the latency-dashboard shape, and the reason the sketch needs no
+    // pre-pass (a min/max pass per window would double-scan the stream).
+    // Window start by integer epoch arithmetic (the q_event_windows
+    // convention) so the walk replays engine-exactly
+    "q_window_quantile" -> ((s, dir) =>
+      Quantiles.logHistQuantiles(
+        Tables.loadEvents(s, dir)
+          .withColumn("window_start_ms",
+            expr("(ts_ms div 3600000) * 3600000")),
+        "value", Seq("window_start_ms", "event_type"))
+      .orderBy("window_start_ms", "event_type")),
+
     // WEIGHTED log-histogram quantiles: the doc length below which p of
     // the corpus' CHARACTERS live, per language — the curation view
     // (one 1M-char doc = a million 1-char docs), same one-pass sketch
     // with weight-sum counts
     "q_loghist_weighted" -> ((s, dir) =>
       Quantiles.logHistQuantiles(Tables.load(s, dir, "documents"),
-          "n_chars", "lang", quantScale = 1.0,
+          "n_chars", Seq("lang"), quantScale = 1.0,
           weightCol = Some("n_chars"))
         .orderBy("lang")),
 
@@ -2401,6 +2415,45 @@ object SparkEntry {
            min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
            min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
          FROM cum GROUP BY g ORDER BY g""",
+
+    // the windowed walk: identical bucket arithmetic partitioned by the
+    // integer-epoch window start + type (epoch_ms(ts) truncation is the
+    // q_event_windows-pinned twin of Spark's ts div 1000000)
+    "q_window_quantile" ->
+      """WITH v AS (
+           SELECT (epoch_ms(ts) // 3600000) * 3600000 AS w_ms,
+                  event_type AS g2,
+                  CAST(floor(value * 100) AS BIGINT) AS nq
+           FROM events WHERE value IS NOT NULL
+         ), k AS (
+           SELECT w_ms, g2, nq, abs(nq) AS an,
+                  length(bin(abs(nq))) AS e
+           FROM v
+         ), w AS (
+           SELECT w_ms, g2, nq, an,
+             CASE WHEN e <= 6 THEN 1.0
+                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
+           FROM k
+         ), b AS (
+           SELECT w_ms, g2,
+             CASE WHEN nq = 0 THEN 0.0
+                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
+                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
+             END AS lo,
+             count(*) AS c
+           FROM w GROUP BY 1, 2, 3
+         ), cum AS (
+           SELECT w_ms, g2, lo,
+             sum(c) OVER (PARTITION BY w_ms, g2 ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY w_ms, g2) AS n
+           FROM b
+         )
+         SELECT w_ms AS window_start_ms, g2 AS event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
+           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
+           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
+         FROM cum GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the weighted walk: identical bucket arithmetic at quantScale=1,
     // counts replaced by per-bucket weight sums (n = total weight)

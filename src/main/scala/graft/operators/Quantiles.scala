@@ -526,7 +526,7 @@ object Quantiles {
   def logHistBuckets(
       df: DataFrame,
       valueCol: String,
-      groupCol: String,
+      groupCols: Seq[String],
       mBits: Int = 6,
       quantScale: Double = 100.0,
       weightCol: Option[String] = None): DataFrame = {
@@ -548,9 +548,14 @@ object Quantiles {
       .map(w => sum(coalesce(col(w).cast("long"), lit(0L))))
       .getOrElse(count(lit(1)))
     df.filter(v.isNotNull)
-      .groupBy(col(groupCol), lo.as("bucket_lo"))
+      .groupBy(groupCols.map(col) :+ lo.as("bucket_lo"): _*)
       .agg(cAgg.as("c"), max(an).as("mx"))
   }
+
+  /** Single-group-column convenience overload. */
+  def logHistBuckets(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame =
+    logHistBuckets(df, valueCol, Seq(groupCol))
 
   /** Quantile estimates from a (merged) [[logHistBuckets]] table: per
     * group, the first bucket edge whose cumulative count reaches
@@ -562,14 +567,15 @@ object Quantiles {
     */
   def logHistFinish(
       buckets: DataFrame,
-      groupCol: String,
+      groupCols: Seq[String],
       ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
       quantScale: Double = 100.0): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0, 1], got $ps")
-    val wCum = Window.partitionBy(groupCol).orderBy("bucket_lo")
+    val gc = groupCols.map(col)
+    val wCum = Window.partitionBy(gc: _*).orderBy("bucket_lo")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
+    val wAll = Window.partitionBy(gc: _*)
     val cum = buckets
       .withColumn("__cum", sum(col("c")).over(wCum))
       .withColumn("__n", sum(col("c")).over(wAll))
@@ -587,9 +593,13 @@ object Quantiles {
       (min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("bucket_lo")))
         / quantScale).as(s"p${(p * 100).round}_est")
     }
-    cum.groupBy(col(groupCol))
+    cum.groupBy(gc: _*)
       .agg(max(col("__n")).as("n"), aggs: _*)
   }
+
+  /** Single-group-column convenience overload. */
+  def logHistFinish(buckets: DataFrame, groupCol: String): DataFrame =
+    logHistFinish(buckets, Seq(groupCol))
 
   /** One-pass per-group quantile estimates with relative error
     * ≤ 2^(1−mBits): [[logHistFinish]] over [[logHistBuckets]].
@@ -597,12 +607,17 @@ object Quantiles {
   def logHistQuantiles(
       df: DataFrame,
       valueCol: String,
-      groupCol: String,
+      groupCols: Seq[String],
       mBits: Int = 6,
       ps: Seq[Double] = Seq(0.5, 0.95, 0.99),
       quantScale: Double = 100.0,
       weightCol: Option[String] = None): DataFrame =
     logHistFinish(
-      logHistBuckets(df, valueCol, groupCol, mBits, quantScale, weightCol),
-      groupCol, ps, quantScale)
+      logHistBuckets(df, valueCol, groupCols, mBits, quantScale, weightCol),
+      groupCols, ps, quantScale)
+
+  /** Single-group-column convenience overload. */
+  def logHistQuantiles(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame =
+    logHistQuantiles(df, valueCol, Seq(groupCol))
 }

@@ -406,19 +406,33 @@ object Streaming {
     * directly. Finish with [[graft.operators.Quantiles.logHistFinish]]
     * on the sink table.
     */
+  /** `windowMs` adds an event-time tumbling-window key (integer epoch
+    * arithmetic on the nanos `ts`, the q_event_windows convention) in
+    * front of `groupCol` — streaming windowed percentiles whose state
+    * stays (windows × groups × sketch geometry), never stream-sized.
+    */
   def streamingLogHistBuckets(
       spark: SparkSession, eventsDir: String,
       valueCol: String = "value", groupCol: String = "event_type",
       mBits: Int = 6, quantScale: Double = 100.0,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      windowMs: Option[Long] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .map(n => reader.option("maxFilesPerTrigger", n))
       .getOrElse(reader)
       .parquet(eventsDir)
+    val (input, groupCols) = windowMs match {
+      case Some(ms) =>
+        (Tables.normalizeEventTs(stream).withColumn("window_start_ms",
+          expr(s"((ts div 1000000) div $ms) * $ms")),
+          Seq("window_start_ms", groupCol))
+      case None => (stream, Seq(groupCol))
+    }
     graft.operators.Quantiles.logHistBuckets(
-      stream, valueCol, groupCol, mBits, quantScale)
+      input, valueCol, groupCols, mBits, quantScale)
   }
 
   def streamingCmsTokens(

@@ -391,7 +391,7 @@ class OperatorsSpec extends AnyFunSuite {
     val df = rows.toDF("g", "v")
     val mBits = 6
     val scale = 100.0
-    val got = Quantiles.logHistQuantiles(df, "v", "g", mBits = mBits,
+    val got = Quantiles.logHistQuantiles(df, "v", Seq("g"), mBits = mBits,
         ps = Seq(0.05, 0.5, 0.95), quantScale = scale)
       .collect()
       .map(r => r.getString(0) ->
@@ -444,7 +444,7 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = (1 to 300).map(i =>
       (s"g${i % 2}", rnd.nextDouble() * 1000.0, 1L + rnd.nextInt(5)))
     val df = rows.toDF("g", "v", "wt")
-    val weighted = Quantiles.logHistQuantiles(df, "v", "g",
+    val weighted = Quantiles.logHistQuantiles(df, "v", Seq("g"),
         weightCol = Some("wt"))
       .orderBy("g").collect().toSeq
     // the semantic ground truth: physically replicate each row wt times
@@ -457,7 +457,7 @@ class OperatorsSpec extends AnyFunSuite {
     // a negative weight must fail loudly, not walk a non-monotone cum
     val bad = Seq(("g", 1.0, -2L)).toDF("g", "v", "wt")
     val ex = intercept[Exception] {
-      Quantiles.logHistQuantiles(bad, "v", "g", weightCol = Some("wt"))
+      Quantiles.logHistQuantiles(bad, "v", Seq("g"), weightCol = Some("wt"))
         .collect()
     }
     assert(ex.getMessage != null)
@@ -468,7 +468,7 @@ class OperatorsSpec extends AnyFunSuite {
       (Some("a"), Some(0.0)), (Some("a"), Some(3.0)), (Some("a"), None),
       (None, Some(2.0)), (None, Some(4.0)))
       .toDF("g", "v")
-    val rows = Quantiles.logHistQuantiles(df, "v", "g", ps = Seq(0.5, 1.0))
+    val rows = Quantiles.logHistQuantiles(df, "v", Seq("g"), ps = Seq(0.5, 1.0))
       .collect()
       .map(r => (Option(r.getString(0)), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
       .toMap

@@ -159,6 +159,25 @@ class StreamingSpec extends AnyFunSuite {
     val bq = graft.operators.Quantiles.logHistFinish(batch, "event_type")
       .orderBy("event_type").collect().toSeq
     assert(sq == bq && sq.nonEmpty)
+
+    // windowed form: the event-time tumbling key rides in front of the
+    // group and the law still holds bit-for-bit across the batch split
+    val winStreamed = Streaming.runAvailableNow(
+      Streaming.streamingLogHistBuckets(spark, dir.toString,
+        maxFilesPerTrigger = Some(1), windowMs = Some(3600000L)),
+      "loghist_2b_win")
+    val winBatch = graft.operators.Quantiles.logHistBuckets(
+      Tables.normalizeEventTs(ev).withColumn("window_start_ms",
+        expr("((ts div 1000000) div 3600000) * 3600000")),
+      "value", Seq("window_start_ms", "event_type"))
+    val swq = graft.operators.Quantiles.logHistFinish(
+        winStreamed, Seq("window_start_ms", "event_type"))
+      .orderBy("window_start_ms", "event_type").collect().toSeq
+    val bwq = graft.operators.Quantiles.logHistFinish(
+        winBatch, Seq("window_start_ms", "event_type"))
+      .orderBy("window_start_ms", "event_type").collect().toSeq
+    assert(swq == bwq && swq.size > sq.size,
+      "windowed law must cover multiple windows per group")
   }
 
   test("streaming MG candidates + exact recount equal the batch heavy hitters") {
