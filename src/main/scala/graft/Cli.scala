@@ -293,10 +293,16 @@ object Cli {
           |  events -in <events.parquet> [-op sessionize|funnel|retention|json|
           |              transitions|sessionstats|anomaly|anomalyonline|paths|dwell|
           |              assoc ([-basket c] [-item c] [-min-support N])|
-          |              heavy ([-min-frac f])|percentile ([-p f] [-bins n])]
+          |              heavy ([-min-frac f])|percentile ([-p f] [-bins n])|
+          |              sketchbuild|sketchappend|sketchserve|sketchcompact]
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
           |          sessionize: [-gap-ms n]; json: [-path $.field];
-          |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N]) [-out dir]
+          |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N];
+          |          sketchbuild: -in events -store dir [-value-col c] [-group-col c]
+          |            [-window-ms n] [-mbits N] [-quant-scale X];
+          |          sketchappend: -in <new-batch events> -store dir;
+          |          sketchserve: -store dir -from-ms n -to-ms n [-by-window true];
+          |          sketchcompact: -store dir -dest dir) [-out dir]
           |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n | -target-mb m]
           |  version  Print version  (also -v, --version)
           |  help     Print this usage  (also -h, --help)
@@ -951,10 +957,24 @@ object Cli {
     */
   def runEvents(spark: SparkSession, flags: Map[String, String]): Unit = {
     import graft.operators._
-    val in = flags.getOrElse("in", fail("events requires -in <events.parquet>"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = Tables.normalizeEventTs(spark.read.parquet(in))
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    // lazy: the sketch-store serve/compact ops run off the STORE alone
+    // (no raw events needed — that is the layer's whole point)
+    lazy val ev = {
+      val in = flags.getOrElse("in", fail("events requires -in <events.parquet>"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.normalizeEventTs(spark.read.parquet(in))
+        .withColumn("ts_ms", expr("ts div 1000000"))
+    }
+    // per-window file/row census — the maintenance ops' output (the
+    // lshbuild/ivfpqcompact precedent): partials exceeding the sketch
+    // geometry bound is the "appends accumulated, compact soon" tell
+    def storeCensus(store: String): DataFrame =
+      spark.read.parquet(store)
+        .withColumn("__file", input_file_name())
+        .groupBy(col("window_start_ms").cast("long").as("window_start_ms"))
+        .agg(countDistinct(col("__file")).as("files"),
+          count(lit(1)).as("n_partials"))
+        .orderBy("window_start_ms")
     val result: DataFrame = flags.getOrElse("op", "sessionize") match {
       case "sessionize" => Events.sessionize(ev,
         gapMs = flags.getOrElse("gap-ms", (30 * 60 * 1000L).toString).toLong)
@@ -996,6 +1016,54 @@ object Cli {
           flags.getOrElse("item", "event_type"),
           minSupportCount = flags.getOrElse("min-support", "2").toInt)
         .orderBy("item_a", "item_b")
+      // persisted quantile-sketch-store maintenance (the metrics twin of
+      // the lsh*/ivfpq* store ops): sketchbuild cold-builds the window-
+      // partitioned partial store from -in events; sketchappend encodes
+      // a NEW batch under the frozen geometry sidecar (census limited to
+      // the windows the batch touched); sketchserve answers range
+      // quantiles from the store alone; sketchcompact merges
+      // append-accumulated duplicate partials into -dest
+      case "sketchbuild" => {
+        val store = flags.getOrElse("store",
+          fail("events -op sketchbuild requires -store <dir>"))
+        SketchStore.write(ev, store,
+          valueCol = flags.getOrElse("value-col", "value"),
+          groupCol = flags.getOrElse("group-col", "event_type"),
+          windowMs = flags.getOrElse("window-ms", "3600000").toLong,
+          mBits = flags.getOrElse("mbits", "6").toInt,
+          quantScale = flags.getOrElse("quant-scale", "100.0").toDouble)
+        storeCensus(store)
+      }
+      case "sketchappend" => {
+        val store = flags.getOrElse("store",
+          fail("events -op sketchappend requires -store <dir> (an existing sketch store)"))
+        val touched = SketchStore.append(spark, ev, store)
+        storeCensus(store).filter(col("window_start_ms").isin(touched: _*))
+      }
+      case "sketchserve" => {
+        val store = flags.getOrElse("store",
+          fail("events -op sketchserve requires -store <dir> (an existing sketch store)"))
+        val from = flags.getOrElse("from-ms",
+          fail("events -op sketchserve requires -from-ms <epoch ms>")).toLong
+        val to = flags.getOrElse("to-ms",
+          fail("events -op sketchserve requires -to-ms <epoch ms>")).toLong
+        val res =
+          if (flags.get("by-window").exists(_.toBoolean))
+            SketchStore.windowQuantiles(spark, store, from, to)
+          else SketchStore.quantiles(spark, store, from, to)
+        // key column(s) — (window,) group — precede the fixed n/p*_est
+        // tail; the group name lives in the store's frozen meta, so
+        // order generically on everything before n
+        res.orderBy(res.columns.takeWhile(_ != "n").map(col).toSeq: _*)
+      }
+      case "sketchcompact" => {
+        val store = flags.getOrElse("store",
+          fail("events -op sketchcompact requires -store <dir>"))
+        val dest = flags.getOrElse("dest",
+          fail("events -op sketchcompact requires -dest <dir> (the compacted store)"))
+        SketchStore.compactStore(spark, store, dest)
+        storeCensus(dest)
+      }
       case other => fail(s"unknown events op: $other")
     }
     flags.get("out") match {

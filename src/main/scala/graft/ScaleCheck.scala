@@ -836,6 +836,61 @@ object ScaleCheck {
       println(s"[scale] log-hist sketch p95: $est ($nBuckets bucket rows)")
     }
     operators.CacheRegistry.release(spark)
+    // persisted sketch store over 10× HISTORY (10 month-shifted copies of
+    // the sf0.1 events ⇒ ~7.4k hourly window partitions): the three
+    // structural facts that make a metrics layer serve against 100 TB —
+    // (1) the store is answer-sized (windows × groups × sketch geometry,
+    // never event-count-sized), (2) SERVING a range reads only the
+    // range's window partitions (file count follows the week asked for,
+    // not the store's age), (3) APPENDS are batch-local (a one-hour
+    // trickle touches one window directory of thousands)
+    time("sketch store 10x history: answer-sized, range-pruned serving, local appends") {
+      val ev01 = Tables.loadEvents(spark, "/root/testdata/sf0.1")
+      val monthNs = 31L * 24 * 3600 * 1000L * 1000000L
+      val ev10 = (0 until 10).map(i =>
+        ev01.withColumn("ts", col("ts") + lit(i * monthNs))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_ unionAll _)
+      val storeDir = tmp.resolve("sketch-store").toString + "/store"
+      operators.SketchStore.write(ev10, storeDir)
+      val store = spark.read.parquet(storeDir)
+      val nWindows = store.select("window_start_ms").distinct().count()
+      val nGroups = ev01.select("event_type").distinct().count()
+      val nRows = store.count()
+      // per-(window, group) sketch bound: signed magnitude buckets over
+      // ≤64 binary exponents at mBits=6 (the loghist geometry gate's
+      // formula, 64 exponents since quantScale=100 longs span 2^63)
+      val bound = nWindows * nGroups * (2L * 64 * (1L << 5) + 1)
+      println(s"[scale] sketch store: $nRows rows, $nWindows windows x " +
+        s"$nGroups groups (bound $bound)")
+      require(nWindows >= 7000, s"10 shifted months must yield ~7.4k " +
+        s"hourly windows, got $nWindows")
+      require(nRows <= bound,
+        s"store rows $nRows exceed the geometry bound $bound — the " +
+          "layer must be answer-sized, not event-sized")
+      // serve ONE week out of ten months; the scan must read only that
+      // week's partitions (168 hourly windows -> 168 files at 1 file
+      // per partition), not the store's ~7.4k
+      val from = 1704672000000L; val to = 1705276800000L
+      val served = operators.SketchStore.quantiles(spark, storeDir, from, to)
+      require(served.collect().nonEmpty, "served week must be non-empty")
+      val scans = served.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      println(s"[scale] serving scan read $filesRead files of ~$nWindows")
+      require(scans.nonEmpty && filesRead <= 200,
+        s"a one-week serve read $filesRead files — partition pruning " +
+          "must bound serving by the RANGE, not the store's history")
+      // a one-hour trickle batch appends into exactly its own window
+      val batch = ev01.filter(
+        expr("((ts div 1000000) div 3600000) * 3600000") === from)
+        .withColumn("event_id", col("event_id") + lit(20000000000L))
+      val touched = operators.SketchStore.append(spark, batch, storeDir)
+      println(s"[scale] 1-hour append touched windows: $touched")
+      require(touched == Seq(from),
+        s"a one-hour batch must touch exactly its window, got $touched")
+    }
+    operators.CacheRegistry.release(spark)
     // column profile at 10x: one stacked agg row per column + grouped HLL
     // registers (2^12 per column) — state never follows the corpus
     time("column profile 50k docs (4 cols, p=12)") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Cdc, Dedup, Events, Graph, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Bpe, Cdc, Dedup, Events, Graph, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, SketchStore, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -475,6 +475,24 @@ object SparkEntry {
             expr("(ts_ms div 3600000) * 3600000")),
         "value", Seq("window_start_ms", "event_type"))
       .orderBy("window_start_ms", "event_type")),
+
+    // persisted pre-aggregated quantile layer, oracle-gated end-to-end:
+    // cold-build the window-partitioned sketch store over the even
+    // events, append the odd half under the frozen geometry (pure count
+    // accumulation — partials from both loads coexist unmerged), then
+    // serve the Jan-8..15 range per-type percentiles from the STORE
+    // alone (partition-pruned read + bounded walk, no raw-event access).
+    // Bucket identity is window-independent, so the oracle replays the
+    // plain per-group walk over the raw events restricted to the range:
+    // store-served ≡ recompute-from-raw is the layer's contract
+    "q_loghist_store" -> ((s, dir) => withTempStore("lhstore") { tmp =>
+      val ev = Tables.loadEvents(s, dir)
+      val store = tmp + "/store"
+      SketchStore.write(ev.filter(col("event_id") % 2 === 0), store)
+      SketchStore.append(s, ev.filter(col("event_id") % 2 === 1), store)
+      SketchStore.quantiles(s, store, 1704672000000L, 1705276800000L)
+        .orderBy("event_type")
+    }),
 
     // WEIGHTED log-histogram quantiles: the doc length below which p of
     // the corpus' CHARACTERS live, per language — the curation view
@@ -2454,6 +2472,44 @@ object SparkEntry {
            min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
            min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
          FROM cum GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // store-served range percentiles ≡ the plain per-group walk over
+    // the raw events whose WINDOW lands in [Jan 8, Jan 15) — merging
+    // window partials by addition is exactly restricting the input
+    "q_loghist_store" ->
+      """WITH v AS (
+           SELECT event_type AS g,
+                  CAST(floor(value * 100) AS BIGINT) AS nq
+           FROM events
+           WHERE value IS NOT NULL
+             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
+             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
+         ), k AS (
+           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
+         ), w AS (
+           SELECT g, nq, an,
+             CASE WHEN e <= 6 THEN 1.0
+                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
+           FROM k
+         ), b AS (
+           SELECT g,
+             CASE WHEN nq = 0 THEN 0.0
+                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
+                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
+             END AS lo,
+             count(*) AS c
+           FROM w GROUP BY 1, 2
+         ), cum AS (
+           SELECT g, lo,
+             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM b
+         )
+         SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
+           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
+           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
+         FROM cum GROUP BY g ORDER BY g""",
 
     // the weighted walk: identical bucket arithmetic at quantScale=1,
     // counts replaced by per-bucket weight sums (n = total weight)

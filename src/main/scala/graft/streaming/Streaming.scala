@@ -940,6 +940,137 @@ object Streaming {
     }
   }
 
+  /** Streaming quantile-sketch-store ingest — the metrics twin of
+    * [[streamingLshIngest]]: drive the persisted pre-aggregated
+    * quantile layer ([[graft.operators.SketchStore]]) from an events
+    * file stream. The first micro-batch cold-builds the store (frozen
+    * geometry sidecar); every later batch appends partials under that
+    * geometry. Replay fencing matters MORE here than for the other
+    * stores: sketch counts have no row identity, so a replayed append
+    * silently doubles weights (there is no `dedupeIds` escape hatch) —
+    * the source checkpoint gives file-level exactly-once and the
+    * batchId sidecar guards foreachBatch's at-least-once crash window;
+    * the residual exposure is one lost commit marker = one
+    * double-counted batch, exactly the at-least-once contract
+    * [[graft.operators.SketchStore.append]] documents.
+    *
+    * Partials merge by count addition regardless of arrival order, so
+    * ANY file order converges to the cold-rebuild store (the
+    * StreamingSpec law). Small-file growth is never silent (the house
+    * contract), but the health check is bounded by the BATCH, not the
+    * store: window partitions accumulate with history (unlike the
+    * fixed shard/centroid stores), so each batch checks only the
+    * windows it touched — `append`'s answer-sized return.
+    */
+  def streamingSketchIngest(
+      spark: SparkSession,
+      eventsDir: String,
+      storeDir: String,
+      valueCol: String = "value",
+      groupCol: String = "event_type",
+      windowMs: Long = 3600000L,
+      mBits: Int = 6,
+      quantScale: Double = 100.0,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None,
+      autoCompactThreshold: Option[Int] = None): Unit = {
+    // nanos-physical events surface ts as long under this conf; the NTZ
+    // fixture generation is normalized per batch below
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(eventsDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
+    val fs = metaPath.getFileSystem(hconf)
+    val commitPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
+    val writer0 = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val replayed = commitPath.exists(p =>
+          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
+        if (!replayed) {
+          val b = Tables.normalizeEventTs(batch.toDF()).localCheckpoint(true)
+          val touched =
+            try {
+              if (!fs.exists(metaPath)) {
+                graft.operators.SketchStore.write(b, storeDir, valueCol,
+                  groupCol, windowMs, mBits, quantScale)
+                Seq.empty[Long] // cold build writes 1 file per window
+              } else graft.operators.SketchStore.append(spark, b, storeDir)
+            } finally graft.operators.Lineage.release(b)
+          commitPath.foreach(p =>
+            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
+          val files = maxFilesInWindows(fs, storeDir, touched)
+          autoCompactThreshold match {
+            case Some(thr) if files > thr =>
+              compactSketchInPlace(spark, fs, storeDir)
+            case None if files > compactionWatermark =>
+              System.err.println(s"[graft] sketch store at $storeDir has " +
+                s"$files files in a just-touched window partition — run " +
+                "SketchStore.compactStore (or set autoCompactThreshold) " +
+                "before the serving read's per-file overhead dominates")
+            case _ => ()
+          }
+        }
+        ()
+      }
+    val writer = checkpointDir
+      .fold(writer0)(d => writer0.option("checkpointLocation", d))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Widest of the GIVEN `window_start_ms=` partitions, in files — the
+    * [[maxFilesPerShard]] twin for the history-partitioned sketch
+    * store. Listing cost is bounded by the caller's window list (one
+    * batch's span), never the store's age.
+    */
+  private[graft] def maxFilesInWindows(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String,
+      windows: Seq[Long]): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storeDir)
+    if (windows.isEmpty || !fs.exists(root)) 0
+    else windows.iterator.map { w =>
+      val d = new Path(root, s"window_start_ms=$w")
+      if (!fs.exists(d)) 0
+      else fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
+    }.foldLeft(0)(math.max)
+  }
+
+  /** [[compactInPlace]] for the two-directory sketch store (buckets,
+    * `_meta`). Same crash story as the LSH swap: compaction preserves
+    * every directory's content (identical merged totals, same frozen
+    * meta), so a crash mid-swap leaves a mixed-layout store that still
+    * serves correct answers, and each unreplaced directory remains
+    * recoverable from its `_precompact` twin.
+    */
+  private[graft] def compactSketchInPlace(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = storeDir + "_compacting"
+    for (sfx <- Seq("", "_meta"))
+      fs.delete(new Path(staging + sfx), true)
+    graft.operators.SketchStore.compactStore(spark, storeDir, staging)
+    for (sfx <- Seq("", "_meta")) {
+      val live = new Path(storeDir + sfx)
+      val retired = new Path(storeDir + sfx + "_precompact")
+      fs.delete(retired, true)
+      require(fs.rename(live, retired),
+        s"compactSketchInPlace: rename $live -> $retired failed")
+      require(fs.rename(new Path(staging + sfx), live),
+        s"compactSketchInPlace: rename ${staging + sfx} -> $live failed " +
+          s"(recover the directory from $retired)")
+      fs.delete(retired, true)
+    }
+  }
+
   /** The ingest replay guard: one tiny file holding the last batchId
     * whose append committed. Written via create-temp + rename so a
     * reader never sees a torn value; the delete-before-rename gap can

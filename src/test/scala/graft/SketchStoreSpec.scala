@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quantiles, SketchStore}
+
+/** Laws for the persisted quantile-sketch store (pre-aggregated metrics
+  * layer). The oracle (q_loghist_store) replays store-served range
+  * quantiles against the raw-event walk in DuckDB; these specs pin the
+  * pieces the oracle composes — store ≡ direct recompute, unmerged
+  * duplicate partials, the partition-pruned serving scan, and
+  * compaction's row-count/answer contract.
+  */
+class SketchStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val ev =
+    Tables.loadEvents(spark, "/root/testdata/sf0.001").cache()
+
+  private def freshStore(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  // full January 2024 — covers every event window in the fixture
+  private val jan1 = 1704067200000L
+  private val feb1 = 1706745600000L
+
+  test("seed + append serves the recompute-from-raw range quantiles") {
+    val store = freshStore("sketch-store")
+    SketchStore.write(ev.filter(col("event_id") % 2 === 0), store)
+    SketchStore.append(spark, ev.filter(col("event_id") % 2 === 1), store)
+    val served = SketchStore.quantiles(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    val direct = Quantiles.logHistQuantiles(ev, "value", "event_type")
+      .orderBy("event_type").collect().toSeq
+    assert(served == direct && served.nonEmpty)
+
+    // a SUB-range differs from the full answer and equals the
+    // ts-restricted recompute (the filter lands on the window key, so
+    // restricting raw input by window is the same set of rows)
+    val from = 1704672000000L // 2024-01-08
+    val to = 1705276800000L   // 2024-01-15
+    val sub = SketchStore.quantiles(spark, store, from, to)
+      .orderBy("event_type").collect().toSeq
+    val subDirect = Quantiles.logHistQuantiles(
+      ev.filter(expr("((ts div 1000000) div 3600000) * 3600000")
+        .between(from, to - 1)),
+      "value", "event_type")
+      .orderBy("event_type").collect().toSeq
+    assert(sub == subDirect && sub != served)
+  }
+
+  test("duplicate partials are legal: the finisher sums them like any merge") {
+    val store = freshStore("sketch-dup")
+    val half = ev.filter(col("event_id") % 2 === 0)
+    SketchStore.write(half, store)
+    // re-append the SAME events: counts double, which is the documented
+    // at-least-once semantics — the answer must equal the sketch of the
+    // physically doubled input, NOT corrupt the walk
+    SketchStore.append(spark, half, store)
+    val served = SketchStore.quantiles(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    val doubled = Quantiles.logHistQuantiles(half.unionAll(half),
+        "value", "event_type")
+      .orderBy("event_type").collect().toSeq
+    assert(served == doubled && served.nonEmpty)
+  }
+
+  test("range serving prunes uncovered window partitions at plan time") {
+    val store = freshStore("sketch-prune")
+    SketchStore.write(ev, store)
+    val jan8 = SketchStore.quantiles(spark, store,
+      1704672000000L, 1705276800000L)
+    val plan = jan8.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("window_start_ms"),
+      s"range read must prune on the window partition key:\n$plan")
+    // and the time-series view exposes the window key per row
+    val win = SketchStore.windowQuantiles(spark, store,
+        1704672000000L, 1705276800000L)
+      .select("window_start_ms").distinct().collect()
+      .map(_.getLong(0))
+    assert(win.nonEmpty && win.forall(w =>
+      w >= 1704672000000L && w < 1705276800000L))
+  }
+
+  test("compaction merges duplicates back to the geometry bound, answers unchanged") {
+    val store = freshStore("sketch-compact")
+    val half = ev.filter(col("event_id") % 2 === 0)
+    SketchStore.write(half, store)
+    SketchStore.append(spark, half, store)
+    SketchStore.append(spark, half, store)
+    val before = SketchStore.quantiles(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    val rowsBefore = spark.read.parquet(store).count()
+    val compacted = freshStore("sketch-compacted")
+    SketchStore.compactStore(spark, store, compacted)
+    val rowsAfter = spark.read.parquet(compacted).count()
+    assert(rowsAfter < rowsBefore, "three loads must leave mergeable rows")
+    // one row per (window, group, bucket_lo) after the merge
+    val dupes = spark.read.parquet(compacted)
+      .groupBy("window_start_ms", "event_type", "bucket_lo").count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0)
+    val after = SketchStore.quantiles(spark, compacted, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    assert(after == before)
+  }
+}

@@ -314,6 +314,80 @@ class StreamingSpec extends AnyFunSuite {
     graft.operators.CacheRegistry.release(spark)
   }
 
+  test("streaming sketch ingest equals a cold store build, and replays are no-ops") {
+    import graft.operators.SketchStore
+    val evDir = tmpDir("stream-sketch")
+    val raw = Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    // two ordered files + maxFilesPerTrigger=1: file 1 cold-builds the
+    // store (frozen geometry sidecar), file 2 goes through the append
+    // path — both halves of the ingest exercised in one run
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-sketch-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, evDir.resolve(name))
+    }
+    addFile(raw.filter(col("event_id") % 2 === 0), "f1.parquet")
+    addFile(raw.filter(col("event_id") % 2 === 1), "f2.parquet")
+    val store = tmpDir("stream-sketch-store").toString + "/store"
+    val ckpt = tmpDir("stream-sketch-ckpt").toString
+    Streaming.streamingSketchIngest(spark, evDir.toString, store,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    val jan1 = 1704067200000L
+    val feb1 = 1706745600000L
+    val got = SketchStore.quantiles(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    // partials merge by addition in any split, so the streamed store
+    // must serve exactly what a one-shot cold build over ALL events does
+    val coldStore = tmpDir("stream-sketch-cold").toString + "/store"
+    SketchStore.write(raw, coldStore)
+    val cold = SketchStore.quantiles(spark, coldStore, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    assert(got == cold && got.nonEmpty,
+      s"streamed store must serve the cold-build answers: $got vs $cold")
+    // re-running the same AvailableNow stream from the same checkpoint
+    // sees no new files — counts must NOT double (the fencing matters
+    // more here than elsewhere: sketch counts have no dedupe identity)
+    val rowsBefore = spark.read.parquet(store).count()
+    Streaming.streamingSketchIngest(spark, evDir.toString, store,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(store).count() == rowsBefore)
+  }
+
+  test("sketch in-place compaction: touched-window files shrink, answers unchanged") {
+    import graft.operators.SketchStore
+    val ev = Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val store = tmpDir("sketch-compact-inplace").toString + "/store"
+    SketchStore.write(ev.filter(col("event_id") % 3 === 0), store)
+    SketchStore.append(spark, ev.filter(col("event_id") % 3 === 1), store)
+    val touched =
+      SketchStore.append(spark, ev.filter(col("event_id") % 3 === 2), store)
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the health metric is bounded to the batch-touched windows and
+    // sees the append growth
+    val before = Streaming.maxFilesInWindows(fs, store, touched)
+    assert(touched.nonEmpty && before >= 2,
+      s"two appends must grow a touched window past 1 file: $before")
+    val jan1 = 1704067200000L
+    val feb1 = 1706745600000L
+    val answersBefore = SketchStore.quantiles(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    Streaming.compactSketchInPlace(spark, fs, store)
+    assert(Streaming.maxFilesInWindows(fs, store, touched) == 1,
+      "compaction must leave one file per window partition")
+    val answersAfter = SketchStore.quantiles(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    assert(answersAfter == answersBefore && answersAfter.nonEmpty)
+    // a further append still works against the compacted store (the
+    // frozen geometry sidecar survived the two-directory swap)
+    val again =
+      SketchStore.append(spark, ev.filter(col("event_id") % 3 === 0), store)
+    assert(again.nonEmpty &&
+      Streaming.maxFilesInWindows(fs, store, again) >= 1)
+  }
+
   test("streaming JSON-field stats equal the batch twin") {
     val dir = tmpDir("stream-json").toString
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
