@@ -294,7 +294,8 @@ object Cli {
           |              transitions|sessionstats|anomaly|anomalyonline|paths|dwell|
           |              assoc ([-basket c] [-item c] [-min-support N])|
           |              heavy ([-min-frac f])|percentile ([-p f] [-bins n])|
-          |              sketchbuild|sketchappend|sketchserve|sketchcompact]
+          |              sketchbuild|sketchappend|sketchserve|sketchcompact|
+          |              hllbuild|hllappend|hllserve|hllcompact]
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
           |          sessionize: [-gap-ms n]; json: [-path $.field];
           |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N];
@@ -302,7 +303,10 @@ object Cli {
           |            [-window-ms n] [-mbits N] [-quant-scale X];
           |          sketchappend: -in <new-batch events> -store dir;
           |          sketchserve: -store dir -from-ms n -to-ms n [-by-window true];
-          |          sketchcompact: -store dir -dest dir) [-out dir]
+          |          sketchcompact: -store dir -dest dir;
+          |          hllbuild: -in events -store dir [-item-col c] [-group-col c]
+          |            [-window-ms n] [-p N]; hllappend/hllserve/hllcompact:
+          |            the sketch* flags, serving distinct-count estimates) [-out dir]
           |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n | -target-mb m]
           |  version  Print version  (also -v, --version)
           |  help     Print this usage  (also -h, --help)
@@ -1062,6 +1066,49 @@ object Cli {
         val dest = flags.getOrElse("dest",
           fail("events -op sketchcompact requires -dest <dir> (the compacted store)"))
         SketchStore.compactStore(spark, store, dest)
+        storeCensus(dest)
+      }
+      // HLL register store maintenance — the distinct-count siblings of
+      // the sketch* ops, same store census (rows here are registers; a
+      // replayed hllappend is answer-invisible, see HllStore scaladoc)
+      case "hllbuild" => {
+        val store = flags.getOrElse("store",
+          fail("events -op hllbuild requires -store <dir>"))
+        HllStore.write(ev, store,
+          itemCol = flags.getOrElse("item-col", "user_id"),
+          groupCol = flags.getOrElse("group-col", "event_type"),
+          windowMs = flags.getOrElse("window-ms", "3600000").toLong,
+          p = flags.getOrElse("p", "12").toInt)
+        storeCensus(store)
+      }
+      case "hllappend" => {
+        val store = flags.getOrElse("store",
+          fail("events -op hllappend requires -store <dir> (an existing hll store)"))
+        val touched = HllStore.append(spark, ev, store)
+        storeCensus(store).filter(col("window_start_ms").isin(touched: _*))
+      }
+      case "hllserve" => {
+        val store = flags.getOrElse("store",
+          fail("events -op hllserve requires -store <dir> (an existing hll store)"))
+        val from = flags.getOrElse("from-ms",
+          fail("events -op hllserve requires -from-ms <epoch ms>")).toLong
+        val to = flags.getOrElse("to-ms",
+          fail("events -op hllserve requires -to-ms <epoch ms>")).toLong
+        val corrected = flags.get("corrected").exists(_.toBoolean)
+        val res =
+          if (flags.get("by-window").exists(_.toBoolean))
+            HllStore.windowDistinct(spark, store, from, to, corrected)
+          else HllStore.distinct(spark, store, from, to, corrected)
+        // keys precede the fixed n_registers_used/s_fixed/est tail
+        res.orderBy(res.columns.takeWhile(_ != "n_registers_used")
+          .map(col).toSeq: _*)
+      }
+      case "hllcompact" => {
+        val store = flags.getOrElse("store",
+          fail("events -op hllcompact requires -store <dir>"))
+        val dest = flags.getOrElse("dest",
+          fail("events -op hllcompact requires -dest <dir> (the compacted store)"))
+        HllStore.compactStore(spark, store, dest)
         storeCensus(dest)
       }
       case other => fail(s"unknown events op: $other")

@@ -874,11 +874,13 @@ object ScaleCheck {
       val from = 1704672000000L; val to = 1705276800000L
       val served = operators.SketchStore.quantiles(spark, storeDir, from, to)
       require(served.collect().nonEmpty, "served week must be non-empty")
-      val scans = served.queryExecution.executedPlan.collect {
+      // planning-time pruning, read off the scan's selected partitions
+      // (sparkPlan, not the AQE-wrapped executedPlan, exposes the leaf)
+      val scans = served.queryExecution.sparkPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
-      val filesRead = scans.map(_.metrics("numFiles").value).sum
+      val filesRead = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
       println(s"[scale] serving scan read $filesRead files of ~$nWindows")
-      require(scans.nonEmpty && filesRead <= 200,
+      require(scans.nonEmpty && filesRead > 0 && filesRead <= 200,
         s"a one-week serve read $filesRead files — partition pruning " +
           "must bound serving by the RANGE, not the store's history")
       // a one-hour trickle batch appends into exactly its own window
@@ -889,6 +891,29 @@ object ScaleCheck {
       println(s"[scale] 1-hour append touched windows: $touched")
       require(touched == Seq(from),
         s"a one-hour batch must touch exactly its window, got $touched")
+      // the HLL register store rides the IDENTICAL layout (pruning and
+      // append locality gated above apply verbatim); its own scale facts
+      // are the register bound — ≤ 2^p rows per (window, group) cell
+      // whatever the event volume — and replay INVISIBILITY: re-append
+      // a full month of already-ingested events and no served answer
+      // may move (the max-merge algebra; the quantile store above would
+      // double its counts without the ingest fence)
+      val hllDir = tmp.resolve("hll-store").toString + "/store"
+      operators.HllStore.write(ev10, hllDir, p = 12)
+      val hllRows = spark.read.parquet(hllDir).count()
+      val hllCells = spark.read.parquet(hllDir)
+        .select("window_start_ms", "event_type").distinct().count()
+      println(s"[scale] hll store: $hllRows register rows in $hllCells cells")
+      require(hllRows <= hllCells * 4096,
+        s"register rows $hllRows exceed cells x 2^12 — the layer must " +
+          "be register-bounded, not event-sized")
+      val servedBefore = operators.HllStore.distinct(spark, hllDir, from, to)
+        .orderBy("event_type").collect().toSeq
+      operators.HllStore.append(spark, ev01, hllDir) // replay month 0
+      val servedAfter = operators.HllStore.distinct(spark, hllDir, from, to)
+        .orderBy("event_type").collect().toSeq
+      require(servedBefore == servedAfter && servedBefore.nonEmpty,
+        "a replayed month must be invisible to served distinct counts")
     }
     operators.CacheRegistry.release(spark)
     // column profile at 10x: one stacked agg row per column + grouped HLL

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Cdc, Dedup, Events, Graph, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, SketchStore, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Bpe, Cdc, Dedup, Events, Graph, HllStore, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, SketchStore, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -491,6 +491,25 @@ object SparkEntry {
       SketchStore.write(ev.filter(col("event_id") % 2 === 0), store)
       SketchStore.append(s, ev.filter(col("event_id") % 2 === 1), store)
       SketchStore.quantiles(s, store, 1704672000000L, 1705276800000L)
+        .orderBy("event_type")
+    }),
+
+    // persisted HLL register layer (the distinct-count sibling of
+    // q_loghist_store): seed with the even events, append the odd half,
+    // then RE-APPEND the even half — a deliberate replay. Registers
+    // merge by per-index MAX, so the replay is invisible to every
+    // answer (the algebraic contrast with the count-accumulating
+    // quantile store, which must fence replays). The oracle replays the
+    // register walk over the raw range-restricted events with each
+    // event seen ONCE — hash-match proves the store's serve-time merge
+    // absorbed the duplicate ingest
+    "q_hll_store" -> ((s, dir) => withTempStore("hllstore") { tmp =>
+      val ev = Tables.loadEvents(s, dir)
+      val store = tmp + "/store"
+      HllStore.write(ev.filter(col("event_id") % 2 === 0), store)
+      HllStore.append(s, ev.filter(col("event_id") % 2 === 1), store)
+      HllStore.append(s, ev.filter(col("event_id") % 2 === 0), store)
+      HllStore.distinct(s, store, 1704672000000L, 1705276800000L)
         .orderBy("event_type")
     }),
 
@@ -2510,6 +2529,42 @@ object SparkEntry {
            min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
            min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
          FROM cum GROUP BY g ORDER BY g""",
+
+    // store-served range distinct counts ≡ the register walk over the
+    // raw events in the range, each event ONCE — the md5-60 idx/rho
+    // split at p=12 (restBits=48), per-(group, idx) MAX, raw harmonic
+    // finalize with the folded hllConstant(12) literal. The Spark side
+    // ingested the even half TWICE; max-merge must make that invisible
+    "q_hll_store" -> {
+      val c = graft.operators.Sketches.hllConstant(12)
+      s"""WITH it AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS item
+           FROM events
+           WHERE user_id IS NOT NULL
+             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
+             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
+         ), r AS (
+           SELECT event_type, h >> 48 AS idx,
+                  h & ((CAST(1 AS BIGINT) << 48) - 1) AS rem
+           FROM (SELECT event_type,
+                   CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h
+                 FROM it)
+         ), reg AS (
+           SELECT event_type, idx,
+             max(CASE WHEN rem = 0 THEN 49
+                 ELSE 49 - length(ltrim(bin(rem), '0')) END) AS mrho
+           FROM r GROUP BY 1, 2
+         ), agg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers_used,
+             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT),
+               CAST(0 AS BIGINT)) AS s_used
+           FROM reg GROUP BY 1
+         )
+         SELECT event_type, n_registers_used,
+           s_used + (4096 - n_registers_used) * (CAST(1 AS BIGINT) << 49) AS s_fixed,
+           $c / CAST(s_used + (4096 - n_registers_used) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_distinct
+         FROM agg ORDER BY event_type"""
+    },
 
     // the weighted walk: identical bucket arithmetic at quantScale=1,
     // counts replaced by per-bucket weight sums (n = total weight)

@@ -973,7 +973,63 @@ object Streaming {
       quantScale: Double = 100.0,
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
-      autoCompactThreshold: Option[Int] = None): Unit = {
+      autoCompactThreshold: Option[Int] = None): Unit =
+    windowStoreIngest(spark, eventsDir, storeDir,
+      coldBuild = b => graft.operators.SketchStore.write(b, storeDir,
+        valueCol, groupCol, windowMs, mBits, quantScale),
+      appendBatch = b => graft.operators.SketchStore.append(spark, b, storeDir),
+      inPlaceCompact = fs => compactSketchInPlace(spark, fs, storeDir),
+      storeName = "sketch store", compactHint = "SketchStore.compactStore",
+      maxFilesPerTrigger, checkpointDir, autoCompactThreshold)
+
+  /** Streaming HLL-store ingest — the distinct-count member of the
+    * window-store ingest family ([[graft.operators.HllStore]]). Same
+    * plumbing as [[streamingSketchIngest]], OPPOSITE replay exposure:
+    * registers merge by per-index MAX, so a replayed append can never
+    * change an answer — the batchId sidecar here protects only store
+    * hygiene (duplicate rows until compaction), not correctness. The
+    * quantile twin's counts have no such identity; there the sidecar IS
+    * the correctness fence.
+    */
+  def streamingHllIngest(
+      spark: SparkSession,
+      eventsDir: String,
+      storeDir: String,
+      itemCol: String = "user_id",
+      groupCol: String = "event_type",
+      windowMs: Long = 3600000L,
+      p: Int = 12,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None,
+      autoCompactThreshold: Option[Int] = None): Unit =
+    windowStoreIngest(spark, eventsDir, storeDir,
+      coldBuild = b => graft.operators.HllStore.write(b, storeDir,
+        itemCol, groupCol, windowMs, p),
+      appendBatch = b => graft.operators.HllStore.append(spark, b, storeDir),
+      inPlaceCompact = fs => compactHllInPlace(spark, fs, storeDir),
+      storeName = "hll store", compactHint = "HllStore.compactStore",
+      maxFilesPerTrigger, checkpointDir, autoCompactThreshold)
+
+  /** The shared window-store ingest loop: events file stream →
+    * foreachBatch → cold-build on the first batch (no geometry sidecar
+    * yet), frozen-geometry append after; batchId replay sidecar;
+    * per-batch file-health check bounded to the windows the batch
+    * touched (never the store's age), warn-or-auto-compact past the
+    * watermark. `ts` is normalized per batch (the nanos/NTZ fixture
+    * split — [[graft.Tables.normalizeEventTs]]).
+    */
+  private def windowStoreIngest(
+      spark: SparkSession,
+      eventsDir: String,
+      storeDir: String,
+      coldBuild: DataFrame => Unit,
+      appendBatch: DataFrame => Seq[Long],
+      inPlaceCompact: org.apache.hadoop.fs.FileSystem => Unit,
+      storeName: String,
+      compactHint: String,
+      maxFilesPerTrigger: Option[Int],
+      checkpointDir: Option[String],
+      autoCompactThreshold: Option[Int]): Unit = {
     // nanos-physical events surface ts as long under this conf; the NTZ
     // fixture generation is normalized per batch below
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -996,22 +1052,20 @@ object Streaming {
           val touched =
             try {
               if (!fs.exists(metaPath)) {
-                graft.operators.SketchStore.write(b, storeDir, valueCol,
-                  groupCol, windowMs, mBits, quantScale)
+                coldBuild(b)
                 Seq.empty[Long] // cold build writes 1 file per window
-              } else graft.operators.SketchStore.append(spark, b, storeDir)
+              } else appendBatch(b)
             } finally graft.operators.Lineage.release(b)
           commitPath.foreach(p =>
             IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
           val files = maxFilesInWindows(fs, storeDir, touched)
           autoCompactThreshold match {
-            case Some(thr) if files > thr =>
-              compactSketchInPlace(spark, fs, storeDir)
+            case Some(thr) if files > thr => inPlaceCompact(fs)
             case None if files > compactionWatermark =>
-              System.err.println(s"[graft] sketch store at $storeDir has " +
+              System.err.println(s"[graft] $storeName at $storeDir has " +
                 s"$files files in a just-touched window partition — run " +
-                "SketchStore.compactStore (or set autoCompactThreshold) " +
-                "before the serving read's per-file overhead dominates")
+                s"$compactHint (or set autoCompactThreshold) before the " +
+                "serving read's per-file overhead dominates")
             case _ => ()
           }
         }
@@ -1052,20 +1106,37 @@ object Streaming {
   private[graft] def compactSketchInPlace(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      storeDir: String): Unit = {
+      storeDir: String): Unit =
+    compactWindowStoreInPlace(fs, storeDir,
+      staging => graft.operators.SketchStore.compactStore(spark, storeDir, staging))
+
+  /** [[compactSketchInPlace]] for the HLL register store — same
+    * two-directory swap, max-fold rewrite.
+    */
+  private[graft] def compactHllInPlace(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String): Unit =
+    compactWindowStoreInPlace(fs, storeDir,
+      staging => graft.operators.HllStore.compactStore(spark, storeDir, staging))
+
+  private def compactWindowStoreInPlace(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storeDir: String,
+      rewrite: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val staging = storeDir + "_compacting"
     for (sfx <- Seq("", "_meta"))
       fs.delete(new Path(staging + sfx), true)
-    graft.operators.SketchStore.compactStore(spark, storeDir, staging)
+    rewrite(staging)
     for (sfx <- Seq("", "_meta")) {
       val live = new Path(storeDir + sfx)
       val retired = new Path(storeDir + sfx + "_precompact")
       fs.delete(retired, true)
       require(fs.rename(live, retired),
-        s"compactSketchInPlace: rename $live -> $retired failed")
+        s"compactWindowStoreInPlace: rename $live -> $retired failed")
       require(fs.rename(new Path(staging + sfx), live),
-        s"compactSketchInPlace: rename ${staging + sfx} -> $live failed " +
+        s"compactWindowStoreInPlace: rename ${staging + sfx} -> $live failed " +
           s"(recover the directory from $retired)")
       fs.delete(retired, true)
     }

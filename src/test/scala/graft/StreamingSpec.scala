@@ -355,6 +355,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == rowsBefore)
   }
 
+  test("streaming HLL-store ingest equals a cold build; replayed batches cannot move answers") {
+    import graft.operators.HllStore
+    val evDir = tmpDir("stream-hll")
+    val raw = Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-hll-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, evDir.resolve(name))
+    }
+    // file 2 OVERLAPS file 1 (evens ∪ all) — a producer-side redelivery
+    // the source checkpoint cannot see; register max-merge must absorb
+    // it without any dedupe machinery (the contrast with the quantile
+    // twin, where only the batchId fence stands between a replay and
+    // doubled counts)
+    addFile(raw.filter(col("event_id") % 2 === 0), "f1.parquet")
+    addFile(raw, "f2.parquet")
+    val store = tmpDir("stream-hll-store").toString + "/store"
+    val ckpt = tmpDir("stream-hll-ckpt").toString
+    Streaming.streamingHllIngest(spark, evDir.toString, store,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    val jan1 = 1704067200000L
+    val feb1 = 1706745600000L
+    val got = HllStore.distinct(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    val coldStore = tmpDir("stream-hll-cold").toString + "/store"
+    HllStore.write(raw, coldStore)
+    val cold = HllStore.distinct(spark, coldStore, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    assert(got == cold && got.nonEmpty,
+      s"streamed store must serve the cold-build answers: $got vs $cold")
+    // checkpoint replay: no new files -> no new rows
+    val rowsBefore = spark.read.parquet(store).count()
+    Streaming.streamingHllIngest(spark, evDir.toString, store,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(store).count() == rowsBefore)
+    // in-place compaction folds the overlap's duplicate registers
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Streaming.compactHllInPlace(spark, fs, store)
+    assert(spark.read.parquet(store).count() < rowsBefore)
+    val after = HllStore.distinct(spark, store, jan1, feb1)
+      .orderBy("event_type").collect().toSeq
+    assert(after == cold)
+  }
+
   test("sketch in-place compaction: touched-window files shrink, answers unchanged") {
     import graft.operators.SketchStore
     val ev = Tables.loadEvents(spark, "/root/testdata/sf0.001")
