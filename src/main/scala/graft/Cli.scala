@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              qualityclf|loghist]
+          |              qualityclf|auc|calibrate|brier|loghist]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -264,6 +264,8 @@ object Cli {
           |          lshprobe: -in <new-batch documents> -index dir [-threshold X];
           |          lshcompact: -index dir -dest dir [-files N];
           |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
+          |          auc/calibrate/brier: -in <scored parquet> [-score-expr e] [-label-expr e]
+          |            (auc: [-by cols] [-quant-scale X]; calibrate: [-bins N]);
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
           |          dsir: [-target-col c] [-target v] [-scale F];
@@ -825,6 +827,31 @@ object Cli {
             lr2 = flags.getOrElse("lr2", "0.25").toDouble)
           .orderBy("doc_id")
       }
+      // probe evaluation trio over an already-scored table (-score-expr
+      // and -label-expr are SQL expressions over the input schema — the
+      // qualityclf output plugs straight in with the defaults)
+      case "auc" => {
+        val scored = docs.withColumn("__s",
+          expr(flags.getOrElse("score-expr", "score")))
+        val by = flags.get("by").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Seq.empty)
+        val r = Eval.rocAuc(scored, "__s",
+          expr(flags.getOrElse("label-expr", "y = 1")), by,
+          quantScale = flags.get("quant-scale").map(_.toDouble))
+        if (by.isEmpty) r else r.orderBy(by.map(col): _*)
+      }
+      case "calibrate" =>
+        Eval.calibration(
+            docs.withColumn("__s",
+              expr(flags.getOrElse("score-expr", "score"))),
+            "__s", expr(flags.getOrElse("label-expr", "y = 1")),
+            bins = flags.getOrElse("bins", "10").toInt)
+          .orderBy("bin")
+      case "brier" =>
+        Eval.brierScore(
+          docs.withColumn("__s",
+            expr(flags.getOrElse("score-expr", "score"))),
+          "__s", expr(flags.getOrElse("label-expr", "y = 1")))
       case "lshprobe" => {
         val idx = flags.getOrElse("index",
           fail("corpus -op lshprobe requires -index <dir> (an existing lsh store)"))

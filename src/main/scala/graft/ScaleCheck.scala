@@ -173,6 +173,24 @@ object ScaleCheck {
       require(m(1L) - m(0L) > 0.1,
         s"three gradient steps must separate a learnable label's means " +
           s"by > 0.1, got ${m(1L) - m(0L)}")
+      // the probe graded by its own evaluation operator: exact ROC-AUC
+      // over the 50k scored docs through the two-level prefix scan —
+      // score histogram is data-derived (thousands of distinct fixed-
+      // point z's), exactly the input a single-reducer rank would choke
+      // on at 100×. Gate ranking power directly (measured 0.82; 0.65
+      // leaves headroom) and the scan's shape (the only unpartitioned
+      // window runs over per-partition offset rows, never the histogram)
+      val aucDf = operators.Eval.rocAuc(scored, "score", col("y") === 1L)
+      val dataWindows = aucDf.queryExecution.sparkPlan.collect {
+        case wx: org.apache.spark.sql.execution.window.WindowExec
+          if wx.partitionSpec.isEmpty => wx
+      }
+      require(dataWindows.forall(_.child.toString.contains("__pid")),
+        "rocAuc planned an unpartitioned window over the score histogram")
+      val auc = aucDf.head().getAs[Double]("auc")
+      println(s"[scale] probe ROC-AUC at 10x: $auc")
+      require(auc > 0.65,
+        s"trained probe AUC $auc — a learnable label must rank above 0.65")
       operators.CacheRegistry.release(spark)
     }
     // duplicate spans under total span collision: every span exists in ≥10

@@ -676,6 +676,46 @@ object SparkEntry {
           col("text").contains("vector"), dim = 64, iters = 3, lr2 = 1.0)
         .orderBy("doc_id")),
 
+    // exact ROC-AUC (Mann–Whitney with mid-rank ties) — the evaluation
+    // member of the classifier family. Score = n_chars (313 distinct
+    // values over 500 docs at sf0.01 — the tie mass is the point: mid-
+    // rank handling is where naive AUC implementations break), label =
+    // lang='en'. The rank comes from the two-level prefix scan, never a
+    // single-reducer window; the oracle replays the same histogram +
+    // strictly-below cumulative + integer numerator
+    "q_roc_auc" -> ((s, dir) =>
+      operators.Eval.rocAuc(Tables.load(s, dir, "documents"),
+        "n_chars", col("lang") === "en")),
+
+    // grouped twin: one AUC per source — "which shard's metadata
+    // predicts English" as a per-slice ranking diagnostic
+    "q_roc_auc_by" -> ((s, dir) =>
+      operators.Eval.rocAuc(Tables.load(s, dir, "documents"),
+        "n_chars", col("lang") === "en", Seq("source"))
+        .orderBy("source")),
+
+    // calibration (reliability) table over a [0,1] score: per decile
+    // band, count / positive count / empirical rate / fixed-point mean
+    // score. The score is a deterministic [0,1] projection of n_chars —
+    // the gate pins the BIN AND MEAN ARITHMETIC (floor(s·10⁶+0.5) sums,
+    // one division), which is what a probe-threshold sweep runs on
+    "q_calibration" -> ((s, dir) =>
+      operators.Eval.calibration(
+        Tables.load(s, dir, "documents")
+          .withColumn("score", (col("n_chars") % 997) / lit(996.0)),
+        "score", col("lang") === "en", bins = 10)
+        .orderBy("bin")),
+
+    // Brier score per language — the strictly proper single-number
+    // readout (punishes miscalibration AND misranking), integer sums on
+    // the 3dp grid
+    "q_brier" -> ((s, dir) =>
+      operators.Eval.brierScore(
+        Tables.load(s, dir, "documents")
+          .withColumn("score", (col("n_chars") % 997) / lit(996.0)),
+        "score", col("lang") === "en", Seq("lang"))
+        .orderBy("lang")),
+
     // per-stratum winsorized quality report: exact nearest-rank
     // [5%, 95%] bounds on the 4dp alpha_ratio via the count-table
     // cumulative walk (no per-stratum sort), clip counts + robust mean
@@ -2721,6 +2761,82 @@ object SparkEntry {
          JOIN y USING (doc_id)
          LEFT JOIN zf USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // Mann–Whitney with mid-rank ties as a histogram + strictly-below
+    // cumulative: AUC = Σ pos_s·(2·negBelow_s + neg_s) / (2·nPos·nNeg).
+    // DuckDB's BIGINT sums promote to HUGEINT — the same 128-bit
+    // arithmetic the Spark side runs as decimal(38,0)
+    "q_roc_auc" ->
+      """WITH h AS (
+           SELECT CAST(n_chars AS DOUBLE) AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+         ), c AS (
+           SELECT pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+           FROM h
+         )
+         SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+             ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
+               / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
+         FROM c""",
+
+    // the grouped walk: identical arithmetic, the cumulative partitioned
+    // per source
+    "q_roc_auc_by" ->
+      """WITH h AS (
+           SELECT source, CAST(n_chars AS DOUBLE) AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+         ), c AS (
+           SELECT source, pos, neg,
+             coalesce(sum(neg) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+           FROM h
+         )
+         SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+             ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
+               / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
+         FROM c GROUP BY source ORDER BY source""",
+
+    // decile reliability bands: bin = min(floor(s·10), 9); the mean is
+    // the floor(s·10⁶ + 0.5) integer sum divided once — the exact
+    // fixed-point the Spark side accumulates
+    "q_calibration" ->
+      """WITH sc AS (
+           SELECT (n_chars % 997) / 996.0 AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents WHERE n_chars IS NOT NULL
+         )
+         SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+           round(CAST(sum(CAST(floor(s * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (1000000.0 * count(*)), 6) AS mean_score
+         FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // Brier on the 3dp grid: Σ (⌊s·1000+0.5⌋ − 1000·y)² / (10⁶·n)
+    "q_brier" ->
+      """WITH sc AS (
+           SELECT lang, (n_chars % 997) / 996.0 AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents WHERE n_chars IS NOT NULL
+         ), t AS (
+           SELECT lang,
+             CAST(floor(s * 1000 + 0.5) AS BIGINT) - 1000 * y AS d
+           FROM sc
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(d * d) AS DOUBLE) / (1000000.0 * count(*)), 6) AS brier
+         FROM t GROUP BY lang ORDER BY lang""",
 
     // count-table cumulative walk replay: the 4dp score domain keeps the
     // per-stratum count table tiny; nearest-rank value = smallest v whose

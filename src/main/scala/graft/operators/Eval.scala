@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation — the missing third of the quality-probe story
+  * ([[Classifier]] trains and scores; nothing measured the scores). A
+  * curation pipeline tunes its keep-threshold off exactly these three
+  * readouts: ranking power (ROC-AUC), probability honesty per score
+  * band (calibration table), and the single-number proper score (Brier).
+  *
+  * All three follow the engine's exactness discipline: integer/decimal
+  * sums only (partition-order invariant — plain double accumulation is
+  * not), one fixed scalar expression at the end, results 6dp-rounded so
+  * the DuckDB oracle replays them bit-for-bit.
+  *
+  * The scale trap in AUC specifically is the rank: Mann–Whitney needs
+  * every score's position in the global order, and the obvious
+  * `Window.orderBy(score)` is a single-reducer sort over the DISTINCT-
+  * SCORE table — corpus-sized for continuous scores (the collocations
+  * lesson). [[rocAuc]] instead rides the two-level prefix scan
+  * ([[Linkage.sortedNeighborhoodPairs]] step 1, [[Sampling
+  * .deterministicShuffle]]): range-partition the score histogram,
+  * rank inside each range partition in parallel, add broadcast
+  * per-partition offsets. No stage holds more than one range partition
+  * in one task.
+  */
+object Eval {
+
+  /** Exact ROC-AUC as the Mann–Whitney U statistic with mid-rank tie
+    * handling (Hand & Till 2001 formulation):
+    *
+    *   AUC = Σ_s pos_s · (2·negBelow_s + neg_s) / (2 · nPos · nNeg)
+    *
+    * summed over distinct score values s — each pos/neg pair contributes
+    * 1 when the positive outscores the negative, 1/2 on a tie (the ×2
+    * numerator keeps every term an integer). Output: (groupCols…,
+    * n_pos, n_neg, auc), auc NULL for a single-class group (no pairs to
+    * rank — NULL, not a fake 0.5, so a degenerate slice is visible).
+    *
+    * Scale shape, stepwise:
+    *   1. histogram: groupBy(group, score) → (pos_s, neg_s). The ONLY
+    *      corpus-sized pass; everything after is distinct-score-sized.
+    *   2. negBelow via the two-level scan: `repartitionByRange(group,
+    *      score)` (sampled bounds affect balance, never the result —
+    *      rank is a property of the total order), per-(partition, group)
+    *      running sum, plus per-(partition, group) totals rolled into
+    *      offsets. The offsets table has ≤ partitions + groups − 1 rows
+    *      (each range partition holds a contiguous group span), so its
+    *      own per-group window is partition-count-sized, never
+    *      data-sized.
+    *   3. one final groupBy(group). Numerator terms multiply as
+    *      decimal(38,0) — pos_s·(2·negBelow+neg_s) reaches 2·n² in one
+    *      hot score bucket, past int64 at n ~ 2·10⁹; DuckDB's HUGEINT
+    *      sums are the same 128-bit arithmetic, so exactness survives
+    *      without a magnitude gate.
+    *
+    * `quantScale`: Some(q) ranks `floor(score·q)` instead of the raw
+    * score — the binned estimate whose histogram is bounded by the score
+    * RANGE × q instead of the corpus (the [[Quantiles.logHistBuckets]]
+    * tradeoff; binning merges near-ties, and mid-rank handling makes the
+    * result exactly the trapezoid rule on the binned ROC curve). Set it
+    * when scores are continuous and the corpus is huge; leave None when
+    * scores are already discrete ([[Classifier]] z's are integers).
+    *
+    * Null scores are excluded, NaN scores rejected loudly (engines
+    * disagree on NaN order), null labels count as negative — the
+    * [[Classifier.linearProbe]] label convention.
+    */
+  def rocAuc(
+      scored: DataFrame,
+      scoreCol: String,
+      label: Column,
+      groupCols: Seq[String] = Seq.empty,
+      quantScale: Option[Double] = None): DataFrame = {
+    val g = groupCols.map(col)
+    val s0 = col(scoreCol).cast("double")
+    val y = coalesce(label.cast("boolean"), lit(false))
+    val sKey = quantScale match {
+      case Some(q) =>
+        require(q > 0.0, s"quantScale must be positive, got $q")
+        floor(s0 * q).cast("long").cast("double")
+      case None => s0
+    }
+    val hist = scored
+      .filter(s0.isNotNull)
+      .withColumn("__nan", assert_true(!isnan(s0),
+        lit("rocAuc: NaN score — engines disagree on NaN rank; filter " +
+          "or impute upstream")))
+      .filter(col("__nan").isNull)
+      .groupBy(g :+ sKey.as("__s"): _*)
+      .agg(sum(y.cast("long")).as("__pos"),
+        sum((!y).cast("long")).as("__neg"))
+    val nb = negBelow(hist, groupCols)
+    val term = col("__pos").cast("decimal(38,0)") *
+      (lit(2L) * col("__nb") + col("__neg")).cast("decimal(38,0)")
+    val agg = nb.groupBy(g: _*)
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(term).as("__num2"))
+    agg.select(g :+ col("n_pos") :+ col("n_neg")
+      :+ when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+        .otherwise(round(col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"): _*)
+  }
+
+  /** Per-(group, score-row) count of NEGATIVES at strictly lower scores
+    * — the two-level distributed prefix scan over the (group, __s,
+    * __pos, __neg) histogram. Returns the histogram plus `__nb`.
+    *
+    * PERSISTED AND MATERIALIZED BEFORE BRANCHING: __pid comes from a
+    * SAMPLED range shuffle, so the local-rank branch and the offsets
+    * branch must read the same materialization (the
+    * [[Linkage.sortedNeighborhoodPairs]] exchange-reuse caveat,
+    * verbatim).
+    */
+  private def negBelow(hist: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val ranged = CacheRegistry.track(hist
+      .repartitionByRange(g :+ col("__s"): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ranged.count()
+    val wLocal = Window
+      .partitionBy(col("__pid") +: g: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__nbl",
+      coalesce(sum(col("__neg")).over(wLocal), lit(0L)))
+    // offsets: per-(partition, group) negative totals, prefix-summed per
+    // group across ascending partition ids (range partitioning on
+    // (group, score) makes pid order = score order inside a group). The
+    // window below runs over ≤ #partitions rows per group.
+    val offsets = ranged.groupBy(col("__pid") +: g: _*)
+      .agg(sum(col("__neg")).as("__pn"))
+      .withColumn("__off",
+        coalesce(sum(col("__pn")).over(
+          Window.partitionBy(g: _*).orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pn")
+    // the offsets table is contiguity-bounded (≤ partitions + groups − 1
+    // rows); broadcast unconditionally when global, let AQE size the
+    // grouped case (millions of groups would exceed the broadcast budget)
+    val joined =
+      if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("__pid"))
+      else local.join(offsets, "__pid" +: groupCols)
+    joined.withColumn("__nb", col("__nbl") + col("__off"))
+      .drop("__nbl", "__off", "__pid")
+  }
+
+  /** Calibration (reliability) table: scores binned into `bins` equal
+    * bands over [0, 1], per band the count, positive count, empirical
+    * positive rate, and mean score — "when the probe says 0.7, is it
+    * right 70% of the time?". Output: (groupCols…, bin, n, n_pos,
+    * frac_pos, mean_score) with bin = ⌊s·bins⌋ clamped to bins−1.
+    *
+    * One aggregation, no window, no collect — the most scale-trivial
+    * member of the family. The mean is an integer sum of
+    * ⌊s·10⁶ + 0.5⌋ divided once at the end (exact and
+    * partition-order invariant; a plain avg(double) is neither).
+    * Scores outside [0, 1] fail loudly — a probe score past the label
+    * range means the caller forgot to squash, and silently binning it
+    * into the edge band would hide exactly the miscalibration this
+    * table exists to show.
+    */
+  def calibration(
+      scored: DataFrame,
+      scoreCol: String,
+      label: Column,
+      bins: Int = 10,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(bins >= 2 && bins <= 100000, s"bins must be in [2, 1e5], got $bins")
+    val g = groupCols.map(col)
+    val s = col(scoreCol).cast("double")
+    val y = coalesce(label.cast("boolean"), lit(false))
+    val checked = scored.filter(s.isNotNull)
+      .withColumn("__ck", assert_true(s >= 0.0 && s <= 1.0,
+        lit("calibration: score outside [0, 1] — squash scores before " +
+          "binning (a clamped bin would hide the miscalibration)")))
+      .filter(col("__ck").isNull)
+    val bin = least(floor(s * bins).cast("long"), lit(bins - 1L))
+    val s6 = floor(s * 1e6 + 0.5).cast("long")
+    checked
+      .groupBy(g :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(y.cast("long")).as("n_pos"),
+        sum(s6.cast("decimal(38,0)")).as("__s6"))
+      .select(g :+ col("bin") :+ col("n") :+ col("n_pos")
+        :+ round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos")
+        :+ round(col("__s6").cast("double") / (lit(1e6) * col("n")), 6)
+          .as("mean_score"): _*)
+  }
+
+  /** Brier score — mean squared error of the probability against the
+    * 0/1 outcome, the strictly proper score that punishes both bad
+    * ranking AND bad calibration. Output: (groupCols…, n, brier).
+    *
+    * Exactness vs headroom: the squared terms sum as integers on a
+    * 3-decimal score grid — (⌊s·1000+0.5⌋ − 1000·y)² ≤ 10⁶ per row, so
+    * the int64 partial sums hold to ~9·10¹² rows per task before the
+    * decimal(38,0) accumulator takes over; quantizing s at 3dp perturbs
+    * the mean square by < 10⁻³ — noise against the metric's own use
+    * (comparing probe versions) and the price of a result every engine
+    * reproduces bit-for-bit. Scores must lie in [0, 1] (loud, as in
+    * [[calibration]]).
+    */
+  def brierScore(
+      scored: DataFrame,
+      scoreCol: String,
+      label: Column,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val g = groupCols.map(col)
+    val s = col(scoreCol).cast("double")
+    val y = coalesce(label.cast("boolean"), lit(false))
+    val checked = scored.filter(s.isNotNull)
+      .withColumn("__ck", assert_true(s >= 0.0 && s <= 1.0,
+        lit("brierScore: score outside [0, 1] — squash scores first")))
+      .filter(col("__ck").isNull)
+    val b3 = floor(s * 1000 + 0.5).cast("long")
+    val term = (b3 - lit(1000L) * y.cast("long"))
+    val agg =
+      if (groupCols.isEmpty)
+        checked.agg(count(lit(1)).as("n"),
+          sum((term * term).cast("decimal(38,0)")).as("__sq"))
+      else
+        checked.groupBy(g: _*).agg(count(lit(1)).as("n"),
+          sum((term * term).cast("decimal(38,0)")).as("__sq"))
+    agg.select(g :+ col("n")
+      :+ round(col("__sq").cast("double") / (lit(1e6) * col("n")), 6)
+        .as("brier"): _*)
+  }
+}
