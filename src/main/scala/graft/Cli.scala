@@ -296,8 +296,8 @@ object Cli {
           |              transitions|sessionstats|anomaly|anomalyonline|paths|dwell|
           |              assoc ([-basket c] [-item c] [-min-support N])|
           |              heavy ([-min-frac f])|percentile ([-p f] [-bins n])|
-          |              sketchbuild|sketchappend|sketchserve|sketchcompact|
-          |              hllbuild|hllappend|hllserve|hllcompact]
+          |              sketchbuild|sketchappend|sketchserve|sketchcdf|sketchcompact|
+          |              hllbuild|hllappend|hllserve|hlloverlap|hllcompact]
           |         (funnel: [-stages a,b,c]; retention: [-bucket-ms n];
           |          sessionize: [-gap-ms n]; json: [-path $.field];
           |          anomaly/anomalyonline: [-z-cut X] [-min-events N|-min-prior N];
@@ -308,7 +308,9 @@ object Cli {
           |          sketchcompact: -store dir -dest dir;
           |          hllbuild: -in events -store dir [-item-col c] [-group-col c]
           |            [-window-ms n] [-p N]; hllappend/hllserve/hllcompact:
-          |            the sketch* flags, serving distinct-count estimates) [-out dir]
+          |            the sketch* flags, serving distinct-count estimates;
+          |          sketchcdf: -store dir -from-ms n -to-ms n -le x1,x2,…;
+          |          hlloverlap: -store dir -from-ms n -to-ms n [-corrected true]) [-out dir]
           |  compact -in <dir> -out <dir> [-sort-cols a,b] [-files n | -target-mb m]
           |  version  Print version  (also -v, --version)
           |  help     Print this usage  (also -h, --help)
@@ -1137,6 +1139,30 @@ object Cli {
           fail("events -op hllcompact requires -dest <dir> (the compacted store)"))
         HllStore.compactStore(spark, store, dest)
         storeCensus(dest)
+      }
+      case "hlloverlap" => {
+        val store = flags.getOrElse("store",
+          fail("events -op hlloverlap requires -store <dir> (an existing hll store)"))
+        val from = flags.getOrElse("from-ms",
+          fail("events -op hlloverlap requires -from-ms <epoch ms>")).toLong
+        val to = flags.getOrElse("to-ms",
+          fail("events -op hlloverlap requires -to-ms <epoch ms>")).toLong
+        HllStore.overlap(spark, store, from, to,
+            corrected = flags.get("corrected").exists(_.toBoolean))
+          .orderBy("group_a", "group_b")
+      }
+      case "sketchcdf" => {
+        val store = flags.getOrElse("store",
+          fail("events -op sketchcdf requires -store <dir> (an existing sketch store)"))
+        val from = flags.getOrElse("from-ms",
+          fail("events -op sketchcdf requires -from-ms <epoch ms>")).toLong
+        val to = flags.getOrElse("to-ms",
+          fail("events -op sketchcdf requires -to-ms <epoch ms>")).toLong
+        val xs = flags.getOrElse("le",
+          fail("events -op sketchcdf requires -le x1,x2,… (thresholds)"))
+          .split(",").map(_.trim.toDouble).toSeq
+        val res = SketchStore.cdf(spark, store, from, to, xs)
+        res.orderBy(res.columns.head)
       }
       case other => fail(s"unknown events op: $other")
     }

@@ -927,11 +927,31 @@ object ScaleCheck {
           "be register-bounded, not event-sized")
       val servedBefore = operators.HllStore.distinct(spark, hllDir, from, to)
         .orderBy("event_type").collect().toSeq
+      val overlapBefore = operators.HllStore.overlap(spark, hllDir, from, to)
+        .orderBy("group_a", "group_b").collect().toSeq
       operators.HllStore.append(spark, ev01, hllDir) // replay month 0
       val servedAfter = operators.HllStore.distinct(spark, hllDir, from, to)
         .orderBy("event_type").collect().toSeq
       require(servedBefore == servedAfter && servedBefore.nonEmpty,
         "a replayed month must be invisible to served distinct counts")
+      // overlap rides the same registers — replay-invisible too, and the
+      // pair fan-out is exactly G·(G−1)/2 rows (the G² matrix shape)
+      val overlapAfter = operators.HllStore.overlap(spark, hllDir, from, to)
+        .orderBy("group_a", "group_b").collect().toSeq
+      val gN = servedBefore.size
+      require(overlapBefore == overlapAfter &&
+        overlapBefore.size == gN * (gN - 1) / 2,
+        "overlap serve must be replay-invisible and pair-matrix-sized")
+      // CDF brackets from the quantile store: certified [lo, hi] per
+      // threshold, pure aggregation on the same pruned read
+      val cdfRows = operators.SketchStore.cdf(spark, storeDir, from, to,
+        Seq(50.0, 450.0)).collect()
+      require(cdfRows.nonEmpty && cdfRows.forall { r =>
+        (2 until 6 by 2).forall { i =>
+          val (lo, hi) = (r.getDouble(i), r.getDouble(i + 1))
+          lo >= 0.0 && lo <= hi && hi <= 1.0
+        }
+      }, "cdf serve must return ordered [lo, hi] brackets inside [0, 1]")
     }
     operators.CacheRegistry.release(spark)
     // column profile at 10x: one stacked agg row per column + grouped HLL

@@ -513,6 +513,37 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // pairwise audience overlap from the SAME register store: per-idx
+    // MAX of two groups' registers IS the union's register table
+    // (exact, not approximated), so est(A∩B) = est(A)+est(B)−est(A∪B)
+    // falls out of inclusion–exclusion over three harmonic finalizes.
+    // The oracle replays the G²/2 pair matrix over the raw range — the
+    // gate pins the union-register algebra and the pair fan-out
+    "q_hll_overlap" -> ((s, dir) => withTempStore("hlloverlap") { tmp =>
+      val ev = Tables.loadEvents(s, dir)
+      val store = tmp + "/store"
+      HllStore.write(ev, store)
+      HllStore.overlap(s, store, 1704672000000L, 1705276800000L)
+        .orderBy("group_a", "group_b")
+    }),
+
+    // CDF (rank) serve from the quantile-sketch store — the SLO dual of
+    // q_loghist_store ("what share of values sit at or below x"), as a
+    // CERTIFIED [lo, hi] bracket: buckets entirely below the threshold
+    // vs those plus the straddler, widths recovered from the stored
+    // edge alone (positive: bitlength(lo); negative: bitlength(|lo|−1)
+    // — the 2^e corner fold). Values are CENTERED (value − 250) so the
+    // negative-edge recovery runs on real store data, not just specs
+    "q_loghist_cdf" -> ((s, dir) => withTempStore("lhcdf") { tmp =>
+      val ev = Tables.loadEvents(s, dir)
+        .withColumn("centered", col("value") - 250.0)
+      val store = tmp + "/store"
+      SketchStore.write(ev, store, valueCol = "centered")
+      SketchStore.cdf(s, store, 1704672000000L, 1705276800000L,
+          Seq(-100.0, 0.0, 150.0))
+        .orderBy("event_type")
+    }),
+
     // WEIGHTED log-histogram quantiles: the doc length below which p of
     // the corpus' CHARACTERS live, per language — the curation view
     // (one 1M-char doc = a million 1-char docs), same one-pass sketch
@@ -2605,6 +2636,120 @@ object SparkEntry {
            $c / CAST(s_used + (4096 - n_registers_used) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_distinct
          FROM agg ORDER BY event_type"""
     },
+
+    // the pair-matrix walk: same register CTE (each event ONCE), per-idx
+    // MAX across each group pair = the union's registers, three raw
+    // harmonic finalizes, inclusion–exclusion left-associated exactly as
+    // the Spark column expression evaluates
+    "q_hll_overlap" -> {
+      val c = graft.operators.Sketches.hllConstant(12)
+      s"""WITH it AS (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS item
+           FROM events
+           WHERE user_id IS NOT NULL
+             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
+             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
+         ), r AS (
+           SELECT event_type, h >> 48 AS idx,
+                  h & ((CAST(1 AS BIGINT) << 48) - 1) AS rem
+           FROM (SELECT event_type,
+                   CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h
+                 FROM it)
+         ), reg AS (
+           SELECT event_type, idx,
+             max(CASE WHEN rem = 0 THEN 49
+                 ELSE 49 - length(ltrim(bin(rem), '0')) END) AS mrho
+           FROM r GROUP BY 1, 2
+         ), gs AS (
+           SELECT DISTINCT event_type FROM reg
+         ), pr AS (
+           SELECT a.event_type AS ga, b.event_type AS gb
+           FROM gs a, gs b WHERE a.event_type < b.event_type
+         ), ur AS (
+           SELECT pr.ga, pr.gb, g.idx, max(g.mrho) AS mrho
+           FROM pr JOIN reg g
+             ON g.event_type = pr.ga OR g.event_type = pr.gb
+           GROUP BY 1, 2, 3
+         ), fu AS (
+           SELECT ga, gb, CAST(count(*) AS BIGINT) AS nu,
+             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT),
+               CAST(0 AS BIGINT)) AS su
+           FROM ur GROUP BY 1, 2
+         ), fg AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT),
+               CAST(0 AS BIGINT)) AS sg
+           FROM reg GROUP BY 1
+         ), eg AS (
+           SELECT event_type,
+             $c / CAST(sg + (4096 - ng) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est
+           FROM fg
+         ), eu AS (
+           SELECT ga, gb,
+             $c / CAST(su + (4096 - nu) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_union
+           FROM fu
+         )
+         SELECT eu.ga AS group_a, eu.gb AS group_b,
+           ea.est AS est_a, eb.est AS est_b, eu.est_union,
+           ea.est + eb.est - eu.est_union AS est_overlap
+         FROM eu
+         JOIN eg ea ON ea.event_type = eu.ga
+         JOIN eg eb ON eb.event_type = eu.gb
+         ORDER BY 1, 2"""
+    },
+
+    // the bracket walk: rebuild the centered buckets over the range
+    // (each event once), recover each bucket's covered quantized span
+    // from its edge (positive: bitlength(lo); negative:
+    // bitlength(|lo|−1)), then the two bounded sums per threshold
+    "q_loghist_cdf" ->
+      """WITH v AS (
+           SELECT event_type AS g,
+             CAST(floor((value - 250.0) * 100) AS BIGINT) AS nq
+           FROM events
+           WHERE value IS NOT NULL
+             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
+             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
+         ), k AS (
+           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
+         ), w AS (
+           SELECT g, nq, an,
+             CASE WHEN e <= 6 THEN 1.0
+                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
+           FROM k
+         ), b AS (
+           SELECT g,
+             CASE WHEN nq = 0 THEN 0.0
+                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
+                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
+             END AS lo,
+             count(*) AS c
+           FROM w GROUP BY 1, 2
+         ), cls AS (
+           SELECT g, c, lo,
+             CASE WHEN e2 <= 6 THEN 1.0
+                  ELSE pow(2, CAST(e2 - 6 AS DOUBLE)) END AS w2
+           FROM (
+             SELECT g, c, lo,
+               CASE WHEN lo > 0 THEN length(bin(CAST(lo AS BIGINT)))
+                    WHEN lo < 0 THEN length(bin(CAST(abs(lo) - 1 AS BIGINT)))
+                    ELSE 6 END AS e2
+             FROM b)
+         ), fl AS (
+           SELECT g, c,
+             CASE WHEN lo >= 0 THEN lo ELSE lo + 1 END AS f,
+             CASE WHEN lo > 0 THEN lo + w2 - 1
+                  WHEN lo < 0 THEN lo + w2 ELSE 0.0 END AS l
+           FROM cls
+         )
+         SELECT g AS event_type, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l <= floor(-100.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_m100_0_lo,
+           CAST(sum(CASE WHEN f <= floor(-100.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_m100_0_hi,
+           CAST(sum(CASE WHEN l <= floor(0.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_0_0_lo,
+           CAST(sum(CASE WHEN f <= floor(0.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_0_0_hi,
+           CAST(sum(CASE WHEN l <= floor(150.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_150_0_lo,
+           CAST(sum(CASE WHEN f <= floor(150.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_150_0_hi
+         FROM fl GROUP BY g ORDER BY g""",
 
     // the weighted walk: identical bucket arithmetic at quantScale=1,
     // counts replaced by per-bucket weight sums (n = total weight)

@@ -148,6 +148,23 @@ object HllStore {
       m.p, Seq("window_start_ms", m.groupCol)), m.p, corrected)
   }
 
+  /** Pairwise distinct-count overlap between the store's groups over
+    * event-time range [fromMs, toMs) — "how many users both clicked AND
+    * purchased that week" from the same partition-pruned register read
+    * the per-group serve uses ([[Sketches.hllOverlapBy]] for the
+    * inclusion–exclusion algebra and the G² gate). Raw events never
+    * rescanned; replayed appends invisible as everywhere in this store.
+    */
+  def overlap(spark: SparkSession, dir: String,
+      fromMs: Long, toMs: Long, maxGroups: Int = 1024,
+      corrected: Boolean = false): DataFrame = {
+    val m = readMeta(spark, dir)
+    Sketches.hllOverlapBy(
+      readRegisters(spark, dir, fromMs, toMs)
+        .select(col(m.groupCol), col("idx"), col("mrho")),
+      m.p, m.groupCol, maxGroups, corrected)
+  }
+
   /** Rewrite `srcDir` with duplicate registers max-folded (one row per
     * (window, group, idx)) — answers are unchanged BY CONSTRUCTION
     * (max-merge is exactly what serving does), rows drop back to the

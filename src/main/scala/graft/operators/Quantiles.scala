@@ -620,4 +620,73 @@ object Quantiles {
   def logHistQuantiles(df: DataFrame, valueCol: String,
       groupCol: String): DataFrame =
     logHistQuantiles(df, valueCol, Seq(groupCol))
+
+  /** CDF (rank) queries from a (merged) [[logHistBuckets]] table — the
+    * INVERSE of [[logHistFinish]]: instead of "the value at rank p",
+    * answer "what fraction of rows lie at or below x" for each threshold
+    * in `xs`. The dashboard dual of the quantile serve ("how many
+    * requests beat the 200 ms SLO this week") from the same persisted
+    * sketch, raw events untouched.
+    *
+    * Each bucket's covered quantized range is recovered from its edge
+    * alone — no width column is stored. For a positive edge `lo` the
+    * generator guarantees bitlength(lo) = bitlength of every member, so
+    * w = max(2^(e−mBits), 1) and the bucket covers [lo, lo+w−1]; a
+    * negative edge lo = −(mag+w) covers [lo+1, lo+w], and e is
+    * recovered as bitlength(|lo|−1) (|lo| ranges over (2^(e−1), 2^e] —
+    * subtracting 1 folds the 2^e corner back to bitlength e; uniqueness
+    * is an algebra fact, not a convention: no other exponent generates
+    * the same multiple). All integer bit arithmetic — the same ops the
+    * DuckDB oracle replays.
+    *
+    * The answer is a CERTIFIED BRACKET, not a point estimate: `*_lo`
+    * counts buckets entirely ≤ ⌊x·quantScale⌋, `*_hi` adds the one
+    * straddling bucket per group. The true quantized rank lies inside
+    * by construction; the bracket width is the straddler's mass
+    * (relative error ≤ 2^(1−mBits) of the neighborhood, the sketch's
+    * own guarantee). Output: (groupCols…, n, le_<x>_lo, le_<x>_hi, …)
+    * as fractions. Pure aggregation — no window, no collect; the
+    * scale-simplest serve in the family.
+    */
+  def logHistCdf(
+      buckets: DataFrame,
+      groupCols: Seq[String],
+      xs: Seq[Double],
+      mBits: Int = 6,
+      quantScale: Double = 100.0): DataFrame = {
+    require(xs.nonEmpty, "logHistCdf: at least one threshold required")
+    require(mBits >= 1 && mBits <= 20, s"mBits must be in [1,20], got $mBits")
+    require(quantScale > 0.0, s"quantScale must be positive, got $quantScale")
+    val gc = groupCols.map(col)
+    val lo = col("bucket_lo")
+    // recovered width: e from the edge (positive: bitlength(lo);
+    // negative: bitlength(|lo|−1), the corner-folding trick above)
+    val e = when(lo > 0, length(bin(lo.cast("long"))))
+      .when(lo < 0, length(bin((abs(lo) - 1).cast("long"))))
+      .otherwise(lit(mBits)) // zero bucket: w irrelevant, covers {0}
+    val w = when(e <= mBits, lit(1.0))
+      .otherwise(pow(lit(2.0), (e - mBits).cast("double")))
+    val first = when(lo >= 0, lo).otherwise(lo + 1)
+    val last = when(lo > 0, lo + w - 1).when(lo < 0, lo + w)
+      .otherwise(lit(0.0))
+    val checked = buckets
+      .withColumn("__ck", assert_true(col("mx") < lit(1L << 53),
+        lit("logHistCdf: a quantized magnitude reached 2^53 — bucket " +
+          "edges are no longer exact; lower quantScale")))
+      .filter(col("__ck").isNull)
+      .withColumn("__first", first)
+      .withColumn("__last", last)
+    def name(x: Double) =
+      "le_" + x.toString.replace("-", "m").replace(".", "_")
+    val aggs = xs.flatMap { x =>
+      val nqx = math.floor(x * quantScale)
+      Seq(
+        (sum(when(col("__last") <= nqx, col("c")).otherwise(0L))
+          .cast("double") / sum(col("c"))).as(name(x) + "_lo"),
+        (sum(when(col("__first") <= nqx, col("c")).otherwise(0L))
+          .cast("double") / sum(col("c"))).as(name(x) + "_hi"))
+    }
+    checked.groupBy(gc: _*)
+      .agg(sum(col("c")).as("n"), aggs: _*)
+  }
 }

@@ -130,6 +130,24 @@ object SketchStore {
       Seq("window_start_ms", m.groupCol), ps, m.quantScale)
   }
 
+  /** CDF (rank) serve over event-time range [fromMs, toMs): for each
+    * threshold x, the certified [lo, hi] bracket on the fraction of
+    * values ≤ x — the SLO view ("what share of requests beat 200 ms
+    * this week") from the same store the quantile serve reads, same
+    * partition-pruned scan, no raw-event access
+    * ([[Quantiles.logHistCdf]] for the bracket semantics).
+    */
+  def cdf(spark: SparkSession, dir: String, fromMs: Long, toMs: Long,
+      xs: Seq[Double]): DataFrame = {
+    val m = readMeta(spark, dir)
+    // no pre-merge: the classification is per bucket row and counts
+    // ADD, so append-duplicated partials fold inside the one aggregation
+    Quantiles.logHistCdf(
+      readBuckets(spark, dir, fromMs, toMs)
+        .select(col(m.groupCol), col("bucket_lo"), col("c"), col("mx")),
+      Seq(m.groupCol), xs, m.mBits, m.quantScale)
+  }
+
   /** Rewrite `srcDir` with duplicate partials merged (one row per
     * (window, group, bucket_lo)) — estimates are unchanged (addition is
     * what the finisher would have done), only the row count drops back

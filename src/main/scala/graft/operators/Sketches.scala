@@ -456,6 +456,88 @@ object Sketches {
             col("idx").cast("string")))))
   }
 
+  /** Pairwise distinct-count OVERLAP between groups from one grouped
+    * register table — est(A∩B) = est(A) + est(B) − est(A∪B) by
+    * inclusion–exclusion, where est(A∪B) is EXACT at the register level
+    * (per-idx max of the two groups' registers IS the union's register
+    * table — [[hllMerge]]); only the harmonic estimates carry sketch
+    * error, so the overlap inherits ~±2σ of 1.04/√2^p per term and CAN
+    * go slightly negative on disjoint sets — returned as-is, not
+    * clamped, so callers see the noise floor. The audience-overlap /
+    * cross-segment-contamination readout HLL alone is said not to
+    * support; here it falls out of the stored registers without KMV's
+    * per-item samples.
+    *
+    * REGIME CAVEAT: the raw harmonic estimates are biased high below
+    * 2.5·2^p cardinality, and unlike a single readout the bias does NOT
+    * cancel across the three terms — a small-regime raw overlap is
+    * meaningless (measured: planted 600 read as ~3200 at p=12 with
+    * 1200-item sets). `corrected = true` adds `est_overlap_corrected`
+    * from linear-counting-corrected terms — spec-gated only, like every
+    * ln-based readout ([[correctedEstimate]]'s last-ulp note), so
+    * hash-gated oracles keep to the raw columns and sets ≥ 2.5·2^p.
+    *
+    * `reg` is (groupCol, idx, mrho) — duplicate (group, idx) rows legal
+    * (a store read mid-compaction); folded first. Scale shape: each
+    * register row fans out to (G−1) pairs via two broadcast joins
+    * against the G²/2-row pair list, so state is G²·2^p registers —
+    * a GROUP-pair matrix, not a data joint; G is gated loudly at
+    * `maxGroups` because past ~10³ groups the quadratic pair list is
+    * the wrong tool (cluster the groups first, or KMV-sample).
+    * Output: (group_a, group_b, est_a, est_b, est_union, est_overlap
+    * [, est_overlap_corrected]).
+    */
+  def hllOverlapBy(reg: DataFrame, p: Int, groupCol: String,
+      maxGroups: Int = 1024, corrected: Boolean = false): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val folded = CacheRegistry.track(reg
+      .groupBy(col(groupCol), col("idx")).agg(max(col("mrho")).as("mrho"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val groups = folded.select(col(groupCol).as("__g")).distinct()
+    val gCount = groups.count()
+    require(gCount >= 2, s"hllOverlapBy: need >= 2 groups, got $gCount")
+    require(gCount <= maxGroups,
+      s"hllOverlapBy: $gCount groups — the G² pair matrix stops being " +
+        s"an answer shape past $maxGroups; cluster the groups or raise " +
+        "maxGroups deliberately")
+    val pairs = groups.select(col("__g").as("group_a"))
+      .crossJoin(groups.select(col("__g").as("group_b")))
+      .filter(col("group_a") < col("group_b"))
+    val aSide = folded.join(broadcast(pairs),
+      col(groupCol) === col("group_a"))
+    val bSide = folded.join(broadcast(pairs),
+      col(groupCol) === col("group_b"))
+    val unionReg = aSide.select(col("group_a"), col("group_b"),
+        col("idx"), col("mrho"))
+      .unionByName(bSide.select(col("group_a"), col("group_b"),
+        col("idx"), col("mrho")))
+      .groupBy("group_a", "group_b", "idx").agg(max(col("mrho")).as("mrho"))
+    def corr(nu: Column, sf: Column): Column = correctedEstimate(p)(nu, sf)
+    val estU = hllFinalizeBy(unionReg, p, Seq("group_a", "group_b"))
+      .select(col("group_a"), col("group_b"),
+        col("est_distinct").as("est_union"),
+        col("n_registers_used").as("__nu_u"), col("s_fixed").as("__sf_u"))
+    val estG = hllFinalizeBy(folded, p, Seq(groupCol))
+      .select(col(groupCol).as("__eg"), col("est_distinct").as("__est"),
+        col("n_registers_used").as("__nu"), col("s_fixed").as("__sf"))
+    val joined = estU
+      .join(broadcast(estG.select(col("__eg"), col("__est").as("est_a"),
+        col("__nu").as("__nu_a"), col("__sf").as("__sf_a"))),
+        col("group_a") === col("__eg")).drop("__eg")
+      .join(broadcast(estG.select(col("__eg"), col("__est").as("est_b"),
+        col("__nu").as("__nu_b"), col("__sf").as("__sf_b"))),
+        col("group_b") === col("__eg")).drop("__eg")
+    val base = Seq(col("group_a"), col("group_b"), col("est_a"),
+      col("est_b"), col("est_union"),
+      (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+    val cols =
+      if (!corrected) base
+      else base :+ (corr(col("__nu_a"), col("__sf_a"))
+        + corr(col("__nu_b"), col("__sf_b"))
+        - corr(col("__nu_u"), col("__sf_u"))).as("est_overlap_corrected")
+    joined.select(cols: _*)
+  }
+
   // ------------------------------------------------------------------- KMV
 
   /** K-minimum-values distinct sketch (Bar-Yossef et al. RANDOM'02; the

@@ -136,4 +136,56 @@ class HllStoreSpec extends AnyFunSuite {
       .orderBy("event_type").collect().toSeq
     assert(after == before)
   }
+
+  test("overlap: est_union is the union corpus' own estimate (register exactness)") {
+    val store = freshStore("hll-overlap")
+    HllStore.write(ev, store)
+    val got = HllStore.overlap(spark, store, jan1, feb1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(got.size == types.length * (types.length - 1) / 2)
+    for (((a, b), row) <- got) {
+      // per-idx max over the two groups' registers IS the register
+      // table of the union corpus — est_union must equal the direct
+      // estimate of the concatenated slice, bit for bit
+      val unionEst = Sketches.hllFinalize(
+        Sketches.hllRegisters(
+          ev.filter(col("event_type").isin(a, b))
+            .withColumn("__item", col("user_id").cast("string")),
+          "__item", 12), 12).head().getAs[Double]("est_distinct")
+      assert(row.getAs[Double]("est_union") == unionEst, s"pair ($a,$b)")
+      // inclusion–exclusion identity pins the output contract
+      assert(row.getAs[Double]("est_overlap") ==
+        row.getAs[Double]("est_a") + row.getAs[Double]("est_b") -
+          row.getAs[Double]("est_union"), s"pair ($a,$b)")
+    }
+  }
+
+  test("overlap tracks a planted intersection; the G-squared gate is loud") {
+    import TestSpark.spark.implicits._
+    // raw regime: sets past 2.5·2^12 where the harmonic estimate is
+    // unbiased. A = 1..30000, B = 15001..45000 → |A∩B| = 15000; the
+    // three ~1.6%σ terms compound to σ ≈ 1000, tolerate 3σ
+    val items = ((1 to 30000).map(u => ("A", u.toString)) ++
+      (15001 to 45000).map(u => ("B", u.toString))).toDF("g", "item")
+    val reg = Sketches.hllRegistersBy(items, "item", 12, Seq("g"))
+    val est = Sketches.hllOverlapBy(reg, 12, "g").head()
+      .getAs[Double]("est_overlap")
+    assert(math.abs(est - 15000.0) < 3000.0, s"overlap est $est vs 15000")
+    // small regime: raw is biased past usefulness and the bias does NOT
+    // cancel — the corrected (linear-counting) column is the readout
+    val small = ((1 to 1200).map(u => ("A", u.toString)) ++
+      (601 to 1800).map(u => ("B", u.toString))).toDF("g", "item")
+    val sreg = Sketches.hllRegistersBy(small, "item", 12, Seq("g"))
+    val sr = Sketches.hllOverlapBy(sreg, 12, "g", corrected = true).head()
+    val corr = sr.getAs[Double]("est_overlap_corrected")
+    assert(math.abs(corr - 600.0) < 120.0, s"corrected overlap $corr vs 600")
+    assert(math.abs(sr.getAs[Double]("est_overlap") - 600.0) > 500.0,
+      "raw small-regime overlap unexpectedly accurate — regime caveat stale?")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hllOverlapBy(sreg, 12, "g", maxGroups = 1)
+    }
+    assert(e.getMessage.contains("pair matrix"))
+  }
 }

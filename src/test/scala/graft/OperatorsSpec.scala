@@ -482,6 +482,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nN == 2 && n100 <= 4.0 && n100 > 3.8)
   }
 
+  test("log-histogram cdf: width recovery partitions the signed line; bracket certifies") {
+    // quantScale = 1 makes nq = floor(v): every integer in [-4100, 4100]
+    // hits its own quantized point across ~12 exponents on both signs —
+    // the edge-only width recovery (positive: bitlength(lo); negative:
+    // bitlength(|lo|-1), the 2^e corner fold) must place EVERY value
+    // inside its own bucket's recovered [first, last], at mBits = 2
+    // where widths vary fastest
+    val vals = (-4100 to 4100).map(_.toDouble)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val mBits = 2
+    val buckets = Quantiles.logHistBuckets(df, "v", Seq("g"),
+      mBits = mBits, quantScale = 1.0)
+    for (x <- Seq(-4100.0, -257.0, -1.0, 0.0, 1.0, 63.0, 64.0, 255.0,
+        256.0, 2049.0, 4100.0)) {
+      val r = Quantiles.logHistCdf(buckets, Seq("g"), Seq(x),
+        mBits = mBits, quantScale = 1.0).head()
+      val exact = vals.count(_ <= x).toDouble / vals.size
+      val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+      assert(lo <= exact + 1e-12 && exact <= hi + 1e-12,
+        s"x=$x: exact $exact outside [$lo, $hi]")
+      // the bracket is exactly the straddling bucket's mass — at
+      // mBits=2 that is < 2^(1-mBits) = 50% of |x|'s neighborhood,
+      // which on this uniform line is a vanishing fraction
+      assert(hi - lo <= (math.max(math.abs(x), 4.0) * 0.5 + 2) / vals.size,
+        s"x=$x: bracket ${hi - lo} wider than the straddler bound")
+    }
+    // thresholds beyond both ends pin the degenerate brackets
+    val ends = Quantiles.logHistCdf(buckets, Seq("g"),
+      Seq(-999999.0, 999999.0), mBits = mBits, quantScale = 1.0).head()
+    assert(ends.getDouble(2) == 0.0 && ends.getDouble(3) == 0.0)
+    assert(ends.getDouble(4) == 1.0 && ends.getDouble(5) == 1.0)
+  }
+
   test("exact quantile: matches the sorted order statistic across distributions") {
     val rnd = new scala.util.Random(7)
     val shapes: Seq[(String, Seq[Double])] = Seq(

@@ -106,4 +106,43 @@ class SketchStoreSpec extends AnyFunSuite {
       .orderBy("event_type").collect().toSeq
     assert(after == before)
   }
+
+  test("cdf serve: certified bracket contains the exact rank, straddler-tight") {
+    val store = freshStore("sketch-cdf")
+    SketchStore.write(ev, store)
+    val xs = Seq(50.0, 200.0, 450.0)
+    val got = SketchStore.cdf(spark, store, jan1, feb1, xs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    // exact quantized CDF from the raw events (the store's contract is
+    // over floor(v·100), the sketch's own domain)
+    val exact = ev.select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("nq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        xs.map(x => (sum(when(col("nq") <= math.floor(x * 100), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)))
+          .as(s"f${x.toInt}")): _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((g, row) <- got; (x, i) <- xs.zipWithIndex) {
+      val lo = row.getDouble(2 + 2 * i)
+      val hi = row.getDouble(3 + 2 * i)
+      val f = exact(g).getDouble(2 + i)
+      assert(lo <= f && f <= hi,
+        s"group $g x=$x: exact $f outside bracket [$lo, $hi]")
+      assert(hi - lo <= 0.25, s"group $g x=$x: bracket too wide")
+    }
+    // duplicate partials (an un-compacted full replay) double every
+    // bucket count: n doubles, every FRACTION is unchanged — the
+    // classification sums counts, it never assumes one row per bucket
+    SketchStore.append(spark, ev, store)
+    val again = SketchStore.cdf(spark, store, jan1, feb1, xs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((g, row) <- got) {
+      assert(again(g).getLong(1) == 2 * row.getLong(1), s"group $g n")
+      for (i <- 0 until 2 * xs.size)
+        assert(again(g).getDouble(2 + i) == row.getDouble(2 + i),
+          s"group $g frac col $i moved under uniform duplication")
+    }
+  }
 }
