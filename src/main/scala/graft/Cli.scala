@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              qualityclf|auc|calibrate|brier|loghist]
+          |              qualityclf|auc|avgprec|calibrate|brier|loghist]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -264,8 +264,9 @@ object Cli {
           |          lshprobe: -in <new-batch documents> -index dir [-threshold X];
           |          lshcompact: -index dir -dest dir [-files N];
           |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
-          |          auc/calibrate/brier: -in <scored parquet> [-score-expr e] [-label-expr e]
-          |            (auc: [-by cols] [-quant-scale X]; calibrate: [-bins N]);
+          |          auc/avgprec/calibrate/brier: -in <scored parquet> [-score-expr e]
+          |            [-label-expr e] (auc/avgprec: [-by cols] [-quant-scale X];
+          |            calibrate: [-bins N]);
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
           |          dsir: [-target-col c] [-target v] [-scale F];
@@ -838,6 +839,16 @@ object Cli {
         val by = flags.get("by").map(_.split(",").map(_.trim).toSeq)
           .getOrElse(Seq.empty)
         val r = Eval.rocAuc(scored, "__s",
+          expr(flags.getOrElse("label-expr", "y = 1")), by,
+          quantScale = flags.get("quant-scale").map(_.toDouble))
+        if (by.isEmpty) r else r.orderBy(by.map(col): _*)
+      }
+      case "avgprec" => {
+        val scored = docs.withColumn("__s",
+          expr(flags.getOrElse("score-expr", "score")))
+        val by = flags.get("by").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Seq.empty)
+        val r = Eval.averagePrecision(scored, "__s",
           expr(flags.getOrElse("label-expr", "y = 1")), by,
           quantScale = flags.get("quant-scale").map(_.toDouble))
         if (by.isEmpty) r else r.orderBy(by.map(col): _*)

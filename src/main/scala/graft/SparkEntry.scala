@@ -725,6 +725,14 @@ object SparkEntry {
         "n_chars", col("lang") === "en", Seq("source"))
         .orderBy("source")),
 
+    // average precision (PR-AUC at the distinct-score operating points)
+    // — the imbalanced-label companion to q_roc_auc: same histogram,
+    // descending scan, precisions snapped to the 10⁻¹² grid BEFORE the
+    // integer term sum so the accumulation is partition-order invariant
+    "q_avg_prec" -> ((s, dir) =>
+      operators.Eval.averagePrecision(Tables.load(s, dir, "documents"),
+        "n_chars", col("lang") === "en")),
+
     // calibration (reliability) table over a [0,1] score: per decile
     // band, count / positive count / empirical rate / fixed-point mean
     // score. The score is a deterministic [0,1] projection of n_chars —
@@ -2950,6 +2958,34 @@ object SparkEntry {
              ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
                / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
          FROM c GROUP BY source ORDER BY source""",
+
+    // the PR walk at tie-collapsed thresholds: descending inclusive
+    // cumulatives, precision snapped to the 10⁻¹² grid, integer term sum
+    // (HUGEINT ≡ the Spark side's decimal(38,0))
+    "q_avg_prec" ->
+      """WITH h AS (
+           SELECT CAST(n_chars AS DOUBLE) AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+         ), c AS (
+           SELECT pos, neg,
+             sum(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+             sum(pos + neg) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+           FROM h
+         ), t AS (
+           SELECT pos, neg,
+             CAST(floor(1000000000000.0 * (CAST(cp AS DOUBLE) / CAST(ca AS DOUBLE)) + 0.5) AS BIGINT) AS ps
+           FROM c
+         )
+         SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) = 0 THEN NULL
+             ELSE round(CAST(sum(pos * ps) AS DOUBLE)
+               / (1000000000000.0 * sum(pos)), 6) END AS avg_prec
+         FROM t""",
 
     // decile reliability bands: bin = min(floor(s·10), 9); the mean is
     // the floor(s·10⁶ + 0.5) integer sum divided once — the exact

@@ -75,24 +75,9 @@ object Eval {
       groupCols: Seq[String] = Seq.empty,
       quantScale: Option[Double] = None): DataFrame = {
     val g = groupCols.map(col)
-    val s0 = col(scoreCol).cast("double")
-    val y = coalesce(label.cast("boolean"), lit(false))
-    val sKey = quantScale match {
-      case Some(q) =>
-        require(q > 0.0, s"quantScale must be positive, got $q")
-        floor(s0 * q).cast("long").cast("double")
-      case None => s0
-    }
-    val hist = scored
-      .filter(s0.isNotNull)
-      .withColumn("__nan", assert_true(!isnan(s0),
-        lit("rocAuc: NaN score — engines disagree on NaN rank; filter " +
-          "or impute upstream")))
-      .filter(col("__nan").isNull)
-      .groupBy(g :+ sKey.as("__s"): _*)
-      .agg(sum(y.cast("long")).as("__pos"),
-        sum((!y).cast("long")).as("__neg"))
-    val nb = negBelow(hist, groupCols)
+    val nb = negBelow(
+      scoreHistogram(scored, scoreCol, label, groupCols, quantScale),
+      groupCols)
     val term = col("__pos").cast("decimal(38,0)") *
       (lit(2L) * col("__nb") + col("__neg")).cast("decimal(38,0)")
     val agg = nb.groupBy(g: _*)
@@ -105,9 +90,100 @@ object Eval {
           (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"): _*)
   }
 
+  /** The (group…, __s, __pos, __neg) distinct-score histogram — the one
+    * corpus-sized pass every metric here starts from. Null scores
+    * excluded, NaN scores loud (engines disagree on NaN rank), null
+    * labels negative; `quantScale` bins `floor(score·q)`.
+    */
+  private def scoreHistogram(scored: DataFrame, scoreCol: String,
+      label: Column, groupCols: Seq[String],
+      quantScale: Option[Double]): DataFrame = {
+    val g = groupCols.map(col)
+    val s0 = col(scoreCol).cast("double")
+    val y = coalesce(label.cast("boolean"), lit(false))
+    val sKey = quantScale match {
+      case Some(q) =>
+        require(q > 0.0, s"quantScale must be positive, got $q")
+        floor(s0 * q).cast("long").cast("double")
+      case None => s0
+    }
+    scored
+      .filter(s0.isNotNull)
+      .withColumn("__nan", assert_true(!isnan(s0),
+        lit("score histogram: NaN score — engines disagree on NaN " +
+          "rank; filter or impute upstream")))
+      .filter(col("__nan").isNull)
+      .groupBy(g :+ sKey.as("__s"): _*)
+      .agg(sum(y.cast("long")).as("__pos"),
+        sum((!y).cast("long")).as("__neg"))
+  }
+
+  /** Average precision (the area under the precision–recall curve at
+    * the distinct-score operating points — the scikit-learn
+    * `average_precision_score` convention, ties collapsed to one
+    * threshold):
+    *
+    *   AP = (1/nPos) · Σ_s pos_s · Prec(s),
+    *   Prec(s) = cumPosIncl(s) / cumAllIncl(s)  (descending inclusive)
+    *
+    * The ranking-power readout for IMBALANCED labels, where ROC-AUC
+    * saturates (a keep-2% quality filter cares about precision at the
+    * head, not the false-positive rate over a 98% sea of negatives).
+    *
+    * Exactness: each precision is one double division (bit-identical in
+    * DuckDB), snapped to the 10⁻¹² grid — floor(10¹²·prec + 0.5) ≤ 10¹²
+    * always fits a long — then multiplied by the INTEGER pos_s as
+    * decimal(38,0) and summed. Plain double term-sums would be
+    * partition-order dependent; this is not, and the total quantization
+    * error is ≤ 5·10⁻¹³ after the final division. Same two-level scan
+    * as [[rocAuc]], run descending. Output: (groupCols…, n_pos, n_neg,
+    * avg_prec), NULL avg_prec when a group has no positives.
+    */
+  def averagePrecision(
+      scored: DataFrame,
+      scoreCol: String,
+      label: Column,
+      groupCols: Seq[String] = Seq.empty,
+      quantScale: Option[Double] = None): DataFrame = {
+    val g = groupCols.map(col)
+    val hist = scoreHistogram(scored, scoreCol, label, groupCols, quantScale)
+      .withColumn("__all", col("__pos") + col("__neg"))
+    val cum = prefixExclusive(hist, groupCols, Seq("__pos", "__all"),
+      descending = true)
+    val cp = (col("__cum__pos") + col("__pos")).cast("double")
+    val ca = (col("__cum__all") + col("__all")).cast("double")
+    val precScaled = floor(lit(1e12) * (cp / ca) + lit(0.5))
+    val term = col("__pos").cast("decimal(38,0)") *
+      precScaled.cast("decimal(38,0)")
+    val agg = cum.groupBy(g: _*)
+      .agg(sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+        sum(term).as("__num"))
+    agg.select(g :+ col("n_pos") :+ col("n_neg")
+      :+ when(col("n_pos") === 0, lit(null).cast("double"))
+        .otherwise(round(col("__num").cast("double") /
+          (lit(1e12) * col("n_pos")), 6)).as("avg_prec"): _*)
+  }
+
   /** Per-(group, score-row) count of NEGATIVES at strictly lower scores
-    * — the two-level distributed prefix scan over the (group, __s,
-    * __pos, __neg) histogram. Returns the histogram plus `__nb`.
+    * — the ascending exclusive prefix of `__neg`.
+    */
+  private def negBelow(hist: DataFrame, groupCols: Seq[String]): DataFrame =
+    prefixExclusive(hist, groupCols, Seq("__neg"), descending = false)
+      .withColumnRenamed("__cum__neg", "__nb")
+
+  /** Two-level distributed EXCLUSIVE prefix sums over the (group, __s,
+    * …) histogram, in ascending or descending __s order: adds
+    * `__cum__<c>` (the sum of `c` over rows STRICTLY before this one in
+    * the chosen order) for each column in `sumCols`.
+    *
+    * Mechanics: `repartitionByRange(group, score)`, per-(partition,
+    * group) running sum in parallel, plus per-(partition, group) totals
+    * prefix-rolled into offsets (descending order just flips both
+    * window directions — the ascending range partitioning itself is
+    * order-neutral). The offsets table is contiguity-bounded
+    * (≤ partitions + groups − 1 rows: each range partition holds a
+    * contiguous group span), so its own per-group window is
+    * partition-count-sized, never data-sized.
     *
     * PERSISTED AND MATERIALIZED BEFORE BRANCHING: __pid comes from a
     * SAMPLED range shuffle, so the local-rank branch and the offsets
@@ -115,37 +191,40 @@ object Eval {
     * [[Linkage.sortedNeighborhoodPairs]] exchange-reuse caveat,
     * verbatim).
     */
-  private def negBelow(hist: DataFrame, groupCols: Seq[String]): DataFrame = {
+  private def prefixExclusive(hist: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String], descending: Boolean): DataFrame = {
     val g = groupCols.map(col)
+    val ord = if (descending) col("__s").desc else col("__s").asc
+    val pidOrd = if (descending) col("__pid").desc else col("__pid").asc
     val ranged = CacheRegistry.track(hist
       .repartitionByRange(g :+ col("__s"): _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     ranged.count()
     val wLocal = Window
-      .partitionBy(col("__pid") +: g: _*).orderBy(col("__s"))
+      .partitionBy(col("__pid") +: g: _*).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = ranged.withColumn("__nbl",
-      coalesce(sum(col("__neg")).over(wLocal), lit(0L)))
-    // offsets: per-(partition, group) negative totals, prefix-summed per
-    // group across ascending partition ids (range partitioning on
-    // (group, score) makes pid order = score order inside a group). The
-    // window below runs over ≤ #partitions rows per group.
-    val offsets = ranged.groupBy(col("__pid") +: g: _*)
-      .agg(sum(col("__neg")).as("__pn"))
-      .withColumn("__off",
-        coalesce(sum(col("__pn")).over(
-          Window.partitionBy(g: _*).orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__pn")
-    // the offsets table is contiguity-bounded (≤ partitions + groups − 1
-    // rows); broadcast unconditionally when global, let AQE size the
-    // grouped case (millions of groups would exceed the broadcast budget)
+    val local = sumCols.foldLeft(ranged)((d, c) => d.withColumn("__l_" + c,
+      coalesce(sum(col(c)).over(wLocal), lit(0L))))
+    val wOff = Window.partitionBy(g: _*).orderBy(pidOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offTotals = ranged.groupBy(col("__pid") +: g: _*)
+      .agg(sum(col(sumCols.head)).as("__p_" + sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as("__p_" + c)): _*)
+    val offsets = sumCols.foldLeft(offTotals)((d, c) =>
+        d.withColumn("__o_" + c,
+          coalesce(sum(col("__p_" + c)).over(wOff), lit(0L))))
+      .select((col("__pid") +: g) ++ sumCols.map(c => col("__o_" + c)): _*)
+    // the offsets table is contiguity-bounded; broadcast unconditionally
+    // when global, let AQE size the grouped case (millions of groups
+    // would exceed the broadcast budget)
     val joined =
       if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("__pid"))
       else local.join(offsets, "__pid" +: groupCols)
-    joined.withColumn("__nb", col("__nbl") + col("__off"))
-      .drop("__nbl", "__off", "__pid")
+    sumCols.foldLeft(joined)((d, c) =>
+        d.withColumn("__cum" + c, col("__l_" + c) + col("__o_" + c))
+          .drop("__l_" + c, "__o_" + c))
+      .drop("__pid")
   }
 
   /** Calibration (reliability) table: scores binned into `bins` equal

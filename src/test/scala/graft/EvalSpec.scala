@@ -129,6 +129,56 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("auc") == 1.0)
   }
 
+  /** Naive AP reference at the tie-collapsed operating points. */
+  private def naiveAp(rows: Seq[(Double, Boolean)]): Option[Double] = {
+    val nPos = rows.count(_._2)
+    if (nPos == 0) None
+    else {
+      val byScore = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+      var cp = 0L; var ca = 0L; var acc = 0.0
+      for ((_, grp) <- byScore) {
+        val p = grp.count(_._2)
+        cp += p; ca += grp.size
+        acc += p.toDouble * (cp.toDouble / ca)
+      }
+      Some(acc / nPos)
+    }
+  }
+
+  test("averagePrecision matches the naive PR walk, ties included") {
+    val rows = (1 to 400).map { i =>
+      val s = ((i * 2654435761L) % 19).toDouble // heavy ties
+      (s, (i * 40503L) % 11 < 3)                // ~27% positive
+    }
+    val r = Eval.averagePrecision(rows.toDF("score", "y"), "score",
+      col("y")).head()
+    assert(r.getAs[Long]("n_pos") == rows.count(_._2))
+    assert(math.abs(r.getAs[Double]("avg_prec") - naiveAp(rows).get) <= 1e-6)
+    // perfect ranking: AP = 1; all-negative group: NULL
+    val perfect = (1 to 60).map(i => (i.toDouble, i > 40)).toDF("score", "y")
+    assert(Eval.averagePrecision(perfect, "score", col("y"))
+      .head().getAs[Double]("avg_prec") == 1.0)
+    val allNeg = (1 to 20).map(i => (i.toDouble, false)).toDF("score", "y")
+    assert(Eval.averagePrecision(allNeg, "score", col("y")).head().isNullAt(2))
+  }
+
+  test("grouped averagePrecision = per-group naive; repartitioning-invariant") {
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 3}", ((i * 1103515245L) % 23).toDouble, (i * 12345L) % 4 == 0)
+    }
+    val df = rows.toDF("grp", "score", "y")
+    val got = Eval.averagePrecision(df, "score", col("y"), Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val want = naiveAp(rows.filter(_._1 == g).map(t => (t._2, t._3))).get
+      assert(math.abs(got(g) - want) <= 1e-6, s"group $g")
+    }
+    def run(parts: Int) =
+      Eval.averagePrecision(df.repartition(parts), "score", col("y"),
+        Seq("grp")).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for (p <- Seq(1, 7, 32)) assert(run(p) == got, s"parts=$p")
+  }
+
   test("calibration: bin arithmetic, totals, and fixed-point mean") {
     val rows = (0 until 200).map { i =>
       val s = (i % 101) / 100.0 // includes s = 1.0 → clamped to bin 9
