@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              qualityclf|auc|avgprec|calibrate|brier|loghist]
+          |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -266,7 +266,7 @@ object Cli {
           |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
           |          auc/avgprec/calibrate/brier: -in <scored parquet> [-score-expr e]
           |            [-label-expr e] (auc/avgprec: [-by cols] [-quant-scale X];
-          |            calibrate: [-bins N]);
+          |            calibrate: [-bins N]); kappa: -rater-a col -rater-b col [-by cols];
           |          pq: [-topk N] [-m N] [-ksub N] [-dim N] [-rerank N];
           |          pagerank: [-span-cap N] [-iters N];
           |          dsir: [-target-col c] [-target v] [-scale F];
@@ -851,6 +851,15 @@ object Cli {
         val r = Eval.averagePrecision(scored, "__s",
           expr(flags.getOrElse("label-expr", "y = 1")), by,
           quantScale = flags.get("quant-scale").map(_.toDouble))
+        if (by.isEmpty) r else r.orderBy(by.map(col): _*)
+      }
+      case "kappa" => {
+        val by = flags.get("by").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Seq.empty)
+        val r = Eval.cohenKappa(docs,
+          flags.getOrElse("rater-a", fail("corpus -op kappa requires -rater-a <col>")),
+          flags.getOrElse("rater-b", fail("corpus -op kappa requires -rater-b <col>")),
+          by)
         if (by.isEmpty) r else r.orderBy(by.map(col): _*)
       }
       case "calibrate" =>

@@ -725,6 +725,18 @@ object SparkEntry {
         "n_chars", col("lang") === "en", Seq("source"))
         .orderBy("source")),
 
+    // Cohen's kappa between two raters: lang vs a deliberately corrupted
+    // copy (every 7th doc relabeled 'zz') — multi-category, partial
+    // agreement, chance-corrected. The label-QA gate a pipeline runs
+    // BEFORE training a probe on a hand-labeled slice
+    "q_kappa" -> ((s, dir) =>
+      operators.Eval.cohenKappa(
+        Tables.load(s, dir, "documents")
+          .filter(col("lang").isNotNull)
+          .withColumn("b", when(col("doc_id") % 7 === 0, lit("zz"))
+            .otherwise(col("lang"))),
+        "lang", "b")),
+
     // average precision (PR-AUC at the distinct-score operating points)
     // — the imbalanced-label companion to q_roc_auc: same histogram,
     // descending scan, precisions snapped to the 10⁻¹² grid BEFORE the
@@ -2958,6 +2970,36 @@ object SparkEntry {
              ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
                / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
          FROM c GROUP BY source ORDER BY source""",
+
+    // observed vs marginal-expected agreement; Σ n_a(c)·n_b(c) is an
+    // exact integer (HUGEINT ≡ decimal(38,0)), the three divisions are
+    // fixed double expressions
+    "q_kappa" ->
+      """WITH r AS (
+           SELECT lang AS a,
+             CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b
+           FROM documents WHERE lang IS NOT NULL
+         ), base AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+           FROM r
+         ), m AS (
+           SELECT cat, sum(ca) AS na, sum(cb) AS nb
+           FROM (SELECT a AS cat, 1 AS ca, 0 AS cb FROM r
+                 UNION ALL SELECT b, 0, 1 FROM r)
+           GROUP BY cat
+         ), e AS (
+           SELECT sum(na * nb) AS es FROM m
+         )
+         SELECT n,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           CASE WHEN CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n) = 1.0 THEN NULL
+             ELSE round((CAST(agree AS DOUBLE) / n
+                 - CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+               / (1.0 - CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
+           END AS kappa
+         FROM base, e""",
 
     // the PR walk at tie-collapsed thresholds: descending inclusive
     // cumulatives, precision snapped to the 10⁻¹² grid, integer term sum

@@ -227,6 +227,58 @@ object Eval {
       .drop("__pid")
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two raters
+    * (label columns) over the same rows: κ = (p_o − p_e)/(1 − p_e),
+    * p_o the observed agreement rate, p_e the agreement expected from
+    * the raters' marginal label distributions alone. The label-QA
+    * readout BEFORE [[Classifier.linearProbe]] trains on a hand-curated
+    * slice: raw agreement flatters skewed labels (two raters who both
+    * say "keep" 95% of the time agree 90.5% by chance); κ near 0 says
+    * the labels carry no signal to learn.
+    *
+    * Scale shape: one count aggregation for (n, agree), one
+    * category-marginal aggregation (answer-sized — categories, not
+    * rows), Σ n_a(c)·n_b(c) as decimal(38,0) (n² magnitude). Rows where
+    * EITHER label is null are excluded (an unlabeled row grades
+    * nothing). κ is NULL when p_e = 1 (both raters constant — agreement
+    * is vacuous, and the 0/0 would otherwise masquerade as signal).
+    * Output: (groupCols…, n, po, pe, kappa), 6dp.
+    */
+  def cohenKappa(
+      labeled: DataFrame,
+      raterA: String,
+      raterB: String,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val g = groupCols.map(col)
+    val a = col(raterA).cast("string")
+    val b = col(raterB).cast("string")
+    val rows = labeled.filter(a.isNotNull && b.isNotNull)
+    val base = rows.groupBy(g: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(a === b, 1L).otherwise(0L)).as("__agree"))
+    // marginals via one stacked pass: each row contributes its A-label
+    // to the a-side count and its B-label to the b-side count
+    val marg = rows
+      .select(g ++ Seq(a.as("__cat"), lit(1L).as("__ca"), lit(0L).as("__cb")): _*)
+      .unionByName(rows.select(
+        g ++ Seq(b.as("__cat"), lit(0L).as("__ca"), lit(1L).as("__cb")): _*))
+      .groupBy(g :+ col("__cat"): _*)
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+      .groupBy(g: _*)
+      .agg(sum(col("__na").cast("decimal(38,0)")
+        * col("__nb").cast("decimal(38,0)")).as("__e"))
+    val joined =
+      if (groupCols.isEmpty) base.crossJoin(marg)
+      else base.join(marg, groupCols)
+    val po = col("__agree").cast("double") / col("__n")
+    val pe = col("__e").cast("double") /
+      (col("__n").cast("double") * col("__n"))
+    joined.select(g :+ col("__n").as("n")
+      :+ round(po, 6).as("po") :+ round(pe, 6).as("pe")
+      :+ when(pe === 1.0, lit(null).cast("double"))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"): _*)
+  }
+
   /** Calibration (reliability) table: scores binned into `bins` equal
     * bands over [0, 1], per band the count, positive count, empirical
     * positive rate, and mean score — "when the probe says 0.7, is it

@@ -209,6 +209,41 @@ class EvalSpec extends AnyFunSuite {
     }.getMessage != null)
   }
 
+  test("cohenKappa: perfect = 1, independent ≈ 0, constant raters = NULL") {
+    // perfect agreement
+    val same = (1 to 100).map(i => (s"c${i % 3}", s"c${i % 3}")).toDF("a", "b")
+    val s = Eval.cohenKappa(same, "a", "b").head()
+    assert(s.getAs[Double]("po") == 1.0 && s.getAs[Double]("kappa") == 1.0)
+    // statistically independent raters: kappa near 0 even though raw
+    // agreement is high (both say the majority label most of the time)
+    val indep = (1 to 3000).map { i =>
+      (if (i % 10 < 9) "keep" else "drop",        // rater A: 90% keep
+       if ((i * 7) % 10 < 9) "keep" else "drop")  // rater B: independent 90%
+    }.toDF("a", "b")
+    val r = Eval.cohenKappa(indep, "a", "b").head()
+    assert(r.getAs[Double]("po") > 0.7, "raw agreement must look high")
+    assert(math.abs(r.getAs[Double]("kappa")) < 0.15,
+      s"independent raters must score near 0, got ${r.getAs[Double]("kappa")}")
+    // both raters constant: pe = 1, kappa undefined → NULL, not 0/0
+    val const = (1 to 50).map(_ => ("keep", "keep")).toDF("a", "b")
+    assert(Eval.cohenKappa(const, "a", "b").head().isNullAt(3))
+    // naive replay on a mixed case, null-labeled rows excluded
+    val rows = (1 to 200).map { i =>
+      (if (i % 4 == 0) null else s"c${i % 3}", s"c${(i * 13) % 3}")
+    }
+    val mixed = rows.toDF("a", "b")
+    val kept = rows.filter(_._1 != null)
+    val n = kept.size.toDouble
+    val po = kept.count(t => t._1 == t._2) / n
+    val cats = (kept.map(_._1) ++ kept.map(_._2)).distinct
+    val eSum = cats.map(c => kept.count(_._1 == c).toLong *
+      kept.count(_._2 == c)).sum
+    val pe = eSum.toDouble / (n * n)
+    val got = Eval.cohenKappa(mixed, "a", "b").head()
+    assert(got.getAs[Long]("n") == kept.size)
+    assert(got.getAs[Double]("kappa") == round6((po - pe) / (1.0 - pe)))
+  }
+
   test("brier matches the naive mean square on the 3dp grid; grouped twin agrees") {
     val rows = (1 to 250).map { i =>
       (s"g${i % 2}", (i % 97) / 96.0, (i * 7) % 5 < 2)
