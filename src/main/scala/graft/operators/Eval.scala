@@ -73,11 +73,23 @@ object Eval {
       scoreCol: String,
       label: Column,
       groupCols: Seq[String] = Seq.empty,
-      quantScale: Option[Double] = None): DataFrame = {
-    val g = groupCols.map(col)
-    val nb = negBelow(
+      quantScale: Option[Double] = None): DataFrame =
+    rocAucFromHistogram(
       scoreHistogram(scored, scoreCol, label, groupCols, quantScale),
       groupCols)
+
+  /** [[rocAuc]] from an already-built [[scoreHistogram]] — the batch
+    * finisher behind a LIVE model-quality monitor: the histogram's
+    * (pos, neg) counts are purely additive, so a Structured Streaming
+    * aggregate maintains it incrementally
+    * ([[graft.streaming.Streaming.streamingScoreHistogram]]) and this
+    * finisher reads the sink table — the
+    * [[Sketches.hllRegisters]]/finalize split, applied to evaluation.
+    */
+  def rocAucFromHistogram(hist: DataFrame,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val g = groupCols.map(col)
+    val nb = negBelow(hist, groupCols)
     val term = col("__pos").cast("decimal(38,0)") *
       (lit(2L) * col("__nb") + col("__neg")).cast("decimal(38,0)")
     val agg = nb.groupBy(g: _*)
@@ -91,13 +103,17 @@ object Eval {
   }
 
   /** The (group…, __s, __pos, __neg) distinct-score histogram — the one
-    * corpus-sized pass every metric here starts from. Null scores
-    * excluded, NaN scores loud (engines disagree on NaN rank), null
-    * labels negative; `quantScale` bins `floor(score·q)`.
+    * corpus-sized pass every metric here starts from, and the MERGEABLE
+    * STATE of the family: counts add across shards, micro-batches, and
+    * reruns, so the histogram (not the metric) is what a streaming
+    * monitor or a per-shard pre-aggregation maintains; [[
+    * rocAucFromHistogram]]/[[averagePrecisionFromHistogram]] finish it.
+    * Null scores excluded, NaN scores loud (engines disagree on NaN
+    * rank), null labels negative; `quantScale` bins `floor(score·q)`.
     */
-  private def scoreHistogram(scored: DataFrame, scoreCol: String,
-      label: Column, groupCols: Seq[String],
-      quantScale: Option[Double]): DataFrame = {
+  def scoreHistogram(scored: DataFrame, scoreCol: String,
+      label: Column, groupCols: Seq[String] = Seq.empty,
+      quantScale: Option[Double] = None): DataFrame = {
     val g = groupCols.map(col)
     val s0 = col(scoreCol).cast("double")
     val y = coalesce(label.cast("boolean"), lit(false))
@@ -144,10 +160,18 @@ object Eval {
       scoreCol: String,
       label: Column,
       groupCols: Seq[String] = Seq.empty,
-      quantScale: Option[Double] = None): DataFrame = {
+      quantScale: Option[Double] = None): DataFrame =
+    averagePrecisionFromHistogram(
+      scoreHistogram(scored, scoreCol, label, groupCols, quantScale),
+      groupCols)
+
+  /** [[averagePrecision]] from an already-built [[scoreHistogram]] —
+    * see [[rocAucFromHistogram]] for the monitor split.
+    */
+  def averagePrecisionFromHistogram(hist0: DataFrame,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
     val g = groupCols.map(col)
-    val hist = scoreHistogram(scored, scoreCol, label, groupCols, quantScale)
-      .withColumn("__all", col("__pos") + col("__neg"))
+    val hist = hist0.withColumn("__all", col("__pos") + col("__neg"))
     val cum = prefixExclusive(hist, groupCols, Seq("__pos", "__all"),
       descending = true)
     val cp = (col("__cum__pos") + col("__pos")).cast("double")

@@ -435,6 +435,34 @@ object Streaming {
       input, valueCol, groupCols, mBits, quantScale)
   }
 
+  /** Streaming model-quality state — the [[graft.operators.Eval
+    * .scoreHistogram]] maintained as ONE Complete-mode aggregate over a
+    * scored file stream: (pos, neg) counts per distinct (group, score)
+    * are purely additive, so micro-batch accumulation is exact and the
+    * batch-side finishers ([[graft.operators.Eval.rocAucFromHistogram]]
+    * / [[graft.operators.Eval.averagePrecisionFromHistogram]]) read the
+    * sink table for a LIVE AUC/AP readout — "is this week's probe
+    * drifting" without rescanning scored history. The register/finalize
+    * split of [[streamingHllRegisters]], applied to evaluation; state is
+    * distinct-score-sized (pass `quantScale` to bound it by score
+    * range × scale on continuous scores).
+    */
+  def streamingScoreHistogram(
+      spark: SparkSession, scoredDir: String,
+      scoreCol: String, labelExpr: String,
+      groupCols: Seq[String] = Seq.empty,
+      quantScale: Option[Double] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(scoredDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .parquet(scoredDir)
+    graft.operators.Eval.scoreHistogram(stream, scoreCol, expr(labelExpr),
+      groupCols, quantScale)
+  }
+
   def streamingCmsTokens(
       spark: SparkSession, docsDir: String,
       depth: Int = 4, width: Int = 1 << 12): DataFrame = {

@@ -355,6 +355,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == rowsBefore)
   }
 
+  test("streaming score histogram + batch finishers equal batch AUC/AP") {
+    import graft.operators.Eval
+    val dir = tmpDir("stream-eval")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // two files so the Complete-mode aggregate accumulates across
+    // micro-batches (maxFilesPerTrigger = 1)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.toString + "/f1")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(dir.toString + "/f2")
+    val merged = tmpDir("stream-eval-in")
+    for (f <- Seq("f1", "f2")) {
+      val part = Files.list(java.nio.file.Paths.get(dir.toString, f))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, merged.resolve(f + ".parquet"))
+    }
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingScoreHistogram(spark, merged.toString,
+        "n_chars", "lang = 'en'", maxFilesPerTrigger = Some(1)),
+      "score_hist")
+    val aucS = Eval.rocAucFromHistogram(streamed).head()
+    val aucB = Eval.rocAuc(docs, "n_chars", col("lang") === "en").head()
+    assert(aucS == aucB, s"streamed AUC $aucS vs batch $aucB")
+    val apS = Eval.averagePrecisionFromHistogram(streamed).head()
+    val apB = Eval.averagePrecision(docs, "n_chars",
+      col("lang") === "en").head()
+    assert(apS == apB, s"streamed AP $apS vs batch $apB")
+  }
+
   test("streaming HLL-store ingest equals a cold build; replayed batches cannot move answers") {
     import graft.operators.HllStore
     val evDir = tmpDir("stream-hll")
