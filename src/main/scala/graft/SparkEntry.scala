@@ -725,6 +725,16 @@ object SparkEntry {
         "n_chars", col("lang") === "en", Seq("source"))
         .orderBy("source")),
 
+    // binned estimate: rank floor(score·q) instead of the raw score —
+    // the bounded-state path for continuous scores (histogram ≤ score
+    // range × q). Binning merges near-ties; mid-rank handling makes the
+    // result exactly the trapezoid rule on the binned ROC curve, which
+    // the oracle replays with the same floor
+    "q_roc_auc_binned" -> ((s, dir) =>
+      operators.Eval.rocAuc(Tables.load(s, dir, "documents"),
+        "n_chars", col("lang") === "en",
+        quantScale = Some(0.01))),
+
     // Cohen's kappa between two raters: lang vs a deliberately corrupted
     // copy (every 7th doc relabeled 'zz') — multi-category, partial
     // agreement, chance-corrected. The label-QA gate a pipeline runs
@@ -2934,6 +2944,26 @@ object SparkEntry {
     "q_roc_auc" ->
       """WITH h AS (
            SELECT CAST(n_chars AS DOUBLE) AS s,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+         ), c AS (
+           SELECT pos, neg,
+             coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+           FROM h
+         )
+         SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+             ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
+               / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
+         FROM c""",
+
+    // identical walk over the binned key floor(n_chars · 0.01)
+    "q_roc_auc_binned" ->
+      """WITH h AS (
+           SELECT floor(CAST(n_chars AS DOUBLE) * 0.01) AS s,
              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
              CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
