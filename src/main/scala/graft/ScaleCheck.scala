@@ -1177,6 +1177,81 @@ object ScaleCheck {
       println("[scale] kmv pairs: " +
         operators.Sketches.kmvPairOverlap(sk, "source", k = 64).count())
     }
+
+    // superspreaders at 6.3M rows / 10k keys: the HLL candidate pass must
+    // find two planted distinct-count spreaders under a 64-key candidate
+    // budget (0.64% of the key space) and the exact recount must return
+    // their true counts — certificate held or the query throws.
+    time("superspreaders 6.3M rows, 10k keys, candidates=64") {
+      // value stride 37 mod the prime 6007: each key's 600 ids hit 600
+      // DISTINCT residues (37·10000 ≢ 0 mod 6007), so the background is
+      // a genuine ~600-distinct floor, not a degenerate few-value cycle
+      val bg = spark.range(6000000L).select(
+        (col("id") % 10000L).as("key"),
+        (col("id") * 37L % 6007L).cast("string").as("value"))
+      val hot = spark.range(300000L).select(
+        when(col("id") < 200000L, lit(20001L)).otherwise(lit(20002L)).as("key"),
+        concat(lit("h"), col("id")).as("value")) // 200k + 100k distinct
+      val got = operators.Sketches.superSpreaders(
+        bg.unionByName(hot), "key", "value", k = 2, candidates = 64)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("key"),
+          r.getAs[Long]("n_distinct"))).toSeq
+      println(s"[scale] superspreaders: $got")
+      require(got == Seq((1, 20001L, 200000L), (2, 20002L, 100000L)),
+        s"planted spreaders must surface exactly: $got")
+    }
+
+    // pareto frontier at 6M points: dominance audit without O(n²) — the
+    // frontier must be an antichain, every sampled point must be covered
+    // (equal-or-dominated) by a frontier point, and planting one apex
+    // point must collapse the frontier to exactly it.
+    time("pareto frontier 6M points: antichain + coverage + apex") {
+      val pts = spark.range(6000000L).select(col("id"),
+        (col("id") * 2654435761L % 100000L).as("x"),
+        (col("id") * 40503L % 99991L).as("y"))
+      val front = operators.Sampling.paretoFrontier(pts, "x", "y")
+        .select(col("x").as("fx"), col("y").as("fy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nF = front.count()
+      val dominated = front.as("a").crossJoin(front.as("b"))
+        .filter(col("b.fx") >= col("a.fx") && col("b.fy") >= col("a.fy") &&
+          (col("b.fx") > col("a.fx") || col("b.fy") > col("a.fy")))
+        .count()
+      val sample = pts.filter(col("id") % 6007L === 0)
+      val uncovered = sample.join(front,
+          col("fx") >= col("x") && col("fy") >= col("y"), "left_anti")
+        .count()
+      println(s"[scale] pareto: frontier $nF, dominated-in-frontier " +
+        s"$dominated, uncovered-of-${sample.count()} $uncovered")
+      require(nF > 0 && dominated == 0L,
+        "frontier must be a non-empty antichain")
+      require(uncovered == 0L,
+        "every sampled point must be equal-or-dominated by a frontier row")
+      front.unpersist(blocking = false)
+      val apex = operators.Sampling.paretoFrontier(
+        pts.unionByName(spark.range(1).select(lit(-1L).as("id"),
+          lit(100001L).as("x"), lit(100001L).as("y"))), "x", "y")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      require(apex == Seq(-1L), s"planted apex must own the frontier: $apex")
+    }
+
+    // exact KS at 12M values with an analytically known answer: B is A
+    // shifted by N/10, so D = 0.1 exactly, attained first at shift-1 —
+    // the two-level prefix scan must reproduce it bit-for-bit.
+    time("ksDrift 2 x 6M values, planted 0.1 shift") {
+      val n = 6000000L
+      val a = spark.range(n).select(col("id").cast("double").as("v"))
+      val b = spark.range(n).select((col("id") + n / 10L).cast("double").as("v"))
+      val r = operators.Stats.ksDrift(a, b, "v").head()
+      println(s"[scale] ks: d_stat ${r.getAs[Double]("d_stat")} at " +
+        s"${r.getAs[Double]("at_value")}")
+      require(r.getAs[Double]("d_stat") == 0.1 &&
+        r.getAs[Double]("at_value") == (n / 10L - 1L).toDouble &&
+        r.getAs[java.math.BigDecimal]("d_num")
+          .longValueExact() == n / 10L * n,
+        s"planted-shift KS must be exact: $r")
+    }
+    operators.CacheRegistry.release(spark)
     spark.stop()
   }
 }

@@ -687,6 +687,21 @@ object SparkEntry {
     "q_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // Pareto-frontier curation: docs no other doc beats on BOTH length
+    // and lexical diversity — distinct-x reduction + descending
+    // prefix-max cover, no O(n²) self join (the oracle replays the
+    // NOT-EXISTS formulation at sf)
+    "q_pareto" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("n_distinct_tokens"))
+      operators.Sampling
+        .paretoFrontier(scored, "n_chars", "n_distinct_tokens")
+        .select("doc_id", "n_chars", "n_distinct_tokens")
+        .orderBy("doc_id")
+    }),
+
     "q_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
@@ -886,6 +901,15 @@ object SparkEntry {
           "event_type", minFrac = 0.2)
         .orderBy("event_type")),
 
+    // distinct-count heavy hitters (superspreaders): top-10 users by
+    // count(DISTINCT value) — grouped-HLL candidate pass (bounded
+    // map-side state), exact recount of candidates only, 3σ-margin
+    // certificate; candidates=2048 covers every key at sf (the
+    // distribution is flat — no certified cut below full coverage)
+    "q_superspreaders" -> ((s, dir) =>
+      Sketches.superSpreaders(Tables.load(s, dir, "events"),
+        "user_id", "value", k = 10, candidates = 2048)),
+
     // EXACT top-k most-frequent with a runtime certificate (the k-th
     // recounted count must clear the MG absence budget n/(k+1), so no
     // non-candidate can outrank the cut) — the exact-regime twin of
@@ -1046,6 +1070,24 @@ object SparkEntry {
     // per suite process, three derived reports)
     "q_dedup_clusters" -> ((s, dir) =>
       dedupLabels(s, dir).orderBy("doc_id")),
+
+    // eval-contamination audit: near-dup families split across
+    // train/val/test by the doc-id-keyed split — each leaked family is
+    // a test answer visible from train (rides the memoized CC labels)
+    "q_split_leakage" -> ((s, dir) =>
+      operators.Sampling.splitLeakage(
+          dedupLabels(s, dir),
+          Sampling.deterministicSplit(Tables.load(s, dir, "documents"),
+              "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .select("doc_id", "split"))
+        .orderBy("canonical_id")),
+
+    // the leakage FIX: split assignment keyed by the cluster label, so
+    // a near-dup family moves as one unit (zero leakage by construction)
+    "q_cluster_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(dedupLabels(s, dir), "canonical_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
 
     // dedup impact report: how big are the duplicate families? two
     // bounded aggregates over the cluster labeling
@@ -1366,6 +1408,18 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // exact two-sample Kolmogorov–Smirnov over the same two halves: the
+    // sup-norm drift readout (TVD above answers "how much moved"; KS
+    // answers "how far apart do the CDFs get") — two-level prefix scan
+    // over the distinct-value table, integer cross-product comparisons
+    "q_ks_drift" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      operators.Stats.ksDrift(
+        li.filter(col("l_orderkey") % 2 === 0),
+        li.filter(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
+
     // unigram-distribution drift per source vs the corpus: exact-integer
     // total-variation distance (the text twin of q_drift's histogram TVD)
     "q_vocab_drift" -> ((s, dir) =>
@@ -1569,6 +1623,13 @@ object SparkEntry {
     "q_kanon" -> ((s, dir) =>
       operators.Pii.kAnonymity(Tables.load(s, dir, "customer"),
           Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // the homogeneity-attack companion: classes with < l distinct values
+    // of the sensitive column (account balance) leak it despite k rows
+    "q_ldiversity" -> ((s, dir) =>
+      operators.Pii.lDiversity(Tables.load(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 5)
         .orderBy("c_nationkey", "c_mktsegment")),
 
     // join-key skew profiler: the top-20 hottest user_ids with share and
@@ -2907,6 +2968,25 @@ object SparkEntry {
            t -> NOT regexp_matches(t, '^\s+$'))) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
 
+    // the textbook NOT-EXISTS skyline — O(n²) is fine at sf, and it is
+    // the semantics the distributed prefix-max cover must reproduce
+    "q_pareto" ->
+      """WITH s AS (
+           SELECT doc_id, n_chars,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(text), '\s+'), t -> t <> '')))
+               AS BIGINT) AS n_distinct_tokens
+           FROM documents
+           WHERE n_chars IS NOT NULL AND text IS NOT NULL)
+         SELECT p.doc_id, p.n_chars, p.n_distinct_tokens FROM s AS p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM s AS q
+           WHERE q.n_chars >= p.n_chars
+             AND q.n_distinct_tokens >= p.n_distinct_tokens
+             AND (q.n_chars > p.n_chars
+               OR q.n_distinct_tokens > p.n_distinct_tokens))
+         ORDER BY p.doc_id""",
+
     "q_quality" ->
       """SELECT doc_id,
          length(text) AS n_chars_measured,
@@ -3471,6 +3551,21 @@ object SparkEntry {
          HAVING count(*) >= CEIL(0.2 * (SELECT count(*) FROM events))
          ORDER BY event_type""",
 
+    // certified superspreaders replay as the plain exact ranking — the
+    // hash match proves the HLL candidate cut lost nothing
+    "q_superspreaders" ->
+      """WITH c AS (
+           SELECT user_id, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL
+           GROUP BY user_id),
+         r AS (
+           SELECT user_id, n_distinct,
+             row_number() OVER (ORDER BY n_distinct DESC, user_id) AS rk
+           FROM c)
+         SELECT CAST(rk AS INT) AS rank, user_id, n_distinct
+         FROM r WHERE rk <= 10 ORDER BY rk""",
+
     // certified exact top-k: plain frequency ranking, (cnt desc, token)
     // ties — the hash match proves the candidate cut lost nothing
     "q_topk_tokens" ->
@@ -3998,6 +4093,82 @@ object SparkEntry {
            SELECT c, CAST(count(*) AS BIGINT) AS cluster_size FROM canon GROUP BY c)
          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          FROM sizes GROUP BY 1 ORDER BY 1""",
+
+    // the same recursive closure joined to the md5 split replay: multi-
+    // doc families and how many splits they straddle
+    "q_split_leakage" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), prs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), lab AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
+         ), sp AS (
+           SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+                 FROM documents))
+         SELECT l.canonical_id, CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(count(DISTINCT s.split) AS BIGINT) AS n_splits,
+           count(DISTINCT s.split) > 1 AS leaks
+         FROM lab l JOIN sp s USING (doc_id)
+         GROUP BY l.canonical_id HAVING count(*) > 1
+         ORDER BY l.canonical_id""",
+
+    // cluster-keyed split: md5 over the family label, every member
+    // rides its family
+    "q_cluster_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), prs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), lab AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id)
+         SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+               FROM lab)
+         ORDER BY doc_id""",
 
     // the q_dupspans window-fingerprint chain, projected to distinct
     // (span, source); fan-out per span is bounded by the source count
@@ -4617,6 +4788,13 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
          round(CAST(1.0 AS DOUBLE) / count(*), 6) AS risk,
          count(*) < 10 AS violates
+         FROM customer GROUP BY c_nationkey, c_mktsegment
+         ORDER BY c_nationkey, c_mktsegment""",
+
+    "q_ldiversity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
+         count(DISTINCT c_acctbal) < 5 AS violates
          FROM customer GROUP BY c_nationkey, c_mktsegment
          ORDER BY c_nationkey, c_mktsegment""",
 
@@ -6312,6 +6490,32 @@ object SparkEntry {
 
     // drift replay: identical shared-bin assignment and the same
     // rounded-share TVD expression, bit-for-bit IEEE order
+    // exact KS: per-value counts, windowed cumulative sums, integer
+    // cross-product distances (HUGEINT ≡ the Spark side's decimal(38,0)),
+    // one double division at the end
+    "q_ks_drift" ->
+      """WITH h AS (
+           SELECT l_extendedprice AS v,
+             CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b FROM h),
+         c AS (SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cca,
+             sum(cb) OVER (ORDER BY v) AS ccb
+           FROM h),
+         d AS (SELECT c.v,
+             abs(CAST(c.cca AS HUGEINT) * t.n_b
+               - CAST(c.ccb AS HUGEINT) * t.n_a) AS dn
+           FROM c CROSS JOIN t)
+         SELECT t.n_a, t.n_b,
+           CAST(max(d.dn) AS DECIMAL(38,0)) AS d_num,
+           min(d.v) FILTER (WHERE d.dn = (SELECT max(dn) FROM d)) AS at_value,
+           round(CAST(max(d.dn) AS DOUBLE)
+             / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS d_stat
+         FROM d CROSS JOIN t GROUP BY t.n_a, t.n_b""",
+
     "q_drift" ->
       """WITH av AS (
            SELECT l_extendedprice AS v FROM lineitem

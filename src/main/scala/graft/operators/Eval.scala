@@ -215,11 +215,18 @@ object Eval {
     * [[Linkage.sortedNeighborhoodPairs]] exchange-reuse caveat,
     * verbatim).
     */
-  private def prefixExclusive(hist: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String], descending: Boolean): DataFrame = {
+  private[operators] def prefixExclusive(hist: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String], descending: Boolean,
+      op: String = "sum"): DataFrame = {
+    require(op == "sum" || op == "max", s"op must be sum|max, got $op")
     val g = groupCols.map(col)
     val ord = if (descending) col("__s").desc else col("__s").asc
     val pidOrd = if (descending) col("__pid").desc else col("__pid").asc
+    // sum's identity is 0; max's is "absent" (NULL — greatest() skips it)
+    def fold(c: Column) = if (op == "sum") coalesce(c, lit(0L)) else c
+    def combine(a: Column, b: Column) =
+      if (op == "sum") a + b else greatest(a, b)
+    def aggOf(c: Column) = if (op == "sum") sum(c) else max(c)
     val ranged = CacheRegistry.track(hist
       .repartitionByRange(g :+ col("__s"): _*)
       .withColumn("__pid", spark_partition_id())
@@ -229,15 +236,15 @@ object Eval {
       .partitionBy(col("__pid") +: g: _*).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = sumCols.foldLeft(ranged)((d, c) => d.withColumn("__l_" + c,
-      coalesce(sum(col(c)).over(wLocal), lit(0L))))
+      fold(aggOf(col(c)).over(wLocal))))
     val wOff = Window.partitionBy(g: _*).orderBy(pidOrd)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offTotals = ranged.groupBy(col("__pid") +: g: _*)
-      .agg(sum(col(sumCols.head)).as("__p_" + sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as("__p_" + c)): _*)
+      .agg(aggOf(col(sumCols.head)).as("__p_" + sumCols.head),
+        sumCols.tail.map(c => aggOf(col(c)).as("__p_" + c)): _*)
     val offsets = sumCols.foldLeft(offTotals)((d, c) =>
         d.withColumn("__o_" + c,
-          coalesce(sum(col("__p_" + c)).over(wOff), lit(0L))))
+          fold(aggOf(col("__p_" + c)).over(wOff))))
       .select((col("__pid") +: g) ++ sumCols.map(c => col("__o_" + c)): _*)
     // the offsets table is contiguity-bounded; broadcast unconditionally
     // when global, let AQE size the grouped case (millions of groups
@@ -246,7 +253,7 @@ object Eval {
       if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("__pid"))
       else local.join(offsets, "__pid" +: groupCols)
     sumCols.foldLeft(joined)((d, c) =>
-        d.withColumn("__cum" + c, col("__l_" + c) + col("__o_" + c))
+        d.withColumn("__cum" + c, combine(col("__l_" + c), col("__o_" + c)))
           .drop("__l_" + c, "__o_" + c))
       .drop("__pid")
   }

@@ -71,4 +71,28 @@ object Pii {
         round(lit(1.0) / col("n"), 6).as("risk"),
         (col("n") < k).as("violates")): _*)
   }
+
+  /** Distinct l-diversity per quasi-identifier class — the companion
+    * check [[kAnonymity]] misses: a class can hold k rows yet leak the
+    * sensitive attribute completely when all k share one value
+    * (homogeneity attack). A class is l-diverse when the sensitive
+    * column takes ≥ l distinct non-null values inside it.
+    *
+    * Scale shape: one exact grouped count-distinct (Spark's two-phase
+    * expansion — map-side combine on (quasi…, sensitive), then the
+    * class rollup) plus the class row count in the same pass via the
+    * expansion; no windows, no driver state. Output: (quasiCols…, n,
+    * n_sensitive, violates).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("n"), col("n_sensitive"),
+        (col("n_sensitive") < l).as("violates")): _*)
+  }
 }

@@ -343,4 +343,70 @@ object Sampling {
     weightedSample(weighted, "doc_id", col("weight"), buckets)
       .select("doc_id", "lm_target", "lm_raw", "weight")
   }
+
+  /** Split-leakage audit: near-duplicate clusters whose members landed
+    * in DIFFERENT train/val/test splits — the eval-contamination bug a
+    * doc-id-keyed split ([[deterministicSplit]]) cannot see: a test doc
+    * with a near-twin in train is a leaked answer, invisible to exact
+    * dedup. `labels` is the (doc_id, canonical_id) CC labeling
+    * ([[Dedup.dedupClusters]]); `splits` is (doc_id, split). One join +
+    * one grouped count-distinct, both cluster-table-sized; singleton
+    * clusters can't leak and are dropped. The FIX is assignment by
+    * cluster, not doc: `deterministicSplit(labels, "canonical_id", …)`
+    * puts every member of a family in one split by construction.
+    * Output: (canonical_id, cluster_size, n_splits, leaks).
+    */
+  def splitLeakage(labels: DataFrame, splits: DataFrame): DataFrame =
+    labels.join(splits, "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("split")).as("n_splits"))
+      .filter(col("cluster_size") > 1)
+      .withColumn("leaks", col("n_splits") > 1)
+
+  /** 2-D Pareto frontier (skyline) selection — the rows no other row
+    * dominates, maximizing BOTH `xCol` and `yCol`: row p is dominated
+    * iff some q has q.x ≥ p.x ∧ q.y ≥ p.y with at least one strict.
+    * The curation move when two quality axes shouldn't be collapsed
+    * into one weighted score (length vs lexical diversity, model score
+    * vs recency): the frontier is every optimal trade-off at once, and
+    * duplicates of a frontier point all survive (neither dominates).
+    *
+    * Scale shape — the textbook skyline is the O(n²) NOT-EXISTS self
+    * join (the oracle replays exactly that at sf); here it is three
+    * bounded passes with no self join and no global sort:
+    *   1. distinct-x reduction: groupBy(x) → max(y) — dominance within
+    *      an x-column is decided by its max alone;
+    *   2. strictly-greater-x cover: an EXCLUSIVE prefix-MAX over the
+    *      distinct-x table in descending x order, via the
+    *      [[Eval.prefixExclusive]] two-level scan (range-partitioned
+    *      local windows + contiguity-bounded broadcast offsets — the
+    *      collocations lesson, max instead of sum). x survives iff its
+    *      max-y strictly beats every larger-x column's max-y;
+    *   3. join the frontier x-table (answer-sized, broadcast) back to
+    *      the corpus and keep rows at (x, max-y).
+    *
+    * Null x/y rows are excluded (they can't be compared); NaN is
+    * rejected loudly (engines disagree on NaN order). To minimize an
+    * axis, negate it upstream.
+    */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val pts = df
+      .filter(x.isNotNull && y.isNotNull)
+      .withColumn("__nan", assert_true(!isnan(x) && !isnan(y),
+        lit("paretoFrontier: NaN coordinate — engines disagree on NaN " +
+          "order; filter upstream")))
+      .filter(col("__nan").isNull).drop("__nan")
+    val gx = pts.groupBy(x.as("__s")).agg(max(y).as("__my"))
+    val cover = Eval.prefixExclusive(gx, Seq.empty, Seq("__my"),
+      descending = true, op = "max")
+    val frontierX = cover
+      .filter(col("__cum__my").isNull || col("__my") > col("__cum__my"))
+      .select(col("__s"), col("__my"))
+    pts.join(broadcast(frontierX),
+        x === col("__s") && y === col("__my"))
+      .drop("__s", "__my")
+  }
 }

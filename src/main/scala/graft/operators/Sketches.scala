@@ -932,4 +932,73 @@ object Sketches {
         s"(need k > n/minCount - 1 = ${math.ceil(n.toDouble / minCount - 1).toLong})")
     recount(df, keyCol, cands).filter(col("cnt") >= minCount)
   }
+
+  /** Distinct-count heavy hitters ("superspreaders") — the top-k keys
+    * by `count(DISTINCT valCol)`: domains contributing the most unique
+    * documents, users touching the most unique items, tokens spanning
+    * the most unique docs. The F₀ twin of [[topKFrequent]]: frequency
+    * heavy hitters bound map-side state with Misra–Gries; distinct
+    * heavy hitters can't (exact distinct state per key is unbounded),
+    * so the candidate pass rides the grouped HLL instead:
+    *
+    *   1. [[hllRegistersBy]] per key (in-engine xxhash64 family) —
+    *      map-side state caps at keys × 2^p registers whatever the
+    *      value cardinality, where the naive exact pass holds every
+    *      distinct (key, value) per partition;
+    *   2. candidate cut: top `candidates` keys by HLL estimate through
+    *      the mergeable bounded top-k aggregate (answer-sized wire);
+    *   3. EXACT recount of candidates only: broadcast-semi-joined
+    *      `count(DISTINCT value)` — the output never shows an estimate;
+    *   4. certificate: every kept count must strictly beat
+    *      max(estimate outside the candidate set) · (1 + 3σ), σ =
+    *      1.04/√2^p — else fail loudly ("widen candidates") instead of
+    *      silently risking a missed key. Probabilistic (HLL's 3σ
+    *      envelope per key), the [[topKFrequentBy]] loud-gate
+    *      discipline; a flat distribution needs `candidates` wide
+    *      enough to clear the near-tie band.
+    *
+    * Output: (rank, keyCol, n_distinct) — rank window is over ≤ k rows
+    * (answer-sized). Ties break to the smaller key. Null keys/values
+    * excluded.
+    */
+  def superSpreaders(df: DataFrame, keyCol: String, valCol: String,
+      k: Int, candidates: Int, p: Int = 12): DataFrame = {
+    require(k >= 1 && candidates >= k,
+      s"need candidates >= k >= 1, got k=$k candidates=$candidates")
+    val rows = df.select(col(keyCol), col(valCol))
+      .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+    // small-range-CORRECTED estimates ([[correctedEstimate]]): the raw
+    // harmonic estimator asymptotes to α·m as registers empty, so every
+    // low-cardinality key would read ~α·m and poison both the candidate
+    // ranking and the rest_max margin below. ln is fine here — the
+    // estimate never reaches the output (the recount is exact) or the
+    // oracle (which replays the exact ranking).
+    val est = hllFinalizeBy(
+        hllRegistersBy(rows, valCol, p, Seq(keyCol), portable = false),
+        p, Seq(keyCol))
+      .withColumn("est_distinct",
+        correctedEstimate(p)(col("n_registers_used"), col("s_fixed")))
+    val cand = Similarity.aggTopKBy(est, "est_distinct", candidates,
+        Seq.empty, "__er", keyCol)
+      .select(col(keyCol))
+    val rest = est.join(cand, Seq(keyCol), "left_anti")
+      .agg(max(col("est_distinct")).as("__rest_max"))
+    val eps = 3.0 * 1.04 / math.sqrt((1 << p).toDouble)
+    val exact = rows.join(broadcast(cand), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col(valCol)).as("n_distinct"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_distinct").desc, col(keyCol).asc)
+    exact.orderBy(col("n_distinct").desc, col(keyCol).asc).limit(k)
+      .crossJoin(broadcast(rest))
+      .withColumn("__cert", assert_true(
+        col("n_distinct").cast("double") >
+          coalesce(col("__rest_max"), lit(-1.0)) * lit(1.0 + eps),
+        lit(s"superSpreaders: kept count within the HLL 3-sigma envelope " +
+          s"of an excluded key's estimate — top-$k uncertified; widen " +
+          s"candidates (>$candidates) or raise p (>$p)")))
+      .filter(col("__cert").isNull)
+      .select(row_number().over(wr).as("rank"), col(keyCol),
+        col("n_distinct"))
+  }
 }

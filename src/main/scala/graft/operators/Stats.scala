@@ -382,4 +382,66 @@ object Stats {
         round(col("__e"), 6).as("expected"), col("chi_term"),
         col("chi2_total"), col("dof"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the sup-norm twin
+    * of [[histogramDrift]]'s total-variation readout: D = max over
+    * distinct values v of |F_a(v) − F_b(v)|, the classic "did this
+    * shard come from the same distribution" test for numeric columns
+    * (the binned TVD answers "how much moved"; KS answers "how far
+    * apart do the CDFs get, anywhere" and is what drift-alarm
+    * thresholds like c(α)·√((n_a+n_b)/(n_a·n_b)) are quoted against).
+    *
+    * Exactness: both empirical CDFs are step functions that only change
+    * at sample values, so the sup is attained at a distinct value; each
+    * candidate is compared by the INTEGER cross-product
+    * |cumA·n_b − cumB·n_a| (decimal(38,0) — exact to n ~ 10¹⁹ a side)
+    * and only the one winning numerator meets a double division,
+    * rounded to 6dp for the oracle gate. Ties across values broken to
+    * the SMALLEST attaining value (at_value).
+    *
+    * Scale shape: one corpus-sized value-histogram aggregate per side
+    * (map-side combined), then the [[Eval.prefixExclusive]] two-level
+    * scan over the distinct-value table — range-partitioned local
+    * running sums plus contiguity-bounded broadcast offsets; no global
+    * single-reducer sort anywhere (the collocations lesson). The final
+    * max is one aggregate over the distinct-value table.
+    *
+    * Null values are excluded; NaN is rejected loudly (engines disagree
+    * on NaN order — the [[Eval.scoreHistogram]] convention). Output:
+    * one row (n_a, n_b, d_num, at_value, d_stat); zero rows when both
+    * inputs are empty.
+    */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, ca: Long, cb: Long) = {
+      val v = col(valueCol).cast("double")
+      df.filter(v.isNotNull)
+        .withColumn("__nan", assert_true(!isnan(v),
+          lit("ksDrift: NaN value — engines disagree on NaN rank; " +
+            "filter or impute upstream")))
+        .filter(col("__nan").isNull)
+        .select(v.as("__s"), lit(ca).as("__a"), lit(cb).as("__b"))
+    }
+    val hist = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
+      .groupBy("__s")
+      .agg(sum(col("__a")).as("__a"), sum(col("__b")).as("__b"))
+    val cum = Eval.prefixExclusive(hist, Seq.empty, Seq("__a", "__b"),
+      descending = false)
+    val tot = hist.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = cum.crossJoin(broadcast(tot))
+      .select(col("__s"), col("n_a"), col("n_b"),
+        abs(dec(col("__cum__a") + col("__a")) * dec(col("n_b"))
+          - dec(col("__cum__b") + col("__b")) * dec(col("n_a"))).as("__d"))
+    // one struct-max picks (largest diff, then smallest value): max of
+    // (__d, -__s) — fine for finite doubles (NaN excluded above, and
+    // -0.0 == 0.0 under SQL comparison)
+    d.groupBy("n_a", "n_b")
+      .agg(max(struct(col("__d"), (-col("__s")).as("__ns"))).as("__m"))
+      .select(col("n_a"), col("n_b"),
+        col("__m.__d").as("d_num"),
+        (-col("__m.__ns")).as("at_value"),
+        round(col("__m.__d").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("d_stat"))
+  }
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Pii, Sampling, Sketches, Stats}
+
+/** Round-15 selection/audit operators: exact KS drift, Pareto-frontier
+  * curation, distinct-count heavy hitters, l-diversity, split leakage.
+  */
+class SelectionSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def round6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Naive KS: max over distinct pooled values of |F_a − F_b| by integer
+    * cross products, smallest attaining value.
+    */
+  private def naiveKs(a: Seq[Double], b: Seq[Double]): (Long, BigInt, Double, Long) = {
+    val na = a.size.toLong; val nb = b.size.toLong
+    val vs = (a ++ b).distinct.sorted
+    var best = BigInt(-1); var at = Double.NaN
+    for (v <- vs) {
+      val ca = BigInt(a.count(_ <= v)) * nb
+      val cb = BigInt(b.count(_ <= v)) * na
+      val d = (ca - cb).abs
+      if (d > best) { best = d; at = v }
+    }
+    (na, best, at, nb)
+  }
+
+  test("ksDrift matches the naive statistic, ties and duplicates included") {
+    // two deliberately different discrete distributions with tie mass
+    val a = (1 to 300).map(i => ((i * 2654435761L) % 17).toDouble)
+    val b = (1 to 200).map(i => ((i * 40503L) % 23).toDouble)
+    val (na, dnum, at, nb) = naiveKs(a, b)
+    val got = Stats.ksDrift(a.toDF("v"), b.toDF("v"), "v").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_a") == na)
+    assert(r.getAs[Long]("n_b") == nb)
+    assert(BigInt(r.getAs[java.math.BigDecimal]("d_num").toBigInteger) == dnum)
+    assert(r.getAs[Double]("at_value") == at)
+    assert(r.getAs[Double]("d_stat") ==
+      round6(dnum.toDouble / (na.toDouble * nb.toDouble)))
+  }
+
+  test("ksDrift: identical samples give D = 0; result is partition-invariant") {
+    val xs = (1 to 500).map(i => ((i * 7919L) % 41).toDouble)
+    val a = xs.toDF("v"); val b = xs.toDF("v")
+    val r = Stats.ksDrift(a.repartition(7), b.repartition(3), "v").head()
+    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact() == 0L)
+    assert(r.getAs[Double]("d_stat") == 0.0)
+    // repartitioning must not change anything (two-level scan contract)
+    val r2 = Stats.ksDrift(a.repartition(1), b.repartition(13), "v").head()
+    assert(r.toSeq == r2.toSeq)
+  }
+
+  test("ksDrift rejects NaN values loudly") {
+    val a = Seq(1.0, Double.NaN).toDF("v")
+    val b = Seq(2.0).toDF("v")
+    val e = intercept[Exception] { Stats.ksDrift(a, b, "v").collect() }
+    assert(e.getMessage.contains("NaN") ||
+      e.getCause != null && e.getCause.getMessage.contains("NaN"))
+  }
+
+  /** Naive O(n²) skyline. */
+  private def naiveFrontier(pts: Seq[(Long, Long, Long)]): Set[Long] =
+    pts.filter { p =>
+      !pts.exists(q => q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))
+    }.map(_._1).toSet
+
+  test("paretoFrontier matches the O(n²) dominance check, duplicates kept") {
+    val pts = (1L to 400L).map { i =>
+      (i, (i * 2654435761L) % 29, (i * 40503L) % 31)
+    } ++ Seq((401L, 28L, 30L), (402L, 28L, 30L)) // duplicate frontier point
+    val want = naiveFrontier(pts)
+    val df = pts.toDF("id", "x", "y").repartition(5)
+    val got = Sampling.paretoFrontier(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    // frontier must be an antichain: no member dominates another
+    val front = pts.filter(p => got(p._1))
+    assert(naiveFrontier(front) == want)
+  }
+
+  test("paretoFrontier: strictly increasing staircase keeps everything") {
+    val pts = (1L to 50L).map(i => (i, i, 100L - i))
+    val got = Sampling.paretoFrontier(pts.toDF("id", "x", "y"), "x", "y")
+      .count()
+    assert(got == 50L)
+  }
+
+  test("superSpreaders finds planted distinct-count spreaders exactly") {
+    // 60 background keys with ~8 distinct values each; two planted
+    // spreaders with 500 and 300 distinct values
+    val bg = for (k <- 1 to 60; v <- 1 to 8) yield (k.toLong, s"v${k}_$v")
+    val hot = (1 to 500).map(v => (99L, s"h$v")) ++
+      (1 to 300).map(v => (98L, s"g$v"))
+    val df = (bg ++ hot).toDF("key", "value").repartition(6)
+    val got = Sketches.superSpreaders(df, "key", "value", k = 2,
+      candidates = 8).collect()
+    assert(got.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("key"),
+      r.getAs[Long]("n_distinct"))).toSeq ==
+      Seq((1, 99L, 500L), (2, 98L, 300L)))
+  }
+
+  test("superSpreaders fails loudly when the margin cannot certify the cut") {
+    // 50 keys, all with the same 20 distinct values — no certified cut
+    // exists below full coverage
+    val rows = for (k <- 1 to 50; v <- 1 to 20) yield (k.toLong, v.toLong)
+    val df = rows.toDF("key", "value")
+    val e = intercept[Exception] {
+      Sketches.superSpreaders(df, "key", "value", k = 2, candidates = 4)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("uncertified")))
+  }
+
+  test("lDiversity flags homogeneous classes") {
+    val df = Seq(
+      ("a", 1, "x"), ("a", 1, "x"), ("a", 1, "x"), // homogeneous
+      ("b", 2, "x"), ("b", 2, "y"), ("b", 2, "z")  // diverse
+    ).toDF("q1", "q2", "s")
+    val got = Pii.lDiversity(df, Seq("q1", "q2"), "s", l = 2)
+      .orderBy("q1").collect()
+    assert(got.map(r => (r.getString(0), r.getAs[Long]("n"),
+      r.getAs[Long]("n_sensitive"), r.getAs[Boolean]("violates"))).toSeq ==
+      Seq(("a", 3L, 1L, true), ("b", 3L, 3L, false)))
+  }
+
+  test("splitLeakage reports multi-doc clusters straddling splits") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "canonical_id")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train"), (5L, "val")).toDF("doc_id", "split")
+    val got = Sampling.splitLeakage(labels, splits)
+      .orderBy("canonical_id").collect()
+    assert(got.map(r => (r.getAs[Long]("canonical_id"),
+      r.getAs[Long]("cluster_size"), r.getAs[Long]("n_splits"),
+      r.getAs[Boolean]("leaks"))).toSeq ==
+      Seq((1L, 2L, 2L, true), (3L, 2L, 1L, false)))
+    // the cluster-keyed split leaks nothing by construction
+    val fixed = Sampling.deterministicSplit(labels, "canonical_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+    assert(Sampling.splitLeakage(labels, fixed)
+      .filter(col("leaks")).count() == 0L)
+  }
+}
