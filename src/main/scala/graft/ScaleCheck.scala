@@ -1235,6 +1235,36 @@ object ScaleCheck {
       require(apex == Seq(-1L), s"planted apex must own the frontier: $apex")
     }
 
+    // PCA at 200k x 64: the Gram pass streams 200k·2080 component pairs
+    // through ≤ d² hash-agg cells per task (nothing corpus-sized
+    // shuffles), and the fixed-8-round power spec must still recover a
+    // PLANTED dominant direction from 64-dim wobble.
+    time("pca: 200k x 64 planted anisotropy, gram + power + scores") {
+      val d = 64
+      val uRaw = Array.tabulate(d)(i => math.sin(i + 1.0) + 0.3)
+      val uN = math.sqrt(uRaw.map(x => x * x).sum)
+      val u = uRaw.map(_ / uN)
+      val uCol = array(u.map(lit): _*)
+      val emb = transform(sequence(lit(0), lit(d - 1)), i =>
+        (element_at(uCol, i + 1) * sin(col("id") * 0.0012345) * 2.0
+          + sin(col("id") * 1.23 + i.cast("double") * 3.7) * 0.05)
+          .cast("float"))
+      val big = spark.range(200000L)
+        .select(col("id").as("vec_id"), emb.as("embedding"))
+      val comp = operators.Pca.dominantComponent(big)
+        .orderBy("pos").collect()
+      val v = comp.map(_.getDouble(1))
+      val cos = math.abs(v.zip(u).map { case (a, b) => a * b }.sum) /
+        math.sqrt(v.map(x => x * x).sum)
+      val lam = comp.head.getDouble(2)
+      val nScores = operators.Pca.pc1Scores(big).count()
+      println(f"[scale] pca: |cos(pc1,planted)| $cos%.6f eigval $lam%.4f " +
+        s"scores $nScores")
+      require(cos > 0.99, s"power spec must recover the planted axis: $cos")
+      require(lam > 1.5 && lam < 2.5, s"eigval off the planted variance: $lam")
+      require(nScores == 200000L, s"every vector must score: $nScores")
+    }
+
     // exact KS at 12M values with an analytically known answer: B is A
     // shifted by N/10, so D = 0.1 exactly, attained first at shift-1 —
     // the two-level prefix scan must reproduce it bit-for-bit.

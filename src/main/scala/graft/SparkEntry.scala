@@ -1965,6 +1965,27 @@ object SparkEntry {
 
     // deterministic k-means training summary (codebook arrays summarized
     // by their first four components — driver can't hash arrays)
+    // exact embedding covariance (upper triangle): integer Gram sums
+    // via the chained-generator hash agg — the shuffle carries ≤ d²
+    // cells per partition, never corpus rows
+    "q_pca_cov" -> ((s, dir) =>
+      operators.Pca.covarianceMatrix(Tables.load(s, dir, "embeddings"))
+        .orderBy("i", "j")),
+
+    // dominant principal component by the FIXED 8-round power spec from
+    // e0 — integer matrix-applies on the answer-sized covariance, two
+    // pinned double ops per round; the oracle replays the identical
+    // arithmetic as a recursive CTE
+    "q_pca_power" -> ((s, dir) =>
+      operators.Pca.dominantComponent(Tables.load(s, dir, "embeddings"))
+        .orderBy("pos")),
+
+    // per-vector projection onto pc1: broadcast d-row eigenvector join
+    // + grouped exact decimal sum — the 1-D corpus embedding
+    "q_pca_scores" -> ((s, dir) =>
+      operators.Pca.pc1Scores(Tables.load(s, dir, "embeddings"))
+        .orderBy("vec_id")),
+
     "q_kmeans" -> ((s, dir) => {
       val cb = trainedCodebook8(s, dir)
       cb.select(
@@ -2290,7 +2311,79 @@ object SparkEntry {
            JOIN ec q ON q.vec_id = s.query_id) t
          WHERE rank <= 3 ORDER BY query_id, rank"""
 
+  /** Shared PCA replay prefix: quantized components, exact integer
+    * moment/Gram sums, 9dp covariance, and the fixed-8-round power
+    * iteration as a recursive CTE — the same integer/pinned-double
+    * arithmetic [[operators.Pca]] runs (Q=2^20, CQ=10^9, VQ=10^12,
+    * downshift 2^40; `//` on positives only, so trunc ≡ floor).
+    */
+  private val pcaCte: String =
+    """WITH RECURSIVE q AS (
+         SELECT vec_id, unnest(range(len(embedding))) AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS qv
+         FROM embeddings WHERE embedding IS NOT NULL
+       ), m AS (
+         SELECT pos, CAST(sum(qv) AS HUGEINT) AS s, CAST(count(*) AS BIGINT) AS n
+         FROM q GROUP BY pos
+       ), g AS (
+         SELECT a.pos AS i, b.pos AS j,
+           CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS s_qq
+         FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+       ), cv AS (
+         SELECT g.i, g.j,
+           round(CAST(ma.n * g.s_qq - ma.s * mb.s AS DOUBLE)
+             / (CAST(ma.n AS DOUBLE) * ma.n * 1048576 * 1048576), 9) AS cov
+         FROM g JOIN m ma ON ma.pos = g.i JOIN m mb ON mb.pos = g.j
+       ), cq AS (
+         SELECT i, j, CAST(floor(cov * 1e9 + 0.5) AS HUGEINT) AS c FROM cv
+       ), dims AS (SELECT DISTINCT pos AS i FROM q
+       ), pw(iter, i, v) AS (
+         SELECT 0, i, CAST(CASE WHEN i = 0 THEN 1000000000000 ELSE 0 END AS HUGEINT)
+         FROM dims
+         UNION ALL
+         SELECT iter + 1, i, v FROM (
+           WITH w AS (
+             SELECT p.iter AS it, c.i AS wi, CAST(sum(c.c * p.v) AS HUGEINT) AS wv
+             FROM pw p JOIN cq c ON c.j = p.i
+             WHERE p.iter < 8 GROUP BY 1, 2
+           ), wq AS (
+             SELECT it, wi,
+               CASE WHEN wv < 0 THEN -CAST((-wv) // 1099511627776 AS HUGEINT)
+                    ELSE CAST(wv // 1099511627776 AS HUGEINT) END AS wqv
+             FROM w
+           ), nrm AS (
+             SELECT it, sqrt(CAST(sum(wqv * wqv) AS DOUBLE)) AS nv FROM wq GROUP BY it
+           )
+           SELECT wq.it AS iter, wq.wi AS i,
+             CAST(floor(CAST(wq.wqv * 1000000000000 AS DOUBLE) / nrm.nv + 0.5) AS HUGEINT) AS v
+           FROM wq JOIN nrm ON nrm.it = wq.it
+         )
+       ), vfin AS (SELECT i, v FROM pw WHERE iter = 8)"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_pca_cov" -> (pcaCte + """
+         SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov
+         FROM cv WHERE i <= j ORDER BY i, j"""),
+
+    "q_pca_power" -> (pcaCte + """
+         , mv AS (
+           SELECT c.i, CAST(sum(c.c * vf.v) AS HUGEINT) AS wv
+           FROM cq c JOIN vfin vf ON vf.i = c.j GROUP BY 1
+         ), ray AS (
+           SELECT round(
+             CAST((SELECT sum(mv.wv * vf2.v) FROM mv JOIN vfin vf2 ON vf2.i = mv.i) AS DOUBLE)
+             / CAST((SELECT sum(v * v) FROM vfin) AS DOUBLE) / 1e9, 9) AS eigval)
+         SELECT CAST(vf.i AS INT) AS pos,
+           round(CAST(vf.v AS DOUBLE) / 1e12, 9) AS pc1, ray.eigval
+         FROM vfin vf CROSS JOIN ray ORDER BY pos"""),
+
+    "q_pca_scores" -> (pcaCte + """
+         SELECT q.vec_id,
+           round(CAST(sum(CAST(q.qv AS HUGEINT) * vf.v) AS DOUBLE)
+             / (1048576 * 1e12), 6) AS pc1_score
+         FROM q JOIN vfin vf ON vf.i = q.pos
+         GROUP BY q.vec_id ORDER BY q.vec_id"""),
+
     "q_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          l_extendedprice * (1 - l_discount) AS net_price

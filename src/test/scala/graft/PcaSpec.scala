@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pca
+
+class PcaSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic anisotropic corpus: dominant direction u (unit, dim
+    * 8) with strong variance plus small off-axis wobble.
+    */
+  private val dim = 8
+  private val u: Array[Double] = {
+    val raw = Array.tabulate(dim)(i => math.sin(i + 1.0) + 0.3)
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    raw.map(_ / n)
+  }
+  private def corpus(n: Int) = (0 until n).map { r =>
+    val t = math.sin(r * 12.9898) * 2.0 // spread along u in ~[-2, 2]
+    val e = Array.tabulate(dim) { i =>
+      val wob = 0.05 * math.sin(r * 78.233 + i * 3.7)
+      (t * u(i) + wob).toFloat
+    }
+    (r.toLong, e.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("covarianceMatrix matches the naive double computation to the grid") {
+    val df = corpus(300)
+    val rows = df.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = rows.length
+    val mean = Array.tabulate(dim)(i => rows.map(_(i)).sum / n)
+    val got = Pca.covarianceMatrix(df.repartition(5)).collect()
+    assert(got.length == dim * (dim + 1) / 2)
+    got.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val naive = rows.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      // quantization to the 2^20 grid perturbs each factor by <= 2^-21
+      assert(math.abs(r.getDouble(2) - naive) < 1e-5,
+        s"cov($i,$j): got ${r.getDouble(2)} naive $naive")
+    }
+  }
+
+  test("covariance and power results are partition-invariant") {
+    val df = corpus(200)
+    val a = Pca.covarianceMatrix(df.repartition(1)).orderBy("i", "j")
+      .collect().toSeq
+    val b = Pca.covarianceMatrix(df.repartition(13)).orderBy("i", "j")
+      .collect().toSeq
+    assert(a == b)
+    val pa = Pca.dominantComponent(df.repartition(2)).orderBy("pos")
+      .collect().toSeq
+    val pb = Pca.dominantComponent(df.repartition(11)).orderBy("pos")
+      .collect().toSeq
+    assert(pa == pb)
+  }
+
+  test("dominantComponent recovers the planted direction") {
+    val got = Pca.dominantComponent(corpus(500)).orderBy("pos").collect()
+    val v = got.map(_.getDouble(1))
+    val cos = v.zip(u).map { case (a, b) => a * b }.sum /
+      math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.995, s"|cos(pc1, planted)| = ${math.abs(cos)}")
+    // eigenvalue ~ variance along u: spread t = 2 sin(...) has var ~2.0
+    val lam = got.head.getDouble(2)
+    assert(lam > 1.5 && lam < 2.5, s"eigval $lam")
+    // unit norm on the quantized grid
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
+  }
+
+  test("pc1Scores equals the manual projection") {
+    val df = corpus(50)
+    val comp = Pca.dominantComponent(df).orderBy("pos").collect()
+      .map(_.getDouble(1))
+    val scores = Pca.pc1Scores(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    df.collect().foreach { r =>
+      val manual = r.getSeq[Float](1).zip(comp)
+        .map { case (x, c) => x.toDouble * c }.sum
+      // both sides quantize (components 2^-20, eigenvector 10^-12);
+      // the score is 6dp-rounded
+      assert(math.abs(scores(r.getLong(0)) - manual) < 2e-5)
+    }
+  }
+
+  test("ragged embeddings are rejected loudly") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pca.covarianceMatrix(df).collect()
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+}
