@@ -246,7 +246,8 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist]
+          |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
+          |              pca|pcascores|ks|pareto|superspreaders|ldiversity]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -289,7 +290,12 @@ object Cli {
           |          madoutliers: [-value c] [-group c] [-cutoff X];
           |          kanon: -quasi c1,c2,... [-k N]; skewkeys: -key c [-topn N];
           |          centroiddrift: embeddings -in [-group c]; chisq: [-col-a c] [-col-b c];
-          |          fdcheck: -lhs c1,c2,... -rhs c; benford: -value c)
+          |          fdcheck: -lhs c1,c2,... -rhs c; benford: -value c;
+          |          pca/pcascores: embeddings -in [-iters N];
+          |          ks: -value c -side <bool expr> (exact two-sample KS);
+          |          pareto: -col-a c -col-b c (frontier maximizing both);
+          |          superspreaders: -key c -value c [-topk N] [-candidates N];
+          |          ldiversity: -quasi c1,c2,... -sensitive c [-l N])
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
@@ -991,6 +997,40 @@ object Cli {
         col(flags.getOrElse("key", fail(
           "corpus -op skewkeys requires -key <column>"))),
         topN = flags.getOrElse("topn", "20").toInt)
+      // PCA over an embeddings table (-in): dominant component / scores
+      case "pca"         => operators.Pca.dominantComponent(docs,
+        iters = flags.getOrElse("iters", "8").toInt)
+      case "pcascores"   => operators.Pca.pc1Scores(docs,
+        iters = flags.getOrElse("iters", "8").toInt)
+      // exact two-sample KS on a numeric column, sides by -side <bool expr>
+      case "ks"          => {
+        val v = flags.getOrElse("value",
+          fail("corpus -op ks requires -value <numeric column>"))
+        val side = expr(flags.getOrElse("side",
+          fail("corpus -op ks requires -side <boolean expr>")))
+        operators.Stats.ksDrift(docs.filter(side), docs.filter(!side), v)
+      }
+      // Pareto frontier on two numeric columns (maximizing both)
+      case "pareto"      => Sampling.paretoFrontier(docs,
+        flags.getOrElse("col-a", fail(
+          "corpus -op pareto requires -col-a <numeric column>")),
+        flags.getOrElse("col-b", fail(
+          "corpus -op pareto requires -col-b <numeric column>")))
+      // distinct-count heavy hitters: top keys by count(DISTINCT value)
+      case "superspreaders" => Sketches.superSpreaders(docs,
+        flags.getOrElse("key", fail(
+          "corpus -op superspreaders requires -key <column>")),
+        flags.getOrElse("value", fail(
+          "corpus -op superspreaders requires -value <column>")),
+        k = flags.getOrElse("topk", "10").toInt,
+        candidates = flags.getOrElse("candidates", "2048").toInt)
+      case "ldiversity"  => Pii.lDiversity(docs,
+        flags.getOrElse("quasi", fail(
+          "corpus -op ldiversity requires -quasi <col,col,...>"))
+          .split(",").map(_.trim).toSeq,
+        flags.getOrElse("sensitive", fail(
+          "corpus -op ldiversity requires -sensitive <col>")),
+        l = flags.getOrElse("l", "2").toInt)
       case other => fail(s"unknown corpus op: $other")
     }
     flags.get("out") match {

@@ -2370,11 +2370,15 @@ object SparkEntry {
            SELECT c.i, CAST(sum(c.c * vf.v) AS HUGEINT) AS wv
            FROM cq c JOIN vfin vf ON vf.i = c.j GROUP BY 1
          ), ray AS (
-           SELECT round(
+           SELECT
              CAST((SELECT sum(mv.wv * vf2.v) FROM mv JOIN vfin vf2 ON vf2.i = mv.i) AS DOUBLE)
-             / CAST((SELECT sum(v * v) FROM vfin) AS DOUBLE) / 1e9, 9) AS eigval)
+             / CAST((SELECT sum(v * v) FROM vfin) AS DOUBLE) AS raw)
          SELECT CAST(vf.i AS INT) AS pos,
-           round(CAST(vf.v AS DOUBLE) / 1e12, 9) AS pc1, ray.eigval
+           round(CAST(vf.v AS DOUBLE) / 1e12, 9) AS pc1,
+           round(ray.raw / 1e9, 9) AS eigval,
+           round(ray.raw
+             / CAST((SELECT sum(c) FROM cq WHERE i = j) AS DOUBLE), 6)
+             AS var_explained
          FROM vfin vf CROSS JOIN ray ORDER BY pos"""),
 
     "q_pca_scores" -> (pcaCte + """

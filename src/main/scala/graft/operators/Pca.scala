@@ -124,13 +124,14 @@ object Pca {
     *   wq  = w / 2^40 toward zero          (keeps Σwq² in 128 bits)
     *   v'  = floor(wq·10¹² / √(Σwq²) + .5) (two pinned double ops)
     *
-    * Returns (v on the 10^-12 grid, λ) with λ the Rayleigh quotient
-    * vᵀCv / vᵀv un-quantized back to covariance units, 9dp. Fails
-    * loudly if the iterate vanishes (covariance numerically zero or e₀
-    * exactly orthogonal to the dominant space — reseed upstream).
+    * Returns (v on the 10^-12 grid, the RAW Rayleigh quotient vᵀCv/vᵀv
+    * in covq units — callers un-quantize/round). Fails loudly if the
+    * iterate vanishes (covariance numerically zero or e₀ exactly
+    * orthogonal to the dominant space — reseed upstream).
     */
   private[graft] def powerIterate(
       covq: Map[(Int, Int), Long], d: Int, iters: Int): (Array[Long], Double) = {
+    require(d > 0 && iters > 0)
     def c(i: Int, j: Int): Long =
       if (i <= j) covq.getOrElse((i, j), 0L) else covq.getOrElse((j, i), 0L)
     var v = Array.tabulate(d)(i => if (i == 0) BigInt(VQ) else BigInt(0))
@@ -148,7 +149,7 @@ object Pca {
     val num = (0 until d).foldLeft(BigInt(0))((a, i) =>
       a + (0 until d).foldLeft(BigInt(0))((b, j) => b + BigInt(c(i, j)) * v(j)) * v(i))
     val den = v.foldLeft(BigInt(0))((a, x) => a + x * x)
-    (v.map(_.toLong), rnd(num.toDouble / den.toDouble / CQ, 9))
+    (v.map(_.toLong), num.toDouble / den.toDouble)
   }
 
   /** Quantized covariance cells for the driver loop: covq =
@@ -164,19 +165,25 @@ object Pca {
     (cells, d)
   }
 
-  /** Dominant principal component: (pos, pc1, eigval) — the unit
-    * eigenvector on the 10^-12 grid (reported 9dp) and its eigenvalue
-    * in covariance units, identical on every engine that replays the
+  /** Dominant principal component: (pos, pc1, eigval, var_explained) —
+    * the unit eigenvector on the 10^-12 grid (reported 9dp), its
+    * Rayleigh eigenvalue in covariance units, and the explained-
+    * variance share λ / trace(C) (trace summed EXACTLY in covq
+    * integers), identical on every engine that replays the
     * fixed-iteration spec.
     */
   def dominantComponent(embeddings: DataFrame, iters: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (cells, d) = covqCells(embeddings)
-    val (v, lam) = powerIterate(cells, d, iters)
+    val (v, rayRaw) = powerIterate(cells, d, iters)
+    val trace = (0 until d).foldLeft(BigInt(0))((a, i) =>
+      a + BigInt(cells.getOrElse((i, i), 0L)))
+    val lam = rnd(rayRaw / CQ, 9)
+    val ve = rnd(rayRaw / trace.toDouble, 6)
     v.zipWithIndex
-      .map { case (x, i) => (i, rnd(x.toDouble / VQ, 9), lam) }.toSeq
-      .toDF("pos", "pc1", "eigval")
+      .map { case (x, i) => (i, rnd(x.toDouble / VQ, 9), lam, ve) }.toSeq
+      .toDF("pos", "pc1", "eigval", "var_explained")
   }
 
   /** Per-vector projection onto the dominant component: score =

@@ -411,7 +411,17 @@ object Stats {
     * one row (n_a, n_b, d_num, at_value, d_stat); zero rows when both
     * inputs are empty.
     */
-  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame =
+    ksDriftFromHistogram(ksHistogram(a, b, valueCol))
+
+  /** The (__s, __a, __b) per-value count histogram — the MERGEABLE
+    * state of the KS family (counts add across shards and
+    * micro-batches, the [[Eval.scoreHistogram]] convention), so a
+    * Structured Streaming aggregate maintains it live
+    * ([[graft.streaming.Streaming.streamingKsHistogram]]) and
+    * [[ksDriftFromHistogram]] finishes the sink table.
+    */
+  def ksHistogram(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def side(df: DataFrame, ca: Long, cb: Long) = {
       val v = col(valueCol).cast("double")
       df.filter(v.isNotNull)
@@ -421,9 +431,13 @@ object Stats {
         .filter(col("__nan").isNull)
         .select(v.as("__s"), lit(ca).as("__a"), lit(cb).as("__b"))
     }
-    val hist = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
+    side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
       .groupBy("__s")
       .agg(sum(col("__a")).as("__a"), sum(col("__b")).as("__b"))
+  }
+
+  /** [[ksDrift]] from an already-built [[ksHistogram]]. */
+  def ksDriftFromHistogram(hist: DataFrame): DataFrame = {
     val cum = Eval.prefixExclusive(hist, Seq.empty, Seq("__a", "__b"),
       descending = false)
     val tot = hist.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))

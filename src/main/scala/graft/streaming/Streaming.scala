@@ -463,6 +463,30 @@ object Streaming {
       groupCols, quantScale)
   }
 
+  /** Live two-sample KS state over a file stream: per-value (a, b)
+    * counts with side membership decided by `sideExpr` (rows where it
+    * is true count as sample A, false as B; nulls drop). Purely
+    * additive — the [[graft.operators.Stats.ksHistogram]] mergeable
+    * state — so a Complete-mode aggregate maintains it across
+    * micro-batches and [[graft.operators.Stats.ksDriftFromHistogram]]
+    * finishes the sink: a drift alarm that never rescans history.
+    */
+  def streamingKsHistogram(
+      spark: SparkSession, dir: String,
+      valueCol: String, sideExpr: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n))
+      .getOrElse(reader)
+      .parquet(dir)
+      .filter(expr(sideExpr).isNotNull)
+    graft.operators.Stats.ksHistogram(
+      stream.filter(expr(sideExpr)),
+      stream.filter(!expr(sideExpr)), valueCol)
+  }
+
   def streamingCmsTokens(
       spark: SparkSession, docsDir: String,
       depth: Int = 4, width: Int = 1 << 12): DataFrame = {

@@ -373,6 +373,42 @@ class CliSpec extends AnyFunSuite {
       == spark.read.parquet(idx).count())
   }
 
+  test("corpus subcommand: selection/analysis ops (pca, ks, pareto, superspreaders, ldiversity)") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val pca = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "pca"))
+    }
+    assert(pca.contains("Rows: 64") && pca.contains("eigval"))
+    val scores = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "pcascores"))
+    }
+    assert(scores.contains("pc1_score"))
+    val ks = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "ks",
+        "value" -> "n_chars", "side" -> "doc_id % 2 = 0"))
+    }
+    assert(ks.contains("Rows: 1") && ks.contains("d_stat"))
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "ks"))
+    }
+    val par = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "pareto",
+        "col-a" -> "n_chars", "col-b" -> "doc_id"))
+    }
+    assert(par.contains("n_chars"))
+    val ss = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "superspreaders",
+        "key" -> "lang", "value" -> "source", "topk" -> "3"))
+    }
+    assert(ss.contains("Rows: 3") && ss.contains("n_distinct"))
+    val ld = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "ldiversity",
+        "quasi" -> "lang", "sensitive" -> "source"))
+    }
+    assert(ld.contains("violates"))
+  }
+
   test("corpus subcommand: qualityclf trains and scores") {
     val out = captureOut {
       Cli.runCorpus(spark, Map(

@@ -66,6 +66,10 @@ class PcaSpec extends AnyFunSuite {
     // eigenvalue ~ variance along u: spread t = 2 sin(...) has var ~2.0
     val lam = got.head.getDouble(2)
     assert(lam > 1.5 && lam < 2.5, s"eigval $lam")
+    // the planted axis dominates: tiny off-axis wobble -> pc1 carries
+    // nearly all the variance
+    val ve = got.head.getDouble(3)
+    assert(ve > 0.9 && ve <= 1.0, s"var_explained $ve")
     // unit norm on the quantized grid
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
   }

@@ -384,6 +384,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(apS == apB, s"streamed AP $apS vs batch $apB")
   }
 
+  test("streaming KS histogram + batch finisher equals batch ksDrift") {
+    import graft.operators.Stats
+    val dir = tmpDir("stream-ks")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // two files so the Complete-mode aggregate accumulates across
+    // micro-batches; side membership is l_orderkey parity, the q_drift
+    // convention
+    li.filter(col("l_partkey") % 2 === 0).coalesce(1)
+      .write.parquet(dir.toString + "/f1")
+    li.filter(col("l_partkey") % 2 === 1).coalesce(1)
+      .write.parquet(dir.toString + "/f2")
+    val merged = tmpDir("stream-ks-in")
+    for (f <- Seq("f1", "f2")) {
+      val part = Files.list(java.nio.file.Paths.get(dir.toString, f))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, merged.resolve(f + ".parquet"))
+    }
+    val streamed = Streaming.runAvailableNow(
+      Streaming.streamingKsHistogram(spark, merged.toString,
+        "l_extendedprice", "l_orderkey % 2 = 0", maxFilesPerTrigger = Some(1)),
+      "ks_hist")
+    val ksS = Stats.ksDriftFromHistogram(streamed).head()
+    val ksB = Stats.ksDrift(
+      li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice").head()
+    assert(ksS == ksB, s"streamed KS $ksS vs batch $ksB")
+    assert(ksB.getAs[java.math.BigDecimal]("d_num").signum >= 0)
+  }
+
   test("streaming HLL-store ingest equals a cold build; replayed batches cannot move answers") {
     import graft.operators.HllStore
     val evDir = tmpDir("stream-hll")
