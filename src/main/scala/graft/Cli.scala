@@ -247,7 +247,7 @@ object Cli {
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
-          |              pca|pcascores|ks|pareto|superspreaders|ldiversity]
+          |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -291,7 +291,7 @@ object Cli {
           |          kanon: -quasi c1,c2,... [-k N]; skewkeys: -key c [-topn N];
           |          centroiddrift: embeddings -in [-group c]; chisq: [-col-a c] [-col-b c];
           |          fdcheck: -lhs c1,c2,... -rhs c; benford: -value c;
-          |          pca/pcascores: embeddings -in [-iters N];
+          |          pca/pcascores: embeddings -in [-iters N]; pcatop: [-r N] [-iters N];
           |          ks: -value c -side <bool expr> (exact two-sample KS);
           |          pareto: -col-a c -col-b c (frontier maximizing both);
           |          superspreaders: -key c -value c [-topk N] [-candidates N];
@@ -1001,6 +1001,9 @@ object Cli {
       case "pca"         => operators.Pca.dominantComponent(docs,
         iters = flags.getOrElse("iters", "8").toInt)
       case "pcascores"   => operators.Pca.pc1Scores(docs,
+        iters = flags.getOrElse("iters", "8").toInt)
+      case "pcatop"      => operators.Pca.topComponents(docs,
+        r = flags.getOrElse("r", "2").toInt,
         iters = flags.getOrElse("iters", "8").toInt)
       // exact two-sample KS on a numeric column, sides by -side <bool expr>
       case "ks"          => {

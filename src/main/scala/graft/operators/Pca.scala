@@ -186,6 +186,52 @@ object Pca {
       .toDF("pos", "pc1", "eigval", "var_explained")
   }
 
+  /** Hotelling deflation on the quantized grid: C' = C − λ·vvᵀ with
+    * every cell one pinned double expression — floor(λ_raw ·
+    * (v_i·v_j as double) / 1e24 + 0.5) — so the deflated matrix (and
+    * therefore every later component) replays bit-for-bit in the
+    * oracle. v_i·v_j multiplies EXACTLY as integers first; only the
+    * final product meets doubles.
+    */
+  private def deflate(cells: Map[(Int, Int), Long], d: Int,
+      v: Array[Long], rayRaw: Double): Map[(Int, Int), Long] =
+    (for (i <- 0 until d; j <- i until d) yield {
+      val vij = (BigInt(v(i)) * BigInt(v(j))).toDouble
+      (i, j) -> (cells.getOrElse((i, j), 0L)
+        - math.floor(rayRaw * vij / 1e24 + 0.5).toLong)
+    }).toMap
+
+  /** Top-r principal components by repeated power iteration +
+    * [[deflate]]: long-format (component, pos, loading, eigval,
+    * var_explained), component 1-based, var_explained always against
+    * the ORIGINAL trace (the standard convention, so the shares of
+    * successive components add up). Each component costs d² driver
+    * flops — corpus touched exactly once, by the covariance pass.
+    * Near-equal eigenvalues make the later components spec-stable but
+    * statistically arbitrary (any basis of the eigenspace is correct);
+    * the fixed-iteration spec still replays deterministically.
+    */
+  def topComponents(embeddings: DataFrame, r: Int = 2,
+      iters: Int = 8): DataFrame = {
+    require(r >= 1, s"need r >= 1, got $r")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (cells0, d) = covqCells(embeddings)
+    require(r <= d, s"r=$r exceeds dimension $d")
+    val trace = (0 until d).foldLeft(BigInt(0))((a, i) =>
+      a + BigInt(cells0.getOrElse((i, i), 0L))).toDouble
+    var cells = cells0
+    val rows = (1 to r).flatMap { k =>
+      val (v, rayRaw) = powerIterate(cells, d, iters)
+      if (k < r) cells = deflate(cells, d, v, rayRaw)
+      v.zipWithIndex.map { case (x, i) =>
+        (k, i, rnd(x.toDouble / VQ, 9), rnd(rayRaw / CQ, 9),
+          rnd(rayRaw / trace, 6))
+      }
+    }
+    rows.toDF("component", "pos", "loading", "eigval", "var_explained")
+  }
+
   /** Per-vector projection onto the dominant component: score =
     * round(Σ q_pos·v_pos / (Q·10¹²), 6) — one broadcast join of the
     * d-row eigenvector against the quantized component stream, one

@@ -74,6 +74,34 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
   }
 
+  test("topComponents: deflation finds the second planted axis, orthogonal") {
+    // two orthonormal planted axes with variances ~2.0 and ~0.5
+    val w0 = Array.tabulate(dim)(i => math.cos(i * 2.3) - 0.1)
+    val proj = w0.zip(u).map { case (a, b) => a * b }.sum
+    val wRaw = w0.zip(u).map { case (a, b) => a - proj * b }
+    val wN = math.sqrt(wRaw.map(x => x * x).sum)
+    val w = wRaw.map(_ / wN)
+    val df = (0 until 600).map { r =>
+      val t1 = math.sin(r * 12.9898) * 2.0
+      val t2 = math.sin(r * 3.333) * 1.0
+      (r.toLong, Array.tabulate(dim)(i => (t1 * u(i) + t2 * w(i)).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Pca.topComponents(df, r = 2).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    val v1 = got(1).map(_.getDouble(2))
+    val v2 = got(2).map(_.getDouble(2))
+    def absCos(a: Array[Double], b: Array[Double]) =
+      math.abs(a.zip(b).map { case (x, y) => x * y }.sum) /
+        math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    assert(absCos(v1, u.toArray) > 0.99, s"pc1 vs planted u: ${absCos(v1, u.toArray)}")
+    assert(absCos(v2, w) > 0.99, s"pc2 vs planted w: ${absCos(v2, w)}")
+    assert(absCos(v1, v2) < 0.02, s"pc1/pc2 must be near-orthogonal")
+    val (e1, e2) = (got(1).head.getDouble(3), got(2).head.getDouble(3))
+    assert(e1 > e2 && e2 > 0, s"eigvals ordered: $e1 $e2")
+    val (s1, s2) = (got(1).head.getDouble(4), got(2).head.getDouble(4))
+    assert(s1 > s2 && s1 + s2 <= 1.0 + 1e-6, s"shares: $s1 $s2")
+  }
+
   test("pc1Scores equals the manual projection") {
     val df = corpus(50)
     val comp = Pca.dominantComponent(df).orderBy("pos").collect()
