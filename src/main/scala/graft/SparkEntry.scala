@@ -1673,6 +1673,24 @@ object SparkEntry {
           Tables.load(s, dir, "documents"), "lang", "source")
         .orderBy("a", "b")),
 
+    // one-way ANOVA F: does document length separate languages? —
+    // decimal power sums, 6dp-quantized per-group terms (the chi_term
+    // technique), one k-row finisher
+    "q_anova" -> ((s, dir) =>
+      operators.Stats.anovaF(
+        Tables.load(s, dir, "documents"), "n_chars", "lang")),
+
+    // the embedding-quality readout: F of the UNSUPERVISED pc1 axis
+    // against the held labels — a near-zero F says the dominant
+    // variance direction carries no label signal
+    "q_anova_pc1" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      operators.Stats.anovaF(
+        operators.Pca.pc1Scores(emb)
+          .join(emb.select(col("vec_id"), col("label")), "vec_id"),
+        "pc1_score", "label")
+    }),
+
     // product quantization: m=4 × ksub=16 pseudo-codebooks, ADC
     // inner-product candidates from the broadcast lookup table (exact
     // fixed-point sums), exact cosine re-rank of the k·4 survivors
@@ -5078,6 +5096,76 @@ object SparkEntry {
          SELECT sc2.a, sc2.b, sc2.n, round(sc2.e, 6) AS expected,
            sc2.chi_term, tot.chi2_total, tot.dof
          FROM sc2, tot ORDER BY a, b""",
+
+    // decimal power sums, double-first cross-multiplies (the q_corr
+    // convention), per-group terms 6dp-quantized before the decimal sum
+    "q_anova" ->
+      """WITH v AS (
+           SELECT CAST(n_chars AS DECIMAL(18,4)) AS x, lang AS g
+           FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+         ), a AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+             sum(x * x) AS q
+           FROM v GROUP BY g
+         ), b AS (
+           SELECT g, n, q, s,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+               AS DECIMAL(18,6)) AS t
+           FROM a
+         ), c AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(q) AS qq, sum(t) AS tt, sum(s) AS ss
+           FROM b
+         ), d AS (
+           SELECT n, k,
+             CAST(tt AS DOUBLE)
+               - round(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n, 6) AS ssb,
+             CAST(qq AS DOUBLE) - CAST(tt AS DOUBLE) AS ssw
+           FROM c)
+         SELECT n, k, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+           CASE WHEN ssb + ssw <= 0 THEN NULL
+             ELSE round(ssb / (ssb + ssw), 6) END AS eta_sq,
+           CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+             ELSE round((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f_stat
+         FROM d""",
+
+    // the pc1 projection CTE feeding the same ANOVA chain — the
+    // unsupervised axis graded against the held labels
+    "q_anova_pc1" -> (pcaCte + """
+         , sc AS (
+           SELECT q.vec_id,
+             round(CAST(sum(CAST(q.qv AS HUGEINT) * vf.v) AS DOUBLE)
+               / (1048576 * 1e12), 6) AS pc1_score
+           FROM q JOIN vfin vf ON vf.i = q.pos GROUP BY q.vec_id
+         ), v AS (
+           SELECT CAST(sc.pc1_score AS DECIMAL(18,4)) AS x, e.label AS g
+           FROM sc JOIN embeddings e ON e.vec_id = sc.vec_id
+           WHERE sc.pc1_score IS NOT NULL AND e.label IS NOT NULL
+         ), a AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+             sum(x * x) AS q
+           FROM v GROUP BY g
+         ), b AS (
+           SELECT g, n, q, s,
+             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+               AS DECIMAL(18,6)) AS t
+           FROM a
+         ), c AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(q) AS qq, sum(t) AS tt, sum(s) AS ss
+           FROM b
+         ), d AS (
+           SELECT n, k,
+             CAST(tt AS DOUBLE)
+               - round(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n, 6) AS ssb,
+             CAST(qq AS DOUBLE) - CAST(tt AS DOUBLE) AS ssw
+           FROM c)
+         SELECT n, k, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+           CASE WHEN ssb + ssw <= 0 THEN NULL
+             ELSE round(ssb / (ssb + ssw), 6) END AS eta_sq,
+           CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
+             ELSE round((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f_stat
+         FROM d"""),
 
     // the matryoshka sweep replayed with list slicing: per-dim prefix
     // cosine (4dp + vec_id ties, the brute-force contract) vs the

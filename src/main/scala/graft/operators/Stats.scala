@@ -383,6 +383,57 @@ object Stats {
         col("chi2_total"), col("dof"))
   }
 
+  /** One-way ANOVA F — "does this numeric feature separate these
+    * labels": F = (SSB/(k−1)) / (SSW/(n−k)) with SSB = Σ_g S_g²/n_g −
+    * S²/n and SSW = Q − Σ_g S_g²/n_g over per-group decimal power sums
+    * (S_g = Σx, Q = Σx², both exact DECIMAL — the [[groupedCorrelation]]
+    * discipline). The quality-probe feature gate: a near-zero F on
+    * (feature, label) means the feature carries nothing for that label
+    * and a probe trained on it is noise.
+    *
+    * Determinism: per-group terms S_g²/n_g are ONE decimal→double cast
+    * + one division each, 6dp-rounded BEFORE the cross-group sum
+    * accumulates them as decimal(18,6) (the [[chiSquare]] chi_term
+    * technique — plain double term-sums would be partition-order
+    * dependent). Scale shape: one grouped power-sum pass (map-side
+    * combined), one k-row aggregate. Output: one row (n, k,
+    * ss_between, ss_within, eta_sq, f_stat), NULLs when degenerate
+    * (k < 2, n ≤ k, or zero within-variance).
+    */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(18,4)")
+    // sums cast to double BEFORE cross-multiplying (the q_corr oracle
+    // convention — decimal×decimal of two 38-precision sums can't
+    // replay; double multiply is one pinned IEEE op). Per-row squares
+    // stay exact decimal (37,8).
+    val g = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
+        sum(x * x).as("__q"))
+      .select(col("__n"), col("__q"),
+        round(col("__s").cast("double") * col("__s").cast("double")
+          / col("__n"), 6).cast("decimal(18,6)").as("__t"),
+        col("__s"))
+    g.agg(sum(col("__n")).as("n"), count(lit(1)).as("k"),
+        sum(col("__q")).as("__qq"), sum(col("__t")).as("__tt"),
+        sum(col("__s")).as("__ss"))
+      .select(col("n"), col("k"),
+        (col("__tt").cast("double")
+          - round(col("__ss").cast("double") * col("__ss").cast("double")
+              / col("n"), 6)).as("__ssb"),
+        (col("__qq").cast("double") - col("__tt").cast("double")).as("__ssw"))
+      .select(col("n"), col("k"),
+        round(col("__ssb"), 6).as("ss_between"),
+        round(col("__ssw"), 6).as("ss_within"),
+        when(col("__ssb") + col("__ssw") <= 0, lit(null).cast("double"))
+          .otherwise(round(col("__ssb") / (col("__ssb") + col("__ssw")), 6))
+          .as("eta_sq"),
+        when(col("k") < 2 || col("n") <= col("k") || col("__ssw") <= 0,
+            lit(null).cast("double"))
+          .otherwise(round((col("__ssb") / (col("k") - 1))
+            / (col("__ssw") / (col("n") - col("k"))), 6)).as("f_stat"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the sup-norm twin
     * of [[histogramDrift]]'s total-variation readout: D = max over
     * distinct values v of |F_a(v) − F_b(v)|, the classic "did this

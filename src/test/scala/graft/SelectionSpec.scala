@@ -122,6 +122,38 @@ class SelectionSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("uncertified")))
   }
 
+  test("anovaF matches the naive two-pass computation; degenerates to NULL") {
+    val rows = (1 to 300).map { i =>
+      val g = s"g${i % 4}"
+      (g, ((i * 2654435761L) % 97).toDouble / 4.0 + (i % 4) * 5.0)
+    }
+    val got = Stats.anovaF(rows.toDF("g", "x").repartition(7), "x", "g").head()
+    // naive on the 4dp grid the operator quantizes inputs to
+    val q = rows.map { case (g, x) => (g, math.rint(x * 1e4) / 1e4) }
+    val n = q.size; val k = q.map(_._1).distinct.size
+    val grand = q.map(_._2).sum / n
+    val ssb = q.groupBy(_._1).values.map { vs =>
+      val m = vs.map(_._2).sum / vs.size
+      vs.size * (m - grand) * (m - grand)
+    }.sum
+    val ssw = q.groupBy(_._1).values.flatMap { vs =>
+      val m = vs.map(_._2).sum / vs.size
+      vs.map(v => (v._2 - m) * (v._2 - m))
+    }.sum
+    assert(got.getAs[Long]("n") == n && got.getAs[Long]("k") == k)
+    // the operator's 6dp-quantized terms agree with naive to ~1e-4
+    assert(math.abs(got.getAs[Double]("ss_between") - ssb) < 1e-3)
+    assert(math.abs(got.getAs[Double]("ss_within") - ssw) < 1e-3)
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(got.getAs[Double]("f_stat") - f) < 1e-4 * f)
+    // partition invariance
+    val got2 = Stats.anovaF(rows.toDF("g", "x").repartition(1), "x", "g").head()
+    assert(got.toSeq == got2.toSeq)
+    // single group -> NULL F
+    val deg = Stats.anovaF(Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x"), "x", "g").head()
+    assert(deg.isNullAt(deg.fieldIndex("f_stat")))
+  }
+
   test("lDiversity flags homogeneous classes") {
     val df = Seq(
       ("a", 1, "x"), ("a", 1, "x"), ("a", 1, "x"), // homogeneous
