@@ -122,6 +122,43 @@ class SelectionSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("uncertified")))
   }
 
+  test("plan shapes: KS/pareto scan discipline, broadcast frontier join, gram partial agg") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // parquet-backed so nothing constant-folds
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ks = Stats.ksDrift(li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1), "l_extendedprice")
+    ks.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty).foreach { w =>
+        // the only global window allowed is the offsets prefix over the
+        // partition-count-sized __pid aggregate (the rocAuc contract)
+        assert(w.child.toString.contains("__pid"),
+          s"unpartitioned window over non-offset input:\n$w")
+      }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val par = Sampling.paretoFrontier(
+      docs.select(col("doc_id"), col("n_chars"),
+        length(col("text")).cast("long").as("y")), "n_chars", "y")
+    val plan = par.queryExecution.sparkPlan
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "frontier join-back must broadcast the answer-sized frontier table")
+    plan.collect { case w: WindowExec => w }
+      .filter(_.partitionSpec.isEmpty).foreach { w =>
+        assert(w.child.toString.contains("__pid"),
+          s"unpartitioned window over non-offset input:\n$w")
+      }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val gram = graft.operators.Pca.gramSums(emb)
+    val gplan = gram.queryExecution.sparkPlan
+    assert(gplan.toString.contains("partial_sum"),
+      "gram cells must map-side combine before the shuffle")
+    assert(gplan.collect { case w: WindowExec => w }.isEmpty &&
+      gplan.collect { case s: SortExec => s }.isEmpty,
+      "gram pass must be pure hash aggregation — no windows, no sorts")
+  }
+
   test("anovaF matches the naive two-pass computation; degenerates to NULL") {
     val rows = (1 to 300).map { i =>
       val g = s"g${i % 4}"
