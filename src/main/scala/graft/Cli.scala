@@ -247,7 +247,7 @@ object Cli {
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
-          |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova]
+          |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -296,7 +296,8 @@ object Cli {
           |          pareto: -col-a c -col-b c (frontier maximizing both);
           |          superspreaders: -key c -value c [-topk N] [-candidates N];
           |          ldiversity: -quasi c1,c2,... -sensitive c [-l N];
-          |          anova: -value c -group c (one-way F))
+          |          anova: -value c -group c (one-way F);
+          |          waterfill: -budget N [-group-col c] (integer water level))
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
@@ -1028,6 +1029,10 @@ object Cli {
           "corpus -op superspreaders requires -value <column>")),
         k = flags.getOrElse("topk", "10").toInt,
         candidates = flags.getOrElse("candidates", "2048").toInt)
+      case "waterfill"   => Sampling.waterfillBudget(docs,
+        flags.getOrElse("group-col", "lang"),
+        budget = flags.getOrElse("budget",
+          fail("corpus -op waterfill requires -budget <rows>")).toLong)
       case "anova"       => operators.Stats.anovaF(docs,
         flags.getOrElse("value", fail(
           "corpus -op anova requires -value <numeric column>")),

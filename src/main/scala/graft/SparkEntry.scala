@@ -709,6 +709,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the per-language frontier: one skyline per group, grouped
+    // two-level prefix-max cover
+    "q_pareto_by" -> ((s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("n_distinct_tokens"))
+      operators.Sampling
+        .paretoFrontierBy(scored, "n_chars", "n_distinct_tokens", Seq("lang"))
+        .select("doc_id", "lang", "n_chars", "n_distinct_tokens")
+        .orderBy("doc_id")
+    }),
+
     "q_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1316,6 +1329,14 @@ object SparkEntry {
     "q_mixture_plan" -> ((s, dir) =>
       Sampling.mixturePlan(Tables.load(s, dir, "documents"), "lang",
           Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
+        .orderBy("stratum")),
+
+    // water-filling budget allocation: cap dominant languages at the
+    // common level that spends exactly the budget — all-integer
+    // decisions (cross-multiplied cut + largest-remainder split)
+    "q_waterfill" -> ((s, dir) =>
+      Sampling.waterfillBudget(Tables.load(s, dir, "documents"),
+          "lang", budget = 400)
         .orderBy("stratum")),
 
     // fuzzy dedup: LSH candidates + exact Levenshtein verify
@@ -3168,6 +3189,25 @@ object SparkEntry {
          WHERE NOT EXISTS (
            SELECT 1 FROM s AS q
            WHERE q.n_chars >= p.n_chars
+             AND q.n_distinct_tokens >= p.n_distinct_tokens
+             AND (q.n_chars > p.n_chars
+               OR q.n_distinct_tokens > p.n_distinct_tokens))
+         ORDER BY p.doc_id""",
+
+    // per-group NOT-EXISTS: dominance only within the same language
+    "q_pareto_by" ->
+      """WITH s AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(trim(text), '\s+'), t -> t <> '')))
+               AS BIGINT) AS n_distinct_tokens
+           FROM documents
+           WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL)
+         SELECT p.doc_id, p.lang, p.n_chars, p.n_distinct_tokens FROM s AS p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM s AS q
+           WHERE q.lang = p.lang
+             AND q.n_chars >= p.n_chars
              AND q.n_distinct_tokens >= p.n_distinct_tokens
              AND (q.n_chars > p.n_chars
                OR q.n_distinct_tokens > p.n_distinct_tokens))
@@ -6466,6 +6506,34 @@ object SparkEntry {
            round(CASE WHEN target_weight > 0 THEN target_weight * tt / n_docs
                       ELSE 0.0 END, 6) AS keep_frac
          FROM counts CROSS JOIN t ORDER BY stratum""",
+
+    // the integer water level: cross-multiplied cut + floor +
+    // largest-remainder — every decision integer, Σ allocation = budget
+    "q_waterfill" ->
+      """WITH c AS (
+           SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n
+           FROM documents WHERE lang IS NOT NULL GROUP BY 1
+         ), r AS (
+           SELECT stratum, n,
+             CAST(row_number() OVER (ORDER BY n, stratum) AS BIGINT) AS idx,
+             CAST(coalesce(sum(n) OVER (ORDER BY n, stratum
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+             CAST((SELECT count(*) FROM c) AS BIGINT) AS k
+           FROM c
+         ), cut AS (
+           SELECT min(idx) AS cut, arg_min(below, idx) AS cb
+           FROM r WHERE n * (k - idx + 1) > 400 - below
+         ), alloc AS (
+           SELECT r.stratum, r.n,
+             CASE WHEN cut.cut IS NULL OR r.idx < cut.cut THEN r.n
+               ELSE (400 - cut.cb) // (r.k - cut.cut + 1)
+                 + CASE WHEN r.idx - cut.cut < (400 - cut.cb) % (r.k - cut.cut + 1)
+                     THEN 1 ELSE 0 END END AS a
+           FROM r CROSS JOIN cut)
+         SELECT stratum, n AS n_docs, CAST(a AS BIGINT) AS allocation,
+           a < n AS capped,
+           round(CAST(a AS DOUBLE) / n, 6) AS keep_frac
+         FROM alloc ORDER BY stratum""",
 
     // span windows replayed like q_chunks (stride 16, full 32-token
     // windows only), fingerprint = md5 of the window text

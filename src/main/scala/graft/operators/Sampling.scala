@@ -364,6 +364,66 @@ object Sampling {
       .filter(col("cluster_size") > 1)
       .withColumn("leaks", col("n_splits") > 1)
 
+  /** Water-filling budget allocation — split a row budget B across
+    * strata so every stratum keeps min(n_g, λ) rows at a COMMON level
+    * λ chosen to spend exactly B: small strata stay whole, dominant
+    * strata are capped at the water level. The third member of the
+    * mixing family ([[mixturePlan]] hits target proportions,
+    * [[sqrtTemperatureMix]] smooths by √n; water-filling answers "cap
+    * the head so the budget is met without touching the tail" — the
+    * standard anti-domination allocation for multi-source corpora).
+    *
+    * Exact INTEGER algorithm, no floats in any decision: strata sorted
+    * by (n asc, stratum asc); the cut is the first position where
+    * n_i·(k−i+1) > B−cumBelow_i (integer cross-multiplication — the
+    * [[graft.operators.Stats.ksDrift]] comparison trick); below the
+    * cut every stratum is whole, at/above it the remaining budget
+    * splits as floor + largest-remainder, remainders to the smallest
+    * strata first — Σ allocation = min(B, Σn) EXACTLY and allocation ≤
+    * n_g always (n_j > level ⇒ n_j ≥ base+1 in integers).
+    *
+    * Scale shape: ONE corpus count pass; every window after it runs on
+    * the k-row strata table (the [[sqrtTemperatureMix]] second-level
+    * convention — strata are languages/sources, answer-sized by
+    * construction). Output: (stratum, n_docs, allocation, capped,
+    * keep_frac 6dp); feed keep_frac to [[stratifiedSample]] or take
+    * exactly `allocation` per stratum with [[fixedSizeSample]].
+    */
+  def waterfillBudget(df: DataFrame, stratumCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"))
+      .groupBy("stratum").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy(col("n_docs").asc, col("stratum").asc)
+    val wBelow = w.rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts
+      .withColumn("__idx", row_number().over(w).cast("long"))
+      .withColumn("__below", coalesce(sum(col("n_docs")).over(wBelow), lit(0L)))
+      .withColumn("__k", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // first capped position: n_i·(k−i+1) > B−cumBelow_i
+    val cutT = ranked
+      .filter(col("n_docs") * (col("__k") - col("__idx") + 1)
+        > lit(budget) - col("__below"))
+      .agg(min(struct(col("__idx"), col("__below"))).as("__c"))
+      .select(col("__c.__idx").as("__cut"), col("__c.__below").as("__cb"))
+    val out = ranked.crossJoin(broadcast(cutT))
+      .withColumn("__m", col("__k") - col("__cut") + 1)
+      .withColumn("__rest", lit(budget) - col("__cb"))
+      .withColumn("allocation",
+        when(col("__cut").isNull || col("__idx") < col("__cut"), col("n_docs"))
+          .otherwise(expr("__rest DIV __m")
+            + when(col("__idx") - col("__cut") < expr("__rest % __m"), 1L)
+              .otherwise(0L)))
+      .withColumn("capped", col("allocation") < col("n_docs"))
+    out.select(col("stratum"), col("n_docs"), col("allocation"),
+      col("capped"),
+      round(col("allocation").cast("double") / col("n_docs"), 6)
+        .as("keep_frac"))
+  }
+
   /** 2-D Pareto frontier (skyline) selection — the rows no other row
     * dominates, maximizing BOTH `xCol` and `yCol`: row p is dominated
     * iff some q has q.x ≥ p.x ∧ q.y ≥ p.y with at least one strict.
@@ -390,23 +450,43 @@ object Sampling {
     * rejected loudly (engines disagree on NaN order). To minimize an
     * axis, negate it upstream.
     */
-  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    paretoFrontierBy(df, xCol, yCol, Seq.empty)
+
+  /** [[paretoFrontier]] per group — one skyline per key in `groupCols`
+    * (the per-language / per-source curation frontier), same three
+    * bounded passes with the group keys riding every stage: the
+    * two-level scan partitions by group (offsets stay contiguity-
+    * bounded), and the frontier join-back keys on (group, x, max-y).
+    * The frontier table is answer-sized per group; broadcast only when
+    * global (millions of groups would exceed the broadcast budget —
+    * the [[Eval.prefixExclusive]] offsets convention).
+    */
+  def paretoFrontierBy(df: DataFrame, xCol: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
     val pts = df
-      .filter(x.isNotNull && y.isNotNull)
+      .filter(x.isNotNull && y.isNotNull &&
+        groupCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
       .withColumn("__nan", assert_true(!isnan(x) && !isnan(y),
         lit("paretoFrontier: NaN coordinate — engines disagree on NaN " +
           "order; filter upstream")))
       .filter(col("__nan").isNull).drop("__nan")
-    val gx = pts.groupBy(x.as("__s")).agg(max(y).as("__my"))
-    val cover = Eval.prefixExclusive(gx, Seq.empty, Seq("__my"),
+    val gx = pts.groupBy(g :+ x.as("__s"): _*).agg(max(y).as("__my"))
+    val cover = Eval.prefixExclusive(gx, groupCols, Seq("__my"),
       descending = true, op = "max")
+    // group keys renamed on the frontier side: it derives from pts, so
+    // same-name joins trip the ambiguous-self-join analyzer
     val frontierX = cover
       .filter(col("__cum__my").isNull || col("__my") > col("__cum__my"))
-      .select(col("__s"), col("__my"))
-    pts.join(broadcast(frontierX),
-        x === col("__s") && y === col("__my"))
-      .drop("__s", "__my")
+      .select(groupCols.map(c => col(c).as("__g_" + c))
+        ++ Seq(col("__s"), col("__my")): _*)
+    val fx = if (groupCols.isEmpty) broadcast(frontierX) else frontierX
+    val cond = groupCols.map(c => col(c) === col("__g_" + c))
+      .foldLeft(x === col("__s") && y === col("__my"))(_ && _)
+    pts.join(fx, cond)
+      .drop((groupCols.map("__g_" + _) ++ Seq("__s", "__my")): _*)
   }
 }

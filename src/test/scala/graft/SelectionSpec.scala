@@ -87,6 +87,20 @@ class SelectionSpec extends AnyFunSuite {
     assert(naiveFrontier(front) == want)
   }
 
+  test("paretoFrontierBy: per-group skyline equals the per-group naive check") {
+    val pts = (1L to 300L).map { i =>
+      (i, s"g${i % 3}", (i * 2654435761L) % 23, (i * 40503L) % 29)
+    }
+    val byGroup = pts.groupBy(_._2)
+    val want = byGroup.flatMap { case (_, gs) =>
+      naiveFrontier(gs.map(p => (p._1, p._3, p._4)))
+    }.toSet
+    val got = graft.operators.Sampling.paretoFrontierBy(
+        pts.toDF("id", "g", "x", "y").repartition(7), "x", "y", Seq("g"))
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("paretoFrontier: strictly increasing staircase keeps everything") {
     val pts = (1L to 50L).map(i => (i, i, 100L - i))
     val got = Sampling.paretoFrontier(pts.toDF("id", "x", "y"), "x", "y")
@@ -189,6 +203,27 @@ class SelectionSpec extends AnyFunSuite {
     // single group -> NULL F
     val deg = Stats.anovaF(Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x"), "x", "g").head()
     assert(deg.isNullAt(deg.fieldIndex("f_stat")))
+  }
+
+  test("waterfillBudget: whole tail, capped head, budget spent exactly") {
+    val rows = Seq.fill(10)("a") ++ Seq.fill(40)("b") ++
+      Seq.fill(100)("c") ++ Seq.fill(103)("d")
+    val df = rows.zipWithIndex.map { case (g, i) => (i.toLong, g) }
+      .toDF("id", "stratum").repartition(5)
+    val got = Sampling.waterfillBudget(df, "stratum", budget = 120)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("allocation"), r.getAs[Boolean]("capped")))
+    // level: a(10) whole; b(40)? (120-10)/3 = 36.7 < 40 -> capped from b
+    // rest 110 over 3 strata: base 36 rem 2 -> b,c get 37, d gets 36
+    assert(got.toSeq == Seq(("a", 10L, 10L, false), ("b", 40L, 37L, true),
+      ("c", 100L, 37L, true), ("d", 103L, 36L, true)))
+    assert(got.map(_._3).sum == 120L)
+    // budget >= total: everyone whole, nothing capped
+    val whole = Sampling.waterfillBudget(df, "stratum", budget = 1000)
+      .collect()
+    assert(whole.forall(r => r.getAs[Long]("allocation") ==
+      r.getAs[Long]("n_docs") && !r.getAs[Boolean]("capped")))
   }
 
   test("lDiversity flags homogeneous classes") {
