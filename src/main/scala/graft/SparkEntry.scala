@@ -2011,6 +2011,12 @@ object SparkEntry {
 
     // deterministic k-means training summary (codebook arrays summarized
     // by their first four components — driver can't hash arrays)
+    // embedding isotropy: mean pairwise cosine over all n(n−1) pairs
+    // WITHOUT the pair join — the sum-vector identity ‖Σv̂‖² − Σ‖v̂‖²,
+    // one pass, d-row state (the anisotropy / narrow-cone QA readout)
+    "q_isotropy" -> ((s, dir) =>
+      operators.Pca.isotropy(Tables.load(s, dir, "embeddings"))),
+
     // exact embedding covariance (upper triangle): integer Gram sums
     // via the chained-generator hash agg — the shuffle carries ≤ d²
     // cells per partition, never corpus rows
@@ -2414,6 +2420,36 @@ object SparkEntry {
        ), vfin AS (SELECT i, v FROM pw WHERE iter = 8)"""
 
   def oracleSql: Map[String, String] = Map(
+    // the sum-vector identity replayed over quantized unit components:
+    // HUGEINT ‖S‖² − Σqn², two double divisions
+    "q_isotropy" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM embeddings WHERE embedding IS NOT NULL
+         ), f AS (SELECT * FROM e WHERE nrm > 0
+         ), q AS (
+           SELECT CAST(floor(round(CAST(unnest(embedding) AS DOUBLE) / nrm, 6)
+               * 1e6 + 0.5) AS BIGINT) AS qn,
+             unnest(range(len(embedding))) AS pos
+           FROM f
+         ), d AS (SELECT pos, CAST(sum(qn) AS HUGEINT) AS s FROM q GROUP BY pos
+         ), s2 AS (SELECT CAST(sum(s * s) AS HUGEINT) AS v FROM d
+         ), t AS (SELECT CAST(sum(CAST(qn AS HUGEINT) * qn) AS HUGEINT) AS v FROM q
+         ), c AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST((SELECT count(*) FROM e) AS BIGINT) AS total,
+             CAST(sum(CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)) AS HUGEINT) AS sn
+           FROM f)
+         SELECT c.n AS n_vectors, c.total - c.n AS n_zero_norm,
+           round(CAST(c.sn AS DOUBLE) / c.n / 1e6, 6) AS mean_norm,
+           CASE WHEN c.n < 2 THEN NULL
+             ELSE round(CAST(s2.v - t.v AS DOUBLE)
+               / (CAST(c.n AS DOUBLE) * (c.n - 1)) / 1e12, 6) END
+             AS mean_pairwise_cos
+         FROM c, s2, t""",
+
     "q_pca_cov" -> (pcaCte + """
          SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov
          FROM cv WHERE i <= j ORDER BY i, j"""),

@@ -232,6 +232,56 @@ object Pca {
     rows.toDF("component", "pos", "loading", "eigval", "var_explained")
   }
 
+  /** Embedding-space isotropy report — mean pairwise cosine between all
+    * n(n−1) ordered vector pairs WITHOUT the O(n²) pair join, via the
+    * sum-vector identity: Σ_{a≠b} v̂_a·v̂_b = ‖Σ v̂‖² − Σ‖v̂‖². A healthy
+    * embedding space is near-isotropic (mean cosine ≈ 0); a high mean
+    * cosine is the anisotropy/"narrow cone" pathology [Ethayarajh,
+    * EMNLP'19] that makes cosine retrieval scores saturate — the QA
+    * readout to take BEFORE trusting any cosine threshold upstream
+    * (semantic dedup, embedding near-dup, ANN recall gates).
+    *
+    * Exactness: per vector ONE pinned norm (the codegen'd vec_dot sums
+    * components in array order — the same left-to-right order the
+    * oracle's list_sum replays), normalized components 6dp-rounded and
+    * quantized to the 10⁶ grid; everything after is exact integer
+    * sums: per-dim totals S_i, ‖S‖² = Σ S_i² as decimal(38,0) ≡
+    * HUGEINT, and the self-term Σ qn². Two double divisions at the
+    * end. One corpus pass, d-row state, answer-sized output.
+    * Zero-norm vectors are excluded (no direction) and counted.
+    */
+  def isotropy(embeddings: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    val base = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("__nrm"))
+    val ok = base.filter(col("__nrm") > 0)
+    val qn = ok
+      .select(col("__nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(round(col("x").cast("double") / col("__nrm"), 6) * 1e6 + 0.5)
+          .cast("long").as("qn"))
+    val s2 = qn.groupBy("pos")
+      .agg(sum(col("qn")).cast("decimal(38,0)").as("__s"))
+      .agg(sum(col("__s") * col("__s")).as("__s2"))
+    val t = qn.agg(
+      sum((col("qn") * col("qn")).cast("decimal(38,0)")).as("__t"))
+    val c = base.agg(count(lit(1)).as("__all"),
+      sum(when(col("__nrm") > 0, 1L).otherwise(0L)).as("n_vectors"),
+      sum(when(col("__nrm") > 0,
+        floor(col("__nrm") * 1e6 + 0.5).cast("long"))).cast("decimal(38,0)")
+        .as("__sn"))
+    c.crossJoin(broadcast(s2)).crossJoin(broadcast(t))
+      .select(col("n_vectors"),
+        (col("__all") - col("n_vectors")).as("n_zero_norm"),
+        round(col("__sn").cast("double") / col("n_vectors") / 1e6, 6)
+          .as("mean_norm"),
+        when(col("n_vectors") < 2, lit(null).cast("double"))
+          .otherwise(round((col("__s2") - col("__t")).cast("double")
+            / (col("n_vectors").cast("double") * (col("n_vectors") - 1))
+            / 1e12, 6)).as("mean_pairwise_cos"))
+  }
+
   /** Per-vector projection onto the dominant component: score =
     * round(Σ q_pos·v_pos / (Q·10¹²), 6) — one broadcast join of the
     * d-row eigenvector against the quantized component stream, one

@@ -117,6 +117,28 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("isotropy matches the O(n²) mean pairwise cosine; zero norms excluded") {
+    val df = corpus(120)
+    val got = Pca.isotropy(df).head()
+    val vs = df.collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val naive = (for (i <- vs.indices; j <- vs.indices if i != j)
+      yield cos(vs(i), vs(j))).sum / (vs.length * (vs.length - 1))
+    assert(got.getAs[Long]("n_vectors") == 120L)
+    assert(got.getAs[Long]("n_zero_norm") == 0L)
+    assert(math.abs(got.getAs[Double]("mean_pairwise_cos") - naive) < 1e-4,
+      s"got ${got.getAs[Double]("mean_pairwise_cos")} naive $naive")
+    // a zero vector is excluded and counted, not divided by
+    val withZero = df.unionByName(
+      Seq((999L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding"))
+    val z = Pca.isotropy(withZero).head()
+    assert(z.getAs[Long]("n_vectors") == 120L &&
+      z.getAs[Long]("n_zero_norm") == 1L)
+  }
+
   test("ragged embeddings are rejected loudly") {
     val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
