@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Cdc, Dedup, Events, Graph, HllStore, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, SketchStore, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Bpe, Cdc, Dedup, Eval, Events, Graph, HllStore, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, SketchStore, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -1580,6 +1580,20 @@ object SparkEntry {
       Similarity.truncatedTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
           d = 16, rerankFactor = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // retrieval grade for the truncated retriever: MRR@5 + hit-rate@5
+    // of the dim-16 prefix ranking (no rerank cushion) against the
+    // full-dim exact top-1 over 50 queries — where recall says the
+    // truth appeared, MRR says at which position
+    "q_mrr" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val system = Similarity.truncatedTopK(emb, queries, k = 5,
+        d = 16, rerankFactor = 1)
+      val truth = Similarity.bruteForceTopK(emb, queries, 1)
+        .select("query_id", "vec_id")
+      Eval.mrrAtK(system, truth, k = 5)
     }),
 
     // 1-bit sign-plane quantization: Hamming candidates from packed
@@ -4845,6 +4859,54 @@ object SparkEntry {
                ORDER BY cos_sim DESC, vec_id) AS rank
            FROM rer) WHERE rank <= 3
          ORDER BY query_id, rank""",
+
+    // the full-dim exact top-1 truth joined to the dim-16 prefix
+    // ranking; each query's reciprocal rank floor(1e12/rank + 0.5)
+    // summed as HUGEINT — the engine's quantized-mean discipline
+    "q_mrr" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e FROM ec WHERE vec_id < 50),
+         truth AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC,
+                   c.vec_id) AS rn
+             FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+           WHERE rn = 1),
+         surv AS (
+           SELECT query_id, vec_id, prefix_sim FROM (
+             SELECT q.query_id, c.vec_id,
+               round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) AS prefix_sim,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) DESC,
+                   c.vec_id) AS pr
+             FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+           WHERE pr <= 5),
+         sys AS (
+           SELECT query_id, vec_id, rank FROM (
+             SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC,
+                   s.vec_id) AS rank
+             FROM surv s JOIN ec c ON s.vec_id = c.vec_id
+                         JOIN q ON s.query_id = q.query_id)
+           WHERE rank <= 5),
+         j AS (
+           SELECT t.query_id,
+             CASE WHEN s.rank IS NOT NULL AND s.rank <= 5
+               THEN CAST(s.rank AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rk
+           FROM truth t LEFT JOIN sys s
+             ON s.query_id = t.query_id AND s.vec_id = t.vec_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           round(CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hit_rate,
+           round(CAST(CAST(sum(CASE WHEN rk > 0
+                 THEN CAST(floor(1e12 / rk + 0.5) AS BIGINT)
+                 ELSE 0 END) AS HUGEINT) AS DOUBLE)
+             / count(*) / 1e12, 6) AS mrr
+         FROM j""",
 
     // BQ replayed via the +-1 inner-product identity: hamming =
     // (dim - <sa, sb>) / 2 — exact integers, so DuckDB needs no bit

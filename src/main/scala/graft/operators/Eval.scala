@@ -258,6 +258,43 @@ object Eval {
       .drop("__pid")
   }
 
+  /** Retrieval ranking metrics — MRR@k and hit-rate@k of a SYSTEM
+    * ranking against per-query ground truth: `system` is (query_id,
+    * id, rank) (rank 1-based, any retriever's output), `truth` is
+    * (query_id, id) with ONE relevant item per query (the exact
+    * nearest neighbor, the clicked result, the labeled answer). MRR =
+    * mean over queries of 1/rank-of-truth, 0 when the truth missed the
+    * top-k — THE rank-position-sensitive retriever grade (recall@k
+    * says the truth appeared; MRR says where).
+    *
+    * Exactness: each query's reciprocal rank is ONE pinned double
+    * division quantized to the 10⁻¹² grid (floor(10¹²/rank + 0.5) — an
+    * integer, since rank ≤ k is tiny), summed as decimal — the
+    * [[averagePrecision]] accumulation discipline, partition-order
+    * free. Scale shape: one answer-sized join (truth ⋈ system on
+    * (query, id) — both ≤ queries·k rows) + one global aggregate.
+    * Output: (n_queries, hits, hit_rate, mrr), 6dp.
+    */
+  def mrrAtK(system: DataFrame, truth: DataFrame, k: Int,
+      idCol: String = "vec_id", rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val joined = truth.select(col("query_id"), col(idCol))
+      .join(system.select(col("query_id"), col(idCol),
+        col(rankCol).cast("long").as("__rk")), Seq("query_id", idCol), "left")
+      .select(col("query_id"),
+        when(col("__rk").isNotNull && col("__rk") <= k, col("__rk"))
+          .otherwise(lit(0L)).as("__rk"))
+    joined.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__rk") > 0, 1L).otherwise(0L)).as("hits"),
+        sum(when(col("__rk") > 0,
+            floor(lit(1e12) / col("__rk") + 0.5).cast("long"))
+          .otherwise(0L)).cast("decimal(38,0)").as("__rr"))
+      .select(col("n_queries"), col("hits"),
+        round(col("hits").cast("double") / col("n_queries"), 6).as("hit_rate"),
+        round(col("__rr").cast("double") / col("n_queries") / 1e12, 6)
+          .as("mrr"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two raters
     * (label columns) over the same rows: κ = (p_o − p_e)/(1 − p_e),
     * p_o the observed agreement rate, p_e the agreement expected from

@@ -238,6 +238,23 @@ class SelectionSpec extends AnyFunSuite {
       Seq(("a", 3L, 1L, true), ("b", 3L, 3L, false)))
   }
 
+  test("mrrAtK: hand-built rankings, misses count as zero") {
+    import graft.operators.Eval
+    // q1: truth at rank 2 -> rr 0.5; q2: truth at rank 1 -> rr 1.0;
+    // q3: truth absent -> 0; q4: truth at rank 7 > k -> 0
+    val system = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (4L, 40L, 7)
+    ).toDF("query_id", "vec_id", "rank")
+    val truth = Seq((1L, 11L), (2L, 20L), (3L, 99L), (4L, 40L))
+      .toDF("query_id", "vec_id")
+    val r = Eval.mrrAtK(system, truth, k = 5).head()
+    assert(r.getAs[Long]("n_queries") == 4L)
+    assert(r.getAs[Long]("hits") == 2L)
+    assert(r.getAs[Double]("hit_rate") == 0.5)
+    assert(r.getAs[Double]("mrr") == 0.375) // (0.5 + 1.0 + 0 + 0) / 4
+  }
+
   test("splitLeakage reports multi-doc clusters straddling splits") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
       .toDF("doc_id", "canonical_id")
