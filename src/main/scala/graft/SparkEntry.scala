@@ -928,7 +928,8 @@ object SparkEntry {
     // distribution is flat — no certified cut below full coverage)
     "q_superspreaders" -> ((s, dir) =>
       Sketches.superSpreaders(Tables.load(s, dir, "events"),
-        "user_id", "value", k = 10, candidates = 2048)),
+          "user_id", "value", k = 10, candidates = 2048)
+        .orderBy("rank")),
 
     // EXACT top-k most-frequent with a runtime certificate (the k-th
     // recounted count must clear the MG absence budget n/(k+1), so no
@@ -6934,8 +6935,9 @@ object SparkEntry {
          SELECT t.n_a, t.n_b,
            CAST(max(d.dn) AS DECIMAL(38,0)) AS d_num,
            min(d.v) FILTER (WHERE d.dn = (SELECT max(dn) FROM d)) AS at_value,
-           round(CAST(max(d.dn) AS DOUBLE)
-             / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS d_stat
+           CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN NULL
+             ELSE round(CAST(max(d.dn) AS DOUBLE)
+               / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) END AS d_stat
          FROM d CROSS JOIN t GROUP BY t.n_a, t.n_b""",
 
     "q_drift" ->

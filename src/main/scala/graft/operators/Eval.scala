@@ -286,9 +286,11 @@ object Eval {
           .otherwise(lit(0L)).as("__rk"))
     joined.agg(count(lit(1)).as("n_queries"),
         sum(when(col("__rk") > 0, 1L).otherwise(0L)).as("hits"),
+        // cast each term BEFORE the sum (the averagePrecision
+        // discipline) — a long accumulator wraps past ~9.2M rank-1 rows
         sum(when(col("__rk") > 0,
             floor(lit(1e12) / col("__rk") + 0.5).cast("long"))
-          .otherwise(0L)).cast("decimal(38,0)").as("__rr"))
+          .otherwise(0L).cast("decimal(38,0)")).as("__rr"))
       .select(col("n_queries"), col("hits"),
         round(col("hits").cast("double") / col("n_queries"), 6).as("hit_rate"),
         round(col("__rr").cast("double") / col("n_queries") / 1e12, 6)

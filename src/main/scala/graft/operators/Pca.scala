@@ -87,10 +87,13 @@ object Pca {
           .cast("decimal(38,0)").as("qq"))
       .groupBy("i", "j").agg(sum(col("qq")).as("s_qq"))
 
-  /** First moments: (pos, s_q, n) — Σ q and the vector count. */
+  /** First moments: (pos, s_q, n) — Σ q and the vector count. Terms
+    * cast to decimal BEFORE the sum (the gramSums discipline): a long
+    * accumulator wraps past ~2^43 unit-scale rows.
+    */
   def momentSums(embeddings: DataFrame): DataFrame =
     quantized(embeddings).groupBy("pos")
-      .agg(sum(col("q")).cast("decimal(38,0)").as("s_q"),
+      .agg(sum(col("q").cast("decimal(38,0)")).as("s_q"),
         count(lit(1)).as("n"))
 
   /** The d×d covariance (upper triangle): cov_ij = (n·Σq_iq_j −
@@ -101,6 +104,14 @@ object Pca {
     */
   def covarianceMatrix(embeddings: DataFrame): DataFrame = {
     checkedDim(embeddings)
+    covarianceUnchecked(embeddings)
+  }
+
+  /** [[covarianceMatrix]] body without the dimension-contract scan —
+    * for callers that already ran [[checkedDim]] ([[covqCells]]), so
+    * one PCA entry point costs one contract scan, not two.
+    */
+  private def covarianceUnchecked(embeddings: DataFrame): DataFrame = {
     val m = momentSums(embeddings)
     gramSums(embeddings)
       .join(m.select(col("pos").as("i"), col("s_q").as("__si"),
@@ -157,7 +168,7 @@ object Pca {
     */
   private def covqCells(embeddings: DataFrame): (Map[(Int, Int), Long], Int) = {
     val d = checkedDim(embeddings)
-    val cells = covarianceMatrix(embeddings)
+    val cells = covarianceUnchecked(embeddings)
       .select(col("i"), col("j"),
         floor(col("cov") * CQ + 0.5).cast("long").as("cq"))
       .collect()
@@ -246,9 +257,11 @@ object Pca {
     * oracle's list_sum replays), normalized components 6dp-rounded and
     * quantized to the 10⁶ grid; everything after is exact integer
     * sums: per-dim totals S_i, ‖S‖² = Σ S_i² as decimal(38,0) ≡
-    * HUGEINT, and the self-term Σ qn². Two double divisions at the
-    * end. One corpus pass, d-row state, answer-sized output.
-    * Zero-norm vectors are excluded (no direction) and counted.
+    * HUGEINT, and the self-term Σ qn² (folded into the SAME d-row
+    * grouped aggregate as S_i — one exploded pass). Two double
+    * divisions at the end. One exploded corpus pass + one row-level
+    * count pass, d-row state, answer-sized output. Zero-norm vectors
+    * are excluded (no direction) and counted.
     */
   def isotropy(embeddings: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.vec_dot
@@ -261,17 +274,19 @@ object Pca {
       .select(col("pos"),
         floor(round(col("x").cast("double") / col("__nrm"), 6) * 1e6 + 0.5)
           .cast("long").as("qn"))
+    // one d-row grouped pass carries BOTH moments; terms cast to
+    // decimal before summing (the momentSums overflow discipline)
     val s2 = qn.groupBy("pos")
-      .agg(sum(col("qn")).cast("decimal(38,0)").as("__s"))
-      .agg(sum(col("__s") * col("__s")).as("__s2"))
-    val t = qn.agg(
-      sum((col("qn") * col("qn")).cast("decimal(38,0)")).as("__t"))
+      .agg(sum(col("qn").cast("decimal(38,0)")).as("__s"),
+        sum((col("qn") * col("qn")).cast("decimal(38,0)")).as("__t_pos"))
+      .agg(sum(col("__s") * col("__s")).as("__s2"),
+        sum(col("__t_pos")).as("__t"))
     val c = base.agg(count(lit(1)).as("__all"),
       sum(when(col("__nrm") > 0, 1L).otherwise(0L)).as("n_vectors"),
       sum(when(col("__nrm") > 0,
-        floor(col("__nrm") * 1e6 + 0.5).cast("long"))).cast("decimal(38,0)")
-        .as("__sn"))
-    c.crossJoin(broadcast(s2)).crossJoin(broadcast(t))
+        floor(col("__nrm") * 1e6 + 0.5).cast("long"))
+        .otherwise(0L).cast("decimal(38,0)")).as("__sn"))
+    c.crossJoin(broadcast(s2))
       .select(col("n_vectors"),
         (col("__all") - col("n_vectors")).as("n_zero_norm"),
         round(col("__sn").cast("double") / col("n_vectors") / 1e6, 6)

@@ -465,12 +465,23 @@ object Sampling {
   def paretoFrontierBy(df: DataFrame, xCol: String, yCol: String,
       groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    val x = col(xCol).cast("double")
-    val y = col(yCol).cast("double")
+    // axes keep their NATIVE numeric type: a blanket double cast would
+    // collapse distinct integers past 2^53 and corrupt both the
+    // dominance decision and the equality join-back. NaN is only a
+    // floating-type hazard, so the loud check guards exactly those.
+    val x = col(xCol)
+    val y = col(yCol)
+    def floating(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val nanGuard = Seq(xCol, yCol).filter(floating)
+      .map(c => !isnan(col(c))).foldLeft(lit(true))(_ && _)
     val pts = df
       .filter(x.isNotNull && y.isNotNull &&
         groupCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
-      .withColumn("__nan", assert_true(!isnan(x) && !isnan(y),
+      .withColumn("__nan", assert_true(nanGuard,
         lit("paretoFrontier: NaN coordinate — engines disagree on NaN " +
           "order; filter upstream")))
       .filter(col("__nan").isNull).drop("__nan")

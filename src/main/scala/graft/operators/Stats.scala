@@ -487,11 +487,20 @@ object Stats {
       .agg(sum(col("__a")).as("__a"), sum(col("__b")).as("__b"))
   }
 
-  /** [[ksDrift]] from an already-built [[ksHistogram]]. */
+  /** [[ksDrift]] from an already-built [[ksHistogram]]. A one-sided
+    * comparison (either sample empty after filtering) reports NULL
+    * d_stat — there is no distribution to compare against, and the 0/0
+    * would otherwise masquerade as NaN (the [[anovaF]] degenerate
+    * convention).
+    */
   def ksDriftFromHistogram(hist: DataFrame): DataFrame = {
     val cum = Eval.prefixExclusive(hist, Seq.empty, Seq("__a", "__b"),
       descending = false)
-    val tot = hist.agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+    // totals from the scanned cum table (its input is persisted inside
+    // prefixExclusive): the max INCLUSIVE cumulative IS the total —
+    // a separate hist.agg would re-run the corpus-sized histogram pass
+    val tot = cum.agg(max(col("__cum__a") + col("__a")).as("n_a"),
+      max(col("__cum__b") + col("__b")).as("n_b"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val d = cum.crossJoin(broadcast(tot))
       .select(col("__s"), col("n_a"), col("n_b"),
@@ -505,8 +514,10 @@ object Stats {
       .select(col("n_a"), col("n_b"),
         col("__m.__d").as("d_num"),
         (-col("__m.__ns")).as("at_value"),
-        round(col("__m.__d").cast("double")
-          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+        when(col("n_a") === 0 || col("n_b") === 0,
+            lit(null).cast("double"))
+          .otherwise(round(col("__m.__d").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6))
           .as("d_stat"))
   }
 }
