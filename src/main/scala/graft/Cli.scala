@@ -247,7 +247,7 @@ object Cli {
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
-          |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy]
+          |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -297,7 +297,8 @@ object Cli {
           |          superspreaders: -key c -value c [-topk N] [-candidates N];
           |          ldiversity: -quasi c1,c2,... -sensitive c [-l N];
           |          anova: -value c -group c (one-way F);
-          |          waterfill: -budget N [-group-col c] (integer water level))
+          |          waterfill: -budget N [-group-col c] (integer water level);
+          |          curriculum: [-stage-expr e] [-seed N] (stage-major epoch order))
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
@@ -551,6 +552,10 @@ object Cli {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).select("doc_id", "split")
       case "rendezvous"  => Sampling.rendezvousShard(docs, "doc_id",
         shards = flags.getOrElse("shards", "16").toInt).select("doc_id", "shard")
+      case "curriculum"  => Sampling.curriculumOrder(
+        docs.withColumn("stage",
+          expr(flags.getOrElse("stage-expr", "n_chars div 100"))),
+        "stage", seed = flags.getOrElse("seed", "0").toLong)
       case "shuffle"     => Sampling.deterministicShuffle(docs,
         seed = flags.getOrElse("seed", "0").toLong)
       case "tokenbudget" => Sampling.tokenBudgetSample(docs,

@@ -868,6 +868,17 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // curriculum data order: length-decile stages easy→hard, epoch-key
+    // shuffle within each stage, contiguous global rank from the
+    // grouped two-level prefix scan
+    "q_curriculum" -> ((s, dir) =>
+      Sampling.curriculumOrder(
+          Tables.load(s, dir, "documents")
+            .withColumn("stage", expr("n_chars div 100")),
+          "stage", seed = 3L)
+        .select("doc_id", "stage", "shuffle_key", "curriculum_rank")
+        .orderBy("doc_id")),
+
     // reproducible training-order shuffle: md5 sort key + contiguous
     // global rank from the two-level prefix scan
     "q_shuffle" -> ((s, dir) =>
@@ -4056,6 +4067,18 @@ object SparkEntry {
            ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id) - 1
            AS BIGINT) AS shuffle_rank
          FROM documents ORDER BY shuffle_rank""",
+
+    // stage-major rank: easy length deciles first, the seed-3 epoch key
+    // within a stage — one window replay
+    "q_curriculum" ->
+      """SELECT doc_id, n_chars // 100 AS stage,
+         md5(concat('3:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+         CAST(row_number() OVER (
+           ORDER BY n_chars // 100,
+             md5(concat('3:', CAST(doc_id AS VARCHAR))), doc_id) - 1
+           AS BIGINT) AS curriculum_rank
+         FROM documents WHERE n_chars IS NOT NULL
+         ORDER BY doc_id""",
 
     // greedy prefix of the seed-5 shuffle order under a 10k-token budget:
     // exclusive running token sum replayed with a flat window

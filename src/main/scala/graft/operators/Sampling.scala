@@ -263,6 +263,47 @@ object Sampling {
       .drop("__b", "__local", "__off")
   }
 
+  /** Curriculum ordering for training: a contiguous global 0-based rank
+    * over (stage asc, epoch key, id) — easy buckets first, reproducibly
+    * shuffled WITHIN each stage ([[deterministicShuffle]]'s epoch-key
+    * semantics, so a new seed reshuffles within stages without touching
+    * the stage progression). `stageCol` is a small-cardinality integer
+    * difficulty bucket the caller derives (a length decile, a quality
+    * band — curricula are coarse by design; a per-row unique stage
+    * degenerates to a plain sort). The standard curriculum-learning
+    * data layout: consume rows in `curriculum_rank` order, shard an
+    * epoch with `curriculum_rank % world_size`.
+    *
+    * Same two-level scan as the shuffle: (stage, hex-bucket) local
+    * row_numbers in parallel + a broadcast stages×256-row offset table
+    * — never a whole-corpus single-partition window. Null stages are
+    * excluded (no position in the curriculum).
+    */
+  def curriculumOrder(
+      docs: DataFrame,
+      stageCol: String,
+      idCol: String = "doc_id",
+      seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.filter(col(stageCol).isNotNull)
+      .withColumn("__stage", col(stageCol).cast("long"))
+      .withColumn("shuffle_key", epochKey(idCol, seed))
+      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
+    val w = Window.partitionBy(col("__stage"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    val local = keyed.withColumn("__local", row_number().over(w).cast("long"))
+    val offsets = keyed.groupBy("__stage", "__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__stage"), col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__stage", "__b", "__off")
+    local.join(broadcast(offsets), Seq("__stage", "__b"))
+      .withColumn("curriculum_rank", col("__local") + col("__off") - 1)
+      .drop("__stage", "__b", "__local", "__off")
+  }
+
   /** Deterministic token-budget subset: walk the corpus in
     * [[deterministicShuffle]] order and keep every document whose
     * PRECEDING cumulative token count is still under `budgetTokens` —

@@ -238,6 +238,30 @@ class SelectionSpec extends AnyFunSuite {
       Seq(("a", 3L, 1L, true), ("b", 3L, 3L, false)))
   }
 
+  test("curriculumOrder: contiguous stage-major rank, shuffled within stage") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("doc_id", "stage")
+      .repartition(9)
+    val got = Sampling.curriculumOrder(df, "stage", seed = 11L)
+      .select("doc_id", "stage", "shuffle_key", "curriculum_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // contiguous 0..n-1
+    assert(got.map(_._4).sorted.toSeq == (0L until 500L))
+    // stage-major: sort by rank -> stages non-decreasing
+    val byRank = got.sortBy(_._4)
+    assert(byRank.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // within a stage, rank order == (key, id) order
+    byRank.groupBy(_._2).values.foreach { st =>
+      val inRank = st.sortBy(_._4).map(r => (r._3, r._1)).toSeq
+      assert(inRank == inRank.sorted)
+    }
+    // partition invariance
+    val again = Sampling.curriculumOrder(df.repartition(2), "stage", seed = 11L)
+      .select("doc_id", "curriculum_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.forall(r => again(r._1) == r._4))
+  }
+
   test("mrrAtK: hand-built rankings, misses count as zero") {
     import graft.operators.Eval
     // q1: truth at rank 2 -> rr 0.5; q2: truth at rank 1 -> rr 1.0;
