@@ -247,7 +247,7 @@ object Cli {
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
-          |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|curriculum]
+          |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
           |          (sssp: [-seed-ids 1,2,3] [-rounds N] — weighted span graph, seeds default doc_id%10==0)
           |          (winsorize: [-group-col c] [-score-col c] [-lo-pct N] [-hi-pct N];
@@ -1010,6 +1010,8 @@ object Cli {
       case "pcascores"   => operators.Pca.pc1Scores(docs,
         iters = flags.getOrElse("iters", "8").toInt)
       case "isotropy"    => operators.Pca.isotropy(docs)
+      case "cohesion"    => operators.Pca.labelCohesion(docs,
+        flags.getOrElse("label-col", "label"))
       case "pcatop"      => operators.Pca.topComponents(docs,
         r = flags.getOrElse("r", "2").toInt,
         iters = flags.getOrElse("iters", "8").toInt)

@@ -2043,6 +2043,13 @@ object SparkEntry {
     "q_isotropy" -> ((s, dir) =>
       operators.Pca.isotropy(Tables.load(s, dir, "embeddings"))),
 
+    // per-label cohesion: within-label vs cross-label mean cosine, both
+    // from the grouped sum-vector identity — no pair join, labels × d
+    // state (the one-pass exact cousin of a silhouette)
+    "q_label_cohesion" -> ((s, dir) =>
+      operators.Pca.labelCohesion(Tables.load(s, dir, "embeddings"))
+        .orderBy("label")),
+
     // exact embedding covariance (upper triangle): integer Gram sums
     // via the chained-generator hash agg — the shuffle carries ≤ d²
     // cells per partition, never corpus rows
@@ -2475,6 +2482,43 @@ object SparkEntry {
                / (CAST(c.n AS DOUBLE) * (c.n - 1)) / 1e12, 6) END
              AS mean_pairwise_cos
          FROM c, s2, t""",
+
+    // the grouped sum-vector identity: per-label HUGEINT dim sums,
+    // ||S_g||^2 - T_g within, S_g . (S - S_g) across
+    "q_label_cohesion" ->
+      """WITH e AS (
+           SELECT label AS g, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * x))) AS nrm
+           FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+         ), f AS (SELECT * FROM e WHERE nrm > 0
+         ), q AS (
+           SELECT g, unnest(range(len(embedding))) AS pos,
+             CAST(floor(round(CAST(unnest(embedding) AS DOUBLE) / nrm, 6)
+               * 1e6 + 0.5) AS BIGINT) AS qn
+           FROM f
+         ), ld AS (
+           SELECT g, pos, CAST(sum(qn) AS HUGEINT) AS s,
+             CAST(sum(CAST(qn AS HUGEINT) * qn) AS HUGEINT) AS t
+           FROM q GROUP BY g, pos
+         ), gd AS (SELECT pos, CAST(sum(s) AS HUGEINT) AS sg FROM ld GROUP BY pos
+         ), pl AS (
+           SELECT ld.g, CAST(sum(ld.s * ld.s) AS HUGEINT) AS s2,
+             CAST(sum(ld.t) AS HUGEINT) AS tt,
+             CAST(sum(ld.s * (gd.sg - ld.s)) AS HUGEINT) AS x
+           FROM ld JOIN gd ON gd.pos = ld.pos GROUP BY ld.g
+         ), c AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY g
+         ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nall FROM c)
+         SELECT c.g AS label, c.n,
+           CASE WHEN c.n < 2 THEN NULL
+             ELSE round(CAST(pl.s2 - pl.tt AS DOUBLE)
+               / (CAST(c.n AS DOUBLE) * (c.n - 1)) / 1e12, 6) END
+             AS mean_within_cos,
+           CASE WHEN tot.nall = c.n THEN NULL
+             ELSE round(CAST(pl.x AS DOUBLE)
+               / (CAST(c.n AS DOUBLE) * (tot.nall - c.n)) / 1e12, 6) END
+             AS mean_cross_cos
+         FROM pl JOIN c USING (g) CROSS JOIN tot ORDER BY label""",
 
     "q_pca_cov" -> (pcaCte + """
          SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov

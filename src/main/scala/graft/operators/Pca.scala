@@ -297,6 +297,62 @@ object Pca {
             / 1e12, 6)).as("mean_pairwise_cos"))
   }
 
+  /** Per-label embedding cohesion — mean WITHIN-label pairwise cosine
+    * vs mean CROSS-label pairwise cosine, both without any pair join
+    * (the [[isotropy]] sum-vector identity, grouped): with S_g the
+    * per-label sum of unit vectors and T_g its self-term,
+    *
+    *   Σ_{a≠b ∈ g}  v̂_a·v̂_b = ‖S_g‖² − T_g
+    *   Σ_{a∈g, b∉g} v̂_a·v̂_b = S_g · (S − S_g)
+    *
+    * — the label-separation QA readout for a labeled embedding table: a
+    * label whose within-mean barely beats its cross-mean has no
+    * geometric identity (the one-pass exact cousin of a silhouette).
+    * Same quantization discipline as [[isotropy]] (6dp unit components
+    * on the 10⁶ grid, exact integer sums, two pinned divisions per
+    * label). State is labels × d rows; one exploded corpus pass.
+    * Output: (label, n, mean_within_cos, mean_cross_cos), within NULL
+    * for singleton labels, cross NULL when one label owns the corpus.
+    */
+  def labelCohesion(embeddings: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    import graft.functions.GraftFunctions.vec_dot
+    val base = embeddings
+      .filter(col("embedding").isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("__g"), col("embedding"),
+        sqrt(vec_dot(col("embedding"), col("embedding"))).as("__nrm"))
+      .filter(col("__nrm") > 0)
+    val qn = base
+      .select(col("__g"), col("__nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("__g"), col("pos"),
+        floor(round(col("x").cast("double") / col("__nrm"), 6) * 1e6 + 0.5)
+          .cast("long").as("qn"))
+    // labels × d rows: per-label dim sums + self-terms in ONE pass
+    val labelDims = qn.groupBy("__g", "pos")
+      .agg(sum(col("qn").cast("decimal(38,0)")).as("__s"),
+        sum((col("qn") * col("qn")).cast("decimal(38,0)")).as("__t"))
+    val globalDims = labelDims.groupBy("pos")
+      .agg(sum(col("__s")).as("__sg"))
+    val perLabel = labelDims.join(globalDims, "pos")
+      .groupBy("__g")
+      .agg(sum(col("__s") * col("__s")).as("__s2"),
+        sum(col("__t")).as("__tt"),
+        sum(col("__s") * (col("__sg") - col("__s"))).as("__x"))
+    val counts = base.groupBy("__g").agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum(col("n")).as("__nall")))
+    perLabel.join(counts, "__g").crossJoin(total)
+      .select(col("__g").as(labelCol), col("n"),
+        when(col("n") < 2, lit(null).cast("double"))
+          .otherwise(round((col("__s2") - col("__tt")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1)) / 1e12, 6))
+          .as("mean_within_cos"),
+        when(col("__nall") === col("n"), lit(null).cast("double"))
+          .otherwise(round(col("__x").cast("double")
+            / (col("n").cast("double") * (col("__nall") - col("n")))
+            / 1e12, 6)).as("mean_cross_cos"))
+  }
+
   /** Per-vector projection onto the dominant component: score =
     * round(Σ q_pos·v_pos / (Q·10¹²), 6) — one broadcast join of the
     * d-row eigenvector against the quantized component stream, one

@@ -139,6 +139,40 @@ class PcaSpec extends AnyFunSuite {
       z.getAs[Long]("n_zero_norm") == 1L)
   }
 
+  test("labelCohesion matches the O(n²) within/cross means") {
+    val rows = (0 until 90).map { r =>
+      val lab = r % 3
+      // three displaced clusters so within > cross
+      val e = Array.tabulate(dim)(i =>
+        (math.sin(i + lab * 2.1) + 0.05 * math.sin(r * 7.7 + i)).toFloat)
+      (r.toLong, lab, e.toSeq)
+    }
+    val got = graft.operators.Pca.labelCohesion(
+        rows.toDF("vec_id", "label", "embedding").repartition(5))
+      .orderBy("label").collect()
+    val unit = rows.map { case (_, l, e) =>
+      val v = e.map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (l, v.map(_ / n))
+    }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (lab <- 0 until 3) {
+      val in = unit.filter(_._1 == lab).map(_._2)
+      val out = unit.filter(_._1 != lab).map(_._2)
+      val within = (for (i <- in.indices; j <- in.indices if i != j)
+        yield dot(in(i), in(j))).sum / (in.size * (in.size - 1))
+      val cross = (for (a <- in; b <- out) yield dot(a, b)).sum /
+        (in.size * out.size)
+      val r = got(lab)
+      assert(r.getAs[Long]("n") == 30L)
+      assert(math.abs(r.getAs[Double]("mean_within_cos") - within) < 1e-4)
+      assert(math.abs(r.getAs[Double]("mean_cross_cos") - cross) < 1e-4)
+      assert(r.getAs[Double]("mean_within_cos") >
+        r.getAs[Double]("mean_cross_cos"))
+    }
+  }
+
   test("ragged embeddings are rejected loudly") {
     val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
