@@ -298,7 +298,8 @@ object Cli {
           |          ldiversity: -quasi c1,c2,... -sensitive c [-l N];
           |          anova: -value c -group c (one-way F);
           |          waterfill: -budget N [-group-col c] (integer water level);
-          |          curriculum: [-stage-expr e] [-seed N] (stage-major epoch order))
+          |          curriculum: -stage-expr e [-seed N] (stage-major epoch order);
+          |          cohesion: embeddings -in [-label-col c])
           |         [-out dir] [-threshold X] [-max-dist N] [-chunk-tokens N] [-overlap N]
           |         [-budget N] [-probes parquet] [-depth N] [-width N] [-topk N] [-p N]
           |         [-seed N] [-k N] [-iters N] (shuffle/tokenbudget: -seed; kmeans/semdedup: -k -iters)
@@ -553,8 +554,12 @@ object Cli {
       case "rendezvous"  => Sampling.rendezvousShard(docs, "doc_id",
         shards = flags.getOrElse("shards", "16").toInt).select("doc_id", "shard")
       case "curriculum"  => Sampling.curriculumOrder(
-        docs.withColumn("stage",
-          expr(flags.getOrElse("stage-expr", "n_chars div 100"))),
+        // -stage-expr is mandatory: a default like `n_chars div 100`
+        // creates one stage per 100 chars — unbounded cardinality, the
+        // degenerate offset-table case the operator's doc warns against
+        docs.withColumn("stage", expr(flags.getOrElse("stage-expr",
+          fail("corpus -op curriculum requires -stage-expr <integral " +
+            "bucket expr>, e.g. 'least(n_chars div 100, 9)'")))),
         "stage", seed = flags.getOrElse("seed", "0").toLong)
       case "shuffle"     => Sampling.deterministicShuffle(docs,
         seed = flags.getOrElse("seed", "0").toLong)

@@ -868,9 +868,10 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
-    // curriculum data order: length-decile stages easy→hard, epoch-key
-    // shuffle within each stage, contiguous global rank from the
-    // grouped two-level prefix scan
+    // curriculum data order: length-band stages easy→hard (bounded:
+    // n_chars ≤ ~600 in this corpus → ≤ 7 stages; curricula are coarse
+    // by contract), epoch-key shuffle within each stage, contiguous
+    // global rank from the grouped two-level prefix scan
     "q_curriculum" -> ((s, dir) =>
       Sampling.curriculumOrder(
           Tables.load(s, dir, "documents")

@@ -243,24 +243,40 @@ object Sampling {
   def deterministicShuffle(
       docs: DataFrame,
       idCol: String = "doc_id",
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L): DataFrame =
+    twoLevelRank(docs, None, idCol, seed, "shuffle_rank")
+
+  /** The shared two-level contiguous-rank scan behind
+    * [[deterministicShuffle]] (no stage) and [[curriculumOrder]]
+    * (stage-major): per-(stage?, hex-bucket) local row_numbers in
+    * parallel + a broadcast (stages×)256-row offset table — never a
+    * whole-corpus single-partition window. idCol tie-break: md5
+    * collisions are ~impossible, duplicate ids are not — the rank must
+    * be total either way.
+    */
+  private def twoLevelRank(docs: DataFrame, stage: Option[Column],
+      idCol: String, seed: Long, rankName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = docs
+    val keyed0 = docs
       .withColumn("shuffle_key", epochKey(idCol, seed))
       .withColumn("__b", substring(col("shuffle_key"), 1, 2))
-    // idCol tie-break: md5 collisions are ~impossible, duplicate ids are
-    // not — the rank must be total either way
-    val w = Window.partitionBy("__b").orderBy(col("shuffle_key"), col(idCol))
+    val keyed = stage match {
+      case Some(s) => keyed0.filter(s.isNotNull).withColumn("__stage", s)
+      case None => keyed0.withColumn("__stage", lit(0L))
+    }
+    val w = Window.partitionBy(col("__stage"), col("__b"))
+      .orderBy(col("shuffle_key"), col(idCol))
     val local = keyed.withColumn("__local", row_number().over(w).cast("long"))
-    val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+    val offsets = keyed.groupBy("__stage", "__b").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(
-          Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.orderBy(col("__stage"), col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
-      .select("__b", "__off")
-    local.join(broadcast(offsets), "__b")
-      .withColumn("shuffle_rank", col("__local") + col("__off") - 1)
-      .drop("__b", "__local", "__off")
+      .select("__stage", "__b", "__off")
+    local.join(broadcast(offsets), Seq("__stage", "__b"))
+      .withColumn(rankName, col("__local") + col("__off") - 1)
+      .drop("__stage", "__b", "__local", "__off")
   }
 
   /** Curriculum ordering for training: a contiguous global 0-based rank
@@ -284,24 +300,19 @@ object Sampling {
       stageCol: String,
       idCol: String = "doc_id",
       seed: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val keyed = docs.filter(col(stageCol).isNotNull)
-      .withColumn("__stage", col(stageCol).cast("long"))
-      .withColumn("shuffle_key", epochKey(idCol, seed))
-      .withColumn("__b", substring(col("shuffle_key"), 1, 2))
-    val w = Window.partitionBy(col("__stage"), col("__b"))
-      .orderBy(col("shuffle_key"), col(idCol))
-    val local = keyed.withColumn("__local", row_number().over(w).cast("long"))
-    val offsets = keyed.groupBy("__stage", "__b").agg(count(lit(1)).as("__n"))
-      .withColumn("__off",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy(col("__stage"), col("__b"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select("__stage", "__b", "__off")
-    local.join(broadcast(offsets), Seq("__stage", "__b"))
-      .withColumn("curriculum_rank", col("__local") + col("__off") - 1)
-      .drop("__stage", "__b", "__local", "__off")
+    // integral stages only, checked loudly: a silent cast('long') would
+    // NULL out unparseable stages (rows vanish AND every rank shifts)
+    // and truncate fractional ones (stage progression destroyed)
+    import org.apache.spark.sql.types._
+    docs.schema(stageCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"curriculumOrder: stage column '$stageCol' must be an integral " +
+          s"difficulty bucket, got ${other.catalogString} — derive one " +
+          "upstream (a length decile, a quality band)")
+    }
+    twoLevelRank(docs, Some(col(stageCol).cast("long")), idCol, seed,
+      "curriculum_rank")
   }
 
   /** Deterministic token-budget subset: walk the corpus in
