@@ -1122,6 +1122,22 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // dedup impact BY SOURCE: which crawls contribute the duplicates?
+    // a doc is a duplicate iff it is not its family's canonical — one
+    // join of the memoized CC labels to the source column, one grouped
+    // count (the budget view: dedup spend follows dup_rate, per source)
+    "q_dup_rate_by_source" -> ((s, dir) =>
+      dedupLabels(s, dir)
+        .join(Tables.load(s, dir, "documents").select("doc_id", "source"),
+          "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .withColumn("dup_rate",
+          round(col("n_dups").cast("double") / col("n_docs"), 6))
+        .orderBy("source")),
+
     // dedup impact report: how big are the duplicate families? two
     // bounded aggregates over the cluster labeling
     "q_cluster_sizes" -> ((s, dir) =>
@@ -4438,6 +4454,42 @@ object SparkEntry {
            SELECT c, CAST(count(*) AS BIGINT) AS cluster_size FROM canon GROUP BY c)
          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
          FROM sizes GROUP BY 1 ORDER BY 1""",
+
+    // the recursive closure folded per source: non-canonical docs are
+    // the duplicates
+    "q_dup_rate_by_source" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), prs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), lab AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dups,
+           round(CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS dup_rate
+         FROM lab l JOIN documents d USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
 
     // the same recursive closure joined to the md5 split replay: multi-
     // doc families and how many splits they straddle
