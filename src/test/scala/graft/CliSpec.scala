@@ -409,6 +409,40 @@ class CliSpec extends AnyFunSuite {
     assert(ld.contains("violates"))
   }
 
+  test("corpus subcommand: mixing/eval ops (waterfill, anova, cohesion, curriculum, pcatop)") {
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val wf = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "waterfill",
+        "budget" -> "300"))
+    }
+    assert(wf.contains("allocation") && wf.contains("keep_frac"))
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "waterfill"))
+    }
+    val an = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "anova",
+        "value" -> "n_chars", "group" -> "lang"))
+    }
+    assert(an.contains("Rows: 1") && an.contains("f_stat"))
+    val co = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "cohesion"))
+    }
+    assert(co.contains("mean_within_cos"))
+    val cu = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "curriculum",
+        "stage-expr" -> "least(n_chars div 100, 9)"))
+    }
+    assert(cu.contains("curriculum_rank"))
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "curriculum"))
+    }
+    val pt = captureOut {
+      Cli.runCorpus(spark, Map("in" -> emb, "op" -> "pcatop", "r" -> "2"))
+    }
+    assert(pt.contains("Rows: 128") && pt.contains("var_explained"))
+  }
+
   test("corpus subcommand: qualityclf trains and scores") {
     val out = captureOut {
       Cli.runCorpus(spark, Map(
