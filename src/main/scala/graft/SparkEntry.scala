@@ -7053,7 +7053,7 @@ object SparkEntry {
                - CAST(c.ccb AS HUGEINT) * t.n_a) AS dn
            FROM c CROSS JOIN t)
          SELECT t.n_a, t.n_b,
-           CAST(max(d.dn) AS DECIMAL(38,0)) AS d_num,
+           CAST(max(d.dn) AS DOUBLE) AS d_num,
            min(d.v) FILTER (WHERE d.dn = (SELECT max(dn) FROM d)) AS at_value,
            CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN NULL
              ELSE round(CAST(max(d.dn) AS DOUBLE)

@@ -401,12 +401,26 @@ object Stats {
     * (k < 2, n ≤ k, or zero within-variance).
     */
   def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    // loud value-domain contract: |x| ≥ 1e14 (or NaN) overflows the
+    // exact decimal(18,4) accumulator to NULL — the row would then
+    // count in __n but drop out of the sums, silently skewing F/eta_sq.
+    // assert_true instead (the ksHistogram NaN convention): fail the
+    // job with a message rather than return a wrong statistic.
+    val xd = col(valueCol).cast("double")
+    val guarded = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .withColumn("__rng", assert_true(abs(xd) < 1e14,
+        lit("anovaF: |value| >= 1e14 (or NaN) overflows the exact " +
+          "decimal(18,4) power-sum accumulator — rescale or filter " +
+          "the feature upstream")))
+      .filter(col("__rng").isNull)
+      .drop("__rng")
     val x = col(valueCol).cast("decimal(18,4)")
     // sums cast to double BEFORE cross-multiplying (the q_corr oracle
     // convention — decimal×decimal of two 38-precision sums can't
     // replay; double multiply is one pinned IEEE op). Per-row squares
     // stay exact decimal (37,8).
-    val g = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val g = guarded
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
         sum(x * x).as("__q"))
@@ -448,7 +462,12 @@ object Stats {
     * |cumA·n_b − cumB·n_a| (decimal(38,0) — exact to n ~ 10¹⁹ a side)
     * and only the one winning numerator meets a double division,
     * rounded to 6dp for the oracle gate. Ties across values broken to
-    * the SMALLEST attaining value (at_value).
+    * the SMALLEST attaining value (at_value). At the result boundary
+    * `d_num` is cast decimal→double (house rule — decimal internally,
+    * long/double out): it is bounded by n_a·n_b, which exceeds 2⁶³
+    * at ~10¹⁰ rows a side, so long would overflow at target scale
+    * while the correctly-rounded double replays exactly against the
+    * oracle's CAST(… AS DOUBLE).
     *
     * Scale shape: one corpus-sized value-histogram aggregate per side
     * (map-side combined), then the [[Eval.prefixExclusive]] two-level
@@ -471,6 +490,17 @@ object Stats {
     * Structured Streaming aggregate maintains it live
     * ([[graft.streaming.Streaming.streamingKsHistogram]]) and
     * [[ksDriftFromHistogram]] finishes the sink table.
+    *
+    * Value-grid contract: the histogram keys on `valueCol` CAST TO
+    * DOUBLE. For bigint / wide-decimal columns, distinct integers
+    * beyond 2⁵³ collide in double and their histogram cells silently
+    * merge (and `at_value` is reported on the double grid). That is
+    * the deliberate trade — one grid both engines agree on bit-for-bit
+    * — and is harmless for measurement-valued drift columns; if you
+    * need exact KS over >2⁵³-magnitude integer keys, pre-bucket or
+    * rescale upstream (the [[paretoFrontierBy]] native-type discipline
+    * does not transfer here because the prefix scan must ORDER BY one
+    * engine-agreed numeric type).
     */
   def ksHistogram(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     def side(df: DataFrame, ca: Long, cb: Long) = {
@@ -512,7 +542,13 @@ object Stats {
     d.groupBy("n_a", "n_b")
       .agg(max(struct(col("__d"), (-col("__s")).as("__ns"))).as("__m"))
       .select(col("n_a"), col("n_b"),
-        col("__m.__d").as("d_num"),
+        // boundary cast (house rule — decimal internally, long/double
+        // out): d_num ≤ n_a·n_b can exceed 2⁶³ at target corpus sizes
+        // (~10¹¹ rows a side), so double, not long; the max selection
+        // above already happened on the exact decimal, and
+        // decimal→double is one correctly-rounded IEEE conversion that
+        // the oracle replays with CAST(… AS DOUBLE)
+        col("__m.__d").cast("double").as("d_num"),
         (-col("__m.__ns")).as("at_value"),
         when(col("n_a") === 0 || col("n_b") === 0,
             lit(null).cast("double"))

@@ -41,7 +41,7 @@ class SelectionSpec extends AnyFunSuite {
     val r = got.head
     assert(r.getAs[Long]("n_a") == na)
     assert(r.getAs[Long]("n_b") == nb)
-    assert(BigInt(r.getAs[java.math.BigDecimal]("d_num").toBigInteger) == dnum)
+    assert(r.getAs[Double]("d_num") == dnum.toDouble)
     assert(r.getAs[Double]("at_value") == at)
     assert(r.getAs[Double]("d_stat") ==
       round6(dnum.toDouble / (na.toDouble * nb.toDouble)))
@@ -51,7 +51,7 @@ class SelectionSpec extends AnyFunSuite {
     val xs = (1 to 500).map(i => ((i * 7919L) % 41).toDouble)
     val a = xs.toDF("v"); val b = xs.toDF("v")
     val r = Stats.ksDrift(a.repartition(7), b.repartition(3), "v").head()
-    assert(r.getAs[java.math.BigDecimal]("d_num").longValueExact() == 0L)
+    assert(r.getAs[Double]("d_num") == 0.0)
     assert(r.getAs[Double]("d_stat") == 0.0)
     // repartitioning must not change anything (two-level scan contract)
     val r2 = Stats.ksDrift(a.repartition(1), b.repartition(13), "v").head()
