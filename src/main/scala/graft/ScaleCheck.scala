@@ -1277,9 +1277,95 @@ object ScaleCheck {
         s"${r.getAs[Double]("at_value")}")
       require(r.getAs[Double]("d_stat") == 0.1 &&
         r.getAs[Double]("at_value") == (n / 10L - 1L).toDouble &&
-        r.getAs[java.math.BigDecimal]("d_num")
-          .longValueExact() == n / 10L * n,
+        r.getAs[Double]("d_num") == (n / 10L * n).toDouble,
         s"planted-shift KS must be exact: $r")
+    }
+
+    // water-filling at 1.2M strata (the per-DOMAIN cardinality regime):
+    // the ranking must ride the two-level scan — no unpartitioned
+    // data-sized window — and the exact-integer invariants must hold at
+    // that width: Σ allocation = budget, allocation ≤ n everywhere, the
+    // tail kept whole, and the planted mega-strata capped at the level.
+    time("waterfill 1.2M strata: exact spend, whole tail, capped head") {
+      val k = 1200000L
+      // strata 0..k-1 with n_docs = 1 + id % 7 (small tail), plus 10
+      // planted giants of 1e6 docs each; rows are (stratum, n) pairs
+      // pre-aggregated — feed waterfillBudget a row per doc via explode
+      // would be 5M rows; instead synthesize the doc table directly
+      val docs = spark.range(k)
+        .select(concat(lit("s"), col("id")).as("stratum"),
+          (lit(1L) + col("id") % 7L).as("__n"))
+        .unionByName(spark.range(10L)
+          .select(concat(lit("G"), col("id")).as("stratum"),
+            lit(1000000L).as("__n")))
+        .select(col("stratum"),
+          explode(sequence(lit(1L), col("__n"))).as("__i"))
+      val budget = 6000000L
+      val out = operators.Sampling.waterfillBudget(docs, "stratum", budget)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the only unpartitioned window allowed is the offsets prefix over
+      // the partition-count-sized __pid aggregate (the rocAuc contract)
+      out.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        require(w.child.toString.contains("__pid"),
+          s"waterfill runs an unpartitioned data-sized window:\n$w")
+      }
+      val agg = out.agg(sum("allocation"), count(lit(1)),
+        sum(when(col("allocation") > col("n_docs"), 1L).otherwise(0L)),
+        sum(when(col("capped"), 1L).otherwise(0L))).head()
+      val (spent, nStrata, over, capped) = (agg.getLong(0), agg.getLong(1),
+        agg.getLong(2), agg.getLong(3))
+      println(s"[scale] waterfill: $nStrata strata, spent $spent/" +
+        s"$budget, capped $capped, over-alloc $over")
+      require(nStrata == k + 10, s"every stratum must be allocated: $nStrata")
+      require(spent == budget, s"exact spend violated: $spent != $budget")
+      require(over == 0L, "allocation must never exceed n_docs")
+      require(capped == 10L,
+        s"exactly the 10 planted giants must be capped: $capped")
+      out.unpersist(blocking = false)
+    }
+
+    // exact duplicate spans at 200k docs / 12M stride-1 windows: the
+    // candidate set (and so the verify join and island merge) must be
+    // bounded by the DUPLICATED text volume — planting 10× the
+    // boilerplate docs into the SAME corpus must grow the reported
+    // window mass exactly 10×, with exact [5, 35) boundaries on every
+    // planted doc and no unpartitioned window anywhere in the plan.
+    time("duplicateSpansExact 200k docs: 10x duplication stays bucket-bounded") {
+      val bp = (1 to 30).map(i => s"bp$i").mkString(" ")
+      def corpus(plantEvery: Long) = spark.range(200000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(0), lit(4)),
+            j => concat(lit("u"), col("id"), lit("x"), j))),
+          when(col("id") % plantEvery === 0L, lit(bp))
+            .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(29)),
+              j => concat(lit("w"), col("id"), lit("y"), j)))),
+          concat_ws(" ", transform(sequence(lit(0), lit(24)),
+            j => concat(lit("v"), col("id"), lit("z"), j)))).as("text"))
+      def spanStats(plantEvery: Long): (Long, Long, Long) = {
+        val out = operators.Dedup.duplicateSpansExact(corpus(plantEvery), 16)
+        out.queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        }.foreach { w => require(false,
+          s"duplicateSpansExact runs an unpartitioned window:\n$w") }
+        val r = out.agg(count(lit(1)), sum("n_windows"),
+          sum(when(col("span_start") === 5L && col("span_end") === 35L, 1L)
+            .otherwise(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val (s1, w1, e1) = spanStats(100L)   // 2k planted docs
+      val (s10, w10, e10) = spanStats(10L) // 20k planted docs, same corpus size
+      println(s"[scale] dupspans-exact: 1x -> $s1 spans/$w1 windows, " +
+        s"10x -> $s10 spans/$w10 windows")
+      require(s1 == 2000L && e1 == 2000L && w1 == 2000L * 15,
+        s"1x planting must report exactly its spans: $s1/$w1/$e1")
+      require(s10 == 20000L && e10 == 20000L && w10 == 20000L * 15,
+        s"10x planting must scale the report exactly 10x: $s10/$w10/$e10")
+      operators.CacheRegistry.release(spark)
     }
     operators.CacheRegistry.release(spark)
     spark.stop()

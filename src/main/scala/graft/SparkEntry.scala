@@ -1384,6 +1384,13 @@ object SparkEntry {
       Dedup.spanDupFraction(Tables.load(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // EXACT >=16-token duplicated substrings (Lee et al. ExactSubstr
+    // semantics): stride-1 window anchors, bucket-verified equality,
+    // islands merged to maximal spans with exact token boundaries
+    "q_dupspans_exact" -> ((s, dir) =>
+      Dedup.duplicateSpansExact(Tables.load(s, dir, "documents"), 16)
+        .orderBy("doc_id", "span_start")),
+
     // per-row probability sample: keep probability scales with doc length
     "q_weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(Tables.load(s, dir, "documents"),
@@ -1620,6 +1627,21 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 50)
       val system = Similarity.truncatedTopK(emb, queries, k = 5,
         d = 16, rerankFactor = 1)
+      val truth = Similarity.bruteForceTopK(emb, queries, 1)
+        .select("query_id", "vec_id")
+      Eval.mrrAtK(system, truth, k = 5)
+    }),
+
+    // the retrieval eval LOOP, end to end in one lineage: the IVF
+    // retriever that would serve at scale (the q_ivf_topk substrate —
+    // first-32 pseudo-codebook, nprobe=1) produces the system ranking,
+    // the brute-force exact top-1 is the truth, MRR@5 grades where the
+    // truth landed — "build index → retrieve → score" as one composed
+    // query instead of three disconnected telemetry reads
+    "q_retrieval_eval" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+      val system = Similarity.ivfTopK(emb, queries, k = 5)
       val truth = Similarity.bruteForceTopK(emb, queries, 1)
         .select("query_id", "vec_id")
       Eval.mrrAtK(system, truth, k = 5)
@@ -5029,6 +5051,51 @@ object SparkEntry {
              / count(*) / 1e12, 6) AS mrr
          FROM j""",
 
+    // the q_ivf_topk retrieval chain (first-32 centroids, nprobe=1)
+    // graded by the q_mrr scoring chain against the exact top-1 truth
+    // — one composed replay of the whole retrieve-then-score lineage
+    "q_retrieval_eval" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         ca AS (
+           SELECT vec_id, e, centroid_id FROM (
+             SELECT x.vec_id, x.e, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (SELECT vec_id AS query_id, e, centroid_id FROM ca WHERE vec_id < 50),
+         q AS (SELECT vec_id AS query_id, e FROM ec WHERE vec_id < 50),
+         truth AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.query_id, c2.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC,
+                   c2.vec_id) AS rn
+             FROM ec c2 CROSS JOIN q WHERE c2.vec_id <> q.query_id)
+           WHERE rn = 1),
+         sys AS (
+           SELECT query_id, vec_id, rank FROM (
+             SELECT qq.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY qq.query_id
+                 ORDER BY round(list_cosine_similarity(qq.e, a.e), 4) DESC, a.vec_id) AS rank
+             FROM ca a JOIN qa qq ON a.centroid_id = qq.centroid_id AND a.vec_id <> qq.query_id) t
+           WHERE rank <= 5),
+         j AS (
+           SELECT t.query_id,
+             CASE WHEN s.rank IS NOT NULL AND s.rank <= 5
+               THEN CAST(s.rank AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rk
+           FROM truth t LEFT JOIN sys s
+             ON s.query_id = t.query_id AND s.vec_id = t.vec_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           round(CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hit_rate,
+           round(CAST(CAST(sum(CASE WHEN rk > 0
+                 THEN CAST(floor(1e12 / rk + 0.5) AS BIGINT)
+                 ELSE 0 END) AS HUGEINT) AS DOUBLE)
+             / count(*) / 1e12, 6) AS mrr
+         FROM j""",
+
     // BQ replayed via the +-1 inner-product identity: hamming =
     // (dim - <sa, sb>) / 2 — exact integers, so DuckDB needs no bit
     // packing to agree with the engine's bit_count(xor) popcount
@@ -6775,6 +6842,44 @@ object SparkEntry {
          SELECT doc_id, chunk_id, span_md5, n_docs_sharing
          FROM sp JOIN d USING (span_md5)
          ORDER BY doc_id, chunk_id""",
+
+    // exact-substring spans: stride-1 16-token window md5s, cross-doc
+    // buckets, gaps-and-islands merge (break where p - lag(p) > 16) —
+    // the verification step is engine-side only (min==max text proof);
+    // the oracle's md5 equality is the same statement
+    "q_dupspans_exact" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+           FROM toks WHERE len(tk) >= 16
+         ), sp AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
+           FROM w
+         ), d AS (
+           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM sp GROUP BY span_md5 HAVING count(DISTINCT doc_id) > 1
+         ), c AS (
+           SELECT sp.doc_id, sp.p, d.nd FROM sp JOIN d USING (span_md5)
+         ), g AS (
+           SELECT doc_id, p, nd,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
+               THEN 1 ELSE 0 END AS brk
+           FROM c
+         ), i AS (
+           SELECT doc_id, p, nd,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM g
+         )
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 16 AS BIGINT) AS span_end,
+           CAST(max(p) + 16 - min(p) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(nd) AS BIGINT) AS max_docs_sharing
+         FROM i GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
 
     "q_span_dup_frac" ->
       """WITH toks AS (

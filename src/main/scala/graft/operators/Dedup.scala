@@ -943,6 +943,100 @@ object Dedup {
           lit(0.0)).as("dup_span_frac"))
   }
 
+  /** EXACT duplicated-substring extraction — the suffix-array-grade
+    * upgrade of [[duplicateSpans]] (which strides by 16 and can miss or
+    * truncate matches that don't align to the stride grid): the maximal
+    * token ranges covered by verbatim cross-document matches of ≥
+    * `minTokens` consecutive tokens, with exact boundaries (adjacent or
+    * overlapping matches — possibly against different partner documents
+    * — merge into one reported span, which is what a trim step wants).
+    * The target semantics are Lee et al.'s ExactSubstr
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ACL'22), re-derived for Spark without their global suffix array:
+    *
+    *   1. ANCHOR: fingerprint EVERY `minTokens`-token window at stride
+    *      1 (md5 over the window text — map-side generate + project;
+    *      the token array never shuffles, only (doc_id, p, md5) rows).
+    *      A substring of length L ≥ k is duplicated iff each of its
+    *      k-windows is duplicated, and conversely a duplicated
+    *      k-window IS a duplicated substring — so the union of
+    *      duplicated windows covers exactly the tokens any ≥k-token
+    *      verbatim match covers. No suffix sort needed.
+    *   2. BUCKET + VERIFY: group by fingerprint, keep cross-document
+    *      buckets (countDistinct(doc_id) > 1 — intra-doc repetition is
+    *      [[TextAnalysis.repetitionStats]]' job), then re-extract the
+    *      actual window text for CANDIDATE rows only (the join back to
+    *      `docs` is duplication-proportional, never corpus-×-k) and
+    *      require min(text) == max(text) per bucket: equal min and max
+    *      proves every member identical, making the result EXACT — an
+    *      md5 collision fails loudly (assert_true) instead of
+    *      silently reporting a false span. No all-pairs comparison
+    *      anywhere.
+    *   3. EXTEND: per document, merge overlapping covered intervals
+    *      [p, p+k) into maximal spans — a gaps-and-islands window
+    *      PARTITIONED BY doc_id (per-doc sized, never global): a new
+    *      island starts where p − lag(p) > k.
+    *
+    * Scale shape: stride-1 windowing costs k× the corpus in map-side
+    * hashing CPU but shuffles only corpus-token-count fingerprint rows;
+    * the candidate set, the verification join, and the island merge are
+    * all bounded by the DUPLICATED text volume (ScaleCheck gates this
+    * at 10× planted duplication). Output: (doc_id, span_start,
+    * span_end, n_tokens, n_windows, max_docs_sharing) — token
+    * positions 0-based, span_end exclusive; feed to a trim step that
+    * cuts `[span_start, span_end)` or to a drop rule on covered
+    * fraction.
+    */
+  def duplicateSpansExact(docs: DataFrame, minTokens: Int = 16): DataFrame = {
+    require(minTokens > 1, s"minTokens must be > 1, got $minTokens")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val k = minTokens
+    def windowText(toksCol: Column, p: Column): Column =
+      concat_ws(" ", slice(toksCol, p + 1, lit(k)))
+    val spans = CacheRegistry.track(docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - k)).as("__p"))
+      .select(col("doc_id"), col("__p").cast("long").as("p"),
+        md5(windowText(col("__toks"), col("__p"))).as("span_md5"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val dups = spans.groupBy("span_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+      .filter(col("n_docs_sharing") > 1)
+    val cand = spans.join(dups, "span_md5")
+    // exactness gate: re-derive the candidate windows' text and prove
+    // every bucket uniform — min == max over ≥2 strings is an equality
+    // proof for the whole bucket, one aggregate, no pair join
+    val verified = cand
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("span_md5"),
+        windowText(TextAnalysis.tokens(col("text")), col("p")).as("__wt"))
+      .groupBy("span_md5")
+      .agg(min(col("__wt")).as("__lo"), max(col("__wt")).as("__hi"))
+      .withColumn("__chk", assert_true(col("__lo") === col("__hi"),
+        lit("duplicateSpansExact: one md5 bucket holds two DIFFERENT " +
+          "window texts (hash collision) — the span report would not " +
+          "be exact; rerun with a longer fingerprint")))
+      .filter(col("__chk").isNull)
+      .select("span_md5")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val islands = cand.join(verified, "span_md5")
+      .withColumn("__brk",
+        when(col("p") - lag(col("p"), 1).over(w) > k, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy("doc_id", "__island")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + k).as("span_end"),
+        count(lit(1)).as("n_windows"),
+        max(col("n_docs_sharing")).as("max_docs_sharing"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("n_tokens"),
+        col("n_windows"), col("max_docs_sharing"))
+  }
+
   /** Near-duplicate PAIRS → dedup DECISIONS: connected components over the
     * pair graph, labeling every doc with the smallest doc_id reachable
     * through near-duplicate edges (`canonical_id`). A doc is kept iff

@@ -434,27 +434,38 @@ object Sampling {
     * strata first — Σ allocation = min(B, Σn) EXACTLY and allocation ≤
     * n_g always (n_j > level ⇒ n_j ≥ base+1 in integers).
     *
-    * Scale shape: ONE corpus count pass; every window after it runs on
-    * the k-row strata table (the [[sqrtTemperatureMix]] second-level
-    * convention — strata are languages/sources, answer-sized by
-    * construction). Output: (stratum, n_docs, allocation, capped,
-    * keep_frac 6dp); feed keep_frac to [[stratifiedSample]] or take
-    * exactly `allocation` per stratum with [[fixedSizeSample]].
+    * Scale shape: ONE corpus count pass; the strata ranking then rides
+    * the [[Eval.prefixExclusive]] two-level scan (range-partitioned
+    * local running sums + contiguity-bounded broadcast offsets) keyed
+    * on struct(n_docs, stratum), so even a per-DOMAIN stratum column
+    * with millions of strata never funnels through a single-reducer
+    * window (the r15 verdict's watch item); __idx falls out of the
+    * same scan as the exclusive count of a ones column, and the strata
+    * total __k is one plain aggregate. Output: (stratum, n_docs,
+    * allocation, capped, keep_frac 6dp); feed keep_frac to
+    * [[stratifiedSample]] or take exactly `allocation` per stratum
+    * with [[fixedSizeSample]].
     */
   def waterfillBudget(df: DataFrame, stratumCol: String,
       budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0, s"budget must be positive, got $budget")
     val counts = df.filter(col(stratumCol).isNotNull)
       .select(col(stratumCol).as("stratum"))
       .groupBy("stratum").agg(count(lit(1)).as("n_docs"))
-    val w = Window.orderBy(col("n_docs").asc, col("stratum").asc)
-    val wBelow = w.rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = counts
-      .withColumn("__idx", row_number().over(w).cast("long"))
-      .withColumn("__below", coalesce(sum(col("n_docs")).over(wBelow), lit(0L)))
-      .withColumn("__k", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // order key for the two-level scan: (n_docs asc, stratum asc) as a
+    // struct — stratum is a groupBy key, so the order is total and the
+    // exclusive ones-count + 1 IS row_number over that order
+    val hist = counts
+      .withColumn("__s", struct(col("n_docs"), col("stratum")))
+      .withColumn("__one", lit(1L))
+      .withColumn("__nd", col("n_docs"))
+    val kTot = counts.agg(count(lit(1)).as("__k"))
+    val ranked = Eval.prefixExclusive(hist, Seq.empty,
+        Seq("__one", "__nd"), descending = false)
+      .withColumn("__idx", col("__cum__one") + 1L)
+      .withColumn("__below", col("__cum__nd"))
+      .crossJoin(broadcast(kTot))
+      .drop("__s", "__one", "__nd", "__cum__one", "__cum__nd")
     // first capped position: n_i·(k−i+1) > B−cumBelow_i
     val cutT = ranked
       .filter(col("n_docs") * (col("__k") - col("__idx") + 1)

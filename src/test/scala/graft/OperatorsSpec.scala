@@ -1043,6 +1043,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frac(1L) > 0.0 && frac(2L) > 0.0 && frac(3L) == 0.0)
   }
 
+  test("exact duplicate spans: planted boundaries recovered, islands merge, unique silent") {
+    // doc 1: 5 unique + 10 shared + 5 unique; doc 2 carries the same
+    // 10-token run at a different offset; doc 3 is all-unique
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val df = Seq(
+      (1L, s"u11 u12 u13 u14 u15 $shared v11 v12 v13 v14 v15"),
+      (2L, s"w21 w22 $shared x21 x22 x23"),
+      (3L, "totally unrelated words making a sentence of their own here now"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpansExact(df, minTokens = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact boundaries: doc 1 tokens [5, 15), doc 2 tokens [2, 12) — one
+    // merged span each (7 stride-1 windows of 4 tokens), doc 3 absent
+    assert(got.toSeq == Seq((1L, 5L, 15L, 10L), (2L, 2L, 12L, 10L)), got.toSeq)
+    // two disjoint shared runs in one doc must stay two islands
+    val two = Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5 $shared"),
+      (2L, s"b1 $shared b2"), (3L, s"c1 c2 c3 $shared")).toDF("doc_id", "text")
+    val spans1 = Dedup.duplicateSpansExact(two, minTokens = 4)
+      .filter(col("doc_id") === 1L).orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans1.toSeq == Seq((0L, 10L), (15L, 25L)), spans1.toSeq)
+    // all-unique corpus -> empty
+    assert(Dedup.duplicateSpansExact(
+      df.filter(col("doc_id") === 3L), 4).count() == 0)
+    // intra-doc-only repetition is NOT reported (cross-doc contract)
+    val self = Seq((1L, s"$shared and then $shared"),
+      (2L, "nothing shared with the first document at all in any way"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpansExact(self, 4).count() == 0)
+  }
+
   test("weighted sample: prob 0 drops, prob 1 keeps, column prob == literal cut") {
     assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
     assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
