@@ -135,6 +135,62 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def cpuNanos(): Long = osBean.getProcessCpuTime
 
+    // ---- per-query plan + memory forensics (r15 verdict task 3) ----
+    // q_link_predict recorded 21 s / 37 s / 105 s CPU across same-day
+    // runs of identical code and data; the artifact could not say
+    // whether AQE replanned under pressure or GC billed its pauses to
+    // the query. Three signals fix that ambiguity in the record itself:
+    //  - plan fingerprint: the FINAL adaptive plan (captured via a
+    //    QueryExecutionListener after the noop write, so AQE's runtime
+    //    decisions are in it), exprIds/plan-ids normalized away, md5'd.
+    //    Same fp + different cpu  => measurement noise (GC/scheduler);
+    //    different fp             => a real plan change to chase.
+    //  - gc_ms: GC-time delta across the query — process CPU includes
+    //    GC threads, so high cpu with matching high gc_ms is memory
+    //    pressure, not operator work.
+    //  - peak_mb: summed post-reset peak usage of the heap pools.
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakMb(): Long =
+      heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+    val lastQe = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = lastQe.set(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    // the listener fires on the async listener bus: poll briefly after
+    // the action rather than racing it; fingerprinting is best-effort
+    // telemetry and must never stall or fail the suite
+    def planFingerprint(): String = {
+      var tries = 0
+      while (lastQe.get() == null && tries < 40) { Thread.sleep(50); tries += 1 }
+      Option(lastQe.get()).map { qe =>
+        val s = qe.executedPlan.toString
+          .replaceAll("#\\d+", "#")
+          .replaceAll("plan_id=\\d+", "plan_id=")
+          // AQE assigns QueryStage ids in MATERIALIZATION order, which is
+          // thread-timing dependent across JVMs (so are the wholestage
+          // codegen ids that follow from it) — same shape, shuffled
+          // numbers. Normalize both or identical plans fingerprint apart.
+          .replaceAll("QueryStage \\d+", "QueryStage ")
+          .replaceAll("\\*\\(\\d+\\)", "*(")
+          .replaceAll("\\s+", " ")
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      }.getOrElse("none")
+    }
+
     // host-load marker: the shared bench host has contaminated the wall
     // totals twice (r8: 131 s recorded vs 59.8 s clean; r10: phantom
     // q_bpe/q_lsh_recall "regressions" that took a judge re-run to
@@ -142,6 +198,26 @@ object Bench {
     // suite so a recorded run carries its own contamination evidence —
     // loadavg >> bench-JVM parallelism means competing processes, and
     // the wall numbers should be read against cpu_sec instead.
+    // per-attempt record: wall, cpu, gc-time, peak heap, final-plan fp
+    case class Attempt(wall: Double, cpu: Double, gcMs: Long, peakMb: Long,
+      fp: String)
+    val failedAttempt = Attempt(-1.0, -1.0, -1L, -1L, "none")
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
+      lastQe.set(null)
+      resetPeaks()
+      val g0 = gcMs()
+      val t0 = System.nanoTime()
+      val c0 = cpuNanos()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e if scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: $e"); false
+        }
+      if (ok) Attempt((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9,
+        gcMs() - g0, peakMb(), planFingerprint())
+      else failedAttempt
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -150,23 +226,14 @@ object Bench {
       // min-of-2 reports steady-state compute, not first-run codegen/GC.
       // A throwing query is recorded as -1, never as its failure latency
       // (advisor finding, round 1).
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val c0 = cpuNanos()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e if scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] $name failed: $e"); false
-          }
-        if (ok) ((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9)
-        else (-1.0, -1.0)
-      }
+      val times = (1 to 2).map(_ => measure(name, fn))
       // dedup operators persist small intermediates; drop them so queries
       // don't inherit each other's cached blocks (and their GC pressure)
       operators.CacheRegistry.release(spark)
       spark.catalog.clearCache()
       // cpu_sec reported for the SAME attempt the wall minimum came from
-      name -> (if (times.exists(_._1 == -1.0)) (-1.0, -1.0) else times.minBy(_._1))
+      name -> (if (times.exists(_.wall == -1.0)) failedAttempt
+        else times.minBy(_.wall))
     }
 
     // measured AFTER the suite: the fully JIT-warmed JVM is the steady
@@ -240,7 +307,7 @@ object Bench {
     // rerun numbers are trustworthy.
     var rerunWaitedSec = 0
     var rerunM1 = -1.0
-    val reruns: Seq[(String, (Double, Double))] =
+    val reruns: Seq[(String, Attempt)] =
       if (only.isDefined) Seq.empty
       else {
         val (wallMed, cpuMed) = historyMedians(benchToolsDir)
@@ -264,11 +331,11 @@ object Bench {
         // thrashed host can't double the suite (the start gate above
         // makes that regime rare to begin with)
         val flagged = results
-          .flatMap { case (name, (w, c)) =>
+          .flatMap { case (name, a) =>
             val wInf = wallMed.get(name)
-              .collect { case m if m > 0 && w >= 0 => w / m }
+              .collect { case m if m > 0 && a.wall >= 0 => a.wall / m }
             val cInf = cpuMed.get(name)
-              .collect { case m if m > 0 && c >= 0 => c / m }
+              .collect { case m if m > 0 && a.cpu >= 0 => a.cpu / m }
             val trips = wInf.exists(_ > factor) || cInf.exists(_ > cpuFactor)
             if (trips) Some(name -> (wInf.toSeq ++ cInf.toSeq).max) else None
           }
@@ -279,29 +346,32 @@ object Bench {
         }
         val fnByName = SparkEntry.queries
         flagged.map { name =>
-          val t0 = System.nanoTime(); val c0 = cpuNanos()
-          val ok =
-            try { fnByName(name)(spark, sfDir).write.format("noop")
-              .mode("overwrite").save(); true }
-            catch { case e if scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] rerun $name failed: $e"); false }
+          val a = measure(name, fnByName(name))
           operators.CacheRegistry.release(spark)
           spark.catalog.clearCache()
-          name -> (if (ok) ((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9)
-            else (-1.0, -1.0))
+          name -> a
         }
       }
+    // rerun entries carry the forensic trio too: a rerun whose fp matches
+    // the suite's but whose cpu halves is adjudicated noise on its face
     val rerunJson = reruns
-      .map { case (k, (w, c)) => "\"" + k + "\":" + s"""{"wall":$w,"cpu":$c}""" }
+      .map { case (k, a) => "\"" + k + "\":" +
+        s"""{"wall":${a.wall},"cpu":${a.cpu},"gc_ms":${a.gcMs},"peak_mb":${a.peakMb},"fp":"${a.fp}"}""" }
       .mkString("{", ",", "}")
 
-    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }
+    val qs = results.map { case (k, a) => "\"" + k + "\":" + a.wall }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, (_, c)) => "\"" + k + "\":" + c }
+    val cpus_ = results.map { case (k, a) => "\"" + k + "\":" + a.cpu }
+      .mkString("{", ",", "}")
+    val plansJson = results.map { case (k, a) => "\"" + k + "\":\"" + a.fp + "\"" }
+      .mkString("{", ",", "}")
+    val gcJson = results.map { case (k, a) => "\"" + k + "\":" + a.gcMs }
+      .mkString("{", ",", "}")
+    val peakJson = results.map { case (k, a) => "\"" + k + "\":" + a.peakMb }
       .mkString("{", ",", "}")
     // failed queries (-1) are excluded from the totals, not billed as ~0s
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val totalCpu = results.map(_._2._2).filter(_ >= 0).sum
+    val total = results.map(_._2.wall).filter(_ >= 0).sum
+    val totalCpu = results.map(_._2.cpu).filter(_ >= 0).sum
     // self-correcting headline (r12 verdict task 2): substitute each
     // flagged query's clean rerun wall (when the rerun IS cleaner — a
     // rerun that lands on still-loaded hardware must not inflate) into
@@ -311,7 +381,7 @@ object Bench {
     val rerunByName = reruns.toMap
     def adjWall(name: String, w: Double): Double =
       rerunByName.get(name) match {
-        case Some((rw, _)) if rw >= 0 => math.min(w, rw)
+        case Some(a) if a.wall >= 0 => math.min(w, a.wall)
         case _ => w
       }
     // adjusted CPU, the r13 self-adjudication gap: the headline cpu map
@@ -321,16 +391,16 @@ object Bench {
     // number no longer needs a judge-side isolated re-run either
     def adjCpu(name: String, c: Double): Double =
       rerunByName.get(name) match {
-        case Some((_, rc)) if rc >= 0 => math.min(c, rc)
+        case Some(a) if a.cpu >= 0 => math.min(c, a.cpu)
         case _ => c
       }
     val adjustedTotal = results
-      .collect { case (name, (w, _)) if w >= 0 => adjWall(name, w) }.sum
+      .collect { case (name, a) if a.wall >= 0 => adjWall(name, a.wall) }.sum
     val adjustedTotalCpu = results
-      .collect { case (name, (_, c)) if c >= 0 => adjCpu(name, c) }.sum
+      .collect { case (name, a) if a.cpu >= 0 => adjCpu(name, a.cpu) }.sum
     val (loadEnd, m1End) = loadavg()
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"start_waited_sec":$startWaitedSec,"rerun_m1":$rerunM1,"rerun_waited_sec":$rerunWaitedSec}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
@@ -339,12 +409,12 @@ object Bench {
     // just the two m1 numbers: the full object lives in fullJson /
     // bench-last.json, and ~130 bytes of it here would erode exactly the
     // truncation headroom this line exists to guarantee.
-    val nFailed = results.count(_._2._1 < 0)
+    val nFailed = results.count(_._2.wall < 0)
     // worst offenders ranked by ADJUSTED wall: a contaminated outlier
     // whose rerun came back clean should not headline the summary (its
     // raw wall is still in the full JSON's queries/rerun maps)
-    val worst = results.filter(_._2._1 >= 0)
-      .map { case (k, (w, _)) => k -> adjWall(k, w) }
+    val worst = results.filter(_._2.wall >= 0)
+      .map { case (k, a) => k -> adjWall(k, a.wall) }
       .sortBy(-_._2).take(5)
       .map { case (k, w) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
@@ -373,7 +443,7 @@ object Bench {
         // along but medians read only "queries", so a rerun never shifts
         // the baseline it was judged against.
         java.nio.file.Files.write(benchToolsDir.resolve("bench-history.jsonl"),
-          (s"""{"ts":"$ts","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"rerun":$rerunJson}""" + "\n")
+          (s"""{"ts":"$ts","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"rerun":$rerunJson}""" + "\n")
             .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
