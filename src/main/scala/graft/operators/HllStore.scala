@@ -34,15 +34,12 @@ import org.apache.spark.sql.functions._
   */
 object HllStore {
 
-  private def metaDir(dir: String) = dir + "_meta"
-
   private case class Meta(p: Int, windowMs: Long,
       itemCol: String, groupCol: String)
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(metaDir(dir)).head()
-    Meta(r.getAs[Int]("p"), r.getAs[Long]("window_ms"),
-      r.getAs[String]("item_col"), r.getAs[String]("group_col"))
+    val m = StoreMeta.read(dir)
+    Meta(m("p").toInt, m("window_ms").toLong, m("item_col"), m("group_col"))
   }
 
   /** Window-keyed register partials for `events` under precision `m.p`.
@@ -67,12 +64,9 @@ object HllStore {
     val m = Meta(p, windowMs, itemCol, groupCol)
     graft.ParquetIO.writePartitioned(encode(events, m), dir,
       Seq("window_start_ms"), filesPerPartition)
-    val spark = events.sparkSession
-    import spark.implicits._
-    Seq((p, windowMs, itemCol, groupCol))
-      .toDF("p", "window_ms", "item_col", "group_col")
-      .write.mode("overwrite").option("compression", "zstd")
-      .parquet(metaDir(dir))
+    // sidecar is driver-written JSON — zero extra Spark jobs (StoreMeta)
+    StoreMeta.write(dir, "p" -> p, "window_ms" -> windowMs,
+      "item_col" -> itemCol, "group_col" -> groupCol)
   }
 
   /** Append a batch's register partials under the FROZEN precision.
@@ -84,13 +78,19 @@ object HllStore {
     */
   def append(spark: SparkSession, events: DataFrame, dir: String): Seq[Long] = {
     val m = readMeta(spark, dir)
-    val partials = Lineage.cut(encode(events, m))
-    try {
-      graft.ParquetIO.writePartitioned(partials, dir,
-        Seq("window_start_ms"), filesPerPartition = 1, mode = "append")
-      partials.select("window_start_ms").distinct()
-        .collect().map(_.getLong(0)).toSeq
-    } finally Lineage.release(partials)
+    // touched windows ride the write itself as an Observation (a
+    // windows-sized collect_set evaluated inline with the write job) —
+    // the prior Lineage.cut + separate distinct/collect cost a full
+    // extra materialization per append, pure fixed overhead at store
+    // cadence (r15 verdict task 7)
+    val obs = org.apache.spark.sql.Observation()
+    graft.ParquetIO.writePartitioned(
+      encode(events, m).observe(obs, collect_set(col("window_start_ms")).as("__ws")),
+      dir, Seq("window_start_ms"), filesPerPartition = 1, mode = "append")
+    obs.get("__ws").asInstanceOf[Seq[Any]].map {
+      case l: Long => l
+      case l: java.lang.Long => l.longValue()
+    }
   }
 
   private def readRegisters(spark: SparkSession, dir: String,
@@ -178,7 +178,6 @@ object HllStore {
       .agg(max(col("mrho")).as("mrho"))
     graft.ParquetIO.writePartitioned(merged, dstDir,
       Seq("window_start_ms"), filesPerPartition = 1)
-    spark.read.parquet(metaDir(srcDir)).write.mode("overwrite")
-      .option("compression", "zstd").parquet(metaDir(dstDir))
+    StoreMeta.copy(srcDir, dstDir)
   }
 }

@@ -39,8 +39,6 @@ import org.apache.spark.sql.functions._
 object LshIndex {
 
   private def sigsDir(dir: String) = dir + "_sigs"
-  private def metaDir(dir: String) = dir + "_meta"
-
   // schema-explicit reads: an EMPTY seed or batch is legal (no codebook
   // precondition), and a zero-row partitioned write leaves no parquet
   // footer to infer from — the store's schemas are fixed by its meta,
@@ -61,9 +59,9 @@ object LshIndex {
       nShards: Int)
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(metaDir(dir)).head()
-    Meta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
-      r.getAs[Int]("shingle_size"), r.getAs[Int]("n_shards"))
+    val m = StoreMeta.read(dir)
+    Meta(m("num_hashes").toInt, m("bands").toInt,
+      m("shingle_size").toInt, m("n_shards").toInt)
   }
 
   /** (doc_id, bucket, shard) for `docs` under the store geometry, plus
@@ -98,19 +96,16 @@ object LshIndex {
     // ingest calls write/append once per micro-batch, and leaving the
     // release to the session-level CacheRegistry would grow executor
     // storage by one cached frame per batch, forever
-    try {
-      graft.ParquetIO.writePartitioned(
+    try ParJobs.run(
+      () => graft.ParquetIO.writePartitioned(
         buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
-        filesPerPartition)
-      sigs.write.mode("overwrite").option("compression", "zstd")
-        .parquet(sigsDir(dir))
-    } finally sigs.unpersist(false)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq((numHashes, bands, shingleSize, nShards))
-      .toDF("num_hashes", "bands", "shingle_size", "n_shards")
-      .write.mode("overwrite").option("compression", "zstd")
-      .parquet(metaDir(dir))
+        filesPerPartition),
+      () => sigs.write.mode("overwrite").option("compression", "zstd")
+        .parquet(sigsDir(dir)))
+    finally sigs.unpersist(false)
+    // sidecar is driver-written JSON — zero extra Spark jobs (StoreMeta)
+    StoreMeta.write(dir, "num_hashes" -> numHashes, "bands" -> bands,
+      "shingle_size" -> shingleSize, "n_shards" -> nShards)
   }
 
   /** Append `batch` under the FROZEN store geometry: one signature pass
@@ -138,13 +133,13 @@ object LshIndex {
     val (sigs, buckets) = encode(input, m)
     // eager consumers both run here — release the batch signatures
     // (streaming ingest leak guard, same as [[write]])
-    try {
-      graft.ParquetIO.writePartitioned(
+    try ParJobs.run(
+      () => graft.ParquetIO.writePartitioned(
         buckets.select("shard", "bucket", "doc_id"), dir, Seq("shard"),
-        filesPerPartition = 1, mode = "append")
-      sigs.write.mode("append").option("compression", "zstd")
-        .parquet(sigsDir(dir))
-    } finally sigs.unpersist(false)
+        filesPerPartition = 1, mode = "append"),
+      () => sigs.write.mode("append").option("compression", "zstd")
+        .parquet(sigsDir(dir)))
+    finally sigs.unpersist(false)
   }
 
   /** The store's full near-duplicate pair set — what a cold
@@ -188,8 +183,7 @@ object LshIndex {
     spark.read.parquet(sigsDir(dir)).repartition(sigFiles)
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(sigsDir(outDir))
-    spark.read.parquet(metaDir(dir)).write.mode("overwrite")
-      .option("compression", "zstd").parquet(metaDir(outDir))
+    StoreMeta.copy(dir, outDir)
   }
 
   /** Probe `batch` against the store WITHOUT appending: the near-dup

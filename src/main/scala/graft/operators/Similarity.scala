@@ -511,20 +511,23 @@ object Similarity {
     // quantizes every residual to r̂ = 0 (measured: 4× the ADC error)
     val pqCodebooks = Pq.pqCodebooks(encodeInput, m, ksub, dim,
       idOffset = if (byResidual) numCentroids.toLong else 0L)
-    Pq.pqEncode(encodeInput, pqCodebooks, m, dim)
-      .join(assign, "vec_id")
-      .select(col("centroid_id"), col("vec_id"), col("subspace"), col("code"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .option("compression", "zstd").parquet(dir)
-    ivfCodebook.write.mode("overwrite")
-      .option("compression", "zstd").parquet(dir + "_codebook")
-    pqCodebooks.write.mode("overwrite")
-      .option("compression", "zstd").parquet(dir + "_pq")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq((byResidual, numCentroids, m, ksub, dim))
-      .toDF("by_residual", "num_centroids", "m", "ksub", "dim")
-      .write.mode("overwrite").parquet(dir + "_meta")
+    // three independent writes (codes, IVF codebook, PQ codebooks) run
+    // as concurrent jobs — serial submission billed ~2 extra job
+    // latencies per cold build (r15 verdict task 7)
+    ParJobs.run(
+      () => Pq.pqEncode(encodeInput, pqCodebooks, m, dim)
+        .join(assign, "vec_id")
+        .select(col("centroid_id"), col("vec_id"), col("subspace"), col("code"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .option("compression", "zstd").parquet(dir),
+      () => ivfCodebook.write.mode("overwrite")
+        .option("compression", "zstd").parquet(dir + "_codebook"),
+      () => pqCodebooks.write.mode("overwrite")
+        .option("compression", "zstd").parquet(dir + "_pq"))
+    // sidecar is driver-written JSON — zero extra Spark jobs (StoreMeta)
+    StoreMeta.write(dir, "by_residual" -> byResidual,
+      "num_centroids" -> numCentroids, "m" -> m, "ksub" -> ksub,
+      "dim" -> dim)
   }
 
   /** Incremental IVFADC maintenance: encode `batch` against the index's
@@ -556,10 +559,10 @@ object Similarity {
     */
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, dir: String, dedupeIds: Boolean = false): Unit = {
-    val meta = spark.read.parquet(dir + "_meta").head()
-    val byResidual = meta.getAs[Boolean]("by_residual")
-    val m = meta.getAs[Int]("m")
-    val dim = meta.getAs[Int]("dim")
+    val meta = StoreMeta.read(dir)
+    val byResidual = meta("by_residual").toBoolean
+    val m = meta("m").toInt
+    val dim = meta("dim").toInt
     // geometry guard (advisor r12): a batch whose embedding dim differs
     // from the index's would silently append garbage codes (the PQ slicer
     // reads fixed [m × dim/m] windows). A wrong dim is a wiring error,
@@ -627,10 +630,11 @@ object Similarity {
       filesPerPartition: Int = 1): Unit = {
     require(outDir != dir, "compactIvfPq writes to a new directory")
     compactIvfPqCodes(spark, dir, outDir, filesPerPartition)
-    Seq("_codebook", "_pq", "_meta").foreach { suffix =>
+    Seq("_codebook", "_pq").foreach { suffix =>
       spark.read.parquet(dir + suffix).write.mode("overwrite")
         .option("compression", "zstd").parquet(outDir + suffix)
     }
+    StoreMeta.copy(dir, outDir)
   }
 
   /** The code-table half of [[compactIvfPq]] without the sidecar copy —
@@ -674,12 +678,12 @@ object Similarity {
     // the sidecar records the build-time geometry; a caller reusing a
     // prebuilt index (CLI -index) with mismatched -m/-dim would silently
     // score garbage ADC sums otherwise (advisor r9) — fail loudly
-    val meta = spark.read.parquet(dir + "_meta").head()
-    val byRes = meta.getAs[Boolean]("by_residual")
-    val (metaM, metaDim) = (meta.getAs[Int]("m"), meta.getAs[Int]("dim"))
+    val meta = StoreMeta.read(dir)
+    val byRes = meta("by_residual").toBoolean
+    val (metaM, metaDim) = (meta("m").toInt, meta("dim").toInt)
     require(metaM == m && metaDim == dim,
       s"IVFADC index at $dir was built with m=$metaM dim=$metaDim " +
-        s"(ksub=${meta.getAs[Int]("ksub")}), but the probe was called " +
+        s"(ksub=${meta("ksub")}), but the probe was called " +
         s"with m=$m dim=$dim — pass the build-time parameters")
     val centroids = broadcastCentroids(codebook)
     val ranked = assignProbes(

@@ -32,16 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object SketchStore {
 
-  private def metaDir(dir: String) = dir + "_meta"
-
   private case class Meta(mBits: Int, quantScale: Double, windowMs: Long,
       valueCol: String, groupCol: String)
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(metaDir(dir)).head()
-    Meta(r.getAs[Int]("m_bits"), r.getAs[Double]("quant_scale"),
-      r.getAs[Long]("window_ms"), r.getAs[String]("value_col"),
-      r.getAs[String]("group_col"))
+    val m = StoreMeta.read(dir)
+    Meta(m("m_bits").toInt, m("quant_scale").toDouble, m("window_ms").toLong,
+      m("value_col"), m("group_col"))
   }
 
   /** Window-keyed sketch partials for `events` under geometry `m`.
@@ -64,12 +61,10 @@ object SketchStore {
     val m = Meta(mBits, quantScale, windowMs, valueCol, groupCol)
     graft.ParquetIO.writePartitioned(encode(events, m), dir,
       Seq("window_start_ms"), filesPerPartition)
-    val spark = events.sparkSession
-    import spark.implicits._
-    Seq((mBits, quantScale, windowMs, valueCol, groupCol))
-      .toDF("m_bits", "quant_scale", "window_ms", "value_col", "group_col")
-      .write.mode("overwrite").option("compression", "zstd")
-      .parquet(metaDir(dir))
+    // sidecar is driver-written JSON — zero extra Spark jobs (StoreMeta)
+    StoreMeta.write(dir, "m_bits" -> mBits, "quant_scale" -> quantScale,
+      "window_ms" -> windowMs, "value_col" -> valueCol,
+      "group_col" -> groupCol)
   }
 
   /** Append a batch's partials under the FROZEN geometry. Pure
@@ -86,13 +81,18 @@ object SketchStore {
     */
   def append(spark: SparkSession, events: DataFrame, dir: String): Seq[Long] = {
     val m = readMeta(spark, dir)
-    val partials = Lineage.cut(encode(events, m))
-    try {
-      graft.ParquetIO.writePartitioned(partials, dir,
-        Seq("window_start_ms"), filesPerPartition = 1, mode = "append")
-      partials.select("window_start_ms").distinct()
-        .collect().map(_.getLong(0)).toSeq
-    } finally Lineage.release(partials)
+    // touched windows ride the write as an Observation (windows-sized
+    // collect_set inline with the write job) — the prior cut + separate
+    // collect cost a full extra materialization per append (r15 task 7)
+    val obs = org.apache.spark.sql.Observation()
+    graft.ParquetIO.writePartitioned(
+      encode(events, m)
+        .observe(obs, collect_set(col("window_start_ms")).as("__ws")),
+      dir, Seq("window_start_ms"), filesPerPartition = 1, mode = "append")
+    obs.get("__ws").asInstanceOf[Seq[Any]].map {
+      case l: Long => l
+      case l: java.lang.Long => l.longValue()
+    }
   }
 
   private def readBuckets(spark: SparkSession, dir: String,
@@ -161,7 +161,6 @@ object SketchStore {
       .agg(sum(col("c")).as("c"), max(col("mx")).as("mx"))
     graft.ParquetIO.writePartitioned(merged, dstDir,
       Seq("window_start_ms"), filesPerPartition = 1)
-    spark.read.parquet(metaDir(srcDir)).write.mode("overwrite")
-      .option("compression", "zstd").parquet(metaDir(dstDir))
+    StoreMeta.copy(srcDir, dstDir)
   }
 }
