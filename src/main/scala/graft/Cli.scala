@@ -549,6 +549,10 @@ object Cli {
       case "clusters"    => Dedup.dedupClusters(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
       case "spans"       => Dedup.duplicateSpans(docs)
+      case "exactspans"  => Dedup.duplicateSpansExact(docs,
+        minTokens = flags.getOrElse("min-tokens", "16").toInt)
+      case "selfrep"     => Dedup.selfRepetitionSpans(docs,
+        minTokens = flags.getOrElse("min-tokens", "8").toInt)
       case "split"       => Sampling.deterministicSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).select("doc_id", "split")
       case "rendezvous"  => Sampling.rendezvousShard(docs, "doc_id",

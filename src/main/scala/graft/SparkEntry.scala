@@ -1391,6 +1391,21 @@ object SparkEntry {
       Dedup.duplicateSpansExact(Tables.load(s, dir, "documents"), 16)
         .orderBy("doc_id", "span_start")),
 
+    // intra-doc twin: exact boundaries of >=8-token substrings repeated
+    // WITHIN a document. The synthetic corpus has no natural self-
+    // repetition at any k (checked), so the gate plants one
+    // deterministically — each doc's first 20 tokens appended at its
+    // end — and the oracle replays the derived corpus verbatim: the
+    // expected spans are the 20-token prefix and the appended tail copy
+    "q_selfrep_spans" -> ((s, dir) => {
+      val toks = operators.TextAnalysis.tokens(col("text"))
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", concat(toks, slice(toks, 1, 20))).as("text"))
+      Dedup.selfRepetitionSpans(planted, 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // per-row probability sample: keep probability scales with doc length
     "q_weighted_sample" -> ((s, dir) =>
       Sampling.weightedSample(Tables.load(s, dir, "documents"),
@@ -6878,6 +6893,47 @@ object SparkEntry {
            CAST(max(p) + 16 - min(p) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_windows,
            CAST(max(nd) AS BIGINT) AS max_docs_sharing
+         FROM i GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+
+    // the planted-prefix derived corpus (tk || tk[1:20]) walked by the
+    // same window/bucket/island chain, buckets keyed (doc_id, md5) with
+    // HAVING count(*) > 1 — intra-doc occurrences, not cross-doc docs
+    "q_selfrep_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk0
+           FROM documents
+         ), planted AS (
+           SELECT doc_id, tk0 || tk0[1:20] AS tk FROM toks
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS p
+           FROM planted WHERE len(tk) >= 8
+         ), sp AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(tk[p + 1 : p + 8], ' ')) AS span_md5
+           FROM w
+         ), d AS (
+           SELECT doc_id, span_md5, CAST(count(*) AS BIGINT) AS reps
+           FROM sp GROUP BY doc_id, span_md5 HAVING count(*) > 1
+         ), c AS (
+           SELECT sp.doc_id, sp.p, d.reps
+           FROM sp JOIN d USING (doc_id, span_md5)
+         ), g AS (
+           SELECT doc_id, p, reps,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+               THEN 1 ELSE 0 END AS brk
+           FROM c
+         ), i AS (
+           SELECT doc_id, p, reps,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM g
+         )
+         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 8 AS BIGINT) AS span_end,
+           CAST(max(p) + 8 - min(p) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(reps) AS BIGINT) AS max_repeats
          FROM i GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
 

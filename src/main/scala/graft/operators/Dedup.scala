@@ -987,11 +987,21 @@ object Dedup {
     * cuts `[span_start, span_end)` or to a drop rule on covered
     * fraction.
     */
-  def duplicateSpansExact(docs: DataFrame, minTokens: Int = 16): DataFrame = {
-    require(minTokens > 1, s"minTokens must be > 1, got $minTokens")
+  /** Shared core of the EXACT span extractors: stride-1 `k`-token
+    * window md5 anchors (map-side generate — only (doc_id, p, md5)
+    * shuffles), text-equality verification of candidate buckets (min ==
+    * max over ≥2 strings proves the whole bucket identical; an md5
+    * collision fails loudly), and per-doc gaps-and-islands merge. The
+    * two public faces differ only in the BUCKET predicate: cross-doc
+    * ([[duplicateSpansExact]]: distinct docs > 1, bucket = md5) vs
+    * intra-doc ([[selfRepetitionSpans]]: occurrences within ONE doc >
+    * 1, bucket = (doc_id, md5)).
+    */
+  private def exactSpanCore(docs: DataFrame, k: Int, opName: String,
+      bucketDocScoped: Boolean, statName: String): DataFrame = {
+    require(k > 1, s"minTokens must be > 1, got $k")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
-    val k = minTokens
     def windowText(toksCol: Column, p: Column): Column =
       concat_ws(" ", slice(toksCol, p + 1, lit(k)))
     val spans = CacheRegistry.track(docs
@@ -1002,10 +1012,18 @@ object Dedup {
       .select(col("doc_id"), col("__p").cast("long").as("p"),
         md5(windowText(col("__toks"), col("__p"))).as("span_md5"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val dups = spans.groupBy("span_md5")
-      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
-      .filter(col("n_docs_sharing") > 1)
-    val cand = spans.join(dups, "span_md5")
+    val bucketCols = if (bucketDocScoped) Seq("doc_id", "span_md5")
+      else Seq("span_md5")
+    val dups =
+      if (bucketDocScoped)
+        spans.groupBy(bucketCols.map(col): _*)
+          .agg(count(lit(1)).as(statName))
+          .filter(col(statName) > 1)
+      else
+        spans.groupBy(bucketCols.map(col): _*)
+          .agg(countDistinct(col("doc_id")).as(statName))
+          .filter(col(statName) > 1)
+    val cand = spans.join(dups, bucketCols)
     // exactness gate: re-derive the candidate windows' text and prove
     // every bucket uniform — min == max over ≥2 strings is an equality
     // proof for the whole bucket, one aggregate, no pair join
@@ -1016,7 +1034,7 @@ object Dedup {
       .groupBy("span_md5")
       .agg(min(col("__wt")).as("__lo"), max(col("__wt")).as("__hi"))
       .withColumn("__chk", assert_true(col("__lo") === col("__hi"),
-        lit("duplicateSpansExact: one md5 bucket holds two DIFFERENT " +
+        lit(s"$opName: one md5 bucket holds two DIFFERENT " +
           "window texts (hash collision) — the span report would not " +
           "be exact; rerun with a longer fingerprint")))
       .filter(col("__chk").isNull)
@@ -1031,11 +1049,31 @@ object Dedup {
       .agg(min(col("p")).as("span_start"),
         (max(col("p")) + k).as("span_end"),
         count(lit(1)).as("n_windows"),
-        max(col("n_docs_sharing")).as("max_docs_sharing"))
+        max(col(statName)).as("max_" + statName))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_tokens"),
-        col("n_windows"), col("max_docs_sharing"))
+        col("n_windows"), col("max_" + statName))
   }
+
+  def duplicateSpansExact(docs: DataFrame, minTokens: Int = 16): DataFrame =
+    exactSpanCore(docs, minTokens, "duplicateSpansExact",
+      bucketDocScoped = false, statName = "docs_sharing")
+
+  /** The INTRA-document twin of [[duplicateSpansExact]]: maximal token
+    * ranges covered by ≥ `minTokens`-token substrings that occur MORE
+    * THAN ONCE within the same document — the Gopher-style repeated-
+    * span signal ([[TextAnalysis.repetitionStats]] reports the ratios;
+    * this reports the exact boundaries a trim step needs). A window
+    * repeated across documents but unique within its own is NOT
+    * reported — that is [[duplicateSpansExact]]'s contract. Same
+    * anchor/verify/extend machinery, bucket keyed on (doc_id, md5).
+    * Output: (doc_id, span_start, span_end, n_tokens, n_windows,
+    * max_repeats) — every occurrence of a repeated substring is
+    * covered, including the first.
+    */
+  def selfRepetitionSpans(docs: DataFrame, minTokens: Int = 8): DataFrame =
+    exactSpanCore(docs, minTokens, "selfRepetitionSpans",
+      bucketDocScoped = true, statName = "repeats")
 
   /** Near-duplicate PAIRS → dedup DECISIONS: connected components over the
     * pair graph, labeling every doc with the smallest doc_id reachable

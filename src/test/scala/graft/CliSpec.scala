@@ -409,6 +409,20 @@ class CliSpec extends AnyFunSuite {
     assert(ld.contains("violates"))
   }
 
+  test("corpus subcommand: exact span ops (exactspans, selfrep)") {
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    val es = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "exactspans"))
+    }
+    assert(es.contains("span_start") && es.contains("max_docs_sharing"), es)
+    // the raw corpus has no intra-doc repeats (checked at build time), so
+    // selfrep on it is a clean empty report, not an error
+    val sr = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "selfrep"))
+    }
+    assert(sr.contains("Rows: 0") && sr.contains("max_repeats"), sr)
+  }
+
   test("corpus subcommand: mixing/eval ops (waterfill, anova, cohesion, curriculum, pcatop)") {
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val docs = "/root/testdata/sf0.001/documents.parquet"

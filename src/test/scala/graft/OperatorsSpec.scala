@@ -1076,6 +1076,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpansExact(self, 4).count() == 0)
   }
 
+  test("self-repetition spans: intra-doc repeats found exactly, cross-doc ignored") {
+    val run = (1 to 6).map(i => s"rep$i").mkString(" ")
+    val df = Seq(
+      // doc 1: 6-token run at positions [2, 8) and again at [11, 17)
+      (1L, s"a1 a2 $run b1 b2 b3 $run c1"),
+      // doc 2 shares the run CROSS-doc but only once internally -> silent
+      (2L, s"d1 $run d2 d3 d4 d5 d6 d7"),
+      (3L, "no repeats in this document at all just unique words here"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.selfRepetitionSpans(df, minTokens = 4)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    // doc 1: both occurrences covered — [2, 8) and [11, 17), each window
+    // repeated exactly twice; docs 2 and 3 silent
+    assert(got.toSeq == Seq((1L, 2L, 8L, 2L), (1L, 11L, 17L, 2L)), got.toSeq)
+    // adjacent self-repeat (x x) merges into one island
+    val adj = Seq((1L, s"$run $run tail1 tail2 tail3 tail4"),
+      (2L, "entirely different words making up this second document"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.selfRepetitionSpans(adj, minTokens = 4)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((0L, 12L)), spans.toSeq)
+  }
+
   test("weighted sample: prob 0 drops, prob 1 keeps, column prob == literal cut") {
     assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
     assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
