@@ -1391,6 +1391,17 @@ object SparkEntry {
       Dedup.duplicateSpansExact(Tables.load(s, dir, "documents"), 16)
         .orderBy("doc_id", "span_start")),
 
+    // the extractor APPLIED: duplicateSpansExact's ranges cut out of the
+    // corpus in the same lineage — extract → trim as one composed query,
+    // graded on the trimmed text itself (md5) plus the token accounting
+    "q_trim_spans" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.trimSpans(docs, Dedup.duplicateSpansExact(docs, 16))
+        .select(col("doc_id"), md5(col("text")).as("trimmed_md5"),
+          col("n_tokens_before"), col("n_tokens_kept"))
+        .orderBy("doc_id")
+    }),
+
     // intra-doc twin: exact boundaries of >=8-token substrings repeated
     // WITHIN a document. The synthetic corpus has no natural self-
     // repetition at any k (checked), so the gate plants one
@@ -6895,6 +6906,55 @@ object SparkEntry {
            CAST(max(nd) AS BIGINT) AS max_docs_sharing
          FROM i GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
+
+    // the q_dupspans_exact span chain applied: token positions inside
+    // any covered range anti-join away, survivors re-join ordered by
+    // position — string_agg(ORDER BY pos) IS the concat_ws replay
+    "q_trim_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+           FROM toks WHERE len(tk) >= 16
+         ), sp AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
+           FROM w
+         ), d AS (
+           SELECT span_md5 FROM sp GROUP BY span_md5
+           HAVING count(DISTINCT doc_id) > 1
+         ), c AS (
+           SELECT sp.doc_id, sp.p FROM sp JOIN d USING (span_md5)
+         ), g AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
+               THEN 1 ELSE 0 END AS brk
+           FROM c
+         ), i AS (
+           SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM g
+         ), spans AS (
+           SELECT doc_id, min(p) AS s, max(p) + 16 AS e
+           FROM i GROUP BY doc_id, island
+         ), tp AS (
+           SELECT doc_id, unnest(tk) AS tok, unnest(range(0, len(tk))) AS pos
+           FROM toks
+         ), kept AS (
+           SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+           WHERE NOT EXISTS (SELECT 1 FROM spans v
+             WHERE v.doc_id = tp.doc_id AND tp.pos >= v.s AND tp.pos < v.e)
+         )
+         SELECT t.doc_id,
+           coalesce(k.m, md5('')) AS trimmed_md5,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept
+         FROM toks t LEFT JOIN (
+           SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS m,
+             count(*) AS n
+           FROM kept GROUP BY doc_id) k USING (doc_id)
+         ORDER BY t.doc_id""",
 
     // the planted-prefix derived corpus (tk || tk[1:20]) walked by the
     // same window/bucket/island chain, buckets keyed (doc_id, md5) with

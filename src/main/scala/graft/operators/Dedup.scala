@@ -1075,6 +1075,40 @@ object Dedup {
     exactSpanCore(docs, minTokens, "selfRepetitionSpans",
       bucketDocScoped = true, statName = "repeats")
 
+  /** APPLY a span report to the corpus — the cut step the extractors
+    * feed: every token whose position falls inside any of the doc's
+    * [span_start, span_end) ranges is dropped, the survivors re-join
+    * into the trimmed text. `spans` is any frame with (doc_id,
+    * span_start, span_end) — [[duplicateSpansExact]] output for
+    * cross-doc boilerplate cuts, [[selfRepetitionSpans]] for
+    * repetition trims, or a hand-curated range table.
+    *
+    * Scale shape: the span table is answer-sized (bounded by duplicated
+    * text / k, not the corpus), so the per-doc range list from the
+    * groupBy is a few structs; the trim itself is one map-side
+    * higher-order filter over each doc's token array (position ∈ no
+    * range), no explode, no per-token shuffle. Docs without spans pass
+    * through whole (left join). Output: (doc_id, text, n_tokens_before,
+    * n_tokens_kept).
+    */
+  def trimSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e"))).as("__spans"))
+    val covered = (i: Column) =>
+      exists(col("__spans"), s =>
+        i >= s.getField("s") && i < s.getField("e"))
+    val kept = filter(col("__toks"),
+      (t: Column, i: Column) => !covered(i.cast("long")))
+    docs.join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__spans"))
+      .select(col("doc_id"), concat_ws(" ", kept).as("text"),
+        size(col("__toks")).cast("long").as("n_tokens_before"),
+        size(kept).cast("long").as("n_tokens_kept"))
+  }
+
   /** Near-duplicate PAIRS → dedup DECISIONS: connected components over the
     * pair graph, labeling every doc with the smallest doc_id reachable
     * through near-duplicate edges (`canonical_id`). A doc is kept iff

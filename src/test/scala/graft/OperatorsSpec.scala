@@ -1101,6 +1101,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((0L, 12L)), spans.toSeq)
   }
 
+  test("trimSpans cuts exactly the covered ranges; no-span docs pass whole") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "u0 u1 u2 u3"),
+    ).toDF("doc_id", "text")
+    val spans = Seq((1L, 2L, 4L), (1L, 6L, 8L))
+      .toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.trimSpans(docs, spans).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "t0 t1 t4 t5", 8L, 4L),
+      (2L, "u0 u1 u2 u3", 4L, 4L)), got.toSeq)
+    // full coverage -> empty text, zero kept
+    val all = Dedup.trimSpans(docs.filter(col("doc_id") === 2L),
+        Seq((2L, 0L, 4L)).toDF("doc_id", "span_start", "span_end"))
+      .head()
+    assert(all.getString(1) == "" && all.getLong(3) == 0L)
+    // round-trip: trimming duplicateSpansExact's own report leaves no
+    // cross-doc duplicated window behind
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val dup = Seq((1L, s"a1 a2 $shared a3"), (2L, s"b1 $shared"),
+      (3L, "untouched unique words in every position here")).toDF("doc_id", "text")
+    val trimmed = Dedup.trimSpans(dup, Dedup.duplicateSpansExact(dup, 4))
+    assert(Dedup.duplicateSpansExact(trimmed, 4).count() == 0L)
+  }
+
   test("weighted sample: prob 0 drops, prob 1 keeps, column prob == literal cut") {
     assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
     assert(Sampling.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
