@@ -689,6 +689,10 @@ object Cli {
       case "trianglestats" => Graph.triangleStats(Graph.spanLinkEdges(docs))
       case "kcore"       => Graph.kCore(Graph.spanLinkEdges(docs),
         k = flags.getOrElse("k", "2").toInt)
+      case "hyperanf"    => Graph.neighborhoodFunction(
+        Graph.spanLinkEdges(docs),
+        maxHops = flags.getOrElse("hops", "3").toInt,
+        p = flags.getOrElse("p", "8").toInt)
       // matryoshka retrieval (embeddings table in)
       case "dimrecall"   => Similarity.dimRecall(docs,
         docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),

@@ -2030,6 +2030,15 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // HyperANF neighborhood function over the span-duplication graph:
+    // per-node h-hop reach estimates from propagated HLL registers —
+    // the scalable radius/centrality telemetry (one edge join + grouped
+    // max per hop; registers replay bit-for-bit in the oracle)
+    "q_hyperanf" -> ((s, dir) =>
+      Graph.neighborhoodFunction(spanEdges(s, dir).select("src", "dst"),
+          maxHops = 3, p = 8)
+        .orderBy("h", "node")),
+
     // exactly-once triangle enumeration by (deg, id) orientation over
     // the span-duplication graph: per-node clique participation — high
     // counts mark densely cross-copied template families
@@ -6194,6 +6203,49 @@ object SparkEntry {
          FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 7
          WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // HyperANF replay: per-node single-item registers (the q_hll_store
+    // md5Token60 arithmetic at p=8 — idx = h>>52, rho = 53−bitlen), three
+    // unrolled max-merge hops along the symmetrized span-pair edges,
+    // per-hop harmonic finalize — registers are exact integers, so the
+    // whole propagation is bit-replayable; est is one IEEE division
+    "q_hyperanf" -> {
+      val c = graft.operators.Sketches.hllConstant(8)
+      val rounds = (0 until 3).map { i =>
+        s"""r${i + 1} AS (
+           SELECT node, idx, max(mrho) AS mrho FROM (
+             SELECT node, idx, mrho FROM r$i
+             UNION ALL
+             SELECT e.src AS node, r.idx, r.mrho
+             FROM e JOIN r$i r ON e.dst = r.node
+           ) GROUP BY node, idx)"""
+      }.mkString(",\n         ")
+      val finals = (1 to 3).map { i =>
+        s"""SELECT CAST($i AS INT) AS h, node,
+           CAST(count(*) AS BIGINT) AS n_registers_used,
+           CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mrho AS INT)) AS BIGINT)
+             + (256 - CAST(count(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53)
+             AS s_fixed
+           FROM r$i GROUP BY node"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $spanPairCte, e AS (
+           SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst FROM p
+         ), nodes AS (SELECT DISTINCT src AS node FROM e),
+         r0 AS (
+           SELECT node, h >> 52 AS idx,
+             CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
+               ELSE 53 - length(ltrim(bin(h & ((CAST(1 AS BIGINT) << 52) - 1)), '0'))
+             END AS mrho
+           FROM (SELECT node,
+               CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             FROM nodes)
+         ),
+         $rounds,
+         f AS ($finals)
+         SELECT h, node, n_registers_used, s_fixed,
+           $c / CAST(s_fixed AS DOUBLE) AS est_reach
+         FROM f ORDER BY h, node"""
+    },
 
     // PageRank replay: the q_dupspans span substrate → distinct pair
     // edges both directions → three iterations with 2^40 fixed-point

@@ -904,4 +904,58 @@ object Graph {
           .as("jaccard"),
         round(col("__ra").cast("double") / 1e12, 6).as("resource_alloc"))
   }
+
+  /** HyperANF-style neighborhood function [Boldi, Rosa, Vigna:
+    * "HyperANF: Approximating the Neighbourhood Function of Very Large
+    * Graphs on a Budget", WWW'11] — per node, the estimated count of
+    * nodes reachable within ≤ h hops (undirected), for every h up to
+    * `maxHops`. THE scalable radius/diameter/centrality telemetry: an
+    * exact h-hop closure materializes the transitive frontier
+    * (quadratic on dense graphs); here each node carries one mergeable
+    * HLL register set ([[Sketches.hllRegistersBy]], md5-portable) and a
+    * hop is ONE edge join + max-merge — the register algebra makes
+    * set-union associative/idempotent, so repeated/cyclic propagation
+    * is answer-invisible, exactly the [[graft.operators.HllStore]]
+    * replay argument on a graph.
+    *
+    * Scale shape: state is (node, idx, mrho) — at most nodes × 2^p rows
+    * and only GROWS toward that bound as neighborhoods widen; each hop
+    * is one shuffle join on the edge table plus a grouped max, with a
+    * lineage cut per round (the [[pageRank]] loop discipline). maxHops
+    * is a fixed small constant (diameters of interest), so the driver
+    * loop is bounded. Output: (h, node, n_registers_used, s_fixed,
+    * est_reach) — est includes the node itself; raw harmonic estimate
+    * only (ln-corrected small-range stays spec-side, the
+    * [[Sketches.correctedEstimate]] contract), one IEEE division per
+    * row, bit-replayable.
+    */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int = 3,
+      p: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"maxHops must be in [1,8] (fixed small hop counts), got $maxHops")
+    val e = cut(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    val nodes = e.select(col("src").as("node")).distinct()
+    var state = cut(Sketches.hllRegistersBy(
+      nodes.withColumn("__item", col("node").cast("string")),
+      "__item", p, Seq("node")))
+    val perHop = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (h <- 1 to maxHops) {
+      val nbr = e.join(
+          state.select(col("node").as("dst"), col("idx"), col("mrho")), "dst")
+        .select(col("src").as("node"), col("idx"), col("mrho"))
+      val prev = state
+      state = cut(prev.unionByName(nbr)
+        .groupBy("node", "idx").agg(max(col("mrho")).as("mrho")))
+      Lineage.release(prev)
+      // the per-hop readout is CUT (nodes-sized) before the next round
+      // releases the register state it reads — a lazy finalize over a
+      // released checkpoint could not recompute
+      perHop += cut(Sketches.hllFinalizeBy(state, p, Seq("node"))
+        .select(lit(h).as("h"), col("node"), col("n_registers_used"),
+          col("s_fixed"), col("est_distinct").as("est_reach")))
+    }
+    perHop.reduce(_.unionByName(_))
+  }
 }

@@ -421,6 +421,11 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "selfrep"))
     }
     assert(sr.contains("Rows: 0") && sr.contains("max_repeats"), sr)
+    val ha = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "hyperanf",
+        "hops" -> "2"))
+    }
+    assert(ha.contains("est_reach") && ha.contains("Rows: 68"), ha)
   }
 
   test("corpus subcommand: mixing/eval ops (waterfill, anova, cohesion, curriculum, pcatop)") {

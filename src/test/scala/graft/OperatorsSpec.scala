@@ -1101,6 +1101,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((0L, 12L)), spans.toSeq)
   }
 
+  test("neighborhoodFunction registers equal the exact h-hop closure's registers") {
+    // path 1-2-3-4-5 plus triangle 10-11-12: reach sets are known; the
+    // HLL register STATE after h hops must bit-equal the registers of
+    // the exact closure (the estimate is approximate, the algebra is
+    // not — max-merge over propagated single-item registers IS the
+    // union's register table)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val adj = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    def reach(n: Long, h: Int): Set[Long] = {
+      var s = Set(n)
+      (1 to h).foreach(_ => s = s ++ s.flatMap(adj.getOrElse(_, Set.empty)))
+      s
+    }
+    val got = Graph.neighborhoodFunction(edges, maxHops = 3, p = 8)
+      .orderBy("h", "node").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    for (h <- 1 to 3) {
+      val pairs = nodes.toSeq.flatMap(n => reach(n, h).map(m => (n, m.toString)))
+      val want = Sketches.hllFinalizeBy(
+          Sketches.hllRegistersBy(pairs.toDF("node", "__item"),
+            "__item", 8, Seq("node")), 8, Seq("node"))
+        .collect().map(r =>
+          (h, r.getLong(0)) -> (r.getLong(1), r.getLong(2))).toMap
+      want.foreach { case (k, v) =>
+        assert(got(k) == v, s"register state at $k: got ${got(k)}, want $v")
+      }
+    }
+    // est includes the node itself and saturates once the component is
+    // fully reached: path end node 1 reaches all 5 at h >= 4 == h = 3+1
+    assert(got((3, 10L))._1 == got((2, 10L))._1,
+      "triangle saturates by h=2; h=3 must be a no-op on its registers")
+  }
+
   test("trimSpans cuts exactly the covered ranges; no-span docs pass whole") {
     val docs = Seq(
       (1L, "t0 t1 t2 t3 t4 t5 t6 t7"),
