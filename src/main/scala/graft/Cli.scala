@@ -1066,6 +1066,13 @@ object Cli {
         flags.getOrElse("sensitive", fail(
           "corpus -op ldiversity requires -sensitive <col>")),
         l = flags.getOrElse("l", "2").toInt)
+      case "tcloseness"  => Pii.tCloseness(docs,
+        flags.getOrElse("quasi", fail(
+          "corpus -op tcloseness requires -quasi <col,col,...>"))
+          .split(",").map(_.trim).toSeq,
+        flags.getOrElse("sensitive", fail(
+          "corpus -op tcloseness requires -sensitive <col>")),
+        t = flags.getOrElse("t", "0.15").toDouble)
       case other => fail(s"unknown corpus op: $other")
     }
     flags.get("out") match {

@@ -1751,6 +1751,15 @@ object SparkEntry {
           Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 5)
         .orderBy("c_nationkey", "c_mktsegment")),
 
+    // the distribution-skew attack BOTH k-anon and l-diversity miss: a
+    // class 95%-concentrated on one sensitive value leaks it however
+    // many distinct values it technically holds — per-class TVD vs the
+    // global sensitive distribution, integer-exact cross products
+    "q_tcloseness" -> ((s, dir) =>
+      operators.Pii.tCloseness(Tables.load(s, dir, "documents"),
+          Seq("lang"), "source", t = 0.15)
+        .orderBy("lang")),
+
     // join-key skew profiler: the top-20 hottest user_ids with share and
     // mean-multiple skew ratio — the "do we need salting" diagnostic
     "q_skew_keys" -> ((s, dir) =>
@@ -5344,6 +5353,39 @@ object SparkEntry {
          count(DISTINCT c_acctbal) < 5 AS violates
          FROM customer GROUP BY c_nationkey, c_mktsegment
          ORDER BY c_nationkey, c_mktsegment""",
+
+    // per-(class, value) terms as HUGEINT cross-products, 9dp-quantized
+    // DECIMAL(19,9) sums (the chi_term discipline), absent mass via the
+    // 1 − Σ_present p_g closed form, one 6dp division at the boundary
+    "q_tcloseness" ->
+      """WITH r AS (
+           SELECT lang, source FROM documents WHERE source IS NOT NULL
+         ), cv AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS cvc
+           FROM r GROUP BY lang, source
+         ), v AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS cvv
+           FROM r GROUP BY source
+         ), c AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY lang
+         ), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM r),
+         terms AS (
+           SELECT cv.lang, c.n,
+             CAST(round(CAST(abs(CAST(cv.cvc AS HUGEINT) * tot.nn
+                 - CAST(v.cvv AS HUGEINT) * c.n) AS DOUBLE)
+               / (CAST(c.n AS DOUBLE) * CAST(tot.nn AS DOUBLE)), 9)
+               AS DECIMAL(19,9)) AS term,
+             CAST(round(CAST(v.cvv AS DOUBLE) / tot.nn, 9)
+               AS DECIMAL(19,9)) AS pg
+           FROM cv JOIN v USING (source) JOIN c USING (lang), tot
+         )
+         SELECT lang, n,
+           round((CAST(sum(term) AS DOUBLE)
+             + (1.0 - CAST(sum(pg) AS DOUBLE))) / 2.0, 6) AS tvd,
+           round((CAST(sum(term) AS DOUBLE)
+             + (1.0 - CAST(sum(pg) AS DOUBLE))) / 2.0, 6) > 0.15 AS violates
+         FROM terms GROUP BY lang, n
+         ORDER BY lang""",
 
     "q_skew_keys" ->
       """WITH counts AS (

@@ -95,4 +95,65 @@ object Pii {
         col("n"), col("n_sensitive"),
         (col("n_sensitive") < l).as("violates")): _*)
   }
+
+  /** t-closeness audit [Li, Li, Venkatasubramanian, ICDE'07] — the
+    * attack [[lDiversity]] misses: a class can hold l distinct
+    * sensitive values yet still leak when its DISTRIBUTION over them
+    * diverges from the table's (a class that is 95% "cancer" in a
+    * table that is 5% "cancer" reveals plenty). Reports, per
+    * quasi-identifier class, the total-variation distance between the
+    * class's sensitive-value distribution and the global one —
+    * TVD = ½ Σ_v |p_class(v) − p_global(v)| (the categorical EMD the
+    * paper uses for nominal attributes) — and flags classes above `t`.
+    *
+    * Exactness: both distributions are ratios of integer counts, so
+    * each |…| term is ONE pinned double expression |c_vc·N − c_v·n_c| /
+    * (n_c·N) on exact integer cross-products (the
+    * [[graft.operators.Stats.ksDrift]] comparison trick), 6dp-rounded
+    * AFTER the decimal term sum — partition-order invariant, oracle-
+    * replayable. Scale shape: one grouped count per (class, value), one
+    * per value, one per class, a values-sized broadcast join — classes
+    * × values rows total, never corpus-shaped pairs. Absent values
+    * contribute p_global(v)/2 each; the closed form keeps them OUT of
+    * the join: Σ_{v absent} p_g(v) = 1 − Σ_{v present} p_g(v) (the
+    * [[graft.operators.TextAnalysis.vocabDrift]] absent-term identity).
+    * Output: (quasi cols…, n, tvd 6dp, violates).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val qc = quasiCols.map(col)
+    val rows = df.filter(col(sensitiveCol).isNotNull)
+    val byCv = rows.groupBy(qc :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__cvc"))
+    val byV = rows.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__cv"))
+    val byC = rows.groupBy(qc: _*).agg(count(lit(1)).as("n"))
+    val totals = rows.agg(count(lit(1)).as("__nn"))
+    // per-(class, value) |p_c − p_g| term: exact decimal(38,0) integer
+    // cross-products meet ONE double division, 9dp-quantized before the
+    // decimal term sum (the chiSquare chi_term discipline)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val present = byCv.join(broadcast(byV), "__v")
+      .join(byC, quasiCols)
+      .crossJoin(broadcast(totals))
+      .withColumn("__term",
+        round(abs(dec(col("__cvc")) * dec(col("__nn"))
+            - dec(col("__cv")) * dec(col("n"))).cast("double")
+          / (col("n").cast("double") * col("__nn").cast("double")), 9)
+          .cast("decimal(19,9)"))
+      // Σ_{v present} p_g(v), same quantized-decimal discipline, so the
+      // absent-mass closed form below replays engine-for-engine
+      .withColumn("__pg",
+        round(col("__cv").cast("double") / col("__nn"), 9)
+          .cast("decimal(19,9)"))
+    present.groupBy(qc :+ col("n"): _*)
+      .agg(sum(col("__term")).as("__s"),
+        sum(col("__pg")).as("__pgs"))
+      .select(qc ++ Seq(col("n"),
+        round((col("__s").cast("double")
+          + (lit(1.0) - col("__pgs").cast("double"))) / 2.0, 6).as("tvd")): _*)
+      .withColumn("violates", col("tvd") > t)
+  }
 }

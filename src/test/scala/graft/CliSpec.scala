@@ -407,6 +407,11 @@ class CliSpec extends AnyFunSuite {
         "quasi" -> "lang", "sensitive" -> "source"))
     }
     assert(ld.contains("violates"))
+    val tc = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "tcloseness",
+        "quasi" -> "lang", "sensitive" -> "source"))
+    }
+    assert(tc.contains("tvd") && tc.contains("Rows: 5"), tc)
   }
 
   test("corpus subcommand: exact span ops (exactspans, selfrep)") {

@@ -173,6 +173,43 @@ class SelectionSpec extends AnyFunSuite {
       "gram pass must be pure hash aggregation — no windows, no sorts")
   }
 
+  test("tCloseness equals the naive per-class TVD, absent values included") {
+    // classes A (pure x), B (spread), C (no x at all) over N = 10 rows;
+    // every fraction is a finite decimal so 9dp quantization is exact
+    val rows = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "z"), ("B", "z"),
+      ("C", "y"), ("C", "z"))
+    val df = rows.toDF("lang", "source")
+    val byCv = rows.groupBy(identity).view.mapValues(_.size).toMap
+    val byC = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val byV = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val n = rows.size.toDouble
+    def naive(cls: String): Double = {
+      val tvd = byV.keys.map { v =>
+        val pc = byCv.getOrElse((cls, v), 0).toDouble / byC(cls)
+        math.abs(pc - byV(v) / n)
+      }.sum / 2.0
+      math.round(tvd * 1e6) / 1e6
+    }
+    val got = operators.Pii.tCloseness(df.repartition(7), Seq("lang"),
+        "source", t = 0.3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    Seq("A", "B", "C").foreach { cls =>
+      assert(got(cls)._1 == naive(cls), s"$cls: ${got(cls)} vs ${naive(cls)}")
+      assert(got(cls)._2 == (naive(cls) > 0.3), s"violates flag for $cls")
+    }
+    // the pure class must violate a tight t; a class mirroring the
+    // global distribution exactly reports 0
+    assert(got("A")._2, "pure-value class must trip the audit")
+    val mirror = Seq(("M", "x"), ("M", "y"), ("G", "x"), ("G", "y"))
+      .toDF("lang", "source")
+    val m = operators.Pii.tCloseness(mirror, Seq("lang"), "source", 0.1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(m("M") == 0.0 && m("G") == 0.0, m.toString)
+  }
+
   test("anovaF matches the naive two-pass computation; degenerates to NULL") {
     val rows = (1 to 300).map { i =>
       val g = s"g${i % 4}"
