@@ -653,6 +653,8 @@ object Cli {
       case "kmeans"      => Similarity.trainCodebook(docs,
         k = flags.getOrElse("k", "16").toInt,
         iters = flags.getOrElse("iters", "2").toInt)
+      case "kcenter"     => Similarity.kCenterSample(docs,
+        k = flags.getOrElse("k", "8").toInt)
       case "quantize"    => Similarity.quantizeInt8(docs)
       case "ivfrecall"   => Similarity.ivfRecall(docs,
         docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),

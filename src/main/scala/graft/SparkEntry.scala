@@ -1644,6 +1644,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // greedy k-center diversity coreset: 6 farthest-point picks spread
+    // across the embedding space; the 6th pick's distance is the
+    // covering radius — the "how well do k exemplars blanket the
+    // corpus" telemetry next to q_kmeans's density-seeking codebook
+    "q_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSample(Tables.load(s, dir, "embeddings"), k = 6)
+        .orderBy("rank")),
+
     // retrieval grade for the truncated retriever: MRR@5 + hit-rate@5
     // of the dim-16 prefix ranking (no rerank cushion) against the
     // full-dim exact top-1 over 50 queries — where recall says the
@@ -5046,6 +5054,44 @@ object SparkEntry {
                ORDER BY cos_sim DESC, vec_id) AS rank
            FROM rer) WHERE rank <= 3
          ORDER BY query_id, rank""",
+
+    // Gonzalez farthest-point replay: seed = min id, then five unrolled
+    // argmax steps, each a least() fold of 1 − round(cos, 6) against the
+    // one new center — ties to the smallest id exactly as the engine's
+    // struct-max breaks them
+    "q_kcenter" -> {
+      val steps = (2 to 6).map { i =>
+        s"""p$i AS (
+           SELECT vec_id, md FROM d${i - 1} ORDER BY md DESC, vec_id ASC LIMIT 1),
+         c$i AS (SELECT b.vec_id, b.e FROM base b JOIN p$i USING (vec_id)),
+         d$i AS (
+           SELECT d.vec_id, d.e,
+             least(d.md, 1.0 - round(list_cosine_similarity(d.e, c.e), 6)) AS md
+           FROM d${i - 1} d CROSS JOIN c$i c
+           WHERE d.vec_id <> c.vec_id)"""
+      }.mkString(",\n         ")
+      val sel = (2 to 6).map(i =>
+        s"SELECT $i AS rank, vec_id, md AS dist_to_selected FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ec AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x * x))) AS nrm
+           FROM embeddings),
+         base AS (SELECT vec_id, e FROM ec WHERE nrm > 0),
+         s1 AS (SELECT vec_id FROM base ORDER BY vec_id LIMIT 1),
+         c1 AS (SELECT b.vec_id, b.e FROM base b JOIN s1 USING (vec_id)),
+         d1 AS (
+           SELECT b.vec_id, b.e,
+             1.0 - round(list_cosine_similarity(b.e, c.e), 6) AS md
+           FROM base b CROSS JOIN c1 c WHERE b.vec_id <> c.vec_id),
+         $steps
+         SELECT CAST(rank AS INT) AS rank, vec_id, dist_to_selected FROM (
+           SELECT 1 AS rank, s1.vec_id, CAST(NULL AS DOUBLE) AS dist_to_selected
+           FROM s1
+           UNION ALL $sel)
+         ORDER BY rank"""
+    },
 
     // the full-dim exact top-1 truth joined to the dim-16 prefix
     // ranking; each query's reciprocal rank floor(1e12/rank + 0.5)

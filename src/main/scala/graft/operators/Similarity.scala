@@ -1576,4 +1576,72 @@ object Similarity {
       .select("rf", "exact_pairs", "bin_pairs", "hit_pairs", "recall_at_k")
       .orderBy("rf")
   }
+
+  /** Greedy k-center (farthest-point) coreset — Gonzalez's 2-approx to
+    * the k-center cover, the standard DIVERSITY selection for training
+    * subsets: each round adds the point farthest (in cosine distance)
+    * from everything already selected, so the picks spread across the
+    * embedding space instead of oversampling dense clusters (the
+    * opposite failure mode of similarity search). The k-th pick's
+    * distance IS the covering radius — the telemetry that says how well
+    * k exemplars blanket the corpus.
+    *
+    * Determinism / oracle: seed = smallest vec_id; distance = 1 −
+    * round(cos, 6) (one pinned division per pair, the centroid-
+    * assignment convention); argmax ties to the SMALLEST vec_id via
+    * one struct-max aggregate. Every round is ONE corpus pass (a least()
+    * against the single new center — broadcast one row) plus one
+    * answer-sized argmax; the running min-distance column makes round
+    * cost independent of how many centers are already chosen (the
+    * incremental form of the textbook algorithm). k is a small constant
+    * ⇒ k corpus passes, the published shape; state is cut every round
+    * (the [[Pca.dominantComponent]] loop discipline). Zero-norm vectors
+    * are excluded (cosine undefined — the [[Pca.isotropy]] convention).
+    * Output: (rank, vec_id, dist_to_selected) — rank 1 is the seed with
+    * distance NULL; rank i>1's distance is its min-distance at
+    * selection time (non-increasing; the last row bounds the cover).
+    */
+  def kCenterSample(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 64, s"k must be in [2,64], got $k")
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.Row
+    val base = Lineage.cut(
+      withNorm(emb, "vec_id", "vec_id").filter(col("__norm") > 0))
+    def distTo(cEmb: Array[Float], cNorm: Double): Column = {
+      val cl = array(cEmb.map(v => lit(v)): _*)
+      lit(1.0) - round(dot(col("embedding"), cl)
+        / (col("__norm") * lit(cNorm)), 6)
+    }
+    val seedRow = base.orderBy(col("vec_id").asc).head()
+    var picks = List[(Long, Option[Double])]((seedRow.getAs[Long]("vec_id"), None))
+    var state = Lineage.cut(base
+      .filter(col("vec_id") =!= seedRow.getAs[Long]("vec_id"))
+      .withColumn("__md",
+        distTo(seedRow.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+          seedRow.getAs[Double]("__norm"))))
+    for (_ <- 2 to k) {
+      // struct-max picks (largest distance, then smallest id): one
+      // aggregate, never a global sort
+      val top = state
+        .agg(max(struct(col("__md"), (-col("vec_id")).as("__ni"))).as("__m"))
+        .select((-col("__m.__ni")).as("vec_id"), col("__m.__md").as("d"))
+        .head()
+      val picked = top.getAs[Long]("vec_id")
+      picks = (picked, Some(top.getAs[Double]("d"))) :: picks
+      val pickedRow = base.filter(col("vec_id") === picked).head()
+      val prev = state
+      state = Lineage.cut(prev
+        .filter(col("vec_id") =!= picked)
+        .withColumn("__md", least(col("__md"),
+          distTo(pickedRow.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+            pickedRow.getAs[Double]("__norm")))))
+      Lineage.release(prev)
+    }
+    import spark.implicits._
+    picks.reverse.zipWithIndex
+      .map { case ((id, d), i) => (i + 1, id, d) }
+      .toDF("rank", "vec_id", "dist_to_selected")
+      .select(col("rank"), col("vec_id"),
+        col("dist_to_selected").cast("double").as("dist_to_selected"))
+  }
 }

@@ -1101,6 +1101,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((0L, 12L)), spans.toSeq)
   }
 
+  test("kCenterSample equals the naive farthest-point greedy; radius non-increasing") {
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0.99f, 0.14f, 0f, 0f),
+      10L -> Array(0f, 1f, 0f, 0f), 11L -> Array(0.14f, 0.99f, 0f, 0f),
+      20L -> Array(0f, 0f, 1f, 0f), 21L -> Array(0f, 0.14f, 0.99f, 0f),
+      30L -> Array(0.5f, 0.5f, 0.5f, 0.5f))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      1.0 - math.round(cos(a, b) * 1e6) / 1e6
+    // naive greedy, replicating the operator's exact arithmetic
+    val byId = vecs.toMap
+    var sel = List(vecs.map(_._1).min)
+    var expect = List[(Long, Option[Double])]((sel.head, None))
+    (2 to 4).foreach { _ =>
+      val cand = vecs.map(_._1).filterNot(sel.contains).map { id =>
+        id -> sel.map(s => dist(byId(id), byId(s))).min
+      }
+      val best = cand.minBy { case (id, d) => (-d, id) }
+      sel = best._1 :: sel
+      expect = (best._1, Some(best._2)) :: expect
+    }
+    val got = Similarity.kCenterSample(
+        vecs.toDF("vec_id", "embedding"), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == expect.reverse, s"${got.toSeq} vs ${expect.reverse}")
+    // picks must hit all three clusters plus the diagonal outlier: one
+    // of {0,1}, one of {10,11}, one of {20,21}, and 30
+    val ids = got.map(_._1).toSet
+    assert(ids.contains(30L) && Seq(Set(0L, 1L), Set(10L, 11L), Set(20L, 21L))
+      .forall(c => ids.intersect(c).size == 1), ids.toString)
+    // selection distances never increase
+    val ds = got.flatMap(_._2)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a }, ds.toSeq)
+  }
+
   test("neighborhoodFunction registers equal the exact h-hop closure's registers") {
     // path 1-2-3-4-5 plus triangle 10-11-12: reach sets are known; the
     // HLL register STATE after h hops must bit-equal the registers of
