@@ -908,6 +908,41 @@ object Cli {
         LshIndex.probe(spark, docs, idx, threshold = threshold(0.5))
           .orderBy("doc_id_a", "doc_id_b")
       }
+      // exact span-print store (the ExactSubstr twin of the lsh family):
+      // spanbuild/spanappend maintain the md5-sharded window-print
+      // buckets; spanprobe reports which of a batch's windows the
+      // corpus already contains; spancompact folds replayed appends
+      case "spanbuild" | "spanappend" => {
+        val idx = flags.getOrElse("index",
+          fail(s"corpus -op ${flags("op")} requires -index <dir>"))
+        if (flags.getOrElse("op", "") == "spanbuild")
+          SpanStore.write(docs, idx,
+            minTokens = flags.getOrElse("min-tokens", "16").toInt)
+        else SpanStore.append(spark, docs, idx)
+        spark.read.parquet(idx)
+          .groupBy(col("shard"))
+          .agg(countDistinct(col("span_md5")).as("n_prints"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("shard")
+      }
+      case "spanprobe" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op spanprobe requires -index <dir> (an existing span store)"))
+        SpanStore.probe(spark, docs, idx).orderBy("doc_id", "p")
+      }
+      case "spancompact" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op spancompact requires -index <dir>"))
+        val dest = flags.getOrElse("dest",
+          fail("corpus -op spancompact requires -dest <dir>"))
+        SpanStore.compactStore(spark, idx, dest,
+          filesPerPartition = flags.getOrElse("files", "1").toInt)
+        spark.read.parquet(dest)
+          .groupBy(col("shard"))
+          .agg(countDistinct(col("span_md5")).as("n_prints"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("shard")
+      }
       case "lshcompact" => {
         val idx = flags.getOrElse("index",
           fail("corpus -op lshcompact requires -index <dir>"))

@@ -1402,6 +1402,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the ExactSubstr family's persisted-store lifecycle: seed the
+    // span-print store with the even docs, append the odd half under
+    // the frozen geometry, probe five docs — the "does this batch
+    // duplicate the corpus" ingest shape; the oracle replays the probe
+    // over the UNION corpus, so seed+append ≡ cold rebuild is the gate
+    "q_spanstore" -> ((s, dir) => withTempStore("spanstore") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val store = tmp + "/store"
+      operators.SpanStore.write(docs.filter(col("doc_id") % 2 === 0),
+        store, minTokens = 16)
+      operators.SpanStore.append(s, docs.filter(col("doc_id") % 2 === 1), store)
+      operators.SpanStore.probe(s, docs.filter(col("doc_id") < 5), store)
+        .orderBy("doc_id", "p")
+    }),
+
     // intra-doc twin: exact boundaries of >=8-token substrings repeated
     // WITHIN a document. The synthetic corpus has no natural self-
     // repetition at any k (checked), so the gate plants one
@@ -7095,6 +7110,30 @@ object SparkEntry {
              count(*) AS n
            FROM kept GROUP BY doc_id) k USING (doc_id)
          ORDER BY t.doc_id""",
+
+    // store probe replay: fingerprints of the WHOLE corpus (seed ∪
+    // appended batch) grouped to distinct-doc counts, probed by the
+    // five docs' own prints — identical to the engine's store-served
+    // answer iff append under frozen geometry equals the cold build
+    "q_spanstore" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+           FROM toks WHERE len(tk) >= 16
+         ), sp AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
+           FROM w
+         ), store AS (
+           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_store_docs
+           FROM sp GROUP BY span_md5
+         )
+         SELECT pr.doc_id, pr.p, pr.span_md5, store.n_store_docs
+         FROM (SELECT * FROM sp WHERE doc_id < 5) pr
+         JOIN store USING (span_md5)
+         ORDER BY pr.doc_id, pr.p""",
 
     // the planted-prefix derived corpus (tk || tk[1:20]) walked by the
     // same window/bucket/island chain, buckets keyed (doc_id, md5) with

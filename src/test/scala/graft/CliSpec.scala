@@ -431,6 +431,21 @@ class CliSpec extends AnyFunSuite {
         "hops" -> "2"))
     }
     assert(ha.contains("est_reach") && ha.contains("Rows: 68"), ha)
+    // span-print store lifecycle from the shell
+    val idx = java.nio.file.Files.createTempDirectory("cli-span").toString + "/s"
+    val sb = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "spanbuild",
+        "index" -> idx))
+    }
+    assert(sb.contains("n_prints"), sb)
+    val pr = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "spanprobe",
+        "index" -> idx))
+    }
+    assert(pr.contains("n_store_docs"), pr)
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "spanprobe"))
+    }
   }
 
   test("corpus subcommand: mixing/eval ops (waterfill, anova, cohesion, curriculum, pcatop)") {

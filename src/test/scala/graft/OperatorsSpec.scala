@@ -1101,6 +1101,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((0L, 12L)), spans.toSeq)
   }
 
+  test("SpanStore: seed+append == cold rebuild, replay invisible, pruned probe, compaction invariant") {
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    def doc(id: Long, pre: String): (Long, String) =
+      id -> s"$pre${(1 to 8).map(i => s"u$id$i").mkString(" ")} $shared"
+    val all = (Seq(doc(1L, ""), doc(2L, ""), doc(3L, ""), doc(4L, "")) :+
+      (9L -> "entirely unique words with no shared run anywhere at all ok here"))
+      .toDF("doc_id", "text")
+    val probeDocs = all.filter(col("doc_id") <= 2L)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "p").collect().map(_.toSeq).toSeq
+
+    val t1 = java.nio.file.Files.createTempDirectory("spanstore").toString
+    SpanStore.write(all.filter(col("doc_id") % 2 === 0), t1 + "/s", minTokens = 4)
+    SpanStore.append(spark, all.filter(col("doc_id") % 2 === 1), t1 + "/s")
+    val incr = SpanStore.probe(spark, probeDocs, t1 + "/s")
+    // cold rebuild over everything at once
+    SpanStore.write(all, t1 + "/cold", minTokens = 4)
+    val cold = SpanStore.probe(spark, probeDocs, t1 + "/cold")
+    assert(sorted(incr) == sorted(cold), "seed+append must equal cold")
+    assert(sorted(incr).nonEmpty, "shared run must hit")
+    // replayed append repeats rows but cannot move answers
+    SpanStore.append(spark, all.filter(col("doc_id") % 2 === 1), t1 + "/s")
+    assert(sorted(SpanStore.probe(spark, probeDocs, t1 + "/s")) == sorted(cold))
+    // probe scan must carry a static shard IN-list (PartitionFilters)
+    val plan = SpanStore.probe(spark, probeDocs, t1 + "/s")
+      .queryExecution.executedPlan.toString
+    // Spark prints small IN-lists as "IN (…)" and larger ones as "INSET …"
+    assert(plan.contains("PartitionFilters: [shard#") &&
+      (plan.contains(" IN (") || plan.contains(" INSET ")),
+      plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
+    // compaction folds the replayed rows back and keeps answers
+    SpanStore.compactStore(spark, t1 + "/s", t1 + "/c")
+    assert(spark.read.parquet(t1 + "/c").count() <
+      spark.read.parquet(t1 + "/s").count(), "compaction must drop rows")
+    assert(sorted(SpanStore.probe(spark, probeDocs, t1 + "/c")) == sorted(cold))
+  }
+
   test("kCenterSample equals the naive farthest-point greedy; radius non-increasing") {
     val vecs: Seq[(Long, Array[Float])] = Seq(
       0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0.99f, 0.14f, 0f, 0f),
