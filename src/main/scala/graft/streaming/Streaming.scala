@@ -897,6 +897,71 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Continuous span-print store maintenance — the
+    * [[streamingLshIngest]] twin for EXACT substring dedup
+    * ([[graft.operators.SpanStore]]): first batch cold-builds the store
+    * (freezing min_tokens), later batches append their window prints.
+    * The replay fence is hygiene, not correctness — probe counts
+    * DISTINCT store docs per print, so a replayed append can only
+    * repeat rows it already wrote (the [[streamingHllIngest]] algebra,
+    * not the count-accumulating sketch store's) — but the fence still
+    * keeps store bytes from doubling on redelivery. Small-file health
+    * rides the same 16-shard listing as the LSH twin: warn past the
+    * watermark, or in-place compact-and-swap when `autoCompactThreshold`
+    * is set.
+    */
+  def streamingSpanIngest(
+      spark: SparkSession,
+      docsDir: String,
+      storeDir: String,
+      minTokens: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None,
+      autoCompactThreshold: Option[Int] = None): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
+    val fs = metaPath.getFileSystem(hconf)
+    val commitPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
+    val writer0 = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val replayed = commitPath.exists(p =>
+          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
+        if (!replayed) {
+          val b = batch.toDF().localCheckpoint(true)
+          try {
+            if (!fs.exists(metaPath))
+              graft.operators.SpanStore.write(b, storeDir, minTokens)
+            else graft.operators.SpanStore.append(spark, b, storeDir)
+          } finally graft.operators.Lineage.release(b)
+          commitPath.foreach(p =>
+            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
+          val files = maxFilesPerShard(fs, storeDir)
+          autoCompactThreshold match {
+            case Some(thr) if files > thr =>
+              compactWindowStoreInPlace(fs, storeDir, staging =>
+                graft.operators.SpanStore.compactStore(spark, storeDir, staging))
+            case None if files > compactionWatermark =>
+              System.err.println(s"[graft] span store at $storeDir has " +
+                s"$files files in its widest shard partition — run " +
+                "SpanStore.compactStore (or set autoCompactThreshold) " +
+                "before probe per-file overhead dominates")
+            case _ => ()
+          }
+        }
+        ()
+      }
+    val writer = checkpointDir
+      .fold(writer0)(d => writer0.option("checkpointLocation", d))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Files-per-centroid level above which an un-thresholded ingest warns
     * (≈ the point where probe open/footer cost is measurable next to the
     * pruned scan itself).

@@ -282,6 +282,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == bucketRows)
   }
 
+  test("streaming span-store ingest equals a cold build; probe answers replay-proof") {
+    val docsDir = tmpDir("stream-span")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-span-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, docsDir.resolve(name))
+    }
+    addFile(docs.filter(col("doc_id") % 2 === 0), "f1.parquet")
+    addFile(docs.filter(col("doc_id") % 2 === 1), "f2.parquet")
+    val store = tmpDir("stream-span-store").toString + "/store"
+    val ckpt = tmpDir("stream-span-ckpt").toString
+    Streaming.streamingSpanIngest(spark, docsDir.toString, store,
+      minTokens = 16, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
+    val probeDocs = docs.filter(col("doc_id") < 5)
+    def probed(dir: String) = graft.operators.SpanStore
+      .probe(spark, probeDocs, dir)
+      .collect().map(_.toSeq).toSet
+    val got = probed(store)
+    val coldDir = tmpDir("stream-span-cold").toString + "/store"
+    graft.operators.SpanStore.write(docs, coldDir, minTokens = 16)
+    val cold = probed(coldDir)
+    graft.operators.CacheRegistry.release(spark)
+    assert(got == cold && got.nonEmpty,
+      s"streamed store probe (${got.size}) must equal cold rebuild (${cold.size})")
+    // replay: same AvailableNow stream, same checkpoint — no growth
+    val rows = spark.read.parquet(store).count()
+    Streaming.streamingSpanIngest(spark, docsDir.toString, store,
+      minTokens = 16, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(store).count() == rows)
+  }
+
   test("LSH in-place compaction: widest shard shrinks, pair set unchanged") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val store = tmpDir("lsh-compact-inplace").toString + "/store"
