@@ -581,6 +581,12 @@ object Cli {
       case "contamination" => Contamination.overlapReport(docs,
         spark.read.parquet(flags.getOrElse("probes",
           fail("corpus -op contamination requires -probes <parquet>"))))
+      case "decontaminate" => Contamination.decontaminate(docs,
+        spark.read.parquet(flags.getOrElse("probes",
+          fail("corpus -op decontaminate requires -probes <parquet>"))),
+        minShared = flags.getOrElse("min-shared", "2").toInt)
+        .select(col("doc_id"), col("dropped"), col("n_probes_hit"),
+          col("max_shared"))
       case "curate"      => Pipeline.curate(docs)
       case "lmscore"     => TextAnalysis.lmScore(docs)
       case "profile"     => Stats.columnProfile(docs,

@@ -1446,6 +1446,19 @@ object SparkEntry {
         .orderBy("probe_id", "doc_id")
     }),
 
+    // the sweep APPLIED: every corpus doc flagged against the probe set
+    // is cut, survivors keep the audit columns — detect → drop as one
+    // lineage (probes are their own trivial hits and drop too; the gate
+    // reads the whole corpus annotated, dropped and kept alike)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      operators.Contamination.decontaminate(docs,
+          docs.filter(col("doc_id") < 20), minShared = 2)
+        .select(col("doc_id"), col("dropped"), col("n_probes_hit"),
+          col("max_shared"))
+        .orderBy("doc_id")
+    }),
+
     // per-session duration/engagement aggregates over the sessionize
     // assignment — the session-distribution base table
     "q_session_stats" -> ((s, dir) =>
@@ -7641,6 +7654,37 @@ object SparkEntry {
          FROM pe JOIN ce USING (g) WHERE probe_id <> doc_id
          GROUP BY probe_id, doc_id HAVING count(*) >= 2
          ORDER BY probe_id, doc_id""",
+
+    // the q_contamination chain folded per doc and left-joined back onto
+    // the whole corpus: dropped = flagged at all, audit counts carried
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pe AS (
+           SELECT doc_id AS probe_id, unnest(s) AS g FROM sh WHERE doc_id < 20
+         ), ce AS (
+           SELECT doc_id, unnest(s) AS g FROM sh
+         ), hits AS (
+           SELECT probe_id, doc_id, count(*) AS n_shared
+           FROM pe JOIN ce USING (g) WHERE probe_id <> doc_id
+           GROUP BY probe_id, doc_id HAVING count(*) >= 2
+         ), flagged AS (
+           SELECT doc_id, CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes_hit,
+             CAST(max(n_shared) AS BIGINT) AS max_shared
+           FROM hits GROUP BY doc_id
+         )
+         SELECT d.doc_id, f.doc_id IS NOT NULL AS dropped,
+           coalesce(f.n_probes_hit, 0) AS n_probes_hit,
+           coalesce(f.max_shared, 0) AS max_shared
+         FROM documents d LEFT JOIN flagged f USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // the composed pipeline replayed as one recursive CTE: quality gate
     // (same 4dp-rounded ratios as q_quality), exact-dedup keeper set,

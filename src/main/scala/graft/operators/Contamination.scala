@@ -73,4 +73,32 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[overlapReport]] APPLIED — the decontamination cut a training run
+    * actually ships: drop every corpus doc flagged against the probe
+    * (benchmark) set, return the survivors with the audit columns
+    * (n_probes_hit, max_shared) carried on the dropped side's report.
+    * Output: the corpus schema + (dropped, n_probes_hit) — callers
+    * `.filter(!dropped)` for the clean corpus, or read the report rows
+    * for the audit trail; keeping both in ONE result means the cut and
+    * its evidence can never drift apart. The flagged table is
+    * benchmark-sized (probes × hits), broadcast-joined back — the
+    * corpus never reshuffles.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      probes: DataFrame,
+      shingleSize: Int = 3,
+      minShared: Int = 2,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val flagged = overlapReport(corpus, probes, shingleSize, minShared,
+        maxShingleFreq)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("probe_id")).as("n_probes_hit"),
+        max(col("n_shared")).as("max_shared"))
+    corpus.join(broadcast(flagged), Seq("doc_id"), "left")
+      .withColumn("dropped", col("n_probes_hit").isNotNull)
+      .withColumn("n_probes_hit", coalesce(col("n_probes_hit"), lit(0L)))
+      .withColumn("max_shared", coalesce(col("max_shared"), lit(0L)))
+  }
 }

@@ -1101,6 +1101,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(spans.toSeq == Seq((0L, 12L)), spans.toSeq)
   }
 
+  test("decontaminate drops exactly the flagged docs and keeps the audit trail") {
+    val leak = (1 to 6).map(i => s"bench$i").mkString(" ")
+    val df = Seq(
+      (1L, s"probe text holding the $leak sequence"),        // the probe
+      (2L, s"training doc that copied $leak verbatim"),      // contaminated
+      (3L, "a clean training document with its own words"),
+      (4L, s"another copier of $leak right here")).toDF("doc_id", "text")
+    val out = operators.Contamination.decontaminate(df,
+        df.filter(col("doc_id") === 1L), minShared = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("dropped"),
+        r.getAs[Long]("n_probes_hit")))
+    assert(out.toSeq == Seq((1L, false, 0L), (2L, true, 1L),
+      (3L, false, 0L), (4L, true, 1L)), out.toSeq)
+    // the clean corpus is one filter away, and the report is the same frame
+    assert(operators.Contamination.decontaminate(df,
+      df.filter(col("doc_id") === 1L), minShared = 2)
+      .filter(!col("dropped")).count() == 2L)
+  }
+
   test("SpanStore: seed+append == cold rebuild, replay invisible, pruned probe, compaction invariant") {
     val shared = (1 to 10).map(i => s"common$i").mkString(" ")
     def doc(id: Long, pre: String): (Long, String) =
