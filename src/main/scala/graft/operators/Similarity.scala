@@ -565,23 +565,25 @@ object Similarity {
     val dim = meta("dim").toInt
     // geometry guard (advisor r12): a batch whose embedding dim differs
     // from the index's would silently append garbage codes (the PQ slicer
-    // reads fixed [m × dim/m] windows). A wrong dim is a wiring error,
-    // uniform across the batch — checking ONE row catches it without
-    // billing a full-batch scan to every append; empty batches skip it
-    // (empty append is a pinned no-op).
-    batch.select(org.apache.spark.sql.functions.size(col("embedding")).as("__d"))
-      .head(1).foreach { r =>
-        require(r.getInt(0) == dim,
-          s"appendIvfPq: batch embedding dim ${r.getInt(0)} != index dim " +
-            s"$dim at $dir — pass batches with the index's build-time geometry")
-      }
+    // reads fixed [m × dim/m] windows). The check rides the append's own
+    // write job as a per-row assert_true — a head(1) probe used to bill a
+    // whole extra Spark job per append (r15 task 7: the store lifecycles
+    // were fixed-cost bound), and an assert that fires aborts the job
+    // BEFORE the committer publishes anything, so the loudness contract
+    // is unchanged. Empty appends remain a pinned no-op (no rows, no
+    // assert evaluation).
+    val guarded = batch
+      .withColumn("__dchk", assert_true(size(col("embedding")) === dim,
+        lit(s"appendIvfPq: batch embedding dim != index dim $dim at $dir " +
+          "— pass batches with the index's build-time geometry")))
+      .filter(col("__dchk").isNull).drop("__dchk")
     val ivfCodebook = spark.read.parquet(dir + "_codebook")
     val centroids = broadcastCentroids(ivfCodebook)
     val assignAll = assignProbes(
-        withNorm(batch, "vec_id", "vec_id"), centroids, 1, "__r")
+        withNorm(guarded, "vec_id", "vec_id"), centroids, 1, "__r")
       .select(col("vec_id"), col("centroid_id"))
     val (input, assign) =
-      if (!dedupeIds) (batch, assignAll)
+      if (!dedupeIds) (guarded, assignAll)
       else {
         // centroid list is codebook-bounded (≤ numCentroids) — safe to
         // collect; it becomes the partition-pruning IN filter below
@@ -590,7 +592,7 @@ object Similarity {
         val existing = spark.read.parquet(dir)
           .filter(col("centroid_id").cast("long").isin(touched: _*))
           .select("vec_id").distinct()
-        val fresh = batch.join(existing, Seq("vec_id"), "left_anti")
+        val fresh = guarded.join(existing, Seq("vec_id"), "left_anti")
         (fresh, assignAll.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi"))
       }
     val encodeInput =

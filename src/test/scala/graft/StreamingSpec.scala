@@ -795,10 +795,16 @@ class StreamingSpec extends AnyFunSuite {
     // index's _meta must fail loudly, not encode garbage codes
     val wrongDim = emb.filter(col("vec_id") >= 250)
       .select(col("vec_id"), expr("slice(embedding, 1, 32)").as("embedding"))
-    val dimEx = intercept[IllegalArgumentException] {
+    // the guard rides the write job as assert_true (r16: the head(1)
+    // probe billed an extra job per append) — it surfaces as a job
+    // failure whose cause chain carries the message, and the aborted
+    // job must publish NOTHING
+    val dimEx = intercept[Exception] {
       graft.operators.Similarity.appendIvfPq(spark, wrongDim, compIdx)
     }
-    assert(dimEx.getMessage.contains("dim"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(dimEx).exists(m => m != null && m.contains("dim")), chain(dimEx))
     assert(codes(compIdx).sameElements(cold))
 
     // exactly-once across restarts: with a checkpoint, a second ingest
