@@ -114,7 +114,8 @@ object ParquetIO {
       path: String,
       partitionCols: Seq[String],
       filesPerPartition: Int = 1,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      sortCols: Seq[String] = Nil): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
     require(filesPerPartition > 0, "filesPerPartition must be positive")
     require(!df.columns.contains("__salt"),
@@ -127,9 +128,18 @@ object ParquetIO {
     // into that value's directory
     val keyed = df.withColumn("__salt",
       pmod(hash(df.columns.map(col): _*), lit(filesPerPartition)))
-    keyed
+    val shuffled = keyed
       .repartition(partitionCols.map(col) :+ col("__salt"): _*)
       .drop("__salt")
+    // optional within-file sort: keeps parquet row-group min/max stats
+    // on sortCols tight inside every partition directory, so point/set
+    // predicates on those columns skip row groups after directory
+    // pruning has done its part (the [[compact]] footer-stat rationale
+    // applied at first write)
+    (if (sortCols.nonEmpty)
+       shuffled.sortWithinPartitions(
+         (partitionCols ++ sortCols).map(col): _*)
+     else shuffled)
       .write
       .partitionBy(partitionCols: _*)
       .mode(mode)

@@ -1433,6 +1433,72 @@ object ScaleCheck {
         s"10x planting must scale the report exactly 10x: $s10/$w10/$e10")
       operators.CacheRegistry.release(spark)
     }
+
+    // SpanStore probe at a 10× store / fixed tiny batch (r16 verdict
+    // task 1): the probe's SHUFFLE volume must track the batch and its
+    // duplication, never the store. Both stores carry the SAME 250
+    // boilerplate docs (so the batch's matching rows are identical);
+    // the 10× store only adds non-matching content — if the probe
+    // aggregated whole shards before joining, its shuffle records
+    // would grow ~10×; with the semi-join-before-aggregate shape they
+    // must stay flat.
+    time("SpanStore probe: 10x store, fixed batch, flat shuffle volume") {
+      // sum shuffle records written across the executed (adaptive)
+      // plan, crossing AQE stage boundaries
+      def shuffleRecords(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(shuffleRecords).sum
+      }
+      val bp = (1 to 20).map(i => s"bp$i").mkString(" ")
+      def corpus(n: Long) = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            j => concat(lit("u"), col("id"), lit("x"), j))),
+          when(col("id") < 250L, lit(bp))
+            .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(19)),
+              j => concat(lit("v"), col("id"), lit("y"), j))))).as("text"))
+      val batch = spark.range(10000000L, 10000200L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(0), lit(29)),
+            j => concat(lit("b"), col("id"), lit("x"), j))),
+          when(col("id") % 4 === 0L, lit(bp))
+            .otherwise(concat_ws(" ", transform(sequence(lit(0), lit(19)),
+              j => concat(lit("c"), col("id"), lit("y"), j))))).as("text"))
+      val sdir = java.nio.file.Files.createTempDirectory("spanscale").toString
+      operators.SpanStore.write(corpus(50000L), s"$sdir/s1", minTokens = 16)
+      operators.SpanStore.write(corpus(500000L), s"$sdir/s10", minTokens = 16)
+      def probeShuffle(store: String): (Long, Long) = {
+        val out = operators.SpanStore.probe(spark, batch, store)
+        // execute the frame's OWN QueryExecution (count()/noop-save
+        // would plan a fresh one and leave these metrics untouched)
+        val hits = out.queryExecution.toRdd.count()
+        val rec = shuffleRecords(out.queryExecution.executedPlan)
+        operators.CacheRegistry.release(spark)
+        (hits, rec)
+      }
+      val (h1, r1) = probeShuffle(s"$sdir/s1")
+      val (h10, r10) = probeShuffle(s"$sdir/s10")
+      val storeRows10 = spark.read.parquet(s"$sdir/s10").count()
+      println(s"[scale] spanstore probe: 1x hits=$h1 shuffled=$r1, " +
+        s"10x hits=$h10 shuffled=$r10, 10x store rows=$storeRows10")
+      require(h1 == h10 && h1 > 0,
+        s"identical matching content must hit identically: $h1 vs $h10")
+      require(r10 <= r1 * 3 / 2 + 1000,
+        s"probe shuffle volume grew with STORE size ($r1 -> $r10): the " +
+          "semi-join-before-aggregate shape is broken")
+      require(r1 < storeRows10 / 10 / 5,
+        s"probe shuffle volume ($r1) is store-proportional " +
+          s"(1x store has ~${storeRows10 / 10} rows)")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
+    }
     operators.CacheRegistry.release(spark)
     spark.stop()
   }

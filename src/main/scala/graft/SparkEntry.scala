@@ -1417,6 +1417,32 @@ object SparkEntry {
         .orderBy("doc_id", "p")
     }),
 
+    // decontaminate-at-ingest, the cross-store composition: seed the
+    // span store with the even half, run the odd half through ONE
+    // probe → trim → drop → append-survivors lineage (SpanStore
+    // .ingestCurate), then re-probe the survivors so the audit carries
+    // proof the append landed (n_store_prints = each survivor's own
+    // print count served back from the post-append store; the oracle
+    // recomputes it from the trimmed text — equal iff the survivors'
+    // prints actually entered the store)
+    "q_ingest_curate" -> ((s, dir) => withTempStore("ingestcurate") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val store = tmp + "/store"
+      operators.SpanStore.write(docs.filter(col("doc_id") % 2 === 0),
+        store, minTokens = 16)
+      val audit = operators.SpanStore.ingestCurate(s,
+        docs.filter(col("doc_id") % 2 === 1), store, minKeptFrac = 0.3)
+      val own = operators.SpanStore.probe(s,
+          audit.filter(!col("dropped")).select("doc_id", "text"), store)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("span_md5")).as("n_store_prints"))
+      audit.join(own, Seq("doc_id"), "left")
+        .select(col("doc_id"), md5(col("text")).as("curated_md5"),
+          col("n_tokens_before"), col("n_tokens_kept"), col("dropped"),
+          coalesce(col("n_store_prints"), lit(0L)).as("n_store_prints"))
+        .orderBy("doc_id")
+    }),
+
     // intra-doc twin: exact boundaries of >=8-token substrings repeated
     // WITHIN a document. The synthetic corpus has no natural self-
     // repetition at any k (checked), so the gate plants one
@@ -7147,6 +7173,78 @@ object SparkEntry {
          FROM (SELECT * FROM sp WHERE doc_id < 5) pr
          JOIN store USING (span_md5)
          ORDER BY pr.doc_id, pr.p""",
+
+    // ingest-curate replay: seed prints = even docs' windows; odd-doc
+    // windows found in the seed merge to maximal spans (gap > 16
+    // breaks an island), covered tokens are cut, docs below the 0.3
+    // kept fraction drop, and each survivor's post-append store-print
+    // count is recomputed from its TRIMMED text (append guarantees all
+    // of a survivor's prints are in the store, so the served count
+    // equals the recomputation iff the append landed)
+    "q_ingest_curate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+           FROM toks WHERE len(tk) >= 16
+         ), sp AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
+           FROM w
+         ), seed AS (
+           SELECT DISTINCT span_md5 FROM sp WHERE doc_id % 2 = 0
+         ), hits AS (
+           SELECT sp.doc_id, sp.p FROM sp JOIN seed USING (span_md5)
+           WHERE sp.doc_id % 2 = 1
+         ), g AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
+               THEN 1 ELSE 0 END AS brk
+           FROM hits
+         ), i AS (
+           SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM g
+         ), spans AS (
+           SELECT doc_id, min(p) AS s, max(p) + 16 AS e
+           FROM i GROUP BY doc_id, island
+         ), batch AS (
+           SELECT doc_id, tk FROM toks WHERE doc_id % 2 = 1
+         ), tp AS (
+           SELECT doc_id, unnest(tk) AS tok, unnest(range(0, len(tk))) AS pos
+           FROM batch
+         ), kept AS (
+           SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+           WHERE NOT EXISTS (SELECT 1 FROM spans v
+             WHERE v.doc_id = tp.doc_id AND tp.pos >= v.s AND tp.pos < v.e)
+         ), curated AS (
+           SELECT b.doc_id,
+             coalesce(k.txt, '') AS text,
+             CAST(len(b.tk) AS BIGINT) AS n_tokens_before,
+             CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
+             (len(b.tk) = 0 OR
+              CAST(coalesce(k.n, 0) AS DOUBLE) / len(b.tk) < 0.3) AS dropped
+           FROM batch b LEFT JOIN (
+             SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+               count(*) AS n
+             FROM kept GROUP BY doc_id) k USING (doc_id)
+         ), surv AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM curated WHERE NOT dropped
+         ), sprints AS (
+           SELECT doc_id,
+             count(DISTINCT md5(array_to_string(tk[p + 1 : p + 16], ' '))) AS np
+           FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+                 FROM surv WHERE len(tk) >= 16)
+           GROUP BY doc_id
+         )
+         SELECT c.doc_id, md5(c.text) AS curated_md5, c.n_tokens_before,
+           c.n_tokens_kept, c.dropped,
+           CAST(coalesce(sp2.np, 0) AS BIGINT) AS n_store_prints
+         FROM curated c LEFT JOIN sprints sp2 USING (doc_id)
+         ORDER BY c.doc_id""",
 
     // the planted-prefix derived corpus (tk || tk[1:20]) walked by the
     // same window/bucket/island chain, buckets keyed (doc_id, md5) with

@@ -962,6 +962,80 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Continuous decontaminate-at-ingest — [[streamingSpanIngest]] with
+    * the curation step composed in ([[graft.operators.SpanStore
+    * .ingestCurate]]): the first batch cold-builds the span store
+    * (nothing exists to be contaminated against), every later batch is
+    * probed against the corpus-so-far, corpus-duplicated spans are
+    * trimmed, mostly-duplicate docs dropped, and only the curated
+    * survivors' prints append. Per-batch audit rows (doc_id, text,
+    * n_tokens_before, n_tokens_kept, dropped) append to `auditDir` —
+    * the pipeline's provenance trail.
+    *
+    * Unlike the accumulate-only ingests, REPLAY here would change
+    * answers (a redelivered batch probed against a store that already
+    * holds its survivors reports its own prints back and trims
+    * everything), so the commit fence is correctness, not hygiene:
+    * pass `checkpointDir` in production. Curation is order-dependent
+    * by design — the law StreamingSpec pins is streamed ≡ the driver
+    * loop `write(b0); ingestCurate(b1); ingestCurate(b2)…` over the
+    * same batch sequence.
+    */
+  def streamingCurateIngest(
+      spark: SparkSession,
+      docsDir: String,
+      storeDir: String,
+      auditDir: String,
+      minTokens: Int = 16,
+      minKeptFrac: Double = 0.3,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
+    val fs = metaPath.getFileSystem(hconf)
+    val commitPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
+    val writer0 = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val replayed = commitPath.exists(p =>
+          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
+        if (!replayed) {
+          val b = batch.toDF().localCheckpoint(true)
+          try {
+            if (!fs.exists(metaPath)) {
+              graft.operators.SpanStore.write(b, storeDir, minTokens)
+              // the seed batch is admitted whole: audit it as untrimmed
+              b.select(col("doc_id").cast("long").as("doc_id"),
+                  col("text"),
+                  size(graft.operators.TextAnalysis.tokens(col("text")))
+                    .cast("long").as("n_tokens_before"))
+                .withColumn("n_tokens_kept", col("n_tokens_before"))
+                .withColumn("dropped", lit(false))
+                .write.mode("append").option("compression", "zstd")
+                .parquet(auditDir)
+            } else {
+              graft.operators.SpanStore
+                .ingestCurate(spark, b, storeDir, minKeptFrac)
+                .write.mode("append").option("compression", "zstd")
+                .parquet(auditDir)
+            }
+          } finally graft.operators.Lineage.release(b)
+          commitPath.foreach(p =>
+            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
+        }
+        ()
+      }
+    val writer = checkpointDir
+      .fold(writer0)(d => writer0.option("checkpointLocation", d))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Files-per-centroid level above which an un-thresholded ingest warns
     * (≈ the point where probe open/footer cost is measurable next to the
     * pruned scan itself).

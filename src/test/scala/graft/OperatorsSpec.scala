@@ -1158,6 +1158,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sorted(SpanStore.probe(spark, probeDocs, t1 + "/c")) == sorted(cold))
   }
 
+  test("SpanStore.ingestCurate: trims corpus spans, drops mostly-dup docs, appends only survivors") {
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    val seed = Seq(
+      1L -> s"seed one unique words here $shared",
+      2L -> s"seed two other unique words $shared").toDF("doc_id", "text")
+    val batch = Seq(
+      // mostly corpus text -> kept frac < 0.5 -> dropped
+      10L -> s"tiny bit $shared",
+      // half fresh -> trimmed but kept
+      11L -> s"fresh alpha beta gamma delta epsilon zeta eta theta iota $shared",
+      // no overlap -> untouched
+      12L -> "wholly novel content with no shared run anywhere in it at all")
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("curate").toString + "/s"
+    SpanStore.write(seed, dir, minTokens = 4)
+    val audit = SpanStore.ingestCurate(spark, batch, dir, minKeptFrac = 0.5)
+      .orderBy("doc_id").collect()
+    val byId = audit.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(10L).getAs[Boolean]("dropped"),
+      "mostly-duplicate doc must drop")
+    assert(!byId(11L).getAs[Boolean]("dropped"))
+    assert(byId(11L).getAs[Long]("n_tokens_kept") == 10L,
+      s"doc 11 must keep its 10 fresh tokens: ${byId(11L)}")
+    assert(!byId(11L).getAs[String]("text").contains("common1"),
+      "the shared run must be trimmed out of the kept text")
+    assert(byId(12L).getAs[Long]("n_tokens_kept")
+      == byId(12L).getAs[Long]("n_tokens_before"), "clean doc untouched")
+    // survivors' prints entered the store; the dropped doc's did not
+    val storeIds = spark.read.parquet(dir).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(storeIds == Set(1L, 2L, 11L, 12L), storeIds)
+    // anchorsToSpans merges overlapping anchors into one maximal span
+    val spans = SpanStore.anchorsToSpans(
+      Seq((7L, 0L, 1L), (7L, 1L, 1L), (7L, 2L, 2L), (7L, 20L, 1L))
+        .toDF("doc_id", "p", "n_store_docs"), 4)
+      .orderBy("span_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(spans.toSeq == Seq((0L, 6L, 3L, 2L), (20L, 24L, 1L, 1L)), spans.toSeq)
+  }
+
   test("kCenterSample equals the naive farthest-point greedy; radius non-increasing") {
     val vecs: Seq[(Long, Array[Float])] = Seq(
       0L -> Array(1f, 0f, 0f, 0f), 1L -> Array(0.99f, 0.14f, 0f, 0f),

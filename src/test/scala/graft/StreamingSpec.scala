@@ -318,6 +318,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == rows)
   }
 
+  test("streaming curate-ingest equals the driver loop; replay fence holds") {
+    val docsDir = tmpDir("stream-curate")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-curate-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, docsDir.resolve(name))
+    }
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    // lexicographic file order IS the batch order AvailableNow feeds
+    addFile(b0, "f0.parquet"); addFile(b1, "f1.parquet"); addFile(b2, "f2.parquet")
+    val store = tmpDir("stream-curate-store").toString + "/store"
+    val audit = tmpDir("stream-curate-audit").toString + "/audit"
+    val ckpt = tmpDir("stream-curate-ckpt").toString
+    Streaming.streamingCurateIngest(spark, docsDir.toString, store, audit,
+      minTokens = 16, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
+    // driver-loop twin over the same batch sequence
+    val twinStore = tmpDir("stream-curate-twin").toString + "/store"
+    graft.operators.SpanStore.write(b0, twinStore, minTokens = 16)
+    val a1 = graft.operators.SpanStore.ingestCurate(spark, b1, twinStore)
+    val a2 = graft.operators.SpanStore.ingestCurate(spark, b2, twinStore)
+    def auditRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "n_tokens_before", "n_tokens_kept", "dropped")
+      .collect().map(_.toSeq).toSet
+    val streamedAudit = auditRows(spark.read.parquet(audit)
+      .filter(col("doc_id") % 3 =!= 0))
+    assert(streamedAudit == auditRows(a1.unionByName(a2)),
+      "streamed curate audit must equal the driver loop's")
+    assert(streamedAudit.nonEmpty)
+    // the stores the two paths built answer probes identically
+    val probeDocs = docs.filter(col("doc_id") < 5)
+    def probed(dir: String) = graft.operators.SpanStore
+      .probe(spark, probeDocs, dir).collect().map(_.toSeq).toSet
+    assert(probed(store) == probed(twinStore))
+    graft.operators.CacheRegistry.release(spark)
+    // replay: same AvailableNow stream, same checkpoint — the commit
+    // fence must keep the order-dependent curation from re-running
+    val storeRows = spark.read.parquet(store).count()
+    val auditCount = spark.read.parquet(audit).count()
+    Streaming.streamingCurateIngest(spark, docsDir.toString, store, audit,
+      minTokens = 16, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(store).count() == storeRows)
+    assert(spark.read.parquet(audit).count() == auditCount)
+  }
+
   test("LSH in-place compaction: widest shard shrinks, pair set unchanged") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val store = tmpDir("lsh-compact-inplace").toString + "/store"
