@@ -1609,6 +1609,13 @@ object Similarity {
     import org.apache.spark.sql.Row
     val base = Lineage.cut(
       withNorm(emb, "vec_id", "vec_id").filter(col("__norm") > 0))
+    // loud precondition instead of a bare NoSuchElementException from
+    // the seed/argmax head() calls: k is range-checked above but the
+    // corpus wasn't, and zero-norm exclusion can shrink it below k
+    // (one answer-sized count against a k<=64 corpus-pass loop — noise)
+    val n = base.count()
+    require(n >= k, s"kCenterSample needs at least k=$k vectors with " +
+      s"nonzero norm; input has $n")
     def distTo(cEmb: Array[Float], cNorm: Double): Column = {
       val cl = array(cEmb.map(v => lit(v)): _*)
       lit(1.0) - round(dot(col("embedding"), cl)

@@ -356,4 +356,97 @@ class PropertySpec extends AnyFunSuite {
       after == cold && (old ++ probed) == cold
     }, minSuccessful = 8)
   }
+
+  test("property: the four persisted stores obey seed+appends == cold, replay/compact invariance, for ANY split") {
+    import graft.operators.{HllStore, SketchStore, SpanStore}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val events = Tables.loadEvents(spark, "/root/testdata/sf0.001")
+    val probeDocs = docs.filter(col("doc_id") < 10)
+    val (jan1, feb1) = (1704067200000L, 1706745600000L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // one law, four algebras: a store built from ANY hash-split of the
+    // input (seed + appends, optionally one REPLAYED append where the
+    // store's merge absorbs duplicates, then a compaction) must serve
+    // exactly what a cold build over the whole input serves. SketchStore
+    // is the deliberate exception on replay — its counts ADD, which is
+    // WHY its streaming ingest carries a commit fence — so its draw
+    // skips the replay leg and pins the other two laws.
+    final case class StoreLaw(
+      name: String,
+      data: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      build: (org.apache.spark.sql.DataFrame, String) => Unit,
+      appendFn: (org.apache.spark.sql.DataFrame, String) => Unit,
+      replayInvisible: Boolean,
+      serve: String => Set[Seq[Any]],
+      compactFn: (String, String) => Unit)
+    val laws = Seq(
+      StoreLaw("span", docs, "doc_id",
+        (d, dir) => SpanStore.write(d, dir, minTokens = 8),
+        (d, dir) => SpanStore.append(spark, d, dir),
+        replayInvisible = true,
+        dir => rows(SpanStore.probe(spark, probeDocs, dir)),
+        (s, t) => SpanStore.compactStore(spark, s, t)),
+      StoreLaw("lsh", docs, "doc_id",
+        (d, dir) => LshIndex.write(d, dir),
+        (d, dir) => LshIndex.append(spark, d, dir, dedupeIds = true),
+        replayInvisible = true, // behind the dedupeIds producer guard
+        dir => rows(LshIndex.lshPairs(spark, dir)),
+        (s, t) => LshIndex.compactLsh(spark, s, t)),
+      StoreLaw("hll", events, "event_id",
+        (d, dir) => HllStore.write(d, dir),
+        (d, dir) => { HllStore.append(spark, d, dir); () },
+        replayInvisible = true,
+        dir => rows(HllStore.distinct(spark, dir, jan1, feb1)) ++
+          rows(HllStore.windowDistinct(spark, dir, jan1, feb1)),
+        (s, t) => HllStore.compactStore(spark, s, t)),
+      StoreLaw("sketch", events, "event_id",
+        (d, dir) => SketchStore.write(d, dir),
+        (d, dir) => { SketchStore.append(spark, d, dir); () },
+        replayInvisible = false,
+        dir => rows(SketchStore.quantiles(spark, dir, jan1, feb1)),
+        (s, t) => SketchStore.compactStore(spark, s, t)))
+
+    val genCase = for {
+      nb <- Gen.choose(2, 3)
+      salt <- Gen.choose(0L, 1000L)
+      replayIdx <- Gen.choose(0, 2)
+    } yield (nb, salt, replayIdx)
+    check(Prop.forAll(genCase) { case (nb, salt, replayIdx) =>
+      laws.forall { law =>
+        val base = java.nio.file.Files
+          .createTempDirectory(s"prop-store-${law.name}").toString
+        val part = pmod(xxhash64(col(law.keyCol) + lit(salt)), lit(nb))
+        def batch(i: Int) = law.data.filter(part === i)
+        law.build(law.data, s"$base/cold")
+        val cold = law.serve(s"$base/cold")
+        law.build(batch(0), s"$base/s")
+        (1 until nb).foreach(i => law.appendFn(batch(i), s"$base/s"))
+        val incr = law.serve(s"$base/s")
+        val afterReplay =
+          if (!law.replayInvisible) incr
+          else {
+            law.appendFn(batch(replayIdx % nb), s"$base/s")
+            law.serve(s"$base/s")
+          }
+        law.compactFn(s"$base/s", s"$base/c")
+        val compacted = law.serve(s"$base/c")
+        graft.operators.CacheRegistry.release(spark)
+        val ok = cold.nonEmpty && incr == cold &&
+          afterReplay == cold && compacted == cold
+        if (!ok) println(s"[prop] store law broke: ${law.name} nb=$nb " +
+          s"salt=$salt replay=$replayIdx (cold=${cold.size} " +
+          s"incr=${incr.size} replayed=${afterReplay.size} " +
+          s"compacted=${compacted.size})")
+        ok
+      }
+      // 2 draws x 4 stores x ~8 lifecycle actions each: a full property
+      // budget here would cost many minutes of pure Spark job latency;
+      // the example specs already pin adversarial splits per store, this
+      // draw covers the CROSS-store law on fresh random splits per run
+    }, minSuccessful = 2)
+  }
 }
