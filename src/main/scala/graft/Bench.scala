@@ -158,23 +158,48 @@ object Bench {
     def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
     def peakMb(): Long =
       heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
+    // capture SAVE-action QEs only, and adjudicate AFTER the bus goes
+    // quiet: multi-action queries (store lifecycles' writes, kcenter's
+    // per-round heads) deliver several QEs per measure, and "whatever
+    // arrived last when we looked" was listener-timing dependent —
+    // identical runs could fingerprint apart (r16 advisor). The bus
+    // delivers in submission order, so once it drains, the last
+    // save-funcName event IS the measure's final noop save.
     val lastQe = new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.sql.execution.QueryExecution]()
+    val qeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.listenerManager.register(
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = lastQe.set(qe)
+            durationNs: Long): Unit = {
+          // write-action events only: the DSv2 noop sink reports
+          // "overwrite" (OverwriteByExpression), DSv1 parquet writes
+          // report "save" — head()/collect() style internal actions
+          // (kcenter's rounds) never overwrite the capture. The bus is
+          // ordered, so after it drains the last write event IS the
+          // measure's final noop save.
+          if (funcName == "overwrite" || funcName == "save") lastQe.set(qe)
+          qeSeq.incrementAndGet()
+        }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
+            exception: Exception): Unit = qeSeq.incrementAndGet()
       })
-    // the listener fires on the async listener bus: poll briefly after
-    // the action rather than racing it; fingerprinting is best-effort
-    // telemetry and must never stall or fail the suite
+    // the listener fires on the async listener bus: poll until the
+    // event stream is QUIET (no new arrivals across a poll gap) and at
+    // least one save was seen, bounded at ~2s; fingerprinting is
+    // best-effort telemetry and must never stall or fail the suite
     def planFingerprint(): String = {
       var tries = 0
-      while (lastQe.get() == null && tries < 40) { Thread.sleep(50); tries += 1 }
+      var stable = 0
+      var seen = qeSeq.get()
+      while (stable < 2 && tries < 40) {
+        Thread.sleep(50); tries += 1
+        val now = qeSeq.get()
+        if (now == seen && lastQe.get() != null) stable += 1
+        else { stable = 0; seen = now }
+      }
       Option(lastQe.get()).map { qe =>
         val s = qe.executedPlan.toString
           .replaceAll("#\\d+", "#")
@@ -198,14 +223,18 @@ object Bench {
     // suite so a recorded run carries its own contamination evidence —
     // loadavg >> bench-JVM parallelism means competing processes, and
     // the wall numbers should be read against cpu_sec instead.
-    // per-attempt record: wall, cpu, gc-time, peak heap, final-plan fp
+    // per-attempt record: wall, cpu, gc-time, peak heap, final-plan fp,
+    // and the 1-min load the query actually ran under (r16 verdict
+    // task 2: the r16 record started quiet and degraded mid-suite;
+    // end-of-run m1 alone couldn't say WHICH queries the load hit)
     case class Attempt(wall: Double, cpu: Double, gcMs: Long, peakMb: Long,
-      fp: String)
-    val failedAttempt = Attempt(-1.0, -1.0, -1L, -1L, "none")
+      fp: String, m1: Double)
+    val failedAttempt = Attempt(-1.0, -1.0, -1L, -1L, "none", -1.0)
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
       lastQe.set(null)
       resetPeaks()
+      val m1Here = loadavg()._2
       val g0 = gcMs()
       val t0 = System.nanoTime()
       val c0 = cpuNanos()
@@ -215,9 +244,17 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e"); false
         }
       if (ok) Attempt((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9,
-        gcMs() - g0, peakMb(), planFingerprint())
+        gcMs() - g0, peakMb(), planFingerprint(), m1Here)
       else failedAttempt
     }
+    // SPARK_GRAFT_REPEAT=N (iteration runs): measure each selected query
+    // N times and print EVERY attempt — the controlled-variance
+    // experiment harness (r16 verdict task 3: is q_link_predict's 21-105s
+    // CPU spread intrinsic, or cross-query accounting?). Attempts print
+    // as they land so a long loop is observable.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.trim.toInt)
+    repeat.foreach(n => require(n >= 1 && n <= 50,
+      s"SPARK_GRAFT_REPEAT out of range: $n"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -226,7 +263,17 @@ object Bench {
       // min-of-2 reports steady-state compute, not first-run codegen/GC.
       // A throwing query is recorded as -1, never as its failure latency
       // (advisor finding, round 1).
-      val times = (1 to 2).map(_ => measure(name, fn))
+      val times = (1 to repeat.getOrElse(2)).map { i =>
+        val a = measure(name, fn)
+        if (repeat.isDefined) {
+          println(s"""{"repeat_attempt":{"name":"$name","i":$i,"wall":${a.wall},"cpu":${a.cpu},"gc_ms":${a.gcMs},"peak_mb":${a.peakMb},"fp":"${a.fp}","m1":${a.m1}}}""")
+          // repeat mode models the SUITE's between-query hygiene so
+          // attempts are iid, not warm-cache continuations
+          operators.CacheRegistry.release(spark)
+          spark.catalog.clearCache()
+        }
+        a
+      }
       // dedup operators persist small intermediates; drop them so queries
       // don't inherit each other's cached blocks (and their GC pressure)
       operators.CacheRegistry.release(spark)
@@ -248,7 +295,7 @@ object Bench {
     // competing load has usually drained, and BOTH numbers are recorded.
     // The record then adjudicates itself: rerun ≈ median ⇒ contamination;
     // rerun ≈ recorded ⇒ real regression. Candidates rank by inflation
-    // ratio, capped at 16 (see the flagged computation below).
+    // ratio, capped at 32 (see the flagged computation below).
     // wall AND cpu medians per query (r12 verdict task 5): wall is the
     // contamination-sensitive signal, cpu the load-invariant one — a
     // genuinely regressed query on a fast idle host moves cpu while its
@@ -316,8 +363,12 @@ object Bench {
         // stricter factor must apply to it — keying on m1Start alone let
         // late-arriving contamination hide behind the lenient 3×
         val m1PostSuite = loadavg()._2
+        // 2x on a quiet host (was 3x): the r16 record passed the start
+        // gate at m1=1.4 yet finished at 4.41 with six queries 2-18x
+        // inflated, and the fixed top-9 rerun barely covered them —
+        // trigger earlier and let the wider cap absorb the extras
         val factor =
-          if (math.max(m1Start, m1PostSuite) > 1.5) 1.5 else 3.0
+          if (math.max(m1Start, m1PostSuite) > 1.5) 1.5 else 2.0
         // cpu under CONTENTION is not load-invariant in a 32-thread JVM
         // (context-switch thrash inflated q_cluster_sizes' cpu 10× in
         // r13), so the cpu trigger tightens under load exactly like the
@@ -326,7 +377,7 @@ object Bench {
         // rank flagged queries by INFLATION RATIO vs their medians, not
         // raw wall (r14: the wall-magnitude ranking let a big-but-clean
         // query exhaust the cap while 2-5× inflated cheap queries stood
-        // unrepaired), and cap at 16 — wide enough for every moderate
+        // unrepaired), and cap at 32 — wide enough for every moderate
         // offender of a loaded r14-style run, still bounded so a fully
         // thrashed host can't double the suite (the start gate above
         // makes that regime rare to begin with)
@@ -339,7 +390,7 @@ object Bench {
             val trips = wInf.exists(_ > factor) || cInf.exists(_ > cpuFactor)
             if (trips) Some(name -> (wInf.toSeq ++ cInf.toSeq).max) else None
           }
-          .sortBy(-_._2).take(16).map(_._1)
+          .sortBy(-_._2).take(32).map(_._1)
         if (flagged.nonEmpty) {
           val (waited, m1) = waitForQuietHost(maxWaitSec = 120, quietM1 = 1.5)
           rerunWaitedSec = waited; rerunM1 = m1
@@ -369,6 +420,84 @@ object Bench {
       .mkString("{", ",", "}")
     val peakJson = results.map { case (k, a) => "\"" + k + "\":" + a.peakMb }
       .mkString("{", ",", "}")
+    val m1Json = results.map { case (k, a) => "\"" + k + "\":" + a.m1 }
+      .mkString("{", ",", "}")
+
+    // ---- plan-fingerprint diff gate (r16 verdict task 8) ----
+    // The fp field made r16's noise adjudication trivial ("same fp =>
+    // environmental"); make it load-bearing: compare this run's plans
+    // to the LAST same-sf history entry, and when a query's plan
+    // changed WITHOUT any src/main change since that entry's recorded
+    // commit, flag it loudly in the record — an unexplained fp change
+    // is either nondeterministic planning (a bug to chase) or a broken
+    // fingerprint normalization (ditto). Best-effort: absent history,
+    // absent git, or a dirty tree degrade to unchecked, never to a
+    // stalled bench.
+    def gitOut(args: String*): Option[String] = try {
+      val pb = new ProcessBuilder(("git" +: args): _*)
+      pb.directory(new java.io.File(sys.props("user.dir")))
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case e if scala.util.control.NonFatal(e) => None }
+    val gitHead = gitOut("rev-parse", "HEAD").getOrElse("")
+    val fpByName = results.collect {
+      case (k, a) if a.fp != "none" => k -> a.fp }.toMap
+    val fpDiffJson: String =
+      if (only.isDefined) """{"checked":false}"""
+      else try {
+        val f = benchToolsDir.resolve("bench-history.jsonl")
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prev = (if (java.nio.file.Files.exists(f))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(f)).asScala.toSeq
+          else Seq.empty)
+          .filter(_.trim.nonEmpty).map(mapper.readTree)
+          .filter(r => Option(r.get("summary"))
+            .flatMap(s => Option(s.get("sf"))).exists(_.asText() == sfDir))
+          .lastOption
+        prev match {
+          case None => """{"checked":false}"""
+          case Some(root) =>
+            val prevGit = Option(root.get("git")).map(_.asText("")).getOrElse("")
+            val prevPlans = Option(root.get("plans")).filter(_.isObject)
+              .map { pj =>
+                val it = pj.properties().iterator()
+                val b = Map.newBuilder[String, String]
+                while (it.hasNext) {
+                  val e = it.next(); b += e.getKey -> e.getValue.asText()
+                }
+                b.result()
+              }.getOrElse(Map.empty[String, String])
+            val changed = fpByName.toSeq.sortBy(_._1).flatMap {
+              case (name, now) => prevPlans.get(name)
+                .filter(p => p != "none" && p != now)
+                .map(p => (name, p, now))
+            }
+            // src/main changes between the two records explain any fp
+            // move; an empty diff + a changed fp is the loud case
+            val srcChanged: Option[Boolean] =
+              if (prevGit.isEmpty || gitHead.isEmpty) None
+              else gitOut("diff", "--name-only", prevGit, gitHead,
+                "--", "src/main").map(_.nonEmpty)
+            val changedJson = changed
+              .map { case (n, p, c) => s""""$n":{"prev":"$p","now":"$c"}""" }
+              .mkString("{", ",", "}")
+            val unexplained = srcChanged match {
+              case Some(false) => changed.map(_._1)
+              case _ => Seq.empty
+            }
+            if (unexplained.nonEmpty)
+              System.err.println("[bench] UNEXPLAINED plan-fingerprint " +
+                s"changes (no src/main diff $prevGit..$gitHead): " +
+                unexplained.mkString(", "))
+            s"""{"checked":true,"prev_git":"$prevGit","n_prev":${prevPlans.size},"n_changed":${changed.size},"changed":$changedJson,"src_changed_since_prev":${srcChanged.map(_.toString).getOrElse("null")},"unexplained":[${unexplained.map("\"" + _ + "\"").mkString(",")}]}"""
+        }
+      } catch { case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] fp-diff gate unavailable: $e")
+        """{"checked":false}"""
+      }
     // failed queries (-1) are excluded from the totals, not billed as ~0s
     val total = results.map(_._2.wall).filter(_ >= 0).sum
     val totalCpu = results.map(_._2.cpu).filter(_ >= 0).sum
@@ -400,7 +529,7 @@ object Bench {
       .collect { case (name, a) if a.cpu >= 0 => adjCpu(name, a.cpu) }.sum
     val (loadEnd, m1End) = loadavg()
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"start_waited_sec":$startWaitedSec,"rerun_m1":$rerunM1,"rerun_waited_sec":$rerunWaitedSec}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"git":"$gitHead","rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
@@ -410,6 +539,12 @@ object Bench {
     // bench-last.json, and ~130 bytes of it here would erode exactly the
     // truncation headroom this line exists to guarantee.
     val nFailed = results.count(_._2.wall < 0)
+    // surfaced in the summary so a tail-truncated capture still shows
+    // whether any plan moved since the previous same-sf record
+    val nFpChanged = {
+      val m = """"n_changed":(\d+)""".r.findFirstMatchIn(fpDiffJson)
+      m.map(_.group(1)).getOrElse("-1")
+    }
     // worst offenders ranked by ADJUSTED wall: a contaminated outlier
     // whose rerun came back clean should not headline the summary (its
     // raw wall is still in the full JSON's queries/rerun maps)
@@ -418,7 +553,7 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, w) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
-    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"n_queries":${results.size},"n_failed":$nFailed,"n_rerun":${reruns.size},"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"m1_start":$m1Start,"m1_end":$m1End,"sf":"$sfDir"}"""
+    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"n_queries":${results.size},"n_failed":$nFailed,"n_rerun":${reruns.size},"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"m1_start":$m1Start,"m1_end":$m1End,"n_fp_changed":$nFpChanged,"sf":"$sfDir"}"""
     println(summaryJson)
     // DURABLE copy: the stdout capture window has truncated the full
     // per-query wall map every round since r5 (and r8's 13 s q_cube
@@ -443,7 +578,7 @@ object Bench {
         // along but medians read only "queries", so a rerun never shifts
         // the baseline it was judged against.
         java.nio.file.Files.write(benchToolsDir.resolve("bench-history.jsonl"),
-          (s"""{"ts":"$ts","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"rerun":$rerunJson}""" + "\n")
+          (s"""{"ts":"$ts","git":"$gitHead","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"rerun":$rerunJson}""" + "\n")
             .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
