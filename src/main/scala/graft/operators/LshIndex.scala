@@ -130,6 +130,13 @@ object LshIndex {
       else batch.join(
         readSigs(spark, dir, m.numHashes).select("doc_id"),
         Seq("doc_id"), "left_anti")
+    // redelivery fast path: behind the id guard a fully-replayed batch
+    // appends nothing — skip the signature encode and its two write
+    // jobs (one bounded limit-1 probe instead). At-least-once producers
+    // hit this on every redelivery, so the skip is ingest-cadence wall,
+    // not just hygiene; the un-guarded path keeps its zero-action shape
+    // (an empty write is how "no rows" commits there).
+    if (dedupeIds && input.isEmpty) return
     val (sigs, buckets) = encode(input, m)
     // eager consumers both run here — release the batch signatures
     // (streaming ingest leak guard, same as [[write]])

@@ -595,6 +595,10 @@ object Similarity {
         val fresh = guarded.join(existing, Seq("vec_id"), "left_anti")
         (fresh, assignAll.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi"))
       }
+    // redelivery fast path (the LshIndex.append twin): a fully-replayed
+    // batch behind the id guard encodes and appends nothing — skip the
+    // PQ encode job for a bounded limit-1 probe
+    if (dedupeIds && input.isEmpty) return
     val encodeInput =
       if (!byResidual) input
       else input.join(assign, "vec_id")
