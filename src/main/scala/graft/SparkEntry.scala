@@ -1443,6 +1443,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup-at-ingest, the near-duplicate twin of q_ingest_curate:
+    // seed the LSH store with the even half, probe the odd half, drop
+    // batch docs that near-dup the corpus or a smaller-id batch doc
+    // (keep-first), append only survivors (LshIndex.ingestDedup) —
+    // in_store is read back from the post-append sigs sidecar, so the
+    // oracle's NOT-dropped prediction gates that the append landed
+    "q_ingest_dedup" -> ((s, dir) => withTempStore("ingestdedup") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val idx = tmp + "/index"
+      graft.operators.LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)
+      val audit = graft.operators.LshIndex.ingestDedup(s,
+        docs.filter(col("doc_id") % 2 === 1), idx)
+      val inStore = s.read.parquet(idx + "_sigs").select(col("doc_id"))
+        .distinct().withColumn("in_store", lit(true))
+      audit.join(inStore, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
+          col("dropped"),
+          coalesce(col("in_store"), lit(false)).as("in_store"))
+        .orderBy("doc_id")
+    }),
+
     // intra-doc twin: exact boundaries of >=8-token substrings repeated
     // WITHIN a document. The synthetic corpus has no natural self-
     // repetition at any k (checked), so the gate plants one
@@ -6798,6 +6819,38 @@ object SparkEntry {
          SELECT doc_id_a, doc_id_b, est_jaccard FROM est
          WHERE est_jaccard >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
+
+    // ingest-dedup replay: the union pair set at the 0.5 cut, read from
+    // each odd doc's side — store partners are even ids, smaller-id
+    // batch partners implement keep-first; a doc survives (in_store)
+    // iff it drew neither kind of partner, which is exactly what the
+    // engine reads back from the post-append sigs sidecar
+    "q_ingest_dedup" ->
+      s"""WITH ${lshCandidateCtes(16, 4)},
+         p AS (
+           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.5
+         ), sym AS (
+           SELECT doc_id_b AS doc_id, doc_id_a AS partner FROM p
+           UNION ALL
+           SELECT doc_id_a AS doc_id, doc_id_b AS partner FROM p
+         ), flags AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_store_dups,
+             CAST(sum(CASE WHEN partner % 2 = 1 AND partner < doc_id
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups
+           FROM sym WHERE doc_id % 2 = 1 GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+           CAST(coalesce(f.n_store_dups, 0) AS BIGINT) AS n_store_dups,
+           CAST(coalesce(f.n_batch_dups, 0) AS BIGINT) AS n_batch_dups,
+           (coalesce(f.n_store_dups, 0) > 0 OR coalesce(f.n_batch_dups, 0) > 0)
+             AS dropped,
+           (coalesce(f.n_store_dups, 0) = 0 AND coalesce(f.n_batch_dups, 0) = 0)
+             AS in_store
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         LEFT JOIN flags f USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // the LSH candidate path AND the exact-jaccard truth in one chain:
     // recall/precision are counts of their join — the two CTE families

@@ -246,4 +246,58 @@ object LshIndex {
     Dedup.portableEstJaccard(candidates, allSigs, m.numHashes)
       .filter(col("est_jaccard") >= threshold)
   }
+
+  /** Dedup-at-ingest — the near-duplicate twin of
+    * [[SpanStore.ingestCurate]]: probe `batch` against the store
+    * ([[probe]]: batch-vs-store collisions + intra-batch pairs), DROP
+    * every batch doc that near-duplicates the corpus or a smaller-id
+    * batch doc (the deterministic keep-first rule — smallest id of an
+    * intra-batch pair survives, exactly replayable in SQL; full
+    * transitive clustering is [[Dedup.dedupClusters]]' batch job, not
+    * an ingest decision), then [[append]] only the survivors — so the
+    * next batch is probed against corpus + survivors, never against
+    * docs a drop already removed.
+    *
+    * Returns the batch audit: (doc_id, text, n_store_dups,
+    * n_batch_dups, dropped) — n_store_dups counts ≥`threshold` pairs
+    * with STORE docs, n_batch_dups with smaller-id batch docs. The
+    * append runs EAGERLY inside this call (store mutation, not query);
+    * batch-sized tracked intermediates are released before returning —
+    * streaming-ingest safe, the [[SpanStore.ingestCurate]] contract.
+    */
+  def ingestDedup(spark: SparkSession, batch: DataFrame, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = probe(spark, batch, dir, threshold)
+    val bids = batch.select(col("doc_id"))
+    // each pair read from BOTH ends, then per-doc partner accounting;
+    // pair volume is duplication-proportional (the probe's contract)
+    val sym = pairs
+      .select(col("doc_id_b").as("doc_id"), col("doc_id_a").as("partner"))
+      .unionByName(pairs
+        .select(col("doc_id_a").as("doc_id"), col("doc_id_b").as("partner")))
+    // batch ids broadcast twice (id-only frames): keep batch-side rows,
+    // classify each partner as store or batch
+    val flags = sym
+      .join(broadcast(bids), Seq("doc_id"), "left_semi")
+      .join(broadcast(bids.select(col("doc_id").as("partner"))
+        .withColumn("__inb", lit(true))), Seq("partner"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("__inb").isNull, 1L).otherwise(0L)).as("n_store_dups"),
+        sum(when(col("__inb").isNotNull && col("partner") < col("doc_id"),
+          1L).otherwise(0L)).as("n_batch_dups"))
+    val audited = batch.select(col("doc_id"), col("text"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("n_store_dups"), lit(0L)).as("n_store_dups"),
+        coalesce(col("n_batch_dups"), lit(0L)).as("n_batch_dups"))
+      .withColumn("dropped",
+        col("n_store_dups") > 0 || col("n_batch_dups") > 0)
+    // answer-sized (one row per batch doc); materialized so the append
+    // below and the caller's reads never recompute the probe
+    val out = audited.localCheckpoint(true)
+    append(spark, out.filter(!col("dropped")).select("doc_id", "text"), dir)
+    CacheRegistry.release(spark)
+    out
+  }
 }

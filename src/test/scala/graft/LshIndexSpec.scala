@@ -120,6 +120,35 @@ class LshIndexSpec extends AnyFunSuite {
     assert(checked > 0, "compaction produced no shard directories")
   }
 
+  test("ingestDedup: drops store near-dups and keep-first intra-batch dups; appends only survivors") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val seed = Seq(0L -> base,
+      2L -> "totally different text about something else entirely here")
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      1L -> base,                                    // near-dups the store -> dropped
+      3L -> "novel one unique words nothing shared", // clean -> kept
+      5L -> "fresh iota kappa lambda mu nu xi omicron pi", // clean, first of the intra pair -> kept
+      7L -> "fresh iota kappa lambda mu nu xi omicron pi") // dups 5 -> dropped (keep-first)
+      .toDF("doc_id", "text")
+    val idx = freshStore("lsh-ingest-dedup")
+    LshIndex.write(seed, idx)
+    val audit = LshIndex.ingestDedup(spark, batch, idx)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_store_dups"), r.getAs[Long]("n_batch_dups"),
+          r.getAs[Boolean]("dropped"))).toMap
+    assert(audit(1L)._1 >= 1 && audit(1L)._3, s"doc 1 must drop on store dup: $audit")
+    assert(audit(3L) == ((0L, 0L, false)), s"clean doc kept: $audit")
+    assert(audit(5L)._2 == 0L && !audit(5L)._3, s"first of the pair kept: $audit")
+    assert(audit(7L)._2 >= 1 && audit(7L)._3, s"second of the pair dropped: $audit")
+    // only survivors' signatures entered the store
+    val sigIds = spark.read.parquet(idx + "_sigs").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    CacheRegistry.release(spark)
+    assert(sigIds == Set(0L, 2L, 3L, 5L), sigIds)
+  }
+
   test("probe's store scan partition-prunes to the batch's shards") {
     val idx = freshStore("lsh-prune")
     LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)
