@@ -1410,8 +1410,12 @@ object SparkEntry {
     "q_spanstore" -> ((s, dir) => withTempStore("spanstore") { tmp =>
       val docs = Tables.load(s, dir, "documents")
       val store = tmp + "/store"
+      // 16 shards: directory fan-out follows store size (the geometry
+      // knob's contract) — a few-MB bench store under 256 dirs paid
+      // ~2x wall in pure directory churn (r17 bench), while the
+      // 10x-store ScaleCheck stanza exercises the wide default
       operators.SpanStore.write(docs.filter(col("doc_id") % 2 === 0),
-        store, minTokens = 16)
+        store, minTokens = 16, shardChars = 1)
       operators.SpanStore.append(s, docs.filter(col("doc_id") % 2 === 1), store)
       operators.SpanStore.probe(s, docs.filter(col("doc_id") < 5), store)
         .orderBy("doc_id", "p")
@@ -1428,8 +1432,9 @@ object SparkEntry {
     "q_ingest_curate" -> ((s, dir) => withTempStore("ingestcurate") { tmp =>
       val docs = Tables.load(s, dir, "documents")
       val store = tmp + "/store"
+      // 16 shards — bench-store-sized geometry (q_spanstore note)
       operators.SpanStore.write(docs.filter(col("doc_id") % 2 === 0),
-        store, minTokens = 16)
+        store, minTokens = 16, shardChars = 1)
       val audit = operators.SpanStore.ingestCurate(s,
         docs.filter(col("doc_id") % 2 === 1), store, minKeptFrac = 0.3)
       val own = operators.SpanStore.probe(s,

@@ -1151,6 +1151,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [shard#") &&
       (plan.contains(" IN (") || plan.contains(" INSET ")),
       plan.split("\n").filter(_.contains("PartitionFilters")).mkString("\n"))
+    // …and the batch print set must SEMI-JOIN into the store scan as a
+    // broadcast BEFORE any aggregate (r16 task 1): a SortMergeJoin here
+    // means store rows shuffle — the store-proportional probe regression
+    assert(plan.contains("LeftSemi") &&
+      plan.toLowerCase.contains("broadcast"),
+      s"probe must broadcast-semi-join the batch prints into the store scan:\n$plan")
     // compaction folds the replayed rows back and keeps answers
     SpanStore.compactStore(spark, t1 + "/s", t1 + "/c")
     assert(spark.read.parquet(t1 + "/c").count() <
