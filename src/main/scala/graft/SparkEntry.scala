@@ -1957,6 +1957,21 @@ object SparkEntry {
     // oracle replays the cold chain over the union: seed-then-append ≡
     // cold build is the operator's contract, so the cold replay IS its
     // truth
+    // codebook staleness telemetry: seed the IVFADC index, then report
+    // how an incoming batch lands under the FROZEN codebook — per-
+    // centroid store mass vs batch mass vs 6dp-fixed-point mean
+    // assignment cosine; the "rebuild the codebook now?" dashboard row
+    "q_ivf_drift" -> ((s, dir) => withTempStore("ivfdrift") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      val seed = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
+      Similarity.writeIvfPqIndex(seed, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.ivfDriftReport(s, idx,
+          emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1))
+        .orderBy("centroid_id")
+    }),
+
     "q_ivf_pq_append" -> ((s, dir) => withTempStore("ivfpqapp") { tmp =>
       val emb = Tables.load(s, dir, "embeddings")
       val idx = tmp + "/index"
@@ -5837,6 +5852,44 @@ object SparkEntry {
     // codebook, duplicated codes doubling an ADC sum, dropped rows)
     // hash-mismatches here
     "q_ivf_pq_append" -> ivfPqChainSql,
+
+    // drift replay: seed assignment feeds the store counts, batch
+    // assignment carries round-half-up 6dp fixed-point cosines whose
+    // LONG sum makes the mean engine-exact; unhit centroids read the
+    // -1.0 sentinel, never NULL
+    "q_ivf_drift" ->
+      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         seed AS (SELECT vec_id, e FROM ec WHERE vec_id < 32 OR vec_id % 2 = 0),
+         batch AS (SELECT vec_id, e FROM ec WHERE vec_id >= 32 AND vec_id % 2 = 1),
+         sa AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT x.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM seed x CROSS JOIN c) WHERE rn = 1),
+         ba AS (
+           SELECT vec_id, centroid_id,
+             CAST(floor(cos6 * 1000000 + 0.5) AS BIGINT) AS c6
+           FROM (
+             SELECT x.vec_id, c.centroid_id,
+               round(list_cosine_similarity(x.e, c.e), 6) AS cos6,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM batch x CROSS JOIN c) WHERE rn = 1),
+         ns AS (
+           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_store
+           FROM sa GROUP BY 1),
+         nb AS (
+           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_batch,
+             round(sum(c6) / 1000000.0 / count(*), 6) AS mean_cos_batch
+           FROM ba GROUP BY 1)
+         SELECT c.centroid_id,
+           CAST(coalesce(ns.n_store, 0) AS BIGINT) AS n_store,
+           CAST(coalesce(nb.n_batch, 0) AS BIGINT) AS n_batch,
+           coalesce(nb.mean_cos_batch, -1.0) AS mean_cos_batch
+         FROM c LEFT JOIN ns USING (centroid_id) LEFT JOIN nb USING (centroid_id)
+         ORDER BY c.centroid_id""",
 
     // q_ivf_pq with residual codes: res subtracts each vector's assigned
     // centroid IN DOUBLE, the PQ chain (codebooks, encode, LUT) runs on

@@ -616,6 +616,66 @@ object Similarity {
       .option("compression", "zstd").parquet(dir)
   }
 
+  /** Codebook staleness monitor — the rebuild TRIGGER the frozen-
+    * geometry contract defers to ([[appendIvfPq]]: "the production
+    * pattern is periodic offline rebuild"; this tells you WHEN): assign
+    * an incoming batch under the index's frozen `_codebook` and report,
+    * per centroid, how the batch lands next to what the store already
+    * holds. A drifting corpus shows up as (a) assignment mass piling
+    * onto few centroids (n_batch skew vs n_store — probe-pruning decays
+    * toward a full scan) and (b) falling assignment cosines
+    * (mean_cos_batch — codes quantize vectors ever farther from their
+    * centroid, recall decays at fixed nprobe).
+    *
+    * Output: (centroid_id, n_store, n_batch, mean_cos_batch), one row
+    * per codebook centroid; mean_cos_batch is −1.0 for centroids the
+    * batch never hit (sentinel, not NULL — hash-gate friendly).
+    * n_store reads the code table's per-partition row counts / m (a
+    * column-pruned count, never a vector read). The batch-side mean
+    * sums 6dp-fixed-point cosines in LONGs (the [[Pq]] quantization
+    * idiom), so it replays bit-exact in the oracle.
+    *
+    * Scale shape: one broadcast-codebook assignment pass over the
+    * BATCH (map-side, the [[assignProbes]] aggregate), one count-only
+    * scan of the code table grouped by its partition key, one
+    * codebook-sized join — nothing corpus-×-centroids, no vector
+    * re-read of the store.
+    */
+  def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): DataFrame = {
+    val m = StoreMeta.read(dir)("m").toInt
+    val ivfCodebook = spark.read.parquet(dir + "_codebook")
+    val centroids = broadcastCentroids(ivfCodebook)
+    val assigned = assignProbes(
+        withNorm(batch, "vec_id", "vec_id"), centroids, 1, "__r")
+      .select(col("vec_id"), col("centroid_id"), col("embedding"),
+        col("__norm"))
+    // re-derive the winning cosine as a 6dp fixed-point long: LONG sums
+    // are exact in any engine, so the mean replays bit-for-bit (the
+    // floor(x*Q + 0.5) idiom from [[Pq.adcScore]]'s quantization)
+    val withCos = assigned
+      .join(broadcast(ivfCodebook.select(col("vec_id").as("centroid_id"),
+        col("embedding").as("__c_emb"))), "centroid_id")
+      .withColumn("__cos6",
+        floor(round(dot(col("__c_emb"), col("embedding"))
+          / (l2norm(col("__c_emb")) * col("__norm")), 6) * 1e6 + 0.5)
+          .cast("long"))
+    val batchSide = withCos.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_batch"),
+        round((sum(col("__cos6")) / 1e6) / count(lit(1)), 6)
+          .as("mean_cos_batch"))
+    val storeSide = spark.read.parquet(dir)
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg((count(lit(1)) / lit(m)).cast("long").as("n_store"))
+    ivfCodebook.select(col("vec_id").as("centroid_id"))
+      .join(storeSide, Seq("centroid_id"), "left")
+      .join(batchSide, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_store"), lit(0L)).as("n_store"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("mean_cos_batch"), lit(-1.0)).as("mean_cos_batch"))
+  }
+
   /** Compact an IVFADC code table that [[appendIvfPq]] has grown by
     * accumulation: every append drops at least one new file into each
     * touched `centroid_id=` directory, and at streaming cadence the

@@ -2455,6 +2455,38 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected partition-pruned index scan:\n$plan")
   }
 
+  test("ivfDriftReport: in-distribution batch reads high cosines; shifted batch reads the drift") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivfdrift-spec")
+      .toString + "/ix"
+    val seed = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
+    Similarity.writeIvfPqIndex(seed, idx, numCentroids = 32, m = 4,
+      ksub = 16, dim = 64)
+    val batch = emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1)
+    def report(b: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfDriftReport(spark, idx, b).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inDist = report(batch)
+    // mass accounting: one row per codebook centroid, store mass = the
+    // encoded seed, batch mass = the whole batch
+    assert(inDist.length == 32)
+    assert(inDist.map(_._2).sum == seed.count(), "n_store must sum to the seed")
+    assert(inDist.map(_._3).sum == batch.count(), "n_batch must sum to the batch")
+    // unhit centroids carry the -1.0 sentinel, hit ones a real cosine
+    assert(inDist.forall { case (_, _, nb, mc) =>
+      if (nb == 0L) mc == -1.0 else mc > -1.0 })
+    // DRIFT: negate the batch — assignment cosines flip sign, so the
+    // report's mean assignment quality must fall for every hit centroid
+    val neg = batch.select(col("vec_id"),
+      expr("transform(embedding, x -> -x)").as("embedding"))
+    val shifted = report(neg)
+    def meanHit(rs: Array[(Long, Long, Long, Double)]) = {
+      val hit = rs.filter(_._3 > 0); hit.map(_._4).sum / hit.length
+    }
+    assert(meanHit(shifted) < meanHit(inDist),
+      s"negated batch must read as drift: ${meanHit(shifted)} vs ${meanHit(inDist)}")
+  }
+
   test("ivfadc index: pruned code probe equals flat-ADC restricted to the probe sets") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("ivfpq-spec").toString + "/ix"
