@@ -246,6 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
+          |              spancurate|lshdedup|ivfdrift|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -263,6 +264,11 @@ object Cli {
           |          lshbuild: -in documents -index dir [-hashes N] [-bands N] [-shingle N] [-shards N];
           |          lshappend: -in <new-batch documents> -index dir [-dedupe-ids true];
           |          lshprobe: -in <new-batch documents> -index dir [-threshold X];
+          |          lshdedup: -in <new-batch documents> -index dir [-threshold X]
+          |            (drop near-dups of store or smaller-id batch docs, append survivors);
+          |          spancurate: -in <new-batch documents> -index dir [-min-kept-frac X]
+          |            (trim corpus-duplicated spans, drop mostly-dup docs, append survivors);
+          |          ivfdrift: -in <batch embeddings> -index dir (codebook staleness report);
           |          lshcompact: -index dir -dest dir [-files N];
           |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
           |          auc/avgprec/calibrate/brier: -in <scored parquet> [-score-expr e]
@@ -792,6 +798,13 @@ object Cli {
       // IVFADC maintenance: -in is a batch of NEW vectors; encode them
       // against the existing index's frozen codebooks and append. The
       // result table is the per-centroid vector census after the append.
+      // codebook drift telemetry: how a batch lands under the frozen
+      // codebook vs what the store holds — the rebuild-now dashboard
+      case "ivfdrift" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op ivfdrift requires -index <dir> (an existing ivfpq index)"))
+        Similarity.ivfDriftReport(spark, idx, docs).orderBy("centroid_id")
+      }
       case "ivfpqappend" => {
         val idx = flags.getOrElse("index",
           fail("corpus -op ivfpqappend requires -index <dir> (an existing ivfpq index)"))
@@ -935,6 +948,27 @@ object Cli {
         val idx = flags.getOrElse("index",
           fail("corpus -op spanprobe requires -index <dir> (an existing span store)"))
         SpanStore.probe(spark, docs, idx).orderBy("doc_id", "p")
+      }
+      // decontaminate-at-ingest: probe -> trim -> drop -> append
+      // survivors as one lineage; prints the per-doc audit
+      case "spancurate" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op spancurate requires -index <dir> (an existing span store)"))
+        SpanStore.ingestCurate(spark, docs, idx,
+            minKeptFrac = flags.getOrElse("min-kept-frac", "0.3").toDouble)
+          .select(col("doc_id"), col("n_tokens_before"),
+            col("n_tokens_kept"), col("dropped"))
+          .orderBy("doc_id")
+      }
+      // dedup-at-ingest: probe -> keep-first drop -> append survivors
+      case "lshdedup" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op lshdedup requires -index <dir> (an existing lsh store)"))
+        LshIndex.ingestDedup(spark, docs, idx,
+            threshold = threshold(0.5))
+          .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
+            col("dropped"))
+          .orderBy("doc_id")
       }
       case "spancompact" => {
         val idx = flags.getOrElse("index",

@@ -318,6 +318,12 @@ class CliSpec extends AnyFunSuite {
         "in" -> batchPath, "op" -> "ivfpqappend", "index" -> idx))
     }
     assert(app.contains("n_vectors") && app.contains("Rows: "))
+    // codebook drift telemetry from the shell: one row per centroid
+    val drift = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> batchPath, "op" -> "ivfdrift", "index" -> idx))
+    }
+    assert(drift.contains("mean_cos_batch") && drift.contains("Rows: 16"), drift)
     // duplication tell: a clean m=4 index carries exactly 4 code rows per
     // vector, and the census must surface the raw count that proves it
     assert(app.contains("n_code_rows"))
@@ -356,6 +362,12 @@ class CliSpec extends AnyFunSuite {
     }
     assert(probe.contains("est_jaccard") && probe.contains("Rows: "))
     assert(spark.read.parquet(idx).count() == rowsBefore)
+    // dedup-at-ingest from the shell: audit + survivors-only admission
+    val ded = captureOut {
+      Cli.runCorpus(spark, Map(
+        "in" -> batchPath, "op" -> "lshdedup", "index" -> idx))
+    }
+    assert(ded.contains("n_store_dups") && ded.contains("dropped"), ded)
     val app = captureOut {
       Cli.runCorpus(spark, Map(
         "in" -> batchPath, "op" -> "lshappend", "index" -> idx))
@@ -443,6 +455,12 @@ class CliSpec extends AnyFunSuite {
         "index" -> idx))
     }
     assert(pr.contains("n_store_docs"), pr)
+    // curate-at-ingest from the shell: audit columns + the drop verdict
+    val cu = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "spancurate",
+        "index" -> idx))
+    }
+    assert(cu.contains("n_tokens_kept") && cu.contains("dropped"), cu)
     intercept[Cli.CliError] {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "spanprobe"))
     }
