@@ -1036,6 +1036,68 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Continuous dedup-at-ingest — [[streamingCurateIngest]]'s near-
+    * duplicate sibling ([[graft.operators.LshIndex.ingestDedup]]): the
+    * first batch cold-builds the LSH store (nothing to deduplicate
+    * against), every later batch is probed, near-dups of the corpus or
+    * of smaller-id batchmates drop, survivors append. Audit rows
+    * (doc_id, text, n_store_dups, n_batch_dups, dropped) append to
+    * `auditDir`. The commit fence is CORRECTNESS here exactly as in the
+    * curate twin: a replayed batch probed against its own admitted
+    * survivors would read them back as store near-dups and drop
+    * everything.
+    */
+  def streamingDedupIngest(
+      spark: SparkSession,
+      docsDir: String,
+      storeDir: String,
+      auditDir: String,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(docsDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docsDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
+    val fs = metaPath.getFileSystem(hconf)
+    val commitPath = checkpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
+    val writer0 = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val replayed = commitPath.exists(p =>
+          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
+        if (!replayed) {
+          val b = batch.toDF().localCheckpoint(true)
+          try {
+            if (!fs.exists(metaPath)) {
+              graft.operators.LshIndex.write(b, storeDir)
+              b.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+                .withColumn("n_store_dups", lit(0L))
+                .withColumn("n_batch_dups", lit(0L))
+                .withColumn("dropped", lit(false))
+                .write.mode("append").option("compression", "zstd")
+                .parquet(auditDir)
+            } else {
+              graft.operators.LshIndex
+                .ingestDedup(spark, b, storeDir, threshold)
+                .write.mode("append").option("compression", "zstd")
+                .parquet(auditDir)
+            }
+          } finally graft.operators.Lineage.release(b)
+          commitPath.foreach(p =>
+            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
+        }
+        ()
+      }
+    val writer = checkpointDir
+      .fold(writer0)(d => writer0.option("checkpointLocation", d))
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Files-per-centroid level above which an un-thresholded ingest warns
     * (≈ the point where probe open/footer cost is measurable next to the
     * pruned scan itself).

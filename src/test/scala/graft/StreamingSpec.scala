@@ -369,6 +369,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(audit).count() == auditCount)
   }
 
+  test("streaming dedup-ingest equals the driver loop; replay fence holds") {
+    val docsDir = tmpDir("stream-dedup")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-dedup-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, docsDir.resolve(name))
+    }
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    addFile(b0, "f0.parquet"); addFile(b1, "f1.parquet"); addFile(b2, "f2.parquet")
+    val store = tmpDir("stream-dedup-store").toString + "/store"
+    val audit = tmpDir("stream-dedup-audit").toString + "/audit"
+    val ckpt = tmpDir("stream-dedup-ckpt").toString
+    Streaming.streamingDedupIngest(spark, docsDir.toString, store, audit,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    val twinStore = tmpDir("stream-dedup-twin").toString + "/store"
+    graft.operators.LshIndex.write(b0, twinStore)
+    val a1 = graft.operators.LshIndex.ingestDedup(spark, b1, twinStore)
+    val a2 = graft.operators.LshIndex.ingestDedup(spark, b2, twinStore)
+    def auditRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_store_dups", "n_batch_dups", "dropped")
+      .collect().map(_.toSeq).toSet
+    val streamed = auditRows(spark.read.parquet(audit)
+      .filter(col("doc_id") % 3 =!= 0))
+    assert(streamed == auditRows(a1.unionByName(a2)) && streamed.nonEmpty,
+      "streamed dedup audit must equal the driver loop's")
+    // both paths admitted the same survivor set
+    def sigIds(dir: String) = spark.read.parquet(dir + "_sigs")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sigIds(store) == sigIds(twinStore))
+    graft.operators.CacheRegistry.release(spark)
+    // replay fence: same stream, same checkpoint — no growth, no flips
+    val auditCount = spark.read.parquet(audit).count()
+    val sigCount = spark.read.parquet(store + "_sigs").count()
+    Streaming.streamingDedupIngest(spark, docsDir.toString, store, audit,
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(audit).count() == auditCount)
+    assert(spark.read.parquet(store + "_sigs").count() == sigCount)
+  }
+
   test("LSH in-place compaction: widest shard shrinks, pair set unchanged") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val store = tmpDir("lsh-compact-inplace").toString + "/store"
