@@ -868,6 +868,23 @@ object SparkEntry {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // the pairs-only leakage fix (vs q_split_leakage's CC report and
+    // q_cluster_split's family-hash reassignment): every non-train doc
+    // with a near-dup partner quarantines to train — one pass, closed
+    // (all pair endpoints end in train), no CC job needed, and eval
+    // sets come out near-dup-FREE; pairs from the proven portable
+    // MinHash path at the q_minhash_neardup geometry
+    "q_split_quarantine" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.leakageSafeSplit(docs,
+          Dedup.minHashNearDupPortable(docs, numHashes = 16, bands = 4,
+            shingleSize = 3, threshold = 0.5),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split_raw"), col("n_dup_partners"),
+          col("moved"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // curriculum data order: length-band stages easy→hard (bounded:
     // n_chars ≤ ~600 in this corpus → ≤ 7 stages; curricula are coarse
     // by contract), epoch-key shuffle within each stage, contiguous
@@ -4337,6 +4354,37 @@ object SparkEntry {
                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
                FROM documents)
          ORDER BY doc_id""",
+
+    // leakage-safe split replay: the q_split bucket arithmetic plus the
+    // portable-MinHash pair set; non-train docs with any partner move
+    // to train (the one-pass-closed quarantine)
+    "q_split_quarantine" ->
+      s"""WITH ${lshCandidateCtes(16, 4)},
+         p AS (
+           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.5
+         ), parts AS (
+           SELECT doc_id_b AS doc_id FROM p
+           UNION ALL
+           SELECT doc_id_a AS doc_id FROM p
+         ), np AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_partners
+           FROM parts GROUP BY doc_id
+         ), raw AS (
+           SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+               ELSE 'test' END AS split_raw
+           FROM (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+                 FROM documents)
+         )
+         SELECT r.doc_id, r.split_raw,
+           CAST(coalesce(np.n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
+           (r.split_raw <> 'train' AND coalesce(np.n_dup_partners, 0) > 0)
+             AS moved,
+           CASE WHEN r.split_raw <> 'train' AND coalesce(np.n_dup_partners, 0) > 0
+             THEN 'train' ELSE r.split_raw END AS split
+         FROM raw r LEFT JOIN np USING (doc_id)
+         ORDER BY r.doc_id""",
 
     // the bucketed range join must equal the plain inequality join
     "q_range_join" ->

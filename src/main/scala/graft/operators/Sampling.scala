@@ -45,6 +45,68 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe split — [[deterministicSplit]] with the train/eval
+    * near-duplicate quarantine (the Lee-et-al train-test-leakage
+    * concern): a near-duplicated doc sitting in val/test lets the model
+    * be graded on text it trained on. Given the corpus' near-dup PAIR
+    * set (any frame with doc_id_a < doc_id_b — [[Dedup
+    * .minHashNearDupPortable]] output, or [[LshIndex.lshPairs]] read
+    * from the store), every NON-train doc that has any near-dup partner
+    * moves to `trainName`; train docs never move.
+    *
+    * Third member of the leakage family, each with a different
+    * requirement: [[splitLeakage]] REPORTS leaked families (needs CC
+    * labels), q_cluster_split reassigns whole families by canonical-id
+    * hash (zero leakage, keeps family-sized eval mass, needs the
+    * iterative CC job), while THIS needs only the pair set — no
+    * connected components, so it composes with the incremental stores
+    * ([[LshIndex.lshPairs]]) at ingest cadence — and additionally
+    * leaves eval sets near-dup-FREE (a family parked whole in val by
+    * the cluster split still grades the model on n near-copies of one
+    * text; here the non-train copies quarantine out).
+    *
+    * Why quarantine-to-train rather than "move only cross-split pairs":
+    * that narrower rule is NOT closed under one pass — moving a val doc
+    * to train (for its test partner) turns its same-split val pairs
+    * into new train/val leaks, and chasing them is connected-components
+    * ([[Dedup.dedupClusters]], the batch job). Quarantining every
+    * duplicated non-train doc makes ALL pair endpoints end in train in
+    * one pass (each endpoint is train already or moves), so the final
+    * assignment has zero cross-split near-dup pairs by construction —
+    * and eval sets are additionally dup-FREE, which is the published
+    * eval-hygiene stance anyway.
+    *
+    * Output: (…docs, split_raw, n_dup_partners, moved, split). Scale
+    * shape: the partner count aggregates the pair set (duplication-
+    * proportional, never corpus²) and joins the corpus on its id — one
+    * shuffle of answer-sized flags; the split expression stays the
+    * md5-bucket map-side arithmetic.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)],
+      trainName: String = "train",
+      buckets: Int = 10000): DataFrame = {
+    require(fractions.exists(_._1 == trainName),
+      s"fractions must contain the quarantine split '$trainName'")
+    val raw = deterministicSplit(docs, idCol, fractions, buckets)
+      .withColumnRenamed("split", "split_raw")
+    val partners = pairs
+      .select(col("doc_id_a").as(idCol))
+      .unionByName(pairs.select(col("doc_id_b").as(idCol)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_partners"))
+    raw.join(partners, Seq(idCol), "left")
+      .withColumn("n_dup_partners",
+        coalesce(col("n_dup_partners"), lit(0L)))
+      .withColumn("moved",
+        col("split_raw") =!= trainName && col("n_dup_partners") > 0)
+      .withColumn("split",
+        when(col("moved"), lit(trainName)).otherwise(col("split_raw")))
+  }
+
   /** Rendezvous (highest-random-weight) shard routing: shard(key) =
     * argmax over s < `shards` of md5(key:s) — Thaler & Ravishankar's
     * HRW construction. The property [[deterministicSplit]]'s mod-hash

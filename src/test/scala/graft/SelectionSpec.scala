@@ -334,4 +334,34 @@ class SelectionSpec extends AnyFunSuite {
     assert(Sampling.splitLeakage(labels, fixed)
       .filter(col("leaks")).count() == 0L)
   }
+
+  test("leakageSafeSplit: one pass leaves zero cross-split pairs and dup-free eval sets") {
+    // enough docs that the md5 split populates every band, plus a
+    // random-ish pair set including chains that defeat the narrower
+    // "move only cross-split endpoints" rule
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (0L until 130L).map(i => (i, i + 137L))
+      .filter { case (a, b) => a < b }
+      .toDF("doc_id_a", "doc_id_b")
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("split_raw"), r.getAs[String]("split"),
+        r.getAs[Boolean]("moved"))).toMap
+    // closure: no pair straddles final splits, and no paired doc
+    // remains in an eval set
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(byId(a)._2 == "train" && byId(b)._2 == "train",
+        s"pair ($a,$b) endpoints must both end in train: ${byId(a)} ${byId(b)}")
+    }
+    // unpaired docs never move
+    val paired = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    byId.foreach { case (id, (raw, fin, moved)) =>
+      if (!paired.contains(id)) assert(raw == fin && !moved, s"$id moved unpaired")
+      else if (raw == "train") assert(fin == "train" && !moved)
+    }
+    // the raw split itself had leaks for this pair set (the test bites)
+    assert(out.filter(col("moved")).count() > 0L)
+  }
 }
