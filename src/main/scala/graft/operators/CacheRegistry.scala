@@ -37,4 +37,32 @@ object CacheRegistry {
     val q = reg.remove(spark)
     if (q != null) q.forEach(_.unpersist(false))
   }
+
+  /** Queue position marker for [[releaseSince]]. */
+  private[graft] def mark(spark: SparkSession): Int = {
+    val q = reg.get(spark)
+    if (q == null) 0 else q.size()
+  }
+
+  /** Unpersist only intermediates tracked AFTER `mark` — the operator-
+    * scoped release for eager compositions (SpanStore.ingestCurate,
+    * LshIndex.ingestDedup) that clean up their own probe caches inside
+    * the call WITHOUT dropping sibling operators' still-lazy
+    * intermediates the way a session-wide [[release]] would.
+    * Single-driver-thread discipline: a mark taken around concurrent
+    * track() calls from parallel jobs may release a superset, which is
+    * safe (release is always safe), just less precise.
+    */
+  private[graft] def releaseSince(spark: SparkSession, mark: Int): Unit = {
+    val q = reg.get(spark)
+    if (q != null) {
+      val it = q.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val df = it.next()
+        if (i >= mark) { df.unpersist(false); it.remove() }
+        i += 1
+      }
+    }
+  }
 }

@@ -267,6 +267,7 @@ object LshIndex {
     */
   def ingestDedup(spark: SparkSession, batch: DataFrame, dir: String,
       threshold: Double = 0.5): DataFrame = {
+    val __mk = CacheRegistry.mark(spark)
     val pairs = probe(spark, batch, dir, threshold)
     val bids = batch.select(col("doc_id"))
     // each pair read from BOTH ends, then per-doc partner accounting;
@@ -297,7 +298,7 @@ object LshIndex {
     // below and the caller's reads never recompute the probe
     val out = audited.localCheckpoint(true)
     append(spark, out.filter(!col("dropped")).select("doc_id", "text"), dir)
-    CacheRegistry.release(spark)
+    CacheRegistry.releaseSince(spark, __mk)
     out
   }
 }

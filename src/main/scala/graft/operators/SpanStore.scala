@@ -218,6 +218,7 @@ object SpanStore {
       broadcastProbe: Boolean = true): DataFrame = {
     require(minKeptFrac >= 0.0 && minKeptFrac <= 1.0,
       s"minKeptFrac must be in [0,1], got $minKeptFrac")
+    val __mk = CacheRegistry.mark(spark)
     val (k, _) = readGeometry(dir)
     val hits = probe(spark, batch, dir, broadcastProbe)
     val trimmed = Dedup.trimSpans(
@@ -236,7 +237,7 @@ object SpanStore {
     // the probe's tracked batch fingerprints served every consumer
     // (trim + append ran eagerly above) — release them now so ingest
     // cadence doesn't grow executor storage one cached frame per batch
-    CacheRegistry.release(spark)
+    CacheRegistry.releaseSince(spark, __mk)
     out
   }
 }
