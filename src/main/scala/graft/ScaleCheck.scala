@@ -1497,6 +1497,27 @@ object ScaleCheck {
       require(r1 < storeRows10 / 10 / 5,
         s"probe shuffle volume ($r1) is store-proportional " +
           s"(1x store has ~${storeRows10 / 10} rows)")
+      // the FULL curate lineage (probe -> trim -> drop -> append
+      // survivors) on the same stores: wall must track the batch, not
+      // the store — the decontaminate-at-ingest 100 TB claim. Identical
+      // batch + identical matching content => identical audits; the
+      // 10x run may cost more IO (bigger dirs to list) but bounded.
+      def curate(store: String): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val audit = operators.SpanStore.ingestCurate(spark, batch, store)
+        val trimmed = audit.filter(col("n_tokens_kept") < col("n_tokens_before")).count()
+        val dropped = audit.filter(col("dropped")).count()
+        (trimmed, dropped, (System.nanoTime() - t0) / 1e9)
+      }
+      val (t1, d1, w1c) = curate(s"$sdir/s1")
+      val (t10, d10, w10c) = curate(s"$sdir/s10")
+      println(f"[scale] ingest-curate: 1x trimmed=$t1 dropped=$d1 ($w1c%.1f s), " +
+        f"10x trimmed=$t10 dropped=$d10 ($w10c%.1f s)")
+      require(t1 == t10 && d1 == d10 && t1 > 0,
+        s"same batch vs same matching content must curate identically: " +
+          s"($t1,$d1) vs ($t10,$d10)")
+      require(w10c < w1c * 3 + 5,
+        f"curate wall grew with STORE size ($w1c%.1f -> $w10c%.1f s)")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
     }
     operators.CacheRegistry.release(spark)
