@@ -779,13 +779,53 @@ object Streaming {
       dedupeIds: Boolean = false): Unit = {
     autoCompactThreshold.foreach(t => require(t >= 1,
       "autoCompactThreshold must be >= 1 file per centroid"))
-    val schema = spark.read.parquet(embDir).schema
+    shardedStoreIngest(spark, embDir, indexDir,
+        maxFilesPerTrigger, checkpointDir) { (b, cold) =>
+      if (cold)
+        graft.operators.Similarity.writeIvfPqIndex(b, indexDir, numCentroids)
+      else graft.operators.Similarity.appendIvfPq(spark, b, indexDir, dedupeIds)
+    } { fs =>
+      val files = maxFilesPerCentroid(fs, indexDir)
+      autoCompactThreshold match {
+        case Some(thr) if files > thr =>
+          compactInPlace(spark, fs, indexDir)
+        case None if files > compactionWatermark =>
+          System.err.println(s"[graft] IVFADC index at $indexDir has " +
+            s"$files files in its widest centroid partition — run " +
+            "compactIvfPq (or set autoCompactThreshold) before the " +
+            "probe's per-file overhead dominates")
+        case _ => ()
+      }
+    }
+  }
+
+  /** The shared sharded-store ingest chassis — [[windowStoreIngest]]'s
+    * sibling for the doc/vector stores (IVFADC codes, LSH buckets,
+    * span prints, and the curating admissions): schema'd file stream →
+    * AvailableNow foreachBatch → `body(batch, cold)` where `cold`
+    * means the store has no geometry sidecar yet (first batch), all
+    * inside the batchId replay fence; `afterBatch` runs POST-commit —
+    * the small-file health checks (warn / in-place compact-and-swap)
+    * are idempotent maintenance, so they sit outside the fence exactly
+    * as the hand-rolled loops had them. The batch is locally
+    * checkpointed so the body's multiple consumers (probe + append in
+    * the curating twins) never re-read the stream source.
+    */
+  private def shardedStoreIngest(
+      spark: SparkSession,
+      inDir: String,
+      storeDir: String,
+      maxFilesPerTrigger: Option[Int],
+      checkpointDir: Option[String])(
+      body: (org.apache.spark.sql.DataFrame, Boolean) => Unit)(
+      afterBatch: org.apache.hadoop.fs.FileSystem => Unit = _ => ()): Unit = {
+    val schema = spark.read.parquet(inDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(embDir)
+      .parquet(inDir)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val metaPath = new org.apache.hadoop.fs.Path(indexDir + "_meta")
+    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
     val fs = metaPath.getFileSystem(hconf)
     val commitPath = checkpointDir.map(d =>
       new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
@@ -795,24 +835,11 @@ object Streaming {
           IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
         if (!replayed) {
           val b = batch.toDF().localCheckpoint(true)
-          try {
-            if (!fs.exists(metaPath))
-              graft.operators.Similarity.writeIvfPqIndex(b, indexDir, numCentroids)
-            else graft.operators.Similarity.appendIvfPq(spark, b, indexDir, dedupeIds)
-          } finally graft.operators.Lineage.release(b)
+          try body(b, !fs.exists(metaPath))
+          finally graft.operators.Lineage.release(b)
           commitPath.foreach(p =>
             IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
-          val files = maxFilesPerCentroid(fs, indexDir)
-          autoCompactThreshold match {
-            case Some(thr) if files > thr =>
-              compactInPlace(spark, fs, indexDir)
-            case None if files > compactionWatermark =>
-              System.err.println(s"[graft] IVFADC index at $indexDir has " +
-                s"$files files in its widest centroid partition — run " +
-                "compactIvfPq (or set autoCompactThreshold) before the " +
-                "probe's per-file overhead dominates")
-            case _ => ()
-          }
+          afterBatch(fs)
         }
         ()
       }
@@ -849,53 +876,29 @@ object Streaming {
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
       dedupeIds: Boolean = false,
-      autoCompactThreshold: Option[Int] = None): Unit = {
-    val schema = spark.read.parquet(docsDir).schema
-    val reader = spark.readStream.schema(schema)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(docsDir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
-    val fs = metaPath.getFileSystem(hconf)
-    val commitPath = checkpointDir.map(d =>
-      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
-    val writer0 = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val replayed = commitPath.exists(p =>
-          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
-        if (!replayed) {
-          val b = batch.toDF().localCheckpoint(true)
-          try {
-            if (!fs.exists(metaPath))
-              graft.operators.LshIndex.write(b, storeDir,
-                numHashes, bands, shingleSize, nShards)
-            else graft.operators.LshIndex.append(spark, b, storeDir, dedupeIds)
-          } finally graft.operators.Lineage.release(b)
-          commitPath.foreach(p =>
-            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
-          // same small-file health check as the IVF twin: every append
-          // drops >= 1 file per touched shard forever — growth must be
-          // visible (warn) or handled (auto-compact), never silent
-          val files = maxFilesPerShard(fs, storeDir)
-          autoCompactThreshold match {
-            case Some(thr) if files > thr =>
-              compactLshInPlace(spark, fs, storeDir)
-            case None if files > compactionWatermark =>
-              System.err.println(s"[graft] LSH store at $storeDir has " +
-                s"$files files in its widest shard partition — run " +
-                "compactLsh (or set autoCompactThreshold) before the " +
-                "probe's per-file overhead dominates")
-            case _ => ()
-          }
-        }
-        ()
+      autoCompactThreshold: Option[Int] = None): Unit =
+    shardedStoreIngest(spark, docsDir, storeDir,
+        maxFilesPerTrigger, checkpointDir) { (b, cold) =>
+      if (cold)
+        graft.operators.LshIndex.write(b, storeDir,
+          numHashes, bands, shingleSize, nShards)
+      else graft.operators.LshIndex.append(spark, b, storeDir, dedupeIds)
+    } { fs =>
+      // same small-file health check as the IVF twin: every append
+      // drops >= 1 file per touched shard forever — growth must be
+      // visible (warn) or handled (auto-compact), never silent
+      val files = maxFilesPerShard(fs, storeDir)
+      autoCompactThreshold match {
+        case Some(thr) if files > thr =>
+          compactLshInPlace(spark, fs, storeDir)
+        case None if files > compactionWatermark =>
+          System.err.println(s"[graft] LSH store at $storeDir has " +
+            s"$files files in its widest shard partition — run " +
+            "compactLsh (or set autoCompactThreshold) before the " +
+            "probe's per-file overhead dominates")
+        case _ => ()
       }
-    val writer = checkpointDir
-      .fold(writer0)(d => writer0.option("checkpointLocation", d))
-    val q = writer.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+    }
 
   /** Continuous span-print store maintenance — the
     * [[streamingLshIngest]] twin for EXACT substring dedup
@@ -917,50 +920,25 @@ object Streaming {
       minTokens: Int = 16,
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
-      autoCompactThreshold: Option[Int] = None): Unit = {
-    val schema = spark.read.parquet(docsDir).schema
-    val reader = spark.readStream.schema(schema)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(docsDir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
-    val fs = metaPath.getFileSystem(hconf)
-    val commitPath = checkpointDir.map(d =>
-      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
-    val writer0 = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val replayed = commitPath.exists(p =>
-          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
-        if (!replayed) {
-          val b = batch.toDF().localCheckpoint(true)
-          try {
-            if (!fs.exists(metaPath))
-              graft.operators.SpanStore.write(b, storeDir, minTokens)
-            else graft.operators.SpanStore.append(spark, b, storeDir)
-          } finally graft.operators.Lineage.release(b)
-          commitPath.foreach(p =>
-            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
-          val files = maxFilesPerShard(fs, storeDir)
-          autoCompactThreshold match {
-            case Some(thr) if files > thr =>
-              compactWindowStoreInPlace(fs, storeDir, staging =>
-                graft.operators.SpanStore.compactStore(spark, storeDir, staging))
-            case None if files > compactionWatermark =>
-              System.err.println(s"[graft] span store at $storeDir has " +
-                s"$files files in its widest shard partition — run " +
-                "SpanStore.compactStore (or set autoCompactThreshold) " +
-                "before probe per-file overhead dominates")
-            case _ => ()
-          }
-        }
-        ()
+      autoCompactThreshold: Option[Int] = None): Unit =
+    shardedStoreIngest(spark, docsDir, storeDir,
+        maxFilesPerTrigger, checkpointDir) { (b, cold) =>
+      if (cold) graft.operators.SpanStore.write(b, storeDir, minTokens)
+      else graft.operators.SpanStore.append(spark, b, storeDir)
+    } { fs =>
+      val files = maxFilesPerShard(fs, storeDir)
+      autoCompactThreshold match {
+        case Some(thr) if files > thr =>
+          compactWindowStoreInPlace(fs, storeDir, staging =>
+            graft.operators.SpanStore.compactStore(spark, storeDir, staging))
+        case None if files > compactionWatermark =>
+          System.err.println(s"[graft] span store at $storeDir has " +
+            s"$files files in its widest shard partition — run " +
+            "SpanStore.compactStore (or set autoCompactThreshold) " +
+            "before probe per-file overhead dominates")
+        case _ => ()
       }
-    val writer = checkpointDir
-      .fold(writer0)(d => writer0.option("checkpointLocation", d))
-    val q = writer.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+    }
 
   /** Continuous decontaminate-at-ingest — [[streamingSpanIngest]] with
     * the curation step composed in ([[graft.operators.SpanStore
@@ -989,52 +967,27 @@ object Streaming {
       minTokens: Int = 16,
       minKeptFrac: Double = 0.3,
       maxFilesPerTrigger: Option[Int] = None,
-      checkpointDir: Option[String] = None): Unit = {
-    val schema = spark.read.parquet(docsDir).schema
-    val reader = spark.readStream.schema(schema)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(docsDir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
-    val fs = metaPath.getFileSystem(hconf)
-    val commitPath = checkpointDir.map(d =>
-      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
-    val writer0 = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val replayed = commitPath.exists(p =>
-          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
-        if (!replayed) {
-          val b = batch.toDF().localCheckpoint(true)
-          try {
-            if (!fs.exists(metaPath)) {
-              graft.operators.SpanStore.write(b, storeDir, minTokens)
-              // the seed batch is admitted whole: audit it as untrimmed
-              b.select(col("doc_id").cast("long").as("doc_id"),
-                  col("text"),
-                  size(graft.operators.TextAnalysis.tokens(col("text")))
-                    .cast("long").as("n_tokens_before"))
-                .withColumn("n_tokens_kept", col("n_tokens_before"))
-                .withColumn("dropped", lit(false))
-                .write.mode("append").option("compression", "zstd")
-                .parquet(auditDir)
-            } else {
-              graft.operators.SpanStore
-                .ingestCurate(spark, b, storeDir, minKeptFrac)
-                .write.mode("append").option("compression", "zstd")
-                .parquet(auditDir)
-            }
-          } finally graft.operators.Lineage.release(b)
-          commitPath.foreach(p =>
-            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
-        }
-        ()
+      checkpointDir: Option[String] = None): Unit =
+    shardedStoreIngest(spark, docsDir, storeDir,
+        maxFilesPerTrigger, checkpointDir) { (b, cold) =>
+      if (cold) {
+        graft.operators.SpanStore.write(b, storeDir, minTokens)
+        // the seed batch is admitted whole: audit it as untrimmed
+        b.select(col("doc_id").cast("long").as("doc_id"),
+            col("text"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast("long").as("n_tokens_before"))
+          .withColumn("n_tokens_kept", col("n_tokens_before"))
+          .withColumn("dropped", lit(false))
+          .write.mode("append").option("compression", "zstd")
+          .parquet(auditDir)
+      } else {
+        graft.operators.SpanStore
+          .ingestCurate(spark, b, storeDir, minKeptFrac)
+          .write.mode("append").option("compression", "zstd")
+          .parquet(auditDir)
       }
-    val writer = checkpointDir
-      .fold(writer0)(d => writer0.option("checkpointLocation", d))
-    val q = writer.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+    }()
 
   /** Continuous dedup-at-ingest — [[streamingCurateIngest]]'s near-
     * duplicate sibling ([[graft.operators.LshIndex.ingestDedup]]): the
@@ -1054,49 +1007,25 @@ object Streaming {
       auditDir: String,
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None,
-      checkpointDir: Option[String] = None): Unit = {
-    val schema = spark.read.parquet(docsDir).schema
-    val reader = spark.readStream.schema(schema)
-    val stream = maxFilesPerTrigger
-      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(docsDir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
-    val fs = metaPath.getFileSystem(hconf)
-    val commitPath = checkpointDir.map(d =>
-      new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
-    val writer0 = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val replayed = commitPath.exists(p =>
-          IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
-        if (!replayed) {
-          val b = batch.toDF().localCheckpoint(true)
-          try {
-            if (!fs.exists(metaPath)) {
-              graft.operators.LshIndex.write(b, storeDir)
-              b.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-                .withColumn("n_store_dups", lit(0L))
-                .withColumn("n_batch_dups", lit(0L))
-                .withColumn("dropped", lit(false))
-                .write.mode("append").option("compression", "zstd")
-                .parquet(auditDir)
-            } else {
-              graft.operators.LshIndex
-                .ingestDedup(spark, b, storeDir, threshold)
-                .write.mode("append").option("compression", "zstd")
-                .parquet(auditDir)
-            }
-          } finally graft.operators.Lineage.release(b)
-          commitPath.foreach(p =>
-            IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
-        }
-        ()
+      checkpointDir: Option[String] = None): Unit =
+    shardedStoreIngest(spark, docsDir, storeDir,
+        maxFilesPerTrigger, checkpointDir) { (b, cold) =>
+      if (cold) {
+        graft.operators.LshIndex.write(b, storeDir)
+        // the seed batch is admitted whole: audit it as undropped
+        b.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .withColumn("n_store_dups", lit(0L))
+          .withColumn("n_batch_dups", lit(0L))
+          .withColumn("dropped", lit(false))
+          .write.mode("append").option("compression", "zstd")
+          .parquet(auditDir)
+      } else {
+        graft.operators.LshIndex
+          .ingestDedup(spark, b, storeDir, threshold)
+          .write.mode("append").option("compression", "zstd")
+          .parquet(auditDir)
       }
-    val writer = checkpointDir
-      .fold(writer0)(d => writer0.option("checkpointLocation", d))
-    val q = writer.trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-  }
+    }()
 
   /** Files-per-centroid level above which an un-thresholded ingest warns
     * (≈ the point where probe open/footer cost is measurable next to the
