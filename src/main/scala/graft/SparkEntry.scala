@@ -1486,6 +1486,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the full admission gauntlet — BOTH persisted stores in one ingest
+    // lineage: stage 1 dedups the batch against the LSH store (near-dup
+    // drops, keep-first), stage 2 curates the survivors against the
+    // span store (exact-span trims, kept-fraction drops), each stage
+    // appending only what it admits. One row per batch doc carries both
+    // stage verdicts; stage-2 columns read sentinels ('' / -1 / false)
+    // for docs stage 1 already dropped — the production shape where a
+    // batch passes every admission gate before any of it becomes corpus
+    "q_ingest_gauntlet" -> ((s, dir) => withTempStore("gauntlet") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val seed = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val lshDir = tmp + "/lsh"
+      val spanDir = tmp + "/span"
+      graft.operators.LshIndex.write(seed, lshDir)
+      operators.SpanStore.write(seed, spanDir, minTokens = 16, shardChars = 1)
+      // 0.8 stage-1 cut: near-certain copies drop, fuzzier near-dups
+      // (est in [0.5, 0.8)) flow through to stage 2's exact-span pass.
+      // On this corpus every exact-span candidate is itself a
+      // near-certain copy, so stage 1 shields stage 2 (trims land in
+      // q_ingest_curate where stage 1 is absent) — the gate here is the
+      // stage composition: 204 survivors' full-text md5s + both stage
+      // verdicts per doc, all replayed
+      val dedupAudit = graft.operators.LshIndex.ingestDedup(s, batch, lshDir,
+        threshold = 0.8)
+      val curateAudit = operators.SpanStore.ingestCurate(s,
+        dedupAudit.filter(!col("dropped")).select("doc_id", "text"),
+        spanDir, minKeptFrac = 0.3)
+      dedupAudit
+        .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
+          col("dropped").as("dedup_dropped"))
+        .join(curateAudit
+          .select(col("doc_id"), md5(col("text")).as("curated_md5"),
+            col("n_tokens_before"), col("n_tokens_kept"),
+            col("dropped").as("curate_dropped")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
+          col("dedup_dropped"),
+          coalesce(col("curated_md5"), lit("")).as("curated_md5"),
+          coalesce(col("n_tokens_before"), lit(-1L)).as("n_tokens_before"),
+          coalesce(col("n_tokens_kept"), lit(-1L)).as("n_tokens_kept"),
+          coalesce(col("curate_dropped"), lit(false)).as("curate_dropped"))
+        .orderBy("doc_id")
+    }),
+
     // intra-doc twin: exact boundaries of >=8-token substrings repeated
     // WITHIN a document. The synthetic corpus has no natural self-
     // repetition at any k (checked), so the gate plants one
@@ -7332,6 +7377,92 @@ object SparkEntry {
          FROM (SELECT * FROM sp WHERE doc_id < 5) pr
          JOIN store USING (span_md5)
          ORDER BY pr.doc_id, pr.p""",
+
+    // gauntlet replay: stage 1 is the q_ingest_dedup chain verbatim
+    // (union pair set, store partners even, keep-first on odd ids);
+    // stage 2 is the q_ingest_curate chain restricted to stage-1
+    // survivors (seed prints stay the even docs — stage 2 probes the
+    // span store BEFORE any survivor appends land). The whitespace
+    // tokenization CTE is shared: the LSH shingles and the span windows
+    // both derive from `toks`
+    "q_ingest_gauntlet" ->
+      s"""WITH ${lshCandidateCtes(16, 4)},
+         pr AS (
+           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.8
+         ), sym AS (
+           SELECT doc_id_b AS doc_id, doc_id_a AS partner FROM pr
+           UNION ALL
+           SELECT doc_id_a AS doc_id, doc_id_b AS partner FROM pr
+         ), flags AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_store_dups,
+             CAST(sum(CASE WHEN partner % 2 = 1 AND partner < doc_id
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups
+           FROM sym WHERE doc_id % 2 = 1 GROUP BY doc_id
+         ), stage1 AS (
+           SELECT d.doc_id,
+             CAST(coalesce(f.n_store_dups, 0) AS BIGINT) AS n_store_dups,
+             CAST(coalesce(f.n_batch_dups, 0) AS BIGINT) AS n_batch_dups,
+             (coalesce(f.n_store_dups, 0) > 0 OR coalesce(f.n_batch_dups, 0) > 0)
+               AS dedup_dropped
+           FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           LEFT JOIN flags f USING (doc_id)
+         ), surv AS (
+           SELECT doc_id FROM stage1 WHERE NOT dedup_dropped
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+           FROM toks WHERE len(tk) >= 16
+         ), sp AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
+           FROM w
+         ), seedp AS (
+           SELECT DISTINCT span_md5 FROM sp WHERE doc_id % 2 = 0
+         ), hits AS (
+           SELECT sp.doc_id, sp.p FROM sp
+           JOIN seedp USING (span_md5)
+           JOIN surv USING (doc_id)
+         ), g AS (
+           SELECT doc_id, p,
+             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
+               THEN 1 ELSE 0 END AS brk
+           FROM hits
+         ), i AS (
+           SELECT doc_id, p,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+           FROM g
+         ), spans AS (
+           SELECT doc_id, min(p) AS s, max(p) + 16 AS e
+           FROM i GROUP BY doc_id, island
+         ), batch2 AS (
+           SELECT t.doc_id, t.tk FROM toks t JOIN surv USING (doc_id)
+         ), tp AS (
+           SELECT doc_id, unnest(tk) AS tok, unnest(range(0, len(tk))) AS pos
+           FROM batch2
+         ), kept AS (
+           SELECT tp.doc_id, tp.tok, tp.pos FROM tp
+           WHERE NOT EXISTS (SELECT 1 FROM spans v
+             WHERE v.doc_id = tp.doc_id AND tp.pos >= v.s AND tp.pos < v.e)
+         ), curated AS (
+           SELECT b.doc_id,
+             coalesce(k.txt, '') AS text,
+             CAST(len(b.tk) AS BIGINT) AS n_tokens_before,
+             CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
+             (len(b.tk) = 0 OR
+              CAST(coalesce(k.n, 0) AS DOUBLE) / len(b.tk) < 0.3) AS curate_dropped
+           FROM batch2 b LEFT JOIN (
+             SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+               count(*) AS n
+             FROM kept GROUP BY doc_id) k USING (doc_id)
+         )
+         SELECT s1.doc_id, s1.n_store_dups, s1.n_batch_dups, s1.dedup_dropped,
+           coalesce(md5(c.text), '') AS curated_md5,
+           CAST(coalesce(c.n_tokens_before, -1) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(c.n_tokens_kept, -1) AS BIGINT) AS n_tokens_kept,
+           coalesce(c.curate_dropped, false) AS curate_dropped
+         FROM stage1 s1 LEFT JOIN curated c USING (doc_id)
+         ORDER BY s1.doc_id""",
 
     // ingest-curate replay: seed prints = even docs' windows; odd-doc
     // windows found in the seed merge to maximal spans (gap > 16
