@@ -1500,8 +1500,12 @@ object SparkEntry {
       val batch = docs.filter(col("doc_id") % 2 === 1)
       val lshDir = tmp + "/lsh"
       val spanDir = tmp + "/span"
-      graft.operators.LshIndex.write(seed, lshDir)
-      operators.SpanStore.write(seed, spanDir, minTokens = 16, shardChars = 1)
+      // the two seed builds are independent stores — concurrent jobs,
+      // not serial submission latency (the ParJobs store-write pattern)
+      operators.ParJobs.run(
+        () => graft.operators.LshIndex.write(seed, lshDir),
+        () => operators.SpanStore.write(seed, spanDir,
+          minTokens = 16, shardChars = 1))
       // 0.8 stage-1 cut: near-certain copies drop, fuzzier near-dups
       // (est in [0.5, 0.8)) flow through to stage 2's exact-span pass.
       // On this corpus every exact-span candidate is itself a
