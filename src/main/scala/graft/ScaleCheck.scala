@@ -1518,6 +1518,56 @@ object ScaleCheck {
           s"($t1,$d1) vs ($t10,$d10)")
       require(w10c < w1c * 3 + 5,
         f"curate wall grew with STORE size ($w1c%.1f -> $w10c%.1f s)")
+      // Bloom sidecar on the 10x store: (a) the candidate set the probe
+      // plans the store scan around must be duplication-proportional —
+      // true dup prints plus the sized-in FP share — not batch-print-
+      // proportional; (b) a fully-novel batch must be cleared WITHOUT
+      // opening a single store file (the scan's partition IN-list goes
+      // empty), the zero-I/O admission path a 100 TB trickle lives on.
+      operators.SpanStore.writeBloom(spark, s"$sdir/s10")
+      val bPrints = operators.SpanStore.printsOf(spark, batch, s"$sdir/s10")
+        .select("shard", "span_md5").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPrints = bPrints.count()
+      val nMaybe = operators.SpanStore.bloomMaybe(spark, bPrints, s"$sdir/s10").count()
+      val nDup = operators.SpanStore.probe(spark, batch, s"$sdir/s10",
+        useBloom = false).select("span_md5").distinct().count()
+      bPrints.unpersist(false)
+      operators.CacheRegistry.release(spark)
+      println(s"[scale] spanstore bloom: batch prints=$nPrints, " +
+        s"bloom candidates=$nMaybe, true dup prints=$nDup")
+      require(nMaybe >= nDup, "bloom false negative: exact dups were cleared")
+      require(nMaybe <= nDup + nPrints / 20 + 10,
+        s"bloom candidates ($nMaybe) not duplication-proportional " +
+          s"(dups=$nDup, prints=$nPrints): FP rate beyond the sized-in budget")
+      def storeScanRows(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanLike
+            if f.relation.location.rootPaths.exists(_.toString.endsWith("/s10")) =>
+            f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          case _ => 0L
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(storeScanRows).sum
+      }
+      val novel = spark.range(20000000L, 20000200L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          j => concat(lit("z"), col("id"), lit("q"), j))).as("text"))
+      val novelOut = operators.SpanStore.probe(spark, novel, s"$sdir/s10")
+      require(novelOut.queryExecution.toRdd.count() == 0L,
+        "novel batch must produce no hits")
+      val scanned = storeScanRows(novelOut.queryExecution.executedPlan)
+      operators.CacheRegistry.release(spark)
+      println(s"[scale] spanstore bloom: novel batch scanned $scanned store rows")
+      require(scanned == 0L,
+        s"bloom-cleared batch still read $scanned store rows — the " +
+          "zero-I/O admission path is broken")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
     }
     operators.CacheRegistry.release(spark)

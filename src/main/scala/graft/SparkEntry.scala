@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Cdc, Dedup, Eval, Events, Graph, HllStore, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, SketchStore, Sketches, TextAnalysis, Tfidf}
+import graft.operators.{Bpe, CacheRegistry, Cdc, Dedup, Eval, Events, Graph, HllStore, Index, Linkage, Multimodal, Pq, Quantiles, Sampling, Similarity, SketchStore, Sketches, TextAnalysis, Tfidf}
 
 /** Driver contract — queries over the synthetic tables plus DuckDB oracle
   * SQL for each (SURVEY.md §7.2 step 5, FIXTURES.md §B mapping).
@@ -1436,6 +1436,45 @@ object SparkEntry {
       operators.SpanStore.append(s, docs.filter(col("doc_id") % 2 === 1), store)
       operators.SpanStore.probe(s, docs.filter(col("doc_id") < 5), store)
         .orderBy("doc_id", "p")
+    }),
+
+    // the span store's Bloom-sidecar admission path: sidecar sized on
+    // the seed third (headroom ×4), middle third appended under the
+    // frozen bit geometry (generation OR ≡ one filter over the union),
+    // novel third probed through the sidecar. One row per probe doc:
+    // distinct prints, Bloom-positive prints (true dups + the bounded
+    // FP share), exact store dups. The oracle replays the Bloom verdict
+    // bit-for-bit — md5-half positions mod a replayed m_bits — so the
+    // sizing formula, the per-shard position sets, and the append union
+    // are all hash-gated; n_dup <= n_maybe <= n_prints is the
+    // no-false-negative law made visible in the result itself
+    "q_spanstore_bloom" -> ((s, dir) => withTempStore("spanbloom") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val store = tmp + "/store"
+      // 16 shards — bench-store-sized geometry (q_spanstore note)
+      operators.SpanStore.write(docs.filter(col("doc_id") % 3 === 1),
+        store, minTokens = 16, shardChars = 1)
+      operators.SpanStore.writeBloom(s, store)
+      operators.SpanStore.append(s, docs.filter(col("doc_id") % 3 === 2), store)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val pr = CacheRegistry.track(operators.SpanStore.printsOf(s, batch, store)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val maybe = operators.SpanStore.bloomMaybe(s,
+        pr.select("shard", "span_md5").distinct(), store)
+      val hits = operators.SpanStore.probe(s, batch, store) // bloom path ON
+      val perDoc = pr.groupBy("doc_id")
+        .agg(countDistinct(col("span_md5")).as("n_prints"))
+      val nMaybe = pr.join(maybe, Seq("shard", "span_md5"), "left_semi")
+        .groupBy("doc_id").agg(countDistinct(col("span_md5")).as("n_maybe"))
+      val nDup = hits.groupBy("doc_id")
+        .agg(countDistinct(col("span_md5")).as("n_dup"))
+      perDoc
+        .join(nMaybe, Seq("doc_id"), "left")
+        .join(nDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_prints"),
+          coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+        .orderBy("doc_id")
     }),
 
     // decontaminate-at-ingest, the cross-store composition: seed the
@@ -7381,6 +7420,66 @@ object SparkEntry {
          FROM (SELECT * FROM sp WHERE doc_id < 5) pr
          JOIN store USING (span_md5)
          ORDER BY pr.doc_id, pr.p""",
+
+    // Bloom sidecar replayed bit-for-bit: m_bits from the seed third's
+    // largest per-shard distinct-print count (bitsPerKey 12 × headroom
+    // 4, word-rounded, clamped to [1024, 2^26]); per-shard position
+    // sets from the md5-half Kirsch–Mitzenmacher family (k = 5) over
+    // the seed ∪ appended store prints; maybe = every probe-print
+    // position lands in its shard's set; n_dup = the exact print join
+    "q_spanstore_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+           FROM toks WHERE len(tk) >= 16
+         ), spd AS (
+           SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5,
+             substr(md5(array_to_string(tk[p + 1 : p + 16], ' ')), 1, 1) AS shard
+           FROM w
+         ), store_prints AS (
+           SELECT DISTINCT span_md5, shard FROM spd WHERE doc_id % 3 IN (1, 2)
+         ), seed_n AS (
+           SELECT count(DISTINCT span_md5) AS n
+           FROM spd WHERE doc_id % 3 = 1 GROUP BY shard
+         ), mb AS (
+           SELECT CAST(least(greatest((12 * 4 * max(n) + 63) // 64 * 64,
+             1024), 67108864) AS BIGINT) AS m
+           FROM seed_n
+         ), ii AS (
+           SELECT unnest(range(5)) AS i
+         ), store_pos AS (
+           SELECT DISTINCT shard,
+             (CAST(concat('0x', substr(md5(span_md5), 1, 14)) AS BIGINT)
+              + i * CAST(concat('0x', substr(md5(span_md5), 17, 14)) AS BIGINT))
+             % (SELECT m FROM mb) AS pos
+           FROM store_prints CROSS JOIN ii
+         ), probe_prints AS (
+           SELECT doc_id, span_md5, shard FROM spd WHERE doc_id % 3 = 0
+         ), probe_pos AS (
+           SELECT doc_id, span_md5, shard,
+             (CAST(concat('0x', substr(md5(span_md5), 1, 14)) AS BIGINT)
+              + i * CAST(concat('0x', substr(md5(span_md5), 17, 14)) AS BIGINT))
+             % (SELECT m FROM mb) AS pos
+           FROM probe_prints CROSS JOIN ii
+         ), flg AS (
+           SELECT doc_id, span_md5, bool_and(s.pos IS NOT NULL) AS maybe
+           FROM probe_pos q LEFT JOIN store_pos s
+             ON q.shard = s.shard AND q.pos = s.pos
+           GROUP BY doc_id, span_md5
+         )
+         SELECT p.doc_id,
+           CAST(count(DISTINCT p.span_md5) AS BIGINT) AS n_prints,
+           CAST(count(DISTINCT CASE WHEN f.maybe THEN p.span_md5 END) AS BIGINT) AS n_maybe,
+           CAST(count(DISTINCT CASE WHEN st.span_md5 IS NOT NULL THEN p.span_md5 END) AS BIGINT) AS n_dup
+         FROM probe_prints p
+         JOIN flg f ON p.doc_id = f.doc_id AND p.span_md5 = f.span_md5
+         LEFT JOIN (SELECT DISTINCT span_md5 FROM store_prints) st
+           ON p.span_md5 = st.span_md5
+         GROUP BY p.doc_id
+         ORDER BY p.doc_id""",
 
     // gauntlet replay: stage 1 is the q_ingest_dedup chain verbatim
     // (union pair set, store partners even, keep-first on odd ids);

@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   * into the distinct-doc count. Probe shuffle volume is therefore
   * bounded by batch windows + matching store rows (duplication), not
   * store size — ScaleCheck pins this at a 10× store / tiny batch
-  * ratio.
+  * ratio. An optional Bloom sidecar ([[writeBloom]]) goes further:
+  * definitely-new prints are cleared from a few-MB-per-shard bitset
+  * that never grows with the store, so a mostly-novel batch prunes its
+  * shard list and semi-join keys to the possible-duplicate residue —
+  * often reading ZERO store files — while Bloom positives still
+  * exact-verify against the store (answers never change).
   *
   * Append is a pure accumulate (duplicate rows across appends are
   * legal — probe counts DISTINCT store docs per print), so replayed
@@ -66,6 +71,17 @@ object SpanStore {
           slice(col("__toks"), col("__p") + 1, lit(k)))).as("span_md5"))
       .withColumn("shard", substring(col("span_md5"), 1, shardChars))
 
+  /** The store-keyed fingerprints of `docs` under `dir`'s frozen
+    * geometry: (doc_id, p, span_md5, shard) — the same frame [[probe]]
+    * derives internally, exposed so callers can account per-print
+    * verdicts ([[bloomMaybe]] admission vs exact hits) without a second
+    * tokenization pass of their own.
+    */
+  def printsOf(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    val (k, sc) = readGeometry(dir)
+    fingerprints(docs, k, sc)
+  }
+
   /** (minTokens, shardChars); pre-shard_chars stores are 1-char/16-dir. */
   private def readGeometry(dir: String): (Int, Int) = {
     val m = StoreMeta.read(dir)
@@ -87,12 +103,147 @@ object SpanStore {
     StoreMeta.write(dir, "min_tokens" -> minTokens, "shard_chars" -> shardChars)
   }
 
-  /** Append a batch's fingerprints under the frozen geometry. */
-  def append(spark: SparkSession, batch: DataFrame, dir: String): Unit = {
+  /** Append a batch's fingerprints under the frozen geometry. When the
+    * store carries a Bloom sidecar ([[writeBloom]]), the batch's print
+    * positions are appended to it in the same call (frozen bit
+    * geometry, so OR-ing generations at probe time equals one filter
+    * built over the union) — an append that skipped the sidecar would
+    * silently break [[probe]]'s no-false-negative contract, which is
+    * why `updateBloom = false` exists only for callers that rebuild
+    * the sidecar themselves afterwards.
+    */
+  def append(spark: SparkSession, batch: DataFrame, dir: String,
+      updateBloom: Boolean = true): Unit = {
     val (k, sc) = readGeometry(dir)
-    graft.ParquetIO.writePartitioned(fingerprints(batch, k, sc), dir,
+    val withBloom = updateBloom && hasBloom(dir)
+    val __mk = CacheRegistry.mark(spark)
+    // two writer jobs consume the fingerprints when the sidecar rides
+    // along — persist so tokenize+md5 runs once over the batch
+    val fp =
+      if (withBloom)
+        CacheRegistry.track(fingerprints(batch, k, sc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else fingerprints(batch, k, sc)
+    graft.ParquetIO.writePartitioned(fp, dir,
       Seq("shard"), filesPerPartition = 1, mode = "append",
       sortCols = Seq("span_md5"))
+    if (withBloom) {
+      val (mBits, kh) = readBloomGeometry(dir)
+      graft.ParquetIO.writePartitioned(
+        bloomRows(fp.select("shard", "span_md5").distinct(), mBits, kh),
+        bloomDir(dir), Seq("shard"), filesPerPartition = 1, mode = "append",
+        sortCols = Seq("w"))
+      CacheRegistry.releaseSince(spark, __mk)
+    }
+  }
+
+  // ---- Bloom sidecar: store-scan-free admission of definitely-new prints
+
+  private def bloomDir(dir: String): String = dir + "_bloom"
+  private val bloomSchema = "w BIGINT, word BIGINT, shard STRING"
+
+  /** Does the store carry a Bloom sidecar? */
+  def hasBloom(dir: String): Boolean = StoreMeta.exists(bloomDir(dir))
+
+  /** Frozen (m_bits, k_hashes) of the sidecar. */
+  private def readBloomGeometry(dir: String): (Int, Int) = {
+    val m = StoreMeta.read(bloomDir(dir))
+    (m("m_bits").toInt, m("k_hashes").toInt)
+  }
+
+  /** Dense per-shard Bloom words over distinct prints: (shard, w, word)
+    * where word = OR of bits at positions p with p >>> 6 == w. The
+    * shuffle carries DISTINCT positions (≤ shards × mBits rows with
+    * map-side combine) — sized by the FIXED filter geometry, never the
+    * print count. Position family = [[Sketches.bloomPositions]]'s
+    * portable md5 basis, so the DuckDB oracle replays the verdict as
+    * position-set membership.
+    */
+  private def bloomRows(prints: DataFrame, mBits: Int, k: Int): DataFrame =
+    prints
+      .select(col("shard"),
+        explode(Sketches.bloomPositions(col("span_md5"), mBits, k)).as("pos"))
+      .distinct()
+      .select(col("shard"), shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("shard", "w")
+      .agg(expr("bit_or(bit)").as("word"))
+
+  /** Build the store's Bloom sidecar at `dir_bloom`: one fixed-size
+    * bitset per shard over the shard's distinct prints, persisted as
+    * sparse (w, word) rows under the same hive shard partitioning so a
+    * probe reads only the shards it touches. Size is frozen at build
+    * (like every store geometry here): m_bits = bitsPerKey × headroom ×
+    * the largest shard's print count, rounded to whole words, clamped
+    * to [1024, 2^26] (8 MB/shard cap) — headroom keeps the false-
+    * positive rate honest as appends accumulate, and md5 sharding keeps
+    * shard counts near-uniform so one global size fits all shards.
+    *
+    * Why this exists (the 100 TB ingest story): at trickle cadence most
+    * batch windows are brand-new, and [[probe]]'s store scan — however
+    * well pruned — still opens store files to learn that. The sidecar
+    * answers "definitely new" from bitsPerKey bits per distinct store
+    * print — ~1-2 orders of magnitude smaller than the (span_md5,
+    * doc_id, p) rows it summarizes, frozen across appends — so the
+    * store scan runs only over prints the Bloom could not clear: probe
+    * I/O ∝ batch duplication + the sidecar slice, with ZERO store files
+    * read when the Bloom clears the whole batch.
+    */
+  def writeBloom(spark: SparkSession, dir: String, bitsPerKey: Int = 12,
+      kHashes: Int = 5, headroom: Int = 4): Unit = {
+    require(bitsPerKey >= 1, s"bitsPerKey must be >= 1, got $bitsPerKey")
+    require(kHashes >= 1 && kHashes < 128,
+      s"kHashes must be in [1,128), got $kHashes")
+    require(headroom >= 1, s"headroom must be >= 1, got $headroom")
+    val prints = readStore(spark, dir).select("shard", "span_md5").distinct()
+    val maxN = prints.groupBy("shard").count()
+      .agg(coalesce(max("count"), lit(0L)).as("n")).head().getLong(0)
+    val mBits = math.min(math.max(
+      (bitsPerKey.toLong * headroom * maxN + 63L) / 64L * 64L, 1024L),
+      1L << 26).toInt
+    graft.ParquetIO.writePartitioned(bloomRows(prints, mBits, kHashes),
+      bloomDir(dir), Seq("shard"), filesPerPartition = 1,
+      sortCols = Seq("w"))
+    StoreMeta.write(bloomDir(dir), "m_bits" -> mBits, "k_hashes" -> kHashes)
+  }
+
+  /** Which of `prints` (distinct (shard, span_md5) rows) does the Bloom
+    * sidecar consider possibly-in-store? Returns the POSITIVE subset —
+    * true duplicates plus the bounded false-positive share; prints
+    * absent from the result are definitely new (Bloom filters have no
+    * false negatives as long as every append updated the sidecar, which
+    * [[append]] does by default). Work: sidecar word slice for the
+    * touched shards OR-merged across append generations (an aggregate
+    * over ≤ generations × m_bits/64 rows per shard — the sidecar's own
+    * size, never the store's row count), joined position-wise against
+    * the batch prints; no store file is opened here. `broadcastWords`
+    * (trickle default) ships the merged slice map-side; a corpus-scale
+    * store whose word table is broadcast-hostile sets it false and
+    * takes a (shard, w)-keyed shuffle of batch positions + sidecar
+    * words — still store-scan-free.
+    */
+  def bloomMaybe(spark: SparkSession, prints: DataFrame, dir: String,
+      broadcastWords: Boolean = true): DataFrame = {
+    val (mBits, kh) = readBloomGeometry(dir)
+    val touched = prints.select("shard").distinct()
+      .collect().map(_.getString(0)) // bounded by the 16^shardChars universe
+    val words0 = spark.read.schema(bloomSchema).parquet(bloomDir(dir))
+      .filter(col("shard").isin(touched.toIndexedSeq: _*))
+      .groupBy("shard", "w").agg(expr("bit_or(word)").as("word"))
+    val words = if (broadcastWords) broadcast(words0) else words0
+    val pos = prints
+      .select(col("shard"), col("span_md5"),
+        explode(Sketches.bloomPositions(col("span_md5"), mBits, kh)).as("pos"))
+      .select(col("shard"), col("span_md5"), shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+    pos.join(words, Seq("shard", "w"), "left")
+      .groupBy("shard", "span_md5")
+      // every one of the k positions must find its bit set; a missing
+      // (shard, w) word means no store print ever touched that word
+      .agg(min(when(col("word").isNotNull &&
+        (col("word").bitwiseAND(col("bit")) =!= 0), 1L).otherwise(0L)).as("__all"))
+      .filter(col("__all") === 1L)
+      .select("shard", "span_md5")
   }
 
   /** Which of `batch`'s windows already appear in the store, and in how
@@ -117,18 +268,30 @@ object SpanStore {
     * [[LshIndex.probe]]'s tracked intermediates.
     */
   def probe(spark: SparkSession, batch: DataFrame, dir: String,
-      broadcastProbe: Boolean = true): DataFrame = {
+      broadcastProbe: Boolean = true, useBloom: Boolean = true): DataFrame = {
     val (k, sc) = readGeometry(dir)
     val bf = CacheRegistry.track(fingerprints(batch, k, sc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Bloom admission (when the sidecar exists): clear definitely-new
+    // prints BEFORE any store planning, so both the shard IN-list and
+    // the semi-join key set shrink to possible-duplicates only — a
+    // batch the Bloom fully clears reads ZERO store files. Exactness is
+    // unchanged: Bloom positives still exact-verify against the store.
+    val candidates =
+      if (useBloom && hasBloom(dir))
+        CacheRegistry.track(
+          bloomMaybe(spark, bf.select("shard", "span_md5").distinct(), dir,
+            broadcastWords = broadcastProbe)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else bf
     // partition-pruned store scan: only the shards this batch hashes to.
     // The shard universe is <= 16^shardChars values, so the collect is
     // bounded by construction and buys a STATIC PartitionFilters IN-list
     // (planning-time directory elimination, not a runtime join the
     // optimizer may or may not convert to dynamic pruning).
-    val shards = bf.select("shard").distinct().collect().map(_.getString(0))
+    val shards = candidates.select("shard").distinct().collect().map(_.getString(0))
     val keys = {
-      val d = bf.select("span_md5").distinct()
+      val d = candidates.select("span_md5").distinct()
       if (broadcastProbe) broadcast(d) else d
     }
     // semi-join BEFORE the aggregate: only store rows whose print the
@@ -189,6 +352,19 @@ object SpanStore {
         .select("shard", "span_md5", "doc_id", "p").distinct(),
       dstDir, Seq("shard"), filesPerPartition, sortCols = Seq("span_md5"))
     StoreMeta.copy(srcDir, dstDir)
+    // the Bloom sidecar compacts with the store: append generations
+    // OR-fold to one (shard, w) row each — answers unchanged (probe
+    // already ORs generations), the sidecar just stops growing by one
+    // row set per append
+    if (hasBloom(srcDir)) {
+      graft.ParquetIO.writePartitioned(
+        spark.read.schema(bloomSchema).parquet(bloomDir(srcDir))
+          .groupBy("shard", "w").agg(expr("bit_or(word)").as("word"))
+          .select("w", "word", "shard"),
+        bloomDir(dstDir), Seq("shard"), filesPerPartition = 1,
+        sortCols = Seq("w"))
+      StoreMeta.copy(bloomDir(srcDir), bloomDir(dstDir))
+    }
   }
 
   /** Decontaminate-at-ingest: the [[probe]] → [[anchorsToSpans]] →

@@ -87,6 +87,15 @@ private[graft] object StoreMeta {
   def copy(srcDir: String, dstDir: String): Unit =
     writeBytes(metaPath(dstDir), readBytes(metaPath(srcDir)))
 
+  /** Does `dir` carry a meta sidecar — i.e. was a store (or optional
+    * sidecar store, e.g. a Bloom companion) ever written there? Checked
+    * on the store's own filesystem, same as read/write.
+    */
+  def exists(dir: String): Boolean = {
+    val p = metaPath(dir)
+    fsFor(p).exists(p)
+  }
+
   def read(dir: String): Map[String, String] = {
     val p = metaPath(dir)
     require(fsFor(p).exists(p), s"store at $dir has no _meta sidecar " +

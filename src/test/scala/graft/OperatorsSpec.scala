@@ -1164,6 +1164,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sorted(SpanStore.probe(spark, probeDocs, t1 + "/c")) == sorted(cold))
   }
 
+  test("SpanStore bloom sidecar: no false negatives, probe unchanged, appends ride along, compaction carries it") {
+    val shared = (1 to 10).map(i => s"common$i").mkString(" ")
+    def doc(id: Long, pre: String): (Long, String) =
+      id -> s"$pre${(1 to 8).map(i => s"u$id$i").mkString(" ")} $shared"
+    val all = (Seq(doc(1L, ""), doc(2L, ""), doc(3L, ""), doc(4L, "")) :+
+      (9L -> "entirely unique words with no shared run anywhere at all ok here"))
+      .toDF("doc_id", "text")
+    val probeDocs = all.filter(col("doc_id") <= 2L)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "p").collect().map(_.toSeq).toSeq
+
+    val t = java.nio.file.Files.createTempDirectory("spanbloom").toString
+    SpanStore.write(all.filter(col("doc_id") % 2 === 0), t + "/s", minTokens = 4)
+    assert(!SpanStore.hasBloom(t + "/s"))
+    SpanStore.writeBloom(spark, t + "/s")
+    assert(SpanStore.hasBloom(t + "/s"))
+    // append updates the sidecar by default (frozen bit geometry)
+    SpanStore.append(spark, all.filter(col("doc_id") % 2 === 1), t + "/s")
+    // bloom-path probe ≡ bloomless probe ≡ cold rebuild
+    SpanStore.write(all, t + "/cold", minTokens = 4)
+    val cold = sorted(SpanStore.probe(spark, probeDocs, t + "/cold"))
+    assert(sorted(SpanStore.probe(spark, probeDocs, t + "/s")) == cold,
+      "bloom-path probe must equal the cold answer")
+    assert(sorted(SpanStore.probe(spark, probeDocs, t + "/s",
+      useBloom = false)) == cold, "bloomless probe must equal too")
+    // no false negatives: every exact store hit survives the bloom
+    val pr = SpanStore.printsOf(spark, probeDocs, t + "/s")
+      .select("shard", "span_md5").distinct()
+    val maybe = SpanStore.bloomMaybe(spark, pr, t + "/s")
+    val exactHits = SpanStore.probe(spark, probeDocs, t + "/s", useBloom = false)
+      .select("span_md5").distinct()
+    assert(exactHits.join(maybe.select("span_md5"), Seq("span_md5"),
+      "left_anti").count() == 0L,
+      "a store print the bloom rejects is a false negative")
+    // a fully-novel batch is cleared without any store hit
+    val novel = Seq(7L -> "totally fresh words nowhere else xq1 xq2 xq3 xq4 xq5")
+      .toDF("doc_id", "text")
+    assert(SpanStore.probe(spark, novel, t + "/s").count() == 0L)
+    assert(SpanStore.bloomMaybe(spark,
+      SpanStore.printsOf(spark, novel, t + "/s")
+        .select("shard", "span_md5").distinct(), t + "/s").count() == 0L,
+      "novel prints must be cleared sidecar-side (no store planning at all)")
+    // replayed append repeats sidecar generations; OR folding hides it
+    SpanStore.append(spark, all.filter(col("doc_id") % 2 === 1), t + "/s")
+    assert(sorted(SpanStore.probe(spark, probeDocs, t + "/s")) == cold)
+    // compaction rewrites the sidecar alongside the store
+    SpanStore.compactStore(spark, t + "/s", t + "/c")
+    assert(SpanStore.hasBloom(t + "/c"), "compaction must carry the sidecar")
+    assert(spark.read.parquet(t + "/c_bloom").count() <
+      spark.read.parquet(t + "/s_bloom").count(),
+      "compaction must OR-fold sidecar generations")
+    assert(sorted(SpanStore.probe(spark, probeDocs, t + "/c")) == cold)
+  }
+
   test("SpanStore.ingestCurate: trims corpus spans, drops mostly-dup docs, appends only survivors") {
     val shared = (1 to 10).map(i => s"common$i").mkString(" ")
     val seed = Seq(
