@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              spancurate|lshdedup|ivfdrift|
+          |              spancurate|lshdedup|ivfdrift|spanbloom|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -268,6 +268,9 @@ object Cli {
           |            (drop near-dups of store or smaller-id batch docs, append survivors);
           |          spancurate: -in <new-batch documents> -index dir [-min-kept-frac X]
           |            (trim corpus-duplicated spans, drop mostly-dup docs, append survivors);
+          |          spanbloom: -index dir [-bits-per-key N] [-hashes K] [-headroom N]
+          |            (build the store's Bloom admission sidecar; probes then skip store
+          |             I/O for definitely-new prints);
           |          ivfdrift: -in <batch embeddings> -index dir (codebook staleness report);
           |          lshcompact: -index dir -dest dir [-files N];
           |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
@@ -969,6 +972,21 @@ object Cli {
           .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
             col("dropped"))
           .orderBy("doc_id")
+      }
+      // bloom sidecar: build the per-shard admission bitsets over an
+      // existing span store (probes then clear definitely-new prints
+      // without opening store files); prints sidecar shard word counts
+      case "spanbloom" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op spanbloom requires -index <dir> (an existing span store)"))
+        SpanStore.writeBloom(spark, idx,
+          bitsPerKey = flags.getOrElse("bits-per-key", "12").toInt,
+          kHashes = flags.getOrElse("hashes", "5").toInt,
+          headroom = flags.getOrElse("headroom", "4").toInt)
+        spark.read.parquet(idx + "_bloom")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_words"))
+          .orderBy("shard")
       }
       case "spancompact" => {
         val idx = flags.getOrElse("index",

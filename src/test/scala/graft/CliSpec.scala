@@ -455,6 +455,17 @@ class CliSpec extends AnyFunSuite {
         "index" -> idx))
     }
     assert(pr.contains("n_store_docs"), pr)
+    // bloom sidecar from the shell: build reports word counts, and the
+    // subsequent probe (now riding the sidecar) still serves the store
+    val bl = captureOut {
+      Cli.runCorpus(spark, Map("op" -> "spanbloom", "index" -> idx))
+    }
+    assert(bl.contains("n_words"), bl)
+    val pr2 = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "spanprobe",
+        "index" -> idx))
+    }
+    assert(pr2 == pr, "bloom-path probe must print the same report")
     // curate-at-ingest from the shell: audit columns + the drop verdict
     val cu = captureOut {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "spancurate",

@@ -357,7 +357,7 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 8)
   }
 
-  test("property: the four persisted stores obey seed+appends == cold, replay/compact invariance, for ANY split") {
+  test("property: the persisted stores (incl. bloom-sidecar span) obey seed+appends == cold, replay/compact invariance, for ANY split") {
     import graft.operators.{HllStore, SketchStore, SpanStore}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
@@ -367,7 +367,8 @@ class PropertySpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
 
-    // one law, four algebras: a store built from ANY hash-split of the
+    // one law, four algebras (the span store drawn twice — bare and
+    // through its Bloom sidecar): a store built from ANY hash-split of the
     // input (seed + appends, optionally one REPLAYED append where the
     // store's merge absorbs duplicates, then a compaction) must serve
     // exactly what a cold build over the whole input serves. SketchStore
@@ -386,6 +387,17 @@ class PropertySpec extends AnyFunSuite {
     val laws = Seq(
       StoreLaw("span", docs, "doc_id",
         (d, dir) => SpanStore.write(d, dir, minTokens = 8),
+        (d, dir) => SpanStore.append(spark, d, dir),
+        replayInvisible = true,
+        dir => rows(SpanStore.probe(spark, probeDocs, dir)),
+        (s, t) => SpanStore.compactStore(spark, s, t)),
+      // same algebra THROUGH the Bloom sidecar: seed built with
+      // writeBloom, appends ride their word generations, compaction
+      // OR-folds — while the cold side has no sidecar at all, so the
+      // law pins bloom-path serving ≡ bloomless serving for ANY split
+      StoreLaw("span+bloom", docs, "doc_id",
+        (d, dir) => { SpanStore.write(d, dir, minTokens = 8)
+          if (dir.endsWith("/s")) SpanStore.writeBloom(spark, dir) },
         (d, dir) => SpanStore.append(spark, d, dir),
         replayInvisible = true,
         dir => rows(SpanStore.probe(spark, probeDocs, dir)),
