@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              spancurate|lshdedup|ivfdrift|spanbloom|
+          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -283,6 +283,8 @@ object Cli {
           |          ivfrecall: [-topk N] [-k centroids] [-nprobes 1,2,4] [-queries N];
           |          incrdedup: -seen <documents.parquet> [-mbits N] [-hashes K];
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
+          |          publish: -dest <dir> [-shards N] [-files N] (token-balanced
+          |            training-shard export; prints the read-back manifest);
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
           |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]);
           |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
@@ -972,6 +974,17 @@ object Cli {
           .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
             col("dropped"))
           .orderBy("doc_id")
+      }
+      // publish-to-training export: token-balanced shard write + the
+      // read-back integrity manifest (n_docs, n_tokens, xor digest)
+      case "publish" => {
+        val dest = flags.getOrElse("dest",
+          fail("corpus -op publish requires -dest <dir>"))
+        Layout.writeShards(spark,
+            Layout.publishShards(docs,
+              nShards = flags.getOrElse("shards", "8").toInt),
+            dest, filesPerPartition = flags.getOrElse("files", "1").toInt)
+          .orderBy("shard_id")
       }
       // bloom sidecar: build the per-shard admission bitsets over an
       // existing span store (probes then clear definitely-new prints

@@ -1353,6 +1353,20 @@ object SparkEntry {
           budget = 256)
         .orderBy("seq_id")),
 
+    // publish-to-training shard export: token-balanced contiguous
+    // shard assignment (exclusive prefix offset div ceil(total/N) via
+    // the distributed two-level scan), actually WRITTEN as one hive
+    // partition per shard, manifest recomputed from the read-back —
+    // the returned (n_docs, n_tokens, order-invariant md5-half xor
+    // digest) proves the published bytes match what any engine would
+    // assign, which is what the oracle replays
+    "q_publish_shards" -> ((s, dir) => withTempStore("publish") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      operators.Layout.writeShards(s,
+          operators.Layout.publishShards(docs, nShards = 8), tmp + "/shards")
+        .orderBy("shard_id")
+    }),
+
     // the END-TO-END training-sequence assembly: curate (quality →
     // exact-dedup → near-dup-drop → split → chunk), keep the train
     // split, pack into fixed-token-budget sequences — every stage's
@@ -7165,6 +7179,32 @@ object SparkEntry {
          SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
            CAST(global_offset // 256 AS BIGINT) AS seq_id
          FROM o ORDER BY doc_id, chunk_id""",
+
+    // shard export replayed: same exclusive token-offset scan, shard =
+    // offset // ceil(total/8), manifest digests as bit_xor over each
+    // doc's 56-bit md5 half — byte-equal iff the engine's assignment,
+    // write, and read-back all preserved the corpus exactly
+    "q_publish_shards" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), tot AS (
+           SELECT sum(n_tokens) AS total FROM t
+         ), c AS (
+           SELECT doc_id, text, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+           FROM t
+         ), a AS (
+           SELECT doc_id, text, n_tokens,
+             CAST(cum // ((total + 7) // 8) AS INT) AS shard_id
+           FROM c, tot
+         )
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
+         FROM a GROUP BY shard_id ORDER BY shard_id""",
 
     // the q_pack chain folded into the per-sequence fill report
     "q_pack_stats" ->

@@ -82,4 +82,72 @@ object Layout {
       .agg(count(lit(1)).as("rows"),
         min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
         min(col(colB)).as("min_b"), max(col(colB)).as("max_b"))
+
+  // ---- publish-to-training shard export ----
+
+  /** Deterministic TOKEN-balanced shard assignment — the "export the
+    * curated corpus as training shards" boundary. Every doc gets
+    * shard_id = its exclusive global token offset (under the doc_id
+    * total order) div ceil(total_tokens / nShards): shards are
+    * contiguous doc_id ranges whose token mass differs by at most one
+    * document — the balance a training loader wants (row-count balance
+    * skews step time when doc lengths skew), and a pure function of the
+    * corpus, so any engine replays the exact assignment.
+    *
+    * The offset is [[Packing.packSequences]]'s two-level distributed
+    * prefix scan (range buckets → parallel local windows → #buckets-row
+    * offset join) — no global single-partition window at any size. One
+    * extra corpus pass computes total_tokens (a scalar aggregate).
+    *
+    * Output: (doc_id, text, n_tokens, shard_id).
+    */
+  def publishShards(docs: DataFrame, nShards: Int,
+      docBucket: Long = 1024L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val withTok = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_chunk_tokens"))
+    val total = withTok.agg(coalesce(sum("n_chunk_tokens"), lit(0L)))
+      .head().getLong(0)
+    require(total > 0, "publishShards needs a corpus with at least one token")
+    val budget = (total + nShards - 1) / nShards
+    Packing.packSequences(withTok.withColumn("chunk_id", lit(0L)),
+        budget, docBucket)
+      .select(col("doc_id"), col("text"),
+        col("n_chunk_tokens").as("n_tokens"),
+        col("seq_id").cast("int").as("shard_id"))
+  }
+
+  /** Integrity manifest over a [[publishShards]] assignment: one row per
+    * shard with doc count, token mass, and an ORDER-INVARIANT content
+    * digest — bit_xor of each doc's 56-bit md5 half (the portable hash
+    * family every sketch here uses), so the digest is insensitive to
+    * row order within a shard, re-computable from the published files
+    * alone, and replayable in any engine with md5. A consumer verifies
+    * a shard by recomputing (n_docs, n_tokens, digest) from what it
+    * read; bounded output (nShards rows).
+    */
+  def shardManifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(CAST(conv(substring(md5(text), 1, 14), 16, 10) AS BIGINT))")
+          .as("digest"))
+
+  /** Publish the assignment: one hive partition per shard (sorted by
+    * doc_id within, `filesPerPartition` files each), then the manifest
+    * recomputed FROM THE READ-BACK — returning it proves the published
+    * bytes, not the plan that produced them. Schema-explicit read (the
+    * all-digit-partition inference rule every store here follows).
+    */
+  def writeShards(spark: org.apache.spark.sql.SparkSession,
+      assigned: DataFrame, dir: String,
+      filesPerPartition: Int = 1): DataFrame = {
+    graft.ParquetIO.writePartitioned(
+      assigned.select("doc_id", "text", "n_tokens", "shard_id"),
+      dir, Seq("shard_id"), filesPerPartition, sortCols = Seq("doc_id"))
+    shardManifest(spark.read
+      .schema("doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT")
+      .parquet(dir))
+  }
 }

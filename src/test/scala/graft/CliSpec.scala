@@ -793,6 +793,20 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "zorder"))
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
+
+    // publish-to-training export from the shell: manifest printed, the
+    // shard directories actually hold the corpus
+    val pdir = java.nio.file.Files.createTempDirectory("cli-publish").toString
+    val pub = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "publish",
+        "dest" -> s"$pdir/shards", "shards" -> "4"))
+    }
+    assert(pub.contains("digest") && pub.contains("Rows: 4"), pub)
+    assert(spark.read.parquet(s"$pdir/shards").count() == 500L)
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "publish"))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
   }
 
   test("compact subcommand: rewrites a small-file directory") {

@@ -277,6 +277,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("publish shards: token balance, partition-invariance, manifest survives the write round-trip") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 500).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(40))).map(j => s"w$i-$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val n = 8
+    val assigned = Layout.publishShards(docs, nShards = n)
+    val total = assigned.agg(sum("n_tokens")).head().getLong(0)
+    val budget = (total + n - 1) / n
+    val perShard = assigned.groupBy("shard_id")
+      .agg(sum("n_tokens").as("tok"), max("n_tokens").as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // contiguity bound: a shard's token mass can overshoot the budget by
+    // at most one document (the doc straddling its boundary)
+    perShard.foreach { case (sid, (tok, mx)) =>
+      assert(tok <= budget + mx, s"shard $sid: $tok > $budget + $mx") }
+    assert(perShard.keySet.max <= n - 1 && perShard.keySet.min >= 0)
+    // shards partition the corpus exactly
+    assert(assigned.count() == 500L)
+    // assignment is a pure function of the corpus, not its partitioning
+    val re = Layout.publishShards(docs.repartition(17), nShards = n)
+    assert(re.select("doc_id", "shard_id").except(
+      assigned.select("doc_id", "shard_id")).count() == 0L)
+    // the written shards serve back the exact manifest of the plan
+    val base = java.nio.file.Files.createTempDirectory("publish").toString
+    try {
+      val fromDisk = Layout.writeShards(spark, assigned, s"$base/shards")
+        .orderBy("shard_id").collect().map(_.toSeq).toSeq
+      val planned = Layout.shardManifest(assigned)
+        .orderBy("shard_id").collect().map(_.toSeq).toSeq
+      assert(fromDisk == planned, "read-back manifest drifted from the plan")
+      // digest is order-invariant: reversing row order inside the shard
+      // frame must not move it
+      val reversed = Layout.shardManifest(assigned.orderBy(col("doc_id").desc))
+        .orderBy("shard_id").collect().map(_.toSeq).toSeq
+      assert(reversed == planned)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("tfidf: hand-computed weights on a three-doc corpus") {
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
     val got = Tfidf.tfidfVectors(df).orderBy("doc_id", "term")
