@@ -1465,12 +1465,16 @@ object SparkEntry {
     "q_spanstore_bloom" -> ((s, dir) => withTempStore("spanbloom") { tmp =>
       val docs = Tables.load(s, dir, "documents")
       val store = tmp + "/store"
-      // 16 shards — bench-store-sized geometry (q_spanstore note)
+      // 16 shards — bench-store-sized geometry (q_spanstore note);
+      // withBloom fuses the sidecar build into the seed write's own
+      // fingerprint pass
       operators.SpanStore.write(docs.filter(col("doc_id") % 3 === 1),
-        store, minTokens = 16, shardChars = 1)
-      operators.SpanStore.writeBloom(s, store)
+        store, minTokens = 16, shardChars = 1, withBloom = true)
       operators.SpanStore.append(s, docs.filter(col("doc_id") % 3 === 2), store)
-      val batch = docs.filter(col("doc_id") % 3 === 0)
+      // trickle-shaped probe batch (1/15 of the corpus, disjoint from
+      // the store): the representative ingest ratio, and the accounting
+      // passes stay batch-sized
+      val batch = docs.filter(col("doc_id") % 15 === 0)
       val pr = CacheRegistry.track(operators.SpanStore.printsOf(s, batch, store)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val maybe = operators.SpanStore.bloomMaybe(s,
@@ -7497,7 +7501,7 @@ object SparkEntry {
              % (SELECT m FROM mb) AS pos
            FROM store_prints CROSS JOIN ii
          ), probe_prints AS (
-           SELECT doc_id, span_md5, shard FROM spd WHERE doc_id % 3 = 0
+           SELECT doc_id, span_md5, shard FROM spd WHERE doc_id % 15 = 0
          ), probe_pos AS (
            SELECT doc_id, span_md5, shard,
              (CAST(concat('0x', substr(md5(span_md5), 1, 14)) AS BIGINT)

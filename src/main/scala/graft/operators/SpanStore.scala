@@ -94,13 +94,28 @@ object SpanStore {
     * of the data is a big scan.
     */
   def write(docs: DataFrame, dir: String, minTokens: Int = 16,
-      filesPerPartition: Int = 1, shardChars: Int = 2): Unit = {
+      filesPerPartition: Int = 1, shardChars: Int = 2,
+      withBloom: Boolean = false): Unit = {
     require(minTokens > 1, s"minTokens must be > 1, got $minTokens")
     require(shardChars >= 1 && shardChars <= 4,
       s"shardChars must be in [1,4], got $shardChars")
-    graft.ParquetIO.writePartitioned(fingerprints(docs, minTokens, shardChars),
+    val spark = docs.sparkSession
+    val __mk = CacheRegistry.mark(spark)
+    // withBloom fuses the sidecar build into the write: the store write
+    // and the word build share ONE fingerprint pass (the r16 IVFADC
+    // fused-guard precedent) instead of writeBloom re-reading the store
+    val fp =
+      if (withBloom)
+        CacheRegistry.track(fingerprints(docs, minTokens, shardChars)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else fingerprints(docs, minTokens, shardChars)
+    graft.ParquetIO.writePartitioned(fp,
       dir, Seq("shard"), filesPerPartition, sortCols = Seq("span_md5"))
     StoreMeta.write(dir, "min_tokens" -> minTokens, "shard_chars" -> shardChars)
+    if (withBloom) {
+      buildBloom(fp.select("shard", "span_md5"), dir)
+      CacheRegistry.releaseSince(spark, __mk)
+    }
   }
 
   /** Append a batch's fingerprints under the frozen geometry. When the
@@ -130,7 +145,7 @@ object SpanStore {
     if (withBloom) {
       val (mBits, kh) = readBloomGeometry(dir)
       graft.ParquetIO.writePartitioned(
-        bloomRows(fp.select("shard", "span_md5").distinct(), mBits, kh),
+        bloomRows(fp.select("shard", "span_md5"), mBits, kh),
         bloomDir(dir), Seq("shard"), filesPerPartition = 1, mode = "append",
         sortCols = Seq("w"))
       CacheRegistry.releaseSince(spark, __mk)
@@ -151,11 +166,13 @@ object SpanStore {
     (m("m_bits").toInt, m("k_hashes").toInt)
   }
 
-  /** Dense per-shard Bloom words over distinct prints: (shard, w, word)
-    * where word = OR of bits at positions p with p >>> 6 == w. The
-    * shuffle carries DISTINCT positions (≤ shards × mBits rows with
-    * map-side combine) — sized by the FIXED filter geometry, never the
-    * print count. Position family = [[Sketches.bloomPositions]]'s
+  /** Dense per-shard Bloom words over prints: (shard, w, word) where
+    * word = OR of bits at positions p with p >>> 6 == w. Input rows may
+    * repeat (bit_or is idempotent, so no distinct pass is spent on
+    * them); map-side partial aggregation collapses each task to at most
+    * its touched (shard, w) words, so the shuffle carries ≤ tasks ×
+    * shards × mBits/64 rows — sized by the FIXED filter geometry, never
+    * the print count. Position family = [[Sketches.bloomPositions]]'s
     * portable md5 basis, so the DuckDB oracle replays the verdict as
     * position-set membership.
     */
@@ -163,7 +180,6 @@ object SpanStore {
     prints
       .select(col("shard"),
         explode(Sketches.bloomPositions(col("span_md5"), mBits, k)).as("pos"))
-      .distinct()
       .select(col("shard"), shiftright(col("pos"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy("shard", "w")
@@ -190,14 +206,25 @@ object SpanStore {
     * read when the Bloom clears the whole batch.
     */
   def writeBloom(spark: SparkSession, dir: String, bitsPerKey: Int = 12,
-      kHashes: Int = 5, headroom: Int = 4): Unit = {
+      kHashes: Int = 5, headroom: Int = 4): Unit =
+    buildBloom(readStore(spark, dir).select("shard", "span_md5"), dir,
+      bitsPerKey, kHashes, headroom)
+
+  /** Size + build + freeze the sidecar from a (shard, span_md5) frame —
+    * the store's rows ([[writeBloom]]) or the write's own fingerprint
+    * pass (`write(withBloom = true)`, one fewer store scan).
+    */
+  private def buildBloom(prints: DataFrame, dir: String,
+      bitsPerKey: Int = 12, kHashes: Int = 5, headroom: Int = 4): Unit = {
     require(bitsPerKey >= 1, s"bitsPerKey must be >= 1, got $bitsPerKey")
     require(kHashes >= 1 && kHashes < 128,
       s"kHashes must be in [1,128), got $kHashes")
     require(headroom >= 1, s"headroom must be >= 1, got $headroom")
-    val prints = readStore(spark, dir).select("shard", "span_md5").distinct()
-    val maxN = prints.groupBy("shard").count()
-      .agg(coalesce(max("count"), lit(0L)).as("n")).head().getLong(0)
+    // sizing needs the DISTINCT count; the word build does not (bit_or
+    // absorbs repeats), so only this bounded aggregate pays the dedup
+    val maxN = prints.groupBy("shard")
+      .agg(countDistinct(col("span_md5")).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
     val mBits = math.min(math.max(
       (bitsPerKey.toLong * headroom * maxN + 63L) / 64L * 64L, 1024L),
       1L << 26).toInt

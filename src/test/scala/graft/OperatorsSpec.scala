@@ -1257,6 +1257,18 @@ class OperatorsSpec extends AnyFunSuite {
       spark.read.parquet(t + "/s_bloom").count(),
       "compaction must OR-fold sidecar generations")
     assert(sorted(SpanStore.probe(spark, probeDocs, t + "/c")) == cold)
+    // fused build (write withBloom) == write-then-writeBloom: identical
+    // frozen geometry and identical word rows
+    SpanStore.write(all.filter(col("doc_id") % 2 === 0), t + "/f",
+      minTokens = 4, withBloom = true)
+    assert(SpanStore.hasBloom(t + "/f"))
+    def bloomRowsOf(dir: String) = spark.read
+      .schema("w BIGINT, word BIGINT, shard STRING").parquet(dir + "_bloom")
+      .collect().map(_.toSeq).toSet
+    SpanStore.write(all.filter(col("doc_id") % 2 === 0), t + "/f2", minTokens = 4)
+    SpanStore.writeBloom(spark, t + "/f2")
+    assert(bloomRowsOf(t + "/f") == bloomRowsOf(t + "/f2"),
+      "fused sidecar build must equal the standalone build")
   }
 
   test("SpanStore.ingestCurate: trims corpus spans, drops mostly-dup docs, appends only survivors") {
