@@ -920,10 +920,15 @@ object Streaming {
       minTokens: Int = 16,
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
-      autoCompactThreshold: Option[Int] = None): Unit =
+      autoCompactThreshold: Option[Int] = None,
+      withBloom: Boolean = false): Unit =
     shardedStoreIngest(spark, docsDir, storeDir,
         maxFilesPerTrigger, checkpointDir) { (b, cold) =>
-      if (cold) graft.operators.SpanStore.write(b, storeDir, minTokens)
+      // withBloom: the cold build fuses the Bloom admission sidecar in;
+      // every later append writes its word generation under the frozen
+      // geometry automatically (SpanStore.append's default)
+      if (cold) graft.operators.SpanStore.write(b, storeDir, minTokens,
+        withBloom = withBloom)
       else graft.operators.SpanStore.append(spark, b, storeDir)
     } { fs =>
       val files = maxFilesPerShard(fs, storeDir)
@@ -1308,10 +1313,16 @@ object Streaming {
       rewrite: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val staging = storeDir + "_compacting"
-    for (sfx <- Seq("", "_meta"))
+    for (sfx <- Seq("", "_meta", "_bloom", "_bloom_meta"))
       fs.delete(new Path(staging + sfx), true)
     rewrite(staging)
-    for (sfx <- Seq("", "_meta")) {
+    // optional sidecars (the span store's Bloom admission filter) swap
+    // with the store they summarize — a swap that left the old sidecar
+    // live would stay CORRECT (compaction preserves the print set) but
+    // orphan the staging copy and forfeit the OR-fold
+    val sidecars = Seq("", "_meta") ++
+      Seq("_bloom", "_bloom_meta").filter(s => fs.exists(new Path(staging + s)))
+    for (sfx <- sidecars) {
       val live = new Path(storeDir + sfx)
       val retired = new Path(storeDir + sfx + "_precompact")
       fs.delete(retired, true)

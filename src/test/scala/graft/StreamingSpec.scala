@@ -316,6 +316,23 @@ class StreamingSpec extends AnyFunSuite {
       minTokens = 16, maxFilesPerTrigger = Some(1),
       checkpointDir = Some(ckpt))
     assert(spark.read.parquet(store).count() == rows)
+    // bloom twin: the cold build fuses the sidecar in, streamed appends
+    // write their word generations, and the in-place auto-compaction
+    // swap must carry the sidecar (no orphaned staging copy, OR-folded
+    // live copy) — the bloom-path probe must still equal the bloomless
+    // cold answer through all of it
+    val bstore = tmpDir("stream-span-bloom").toString + "/store"
+    Streaming.streamingSpanIngest(spark, docsDir.toString, bstore,
+      minTokens = 16, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(tmpDir("stream-span-bloom-ckpt").toString),
+      autoCompactThreshold = Some(1), withBloom = true)
+    assert(graft.operators.SpanStore.hasBloom(bstore),
+      "streamed cold build must carry the sidecar")
+    assert(!Files.exists(Paths.get(bstore + "_compacting_bloom")),
+      "compaction swap orphaned the staging sidecar")
+    assert(probed(bstore) == cold,
+      "bloom-path probe over the streamed store must equal cold")
+    graft.operators.CacheRegistry.release(spark)
   }
 
   test("streaming curate-ingest equals the driver loop; replay fence holds") {
