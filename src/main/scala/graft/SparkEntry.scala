@@ -1380,6 +1380,20 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
         .orderBy("doc_id", "chunk_id")),
 
+    // the OTHER export tail: curate at document granularity, keep the
+    // train split, publish as token-balanced shards with the read-back
+    // integrity manifest — curate → publish as one lineage, the
+    // q_pipeline_pack sibling for loaders that consume whole documents
+    "q_pipeline_publish" -> ((s, dir) => withTempStore("pipepub") { tmp =>
+      operators.Layout.writeShards(s,
+          operators.Layout.publishShards(
+            operators.Pipeline.curateDocs(Tables.load(s, dir, "documents"))
+              .filter(col("split") === "train"),
+            nShards = 8),
+          tmp + "/shards")
+        .orderBy("shard_id")
+    }),
+
     // per-language corpus telemetry aggregate
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.load(s, dir, "documents"), "lang")
@@ -8358,6 +8372,78 @@ object SparkEntry {
          SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
            CAST(global_offset // 256 AS BIGINT) AS seq_id
          FROM o ORDER BY doc_id, chunk_id""",
+
+    // the q_pipeline_pack curation chain at doc granularity, train
+    // split kept, folded into the q_publish_shards manifest tail
+    "q_pipeline_publish" ->
+      """WITH RECURSIVE q AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                 round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text), 4) END AS alpha_ratio
+             FROM documents) t
+           WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
+         ), keep1 AS (
+           SELECT min(doc_id) AS doc_id FROM q
+           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         ), d2 AS (
+           SELECT q.doc_id, q.text FROM q JOIN keep1 USING (doc_id)
+         ), toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM d2
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), pairs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM d2
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), canon AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
+         ), surv AS (
+           SELECT d2.doc_id, d2.text FROM d2
+           WHERE d2.doc_id IN (SELECT doc_id FROM canon WHERE doc_id = canonical_id)
+         ), tr AS (
+           SELECT doc_id, text FROM (
+             SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+             FROM surv) t
+           WHERE b < 8000
+         ), t2 AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM tr
+         ), tot AS (
+           SELECT sum(n_tokens) AS total FROM t2
+         ), c2 AS (
+           SELECT doc_id, text, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+           FROM t2
+         ), a AS (
+           SELECT doc_id, text, n_tokens,
+             CAST(cum // ((total + 7) // 8) AS INT) AS shard_id
+           FROM c2, tot
+         )
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
+         FROM a GROUP BY shard_id ORDER BY shard_id""",
 
     // sign-LSH replayed via SERIALIZED hyperplanes: the ±1 plane matrix is
     // data-independent (SignLshBuckets.planeSigns — the exact XXH64 sign

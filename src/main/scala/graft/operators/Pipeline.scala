@@ -30,7 +30,42 @@ object Pipeline {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       chunkTokens: Int = 64,
-      overlap: Int = 16): DataFrame = {
+      overlap: Int = 16): DataFrame =
+    // 4+5. chunk, then assign the split on the chunk rows directly —
+    // deterministicSplit is pure doc_id hash arithmetic, so recomputing it
+    // per chunk costs one md5 and saves a corpus-wide join
+    Sampling.deterministicSplit(
+        TextAnalysis.chunkDocuments(
+          survivors(docs, minTokens, minAlphaRatio, jaccardThreshold),
+          chunkTokens, overlap),
+        "doc_id", splits)
+      .select("doc_id", "split", "chunk_id", "n_chunk_tokens", "chunk_text")
+
+  /** The curation stages at DOCUMENT granularity — the same survivors
+    * [[curate]] chunks, split-labeled but left whole: the input to the
+    * exports that want documents, not training sequences
+    * ([[Layout.publishShards]], eval-set freezes). Output: the doc
+    * columns + `split`.
+    */
+  def curateDocs(
+      docs: DataFrame,
+      minTokens: Long = 5,
+      minAlphaRatio: Double = 0.5,
+      jaccardThreshold: Double = 0.8,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    Sampling.deterministicSplit(
+      survivors(docs, minTokens, minAlphaRatio, jaccardThreshold),
+      "doc_id", splits)
+
+  /** Stages 1-3 (quality gate → exact dedup → near-dup drop), shared by
+    * [[curate]] and [[curateDocs]].
+    */
+  private def survivors(
+      docs: DataFrame,
+      minTokens: Long,
+      minAlphaRatio: Double,
+      jaccardThreshold: Double): DataFrame = {
     // 1. quality gate: thresholds compare the same 4dp-rounded ratios the
     // q_quality oracle proves engine-identical, so the gate is portable
     val quality = TextAnalysis.qualityScore(docs)
@@ -53,14 +88,6 @@ object Pipeline {
       Dedup.ngramJaccardPairs(cached, threshold = jaccardThreshold))
     val keepers = clusters.filter(col("doc_id") === col("canonical_id"))
       .select("doc_id")
-    val surviving = cached.join(keepers, Seq("doc_id"), "left_semi")
-
-    // 4+5. chunk, then assign the split on the chunk rows directly —
-    // deterministicSplit is pure doc_id hash arithmetic, so recomputing it
-    // per chunk costs one md5 and saves a corpus-wide join
-    Sampling.deterministicSplit(
-        TextAnalysis.chunkDocuments(surviving, chunkTokens, overlap),
-        "doc_id", splits)
-      .select("doc_id", "split", "chunk_id", "n_chunk_tokens", "chunk_text")
+    cached.join(keepers, Seq("doc_id"), "left_semi")
   }
 }
