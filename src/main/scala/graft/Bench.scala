@@ -190,7 +190,22 @@ object Bench {
     // event stream is QUIET (no new arrivals across a poll gap) and at
     // least one save was seen, bounded at ~2s; fingerprinting is
     // best-effort telemetry and must never stall or fail the suite
-    def planFingerprint(): String = {
+    def md5_12(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    // (physical fp, logical fp). The physical fp captures the executed
+    // shape (broadcast vs SMJ, codegen spans) but is SESSION-ORDER
+    // dependent: CacheManager substitutes plan fragments persisted by
+    // EARLIER queries into later plans (InMemoryTableScan replaces the
+    // recomputed subtree), so adding/removing any query to the suite
+    // legitimately moves other queries' physical fps (measured r17:
+    // isolated runs agree with each other but not with the full-suite
+    // record). The logical fp hashes the ANALYZED canonicalized plan —
+    // taken BEFORE cache substitution — so it moves only when the
+    // query's own source (or its inputs' schema) changes; the diff gate
+    // compares logical fps and the judge's "same fp => noise" reading
+    // should use the logical one across records with different sets.
+    def planFingerprint(): (String, String) = {
       var tries = 0
       var stable = 0
       var seen = qeSeq.get()
@@ -210,10 +225,19 @@ object Bench {
           // numbers. Normalize both or identical plans fingerprint apart.
           .replaceAll("QueryStage \\d+", "QueryStage ")
           .replaceAll("\\*\\(\\d+\\)", "*(")
+          // plan-baked reference objects (bloom_contains_all's word
+          // array) print as JVM identity hashes — per-run noise
+          .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@")
           .replaceAll("\\s+", " ")
-        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-      }.getOrElse("none")
+        val l = qe.analyzed.canonicalized.toString
+          .replaceAll("#\\d+", "#")
+          // store-lifecycle queries read per-run temp directories
+          .replaceAll("file:[^\\s,\\]\\)]*", "file:")
+          .replaceAll("/tmp/[^\\s,\\]\\)]*", "/tmp/")
+          .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@")
+          .replaceAll("\\s+", " ")
+        (md5_12(s), md5_12(l))
+      }.getOrElse(("none", "none"))
     }
 
     // host-load marker: the shared bench host has contaminated the wall
@@ -228,8 +252,8 @@ object Bench {
     // task 2: the r16 record started quiet and degraded mid-suite;
     // end-of-run m1 alone couldn't say WHICH queries the load hit)
     case class Attempt(wall: Double, cpu: Double, gcMs: Long, peakMb: Long,
-      fp: String, m1: Double)
-    val failedAttempt = Attempt(-1.0, -1.0, -1L, -1L, "none", -1.0)
+      fp: String, lfp: String, m1: Double)
+    val failedAttempt = Attempt(-1.0, -1.0, -1L, -1L, "none", "none", -1.0)
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
       lastQe.set(null)
@@ -243,9 +267,11 @@ object Bench {
         catch { case e if scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: $e"); false
         }
-      if (ok) Attempt((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9,
-        gcMs() - g0, peakMb(), planFingerprint(), m1Here)
-      else failedAttempt
+      if (ok) {
+        val (fp, lfp) = planFingerprint()
+        Attempt((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9,
+          gcMs() - g0, peakMb(), fp, lfp, m1Here)
+      } else failedAttempt
     }
     // SPARK_GRAFT_REPEAT=N (iteration runs): measure each selected query
     // N times and print EVERY attempt — the controlled-variance
@@ -414,6 +440,8 @@ object Bench {
       .mkString("{", ",", "}")
     val cpus_ = results.map { case (k, a) => "\"" + k + "\":" + a.cpu }
       .mkString("{", ",", "}")
+    val plansLogicalJson = results.map { case (k, a) =>
+      "\"" + k + "\":\"" + a.lfp + "\"" }.mkString("{", ",", "}")
     val plansJson = results.map { case (k, a) => "\"" + k + "\":\"" + a.fp + "\"" }
       .mkString("{", ",", "}")
     val gcJson = results.map { case (k, a) => "\"" + k + "\":" + a.gcMs }
@@ -442,8 +470,13 @@ object Bench {
       if (p.waitFor() == 0) Some(out) else None
     } catch { case e if scala.util.control.NonFatal(e) => None }
     val gitHead = gitOut("rev-parse", "HEAD").getOrElse("")
+    // the gate compares LOGICAL fps (session-order independent — see
+    // planFingerprint) when the previous record carries them, physical
+    // fps only as the pre-logical-fp fallback
     val fpByName = results.collect {
       case (k, a) if a.fp != "none" => k -> a.fp }.toMap
+    val lfpByName = results.collect {
+      case (k, a) if a.lfp != "none" => k -> a.lfp }.toMap
     val fpDiffJson: String =
       if (only.isDefined) """{"checked":false}"""
       else try {
@@ -461,16 +494,21 @@ object Bench {
           case None => """{"checked":false}"""
           case Some(root) =>
             val prevGit = Option(root.get("git")).map(_.asText("")).getOrElse("")
-            val prevPlans = Option(root.get("plans")).filter(_.isObject)
-              .map { pj =>
-                val it = pj.properties().iterator()
-                val b = Map.newBuilder[String, String]
-                while (it.hasNext) {
-                  val e = it.next(); b += e.getKey -> e.getValue.asText()
-                }
-                b.result()
-              }.getOrElse(Map.empty[String, String])
-            val changed = fpByName.toSeq.sortBy(_._1).flatMap {
+            def fpMap(field: String): Map[String, String] =
+              Option(root.get(field)).filter(_.isObject)
+                .map { pj =>
+                  val it = pj.properties().iterator()
+                  val b = Map.newBuilder[String, String]
+                  while (it.hasNext) {
+                    val e = it.next(); b += e.getKey -> e.getValue.asText()
+                  }
+                  b.result()
+                }.getOrElse(Map.empty[String, String])
+            val prevLogical = fpMap("plans_logical")
+            val (prevPlans, nowPlans) =
+              if (prevLogical.nonEmpty) (prevLogical, lfpByName)
+              else (fpMap("plans"), fpByName)
+            val changed = nowPlans.toSeq.sortBy(_._1).flatMap {
               case (name, now) => prevPlans.get(name)
                 .filter(p => p != "none" && p != now)
                 .map(p => (name, p, now))
@@ -529,7 +567,7 @@ object Bench {
       .collect { case (name, a) if a.cpu >= 0 => adjCpu(name, a.cpu) }.sum
     val (loadEnd, m1End) = loadavg()
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"start_waited_sec":$startWaitedSec,"rerun_m1":$rerunM1,"rerun_waited_sec":$rerunWaitedSec}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"git":"$gitHead","rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"git":"$gitHead","rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
@@ -578,7 +616,7 @@ object Bench {
         // along but medians read only "queries", so a rerun never shifts
         // the baseline it was judged against.
         java.nio.file.Files.write(benchToolsDir.resolve("bench-history.jsonl"),
-          (s"""{"ts":"$ts","git":"$gitHead","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"plans":$plansJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"rerun":$rerunJson}""" + "\n")
+          (s"""{"ts":"$ts","git":"$gitHead","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"rerun":$rerunJson}""" + "\n")
             .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)

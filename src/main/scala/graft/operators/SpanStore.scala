@@ -109,13 +109,12 @@ object SpanStore {
         CacheRegistry.track(fingerprints(docs, minTokens, shardChars)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else fingerprints(docs, minTokens, shardChars)
-    graft.ParquetIO.writePartitioned(fp,
-      dir, Seq("shard"), filesPerPartition, sortCols = Seq("span_md5"))
-    StoreMeta.write(dir, "min_tokens" -> minTokens, "shard_chars" -> shardChars)
-    if (withBloom) {
-      buildBloom(fp.select("shard", "span_md5"), dir)
-      CacheRegistry.releaseSince(spark, __mk)
-    }
+    try {
+      graft.ParquetIO.writePartitioned(fp,
+        dir, Seq("shard"), filesPerPartition, sortCols = Seq("span_md5"))
+      StoreMeta.write(dir, "min_tokens" -> minTokens, "shard_chars" -> shardChars)
+      if (withBloom) buildBloom(fp.select("shard", "span_md5"), dir)
+    } finally if (withBloom) CacheRegistry.releaseSince(spark, __mk)
   }
 
   /** Append a batch's fingerprints under the frozen geometry. When the
@@ -139,17 +138,18 @@ object SpanStore {
         CacheRegistry.track(fingerprints(batch, k, sc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else fingerprints(batch, k, sc)
-    graft.ParquetIO.writePartitioned(fp, dir,
-      Seq("shard"), filesPerPartition = 1, mode = "append",
-      sortCols = Seq("span_md5"))
-    if (withBloom) {
-      val (mBits, kh) = readBloomGeometry(dir)
-      graft.ParquetIO.writePartitioned(
-        bloomRows(fp.select("shard", "span_md5"), mBits, kh),
-        bloomDir(dir), Seq("shard"), filesPerPartition = 1, mode = "append",
-        sortCols = Seq("w"))
-      CacheRegistry.releaseSince(spark, __mk)
-    }
+    try {
+      graft.ParquetIO.writePartitioned(fp, dir,
+        Seq("shard"), filesPerPartition = 1, mode = "append",
+        sortCols = Seq("span_md5"))
+      if (withBloom) {
+        val (mBits, kh) = readBloomGeometry(dir)
+        graft.ParquetIO.writePartitioned(
+          bloomRows(fp.select("shard", "span_md5"), mBits, kh),
+          bloomDir(dir), Seq("shard"), filesPerPartition = 1, mode = "append",
+          sortCols = Seq("w"))
+      }
+    } finally if (withBloom) CacheRegistry.releaseSince(spark, __mk)
   }
 
   // ---- Bloom sidecar: store-scan-free admission of definitely-new prints
@@ -286,6 +286,15 @@ object SpanStore {
     * into the store-side semi-join and the batch fingerprints into the
     * final hit join, so store rows never shuffle; a backfill-sized
     * batch sets it false and takes the shuffle joins.
+    *
+    * `useBloom` (default on, a no-op without the sidecar): when the
+    * store carries a Bloom sidecar, definitely-new prints are cleared
+    * BEFORE any store planning — the shard IN-list and semi-join keys
+    * shrink to the possible-duplicate residue, and a fully-cleared
+    * batch reads zero store files. Requires every append since
+    * [[writeBloom]] to have updated the sidecar ([[append]]'s default);
+    * an out-of-band append with `updateBloom = false` would create
+    * false negatives — rebuild via [[writeBloom]] after such a backfill.
     *
     * The batch fingerprint frame is persisted (three consumers: shard
     * collect, print key set, final join) and CacheRegistry-tracked —
