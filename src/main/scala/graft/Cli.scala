@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|
+          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -285,6 +285,8 @@ object Cli {
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
           |          publish: -dest <dir> [-shards N] [-files N] (token-balanced
           |            training-shard export; prints the read-back manifest);
+          |          bm25: [-topk N] [-query-max-id N] [-log-idf true|false]
+          |            (lexical retrieval, seed docs as queries);
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
           |          tfidf/cosine: [-ngram N] (cosine: [-max-df-frac X]);
           |          containment: [-df-cap N|auto] (auto derives the shingle-df cap);
@@ -1061,6 +1063,13 @@ object Cli {
         k = flags.getOrElse("topk", "3").toInt,
         lambda = flags.getOrElse("lambda", "0.7").toDouble)
       // documents input + row-aligned embeddings via -emb
+      // BM25 lexical retrieval (Lucene log idf by default; -log-idf
+      // false switches to the oracle-exact rational odds)
+      case "bm25"        => Retrieval.bm25TopK(docs,
+        queryMaxId = flags.getOrElse("query-max-id", "5").toLong,
+        k = flags.getOrElse("topk", "10").toInt,
+        logIdf = flags.getOrElse("log-idf", "true").toBoolean)
+        .orderBy("query_id", "rank")
       case "rrf"         => Retrieval.rrfHybridTopK(docs,
         spark.read.parquet(flags.getOrElse("emb",
           fail("rrf requires -emb <embeddings.parquet>"))),

@@ -1380,6 +1380,15 @@ object SparkEntry {
         .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
         .orderBy("doc_id", "chunk_id")),
 
+    // BM25 keyword retrieval (rational-idf variant — the log-free
+    // Robertson–Spärck-Jones odds the oracle replays bit-for-bit;
+    // exact-binary-fraction k1/b make the saturation chain drift-free):
+    // first five docs as seed queries, top-10 lexical matches each
+    "q_bm25" -> ((s, dir) =>
+      operators.Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
+          queryMaxId = 5, k = 10, logIdf = false)
+        .orderBy("query_id", "rank")),
+
     // the OTHER export tail: curate at document granularity, keep the
     // train split, publish as token-balanced shards with the read-back
     // integrity manifest — curate → publish as one lineage, the
@@ -8372,6 +8381,55 @@ object SparkEntry {
          SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
            CAST(global_offset // 256 AS BIGINT) AS seq_id
          FROM o ORDER BY doc_id, chunk_id""",
+
+    // BM25 replayed exactly: same posting/df/dl/avgdl statistics, the
+    // rational idf odds, the exact-binary-fraction saturation constants
+    // (2.25 / 0.3125 / 0.9375), 6dp fixed-point contributions summed
+    // order-free, 4dp score, row_number tie on doc_id
+    "q_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, unnest(tk) AS term FROM toks
+         ), tfc AS (
+           SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2
+         ), dl AS (
+           SELECT doc_id, count(*) AS dl FROM pos GROUP BY 1
+         ), st AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM dl
+         ), dfx AS (
+           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
+         ), q AS (
+           SELECT DISTINCT doc_id AS query_id, term FROM tfc WHERE doc_id < 5
+         ), contrib AS (
+           SELECT q.query_id, t.doc_id,
+             CAST(round(
+               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
+               ((CAST(t.tf AS DOUBLE) * 2.25) /
+                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
+                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
+             , 6) AS DECIMAL(18,6)) AS c
+           FROM tfc t
+           JOIN q ON t.term = q.term
+           JOIN dfx ON t.term = dfx.term
+           JOIN dl ON t.doc_id = dl.doc_id
+           WHERE t.doc_id <> q.query_id
+         ), scored AS (
+           SELECT query_id, doc_id,
+             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+           FROM contrib GROUP BY 1, 2
+         ), ranked AS (
+           SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rk
+           FROM scored
+         )
+         SELECT query_id, doc_id, bm25, CAST(rk AS INT) AS rank
+         FROM ranked WHERE rk <= 10
+         ORDER BY query_id, rank""",
 
     // the q_pipeline_pack curation chain at doc granularity, train
     // split kept, folded into the q_publish_shards manifest tail

@@ -68,6 +68,87 @@ object Retrieval {
       .select("query_id", "doc_id", "tfidf_sim", "rank")
   }
 
+  /** BM25 keyword retrieval: rank corpus documents against each query
+    * document's DISTINCT terms — the standard sparse-retrieval baseline
+    * (Robertson-Spärck Jones probabilistic weighting with the Okapi
+    * saturation), the lexical leg a hybrid retriever fuses with the
+    * dense ANN leg. Query docs are `doc_id < queryMaxId` (the
+    * [[sparseCosineTopK]] seed-document convention); query-term
+    * multiplicity is ignored (the common k3→∞=drop simplification).
+    *
+    * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) / (tf + k1·(1−b) +
+    * k1·b·dl/avgdl), with N and avgdl over token-bearing docs.
+    *
+    * `logIdf = true` (default) uses the Lucene idf
+    * ln(1 + (N−df+0.5)/(df+0.5)); `logIdf = false` keeps the raw
+    * Robertson–Spärck-Jones odds (N−df+0.5)/(df+0.5) — the same
+    * per-term shape without the log, which is what the DuckDB oracle
+    * replays bit-for-bit (ln is the one function the oracle convention
+    * bans; the log variant is spec-pinned against a hand computation
+    * instead). DEFAULTS ARE EXACT BINARY FRACTIONS (k1 = 1.25,
+    * b = 0.75): every derived constant (k1+1 = 2.25, k1·(1−b) = 0.3125,
+    * k1·b = 0.9375) is exactly representable, so the whole saturation
+    * chain is a fixed sequence of exact-input IEEE ops — identical bits
+    * in any engine. Per-term contributions are 6dp-fixed-point before
+    * the order-free DECIMAL sum (the [[TextAnalysis.lmScore]]
+    * convention), final score 4dp.
+    *
+    * Scale shape: the (query_id, term, df) table is query-sized and
+    * BROADCAST into the corpus posting scan; candidates are bounded by
+    * docs-sharing-a-query-term; doc lengths join corpus-sized but
+    * two-column; the finisher is the mergeable BoundedTopK aggregate,
+    * never a global window.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      k1: Double = 1.25,
+      b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
+    val toks = Parallelism.ensure(docs
+        .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull) // Dedup.safeExplodeNote
+    // three consumers (tf, dl, df-via-tf) — one tokenize pass
+    val tfc = CacheRegistry.track(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = broadcast(dl.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl")))
+    val dft = tfc.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    // query-sized: distinct query terms with their corpus df, broadcast
+    val qtd = broadcast(
+      dft.join(
+        tfc.filter(col("doc_id") < queryMaxId)
+          .select(col("doc_id").as("query_id"), col("term")).distinct(),
+        Seq("term")))
+    val tfD = col("tf").cast("double")
+    val sat = (tfD * lit(k1 + 1.0)) /
+      (tfD + (lit(k1 * (1.0 - b)) + lit(k1 * b) *
+        (col("dl").cast("double") / col("__avgdl"))))
+    val idf =
+      if (logIdf) log(lit(1.0) + ((col("__n") - col("__df")) + lit(0.5)) /
+        (col("__df") + lit(0.5)))
+      else ((col("__n") - col("__df")) + lit(0.5)) / (col("__df") + lit(0.5))
+    val scored = tfc.join(qtd, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .select(col("query_id"), col("doc_id"),
+        round(idf * sat, 6).cast("decimal(18,6)").as("__c"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("__c")).cast("double"), 4).as("bm25"))
+    Similarity.aggTopKBy(scored, "bm25", k, Seq("query_id"), "rank",
+        idCol = "doc_id")
+      .select("query_id", "doc_id", "bm25", "rank")
+  }
+
   /** Reciprocal-rank-fusion hybrid retrieval: fuse a sparse (TF-IDF
     * cosine) and a dense (embedding cosine) ranking of the same item space
     * with RRF(item) = Σ_lists 1/(rrfK + rank). The classic hybrid-search

@@ -794,6 +794,13 @@ class CliSpec extends AnyFunSuite {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
 
+    // lexical retrieval from the shell
+    val bm = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "bm25",
+        "topk" -> "3", "query-max-id" -> "2"))
+    }
+    assert(bm.contains("bm25") && bm.contains("rank"), bm)
+
     // publish-to-training export from the shell: manifest printed, the
     // shard directories actually hold the corpus
     val pdir = java.nio.file.Files.createTempDirectory("cli-publish").toString

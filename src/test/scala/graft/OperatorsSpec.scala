@@ -318,6 +318,46 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: hand-computed scores on a four-doc corpus, both idf variants, partition-invariant") {
+    val docs = Seq(
+      (0L, "apple banana banana"),
+      (1L, "apple cherry"),
+      (2L, "banana banana banana durian"),
+      (3L, "cherry durian apple")).toDF("doc_id", "text")
+    // N = 4 token-bearing docs, avgdl = 12/4 = 3.0
+    // query = doc 0, terms {apple, banana}; df(apple)=3, df(banana)=2
+    def sat(tf: Double, dlen: Double): Double =
+      (tf * 2.25) / (tf + (0.3125 + 0.9375 * (dlen / 3.0)))
+    def contrib(idf: Double, tf: Double, dlen: Double): Double =
+      BigDecimal(idf * sat(tf, dlen))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(terms: Seq[(Double, Double, Double)]): Double = // (idf, tf, dl)
+      BigDecimal(terms.map { case (i, t, d) => contrib(i, t, d) }.sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def idfLog(df: Double) = math.log(1.0 + ((4.0 - df) + 0.5) / (df + 0.5))
+    def idfRat(df: Double) = ((4.0 - df) + 0.5) / (df + 0.5)
+    for ((variant, idf) <- Seq(
+        (true, idfLog _), (false, idfRat _))) {
+      val got = Retrieval.bm25TopK(docs, queryMaxId = 1, k = 10,
+          logIdf = variant)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      val exp = Seq(
+        1L -> score(Seq((idf(3.0), 1.0, 2.0))),              // apple
+        2L -> score(Seq((idf(2.0), 3.0, 4.0))),              // banana x3
+        3L -> score(Seq((idf(3.0), 1.0, 3.0))))              // apple
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+      assert(got.toSeq == exp, s"logIdf=$variant: ${got.toSeq} vs $exp")
+    }
+    // partitioning must not move scores (order-free decimal sums)
+    val a = Retrieval.bm25TopK(docs.repartition(7), queryMaxId = 1, k = 10)
+      .collect().map(_.toSeq).toSet
+    val c = Retrieval.bm25TopK(docs.coalesce(1), queryMaxId = 1, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(a == c)
+  }
+
   test("tfidf: hand-computed weights on a three-doc corpus") {
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
     val got = Tfidf.tfidfVectors(df).orderBy("doc_id", "term")
