@@ -94,10 +94,16 @@ object Retrieval {
     * convention), final score 4dp.
     *
     * Scale shape: the (query_id, term, df) table is query-sized and
-    * BROADCAST into the corpus posting scan; candidates are bounded by
-    * docs-sharing-a-query-term; doc lengths join corpus-sized but
-    * two-column; the finisher is the mergeable BoundedTopK aggregate,
-    * never a global window.
+    * BROADCAST into the corpus posting scan; doc lengths join
+    * corpus-sized but two-column; the finisher is the mergeable
+    * BoundedTopK aggregate, never a global window. Candidates are
+    * bounded by docs-sharing-a-query-term — which for a stopword is the
+    * whole corpus, so corpus-scale runs set `genDfCap`: only terms with
+    * df ≤ cap GENERATE candidates (work ∝ rare-term postings, the
+    * champion-list pruning standard), while every admitted candidate is
+    * still scored over ALL its query terms — admitted docs carry their
+    * exact full BM25, and only docs sharing nothing rarer than the cap
+    * (lexical retrieval's last-ranked anyway) can be missed.
     */
   def bm25TopK(
       docs: DataFrame,
@@ -105,9 +111,11 @@ object Retrieval {
       k: Int,
       k1: Double = 1.25,
       b: Double = 0.75,
-      logIdf: Boolean = true): DataFrame = {
+      logIdf: Boolean = true,
+      genDfCap: Option[Long] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
+    genDfCap.foreach(c => require(c >= 1, s"genDfCap must be >= 1, got $c"))
     val toks = Parallelism.ensure(docs
         .select(col("doc_id").cast("long").as("doc_id"), col("text")))
       .select(col("doc_id"),
@@ -136,8 +144,31 @@ object Retrieval {
       if (logIdf) log(lit(1.0) + ((col("__n") - col("__df")) + lit(0.5)) /
         (col("__df") + lit(0.5)))
       else ((col("__n") - col("__df")) + lit(0.5)) / (col("__df") + lit(0.5))
-    val scored = tfc.join(qtd, Seq("term"))
-      .filter(col("doc_id") =!= col("query_id"))
+    // candidate generation. Uncapped: every (query term, posting) pair —
+    // exact, but a stopword-bearing query touches ~the whole corpus (the
+    // naive-BM25 scale wall). genDfCap (the champion-list / term-at-a-
+    // time pruning standard): only sub-cap RARE terms GENERATE
+    // candidates — bounded by Σ df(rare query terms) — and each
+    // candidate is then scored over ALL its query terms (common ones
+    // included), so admitted docs carry their exact full BM25; the
+    // approximation only loses docs sharing NOTHING rarer than the cap,
+    // the ones lexical retrieval ranks last anyway.
+    val contribs = genDfCap match {
+      case None =>
+        tfc.join(qtd, Seq("term"))
+          .filter(col("doc_id") =!= col("query_id"))
+      case Some(cap) =>
+        val gen = broadcast(qtd.filter(col("__df") <= cap.toDouble)
+          .select("query_id", "term"))
+        val cand = tfc.join(gen, Seq("term"))
+          .filter(col("doc_id") =!= col("query_id"))
+          .select("query_id", "doc_id").distinct()
+        // candidates × their own terms (cand · dl rows), query terms
+        // kept by the broadcast (query_id, term, df) join — never a
+        // stopword-posting blowup
+        cand.join(tfc, Seq("doc_id")).join(qtd, Seq("query_id", "term"))
+    }
+    val scored = contribs
       .join(dl, Seq("doc_id"))
       .crossJoin(stats)
       .select(col("query_id"), col("doc_id"),

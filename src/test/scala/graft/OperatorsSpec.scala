@@ -356,6 +356,27 @@ class OperatorsSpec extends AnyFunSuite {
     val c = Retrieval.bm25TopK(docs.coalesce(1), queryMaxId = 1, k = 10)
       .collect().map(_.toSeq).toSet
     assert(a == c)
+    // df-capped generation: a cap covering every term changes nothing
+    val capped = Retrieval.bm25TopK(docs, queryMaxId = 1, k = 10,
+      genDfCap = Some(100L)).collect().map(_.toSeq).toSet
+    assert(capped == a, "cap above max df must be a no-op")
+    // corpus where "common" appears everywhere and "rare" in one doc:
+    // under cap=1 only the rare term generates, yet the admitted doc's
+    // score still includes its common-term contribution — while the
+    // docs sharing ONLY the common term drop out of the candidate set
+    val sw = Seq(
+      (0L, "rare common common"),
+      (1L, "rare common filler1"),
+      (2L, "common filler2 filler3"),
+      (3L, "common filler4 filler5")).toDF("doc_id", "text")
+    val full = Retrieval.bm25TopK(sw, queryMaxId = 1, k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val pruned = Retrieval.bm25TopK(sw, queryMaxId = 1, k = 10,
+        genDfCap = Some(2L)) // df(rare)=2 <= 2, df(common)=4 > 2
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(pruned.keySet == Set(1L), pruned)
+    assert(pruned(1L) == full(1L),
+      "admitted candidate must carry its EXACT full score incl. common terms")
   }
 
   test("tfidf: hand-computed weights on a three-doc corpus") {
