@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|
+          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|datasheet|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -561,6 +561,12 @@ object Cli {
         })
       case "clusters"    => Dedup.dedupClusters(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
+      // per-source dataset card (volume, language spread, quality
+      // means, near-dup contamination) — the release documentation table
+      case "datasheet"   => TextAnalysis.datasheet(docs,
+          Dedup.dedupClusters(docs,
+            Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8))))
+        .orderBy("source")
       case "spans"       => Dedup.duplicateSpans(docs)
       case "exactspans"  => Dedup.duplicateSpansExact(docs,
         minTokens = flags.getOrElse("min-tokens", "16").toInt)

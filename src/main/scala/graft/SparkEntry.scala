@@ -1155,6 +1155,14 @@ object SparkEntry {
           round(col("n_dups").cast("double") / col("n_docs"), 6))
         .orderBy("source")),
 
+    // per-source dataset card: volume, language spread, mean quality
+    // signals, near-dup contamination — the documentation table a
+    // corpus release ships, riding the memoized CC labels
+    "q_datasheet" -> ((s, dir) =>
+      TextAnalysis.datasheet(Tables.load(s, dir, "documents"),
+          dedupLabels(s, dir))
+        .orderBy("source")),
+
     // dedup impact report: how big are the duplicate families? two
     // bounded aggregates over the cluster labeling
     "q_cluster_sizes" -> ((s, dir) =>
@@ -4835,6 +4843,66 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 6) AS dup_rate
          FROM lab l JOIN documents d USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
+
+    // the dup-rate recursive closure joined to the per-doc quality
+    // replay, folded to one row per source — exact DECIMAL ratio sums,
+    // one double division each, the fixed-point mean convention
+    "q_datasheet" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
+             ELSE [array_to_string(tk, ' ')] END AS s
+           FROM toks
+         ), prs AS (
+           SELECT doc_id_a, doc_id_b FROM (
+             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE jaccard >= 0.8
+         ), edges AS (
+           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
+           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
+         ), reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         ), lab AS (
+           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
+         ), qm AS (
+           SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN trim(text) = '' THEN 0.0 ELSE
+               round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')), 4) END AS stopword_ratio,
+             CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) END AS alpha_ratio
+           FROM documents
+         )
+         SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(qm.n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(qm.n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           round(CAST(sum(CAST(qm.alpha_ratio AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 4) AS mean_alpha,
+           round(CAST(sum(CAST(qm.stopword_ratio AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 4) AS mean_stopword,
+           CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dups,
+           round(CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS dup_rate
+         FROM documents d
+         JOIN lab l USING (doc_id)
+         JOIN qm USING (doc_id)
          GROUP BY d.source ORDER BY d.source""",
 
     // the same recursive closure joined to the md5 split replay: multi-

@@ -108,6 +108,38 @@ object TextAnalysis {
       size(tokens(col("text"))).cast("long").as("n_tokens"),
       bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
+  /** Per-source dataset card — the documentation table a corpus release
+    * ships: volume (docs, tokens), language spread, mean quality
+    * signals, and near-duplicate contamination, one bounded row per
+    * source. `dupLabels` is the (doc_id, canonical_id) CC labeling
+    * ([[Dedup.dedupClusters]]) passed in so the expensive pair pass is
+    * computed once and shared across every consumer (the SparkEntry
+    * memo convention). Mean ratios ride the fixed-point convention:
+    * the per-doc 4dp ratios sum exactly as DECIMAL, one double
+    * division, 4dp round — replayable in any engine. Scale shape: two
+    * corpus passes (quality projection, label join) into one
+    * source-keyed partial aggregate; output rows = |sources|.
+    */
+  def datasheet(docs: DataFrame, dupLabels: DataFrame): DataFrame =
+    qualityScore(docs)
+      .join(docs.select("doc_id", "source", "lang"), "doc_id")
+      .join(dupLabels.select("doc_id", "canonical_id"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(sum(col("alpha_ratio").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("mean_alpha"),
+        round(sum(col("stopword_ratio").cast("decimal(18,4)")).cast("double")
+          / count(lit(1)), 4).as("mean_stopword"),
+        sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups").cast("double") / col("n_docs"), 6))
+
   /** Quality scoring: length stats, average token length, stopword ratio,
     * alpha ratio. Deterministic formula; values rounded for cross-engine
     * float stability.

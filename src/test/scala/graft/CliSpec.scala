@@ -205,6 +205,11 @@ class CliSpec extends AnyFunSuite {
     }
     assert(shown.contains("Rows: 500"))
     assert(shown.contains("split"))
+    // per-source dataset card from the shell
+    val ds = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "datasheet"))
+    }
+    assert(ds.contains("dup_rate") && ds.contains("mean_alpha"), ds)
     // contamination requires -probes; unknown op rejected
     intercept[Cli.CliError] {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "contamination"))
