@@ -311,7 +311,12 @@ object Bench {
 
     // measured AFTER the suite: the fully JIT-warmed JVM is the steady
     // state a long-running ingest service actually operates in
-    val parseRate = if (only.isDefined) -1.0 else measureParseRate()
+    // SPARK_GRAFT_PARSE=force measures parse throughput even in an
+    // SPARK_GRAFT_ONLY iteration run — the isolated-scanner experiment
+    val parseRate =
+      if (only.isEmpty || sys.env.get("SPARK_GRAFT_PARSE").contains("force"))
+        measureParseRate()
+      else -1.0
 
     // contamination auto-rerun (r8/r10/r11: three recorded runs carried
     // host-noise outliers that each took a judge-side isolated re-run to
