@@ -211,6 +211,39 @@ object Retrieval {
         embeddings, embeddings.filter(col("vec_id") < nQueries), perList)
       .select(col("query_id"), col("vec_id").as("item_id"),
         col("rank").as("rank_dense"))
+    rrfFuse(sparse, dense, k, rrfK)
+  }
+
+  /** BM25 + dense hybrid: the same RRF fusion with the lexical leg
+    * ranked by [[bm25TopK]] (rational idf — the oracle-exact path)
+    * instead of TF-IDF cosine. `genDfCap` passes through to BM25's
+    * champion-list candidate pruning for corpus-scale runs.
+    */
+  def rrfHybridBm25TopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      nQueries: Int,
+      perList: Int,
+      k: Int,
+      rrfK: Int = 60,
+      genDfCap: Option[Long] = None): DataFrame = {
+    val sparse = bm25TopK(docs, nQueries, perList, logIdf = false,
+        genDfCap = genDfCap)
+      .select(col("query_id"), col("doc_id").as("item_id"),
+        col("rank").as("rank_sparse"))
+    val dense = Similarity.bruteForceTopK(
+        embeddings, embeddings.filter(col("vec_id") < nQueries), perList)
+      .select(col("query_id"), col("vec_id").as("item_id"),
+        col("rank").as("rank_dense"))
+    rrfFuse(sparse, dense, k, rrfK)
+  }
+
+  /** The shared RRF fold: full-outer join of two (query_id, item_id,
+    * rank_*) lists, RRF(item) = Σ 1/(rrfK + rank), absent list → exact
+    * 0.0, rank tie on item_id.
+    */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int,
+      rrfK: Int): DataFrame = {
     val fused = sparse.join(dense, Seq("query_id", "item_id"), "full_outer")
       .select(col("query_id"), col("item_id"),
         coalesce(col("rank_sparse"), lit(0)).as("rank_sparse"),
