@@ -1537,7 +1537,10 @@ object SparkEntry {
     "q_ingest_curate" -> ((s, dir) => withTempStore("ingestcurate") { tmp =>
       val docs = Tables.load(s, dir, "documents")
       val store = tmp + "/store"
-      // 16 shards — bench-store-sized geometry (q_spanstore note)
+      // 16 shards — bench-store-sized geometry (q_spanstore note). NO
+      // bloom sidecar: the odd-half batch is backfill-shaped and the
+      // sidecar measured 2x slower here (4.5 -> 9.1 s at sf0.1, r17) —
+      // the trickle case that pays off is q_spanstore_bloom's
       operators.SpanStore.write(docs.filter(col("doc_id") % 2 === 0),
         store, minTokens = 16, shardChars = 1)
       val audit = operators.SpanStore.ingestCurate(s,
@@ -1590,6 +1593,11 @@ object SparkEntry {
       val spanDir = tmp + "/span"
       // the two seed builds are independent stores — concurrent jobs,
       // not serial submission latency (the ParJobs store-write pattern)
+      // NO bloom sidecar here (measured r17): this batch is the odd
+      // HALF of the corpus — backfill-shaped, so the sidecar cleared
+      // little and its build + per-append generation passes nearly
+      // doubled the wall (5.3 -> 11.0 s at sf0.1). The sidecar's case
+      // is the trickle ratio q_spanstore_bloom models.
       operators.ParJobs.run(
         () => graft.operators.LshIndex.write(seed, lshDir),
         () => operators.SpanStore.write(seed, spanDir,
