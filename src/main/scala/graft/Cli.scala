@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|datasheet|
+          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|datasheet|retention|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -633,6 +633,18 @@ object Cli {
         bins = flags.getOrElse("bins", "1024").toInt)
       // one-pass mergeable relative-error sketch — the streaming-safe
       // sibling of -op quantile's two-pass absolute-error histogram
+      // retention sweep on a window-partitioned store (sketch/hll):
+      // expire partitions ending at or before -cutoff; prints the
+      // dropped window starts
+      case "retention"   =>
+        val idx = flags.getOrElse("index",
+          fail("corpus -op retention requires -index <dir> (a window store)"))
+        val cutoff = flags.getOrElse("cutoff",
+          fail("corpus -op retention requires -cutoff <epoch ms>")).toLong
+        val dropped = graft.operators.Retention
+          .dropWindowsBefore(spark, idx, cutoff)
+        import spark.implicits._
+        dropped.toDF("dropped_window_start_ms")
       case "loghist"     => Quantiles.logHistQuantiles(
         docs.join(TextAnalysis.tokenCount(docs), "doc_id"),
         "n_tokens", Seq(flags.getOrElse("group-col", "source")),

@@ -499,6 +499,23 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // retention sweep on the persisted quantile store: build over all
+    // events, expire every window ending at or before the serving
+    // range's start, then serve the retained range — answers must be
+    // IDENTICAL to an unexpired store (windows are disjoint), and
+    // n_dropped_windows gates that the sweep removed exactly the
+    // expired partitions, no more, no fewer
+    "q_store_retention" -> ((s, dir) => withTempStore("retention") { tmp =>
+      val ev = Tables.loadEvents(s, dir)
+      val store = tmp + "/store"
+      SketchStore.write(ev, store, windowMs = 86400000L)
+      val dropped = operators.Retention.dropWindowsBefore(s, store,
+        1704672000000L)
+      SketchStore.quantiles(s, store, 1704672000000L, 1705276800000L)
+        .withColumn("n_dropped_windows", lit(dropped.size.toLong))
+        .orderBy("event_type")
+    }),
+
     // persisted HLL register layer (the distinct-count sibling of
     // q_loghist_store): seed with the even events, append the odd half,
     // then RE-APPEND the even half — a deliberate replay. Registers
@@ -3361,6 +3378,52 @@ object SparkEntry {
            min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
            min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
            min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
+         FROM cum GROUP BY g ORDER BY g""",
+
+    // the q_loghist_store serving replay over the retained range, plus
+    // the expired-partition count recomputed from the raw events'
+    // day-window ends — equal iff the sweep dropped exactly the expired
+    // windows and serving never read them
+    "q_store_retention" ->
+      """WITH v AS (
+           SELECT event_type AS g,
+                  CAST(floor(value * 100) AS BIGINT) AS nq
+           FROM events
+           WHERE value IS NOT NULL
+             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
+             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
+         ), k AS (
+           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
+         ), w AS (
+           SELECT g, nq, an,
+             CASE WHEN e <= 6 THEN 1.0
+                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
+           FROM k
+         ), b AS (
+           SELECT g,
+             CASE WHEN nq = 0 THEN 0.0
+                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
+                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
+             END AS lo,
+             count(*) AS c
+           FROM w GROUP BY 1, 2
+         ), cum AS (
+           SELECT g, lo,
+             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+           FROM b
+         ), exp AS (
+           SELECT CAST(count(DISTINCT (epoch_ms(ts) // 86400000) * 86400000)
+             AS BIGINT) AS n_dropped
+           FROM events
+           WHERE value IS NOT NULL
+             AND (epoch_ms(ts) // 86400000) * 86400000 + 86400000 <= 1704672000000
+         )
+         SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
+           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
+           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est,
+           (SELECT n_dropped FROM exp) AS n_dropped_windows
          FROM cum GROUP BY g ORDER BY g""",
 
     // store-served range distinct counts ≡ the register walk over the

@@ -210,6 +210,20 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "datasheet"))
     }
     assert(ds.contains("dup_rate") && ds.contains("mean_alpha"), ds)
+    // retention sweep from the shell (window store expiry)
+    val evStore = java.nio.file.Files
+      .createTempDirectory("cli-retention").toString + "/s"
+    graft.operators.SketchStore.write(
+      Tables.loadEvents(spark, "/root/testdata/sf0.001"), evStore,
+      windowMs = 86400000L)
+    val rt = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "retention",
+        "index" -> evStore, "cutoff" -> "1704672000000"))
+    }
+    assert(rt.contains("dropped_window_start_ms"), rt)
+    intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "retention"))
+    }
     // contamination requires -probes; unknown op rejected
     intercept[Cli.CliError] {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "contamination"))

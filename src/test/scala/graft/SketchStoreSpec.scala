@@ -50,6 +50,46 @@ class SketchStoreSpec extends AnyFunSuite {
     assert(sub == subDirect && sub != served)
   }
 
+  test("retention: drops exactly the expired windows, retained-range serving unchanged, both stores") {
+    import graft.operators.{HllStore, Retention}
+    val cutoff = 1704672000000L // 2024-01-08 — daily windows here
+    // quantile store
+    val store = freshStore("sketch-retention")
+    SketchStore.write(ev, store, windowMs = 86400000L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def windows(dir: String): Set[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("window_start_ms="))
+        .map(_.stripPrefix("window_start_ms=").toLong).toSet
+    val before = windows(store)
+    val retainedBefore = SketchStore.quantiles(spark, store, cutoff, feb1)
+      .orderBy("event_type").collect().toSeq
+    val dropped = Retention.dropWindowsBefore(spark, store, cutoff)
+    assert(dropped.nonEmpty, "fixture must have expired windows")
+    assert(dropped.forall(_ + 86400000L <= cutoff),
+      "a dropped window must END at or before the cutoff")
+    assert(windows(store) == before -- dropped,
+      "exactly the expired partitions must leave the directory")
+    assert(before.filter(_ + 86400000L <= cutoff) == dropped.toSet,
+      "no expired partition may survive the sweep")
+    assert(SketchStore.quantiles(spark, store, cutoff, feb1)
+      .orderBy("event_type").collect().toSeq == retainedBefore,
+      "retained-range serving must not move")
+    // an idempotent rerun drops nothing
+    assert(Retention.dropWindowsBefore(spark, store, cutoff).isEmpty)
+    // HLL register store: same layout, same meta key, same sweep
+    val hstore = freshStore("hll-retention")
+    HllStore.write(ev, hstore, windowMs = 86400000L)
+    val hBefore = HllStore.distinct(spark, hstore, cutoff, feb1)
+      .orderBy("event_type").collect().toSeq
+    val hDropped = Retention.dropWindowsBefore(spark, hstore, cutoff)
+    assert(hDropped == dropped,
+      "both stores cover the same events — identical expiry sets")
+    assert(HllStore.distinct(spark, hstore, cutoff, feb1)
+      .orderBy("event_type").collect().toSeq == hBefore)
+  }
+
   test("duplicate partials are legal: the finisher sums them like any merge") {
     val store = freshStore("sketch-dup")
     val half = ev.filter(col("event_id") % 2 === 0)
