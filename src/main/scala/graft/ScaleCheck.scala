@@ -207,6 +207,67 @@ object ScaleCheck {
           operators.TextAnalysis.chunkDocuments(docs10, 64, 16),
           budget = 2048, docBucket = 1024).count())
     }
+    // BM25 candidate generation under a planted UNIVERSAL stopword:
+    // every doc (and every query) carries "common", so uncapped
+    // generation touches all 50k postings per query. genDfCap must (a)
+    // shrink the scoring shuffle to rare-term-posting scale and (b)
+    // keep every admitted doc's score EXACTLY equal to its uncapped
+    // score — the champion-list contract at corpus scale.
+    time("bm25 genDfCap: stopword query vs 50k docs, candidates ∝ rare postings") {
+      val corpus = spark.range(50000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", lit("common"),
+          concat(lit("rare"), col("id") % 5000L), // df = 10 per rare term
+          concat_ws(" ", transform(sequence(lit(0), lit(9)),
+            j => concat(lit("u"), col("id"), lit("x"), j)))).as("text"))
+      // k = corpus so the output IS the scored candidate set — the
+      // semantic bound, independent of cache-population plumbing (the
+      // shuffle-metric walk double-counts racing cache builds)
+      def run(cap: Option[Long]): Map[(Long, Long), Double] = {
+        val m = operators.Retrieval.bm25TopK(corpus, queryMaxId = 4,
+            k = 50000, logIdf = false, genDfCap = cap)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        operators.CacheRegistry.release(spark)
+        m
+      }
+      val full = run(None)
+      val capped = run(Some(100L)) // df(common)=50k excluded
+      println(s"[scale] bm25 scored candidates: uncapped=${full.size} " +
+        s"capped=${capped.size}")
+      capped.foreach { case (k, v) =>
+        require(full.get(k).contains(v),
+          s"admitted candidate $k must keep its exact uncapped score") }
+      require(capped.nonEmpty, "rare-term sharers must be admitted")
+      // uncapped scores ~4 queries x 50k stopword-sharers; capped must
+      // be bounded by the rare postings (9 sharers + self-terms each)
+      require(full.size > 100000L,
+        s"planted stopword must make uncapped corpus-wide (${full.size})")
+      require(capped.size * 1000 < full.size,
+        s"capped candidates (${capped.size}) not rare-posting-" +
+          s"proportional (uncapped ${full.size})")
+    }
+    // publish shards at 1M docs: the two-level scan assigns 64
+    // token-balanced contiguous shards; imbalance is bounded by one
+    // document, never a corpus-fraction
+    time("publish shards 1M docs x 64: single-doc balance bound") {
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), (col("id") % 7L + 3L).cast("int")),
+          j => concat(lit("w"), col("id"), lit("x"), j))).as("text"))
+      val m = operators.Layout.shardManifest(
+          operators.Layout.publishShards(docs, nShards = 64, docBucket = 8192))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val toks = m.map(_._3)
+      println(s"[scale] publish 1M: shards=${m.length} " +
+        s"tok min=${toks.min} max=${toks.max}")
+      require(m.length == 64, s"expected 64 shards, got ${m.length}")
+      // max doc = 11 tokens; contiguous assignment overshoots a shard
+      // by at most one straddling doc and undershoots symmetrically
+      require(toks.max - toks.min <= 2L * 11L,
+        s"imbalance ${toks.max - toks.min} exceeds the one-doc bound")
+      operators.CacheRegistry.release(spark)
+    }
     // contamination with probes drawn from the duplicated corpus: every
     // probe shingle is 10x hot on the corpus side
     time("contamination 100 probes vs 50k docs") {

@@ -121,11 +121,15 @@ object Retrieval {
       .select(col("doc_id"),
         explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term").isNotNull) // Dedup.safeExplodeNote
-    // three consumers (tf, dl, df-via-tf) — one tokenize pass
+    // the ONE corpus/tokenize pass: tfc is persisted and every other
+    // statistic derives from it — dl = Σtf per doc (token count by
+    // definition), df/qtd/candidates/contributions all read the cache
+    // instead of re-tokenizing (measured: the capped path's second tfc
+    // subtree otherwise re-shuffles the whole posting build)
     val tfc = CacheRegistry.track(
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tfc.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = broadcast(dl.agg(
       count(lit(1)).cast("double").as("__n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl")))
