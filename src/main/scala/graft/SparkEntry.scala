@@ -711,6 +711,13 @@ object SparkEntry {
     "q_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenCount(Tables.load(s, dir, "documents")).orderBy("doc_id")),
 
+    // tokenizer fertility per language: BPE-ish tokens per char / per
+    // word — the multilingual tokenizer-efficiency dial a token-budgeted
+    // mix is planned around
+    "q_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.load(s, dir, "documents"), "lang")
+        .orderBy("stratum")),
+
     // Pareto-frontier curation: docs no other doc beats on BOTH length
     // and lexical diversity — distinct-x reduction + descending
     // prefix-max cover, no O(n²) self join (the oracle replays the
@@ -3701,6 +3708,31 @@ object SparkEntry {
            regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
            t -> NOT regexp_matches(t, '^\s+$'))) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    // the q_token_stats per-doc counts folded per language with the
+    // fixed-point ratio convention
+    "q_fertility" ->
+      """WITH t AS (
+           SELECT doc_id, lang, length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
+             length(list_filter(
+               regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+               x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe
+           FROM documents
+         )
+         SELECT lang AS stratum,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CASE WHEN sum(n_chars) > 0 THEN
+             round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 4)
+             ELSE 0.0 END AS bpe_per_char,
+           CASE WHEN sum(n_words) > 0 THEN
+             round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 4)
+             ELSE 0.0 END AS bpe_per_word
+         FROM t GROUP BY lang ORDER BY lang""",
 
     // the textbook NOT-EXISTS skyline — O(n²) is fine at sf, and it is
     // the semantics the distributed prefix-max cover must reproduce

@@ -140,6 +140,33 @@ object TextAnalysis {
       .withColumn("dup_rate",
         round(col("n_dups").cast("double") / col("n_docs"), 6))
 
+  /** Tokenizer-fertility telemetry per stratum: BPE-ish tokens per
+    * character and per whitespace word — the multilingual tokenizer-
+    * efficiency dial. A stratum whose fertility balloons pays more
+    * compute per byte of text and starves in any token-budgeted mix, so
+    * this is the table a tokenizer change or a new-language onboarding
+    * is judged against. One bounded aggregate over the per-doc
+    * [[tokenCount]] counts (exact integer sums, one double division per
+    * ratio, 4dp — the fixed-point convention).
+    */
+  def tokenizerFertility(docs: DataFrame, groupCol: String): DataFrame =
+    tokenCount(docs)
+      .join(docs.select(col("doc_id"), col(groupCol).as("stratum")), "doc_id")
+      .groupBy("stratum")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_chars_measured")).as("n_chars"),
+        sum(col("n_tokens")).as("n_words"),
+        round(when(sum(col("n_chars_measured")) > 0,
+          sum(col("n_bpe_tokens")).cast("double") /
+            sum(col("n_chars_measured")).cast("double")).otherwise(0.0), 4)
+          .as("bpe_per_char"),
+        round(when(sum(col("n_tokens")) > 0,
+          sum(col("n_bpe_tokens")).cast("double") /
+            sum(col("n_tokens")).cast("double")).otherwise(0.0), 4)
+          .as("bpe_per_word"))
+
   /** Quality scoring: length stats, average token length, stopword ratio,
     * alpha ratio. Deterministic formula; values rounded for cross-engine
     * float stability.
