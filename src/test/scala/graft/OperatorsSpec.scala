@@ -379,6 +379,21 @@ class OperatorsSpec extends AnyFunSuite {
       "admitted candidate must carry its EXACT full score incl. common terms")
   }
 
+  test("tokenizer fertility: hand-computed ratios per stratum") {
+    val docs = Seq(
+      (1L, "en", "hello world"), // bpe "hello"," world" = 2; 11 chars; 2 words
+      (2L, "en", "a b"),         // bpe 2; 3 chars; 2 words
+      (3L, "de", "übermäßig gut")) // \p{L} spans umlauts: bpe 2; 13 chars; 2 words
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, "lang")
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("de", 1L, 2L, 13L, 2L, 0.1538, 1.0),
+      ("en", 2L, 4L, 14L, 4L, 0.2857, 1.0)), got)
+  }
+
   test("tfidf: hand-computed weights on a three-doc corpus") {
     val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
     val got = Tfidf.tfidfVectors(df).orderBy("doc_id", "term")
