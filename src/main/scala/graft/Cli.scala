@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|datasheet|retention|
+          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|datasheet|retention|fertility|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -561,6 +561,10 @@ object Cli {
         })
       case "clusters"    => Dedup.dedupClusters(docs,
         Dedup.ngramJaccardPairs(docs, threshold = threshold(0.8)))
+      // tokenizer fertility per stratum (BPE-ish tokens per char/word)
+      case "fertility"   => TextAnalysis.tokenizerFertility(docs,
+          flags.getOrElse("group-col", "lang"))
+        .orderBy("stratum")
       // per-source dataset card (volume, language spread, quality
       // means, near-dup contamination) — the release documentation table
       case "datasheet"   => TextAnalysis.datasheet(docs,

@@ -210,6 +210,11 @@ class CliSpec extends AnyFunSuite {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "datasheet"))
     }
     assert(ds.contains("dup_rate") && ds.contains("mean_alpha"), ds)
+    // tokenizer fertility from the shell
+    val ft = captureOut {
+      Cli.runCorpus(spark, Map("in" -> docs, "op" -> "fertility"))
+    }
+    assert(ft.contains("bpe_per_char") && ft.contains("stratum"), ft)
     // retention sweep from the shell (window store expiry)
     val evStore = java.nio.file.Files
       .createTempDirectory("cli-retention").toString + "/s"
