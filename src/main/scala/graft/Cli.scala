@@ -1020,7 +1020,10 @@ object Cli {
           bitsPerKey = flags.getOrElse("bits-per-key", "12").toInt,
           kHashes = flags.getOrElse("hashes", "5").toInt,
           headroom = flags.getOrElse("headroom", "4").toInt)
-        spark.read.parquet(idx + "_bloom")
+        // schema-explicit sidecar read (advisor r17): inference would
+        // type shard as INT when every touched shard is all-digit hex,
+        // mislabeling e.g. "07" as 7 in the report
+        SpanStore.readBloom(spark, idx)
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_words"))
           .orderBy("shard")

@@ -7476,7 +7476,7 @@ object SparkEntry {
            FROM t
          ), a AS (
            SELECT doc_id, text, n_tokens,
-             CAST(cum // ((total + 7) // 8) AS INT) AS shard_id
+             CAST(least(cum // ((total + 7) // 8), 7) AS INT) AS shard_id
            FROM c, tot
          )
          SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
@@ -8746,7 +8746,7 @@ object SparkEntry {
            FROM t2
          ), a AS (
            SELECT doc_id, text, n_tokens,
-             CAST(cum // ((total + 7) // 8) AS INT) AS shard_id
+             CAST(least(cum // ((total + 7) // 8), 7) AS INT) AS shard_id
            FROM c2, tot
          )
          SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,

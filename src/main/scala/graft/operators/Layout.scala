@@ -115,7 +115,11 @@ object Layout {
         budget, docBucket)
       .select(col("doc_id"), col("text"),
         col("n_chunk_tokens").as("n_tokens"),
-        col("seq_id").cast("int").as("shard_id"))
+        // clamp (advisor r17): zero-token docs sorting after the last
+        // token have exclusive offset == total, and total div
+        // ceil(total/nShards) can reach nShards — least() keeps the
+        // documented [0, nShards) range for consumers
+        least(col("seq_id"), lit(nShards - 1L)).cast("int").as("shard_id"))
   }
 
   /** Integrity manifest over a [[publishShards]] assignment: one row per

@@ -139,9 +139,13 @@ object SpanStore {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else fingerprints(batch, k, sc)
     try {
-      graft.ParquetIO.writePartitioned(fp, dir,
-        Seq("shard"), filesPerPartition = 1, mode = "append",
-        sortCols = Seq("span_md5"))
+      // SIDECAR FIRST (advisor r17): a crash between the two writer jobs
+      // must not leave store prints absent from the Bloom — that would be
+      // a silent false NEGATIVE (probe misses real duplicates). Writing
+      // the word generation before the store rows means a partial failure
+      // leaves only extra Bloom bits, which are harmless: false positives
+      // exact-verify against the store, so the no-false-negative contract
+      // holds under any crash point.
       if (withBloom) {
         val (mBits, kh) = readBloomGeometry(dir)
         graft.ParquetIO.writePartitioned(
@@ -149,6 +153,9 @@ object SpanStore {
           bloomDir(dir), Seq("shard"), filesPerPartition = 1, mode = "append",
           sortCols = Seq("w"))
       }
+      graft.ParquetIO.writePartitioned(fp, dir,
+        Seq("shard"), filesPerPartition = 1, mode = "append",
+        sortCols = Seq("span_md5"))
     } finally if (withBloom) CacheRegistry.releaseSince(spark, __mk)
   }
 
@@ -156,6 +163,14 @@ object SpanStore {
 
   private def bloomDir(dir: String): String = dir + "_bloom"
   private val bloomSchema = "w BIGINT, word BIGINT, shard STRING"
+
+  /** Schema-explicit sidecar read — the one reader every bloom consumer
+    * (probe merge, compaction, CLI report) goes through, so partition
+    * inference can never flip `shard` to INT on an all-digit shard set
+    * (the store-read rule [[readStore]] follows).
+    */
+  private[graft] def readBloom(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(bloomSchema).parquet(bloomDir(dir))
 
   /** Does the store carry a Bloom sidecar? */
   def hasBloom(dir: String): Boolean = StoreMeta.exists(bloomDir(dir))
@@ -254,7 +269,7 @@ object SpanStore {
     val (mBits, kh) = readBloomGeometry(dir)
     val touched = prints.select("shard").distinct()
       .collect().map(_.getString(0)) // bounded by the 16^shardChars universe
-    val words0 = spark.read.schema(bloomSchema).parquet(bloomDir(dir))
+    val words0 = readBloom(spark, dir)
       .filter(col("shard").isin(touched.toIndexedSeq: _*))
       .groupBy("shard", "w").agg(expr("bit_or(word)").as("word"))
     val words = if (broadcastWords) broadcast(words0) else words0
@@ -394,7 +409,7 @@ object SpanStore {
     // row set per append
     if (hasBloom(srcDir)) {
       graft.ParquetIO.writePartitioned(
-        spark.read.schema(bloomSchema).parquet(bloomDir(srcDir))
+        readBloom(spark, srcDir)
           .groupBy("shard", "w").agg(expr("bit_or(word)").as("word"))
           .select("w", "word", "shard"),
         bloomDir(dstDir), Seq("shard"), filesPerPartition = 1,
