@@ -1655,6 +1655,58 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // targeted deletion (the data-governance takedown), exact-span
+    // store: full-corpus store, forget doc_id % 7 == 3, probe the
+    // first five docs against the LIVE (uncompacted) store — serving
+    // between forget and compaction must already equal a cold build
+    // without the forgotten docs, which is what the oracle replays
+    // (store prints restricted to survivors; the probe side stays
+    // unrestricted — a forgotten doc may itself arrive as a new batch,
+    // and its prints must count only SURVIVING store docs)
+    "q_forget_span" -> ((s, dir) => withTempStore("forgetspan") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val store = tmp + "/store"
+      operators.SpanStore.write(docs, store, minTokens = 16, shardChars = 1)
+      operators.SpanStore.forget(s,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), store)
+      operators.SpanStore.probe(s, docs.filter(col("doc_id") < 5), store)
+        .orderBy("doc_id", "p")
+    }),
+
+    // takedown, near-dup store, PHYSICAL half: forget doc_id % 7 == 3,
+    // compact (tombstones applied to buckets AND sigs, sidecar not
+    // carried forward), then serve the full pair set from the compacted
+    // store — must equal a cold build over the survivors (the oracle's
+    // candidate chain restricted to them); the live-serving half of the
+    // law is PropertySpec's forget∘compact stanza
+    "q_forget_lsh" -> ((s, dir) => withTempStore("forgetlsh") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val idx = tmp + "/index"
+      graft.operators.LshIndex.write(docs, idx)
+      graft.operators.LshIndex.forget(s,
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), idx)
+      graft.operators.LshIndex.compactLsh(s, idx, tmp + "/compacted")
+      graft.operators.LshIndex.lshPairs(s, tmp + "/compacted", threshold = 0.5)
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    // takedown, IVFADC index: forget vec_id % 7 == 3, probe the live
+    // index — forgotten vectors' codes vanish from every candidate list
+    // while the FROZEN codebooks (trained with them) keep serving, the
+    // trained-artifact semantics the oracle mirrors exactly (codebook
+    // CTEs corpus-wide, code CTE restricted to survivors)
+    "q_forget_ivf" -> ((s, dir) => withTempStore("forgetivf") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.forgetIvfPq(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
+      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
+          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // intra-doc twin: exact boundaries of >=8-token substrings repeated
     // WITHIN a document. The synthetic corpus has no natural self-
     // repetition at any k (checked), so the gate plants one
@@ -2726,8 +2778,15 @@ object SparkEntry {
                   ELSE u END AS BIGINT) AS ehash, u
            FROM (SELECT doc_id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u FROM parts))"""
 
-  private val ivfPqChainSql: String =
-    """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  /** `storeWhere` restricts the CODE-TABLE side only (e.g. `" WHERE
+    * v.vec_id % 7 <> 3"` replays a tombstone takedown): queries, frozen
+    * codebooks, and the exact-rerank corpus fetch stay corpus-wide,
+    * mirroring the engine where forget touches serving code rows and
+    * nothing else. The default emits byte-identical SQL to the
+    * historical unfiltered form.
+    */
+  private def ivfPqChainSql(storeWhere: String = ""): String =
+    s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
          ca AS (
            SELECT vec_id, centroid_id FROM (
@@ -2755,7 +2814,7 @@ object SparkEntry {
                    - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
                    + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
                  c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
+             FROM sv v JOIN cb c USING (subspace)$storeWhere) WHERE rn = 1),
          lut AS (
            SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
              CAST(floor(round(list_sum(list_transform(range(1, 17),
@@ -6269,7 +6328,7 @@ object SparkEntry {
     // among the query's nprobe=2 probes; everything else (codes, LUT,
     // fixed-point sums, exact re-rank of the 12 survivors) is the
     // identical pinned arithmetic
-    "q_ivf_pq" -> ivfPqChainSql,
+    "q_ivf_pq" -> ivfPqChainSql(),
 
     // seed-index + appendIvfPq + probe (q_ivf_pq_append): encoding is a
     // pure per-row function of the FROZEN codebooks, so the maintenance
@@ -6279,7 +6338,13 @@ object SparkEntry {
     // IS the cold replay; any append-path divergence (re-trained
     // codebook, duplicated codes doubling an ADC sum, dropped rows)
     // hash-mismatches here
-    "q_ivf_pq_append" -> ivfPqChainSql,
+    "q_ivf_pq_append" -> ivfPqChainSql(),
+
+    // takedown replay, IVFADC: the identical pinned chain with the CODE
+    // side restricted to surviving vectors — frozen codebooks and the
+    // query/rerank arithmetic stay corpus-wide, exactly the engine's
+    // tombstone semantics (codes hidden, trained geometry untouched)
+    "q_forget_ivf" -> ivfPqChainSql(" WHERE v.vec_id % 7 <> 3"),
 
     // drift replay: seed assignment feeds the store counts, batch
     // assignment carries round-half-up 6dp fixed-point cosines whose
@@ -7306,6 +7371,16 @@ object SparkEntry {
          WHERE est_jaccard >= 0.5
          ORDER BY doc_id_a, doc_id_b""",
 
+    // takedown replay, near-dup store: the q_minhash_neardup candidate
+    // chain over SURVIVORS only — the engine's forget→compact must
+    // leave a store whose pair set equals this cold rebuild without
+    // the forgotten docs (no pair with a forgotten endpoint survives)
+    "q_forget_lsh" ->
+      s"""WITH ${lshCandidateCtes(16, 4, " WHERE doc_id % 7 <> 3")}
+         SELECT doc_id_a, doc_id_b, est_jaccard FROM est
+         WHERE est_jaccard >= 0.5
+         ORDER BY doc_id_a, doc_id_b""",
+
     // ingest-dedup replay: the union pair set at the 0.5 cut, read from
     // each odd doc's side — store partners are even ids, smaller-id
     // batch partners implement keep-first; a doc survives (in_store)
@@ -7733,6 +7808,31 @@ object SparkEntry {
          ), store AS (
            SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_store_docs
            FROM sp GROUP BY span_md5
+         )
+         SELECT pr.doc_id, pr.p, pr.span_md5, store.n_store_docs
+         FROM (SELECT * FROM sp WHERE doc_id < 5) pr
+         JOIN store USING (span_md5)
+         ORDER BY pr.doc_id, pr.p""",
+
+    // takedown replay: the q_spanstore probe chain with the STORE side
+    // restricted to surviving docs (doc_id % 7 <> 3) — the engine's
+    // tombstone anti-join must make live serving equal this cold-build-
+    // without answer; the probe side stays corpus-wide (doc 3 probes as
+    // a new batch and its prints count only surviving store docs)
+    "q_forget_span" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), w AS (
+           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
+           FROM toks WHERE len(tk) >= 16
+         ), sp AS (
+           SELECT doc_id, CAST(p AS BIGINT) AS p,
+             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
+           FROM w
+         ), store AS (
+           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_store_docs
+           FROM sp WHERE doc_id % 7 <> 3 GROUP BY span_md5
          )
          SELECT pr.doc_id, pr.p, pr.span_md5, store.n_store_docs
          FROM (SELECT * FROM sp WHERE doc_id < 5) pr
@@ -8938,7 +9038,13 @@ object SparkEntry {
     s"$head,\n         $steps,\n         $tail"
   }
 
-  private def lshCandidateCtes(n: Int, bands: Int): String = {
+  /** `docWhere` restricts the corpus the signature/band chain runs over
+    * (e.g. a tombstone takedown's survivors) — empty means all docs; the
+    * default emits byte-identical SQL to the historical unfiltered form,
+    * so existing oracle hashes are untouched.
+    */
+  private def lshCandidateCtes(n: Int, bands: Int,
+      docWhere: String = ""): String = {
     val rows = n / bands
     val scols = (0 until n)
       .map(p => s"CAST(min(a + $p * b) AS BIGINT) AS s$p")
@@ -8953,7 +9059,7 @@ object SparkEntry {
       .mkString(" + ")
     s"""toks AS (
            SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
+           FROM documents$docWhere
          ), shs AS (
            SELECT doc_id,
              CASE WHEN len(tk) >= 3 THEN

@@ -58,6 +58,27 @@ object LshIndex {
   private case class Meta(numHashes: Int, bands: Int, shingleSize: Int,
       nShards: Int)
 
+  /** Targeted deletion: hide `docIds` from every serving read NOW
+    * ([[Tombstones]] sidecar — [[lshPairs]] and [[probe]] anti-join the
+    * bucket scan against the broadcast set, so no pair with a forgotten
+    * endpoint survives), remove their bucket and signature rows
+    * physically at the next [[compactLsh]]. The `dedupeIds` append
+    * guard intentionally still sees forgotten ids (their sigs rows are
+    * physically present): re-ingesting a forgotten doc_id is legal only
+    * AFTER a compaction has removed the old rows and cleared the
+    * tombstone — an append before that would hide the new rows behind
+    * the same tombstone.
+    */
+  def forget(spark: SparkSession, docIds: DataFrame, dir: String): Unit =
+    Tombstones.add(docIds, dir)
+
+  /** The bucket table as SERVING sees it: raw rows minus pending
+    * tombstones — a broadcast anti-join on the (narrow) bucket rows,
+    * identity when nothing was ever forgotten.
+    */
+  private def servingBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tombstones.filterServing(spark, readBuckets(spark, dir), dir, "doc_id")
+
   private def readMeta(spark: SparkSession, dir: String): Meta = {
     val m = StoreMeta.read(dir)
     Meta(m("num_hashes").toInt, m("bands").toInt,
@@ -159,7 +180,7 @@ object LshIndex {
     val m = readMeta(spark, dir)
     // persisted: both pairsFromIdLists branches scan the lists
     val lists = CacheRegistry.track(
-      readBuckets(spark, dir).groupBy("bucket")
+      servingBuckets(spark, dir).groupBy("bucket")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -184,10 +205,16 @@ object LshIndex {
   def compactLsh(spark: SparkSession, dir: String, outDir: String,
       filesPerPartition: Int = 1, sigFiles: Int = 4): Unit = {
     require(outDir != dir, "compactLsh writes to a new directory")
+    // pending tombstones ([[forget]]) apply PHYSICALLY here: forgotten
+    // docs' bucket AND signature rows never reach outDir, and the
+    // sidecar is not carried forward — the compacted store equals a
+    // cold build without those docs (the forget∘compact law)
     graft.ParquetIO.writePartitioned(
-      readBuckets(spark, dir).select("shard", "bucket", "doc_id"),
+      servingBuckets(spark, dir).select("shard", "bucket", "doc_id"),
       outDir, Seq("shard"), filesPerPartition)
-    spark.read.parquet(sigsDir(dir)).repartition(sigFiles)
+    Tombstones.filterServing(spark, spark.read.parquet(sigsDir(dir)),
+        dir, "doc_id")
+      .repartition(sigFiles)
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(sigsDir(outDir))
     StoreMeta.copy(dir, outDir)
@@ -224,7 +251,7 @@ object LshIndex {
     // probe's centroid list) — the partition-pruning IN filter below
     val touched = bbuckets.select("shard").distinct()
       .collect().map(_.getLong(0))
-    val store = readBuckets(spark, dir)
+    val store = servingBuckets(spark, dir)
       .filter(col("shard").isin(touched.toSeq: _*))
       .select(col("bucket"), col("doc_id").as("__sid"))
     val probeSide = {

@@ -676,6 +676,21 @@ object Similarity {
         coalesce(col("mean_cos_batch"), lit(-1.0)).as("mean_cos_batch"))
   }
 
+  /** Targeted deletion for the IVFADC index ([[Tombstones]], the
+    * [[LshIndex.forget]] twin): hide `vecIds`' codes from every probe
+    * now (anti-join on the partition-pruned code scan), remove them
+    * physically at the next [[compactIvfPq]]. The frozen codebooks are
+    * untouched — a codebook-defining vector can be forgotten from
+    * SERVING (its codes stop matching) while its geometry contribution
+    * remains, exactly like any trained-model artifact; a rebuild
+    * ([[writeIvfPqIndex]]) is the path that re-trains without it.
+    * Re-ingesting a forgotten vec_id is legal only after a compaction
+    * has cleared the tombstone.
+    */
+  def forgetIvfPq(spark: org.apache.spark.sql.SparkSession,
+      vecIds: DataFrame, dir: String): Unit =
+    Tombstones.add(vecIds, dir)
+
   /** Compact an IVFADC code table that [[appendIvfPq]] has grown by
     * accumulation: every append drops at least one new file into each
     * touched `centroid_id=` directory, and at streaming cadence the
@@ -713,8 +728,13 @@ object Similarity {
       dir: String,
       outDir: String,
       filesPerPartition: Int): Unit =
+    // pending tombstones ([[forgetIvfPq]]) apply physically here and the
+    // sidecar is not carried forward (the forget∘compact law)
     graft.ParquetIO.writePartitioned(
-      spark.read.parquet(dir).select("centroid_id", "vec_id", "subspace", "code"),
+      Tombstones.filterServing(spark,
+        spark.read.parquet(dir)
+          .select("centroid_id", "vec_id", "subspace", "code"),
+        dir, "vec_id"),
       outDir, Seq("centroid_id"), filesPerPartition)
 
   /** Probe a [[writeIvfPqIndex]] index: nprobe centroids per query from
@@ -768,10 +788,15 @@ object Similarity {
             expr("cast(__c_emb as array<double>)"))).as("__qcq"): _*)
     val probeIds = qa.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(dir)
-      .filter(col("centroid_id").isin(probeIds: _*))
-      .select(col("centroid_id").cast("long").as("centroid_id"),
-        col("vec_id"), col("subspace"), col("code"))
+    // pending tombstones ([[forgetIvfPq]]) hide forgotten vectors from
+    // the probe: a broadcast anti-join on code rows the partition prune
+    // already bounded to nprobe directories — takedown-sized, map-side
+    val codes = Tombstones.filterServing(spark,
+      spark.read.parquet(dir)
+        .filter(col("centroid_id").isin(probeIds: _*))
+        .select(col("centroid_id").cast("long").as("centroid_id"),
+          col("vec_id"), col("subspace"), col("code")),
+      dir, "vec_id")
     // residual codebooks are array<double> (the subtraction's type);
     // the query side of the LUT must match — float→double is exact, so
     // the partial dots are bit-identical to the oracle's double math

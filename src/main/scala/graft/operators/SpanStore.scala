@@ -59,6 +59,28 @@ object SpanStore {
   private def readStore(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(storeSchema).parquet(dir)
 
+  /** The store as SERVING sees it: raw rows minus pending tombstones
+    * ([[forget]]) — a broadcast anti-join on rows the probe has already
+    * shard-pruned and print-semi-joined, so the takedown filter rides
+    * duplication-proportional row counts, never the store's.
+    */
+  private def servingStore(spark: SparkSession, dir: String): DataFrame =
+    Tombstones.filterServing(spark, readStore(spark, dir), dir, "doc_id")
+
+  /** Targeted deletion (the data-governance takedown): hide `docIds`'
+    * fingerprints from every probe NOW (tombstone sidecar, answer-sized
+    * write), remove them physically at the next [[compactStore]]. The
+    * Bloom sidecar is append-only and keeps the forgotten docs' bits —
+    * harmless by construction (Bloom positives always exact-verify
+    * against the tombstone-filtered store, so a print only forgotten
+    * docs carried clears to zero hits; no false negative is possible);
+    * a [[writeBloom]] rebuild sheds the stale bits when FP-rate hygiene
+    * warrants the pass. Re-ingesting a forgotten doc_id is legal only
+    * AFTER a compaction has cleared the tombstone ([[Tombstones]]).
+    */
+  def forget(spark: SparkSession, docIds: DataFrame, dir: String): Unit =
+    Tombstones.add(docIds, dir)
+
   private def fingerprints(docs: DataFrame, k: Int, shardChars: Int): DataFrame =
     docs
       .select(col("doc_id").cast("long").as("doc_id"),
@@ -222,7 +244,10 @@ object SpanStore {
     */
   def writeBloom(spark: SparkSession, dir: String, bitsPerKey: Int = 12,
       kHashes: Int = 5, headroom: Int = 4): Unit =
-    buildBloom(readStore(spark, dir).select("shard", "span_md5"), dir,
+    // tombstone-filtered rebuild: forgotten docs' bits are shed here
+    // (between [[forget]] and a rebuild they linger harmlessly — extra
+    // bits only ever cost exact-verifications that find nothing)
+    buildBloom(servingStore(spark, dir).select("shard", "span_md5"), dir,
       bitsPerKey, kHashes, headroom)
 
   /** Size + build + freeze the sidecar from a (shard, span_md5) frame —
@@ -350,7 +375,7 @@ object SpanStore {
     // groupBy shuffles duplication-proportional rows — aggregating the
     // whole touched shard first would make every trickle probe pay a
     // store-sized shuffle (r16 verdict task 1).
-    val store = readStore(spark, dir)
+    val store = servingStore(spark, dir)
       .filter(col("shard").isin(shards.toIndexedSeq: _*))
       .join(keys, Seq("span_md5"), "left_semi")
       .groupBy("span_md5")
@@ -393,13 +418,16 @@ object SpanStore {
     * bound after replays; answers are unchanged (probe counts distinct
     * docs anyway). Same-shard partitioning and within-shard span_md5
     * sort, new directory (the [[LshIndex.compactLsh]] atomicity
-    * convention).
+    * convention). Pending tombstones ([[forget]]) are APPLIED here —
+    * forgotten docs' rows never reach `dstDir` and the sidecar is not
+    * carried forward, so the compacted store equals a cold build
+    * without those docs (the PropertySpec forget∘compact law).
     */
   def compactStore(spark: SparkSession, srcDir: String,
       dstDir: String, filesPerPartition: Int = 1): Unit = {
     require(dstDir != srcDir, "compactStore writes to a new directory")
     graft.ParquetIO.writePartitioned(
-      readStore(spark, srcDir)
+      servingStore(spark, srcDir)
         .select("shard", "span_md5", "doc_id", "p").distinct(),
       dstDir, Seq("shard"), filesPerPartition, sortCols = Seq("span_md5"))
     StoreMeta.copy(srcDir, dstDir)

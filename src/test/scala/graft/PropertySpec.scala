@@ -461,4 +461,78 @@ class PropertySpec extends AnyFunSuite {
       // draw covers the CROSS-store law on fresh random splits per run
     }, minSuccessful = 2)
   }
+
+  test("property: forget then compact == cold-rebuild-without for the content stores, for ANY forget set") {
+    import graft.operators.{LshIndex, Similarity, SpanStore, Tombstones}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probeDocs = docs.filter(col("doc_id") < 10)
+    val queries = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+
+    // one takedown law, three content stores: for ANY forgettable id
+    // set, (a) LIVE serving after forget already equals a cold build
+    // without those docs (the tombstone anti-join), (b) compaction
+    // applies the tombstones physically and does NOT carry the sidecar
+    // forward, and the compacted store still serves the cold-without
+    // answer. The IVFADC draw restricts the forgettable universe to
+    // non-codebook-defining ids (vec_id >= max(numCentroids, ksub)):
+    // forget hides CODES, never re-trains the frozen geometry, so
+    // cold-rebuild equality needs the two builds to draw identical
+    // codebooks — the same precondition the seed+append law carries.
+    final case class ForgetLaw(
+      name: String,
+      data: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      forgettable: org.apache.spark.sql.Column,
+      build: (org.apache.spark.sql.DataFrame, String) => Unit,
+      forgetFn: (org.apache.spark.sql.DataFrame, String) => Unit,
+      serve: String => Set[Seq[Any]],
+      compactFn: (String, String) => Unit)
+    val laws = Seq(
+      ForgetLaw("span", docs, "doc_id", lit(true),
+        (d, dir) => SpanStore.write(d, dir, minTokens = 8),
+        (ids, dir) => SpanStore.forget(spark, ids, dir),
+        dir => rows(SpanStore.probe(spark, probeDocs, dir)),
+        (s, t) => SpanStore.compactStore(spark, s, t)),
+      ForgetLaw("lsh", docs, "doc_id", lit(true),
+        (d, dir) => LshIndex.write(d, dir),
+        (ids, dir) => LshIndex.forget(spark, ids, dir),
+        dir => rows(LshIndex.lshPairs(spark, dir)),
+        (s, t) => LshIndex.compactLsh(spark, s, t)),
+      ForgetLaw("ivfpq", emb, "vec_id", col("vec_id") >= 16,
+        (d, dir) => Similarity.writeIvfPqIndex(d, dir, numCentroids = 8,
+          m = 4, ksub = 16, dim = 64),
+        (ids, dir) => Similarity.forgetIvfPq(spark, ids, dir),
+        dir => rows(Similarity.ivfPqTopK(spark, dir, queries, emb,
+          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)),
+        (s, t) => Similarity.compactIvfPq(spark, s, t)))
+
+    check(Prop.forAll(Gen.choose(0L, 1000L)) { salt =>
+      laws.forall { law =>
+        val base = java.nio.file.Files
+          .createTempDirectory(s"prop-forget-${law.name}").toString
+        val doomed = law.forgettable &&
+          pmod(xxhash64(col(law.idCol) + lit(salt)), lit(4)) === 0
+        law.build(law.data, s"$base/full")
+        law.build(law.data.filter(!doomed), s"$base/cold")
+        val want = law.serve(s"$base/cold")
+        law.forgetFn(law.data.filter(doomed).select(law.idCol), s"$base/full")
+        val live = law.serve(s"$base/full")
+        law.compactFn(s"$base/full", s"$base/c")
+        val compacted = law.serve(s"$base/c")
+        graft.operators.CacheRegistry.release(spark)
+        val ok = want.nonEmpty && live == want && compacted == want &&
+          Tombstones.exists(s"$base/full") && !Tombstones.exists(s"$base/c")
+        if (!ok) println(s"[prop] forget law broke: ${law.name} salt=$salt " +
+          s"(cold=${want.size} live=${live.size} compacted=${compacted.size})")
+        ok
+      }
+      // 2 draws x 3 stores x ~6 lifecycle actions each — the same
+      // budget rationale as the seed+append law above
+    }, minSuccessful = 2)
+  }
 }
