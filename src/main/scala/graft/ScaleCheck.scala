@@ -435,6 +435,47 @@ object ScaleCheck {
         "maintained+compacted index must probe identically to a cold rebuild")
       println(s"[scale] maintained-index probe rows: ${pMaint.size} (≡ cold rebuild)")
     }
+    // drift monitor's store side must be FOOTER-ONLY (r17 verdict task
+    // 4): per-centroid mass comes from the hive partitions' parquet
+    // footers on the driver, so the report's Spark plan may scan the
+    // batch and the codebook sidecar — NEVER the code table. Gate (a)
+    // no code-table file scan appears anywhere in the executed plan,
+    // and (b) the footer-derived masses equal a real count.
+    time("ivf drift report: footer-only store mass (zero code-table scans)") {
+      val embBig = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      val idx = tmp.resolve("ivfpq-scale").toString + "/ix" // written above
+      val rep = operators.Similarity.ivfDriftReport(spark, idx,
+        embBig.filter(col("vec_id") % 3 === 1))
+      val got = rep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def codeScans(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanLike
+            if f.relation.location.rootPaths.exists(_.toString.endsWith("/ix")) => 1L
+          case _ => 0L
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(codeScans).sum
+      }
+      val nScans = codeScans(rep.queryExecution.executedPlan)
+      println(s"[scale] ivf drift: code-table scans in plan = $nScans")
+      require(nScans == 0L,
+        "drift report plan still scans the code table — the footer-only " +
+          "store side is broken")
+      val want = spark.read.parquet(idx)
+        .groupBy(col("centroid_id").cast("long").as("cid"))
+        .agg((count(lit(1)) / 4).cast("long").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(want.forall { case (cid, n) => got.get(cid).contains(n) },
+        s"footer-derived store masses diverge from the real count: " +
+          s"footers=$got count=$want")
+      println(s"[scale] ivf drift: footer masses match real counts for " +
+        s"${want.size} centroids")
+    }
     operators.CacheRegistry.release(spark)
     // ANN recall FLOORS: sized by an sf0.1 probe on this exact build
     // shape (32-centroid IVF, m=4/ksub=16 PQ, k=5, 8 queries) — measured

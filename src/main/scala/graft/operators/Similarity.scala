@@ -630,16 +630,17 @@ object Similarity {
     * Output: (centroid_id, n_store, n_batch, mean_cos_batch), one row
     * per codebook centroid; mean_cos_batch is −1.0 for centroids the
     * batch never hit (sentinel, not NULL — hash-gate friendly).
-    * n_store reads the code table's per-partition row counts / m (a
-    * column-pruned count, never a vector read). The batch-side mean
-    * sums 6dp-fixed-point cosines in LONGs (the [[Pq]] quantization
-    * idiom), so it replays bit-exact in the oracle.
+    * n_store comes from the `centroid_id=` partitions' parquet FOOTER
+    * row counts / m — a driver-side metadata walk, no store data page
+    * is ever opened. The batch-side mean sums 6dp-fixed-point cosines
+    * in LONGs (the [[Pq]] quantization idiom), so it replays bit-exact
+    * in the oracle.
     *
     * Scale shape: one broadcast-codebook assignment pass over the
-    * BATCH (map-side, the [[assignProbes]] aggregate), one count-only
-    * scan of the code table grouped by its partition key, one
-    * codebook-sized join — nothing corpus-×-centroids, no vector
-    * re-read of the store.
+    * BATCH (map-side, the [[assignProbes]] aggregate), a footer-only
+    * store walk (O(#files) driver metadata reads, zero Spark jobs),
+    * one codebook-sized join — nothing corpus-×-centroids, no store
+    * read of any kind beyond footers.
     */
   def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame): DataFrame = {
@@ -664,9 +665,40 @@ object Similarity {
       .agg(count(lit(1)).as("n_batch"),
         round((sum(col("__cos6")) / 1e6) / count(lit(1)), 6)
           .as("mean_cos_batch"))
-    val storeSide = spark.read.parquet(dir)
-      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
-      .agg((count(lit(1)) / lit(m)).cast("long").as("n_store"))
+    // per-centroid store mass from the hive partitions' parquet FOOTERS:
+    // a driver-side metadata walk (#files footer reads, ZERO Spark jobs,
+    // zero data pages) — at 100 TB a drift check must not open every
+    // store file to re-count rows parquet already counted at write time
+    // (the Layout.fileSpans footer rationale, actually taken here; r17
+    // verdict task 4). Counts include rows pending tombstone compaction
+    // — drift mass is telemetry, and forgotten rows occupy partitions
+    // until [[compactIvfPq]] removes them.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val prefix = "centroid_id="
+    val storeCounts: Seq[(Long, Long)] = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .flatMap { d =>
+        scala.util.Try(d.getName.stripPrefix(prefix).toLong).toOption
+          .map { cid =>
+            val rows = fs.listStatus(d).toSeq
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromStatus(f, conf))
+                try r.getRecordCount finally r.close()
+              }.sum
+            (cid, rows / m)
+          }
+      }
+    val storeSide = {
+      import spark.implicits._
+      storeCounts.toDF("centroid_id", "n_store")
+    }
     ivfCodebook.select(col("vec_id").as("centroid_id"))
       .join(storeSide, Seq("centroid_id"), "left")
       .join(batchSide, Seq("centroid_id"), "left")
