@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Self-scheduling compaction policy for the persisted content stores
+  * ([[SpanStore]], [[LshIndex]], IVFADC in [[Similarity]]) — the r17
+  * verdict's missing piece: every append drops ≥1 file per touched
+  * partition, a Bloom word generation, and (LSH) a sigs file, and
+  * compaction folds all of it — but nothing SCHEDULED it, so batch
+  * ingest loops needed external bookkeeping. This helper makes the
+  * decision driver-side from directory listings alone (O(#partition
+  * dirs) filesystem metadata calls — the fileSpans/footer cost class,
+  * zero Spark jobs) and, when the documented threshold trips, runs the
+  * store's compact-and-swap in place.
+  *
+  * Policy ([[needsCompaction]]): compact when the WIDEST hive
+  * partition exceeds `maxPartitionFiles` files (probe open/footer cost
+  * grows with that maximum, not the mean) OR the append-only sidecar
+  * (Bloom generations / sigs files) exceeds `maxSidecarFiles` — the
+  * sidecar otherwise grows one row-set per append forever even when
+  * the data partitions stay narrow. Pending tombstones are REPORTED
+  * ([[Health]]) but do not trigger by default: a takedown is applied
+  * lazily by design, and `compactOnTombstones = true` opts a
+  * governance-driven loop into eager physical removal.
+  *
+  * Swap protocol (the streaming in-place precedent, now owned here and
+  * tombstone-aware): compact into `<dir>_compacting*`, rename each live
+  * directory aside to `*_precompact`, rename the staged one in, drop
+  * the retired copy — atomic per rename on HDFS/POSIX (object stores
+  * should compact offline to a new dir instead). A crash mid-swap
+  * strands data recoverably under `_precompact`/`_compacting`, never
+  * silently. After the swap the tombstone sidecar is DELETED: the
+  * staged store already applied it physically, and a live leftover
+  * would keep every probe paying the anti-join and block re-ingest of
+  * the forgotten ids forever.
+  */
+object StoreUpkeep {
+
+  /** What a store's kind means to the policy: hive partition prefix,
+    * the directory suffixes its compaction stages (and that the swap
+    * must move), the sidecar whose per-append growth is measured, and
+    * the staging rewrite itself.
+    */
+  sealed trait Kind {
+    def partitionPrefix: String
+    /** Suffixes staged by `compact` and swapped live; "" = the data. */
+    def swapSuffixes(fs: FileSystem, staging: String): Seq[String]
+    /** Append-only sidecar file count (0 when the kind has none). */
+    def sidecarFiles(fs: FileSystem, dir: String): Int
+    def compact(spark: SparkSession, dir: String, staging: String): Unit
+  }
+
+  case object SpanKind extends Kind {
+    val partitionPrefix = "shard="
+    def swapSuffixes(fs: FileSystem, staging: String): Seq[String] =
+      Seq("", "_meta") ++ Seq("_bloom", "_bloom_meta")
+        .filter(s => fs.exists(new Path(staging + s)))
+    // Bloom generations: the widest bloom shard dir in files — one word
+    // row-set lands per append, the growth compaction OR-folds
+    def sidecarFiles(fs: FileSystem, dir: String): Int =
+      maxPartitionFiles(fs, dir + "_bloom", "shard=")
+    def compact(spark: SparkSession, dir: String, staging: String): Unit =
+      SpanStore.compactStore(spark, dir, staging)
+  }
+
+  case object LshKind extends Kind {
+    val partitionPrefix = "shard="
+    def swapSuffixes(fs: FileSystem, staging: String): Seq[String] =
+      Seq("", "_sigs", "_meta")
+    // the signature sidecar takes one file per append
+    def sidecarFiles(fs: FileSystem, dir: String): Int =
+      flatFileCount(fs, dir + "_sigs")
+    def compact(spark: SparkSession, dir: String, staging: String): Unit =
+      LshIndex.compactLsh(spark, dir, staging)
+  }
+
+  case object IvfPqKind extends Kind {
+    val partitionPrefix = "centroid_id="
+    // codebook/pq sidecars are FROZEN (never grow, never restaged) —
+    // only the code table swaps
+    def swapSuffixes(fs: FileSystem, staging: String): Seq[String] = Seq("")
+    def sidecarFiles(fs: FileSystem, dir: String): Int = 0
+    def compact(spark: SparkSession, dir: String, staging: String): Unit =
+      Similarity.compactIvfPqCodes(spark, dir, staging,
+        filesPerPartition = 1)
+  }
+
+  /** Small-file health of a store, from directory listings only. */
+  final case class Health(
+    maxPartitionFiles: Int,
+    sidecarFiles: Int,
+    pendingTombstones: Boolean)
+
+  private[graft] def maxPartitionFiles(
+      fs: FileSystem, dir: String, prefix: String): Int = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+      .foldLeft(0)(math.max)
+  }
+
+  private def flatFileCount(fs: FileSystem, dir: String): Int = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  def health(spark: SparkSession, dir: String, kind: Kind): Health = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Health(maxPartitionFiles(fs, dir, kind.partitionPrefix),
+      kind.sidecarFiles(fs, dir), Tombstones.exists(dir))
+  }
+
+  /** The documented trigger. Thresholds default to the streaming
+    * loops' warn watermark (64 files — where per-file open/footer cost
+    * becomes measurable next to a pruned probe scan).
+    */
+  def needsCompaction(h: Health, maxPartitionFiles: Int = 64,
+      maxSidecarFiles: Int = 64,
+      compactOnTombstones: Boolean = false): Boolean =
+    h.maxPartitionFiles > maxPartitionFiles ||
+      h.sidecarFiles > maxSidecarFiles ||
+      (compactOnTombstones && h.pendingTombstones)
+
+  /** Measure, decide, and (when triggered) compact-and-swap in place.
+    * Returns true iff a compaction ran. Serving is unchanged across
+    * the swap (compaction preserves answers by each store's law) and
+    * the tombstone sidecar is cleared with it.
+    */
+  def maybeCompact(spark: SparkSession, dir: String, kind: Kind,
+      maxPartitionFiles: Int = 64, maxSidecarFiles: Int = 64,
+      compactOnTombstones: Boolean = false): Boolean = {
+    val h = health(spark, dir, kind)
+    val go = needsCompaction(h, maxPartitionFiles, maxSidecarFiles,
+      compactOnTombstones)
+    if (go) compactInPlace(spark, dir, kind)
+    go
+  }
+
+  /** The unconditional in-place compact-and-swap (see the object doc
+    * for the protocol). Public for governance loops that already know
+    * they want the rewrite (e.g. eager takedown application).
+    */
+  def compactInPlace(spark: SparkSession, dir: String, kind: Kind): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = dir + "_compacting"
+    // a dead prior attempt's staging is garbage — clear every possible
+    // suffix before rewriting (the streaming-precedent hygiene)
+    for (sfx <- Seq("", "_sigs", "_meta", "_bloom", "_bloom_meta"))
+      fs.delete(new Path(staging + sfx), true)
+    kind.compact(spark, dir, staging)
+    for (sfx <- kind.swapSuffixes(fs, staging)) {
+      val live = new Path(dir + sfx)
+      val retired = new Path(dir + sfx + "_precompact")
+      fs.delete(retired, true)
+      require(fs.rename(live, retired),
+        s"compactInPlace: rename $live -> $retired failed")
+      require(fs.rename(new Path(staging + sfx), live),
+        s"compactInPlace: rename ${staging + sfx} -> $live failed " +
+          s"(recover the directory from $retired)")
+      fs.delete(retired, true)
+    }
+    // compaction applied the tombstones physically — a live leftover
+    // sidecar would tax every probe and block forgotten-id re-ingest
+    fs.delete(new Path(dir + "_tomb"), true)
+    fs.delete(new Path(dir + "_tomb_meta"), true)
+  }
+}

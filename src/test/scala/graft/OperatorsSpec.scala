@@ -4020,4 +4020,78 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 2L, 2L)), s"got ${got.toSeq}")
   }
+
+  test("StoreUpkeep: trigger fires at the documented threshold, serving unchanged across the in-place swap") {
+    val base = java.nio.file.Files.createTempDirectory("upkeep").toString
+    val idx = base + "/lsh"
+    val half = docs.filter(col("doc_id") % 4 === 0)
+    LshIndex.write(half, idx, nShards = 2)
+    // three appends: each drops ≥1 file per touched shard + 1 sigs file
+    for (r <- 1 to 3)
+      LshIndex.append(spark, docs.filter(col("doc_id") % 4 === r), idx)
+    val h = StoreUpkeep.health(spark, idx, StoreUpkeep.LshKind)
+    assert(h.maxPartitionFiles >= 4 && h.sidecarFiles >= 4 &&
+      !h.pendingTombstones, s"unexpected health $h")
+    // below threshold: decision is NO and nothing moves
+    assert(!StoreUpkeep.maybeCompact(spark, idx, StoreUpkeep.LshKind,
+      maxPartitionFiles = 100, maxSidecarFiles = 100))
+    assert(StoreUpkeep.health(spark, idx, StoreUpkeep.LshKind) == h)
+    val before = LshIndex.lshPairs(spark, idx)
+      .collect().map(_.toSeq).toSet
+    CacheRegistry.release(spark)
+    // at the documented threshold (widest partition > maxPartitionFiles)
+    // the trigger fires, the swap folds the layout, serving is unchanged
+    assert(StoreUpkeep.maybeCompact(spark, idx, StoreUpkeep.LshKind,
+      maxPartitionFiles = h.maxPartitionFiles - 1))
+    val hc = StoreUpkeep.health(spark, idx, StoreUpkeep.LshKind)
+    assert(hc.maxPartitionFiles == 1 && hc.sidecarFiles <= 4,
+      s"compaction did not fold the layout: $hc")
+    val after = LshIndex.lshPairs(spark, idx).collect().map(_.toSeq).toSet
+    assert(after == before, "serving changed across the swap")
+    CacheRegistry.release(spark)
+
+    // sidecar-growth leg alone must also trip (bloom generations): span
+    // store with a fused sidecar, appends add one generation each
+    val span = base + "/span"
+    SpanStore.write(half, span, minTokens = 8, shardChars = 1,
+      withBloom = true)
+    for (r <- 1 to 3)
+      SpanStore.append(spark, docs.filter(col("doc_id") % 4 === r), span)
+    val hs = StoreUpkeep.health(spark, span, StoreUpkeep.SpanKind)
+    assert(hs.sidecarFiles >= 4, s"bloom generations not counted: $hs")
+    val probeBefore = SpanStore.probe(spark, docs.filter(col("doc_id") < 6), span)
+      .collect().map(_.toSeq).toSet
+    CacheRegistry.release(spark)
+    assert(StoreUpkeep.maybeCompact(spark, span, StoreUpkeep.SpanKind,
+      maxPartitionFiles = 1000, maxSidecarFiles = hs.sidecarFiles - 1))
+    val hsc = StoreUpkeep.health(spark, span, StoreUpkeep.SpanKind)
+    assert(hsc.sidecarFiles <= 1, s"bloom sidecar not folded: $hsc")
+    val probeAfter = SpanStore.probe(spark, docs.filter(col("doc_id") < 6), span)
+      .collect().map(_.toSeq).toSet
+    assert(probeAfter == probeBefore, "span serving changed across the swap")
+    CacheRegistry.release(spark)
+
+    // tombstone leg: pending takedown is reported, opts into an eager
+    // trigger, and the swap both removes the rows and CLEARS the
+    // sidecar (serving == cold build without the forgotten docs)
+    SpanStore.forget(spark, docs.filter(col("doc_id") % 5 === 2)
+      .select("doc_id"), span)
+    val ht = StoreUpkeep.health(spark, span, StoreUpkeep.SpanKind)
+    assert(ht.pendingTombstones)
+    assert(!StoreUpkeep.maybeCompact(spark, span, StoreUpkeep.SpanKind),
+      "tombstones alone must not trigger by default")
+    assert(StoreUpkeep.maybeCompact(spark, span, StoreUpkeep.SpanKind,
+      compactOnTombstones = true))
+    assert(!StoreUpkeep.health(spark, span, StoreUpkeep.SpanKind)
+      .pendingTombstones, "swap must clear the applied tombstones")
+    val cold = base + "/spancold"
+    SpanStore.write(docs.filter(col("doc_id") % 5 =!= 2), cold,
+      minTokens = 8, shardChars = 1)
+    val want = SpanStore.probe(spark, docs.filter(col("doc_id") < 6), cold)
+      .collect().map(_.toSeq).toSet
+    val got = SpanStore.probe(spark, docs.filter(col("doc_id") < 6), span)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "post-takedown serving != cold build without")
+    CacheRegistry.release(spark)
+  }
 }
