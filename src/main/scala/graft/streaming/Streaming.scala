@@ -934,8 +934,8 @@ object Streaming {
       val files = maxFilesPerShard(fs, storeDir)
       autoCompactThreshold match {
         case Some(thr) if files > thr =>
-          compactWindowStoreInPlace(fs, storeDir, staging =>
-            graft.operators.SpanStore.compactStore(spark, storeDir, staging))
+          graft.operators.StoreUpkeep.compactInPlace(spark, storeDir,
+            graft.operators.StoreUpkeep.SpanKind)
         case None if files > compactionWatermark =>
           System.err.println(s"[graft] span store at $storeDir has " +
             s"$files files in its widest shard partition — run " +
@@ -1032,6 +1032,92 @@ object Streaming {
       }
     }()
 
+  /** Continuous ADMISSION GAUNTLET — the composed two-store production
+    * shape (q_ingest_gauntlet) at streaming cadence: every micro-batch
+    * runs stage 1 near-dup admission against the LSH store
+    * ([[graft.operators.LshIndex.ingestDedup]], keep-first drops,
+    * survivors appended), then stage 2 exact-span curation of the
+    * stage-1 survivors against the span store
+    * ([[graft.operators.SpanStore.ingestCurate]], corpus-duplicated
+    * spans trimmed, mostly-dup docs dropped, curated survivors
+    * appended). The first batch cold-builds BOTH stores as concurrent
+    * jobs (the q_ingest_gauntlet seed pattern) and is admitted whole.
+    *
+    * One audit row per batch doc at `auditDir`: (doc_id, text,
+    * n_store_dups, n_batch_dups, dedup_dropped, n_tokens_before,
+    * n_tokens_kept, curate_dropped) — `text` is the CURATED text for
+    * docs that reached stage 2 and the original for stage-1 drops
+    * (they never entered the span store); stage-2 columns read the
+    * (−1, −1, false) sentinels for stage-1 drops, the q_ingest_gauntlet
+    * convention.
+    *
+    * The replay fence (the chassis' batchId sidecar) is CORRECTNESS
+    * twice over here: a replayed batch would read its own admitted
+    * survivors back as near-dups in stage 1 AND as corpus spans in
+    * stage 2, dropping everything — pass `checkpointDir` in
+    * production. `cold` keys on the LSH store's meta (stage order:
+    * nothing reaches the span store without passing stage 1), and the
+    * law StreamingSpec pins is streamed ≡ the driver loop
+    * `seed(b0); gauntlet(b1); gauntlet(b2)…` including post-ingest
+    * serving of BOTH stores.
+    */
+  def streamingGauntletIngest(
+      spark: SparkSession,
+      docsDir: String,
+      lshDir: String,
+      spanDir: String,
+      auditDir: String,
+      threshold: Double = 0.8,
+      minTokens: Int = 16,
+      minKeptFrac: Double = 0.3,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit =
+    shardedStoreIngest(spark, docsDir, lshDir,
+        maxFilesPerTrigger, checkpointDir) { (b, cold) =>
+      if (cold) {
+        graft.operators.ParJobs.run(
+          () => graft.operators.LshIndex.write(b, lshDir),
+          () => graft.operators.SpanStore.write(b, spanDir, minTokens))
+        // the seed batch is admitted whole: both stage verdicts clean
+        b.select(col("doc_id").cast("long").as("doc_id"), col("text"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast("long").as("n_tokens_before"))
+          .withColumn("n_store_dups", lit(0L))
+          .withColumn("n_batch_dups", lit(0L))
+          .withColumn("dedup_dropped", lit(false))
+          .withColumn("n_tokens_kept", col("n_tokens_before"))
+          .withColumn("curate_dropped", lit(false))
+          .select("doc_id", "text", "n_store_dups", "n_batch_dups",
+            "dedup_dropped", "n_tokens_before", "n_tokens_kept",
+            "curate_dropped")
+          .write.mode("append").option("compression", "zstd")
+          .parquet(auditDir)
+      } else {
+        val dedupAudit = graft.operators.LshIndex
+          .ingestDedup(spark, b, lshDir, threshold)
+        val curateAudit = graft.operators.SpanStore.ingestCurate(spark,
+          dedupAudit.filter(!col("dropped")).select("doc_id", "text"),
+          spanDir, minKeptFrac)
+        dedupAudit
+          .select(col("doc_id"), col("text").as("__orig"),
+            col("n_store_dups"), col("n_batch_dups"),
+            col("dropped").as("dedup_dropped"))
+          .join(curateAudit
+            .select(col("doc_id"), col("text").as("__cur"),
+              col("n_tokens_before"), col("n_tokens_kept"),
+              col("dropped").as("curate_dropped")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__cur"), col("__orig")).as("text"),
+            col("n_store_dups"), col("n_batch_dups"), col("dedup_dropped"),
+            coalesce(col("n_tokens_before"), lit(-1L)).as("n_tokens_before"),
+            coalesce(col("n_tokens_kept"), lit(-1L)).as("n_tokens_kept"),
+            coalesce(col("curate_dropped"), lit(false)).as("curate_dropped"))
+          .write.mode("append").option("compression", "zstd")
+          .parquet(auditDir)
+      }
+    }()
+
   /** Files-per-centroid level above which an un-thresholded ingest warns
     * (≈ the point where probe open/footer cost is measurable next to the
     * pruned scan itself).
@@ -1044,42 +1130,19 @@ object Streaming {
     */
   private[graft] def maxFilesPerCentroid(
       fs: org.apache.hadoop.fs.FileSystem,
-      indexDir: String): Int = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    if (!fs.exists(root)) 0
-    else fs.listStatus(root).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
-      .map(d => fs.listStatus(d.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")))
-      .foldLeft(0)(math.max)
-  }
+      indexDir: String): Int =
+    graft.operators.StoreUpkeep.maxPartitionFiles(fs, indexDir, "centroid_id=")
 
-  /** Rewrite + swap the code table under its live name: compact into
-    * `<dir>_compacting`, rename the live table aside, rename the
-    * compacted table in, drop the old. Requires atomic rename (HDFS /
-    * POSIX); each step is crash-visible — a leftover `_compacting` from
-    * a dead prior attempt is deleted up front, and a crash between the
-    * two renames strands the data recoverably, never silently.
+  /** Rewrite + swap the code table under its live name — the swap
+    * protocol now lives in [[graft.operators.StoreUpkeep]] (one
+    * tombstone-aware owner for batch AND streaming auto-compaction).
     */
   private def compactInPlace(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      indexDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(indexDir)
-    val staging = new Path(indexDir + "_compacting")
-    val retired = new Path(indexDir + "_precompact")
-    fs.delete(staging, true)
-    graft.operators.Similarity.compactIvfPqCodes(
-      spark, indexDir, staging.toString, filesPerPartition = 1)
-    fs.delete(retired, true)
-    require(fs.rename(live, retired),
-      s"compactInPlace: rename $live -> $retired failed")
-    require(fs.rename(staging, live),
-      s"compactInPlace: rename $staging -> $live failed " +
-        s"(recover the table from $retired)")
-    fs.delete(retired, true)
-  }
+      indexDir: String): Unit =
+    graft.operators.StoreUpkeep.compactInPlace(spark, indexDir,
+      graft.operators.StoreUpkeep.IvfPqKind)
 
   /** Widest `shard=` partition of an LSH bucket store, in files — the
     * [[maxFilesPerCentroid]] twin. Listing cost is bounded by
@@ -1087,45 +1150,22 @@ object Streaming {
     */
   private[graft] def maxFilesPerShard(
       fs: org.apache.hadoop.fs.FileSystem,
-      storeDir: String): Int = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    if (!fs.exists(root)) 0
-    else fs.listStatus(root).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
-      .map(d => fs.listStatus(d.getPath)
-        .count(_.getPath.getName.endsWith(".parquet")))
-      .foldLeft(0)(math.max)
-  }
+      storeDir: String): Int =
+    graft.operators.StoreUpkeep.maxPartitionFiles(fs, storeDir, "shard=")
 
-  /** [[compactInPlace]] for the three-directory LSH store (buckets,
-    * `_sigs`, `_meta`). The swap renames each directory independently;
-    * a crash mid-swap leaves a MIXED-layout store, which is still
-    * CORRECT — compaction preserves every directory's content verbatim
-    * (same rows, same frozen meta), only the file layout differs — and
+  /** [[compactInPlace]] for the three-directory LSH store — delegated
+    * to the [[graft.operators.StoreUpkeep]] swap protocol. A crash
+    * mid-swap leaves a MIXED-layout store, which is still CORRECT
+    * (compaction preserves every directory's content verbatim), and
     * each unreplaced directory remains recoverable from its
     * `_precompact` twin.
     */
   private[graft] def compactLshInPlace(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      storeDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val staging = storeDir + "_compacting"
-    for (sfx <- Seq("", "_sigs", "_meta"))
-      fs.delete(new Path(staging + sfx), true)
-    graft.operators.LshIndex.compactLsh(spark, storeDir, staging)
-    for (sfx <- Seq("", "_sigs", "_meta")) {
-      val live = new Path(storeDir + sfx)
-      val retired = new Path(storeDir + sfx + "_precompact")
-      fs.delete(retired, true)
-      require(fs.rename(live, retired),
-        s"compactLshInPlace: rename $live -> $retired failed")
-      require(fs.rename(new Path(staging + sfx), live),
-        s"compactLshInPlace: rename ${staging + sfx} -> $live failed " +
-          s"(recover the directory from $retired)")
-      fs.delete(retired, true)
-    }
-  }
+      storeDir: String): Unit =
+    graft.operators.StoreUpkeep.compactInPlace(spark, storeDir,
+      graft.operators.StoreUpkeep.LshKind)
 
   /** Streaming quantile-sketch-store ingest — the metrics twin of
     * [[streamingLshIngest]]: drive the persisted pre-aggregated

@@ -430,6 +430,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(store + "_sigs").count() == sigCount)
   }
 
+  test("streaming gauntlet-ingest equals the driver loop incl. both stores' serving; replay fence holds") {
+    val docsDir = tmpDir("stream-gauntlet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-gauntlet-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, docsDir.resolve(name))
+    }
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    addFile(b0, "f0.parquet"); addFile(b1, "f1.parquet"); addFile(b2, "f2.parquet")
+    val lsh = tmpDir("stream-gauntlet-lsh").toString + "/lsh"
+    val span = tmpDir("stream-gauntlet-span").toString + "/span"
+    val audit = tmpDir("stream-gauntlet-audit").toString + "/audit"
+    val ckpt = tmpDir("stream-gauntlet-ckpt").toString
+    Streaming.streamingGauntletIngest(spark, docsDir.toString, lsh, span,
+      audit, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    // driver-loop twin: seed both stores with b0, gauntlet b1 then b2
+    // exactly as the micro-batches did
+    val tLsh = tmpDir("stream-gauntlet-tlsh").toString + "/lsh"
+    val tSpan = tmpDir("stream-gauntlet-tspan").toString + "/span"
+    graft.operators.LshIndex.write(b0, tLsh)
+    graft.operators.SpanStore.write(b0, tSpan, minTokens = 16)
+    def gauntlet(b: org.apache.spark.sql.DataFrame) = {
+      val d = graft.operators.LshIndex.ingestDedup(spark, b, tLsh,
+        threshold = 0.8)
+      val c = graft.operators.SpanStore.ingestCurate(spark,
+        d.filter(!col("dropped")).select("doc_id", "text"), tSpan)
+      d.select(col("doc_id"), col("text").as("__orig"),
+          col("n_store_dups"), col("n_batch_dups"),
+          col("dropped").as("dedup_dropped"))
+        .join(c.select(col("doc_id"), col("text").as("__cur"),
+            col("n_tokens_before"), col("n_tokens_kept"),
+            col("dropped").as("curate_dropped")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__cur"), col("__orig")).as("text"),
+          col("n_store_dups"), col("n_batch_dups"), col("dedup_dropped"),
+          coalesce(col("n_tokens_before"), lit(-1L)).as("n_tokens_before"),
+          coalesce(col("n_tokens_kept"), lit(-1L)).as("n_tokens_kept"),
+          coalesce(col("curate_dropped"), lit(false)).as("curate_dropped"))
+    }
+    val a1 = gauntlet(b1); val a2 = gauntlet(b2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "n_store_dups", "n_batch_dups",
+        "dedup_dropped", "n_tokens_before", "n_tokens_kept",
+        "curate_dropped")
+      .collect().map(_.toSeq).toSet
+    val streamed = rows(spark.read.parquet(audit)
+      .filter(col("doc_id") % 3 =!= 0))
+    assert(streamed == rows(a1.unionByName(a2)) && streamed.nonEmpty,
+      "streamed gauntlet audit must equal the driver loop's")
+    // and some doc actually exercised each verdict kind on this corpus
+    val auditAll = spark.read.parquet(audit)
+    assert(auditAll.filter(col("dedup_dropped")).count() > 0,
+      "law vacuous: no stage-1 drop in the draw")
+    // post-ingest serving of BOTH stores must match the driver loop's
+    def pairs(dir: String) = graft.operators.LshIndex.lshPairs(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(pairs(lsh) == pairs(tLsh), "LSH serving diverged")
+    val probeDocs = docs.filter(col("doc_id") < 5)
+    def probed(dir: String) = graft.operators.SpanStore
+      .probe(spark, probeDocs, dir).collect().map(_.toSeq).toSet
+    assert(probed(span) == probed(tSpan), "span serving diverged")
+    graft.operators.CacheRegistry.release(spark)
+    // replay fence: same stream, same checkpoint — no growth in either
+    // store or the audit (a replayed batch would otherwise drop
+    // everything against its own survivors, twice over)
+    val counts = Seq(audit, lsh, lsh + "_sigs", span)
+      .map(p => spark.read.parquet(p).count())
+    Streaming.streamingGauntletIngest(spark, docsDir.toString, lsh, span,
+      audit, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    assert(Seq(audit, lsh, lsh + "_sigs", span)
+      .map(p => spark.read.parquet(p).count()) == counts,
+      "replayed gauntlet stream moved a store or the audit")
+  }
+
   test("LSH in-place compaction: widest shard shrinks, pair set unchanged") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val store = tmpDir("lsh-compact-inplace").toString + "/store"
