@@ -535,4 +535,77 @@ class PropertySpec extends AnyFunSuite {
       // budget rationale as the seed+append law above
     }, minSuccessful = 2)
   }
+
+  test("property: publishShards partitions the corpus, balances tokens, and the manifest replays, for ANY corpus and nShards") {
+    import graft.operators.Layout
+    // driver-side truth mirrors: whitespace tokens (TextAnalysis.tokens)
+    // and the 56-bit md5-half digest basis (Layout.shardManifest)
+    def toks(t: String): Long =
+      t.trim.split("\\s+").count(_.nonEmpty).toLong
+    def md5Half(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16)
+    }
+    val genCase = for {
+      n <- Gen.choose(1, 40)
+      words <- Gen.listOfN(n, Gen.frequency(
+        // empty/whitespace docs pin the zero-token clamp (advisor r17:
+        // exclusive offset == total at the doc_id tail)
+        1 -> Gen.const(""),
+        1 -> Gen.const("   "),
+        8 -> Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
+          Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+          .map(_.mkString(" ")))))
+      nShards <- Gen.choose(1, 6)
+    } yield (words, nShards)
+    check(Prop.forAll(genCase) { case (words, nShards) =>
+      val docsSeq = words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val total = docsSeq.map(d => toks(d._2)).sum
+      if (total == 0) true // publishShards requires >= 1 token; draw skipped
+      else {
+        val assigned = Layout.publishShards(
+          docsSeq.toDF("doc_id", "text"), nShards)
+        val rows = assigned.select("doc_id", "text", "n_tokens", "shard_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        val manifest = Layout.shardManifest(assigned)
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        val budget = (total + nShards - 1) / nShards
+        val maxDoc = docsSeq.map(d => toks(d._2)).max
+        // (1) shards PARTITION the corpus: every doc once, tokens exact
+        val partitionOk = rows.map(_._1).sorted.toSeq ==
+          docsSeq.map(_._1).sorted &&
+          rows.forall { case (id, t, n, _) =>
+            n == toks(docsSeq(id.toInt)._2) && t == docsSeq(id.toInt)._2 }
+        // (2) shard range honors the documented [0, nShards) clamp and
+        // ids are CONTIGUOUS doc_id ranges (sorted by doc_id, shard ids
+        // never decrease)
+        val ordered = rows.sortBy(_._1).map(_._4).toSeq
+        val rangeOk = ordered.forall(s => s >= 0 && s < nShards) &&
+          ordered.zip(ordered.drop(1)).forall { case (a, b) => a <= b }
+        // (3) token balance: a shard overshoots only by its straddling
+        // doc — mass < budget + maxDoc; and every non-final shard that
+        // exists covers its full budget window (mass > budget - maxDoc)
+        val masses = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+        val lastShard = ordered.last
+        val balanceOk = masses.forall { case (s, mass) =>
+          mass < budget + maxDoc &&
+            (s == lastShard || mass >= budget - maxDoc) }
+        // (4) the manifest replays from the assignment: doc counts,
+        // masses, and the order-invariant xor digest
+        val manifestOk = manifest.keySet == masses.keySet &&
+          rows.groupBy(_._4).forall { case (s, rs) =>
+            manifest(s) == ((rs.length.toLong, rs.map(_._3).sum,
+              rs.map(r => md5Half(r._2)).reduce(_ ^ _))) }
+        val ok = partitionOk && rangeOk && balanceOk && manifestOk
+        if (!ok) println(s"[prop] publish law broke: n=${words.size} " +
+          s"nShards=$nShards (partition=$partitionOk range=$rangeOk " +
+          s"balance=$balanceOk manifest=$manifestOk masses=$masses)")
+        ok
+      }
+    }, minSuccessful = 12)
+  }
 }
