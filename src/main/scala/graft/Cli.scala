@@ -247,6 +247,7 @@ object Cli {
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
           |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|datasheet|retention|fertility|
+          |              forget|upkeep|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -273,6 +274,11 @@ object Cli {
           |             I/O for definitely-new prints);
           |          ivfdrift: -in <batch embeddings> -index dir (codebook staleness report);
           |          lshcompact: -index dir -dest dir [-files N];
+          |          forget: -in <ids parquet> -store span|lsh|ivfpq -index dir
+          |            (tombstone the ids: hidden from serving now, removed at compaction);
+          |          upkeep: -store span|lsh|ivfpq -index dir [-max-files N]
+          |            [-max-sidecar-files N] [-apply-tombstones true]
+          |            (store health + threshold-triggered in-place compaction);
           |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
           |          auc/avgprec/calibrate/brier: -in <scored parquet> [-score-expr e]
           |            [-label-expr e] (auc/avgprec: [-by cols] [-quant-scale X];
@@ -1028,6 +1034,40 @@ object Cli {
           .agg(count(lit(1)).as("n_words"))
           .orderBy("shard")
       }
+      // targeted deletion from the shell (the takedown): tombstone the
+      // -in frame's ids in an existing store — answer-sized sidecar
+      // write, nothing in the store moves until a compaction applies it;
+      // prints post-forget store health (pending_tombstones flips true)
+      case "forget" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op forget requires -index <dir> (an existing store)"))
+        val kind = upkeepKind(flags)
+        val idCol =
+          if (kind == StoreUpkeep.IvfPqKind) "vec_id" else "doc_id"
+        val ids =
+          if (docs.columns.contains(idCol)) docs.select(idCol)
+          else docs.select(docs.columns.head)
+        kind match {
+          case StoreUpkeep.SpanKind  => SpanStore.forget(spark, ids, idx)
+          case StoreUpkeep.LshKind   => LshIndex.forget(spark, ids, idx)
+          case StoreUpkeep.IvfPqKind => Similarity.forgetIvfPq(spark, ids, idx)
+        }
+        upkeepHealthDf(spark, idx, kind, compacted = false)
+      }
+      // store small-file health + the threshold-triggered in-place
+      // compaction (StoreUpkeep policy); -apply-tombstones true opts a
+      // governance loop into eager physical takedown
+      case "upkeep" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op upkeep requires -index <dir> (an existing store)"))
+        val kind = upkeepKind(flags)
+        val did = StoreUpkeep.maybeCompact(spark, idx, kind,
+          maxPartitionFiles = flags.getOrElse("max-files", "64").toInt,
+          maxSidecarFiles = flags.getOrElse("max-sidecar-files", "64").toInt,
+          compactOnTombstones =
+            flags.get("apply-tombstones").exists(_.toBoolean))
+        upkeepHealthDf(spark, idx, kind, compacted = did)
+      }
       case "spancompact" => {
         val idx = flags.getOrElse("index",
           fail("corpus -op spancompact requires -index <dir>"))
@@ -1226,6 +1266,29 @@ object Cli {
         result.show(20, 40)
     }
     CacheRegistry.release(spark)
+  }
+
+  /** `-store span|lsh|ivfpq` → the [[operators.StoreUpkeep.Kind]] the
+    * forget/upkeep ops act on.
+    */
+  private def upkeepKind(
+      flags: Map[String, String]): operators.StoreUpkeep.Kind =
+    flags.getOrElse("store",
+        fail("this op requires -store span|lsh|ivfpq")) match {
+      case "span"  => operators.StoreUpkeep.SpanKind
+      case "lsh"   => operators.StoreUpkeep.LshKind
+      case "ivfpq" => operators.StoreUpkeep.IvfPqKind
+      case other   => fail(s"unknown -store kind: $other (span|lsh|ivfpq)")
+    }
+
+  /** One-row store-health frame for the forget/upkeep ops' output. */
+  private def upkeepHealthDf(spark: SparkSession, idx: String,
+      kind: operators.StoreUpkeep.Kind, compacted: Boolean): DataFrame = {
+    val h = operators.StoreUpkeep.health(spark, idx, kind)
+    import spark.implicits._
+    Seq((h.maxPartitionFiles, h.sidecarFiles, h.pendingTombstones, compacted))
+      .toDF("max_partition_files", "sidecar_files", "pending_tombstones",
+        "compacted")
   }
 
   /** Event-analytics subcommand over an events parquet `(event_id, ts,

@@ -407,6 +407,31 @@ class CliSpec extends AnyFunSuite {
     assert(comp.contains("files") && comp.contains("Rows: "))
     assert(spark.read.parquet(tmp + "/cx").count()
       == spark.read.parquet(idx).count())
+    // takedown from the shell: tombstone the batch's ids — health flips
+    // pending_tombstones, nothing moves yet (sigs row count unchanged)
+    val sigsBefore = spark.read.parquet(idx + "_sigs").count()
+    val fg = captureOut {
+      Cli.runCorpus(spark, Map("in" -> batchPath, "op" -> "forget",
+        "store" -> "lsh", "index" -> idx))
+    }
+    assert(fg.contains("pending_tombstones") && fg.contains("true"), fg)
+    assert(spark.read.parquet(idx + "_sigs").count() == sigsBefore)
+    // upkeep with -apply-tombstones: the takedown applies physically in
+    // place and the sidecar clears — only the seed's ids remain served
+    val up = captureOut {
+      Cli.runCorpus(spark, Map("op" -> "upkeep", "store" -> "lsh",
+        "index" -> idx, "apply-tombstones" -> "true"))
+    }
+    assert(up.contains("compacted") && up.contains("Rows: 1"), up)
+    assert(spark.read.parquet(idx + "_sigs").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).forall(_ % 2 == 0))
+    assert(!graft.operators.Tombstones.exists(idx))
+    // and a below-threshold upkeep is a pure health read: no compaction
+    val up2 = captureOut {
+      Cli.runCorpus(spark, Map("op" -> "upkeep", "store" -> "lsh",
+        "index" -> idx))
+    }
+    assert(up2.contains("false"), up2)
   }
 
   test("corpus subcommand: selection/analysis ops (pca, ks, pareto, superspreaders, ldiversity)") {
