@@ -1670,6 +1670,48 @@ object ScaleCheck {
       require(scanned == 0L,
         s"bloom-cleared batch still read $scanned store rows — the " +
           "zero-I/O admission path is broken")
+      // takedown at the 10x store (r18): forget 50 of the 250
+      // boilerplate docs, re-probe. Gates: (a) serving answers account
+      // for EXACTLY the forgotten docs (max n_store_docs drops by 50),
+      // (b) probe shuffle volume stays in the duplication-proportional
+      // class (the tombstone anti-join rides already-bounded rows),
+      // (c) the anti-join plans as a BROADCAST hash join — a shuffled
+      // anti-join would re-key store rows on every probe at takedown
+      // cadence, the exact cost class the whole probe path avoids.
+      def probeMeasured(): (Long, Long, Long, String) = {
+        val out = operators.SpanStore.probe(spark, batch, s"$sdir/s10",
+          useBloom = false)
+        val hits = out.queryExecution.toRdd.count()
+        val mx = out.agg(coalesce(max("n_store_docs"), lit(0L)))
+          .head().getLong(0)
+        val rec = shuffleRecords(out.queryExecution.executedPlan)
+        val plan = out.queryExecution.executedPlan.toString
+        operators.CacheRegistry.release(spark)
+        (hits, mx, rec, plan)
+      }
+      // baseline on the store AS IT NOW STANDS (the curate stage above
+      // appended the batch's survivors, so the batch self-reports ~6k
+      // print hits) — the takedown comparison must be same-store
+      val (hPre, mxPre, recPre, _) = probeMeasured()
+      operators.SpanStore.forget(spark,
+        spark.range(0L, 250L, 5L).select(col("id").as("doc_id")),
+        s"$sdir/s10")
+      val (hPost, mxPost, recPost, planPost) = probeMeasured()
+      println(s"[scale] spanstore forget: hits $hPre -> $hPost, " +
+        s"max n_store_docs $mxPre -> $mxPost, " +
+        s"shuffled $recPre -> $recPost")
+      require(mxPre - mxPost == 50L,
+        s"takedown not reflected in serving: max n_store_docs " +
+          s"$mxPre -> $mxPost (expected a drop of exactly 50)")
+      require(hPost == hPre,
+        s"print hit set changed ($hPre -> $hPost): shared prints must " +
+          "stay hits while their doc counts shed the forgotten docs")
+      require(recPost <= recPre * 3 / 2 + 1000,
+        s"tombstoned probe shuffle volume left the duplication class " +
+          s"($recPre -> $recPost)")
+      require(planPost.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+        "tombstone filter did not plan as a broadcast anti-join")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
     }
     operators.CacheRegistry.release(spark)
