@@ -1421,6 +1421,17 @@ object SparkEntry {
           queryMaxId = 5, k = 10, logIdf = false)
         .orderBy("query_id", "rank")),
 
+    // BM25 + RM3 pseudo-relevance feedback (the production query-
+    // expansion layer): pass-1 rational-idf BM25 picks 5 feedback docs
+    // per query, the top-10 NEW terms by uniform-prior relevance-model
+    // weight (order-free 6dp tf/dl sums) expand the query at weight
+    // 0.5, pass-2 rescores — both passes, the term selection, and the
+    // interpolation replay bit-for-bit
+    "q_bm25_prf" -> ((s, dir) =>
+      operators.Retrieval.bm25PrfTopK(Tables.load(s, dir, "documents"),
+          queryMaxId = 5, k = 10, fbDocs = 5, fbTerms = 10, logIdf = false)
+        .orderBy("query_id", "rank")),
+
     // the OTHER export tail: curate at document granularity, keep the
     // train split, publish as token-balanced shards with the read-back
     // integrity manifest — curate → publish as one lineage, the
@@ -8777,6 +8788,101 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY bm25 DESC, doc_id) AS rk
            FROM scored
+         )
+         SELECT query_id, doc_id, bm25, CAST(rk AS INT) AS rank
+         FROM ranked WHERE rk <= 10
+         ORDER BY query_id, rank""",
+
+    // RM3 feedback replayed: the q_bm25 chain as pass 1, top-5 docs per
+    // query become the feedback set, expansion terms = top-10 NEW terms
+    // by the uniform-prior relevance model (order-free DECIMAL sums of
+    // round(tf/dl, 6), weight desc / term asc), pass 2 re-scores the
+    // same pinned saturation with w = 1.0 originals + 0.5 expansions
+    // multiplied INSIDE the 6dp round — the engine's exact chain
+    "q_bm25_prf" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, unnest(tk) AS term FROM toks
+         ), tfc AS (
+           SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2
+         ), dl AS (
+           SELECT doc_id, count(*) AS dl FROM pos GROUP BY 1
+         ), st AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM dl
+         ), dfx AS (
+           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
+         ), q AS (
+           SELECT DISTINCT doc_id AS query_id, term FROM tfc WHERE doc_id < 5
+         ), contrib1 AS (
+           SELECT q.query_id, t.doc_id,
+             CAST(round(
+               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
+               ((CAST(t.tf AS DOUBLE) * 2.25) /
+                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
+                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
+             , 6) AS DECIMAL(18,6)) AS c
+           FROM tfc t
+           JOIN q ON t.term = q.term
+           JOIN dfx ON t.term = dfx.term
+           JOIN dl ON t.doc_id = dl.doc_id
+           WHERE t.doc_id <> q.query_id
+         ), scored1 AS (
+           SELECT query_id, doc_id,
+             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+           FROM contrib1 GROUP BY 1, 2
+         ), fb AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rk
+             FROM scored1) WHERE rk <= 5
+         ), rm AS (
+           SELECT fb.query_id, t.term,
+             sum(CAST(round(CAST(t.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE), 6)
+               AS DECIMAL(18,6))) AS w
+           FROM fb
+           JOIN tfc t ON t.doc_id = fb.doc_id
+           JOIN dl ON dl.doc_id = fb.doc_id
+           GROUP BY 1, 2
+         ), rmx AS (
+           SELECT rm.query_id, rm.term, rm.w FROM rm
+           WHERE NOT EXISTS (SELECT 1 FROM q
+             WHERE q.query_id = rm.query_id AND q.term = rm.term)
+         ), expn AS (
+           SELECT query_id, term FROM (
+             SELECT query_id, term, row_number() OVER (PARTITION BY query_id
+               ORDER BY w DESC, term) AS rk
+             FROM rmx) WHERE rk <= 10
+         ), q2 AS (
+           SELECT query_id, term, CAST(1.0 AS DOUBLE) AS w FROM q
+           UNION ALL
+           SELECT query_id, term, CAST(0.5 AS DOUBLE) AS w FROM expn
+         ), contrib2 AS (
+           SELECT q2.query_id, t.doc_id,
+             CAST(round(
+               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
+               ((CAST(t.tf AS DOUBLE) * 2.25) /
+                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
+                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
+               * q2.w
+             , 6) AS DECIMAL(18,6)) AS c
+           FROM tfc t
+           JOIN q2 ON t.term = q2.term
+           JOIN dfx ON t.term = dfx.term
+           JOIN dl ON t.doc_id = dl.doc_id
+           WHERE t.doc_id <> q2.query_id
+         ), scored2 AS (
+           SELECT query_id, doc_id,
+             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+           FROM contrib2 GROUP BY 1, 2
+         ), ranked AS (
+           SELECT query_id, doc_id, bm25,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rk
+           FROM scored2
          )
          SELECT query_id, doc_id, bm25, CAST(rk AS INT) AS rank
          FROM ranked WHERE rk <= 10

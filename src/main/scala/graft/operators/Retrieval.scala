@@ -113,19 +113,38 @@ object Retrieval {
       b: Double = 0.75,
       logIdf: Boolean = true,
       genDfCap: Option[Long] = None): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     require(k >= 1 && k1 > 0 && b >= 0 && b <= 1)
     genDfCap.foreach(c => require(c >= 1, s"genDfCap must be >= 1, got $c"))
+    val (tfc, dl, stats, dft) = bm25Stats(docs)
+    // query-sized: distinct query terms with their corpus df, broadcast;
+    // __w = 1.0 (x·1.0 is bit-identical to x, so the weighted pass is
+    // byte-for-byte the classic BM25 here)
+    val qtd = dft.join(
+        tfc.filter(col("doc_id") < queryMaxId)
+          .select(col("doc_id").as("query_id"), col("term")).distinct(),
+        Seq("term"))
+      .withColumn("__w", lit(1.0))
+    val scored = bm25Pass(tfc, dl, stats, qtd, k1, b, logIdf, genDfCap)
+    Similarity.aggTopKBy(scored, "bm25", k, Seq("query_id"), "rank",
+        idCol = "doc_id")
+      .select("query_id", "doc_id", "bm25", "rank")
+  }
+
+  /** The shared BM25 substrate — ONE corpus/tokenize pass: tfc is
+    * persisted (CacheRegistry-tracked) and every statistic derives from
+    * it — dl = Σtf per doc (token count by definition), df/query
+    * terms/candidates/contributions all read the cache instead of
+    * re-tokenizing (measured: the capped path's second tfc subtree
+    * otherwise re-shuffles the whole posting build).
+    */
+  private def bm25Stats(
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
     val toks = Parallelism.ensure(docs
         .select(col("doc_id").cast("long").as("doc_id"), col("text")))
       .select(col("doc_id"),
         explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
       .filter(col("term").isNotNull) // Dedup.safeExplodeNote
-    // the ONE corpus/tokenize pass: tfc is persisted and every other
-    // statistic derives from it — dl = Σtf per doc (token count by
-    // definition), df/qtd/candidates/contributions all read the cache
-    // instead of re-tokenizing (measured: the capped path's second tfc
-    // subtree otherwise re-shuffles the whole posting build)
     val tfc = CacheRegistry.track(
       toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -134,12 +153,34 @@ object Retrieval {
       count(lit(1)).cast("double").as("__n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl")))
     val dft = tfc.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
-    // query-sized: distinct query terms with their corpus df, broadcast
-    val qtd = broadcast(
-      dft.join(
-        tfc.filter(col("doc_id") < queryMaxId)
-          .select(col("doc_id").as("query_id"), col("term")).distinct(),
-        Seq("term")))
+    (tfc, dl, stats, dft)
+  }
+
+  /** One BM25 scoring pass over WEIGHTED query terms `qt` = (query_id,
+    * term, __df, __w): contribution = round(idf·sat·w, 6), summed
+    * order-free in DECIMAL, 4dp score — the weight slots straight into
+    * the exact-arithmetic chain (w is required to be an exact binary
+    * fraction like 1.0 or 0.5, so idf·sat·w is one more exact-input
+    * IEEE op before the fixed-point round). Shared by the classic
+    * [[bm25TopK]] (all weights 1.0) and the RM3 feedback pass
+    * ([[bm25PrfTopK]], expansion terms down-weighted).
+    *
+    * Candidate generation (unchanged from the classic pass). Uncapped:
+    * every (query term, posting) pair — exact, but a stopword-bearing
+    * query touches ~the whole corpus (the naive-BM25 scale wall).
+    * genDfCap (the champion-list / term-at-a-time pruning standard):
+    * only sub-cap RARE terms GENERATE candidates — bounded by
+    * Σ df(rare query terms) — and each candidate is then scored over
+    * ALL its query terms (common ones included), so admitted docs carry
+    * their exact full score; the approximation only loses docs sharing
+    * NOTHING rarer than the cap, the ones lexical retrieval ranks last
+    * anyway.
+    */
+  private def bm25Pass(
+      tfc: DataFrame, dl: DataFrame, stats: DataFrame, qt: DataFrame,
+      k1: Double, b: Double, logIdf: Boolean,
+      genDfCap: Option[Long]): DataFrame = {
+    val qtB = broadcast(qt)
     val tfD = col("tf").cast("double")
     val sat = (tfD * lit(k1 + 1.0)) /
       (tfD + (lit(k1 * (1.0 - b)) + lit(k1 * b) *
@@ -148,38 +189,103 @@ object Retrieval {
       if (logIdf) log(lit(1.0) + ((col("__n") - col("__df")) + lit(0.5)) /
         (col("__df") + lit(0.5)))
       else ((col("__n") - col("__df")) + lit(0.5)) / (col("__df") + lit(0.5))
-    // candidate generation. Uncapped: every (query term, posting) pair —
-    // exact, but a stopword-bearing query touches ~the whole corpus (the
-    // naive-BM25 scale wall). genDfCap (the champion-list / term-at-a-
-    // time pruning standard): only sub-cap RARE terms GENERATE
-    // candidates — bounded by Σ df(rare query terms) — and each
-    // candidate is then scored over ALL its query terms (common ones
-    // included), so admitted docs carry their exact full BM25; the
-    // approximation only loses docs sharing NOTHING rarer than the cap,
-    // the ones lexical retrieval ranks last anyway.
     val contribs = genDfCap match {
       case None =>
-        tfc.join(qtd, Seq("term"))
+        tfc.join(qtB, Seq("term"))
           .filter(col("doc_id") =!= col("query_id"))
       case Some(cap) =>
-        val gen = broadcast(qtd.filter(col("__df") <= cap.toDouble)
+        val gen = broadcast(qt.filter(col("__df") <= cap.toDouble)
           .select("query_id", "term"))
         val cand = tfc.join(gen, Seq("term"))
           .filter(col("doc_id") =!= col("query_id"))
           .select("query_id", "doc_id").distinct()
         // candidates × their own terms (cand · dl rows), query terms
-        // kept by the broadcast (query_id, term, df) join — never a
+        // kept by the broadcast (query_id, term, df, w) join — never a
         // stopword-posting blowup
-        cand.join(tfc, Seq("doc_id")).join(qtd, Seq("query_id", "term"))
+        cand.join(tfc, Seq("doc_id")).join(qtB, Seq("query_id", "term"))
     }
-    val scored = contribs
+    contribs
       .join(dl, Seq("doc_id"))
       .crossJoin(stats)
       .select(col("query_id"), col("doc_id"),
-        round(idf * sat, 6).cast("decimal(18,6)").as("__c"))
+        round(idf * sat * col("__w"), 6).cast("decimal(18,6)").as("__c"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("__c")).cast("double"), 4).as("bm25"))
-    Similarity.aggTopKBy(scored, "bm25", k, Seq("query_id"), "rank",
+  }
+
+  /** BM25 with RM3-style pseudo-relevance feedback — the classic
+    * two-pass query expansion production lexical retrieval runs on top
+    * of plain BM25 (Lavrenko–Croft relevance models, the Anserini/RM3
+    * shape): pass 1 ranks with [[bm25TopK]]'s scoring, the top `fbDocs`
+    * per query become the feedback set, expansion terms are the top
+    * `fbTerms` NEW terms by relevance-model weight over that set, and
+    * pass 2 re-scores with original terms at weight 1.0 plus expansion
+    * terms at `expWeight` — recall the single-pass ranker cannot reach
+    * (documents sharing no literal query term), bought with one extra
+    * bounded pass.
+    *
+    * Determinism (the oracle contract): the RM1 term weight is the
+    * order-free DECIMAL sum of round(tf/dl, 6) over the feedback docs —
+    * the uniform-prior relevance model, exact in any engine; expansion
+    * selection ranks (weight desc, term asc); `expWeight` must be an
+    * exact binary fraction (default 0.5) so pass-2 contributions stay a
+    * fixed sequence of exact-input IEEE ops. Everything else reuses
+    * [[bm25Pass]]'s pinned arithmetic verbatim.
+    *
+    * Scale shape: pass 1 is [[bm25TopK]]'s documented path; the
+    * feedback-term selection runs on the feedback docs' postings only
+    * (queries × fbDocs docs — answer-sized, so its ranking window is
+    * answer-sized, not corpus-sized); pass 2 is one more [[bm25Pass]]
+    * whose query side grew by ≤ fbTerms terms per query, with
+    * `genDfCap` available for both passes. ONE tokenize pass feeds
+    * everything (the persisted tfc).
+    */
+  def bm25PrfTopK(
+      docs: DataFrame,
+      queryMaxId: Long,
+      k: Int,
+      fbDocs: Int = 5,
+      fbTerms: Int = 10,
+      expWeight: Double = 0.5,
+      k1: Double = 1.25,
+      b: Double = 0.75,
+      logIdf: Boolean = true,
+      genDfCap: Option[Long] = None): DataFrame = {
+    require(k >= 1 && fbDocs >= 1 && fbTerms >= 1 && k1 > 0 &&
+      b >= 0 && b <= 1)
+    require(expWeight > 0 && expWeight <= 1 &&
+      (expWeight * 1024.0) == math.floor(expWeight * 1024.0),
+      s"expWeight must be an exact binary fraction (k/1024), got $expWeight")
+    val (tfc, dl, stats, dft) = bm25Stats(docs)
+    val qterms = tfc.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val qt1 = dft.join(qterms, Seq("term")).withColumn("__w", lit(1.0))
+    val scored1 = bm25Pass(tfc, dl, stats, qt1, k1, b, logIdf, genDfCap)
+    val fb = Similarity.aggTopKBy(scored1, "bm25", fbDocs,
+        Seq("query_id"), "rank", idCol = "doc_id")
+      .select("query_id", "doc_id")
+    // RM1 weights over the feedback docs: Σ_d round(tf/dl, 6), DECIMAL
+    // (order-free). The frame is queries × feedback-doc vocab —
+    // answer-sized — so the selection window shuffles answers, never
+    // corpus rows. Original query terms are excluded: RM3's
+    // interpolation already carries them at weight 1.0.
+    val rm = fb.join(tfc, Seq("doc_id")).join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("term"),
+        round(col("tf").cast("double") / col("dl").cast("double"), 6)
+          .cast("decimal(18,6)").as("__tw"))
+      .groupBy("query_id", "term")
+      .agg(sum(col("__tw")).as("__rm"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+    val wExp = Window.partitionBy("query_id")
+      .orderBy(col("__rm").desc, col("term").asc)
+    val expTerms = rm.withColumn("__r", row_number().over(wExp))
+      .filter(col("__r") <= fbTerms)
+      .select("query_id", "term")
+    val qt2 = qterms.withColumn("__w", lit(1.0))
+      .unionByName(expTerms.withColumn("__w", lit(expWeight)))
+      .join(dft, Seq("term"))
+    val scored2 = bm25Pass(tfc, dl, stats, qt2, k1, b, logIdf, genDfCap)
+    Similarity.aggTopKBy(scored2, "bm25", k, Seq("query_id"), "rank",
         idCol = "doc_id")
       .select("query_id", "doc_id", "bm25", "rank")
   }

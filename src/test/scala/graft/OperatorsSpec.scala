@@ -379,6 +379,43 @@ class OperatorsSpec extends AnyFunSuite {
       "admitted candidate must carry its EXACT full score incl. common terms")
   }
 
+  test("bm25 RM3 feedback: expansion reaches docs sharing NO original query term") {
+    // query doc 0 = {alpha, beta}; doc 1 shares both and carries gamma;
+    // doc 2 shares ONLY gamma (invisible to single-pass BM25); doc 3 is
+    // unrelated filler. fbDocs=1 → feedback set = {doc 1}; its new
+    // terms rank gamma first → pass 2 scores doc 2 via gamma·0.5.
+    val docs = Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta gamma"),
+      (2L, "gamma delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val pass1 = Retrieval.bm25TopK(docs, queryMaxId = 1, k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(pass1 == Set(1L), s"single-pass reach should be doc 1 only: $pass1")
+    val prf = Retrieval.bm25PrfTopK(docs, queryMaxId = 1, k = 10,
+        fbDocs = 1, fbTerms = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(prf.map(_._1).toSet == Set(1L, 2L),
+      s"expansion must admit doc 2 (shares only the feedback term): ${prf.toSeq}")
+    // the original-term doc still outranks the expansion-only doc
+    // (original weight 1.0 over two matched terms vs one 0.5 term)
+    assert(prf.head._1 == 1L && prf.head._3 == 1)
+    // expansion-only score = 0.5 · gamma's plain BM25 contribution for
+    // doc 2 (idf over N=4, df(gamma)=2; tf=1, dl=3, avgdl = 11/4)
+    val idf = math.log(1.0 + ((4.0 - 2.0) + 0.5) / (2.0 + 0.5))
+    val sat = (1.0 * 2.25) / (1.0 + (0.3125 + 0.9375 * (3.0 / 2.75)))
+    val want = BigDecimal(BigDecimal(idf * sat * 0.5)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(prf.find(_._1 == 2L).map(_._2).contains(want),
+      s"doc 2 score ${prf.find(_._1 == 2L)} != hand-computed $want")
+    // partition invariance (order-free sums survive the second pass)
+    val a = Retrieval.bm25PrfTopK(docs.repartition(7), queryMaxId = 1,
+      k = 10, fbDocs = 1, fbTerms = 2).collect().map(_.toSeq).toSet
+    assert(a == prf.map(p => Seq[Any](0L, p._1, p._2, p._3)).toSet)
+  }
+
   test("tokenizer fertility: hand-computed ratios per stratum") {
     val docs = Seq(
       (1L, "en", "hello world"), // bpe "hello"," world" = 2; 11 chars; 2 words
