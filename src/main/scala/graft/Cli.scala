@@ -246,7 +246,7 @@ object Cli {
           |              winsorize|triangles|trianglestats|kcore|dimrecall|trunctopk|
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
-          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|datasheet|retention|fertility|
+          |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|bm25prf|datasheet|retention|fertility|
           |              forget|upkeep|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
@@ -1133,6 +1133,16 @@ object Cli {
       case "bm25"        => Retrieval.bm25TopK(docs,
         queryMaxId = flags.getOrElse("query-max-id", "5").toLong,
         k = flags.getOrElse("topk", "10").toInt,
+        logIdf = flags.getOrElse("log-idf", "true").toBoolean)
+        .orderBy("query_id", "rank")
+      // RM3 pseudo-relevance feedback on top of BM25: two-pass query
+      // expansion (top -fb-docs feedback set, top -fb-terms new terms
+      // at weight 0.5)
+      case "bm25prf"     => Retrieval.bm25PrfTopK(docs,
+        queryMaxId = flags.getOrElse("query-max-id", "5").toLong,
+        k = flags.getOrElse("topk", "10").toInt,
+        fbDocs = flags.getOrElse("fb-docs", "5").toInt,
+        fbTerms = flags.getOrElse("fb-terms", "10").toInt,
         logIdf = flags.getOrElse("log-idf", "true").toBoolean)
         .orderBy("query_id", "rank")
       case "rrf"         => Retrieval.rrfHybridTopK(docs,

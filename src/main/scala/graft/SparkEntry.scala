@@ -1446,6 +1446,22 @@ object SparkEntry {
         .orderBy("shard_id")
     }),
 
+    // INCREMENTAL publish: seed export over doc_id < 250 (frozen
+    // budget + meta), append the rest as NEW shards — published shards
+    // are immutable (the append starts at the next free shard id; the
+    // seed's tail shard ships short), the appended assignment is the
+    // same prefix scan shifted by next_shard·budget. The full read-back
+    // manifest is the gate: seed shards must hash exactly as a
+    // seed-only publish, appended shards replay the shifted scan
+    "q_publish_append" -> ((s, dir) => withTempStore("pubappend") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val dest = tmp + "/shards"
+      operators.Layout.publishInit(s, docs.filter(col("doc_id") < 250),
+        dest, nShards = 8)
+      operators.Layout.appendShards(s, docs.filter(col("doc_id") >= 250), dest)
+        .orderBy("shard_id")
+    }),
+
     // per-language corpus telemetry aggregate
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.load(s, dir, "documents"), "lang")
@@ -7565,6 +7581,47 @@ object SparkEntry {
              CAST(least(cum // ((total + 7) // 8), 7) AS INT) AS shard_id
            FROM c, tot
          )
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
+         FROM a GROUP BY shard_id ORDER BY shard_id""",
+
+    // incremental publish replayed: seed assignment = the clamped
+    // q_publish_shards scan over doc_id < 250 (budget frozen from the
+    // SEED total), appended docs ride their own prefix scan shifted by
+    // (max seed shard + 1) · budget — byte-equal iff the engine froze
+    // the budget, never rewrote a published shard, and the append
+    // landed exactly at the next free shard id
+    "q_publish_append" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), seed AS (SELECT * FROM t WHERE doc_id < 250
+         ), tot AS (SELECT sum(n_tokens) AS total FROM seed
+         ), bud AS (SELECT (total + 7) // 8 AS b FROM tot
+         ), c1 AS (
+           SELECT doc_id, text, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+           FROM seed
+         ), a1 AS (
+           SELECT doc_id, text, n_tokens,
+             CAST(least(cum // (SELECT b FROM bud), 7) AS INT) AS shard_id
+           FROM c1
+         ), pad AS (
+           SELECT (max(shard_id) + 1) * (SELECT b FROM bud) AS p FROM a1
+         ), rest AS (SELECT * FROM t WHERE doc_id >= 250
+         ), c2 AS (
+           SELECT doc_id, text, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+           FROM rest
+         ), a2 AS (
+           SELECT doc_id, text, n_tokens,
+             CAST(((SELECT p FROM pad) + cum) // (SELECT b FROM bud) AS INT) AS shard_id
+           FROM c2
+         ), a AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
          SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest

@@ -150,8 +150,91 @@ object Layout {
     graft.ParquetIO.writePartitioned(
       assigned.select("doc_id", "text", "n_tokens", "shard_id"),
       dir, Seq("shard_id"), filesPerPartition, sortCols = Seq("doc_id"))
-    shardManifest(spark.read
-      .schema("doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT")
-      .parquet(dir))
+    shardManifest(readShards(spark, dir))
+  }
+
+  private val shardSchema =
+    "doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT"
+
+  private def readShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.schema(shardSchema).parquet(dir)
+
+  /** [[publishShards]] + [[writeShards]] + a frozen-geometry `_meta`
+    * sidecar — the entry point of the INCREMENTAL publish lifecycle:
+    * the sidecar freezes (budget, max published doc_id, next free
+    * shard id) so [[appendShards]] can extend the export without
+    * touching — or even reading — what training loaders already
+    * consumed. Returns the read-back manifest ([[writeShards]]).
+    */
+  def publishInit(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, dir: String, nShards: Int,
+      docBucket: Long = 1024L, filesPerPartition: Int = 1): DataFrame = {
+    val manifest = writeShards(spark,
+      publishShards(docs, nShards, docBucket), dir, filesPerPartition)
+    // geometry from bounded frames: the manifest is ≤ nShards rows
+    // (total tokens + the highest occupied shard), and max doc_id is one
+    // column-pruned agg over the read-back
+    val rows = manifest.collect()
+    val total = rows.map(_.getLong(2)).sum
+    val nextShard = rows.map(_.getInt(0)).max + 1
+    val maxDocId = readShards(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    StoreMeta.write(dir,
+      "budget" -> ((total + nShards - 1) / nShards),
+      "max_doc_id" -> maxDocId, "next_shard" -> nextShard)
+    manifest
+  }
+
+  /** Incremental publish: export `newDocs` as NEW shards under the
+    * frozen budget — published shards are IMMUTABLE (a training loader
+    * may have consumed them; appending into a half-full tail shard
+    * would change bytes it already checksummed), so the append starts
+    * at the next free shard id and the tail shard of the previous
+    * publish simply ships short. Assignment is the same two-level
+    * prefix scan over the new docs' token offsets, shifted by
+    * next_shard·budget — still a pure function of (published corpus,
+    * new docs), so any engine replays the exact shard ids.
+    *
+    * Contiguity contract (the doc_id total order every publish layout
+    * here rides): every new doc_id must exceed the published
+    * max_doc_id — enforced with one bounded aggregate before anything
+    * writes. Returns the FULL read-back manifest (old shards verify
+    * unchanged, new shards verify fresh); the meta sidecar rolls
+    * forward (max_doc_id, next_shard) so appends chain.
+    */
+  def appendShards(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, dir: String,
+      docBucket: Long = 1024L, filesPerPartition: Int = 1): DataFrame = {
+    val meta = StoreMeta.read(dir)
+    val budget = meta("budget").toLong
+    val maxDocId = meta("max_doc_id").toLong
+    val nextShard = meta("next_shard").toLong
+    val withTok = newDocs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_chunk_tokens"))
+    val bounds = withTok.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!bounds.isNullAt(0), "appendShards needs at least one new doc")
+    require(bounds.getLong(0) > maxDocId,
+      s"appendShards contiguity: new doc_ids must exceed the published " +
+        s"max ($maxDocId), got ${bounds.getLong(0)} — the shard layout is " +
+        "a doc_id total order")
+    val pad = nextShard * budget
+    val assigned = Packing.packSequences(
+        withTok.withColumn("chunk_id", lit(0L)), budget, docBucket)
+      .select(col("doc_id"), col("text"),
+        col("n_chunk_tokens").as("n_tokens"),
+        expr(s"(($pad + global_offset) div $budget)").cast("int")
+          .as("shard_id"))
+    graft.ParquetIO.writePartitioned(
+      assigned.select("doc_id", "text", "n_tokens", "shard_id"),
+      dir, Seq("shard_id"), filesPerPartition, mode = "append",
+      sortCols = Seq("doc_id"))
+    val manifest = shardManifest(readShards(spark, dir))
+    val rows = manifest.collect()
+    StoreMeta.write(dir, "budget" -> budget,
+      "max_doc_id" -> bounds.getLong(1),
+      "next_shard" -> (rows.map(_.getInt(0)).max + 1))
+    manifest
   }
 }

@@ -4058,6 +4058,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("appendShards: published shards immutable, append starts at the next free id, contiguity enforced") {
+    val base = java.nio.file.Files.createTempDirectory("pubapp").toString
+    val dir = base + "/shards"
+    val seed = docs.filter(col("doc_id") < 100)
+    val rest = docs.filter(col("doc_id") >= 100)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val m1 = rows(Layout.publishInit(spark, seed, dir, nShards = 4))
+    val m2 = rows(Layout.appendShards(spark, rest, dir))
+    // every published shard's (n_docs, n_tokens, digest) is byte-stable
+    // across the append — training loaders' checksums keep holding
+    assert(m1.forall { case (s, v) => m2.get(s).contains(v) },
+      s"published shards changed across append: $m1 vs $m2")
+    // appended shards start past every published id, nothing in between
+    val newIds = (m2.keySet -- m1.keySet)
+    assert(newIds.nonEmpty && newIds.min > m1.keySet.max)
+    // contiguity guard: re-appending ids at or below the published max
+    // must refuse before anything writes
+    val before = rows(Layout.shardManifest(
+      spark.read.schema("doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT")
+        .parquet(dir)))
+    intercept[IllegalArgumentException] {
+      Layout.appendShards(spark, docs.filter(col("doc_id") < 50), dir)
+    }
+    assert(rows(Layout.shardManifest(
+      spark.read.schema("doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT")
+        .parquet(dir))) == before, "refused append must not write")
+    // appends CHAIN: a second publishInit-free append keeps extending
+    assert(Layout.appendShards(spark,
+      Seq((10000L, "tail doc after everything")).toDF("doc_id", "text"),
+      dir).collect().nonEmpty)
+  }
+
   test("StoreUpkeep: trigger fires at the documented threshold, serving unchanged across the in-place swap") {
     val base = java.nio.file.Files.createTempDirectory("upkeep").toString
     val idx = base + "/lsh"
