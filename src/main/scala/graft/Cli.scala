@@ -259,7 +259,8 @@ object Cli {
           |         (kmeans/quantize/semdedup/embedoutliers/ivfrecall/pq/pqrecall/ivfpq/ivfpqrecall/
           |          dimrecall/trunctopk: -in is an embeddings parquet;
           |          embedoutliers: [-k N] [-iters N] [-min-cos X];
-          |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N];
+          |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N]
+          |            (ivfpq: [-where 'sql predicate'] = filtered search);
           |          ivfpqappend: -in <new-batch embeddings> -index dir;
           |          ivfpqcompact: -index dir -dest dir [-files N];
           |          lshbuild: -in documents -index dir [-hashes N] [-bands N] [-shingle N] [-shards N];
@@ -821,14 +822,20 @@ object Cli {
             m = flags.getOrElse("m", "4").toInt,
             ksub = flags.getOrElse("ksub", "16").toInt,
             dim = flags.getOrElse("dim", "64").toInt)
-        Similarity.ivfPqTopK(spark, idx,
-          docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong),
-          docs,
-          k = flags.getOrElse("topk", "3").toInt,
-          nprobe = flags.getOrElse("nprobe", "2").toInt,
-          rerankFactor = flags.getOrElse("rerank", "4").toInt,
-          m = flags.getOrElse("m", "4").toInt,
-          dim = flags.getOrElse("dim", "64").toInt)
+        val qs = docs.filter(col("vec_id") < flags.getOrElse("queries", "5").toLong)
+        val (k, np, rf, mm, dm) = (flags.getOrElse("topk", "3").toInt,
+          flags.getOrElse("nprobe", "2").toInt,
+          flags.getOrElse("rerank", "4").toInt,
+          flags.getOrElse("m", "4").toInt,
+          flags.getOrElse("dim", "64").toInt)
+        // -where <sql predicate> switches to FILTERED search: top-k
+        // among the vectors satisfying the predicate (pre-ADC semi-join)
+        flags.get("where") match {
+          case Some(p) => Similarity.ivfPqTopKFiltered(spark, idx, qs, docs,
+            expr(p), k = k, nprobe = np, rerankFactor = rf, m = mm, dim = dm)
+          case None => Similarity.ivfPqTopK(spark, idx, qs, docs,
+            k = k, nprobe = np, rerankFactor = rf, m = mm, dim = dm)
+        }
       }
       // IVFADC maintenance: -in is a batch of NEW vectors; encode them
       // against the existing index's frozen codebooks and append. The

@@ -2198,6 +2198,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // FILTERED ANN: top-k among docs satisfying a metadata predicate
+    // (vec_id % 3 == 1 as the stand-in) — the allowed set semi-joins
+    // the partition-pruned code scan PRE-ADC, so the answer can never
+    // be starved by post-filtering; must equal the unfiltered chain
+    // over a corpus that never held the excluded vectors (frozen
+    // codebooks stay corpus-wide — the tombstone semantics as a
+    // query-time filter)
+    "q_ivf_filtered" -> ((s, dir) => withTempStore("ivffilt") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.ivfPqTopKFiltered(s, idx, emb.filter(col("vec_id") < 5),
+          emb, col("vec_id") % 3 === 1,
+          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // residual IVFADC (Faiss by_residual=true — the TPAMI'11 original):
     // codes quantize x − centroid(x) in double, the probe adds the
     // fixed-point q·centroid base back — the same m·log₂ksub bits spend
@@ -6372,6 +6390,11 @@ object SparkEntry {
     // query/rerank arithmetic stay corpus-wide, exactly the engine's
     // tombstone semantics (codes hidden, trained geometry untouched)
     "q_forget_ivf" -> ivfPqChainSql(" WHERE v.vec_id % 7 <> 3"),
+
+    // filtered-search replay: the same restricted chain with the
+    // predicate as the code-side filter — pre-ADC filtering must equal
+    // the unfiltered algorithm on the allowed sub-corpus
+    "q_ivf_filtered" -> ivfPqChainSql(" WHERE v.vec_id % 3 = 1"),
 
     // drift replay: seed assignment feeds the store counts, batch
     // assignment carries round-half-up 6dp fixed-point cosines whose

@@ -791,7 +791,9 @@ object Similarity {
   private def ivfPqApprox(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, probes: Int, m: Int, dim: Int,
-      rankName: Option[String]): DataFrame = {
+      rankName: Option[String],
+      allowedIds: Option[DataFrame] = None,
+      broadcastAllowed: Boolean = true): DataFrame = {
     val codebook = spark.read.parquet(dir + "_codebook")
     // the sidecar records the build-time geometry; a caller reusing a
     // prebuilt index (CLI -index) with mismatched -m/-dim would silently
@@ -823,12 +825,24 @@ object Similarity {
     // pending tombstones ([[forgetIvfPq]]) hide forgotten vectors from
     // the probe: a broadcast anti-join on code rows the partition prune
     // already bounded to nprobe directories — takedown-sized, map-side
-    val codes = Tombstones.filterServing(spark,
+    val codes0 = Tombstones.filterServing(spark,
       spark.read.parquet(dir)
         .filter(col("centroid_id").isin(probeIds: _*))
         .select(col("centroid_id").cast("long").as("centroid_id"),
           col("vec_id"), col("subspace"), col("code")),
       dir, "vec_id")
+    // filtered search ([[ivfPqTopKFiltered]]): the allowed-id set
+    // restricts the SAME pruned code rows PRE-ADC (the Faiss IDSelector
+    // shape) — a semi-join, broadcast for selective predicates (the
+    // metadata-filter norm), shuffled when the caller says the allowed
+    // set is corpus-shaped
+    val codes = allowedIds match {
+      case None => codes0
+      case Some(ids) =>
+        val idSet = ids.select(col(ids.columns.head).as("vec_id")).distinct()
+        codes0.join(if (broadcastAllowed) broadcast(idSet) else idSet,
+          Seq("vec_id"), "left_semi")
+    }
     // residual codebooks are array<double> (the subtraction's type);
     // the query side of the LUT must match — float→double is exact, so
     // the partial dots are bit-identical to the oracle's double math
@@ -863,6 +877,48 @@ object Similarity {
     val approx = ivfPqApprox(spark, dir, queries, nprobe, m, dim, None)
     // the ADC candidate stream is probe-fraction-of-corpus sized — the
     // bounded aggregate cut, never a candidate-wide window shuffle
+    val survivors = aggTopKBy(approx, "approx_ip", k * rerankFactor)
+      .drop("rank")
+    rerankExact(survivors, corpus, queries, k)
+  }
+
+  /** FILTERED IVFADC search — "top-k among the docs satisfying a
+    * metadata predicate", the production ANN shape every vector store
+    * ships (Faiss IDSelector / filtered HNSW): the allowed-id set
+    * restricts the partition-pruned code scan PRE-ADC, so scoring work
+    * follows the filtered candidate stream and the top-k can never be
+    * starved by post-filtering an unfiltered answer list (the classic
+    * filtered-search failure: k results, k−ε dropped by the filter).
+    * Exactness contract (the oracle gate): identical to the unfiltered
+    * chain over a corpus that never contained the excluded vectors —
+    * frozen codebooks stay corpus-wide, the same trained-artifact
+    * semantics as [[forgetIvfPq]] (a tombstone IS a standing filter).
+    *
+    * Scale shape: everything [[ivfPqTopK]] documents, plus one
+    * semi-join on the pruned code rows — BROADCAST when the predicate
+    * is selective (the metadata-filter norm; set `broadcastAllowed =
+    * false` for corpus-shaped allowed sets and take the shuffle).
+    * Recall under aggressive filters is the caller's `rerankFactor` /
+    * `nprobe` dial: a filter that keeps 1/f of the corpus thins each
+    * probed partition by ~f, so deepen nprobe accordingly — the
+    * [[ivfPqRecall]] sweep measures exactly this.
+    */
+  def ivfPqTopKFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      corpus: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      k: Int,
+      nprobe: Int = 2,
+      rerankFactor: Int = 4,
+      m: Int = 4,
+      dim: Int = 64,
+      broadcastAllowed: Boolean = true): DataFrame = {
+    require(k > 0 && nprobe >= 1 && rerankFactor >= 1)
+    val allowed = corpus.filter(predicate).select("vec_id")
+    val approx = ivfPqApprox(spark, dir, queries, nprobe, m, dim, None,
+      allowedIds = Some(allowed), broadcastAllowed = broadcastAllowed)
     val survivors = aggTopKBy(approx, "approx_ip", k * rerankFactor)
       .drop("rank")
     rerankExact(survivors, corpus, queries, k)

@@ -4058,6 +4058,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("filtered IVFADC search: k full results, all satisfying the predicate, never post-filter starved") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ivffilt").toString + "/ix"
+    Similarity.writeIvfPqIndex(emb, dir, numCentroids = 8, m = 4,
+      ksub = 16, dim = 64)
+    val qs = emb.filter(col("vec_id") < 3)
+    val got = Similarity.ivfPqTopKFiltered(spark, dir, qs, emb,
+        col("vec_id") % 3 === 1, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    // k full rows per query, every hit inside the allowed set
+    assert(got.length == 9 && got.forall(_._2 % 3 == 1), got.toSeq)
+    // pre-filtering ≠ post-filtering: the unfiltered top-3 lists carry
+    // out-of-filter vectors here, so post-filtering them would starve —
+    // the exact failure the pre-ADC semi-join exists to prevent
+    val unfiltered = Similarity.ivfPqTopK(spark, dir, qs, emb, k = 3,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val postFiltered = unfiltered.filter(_._2 % 3 == 1)
+    assert(postFiltered.length < got.length,
+      s"draw too easy: unfiltered top-k already satisfies the filter " +
+        s"(${postFiltered.length} of ${got.length}) — pick a sparser predicate")
+    graft.operators.CacheRegistry.release(spark)
+  }
+
   test("appendShards: published shards immutable, append starts at the next free id, contiguity enforced") {
     val base = java.nio.file.Files.createTempDirectory("pubapp").toString
     val dir = base + "/shards"
