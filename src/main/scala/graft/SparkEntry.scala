@@ -1937,6 +1937,16 @@ object SparkEntry {
           nQueries = 3, perList = 20, k = 10)
         .orderBy("query_id", "rank")),
 
+    // expansion INSIDE the hybrid: the lexical leg is RM3-expanded BM25
+    // (q_bm25_prf's two-pass chain at 20 deep), fused with the dense
+    // list through the same fixed-order RRF fold
+    "q_rrf_prf" -> ((s, dir) =>
+      operators.Retrieval.rrfHybridPrfTopK(
+          Tables.load(s, dir, "documents"),
+          Tables.load(s, dir, "embeddings"),
+          nQueries = 3, perList = 20, k = 10)
+        .orderBy("query_id", "rank")),
+
     // diversity-aware exemplar selection: greedy MMR over the dense
     // top-10 candidates, λ=0.7, 3 picks per query
     "q_mmr" -> ((s, dir) =>
@@ -4247,6 +4257,121 @@ object SparkEntry {
                row_number() OVER (PARTITION BY query_id
                  ORDER BY bm25 DESC, doc_id) AS rk
              FROM bscored) t
+           WHERE rk <= 20
+         ), ec AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         ), dense AS (
+           SELECT query_id, vec_id AS item_id, rk AS rank_dense FROM (
+             SELECT q.vec_id AS query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rk
+             FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 3) q
+             WHERE c.vec_id <> q.vec_id) t
+           WHERE rk <= 20
+         ), fused AS (
+           SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.item_id, d.item_id) AS item_id,
+             coalesce(s.rank_sparse, 0) AS rank_sparse,
+             coalesce(d.rank_dense, 0) AS rank_dense,
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank_sparse), 0.0) +
+               coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank_dense), 0.0) AS rrf
+           FROM sparse s FULL OUTER JOIN dense d
+             ON s.query_id = d.query_id AND s.item_id = d.item_id
+         )
+         SELECT query_id, item_id, rank_sparse, rank_dense,
+           round(rrf, 6) AS rrf_score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf DESC, item_id) AS rank FROM fused) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // the q_bm25_prf two-pass chain (queries doc_id < 3, 20 deep) as
+    // the lexical leg, the q_rrf_hybrid dense chain, the identical
+    // fixed-order RRF fold
+    "q_rrf_prf" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+           FROM documents
+         ), pos AS (
+           SELECT doc_id, unnest(tk) AS term FROM toks
+         ), tfc AS (
+           SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2
+         ), dl AS (
+           SELECT doc_id, count(*) AS dl FROM pos GROUP BY 1
+         ), st AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           FROM dl
+         ), dfx AS (
+           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
+         ), q AS (
+           SELECT DISTINCT doc_id AS query_id, term FROM tfc WHERE doc_id < 3
+         ), contrib1 AS (
+           SELECT q.query_id, t.doc_id,
+             CAST(round(
+               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
+               ((CAST(t.tf AS DOUBLE) * 2.25) /
+                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
+                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
+             , 6) AS DECIMAL(18,6)) AS c
+           FROM tfc t
+           JOIN q ON t.term = q.term
+           JOIN dfx ON t.term = dfx.term
+           JOIN dl ON t.doc_id = dl.doc_id
+           WHERE t.doc_id <> q.query_id
+         ), scored1 AS (
+           SELECT query_id, doc_id,
+             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+           FROM contrib1 GROUP BY 1, 2
+         ), fb AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+               ORDER BY bm25 DESC, doc_id) AS rk
+             FROM scored1) WHERE rk <= 5
+         ), rm AS (
+           SELECT fb.query_id, t.term,
+             sum(CAST(round(CAST(t.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE), 6)
+               AS DECIMAL(18,6))) AS w
+           FROM fb
+           JOIN tfc t ON t.doc_id = fb.doc_id
+           JOIN dl ON dl.doc_id = fb.doc_id
+           GROUP BY 1, 2
+         ), rmx AS (
+           SELECT rm.query_id, rm.term, rm.w FROM rm
+           WHERE NOT EXISTS (SELECT 1 FROM q
+             WHERE q.query_id = rm.query_id AND q.term = rm.term)
+         ), expn AS (
+           SELECT query_id, term FROM (
+             SELECT query_id, term, row_number() OVER (PARTITION BY query_id
+               ORDER BY w DESC, term) AS rk
+             FROM rmx) WHERE rk <= 10
+         ), q2 AS (
+           SELECT query_id, term, CAST(1.0 AS DOUBLE) AS w FROM q
+           UNION ALL
+           SELECT query_id, term, CAST(0.5 AS DOUBLE) AS w FROM expn
+         ), contrib2 AS (
+           SELECT q2.query_id, t.doc_id,
+             CAST(round(
+               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
+               ((CAST(t.tf AS DOUBLE) * 2.25) /
+                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
+                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
+               * q2.w
+             , 6) AS DECIMAL(18,6)) AS c
+           FROM tfc t
+           JOIN q2 ON t.term = q2.term
+           JOIN dfx ON t.term = dfx.term
+           JOIN dl ON t.doc_id = dl.doc_id
+           WHERE t.doc_id <> q2.query_id
+         ), scored2 AS (
+           SELECT query_id, doc_id,
+             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
+           FROM contrib2 GROUP BY 1, 2
+         ), sparse AS (
+           SELECT query_id, doc_id AS item_id, rk AS rank_sparse FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY bm25 DESC, doc_id) AS rk
+             FROM scored2) t
            WHERE rk <= 20
          ), ec AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

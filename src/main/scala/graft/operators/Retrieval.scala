@@ -348,6 +348,33 @@ object Retrieval {
     rrfFuse(sparse, dense, k, rrfK)
   }
 
+  /** BM25+RM3 + dense hybrid: the [[rrfHybridBm25TopK]] fusion with
+    * the lexical leg ranked by [[bm25PrfTopK]] — query expansion
+    * INSIDE the hybrid, so the sparse list reaches feedback-term docs
+    * while the dense list covers the semantic neighborhood; the fold
+    * and its scale shape are unchanged.
+    */
+  def rrfHybridPrfTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      nQueries: Int,
+      perList: Int,
+      k: Int,
+      rrfK: Int = 60,
+      fbDocs: Int = 5,
+      fbTerms: Int = 10,
+      genDfCap: Option[Long] = None): DataFrame = {
+    val sparse = bm25PrfTopK(docs, nQueries, perList, fbDocs, fbTerms,
+        logIdf = false, genDfCap = genDfCap)
+      .select(col("query_id"), col("doc_id").as("item_id"),
+        col("rank").as("rank_sparse"))
+    val dense = Similarity.bruteForceTopK(
+        embeddings, embeddings.filter(col("vec_id") < nQueries), perList)
+      .select(col("query_id"), col("vec_id").as("item_id"),
+        col("rank").as("rank_dense"))
+    rrfFuse(sparse, dense, k, rrfK)
+  }
+
   /** The shared RRF fold: full-outer join of two (query_id, item_id,
     * rank_*) lists, RRF(item) = Σ 1/(rrfK + rank), absent list → exact
     * 0.0, rank tie on item_id.

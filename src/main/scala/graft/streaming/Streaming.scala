@@ -849,6 +849,42 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** CONTINUOUS PUBLISH — the incremental shard export
+    * ([[graft.operators.Layout.appendShards]]) at micro-batch cadence:
+    * the first batch runs [[graft.operators.Layout.publishInit]]
+    * (freezing budget + geometry), every later batch exports as NEW
+    * shards under the frozen budget — published shards are never
+    * rewritten, so a training loader can consume the export WHILE it
+    * grows. Each batch's read-back manifest appends to `manifestDir`
+    * tagged with its batch id — the export's audit log.
+    *
+    * Contiguity contract: batches must arrive in ascending doc_id
+    * order (appendShards enforces min(new) > published max before
+    * anything writes) — the production reality for monotonically
+    * assigned ingest ids; an out-of-order producer fails LOUDLY, never
+    * shuffles a published shard. The batchId replay fence is
+    * CORRECTNESS: a replayed batch would fail the contiguity guard at
+    * best and double-publish shards at worst — pass `checkpointDir` in
+    * production.
+    */
+  def streamingPublishIngest(
+      spark: SparkSession,
+      docsDir: String,
+      shardsDir: String,
+      manifestDir: String,
+      nShards: Int = 8,
+      maxFilesPerTrigger: Option[Int] = None,
+      checkpointDir: Option[String] = None): Unit =
+    shardedStoreIngest(spark, docsDir, shardsDir,
+        maxFilesPerTrigger, checkpointDir) { (b, cold) =>
+      val manifest =
+        if (cold) graft.operators.Layout.publishInit(spark, b, shardsDir,
+          nShards)
+        else graft.operators.Layout.appendShards(spark, b, shardsDir)
+      manifest.write.mode("append").option("compression", "zstd")
+        .parquet(manifestDir)
+    }()
+
   /** Streaming LSH-store ingest — the near-dup text twin of
     * [[streamingIvfPqIngest]]: drive the persisted band-bucket store
     * ([[graft.operators.LshIndex]]) from a documents file stream. The

@@ -509,6 +509,58 @@ class StreamingSpec extends AnyFunSuite {
       "replayed gauntlet stream moved a store or the audit")
   }
 
+  test("streaming publish-ingest equals the driver loop; published shards immutable; replay fence holds") {
+    val docsDir = tmpDir("stream-publish")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir("stream-publish-scratch")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, docsDir.resolve(name))
+    }
+    // CONTIGUOUS id batches (the appendShards contract: ascending ids)
+    val b0 = docs.filter(col("doc_id") < 167)
+    val b1 = docs.filter(col("doc_id") >= 167 && col("doc_id") < 333)
+    val b2 = docs.filter(col("doc_id") >= 333)
+    addFile(b0, "f0.parquet"); addFile(b1, "f1.parquet"); addFile(b2, "f2.parquet")
+    val shards = tmpDir("stream-publish-shards").toString + "/shards"
+    val manifests = tmpDir("stream-publish-man").toString + "/m"
+    val ckpt = tmpDir("stream-publish-ckpt").toString
+    Streaming.streamingPublishIngest(spark, docsDir.toString, shards,
+      manifests, nShards = 4, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
+    // driver-loop twin over the same contiguous batches
+    val tShards = tmpDir("stream-publish-twin").toString + "/shards"
+    graft.operators.Layout.publishInit(spark, b0, tShards, nShards = 4)
+    graft.operators.Layout.appendShards(spark, b1, tShards)
+    val twinFinal = graft.operators.Layout.appendShards(spark, b2, tShards)
+      .collect().map(_.toSeq).toSet
+    def manifestOf(dir: String) = graft.operators.Layout.shardManifest(
+        spark.read
+          .schema("doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT")
+          .parquet(dir))
+      .collect().map(_.toSeq).toSet
+    val streamedFinal = manifestOf(shards)
+    assert(streamedFinal == twinFinal && streamedFinal.nonEmpty,
+      "streamed export must equal the driver loop's")
+    // the manifest audit log proves immutability batch over batch:
+    // every shard row of an earlier batch's manifest reappears verbatim
+    // in the final manifest (published bytes never moved)
+    val logged = spark.read.parquet(manifests).collect().map(_.toSeq).toSet
+    assert(logged.nonEmpty && logged.forall(streamedFinal.contains),
+      "a published shard's manifest row changed across later batches")
+    // replay fence: same stream, same checkpoint — nothing republishes
+    val nRows = spark.read.parquet(shards).count()
+    val nMan = spark.read.parquet(manifests).count()
+    Streaming.streamingPublishIngest(spark, docsDir.toString, shards,
+      manifests, nShards = 4, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(ckpt))
+    assert(spark.read.parquet(shards).count() == nRows &&
+      spark.read.parquet(manifests).count() == nMan,
+      "replayed publish stream moved the export")
+  }
+
   test("LSH in-place compaction: widest shard shrinks, pair set unchanged") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val store = tmpDir("lsh-compact-inplace").toString + "/store"
