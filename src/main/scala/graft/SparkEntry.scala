@@ -2208,6 +2208,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the FILTERED recall dial: the same nprobe sweep with both the
+    // probe's code scan AND the brute-force truth restricted to the
+    // predicate — the telemetry that sizes nprobe under a metadata
+    // filter (a filter keeping 1/f of the corpus thins each probed
+    // partition by ~f, so recall at fixed nprobe decays; this measures
+    // exactly how much)
+    "q_ivf_filtered_recall" -> ((s, dir) => withTempStore("ivffr") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.ivfPqRecall(s, idx, emb.filter(col("vec_id") < 5), emb,
+          k = 3, nprobes = Seq(1, 2, 4),
+          predicate = Some(col("vec_id") % 3 === 1))
+        .orderBy("nprobe")
+    }),
+
     // FILTERED ANN: top-k among docs satisfying a metadata predicate
     // (vec_id % 3 == 1 as the stand-in) — the allowed set semi-joins
     // the partition-pruned code scan PRE-ADC, so the answer can never
@@ -2947,6 +2964,92 @@ object SparkEntry {
            FROM wq JOIN nrm ON nrm.it = wq.it
          )
        ), vfin AS (SELECT i, v FROM pw WHERE iter = 8)"""
+
+  /** The q_ivf_pq_recall replay, parameterized like [[ivfPqChainSql]]:
+    * `storeWhere` restricts the CODE side, `exactAnd` restricts the
+    * brute-force truth's corpus — together they replay the FILTERED
+    * recall sweep; defaults emit byte-identical SQL to the historical
+    * unfiltered form.
+    */
+  private def ivfPqRecallSql(storeWhere: String = "",
+      exactAnd: String = ""): String =
+    s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+         ca AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT x.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c) WHERE rn = 1),
+         qa AS (
+           SELECT vec_id AS query_id, centroid_id, rn AS probe_rank FROM (
+             SELECT x.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
+             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 4),
+         ss AS (SELECT unnest(range(0, 4)) AS subspace),
+         sv AS (
+           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
+           FROM ec CROSS JOIN ss),
+         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
+                FROM sv WHERE vec_id < 16),
+         enc AS (
+           SELECT vec_id, subspace, centroid_id AS code FROM (
+             SELECT v.vec_id, v.subspace, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
+                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
+                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
+                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
+                 c.centroid_id ASC) AS rn
+             FROM sv v JOIN cb c USING (subspace)$storeWhere) WHERE rn = 1),
+         lut AS (
+           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
+             CAST(floor(round(list_sum(list_transform(range(1, 17),
+               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
+           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
+         approx AS (
+           SELECT l.query_id, n.vec_id, q.probe_rank,
+             round(CAST(CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
+           FROM enc n
+           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
+           JOIN ca a ON a.vec_id = n.vec_id
+           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
+           WHERE n.vec_id <> l.query_id
+           GROUP BY l.query_id, n.vec_id, q.probe_rank),
+         np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         surv AS (
+           SELECT nprobe, query_id, vec_id, approx_ip FROM (
+             SELECT np.nprobe, a.query_id, a.vec_id, a.approx_ip,
+               row_number() OVER (PARTITION BY np.nprobe, a.query_id
+                 ORDER BY a.approx_ip DESC, a.vec_id ASC) AS ar
+             FROM np CROSS JOIN approx a
+             WHERE a.probe_rank <= np.nprobe) WHERE ar <= 12),
+         ivfpq AS (
+           SELECT nprobe, query_id, vec_id FROM (
+             SELECT s.nprobe, s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.nprobe, s.query_id
+                 ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
+             FROM surv s
+             JOIN ec v ON v.vec_id = s.vec_id
+             JOIN ec q ON q.vec_id = s.query_id) t
+           WHERE rank <= 3),
+         exact AS (
+           SELECT query_id, vec_id FROM (
+             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
+             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
+             WHERE c2.vec_id <> q.vec_id$exactAnd) t WHERE rank <= 3),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
+         SELECT CAST(i.nprobe AS INT) AS nprobe,
+           tot.exact_pairs,
+           CAST(count(*) AS BIGINT) AS ivf_pairs,
+           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
+           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
+         FROM ivfpq i
+         LEFT JOIN exact e ON i.query_id = e.query_id AND i.vec_id = e.vec_id, tot
+         GROUP BY i.nprobe, tot.exact_pairs
+         ORDER BY nprobe"""
 
   def oracleSql: Map[String, String] = Map(
     // the sum-vector identity replayed over quantized unit components:
@@ -6643,84 +6746,13 @@ object SparkEntry {
     // rank of the centroid they arrived through, shallower nprobes are
     // FILTERS over one scored table (q_ivf_recall's contract), and the
     // recall joins the q_embed_topk brute-force truth
-    "q_ivf_pq_recall" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, centroid_id, rn AS probe_rank FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 4),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         sv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss),
-         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
-                FROM sv WHERE vec_id < 16),
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
-         approx AS (
-           SELECT l.query_id, n.vec_id, q.probe_rank,
-             round(CAST(CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-           FROM enc n
-           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
-           JOIN ca a ON a.vec_id = n.vec_id
-           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
-           WHERE n.vec_id <> l.query_id
-           GROUP BY l.query_id, n.vec_id, q.probe_rank),
-         np AS (SELECT unnest([1, 2, 4]) AS nprobe),
-         surv AS (
-           SELECT nprobe, query_id, vec_id, approx_ip FROM (
-             SELECT np.nprobe, a.query_id, a.vec_id, a.approx_ip,
-               row_number() OVER (PARTITION BY np.nprobe, a.query_id
-                 ORDER BY a.approx_ip DESC, a.vec_id ASC) AS ar
-             FROM np CROSS JOIN approx a
-             WHERE a.probe_rank <= np.nprobe) WHERE ar <= 12),
-         ivfpq AS (
-           SELECT nprobe, query_id, vec_id FROM (
-             SELECT s.nprobe, s.query_id, s.vec_id,
-               row_number() OVER (PARTITION BY s.nprobe, s.query_id
-                 ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
-             FROM surv s
-             JOIN ec v ON v.vec_id = s.vec_id
-             JOIN ec q ON q.vec_id = s.query_id) t
-           WHERE rank <= 3),
-         exact AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
-             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
-             WHERE c2.vec_id <> q.vec_id) t WHERE rank <= 3),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
-         SELECT CAST(i.nprobe AS INT) AS nprobe,
-           tot.exact_pairs,
-           CAST(count(*) AS BIGINT) AS ivf_pairs,
-           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
-           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
-         FROM ivfpq i
-         LEFT JOIN exact e ON i.query_id = e.query_id AND i.vec_id = e.vec_id, tot
-         GROUP BY i.nprobe, tot.exact_pairs
-         ORDER BY nprobe""",
+    "q_ivf_pq_recall" -> ivfPqRecallSql(),
+
+    // the filtered sweep replayed: enc (codes) and the exact truth both
+    // restricted to the allowed sub-corpus, frozen codebooks corpus-wide
+    "q_ivf_filtered_recall" -> ivfPqRecallSql(
+      storeWhere = " WHERE v.vec_id % 3 = 1",
+      exactAnd = " AND c2.vec_id % 3 = 1"),
 
     // the whole 6-round BPE chain replayed: per-round pair argmax
     // (count DESC, binary string tie-break) and the delimited-string

@@ -972,18 +972,26 @@ object Similarity {
       nprobes: Seq[Int] = Seq(1, 2, 4),
       rerankFactor: Int = 4,
       m: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1), "nprobes must be >= 1")
     import org.apache.spark.storage.StorageLevel
+    // `predicate` sweeps the FILTERED search ([[ivfPqTopKFiltered]]):
+    // the allowed set restricts both the probe's code scan and the
+    // brute-force truth (recall of filtered-approx vs filtered-exact —
+    // the dial that sizes nprobe under a metadata filter, since a
+    // filter keeping 1/f of the corpus thins each probed partition ~f)
+    val allowed = predicate.map(p => corpus.filter(p).select("vec_id"))
     // probe_rank is constant over a (query, vec) pair's m subspace rows
     // (one centroid per corpus vector), so it rides the group-by keys
     val approx = CacheRegistry.track(
       ivfPqApprox(spark, dir, queries, nprobes.max, m, dim,
-          Some("probe_rank"))
+          Some("probe_rank"), allowedIds = allowed)
         .persist(StorageLevel.MEMORY_AND_DISK))
     approx.count()
     val exact = CacheRegistry.track(
-      bruteForceTopK(corpus, queries, k).select(col("query_id"), col("vec_id"))
+      bruteForceTopK(predicate.fold(corpus)(corpus.filter), queries, k)
+        .select(col("query_id"), col("vec_id"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     exact.count()
     val exactTotal = broadcast(exact.agg(count(lit(1)).as("exact_pairs")))
