@@ -205,7 +205,7 @@ object Bench {
     // query's own source (or its inputs' schema) changes; the diff gate
     // compares logical fps and the judge's "same fp => noise" reading
     // should use the logical one across records with different sets.
-    def planFingerprint(): (String, String) = {
+    def planFingerprint(dumpTo: Option[java.nio.file.Path] = None): (String, String) = {
       var tries = 0
       var stable = 0
       var seen = qeSeq.get()
@@ -236,9 +236,26 @@ object Bench {
           .replaceAll("/tmp/[^\\s,\\]\\)]*", "/tmp/")
           .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@")
           .replaceAll("\\s+", " ")
+        dumpTo.foreach { p =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p.toString + ".logical"),
+            l.getBytes("UTF-8"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p.toString + ".physical"),
+            s.getBytes("UTF-8"))
+        }
         (md5_12(s), md5_12(l))
       }.getOrElse(("none", "none"))
     }
+    // SPARK_GRAFT_FP_DUMP=<dir>: write each attempt's normalized plan
+    // strings to <dir>/<query>.<attempt>.{logical,physical} — the
+    // fingerprint-flap forensics hook (a changed fp is only actionable
+    // when the strings that hashed apart can be diffed)
+    val fpDump = sys.env.get("SPARK_GRAFT_FP_DUMP").map { d =>
+      val p = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(p); p
+    }
+    val attemptSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
     // host-load marker: the shared bench host has contaminated the wall
     // totals twice (r8: 131 s recorded vs 59.8 s clean; r10: phantom
@@ -268,7 +285,8 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e"); false
         }
       if (ok) {
-        val (fp, lfp) = planFingerprint()
+        val (fp, lfp) = planFingerprint(
+          fpDump.map(_.resolve(s"$name.${attemptSeq.incrementAndGet()}")))
         Attempt((System.nanoTime() - t0) / 1e9, (cpuNanos() - c0) / 1e9,
           gcMs() - g0, peakMb(), fp, lfp, m1Here)
       } else failedAttempt

@@ -247,7 +247,7 @@ object Cli {
           |              phash|phashpairs|audiohash|audiohashpairs|rendezvous|ppr|heavytokens|
           |              topktokens|topktokensby|snm|sssp|lshbuild|lshappend|lshprobe|lshcompact|
           |              spancurate|lshdedup|ivfdrift|spanbloom|publish|bm25|bm25prf|datasheet|retention|fertility|
-          |              forget|upkeep|
+          |              forget|upkeep|pubappend|pubforget|ivfretrain|
           |              qualityclf|auc|avgprec|calibrate|brier|kappa|loghist|
           |              pca|pcascores|pcatop|ks|pareto|superspreaders|ldiversity|anova|waterfill|isotropy|cohesion|curriculum]
           |          (ppr: [-seed-ids 1,2,3] [-iters N] — seeds default to even doc_ids)
@@ -276,7 +276,9 @@ object Cli {
           |          ivfdrift: -in <batch embeddings> -index dir (codebook staleness report);
           |          lshcompact: -index dir -dest dir [-files N];
           |          forget: -in <ids parquet> -store span|lsh|ivfpq -index dir
-          |            (tombstone the ids: hidden from serving now, removed at compaction);
+          |            [-id-col c] (tombstone the ids: hidden from serving now,
+          |             removed at compaction; refuses when the store kind's id
+          |             column is absent and no -id-col names one);
           |          upkeep: -store span|lsh|ivfpq -index dir [-max-files N]
           |            [-max-sidecar-files N] [-apply-tombstones true]
           |            (store health + threshold-triggered in-place compaction);
@@ -292,6 +294,13 @@ object Cli {
           |          phrase: -words w1,w2,...; zorder: -dest <dir> [-col-a c] [-col-b c];
           |          publish: -dest <dir> [-shards N] [-files N] (token-balanced
           |            training-shard export; prints the read-back manifest);
+          |          pubappend: -in <new docs> -dest <dir> [-files N] (extend the
+          |            export as NEW shards under its frozen budget);
+          |          pubforget: -in <ids parquet> -dest <dir> [-files N] (rewrite
+          |            only the shards holding those doc_ids; others byte-stable);
+          |          ivfretrain: -in <corpus embeddings> -index dir [-train-iters N]
+          |            (retrain codebooks from the store's surviving members and
+          |             swap; N>0 = k-means-trained books, 0 = the pseudo draw);
           |          bm25: [-topk N] [-query-max-id N] [-log-idf true|false]
           |            (lexical retrieval, seed docs as queries);
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
@@ -1017,11 +1026,45 @@ object Cli {
       case "publish" => {
         val dest = flags.getOrElse("dest",
           fail("corpus -op publish requires -dest <dir>"))
-        Layout.writeShards(spark,
-            Layout.publishShards(docs,
-              nShards = flags.getOrElse("shards", "8").toInt),
-            dest, filesPerPartition = flags.getOrElse("files", "1").toInt)
+        // publishInit, not bare writeShards: the meta sidecar it adds is
+        // what makes the export appendable (pubappend) and forgettable
+        // (pubforget) later
+        Layout.publishInit(spark, docs, dest,
+            nShards = flags.getOrElse("shards", "8").toInt,
+            filesPerPartition = flags.getOrElse("files", "1").toInt)
           .orderBy("shard_id")
+      }
+      // incremental publish: extend an existing export with NEW shards
+      // under its frozen budget (published shards never rewritten)
+      case "pubappend" => {
+        val dest = flags.getOrElse("dest",
+          fail("corpus -op pubappend requires -dest <dir> (an existing export)"))
+        Layout.appendShards(spark, docs, dest,
+            filesPerPartition = flags.getOrElse("files", "1").toInt)
+          .orderBy("shard_id")
+      }
+      // takedown THROUGH the export: rewrite only the shards holding the
+      // -in frame's doc_ids; every other shard stays byte-stable
+      case "pubforget" => {
+        val dest = flags.getOrElse("dest",
+          fail("corpus -op pubforget requires -dest <dir> (an existing export)"))
+        val ids =
+          if (docs.columns.contains("doc_id")) docs.select("doc_id")
+          else fail("corpus -op pubforget: the -in frame has no 'doc_id' " +
+            s"column (found [${docs.columns.mkString(", ")}])")
+        Layout.forgetPublished(spark, ids, dest,
+            filesPerPartition = flags.getOrElse("files", "1").toInt)
+          .orderBy("shard_id")
+      }
+      // IVFADC codebook retrain-and-swap (the ivfdrift report's
+      // actuator): -in is the raw-vector corpus of record; membership
+      // comes from the store, tombstones apply physically
+      case "ivfretrain" => {
+        val idx = flags.getOrElse("index",
+          fail("corpus -op ivfretrain requires -index <dir> (an existing IVFADC index)"))
+        Similarity.retrainIvfPq(spark, docs, idx,
+          trainIters = flags.getOrElse("train-iters", "0").toInt)
+        upkeepHealthDf(spark, idx, StoreUpkeep.IvfPqKind, compacted = true)
       }
       // bloom sidecar: build the per-shard admission bitsets over an
       // existing span store (probes then clear definitely-new prints
@@ -1051,9 +1094,23 @@ object Cli {
         val kind = upkeepKind(flags)
         val idCol =
           if (kind == StoreUpkeep.IvfPqKind) "vec_id" else "doc_id"
-        val ids =
-          if (docs.columns.contains(idCol)) docs.select(idCol)
-          else docs.select(docs.columns.head)
+        // no silent first-column fallback (advisor r18): a wrong -in
+        // frame (say a documents file against an ivfpq store) would
+        // tombstone arbitrary ids from column 0 — for a governance
+        // takedown that must fail, not guess. -id-col opts into a
+        // differently-named id column explicitly.
+        val ids = flags.get("id-col") match {
+          case Some(c) =>
+            if (docs.columns.contains(c)) docs.select(c)
+            else fail(s"corpus -op forget: -id-col $c not in the -in " +
+              s"frame's columns [${docs.columns.mkString(", ")}]")
+          case None =>
+            if (docs.columns.contains(idCol)) docs.select(idCol)
+            else fail(s"corpus -op forget: the -in frame has no '$idCol' " +
+              s"column (store kind expects it; found " +
+              s"[${docs.columns.mkString(", ")}]) — pass -id-col <name> " +
+              "to name the id column explicitly")
+        }
         kind match {
           case StoreUpkeep.SpanKind  => SpanStore.forget(spark, ids, idx)
           case StoreUpkeep.LshKind   => LshIndex.forget(spark, ids, idx)

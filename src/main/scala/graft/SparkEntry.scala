@@ -1462,6 +1462,21 @@ object SparkEntry {
         .orderBy("shard_id")
     }),
 
+    // takedown THROUGH the export (r18 verdict task 3): publish, then
+    // forgetPublished doc_id % 11 == 5 — only the shards holding those
+    // docs rewrite (every other shard byte-equal, spec-asserted), meta
+    // keeps its frozen geometry and bumps forget_gen. Oracle: the
+    // original assignment minus the forgotten docs — surviving docs
+    // keep their shard ids, never re-flowed
+    "q_publish_forget" -> ((s, dir) => withTempStore("pubforget") { tmp =>
+      val docs = Tables.load(s, dir, "documents")
+      val dest = tmp + "/shards"
+      operators.Layout.publishInit(s, docs, dest, nShards = 8)
+      operators.Layout.forgetPublished(s,
+          docs.filter(col("doc_id") % 11 === 5).select("doc_id"), dest)
+        .orderBy("shard_id")
+    }),
+
     // per-language corpus telemetry aggregate
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.load(s, dir, "documents"), "lang")
@@ -1731,6 +1746,28 @@ object SparkEntry {
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
       Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
           k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // codebook retrain-and-swap, the drift monitor's actuator (r18
+    // verdict task 1): build the IVFADC index, forget vec_id % 7 == 3,
+    // then RETRAIN — membership = surviving store ids, tombstones
+    // applied physically, codebooks re-drawn over the survivors (unlike
+    // q_forget_ivf, where the frozen books keep the forgotten vectors'
+    // geometry) — and probe the swapped index. Oracle: the full cold
+    // chain over a corpus that never held the forgotten vectors, which
+    // is exactly what a retrained index must equal
+    "q_ivf_retrain" -> ((s, dir) => withTempStore("ivfretrain") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.forgetIvfPq(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
+      Similarity.retrainIvfPq(s, emb, idx)
+      val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+      Similarity.ivfPqTopK(s, idx, survivors.filter(col("vec_id") < 5),
+          survivors, k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
         .orderBy("query_id", "rank")
     }),
 
@@ -2854,11 +2891,15 @@ object SparkEntry {
     * v.vec_id % 7 <> 3"` replays a tombstone takedown): queries, frozen
     * codebooks, and the exact-rerank corpus fetch stay corpus-wide,
     * mirroring the engine where forget touches serving code rows and
-    * nothing else. The default emits byte-identical SQL to the
+    * nothing else. `ecWhere` instead restricts the WHOLE chain's corpus
+    * — codebook draws, codes, queries, and rerank alike — replaying a
+    * RETRAIN, where the rebuilt index (codebooks included) never saw
+    * the removed vectors. The defaults emit byte-identical SQL to the
     * historical unfiltered form.
     */
-  private def ivfPqChainSql(storeWhere: String = ""): String =
-    s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  private def ivfPqChainSql(storeWhere: String = "",
+      ecWhere: String = ""): String =
+    s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings$ecWhere),
          c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
          ca AS (
            SELECT vec_id, centroid_id FROM (
@@ -6619,6 +6660,11 @@ object SparkEntry {
     // tombstone semantics (codes hidden, trained geometry untouched)
     "q_forget_ivf" -> ivfPqChainSql(" WHERE v.vec_id % 7 <> 3"),
 
+    // retrain-and-swap: the whole chain (codebook draws included) over
+    // the survivor corpus — the retrained index never saw the forgotten
+    // vectors, unlike q_forget_ivf's corpus-wide frozen books
+    "q_ivf_retrain" -> ivfPqChainSql(ecWhere = " WHERE vec_id % 7 <> 3"),
+
     // filtered-search replay: the same restricted chain with the
     // predicate as the code-side filter — pre-ADC filtering must equal
     // the unfiltered algorithm on the allowed sub-corpus
@@ -7792,6 +7838,7 @@ object SparkEntry {
          ), pad AS (
            SELECT (max(shard_id) + 1) * (SELECT b FROM bud) AS p FROM a1
          ), rest AS (SELECT * FROM t WHERE doc_id >= 250
+         ), rtot AS (SELECT sum(n_tokens) AS rt FROM rest
          ), c2 AS (
            SELECT doc_id, text, n_tokens,
              coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
@@ -7799,13 +7846,42 @@ object SparkEntry {
            FROM rest
          ), a2 AS (
            SELECT doc_id, text, n_tokens,
-             CAST(((SELECT p FROM pad) + cum) // (SELECT b FROM bud) AS INT) AS shard_id
+             CAST(least(((SELECT p FROM pad) + cum) // (SELECT b FROM bud),
+               ((SELECT p FROM pad) + greatest((SELECT rt FROM rtot) - 1, 0))
+                 // (SELECT b FROM bud)) AS INT) AS shard_id
            FROM c2
          ), a AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
          SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
          FROM a GROUP BY shard_id ORDER BY shard_id""",
+
+    // publish-then-forget: the original q_publish_shards assignment
+    // with the forgotten docs removed AFTER assignment — survivors keep
+    // their shard ids (the loader-checksum contract), so the replay is
+    // the full-corpus prefix scan filtered at the very end
+    "q_publish_forget" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents
+         ), tot AS (
+           SELECT sum(n_tokens) AS total FROM t
+         ), c AS (
+           SELECT doc_id, text, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+           FROM t
+         ), a AS (
+           SELECT doc_id, text, n_tokens,
+             CAST(least(cum // ((total + 7) // 8), 7) AS INT) AS shard_id
+           FROM c, tot
+         )
+         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
+         FROM a WHERE doc_id % 11 <> 5
+         GROUP BY shard_id ORDER BY shard_id""",
 
     // the q_pack chain folded into the per-sequence fill report
     "q_pack_stats" ->

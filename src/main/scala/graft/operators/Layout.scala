@@ -210,22 +210,50 @@ object Layout {
     val budget = meta("budget").toLong
     val maxDocId = meta("max_doc_id").toLong
     val nextShard = meta("next_shard").toLong
+    // crash fence (advisor r18, medium): shard data commits BEFORE the
+    // meta sidecar rolls forward, so a crash between the two leaves the
+    // store AHEAD of its meta — a blind retry would then re-append the
+    // same docs into the same shard ids past the contiguity guard,
+    // silently duplicating rows shards a tailing loader may have read.
+    // Detect it from the directory listing alone (one driver metadata
+    // call, the StoreUpkeep health idiom) and refuse loudly.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxShardOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard_id="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("shard_id=").toLong).toOption)
+      .foldLeft(-1L)(math.max)
+    require(maxShardOnDisk < nextShard,
+      s"appendShards: store at $dir holds shard $maxShardOnDisk but _meta " +
+        s"says next_shard=$nextShard — a previous append crashed between " +
+        "its data write and its meta roll. Recover by deleting the " +
+        s"shard_id>=$nextShard directories (and re-appending), or by " +
+        "rolling _meta forward if the orphaned shards are known complete")
     val withTok = newDocs.select(col("doc_id").cast("long").as("doc_id"),
       col("text"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_chunk_tokens"))
-    val bounds = withTok.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val bounds = withTok.agg(min(col("doc_id")), max(col("doc_id")),
+      coalesce(sum(col("n_chunk_tokens")), lit(0L))).head()
     require(!bounds.isNullAt(0), "appendShards needs at least one new doc")
     require(bounds.getLong(0) > maxDocId,
       s"appendShards contiguity: new doc_ids must exceed the published " +
         s"max ($maxDocId), got ${bounds.getLong(0)} — the shard layout is " +
         "a doc_id total order")
     val pad = nextShard * budget
+    // tail clamp (advisor r18, the publishShards twin): a zero-token doc
+    // sorting last with the batch total an exact budget multiple has
+    // exclusive offset == total and would open an otherwise-empty extra
+    // shard — clamp to the batch's last OCCUPIED shard
+    val total = bounds.getLong(2)
+    val lastShard = (pad + math.max(total - 1, 0L)) / budget
     val assigned = Packing.packSequences(
         withTok.withColumn("chunk_id", lit(0L)), budget, docBucket)
       .select(col("doc_id"), col("text"),
         col("n_chunk_tokens").as("n_tokens"),
-        expr(s"(($pad + global_offset) div $budget)").cast("int")
-          .as("shard_id"))
+        least(expr(s"(($pad + global_offset) div $budget)"), lit(lastShard))
+          .cast("int").as("shard_id"))
     graft.ParquetIO.writePartitioned(
       assigned.select("doc_id", "text", "n_tokens", "shard_id"),
       dir, Seq("shard_id"), filesPerPartition, mode = "append",
@@ -236,5 +264,77 @@ object Layout {
       "max_doc_id" -> bounds.getLong(1),
       "next_shard" -> (rows.map(_.getInt(0)).max + 1))
     manifest
+  }
+
+  /** Takedown THROUGH the published export (r18 verdict task 3) — the
+    * last step of the governance story: a document forgotten from the
+    * content stores but already shipped by [[publishInit]]/
+    * [[appendShards]] stays in the training export until this rewrites
+    * it out. Rewrites ONLY the shards holding forgotten docs (the
+    * manifest's doc_id-range layout identifies them with one
+    * answer-sized semi-join); every other shard stays BYTE-equal — the
+    * loader-checksum contract: consumers re-verify the touched shards'
+    * new manifest rows and keep trusting the rest. The meta sidecar
+    * keeps its frozen geometry (budget, max_doc_id, next_shard: a
+    * forgotten id is NOT re-usable — the contiguity guard still spans
+    * it) and bumps `forget_gen`, the marker loaders watch to know any
+    * shard may have shrunk.
+    *
+    * The law (oracle-gated by q_publish_forget + a PropertySpec leg for
+    * ANY forget set): post-forget export ≡ the original assignment
+    * minus the forgotten docs. NOT re-flowed: surviving docs keep their
+    * shard ids — a cold re-publish would shift every doc after a
+    * removed one into different shards and invalidate every checksum
+    * downstream.
+    *
+    * Scale shape: one broadcast semi-join to find affected shards
+    * (bounded by nShards), one partition-pruned rewrite of those
+    * shards' rows (scan reads only `shard_id IN affected` directories),
+    * the swap is one rename per affected shard. O(affected shards), not
+    * O(export).
+    */
+  def forgetPublished(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String,
+      filesPerPartition: Int = 1): DataFrame = {
+    val meta = StoreMeta.read(dir)
+    val forget = broadcast(
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct())
+    val store = readShards(spark, dir)
+    val affected = store.join(forget, Seq("doc_id"), "left_semi")
+      .select("shard_id").distinct().collect().map(_.getInt(0)).sorted
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (affected.nonEmpty) {
+      val staging = dir + "_forgetting"
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      // survivors of the AFFECTED shards only — the scan partition-
+      // prunes to them; untouched shard directories are never read
+      graft.ParquetIO.writePartitioned(
+        store.filter(col("shard_id").isin(affected.map(Int.box): _*))
+          .join(forget, Seq("doc_id"), "left_anti")
+          .select("doc_id", "text", "n_tokens", "shard_id"),
+        staging, Seq("shard_id"), filesPerPartition, sortCols = Seq("doc_id"))
+      for (sid <- affected) {
+        val live = new org.apache.hadoop.fs.Path(s"$dir/shard_id=$sid")
+        val staged = new org.apache.hadoop.fs.Path(s"$staging/shard_id=$sid")
+        val retired = new org.apache.hadoop.fs.Path(
+          s"$dir/shard_id=$sid" + "_preforget")
+        fs.delete(retired, true)
+        require(fs.rename(live, retired),
+          s"forgetPublished: rename $live -> $retired failed")
+        // a shard whose every doc was forgotten has no staged dir — it
+        // simply disappears from the export (its manifest row with it)
+        if (fs.exists(staged)) require(fs.rename(staged, live),
+          s"forgetPublished: rename $staged -> $live failed " +
+            s"(recover the shard from $retired)")
+        fs.delete(retired, true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    StoreMeta.write(dir,
+      "budget" -> meta("budget"), "max_doc_id" -> meta("max_doc_id"),
+      "next_shard" -> meta("next_shard"),
+      "forget_gen" -> (meta.get("forget_gen").map(_.toLong).getOrElse(0L) + 1L))
+    shardManifest(readShards(spark, dir))
   }
 }

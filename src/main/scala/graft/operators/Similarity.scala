@@ -481,8 +481,12 @@ object Similarity {
   def writeIvfPqIndex(
       corpus: DataFrame, dir: String, numCentroids: Int = 32,
       m: Int = 4, ksub: Int = 16, dim: Int = 64,
-      byResidual: Boolean = false): Unit = {
-    val ivfCodebook = pseudoCentroids(corpus, numCentroids)
+      byResidual: Boolean = false,
+      codebook: Option[DataFrame] = None): Unit = {
+    // default: the deterministic pseudo draw (oracle-replayable);
+    // callers may supply a trained codebook (vec_id, embedding) — e.g.
+    // [[trainCodebook]]'s k-means output via [[retrainIvfPq]]
+    val ivfCodebook = codebook.getOrElse(pseudoCentroids(corpus, numCentroids))
       .select("vec_id", "embedding")
     val centroids = broadcastCentroids(ivfCodebook)
     val assign = assignProbes(
@@ -508,9 +512,12 @@ object Similarity {
             "cast(__c_emb as array<double>), (x, y) -> x - y)").as("embedding"))
     // residual codebooks skip the first numCentroids ids: those vectors
     // ARE the centroids, their residuals are zero, and a zero codebook
-    // quantizes every residual to r̂ = 0 (measured: 4× the ADC error)
+    // quantizes every residual to r̂ = 0 (measured: 4× the ADC error).
+    // With a caller-supplied (trained) codebook no corpus vector IS a
+    // centroid, so the draw starts at 0.
     val pqCodebooks = Pq.pqCodebooks(encodeInput, m, ksub, dim,
-      idOffset = if (byResidual) numCentroids.toLong else 0L)
+      idOffset = if (byResidual && codebook.isEmpty) numCentroids.toLong
+        else 0L)
     // three independent writes (codes, IVF codebook, PQ codebooks) run
     // as concurrent jobs — serial submission billed ~2 extra job
     // latencies per cold build (r15 verdict task 7)
@@ -722,6 +729,68 @@ object Similarity {
   def forgetIvfPq(spark: org.apache.spark.sql.SparkSession,
       vecIds: DataFrame, dir: String): Unit =
     Tombstones.add(vecIds, dir)
+
+  /** Codebook retrain-and-swap — the ACTUATOR for [[ivfDriftReport]]'s
+    * staleness signal (r18 verdict task 1): when the monitor shows
+    * assignment mass piling up or falling assignment cosines, this
+    * rebuilds the index's codebooks from the CURRENT corpus and swaps
+    * the result into place, in contrast to [[compactIvfPq]] which keeps
+    * the codebooks frozen and only folds files.
+    *
+    * `corpus` is the raw-vector source of truth (vec_id, embedding);
+    * membership comes from the STORE — the rebuild indexes exactly the
+    * ids the store currently serves: its coded ids minus pending
+    * tombstones (a takedown is applied PHYSICALLY here, and — unlike
+    * [[forgetIvfPq]]'s serving filter — the retrained codebooks never
+    * see the forgotten vectors at all, the full governance semantics).
+    *
+    * Codebook choice: `trainIters = 0` (default) re-runs the cold
+    * build's deterministic pseudo draw over the surviving members —
+    * engine-exact, so the swapped index is row-identical to
+    * [[writeIvfPqIndex]] on the current members (the q_ivf_retrain
+    * oracle gate). `trainIters > 0` trains a k-means codebook
+    * ([[trainCodebook]]) over the members instead — the drift-recovery
+    * path: centroids MOVE to where the corpus now is, recovering
+    * recall at fixed nprobe on a drifted corpus (spec-asserted).
+    *
+    * Scale shape: one column-pruned distinct over the code table for
+    * membership (the rebuild re-encodes everything anyway — at 100 TB a
+    * retrain is the periodic offline job, not a serving-path call), the
+    * cold build's own passes, then [[StoreUpkeep.swapStaged]]'s rename
+    * protocol over data AND sidecars (codebooks change here, so `_pq`/
+    * `_codebook`/`_meta` swap too; single-writer, like any compaction).
+    */
+  def retrainIvfPq(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, dir: String, trainIters: Int = 0): Unit = {
+    val meta = StoreMeta.read(dir)
+    val numCentroids = meta("num_centroids").toInt
+    val (m, ksub, dim) = (meta("m").toInt, meta("ksub").toInt,
+      meta("dim").toInt)
+    val byResidual = meta("by_residual").toBoolean
+    // store membership, tombstones applied: the distinct is partition-
+    // parallel and column-pruned (vec_id only — codes never read here)
+    val servingIds = Tombstones.filterServing(spark,
+      spark.read.parquet(dir).select("vec_id").distinct(), dir, "vec_id")
+    val members = corpus.join(servingIds, Seq("vec_id"), "left_semi")
+    val trained =
+      if (trainIters <= 0) None
+      else Some(trainCodebook(members, numCentroids, trainIters)
+        .select(col("centroid_id").as("vec_id"), col("embedding")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = dir + "_retraining"
+    val suffixes = Seq("", "_codebook", "_pq", "_meta")
+    // a dead prior attempt's staging is garbage
+    suffixes.foreach(sfx =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging + sfx), true))
+    // the tombstones the rebuild applies (via membership) — snapshot so
+    // a forget racing the rebuild stays pending, never silently dropped
+    val tombSnapshot = Tombstones.listFiles(fs, dir)
+    writeIvfPqIndex(members, staging, numCentroids, m, ksub, dim,
+      byResidual, codebook = trained)
+    StoreUpkeep.swapStaged(fs, dir, staging, suffixes)
+    Tombstones.clear(fs, dir, tombSnapshot)
+  }
 
   /** Compact an IVFADC code table that [[appendIvfPq]] has grown by
     * accumulation: every append drops at least one new file into each

@@ -145,6 +145,15 @@ object StoreUpkeep {
   /** The unconditional in-place compact-and-swap (see the object doc
     * for the protocol). Public for governance loops that already know
     * they want the rewrite (e.g. eager takedown application).
+    *
+    * SINGLE-WRITER contract (advisor r18): the whole
+    * read-compact-swap-clear sequence assumes no concurrent `forget` or
+    * append on the same store. The tombstone clear is SNAPSHOTTED — only
+    * the sidecar files that existed when compaction STARTED (and were
+    * therefore applied physically) are deleted, so a forget racing the
+    * tail of a compaction leaves its ids pending rather than silently
+    * discarded — but a forget racing the RENAME window can still land in
+    * a directory about to be swapped aside; serialize writers.
     */
   def compactInPlace(spark: SparkSession, dir: String, kind: Kind): Unit = {
     val fs = new Path(dir)
@@ -154,21 +163,36 @@ object StoreUpkeep {
     // suffix before rewriting (the streaming-precedent hygiene)
     for (sfx <- Seq("", "_sigs", "_meta", "_bloom", "_bloom_meta"))
       fs.delete(new Path(staging + sfx), true)
+    // snapshot the tombstone files the compaction is ABOUT to apply:
+    // these, and only these, are cleared after the swap
+    val tombSnapshot = Tombstones.listFiles(fs, dir)
     kind.compact(spark, dir, staging)
-    for (sfx <- kind.swapSuffixes(fs, staging)) {
+    swapStaged(fs, dir, staging, kind.swapSuffixes(fs, staging))
+    // compaction applied the snapshotted tombstones physically — a live
+    // leftover would tax every probe and block forgotten-id re-ingest;
+    // ids forgotten AFTER the snapshot stay pending (never lost)
+    Tombstones.clear(fs, dir, tombSnapshot)
+  }
+
+  /** Swap a staged rewrite into place: for each suffix, rename the live
+    * directory aside to `*_precompact`, rename the staged one in, drop
+    * the retired copy — atomic per rename on HDFS/POSIX. A crash
+    * mid-swap strands data recoverably under `_precompact`/the staging
+    * name, never silently. Shared by [[compactInPlace]] and
+    * [[Similarity.retrainIvfPq]] (which swaps the sidecars too, since a
+    * retrain replaces the codebooks the compaction path keeps frozen).
+    */
+  private[graft] def swapStaged(fs: FileSystem, dir: String,
+      staging: String, suffixes: Seq[String]): Unit =
+    for (sfx <- suffixes) {
       val live = new Path(dir + sfx)
       val retired = new Path(dir + sfx + "_precompact")
       fs.delete(retired, true)
       require(fs.rename(live, retired),
-        s"compactInPlace: rename $live -> $retired failed")
+        s"swapStaged: rename $live -> $retired failed")
       require(fs.rename(new Path(staging + sfx), live),
-        s"compactInPlace: rename ${staging + sfx} -> $live failed " +
+        s"swapStaged: rename ${staging + sfx} -> $live failed " +
           s"(recover the directory from $retired)")
       fs.delete(retired, true)
     }
-    // compaction applied the tombstones physically — a live leftover
-    // sidecar would tax every probe and block forgotten-id re-ingest
-    fs.delete(new Path(dir + "_tomb"), true)
-    fs.delete(new Path(dir + "_tomb_meta"), true)
-  }
 }

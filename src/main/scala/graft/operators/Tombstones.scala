@@ -76,4 +76,34 @@ private[graft] object Tombstones {
     else df.join(
       broadcast(read(spark, dir).select(col("id").as(idCol)).distinct()),
       Seq(idCol), "left_anti")
+
+  /** Snapshot the sidecar's data files — taken by a compaction BEFORE it
+    * reads the tombstones it will apply, so [[clear]] can delete exactly
+    * what was applied and leave any concurrently-appended file pending
+    * (advisor r18: an unconditional directory delete silently discarded
+    * a forget racing the compaction tail).
+    */
+  def listFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(tombDir(dir))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+  }
+
+  /** Delete the snapshotted sidecar files; drop the sidecar dir (and its
+    * marker) only when nothing newer landed since the snapshot.
+    */
+  def clear(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      snapshot: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    snapshot.foreach(fs.delete(_, false))
+    val root = new org.apache.hadoop.fs.Path(tombDir(dir))
+    val leftover = fs.exists(root) && fs.listStatus(root).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!leftover) {
+      fs.delete(root, true)
+      fs.delete(new org.apache.hadoop.fs.Path(tombDir(dir) + "_meta"), true)
+    }
+  }
 }

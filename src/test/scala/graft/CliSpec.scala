@@ -416,6 +416,23 @@ class CliSpec extends AnyFunSuite {
     }
     assert(fg.contains("pending_tombstones") && fg.contains("true"), fg)
     assert(spark.read.parquet(idx + "_sigs").count() == sigsBefore)
+    // no silent first-column fallback (advisor r18): an -in frame
+    // without the store kind's id column must REFUSE, not tombstone
+    // column 0 — unless -id-col names the column explicitly
+    val renamedPath = tmp + "/renamed"
+    spark.read.parquet(batchPath)
+      .selectExpr("doc_id AS document_id")
+      .write.parquet(renamedPath)
+    val err = intercept[Cli.CliError] {
+      Cli.runCorpus(spark, Map("in" -> renamedPath, "op" -> "forget",
+        "store" -> "lsh", "index" -> idx))
+    }
+    assert(err.getMessage.contains("-id-col"), err.getMessage)
+    val fg2 = captureOut {
+      Cli.runCorpus(spark, Map("in" -> renamedPath, "op" -> "forget",
+        "store" -> "lsh", "index" -> idx, "id-col" -> "document_id"))
+    }
+    assert(fg2.contains("true"), fg2)
     // upkeep with -apply-tombstones: the takedown applies physically in
     // place and the sidecar clears — only the seed's ids remain served
     val up = captureOut {
@@ -862,7 +879,33 @@ class CliSpec extends AnyFunSuite {
     intercept[Cli.CliError] {
       Cli.runCorpus(spark, Map("in" -> docs, "op" -> "publish"))
     }
+    // the export lifecycle from the shell: append new docs as NEW
+    // shards under the frozen budget, then forget some through it
+    val newDocs = java.nio.file.Files.createTempDirectory("cli-pubapp").toString
+    spark.read.parquet(docs)
+      .selectExpr("doc_id + 100000 AS doc_id", "text")
+      .limit(50).write.parquet(s"$newDocs/batch")
+    val app = captureOut {
+      Cli.runCorpus(spark, Map("in" -> s"$newDocs/batch", "op" -> "pubappend",
+        "dest" -> s"$pdir/shards"))
+    }
+    assert(app.contains("digest") && app.contains("shard_id"), app)
+    spark.read.parquet(docs).select("doc_id").limit(7)
+      .write.parquet(s"$newDocs/doomed")
+    val pf = captureOut {
+      Cli.runCorpus(spark, Map("in" -> s"$newDocs/doomed", "op" -> "pubforget",
+        "dest" -> s"$pdir/shards"))
+    }
+    assert(pf.contains("digest"), pf)
+    val leftIds = spark.read
+      .schema("doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT")
+      .parquet(s"$pdir/shards").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val doomedIds = spark.read.parquet(s"$newDocs/doomed")
+      .collect().map(_.getLong(0)).toSet
+    assert(doomedIds.forall(!leftIds.contains(_)))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pdir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(newDocs))
   }
 
   test("compact subcommand: rewrites a small-file directory") {

@@ -2754,6 +2754,93 @@ class OperatorsSpec extends AnyFunSuite {
       s"full-probe IVFADC recall ${rec.last._5} != flat ADC recall ${flatRec.head}")
   }
 
+  test("ivfadc retrain: swapped index equals cold build on survivors, tombstones applied physically") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("ivfretrain").toString
+    val idx = tmp + "/ix"
+    Similarity.writeIvfPqIndex(emb, idx, numCentroids = 16,
+      m = 4, ksub = 16, dim = 64)
+    Similarity.forgetIvfPq(spark,
+      emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
+    Similarity.retrainIvfPq(spark, emb, idx)
+    // tombstones applied PHYSICALLY and the sidecar cleared with them
+    val storedIds = spark.read.parquet(idx).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(storedIds.forall(_ % 7 != 3), "forgotten ids survived the retrain")
+    assert(!StoreUpkeep.health(spark, idx, StoreUpkeep.IvfPqKind)
+      .pendingTombstones, "retrain must clear the applied tombstone sidecar")
+    // the swapped store ≡ a cold build over the survivors, codebooks
+    // included (q_ivf_retrain pins the same law against DuckDB; this leg
+    // pins it engine-internally at a different geometry)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    val coldIdx = tmp + "/cold"
+    Similarity.writeIvfPqIndex(survivors, coldIdx, numCentroids = 16,
+      m = 4, ksub = 16, dim = 64)
+    val queries = survivors.filter(col("vec_id") < 6)
+    def probe(d: String) = Similarity.ivfPqTopK(spark, d, queries, survivors,
+      k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probe(idx) == probe(coldIdx))
+    assert(spark.read.parquet(idx + "_codebook").count() ==
+      spark.read.parquet(coldIdx + "_codebook").count())
+    // no staging debris left behind the swap
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sfx <- Seq("", "_codebook", "_pq", "_meta"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "_retraining" + sfx)) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(idx + sfx + "_precompact")))
+  }
+
+  test("ivfadc retrain (trained codebook): recall at fixed nprobe recovers on a drifted corpus") {
+    import spark.implicits._
+    // seed: 200 scattered unit-ish vectors; drift: 8 TIGHT clusters in
+    // directions the seed codebook never saw (negative combinations of
+    // codebook vectors) — under the frozen books each cluster sprays
+    // across many cells on noise alone, so nprobe=1 recall collapses;
+    // a k-means retrain moves centroids onto the clusters and recall
+    // recovers. Seeded RNG: the draw is fixed, the assertion exact.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val seed = (0L until 200L).map { i =>
+      (i, unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    }
+    val centers = (0 until 8).map { j =>
+      unit(seed(2 * j)._2.zip(seed(2 * j + 1)._2).map { case (a, b) => -(a + b) })
+    }
+    val drifted = (0 until 8).flatMap { j =>
+      (0 until 40).map { i =>
+        (1000L + j * 100L + i,
+          unit(centers(j).map(x => x + (rnd.nextGaussian() * 0.08).toFloat)))
+      }
+    }
+    val seedDf = seed.toDF("vec_id", "embedding")
+    val unionDf = (seed ++ drifted).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfdriftrt").toString + "/ix"
+    Similarity.writeIvfPqIndex(seedDf, idx, numCentroids = 16,
+      m = 4, ksub = 16, dim = dim)
+    Similarity.appendIvfPq(spark, drifted.toDF("vec_id", "embedding"), idx)
+    val queries = (0 until 8).map(j => drifted(j * 40)).toDF("vec_id", "embedding")
+    def recall1(): Double = Similarity.ivfPqRecall(spark, idx, queries,
+        unionDf, k = 5, nprobes = Seq(1), rerankFactor = 8, m = 4, dim = dim)
+      .collect().head.getDouble(4)
+    val before = recall1()
+    Similarity.retrainIvfPq(spark, unionDf, idx, trainIters = 4)
+    val after = recall1()
+    info(s"recall@5 nprobe=1: before=$before after=$after")
+    // the recovery law (r18 verdict task 1): retraining on the drifted
+    // corpus must not lose recall at fixed probe depth — and on this
+    // construction it recovers decisively (measured: 0.4 -> 0.925)
+    assert(after >= before,
+      s"retrain lost recall: before=$before after=$after")
+    assert(after >= before + 0.2 && after >= 0.9,
+      s"retrain did not recover recall on a drifted draw: " +
+        s"before=$before after=$after")
+  }
+
   test("residual ivfadc: same surface, non-degenerate codebooks, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 4)
@@ -4114,6 +4201,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Layout.appendShards(spark,
       Seq((10000L, "tail doc after everything")).toDF("doc_id", "text"),
       dir).collect().nonEmpty)
+    // crash fence (advisor r18): data ahead of meta — a previous append
+    // that died between its shard write and its meta roll — must refuse
+    // a retry (which would silently duplicate rows), not re-append. Model
+    // the crash by rolling the meta sidecar BACK one append.
+    val metaNow = graft.operators.StoreMeta.read(dir)
+    graft.operators.StoreMeta.write(dir,
+      "budget" -> metaNow("budget"), "max_doc_id" -> "9999",
+      "next_shard" -> (metaNow("next_shard").toLong - 1L))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.appendShards(spark,
+        Seq((20000L, "doc after the crash")).toDF("doc_id", "text"), dir)
+    }
+    assert(ex.getMessage.contains("crashed between"), ex.getMessage)
+    // restoring the meta makes the same append legal again
+    graft.operators.StoreMeta.write(dir,
+      "budget" -> metaNow("budget"), "max_doc_id" -> metaNow("max_doc_id"),
+      "next_shard" -> metaNow("next_shard"))
+    assert(Layout.appendShards(spark,
+      Seq((20000L, "doc after the recovery")).toDF("doc_id", "text"),
+      dir).collect().nonEmpty)
+  }
+
+  test("forgetPublished: only affected shards rewrite, empty shards vanish, geometry frozen") {
+    val base = java.nio.file.Files.createTempDirectory("pubforget").toString
+    val dir = base + "/shards"
+    Layout.publishInit(spark, docs, dir, nShards = 8)
+    val shardSchema = "doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT"
+    // forget ONE whole shard (every doc in shard 3) plus one doc from
+    // shard 0 — exercises both the vanishing-shard path and the rewrite
+    val byShard = spark.read.schema(shardSchema).parquet(dir)
+      .select("doc_id", "shard_id").collect()
+      .groupBy(_.getInt(1)).map { case (s, rs) => s -> rs.map(_.getLong(0)).toSet }
+    import spark.implicits._
+    val doomed = (byShard(3) + byShard(0).head).toSeq.toDF("doc_id")
+    val manifest = Layout.forgetPublished(spark, doomed, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!manifest.contains(3), "fully-forgotten shard must vanish")
+    assert(manifest(0) == byShard(0).size - 1)
+    val left = spark.read.schema(shardSchema).parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.collect().map(_.getLong(0)).forall(!left.contains(_)))
+    // geometry frozen + generation bumped: loaders see the marker move
+    val meta = graft.operators.StoreMeta.read(dir)
+    assert(meta("forget_gen") == "1" && meta("next_shard") == "8")
+    // forgotten ids are NOT re-usable: the contiguity guard still spans
+    // them (doc_id order is the layout's backbone)
+    intercept[IllegalArgumentException] {
+      Layout.appendShards(spark,
+        Seq(byShard(3).head -> "resurrected").toDF("doc_id", "text"), dir)
+    }
   }
 
   test("StoreUpkeep: trigger fires at the documented threshold, serving unchanged across the in-place swap") {

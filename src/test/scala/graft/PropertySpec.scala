@@ -536,6 +536,59 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 2)
   }
 
+  test("property: forgetPublished == original assignment minus forgotten, untouched shards byte-stable, for ANY forget set") {
+    import graft.operators.{Layout, StoreMeta}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val shardSchema = "doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT"
+    def readBack(dir: String) =
+      spark.read.schema(shardSchema).parquet(dir)
+    // per-shard file bytes: (shard dir -> sorted (name, md5) list) — the
+    // loader-checksum contract is BYTE equality, not row equality
+    def shardBytes(dir: String): Map[String, Seq[(String, String)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("shard_id=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map { f =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+            (f.getName, md)
+          }.sortBy(_._1).toSeq
+      }.toMap
+    }
+    check(Prop.forAll(Gen.choose(0L, 1000L)) { salt =>
+      val base = java.nio.file.Files
+        .createTempDirectory("prop-pubforget").toString
+      val dir = s"$base/shards"
+      Layout.publishInit(spark, docs, dir, nShards = 8)
+      val orig = readBack(dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+      val bytesBefore = shardBytes(dir)
+      val doomed = pmod(xxhash64(col("doc_id") + lit(salt)), lit(5)) === 0
+      val forgottenIds = docs.filter(doomed).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      Layout.forgetPublished(spark, docs.filter(doomed).select("doc_id"), dir)
+      val after = readBack(dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
+      // the law: original assignment minus the forgotten docs — shard
+      // ids NEVER re-flow
+      val want = orig.filterNot(r => forgottenIds(r._1))
+      val touched = orig.filter(r => forgottenIds(r._1))
+        .map(r => s"shard_id=${r._3}")
+      val bytesAfter = shardBytes(dir)
+      val untouchedStable = bytesBefore.keySet.filterNot(touched).forall(k =>
+        bytesAfter.get(k).contains(bytesBefore(k)))
+      val genBumped = StoreMeta.read(dir).get("forget_gen").contains("1")
+      val ok = after == want && untouchedStable && genBumped
+      if (!ok) println(s"[prop] publish-forget law broke: salt=$salt " +
+        s"forgotten=${forgottenIds.size} rows(after=${after.size} " +
+        s"want=${want.size}) untouchedStable=$untouchedStable gen=$genBumped")
+      ok
+    }, minSuccessful = 2)
+  }
+
   test("property: publishShards partitions the corpus, balances tokens, and the manifest replays, for ANY corpus and nShards") {
     import graft.operators.Layout
     // driver-side truth mirrors: whitespace tokens (TextAnalysis.tokens)
