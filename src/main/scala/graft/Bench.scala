@@ -56,9 +56,19 @@ object Bench {
     // gating after it would bill our own load as a 2-minute wait every
     // run. Iteration runs (SPARK_GRAFT_ONLY) skip the gate: they are
     // feedback loops, not records.
+    // SPARK_GRAFT_QUIET_M1 / SPARK_GRAFT_QUIET_WAIT override the start
+    // gate for CLOSING records (r18 verdict task 7: both r18 closing
+    // records ran at sampled m1 up to 9.45 and the adjudication had to
+    // lean on CPU + fp evidence) — e.g. QUIET_M1=1.0 QUIET_WAIT=1800
+    // refuses to start until the host is genuinely idle, giving the
+    // record an uncontested wall base.
+    val quietM1 = sys.env.get("SPARK_GRAFT_QUIET_M1")
+      .map(_.toDouble).getOrElse(1.5)
+    val quietWait = sys.env.get("SPARK_GRAFT_QUIET_WAIT")
+      .map(_.toInt).getOrElse(600)
     val startWaitedSec =
       if (only.isDefined) 0
-      else waitForQuietHost(maxWaitSec = 600, quietM1 = 1.5)._1
+      else waitForQuietHost(maxWaitSec = quietWait, quietM1 = quietM1)._1
     val (loadStart, m1Start) = loadavg()
 
     val spark = SparkSession.builder()
@@ -235,6 +245,12 @@ object Bench {
           .replaceAll("file:[^\\s,\\]\\)]*", "file:")
           .replaceAll("/tmp/[^\\s,\\]\\)]*", "/tmp/")
           .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@")
+          // Parallelism.ensure bakes defaultParallelism into its
+          // repartition width, so the same code fingerprints apart
+          // across core counts (r18: the bm25 family's lfp excursion) —
+          // the gate hunts CODE-driven plan changes; the width is conf
+          // telemetry the physical fp still carries
+          .replaceAll("(Repartition(?:ByExpression)?[^,+]*), \\d+", "$1, ")
           .replaceAll("\\s+", " ")
         dumpTo.foreach { p =>
           java.nio.file.Files.write(
@@ -493,6 +509,23 @@ object Bench {
       if (p.waitFor() == 0) Some(out) else None
     } catch { case e if scala.util.control.NonFatal(e) => None }
     val gitHead = gitOut("rev-parse", "HEAD").getOrElse("")
+    // data fingerprint: the testdata is REGENERATED by the driver each
+    // round, and two of the five logical-fp excursions on r18's board
+    // track data-coupled plans (Parallelism.ensure's layout-derived
+    // branch; exactQuantileBy's data-derived descent depth). Recording
+    // (name, size, mtime) of the sf dir lets the diff gate attribute an
+    // fp move to a data swap instead of crying nondeterminism.
+    val dataFp: String = try {
+      val d = java.nio.file.Paths.get(sfDir)
+      val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          java.nio.file.Files.list(d).iterator()).asScala.toSeq
+        .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .sorted.mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    } catch { case e if scala.util.control.NonFatal(e) => "none" }
     // the gate compares LOGICAL fps (session-order independent — see
     // planFingerprint) when the previous record carries them, physical
     // fps only as the pre-logical-fp fallback
@@ -542,18 +575,27 @@ object Bench {
               if (prevGit.isEmpty || gitHead.isEmpty) None
               else gitOut("diff", "--name-only", prevGit, gitHead,
                 "--", "src/main").map(_.nonEmpty)
+            // a regenerated sf dir explains data-coupled plan moves
+            // (ensure's layout branch, quantile descent depth) the same
+            // way a src diff explains code-driven ones
+            val prevDataFp = Option(root.get("data_fp"))
+              .map(_.asText("")).getOrElse("")
+            val dataChanged: Option[Boolean] =
+              if (prevDataFp.isEmpty || dataFp == "none") None
+              else Some(prevDataFp != dataFp)
             val changedJson = changed
               .map { case (n, p, c) => s""""$n":{"prev":"$p","now":"$c"}""" }
               .mkString("{", ",", "}")
-            val unexplained = srcChanged match {
-              case Some(false) => changed.map(_._1)
+            val unexplained = (srcChanged, dataChanged) match {
+              case (Some(false), Some(false)) => changed.map(_._1)
+              case (Some(false), None) => changed.map(_._1)
               case _ => Seq.empty
             }
             if (unexplained.nonEmpty)
               System.err.println("[bench] UNEXPLAINED plan-fingerprint " +
                 s"changes (no src/main diff $prevGit..$gitHead): " +
                 unexplained.mkString(", "))
-            s"""{"checked":true,"prev_git":"$prevGit","n_prev":${prevPlans.size},"n_changed":${changed.size},"changed":$changedJson,"src_changed_since_prev":${srcChanged.map(_.toString).getOrElse("null")},"unexplained":[${unexplained.map("\"" + _ + "\"").mkString(",")}]}"""
+            s"""{"checked":true,"prev_git":"$prevGit","n_prev":${prevPlans.size},"n_changed":${changed.size},"changed":$changedJson,"src_changed_since_prev":${srcChanged.map(_.toString).getOrElse("null")},"data_changed_since_prev":${dataChanged.map(_.toString).getOrElse("null")},"unexplained":[${unexplained.map("\"" + _ + "\"").mkString(",")}]}"""
         }
       } catch { case e if scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] fp-diff gate unavailable: $e")
@@ -590,7 +632,7 @@ object Bench {
       .collect { case (name, a) if a.cpu >= 0 => adjCpu(name, a.cpu) }.sum
     val (loadEnd, m1End) = loadavg()
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"start_waited_sec":$startWaitedSec,"rerun_m1":$rerunM1,"rerun_waited_sec":$rerunWaitedSec}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"git":"$gitHead","rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"git":"$gitHead","data_fp":"$dataFp","rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
     // LAST line is a compact summary (<400 bytes): the full line above
     // grows with the suite and a bounded tail capture truncates it from
@@ -639,7 +681,7 @@ object Bench {
         // along but medians read only "queries", so a rerun never shifts
         // the baseline it was judged against.
         java.nio.file.Files.write(benchToolsDir.resolve("bench-history.jsonl"),
-          (s"""{"ts":"$ts","git":"$gitHead","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"rerun":$rerunJson}""" + "\n")
+          (s"""{"ts":"$ts","git":"$gitHead","data_fp":"$dataFp","summary":$summaryJson,"queries":$qs,"cpu":$cpus_,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"rerun":$rerunJson}""" + "\n")
             .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)

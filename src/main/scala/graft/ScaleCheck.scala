@@ -1714,6 +1714,79 @@ object ScaleCheck {
         "tombstone filter did not plan as a broadcast anti-join")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
     }
+    // StoreUpkeep under a LONG ingest loop (r18 verdict task 6): the
+    // policy exists to claim "N appends with maybeCompact keep the
+    // store's small-file health bounded while serving stays correct
+    // across every mid-loop swap" — this drives 250 appends through an
+    // LSH store at the DOCUMENTED 64-file trigger (both the widest
+    // bucket partition and the sigs sidecar grow ~1 file per append, so
+    // the loop crosses the trigger ≥3 times), asserting after every
+    // step that post-upkeep health is within the documented bound, and
+    // at every FIRED compaction that the full pair-serving answer is
+    // unchanged across the in-place swap.
+    time("storeupkeep 250-append ingest loop (64-file trigger)") {
+      val sdir = java.nio.file.Files.createTempDirectory("scale-upkeep")
+        .toString
+      val idx = s"$sdir/lsh"
+      // synthetic corpus with planted near-dup structure: pairs exist at
+      // every loop point, so "serving unchanged" gates real answers.
+      // 500 docs, 250 batches of 2, ids dense from 0
+      val corpus = spark.range(500L).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(24)),
+            j => concat(lit("w"), pmod(col("id"), lit(50L)), lit("x"), j)))
+          .as("text"))
+      operators.LshIndex.write(corpus.filter(col("doc_id") < 2), idx,
+        nShards = 2)
+      def pairCount(): Long = {
+        val n = operators.LshIndex.lshPairs(spark, idx)
+          .queryExecution.toRdd.count()
+        operators.CacheRegistry.release(spark)
+        n
+      }
+      var fired = 0
+      var worstPart = 0
+      var worstSidecar = 0
+      for (b <- 1 until 250) {
+        operators.LshIndex.append(spark,
+          corpus.filter(col("doc_id") >= 2L * b && col("doc_id") < 2L * (b + 1)),
+          idx)
+        val h = operators.StoreUpkeep.health(spark, idx,
+          operators.StoreUpkeep.LshKind)
+        worstPart = math.max(worstPart, h.maxPartitionFiles)
+        worstSidecar = math.max(worstSidecar, h.sidecarFiles)
+        if (operators.StoreUpkeep.needsCompaction(h)) {
+          val before = pairCount()
+          operators.StoreUpkeep.compactInPlace(spark, idx,
+            operators.StoreUpkeep.LshKind)
+          val after = pairCount()
+          require(after == before && before > 0L,
+            s"serving changed across the mid-loop swap at append $b: " +
+              s"$before -> $after pairs")
+          fired += 1
+        }
+        val hPost = operators.StoreUpkeep.health(spark, idx,
+          operators.StoreUpkeep.LshKind)
+        require(hPost.maxPartitionFiles <= 64 && hPost.sidecarFiles <= 64,
+          s"post-upkeep health out of bounds at append $b: $hPost")
+      }
+      println(s"[scale] storeupkeep loop: $fired compactions fired, " +
+        s"worst pre-upkeep health: partitions $worstPart files, " +
+        s"sidecar $worstSidecar files")
+      require(fired >= 3,
+        s"loop must cross the 64-file trigger >= 3 times, fired $fired")
+      require(worstPart <= 65 && worstSidecar <= 65,
+        "health must never exceed trigger+1 even before upkeep reacts")
+      // end-to-end: the loop-built store serves the cold-build answer
+      val cold = s"$sdir/cold"
+      operators.LshIndex.write(corpus, cold, nShards = 2)
+      val want = operators.LshIndex.lshPairs(spark, cold)
+        .queryExecution.toRdd.count()
+      val got = pairCount()
+      require(got == want,
+        s"loop-built store serves $got pairs, cold build serves $want")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
+    }
     operators.CacheRegistry.release(spark)
     spark.stop()
   }

@@ -70,7 +70,7 @@ object LshIndex {
     * the same tombstone.
     */
   def forget(spark: SparkSession, docIds: DataFrame, dir: String): Unit =
-    Tombstones.add(docIds, dir)
+    Tombstones.add(docIds, StoreGen.resolve(dir))
 
   /** The bucket table as SERVING sees it: raw rows minus pending
     * tombstones — a broadcast anti-join on the (narrow) bucket rows,
@@ -105,9 +105,10 @@ object LshIndex {
     * q_minhash_neardup answer. `filesPerPartition` bounds files per shard
     * ([[graft.ParquetIO.writePartitioned]]).
     */
-  def write(docs: DataFrame, dir: String, numHashes: Int = 16,
+  def write(docs: DataFrame, dir0: String, numHashes: Int = 16,
       bands: Int = 4, shingleSize: Int = 3, nShards: Int = 16,
       filesPerPartition: Int = 1): Unit = {
+    val dir = StoreGen.resolve(dir0)
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val m = Meta(numHashes, bands, shingleSize, nShards)
@@ -143,8 +144,9 @@ object LshIndex {
     * scan is a column-pruned `doc_id` read of the sigs sidecar (an
     * anti-join, never a collect).
     */
-  def append(spark: SparkSession, batch: DataFrame, dir: String,
+  def append(spark: SparkSession, batch: DataFrame, dir0: String,
       dedupeIds: Boolean = false): Unit = {
+    val dir = StoreGen.resolve(dir0)
     val m = readMeta(spark, dir)
     val input =
       if (!dedupeIds) batch
@@ -175,8 +177,9 @@ object LshIndex {
     * return, read from buckets and signatures instead of text.
     * Output: (doc_id_a, doc_id_b, est_jaccard), a < b, est ≥ threshold.
     */
-  def lshPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+  def lshPairs(spark: SparkSession, dir0: String, threshold: Double = 0.5,
       pairListCutoff: Int = 128): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     val m = readMeta(spark, dir)
     // persisted: both pairsFromIdLists branches scan the lists
     val lists = CacheRegistry.track(
@@ -202,8 +205,9 @@ object LshIndex {
     * Writes to a NEW directory: the swap-to-live step is the caller's
     * atomicity boundary (object-store rename semantics).
     */
-  def compactLsh(spark: SparkSession, dir: String, outDir: String,
+  def compactLsh(spark: SparkSession, dir0: String, outDir: String,
       filesPerPartition: Int = 1, sigFiles: Int = 4): Unit = {
+    val dir = StoreGen.resolve(dir0)
     require(outDir != dir, "compactLsh writes to a new directory")
     // pending tombstones ([[forget]]) apply PHYSICALLY here: forgotten
     // docs' bucket AND signature rows never reach outDir, and the
@@ -240,9 +244,10 @@ object LshIndex {
     * self-pairs are filtered defensively but neighbor estimates of a
     * duplicated id are the caller's corruption to prevent.
     */
-  def probe(spark: SparkSession, batch: DataFrame, dir: String,
+  def probe(spark: SparkSession, batch: DataFrame, dir0: String,
       threshold: Double = 0.5, pairListCutoff: Int = 128,
       broadcastProbe: Boolean = true): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     val m = readMeta(spark, dir)
     val (bsigs, bbucketsRaw) = encode(batch, m)
     val bbuckets = CacheRegistry.track(bbucketsRaw
@@ -292,8 +297,9 @@ object LshIndex {
     * batch-sized tracked intermediates are released before returning —
     * streaming-ingest safe, the [[SpanStore.ingestCurate]] contract.
     */
-  def ingestDedup(spark: SparkSession, batch: DataFrame, dir: String,
+  def ingestDedup(spark: SparkSession, batch: DataFrame, dir0: String,
       threshold: Double = 0.5): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     val __mk = CacheRegistry.mark(spark)
     val pairs = probe(spark, batch, dir, threshold)
     val bids = batch.select(col("doc_id"))

@@ -419,7 +419,8 @@ object Similarity {
     * O(corpus/numCentroids · nprobe) IO and a full scan at 100 TB.
     */
   def writeIvfIndex(
-      corpus: DataFrame, dir: String, numCentroids: Int = 32): Unit = {
+      corpus: DataFrame, dir0: String, numCentroids: Int = 32): Unit = {
+    val dir = StoreGen.resolve(dir0)
     val codebook = pseudoCentroids(corpus, numCentroids)
       .select("vec_id", "embedding")
     val centroids = broadcastCentroids(codebook)
@@ -440,10 +441,11 @@ object Similarity {
     */
   def ivfTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String,
+      dir0: String,
       queries: DataFrame,
       k: Int,
       nprobe: Int = 1): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     val codebook = spark.read.parquet(dir + "_codebook")
     val centroids = broadcastCentroids(codebook)
     val q = assignProbes(withNorm(queries, "vec_id", "query_id"),
@@ -479,10 +481,11 @@ object Similarity {
     * break the stage-by-stage DuckDB replay the oracle family rides.
     */
   def writeIvfPqIndex(
-      corpus: DataFrame, dir: String, numCentroids: Int = 32,
+      corpus: DataFrame, dir0: String, numCentroids: Int = 32,
       m: Int = 4, ksub: Int = 16, dim: Int = 64,
       byResidual: Boolean = false,
       codebook: Option[DataFrame] = None): Unit = {
+    val dir = StoreGen.resolve(dir0)
     // default: the deterministic pseudo draw (oracle-replayable);
     // callers may supply a trained codebook (vec_id, embedding) — e.g.
     // [[trainCodebook]]'s k-means output via [[retrainIvfPq]]
@@ -565,7 +568,8 @@ object Similarity {
     * file-level exactly-once from the source checkpoint.
     */
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, dir: String, dedupeIds: Boolean = false): Unit = {
+      batch: DataFrame, dir0: String, dedupeIds: Boolean = false): Unit = {
+    val dir = StoreGen.resolve(dir0)
     val meta = StoreMeta.read(dir)
     val byResidual = meta("by_residual").toBoolean
     val m = meta("m").toInt
@@ -650,7 +654,8 @@ object Similarity {
     * read of any kind beyond footers.
     */
   def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
-      dir: String, batch: DataFrame): DataFrame = {
+      dir0: String, batch: DataFrame): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     val m = StoreMeta.read(dir)("m").toInt
     val ivfCodebook = spark.read.parquet(dir + "_codebook")
     val centroids = broadcastCentroids(ivfCodebook)
@@ -728,7 +733,7 @@ object Similarity {
     */
   def forgetIvfPq(spark: org.apache.spark.sql.SparkSession,
       vecIds: DataFrame, dir: String): Unit =
-    Tombstones.add(vecIds, dir)
+    Tombstones.add(vecIds, StoreGen.resolve(dir))
 
   /** Codebook retrain-and-swap — the ACTUATOR for [[ivfDriftReport]]'s
     * staleness signal (r18 verdict task 1): when the monitor shows
@@ -761,7 +766,8 @@ object Similarity {
     * `_codebook`/`_meta` swap too; single-writer, like any compaction).
     */
   def retrainIvfPq(spark: org.apache.spark.sql.SparkSession,
-      corpus: DataFrame, dir: String, trainIters: Int = 0): Unit = {
+      corpus: DataFrame, dir0: String, trainIters: Int = 0): Unit = {
+    val dir = StoreGen.resolve(dir0)
     val meta = StoreMeta.read(dir)
     val numCentroids = meta("num_centroids").toInt
     val (m, ksub, dim) = (meta("m").toInt, meta("ksub").toInt,
@@ -807,9 +813,10 @@ object Similarity {
     */
   def compactIvfPq(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String,
+      dir0: String,
       outDir: String,
       filesPerPartition: Int = 1): Unit = {
+    val dir = StoreGen.resolve(dir0)
     require(outDir != dir, "compactIvfPq writes to a new directory")
     compactIvfPqCodes(spark, dir, outDir, filesPerPartition)
     Seq("_codebook", "_pq").foreach { suffix =>
@@ -858,11 +865,14 @@ object Similarity {
     * filter-not-rescan contract).
     */
   private def ivfPqApprox(
-      spark: org.apache.spark.sql.SparkSession, dir: String,
+      spark: org.apache.spark.sql.SparkSession, dir0: String,
       queries: DataFrame, probes: Int, m: Int, dim: Int,
       rankName: Option[String],
       allowedIds: Option[DataFrame] = None,
       broadcastAllowed: Boolean = true): DataFrame = {
+    // every ivfPq probe surface funnels through here — ONE generation-
+    // pointer resolution serves ivfPqTopK/Filtered/Recall alike
+    val dir = StoreGen.resolve(dir0)
     val codebook = spark.read.parquet(dir + "_codebook")
     // the sidecar records the build-time geometry; a caller reusing a
     // prebuilt index (CLI -index) with mismatched -m/-dim would silently

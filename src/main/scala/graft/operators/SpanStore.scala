@@ -79,7 +79,7 @@ object SpanStore {
     * AFTER a compaction has cleared the tombstone ([[Tombstones]]).
     */
   def forget(spark: SparkSession, docIds: DataFrame, dir: String): Unit =
-    Tombstones.add(docIds, dir)
+    Tombstones.add(docIds, StoreGen.resolve(dir))
 
   private def fingerprints(docs: DataFrame, k: Int, shardChars: Int): DataFrame =
     docs
@@ -100,7 +100,7 @@ object SpanStore {
     * tokenization pass of their own.
     */
   def printsOf(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
-    val (k, sc) = readGeometry(dir)
+    val (k, sc) = readGeometry(StoreGen.resolve(dir))
     fingerprints(docs, k, sc)
   }
 
@@ -115,9 +115,10 @@ object SpanStore {
     * directories; 3 (4096) suits corpus-scale stores where even 1/256
     * of the data is a big scan.
     */
-  def write(docs: DataFrame, dir: String, minTokens: Int = 16,
+  def write(docs: DataFrame, dir0: String, minTokens: Int = 16,
       filesPerPartition: Int = 1, shardChars: Int = 2,
       withBloom: Boolean = false): Unit = {
+    val dir = StoreGen.resolve(dir0)
     require(minTokens > 1, s"minTokens must be > 1, got $minTokens")
     require(shardChars >= 1 && shardChars <= 4,
       s"shardChars must be in [1,4], got $shardChars")
@@ -148,8 +149,9 @@ object SpanStore {
     * why `updateBloom = false` exists only for callers that rebuild
     * the sidecar themselves afterwards.
     */
-  def append(spark: SparkSession, batch: DataFrame, dir: String,
+  def append(spark: SparkSession, batch: DataFrame, dir0: String,
       updateBloom: Boolean = true): Unit = {
+    val dir = StoreGen.resolve(dir0)
     val (k, sc) = readGeometry(dir)
     val withBloom = updateBloom && hasBloom(dir)
     val __mk = CacheRegistry.mark(spark)
@@ -192,13 +194,14 @@ object SpanStore {
     * (the store-read rule [[readStore]] follows).
     */
   private[graft] def readBloom(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(bloomSchema).parquet(bloomDir(dir))
+    spark.read.schema(bloomSchema).parquet(bloomDir(StoreGen.resolve(dir)))
 
   /** Does the store carry a Bloom sidecar? */
-  def hasBloom(dir: String): Boolean = StoreMeta.exists(bloomDir(dir))
+  def hasBloom(dir: String): Boolean =
+    StoreMeta.exists(bloomDir(StoreGen.resolve(dir)))
 
   /** Frozen (m_bits, k_hashes) of the sidecar. */
-  private def readBloomGeometry(dir: String): (Int, Int) = {
+  private[graft] def readBloomGeometry(dir: String): (Int, Int) = {
     val m = StoreMeta.read(bloomDir(dir))
     (m("m_bits").toInt, m("k_hashes").toInt)
   }
@@ -213,7 +216,7 @@ object SpanStore {
     * portable md5 basis, so the DuckDB oracle replays the verdict as
     * position-set membership.
     */
-  private def bloomRows(prints: DataFrame, mBits: Int, k: Int): DataFrame =
+  private[graft] def bloomRows(prints: DataFrame, mBits: Int, k: Int): DataFrame =
     prints
       .select(col("shard"),
         explode(Sketches.bloomPositions(col("span_md5"), mBits, k)).as("pos"))
@@ -242,13 +245,15 @@ object SpanStore {
     * I/O ∝ batch duplication + the sidecar slice, with ZERO store files
     * read when the Bloom clears the whole batch.
     */
-  def writeBloom(spark: SparkSession, dir: String, bitsPerKey: Int = 12,
-      kHashes: Int = 5, headroom: Int = 4): Unit =
+  def writeBloom(spark: SparkSession, dir0: String, bitsPerKey: Int = 12,
+      kHashes: Int = 5, headroom: Int = 4): Unit = {
+    val dir = StoreGen.resolve(dir0)
     // tombstone-filtered rebuild: forgotten docs' bits are shed here
     // (between [[forget]] and a rebuild they linger harmlessly — extra
     // bits only ever cost exact-verifications that find nothing)
     buildBloom(servingStore(spark, dir).select("shard", "span_md5"), dir,
       bitsPerKey, kHashes, headroom)
+  }
 
   /** Size + build + freeze the sidecar from a (shard, span_md5) frame —
     * the store's rows ([[writeBloom]]) or the write's own fingerprint
@@ -289,8 +294,9 @@ object SpanStore {
     * takes a (shard, w)-keyed shuffle of batch positions + sidecar
     * words — still store-scan-free.
     */
-  def bloomMaybe(spark: SparkSession, prints: DataFrame, dir: String,
+  def bloomMaybe(spark: SparkSession, prints: DataFrame, dir0: String,
       broadcastWords: Boolean = true): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     val (mBits, kh) = readBloomGeometry(dir)
     val touched = prints.select("shard").distinct()
       .collect().map(_.getString(0)) // bounded by the 16^shardChars universe
@@ -343,8 +349,9 @@ object SpanStore {
     * [[ingestCurate]]'s streaming twin do), the same contract as
     * [[LshIndex.probe]]'s tracked intermediates.
     */
-  def probe(spark: SparkSession, batch: DataFrame, dir: String,
+  def probe(spark: SparkSession, batch: DataFrame, dir0: String,
       broadcastProbe: Boolean = true, useBloom: Boolean = true): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     val (k, sc) = readGeometry(dir)
     val bf = CacheRegistry.track(fingerprints(batch, k, sc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -423,22 +430,30 @@ object SpanStore {
     * carried forward, so the compacted store equals a cold build
     * without those docs (the PropertySpec forget∘compact law).
     */
-  def compactStore(spark: SparkSession, srcDir: String,
+  def compactStore(spark: SparkSession, srcDir0: String,
       dstDir: String, filesPerPartition: Int = 1): Unit = {
+    val srcDir = StoreGen.resolve(srcDir0)
     require(dstDir != srcDir, "compactStore writes to a new directory")
     graft.ParquetIO.writePartitioned(
       servingStore(spark, srcDir)
         .select("shard", "span_md5", "doc_id", "p").distinct(),
       dstDir, Seq("shard"), filesPerPartition, sortCols = Seq("span_md5"))
     StoreMeta.copy(srcDir, dstDir)
-    // the Bloom sidecar compacts with the store: append generations
-    // OR-fold to one (shard, w) row each — answers unchanged (probe
-    // already ORs generations), the sidecar just stops growing by one
-    // row set per append
+    // the Bloom sidecar REBUILDS from the compacted store's own prints
+    // at the frozen (m_bits, k_hashes) geometry (r18 verdict task 5):
+    // OR-folding the append generations kept forgotten/compacted-away
+    // prints' bits set forever, so the filter could only densify — a
+    // long-lived store's false-positive rate would ratchet upward and
+    // a takedown's bits would outlive the takedown. One extra pass over
+    // the just-written rows, the compaction's own cost class; answers
+    // unchanged (bits only shed where no surviving print sets them —
+    // clears are never false negatives). The rebuilt sidecar is row-
+    // identical to a fresh build on the compacted store (PropertySpec).
     if (hasBloom(srcDir)) {
+      val (mBits, kh) = readBloomGeometry(srcDir)
       graft.ParquetIO.writePartitioned(
-        readBloom(spark, srcDir)
-          .groupBy("shard", "w").agg(expr("bit_or(word)").as("word"))
+        bloomRows(readStore(spark, dstDir).select("shard", "span_md5"),
+            mBits, kh)
           .select("w", "word", "shard"),
         bloomDir(dstDir), Seq("shard"), filesPerPartition = 1,
         sortCols = Seq("w"))
@@ -468,9 +483,10 @@ object SpanStore {
     * intermediates this call persisted are released — streaming-ingest
     * safe.
     */
-  def ingestCurate(spark: SparkSession, batch: DataFrame, dir: String,
+  def ingestCurate(spark: SparkSession, batch: DataFrame, dir0: String,
       minKeptFrac: Double = 0.3,
       broadcastProbe: Boolean = true): DataFrame = {
+    val dir = StoreGen.resolve(dir0)
     require(minKeptFrac >= 0.0 && minKeptFrac <= 1.0,
       s"minKeptFrac must be in [0,1], got $minKeptFrac")
     val __mk = CacheRegistry.mark(spark)

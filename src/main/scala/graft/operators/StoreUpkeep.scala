@@ -24,16 +24,24 @@ import org.apache.spark.sql.SparkSession
   * lazily by design, and `compactOnTombstones = true` opts a
   * governance-driven loop into eager physical removal.
   *
-  * Swap protocol (the streaming in-place precedent, now owned here and
-  * tombstone-aware): compact into `<dir>_compacting*`, rename each live
-  * directory aside to `*_precompact`, rename the staged one in, drop
-  * the retired copy — atomic per rename on HDFS/POSIX (object stores
-  * should compact offline to a new dir instead). A crash mid-swap
-  * strands data recoverably under `_precompact`/`_compacting`, never
-  * silently. After the swap the tombstone sidecar is DELETED: the
-  * staged store already applied it physically, and a live leftover
-  * would keep every probe paying the anti-join and block re-ingest of
-  * the forgotten ids forever.
+  * Two swap protocols:
+  *
+  *   - [[compactInPlace]] (the streaming in-place precedent, now owned
+  *     here and tombstone-aware): compact into `<dir>_compacting*`,
+  *     rename each live directory aside to `*_precompact`, rename the
+  *     staged one in, drop the retired copy — atomic per rename on
+  *     HDFS/POSIX; right for single-writer ingest loops that pause
+  *     serving around maintenance. A crash mid-swap strands data
+  *     recoverably under `_precompact`/`_compacting`, never silently.
+  *     After the swap the tombstone sidecar is DELETED: the staged
+  *     store already applied it physically, and a live leftover would
+  *     keep every probe paying the anti-join and block re-ingest of
+  *     the forgotten ids forever.
+  *   - [[compactNewGeneration]] (the `_current` pointer): for stores
+  *     PROBED while compacted, and for object stores with no atomic
+  *     rename — no live directory is ever mutated; readers resolve the
+  *     pointer once per read ([[StoreGen]]) and the previous generation
+  *     stays as their grace window.
   */
 object StoreUpkeep {
 
@@ -49,6 +57,12 @@ object StoreUpkeep {
     /** Append-only sidecar file count (0 when the kind has none). */
     def sidecarFiles(fs: FileSystem, dir: String): Int
     def compact(spark: SparkSession, dir: String, staging: String): Unit
+    /** Compact INCLUDING frozen sidecars — a complete standalone store
+      * at `staging`, what a generation flip serves ([[compact]] skips
+      * restaging sidecars the in-place swap leaves untouched).
+      */
+    def compactFull(spark: SparkSession, dir: String, staging: String): Unit =
+      compact(spark, dir, staging)
   }
 
   case object SpanKind extends Kind {
@@ -84,6 +98,11 @@ object StoreUpkeep {
     def compact(spark: SparkSession, dir: String, staging: String): Unit =
       Similarity.compactIvfPqCodes(spark, dir, staging,
         filesPerPartition = 1)
+    // a new generation must carry the frozen sidecars too — readers
+    // resolve ALL their paths through the pointer
+    override def compactFull(spark: SparkSession, dir: String,
+        staging: String): Unit =
+      Similarity.compactIvfPq(spark, dir, staging, filesPerPartition = 1)
   }
 
   /** Small-file health of a store, from directory listings only. */
@@ -109,7 +128,8 @@ object StoreUpkeep {
     else fs.listStatus(root).count(_.getPath.getName.endsWith(".parquet"))
   }
 
-  def health(spark: SparkSession, dir: String, kind: Kind): Health = {
+  def health(spark: SparkSession, dir0: String, kind: Kind): Health = {
+    val dir = StoreGen.resolve(dir0)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Health(maxPartitionFiles(fs, dir, kind.partitionPrefix),
@@ -155,7 +175,8 @@ object StoreUpkeep {
     * discarded — but a forget racing the RENAME window can still land in
     * a directory about to be swapped aside; serialize writers.
     */
-  def compactInPlace(spark: SparkSession, dir: String, kind: Kind): Unit = {
+  def compactInPlace(spark: SparkSession, dir0: String, kind: Kind): Unit = {
+    val dir = StoreGen.resolve(dir0)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir + "_compacting"
@@ -172,6 +193,43 @@ object StoreUpkeep {
     // leftover would tax every probe and block forgotten-id re-ingest;
     // ids forgotten AFTER the snapshot stay pending (never lost)
     Tombstones.clear(fs, dir, tombSnapshot)
+  }
+
+  /** Compact into a NEW GENERATION and flip the `_current` pointer —
+    * the ALWAYS-ON serving alternative to [[compactInPlace]] (r18
+    * verdict task 4): no directory a reader could be inside is ever
+    * mutated. The current generation compacts (tombstones applied,
+    * sidecars included — [[Kind.compactFull]]) into `<dir>_g<N+1>`, the
+    * pointer flips LAST (atomic single-file replace, [[StoreGen]]), and
+    * generation N−1 — not N — is deleted: an in-flight read that
+    * resolved the pointer before the flip finishes on generation N's
+    * intact directories; only a read spanning TWO whole compactions
+    * could lose its files. Works on object stores: the staged write is
+    * all-new objects, the flip is one tiny object replace, no
+    * multi-rename window exists. Single-WRITER like every compaction
+    * here (concurrent appends/forgets must serialize with it — an
+    * append landing in generation N after the flip is lost with N's
+    * retirement). Returns the new generation number.
+    */
+  def compactNewGeneration(spark: SparkSession, dir: String,
+      kind: Kind): Long = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = StoreGen.generation(dir)
+    val cur = StoreGen.path(dir, n)
+    val next = n + 1
+    val nextPath = StoreGen.path(dir, next)
+    val allSuffixes =
+      Seq("", "_sigs", "_meta", "_bloom", "_bloom_meta", "_codebook", "_pq")
+    // a dead prior attempt's staging is garbage
+    allSuffixes.foreach(sfx => fs.delete(new Path(nextPath + sfx), true))
+    kind.compactFull(spark, cur, nextPath)
+    StoreGen.setGeneration(dir, next)
+    // grace retention: generation N stays for in-flight readers; N−1
+    // (which no reader can have resolved since the PREVIOUS flip) goes
+    if (n >= 1) allSuffixes.foreach(sfx =>
+      fs.delete(new Path(StoreGen.path(dir, n - 1) + sfx), true))
+    next
   }
 
   /** Swap a staged rewrite into place: for each suffix, rename the live

@@ -4253,6 +4253,90 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("generation-pointer compaction: a probe racing the flip completes on the old generation; serving unchanged for new reads") {
+    import graft.operators.{StoreGen, StoreUpkeep}
+    val base = java.nio.file.Files.createTempDirectory("storegen").toString
+    val idx = base + "/lsh"
+    LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx, nShards = 2)
+    LshIndex.append(spark, docs.filter(col("doc_id") % 2 === 1), idx)
+    def pairs(d: String) = LshIndex.lshPairs(spark, d)
+      .orderBy("doc_id_a", "doc_id_b").collect().toSeq
+    val before = pairs(idx)
+    assert(before.nonEmpty)
+    // the RACE: a reader resolves the pointer (generation 0 = the plain
+    // path), builds its lazy plan... and the compaction flips to
+    // generation 1 before the read executes. The old generation is
+    // retained as the grace window, so the read completes — on gen 0 —
+    // with the same answer
+    val resolvedAtRead = StoreGen.resolve(idx)
+    assert(resolvedAtRead == idx, "no pointer yet: gen 0 is the plain path")
+    val inflight = LshIndex.lshPairs(spark, resolvedAtRead)
+    assert(StoreUpkeep.compactNewGeneration(spark, idx,
+      StoreUpkeep.LshKind) == 1L)
+    assert(inflight.orderBy("doc_id_a", "doc_id_b").collect().toSeq == before,
+      "in-flight read must complete on the retired generation")
+    // new reads resolve generation 1; serving unchanged, and the store's
+    // whole surface (probe, append, forget, health) follows the pointer
+    assert(StoreGen.resolve(idx) == idx + "_g1")
+    assert(pairs(idx) == before)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx)) &&
+      fs.exists(new org.apache.hadoop.fs.Path(idx + "_g1")))
+    // second flip: gen 2 serves, gen 0 (one-behind-grace) is reclaimed
+    assert(StoreUpkeep.compactNewGeneration(spark, idx,
+      StoreUpkeep.LshKind) == 2L)
+    assert(pairs(idx) == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx)) &&
+      fs.exists(new org.apache.hadoop.fs.Path(idx + "_g1")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(idx + "_g2")))
+    // forget lands in (and compaction applies it from) the SERVING
+    // generation; the flip applies it physically
+    val doomedId = spark.read.parquet(idx + "_g2_sigs")
+      .select("doc_id").head().getLong(0)
+    import spark.implicits._
+    LshIndex.forget(spark, Seq(doomedId).toDF("doc_id"), idx)
+    assert(graft.operators.Tombstones.exists(idx + "_g2"))
+    StoreUpkeep.compactNewGeneration(spark, idx, StoreUpkeep.LshKind)
+    assert(!graft.operators.Tombstones.exists(StoreGen.resolve(idx)))
+    assert(!spark.read.parquet(StoreGen.resolve(idx) + "_sigs")
+      .filter(col("doc_id") === doomedId).head(1).nonEmpty)
+  }
+
+  test("generation-pointer compaction: ivfpq and span stores serve identically across a flip") {
+    import graft.operators.{SpanStore, StoreGen, StoreUpkeep}
+    val base = java.nio.file.Files.createTempDirectory("storegen2").toString
+    // IVFADC: the flip stages a COMPLETE store (codes + frozen sidecars)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = base + "/ivf"
+    Similarity.writeIvfPqIndex(emb, ivf, numCentroids = 8,
+      m = 4, ksub = 16, dim = 64)
+    val queries = emb.filter(col("vec_id") < 4)
+    def probe(d: String) = Similarity.ivfPqTopK(spark, d, queries, emb,
+      k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+      .orderBy("query_id", "rank").collect().toSeq
+    val ivfBefore = probe(ivf)
+    assert(StoreUpkeep.compactNewGeneration(spark, ivf,
+      StoreUpkeep.IvfPqKind) == 1L)
+    assert(probe(ivf) == ivfBefore)
+    assert(StoreGen.resolve(ivf) == ivf + "_g1")
+    // span store: probe + bloom sidecar follow the pointer too
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val span = base + "/span"
+    SpanStore.write(docs01, span, minTokens = 8, shardChars = 1,
+      withBloom = true)
+    val batch = docs01.filter(col("doc_id") < 10)
+    def sprobe(d: String) = SpanStore.probe(spark, batch, d)
+      .orderBy("doc_id", "p").collect().toSeq
+    val spanBefore = sprobe(span)
+    assert(StoreUpkeep.compactNewGeneration(spark, span,
+      StoreUpkeep.SpanKind) == 1L)
+    assert(sprobe(span) == spanBefore)
+    assert(SpanStore.hasBloom(span), "bloom sidecar must follow the pointer")
+    graft.operators.CacheRegistry.release(spark)
+  }
+
   test("StoreUpkeep: trigger fires at the documented threshold, serving unchanged across the in-place swap") {
     val base = java.nio.file.Files.createTempDirectory("upkeep").toString
     val idx = base + "/lsh"

@@ -536,6 +536,41 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 2)
   }
 
+  test("property: post-compaction bloom == freshly-built bloom on the compacted store, for ANY forget set") {
+    import graft.operators.{SpanStore, StoreMeta}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    check(Prop.forAll(Gen.choose(0L, 1000L)) { salt =>
+      val base = java.nio.file.Files
+        .createTempDirectory("prop-bloomfold").toString
+      val dir = s"$base/store"
+      SpanStore.write(docs.filter(col("doc_id") % 3 =!= 2), dir,
+        minTokens = 8, shardChars = 1, withBloom = true)
+      SpanStore.append(spark, docs.filter(col("doc_id") % 3 === 2), dir)
+      val doomed = pmod(xxhash64(col("doc_id") + lit(salt)), lit(4)) === 0
+      SpanStore.forget(spark, docs.filter(doomed).select("doc_id"), dir)
+      SpanStore.compactStore(spark, dir, s"$base/c")
+      // the law (r18 verdict task 5): the compacted sidecar is row-
+      // identical to a fresh build over the compacted store's own
+      // prints at the frozen geometry — forgotten/folded-away prints'
+      // bits are SHED, not ratcheted, and no surviving bit is lost
+      val (mBits, kh) = SpanStore.readBloomGeometry(s"$base/c")
+      val (mBits0, kh0) = SpanStore.readBloomGeometry(dir)
+      val got = SpanStore.readBloom(spark, s"$base/c")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = SpanStore.bloomRows(
+          spark.read.schema(
+            "doc_id BIGINT, p BIGINT, span_md5 STRING, shard STRING")
+            .parquet(s"$base/c").select("shard", "span_md5"), mBits, kh)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(0))).toSet
+      graft.operators.CacheRegistry.release(spark)
+      val ok = (mBits, kh) == (mBits0, kh0) && got.nonEmpty && got == want
+      if (!ok) println(s"[prop] bloom rebuild law broke: salt=$salt " +
+        s"geom=($mBits,$kh) vs ($mBits0,$kh0) got=${got.size} want=${want.size}")
+      ok
+    }, minSuccessful = 2)
+  }
+
   test("property: forgetPublished == original assignment minus forgotten, untouched shards byte-stable, for ANY forget set") {
     import graft.operators.{Layout, StoreMeta}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
