@@ -23,9487 +23,29 @@ import graft.operators.{Bpe, CacheRegistry, Cdc, Dedup, Eval, Events, Graph, Hll
   */
 object SparkEntry {
 
-  /** Exact-decimal sum of a double column, returned as double. */
-  private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,4)")).cast("double")
-
-  /** Shared CC substrate for the dedup trio (q_dedup_clusters,
-    * q_cluster_sizes, q_dedup_best): the (doc_id, canonical_id) labeling
-    * over the 0.8-Jaccard near-dup graph, computed ONCE per (session,
-    * sfDir) and pinned behind a lineage cut, so a suite process pays the
-    * pair-generation + connected-components cost once instead of three
-    * times. The cut (checkpoint-backed, not cache-backed) survives the
-    * harnesses' between-query `CacheRegistry.release` + `clearCache`;
-    * each query stays independently runnable — the first caller
-    * computes. The memo is labels-sized (one row per doc) and lives for
-    * the process, the same lifetime the suite needs.
-    */
-  private val dedupLabelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def dedupLabels(s: SparkSession, dir: String): DataFrame =
-    dedupLabelsMemo.computeIfAbsent((s, dir), { _ =>
-      val docs = Tables.load(s, dir, "documents")
-      operators.Lineage.cut(
-        Dedup.dedupClusters(docs, Dedup.ngramJaccardPairs(docs, threshold = 0.8)))
-    })
-
-  /** The same shared-substrate contract for the graph-analytics family
-    * (q_pagerank/_w, q_ppr, q_triangles, q_triangle_stats,
-    * q_triangle_delta, q_kcore): all seven analyze the SAME
-    * span-duplication graph, whose derivation (chunk + md5 + self-join
-    * over the corpus) dominates each query's cost — compute the
-    * weighted edge table once per (session, sfDir) behind a lineage
-    * cut; unweighted consumers project (src, dst), which is exactly
-    * [[Graph.spanLinkEdges]]' definition.
-    */
-  private val spanEdgesMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def spanEdges(s: SparkSession, dir: String): DataFrame =
-    spanEdgesMemo.computeIfAbsent((s, dir), { _ =>
-      operators.Lineage.cut(
-        Graph.spanLinkEdgesWeighted(Tables.load(s, dir, "documents")))
-    })
-
-  /** Shared trained codebook for the k-means family (q_kmeans,
-    * q_cluster_purity, q_embed_outliers — all train at k=8, iters=2 on
-    * the same embeddings): training is the family's dominant cost and a
-    * pure function of (corpus, k, iters), so one table serves all
-    * three. No lineage cut needed — [[Similarity.trainCodebook]]
-    * returns a LocalRelation of driver-built rows (k×dim floats), which
-    * cannot be evicted or recomputed.
-    */
-  private val codebookMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def trainedCodebook8(s: SparkSession, dir: String): DataFrame =
-    codebookMemo.computeIfAbsent((s, dir), { _ =>
-      Similarity.trainCodebook(Tables.load(s, dir, "embeddings"), k = 8, iters = 2)
-    })
-
-  /** The q_bpe oracle chain: toks → vocabulary → delimited symbol
-    * strings → `rounds` alternations of (pair count, argmax b_r, replace
-    * application s_{r+1}). Shared by q_bpe (reads the b_r rows) and
-    * q_bpe_tokens (reads the final s_rounds state). b_r carries
-    * `WHERE cnt >= 2` — Bpe.trainMerges' minPairCount=2 early stop —
-    * so on a corpus that exhausts mergeable pairs before `rounds`,
-    * b_r empties, the LEFT JOIN + coalesce carries s forward
-    * unchanged, and every later round stays empty, exactly mirroring
-    * the Spark loop's termination.
-    */
-  private def bpeCtes(rounds: Int): String = {
-    val iterCtes = (0 until rounds).map { r =>
-      s"""p$r AS (
-           SELECT u.p.w1 AS w1, u.p.w2 AS w2, u.wcnt AS wcnt FROM (
-             SELECT wcnt, unnest(list_transform(range(1, len(sym)),
-               i -> {'w1': sym[i], 'w2': sym[i+1]})) AS p
-             FROM (SELECT wcnt,
-               string_split(substring(s, 2, length(s) - 2), '  ') AS sym
-               FROM s$r) t) u),
-         pc$r AS (SELECT w1, w2, CAST(sum(wcnt) AS BIGINT) AS cnt
-                  FROM p$r GROUP BY 1, 2),
-         b$r AS (SELECT w1, w2, cnt FROM pc$r WHERE cnt >= 2
-                 ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1),
-         s${r + 1} AS (
-           SELECT word, wcnt,
-             coalesce(replace(s, ' ' || b.w1 || '  ' || b.w2 || ' ',
-               ' ' || b.w1 || b.w2 || ' '), s) AS s
-           FROM s$r LEFT JOIN b$r b ON TRUE)"""
-    }.mkString(",\n         ")
-    s"""toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), v AS (
-           SELECT tok AS word, CAST(count(*) AS BIGINT) AS wcnt
-           FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1
-         ), s0 AS (
-           SELECT word, wcnt,
-             ' ' || array_to_string(list_append(
-               list_transform(range(1, length(word) + 1), i -> word[i:i]),
-               '</w>'), '  ') || ' ' AS s
-           FROM v
-         ),
-         $iterCtes"""
-  }
-
-  /** The synthetic row-image changelog the CDC family queries share:
-    * derived from orders (unique seq = o_orderkey), keyed on customer.
-    */
-  private def ordersChangelog(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "orders").select(
-      col("o_custkey").as("c_custkey"),
-      concat(lit("upd-"), col("o_orderkey")).as("c_name"),
-      (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
-      col("o_totalprice").as("c_acctbal"),
-      col("o_orderpriority").as("c_mktsegment"),
-      when(col("o_orderkey") % 10 <= 5, "U")
-        .when(col("o_orderkey") % 10 <= 7, "I")
-        .otherwise("D").as("op"),
-      col("o_orderkey").as("seq"))
-
-  /** Exact-decimal sum of a computed double expression at 6 dp. */
-  private def dsum6(c: Column): Column =
-    sum(c.cast("decimal(18,6)")).cast("double")
-
-  /** Run `body` against a fresh temp directory, eagerly materialize its
-    * result (executor-side, spillable), then recursively delete the
-    * directory — the q_compact discipline (advisor r14) generalized to
-    * every index-building gate query: repeated bench/gate runs must not
-    * leak a per-invocation store copy in /tmp. The materialization is
-    * gate plumbing, not operator shape, and it must happen BEFORE the
-    * finally deletes the files the lazy plan reads. It is a
-    * localCheckpoint, not a collect: q_compact's result is the whole
-    * documents table, which must not be pinned on the driver heap.
-    */
-  private def withTempStore(prefix: String)(
-      body: String => DataFrame): DataFrame = {
-    val tmpPath = java.nio.file.Files.createTempDirectory(prefix)
-    try {
-      val out = body(tmpPath.toString)
-      // eager localCheckpoint: materialize the result into block-manager
-      // storage (MEMORY_AND_DISK — spillable, executor-side) BEFORE the
-      // finally deletes the files the lazy plan reads. collectAsList
-      // here would pin a corpus-sized result (q_compact returns the
-      // whole documents table) on the driver heap; checkpoint blocks
-      // are reclaimed by the ContextCleaner once the frame is dropped.
-      out.localCheckpoint(true)
-    } finally {
-      // deleteOnExit can't remove non-empty dirs — walk deepest-first
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmpPath).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  import graft.queries._
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- reference-operator analogues over the shared tables ----
-
-    // P2-P5/P7: filter + projection, pushed to the parquet scan
-    "q_filter_project" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // A1/A2: TPC-H Q1-shaped aggregation (count/sum/avg + conditional)
-    "q1_agg" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-          round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
-
-    // A1: list-groups analogue over the events stream table
-    "q_listgroups_events" -> ((s, dir) => {
-      Tables.loadEvents(s, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          count(lit(1)).as("entry_count"),
-          min(col("ts_ms")).as("first_seen"),
-          max(col("ts_ms")).as("last_seen"),
-          sum(when(col("value") > 100, 1L).otherwise(0L)).as("high_value_count"),
-          dsum(col("value")).as("total_value"))
-        .orderBy("first_seen", "event_type")
-    }),
-
-    // P6: by-group normalize-then-substring-match semantics
-    "q_bygroup" -> ((s, dir) => {
-      Tables.load(s, dir, "documents")
-        .filter(lower(when(col("source") === "", Queries.NoGroup)
-          .otherwise(col("source"))).contains("rc1"))
-        .select(col("doc_id"), col("source"), col("lang"))
-        .orderBy("doc_id")
-    }),
-
-    // O1/O2: global top-k with deterministic tie-break
-    "q_topk" -> ((s, dir) => {
-      Tables.load(s, dir, "orders")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(10)
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice").as("total_price"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    // O3: tail — last 20 events in stream order
-    "q_tail" -> ((s, dir) => {
-      Tables.loadEvents(s, dir)
-        .orderBy(col("ts").desc, col("event_id").desc)
-        .limit(20)
-        .select(col("event_id"), col("ts_ms"), col("event_type"))
-        .orderBy("event_id")
-    }),
-
-    // O4/S9: seek — offset into an ordered stream, with limit
-    "q_seek" -> ((s, dir) => {
-      Tables.loadEvents(s, dir)
-        .orderBy(col("event_id"))
-        .offset(100)
-        .limit(50)
-        .select(col("event_id"), col("ts_ms"), col("event_type"), col("value"))
-    }),
-
-    // W1: group carry-forward analogue — last signup event per user so far
-    "q_carryforward" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.loadEvents(s, dir)
-        .select(col("event_id"), col("user_id"),
-          coalesce(
-            last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w),
-            lit(-1L)).as("last_signup_event"))
-        .orderBy("event_id")
-    }),
-
-    // ordered product-analytics funnel: each stage strictly after the
-    // user's earliest qualifying previous-stage event
-    "q_funnel" -> ((s, dir) =>
-      Events.funnel(Tables.loadEvents(s, dir), Seq("view", "click", "purchase"))
-        .orderBy("stage_idx")),
-
-    // semi-structured extraction from the JSON props column (codegen
-    // get_json_object, no UDF), aggregated per event type
-    "q_json_extract" -> ((s, dir) =>
-      Events.jsonFieldStats(Tables.loadEvents(s, dir))
-        .orderBy("event_type")),
-
-    // daily cohort-retention triangle: distinct active users per
-    // (first-activity day, day offset)
-    "q_retention" -> ((s, dir) =>
-      Events.retentionCohorts(Tables.loadEvents(s, dir))
-        .orderBy("cohort", "period_offset")),
-
-    // joins: star join with broadcast dims (TPC-H Q5 shape)
-    "q_join_star" -> ((s, dir) => {
-      val customer = Tables.load(s, dir, "customer")
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      val nation = Tables.load(s, dir, "nation")
-      val region = Tables.load(s, dir, "region")
-      lineitem
-        .join(orders, col("l_orderkey") === col("o_orderkey"))
-        .join(customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA")
-        .groupBy(col("n_name"))
-        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .orderBy("n_name")
-    }),
-
-    // the write-side-shuffle join: lineitem+orders registered as bucketed
-    // tables on their order keys, joined with ZERO Exchange past the scans
-    // (FixtureSpec asserts the plan); only the tiny post-join priority
-    // aggregate shuffles. Result is semantically a plain join — the
-    // oracle replays it directly over the raw parquet.
-    "q_bucketed_join" -> ((s, dir) =>
-      ParquetIO.bucketedOrderJoin(s, dir, numBuckets = 8)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
-        .orderBy("o_orderpriority")),
-
-    "q_semi_join" -> ((s, dir) => {
-      Tables.load(s, dir, "customer")
-        .join(Tables.load(s, dir, "orders"),
-          col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy("c_custkey")
-    }),
-
-    "q_anti_join" -> ((s, dir) => {
-      Tables.load(s, dir, "customer")
-        .join(Tables.load(s, dir, "orders"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy("c_custkey")
-    }),
-
-    // window rank: top-3 orders per customer
-    "q_window_topn" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.load(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
-        .orderBy("o_custkey", "rn")
-    }),
-
-    // gap-based sessionization (W1-adjacent stateful windowing)
-    "q_sessionize" -> ((s, dir) =>
-      operators.Events.sessionize(Tables.loadEvents(s, dir))
-        .orderBy("event_id")),
-
-    // per-user value anomalies: |z| > 3 vs the user's own DECIMAL-exact
-    // moments; the cut compares the 4dp-rounded z (ulp-safe membership)
-    "q_anomaly" -> ((s, dir) =>
-      operators.Events.valueAnomalies(Tables.load(s, dir, "events"))
-        .orderBy("event_id")),
-
-    // online twin: each event scored against STRICTLY PRIOR history in
-    // (ts, event_id) order — the alerting semantics, and the law the
-    // streaming flatMapGroupsWithState twin is spec-pinned equal to
-    "q_anomaly_online" -> ((s, dir) =>
-      operators.Events.runningValueAnomalies(Tables.load(s, dir, "events"))
-        .orderBy("event_id")),
-
-    // running + bounded-frame window aggregates per user, DECIMAL-exact:
-    // sequential in-frame accumulation is deterministic in both engines,
-    // and DECIMAL(18,2) cents convert to double exactly at these scales
-    "q_moving_agg" -> ((s, dir) => {
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val last3 = byUser.rowsBetween(-2, Window.currentRow)
-      Tables.loadEvents(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("value").cast("decimal(18,2)").as("__v"))
-        .select(col("event_id"), col("user_id"),
-          sum(col("__v")).over(cum).cast("double").as("running_total"),
-          sum(col("__v")).over(last3).cast("double").as("moving_sum_3"),
-          count(lit(1)).over(last3).as("n_window"))
-        .orderBy("event_id")
-    }),
-
-    // rollup: hierarchical totals in one pass
-    "q_rollup" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-          col("n"), col("sum_qty"))
-        .orderBy("returnflag", "linestatus")
-    }),
-
-    // exact interpolated percentiles per group — rank-and-interpolate
-    // (one window sort + tiny agg) instead of the built-in exact
-    // percentile aggregate, whose per-group value buffers are ~10× slower
-    // on high-cardinality doubles; identical quantile_cont semantics
-    "q_percentile" -> ((s, dir) => {
-      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-      val ranked = Tables.load(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w).cast("long") - 1)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-      def k(p: Double): Column = (col("n") - 1) * p
-      def pick(p: Double, which: Column => Column, name: String): Column =
-        max(when(col("rn") === which(k(p)), col("l_extendedprice"))).as(name)
-      val aggd = ranked.groupBy(col("l_returnflag")).agg(
-        max(col("n")).as("nn"),
-        pick(0.5, floor, "lo50"), pick(0.5, ceil, "hi50"),
-        pick(0.95, floor, "lo95"), pick(0.95, ceil, "hi95"))
-      def interp(p: Double, lo: String, hi: String): Column = {
-        val kk = (col("nn") - 1) * p
-        round(col(lo) + (kk - floor(kk)) * (col(hi) - col(lo)), 4)
-      }
-      aggd.select(col("l_returnflag"),
-          interp(0.5, "lo50", "hi50").as("p50"),
-          interp(0.95, "lo95", "hi95").as("p95"))
-        .orderBy("l_returnflag")
-    }),
-
-    // binned-histogram quantile estimates — the fixed-memory 100 TB path
-    // next to q_percentile's exact rank (which must sort every row):
-    // two partial-agg passes + a ≤1024-row-per-group cumulative walk
-    "q_binned_quantile" -> ((s, dir) =>
-      Quantiles.binnedQuantiles(Tables.load(s, dir, "lineitem"),
-          "l_extendedprice", "l_returnflag")
-        .orderBy("l_returnflag")),
-
-    // EXACT order statistics with NO global sort: iterative histogram
-    // refinement descends into the rank's bucket per round (sargable
-    // range filters, ≤ bins-row shuffles). bins=256/cutoff=1024 are
-    // deliberately small so sf0.01 exercises a real refinement round
-    // before the sort-limit finisher; oracle = row_number at ceil(p·n)
-    "q_exact_quantile" -> ((s, dir) => {
-      import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-      // one shared descent: pass 0 and the round-1 histogram run once
-      // for all three ranks
-      val Seq(p50, p95, p99) = Quantiles.exactQuantiles(li,
-        "l_extendedprice", Seq(0.5, 0.95, 0.99), bins = 256, cutoff = 1 << 10)
-      Seq((p50, p95, p99)).toDF("p50", "p95", "p99")
-    }),
-
-    // per-group EXACT order statistic with no sort and no driver loop
-    // per group: the descent state is a groups-sized DataFrame and all
-    // groups refine in parallel each round (one histogram join + one
-    // ≤bins-row-per-group walk; the only driver action is the
-    // active-group count). bins/cutoff sized so sf0.01's ~20k-row
-    // groups run real refinement rounds before the finisher
-    "q_exact_quantile_by" -> ((s, dir) =>
-      Quantiles.exactQuantileBy(Tables.load(s, dir, "lineitem"),
-          Seq("l_returnflag"), "l_extendedprice", 0.95,
-          bins = 256, cutoff = 1 << 10)
-        .orderBy("l_returnflag")),
-
-    // ONE-PASS mergeable log-histogram quantile sketch (DDSketch-style
-    // relative-error buckets on integer-exact edge arithmetic) — the
-    // streaming-native member next to q_binned_quantile's two-pass
-    // absolute-error histogram: no (min,max) pre-pass, partials merge
-    // by count addition across partitions/micro-batches, error ≤
-    // 2^(1-mBits) RELATIVE (outlier-proof where equal-width bins are
-    // not)
-    "q_loghist_quantile" -> ((s, dir) =>
-      Quantiles.logHistQuantiles(Tables.load(s, dir, "lineitem"),
-          "l_extendedprice", "l_returnflag")
-        .orderBy("l_returnflag")),
-
-    // event-time windowed percentile telemetry — p50/p95/p99 of value
-    // per (1h tumbling window, event_type) through the one-pass sketch:
-    // the latency-dashboard shape, and the reason the sketch needs no
-    // pre-pass (a min/max pass per window would double-scan the stream).
-    // Window start by integer epoch arithmetic (the q_event_windows
-    // convention) so the walk replays engine-exactly
-    "q_window_quantile" -> ((s, dir) =>
-      Quantiles.logHistQuantiles(
-        Tables.loadEvents(s, dir)
-          .withColumn("window_start_ms",
-            expr("(ts_ms div 3600000) * 3600000")),
-        "value", Seq("window_start_ms", "event_type"))
-      .orderBy("window_start_ms", "event_type")),
-
-    // persisted pre-aggregated quantile layer, oracle-gated end-to-end:
-    // cold-build the window-partitioned sketch store over the even
-    // events, append the odd half under the frozen geometry (pure count
-    // accumulation — partials from both loads coexist unmerged), then
-    // serve the Jan-8..15 range per-type percentiles from the STORE
-    // alone (partition-pruned read + bounded walk, no raw-event access).
-    // Bucket identity is window-independent, so the oracle replays the
-    // plain per-group walk over the raw events restricted to the range:
-    // store-served ≡ recompute-from-raw is the layer's contract
-    "q_loghist_store" -> ((s, dir) => withTempStore("lhstore") { tmp =>
-      val ev = Tables.loadEvents(s, dir)
-      val store = tmp + "/store"
-      // daily windows: granularity follows the serving SLA; the bench
-      // range is day-aligned, so answers are identical to hourly — and
-      // the store writes 30 hive partitions instead of 720 small-file
-      // dirs per ingest (the wall was filesystem churn, not compute)
-      SketchStore.write(ev.filter(col("event_id") % 2 === 0), store,
-        windowMs = 86400000L)
-      SketchStore.append(s, ev.filter(col("event_id") % 2 === 1), store)
-      SketchStore.quantiles(s, store, 1704672000000L, 1705276800000L)
-        .orderBy("event_type")
-    }),
-
-    // retention sweep on the persisted quantile store: build over all
-    // events, expire every window ending at or before the serving
-    // range's start, then serve the retained range — answers must be
-    // IDENTICAL to an unexpired store (windows are disjoint), and
-    // n_dropped_windows gates that the sweep removed exactly the
-    // expired partitions, no more, no fewer
-    "q_store_retention" -> ((s, dir) => withTempStore("retention") { tmp =>
-      val ev = Tables.loadEvents(s, dir)
-      val store = tmp + "/store"
-      SketchStore.write(ev, store, windowMs = 86400000L)
-      val dropped = operators.Retention.dropWindowsBefore(s, store,
-        1704672000000L)
-      SketchStore.quantiles(s, store, 1704672000000L, 1705276800000L)
-        .withColumn("n_dropped_windows", lit(dropped.size.toLong))
-        .orderBy("event_type")
-    }),
-
-    // persisted HLL register layer (the distinct-count sibling of
-    // q_loghist_store): seed with the even events, append the odd half,
-    // then RE-APPEND the even half — a deliberate replay. Registers
-    // merge by per-index MAX, so the replay is invisible to every
-    // answer (the algebraic contrast with the count-accumulating
-    // quantile store, which must fence replays). The oracle replays the
-    // register walk over the raw range-restricted events with each
-    // event seen ONCE — hash-match proves the store's serve-time merge
-    // absorbed the duplicate ingest
-    "q_hll_store" -> ((s, dir) => withTempStore("hllstore") { tmp =>
-      val ev = Tables.loadEvents(s, dir)
-      val store = tmp + "/store"
-      HllStore.write(ev.filter(col("event_id") % 2 === 0), store,
-        windowMs = 86400000L) // daily windows (q_loghist_store note)
-      HllStore.append(s, ev.filter(col("event_id") % 2 === 1), store)
-      HllStore.append(s, ev.filter(col("event_id") % 2 === 0), store)
-      HllStore.distinct(s, store, 1704672000000L, 1705276800000L)
-        .orderBy("event_type")
-    }),
-
-    // pairwise audience overlap from the SAME register store: per-idx
-    // MAX of two groups' registers IS the union's register table
-    // (exact, not approximated), so est(A∩B) = est(A)+est(B)−est(A∪B)
-    // falls out of inclusion–exclusion over three harmonic finalizes.
-    // The oracle replays the G²/2 pair matrix over the raw range — the
-    // gate pins the union-register algebra and the pair fan-out
-    "q_hll_overlap" -> ((s, dir) => withTempStore("hlloverlap") { tmp =>
-      val ev = Tables.loadEvents(s, dir)
-      val store = tmp + "/store"
-      HllStore.write(ev, store, windowMs = 86400000L) // daily (see above)
-      HllStore.overlap(s, store, 1704672000000L, 1705276800000L)
-        .orderBy("group_a", "group_b")
-    }),
-
-    // CDF (rank) serve from the quantile-sketch store — the SLO dual of
-    // q_loghist_store ("what share of values sit at or below x"), as a
-    // CERTIFIED [lo, hi] bracket: buckets entirely below the threshold
-    // vs those plus the straddler, widths recovered from the stored
-    // edge alone (positive: bitlength(lo); negative: bitlength(|lo|−1)
-    // — the 2^e corner fold). Values are CENTERED (value − 250) so the
-    // negative-edge recovery runs on real store data, not just specs
-    "q_loghist_cdf" -> ((s, dir) => withTempStore("lhcdf") { tmp =>
-      val ev = Tables.loadEvents(s, dir)
-        .withColumn("centered", col("value") - 250.0)
-      val store = tmp + "/store"
-      SketchStore.write(ev, store, valueCol = "centered",
-        windowMs = 86400000L) // daily windows (q_loghist_store note)
-      SketchStore.cdf(s, store, 1704672000000L, 1705276800000L,
-          Seq(-100.0, 0.0, 150.0))
-        .orderBy("event_type")
-    }),
-
-    // WEIGHTED log-histogram quantiles: the doc length below which p of
-    // the corpus' CHARACTERS live, per language — the curation view
-    // (one 1M-char doc = a million 1-char docs), same one-pass sketch
-    // with weight-sum counts
-    "q_loghist_weighted" -> ((s, dir) =>
-      Quantiles.logHistQuantiles(Tables.load(s, dir, "documents"),
-          "n_chars", Seq("lang"), quantScale = 1.0,
-          weightCol = Some("n_chars"))
-        .orderBy("lang")),
-
-    // the full CUBE lattice — q_rollup's conventions over every
-    // grouping-set combination
-    "q_cube" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-          col("n"), col("sum_qty"))
-        .orderBy("returnflag", "linestatus")
-    }),
-
-    // pivot with explicitly enumerated values (the only engine-portable
-    // form: implicit value discovery is a separate nondeterministic scan)
-    "q_pivot" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(dsum(col("l_quantity")))
-        .withColumnRenamed("F", "qty_F")
-        .withColumnRenamed("O", "qty_O")
-        .orderBy("l_returnflag")
-    }),
-
-    // exact distinct cardinalities per group
-    "q_distinct" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"))
-        .orderBy("l_returnflag")
-    }),
-
-    // salted two-stage aggregation — identical result to a direct groupBy
-    // (the oracle proves it), hot keys spread over 16 sub-reducers
-    "q_salted_agg" -> ((s, dir) =>
-      operators.Skew.saltedAgg(
-          Tables.load(s, dir, "lineitem"),
-          col("l_returnflag"), col("l_quantity"))
-        .withColumnRenamed("key", "l_returnflag")
-        .orderBy("l_returnflag")),
-
-    // salted fact⋈dim join — result identical to the plain join (the
-    // oracle computes the plain join); deterministic row-id salt spreads
-    // a hot key over 8 reducers, dim replicates 8×
-    "q_salted_join" -> ((s, dir) =>
-      operators.Skew.saltedJoin(
-          Tables.load(s, dir, "orders")
-            .withColumnRenamed("o_custkey", "c_custkey"),
-          Tables.load(s, dir, "customer")
-            .select("c_custkey", "c_mktsegment"),
-          "c_custkey", "o_orderkey", saltBuckets = 8)
-        .select("o_orderkey", "c_custkey", "o_totalprice", "c_mktsegment")
-        .orderBy("o_orderkey")),
-
-    // as-of join: latest 'view' at or before each 'click' per user —
-    // union + one running window per key, never an inequality pair join
-    "q_asof_join" -> ((s, dir) => {
-      val ev = Tables.loadEvents(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts", "ts_ms")
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      operators.AsOf.asOfJoin(clicks, views, "user_id", "ts",
-          Seq("event_id", "value"))
-        .select(col("event_id"), col("user_id"), col("ts_ms"),
-          col("matched_event_id"), col("matched_value"))
-        .orderBy("event_id")
-    }),
-
-    // range join: clicks inside a 4-hour window after each error, per
-    // user — bucketed equi-join + containment filter, never a per-key
-    // nested loop
-    "q_range_join" -> ((s, dir) => {
-      val ev = Tables.loadEvents(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts", "ts_ms")
-      val errWindows = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("event_id").as("err_event_id"),
-          col("ts").as("win_start"),
-          (col("ts") + lit(4L * 3600 * 1000 * 1000 * 1000)).as("win_end"))
-      operators.RangeJoin.pointInInterval(clicks, errWindows,
-          "user_id", "ts", "win_start", "win_end",
-          bucketWidth = 4L * 3600 * 1000 * 1000 * 1000)
-        .select(col("event_id"), col("user_id"), col("ts_ms"), col("err_event_id"))
-        .orderBy("event_id", "err_event_id")
-    }),
-
-    // interval × interval overlap: each view opens a 1h attention window,
-    // each error a ±30min incident window; per-user pairs whose windows
-    // intersect, with the exact overlap duration — bucket-blocked
-    // equi-join, each pair emitted once by the first-shared-bucket rule
-    // (arithmetic, not a dedup shuffle), never a per-key nested loop
-    "q_interval_join" -> ((s, dir) => {
-      val ev = Tables.loadEvents(s, dir)
-      val hourNs = 3600L * 1000 * 1000 * 1000
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id"),
-          col("ts").as("v_start"), (col("ts") + lit(hourNs)).as("v_end"))
-      val errs = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("err_id"), col("user_id"),
-          (col("ts") - lit(hourNs / 2)).as("e_start"),
-          (col("ts") + lit(hourNs / 2)).as("e_end"))
-      operators.RangeJoin.intervalOverlap(views, errs, "user_id",
-          "v_start", "v_end", "e_start", "e_end", bucketWidth = hourNs)
-        .select(col("view_id"), col("err_id"), col("user_id"),
-          expr("(least(v_end, e_end) - greatest(v_start, e_start)) div 1000000")
-            .as("overlap_ms"))
-        .orderBy("view_id", "err_id")
-    }),
-
-    // tumbling event-time windows, batch twin of the streaming
-    // eventWindowCounts (same window spec + decimal-exact sums)
-    "q_event_windows" -> ((s, dir) => {
-      Tables.loadEvents(s, dir)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-        .select(unix_millis(col("window.start")).as("window_start_ms"),
-          col("event_type"), col("n"), col("total_value"))
-        .orderBy("window_start_ms", "event_type")
-    }),
-
-    // ---- LLM training-data pipeline operators ----
-
-    "q_exact_dedup" -> ((s, dir) =>
-      Dedup.exactDedup(Tables.load(s, dir, "documents")).orderBy("doc_id")),
-
-    "q_token_stats" -> ((s, dir) =>
-      TextAnalysis.tokenCount(Tables.load(s, dir, "documents")).orderBy("doc_id")),
-
-    // tokenizer fertility per language: BPE-ish tokens per char / per
-    // word — the multilingual tokenizer-efficiency dial a token-budgeted
-    // mix is planned around
-    "q_fertility" -> ((s, dir) =>
-      TextAnalysis.tokenizerFertility(Tables.load(s, dir, "documents"), "lang")
-        .orderBy("stratum")),
-
-    // Pareto-frontier curation: docs no other doc beats on BOTH length
-    // and lexical diversity — distinct-x reduction + descending
-    // prefix-max cover, no O(n²) self join (the oracle replays the
-    // NOT-EXISTS formulation at sf)
-    "q_pareto" -> ((s, dir) => {
-      val scored = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          size(array_distinct(TextAnalysis.tokens(col("text"))))
-            .cast("long").as("n_distinct_tokens"))
-      operators.Sampling
-        .paretoFrontier(scored, "n_chars", "n_distinct_tokens")
-        .select("doc_id", "n_chars", "n_distinct_tokens")
-        .orderBy("doc_id")
-    }),
-
-    // the per-language frontier: one skyline per group, grouped
-    // two-level prefix-max cover
-    "q_pareto_by" -> ((s, dir) => {
-      val scored = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          size(array_distinct(TextAnalysis.tokens(col("text"))))
-            .cast("long").as("n_distinct_tokens"))
-      operators.Sampling
-        .paretoFrontierBy(scored, "n_chars", "n_distinct_tokens", Seq("lang"))
-        .select("doc_id", "lang", "n_chars", "n_distinct_tokens")
-        .orderBy("doc_id")
-    }),
-
-    "q_quality" -> ((s, dir) =>
-      TextAnalysis.qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id")),
-
-    // TRAINED quality classifier (the fastText/CCNet filter recipe):
-    // linear probe on md5-hashed bag-of-words presence features + bias,
-    // 3 full-batch gradient steps, corpus scored by the final weights.
-    // The label is TEXT-derived (docs mentioning 'vector') — the
-    // synthetic lang column is independent of the text, so a metadata
-    // label would gate an unlearnable task (measured AUC 0.50); this one
-    // trains to AUC ≈ 0.8 in 3 steps at 10×, so the scores the oracle
-    // pins are a genuinely learned filter. All gradient algebra is
-    // integer fixed-point (partition-order invariant), so the oracle
-    // replays the ENTIRE training loop, not just the scoring — the
-    // kmeans fixed-point-iteration precedent applied to model training
-    "q_quality_clf" -> ((s, dir) =>
-      graft.operators.Classifier.linearProbe(
-          Tables.load(s, dir, "documents"),
-          col("text").contains("vector"), dim = 64, iters = 3, lr2 = 1.0)
-        .orderBy("doc_id")),
-
-    // exact ROC-AUC (Mann–Whitney with mid-rank ties) — the evaluation
-    // member of the classifier family. Score = n_chars (313 distinct
-    // values over 500 docs at sf0.01 — the tie mass is the point: mid-
-    // rank handling is where naive AUC implementations break), label =
-    // lang='en'. The rank comes from the two-level prefix scan, never a
-    // single-reducer window; the oracle replays the same histogram +
-    // strictly-below cumulative + integer numerator
-    "q_roc_auc" -> ((s, dir) =>
-      operators.Eval.rocAuc(Tables.load(s, dir, "documents"),
-        "n_chars", col("lang") === "en")),
-
-    // grouped twin: one AUC per source — "which shard's metadata
-    // predicts English" as a per-slice ranking diagnostic
-    "q_roc_auc_by" -> ((s, dir) =>
-      operators.Eval.rocAuc(Tables.load(s, dir, "documents"),
-        "n_chars", col("lang") === "en", Seq("source"))
-        .orderBy("source")),
-
-    // binned estimate: rank floor(score·q) instead of the raw score —
-    // the bounded-state path for continuous scores (histogram ≤ score
-    // range × q). Binning merges near-ties; mid-rank handling makes the
-    // result exactly the trapezoid rule on the binned ROC curve, which
-    // the oracle replays with the same floor
-    "q_roc_auc_binned" -> ((s, dir) =>
-      operators.Eval.rocAuc(Tables.load(s, dir, "documents"),
-        "n_chars", col("lang") === "en",
-        quantScale = Some(0.01))),
-
-    // Cohen's kappa between two raters: lang vs a deliberately corrupted
-    // copy (every 7th doc relabeled 'zz') — multi-category, partial
-    // agreement, chance-corrected. The label-QA gate a pipeline runs
-    // BEFORE training a probe on a hand-labeled slice
-    "q_kappa" -> ((s, dir) =>
-      operators.Eval.cohenKappa(
-        Tables.load(s, dir, "documents")
-          .filter(col("lang").isNotNull)
-          .withColumn("b", when(col("doc_id") % 7 === 0, lit("zz"))
-            .otherwise(col("lang"))),
-        "lang", "b")),
-
-    // average precision (PR-AUC at the distinct-score operating points)
-    // — the imbalanced-label companion to q_roc_auc: same histogram,
-    // descending scan, precisions snapped to the 10⁻¹² grid BEFORE the
-    // integer term sum so the accumulation is partition-order invariant
-    "q_avg_prec" -> ((s, dir) =>
-      operators.Eval.averagePrecision(Tables.load(s, dir, "documents"),
-        "n_chars", col("lang") === "en")),
-
-    // calibration (reliability) table over a [0,1] score: per decile
-    // band, count / positive count / empirical rate / fixed-point mean
-    // score. The score is a deterministic [0,1] projection of n_chars —
-    // the gate pins the BIN AND MEAN ARITHMETIC (floor(s·10⁶+0.5) sums,
-    // one division), which is what a probe-threshold sweep runs on
-    "q_calibration" -> ((s, dir) =>
-      operators.Eval.calibration(
-        Tables.load(s, dir, "documents")
-          .withColumn("score", (col("n_chars") % 997) / lit(996.0)),
-        "score", col("lang") === "en", bins = 10)
-        .orderBy("bin")),
-
-    // Brier score per language — the strictly proper single-number
-    // readout (punishes miscalibration AND misranking), integer sums on
-    // the 3dp grid
-    "q_brier" -> ((s, dir) =>
-      operators.Eval.brierScore(
-        Tables.load(s, dir, "documents")
-          .withColumn("score", (col("n_chars") % 997) / lit(996.0)),
-        "score", col("lang") === "en", Seq("lang"))
-        .orderBy("lang")),
-
-    // per-stratum winsorized quality report: exact nearest-rank
-    // [5%, 95%] bounds on the 4dp alpha_ratio via the count-table
-    // cumulative walk (no per-stratum sort), clip counts + robust mean
-    "q_winsorize" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val q = TextAnalysis.qualityScore(docs)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      operators.Stats.winsorize(q, "alpha_ratio", "lang")
-        .orderBy("stratum")
-    }),
-
-    "q_langid" -> ((s, dir) =>
-      TextAnalysis.langId(Tables.load(s, dir, "documents")).orderBy("doc_id")),
-
-    "q_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(Tables.load(s, dir, "documents")).orderBy("doc_id")),
-
-    // robust winnowing (MOSS): per-window min shingle hash, ties to the
-    // rightmost position, via the folded integer key — guaranteed-recall
-    // span spot-checks at 2/(w+1) density
-    "q_winnow" -> ((s, dir) =>
-      Dedup.winnowFingerprints(Tables.load(s, dir, "documents"),
-          k = 3, window = 4)
-        .orderBy("doc_id", "fp_pos")),
-
-    // pairs sharing >=2 winnowed fingerprints (hash df-capped) — the
-    // guaranteed-recall complement to stride-sampled span dedup
-    "q_winnow_pairs" -> ((s, dir) =>
-      Dedup.winnowPairs(Tables.load(s, dir, "documents"),
-          k = 3, window = 4, minShared = 2, maxDocsPerHash = 64)
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // BM25-style keyword relevance (rational idf — see keywordScores doc)
-    "q_keyword_scores" -> ((s, dir) =>
-      TextAnalysis.keywordScores(Tables.load(s, dir, "documents"),
-          Seq("spark", "data", "table"))
-        .orderBy("doc_id")),
-
-    // corpus vocabulary: global top-k tokens by occurrence (ties on token)
-    "q_vocab_topk" -> ((s, dir) =>
-      TextAnalysis.vocabTopK(Tables.load(s, dir, "documents"), 100)
-        .orderBy(col("occurrences").desc, col("token"))),
-
-    // rendezvous (HRW) shard routing: argmax of 16 per-shard md5 scores
-    // — zero-shuffle map-side assignment; growing the shard count moves
-    // only the new shard's winners (the consistent-routing law)
-    "q_rendezvous" -> ((s, dir) =>
-      Sampling.rendezvousShard(Tables.load(s, dir, "documents"), "doc_id", 16)
-        .select("doc_id", "shard").orderBy("doc_id")),
-
-    // deterministic hash-bucket train/val/test assignment (md5-replayable)
-    "q_split" -> ((s, dir) =>
-      Sampling.deterministicSplit(Tables.load(s, dir, "documents"), "doc_id",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "split").orderBy("doc_id")),
-
-    // the pairs-only leakage fix (vs q_split_leakage's CC report and
-    // q_cluster_split's family-hash reassignment): every non-train doc
-    // with a near-dup partner quarantines to train — one pass, closed
-    // (all pair endpoints end in train), no CC job needed, and eval
-    // sets come out near-dup-FREE; pairs from the proven portable
-    // MinHash path at the q_minhash_neardup geometry
-    "q_split_quarantine" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Sampling.leakageSafeSplit(docs,
-          Dedup.minHashNearDupPortable(docs, numHashes = 16, bands = 4,
-            shingleSize = 3, threshold = 0.5),
-          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("doc_id"), col("split_raw"), col("n_dup_partners"),
-          col("moved"), col("split"))
-        .orderBy("doc_id")
-    }),
-
-    // curriculum data order: length-band stages easy→hard (bounded:
-    // n_chars ≤ ~600 in this corpus → ≤ 7 stages; curricula are coarse
-    // by contract), epoch-key shuffle within each stage, contiguous
-    // global rank from the grouped two-level prefix scan
-    "q_curriculum" -> ((s, dir) =>
-      Sampling.curriculumOrder(
-          Tables.load(s, dir, "documents")
-            .withColumn("stage", expr("n_chars div 100")),
-          "stage", seed = 3L)
-        .select("doc_id", "stage", "shuffle_key", "curriculum_rank")
-        .orderBy("doc_id")),
-
-    // reproducible training-order shuffle: md5 sort key + contiguous
-    // global rank from the two-level prefix scan
-    "q_shuffle" -> ((s, dir) =>
-      Sampling.deterministicShuffle(Tables.load(s, dir, "documents"),
-          "doc_id", seed = 7L)
-        .select("doc_id", "shuffle_key", "shuffle_rank")
-        .orderBy("shuffle_rank")),
-
-    // reproducible ~10k-token subset drawn in shuffle order
-    "q_token_budget" -> ((s, dir) =>
-      Sampling.tokenBudgetSample(Tables.load(s, dir, "documents"),
-          budgetTokens = 10000L, seed = 5L)
-        .select("doc_id", "token_offset", "n_tokens")
-        .orderBy("token_offset", "doc_id")),
-
-    // sliding-window chunking: 64-token windows, 16-token overlap
-    "q_chunks" -> ((s, dir) =>
-      TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16)
-        .orderBy("doc_id", "chunk_id")),
-
-    // ---- fixed-memory sketches (Sketches.scala) ----
-
-    // incremental-ingest dedup: Bloom pre-filter (codegen'd bitset probe,
-    // no shuffle for definitely-new rows) + exact anti-join verify on the
-    // Bloom-positive candidates. History = doc_id % 3 == 0; key = md5 of
-    // the normalized text. maybe_seen exposes the Bloom verdict so the
-    // oracle replays the bit math, is_new is the exact verdict.
-    "q_incr_dedup" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Sketches.incrementalDedupDocs(
-          docs.filter(col("doc_id") % 3 =!= 0),
-          docs.filter(col("doc_id") % 3 === 0),
-          mBits = 1 << 14, k = 5)
-        .select("doc_id", "maybe_seen", "is_new").orderBy("doc_id")
-    }),
-
-    // count-min sketch: 4×4096 counter table built in one pass, probed
-    // with the exact top-10 tokens so the oracle shows est vs truth
-    // (est only ever over-counts)
-    "q_cms_topk" -> ((s, dir) =>
-      Sketches.cmsTokenTopK(Tables.load(s, dir, "documents"),
-          depth = 4, width = 1 << 12, topK = 10)
-        .orderBy(col("occurrences").desc, col("token"))),
-
-    // EXACT heavy hitters via the Misra–Gries candidate pass: keys with
-    // frequency ≥ 20% of the stream, recounted exactly — the oracle is
-    // the plain GROUP BY/HAVING the two-pass plan avoids running over
-    // the full key universe
-    "q_heavy_hitters" -> ((s, dir) =>
-      Sketches.heavyHitters(Tables.load(s, dir, "events"),
-          "event_type", minFrac = 0.2)
-        .orderBy("event_type")),
-
-    // distinct-count heavy hitters (superspreaders): top-10 users by
-    // count(DISTINCT value) — grouped-HLL candidate pass (bounded
-    // map-side state), exact recount of candidates only, 3σ-margin
-    // certificate; candidates=2048 covers every key at sf (the
-    // distribution is flat — no certified cut below full coverage)
-    "q_superspreaders" -> ((s, dir) =>
-      Sketches.superSpreaders(Tables.load(s, dir, "events"),
-          "user_id", "value", k = 10, candidates = 2048)
-        .orderBy("rank")),
-
-    // EXACT top-k most-frequent with a runtime certificate (the k-th
-    // recounted count must clear the MG absence budget n/(k+1), so no
-    // non-candidate can outrank the cut) — the exact-regime twin of
-    // q_cms_topk's estimates
-    "q_topk_tokens" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      Sketches.topKFrequent(toks, "token", topK = 10, k = 512)
-        .orderBy("rank")
-    }),
-
-    // per-group certified top-k: each language's 5 most frequent tokens
-    // exactly, candidates joined back (no driver collect), the ranking
-    // window over the candidate table only (≤ groups×k rows)
-    "q_topk_by_lang" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      Sketches.topKFrequentBy(toks, "token", Seq("lang"), topK = 5, k = 512)
-        .orderBy("lang", "rank")
-    }),
-
-    // the grouped shape — per-language heavy tokens with NO driver
-    // collect: candidate arrays explode into a (group, hash) table that
-    // broadcast-joins back, so the recount touches candidate rows only.
-    // The n-gram/vocabulary use case this family exists for
-    "q_heavy_tokens" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val toks = docs.select(col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("token"))
-      Sketches.heavyHittersBy(toks, "token", Seq("lang"), minFrac = 0.02)
-        .orderBy("lang", "token")
-    }),
-
-    // absolute-threshold twin under REAL eviction pressure: 96 counters
-    // vs 100+ distinct suppliers, so the sketch must shed light keys
-    // while everything at or above minCount — just clear of the
-    // n/(k+1) error budget (618.6 at sf0.01) — survives the recount.
-    // minCount derives from the row count (1.05% of n = 630 at sf0.01)
-    // so the budget arithmetic is scale-invariant and the same k holds
-    // at every bench SF
-    "q_heavy_supp" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-      val minCount = math.ceil(0.0105 * li.count()).toLong
-      Sketches.heavyHittersAbs(li, "l_suppkey", minCount, k = 96)
-        .orderBy("l_suppkey")
-    }),
-
-    // HyperLogLog (p=10, 1024 registers) over (doc_id, token) incidence
-    // pairs — posting-list cardinality from a fixed-size register table,
-    // with the exact count alongside for the error story
-    "q_hll_distinct" -> ((s, dir) =>
-      Sketches.hllTokenIncidence(Tables.load(s, dir, "documents"), p = 10)),
-
-    // shard-merge driven end to end: per-source sketches merged by
-    // per-index max must equal the single-pass sketch (the oracle
-    // computes the single-pass side, so the hash gates the identity)
-    "q_hll_merge" -> ((s, dir) =>
-      Sketches.hllTokenIncidenceSharded(
-        Tables.load(s, dir, "documents"), "source", p = 10)),
-
-    // the grouped-sketch path: one register set + estimate per language,
-    // same calibration and bit-replay as the global q_hll_distinct
-    "q_hll_by_lang" -> ((s, dir) =>
-      Sketches.hllTokenIncidenceBy(Tables.load(s, dir, "documents"),
-          "lang", p = 10)
-        .orderBy("lang")),
-
-    // KMV set-operation sketch: per-source k-minimum shingle hashes →
-    // pairwise Jaccard/overlap estimates between sources — the sketch
-    // family's answer to "how much do two crawls share?" without an
-    // exact cross-source join (q_cross_dup is the exact twin). k=64 so
-    // the estimator regime (not the exact small-set regime) is gated.
-    "q_kmv_overlap" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val items = docs
-        .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
-        .select(col("source"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
-        .select(col("source"), explode_outer(col("__sh")).as("item"))
-        .filter(col("item").isNotNull) // Dedup.safeExplodeNote
-      val sketch = Sketches.kmvSketch(items, "item", Seq("source"), k = 64)
-      Sketches.kmvPairOverlap(sketch, "source", k = 64)
-        .orderBy("group_a", "group_b")
-    }),
-
-    // KMV distinct estimates per source from the same sketch, exact
-    // (k−1)·2⁶⁰/h_k arithmetic — HLL's estimate without registers, and
-    // the per-group base the overlap estimator composes from
-    "q_kmv_distinct" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val items = docs
-        .select(col("source"), TextAnalysis.tokens(col("text")).as("__toks"))
-        .select(col("source"), Dedup.shinglesFromTokens(col("__toks"), 3).as("__sh"))
-        .select(col("source"), explode_outer(col("__sh")).as("item"))
-        .filter(col("item").isNotNull) // Dedup.safeExplodeNote
-      val sketch = Sketches.kmvSketch(items, "item", Seq("source"), k = 64)
-      Sketches.kmvDistinctEstimate(sketch, 64, Seq("source"))
-        .orderBy("source")
-    }),
-
-    // the FULL LSH candidate path (signature → banding → pair-gen →
-    // estimate) on the md5-portable family, so DuckDB replays every step
-    // (r4 verdict task 1). The xxhash64 default (Dedup.minHashNearDup)
-    // stays the in-engine fast path, pinned by OperatorsSpec recall and
-    // banding-equivalence specs; benching both hash families would be
-    // ballast (r4 verdict nit 4 — same reason q_simhash was retired from
-    // the suite in favor of q_simhash_md5).
-    "q_minhash_neardup" -> ((s, dir) =>
-      Dedup.minHashNearDupPortable(Tables.load(s, dir, "documents"), threshold = 0.5)
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // LSH near-dup maintenance, oracle-gated end-to-end — the text twin
-    // of q_ivf_pq_append: cold-build the persisted band-bucket store
-    // over the even half, append the odd half under the frozen sidecar
-    // geometry, re-append the SAME batch behind the producer-duplicate
-    // guard (must be a no-op — a surviving duplicate would list its id
-    // twice per bucket and the pair expansion would emit self-pairs at
-    // est 1.0 → hash mismatch), then read the full pair set back from
-    // buckets + signatures, never text. Signatures are pure per-row
-    // functions of the doc, so seed-then-append ≡ cold rebuild over the
-    // union: the oracle replays the cold chain over the WHOLE documents
-    // table and IS the operator's truth. The probe (delta) path is
-    // pinned exactly by LshIndexSpec.
-    "q_lsh_append" -> ((s, dir) => withTempStore("lshapp") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val idx = tmp + "/index"
-      graft.operators.LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
-      graft.operators.LshIndex.append(s, batch, idx)
-      graft.operators.LshIndex.append(s, batch, idx, dedupeIds = true)
-      graft.operators.LshIndex.lshPairs(s, idx, threshold = 0.5)
-        .orderBy("doc_id_a", "doc_id_b")
-    }),
-
-    // banding-recall telemetry: LSH-flagged pairs vs the exact >=0.5
-    // jaccard truth — the report a user reads to size bands/hashes, and a
-    // regression pin on the banding quality itself
-    "q_lsh_recall" -> ((s, dir) =>
-      Dedup.lshRecall(Tables.load(s, dir, "documents"), threshold = 0.5)),
-
-    // engine-portable signature variant: md5-derived token hash, so the
-    // full bit pattern is DuckDB-replayable (q_simhash itself is xxhash64
-    // → rows-only)
-    "q_simhash_md5" -> ((s, dir) =>
-      Dedup.simHashTablePortable(Tables.load(s, dir, "documents")).orderBy("doc_id")),
-
-    "q_minhash_md5" -> ((s, dir) =>
-      Dedup.minHashSignaturesPortable(Tables.load(s, dir, "documents"),
-        numHashes = 8, shingleSize = 3).orderBy("doc_id")),
-
-    "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), threshold = 0.8)
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // pairs → decisions: connected components over the near-dup graph
-    // (the trio shares the memoized dedupLabels substrate — one CC pass
-    // per suite process, three derived reports)
-    "q_dedup_clusters" -> ((s, dir) =>
-      dedupLabels(s, dir).orderBy("doc_id")),
-
-    // eval-contamination audit: near-dup families split across
-    // train/val/test by the doc-id-keyed split — each leaked family is
-    // a test answer visible from train (rides the memoized CC labels)
-    "q_split_leakage" -> ((s, dir) =>
-      operators.Sampling.splitLeakage(
-          dedupLabels(s, dir),
-          Sampling.deterministicSplit(Tables.load(s, dir, "documents"),
-              "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-            .select("doc_id", "split"))
-        .orderBy("canonical_id")),
-
-    // the leakage FIX: split assignment keyed by the cluster label, so
-    // a near-dup family moves as one unit (zero leakage by construction)
-    "q_cluster_split" -> ((s, dir) =>
-      Sampling.deterministicSplit(dedupLabels(s, dir), "canonical_id",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "split").orderBy("doc_id")),
-
-    // dedup impact BY SOURCE: which crawls contribute the duplicates?
-    // a doc is a duplicate iff it is not its family's canonical — one
-    // join of the memoized CC labels to the source column, one grouped
-    // count (the budget view: dedup spend follows dup_rate, per source)
-    "q_dup_rate_by_source" -> ((s, dir) =>
-      dedupLabels(s, dir)
-        .join(Tables.load(s, dir, "documents").select("doc_id", "source"),
-          "doc_id")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
-            .as("n_dups"))
-        .withColumn("dup_rate",
-          round(col("n_dups").cast("double") / col("n_docs"), 6))
-        .orderBy("source")),
-
-    // per-source dataset card: volume, language spread, mean quality
-    // signals, near-dup contamination — the documentation table a
-    // corpus release ships, riding the memoized CC labels
-    "q_datasheet" -> ((s, dir) =>
-      TextAnalysis.datasheet(Tables.load(s, dir, "documents"),
-          dedupLabels(s, dir))
-        .orderBy("source")),
-
-    // dedup impact report: how big are the duplicate families? two
-    // bounded aggregates over the cluster labeling
-    "q_cluster_sizes" -> ((s, dir) =>
-      dedupLabels(s, dir)
-        .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
-        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
-        .orderBy("cluster_size")),
-
-    // cross-source duplication matrix: distinct span fingerprints shared
-    // per source pair — whole-doc dups stay within a dump, boilerplate
-    // crosses crawls at the span level (the overlap forensic that sizes
-    // dedup budgets)
-    "q_cross_dup" -> ((s, dir) =>
-      Dedup.crossSourceDuplication(Tables.load(s, dir, "documents"))
-        .orderBy("source_a", "source_b")),
-
-    // quality-aware canonical selection: keep each cluster's cleanest
-    // member (argmax alpha_ratio, n_chars; tie -> lowest id), not its
-    // lowest id — the curation refinement over q_dedup_clusters
-    "q_dedup_best" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.dedupRepresentativesFromLabels(docs, dedupLabels(s, dir))
-        .orderBy("doc_id")
-    }),
-
-    // large-star/small-star contraction on a CHAIN-shaped pair graph:
-    // consecutive doc_ids within each normalized-text dup group, i.e.
-    // deliberately DEEP components — the O(diameter)-round worst case for
-    // min-label propagation and exactly the shape the O(log² n) star
-    // rounds exist for. The oracle needs no recursion: a chain's closure
-    // is its group, so canonical_id must equal the group min — which is
-    // precisely what the CC must reproduce by multi-round contraction.
-    "q_cc_star" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val keyed = docs.select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("__k"))
-      val w = Window.partitionBy("__k").orderBy("doc_id")
-      val chainPairs = keyed
-        .withColumn("__prev", lag("doc_id", 1).over(w))
-        .filter(col("__prev").isNotNull)
-        .select(col("__prev").as("doc_id_a"), col("doc_id").as("doc_id_b"))
-      Dedup.dedupClustersStar(docs, chainPairs)
-        .orderBy("doc_id")
-    }),
-
-    // Z-order (Morton) layout key over two join/filter dimensions — the
-    // data-layout primitive behind multi-dimensional file skipping; pure
-    // codegen bit arithmetic, verified bit-for-bit by the oracle
-    "q_zorder" -> ((s, dir) =>
-      graft.operators.Layout.withZOrderKey(
-          Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey")
-        .select("l_orderkey", "l_linenumber", "z_key")
-        .orderBy("z_key", "l_orderkey", "l_linenumber")),
-
-    // storage maintenance, gated: shatter the documents table into 16
-    // files, compact to 2 range-sorted files, and return the read-back
-    // rows PLUS the two claims the operator makes — the output file
-    // count (n_files, oracle pins 2) and zero within-file sort
-    // violations (disorder, oracle pins 0). Rows, schema and hash prove
-    // compaction is content-preserving; the literals prove the layout.
-    "q_compact" -> ((s, dir) => withTempStore("q-compact") { tmp =>
-      Tables.load(s, dir, "documents")
-        .repartition(16).write.mode("overwrite").parquet(s"$tmp/shattered")
-      graft.ParquetIO.compact(s, s"$tmp/shattered", s"$tmp/compacted",
-        sortCols = Seq("doc_id"), numFiles = 2)
-      val back = s.read.parquet(s"$tmp/compacted")
-      // PHYSICAL row order per file via the parquet _metadata column —
-      // ordering the lag window by doc_id itself would be circular
-      val byFile = back.select(col("_metadata.file_path").as("__f"),
-        col("_metadata.row_index").as("__ri"), col("doc_id"))
-      val nFiles = byFile.select("__f").distinct().count()
-      val disorder = byFile
-        .withColumn("__prev", lag("doc_id", 1)
-          .over(Window.partitionBy("__f").orderBy("__ri")))
-        .filter(col("__prev") > col("doc_id")).count()
-      back.select(col("doc_id"), col("text"), col("lang"),
-          col("source"), col("n_chars"),
-          lit(nFiles).as("n_files"), lit(disorder).as("disorder"))
-        .orderBy("doc_id")
-    }),
-
-    // distributed ANALYZE: per-column counts/nulls/min/max + HLL ndv in
-    // two partial-agg passes over the whole table
-    // est_distinct is dropped from the GATED projection: its ln-based
-    // small-range correction is not bit-replayable (Sketches
-    // .correctedEstimate); the exact register count is, and pins the
-    // whole sketch state
-    // exact grouped Pearson correlation: DECIMAL power sums (order-free)
-    // + a pinned-IEEE closed form — corr without float accumulation
-    "q_corr" -> ((s, dir) =>
-      operators.Stats.groupedCorrelation(Tables.load(s, dir, "lineitem"),
-          "l_quantity", "l_extendedprice", "l_returnflag")
-        .orderBy("l_returnflag")),
-
-    // sqrt-temperature (alpha=0.5) stratum rebalancing plan: post-sample
-    // counts ∝ sqrt(n_i), rarest stratum kept whole; one ratio + one
-    // correctly-rounded sqrt per stratum — replays unrounded
-    "q_sqrt_mix" -> ((s, dir) =>
-      Sampling.sqrtTemperatureMix(Tables.load(s, dir, "documents"), "lang")
-        .orderBy("stratum")),
-
-    "q_column_profile" -> ((s, dir) =>
-      operators.Stats.columnProfile(Tables.load(s, dir, "lineitem"),
-          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))
-        .drop("est_distinct")
-        .orderBy("column")),
-
-    // exact-count per-stratum draw (vs q_stratified's fractional one):
-    // md5-ranked, partitioning-independent
-    "q_fixed_sample" -> ((s, dir) =>
-      Sampling.fixedSizeSample(Tables.load(s, dir, "documents"),
-          "doc_id", "lang", n = 25, seed = 7L)
-        .select("doc_id", "lang")
-        .orderBy("doc_id")),
-
-    // corpus-bigram fluency score — the CCNet-style perplexity-filter
-    // proxy, log-free so it replays exactly
-    "q_lm_score" -> ((s, dir) =>
-      TextAnalysis.lmScore(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id")),
-
-    // inverted-index dictionary: per-term df / total tf / doc span — the
-    // scalar summary of the positional index (posting lists themselves
-    // are per-(term,doc) rows, never one giant per-term array)
-    "q_term_stats" -> ((s, dir) =>
-      Index.termStats(Tables.load(s, dir, "documents"))
-        .orderBy("term")),
-
-    // exact phrase search by positional intersection — cost bounded by
-    // the rarest phrase term's postings
-    "q_phrase" -> ((s, dir) =>
-      Index.phraseSearch(Tables.load(s, dir, "documents"),
-          Seq("order", "fast"))
-        .orderBy("doc_id")),
-
-    // sparse TF-IDF triples — rational idf (no log), so every weight
-    // replays bit-for-bit in the oracle
-    "q_tfidf" -> ((s, dir) =>
-      Tfidf.tfidfVectors(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id", "term")),
-
-    // term-blocked sparse cosine pairs over BIGRAM vectors, pair-gen
-    // restricted to rare terms: df ≤ min(1% of docs, absolute 1000) —
-    // the fractional cap guards skew, the absolute cap bounds block
-    // width (and so per-term candidates) independently of corpus size
-    "q_sparse_cosine" -> ((s, dir) =>
-      Tfidf.sparseCosinePairs(
-          Tfidf.tfidfVectors(Tables.load(s, dir, "documents"), ngram = 2),
-          threshold = 0.05, maxDfFrac = 0.01, maxDf = 1000L)
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // Gopher/MassiveText-style within-doc repetition quality stats
-    "q_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id")),
-
-    // PII redaction over a corpus with deterministically PLANTED pii (the
-    // synthetic corpus contains none — every 7th doc gets an email, phone,
-    // and IP appended via the same expression the oracle uses, so the
-    // redaction path is actually exercised, not vacuously green)
-    "q_pii" -> ((s, dir) => {
-      val planted = Tables.load(s, dir, "documents").withColumn("text",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" contact user"),
-            col("doc_id").cast("string"),
-            lit("@example.com or 555-123-4567 at 10.0.0."),
-            (col("doc_id") % 256).cast("string")))
-          .otherwise(col("text")))
-      operators.Pii.redact(planted).orderBy("doc_id")
-    }),
-
-    // per-language deterministic downsampling (keep-all default for
-    // unlisted strata — zh here)
-    "q_stratified" -> ((s, dir) =>
-      Sampling.stratifiedSample(Tables.load(s, dir, "documents"),
-          "doc_id", "lang",
-          Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), default = 1.0)
-        .select("doc_id", "lang").orderBy("doc_id")),
-
-    // sequence packing by global token offset — distributed two-level
-    // prefix scan, never a whole-corpus single-partition window
-    "q_pack" -> ((s, dir) =>
-      operators.Packing.packSequences(
-          TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16),
-          budget = 256, docBucket = 64)
-        .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
-        .orderBy("doc_id", "chunk_id")),
-
-    // packing efficiency: fill rate per training sequence — the
-    // wasted-FLOPs / boundary-straddle report over the packed table
-    "q_pack_stats" -> ((s, dir) =>
-      operators.Packing.packStats(
-          operators.Packing.packSequences(
-            TextAnalysis.chunkDocuments(Tables.load(s, dir, "documents"), 64, 16),
-            budget = 256, docBucket = 64),
-          budget = 256)
-        .orderBy("seq_id")),
-
-    // publish-to-training shard export: token-balanced contiguous
-    // shard assignment (exclusive prefix offset div ceil(total/N) via
-    // the distributed two-level scan), actually WRITTEN as one hive
-    // partition per shard, manifest recomputed from the read-back —
-    // the returned (n_docs, n_tokens, order-invariant md5-half xor
-    // digest) proves the published bytes match what any engine would
-    // assign, which is what the oracle replays
-    "q_publish_shards" -> ((s, dir) => withTempStore("publish") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      operators.Layout.writeShards(s,
-          operators.Layout.publishShards(docs, nShards = 8), tmp + "/shards")
-        .orderBy("shard_id")
-    }),
-
-    // the END-TO-END training-sequence assembly: curate (quality →
-    // exact-dedup → near-dup-drop → split → chunk), keep the train
-    // split, pack into fixed-token-budget sequences — every stage's
-    // replay is proven separately (q_pipeline, q_split, q_pack); this
-    // composes them through ONE lazy plan and ONE oracle
-    "q_pipeline_pack" -> ((s, dir) =>
-      operators.Packing.packSequences(
-          operators.Pipeline.curate(Tables.load(s, dir, "documents"))
-            .filter(col("split") === "train"),
-          budget = 256, docBucket = 64)
-        .select("doc_id", "chunk_id", "n_chunk_tokens", "global_offset", "seq_id")
-        .orderBy("doc_id", "chunk_id")),
-
-    // BM25 keyword retrieval (rational-idf variant — the log-free
-    // Robertson–Spärck-Jones odds the oracle replays bit-for-bit;
-    // exact-binary-fraction k1/b make the saturation chain drift-free):
-    // first five docs as seed queries, top-10 lexical matches each
-    "q_bm25" -> ((s, dir) =>
-      operators.Retrieval.bm25TopK(Tables.load(s, dir, "documents"),
-          queryMaxId = 5, k = 10, logIdf = false)
-        .orderBy("query_id", "rank")),
-
-    // BM25 + RM3 pseudo-relevance feedback (the production query-
-    // expansion layer): pass-1 rational-idf BM25 picks 5 feedback docs
-    // per query, the top-10 NEW terms by uniform-prior relevance-model
-    // weight (order-free 6dp tf/dl sums) expand the query at weight
-    // 0.5, pass-2 rescores — both passes, the term selection, and the
-    // interpolation replay bit-for-bit
-    "q_bm25_prf" -> ((s, dir) =>
-      operators.Retrieval.bm25PrfTopK(Tables.load(s, dir, "documents"),
-          queryMaxId = 5, k = 10, fbDocs = 5, fbTerms = 10, logIdf = false)
-        .orderBy("query_id", "rank")),
-
-    // the OTHER export tail: curate at document granularity, keep the
-    // train split, publish as token-balanced shards with the read-back
-    // integrity manifest — curate → publish as one lineage, the
-    // q_pipeline_pack sibling for loaders that consume whole documents
-    "q_pipeline_publish" -> ((s, dir) => withTempStore("pipepub") { tmp =>
-      operators.Layout.writeShards(s,
-          operators.Layout.publishShards(
-            operators.Pipeline.curateDocs(Tables.load(s, dir, "documents"))
-              .filter(col("split") === "train"),
-            nShards = 8),
-          tmp + "/shards")
-        .orderBy("shard_id")
-    }),
-
-    // INCREMENTAL publish: seed export over doc_id < 250 (frozen
-    // budget + meta), append the rest as NEW shards — published shards
-    // are immutable (the append starts at the next free shard id; the
-    // seed's tail shard ships short), the appended assignment is the
-    // same prefix scan shifted by next_shard·budget. The full read-back
-    // manifest is the gate: seed shards must hash exactly as a
-    // seed-only publish, appended shards replay the shifted scan
-    "q_publish_append" -> ((s, dir) => withTempStore("pubappend") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val dest = tmp + "/shards"
-      operators.Layout.publishInit(s, docs.filter(col("doc_id") < 250),
-        dest, nShards = 8)
-      operators.Layout.appendShards(s, docs.filter(col("doc_id") >= 250), dest)
-        .orderBy("shard_id")
-    }),
-
-    // takedown THROUGH the export (r18 verdict task 3): publish, then
-    // forgetPublished doc_id % 11 == 5 — only the shards holding those
-    // docs rewrite (every other shard byte-equal, spec-asserted), meta
-    // keeps its frozen geometry and bumps forget_gen. Oracle: the
-    // original assignment minus the forgotten docs — surviving docs
-    // keep their shard ids, never re-flowed
-    "q_publish_forget" -> ((s, dir) => withTempStore("pubforget") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val dest = tmp + "/shards"
-      operators.Layout.publishInit(s, docs, dest, nShards = 8)
-      operators.Layout.forgetPublished(s,
-          docs.filter(col("doc_id") % 11 === 5).select("doc_id"), dest)
-        .orderBy("shard_id")
-    }),
-
-    // per-language corpus telemetry aggregate
-    "q_corpus_stats" -> ((s, dir) =>
-      TextAnalysis.corpusStats(Tables.load(s, dir, "documents"), "lang")
-        .orderBy("stratum")),
-
-    // water-filling mixture plan: largest corpus achieving the target mix
-    "q_mixture_plan" -> ((s, dir) =>
-      Sampling.mixturePlan(Tables.load(s, dir, "documents"), "lang",
-          Seq("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1))
-        .orderBy("stratum")),
-
-    // water-filling budget allocation: cap dominant languages at the
-    // common level that spends exactly the budget — all-integer
-    // decisions (cross-multiplied cut + largest-remainder split)
-    "q_waterfill" -> ((s, dir) =>
-      Sampling.waterfillBudget(Tables.load(s, dir, "documents"),
-          "lang", budget = 400)
-        .orderBy("stratum")),
-
-    // fuzzy dedup: LSH candidates + exact Levenshtein verify
-    "q_edit_neardup" -> ((s, dir) =>
-      Dedup.editDistanceNearDup(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // cross-doc duplicate 32-token spans (window-fingerprint substring
-    // dedup) — md5 fingerprints, fully SQL-replayable
-    "q_dupspans" -> ((s, dir) =>
-      Dedup.duplicateSpans(Tables.load(s, dir, "documents"), 32, 16)
-        .orderBy("doc_id", "chunk_id")),
-
-    // span telemetry folded into the per-doc drop/trim decision signal
-    "q_span_dup_frac" -> ((s, dir) =>
-      Dedup.spanDupFraction(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id")),
-
-    // EXACT >=16-token duplicated substrings (Lee et al. ExactSubstr
-    // semantics): stride-1 window anchors, bucket-verified equality,
-    // islands merged to maximal spans with exact token boundaries
-    "q_dupspans_exact" -> ((s, dir) =>
-      Dedup.duplicateSpansExact(Tables.load(s, dir, "documents"), 16)
-        .orderBy("doc_id", "span_start")),
-
-    // the extractor APPLIED: duplicateSpansExact's ranges cut out of the
-    // corpus in the same lineage — extract → trim as one composed query,
-    // graded on the trimmed text itself (md5) plus the token accounting
-    "q_trim_spans" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Dedup.trimSpans(docs, Dedup.duplicateSpansExact(docs, 16))
-        .select(col("doc_id"), md5(col("text")).as("trimmed_md5"),
-          col("n_tokens_before"), col("n_tokens_kept"))
-        .orderBy("doc_id")
-    }),
-
-    // the ExactSubstr family's persisted-store lifecycle: seed the
-    // span-print store with the even docs, append the odd half under
-    // the frozen geometry, probe five docs — the "does this batch
-    // duplicate the corpus" ingest shape; the oracle replays the probe
-    // over the UNION corpus, so seed+append ≡ cold rebuild is the gate
-    "q_spanstore" -> ((s, dir) => withTempStore("spanstore") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val store = tmp + "/store"
-      // 16 shards: directory fan-out follows store size (the geometry
-      // knob's contract) — a few-MB bench store under 256 dirs paid
-      // ~2x wall in pure directory churn (r17 bench), while the
-      // 10x-store ScaleCheck stanza exercises the wide default
-      operators.SpanStore.write(docs.filter(col("doc_id") % 2 === 0),
-        store, minTokens = 16, shardChars = 1)
-      operators.SpanStore.append(s, docs.filter(col("doc_id") % 2 === 1), store)
-      operators.SpanStore.probe(s, docs.filter(col("doc_id") < 5), store)
-        .orderBy("doc_id", "p")
-    }),
-
-    // the span store's Bloom-sidecar admission path: sidecar sized on
-    // the seed third (headroom ×4), middle third appended under the
-    // frozen bit geometry (generation OR ≡ one filter over the union),
-    // novel third probed through the sidecar. One row per probe doc:
-    // distinct prints, Bloom-positive prints (true dups + the bounded
-    // FP share), exact store dups. The oracle replays the Bloom verdict
-    // bit-for-bit — md5-half positions mod a replayed m_bits — so the
-    // sizing formula, the per-shard position sets, and the append union
-    // are all hash-gated; n_dup <= n_maybe <= n_prints is the
-    // no-false-negative law made visible in the result itself
-    "q_spanstore_bloom" -> ((s, dir) => withTempStore("spanbloom") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val store = tmp + "/store"
-      // 16 shards — bench-store-sized geometry (q_spanstore note);
-      // withBloom fuses the sidecar build into the seed write's own
-      // fingerprint pass
-      operators.SpanStore.write(docs.filter(col("doc_id") % 3 === 1),
-        store, minTokens = 16, shardChars = 1, withBloom = true)
-      operators.SpanStore.append(s, docs.filter(col("doc_id") % 3 === 2), store)
-      // trickle-shaped probe batch (1/15 of the corpus, disjoint from
-      // the store): the representative ingest ratio, and the accounting
-      // passes stay batch-sized
-      val batch = docs.filter(col("doc_id") % 15 === 0)
-      val pr = CacheRegistry.track(operators.SpanStore.printsOf(s, batch, store)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val maybe = operators.SpanStore.bloomMaybe(s,
-        pr.select("shard", "span_md5").distinct(), store)
-      val hits = operators.SpanStore.probe(s, batch, store) // bloom path ON
-      val perDoc = pr.groupBy("doc_id")
-        .agg(countDistinct(col("span_md5")).as("n_prints"))
-      val nMaybe = pr.join(maybe, Seq("shard", "span_md5"), "left_semi")
-        .groupBy("doc_id").agg(countDistinct(col("span_md5")).as("n_maybe"))
-      val nDup = hits.groupBy("doc_id")
-        .agg(countDistinct(col("span_md5")).as("n_dup"))
-      perDoc
-        .join(nMaybe, Seq("doc_id"), "left")
-        .join(nDup, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_prints"),
-          coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
-          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
-        .orderBy("doc_id")
-    }),
-
-    // decontaminate-at-ingest, the cross-store composition: seed the
-    // span store with the even half, run the odd half through ONE
-    // probe → trim → drop → append-survivors lineage (SpanStore
-    // .ingestCurate), then re-probe the survivors so the audit carries
-    // proof the append landed (n_store_prints = each survivor's own
-    // print count served back from the post-append store; the oracle
-    // recomputes it from the trimmed text — equal iff the survivors'
-    // prints actually entered the store)
-    "q_ingest_curate" -> ((s, dir) => withTempStore("ingestcurate") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val store = tmp + "/store"
-      // 16 shards — bench-store-sized geometry (q_spanstore note). NO
-      // bloom sidecar: the odd-half batch is backfill-shaped and the
-      // sidecar measured 2x slower here (4.5 -> 9.1 s at sf0.1, r17) —
-      // the trickle case that pays off is q_spanstore_bloom's
-      operators.SpanStore.write(docs.filter(col("doc_id") % 2 === 0),
-        store, minTokens = 16, shardChars = 1)
-      val audit = operators.SpanStore.ingestCurate(s,
-        docs.filter(col("doc_id") % 2 === 1), store, minKeptFrac = 0.3)
-      val own = operators.SpanStore.probe(s,
-          audit.filter(!col("dropped")).select("doc_id", "text"), store)
-        .groupBy("doc_id")
-        .agg(countDistinct(col("span_md5")).as("n_store_prints"))
-      audit.join(own, Seq("doc_id"), "left")
-        .select(col("doc_id"), md5(col("text")).as("curated_md5"),
-          col("n_tokens_before"), col("n_tokens_kept"), col("dropped"),
-          coalesce(col("n_store_prints"), lit(0L)).as("n_store_prints"))
-        .orderBy("doc_id")
-    }),
-
-    // dedup-at-ingest, the near-duplicate twin of q_ingest_curate:
-    // seed the LSH store with the even half, probe the odd half, drop
-    // batch docs that near-dup the corpus or a smaller-id batch doc
-    // (keep-first), append only survivors (LshIndex.ingestDedup) —
-    // in_store is read back from the post-append sigs sidecar, so the
-    // oracle's NOT-dropped prediction gates that the append landed
-    "q_ingest_dedup" -> ((s, dir) => withTempStore("ingestdedup") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val idx = tmp + "/index"
-      graft.operators.LshIndex.write(docs.filter(col("doc_id") % 2 === 0), idx)
-      val audit = graft.operators.LshIndex.ingestDedup(s,
-        docs.filter(col("doc_id") % 2 === 1), idx)
-      val inStore = s.read.parquet(idx + "_sigs").select(col("doc_id"))
-        .distinct().withColumn("in_store", lit(true))
-      audit.join(inStore, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
-          col("dropped"),
-          coalesce(col("in_store"), lit(false)).as("in_store"))
-        .orderBy("doc_id")
-    }),
-
-    // the full admission gauntlet — BOTH persisted stores in one ingest
-    // lineage: stage 1 dedups the batch against the LSH store (near-dup
-    // drops, keep-first), stage 2 curates the survivors against the
-    // span store (exact-span trims, kept-fraction drops), each stage
-    // appending only what it admits. One row per batch doc carries both
-    // stage verdicts; stage-2 columns read sentinels ('' / -1 / false)
-    // for docs stage 1 already dropped — the production shape where a
-    // batch passes every admission gate before any of it becomes corpus
-    "q_ingest_gauntlet" -> ((s, dir) => withTempStore("gauntlet") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val seed = docs.filter(col("doc_id") % 2 === 0)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
-      val lshDir = tmp + "/lsh"
-      val spanDir = tmp + "/span"
-      // the two seed builds are independent stores — concurrent jobs,
-      // not serial submission latency (the ParJobs store-write pattern)
-      // NO bloom sidecar here (measured r17): this batch is the odd
-      // HALF of the corpus — backfill-shaped, so the sidecar cleared
-      // little and its build + per-append generation passes nearly
-      // doubled the wall (5.3 -> 11.0 s at sf0.1). The sidecar's case
-      // is the trickle ratio q_spanstore_bloom models.
-      operators.ParJobs.run(
-        () => graft.operators.LshIndex.write(seed, lshDir),
-        () => operators.SpanStore.write(seed, spanDir,
-          minTokens = 16, shardChars = 1))
-      // 0.8 stage-1 cut: near-certain copies drop, fuzzier near-dups
-      // (est in [0.5, 0.8)) flow through to stage 2's exact-span pass.
-      // On this corpus every exact-span candidate is itself a
-      // near-certain copy, so stage 1 shields stage 2 (trims land in
-      // q_ingest_curate where stage 1 is absent) — the gate here is the
-      // stage composition: 204 survivors' full-text md5s + both stage
-      // verdicts per doc, all replayed
-      val dedupAudit = graft.operators.LshIndex.ingestDedup(s, batch, lshDir,
-        threshold = 0.8)
-      val curateAudit = operators.SpanStore.ingestCurate(s,
-        dedupAudit.filter(!col("dropped")).select("doc_id", "text"),
-        spanDir, minKeptFrac = 0.3)
-      dedupAudit
-        .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
-          col("dropped").as("dedup_dropped"))
-        .join(curateAudit
-          .select(col("doc_id"), md5(col("text")).as("curated_md5"),
-            col("n_tokens_before"), col("n_tokens_kept"),
-            col("dropped").as("curate_dropped")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_store_dups"), col("n_batch_dups"),
-          col("dedup_dropped"),
-          coalesce(col("curated_md5"), lit("")).as("curated_md5"),
-          coalesce(col("n_tokens_before"), lit(-1L)).as("n_tokens_before"),
-          coalesce(col("n_tokens_kept"), lit(-1L)).as("n_tokens_kept"),
-          coalesce(col("curate_dropped"), lit(false)).as("curate_dropped"))
-        .orderBy("doc_id")
-    }),
-
-    // targeted deletion (the data-governance takedown), exact-span
-    // store: full-corpus store, forget doc_id % 7 == 3, probe the
-    // first five docs against the LIVE (uncompacted) store — serving
-    // between forget and compaction must already equal a cold build
-    // without the forgotten docs, which is what the oracle replays
-    // (store prints restricted to survivors; the probe side stays
-    // unrestricted — a forgotten doc may itself arrive as a new batch,
-    // and its prints must count only SURVIVING store docs)
-    "q_forget_span" -> ((s, dir) => withTempStore("forgetspan") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val store = tmp + "/store"
-      operators.SpanStore.write(docs, store, minTokens = 16, shardChars = 1)
-      operators.SpanStore.forget(s,
-        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), store)
-      operators.SpanStore.probe(s, docs.filter(col("doc_id") < 5), store)
-        .orderBy("doc_id", "p")
-    }),
-
-    // takedown, near-dup store, PHYSICAL half: forget doc_id % 7 == 3,
-    // compact (tombstones applied to buckets AND sigs, sidecar not
-    // carried forward), then serve the full pair set from the compacted
-    // store — must equal a cold build over the survivors (the oracle's
-    // candidate chain restricted to them); the live-serving half of the
-    // law is PropertySpec's forget∘compact stanza
-    "q_forget_lsh" -> ((s, dir) => withTempStore("forgetlsh") { tmp =>
-      val docs = Tables.load(s, dir, "documents")
-      val idx = tmp + "/index"
-      graft.operators.LshIndex.write(docs, idx)
-      graft.operators.LshIndex.forget(s,
-        docs.filter(col("doc_id") % 7 === 3).select("doc_id"), idx)
-      graft.operators.LshIndex.compactLsh(s, idx, tmp + "/compacted")
-      graft.operators.LshIndex.lshPairs(s, tmp + "/compacted", threshold = 0.5)
-        .orderBy("doc_id_a", "doc_id_b")
-    }),
-
-    // takedown, IVFADC index: forget vec_id % 7 == 3, probe the live
-    // index — forgotten vectors' codes vanish from every candidate list
-    // while the FROZEN codebooks (trained with them) keep serving, the
-    // trained-artifact semantics the oracle mirrors exactly (codebook
-    // CTEs corpus-wide, code CTE restricted to survivors)
-    "q_forget_ivf" -> ((s, dir) => withTempStore("forgetivf") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.forgetIvfPq(s,
-        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
-      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
-          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
-        .orderBy("query_id", "rank")
-    }),
-
-    // codebook retrain-and-swap, the drift monitor's actuator (r18
-    // verdict task 1): build the IVFADC index, forget vec_id % 7 == 3,
-    // then RETRAIN — membership = surviving store ids, tombstones
-    // applied physically, codebooks re-drawn over the survivors (unlike
-    // q_forget_ivf, where the frozen books keep the forgotten vectors'
-    // geometry) — and probe the swapped index. Oracle: the full cold
-    // chain over a corpus that never held the forgotten vectors, which
-    // is exactly what a retrained index must equal
-    "q_ivf_retrain" -> ((s, dir) => withTempStore("ivfretrain") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.forgetIvfPq(s,
-        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
-      Similarity.retrainIvfPq(s, emb, idx)
-      val survivors = emb.filter(col("vec_id") % 7 =!= 3)
-      Similarity.ivfPqTopK(s, idx, survivors.filter(col("vec_id") < 5),
-          survivors, k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
-        .orderBy("query_id", "rank")
-    }),
-
-    // intra-doc twin: exact boundaries of >=8-token substrings repeated
-    // WITHIN a document. The synthetic corpus has no natural self-
-    // repetition at any k (checked), so the gate plants one
-    // deterministically — each doc's first 20 tokens appended at its
-    // end — and the oracle replays the derived corpus verbatim: the
-    // expected spans are the 20-token prefix and the appended tail copy
-    "q_selfrep_spans" -> ((s, dir) => {
-      val toks = operators.TextAnalysis.tokens(col("text"))
-      val planted = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          concat_ws(" ", concat(toks, slice(toks, 1, 20))).as("text"))
-      Dedup.selfRepetitionSpans(planted, 8)
-        .orderBy("doc_id", "span_start")
-    }),
-
-    // per-row probability sample: keep probability scales with doc length
-    "q_weighted_sample" -> ((s, dir) =>
-      Sampling.weightedSample(Tables.load(s, dir, "documents"),
-          "doc_id", col("n_chars") / 1000.0)
-        .select("doc_id", "n_chars").orderBy("doc_id")),
-
-    // benchmark decontamination sweep: probes = doc_id < 20
-    "q_contamination" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      operators.Contamination.overlapReport(docs,
-          docs.filter(col("doc_id") < 20), minShared = 2)
-        .orderBy("probe_id", "doc_id")
-    }),
-
-    // the sweep APPLIED: every corpus doc flagged against the probe set
-    // is cut, survivors keep the audit columns — detect → drop as one
-    // lineage (probes are their own trivial hits and drop too; the gate
-    // reads the whole corpus annotated, dropped and kept alike)
-    "q_decontaminate" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      operators.Contamination.decontaminate(docs,
-          docs.filter(col("doc_id") < 20), minShared = 2)
-        .select(col("doc_id"), col("dropped"), col("n_probes_hit"),
-          col("max_shared"))
-        .orderBy("doc_id")
-    }),
-
-    // per-session duration/engagement aggregates over the sessionize
-    // assignment — the session-distribution base table
-    "q_session_stats" -> ((s, dir) =>
-      operators.Events.sessionStats(Tables.loadEvents(s, dir))
-        .orderBy("user_id", "session_id")),
-
-    // Heaps'-law vocabulary growth over md5-ordered corpus slices: one
-    // pass (first-seen slice per token), ≤slices-row running sum
-    "q_vocab_growth" -> ((s, dir) =>
-      TextAnalysis.vocabGrowth(Tables.load(s, dir, "documents"), slices = 10)
-        .orderBy("slice")),
-
-    // collocation mining by LIFT (rational PMI): bigrams whose
-    // co-occurrence beats independence, min-count floored
-    "q_collocations" -> ((s, dir) =>
-      TextAnalysis.collocations(Tables.load(s, dir, "documents"),
-          minCount = 5, topK = 20)
-        .orderBy("rank")),
-
-    // per-doc token diversity as Gini impurity — the log-free entropy
-    // twin, decimal-exact squared-share accumulation
-    "q_gini" -> ((s, dir) =>
-      TextAnalysis.tokenDiversity(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id")),
-
-    // empirical event-type Markov chain: per-user time-ordered
-    // transitions, counts + row-normalized probabilities
-    "q_transitions" -> ((s, dir) =>
-      operators.Events.transitionMatrix(Tables.loadEvents(s, dir))
-        .orderBy("from_type", "to_type")),
-
-    // top 3-step journeys (count desc, path ties) — the two-ahead
-    // complement to the transition matrix
-    "q_paths" -> ((s, dir) =>
-      operators.Events.pathTrigrams(Tables.loadEvents(s, dir), topN = 20)),
-
-    // per-transition dwell times: n, min/max, decimal-exact mean gap
-    "q_dwell" -> ((s, dir) =>
-      operators.Events.dwellStats(Tables.loadEvents(s, dir))
-        .orderBy("from_type", "to_type")),
-
-    // deterministic k-fold assignment — reproducible cross-validation
-    // membership from the id hash alone
-    "q_kfold" -> ((s, dir) =>
-      Sampling.kfoldAssign(Tables.load(s, dir, "documents"), "doc_id", k = 5)
-        .select("doc_id", "fold").orderBy("doc_id")),
-
-    // external cluster quality: k-means clusters scored against the
-    // ground-truth label column — majority label + purity per cluster
-    "q_cluster_purity" -> ((s, dir) =>
-      Similarity.clusterPurity(Tables.load(s, dir, "embeddings"),
-          "label", k = 8, iters = 2,
-          codebook = Some(trainedCodebook8(s, dir)))
-        .orderBy("cluster_id")),
-
-    // distribution drift between two corpus halves: shared-bin
-    // histograms + per-bin total-variation contribution (rational — no
-    // PSI/KL logarithm), fixed ≤bins memory
-    "q_drift" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-      operators.Stats.histogramDrift(
-          li.filter(col("l_orderkey") % 2 === 0),
-          li.filter(col("l_orderkey") % 2 === 1),
-          "l_extendedprice", bins = 64)
-        .orderBy("bin")
-    }),
-
-    // exact two-sample Kolmogorov–Smirnov over the same two halves: the
-    // sup-norm drift readout (TVD above answers "how much moved"; KS
-    // answers "how far apart do the CDFs get") — two-level prefix scan
-    // over the distinct-value table, integer cross-product comparisons
-    "q_ks_drift" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-      operators.Stats.ksDrift(
-        li.filter(col("l_orderkey") % 2 === 0),
-        li.filter(col("l_orderkey") % 2 === 1),
-        "l_extendedprice")
-    }),
-
-    // unigram-distribution drift per source vs the corpus: exact-integer
-    // total-variation distance (the text twin of q_drift's histogram TVD)
-    "q_vocab_drift" -> ((s, dir) =>
-      TextAnalysis.vocabDrift(Tables.load(s, dir, "documents"))
-        .orderBy("source")),
-
-    // per-source content novelty: fraction of shingle occurrences whose
-    // first corpus appearance (min doc_id) is in that document — the
-    // "is this crawl new text" curve, linear in documents (no pairs)
-    "q_novelty" -> ((s, dir) =>
-      Dedup.noveltyBySource(Tables.load(s, dir, "documents"))
-        .orderBy("source")),
-
-    // c-TF-IDF cluster term profiling: most DISTINCTIVE terms per
-    // language — rational idf over group document-frequency, no log
-    "q_cluster_terms" -> ((s, dir) =>
-      Tfidf.clusterTopTerms(Tables.load(s, dir, "documents"),
-          "lang", topK = 10)
-        .orderBy("lang", "rank")),
-
-    // asymmetric containment (quote/excerpt detection): what symmetric
-    // jaccard structurally misses — a short doc inside a long one
-    "q_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
-          k = 3, threshold = 0.2)
-        .orderBy("doc_id_a", "doc_id_b")),
-
-    // the composed curation pipeline end-to-end (quality → exact-dedup →
-    // near-dup-drop → split → chunk) — cross-operator composition is where
-    // optimizer-interaction bugs appear; the oracle pins the whole chain
-    "q_pipeline" -> ((s, dir) =>
-      operators.Pipeline.curate(Tables.load(s, dir, "documents"))
-        .orderBy("doc_id", "chunk_id")),
-
-    "q_embed_neardup" -> ((s, dir) =>
-      // the synthetic corpus has no true embedding dups (max cos ≈ 0.48);
-      // 0.4 exercises the operator with non-empty output
-      Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), threshold = 0.4)
-        .orderBy("vec_id_a", "vec_id_b")),
-
-    "q_embed_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
-        .orderBy("query_id", "rank")
-    }),
-
-    "q_embed_lsh_neardup" -> ((s, dir) =>
-      // sign-LSH scale path for unlabeled corpora; the synthetic corpus has
-      // no true near-dups (max cos ≈ 0.48), so a low threshold exercises
-      // the bucket/verify plumbing with non-empty output
-      operators.Similarity.lshNearDup(
-          Tables.load(s, dir, "embeddings"), threshold = 0.3)
-        .orderBy("vec_id_a", "vec_id_b")),
-
-    // contrastive-training hard negatives: top-5 cross-label neighbors
-    // per query — the near-miss negatives an embedding trainer mines
-    "q_hard_negatives" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 5)
-        .orderBy("query_id", "rank")
-    }),
-
-    // hybrid retrieval: RRF fusion of the sparse TF-IDF cosine ranking
-    // (documents) and the dense embedding cosine ranking (row-aligned
-    // embeddings), 20-deep lists, fused top-10 per query
-    "q_rrf_hybrid" -> ((s, dir) =>
-      operators.Retrieval.rrfHybridTopK(
-          Tables.load(s, dir, "documents"),
-          Tables.load(s, dir, "embeddings"),
-          nQueries = 3, perList = 20, k = 10)
-        .orderBy("query_id", "rank")),
-
-    // the BM25 flavor of the hybrid: same RRF fold, lexical leg ranked
-    // by Okapi BM25 (rational idf — oracle-exact) instead of TF-IDF
-    // cosine — the production lexical+dense pairing
-    "q_rrf_bm25" -> ((s, dir) =>
-      operators.Retrieval.rrfHybridBm25TopK(
-          Tables.load(s, dir, "documents"),
-          Tables.load(s, dir, "embeddings"),
-          nQueries = 3, perList = 20, k = 10)
-        .orderBy("query_id", "rank")),
-
-    // expansion INSIDE the hybrid: the lexical leg is RM3-expanded BM25
-    // (q_bm25_prf's two-pass chain at 20 deep), fused with the dense
-    // list through the same fixed-order RRF fold
-    "q_rrf_prf" -> ((s, dir) =>
-      operators.Retrieval.rrfHybridPrfTopK(
-          Tables.load(s, dir, "documents"),
-          Tables.load(s, dir, "embeddings"),
-          nQueries = 3, perList = 20, k = 10)
-        .orderBy("query_id", "rank")),
-
-    // diversity-aware exemplar selection: greedy MMR over the dense
-    // top-10 candidates, λ=0.7, 3 picks per query
-    "q_mmr" -> ((s, dir) =>
-      operators.Retrieval.mmrSelect(
-          Tables.load(s, dir, "embeddings"),
-          nQueries = 3, m = 10, k = 3, lambda = 0.7)
-        .orderBy("query_id", "mmr_rank")),
-
-    "q_ivf_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
-        .orderBy("query_id", "rank")
-    }),
-
-    // the storage-level IVF shape: write the corpus hive-partitioned by
-    // centroid, probe via a partition-pruning IN filter — the scan reads
-    // nprobe directories only (PartitionFilters pinned by spec); result
-    // identical to the in-memory IVF at the same parameters
-    "q_ivf_indexed" -> ((s, dir) => withTempStore("ivfidx") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfIndex(emb, idx, numCentroids = 32)
-      Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 5),
-          k = 3, nprobe = 2)
-        .orderBy("query_id", "rank")
-    }),
-
-    // the memory-bound ANN shape: int8-code probe scan + exact re-rank of
-    // the k*rerankFactor survivors (fetched by id, not rescanned)
-    "q_ivf_quantized" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopKQuantized(emb, emb.filter(col("vec_id") < 5), k = 3,
-          numCentroids = 32, nprobe = 2, rerankFactor = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    // recall@k vs the brute-force truth per nprobe — the tuning dial for
-    // IVF; also regression-pins codebook quality beyond convergence
-    "q_ivf_recall" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.ivfRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
-        numCentroids = 32, nprobes = Seq(1, 2, 4))
-    }),
-
-    // matryoshka telemetry: recall@k of prefix-dimension cosine vs the
-    // full 64-dim exact top-k — sizes the cheap first-pass retriever
-    // (candidate cost scales linearly with the kept prefix)
-    "q_dim_recall" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.dimRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
-        dims = Seq(8, 16, 32))
-    }),
-
-    // the two-stage retriever that telemetry sizes: 16-dim prefix
-    // candidates (k·4 survivors), exact 64-dim re-rank fetched by id
-    "q_trunc_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.truncatedTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-          d = 16, rerankFactor = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    // greedy k-center diversity coreset: 6 farthest-point picks spread
-    // across the embedding space; the 6th pick's distance is the
-    // covering radius — the "how well do k exemplars blanket the
-    // corpus" telemetry next to q_kmeans's density-seeking codebook
-    "q_kcenter" -> ((s, dir) =>
-      Similarity.kCenterSample(Tables.load(s, dir, "embeddings"), k = 6)
-        .orderBy("rank")),
-
-    // retrieval grade for the truncated retriever: MRR@5 + hit-rate@5
-    // of the dim-16 prefix ranking (no rerank cushion) against the
-    // full-dim exact top-1 over 50 queries — where recall says the
-    // truth appeared, MRR says at which position
-    "q_mrr" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 50)
-      val system = Similarity.truncatedTopK(emb, queries, k = 5,
-        d = 16, rerankFactor = 1)
-      val truth = Similarity.bruteForceTopK(emb, queries, 1)
-        .select("query_id", "vec_id")
-      Eval.mrrAtK(system, truth, k = 5)
-    }),
-
-    // the retrieval eval LOOP, end to end in one lineage: the IVF
-    // retriever that would serve at scale (the q_ivf_topk substrate —
-    // first-32 pseudo-codebook, nprobe=1) produces the system ranking,
-    // the brute-force exact top-1 is the truth, MRR@5 grades where the
-    // truth landed — "build index → retrieve → score" as one composed
-    // query instead of three disconnected telemetry reads
-    "q_retrieval_eval" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 50)
-      val system = Similarity.ivfTopK(emb, queries, k = 5)
-      val truth = Similarity.bruteForceTopK(emb, queries, 1)
-        .select("query_id", "vec_id")
-      Eval.mrrAtK(system, truth, k = 5)
-    }),
-
-    // 1-bit sign-plane quantization: Hamming candidates from packed
-    // longs (bit_count(xor), 32x less scan than fp32), exact cosine
-    // re-rank of the k·4 survivors — BQ as the cheapest corpus-wide
-    // candidate generator
-    "q_binary_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-          dim = 64, rerankFactor = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    // the BQ tuning dial: recall@3 vs exact cosine, swept over Hamming
-    // candidate widths rf in {1,2,4} from ONE all-pairs scoring pass
-    "q_binary_recall" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Similarity.binaryRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
-          dim = 64, rerankFactors = Seq(1, 2, 4))
-        .orderBy("rf")
-    }),
-
-    // reciprocal top-1 pairs: both directions must agree — the
-    // high-precision pairing primitive (a near-hub pairs with at most one)
-    "q_mutual_nn" -> ((s, dir) =>
-      Similarity.mutualNeighbors(Tables.load(s, dir, "embeddings"))
-        .orderBy("vec_id_a", "vec_id_b")),
-
-    // the scale path for the same pairing: IVF-blocked candidates (no
-    // corpus broadcast, no all-pairs scoring), mutuality over each
-    // side's candidate top-1 — the exact twin stays the truth baseline
-    "q_mutual_nn_ivf" -> ((s, dir) =>
-      Similarity.mutualNeighborsApprox(Tables.load(s, dir, "embeddings"),
-          numCentroids = 32, nprobe = 4)
-        .orderBy("vec_id_a", "vec_id_b")),
-
-    // structural link prediction on the part co-purchase graph (every
-    // 10th order keeps the graph sparse enough that non-adjacency is
-    // meaningful): part pairs never bought together whose shared
-    // neighbors say they will be
-    "q_link_predict" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 10 === 0)
-      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-      Graph.linkPredict(edges, maxDegree = 64, minCommon = 2)
-        .orderBy("node_a", "node_b")
-    }),
-
-    // market-basket statistics on the same bipartite substrate: exact
-    // basket counts, support/confidence both directions, lift — the
-    // affinity-vs-independence read on co-purchase pairs
-    "q_assoc_rules" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 10 === 0)
-      Graph.associationRules(li, "l_orderkey", "l_partkey",
-          minSupportCount = 1, maxItemsPerBasket = 64)
-        .orderBy("item_a", "item_b")
-    }),
-
-    // median/MAD fences per event type — the outlier census whose fence
-    // the outliers themselves cannot drag (50% breakdown vs z-scores' 0%)
-    "q_mad_outliers" -> ((s, dir) =>
-      operators.Stats.madOutliers(
-          Tables.load(s, dir, "events"), "value", "event_type")
-        .orderBy("stratum")),
-
-    // k-anonymity audit over (nation, segment) quasi-identifiers: every
-    // equivalence class with its 1/n re-identification risk, k=10 flags
-    "q_kanon" -> ((s, dir) =>
-      operators.Pii.kAnonymity(Tables.load(s, dir, "customer"),
-          Seq("c_nationkey", "c_mktsegment"), k = 10)
-        .orderBy("c_nationkey", "c_mktsegment")),
-
-    // the homogeneity-attack companion: classes with < l distinct values
-    // of the sensitive column (account balance) leak it despite k rows
-    "q_ldiversity" -> ((s, dir) =>
-      operators.Pii.lDiversity(Tables.load(s, dir, "customer"),
-          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", l = 5)
-        .orderBy("c_nationkey", "c_mktsegment")),
-
-    // the distribution-skew attack BOTH k-anon and l-diversity miss: a
-    // class 95%-concentrated on one sensitive value leaks it however
-    // many distinct values it technically holds — per-class TVD vs the
-    // global sensitive distribution, integer-exact cross products
-    "q_tcloseness" -> ((s, dir) =>
-      operators.Pii.tCloseness(Tables.load(s, dir, "documents"),
-          Seq("lang"), "source", t = 0.15)
-        .orderBy("lang")),
-
-    // join-key skew profiler: the top-20 hottest user_ids with share and
-    // mean-multiple skew ratio — the "do we need salting" diagnostic
-    "q_skew_keys" -> ((s, dir) =>
-      operators.Skew.keyProfile(
-          Tables.load(s, dir, "events"), col("user_id"), topN = 20)
-        .orderBy("rank")),
-
-    // per-label centroid drift vs the corpus centroid: fixed-point
-    // integer dim sums, scale-invariant cosine computed ON the sums
-    "q_centroid_drift" -> ((s, dir) =>
-      Similarity.centroidDrift(Tables.load(s, dir, "embeddings"), "label")
-        .orderBy("label")),
-
-    // functional-dependency audit: l_partkey does NOT determine
-    // l_suppkey — every violating part with its distinct supplier count
-    "q_fd_check" -> ((s, dir) =>
-      operators.Stats.fdViolations(Tables.load(s, dir, "lineitem"),
-          Seq("l_partkey"), "l_suppkey")
-        .orderBy("l_partkey")),
-
-    // Benford first-digit audit over extended prices — the fabricated-
-    // data smell test (deviation per digit vs log10(1+1/d) literals)
-    "q_benford" -> ((s, dir) =>
-      operators.Stats.benford(
-          Tables.load(s, dir, "lineitem"), "l_extendedprice")
-        .orderBy("digit")),
-
-    // chi-square independence of (lang, source): per-cell contributions
-    // plus the decimal-summed statistic — no logs, fully replayable
-    "q_chisq" -> ((s, dir) =>
-      operators.Stats.chiSquare(
-          Tables.load(s, dir, "documents"), "lang", "source")
-        .orderBy("a", "b")),
-
-    // one-way ANOVA F: does document length separate languages? —
-    // decimal power sums, 6dp-quantized per-group terms (the chi_term
-    // technique), one k-row finisher
-    "q_anova" -> ((s, dir) =>
-      operators.Stats.anovaF(
-        Tables.load(s, dir, "documents"), "n_chars", "lang")),
-
-    // the embedding-quality readout: F of the UNSUPERVISED pc1 axis
-    // against the held labels — a near-zero F says the dominant
-    // variance direction carries no label signal
-    "q_anova_pc1" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      operators.Stats.anovaF(
-        operators.Pca.pc1Scores(emb)
-          .join(emb.select(col("vec_id"), col("label")), "vec_id"),
-        "pc1_score", "label")
-    }),
-
-    // product quantization: m=4 × ksub=16 pseudo-codebooks, ADC
-    // inner-product candidates from the broadcast lookup table (exact
-    // fixed-point sums), exact cosine re-rank of the k·4 survivors
-    "q_pq_topk" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Pq.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-          m = 4, ksub = 16, dim = 64, rerankFactor = 4)
-        .orderBy("query_id", "rank")
-    }),
-
-    // IVFADC: PQ codes stored INSIDE the hive-partitioned IVF index,
-    // probe = partition-pruned code scan + integer ADC + exact re-rank
-    // of the k·4 survivors fetched by id — the production 100-TB ANN
-    "q_ivf_pq" -> ((s, dir) => withTempStore("ivfpq") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
-          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
-        .orderBy("query_id", "rank")
-    }),
-
-    // the FILTERED recall dial: the same nprobe sweep with both the
-    // probe's code scan AND the brute-force truth restricted to the
-    // predicate — the telemetry that sizes nprobe under a metadata
-    // filter (a filter keeping 1/f of the corpus thins each probed
-    // partition by ~f, so recall at fixed nprobe decays; this measures
-    // exactly how much)
-    "q_ivf_filtered_recall" -> ((s, dir) => withTempStore("ivffr") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.ivfPqRecall(s, idx, emb.filter(col("vec_id") < 5), emb,
-          k = 3, nprobes = Seq(1, 2, 4),
-          predicate = Some(col("vec_id") % 3 === 1))
-        .orderBy("nprobe")
-    }),
-
-    // FILTERED ANN: top-k among docs satisfying a metadata predicate
-    // (vec_id % 3 == 1 as the stand-in) — the allowed set semi-joins
-    // the partition-pruned code scan PRE-ADC, so the answer can never
-    // be starved by post-filtering; must equal the unfiltered chain
-    // over a corpus that never held the excluded vectors (frozen
-    // codebooks stay corpus-wide — the tombstone semantics as a
-    // query-time filter)
-    "q_ivf_filtered" -> ((s, dir) => withTempStore("ivffilt") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.ivfPqTopKFiltered(s, idx, emb.filter(col("vec_id") < 5),
-          emb, col("vec_id") % 3 === 1,
-          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
-        .orderBy("query_id", "rank")
-    }),
-
-    // residual IVFADC (Faiss by_residual=true — the TPAMI'11 original):
-    // codes quantize x − centroid(x) in double, the probe adds the
-    // fixed-point q·centroid base back — the same m·log₂ksub bits spend
-    // their resolution on what IVF hasn't already explained
-    "q_ivf_pq_res" -> ((s, dir) => withTempStore("ivfpqres") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64, byResidual = true)
-      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
-          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
-        .orderBy("query_id", "rank")
-    }),
-
-    // IVFADC recall@k vs brute force per nprobe — the telemetry that
-    // sizes the probe depth for a target recall before any 100-TB run
-    "q_ivf_pq_recall" -> ((s, dir) => withTempStore("ivfpqr") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.ivfPqRecall(s, idx, emb.filter(col("vec_id") < 5), emb,
-        k = 3, nprobes = Seq(1, 2, 4), rerankFactor = 4, m = 4, dim = 64)
-    }),
-
-    // IVFADC maintenance, oracle-gated end-to-end: cold-build the index
-    // over a SEED (which must carry the codebook-defining pseudo draw,
-    // vec_id < numCentroids), appendIvfPq the held-out half against the
-    // frozen sidecars, re-append the SAME batch with the producer-
-    // duplicate guard (must be a no-op — a surviving duplicate would
-    // double that vector's ADC sum and hash-mismatch), then probe. The
-    // oracle replays the cold chain over the union: seed-then-append ≡
-    // cold build is the operator's contract, so the cold replay IS its
-    // truth
-    // codebook staleness telemetry: seed the IVFADC index, then report
-    // how an incoming batch lands under the FROZEN codebook — per-
-    // centroid store mass vs batch mass vs 6dp-fixed-point mean
-    // assignment cosine; the "rebuild the codebook now?" dashboard row
-    "q_ivf_drift" -> ((s, dir) => withTempStore("ivfdrift") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      val seed = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
-      Similarity.writeIvfPqIndex(seed, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.ivfDriftReport(s, idx,
-          emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1))
-        .orderBy("centroid_id")
-    }),
-
-    "q_ivf_pq_append" -> ((s, dir) => withTempStore("ivfpqapp") { tmp =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val idx = tmp + "/index"
-      val seed = emb.filter(col("vec_id") < 32 || col("vec_id") % 2 === 0)
-      val batch = emb.filter(col("vec_id") >= 32 && col("vec_id") % 2 === 1)
-      Similarity.writeIvfPqIndex(seed, idx, numCentroids = 32,
-        m = 4, ksub = 16, dim = 64)
-      Similarity.appendIvfPq(s, batch, idx)
-      Similarity.appendIvfPq(s, batch, idx, dedupeIds = true)
-      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
-          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
-        .orderBy("query_id", "rank")
-    }),
-
-    // BPE merge training: 6 rounds of frequency-weighted pair argmax +
-    // greedy merge application over the vocabulary's delimited symbol
-    // strings — the tokenizer-vocabulary induction step, distributed
-    "q_bpe" -> ((s, dir) =>
-      Bpe.trainMerges(Tables.load(s, dir, "documents"), rounds = 6)),
-
-    // tokenize the corpus under the 6-round BPE vocab: per-doc word and
-    // subword counts via ONE vocabulary segmentation + a word join
-    "q_bpe_tokens" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Bpe.tokenizeCorpus(docs, Bpe.trainMerges(docs, rounds = 6))
-        .orderBy("doc_id")
-    }),
-
-    // DSIR importance resampling: keep probability ∝ the ratio of two
-    // bigram-LM scores (target domain = 'de' docs vs the raw corpus),
-    // executed through the md5-bucket membership — domain-targeted data
-    // selection as one deterministic plan
-    "q_dsir" -> ((s, dir) =>
-      Sampling.dsirResample(Tables.load(s, dir, "documents"),
-          col("lang") === "de", scale = 1.0)
-        .orderBy("doc_id")),
-
-    // PQ recall@k vs brute force per rerank factor — the code-probe
-    // family's tuning dial next to q_ivf_recall's nprobe sweep
-    "q_pq_recall" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      Pq.pqRecall(emb, emb.filter(col("vec_id") < 5), k = 3,
-        m = 4, ksub = 16, dim = 64, rerankFactors = Seq(1, 2, 4))
-    }),
-
-    // Lloyd's-TRAINED PQ codebooks (r10 verdict task 3): the pseudo
-    // draw survives as deterministic init, two fixed-point k-means
-    // iterations per subspace refine it (one distributed pass per
-    // iteration over all m subspaces at once), then the standard ADC
-    // chain probes with the trained book
-    "q_pq_trained" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val cb = Pq.pqCodebooksTrained(emb, m = 4, ksub = 16, dim = 64, iters = 2)
-      Pq.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-          m = 4, ksub = 16, dim = 64, rerankFactor = 4, codebooks = Some(cb))
-        .orderBy("query_id", "rank")
-    }),
-
-    // CDC changelog apply (MERGE INTO): latest row-image per key wins,
-    // deletes drop, untouched base keys pass through one anti-join.
-    // Changelog synthesized from orders (unique seq = o_orderkey)
-    "q_cdc_apply" -> ((s, dir) =>
-      Cdc.applyChangelog(Tables.load(s, dir, "customer"),
-          ordersChangelog(s, dir), "c_custkey", "seq",
-          broadcastChangedKeys = true)
-        .orderBy("c_custkey")),
-
-    // SCD Type-2 history: every I/U change becomes a validity interval,
-    // deletes close their predecessor — one window per key
-    "q_scd2" -> ((s, dir) =>
-      Cdc.scd2History(ordersChangelog(s, dir), "c_custkey", "seq")
-        .orderBy("c_custkey", "valid_from")),
-
-    // CDC capture (the inverse): diff base vs merged snapshot back into
-    // I/U/D row images — one null-safe full-outer join
-    "q_cdc_diff" -> ((s, dir) => {
-      val base = Tables.load(s, dir, "customer")
-      val merged = Cdc.applyChangelog(base, ordersChangelog(s, dir),
-        "c_custkey", "seq", broadcastChangedKeys = true)
-      Cdc.snapshotDiff(base, merged, "c_custkey").orderBy("c_custkey")
-    }),
-
-    // incremental aggregate maintenance: base agg + changelog delta,
-    // never a base rescan; the oracle aggregates the merged snapshot
-    // from scratch, so the hash match proves the maintenance identity
-    "q_incr_agg" -> ((s, dir) =>
-      Cdc.incrementalAgg(Tables.load(s, dir, "customer"),
-          ordersChangelog(s, dir), "c_custkey", "seq",
-          groupCol = "c_mktsegment", valueCol = "c_acctbal",
-          broadcastChangedKeys = true)
-        .orderBy("c_mktsegment")),
-
-    // blocked record linkage: within-nation candidate pairs scored by
-    // weighted field-agreement rules, tiered match/possible
-    "q_linkage" -> ((s, dir) => {
-      import Linkage.LinkRule
-      val rules = Seq(
-        LinkRule("same_segment", 2.0,
-          (a, b) => a("c_mktsegment") === b("c_mktsegment")),
-        LinkRule("close_balance", 2.5,
-          (a, b) => abs(a("c_acctbal") - b("c_acctbal")) < lit(50.0)),
-        LinkRule("name_suffix", 1.5,
-          (a, b) => substring(a("c_name"), -2, 2) === substring(b("c_name"), -2, 2)))
-      // broadcastSide: 25 nations would cap a shuffled self-join at 25
-      // busy tasks; the broadcast join parallelizes over the scan
-      Linkage.linkPairs(Tables.load(s, dir, "customer"),
-          "c_custkey", "c_nationkey", rules,
-          matchAt = 4.5, possibleAt = 3.5, broadcastSide = true)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // continuous-similarity linkage: the native codegen'd Jaro-Winkler
-    // over brand-blocked part names, 4dp-rounded before the cut — gated
-    // against the oracle engine's own jaro_winkler_similarity.
-    // broadcastSide: 25 brand blocks would serialize the quadratic
-    // scoring on 25 reducers; broadcasting the capped record slim lets
-    // the row-partitioned scan side use every core
-    "q_fuzzy_pairs" -> ((s, dir) =>
-      Linkage.fuzzyPairs(Tables.load(s, dir, "part"),
-          "p_partkey", "p_brand", "p_name", threshold = 0.9,
-          broadcastSide = true)
-        .orderBy("id_a", "id_b")),
-
-    // hop-bounded weighted shortest paths over the span graph: cheapest
-    // total span-weight route from the seed set within 4 edges — the
-    // weighted sibling of q_bfs (first arrival is not cheapest under
-    // weights, so improved nodes re-enter the frontier)
-    "q_sssp" -> ((s, dir) => {
-      val seeds = Tables.load(s, dir, "documents")
-        .select(col("doc_id").as("node"))
-        .filter(col("node") % 10 === 0)
-      Graph.ssspCosts(spanEdges(s, dir), seeds, maxRounds = 4)
-        .orderBy("node")
-    }),
-
-    // sorted-neighborhood (merge/purge) linkage: rank by (p_name, key),
-    // score each record against the 7 that follow — fixed n·(w−1)
-    // candidates whatever the value distribution, the complement of
-    // q_fuzzy_pairs' blocking. Global rank = range partitions + offsets
-    "q_snm_pairs" -> ((s, dir) =>
-      Linkage.sortedNeighborhoodPairs(Tables.load(s, dir, "part"),
-          "p_partkey", "p_name", "p_name", window = 8, threshold = 0.9)
-        .orderBy("id_a", "id_b")),
-
-    // PageRank centrality over the duplication-link graph (docs sharing
-    // a span fingerprint): the high-rank nodes are the boilerplate hubs.
-    // Fixed-point contributions make the iteration engine-exact
-    "q_pagerank" -> ((s, dir) =>
-      Graph.pageRank(spanEdges(s, dir).select("src", "dst"), iters = 3)
-        .orderBy("node")),
-
-    // weighted variant: mass splits ∝ shared-span count, so the heavy
-    // duplicators concentrate rank — same fixed-point engine-exact loop
-    "q_pagerank_w" -> ((s, dir) =>
-      Graph.pageRank(spanEdges(s, dir), iters = 3, weightCol = Some("w"))
-        .orderBy("node")),
-
-    // personalized PageRank: restart to the even-id seed docs — rank =
-    // proximity to the seed set through the duplication graph, the
-    // contamination-expansion tool (seed known-bad docs, read off the
-    // copies their family reaches)
-    "q_ppr" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val edges = spanEdges(s, dir).select("src", "dst")
-      Graph.personalizedPageRank(edges,
-          docs.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("node")),
-          iters = 3)
-        .orderBy("node")
-    }),
-
-    // HyperANF neighborhood function over the span-duplication graph:
-    // per-node h-hop reach estimates from propagated HLL registers —
-    // the scalable radius/centrality telemetry (one edge join + grouped
-    // max per hop; registers replay bit-for-bit in the oracle)
-    "q_hyperanf" -> ((s, dir) =>
-      Graph.neighborhoodFunction(spanEdges(s, dir).select("src", "dst"),
-          maxHops = 3, p = 8)
-        .orderBy("h", "node")),
-
-    // exactly-once triangle enumeration by (deg, id) orientation over
-    // the span-duplication graph: per-node clique participation — high
-    // counts mark densely cross-copied template families
-    "q_triangles" -> ((s, dir) =>
-      Graph.triangleCounts(spanEdges(s, dir).select("src", "dst"))
-        .orderBy("node")),
-
-    // one-row closure telemetry: wedges Σ C(deg,2), triangles, global
-    // clustering 3T/wedges — chains-vs-cliques before choosing the CC
-    // contraction strategy
-    "q_triangle_stats" -> ((s, dir) =>
-      Graph.triangleStats(spanEdges(s, dir).select("src", "dst"))),
-
-    // incremental triangle maintenance: per-node triangles CREATED by
-    // appending the (src+dst)%3==0 edge batch to the rest — work ∝ the
-    // batch, never the accumulated graph (the appendIvfPq asymmetry)
-    "q_triangle_delta" -> ((s, dir) => {
-      val edges = spanEdges(s, dir).select("src", "dst")
-      val old = edges.filter((col("src") + col("dst")) % 3 =!= 0)
-      val batch = edges.filter((col("src") + col("dst")) % 3 === 0)
-      Graph.triangleDelta(old, batch).orderBy("node")
-    }),
-
-    // 2-core of the duplication graph: template FAMILIES (cycles,
-    // cliques) survive the peel, incidental pairwise matches (trees)
-    // peel away — iterated to the unique fixpoint
-    "q_kcore" -> ((s, dir) =>
-      Graph.kCore(spanEdges(s, dir).select("src", "dst"), k = 2)
-        .orderBy("node")),
-
-    // synchronous label-propagation communities (min-label ties, fixed
-    // rounds — fully integer, so the rounds unroll into an exact
-    // replay): denser substructure than CC, coarser than k-core
-    "q_lpa" -> ((s, dir) =>
-      Graph.labelPropagation(spanEdges(s, dir).select("src", "dst"), iters = 3)
-        .orderBy("node")),
-
-    // multi-source BFS levels from every-10th doc: the discrete
-    // "how many copy-hops from a known-bad document" audit — exact
-    // integer distances, frontier-driven rounds
-    "q_bfs" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      Graph.bfsLevels(spanEdges(s, dir).select("src", "dst"),
-          docs.filter(col("doc_id") % 10 === 0)
-            .select(col("doc_id").as("node")),
-          maxDepth = 4)
-        .orderBy("node")
-    }),
-
-    // SemDeDup-style semantic dedup: k-means clusters → within-cluster
-    // cosine prune → keep the lowest-id representative. Threshold 0.4
-    // because the synthetic corpus has no true embedding dups (max cos
-    // ≈ 0.48) — the plumbing is exercised with non-empty drops.
-    // k=16/iters=1: SemDeDup needs only a rough partition of the space —
-    // more clusters mean a more parallel (and smaller) pair join, and one
-    // training round halves the driver-synced k-means jobs
-    "q_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
-          k = 16, iters = 1, threshold = 0.4)
-        .orderBy("vec_id")),
-
-    // centroid-distance outliers: vectors whose rounded cosine to their
-    // assigned trained centroid sits under the cut — SemDeDup's inverse
-    // (too FAR from everything, not too close to a neighbor)
-    "q_embed_outliers" -> ((s, dir) =>
-      Similarity.embedOutliers(Tables.load(s, dir, "embeddings"),
-          k = 8, iters = 2, minCos = 0.1,
-          codebook = Some(trainedCodebook8(s, dir)))
-        .orderBy("vec_id")),
-
-    // deterministic k-means training summary (codebook arrays summarized
-    // by their first four components — driver can't hash arrays)
-    // embedding isotropy: mean pairwise cosine over all n(n−1) pairs
-    // WITHOUT the pair join — the sum-vector identity ‖Σv̂‖² − Σ‖v̂‖²,
-    // one pass, d-row state (the anisotropy / narrow-cone QA readout)
-    "q_isotropy" -> ((s, dir) =>
-      operators.Pca.isotropy(Tables.load(s, dir, "embeddings"))),
-
-    // per-label cohesion: within-label vs cross-label mean cosine, both
-    // from the grouped sum-vector identity — no pair join, labels × d
-    // state (the one-pass exact cousin of a silhouette)
-    "q_label_cohesion" -> ((s, dir) =>
-      operators.Pca.labelCohesion(Tables.load(s, dir, "embeddings"))
-        .orderBy("label")),
-
-    // exact embedding covariance (upper triangle): integer Gram sums
-    // via the chained-generator hash agg — the shuffle carries ≤ d²
-    // cells per partition, never corpus rows
-    "q_pca_cov" -> ((s, dir) =>
-      operators.Pca.covarianceMatrix(Tables.load(s, dir, "embeddings"))
-        .orderBy("i", "j")),
-
-    // dominant principal component by the FIXED 8-round power spec from
-    // e0 — integer matrix-applies on the answer-sized covariance, two
-    // pinned double ops per round; the oracle replays the identical
-    // arithmetic as a recursive CTE
-    "q_pca_power" -> ((s, dir) =>
-      operators.Pca.dominantComponent(Tables.load(s, dir, "embeddings"))
-        .orderBy("pos")),
-
-    // top-2 principal subspace via Hotelling deflation on the quantized
-    // grid — every deflated cell is one pinned double expression, so
-    // the SECOND component replays in the oracle too
-    "q_pca2" -> ((s, dir) =>
-      operators.Pca.topComponents(Tables.load(s, dir, "embeddings"), r = 2)
-        .orderBy("component", "pos")),
-
-    // per-vector projection onto pc1: broadcast d-row eigenvector join
-    // + grouped exact decimal sum — the 1-D corpus embedding
-    "q_pca_scores" -> ((s, dir) =>
-      operators.Pca.pc1Scores(Tables.load(s, dir, "embeddings"))
-        .orderBy("vec_id")),
-
-    "q_kmeans" -> ((s, dir) => {
-      val cb = trainedCodebook8(s, dir)
-      cb.select(
-        col("centroid_id"), col("n_assigned"),
-        element_at(col("embedding"), 1).cast("double").as("c0"),
-        element_at(col("embedding"), 2).cast("double").as("c1"),
-        element_at(col("embedding"), 3).cast("double").as("c2"),
-        element_at(col("embedding"), 4).cast("double").as("c3"))
-        .orderBy("centroid_id")
-    }),
-
-    // int8 scalar quantization summary (full code array summarized by its
-    // exact integer sum + first four codes — driver can't hash arrays)
-    "q_quantize" -> ((s, dir) =>
-      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
-        .orderBy("vec_id")),
-
-    "q_mm_meta" -> ((s, dir) =>
-      Multimodal.withPayload(Tables.load(s, dir, "documents"))
-        .select("doc_id", "payload_bytes", "width", "height", "frames")
-        .orderBy("doc_id")),
-
-    "q_mm_features" -> ((s, dir) => {
-      // REAL round trip: synthesize a conformant PPM/BMP/WAV file per doc,
-      // then sniff + decode the binary column and emit typed features. The
-      // oracle recomputes the expected features in closed form from the
-      // generation parameters, so any header/padding/byte-order bug in the
-      // codec breaks the hash. Exact integer channel sums only — no floats
-      // in the gated projection (cross-engine determinism).
-      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
-      Multimodal.decodeFeatures(s, media).orderBy("doc_id")
-    }),
-
-    // video path: synthesize a concatenated-P6 frame stream per doc, decode
-    // frame-at-a-time, keep every 2nd frame, exact channel sums over the
-    // KEPT frames — gates the stream-walking offsets and the stride logic
-    "q_mm_frames" -> ((s, dir) => {
-      val media = Multimodal.synthesizeFrameStreams(s, Tables.load(s, dir, "documents"))
-      Multimodal.frameFeatures(s, media, stride = 2).orderBy("doc_id")
-    }),
-
-    // thumbnail path: decode the mixed PPM/BMP/WAV corpus, nearest-neighbor
-    // resize images to 8x8, channel sums of the RESIZED pixels (gates the
-    // floor(x'*W/W') index math); audio rows are skipped
-    "q_mm_resize" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
-      Multimodal.resizeFeatures(s, media, outW = 8, outH = 8).orderBy("doc_id")
-    }),
-
-    // perceptual average-hash over DECODED thumbnails: 64-bit integer
-    // above-mean fingerprint, MSB-first — the image SimHash
-    "q_mm_phash" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
-      Multimodal.imageAHash(s, media).orderBy("doc_id")
-    }),
-
-    // banded near-dup blocking over those fingerprints: 4×16-bit bands
-    // (hamming ≤ 3 < 4 bands → pigeonhole-exact among un-capped
-    // buckets), bucket cap 64 drops degenerate-thumbnail junk from
-    // candidate generation, exact xor+bit_count verify
-    "q_mm_phash_pairs" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
-      Multimodal.aHashPairs(Multimodal.imageAHash(s, media),
-          maxHamming = 3, bands = 4, maxBucket = 64)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // end-to-end visual canonicalization: phash pairs → connected
-    // components → lowest-id representative per family (the q_dedup_
-    // clusters machinery riding the image near-dup graph unchanged)
-    "q_mm_phash_clusters" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
-      val hashes = Multimodal.imageAHash(s, media)
-      val pairs = Multimodal.aHashPairs(hashes, maxHamming = 3, bands = 4,
-          maxBucket = 64)
-        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"))
-      Dedup.dedupClusters(hashes.select("doc_id"), pairs).orderBy("doc_id")
-    }),
-
-    // the WAV twin: 64-window interleaved energy signature from decoded
-    // RIFF bytes — the FFT-free spectral envelope fingerprint
-    "q_mm_audiohash" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
-      Multimodal.audioEnergyHash(s, media).orderBy("doc_id")
-    }),
-
-    // same banding contract over the audio hashes (hash-agnostic)
-    "q_mm_audiohash_pairs" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(s, Tables.load(s, dir, "documents"))
-      Multimodal.aHashPairs(Multimodal.audioEnergyHash(s, media),
-          maxHamming = 3, bands = 4, maxBucket = 64, hashCol = "ehash")
-        .orderBy("id_a", "id_b")
-    }),
-  )
-
-  // the full IVFADC cold-chain replay (centroid draw, nprobe=2 probe
-  // sets, PQ codebooks/encode/LUT, fixed-point ADC sums, exact re-rank)
-  // — shared verbatim by q_ivf_pq and q_ivf_pq_append: seed-then-append
-  // over frozen codebooks is row-identical to the cold build, so both
-  // operators gate against the same pinned arithmetic
-  /** The span-duplication pair graph as a reusable CTE body (`toks` →
-    * `p`): distinct doc pairs (src < dst) sharing ≥1 span fingerprint,
-    * sharing degree capped at 64 — the exact q_dupspans substrate the
-    * q_pagerank oracle replays inline. Shared by the triangle oracles so
-    * the three graph queries provably run over ONE graph.
-    */
-  private val spanPairCte: String =
-    """toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), sp0 AS (
-           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         ), sp AS (
-           SELECT DISTINCT doc_id, span_md5 FROM sp0
-         ), linking AS (
-           SELECT span_md5 FROM (
-             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
-           WHERE nd > 1 AND nd <= 64
-         ), spl AS (
-           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
-         ), p AS (
-           SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
-         ), tri AS (
-           SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
-           FROM p e1
-           JOIN p e2 ON e2.src = e1.dst
-           JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst
-         )"""
-
-  /** [[spanPairCte]]'s WEIGHTED sibling: same tokenize/chunk/md5/df-cap
-    * recipe, but `p` carries w = shared-span count (the
-    * [[Graph.spanLinkEdgesWeighted]] definition). ONE copy shared by
-    * q_pagerank_w and q_sssp so a recipe change (stride, span width,
-    * the nd ≤ 64 cap) cannot desynchronize one weighted oracle from the
-    * engine. Plain (non-interpolated) literal: interpolated consumers
-    * splice it in as a VALUE, which the s-interpolator does not
-    * re-escape.
-    */
-  private val spanPairWeightedCte: String =
-    """toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), sp0 AS (
-           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         ), sp AS (
-           SELECT DISTINCT doc_id, span_md5 FROM sp0
-         ), linking AS (
-           SELECT span_md5 FROM (
-             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
-           WHERE nd > 1 AND nd <= 64
-         ), spl AS (
-           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
-         ), p AS (
-           SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS w
-           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
-           GROUP BY 1, 2
-         )"""
-
-  /** Unrolled k-core peel over the `p` pair CTE ([[spanPairCte]]):
-    * round i keeps nodes with deg ≥ k in round i−1's subgraph and
-    * re-derives edges/degrees. Peeling is monotone with a unique
-    * fixpoint, so any unroll ≥ the graph's peel depth replays the
-    * engine's converge-to-fixpoint loop exactly; `rounds` carries
-    * comfortable margin over the measured depth at the oracle scales
-    * (a converged round is a no-op for every later round).
-    */
-  private def kcoreCtes(k: Int, rounds: Int): String = {
-    // AS MATERIALIZED: each round references its predecessor three times
-    // (degree filter + both endpoint semi-joins); DuckDB's default CTE
-    // inlining would expand the chain 3^rounds-fold
-    val iter = (1 to rounds).map { i =>
-      s"""k$i AS MATERIALIZED (SELECT node FROM d${i - 1} WHERE deg >= $k),
-         e$i AS MATERIALIZED (
-           SELECT e.src, e.dst FROM e${i - 1} e
-           JOIN k$i sa ON e.src = sa.node
-           JOIN k$i sb ON e.dst = sb.node),
-         d$i AS MATERIALIZED (
-           SELECT node, count(*) AS deg FROM (
-             SELECT src AS node FROM e$i UNION ALL SELECT dst AS node FROM e$i)
-           GROUP BY node)"""
-    }.mkString(",\n         ")
-    s"""e0 AS MATERIALIZED (SELECT src, dst FROM p),
-         d0 AS MATERIALIZED (
-           SELECT node, count(*) AS deg FROM (
-             SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0)
-           GROUP BY node),
-         $iter"""
+  private def merged[V](parts: Seq[Map[String, V]], what: String): Map[String, V] = {
+    val all = parts.reduce(_ ++ _)
+    // a duplicate key across registry files would silently SHADOW an
+    // earlier query out of the correctness gate (the r17 q_retention
+    // escape) — fail loudly instead
+    require(all.size == parts.map(_.size).sum,
+      s"duplicate $what key across registry files: " +
+        parts.flatMap(_.keys).groupBy(identity).collect {
+          case (k, vs) if vs.size > 1 => k }.mkString(", "))
+    all
   }
 
-  /** The closed-form aHash replay shared by q_mm_phash and
-    * q_mm_phash_pairs: the synthesized images are row-gradient (channel
-    * value constant across x), so the 8×8 thumbnail's 64 pixels reduce to
-    * 8 row grays — gray(y) = ⌊Σc (doc_id + ⌊y·h/8⌋ + 85c) % 256 / 3⌋ —
-    * and the engine's all-integer 64·gray ≥ Σgray test becomes
-    * 8·gray(y) ≥ Σy gray. Bits pack MSB-first (row y fills byte 7−y:
-    * 255·2^(56−8y), INTEGER literals — DuckDB's ** returns DOUBLE and
-    * would round the high bytes), HUGEINT-summed, two's-complement
-    * folded to the engine's signed long (the q_fingerprint pattern).
-    */
-  private val aHashCte: String =
-    """img AS (SELECT doc_id, 16 + (7 * n_chars) % 48 AS h
-           FROM documents WHERE doc_id % 3 < 2),
-         g AS (
-           SELECT doc_id, y,
-             (((doc_id + (y * h) // 8) % 256) + ((doc_id + (y * h) // 8 + 85) % 256)
-               + ((doc_id + (y * h) // 8 + 170) % 256)) // 3 AS gray
-           FROM img, unnest(range(0, 8)) AS t(y)),
-         tot AS (SELECT doc_id, sum(gray) AS s FROM g GROUP BY doc_id),
-         bits AS (
-           SELECT g.doc_id, g.y, CASE WHEN 8 * g.gray >= t.s THEN 1 ELSE 0 END AS b
-           FROM g JOIN tot t USING (doc_id)),
-         hu AS (
-           SELECT doc_id, sum(CAST(b AS HUGEINT) * 255 * CASE y
-               WHEN 0 THEN 72057594037927936 WHEN 1 THEN 281474976710656
-               WHEN 2 THEN 1099511627776 WHEN 3 THEN 4294967296
-               WHEN 4 THEN 16777216 WHEN 5 THEN 65536 WHEN 6 THEN 256 ELSE 1 END) AS u
-           FROM bits GROUP BY doc_id),
-         ph AS (
-           SELECT doc_id,
-             CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
-                  ELSE u END AS BIGINT) AS phash, u
-           FROM hu)"""
-
-  /** Closed-form audio energy-hash replay (q_mm_audiohash[_pairs]): the
-    * synthesized WAV's interleaved stream is s(i) = (7·doc_id + 13·i) %
-    * 2048 − 1024 over n = ch·frames samples, so per-window energies are
-    * exact integer sums; bits pack MSB-first via two 32-bit halves
-    * (hi·2^32 + lo — BIGINT shifts stay inside the signed range; a
-    * single 1<<63 would overflow) then two's-complement fold.
-    */
-  private val audioHashCte: String =
-    """wav AS (
-           SELECT doc_id, (1 + n_chars % 2) * (256 + n_chars % 512) AS n
-           FROM documents WHERE doc_id % 3 = 2),
-         samp AS (
-           SELECT doc_id, n, i, (7*doc_id + 13*i) % 2048 - 1024 AS s
-           FROM wav, unnest(range(0, CAST(n AS INT))) AS t(i)),
-         en AS (
-           SELECT doc_id, (i * 64) // n AS w, sum(s * s) AS e
-           FROM samp GROUP BY doc_id, (i * 64) // n),
-         tot AS (SELECT doc_id, sum(e) AS te FROM en GROUP BY doc_id),
-         ebits AS (
-           SELECT en.doc_id, en.w, CASE WHEN 64 * en.e >= t.te THEN 1 ELSE 0 END AS b
-           FROM en JOIN tot t USING (doc_id)),
-         parts AS (
-           SELECT doc_id,
-             sum(CASE WHEN w < 32 THEN b * (CAST(1 AS BIGINT) << CAST(31 - w AS INT)) ELSE 0 END) AS hi,
-             sum(CASE WHEN w >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(63 - w AS INT)) ELSE 0 END) AS lo
-           FROM ebits GROUP BY doc_id),
-         ph AS (
-           SELECT doc_id,
-             CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
-                  ELSE u END AS BIGINT) AS ehash, u
-           FROM (SELECT doc_id, CAST(hi AS HUGEINT) * 4294967296 + lo AS u FROM parts))"""
-
-  /** `storeWhere` restricts the CODE-TABLE side only (e.g. `" WHERE
-    * v.vec_id % 7 <> 3"` replays a tombstone takedown): queries, frozen
-    * codebooks, and the exact-rerank corpus fetch stay corpus-wide,
-    * mirroring the engine where forget touches serving code rows and
-    * nothing else. `ecWhere` instead restricts the WHOLE chain's corpus
-    * — codebook draws, codes, queries, and rerank alike — replaying a
-    * RETRAIN, where the rebuilt index (codebooks included) never saw
-    * the removed vectors. The defaults emit byte-identical SQL to the
-    * historical unfiltered form.
-    */
-  private def ivfPqChainSql(storeWhere: String = "",
-      ecWhere: String = ""): String =
-    s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings$ecWhere),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         sv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss),
-         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
-                FROM sv WHERE vec_id < 16),
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb c USING (subspace)$storeWhere) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
-         approx AS (
-           SELECT l.query_id, n.vec_id,
-             round(CAST(CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-           FROM enc n
-           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
-           JOIN ca a ON a.vec_id = n.vec_id
-           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
-           WHERE n.vec_id <> l.query_id
-           GROUP BY l.query_id, n.vec_id),
-         surv AS (
-           SELECT query_id, vec_id, approx_ip FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_ip DESC, vec_id ASC) AS ar
-             FROM approx) WHERE ar <= 12)
-         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
-           SELECT s.query_id, s.vec_id, s.approx_ip,
-             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
-           FROM surv s
-           JOIN ec v ON v.vec_id = s.vec_id
-           JOIN ec q ON q.vec_id = s.query_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank"""
-
-  /** Shared PCA replay prefix: quantized components, exact integer
-    * moment/Gram sums, 9dp covariance, and the fixed-8-round power
-    * iteration as a recursive CTE — the same integer/pinned-double
-    * arithmetic [[operators.Pca]] runs (Q=2^20, CQ=10^9, VQ=10^12,
-    * downshift 2^40; `//` on positives only, so trunc ≡ floor).
-    */
-  private val pcaCte: String =
-    """WITH RECURSIVE q AS (
-         SELECT vec_id, unnest(range(len(embedding))) AS pos,
-           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS qv
-         FROM embeddings WHERE embedding IS NOT NULL
-       ), m AS (
-         SELECT pos, CAST(sum(qv) AS HUGEINT) AS s, CAST(count(*) AS BIGINT) AS n
-         FROM q GROUP BY pos
-       ), g AS (
-         SELECT a.pos AS i, b.pos AS j,
-           CAST(sum(CAST(a.qv AS HUGEINT) * b.qv) AS HUGEINT) AS s_qq
-         FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
-       ), cv AS (
-         SELECT g.i, g.j,
-           round(CAST(ma.n * g.s_qq - ma.s * mb.s AS DOUBLE)
-             / (CAST(ma.n AS DOUBLE) * ma.n * 1048576 * 1048576), 9) AS cov
-         FROM g JOIN m ma ON ma.pos = g.i JOIN m mb ON mb.pos = g.j
-       ), cq AS (
-         SELECT i, j, CAST(floor(cov * 1e9 + 0.5) AS HUGEINT) AS c FROM cv
-       ), dims AS (SELECT DISTINCT pos AS i FROM q
-       ), pw(iter, i, v) AS (
-         SELECT 0, i, CAST(CASE WHEN i = 0 THEN 1000000000000 ELSE 0 END AS HUGEINT)
-         FROM dims
-         UNION ALL
-         SELECT iter + 1, i, v FROM (
-           WITH w AS (
-             SELECT p.iter AS it, c.i AS wi, CAST(sum(c.c * p.v) AS HUGEINT) AS wv
-             FROM pw p JOIN cq c ON c.j = p.i
-             WHERE p.iter < 8 GROUP BY 1, 2
-           ), wq AS (
-             SELECT it, wi,
-               CASE WHEN wv < 0 THEN -CAST((-wv) // 1099511627776 AS HUGEINT)
-                    ELSE CAST(wv // 1099511627776 AS HUGEINT) END AS wqv
-             FROM w
-           ), nrm AS (
-             SELECT it, sqrt(CAST(sum(wqv * wqv) AS DOUBLE)) AS nv FROM wq GROUP BY it
-           )
-           SELECT wq.it AS iter, wq.wi AS i,
-             CAST(floor(CAST(wq.wqv * 1000000000000 AS DOUBLE) / nrm.nv + 0.5) AS HUGEINT) AS v
-           FROM wq JOIN nrm ON nrm.it = wq.it
-         )
-       ), vfin AS (SELECT i, v FROM pw WHERE iter = 8)"""
-
-  /** The q_ivf_pq_recall replay, parameterized like [[ivfPqChainSql]]:
-    * `storeWhere` restricts the CODE side, `exactAnd` restricts the
-    * brute-force truth's corpus — together they replay the FILTERED
-    * recall sweep; defaults emit byte-identical SQL to the historical
-    * unfiltered form.
-    */
-  private def ivfPqRecallSql(storeWhere: String = "",
-      exactAnd: String = ""): String =
-    s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, centroid_id, rn AS probe_rank FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 4),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         sv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss),
-         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
-                FROM sv WHERE vec_id < 16),
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb c USING (subspace)$storeWhere) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
-         approx AS (
-           SELECT l.query_id, n.vec_id, q.probe_rank,
-             round(CAST(CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-           FROM enc n
-           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
-           JOIN ca a ON a.vec_id = n.vec_id
-           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
-           WHERE n.vec_id <> l.query_id
-           GROUP BY l.query_id, n.vec_id, q.probe_rank),
-         np AS (SELECT unnest([1, 2, 4]) AS nprobe),
-         surv AS (
-           SELECT nprobe, query_id, vec_id, approx_ip FROM (
-             SELECT np.nprobe, a.query_id, a.vec_id, a.approx_ip,
-               row_number() OVER (PARTITION BY np.nprobe, a.query_id
-                 ORDER BY a.approx_ip DESC, a.vec_id ASC) AS ar
-             FROM np CROSS JOIN approx a
-             WHERE a.probe_rank <= np.nprobe) WHERE ar <= 12),
-         ivfpq AS (
-           SELECT nprobe, query_id, vec_id FROM (
-             SELECT s.nprobe, s.query_id, s.vec_id,
-               row_number() OVER (PARTITION BY s.nprobe, s.query_id
-                 ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
-             FROM surv s
-             JOIN ec v ON v.vec_id = s.vec_id
-             JOIN ec q ON q.vec_id = s.query_id) t
-           WHERE rank <= 3),
-         exact AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
-             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
-             WHERE c2.vec_id <> q.vec_id$exactAnd) t WHERE rank <= 3),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
-         SELECT CAST(i.nprobe AS INT) AS nprobe,
-           tot.exact_pairs,
-           CAST(count(*) AS BIGINT) AS ivf_pairs,
-           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
-           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
-         FROM ivfpq i
-         LEFT JOIN exact e ON i.query_id = e.query_id AND i.vec_id = e.vec_id, tot
-         GROUP BY i.nprobe, tot.exact_pairs
-         ORDER BY nprobe"""
-
-  def oracleSql: Map[String, String] = Map(
-    // the sum-vector identity replayed over quantized unit components:
-    // HUGEINT ‖S‖² − Σqn², two double divisions
-    "q_isotropy" ->
-      """WITH e AS (
-           SELECT vec_id, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * x))) AS nrm
-           FROM embeddings WHERE embedding IS NOT NULL
-         ), f AS (SELECT * FROM e WHERE nrm > 0
-         ), q AS (
-           SELECT CAST(floor(round(CAST(unnest(embedding) AS DOUBLE) / nrm, 6)
-               * 1e6 + 0.5) AS BIGINT) AS qn,
-             unnest(range(len(embedding))) AS pos
-           FROM f
-         ), d AS (SELECT pos, CAST(sum(qn) AS HUGEINT) AS s FROM q GROUP BY pos
-         ), s2 AS (SELECT CAST(sum(s * s) AS HUGEINT) AS v FROM d
-         ), t AS (SELECT CAST(sum(CAST(qn AS HUGEINT) * qn) AS HUGEINT) AS v FROM q
-         ), c AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST((SELECT count(*) FROM e) AS BIGINT) AS total,
-             CAST(sum(CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)) AS HUGEINT) AS sn
-           FROM f)
-         SELECT c.n AS n_vectors, c.total - c.n AS n_zero_norm,
-           round(CAST(c.sn AS DOUBLE) / c.n / 1e6, 6) AS mean_norm,
-           CASE WHEN c.n < 2 THEN NULL
-             ELSE round(CAST(s2.v - t.v AS DOUBLE)
-               / (CAST(c.n AS DOUBLE) * (c.n - 1)) / 1e12, 6) END
-             AS mean_pairwise_cos
-         FROM c, s2, t""",
-
-    // the grouped sum-vector identity: per-label HUGEINT dim sums,
-    // ||S_g||^2 - T_g within, S_g . (S - S_g) across
-    "q_label_cohesion" ->
-      """WITH e AS (
-           SELECT label AS g, embedding,
-             sqrt(list_sum(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * x))) AS nrm
-           FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
-         ), f AS (SELECT * FROM e WHERE nrm > 0
-         ), q AS (
-           SELECT g, unnest(range(len(embedding))) AS pos,
-             CAST(floor(round(CAST(unnest(embedding) AS DOUBLE) / nrm, 6)
-               * 1e6 + 0.5) AS BIGINT) AS qn
-           FROM f
-         ), ld AS (
-           SELECT g, pos, CAST(sum(qn) AS HUGEINT) AS s,
-             CAST(sum(CAST(qn AS HUGEINT) * qn) AS HUGEINT) AS t
-           FROM q GROUP BY g, pos
-         ), gd AS (SELECT pos, CAST(sum(s) AS HUGEINT) AS sg FROM ld GROUP BY pos
-         ), pl AS (
-           SELECT ld.g, CAST(sum(ld.s * ld.s) AS HUGEINT) AS s2,
-             CAST(sum(ld.t) AS HUGEINT) AS tt,
-             CAST(sum(ld.s * (gd.sg - ld.s)) AS HUGEINT) AS x
-           FROM ld JOIN gd ON gd.pos = ld.pos GROUP BY ld.g
-         ), c AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY g
-         ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nall FROM c)
-         SELECT c.g AS label, c.n,
-           CASE WHEN c.n < 2 THEN NULL
-             ELSE round(CAST(pl.s2 - pl.tt AS DOUBLE)
-               / (CAST(c.n AS DOUBLE) * (c.n - 1)) / 1e12, 6) END
-             AS mean_within_cos,
-           CASE WHEN tot.nall = c.n THEN NULL
-             ELSE round(CAST(pl.x AS DOUBLE)
-               / (CAST(c.n AS DOUBLE) * (tot.nall - c.n)) / 1e12, 6) END
-             AS mean_cross_cos
-         FROM pl JOIN c USING (g) CROSS JOIN tot ORDER BY label""",
-
-    "q_pca_cov" -> (pcaCte + """
-         SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, cov
-         FROM cv WHERE i <= j ORDER BY i, j"""),
-
-    "q_pca_power" -> (pcaCte + """
-         , mv AS (
-           SELECT c.i, CAST(sum(c.c * vf.v) AS HUGEINT) AS wv
-           FROM cq c JOIN vfin vf ON vf.i = c.j GROUP BY 1
-         ), ray AS (
-           SELECT
-             CAST((SELECT sum(mv.wv * vf2.v) FROM mv JOIN vfin vf2 ON vf2.i = mv.i) AS DOUBLE)
-             / CAST((SELECT sum(v * v) FROM vfin) AS DOUBLE) AS raw)
-         SELECT CAST(vf.i AS INT) AS pos,
-           round(CAST(vf.v AS DOUBLE) / 1e12, 9) AS pc1,
-           round(ray.raw / 1e9, 9) AS eigval,
-           round(ray.raw
-             / CAST((SELECT sum(c) FROM cq WHERE i = j) AS DOUBLE), 6)
-             AS var_explained
-         FROM vfin vf CROSS JOIN ray ORDER BY pos"""),
-
-    "q_pca2" -> (pcaCte + """
-         , mv AS (
-           SELECT c.i, CAST(sum(c.c * vf.v) AS HUGEINT) AS wv
-           FROM cq c JOIN vfin vf ON vf.i = c.j GROUP BY 1
-         ), ray AS (
-           SELECT
-             CAST((SELECT sum(mv.wv * vf2.v) FROM mv JOIN vfin vf2 ON vf2.i = mv.i) AS DOUBLE)
-             / CAST((SELECT sum(v * v) FROM vfin) AS DOUBLE) AS raw
-         ), cq2 AS (
-           SELECT a.i AS i, b.i AS j,
-             COALESCE(c.c, 0)
-               - CAST(floor(ray.raw * CAST(a.v * b.v AS DOUBLE) / 1e24 + 0.5)
-                   AS HUGEINT) AS c
-           FROM vfin a CROSS JOIN vfin b CROSS JOIN ray
-           LEFT JOIN cq c ON c.i = a.i AND c.j = b.i
-         ), pw2(iter, i, v) AS (
-           SELECT 0, i, CAST(CASE WHEN i = 0 THEN 1000000000000 ELSE 0 END AS HUGEINT)
-           FROM dims
-           UNION ALL
-           SELECT iter + 1, i, v FROM (
-             WITH w AS (
-               SELECT p.iter AS it, c.i AS wi, CAST(sum(c.c * p.v) AS HUGEINT) AS wv
-               FROM pw2 p JOIN cq2 c ON c.j = p.i
-               WHERE p.iter < 8 GROUP BY 1, 2
-             ), wq AS (
-               SELECT it, wi,
-                 CASE WHEN wv < 0 THEN -CAST((-wv) // 1099511627776 AS HUGEINT)
-                      ELSE CAST(wv // 1099511627776 AS HUGEINT) END AS wqv
-               FROM w
-             ), nrm AS (
-               SELECT it, sqrt(CAST(sum(wqv * wqv) AS DOUBLE)) AS nv FROM wq GROUP BY it
-             )
-             SELECT wq.it AS iter, wq.wi AS i,
-               CAST(floor(CAST(wq.wqv * 1000000000000 AS DOUBLE) / nrm.nv + 0.5) AS HUGEINT) AS v
-             FROM wq JOIN nrm ON nrm.it = wq.it
-           )
-         ), vfin2 AS (SELECT i, v FROM pw2 WHERE iter = 8
-         ), mv2 AS (
-           SELECT c.i, CAST(sum(c.c * vf.v) AS HUGEINT) AS wv
-           FROM cq2 c JOIN vfin2 vf ON vf.i = c.j GROUP BY 1
-         ), ray2 AS (
-           SELECT
-             CAST((SELECT sum(mv2.wv * vf2.v) FROM mv2 JOIN vfin2 vf2 ON vf2.i = mv2.i) AS DOUBLE)
-             / CAST((SELECT sum(v * v) FROM vfin2) AS DOUBLE) AS raw
-         ), tr AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cq WHERE i = j)
-         SELECT 1 AS component, CAST(vf.i AS INT) AS pos,
-           round(CAST(vf.v AS DOUBLE) / 1e12, 9) AS loading,
-           round(ray.raw / 1e9, 9) AS eigval,
-           round(ray.raw / tr.t, 6) AS var_explained
-         FROM vfin vf CROSS JOIN ray CROSS JOIN tr
-         UNION ALL
-         SELECT 2, CAST(vf.i AS INT),
-           round(CAST(vf.v AS DOUBLE) / 1e12, 9),
-           round(ray2.raw / 1e9, 9), round(ray2.raw / tr.t, 6)
-         FROM vfin2 vf CROSS JOIN ray2 CROSS JOIN tr
-         ORDER BY component, pos"""),
-
-    "q_pca_scores" -> (pcaCte + """
-         SELECT q.vec_id,
-           round(CAST(sum(CAST(q.qv AS HUGEINT) * vf.v) AS DOUBLE)
-             / (1048576 * 1e12), 6) AS pc1_score
-         FROM q JOIN vfin vf ON vf.i = q.pos
-         GROUP BY q.vec_id ORDER BY q.vec_id"""),
-
-    "q_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity,
-         l_extendedprice * (1 - l_discount) AS net_price
-         FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
-         ORDER BY l_orderkey, l_linenumber""",
-
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
-         count(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-
-    "q_listgroups_events" ->
-      """SELECT event_type, count(*) AS entry_count,
-         min(epoch_ms(ts)) AS first_seen, max(epoch_ms(ts)) AS last_seen,
-         CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_count,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-         FROM events GROUP BY event_type
-         ORDER BY first_seen, event_type""",
-
-    "q_bygroup" ->
-      """SELECT doc_id, source, lang FROM documents
-         WHERE lower(CASE WHEN source = '' THEN '<no group>' ELSE source END) LIKE '%rc1%'
-         ORDER BY doc_id""",
-
-    "q_topk" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice AS total_price
-         FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
-         ORDER BY o_orderkey""",
-
-    "q_tail" ->
-      """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type
-         FROM (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 20)
-         ORDER BY event_id""",
-
-    "q_seek" ->
-      """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
-         FROM events ORDER BY event_id LIMIT 50 OFFSET 100""",
-
-    "q_carryforward" ->
-      """SELECT event_id, user_id,
-         coalesce(last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS last_signup_event
-         FROM events ORDER BY event_id""",
-
-    // integer day buckets over epoch-ms (floor division replays exactly);
-    // DuckDB's // on BIGINT is floor division like Spark's floor(/)
-    "q_retention" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS p FROM events),
-         f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id),
-         a AS (SELECT DISTINCT user_id, p FROM e)
-         SELECT f.cohort, a.p - f.cohort AS period_offset,
-           CAST(count(*) AS BIGINT) AS n_active
-         FROM a JOIN f ON a.user_id = f.user_id
-         GROUP BY f.cohort, period_offset
-         ORDER BY cohort, period_offset""",
-
-    // stage tables chained on (user, strictly-later min ts); epoch_ns
-    // replays Spark's nanosAsLong ts exactly
-    "q_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
-         s0 AS (SELECT user_id, min(tsn) AS t FROM e
-                WHERE event_type = 'view' GROUP BY user_id),
-         s1 AS (SELECT e.user_id, min(tsn) AS t FROM e
-                JOIN s0 ON e.user_id = s0.user_id
-                WHERE e.event_type = 'click' AND e.tsn > s0.t GROUP BY e.user_id),
-         s2 AS (SELECT e.user_id, min(tsn) AS t FROM e
-                JOIN s1 ON e.user_id = s1.user_id
-                WHERE e.event_type = 'purchase' AND e.tsn > s1.t GROUP BY e.user_id),
-         c AS (
-           SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage,
-             CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
-           UNION ALL SELECT CAST(1 AS INT), 'click',
-             CAST((SELECT count(*) FROM s1) AS BIGINT)
-           UNION ALL SELECT CAST(2 AS INT), 'purchase',
-             CAST((SELECT count(*) FROM s2) AS BIGINT))
-         SELECT stage_idx, stage, n_users,
-           CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) IS NULL
-                  OR lag(n_users) OVER (ORDER BY stage_idx) = 0 THEN 1.0
-                ELSE CAST(n_users AS DOUBLE) /
-                     CAST(lag(n_users) OVER (ORDER BY stage_idx) AS DOUBLE) END
-             AS conv_from_prev,
-           CASE WHEN first_value(n_users) OVER (ORDER BY stage_idx
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0 THEN 1.0
-                ELSE CAST(n_users AS DOUBLE) /
-                     CAST(first_value(n_users) OVER (ORDER BY stage_idx
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) END
-             AS conv_from_first
-         FROM c ORDER BY stage_idx""",
-
-    // json_extract_string ≡ get_json_object for scalar number fields;
-    // integer aggregates only
-    "q_json_extract" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max,
-         CAST(count(CASE WHEN k >= 50 THEN 1 END) AS BIGINT) AS n_high
-         FROM (SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-               FROM events) t
-         GROUP BY event_type ORDER BY event_type""",
-
-    "q_join_star" ->
-      """SELECT n_name,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         WHERE r_name = 'ASIA'
-         GROUP BY n_name ORDER BY n_name""",
-
-    // bucketing changes the physical plan, not the result: the oracle is
-    // the plain join over the raw parquet
-    "q_bucketed_join" ->
-      """SELECT o_orderpriority,
-         CAST(count(*) AS BIGINT) AS n_items,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-
-    "q_semi_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         ORDER BY c_custkey""",
-
-    "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         ORDER BY c_custkey""",
-
-    "q_window_topn" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
-           SELECT o_custkey, o_orderkey,
-             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-           FROM orders) t
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
-
-    "q_sessionize" ->
-      """SELECT event_id, user_id,
-         CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ms, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms,
-                 lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
-               FROM events) t
-         ORDER BY event_id""",
-
-    // per-user z outliers: DECIMAL(18,4) power sums (order-free), the
-    // q_corr pinned closed form, membership cut on the 4dp-ROUNDED z
-    "q_anomaly" ->
-      """WITH v AS (
-           SELECT event_id, user_id, value, CAST(value AS DECIMAL(18,4)) AS x
-           FROM events WHERE value IS NOT NULL
-         ), st AS (
-           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             sum(x) AS sx,
-             sum(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) AS sxx
-           FROM v GROUP BY user_id
-         )
-         SELECT event_id, user_id, value, z FROM (
-           SELECT v.event_id, v.user_id, v.value,
-             round((CAST(v.x AS DOUBLE)
-                 - CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))
-               / (sqrt(CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
-                   - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE))
-                 / CAST(st.n AS DOUBLE)), 4) AS z,
-             st.n AS n,
-             CAST(st.n AS DOUBLE) * CAST(st.sxx AS DOUBLE)
-               - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE) AS varnum
-           FROM v JOIN st USING (user_id)) t
-         WHERE n >= 8 AND varnum > 0.0 AND abs(z) > 3.0
-         ORDER BY event_id""",
-
-    // online variant: the same pinned closed form over RUNNING window
-    // sums (sequential in-frame decimal accumulation — engine-identical)
-    "q_anomaly_online" ->
-      """WITH v AS (
-           SELECT event_id, user_id, ts, value, CAST(value AS DECIMAL(18,4)) AS x
-           FROM events WHERE value IS NOT NULL
-         ), r AS (
-           SELECT event_id, user_id, value,
-             CAST(count(*) OVER w AS BIGINT) AS n,
-             sum(x) OVER w AS sx,
-             sum(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4))) OVER w AS sxx,
-             CAST(x AS DOUBLE) AS xd
-           FROM v
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         )
-         SELECT event_id, user_id, value, z FROM (
-           SELECT event_id, user_id, value,
-             round((xd - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE)), 4) AS z,
-             n,
-             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varnum
-           FROM r) t
-         WHERE n >= 8 AND varnum > 0.0 AND abs(z) > 3.0
-         ORDER BY event_id""",
-
-    "q_moving_agg" ->
-      """SELECT event_id, user_id,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
-           ORDER BY epoch_ns(ts), event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
-           ORDER BY epoch_ns(ts), event_id
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_3,
-         CAST(count(*) OVER (PARTITION BY user_id
-           ORDER BY epoch_ns(ts), event_id
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_window
-         FROM events ORDER BY event_id""",
-
-    "q_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-         coalesce(l_linestatus, 'ALL') AS linestatus,
-         count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-         ORDER BY returnflag, linestatus""",
-
-    // the full CUBE lattice (every grouping-set combination) under the
-    // q_rollup conventions: ALL sentinels for the set-level nulls, exact
-    // DECIMAL sums
-    "q_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-         coalesce(l_linestatus, 'ALL') AS linestatus,
-         count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY returnflag, linestatus""",
-
-    // pivoted conditional aggregation — identical semantics in any
-    // engine when the pivot values are enumerated explicitly
-    "q_pivot" ->
-      """SELECT l_returnflag,
-         CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_F,
-         CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_O
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q_percentile" ->
-      """SELECT l_returnflag,
-         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-         round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    // the order statistic the refinement loop selects, replayed as a
-    // rank: k-th smallest at k = ceil(p*n) — the VALUE is tie-order
-    // independent, and both engines read the identical parquet double
-    "q_exact_quantile" ->
-      """WITH v AS (
-           SELECT l_extendedprice AS x FROM lineitem
-           WHERE l_extendedprice IS NOT NULL
-         ), r AS (
-           SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v
-         ), n AS (SELECT count(*) AS n FROM v)
-         SELECT
-           (SELECT x FROM r, n WHERE rn = CEIL(0.5 * n)) AS p50,
-           (SELECT x FROM r, n WHERE rn = CEIL(0.95 * n)) AS p95,
-           (SELECT x FROM r, n WHERE rn = CEIL(0.99 * n)) AS p99""",
-
-    // the per-group descent, replayed as a per-group rank: the k_g-th
-    // smallest at k_g = ceil(p*n_g) — value identical whatever the tie
-    // order; n_g counts the group's non-null values
-    "q_exact_quantile_by" ->
-      """WITH v AS (
-           SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem
-           WHERE l_extendedprice IS NOT NULL
-         ), r AS (
-           SELECT g, x,
-             row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
-             count(*) OVER (PARTITION BY g) AS n
-           FROM v
-         )
-         SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, x AS quantile
-         FROM r WHERE rn = CEIL(0.95 * n) ORDER BY g""",
-
-    // replay of the log-histogram sketch: every bucket edge is integer
-    // arithmetic (floor-quantize, bit-length via bin(), power-of-two
-    // width) — no log() whose last ulp could differ between runtimes —
-    // so the walk and the estimates hash-match bit-for-bit; ceil's
-    // argument is cast to DOUBLE to pin DuckDB's decimal literal to
-    // Spark's double multiply
-    "q_loghist_quantile" ->
-      """WITH v AS (
-           SELECT l_returnflag AS g,
-                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS nq
-           FROM lineitem WHERE l_extendedprice IS NOT NULL
-         ), k AS (
-           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
-         ), w AS (
-           SELECT g, nq, an,
-             CASE WHEN e <= 6 THEN 1.0
-                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
-           FROM k
-         ), b AS (
-           SELECT g,
-             CASE WHEN nq = 0 THEN 0.0
-                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
-                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
-             END AS lo,
-             count(*) AS c
-           FROM w GROUP BY 1, 2
-         ), cum AS (
-           SELECT g, lo,
-             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
-             sum(c) OVER (PARTITION BY g) AS n
-           FROM b
-         )
-         SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
-           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
-           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
-           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
-         FROM cum GROUP BY g ORDER BY g""",
-
-    // the windowed walk: identical bucket arithmetic partitioned by the
-    // integer-epoch window start + type (epoch_ms(ts) truncation is the
-    // q_event_windows-pinned twin of Spark's ts div 1000000)
-    "q_window_quantile" ->
-      """WITH v AS (
-           SELECT (epoch_ms(ts) // 3600000) * 3600000 AS w_ms,
-                  event_type AS g2,
-                  CAST(floor(value * 100) AS BIGINT) AS nq
-           FROM events WHERE value IS NOT NULL
-         ), k AS (
-           SELECT w_ms, g2, nq, abs(nq) AS an,
-                  length(bin(abs(nq))) AS e
-           FROM v
-         ), w AS (
-           SELECT w_ms, g2, nq, an,
-             CASE WHEN e <= 6 THEN 1.0
-                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
-           FROM k
-         ), b AS (
-           SELECT w_ms, g2,
-             CASE WHEN nq = 0 THEN 0.0
-                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
-                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
-             END AS lo,
-             count(*) AS c
-           FROM w GROUP BY 1, 2, 3
-         ), cum AS (
-           SELECT w_ms, g2, lo,
-             sum(c) OVER (PARTITION BY w_ms, g2 ORDER BY lo) AS cum,
-             sum(c) OVER (PARTITION BY w_ms, g2) AS n
-           FROM b
-         )
-         SELECT w_ms AS window_start_ms, g2 AS event_type,
-           CAST(max(n) AS BIGINT) AS n,
-           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
-           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
-           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
-         FROM cum GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // store-served range percentiles ≡ the plain per-group walk over
-    // the raw events whose WINDOW lands in [Jan 8, Jan 15) — merging
-    // window partials by addition is exactly restricting the input
-    "q_loghist_store" ->
-      """WITH v AS (
-           SELECT event_type AS g,
-                  CAST(floor(value * 100) AS BIGINT) AS nq
-           FROM events
-           WHERE value IS NOT NULL
-             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
-             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
-         ), k AS (
-           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
-         ), w AS (
-           SELECT g, nq, an,
-             CASE WHEN e <= 6 THEN 1.0
-                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
-           FROM k
-         ), b AS (
-           SELECT g,
-             CASE WHEN nq = 0 THEN 0.0
-                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
-                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
-             END AS lo,
-             count(*) AS c
-           FROM w GROUP BY 1, 2
-         ), cum AS (
-           SELECT g, lo,
-             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
-             sum(c) OVER (PARTITION BY g) AS n
-           FROM b
-         )
-         SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
-           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
-           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
-           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est
-         FROM cum GROUP BY g ORDER BY g""",
-
-    // the q_loghist_store serving replay over the retained range, plus
-    // the expired-partition count recomputed from the raw events'
-    // day-window ends — equal iff the sweep dropped exactly the expired
-    // windows and serving never read them
-    "q_store_retention" ->
-      """WITH v AS (
-           SELECT event_type AS g,
-                  CAST(floor(value * 100) AS BIGINT) AS nq
-           FROM events
-           WHERE value IS NOT NULL
-             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
-             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
-         ), k AS (
-           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
-         ), w AS (
-           SELECT g, nq, an,
-             CASE WHEN e <= 6 THEN 1.0
-                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
-           FROM k
-         ), b AS (
-           SELECT g,
-             CASE WHEN nq = 0 THEN 0.0
-                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
-                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
-             END AS lo,
-             count(*) AS c
-           FROM w GROUP BY 1, 2
-         ), cum AS (
-           SELECT g, lo,
-             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
-             sum(c) OVER (PARTITION BY g) AS n
-           FROM b
-         ), exp AS (
-           SELECT CAST(count(DISTINCT (epoch_ms(ts) // 86400000) * 86400000)
-             AS BIGINT) AS n_dropped
-           FROM events
-           WHERE value IS NOT NULL
-             AND (epoch_ms(ts) // 86400000) * 86400000 + 86400000 <= 1704672000000
-         )
-         SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
-           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p50_est,
-           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p95_est,
-           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 100.0 AS p99_est,
-           (SELECT n_dropped FROM exp) AS n_dropped_windows
-         FROM cum GROUP BY g ORDER BY g""",
-
-    // store-served range distinct counts ≡ the register walk over the
-    // raw events in the range, each event ONCE — the md5-60 idx/rho
-    // split at p=12 (restBits=48), per-(group, idx) MAX, raw harmonic
-    // finalize with the folded hllConstant(12) literal. The Spark side
-    // ingested the even half TWICE; max-merge must make that invisible
-    "q_hll_store" -> {
-      val c = graft.operators.Sketches.hllConstant(12)
-      s"""WITH it AS (
-           SELECT event_type, CAST(user_id AS VARCHAR) AS item
-           FROM events
-           WHERE user_id IS NOT NULL
-             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
-             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
-         ), r AS (
-           SELECT event_type, h >> 48 AS idx,
-                  h & ((CAST(1 AS BIGINT) << 48) - 1) AS rem
-           FROM (SELECT event_type,
-                   CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h
-                 FROM it)
-         ), reg AS (
-           SELECT event_type, idx,
-             max(CASE WHEN rem = 0 THEN 49
-                 ELSE 49 - length(ltrim(bin(rem), '0')) END) AS mrho
-           FROM r GROUP BY 1, 2
-         ), agg AS (
-           SELECT event_type, CAST(count(*) AS BIGINT) AS n_registers_used,
-             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT),
-               CAST(0 AS BIGINT)) AS s_used
-           FROM reg GROUP BY 1
-         )
-         SELECT event_type, n_registers_used,
-           s_used + (4096 - n_registers_used) * (CAST(1 AS BIGINT) << 49) AS s_fixed,
-           $c / CAST(s_used + (4096 - n_registers_used) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_distinct
-         FROM agg ORDER BY event_type"""
-    },
-
-    // the pair-matrix walk: same register CTE (each event ONCE), per-idx
-    // MAX across each group pair = the union's registers, three raw
-    // harmonic finalizes, inclusion–exclusion left-associated exactly as
-    // the Spark column expression evaluates
-    "q_hll_overlap" -> {
-      val c = graft.operators.Sketches.hllConstant(12)
-      s"""WITH it AS (
-           SELECT event_type, CAST(user_id AS VARCHAR) AS item
-           FROM events
-           WHERE user_id IS NOT NULL
-             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
-             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
-         ), r AS (
-           SELECT event_type, h >> 48 AS idx,
-                  h & ((CAST(1 AS BIGINT) << 48) - 1) AS rem
-           FROM (SELECT event_type,
-                   CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h
-                 FROM it)
-         ), reg AS (
-           SELECT event_type, idx,
-             max(CASE WHEN rem = 0 THEN 49
-                 ELSE 49 - length(ltrim(bin(rem), '0')) END) AS mrho
-           FROM r GROUP BY 1, 2
-         ), gs AS (
-           SELECT DISTINCT event_type FROM reg
-         ), pr AS (
-           SELECT a.event_type AS ga, b.event_type AS gb
-           FROM gs a, gs b WHERE a.event_type < b.event_type
-         ), ur AS (
-           SELECT pr.ga, pr.gb, g.idx, max(g.mrho) AS mrho
-           FROM pr JOIN reg g
-             ON g.event_type = pr.ga OR g.event_type = pr.gb
-           GROUP BY 1, 2, 3
-         ), fu AS (
-           SELECT ga, gb, CAST(count(*) AS BIGINT) AS nu,
-             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT),
-               CAST(0 AS BIGINT)) AS su
-           FROM ur GROUP BY 1, 2
-         ), fg AS (
-           SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
-             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT),
-               CAST(0 AS BIGINT)) AS sg
-           FROM reg GROUP BY 1
-         ), eg AS (
-           SELECT event_type,
-             $c / CAST(sg + (4096 - ng) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est
-           FROM fg
-         ), eu AS (
-           SELECT ga, gb,
-             $c / CAST(su + (4096 - nu) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_union
-           FROM fu
-         )
-         SELECT eu.ga AS group_a, eu.gb AS group_b,
-           ea.est AS est_a, eb.est AS est_b, eu.est_union,
-           ea.est + eb.est - eu.est_union AS est_overlap
-         FROM eu
-         JOIN eg ea ON ea.event_type = eu.ga
-         JOIN eg eb ON eb.event_type = eu.gb
-         ORDER BY 1, 2"""
-    },
-
-    // the bracket walk: rebuild the centered buckets over the range
-    // (each event once), recover each bucket's covered quantized span
-    // from its edge (positive: bitlength(lo); negative:
-    // bitlength(|lo|−1)), then the two bounded sums per threshold
-    "q_loghist_cdf" ->
-      """WITH v AS (
-           SELECT event_type AS g,
-             CAST(floor((value - 250.0) * 100) AS BIGINT) AS nq
-           FROM events
-           WHERE value IS NOT NULL
-             AND (epoch_ms(ts) // 3600000) * 3600000 >= 1704672000000
-             AND (epoch_ms(ts) // 3600000) * 3600000 < 1705276800000
-         ), k AS (
-           SELECT g, nq, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
-         ), w AS (
-           SELECT g, nq, an,
-             CASE WHEN e <= 6 THEN 1.0
-                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
-           FROM k
-         ), b AS (
-           SELECT g,
-             CASE WHEN nq = 0 THEN 0.0
-                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
-                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
-             END AS lo,
-             count(*) AS c
-           FROM w GROUP BY 1, 2
-         ), cls AS (
-           SELECT g, c, lo,
-             CASE WHEN e2 <= 6 THEN 1.0
-                  ELSE pow(2, CAST(e2 - 6 AS DOUBLE)) END AS w2
-           FROM (
-             SELECT g, c, lo,
-               CASE WHEN lo > 0 THEN length(bin(CAST(lo AS BIGINT)))
-                    WHEN lo < 0 THEN length(bin(CAST(abs(lo) - 1 AS BIGINT)))
-                    ELSE 6 END AS e2
-             FROM b)
-         ), fl AS (
-           SELECT g, c,
-             CASE WHEN lo >= 0 THEN lo ELSE lo + 1 END AS f,
-             CASE WHEN lo > 0 THEN lo + w2 - 1
-                  WHEN lo < 0 THEN lo + w2 ELSE 0.0 END AS l
-           FROM cls
-         )
-         SELECT g AS event_type, CAST(sum(c) AS BIGINT) AS n,
-           CAST(sum(CASE WHEN l <= floor(-100.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_m100_0_lo,
-           CAST(sum(CASE WHEN f <= floor(-100.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_m100_0_hi,
-           CAST(sum(CASE WHEN l <= floor(0.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_0_0_lo,
-           CAST(sum(CASE WHEN f <= floor(0.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_0_0_hi,
-           CAST(sum(CASE WHEN l <= floor(150.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_150_0_lo,
-           CAST(sum(CASE WHEN f <= floor(150.0 * 100) THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS le_150_0_hi
-         FROM fl GROUP BY g ORDER BY g""",
-
-    // the weighted walk: identical bucket arithmetic at quantScale=1,
-    // counts replaced by per-bucket weight sums (n = total weight)
-    "q_loghist_weighted" ->
-      """WITH v AS (
-           SELECT lang AS g,
-                  CAST(floor(CAST(n_chars AS DOUBLE) * 1.0) AS BIGINT) AS nq,
-                  CAST(n_chars AS BIGINT) AS wt
-           FROM documents WHERE n_chars IS NOT NULL
-         ), k AS (
-           SELECT g, nq, wt, abs(nq) AS an, length(bin(abs(nq))) AS e FROM v
-         ), w AS (
-           SELECT g, nq, wt, an,
-             CASE WHEN e <= 6 THEN 1.0
-                  ELSE pow(2, CAST(e - 6 AS DOUBLE)) END AS wd
-           FROM k
-         ), b AS (
-           SELECT g,
-             CASE WHEN nq = 0 THEN 0.0
-                  WHEN nq > 0 THEN floor(CAST(an AS DOUBLE) / wd) * wd
-                  ELSE -(floor(CAST(an AS DOUBLE) / wd) * wd + wd)
-             END AS lo,
-             sum(coalesce(wt, 0)) AS c
-           FROM w GROUP BY 1, 2
-         ), cum AS (
-           SELECT g, lo,
-             sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
-             sum(c) OVER (PARTITION BY g) AS n
-           FROM b
-         )
-         SELECT g AS lang, CAST(max(n) AS BIGINT) AS n,
-           min(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN lo END) / 1.0 AS p50_est,
-           min(CASE WHEN cum >= ceil(0.95 * CAST(n AS DOUBLE)) THEN lo END) / 1.0 AS p95_est,
-           min(CASE WHEN cum >= ceil(0.99 * CAST(n AS DOUBLE)) THEN lo END) / 1.0 AS p99_est
-         FROM cum GROUP BY g ORDER BY g""",
-
-    // replay of the fixed-width histogram walk: identical IEEE double
-    // expression order on both sides (bin edge = mn + bin*(mx-mn)/1024.0),
-    // so the estimates hash-match bit-for-bit
-    "q_binned_quantile" ->
-      """WITH s AS (
-           SELECT l_returnflag, min(l_extendedprice) AS mn,
-                  max(l_extendedprice) AS mx, count(*) AS n
-           FROM lineitem GROUP BY l_returnflag
-         ), b AS (
-           SELECT l.l_returnflag,
-             CASE WHEN s.mx = s.mn THEN 0
-                  ELSE least(CAST(floor((l.l_extendedprice - s.mn) / (s.mx - s.mn) * 1024) AS BIGINT), 1023) END AS bin,
-             count(*) AS c, max(s.mn) AS mn, max(s.mx) AS mx, max(s.n) AS n
-           FROM lineitem l JOIN s ON l.l_returnflag IS NOT DISTINCT FROM s.l_returnflag
-           GROUP BY 1, 2
-         ), c AS (
-           SELECT l_returnflag, bin, mn, mx, n,
-             CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum
-           FROM b
-         )
-         SELECT l_returnflag, max(n) AS n,
-           min(CASE WHEN cum >= ceil(0.5 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p50_est,
-           min(CASE WHEN cum >= ceil(0.95 * n) THEN mn + bin * (mx - mn) / 1024.0 END) AS p95_est
-         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q_sqrt_mix" ->
-      """WITH c AS (
-           SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
-           FROM documents GROUP BY lang
-         ), m AS (SELECT min(n_docs) AS mn FROM c)
-         SELECT stratum, n_docs,
-           sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS keep_frac,
-           CAST(floor(CAST(n_docs AS DOUBLE) *
-             sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS target_docs
-         FROM c, m ORDER BY stratum""",
-
-    // DECIMAL power sums are exact rationals in both engines; the closed
-    // form multiplies/subtracts/sqrts/divides in the SAME pinned order
-    // (mul binds before sub in both grammars), so corr replays unrounded
-    "q_corr" ->
-      """WITH a AS (
-           SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(l_quantity AS DECIMAL(18,4))) AS sx,
-             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sy,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
-             sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
-           FROM lineitem GROUP BY l_returnflag
-         )
-         SELECT l_returnflag, n,
-           CAST(sx AS DOUBLE) AS sum_x, CAST(sy AS DOUBLE) AS sum_y,
-           CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-                 AND sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-             THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-             END AS corr
-         FROM a ORDER BY l_returnflag""",
-
-    "q_distinct" ->
-      """SELECT l_returnflag,
-         count(DISTINCT l_partkey) AS n_parts,
-         count(DISTINCT l_suppkey) AS n_supps
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    "q_salted_agg" ->
-      """SELECT l_returnflag, count(*) AS n,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-
-    // the salt is plumbing, not semantics: the oracle is the PLAIN join
-    "q_salted_join" ->
-      """SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_totalprice,
-           c.c_mktsegment
-         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-         ORDER BY o.o_orderkey""",
-
-    "q_exact_dedup" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_dupes FROM documents
-         GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-         ORDER BY doc_id""",
-
-    "q_token_stats" ->
-      """SELECT doc_id, length(text) AS n_chars_measured,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-         length(list_filter(
-           regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
-           t -> NOT regexp_matches(t, '^\s+$'))) AS n_bpe_tokens
-         FROM documents ORDER BY doc_id""",
-
-    // the q_token_stats per-doc counts folded per language with the
-    // fixed-point ratio convention
-    "q_fertility" ->
-      """WITH t AS (
-           SELECT doc_id, lang, length(text) AS n_chars,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE length(string_split_regex(trim(text), '\s+')) END AS n_words,
-             length(list_filter(
-               regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
-               x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe
-           FROM documents
-         )
-         SELECT lang AS stratum,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
-           CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST(sum(n_words) AS BIGINT) AS n_words,
-           CASE WHEN sum(n_chars) > 0 THEN
-             round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE), 4)
-             ELSE 0.0 END AS bpe_per_char,
-           CASE WHEN sum(n_words) > 0 THEN
-             round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 4)
-             ELSE 0.0 END AS bpe_per_word
-         FROM t GROUP BY lang ORDER BY lang""",
-
-    // the textbook NOT-EXISTS skyline — O(n²) is fine at sf, and it is
-    // the semantics the distributed prefix-max cover must reproduce
-    "q_pareto" ->
-      """WITH s AS (
-           SELECT doc_id, n_chars,
-             CAST(len(list_distinct(list_filter(
-               string_split_regex(trim(text), '\s+'), t -> t <> '')))
-               AS BIGINT) AS n_distinct_tokens
-           FROM documents
-           WHERE n_chars IS NOT NULL AND text IS NOT NULL)
-         SELECT p.doc_id, p.n_chars, p.n_distinct_tokens FROM s AS p
-         WHERE NOT EXISTS (
-           SELECT 1 FROM s AS q
-           WHERE q.n_chars >= p.n_chars
-             AND q.n_distinct_tokens >= p.n_distinct_tokens
-             AND (q.n_chars > p.n_chars
-               OR q.n_distinct_tokens > p.n_distinct_tokens))
-         ORDER BY p.doc_id""",
-
-    // per-group NOT-EXISTS: dominance only within the same language
-    "q_pareto_by" ->
-      """WITH s AS (
-           SELECT doc_id, lang, n_chars,
-             CAST(len(list_distinct(list_filter(
-               string_split_regex(trim(text), '\s+'), t -> t <> '')))
-               AS BIGINT) AS n_distinct_tokens
-           FROM documents
-           WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL)
-         SELECT p.doc_id, p.lang, p.n_chars, p.n_distinct_tokens FROM s AS p
-         WHERE NOT EXISTS (
-           SELECT 1 FROM s AS q
-           WHERE q.lang = p.lang
-             AND q.n_chars >= p.n_chars
-             AND q.n_distinct_tokens >= p.n_distinct_tokens
-             AND (q.n_chars > p.n_chars
-               OR q.n_distinct_tokens > p.n_distinct_tokens))
-         ORDER BY p.doc_id""",
-
-    "q_quality" ->
-      """SELECT doc_id,
-         length(text) AS n_chars_measured,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-         CASE WHEN trim(text) = '' THEN 0.0 ELSE
-           round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
-             / length(string_split_regex(trim(text), '\s+')), 4) END AS avg_token_len,
-         CASE WHEN trim(text) = '' THEN 0.0 ELSE
-           round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-               t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
-             / length(string_split_regex(trim(text), '\s+')), 4) END AS stopword_ratio,
-         CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-             / length(text), 4) END AS alpha_ratio
-         FROM documents ORDER BY doc_id""",
-
-    // the trained linear probe replayed END-TO-END: same presence
-    // features, same integer fixed-point gradient sums, same
-    // float-collapsed step per iteration — TRAINING is part of the
-    // verified surface, not just the final scoring pass
-    "q_quality_clf" ->
-      s"""WITH ${clfCtes(64, 3, "1.0")}
-         SELECT d.doc_id, y.y,
-           round(CAST(coalesce(zf.z, 0) AS DOUBLE) / ${1L << 20}, 6) AS score
-         FROM documents d
-         JOIN y USING (doc_id)
-         LEFT JOIN zf USING (doc_id)
-         ORDER BY d.doc_id""",
-
-    // Mann–Whitney with mid-rank ties as a histogram + strictly-below
-    // cumulative: AUC = Σ pos_s·(2·negBelow_s + neg_s) / (2·nPos·nNeg).
-    // DuckDB's BIGINT sums promote to HUGEINT — the same 128-bit
-    // arithmetic the Spark side runs as decimal(38,0)
-    "q_roc_auc" ->
-      """WITH h AS (
-           SELECT CAST(n_chars AS DOUBLE) AS s,
-             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
-           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
-         ), c AS (
-           SELECT pos, neg,
-             coalesce(sum(neg) OVER (ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
-           FROM h
-         )
-         SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-           CAST(sum(neg) AS BIGINT) AS n_neg,
-           CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
-             ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
-               / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
-         FROM c""",
-
-    // identical walk over the binned key floor(n_chars · 0.01)
-    "q_roc_auc_binned" ->
-      """WITH h AS (
-           SELECT floor(CAST(n_chars AS DOUBLE) * 0.01) AS s,
-             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
-           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
-         ), c AS (
-           SELECT pos, neg,
-             coalesce(sum(neg) OVER (ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
-           FROM h
-         )
-         SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-           CAST(sum(neg) AS BIGINT) AS n_neg,
-           CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
-             ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
-               / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
-         FROM c""",
-
-    // the grouped walk: identical arithmetic, the cumulative partitioned
-    // per source
-    "q_roc_auc_by" ->
-      """WITH h AS (
-           SELECT source, CAST(n_chars AS DOUBLE) AS s,
-             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
-           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
-         ), c AS (
-           SELECT source, pos, neg,
-             coalesce(sum(neg) OVER (PARTITION BY source ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
-           FROM h
-         )
-         SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
-           CAST(sum(neg) AS BIGINT) AS n_neg,
-           CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
-             ELSE round(CAST(sum(pos * (2 * nb + neg)) AS DOUBLE)
-               / (2.0 * sum(pos) * sum(neg)), 6) END AS auc
-         FROM c GROUP BY source ORDER BY source""",
-
-    // observed vs marginal-expected agreement; Σ n_a(c)·n_b(c) is an
-    // exact integer (HUGEINT ≡ decimal(38,0)), the three divisions are
-    // fixed double expressions
-    "q_kappa" ->
-      """WITH r AS (
-           SELECT lang AS a,
-             CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS b
-           FROM documents WHERE lang IS NOT NULL
-         ), base AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
-           FROM r
-         ), m AS (
-           SELECT cat, sum(ca) AS na, sum(cb) AS nb
-           FROM (SELECT a AS cat, 1 AS ca, 0 AS cb FROM r
-                 UNION ALL SELECT b, 0, 1 FROM r)
-           GROUP BY cat
-         ), e AS (
-           SELECT sum(na * nb) AS es FROM m
-         )
-         SELECT n,
-           round(CAST(agree AS DOUBLE) / n, 6) AS po,
-           round(CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
-           CASE WHEN CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n) = 1.0 THEN NULL
-             ELSE round((CAST(agree AS DOUBLE) / n
-                 - CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n))
-               / (1.0 - CAST(es AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
-           END AS kappa
-         FROM base, e""",
-
-    // the PR walk at tie-collapsed thresholds: descending inclusive
-    // cumulatives, precision snapped to the 10⁻¹² grid, integer term sum
-    // (HUGEINT ≡ the Spark side's decimal(38,0))
-    "q_avg_prec" ->
-      """WITH h AS (
-           SELECT CAST(n_chars AS DOUBLE) AS s,
-             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
-             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
-           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
-         ), c AS (
-           SELECT pos, neg,
-             sum(pos) OVER (ORDER BY s DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
-             sum(pos + neg) OVER (ORDER BY s DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
-           FROM h
-         ), t AS (
-           SELECT pos, neg,
-             CAST(floor(1000000000000.0 * (CAST(cp AS DOUBLE) / CAST(ca AS DOUBLE)) + 0.5) AS BIGINT) AS ps
-           FROM c
-         )
-         SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-           CAST(sum(neg) AS BIGINT) AS n_neg,
-           CASE WHEN sum(pos) = 0 THEN NULL
-             ELSE round(CAST(sum(pos * ps) AS DOUBLE)
-               / (1000000000000.0 * sum(pos)), 6) END AS avg_prec
-         FROM t""",
-
-    // decile reliability bands: bin = min(floor(s·10), 9); the mean is
-    // the floor(s·10⁶ + 0.5) integer sum divided once — the exact
-    // fixed-point the Spark side accumulates
-    "q_calibration" ->
-      """WITH sc AS (
-           SELECT (n_chars % 997) / 996.0 AS s,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-           FROM documents WHERE n_chars IS NOT NULL
-         )
-         SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(y) AS BIGINT) AS n_pos,
-           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
-           round(CAST(sum(CAST(floor(s * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / (1000000.0 * count(*)), 6) AS mean_score
-         FROM sc GROUP BY 1 ORDER BY 1""",
-
-    // Brier on the 3dp grid: Σ (⌊s·1000+0.5⌋ − 1000·y)² / (10⁶·n)
-    "q_brier" ->
-      """WITH sc AS (
-           SELECT lang, (n_chars % 997) / 996.0 AS s,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-           FROM documents WHERE n_chars IS NOT NULL
-         ), t AS (
-           SELECT lang,
-             CAST(floor(s * 1000 + 0.5) AS BIGINT) - 1000 * y AS d
-           FROM sc
-         )
-         SELECT lang, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(d * d) AS DOUBLE) / (1000000.0 * count(*)), 6) AS brier
-         FROM t GROUP BY lang ORDER BY lang""",
-
-    // count-table cumulative walk replay: the 4dp score domain keeps the
-    // per-stratum count table tiny; nearest-rank value = smallest v whose
-    // cumulative count reaches floor((n-1)p)+1; DECIMAL-quantized clipped
-    // mean, one rounded division
-    "q_winsorize" ->
-      """WITH q AS (
-           SELECT lang AS stratum,
-             CASE WHEN length(text) = 0 THEN 0.0 ELSE
-               round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                 / length(text), 4) END AS v
-           FROM documents
-         ), c AS (
-           SELECT stratum, v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY stratum, v
-         ), cc AS (
-           SELECT stratum, v, c,
-             sum(c) OVER (PARTITION BY stratum ORDER BY v
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             sum(c) OVER (PARTITION BY stratum) AS n
-           FROM c
-         ), b AS (
-           SELECT stratum,
-             min(CASE WHEN cum >= floor((n - 1) * 5 / 100) + 1 THEN v END) AS lo,
-             min(CASE WHEN cum >= floor((n - 1) * 95 / 100) + 1 THEN v END) AS hi
-           FROM cc GROUP BY stratum
-         )
-         SELECT q.stratum, CAST(count(*) AS BIGINT) AS n, b.lo, b.hi,
-           CAST(sum(CASE WHEN q.v < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
-           CAST(sum(CASE WHEN q.v > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-           round(CAST(sum(CAST(least(greatest(q.v, b.lo), b.hi) AS DECIMAL(18,4))) AS DOUBLE)
-             / count(*), 6) AS mean_winsorized
-         FROM q JOIN b USING (stratum)
-         GROUP BY q.stratum, b.lo, b.hi ORDER BY stratum""",
-
-    "q_langid" -> {
-      // keep marker lists in lockstep with TextAnalysis.langMarkers
-      def occ(w: String) =
-        s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
-      val scoreDefs = TextAnalysis.langMarkers.map { case (l, ws) =>
-        ws.map(occ).mkString(" + ") + s" AS score_$l"
-      }.mkString(",\n           ")
-      s"""SELECT doc_id, lang_label, score_en, score_de, score_fr, score_es,
-         CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-              WHEN score_de > 0 AND score_de >= score_fr AND score_de >= score_es THEN 'de'
-              WHEN score_fr > 0 AND score_fr >= score_es THEN 'fr'
-              WHEN score_es > 0 THEN 'es'
-              ELSE 'und' END AS lang_pred
-         FROM (SELECT doc_id, lang AS lang_label,
-           $scoreDefs
-           FROM documents) t
-         ORDER BY doc_id"""
-    },
-
-    "q_embed_neardup" ->
-      """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-         FROM embeddings a JOIN embeddings b
-           ON a.label = b.label AND a.vec_id < b.vec_id
-         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
-         ORDER BY vec_id_a, vec_id_b""",
-
-    "q_embed_topk" ->
-      """SELECT query_id, vec_id, cos_sim, rank FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
-           FROM embeddings c
-           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
-           WHERE c.vec_id <> q.vec_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank""",
-
-    // q_embed_topk's proven rounded-cosine ranking with the label
-    // inequality replacing the self-exclusion (same label ⊃ self)
-    "q_hard_negatives" ->
-      """SELECT query_id, vec_id, cos_sim, rank FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY q.vec_id
-               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, c.vec_id) AS rank
-           FROM embeddings c
-           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
-           WHERE c.label <> q.label) t
-         WHERE rank <= 5 ORDER BY query_id, rank""",
-
-    // both rank lists replayed with their own proven conventions (decimal
-    // tfidf dot, rounded dense cosine), then the RRF sum as the identical
-    // fixed-order double expression; rank 0 = absent from that list
-    "q_rrf_hybrid" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), tfc AS (
-           SELECT doc_id, term, count(*) AS tf
-           FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
-         ), dft AS (
-           SELECT term, count(*) AS df FROM tfc GROUP BY 1
-         ), n AS (SELECT count(*) AS n FROM documents),
-         v AS (
-           SELECT tfc.doc_id, tfc.term,
-             CAST(round(tfc.tf * (n.n + 1.0) / (dft.df + 1.0), 4) AS DECIMAL(18,4)) AS w
-           FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
-         ), norms AS (
-           SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm FROM v GROUP BY 1
-         ), qd AS (
-           SELECT doc_id AS query_id, term, w AS qw FROM v WHERE doc_id < 3
-         ), dots AS (
-           SELECT q.query_id, v.doc_id, CAST(sum(q.qw * v.w) AS DOUBLE) AS dot
-           FROM v JOIN qd q ON v.term = q.term AND v.doc_id <> q.query_id
-           GROUP BY 1, 2
-         ), sparse AS (
-           SELECT query_id, doc_id AS item_id, rk AS rank_sparse FROM (
-             SELECT d.query_id, d.doc_id,
-               row_number() OVER (PARTITION BY d.query_id
-                 ORDER BY round(d.dot / (nq.norm * nd.norm), 4) DESC, d.doc_id) AS rk
-             FROM dots d
-             JOIN norms nq ON nq.doc_id = d.query_id
-             JOIN norms nd ON nd.doc_id = d.doc_id) t
-           WHERE rk <= 20
-         ), ec AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         ), dense AS (
-           SELECT query_id, vec_id AS item_id, rk AS rank_dense FROM (
-             SELECT q.vec_id AS query_id, c.vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rk
-             FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 3) q
-             WHERE c.vec_id <> q.vec_id) t
-           WHERE rk <= 20
-         ), fused AS (
-           SELECT coalesce(s.query_id, d.query_id) AS query_id,
-             coalesce(s.item_id, d.item_id) AS item_id,
-             coalesce(s.rank_sparse, 0) AS rank_sparse,
-             coalesce(d.rank_dense, 0) AS rank_dense,
-             coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank_sparse), 0.0) +
-               coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank_dense), 0.0) AS rrf
-           FROM sparse s FULL OUTER JOIN dense d
-             ON s.query_id = d.query_id AND s.item_id = d.item_id
-         )
-         SELECT query_id, item_id, rank_sparse, rank_dense,
-           round(rrf, 6) AS rrf_score, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY rrf DESC, item_id) AS rank FROM fused) t
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    // the q_bm25 chain as the 20-deep lexical list, the q_rrf_hybrid
-    // dense chain, the identical fixed-order RRF fold
-    "q_rrf_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), pos AS (
-           SELECT doc_id, unnest(tk) AS term FROM toks
-         ), tfc AS (
-           SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2
-         ), dl AS (
-           SELECT doc_id, count(*) AS dl FROM pos GROUP BY 1
-         ), st AS (
-           SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-           FROM dl
-         ), dfx AS (
-           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
-         ), q AS (
-           SELECT DISTINCT doc_id AS query_id, term FROM tfc WHERE doc_id < 3
-         ), contrib AS (
-           SELECT q.query_id, t.doc_id,
-             CAST(round(
-               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
-               ((CAST(t.tf AS DOUBLE) * 2.25) /
-                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
-                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
-             , 6) AS DECIMAL(18,6)) AS c
-           FROM tfc t
-           JOIN q ON t.term = q.term
-           JOIN dfx ON t.term = dfx.term
-           JOIN dl ON t.doc_id = dl.doc_id
-           WHERE t.doc_id <> q.query_id
-         ), bscored AS (
-           SELECT query_id, doc_id,
-             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
-           FROM contrib GROUP BY 1, 2
-         ), sparse AS (
-           SELECT query_id, doc_id AS item_id, rk AS rank_sparse FROM (
-             SELECT query_id, doc_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY bm25 DESC, doc_id) AS rk
-             FROM bscored) t
-           WHERE rk <= 20
-         ), ec AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         ), dense AS (
-           SELECT query_id, vec_id AS item_id, rk AS rank_dense FROM (
-             SELECT q.vec_id AS query_id, c.vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rk
-             FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 3) q
-             WHERE c.vec_id <> q.vec_id) t
-           WHERE rk <= 20
-         ), fused AS (
-           SELECT coalesce(s.query_id, d.query_id) AS query_id,
-             coalesce(s.item_id, d.item_id) AS item_id,
-             coalesce(s.rank_sparse, 0) AS rank_sparse,
-             coalesce(d.rank_dense, 0) AS rank_dense,
-             coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank_sparse), 0.0) +
-               coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank_dense), 0.0) AS rrf
-           FROM sparse s FULL OUTER JOIN dense d
-             ON s.query_id = d.query_id AND s.item_id = d.item_id
-         )
-         SELECT query_id, item_id, rank_sparse, rank_dense,
-           round(rrf, 6) AS rrf_score, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY rrf DESC, item_id) AS rank FROM fused) t
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    // the q_bm25_prf two-pass chain (queries doc_id < 3, 20 deep) as
-    // the lexical leg, the q_rrf_hybrid dense chain, the identical
-    // fixed-order RRF fold
-    "q_rrf_prf" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), pos AS (
-           SELECT doc_id, unnest(tk) AS term FROM toks
-         ), tfc AS (
-           SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2
-         ), dl AS (
-           SELECT doc_id, count(*) AS dl FROM pos GROUP BY 1
-         ), st AS (
-           SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-           FROM dl
-         ), dfx AS (
-           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
-         ), q AS (
-           SELECT DISTINCT doc_id AS query_id, term FROM tfc WHERE doc_id < 3
-         ), contrib1 AS (
-           SELECT q.query_id, t.doc_id,
-             CAST(round(
-               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
-               ((CAST(t.tf AS DOUBLE) * 2.25) /
-                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
-                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
-             , 6) AS DECIMAL(18,6)) AS c
-           FROM tfc t
-           JOIN q ON t.term = q.term
-           JOIN dfx ON t.term = dfx.term
-           JOIN dl ON t.doc_id = dl.doc_id
-           WHERE t.doc_id <> q.query_id
-         ), scored1 AS (
-           SELECT query_id, doc_id,
-             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
-           FROM contrib1 GROUP BY 1, 2
-         ), fb AS (
-           SELECT query_id, doc_id FROM (
-             SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-               ORDER BY bm25 DESC, doc_id) AS rk
-             FROM scored1) WHERE rk <= 5
-         ), rm AS (
-           SELECT fb.query_id, t.term,
-             sum(CAST(round(CAST(t.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE), 6)
-               AS DECIMAL(18,6))) AS w
-           FROM fb
-           JOIN tfc t ON t.doc_id = fb.doc_id
-           JOIN dl ON dl.doc_id = fb.doc_id
-           GROUP BY 1, 2
-         ), rmx AS (
-           SELECT rm.query_id, rm.term, rm.w FROM rm
-           WHERE NOT EXISTS (SELECT 1 FROM q
-             WHERE q.query_id = rm.query_id AND q.term = rm.term)
-         ), expn AS (
-           SELECT query_id, term FROM (
-             SELECT query_id, term, row_number() OVER (PARTITION BY query_id
-               ORDER BY w DESC, term) AS rk
-             FROM rmx) WHERE rk <= 10
-         ), q2 AS (
-           SELECT query_id, term, CAST(1.0 AS DOUBLE) AS w FROM q
-           UNION ALL
-           SELECT query_id, term, CAST(0.5 AS DOUBLE) AS w FROM expn
-         ), contrib2 AS (
-           SELECT q2.query_id, t.doc_id,
-             CAST(round(
-               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
-               ((CAST(t.tf AS DOUBLE) * 2.25) /
-                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
-                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
-               * q2.w
-             , 6) AS DECIMAL(18,6)) AS c
-           FROM tfc t
-           JOIN q2 ON t.term = q2.term
-           JOIN dfx ON t.term = dfx.term
-           JOIN dl ON t.doc_id = dl.doc_id
-           WHERE t.doc_id <> q2.query_id
-         ), scored2 AS (
-           SELECT query_id, doc_id,
-             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
-           FROM contrib2 GROUP BY 1, 2
-         ), sparse AS (
-           SELECT query_id, doc_id AS item_id, rk AS rank_sparse FROM (
-             SELECT query_id, doc_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY bm25 DESC, doc_id) AS rk
-             FROM scored2) t
-           WHERE rk <= 20
-         ), ec AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         ), dense AS (
-           SELECT query_id, vec_id AS item_id, rk AS rank_dense FROM (
-             SELECT q.vec_id AS query_id, c.vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rk
-             FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 3) q
-             WHERE c.vec_id <> q.vec_id) t
-           WHERE rk <= 20
-         ), fused AS (
-           SELECT coalesce(s.query_id, d.query_id) AS query_id,
-             coalesce(s.item_id, d.item_id) AS item_id,
-             coalesce(s.rank_sparse, 0) AS rank_sparse,
-             coalesce(d.rank_dense, 0) AS rank_dense,
-             coalesce(CAST(1.0 AS DOUBLE) / (60 + s.rank_sparse), 0.0) +
-               coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank_dense), 0.0) AS rrf
-           FROM sparse s FULL OUTER JOIN dense d
-             ON s.query_id = d.query_id AND s.item_id = d.item_id
-         )
-         SELECT query_id, item_id, rank_sparse, rank_dense,
-           round(rrf, 6) AS rrf_score, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY rrf DESC, item_id) AS rank FROM fused) t
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-
-    // the greedy loop unrolled as chained CTEs (the kmeans convention):
-    // rel/pair sims once, then per step an argmax over
-    // λ·rel − (1−λ)·max-sim-to-selected with the Scala-interpolated
-    // (1−λ) double so both engines subtract the identical constant
-    "q_mmr" -> {
-      val lambda = 0.7; val k = 3
-      val lam = lambda.toString
-      val oneMinus = (1.0 - lambda).toString
-      val steps = (2 to k).map { i =>
-        val prev = if (i == 2) "s1" else s"sel${i - 1}"
-        s""", p$i AS (
-           SELECT r.query_id, r.vec_id,
-             round(CAST($lam AS DOUBLE) * r.rel - CAST($oneMinus AS DOUBLE) * p.pen, 6) AS mmr_score
-           FROM rel r
-           JOIN (SELECT ps.query_id, ps.va AS vec_id, max(ps.sim) AS pen
-                 FROM ps JOIN $prev s ON s.query_id = ps.query_id AND s.vec_id = ps.vb
-                 GROUP BY 1, 2) p
-             ON p.query_id = r.query_id AND p.vec_id = r.vec_id
-           WHERE NOT EXISTS (SELECT 1 FROM $prev s2
-                             WHERE s2.query_id = r.query_id AND s2.vec_id = r.vec_id)
-         ), s$i AS (
-           SELECT query_id, vec_id, mmr_score, $i AS mmr_rank FROM (
-             SELECT query_id, vec_id, mmr_score,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY mmr_score DESC, vec_id) AS rk
-             FROM p$i) t WHERE rk = 1
-         ), sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)"""
-      }.mkString
-      s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         rel AS (
-           SELECT query_id, vec_id, cos_sim AS rel FROM (
-             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-               round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rk
-             FROM ec c CROSS JOIN (SELECT * FROM ec WHERE vec_id < 3) q
-             WHERE c.vec_id <> q.vec_id) t
-           WHERE rk <= 10
-         ), ps AS (
-           SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
-             round(list_cosine_similarity(ea.e, eb.e), 4) AS sim
-           FROM rel a JOIN rel b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
-           JOIN ec ea ON ea.vec_id = a.vec_id
-           JOIN ec eb ON eb.vec_id = b.vec_id
-         ), s1 AS (
-           SELECT query_id, vec_id,
-             round(CAST($lam AS DOUBLE) * rel, 6) AS mmr_score, 1 AS mmr_rank FROM (
-             SELECT query_id, vec_id, rel,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY rel DESC, vec_id) AS rk
-             FROM rel) t WHERE rk = 1
-         )$steps
-         SELECT query_id, vec_id, mmr_score, mmr_rank FROM sel$k
-         ORDER BY query_id, mmr_rank"""
-    },
-
-    // the ENTIRE iterative k-means chain replayed as chained CTEs: same
-    // init, same rounded-cosine assignment, same fixed-point means (exact
-    // integer sums in any order), same float32 storage of centroids
-    "q_kmeans" -> {
-      val k = 8; val iters = 2
-      s"""WITH ${kmeansCtes(k, iters)}
-         SELECT c AS centroid_id, coalesce(n.cnt, 0) AS n_assigned,
-           e[1] AS c0, e[2] AS c1, e[3] AS c2, e[4] AS c3
-         FROM cents$iters
-         LEFT JOIN (SELECT c AS cf, CAST(count(*) AS BIGINT) AS cnt
-                    FROM a${iters - 1} GROUP BY c) n ON c = n.cf
-         ORDER BY centroid_id"""
-    },
-
-    // train → final assignment → within-cluster prune, all in one chain:
-    // the kmeans CTEs end at cents2, the assignment CTE reuses the exact
-    // rounded-cosine/tie-break comparison, and the pair prune is the
-    // q_embed_neardup-proven round(,4) cosine cut with cluster blocking
-    "q_semantic_dedup" -> {
-      val iters = 1
-      s"""WITH ${kmeansCtes(16, iters)},
-         af AS (
-           SELECT vec_id, c FROM (
-             SELECT e.vec_id, c.c,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
-             FROM ev e CROSS JOIN cents$iters c) t WHERE rn = 1
-         ), joined AS (
-           SELECT a.vec_id, a.c, ev.d FROM af a JOIN ev ON a.vec_id = ev.vec_id
-         ), p AS (
-           SELECT b.vec_id AS vb
-           FROM joined a JOIN joined b ON a.c = b.c AND a.vec_id < b.vec_id
-           WHERE round(list_cosine_similarity(a.d, b.d), 4) >= 0.4
-         )
-         SELECT j.vec_id, j.c AS cluster_id,
-           j.vec_id NOT IN (SELECT vb FROM p) AS keep
-         FROM joined j ORDER BY vec_id"""
-    },
-
-    // trained-centroid assignment (the q_kmeans chain) + outlier cut on
-    // the 6dp-ROUNDED cosine — ulp-safe membership on both engines
-    "q_embed_outliers" -> {
-      val iters = 2
-      s"""WITH ${kmeansCtes(8, iters)},
-         af AS (
-           SELECT vec_id, c, cosr FROM (
-             SELECT e.vec_id, c.c,
-               round(list_cosine_similarity(e.d, c.e), 6) AS cosr,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
-             FROM ev e CROSS JOIN cents$iters c) t WHERE rn = 1
-         )
-         SELECT vec_id, c AS cluster_id, cosr AS cos_centroid,
-           cosr < 0.1 AS is_outlier
-         FROM af ORDER BY vec_id"""
-    },
-
-    // float32→double widening, abs-max, and floor-plus-half are all
-    // bit-deterministic IEEE ops — the unrounded scale doubles hash-match
-    "q_quantize" ->
-      """WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
-         ), s AS (
-           SELECT vec_id, d,
-             CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
-           FROM (SELECT vec_id, d, list_max(list_transform(d, x -> abs(x))) AS m FROM e) t
-         ), q AS (
-           SELECT vec_id, scale,
-             list_transform(d, x ->
-               greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) AS qs
-           FROM s
-         )
-         SELECT vec_id, scale, CAST(list_sum(qs) AS BIGINT) AS q_sum,
-           qs[1] AS q0, qs[2] AS q1, qs[3] AS q2, qs[4] AS q3
-         FROM q ORDER BY vec_id""",
-
-    "q_mm_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
-         CAST(16 + n_chars % 64 AS INT) AS width,
-         CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
-         CAST(n_chars // 500 + 1 AS INT) AS frames
-         FROM documents ORDER BY doc_id""",
-
-    // global top-k vocabulary; count() is BIGINT in DuckDB (no HUGEINT
-    // coercion), ties broken on the token so the cut is identical
-    "q_vocab_topk" ->
-      """SELECT token, count(*) AS occurrences,
-         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-         FROM (SELECT doc_id,
-                 unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS token
-               FROM documents)
-         GROUP BY token ORDER BY occurrences DESC, token LIMIT 100""",
-
-    // chunk windows replayed with list slicing (1-based inclusive bounds
-    // == Spark slice(start, length) with DuckDB's automatic clamping)
-    "q_chunks" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
-           FROM toks
-         )
-         SELECT doc_id, CAST(cid AS INT) AS chunk_id,
-           CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(tk[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
-         FROM c ORDER BY doc_id, chunk_id""",
-
-    // Bloom verdict replayed bit-for-bit: same md5-60 positions
-    // (md5("i:key") % 16384, i = 0..4), maybe_seen = every position lands
-    // in the history's position set; is_new = the exact anti-join verdict
-    "q_incr_dedup" ->
-      """WITH keyed AS (
-           SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS key
-           FROM documents
-         ), seen AS (
-           SELECT DISTINCT key FROM keyed WHERE doc_id % 3 = 0
-         ), ii AS (
-           SELECT unnest(range(5)) AS i
-         ), seen_pos AS (
-           SELECT DISTINCT (CAST(concat('0x', substr(md5(key), 1, 14)) AS BIGINT)
-             + i * CAST(concat('0x', substr(md5(key), 17, 14)) AS BIGINT)) % 16384 AS pos
-           FROM seen CROSS JOIN ii
-         ), inc_pos AS (
-           SELECT doc_id, key,
-             (CAST(concat('0x', substr(md5(key), 1, 14)) AS BIGINT)
-              + i * CAST(concat('0x', substr(md5(key), 17, 14)) AS BIGINT)) % 16384 AS pos
-           FROM keyed CROSS JOIN ii WHERE doc_id % 3 <> 0
-         ), flg AS (
-           SELECT q.doc_id, q.key, bool_and(p.pos IS NOT NULL) AS maybe_seen
-           FROM inc_pos q LEFT JOIN seen_pos p ON q.pos = p.pos
-           GROUP BY q.doc_id, q.key
-         )
-         SELECT f.doc_id, f.maybe_seen,
-           CASE WHEN NOT f.maybe_seen THEN TRUE ELSE (s.key IS NULL) END AS is_new
-         FROM flg f LEFT JOIN seen s ON f.key = s.key
-         ORDER BY doc_id""",
-
-    // count-min replayed exactly with the Kirsch–Mitzenmacher index
-    // family: ONE md5 per token split into 56-bit halves a/b, counter
-    // idx_j = (a + j·b) % 4096 for depth rows j = 0..3, est = min over j
-    // (0 when never filled)
-    "q_cms_topk" ->
-      """WITH t AS (
-           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
-           FROM documents
-         ), h AS (
-           SELECT CAST(concat('0x', substr(md5(token), 1, 14)) AS BIGINT) AS a,
-                  CAST(concat('0x', substr(md5(token), 17, 14)) AS BIGINT) AS b
-           FROM t
-         ), jj AS (
-           SELECT unnest(range(4)) AS j
-         ), cms AS (
-           SELECT j, (a + j * b) % 4096 AS idx, count(*) AS cnt
-           FROM h CROSS JOIN jj GROUP BY j, idx
-         ), truth AS (
-           SELECT token, count(*) AS occurrences FROM t GROUP BY token
-           ORDER BY occurrences DESC, token LIMIT 10
-         ), probe AS (
-           SELECT token, occurrences, j,
-             (CAST(concat('0x', substr(md5(token), 1, 14)) AS BIGINT)
-              + j * CAST(concat('0x', substr(md5(token), 17, 14)) AS BIGINT)) % 4096 AS idx
-           FROM truth CROSS JOIN jj
-         )
-         SELECT p.token, p.occurrences, min(coalesce(c.cnt, 0)) AS est_count
-         FROM probe p
-         LEFT JOIN cms c ON p.j = c.j AND p.idx = c.idx
-         GROUP BY p.token, p.occurrences
-         ORDER BY p.occurrences DESC, p.token""",
-
-    // the exact GROUP BY/HAVING the MG candidate pass replaces — the
-    // hash match IS the exactness proof for the two-pass plan
-    "q_heavy_hitters" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
-         FROM events GROUP BY event_type
-         HAVING count(*) >= CEIL(0.2 * (SELECT count(*) FROM events))
-         ORDER BY event_type""",
-
-    // certified superspreaders replay as the plain exact ranking — the
-    // hash match proves the HLL candidate cut lost nothing
-    "q_superspreaders" ->
-      """WITH c AS (
-           SELECT user_id, CAST(count(DISTINCT value) AS BIGINT) AS n_distinct
-           FROM events
-           WHERE user_id IS NOT NULL AND value IS NOT NULL
-           GROUP BY user_id),
-         r AS (
-           SELECT user_id, n_distinct,
-             row_number() OVER (ORDER BY n_distinct DESC, user_id) AS rk
-           FROM c)
-         SELECT CAST(rk AS INT) AS rank, user_id, n_distinct
-         FROM r WHERE rk <= 10 ORDER BY rk""",
-
-    // certified exact top-k: plain frequency ranking, (cnt desc, token)
-    // ties — the hash match proves the candidate cut lost nothing
-    "q_topk_tokens" ->
-      """WITH t AS (
-           SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
-           FROM documents
-         ), c AS (
-           SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token
-         )
-         SELECT token, cnt,
-           CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
-         FROM c
-         ORDER BY cnt DESC, token
-         LIMIT 10""",
-
-    // per-group certified top-k replay: plain per-language frequency
-    // ranking — the hash match proves no group's candidate cut lost a
-    // top-5 token
-    "q_topk_by_lang" ->
-      """WITH t AS (
-           SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
-           FROM documents
-         ), c AS (
-           SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
-           FROM t GROUP BY lang, token
-         )
-         SELECT lang, token, cnt, CAST(rn AS INT) AS rank FROM (
-           SELECT *, row_number() OVER (
-             PARTITION BY lang ORDER BY cnt DESC, token) AS rn
-           FROM c) WHERE rn <= 5
-         ORDER BY lang, rank""",
-
-    // per-group exact heavy hitters: threshold is each LANGUAGE's own
-    // ceil(minFrac * token count) — same tokenizer recipe as q_cms_topk
-    "q_heavy_tokens" ->
-      """WITH t AS (
-           SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS token
-           FROM documents
-         ), n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang)
-         SELECT t.lang AS lang, token, CAST(count(*) AS BIGINT) AS cnt
-         FROM t JOIN n ON t.lang = n.lang
-         GROUP BY t.lang, token, n.n
-         HAVING count(*) >= CEIL(0.02 * n.n)
-         ORDER BY lang, token""",
-
-    "q_heavy_supp" ->
-      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
-         FROM lineitem GROUP BY l_suppkey
-         HAVING count(*) >= CEIL(0.0105 * (SELECT count(*) FROM lineitem))
-         ORDER BY l_suppkey""",
-
-    // HLL replayed exactly: register idx = top 10 bits of md5_60, rho from
-    // the binary length of the 50-bit remainder (string op, no libm), the
-    // harmonic sum in exact fixed point 2^(51-rho); the single double
-    // constant is Sketches.hllConstant(10) interpolated verbatim so the
-    // one float division is the same IEEE op on both engines
-    "q_hll_distinct" -> {
-      val c = graft.operators.Sketches.hllConstant(10)
-      s"""WITH it AS (
-           SELECT concat(CAST(doc_id AS VARCHAR), ':', token) AS item
-           FROM (SELECT doc_id,
-                   unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
-                 FROM documents)
-         ), r AS (
-           SELECT h >> 50 AS idx, h & ((CAST(1 AS BIGINT) << 50) - 1) AS rem
-           FROM (SELECT CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h FROM it)
-         ), reg AS (
-           SELECT idx,
-             max(CASE WHEN rem = 0 THEN 51 ELSE 51 - length(ltrim(bin(rem), '0')) END) AS mrho
-           FROM r GROUP BY idx
-         ), agg AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
-             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
-           FROM reg
-         )
-         SELECT n_registers_used,
-           s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS s_fixed,
-           $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
-           (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM it) AS exact_distinct
-         FROM agg"""
-    },
-
-    // the SINGLE-PASS sketch: equality with Spark's merged-shard path is
-    // the point of the gate (merge-by-max == union registers)
-    "q_hll_merge" -> {
-      val c = graft.operators.Sketches.hllConstant(10)
-      s"""WITH it AS (
-           SELECT concat(CAST(doc_id AS VARCHAR), ':', token) AS item, source
-           FROM (SELECT doc_id, source,
-                   unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
-                 FROM documents)
-         ), r AS (
-           SELECT h >> 50 AS idx, h & ((CAST(1 AS BIGINT) << 50) - 1) AS rem
-           FROM (SELECT CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h FROM it)
-         ), reg AS (
-           SELECT idx,
-             max(CASE WHEN rem = 0 THEN 51 ELSE 51 - length(ltrim(bin(rem), '0')) END) AS mrho
-           FROM r GROUP BY idx
-         ), agg AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_registers_used,
-             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
-           FROM reg
-         )
-         SELECT n_registers_used,
-           s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS s_fixed,
-           $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
-           (SELECT CAST(count(DISTINCT item) AS BIGINT) FROM it) AS exact_distinct,
-           (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM it) AS n_shards
-         FROM agg"""
-    },
-
-    "q_hll_by_lang" -> {
-      val c = graft.operators.Sketches.hllConstant(10)
-      s"""WITH it AS (
-           SELECT lang, concat(CAST(doc_id AS VARCHAR), ':', token) AS item
-           FROM (SELECT lang, doc_id,
-                   unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS token
-                 FROM documents)
-         ), r AS (
-           SELECT lang, h >> 50 AS idx, h & ((CAST(1 AS BIGINT) << 50) - 1) AS rem
-           FROM (SELECT lang, CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS h FROM it)
-         ), reg AS (
-           SELECT lang, idx,
-             max(CASE WHEN rem = 0 THEN 51 ELSE 51 - length(ltrim(bin(rem), '0')) END) AS mrho
-           FROM r GROUP BY 1, 2
-         ), agg AS (
-           SELECT lang, CAST(count(*) AS BIGINT) AS n_registers_used,
-             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(51 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
-           FROM reg GROUP BY 1
-         ), ex AS (
-           SELECT lang, CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct FROM it GROUP BY 1
-         )
-         SELECT agg.lang, n_registers_used,
-           s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS s_fixed,
-           $c / CAST(s_used + (1024 - n_registers_used) * (CAST(1 AS BIGINT) << 51) AS DOUBLE) AS est_distinct,
-           ex.exact_distinct
-         FROM agg JOIN ex ON agg.lang = ex.lang
-         ORDER BY agg.lang"""
-    },
-
-    // KMV replayed exactly: same 3-token shingles as q_ngram_jaccard, same
-    // md5-60 hash as the HLL family, k=64 minima per source via QUALIFY,
-    // union-rank + membership flags for the pair estimator. Integer until
-    // the final round(·/·, 4).
-    "q_kmv_overlap" ->
-      """WITH toks AS (
-           SELECT source, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT source, unnest(CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END) AS item
-           FROM toks
-         ), hvs AS (
-           SELECT DISTINCT source, CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS hv
-           FROM sh
-         ), sk AS (
-           SELECT source, hv FROM (
-             SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
-             FROM hvs) WHERE rank <= 64
-         ), pairs AS (
-           SELECT a.source AS group_a, b.source AS group_b
-           FROM (SELECT DISTINCT source FROM documents) a
-           JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
-         ), un AS (
-           SELECT p.group_a, p.group_b, s.hv,
-             max(CASE WHEN s.source = p.group_a THEN 1 ELSE 0 END) AS in_a,
-             max(CASE WHEN s.source = p.group_b THEN 1 ELSE 0 END) AS in_b
-           FROM pairs p JOIN sk s ON s.source IN (p.group_a, p.group_b)
-           GROUP BY 1, 2, 3
-         ), ranked AS (
-           SELECT group_a, group_b, in_a, in_b FROM (
-             SELECT *, row_number() OVER (PARTITION BY group_a, group_b ORDER BY hv) AS r
-             FROM un) WHERE r <= 64
-         )
-         SELECT group_a, group_b, count(*) AS n_union_k,
-           CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
-           round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 4) AS jaccard_est
-         FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // per-source KMV distinct estimate: (k−1)·2⁶⁰ / h_k — 63·2⁶⁰ is a
-    // 6-significant-bit double, so the division replays bit-for-bit
-    "q_kmv_distinct" ->
-      """WITH toks AS (
-           SELECT source, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT source, unnest(CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END) AS item
-           FROM toks
-         ), hvs AS (
-           SELECT DISTINCT source, CAST(concat('0x', substr(md5(item), 1, 15)) AS BIGINT) AS hv
-           FROM sh
-         ), sk AS (
-           SELECT source, hv FROM (
-             SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
-             FROM hvs) WHERE rank <= 64
-         )
-         SELECT source,
-           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-                ELSE 63.0 * 1152921504606846976.0 / CAST(max(hv) AS DOUBLE) END AS distinct_est
-         FROM sk GROUP BY source ORDER BY source""",
-
-    // the shuffle key is pure md5 arithmetic; the two-level rank must
-    // equal a flat global row_number over the same (key, id) order
-    "q_shuffle" ->
-      """SELECT doc_id,
-         md5(concat('7:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
-         CAST(row_number() OVER (
-           ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id) - 1
-           AS BIGINT) AS shuffle_rank
-         FROM documents ORDER BY shuffle_rank""",
-
-    // stage-major rank: easy length deciles first, the seed-3 epoch key
-    // within a stage — one window replay
-    "q_curriculum" ->
-      """SELECT doc_id, n_chars // 100 AS stage,
-         md5(concat('3:', CAST(doc_id AS VARCHAR))) AS shuffle_key,
-         CAST(row_number() OVER (
-           ORDER BY n_chars // 100,
-             md5(concat('3:', CAST(doc_id AS VARCHAR))), doc_id) - 1
-           AS BIGINT) AS curriculum_rank
-         FROM documents WHERE n_chars IS NOT NULL
-         ORDER BY doc_id""",
-
-    // greedy prefix of the seed-5 shuffle order under a 10k-token budget:
-    // exclusive running token sum replayed with a flat window
-    "q_token_budget" ->
-      """WITH t AS (
-           SELECT doc_id,
-             md5(concat('5:', CAST(doc_id AS VARCHAR))) AS k,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-           FROM documents
-         ), c AS (
-           SELECT doc_id, n_tokens,
-             CAST(coalesce(sum(n_tokens) OVER (
-               ORDER BY k, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS token_offset
-           FROM t
-         )
-         SELECT doc_id, token_offset, n_tokens FROM c
-         WHERE token_offset < 10000 ORDER BY token_offset, doc_id""",
-
-    // the split assignment is pure md5 arithmetic — replayed exactly
-    "q_split" ->
-      """SELECT doc_id,
-         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
-         FROM (SELECT doc_id,
-                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
-               FROM documents)
-         ORDER BY doc_id""",
-
-    // leakage-safe split replay: the q_split bucket arithmetic plus the
-    // portable-MinHash pair set; non-train docs with any partner move
-    // to train (the one-pass-closed quarantine)
-    "q_split_quarantine" ->
-      s"""WITH ${lshCandidateCtes(16, 4)},
-         p AS (
-           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.5
-         ), parts AS (
-           SELECT doc_id_b AS doc_id FROM p
-           UNION ALL
-           SELECT doc_id_a AS doc_id FROM p
-         ), np AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_partners
-           FROM parts GROUP BY doc_id
-         ), raw AS (
-           SELECT doc_id,
-             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
-               ELSE 'test' END AS split_raw
-           FROM (SELECT doc_id,
-                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
-                 FROM documents)
-         )
-         SELECT r.doc_id, r.split_raw,
-           CAST(coalesce(np.n_dup_partners, 0) AS BIGINT) AS n_dup_partners,
-           (r.split_raw <> 'train' AND coalesce(np.n_dup_partners, 0) > 0)
-             AS moved,
-           CASE WHEN r.split_raw <> 'train' AND coalesce(np.n_dup_partners, 0) > 0
-             THEN 'train' ELSE r.split_raw END AS split
-         FROM raw r LEFT JOIN np USING (doc_id)
-         ORDER BY r.doc_id""",
-
-    // the bucketed range join must equal the plain inequality join
-    "q_range_join" ->
-      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
-         r.event_id AS err_event_id
-         FROM (SELECT * FROM events WHERE event_type = 'click') l
-         JOIN (SELECT * FROM events WHERE event_type = 'error') r
-           ON l.user_id = r.user_id
-          AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 4 HOUR
-         ORDER BY l.event_id, r.event_id""",
-
-    // plain inequality join replays the bucket-blocked overlap join;
-    // arithmetic on epoch_ns BIGINTs so the overlap duration is exact
-    // integer math on both sides (floor-div of positive values)
-    "q_interval_join" ->
-      """WITH v AS (
-           SELECT event_id AS view_id, user_id, epoch_ns(ts) AS v_start,
-             epoch_ns(ts) + 3600000000000 AS v_end
-           FROM events WHERE event_type = 'view'
-         ), e AS (
-           SELECT event_id AS err_id, user_id, epoch_ns(ts) - 1800000000000 AS e_start,
-             epoch_ns(ts) + 1800000000000 AS e_end
-           FROM events WHERE event_type = 'error'
-         )
-         SELECT v.view_id, e.err_id, v.user_id,
-           CAST((least(v.v_end, e.e_end) - greatest(v.v_start, e.e_start)) // 1000000 AS BIGINT) AS overlap_ms
-         FROM v JOIN e ON v.user_id = e.user_id
-           AND v.v_start <= e.e_end AND e.e_start <= v.v_end
-         ORDER BY view_id, err_id""",
-
-    // DuckDB's native ASOF JOIN replays the union+window implementation:
-    // same inclusive >= match, nanosecond source timestamps
-    "q_asof_join" ->
-      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
-         r.event_id AS matched_event_id, r.value AS matched_value
-         FROM (SELECT * FROM events WHERE event_type = 'click') l
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
-           ON l.user_id = r.user_id AND l.ts >= r.ts
-         ORDER BY l.event_id""",
-
-    // closed-form replay of the synthesized-media generation parameters
-    // (Multimodal.synthesizeOne): the Spark side writes REAL PPM/BMP/WAV
-    // bytes and decodes them back, so a match here gates the whole codec
-    // round trip. Integer-only arithmetic — exact in both engines.
-    "q_mm_features" ->
-      """WITH p AS (
-           SELECT doc_id, doc_id % 3 AS kind,
-             16 + n_chars % 48 AS w,
-             16 + (7 * n_chars) % 48 AS h,
-             256 + n_chars % 512 AS n,
-             1 + n_chars % 2 AS ch
-           FROM documents
-         )
-         SELECT doc_id,
-           CASE kind WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
-           CAST(CASE WHEN kind < 2 THEN w ELSE 0 END AS INT) AS width,
-           CAST(CASE WHEN kind < 2 THEN h ELSE 0 END AS INT) AS height,
-           CAST(CASE WHEN kind < 2 THEN 3 ELSE ch END AS INT) AS channels,
-           CAST(CASE WHEN kind = 2 THEN 8000 ELSE 0 END AS INT) AS sample_rate,
-           CAST(CASE WHEN kind < 2 THEN w * h ELSE n END AS BIGINT) AS n_units,
-           CAST(CASE WHEN kind < 2
-             THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y) % 256))
-             ELSE list_sum(list_transform(range(0, n * ch), i ->
-               CASE WHEN i % ch = 0 THEN (7 * doc_id + 13 * i) % 2048 - 1024 ELSE 0 END))
-           END AS BIGINT) AS c0_sum,
-           CAST(CASE WHEN kind < 2
-             THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y + 85) % 256))
-             WHEN ch > 1 THEN list_sum(list_transform(range(0, n * ch), i ->
-               CASE WHEN i % ch = 1 THEN (7 * doc_id + 13 * i) % 2048 - 1024 ELSE 0 END))
-             ELSE 0 END AS BIGINT) AS c1_sum,
-           CAST(CASE WHEN kind < 2
-             THEN w * list_sum(list_transform(range(0, h), y -> (doc_id + y + 170) % 256))
-             ELSE 0 END AS BIGINT) AS c2_sum
-         FROM p ORDER BY doc_id""",
-
-    // closed-form replay of the frame-stream generation parameters
-    // (Multimodal.synthesizeStreamOne) with the stride-2 sampling applied
-    // in list space: f = 2·i for i < ceil(F/2). Integer-only.
-    "q_mm_frames" ->
-      """WITH p AS (
-           SELECT doc_id, 2 + doc_id % 6 AS f,
-             16 + n_chars % 32 AS w,
-             16 + (3 * n_chars) % 32 AS h
-           FROM documents
-         )
-         SELECT doc_id,
-           CAST(f AS INT) AS n_frames,
-           CAST((f + 1) // 2 AS INT) AS n_sampled,
-           CAST(w AS INT) AS width,
-           CAST(h AS INT) AS height,
-           CAST(w * list_sum(list_transform(range(0, (f + 1) // 2), i ->
-             list_sum(list_transform(range(0, h), y ->
-               (doc_id + 31 * (2 * i) + y) % 256)))) AS BIGINT) AS c0_sum,
-           CAST(w * list_sum(list_transform(range(0, (f + 1) // 2), i ->
-             list_sum(list_transform(range(0, h), y ->
-               (doc_id + 31 * (2 * i) + y + 85) % 256)))) AS BIGINT) AS c1_sum,
-           CAST(w * list_sum(list_transform(range(0, (f + 1) // 2), i ->
-             list_sum(list_transform(range(0, h), y ->
-               (doc_id + 31 * (2 * i) + y + 170) % 256)))) AS BIGINT) AS c2_sum
-         FROM p ORDER BY doc_id""",
-
-    // nearest-neighbor thumbnail replay: source row of output row y' is
-    // floor(y'·H/8); the synthesized pixel value is constant across x, so
-    // each 8x8 channel sum is 8 · Σ_y' value(srcY(y')). Audio docs
-    // (doc_id % 3 = 2) are absent on both sides.
-    "q_mm_resize" ->
-      """WITH p AS (
-           SELECT doc_id, doc_id % 3 AS kind,
-             16 + (7 * n_chars) % 48 AS h
-           FROM documents WHERE doc_id % 3 < 2
-         )
-         SELECT doc_id,
-           CASE kind WHEN 0 THEN 'ppm' ELSE 'bmp' END AS format,
-           CAST(8 AS INT) AS width,
-           CAST(8 AS INT) AS height,
-           CAST(8 * list_sum(list_transform(range(0, 8), y ->
-             (doc_id + (y * h) // 8) % 256)) AS BIGINT) AS c0_sum,
-           CAST(8 * list_sum(list_transform(range(0, 8), y ->
-             (doc_id + (y * h) // 8 + 85) % 256)) AS BIGINT) AS c1_sum,
-           CAST(8 * list_sum(list_transform(range(0, 8), y ->
-             (doc_id + (y * h) // 8 + 170) % 256)) AS BIGINT) AS c2_sum
-         FROM p ORDER BY doc_id""",
-
-    // the aHash fingerprints replayed in closed form from the generation
-    // parameters — any codec/resize/pack bug flips the 64-bit value
-    "q_mm_phash" ->
-      s"""WITH $aHashCte
-         SELECT doc_id, phash FROM ph ORDER BY doc_id""",
-
-    // the banded blocking replayed: band keys from the UNSIGNED value
-    // ((u // 2^16i) % 2^16 == the engine's >>> i·16 & 0xFFFF), bucket
-    // cap 64 ACTIVE at the oracle scales, exact hamming verify
-    "q_mm_phash_pairs" ->
-      s"""WITH $aHashCte,
-         bk AS (
-           SELECT doc_id, phash, i AS band,
-             CAST((u // CASE i WHEN 0 THEN 1 WHEN 1 THEN 65536
-               WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT) AS key
-           FROM ph, unnest(range(0, 4)) AS t(i)),
-         open_ AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64),
-         slim AS (SELECT bk.* FROM bk JOIN open_ USING (band, key)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.phash AS pa, b.phash AS pb
-           FROM slim a JOIN slim b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(pa, pb)) <= 3
-         ORDER BY id_a, id_b""",
-
-    // phash families closed by the recursive min-label reach over the
-    // SAME capped banded pair set — singleton images keep themselves
-    "q_mm_phash_clusters" ->
-      s"""WITH RECURSIVE $aHashCte,
-         bk AS (
-           SELECT doc_id, phash, i AS band,
-             CAST((u // CASE i WHEN 0 THEN 1 WHEN 1 THEN 65536
-               WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT) AS key
-           FROM ph, unnest(range(0, 4)) AS t(i)),
-         open_ AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64),
-         slim AS (SELECT bk.* FROM bk JOIN open_ USING (band, key)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.phash AS pa, b.phash AS pb
-           FROM slim a JOIN slim b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         pairs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 3),
-         edges AS (
-           SELECT id_a AS src, id_b AS dst FROM pairs
-           UNION ALL SELECT id_b, id_a FROM pairs),
-         reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM img
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-         SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
-         GROUP BY id ORDER BY doc_id""",
-
-    // the audio energy signature replayed sample-by-sample in closed form
-    // — any RIFF chunk-walk / fmt / de-interleave bug flips the hash
-    "q_mm_audiohash" ->
-      s"""WITH $audioHashCte
-         SELECT doc_id, ehash FROM ph ORDER BY doc_id""",
-
-    // banding replay over the audio hashes — identical contract to
-    // q_mm_phash_pairs, proving the blocking is hash-agnostic
-    "q_mm_audiohash_pairs" ->
-      s"""WITH $audioHashCte,
-         bk AS (
-           SELECT doc_id, ehash, i AS band,
-             CAST((u // CASE i WHEN 0 THEN 1 WHEN 1 THEN 65536
-               WHEN 2 THEN 4294967296 ELSE 281474976710656 END) % 65536 AS BIGINT) AS key
-           FROM ph, unnest(range(0, 4)) AS t(i)),
-         open_ AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64),
-         slim AS (SELECT bk.* FROM bk JOIN open_ USING (band, key)),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.ehash AS pa, b.ehash AS pb
-           FROM slim a JOIN slim b
-             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(pa, pb)) <= 3
-         ORDER BY id_a, id_b""",
-
-    // exact n-gram jaccard, independently recomputed from the raw text with
-    // DuckDB list ops (string shingles, no hashing — proves the Spark side's
-    // hashed prefix-filter pipeline loses nothing)
-    "q_ngram_jaccard" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         )
-         SELECT doc_id_a, doc_id_b, jaccard FROM (
-           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-         WHERE jaccard >= 0.8
-         ORDER BY doc_id_a, doc_id_b""",
-
-    // connected components of the >=0.8 jaccard graph, replayed in DuckDB
-    // as a recursive min-label closure over the same pair set
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pairs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         )
-         SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach
-         GROUP BY id ORDER BY doc_id""",
-
-    // the same recursive closure folded into the family-size histogram
-    "q_cluster_sizes" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pairs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), canon AS (
-           SELECT id, min(lbl) AS c FROM reach GROUP BY id
-         ), sizes AS (
-           SELECT c, CAST(count(*) AS BIGINT) AS cluster_size FROM canon GROUP BY c)
-         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-         FROM sizes GROUP BY 1 ORDER BY 1""",
-
-    // the recursive closure folded per source: non-canonical docs are
-    // the duplicates
-    "q_dup_rate_by_source" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), prs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), lab AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id)
-         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_dups,
-           round(CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 6) AS dup_rate
-         FROM lab l JOIN documents d USING (doc_id)
-         GROUP BY d.source ORDER BY d.source""",
-
-    // the dup-rate recursive closure joined to the per-doc quality
-    // replay, folded to one row per source — exact DECIMAL ratio sums,
-    // one double division each, the fixed-point mean convention
-    "q_datasheet" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), prs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), lab AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
-         ), qm AS (
-           SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-             CASE WHEN trim(text) = '' THEN 0.0 ELSE
-               round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-                   t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
-                 / length(string_split_regex(trim(text), '\s+')), 4) END AS stopword_ratio,
-             CASE WHEN length(text) = 0 THEN 0.0 ELSE
-               round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                 / length(text), 4) END AS alpha_ratio
-           FROM documents
-         )
-         SELECT d.source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(qm.n_tokens) AS BIGINT) AS n_tokens,
-           round(CAST(sum(qm.n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
-           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
-           round(CAST(sum(CAST(qm.alpha_ratio AS DECIMAL(18,4))) AS DOUBLE)
-             / count(*), 4) AS mean_alpha,
-           round(CAST(sum(CAST(qm.stopword_ratio AS DECIMAL(18,4))) AS DOUBLE)
-             / count(*), 4) AS mean_stopword,
-           CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_dups,
-           round(CAST(sum(CASE WHEN l.doc_id <> l.canonical_id THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 6) AS dup_rate
-         FROM documents d
-         JOIN lab l USING (doc_id)
-         JOIN qm USING (doc_id)
-         GROUP BY d.source ORDER BY d.source""",
-
-    // the same recursive closure joined to the md5 split replay: multi-
-    // doc families and how many splits they straddle
-    "q_split_leakage" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), prs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), lab AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
-         ), sp AS (
-           SELECT doc_id,
-             CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
-           FROM (SELECT doc_id,
-                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
-                 FROM documents))
-         SELECT l.canonical_id, CAST(count(*) AS BIGINT) AS cluster_size,
-           CAST(count(DISTINCT s.split) AS BIGINT) AS n_splits,
-           count(DISTINCT s.split) > 1 AS leaks
-         FROM lab l JOIN sp s USING (doc_id)
-         GROUP BY l.canonical_id HAVING count(*) > 1
-         ORDER BY l.canonical_id""",
-
-    // cluster-keyed split: md5 over the family label, every member
-    // rides its family
-    "q_cluster_split" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), prs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM prs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM prs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), lab AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id)
-         SELECT doc_id,
-           CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
-         FROM (SELECT doc_id,
-                 CAST(concat('0x', substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
-               FROM lab)
-         ORDER BY doc_id""",
-
-    // the q_dupspans window-fingerprint chain, projected to distinct
-    // (span, source); fan-out per span is bounded by the source count
-    "q_cross_dup" ->
-      """WITH toks AS (
-           SELECT doc_id, source,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, source, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), k AS (
-           SELECT DISTINCT source,
-             md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         )
-         SELECT a.source AS source_a, b.source AS source_b,
-           CAST(count(*) AS BIGINT) AS n_shared_spans
-         FROM k a JOIN k b ON a.span_md5 = b.span_md5 AND a.source < b.source
-         GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // the q_dedup_clusters recursive closure + the q_quality ranking keys
-    // + one window: the representative is the cluster's argmax
-    // (alpha_ratio, n_chars, lowest id) — all 4dp-exact columns
-    "q_dedup_best" ->
-      """WITH RECURSIVE toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pairs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), labels AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
-         ), qual AS (
-           SELECT doc_id,
-             CASE WHEN length(text) = 0 THEN 0.0 ELSE
-               round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                 / length(text), 4) END AS alpha_ratio,
-             length(text) AS n_chars_measured
-           FROM documents
-         ), ranked AS (
-           SELECT l.doc_id, l.canonical_id,
-             row_number() OVER (PARTITION BY l.canonical_id
-               ORDER BY q.alpha_ratio DESC, q.n_chars_measured DESC, l.doc_id) AS rn
-           FROM labels l JOIN qual q ON q.doc_id = l.doc_id
-         ), reps AS (
-           SELECT canonical_id, doc_id AS rep_id FROM ranked WHERE rn = 1
-         )
-         SELECT r.doc_id, r.canonical_id, p.rep_id, r.doc_id = p.rep_id AS keep
-         FROM ranked r JOIN reps p ON p.canonical_id = r.canonical_id
-         ORDER BY r.doc_id""",
-
-    // compaction is content-preserving: the read-back rows must hash-
-    // match the source table, and the layout claims are pinned literals
-    // (2 output files, 0 within-file sort violations)
-    "q_compact" ->
-      """SELECT doc_id, text, lang, source, n_chars,
-         CAST(2 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS disorder
-         FROM documents ORDER BY doc_id""",
-
-    // Morton-spread replay: five shift-and-mask steps per dimension on
-    // 31-bit values — every intermediate stays positive, so signed-64
-    // engines (DuckDB raises on bigint shift overflow) replay exactly
-    "q_zorder" ->
-      """WITH s1 AS (
-           SELECT l_orderkey, l_linenumber,
-             (CAST(l_partkey AS BIGINT) & 2147483647) AS va,
-             (CAST(l_suppkey AS BIGINT) & 2147483647) AS vb
-           FROM lineitem
-         ), t1 AS (
-           SELECT *, ((va | (va << 16)) & 281470681808895) AS a1,
-                     ((vb | (vb << 16)) & 281470681808895) AS b1 FROM s1
-         ), t2 AS (
-           SELECT *, ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
-                     ((b1 | (b1 << 8)) & 71777214294589695) AS b2 FROM t1
-         ), t3 AS (
-           SELECT *, ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
-                     ((b2 | (b2 << 4)) & 1085102592571150095) AS b3 FROM t2
-         ), t4 AS (
-           SELECT *, ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
-                     ((b3 | (b3 << 2)) & 3689348814741910323) AS b4 FROM t3
-         ), t5 AS (
-           SELECT *, ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
-                     ((b4 | (b4 << 1)) & 6148914691236517205) AS b5 FROM t4
-         )
-         SELECT l_orderkey, l_linenumber, ((a5 << 1) | b5) AS z_key
-         FROM t5 ORDER BY z_key, l_orderkey, l_linenumber""",
-
-    // ANALYZE replay: min/max on native types cast to VARCHAR (identical
-    // rendering for ints/strings in any engine) + the p=12 HLL register
-    // math per column
-    "q_column_profile" -> {
-      s"""WITH prof AS (
-           SELECT 'l_orderkey' AS "column", count(*) AS n_rows, count(l_orderkey) AS n_non_null,
-             CAST(min(l_orderkey) AS VARCHAR) AS min_value, CAST(max(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
-           UNION ALL
-           SELECT 'l_partkey', count(*), count(l_partkey),
-             CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM lineitem
-           UNION ALL
-           SELECT 'l_suppkey', count(*), count(l_suppkey),
-             CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM lineitem
-           UNION ALL
-           SELECT 'l_returnflag', count(*), count(l_returnflag),
-             min(l_returnflag), max(l_returnflag) FROM lineitem
-         ), vals AS (
-           SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS v FROM lineitem WHERE l_orderkey IS NOT NULL
-           UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem WHERE l_partkey IS NOT NULL
-           UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem WHERE l_suppkey IS NOT NULL
-           UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem WHERE l_returnflag IS NOT NULL
-         ), r AS (
-           SELECT "column", h >> 48 AS idx, h & ((CAST(1 AS BIGINT) << 48) - 1) AS rem
-           FROM (SELECT "column", CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h FROM vals)
-         ), reg AS (
-           SELECT "column", idx,
-             max(CASE WHEN rem = 0 THEN 49 ELSE 49 - length(ltrim(bin(rem), '0')) END) AS mrho
-           FROM r GROUP BY 1, 2
-         ), agg AS (
-           SELECT "column", CAST(count(*) AS BIGINT) AS n_used,
-             coalesce(CAST(sum(CAST(1 AS BIGINT) << CAST(49 - mrho AS INT)) AS BIGINT), CAST(0 AS BIGINT)) AS s_used
-           FROM reg GROUP BY 1
-         )
-         SELECT prof."column", prof.n_rows, prof.n_non_null, prof.min_value,
-           prof.max_value, coalesce(agg.n_used, CAST(0 AS BIGINT)) AS n_registers_used
-         FROM prof LEFT JOIN agg ON prof."column" = agg."column"
-         ORDER BY prof."column" """
-    },
-
-    "q_fixed_sample" ->
-      """SELECT doc_id, lang FROM (
-           SELECT doc_id, lang,
-             row_number() OVER (PARTITION BY lang
-               ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id) AS rk
-           FROM documents) t
-         WHERE rk <= 25 ORDER BY doc_id""",
-
-    // bigram-LM replay: conditional probs 6dp-rounded into DECIMAL before
-    // the per-doc sum (order-free exact), one double division at the end
-    "q_lm_score" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), bi AS (
-           SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
-             SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
-               THEN list_transform(range(2, len(tk) + 1), i -> {'w1': tk[i-1], 'w2': tk[i]})
-               ELSE [] END) AS b
-             FROM toks) u
-         ), bc AS (
-           SELECT w1, w2, count(*) AS bcnt FROM bi GROUP BY 1, 2
-         ), uc AS (
-           SELECT w1, CAST(sum(bcnt) AS BIGINT) AS ucnt FROM bc GROUP BY 1
-         ), scored AS (
-           SELECT bi.doc_id, count(*) AS n_bigrams,
-             round(CAST(sum(CAST(round(CAST(bc.bcnt AS DOUBLE) / uc.ucnt, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*), 4) AS lm_score
-           FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
-           JOIN uc ON bi.w1 = uc.w1
-           GROUP BY 1
-         )
-         SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
-           coalesce(s.lm_score, 0.0) AS lm_score
-         FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
-         ORDER BY d.doc_id""",
-
-    "q_term_stats" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), pos AS (
-           SELECT doc_id, unnest(tk) AS term FROM toks
-         ), pd AS (
-           SELECT term, doc_id, count(*) AS tf FROM pos GROUP BY 1, 2
-         )
-         SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         FROM pd GROUP BY term ORDER BY term""",
-
-    // positional intersection replay: word i's positions shifted by -i
-    // must meet word 0's exactly
-    "q_phrase" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), pos AS (
-           SELECT doc_id, unnest(tk) AS term,
-             generate_subscripts(tk, 1) - 1 AS pos FROM toks
-         ), a AS (
-           SELECT doc_id, pos FROM pos WHERE term = 'order'
-         ), b AS (
-           SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'fast'
-         )
-         SELECT a.doc_id, count(*) AS n_matches
-         FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
-         GROUP BY 1 ORDER BY a.doc_id""",
-
-    // rational-idf TF-IDF replay: tf·(N+1)/(df+1) is +,·,/ on doubles
-    // only (no log), identical bits in any IEEE engine
-    "q_tfidf" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), tfc AS (
-           SELECT doc_id, term, count(*) AS tf
-           FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
-         ), dft AS (
-           SELECT term, count(*) AS df FROM tfc GROUP BY 1
-         ), n AS (SELECT count(*) AS n FROM documents)
-         SELECT tfc.doc_id, tfc.term,
-           round(tfc.tf * (n.n + 1.0) / (dft.df + 1.0), 4) AS tfidf
-         FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
-         ORDER BY tfc.doc_id, tfc.term""",
-
-    // bigram TF-IDF cosine pairs: decimal dot/norm sums (order-free),
-    // sqrt/÷ correctly rounded — the whole chain replays exactly; the
-    // min(1% of D, 1000) generation cap binds on both sides identically
-    "q_sparse_cosine" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), grams AS (
-           SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
-             THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
-             ELSE [] END) AS term
-           FROM toks
-         ), tfc AS (
-           SELECT doc_id, term, count(*) AS tf FROM grams GROUP BY 1, 2
-         ), dft AS (
-           SELECT term, count(*) AS df FROM tfc GROUP BY 1
-         ), n AS (SELECT count(*) AS n FROM documents),
-         v AS (
-           SELECT tfc.doc_id, tfc.term,
-             CAST(round(tfc.tf * (n.n + 1.0) / (dft.df + 1.0), 4) AS DECIMAL(18,4)) AS w
-           FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
-         ), norms AS (
-           SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS norm FROM v GROUP BY 1
-         ), d AS (SELECT count(DISTINCT doc_id) AS d FROM v),
-         gen AS (
-           SELECT v.doc_id, v.term FROM v JOIN dft ON v.term = dft.term CROSS JOIN d
-           WHERE dft.df <= least(floor(d.d * 0.01), 1000)
-         ), cand AS (
-           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           FROM gen a JOIN gen b ON a.term = b.term AND a.doc_id < b.doc_id
-         ), dots AS (
-           SELECT c.da, c.db, CAST(sum(va.w * vb.w) AS DOUBLE) AS dot
-           FROM cand c
-           JOIN v va ON va.doc_id = c.da
-           JOIN v vb ON vb.doc_id = c.db AND vb.term = va.term
-           GROUP BY 1, 2
-         )
-         SELECT da AS doc_id_a, db AS doc_id_b, cos_sim FROM (
-           SELECT d2.da, d2.db, round(d2.dot / (na.norm * nb.norm), 4) AS cos_sim
-           FROM dots d2
-           JOIN norms na ON na.doc_id = d2.da
-           JOIN norms nb ON nb.doc_id = d2.db) t
-         WHERE cos_sim >= 0.05
-         ORDER BY doc_id_a, doc_id_b""",
-
-    // chain pairs close transitively into their whole normalized-text
-    // group, so the expected labeling is simply the per-group min — no
-    // recursion needed; the Spark side must reproduce it by actual
-    // multi-round star contraction over the chain edges
-    "q_cc_star" ->
-      """SELECT doc_id,
-           min(doc_id) OVER (
-             PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-           ) AS canonical_id
-         FROM documents ORDER BY doc_id""",
-
-    // IVF is deterministic end-to-end (pseudo-codebook = the 32 lowest
-    // vec_ids — fixed size at any corpus scale; 6dp-rounded assignment,
-    // 4dp-rounded scoring) so the whole assign→probe→rank pipeline is
-    // SQL-expressible
-    "q_ivf_topk" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (SELECT vec_id AS query_id, e, centroid_id FROM ca WHERE vec_id < 5)
-         SELECT query_id, vec_id, cos_sim, rank FROM (
-           SELECT q.query_id, a.vec_id,
-             round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY q.query_id
-               ORDER BY round(list_cosine_similarity(q.e, a.e), 4) DESC, a.vec_id) AS rank
-           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank""",
-
-    // the q_ivf_topk chain at nprobe=2 — the index path changes WHERE
-    // the rows are read (pruned partitions), not what they score
-    "q_ivf_indexed" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2)
-         SELECT query_id, vec_id, cos_sim, rank FROM (
-           SELECT q.query_id, a.vec_id,
-             round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY q.query_id
-               ORDER BY round(list_cosine_similarity(q.e, a.e), 4) DESC, a.vec_id) AS rank
-           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank""",
-
-    // the q_ivf_topk assignment + the q_quantize code chain, composed:
-    // approx score = (scale_a·scale_q)·intdot (exact integer dot, two
-    // pinned IEEE multiplies), survivors = top k·4 by approx, final rank
-    // by the exact 4dp cosine among survivors only
-    "q_ivf_quantized" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2),
-         qz AS (
-           SELECT vec_id, scale,
-             list_transform(d, x ->
-               greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))) AS qs
-           FROM (
-             SELECT vec_id, d, CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
-             FROM (SELECT vec_id, e AS d, list_max(list_transform(e, x -> abs(x))) AS m
-                   FROM ec) t0) t1),
-         nz AS (
-           SELECT vec_id, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-           FROM ec),
-         scored AS (
-           SELECT q.query_id, a.vec_id, q.e AS qe, a.e AS ae,
-             round(((za.scale * zq.scale) * CAST(list_sum(
-               list_transform(range(1, len(za.qs) + 1), i -> za.qs[i] * zq.qs[i]))
-               AS DOUBLE)) / (na.nrm * nq.nrm), 6) AS approx_sim
-           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id
-           JOIN qz za ON za.vec_id = a.vec_id
-           JOIN qz zq ON zq.vec_id = q.query_id
-           JOIN nz na ON na.vec_id = a.vec_id
-           JOIN nz nq ON nq.vec_id = q.query_id),
-         surv AS (
-           SELECT query_id, vec_id, qe, ae, approx_sim FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_sim DESC, vec_id) AS ar
-             FROM scored) WHERE ar <= 12)
-         SELECT query_id, vec_id, cos_sim, approx_sim, rank FROM (
-           SELECT query_id, vec_id, approx_sim,
-             round(list_cosine_similarity(qe, ae), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY round(list_cosine_similarity(qe, ae), 4) DESC, vec_id) AS rank
-           FROM surv) WHERE rank <= 3 ORDER BY query_id, rank""",
-
-    // the q_ivf_topk chain extended with probe ranks: per-nprobe top-k is
-    // a filter over ONE scored candidate table, recall joins against the
-    // q_embed_topk brute-force truth; the final ratio is a single IEEE
-    // division of two BIGINTs (bit-exact in both engines)
-    // the two-stage prefix retriever replayed: 16-component slice
-    // cosine ranks k·4 survivors, full-dim exact cosine re-ranks them
-    "q_trunc_topk" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e FROM ec WHERE vec_id < 5),
-         surv AS (
-           SELECT query_id, vec_id, prefix_sim FROM (
-             SELECT q.query_id, c.vec_id,
-               round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) AS prefix_sim,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) DESC,
-                   c.vec_id) AS pr
-             FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id)
-           WHERE pr <= 12),
-         rer AS (
-           SELECT s.query_id, s.vec_id, s.prefix_sim,
-             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
-           FROM surv s JOIN ec c ON s.vec_id = c.vec_id
-                       JOIN q ON s.query_id = q.query_id)
-         SELECT query_id, vec_id, prefix_sim, cos_sim, CAST(rank AS INT) AS rank FROM (
-           SELECT query_id, vec_id, prefix_sim, cos_sim,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cos_sim DESC, vec_id) AS rank
-           FROM rer) WHERE rank <= 3
-         ORDER BY query_id, rank""",
-
-    // Gonzalez farthest-point replay: seed = min id, then five unrolled
-    // argmax steps, each a least() fold of 1 − round(cos, 6) against the
-    // one new center — ties to the smallest id exactly as the engine's
-    // struct-max breaks them
-    "q_kcenter" -> {
-      val steps = (2 to 6).map { i =>
-        s"""p$i AS (
-           SELECT vec_id, md FROM d${i - 1} ORDER BY md DESC, vec_id ASC LIMIT 1),
-         c$i AS (SELECT b.vec_id, b.e FROM base b JOIN p$i USING (vec_id)),
-         d$i AS (
-           SELECT d.vec_id, d.e,
-             least(d.md, 1.0 - round(list_cosine_similarity(d.e, c.e), 6)) AS md
-           FROM d${i - 1} d CROSS JOIN c$i c
-           WHERE d.vec_id <> c.vec_id)"""
-      }.mkString(",\n         ")
-      val sel = (2 to 6).map(i =>
-        s"SELECT $i AS rank, vec_id, md AS dist_to_selected FROM p$i")
-        .mkString(" UNION ALL ")
-      s"""WITH ec AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-               x -> x * x))) AS nrm
-           FROM embeddings),
-         base AS (SELECT vec_id, e FROM ec WHERE nrm > 0),
-         s1 AS (SELECT vec_id FROM base ORDER BY vec_id LIMIT 1),
-         c1 AS (SELECT b.vec_id, b.e FROM base b JOIN s1 USING (vec_id)),
-         d1 AS (
-           SELECT b.vec_id, b.e,
-             1.0 - round(list_cosine_similarity(b.e, c.e), 6) AS md
-           FROM base b CROSS JOIN c1 c WHERE b.vec_id <> c.vec_id),
-         $steps
-         SELECT CAST(rank AS INT) AS rank, vec_id, dist_to_selected FROM (
-           SELECT 1 AS rank, s1.vec_id, CAST(NULL AS DOUBLE) AS dist_to_selected
-           FROM s1
-           UNION ALL $sel)
-         ORDER BY rank"""
-    },
-
-    // the full-dim exact top-1 truth joined to the dim-16 prefix
-    // ranking; each query's reciprocal rank floor(1e12/rank + 0.5)
-    // summed as HUGEINT — the engine's quantized-mean discipline
-    "q_mrr" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e FROM ec WHERE vec_id < 50),
-         truth AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.query_id, c.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC,
-                   c.vec_id) AS rn
-             FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id)
-           WHERE rn = 1),
-         surv AS (
-           SELECT query_id, vec_id, prefix_sim FROM (
-             SELECT q.query_id, c.vec_id,
-               round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) AS prefix_sim,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(q.e[1:16], c.e[1:16]), 4) DESC,
-                   c.vec_id) AS pr
-             FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id)
-           WHERE pr <= 5),
-         sys AS (
-           SELECT query_id, vec_id, rank FROM (
-             SELECT s.query_id, s.vec_id,
-               row_number() OVER (PARTITION BY s.query_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC,
-                   s.vec_id) AS rank
-             FROM surv s JOIN ec c ON s.vec_id = c.vec_id
-                         JOIN q ON s.query_id = q.query_id)
-           WHERE rank <= 5),
-         j AS (
-           SELECT t.query_id,
-             CASE WHEN s.rank IS NOT NULL AND s.rank <= 5
-               THEN CAST(s.rank AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rk
-           FROM truth t LEFT JOIN sys s
-             ON s.query_id = t.query_id AND s.vec_id = t.vec_id)
-         SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-           round(CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS hit_rate,
-           round(CAST(CAST(sum(CASE WHEN rk > 0
-                 THEN CAST(floor(1e12 / rk + 0.5) AS BIGINT)
-                 ELSE 0 END) AS HUGEINT) AS DOUBLE)
-             / count(*) / 1e12, 6) AS mrr
-         FROM j""",
-
-    // the q_ivf_topk retrieval chain (first-32 centroids, nprobe=1)
-    // graded by the q_mrr scoring chain against the exact top-1 truth
-    // — one composed replay of the whole retrieve-then-score lineage
-    "q_retrieval_eval" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (SELECT vec_id AS query_id, e, centroid_id FROM ca WHERE vec_id < 50),
-         q AS (SELECT vec_id AS query_id, e FROM ec WHERE vec_id < 50),
-         truth AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.query_id, c2.vec_id,
-               row_number() OVER (PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC,
-                   c2.vec_id) AS rn
-             FROM ec c2 CROSS JOIN q WHERE c2.vec_id <> q.query_id)
-           WHERE rn = 1),
-         sys AS (
-           SELECT query_id, vec_id, rank FROM (
-             SELECT qq.query_id, a.vec_id,
-               row_number() OVER (PARTITION BY qq.query_id
-                 ORDER BY round(list_cosine_similarity(qq.e, a.e), 4) DESC, a.vec_id) AS rank
-             FROM ca a JOIN qa qq ON a.centroid_id = qq.centroid_id AND a.vec_id <> qq.query_id) t
-           WHERE rank <= 5),
-         j AS (
-           SELECT t.query_id,
-             CASE WHEN s.rank IS NOT NULL AND s.rank <= 5
-               THEN CAST(s.rank AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rk
-           FROM truth t LEFT JOIN sys s
-             ON s.query_id = t.query_id AND s.vec_id = t.vec_id)
-         SELECT CAST(count(*) AS BIGINT) AS n_queries,
-           CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-           round(CAST(sum(CASE WHEN rk > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS hit_rate,
-           round(CAST(CAST(sum(CASE WHEN rk > 0
-                 THEN CAST(floor(1e12 / rk + 0.5) AS BIGINT)
-                 ELSE 0 END) AS HUGEINT) AS DOUBLE)
-             / count(*) / 1e12, 6) AS mrr
-         FROM j""",
-
-    // BQ replayed via the +-1 inner-product identity: hamming =
-    // (dim - <sa, sb>) / 2 — exact integers, so DuckDB needs no bit
-    // packing to agree with the engine's bit_count(xor) popcount
-    "q_binary_topk" ->
-      """WITH ec AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS sg
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e, sg FROM ec WHERE vec_id < 5),
-         cand AS (
-           SELECT q.query_id, c.vec_id,
-             CAST(64 - CAST(list_inner_product(c.sg, q.sg) AS BIGINT) AS BIGINT) // 2 AS hamming,
-             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
-           FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         surv AS (
-           SELECT query_id, vec_id, hamming, cos_sim FROM (
-             SELECT cand.*, row_number() OVER (PARTITION BY query_id
-               ORDER BY hamming, vec_id) AS hr
-             FROM cand) WHERE hr <= 12)
-         SELECT query_id, vec_id, hamming, cos_sim, CAST(rank AS INT) AS rank FROM (
-           SELECT query_id, vec_id, hamming, cos_sim,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cos_sim DESC, vec_id) AS rank
-           FROM surv) WHERE rank <= 3
-         ORDER BY query_id, rank""",
-
-    // the BQ sweep: one scored CTE carries BOTH rankings (hamming
-    // candidate rank, exact cosine rank); each rf is a filter over it
-    "q_binary_recall" ->
-      """WITH ec AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-             list_transform(CAST(embedding AS DOUBLE[]),
-               x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS sg
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e, sg FROM ec WHERE vec_id < 5),
-         cand AS (
-           SELECT q.query_id, c.vec_id,
-             CAST(64 - CAST(list_inner_product(c.sg, q.sg) AS BIGINT) AS BIGINT) // 2 AS hamming,
-             round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim
-           FROM ec c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-         ranked AS (
-           SELECT cand.*,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY hamming, vec_id) AS hr,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cos_sim DESC, vec_id) AS er
-           FROM cand),
-         exact AS (SELECT query_id, vec_id FROM ranked WHERE er <= 3),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact),
-         rfs AS (SELECT unnest([1, 2, 4]) AS rf),
-         bin AS (
-           SELECT rf, query_id, vec_id FROM (
-             SELECT f.rf, r.query_id, r.vec_id,
-               row_number() OVER (PARTITION BY f.rf, r.query_id
-                 ORDER BY r.cos_sim DESC, r.vec_id) AS rank
-             FROM ranked r JOIN rfs f ON r.hr <= 3 * f.rf)
-           WHERE rank <= 3)
-         SELECT CAST(b.rf AS INT) AS rf, tot.exact_pairs,
-           CAST(count(*) AS BIGINT) AS bin_pairs,
-           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
-           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
-         FROM bin b LEFT JOIN exact e
-           ON b.query_id = e.query_id AND b.vec_id = e.vec_id, tot
-         GROUP BY b.rf, tot.exact_pairs ORDER BY rf""",
-
-    // reciprocal top-1: the q_embed_topk ranking contract at rank 1 in
-    // both directions, joined on mutual agreement
-    "q_mutual_nn" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         t1 AS (
-           SELECT query_id, vec_id, cos_sim FROM (
-             SELECT q.vec_id AS query_id, c.vec_id,
-               round(list_cosine_similarity(q.e, c.e), 4) AS cos_sim,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC,
-                   c.vec_id) AS r
-             FROM ec c CROSS JOIN ec q WHERE c.vec_id <> q.vec_id)
-           WHERE r = 1)
-         SELECT f.query_id AS vec_id_a, f.vec_id AS vec_id_b, f.cos_sim
-         FROM t1 f JOIN t1 b ON f.query_id = b.vec_id AND f.vec_id = b.query_id
-         WHERE f.query_id < f.vec_id
-         ORDER BY vec_id_a, vec_id_b""",
-
-    // the IVF-blocked replay: nprobe=4 assignment for EVERY vector (the
-    // q_ivf_indexed CTE), candidates join on a shared probed centroid,
-    // per-side top-1 over candidates, then the same mutual join. A pair
-    // sharing both probes ranks its identical duplicate rows adjacent —
-    // row_number picks one, same as the engine's k-slot collapse.
-    "q_mutual_nn_ivf" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         a2 AS (
-           SELECT vec_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn <= 4),
-         t1 AS (
-           SELECT query_id, vec_id, cos_sim FROM (
-             SELECT q.vec_id AS query_id, a.vec_id,
-               round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, a.e), 4) DESC,
-                   a.vec_id) AS r
-             FROM a2 a JOIN a2 q
-               ON a.centroid_id = q.centroid_id AND a.vec_id <> q.vec_id)
-           WHERE r = 1)
-         SELECT f.query_id AS vec_id_a, f.vec_id AS vec_id_b, f.cos_sim
-         FROM t1 f JOIN t1 b ON f.query_id = b.vec_id AND f.vec_id = b.query_id
-         WHERE f.query_id < f.vec_id
-         ORDER BY vec_id_a, vec_id_b""",
-
-    // link prediction replayed over the co-purchase projection:
-    // capped-center wedges, anti-join against the edge set, decimal RA sum
-    "q_link_predict" ->
-      """WITH li AS (
-           SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
-           WHERE l_orderkey % 10 = 0
-         ), gok AS (
-           SELECT g FROM (SELECT g, count(*) AS ni FROM li GROUP BY g)
-           WHERE ni > 1 AND ni <= 64
-         ), lik AS (
-           SELECT li.g, li.i FROM li JOIN gok USING (g)
-         ), p AS (
-           SELECT DISTINCT a.i AS src, b.i AS dst
-           FROM lik a JOIN lik b ON a.g = b.g AND a.i < b.i
-         ), e AS (
-           SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
-         ), deg AS (
-           SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
-         ), ctr AS (
-           SELECT node, deg FROM deg WHERE deg <= 64
-         ), w AS (
-           SELECT e1.dst AS x, e2.dst AS y, ct.deg AS dz
-           FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
-           JOIN ctr ct ON ct.node = e1.src
-         ), na AS (
-           SELECT w.x, w.y, w.dz FROM w
-           LEFT JOIN p ON w.x = p.src AND w.y = p.dst
-           WHERE p.src IS NULL
-         ), sc AS (
-           SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
-             CAST(sum(CAST(floor(CAST(1e12 AS DOUBLE) / dz + 0.5) AS BIGINT)) AS BIGINT) AS ra
-           FROM na GROUP BY x, y HAVING count(*) >= 2)
-         SELECT sc.x AS node_a, sc.y AS node_b, sc.common_neighbors,
-           round(CAST(sc.common_neighbors AS DOUBLE)
-             / (da.deg + db.deg - sc.common_neighbors), 4) AS jaccard,
-           round(CAST(sc.ra AS DOUBLE) / 1e12, 6) AS resource_alloc
-         FROM sc JOIN deg da ON da.node = sc.x JOIN deg db ON db.node = sc.y
-         ORDER BY node_a, node_b""",
-
-    // basket statistics replay: capped baskets drop from the WHOLE
-    // analysis (consistent denominators); ratios are single IEEE
-    // divisions over exact counts, 6dp
-    "q_assoc_rules" ->
-      """WITH bi AS (
-           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
-           WHERE l_orderkey % 10 = 0
-         ), ok AS (
-           SELECT b FROM (SELECT b, count(*) AS ni FROM bi GROUP BY 1)
-           WHERE ni <= 64
-         ), s AS (SELECT bi.* FROM bi JOIN ok USING (b)),
-         n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM s),
-         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM s GROUP BY 1),
-         p AS (
-           SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
-           FROM s a JOIN s b ON a.b = b.b AND a.i < b.i GROUP BY 1, 2
-           HAVING count(*) >= 1)
-         SELECT item_a, item_b, ia.n_i AS n_a, ib.n_i AS n_b, n_ab,
-           round(CAST(n_ab AS DOUBLE) / nb, 6) AS support,
-           round(CAST(n_ab AS DOUBLE) / ia.n_i, 6) AS conf_a_b,
-           round(CAST(n_ab AS DOUBLE) / ib.n_i, 6) AS conf_b_a,
-           round(CAST(n_ab AS DOUBLE) * nb / CAST(ia.n_i * ib.n_i AS DOUBLE), 6) AS lift
-         FROM p JOIN ic ia ON p.item_a = ia.i JOIN ic ib ON p.item_b = ib.i
-         CROSS JOIN n
-         ORDER BY item_a, item_b""",
-
-    // discrete medians (quantile_disc = the engine's cum-count order
-    // statistic), one IEEE multiply for the fence — no stddev, no logs
-    "q_mad_outliers" ->
-      """WITH v AS (
-           SELECT event_type AS stratum, value AS v FROM events
-           WHERE value IS NOT NULL
-         ), med AS (
-           SELECT stratum, quantile_disc(v, 0.5) AS med FROM v GROUP BY stratum
-         ), dev AS (
-           SELECT v.stratum, v.v, m.med, abs(v.v - m.med) AS d
-           FROM v JOIN med m USING (stratum)
-         ), mad AS (
-           SELECT stratum, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY stratum)
-         SELECT dev.stratum, CAST(count(*) AS BIGINT) AS n,
-           first(dev.med) AS med, first(mad.mad) AS mad,
-           CAST(sum(CASE WHEN mad.mad > 0 AND dev.d > CAST(3.0 AS DOUBLE) * mad.mad
-             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           round(CAST(sum(CASE WHEN mad.mad > 0 AND dev.d > CAST(3.0 AS DOUBLE) * mad.mad
-             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS outlier_share
-         FROM dev JOIN mad USING (stratum)
-         GROUP BY dev.stratum ORDER BY stratum""",
-
-    "q_kanon" ->
-      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-         round(CAST(1.0 AS DOUBLE) / count(*), 6) AS risk,
-         count(*) < 10 AS violates
-         FROM customer GROUP BY c_nationkey, c_mktsegment
-         ORDER BY c_nationkey, c_mktsegment""",
-
-    "q_ldiversity" ->
-      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-         CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_sensitive,
-         count(DISTINCT c_acctbal) < 5 AS violates
-         FROM customer GROUP BY c_nationkey, c_mktsegment
-         ORDER BY c_nationkey, c_mktsegment""",
-
-    // per-(class, value) terms as HUGEINT cross-products, 9dp-quantized
-    // DECIMAL(19,9) sums (the chi_term discipline), absent mass via the
-    // 1 − Σ_present p_g closed form, one 6dp division at the boundary
-    "q_tcloseness" ->
-      """WITH r AS (
-           SELECT lang, source FROM documents WHERE source IS NOT NULL
-         ), cv AS (
-           SELECT lang, source, CAST(count(*) AS BIGINT) AS cvc
-           FROM r GROUP BY lang, source
-         ), v AS (
-           SELECT source, CAST(count(*) AS BIGINT) AS cvv
-           FROM r GROUP BY source
-         ), c AS (
-           SELECT lang, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY lang
-         ), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM r),
-         terms AS (
-           SELECT cv.lang, c.n,
-             CAST(round(CAST(abs(CAST(cv.cvc AS HUGEINT) * tot.nn
-                 - CAST(v.cvv AS HUGEINT) * c.n) AS DOUBLE)
-               / (CAST(c.n AS DOUBLE) * CAST(tot.nn AS DOUBLE)), 9)
-               AS DECIMAL(19,9)) AS term,
-             CAST(round(CAST(v.cvv AS DOUBLE) / tot.nn, 9)
-               AS DECIMAL(19,9)) AS pg
-           FROM cv JOIN v USING (source) JOIN c USING (lang), tot
-         )
-         SELECT lang, n,
-           round((CAST(sum(term) AS DOUBLE)
-             + (1.0 - CAST(sum(pg) AS DOUBLE))) / 2.0, 6) AS tvd,
-           round((CAST(sum(term) AS DOUBLE)
-             + (1.0 - CAST(sum(pg) AS DOUBLE))) / 2.0, 6) > 0.15 AS violates
-         FROM terms GROUP BY lang, n
-         ORDER BY lang""",
-
-    "q_skew_keys" ->
-      """WITH counts AS (
-           SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
-           FROM events GROUP BY user_id
-         ), g AS (
-           SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
-             CAST(count(*) AS BIGINT) AS n_keys FROM counts
-         ), top AS (
-           SELECT key, cnt, rank FROM (
-             SELECT key, cnt,
-               row_number() OVER (ORDER BY cnt DESC, key NULLS LAST) AS rank
-             FROM counts) WHERE rank <= 20)
-         SELECT CAST(top.rank AS INT) AS rank, top.key, top.cnt,
-           g.n_rows, g.n_keys,
-           round(CAST(top.cnt AS DOUBLE) / g.n_rows, 6) AS share,
-           round(CAST(top.cnt AS DOUBLE)
-             / (CAST(g.n_rows AS DOUBLE) / g.n_keys), 4) AS skew_ratio
-         FROM top, g ORDER BY rank""",
-
-    // centroid drift replayed with the q_pagerank fixed-point trick:
-    // 2^20 integer dim sums (order-free), cosine on the sums themselves
-    "q_centroid_drift" ->
-      """WITH fx AS (
-           SELECT label AS grp, pos,
-             CAST(floor(x * CAST(1048576 AS DOUBLE) + 0.5) AS BIGINT) AS fx
-           FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
-                   generate_subscripts(embedding, 1) AS pos
-                 FROM embeddings)
-         ), bg AS (
-           SELECT grp, pos, CAST(sum(fx) AS BIGINT) AS s,
-             CAST(count(*) AS BIGINT) AS n
-           FROM fx GROUP BY grp, pos
-         ), ga AS (
-           SELECT grp, max(n) AS n, list(CAST(s AS DOUBLE) ORDER BY pos) AS v
-           FROM bg GROUP BY grp
-         ), gg AS (
-           SELECT CAST(max(nt) AS BIGINT) AS gn,
-             list(CAST(gs AS DOUBLE) ORDER BY pos) AS gv
-           FROM (SELECT pos, CAST(sum(s) AS BIGINT) AS gs,
-                   CAST(sum(n) AS BIGINT) AS nt
-                 FROM bg GROUP BY pos))
-         SELECT grp AS label, n,
-           round(list_cosine_similarity(v, gv), 4) AS cos_to_global,
-           round((sqrt(list_inner_product(v, v)) / n)
-             / (sqrt(list_inner_product(gv, gv)) / gn), 4) AS norm_ratio
-         FROM ga, gg ORDER BY label""",
-
-    // NULL counts as a distinct rhs state (the engine's null-aware
-    // n_distinct): count(DISTINCT) + 1 if any NULL appears in the group
-    "q_fd_check" ->
-      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
-         CAST(count(DISTINCT l_suppkey)
-           + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_distinct
-         FROM lineitem GROUP BY l_partkey
-         HAVING count(DISTINCT l_suppkey)
-           + max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) > 1
-         ORDER BY l_partkey""",
-
-    // the digit comes from floor(log10) used only to integer precision;
-    // expected shares are 12dp DOUBLE literals, never engine logs
-    "q_benford" ->
-      """WITH v AS (
-           SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
-           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
-         ), d AS (
-           SELECT CAST(least(greatest(
-             floor(v / power(10, floor(log10(v)))), 1), 9) AS INT) AS digit
-           FROM v
-         ), t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM v),
-         e AS (
-           SELECT digit, CAST(count(*) AS BIGINT) AS n,
-             round(CAST(count(*) AS DOUBLE) / t.tot, 6) AS share,
-             CASE digit
-               WHEN 1 THEN CAST(0.301029995664 AS DOUBLE)
-               WHEN 2 THEN CAST(0.176091259056 AS DOUBLE)
-               WHEN 3 THEN CAST(0.124938736608 AS DOUBLE)
-               WHEN 4 THEN CAST(0.096910013008 AS DOUBLE)
-               WHEN 5 THEN CAST(0.079181246048 AS DOUBLE)
-               WHEN 6 THEN CAST(0.066946789631 AS DOUBLE)
-               WHEN 7 THEN CAST(0.057991946978 AS DOUBLE)
-               WHEN 8 THEN CAST(0.051152522447 AS DOUBLE)
-               ELSE CAST(0.045757490561 AS DOUBLE) END AS expected
-           FROM d, t GROUP BY digit, t.tot)
-         SELECT digit, n, share, expected,
-           round(abs(share - expected), 6) AS deviation
-         FROM e ORDER BY digit""",
-
-    // per-cell chi-square contributions + the decimal-summed statistic
-    "q_chisq" ->
-      """WITH cells AS (
-           SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
-           FROM documents
-           WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
-         ), rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells GROUP BY a),
-         ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS rb FROM cells GROUP BY b),
-         g AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
-         sc AS (
-           SELECT cells.a, cells.b, cells.n,
-             CAST(rt.ra AS DOUBLE) * ct.rb / g.nn AS e
-           FROM cells JOIN rt USING (a) JOIN ct USING (b), g
-         ), sc2 AS (
-           SELECT a, b, n, e, round((n - e) * (n - e) / e, 6) AS chi_term
-           FROM sc
-         ), tot AS (
-           SELECT CAST(sum(CAST(chi_term AS DECIMAL(18,6))) AS DOUBLE) AS chi2_total,
-             CAST((SELECT count(DISTINCT a) FROM cells) - 1 AS BIGINT)
-               * CAST((SELECT count(DISTINCT b) FROM cells) - 1 AS BIGINT) AS dof
-           FROM sc2)
-         SELECT sc2.a, sc2.b, sc2.n, round(sc2.e, 6) AS expected,
-           sc2.chi_term, tot.chi2_total, tot.dof
-         FROM sc2, tot ORDER BY a, b""",
-
-    // decimal power sums, double-first cross-multiplies (the q_corr
-    // convention), per-group terms 6dp-quantized before the decimal sum
-    "q_anova" ->
-      """WITH v AS (
-           SELECT CAST(n_chars AS DECIMAL(18,4)) AS x, lang AS g
-           FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
-         ), a AS (
-           SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
-             sum(x * x) AS q
-           FROM v GROUP BY g
-         ), b AS (
-           SELECT g, n, q, s,
-             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
-               AS DECIMAL(18,6)) AS t
-           FROM a
-         ), c AS (
-           SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
-             sum(q) AS qq, sum(t) AS tt, sum(s) AS ss
-           FROM b
-         ), d AS (
-           SELECT n, k,
-             CAST(tt AS DOUBLE)
-               - round(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n, 6) AS ssb,
-             CAST(qq AS DOUBLE) - CAST(tt AS DOUBLE) AS ssw
-           FROM c)
-         SELECT n, k, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
-           CASE WHEN ssb + ssw <= 0 THEN NULL
-             ELSE round(ssb / (ssb + ssw), 6) END AS eta_sq,
-           CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
-             ELSE round((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f_stat
-         FROM d""",
-
-    // the pc1 projection CTE feeding the same ANOVA chain — the
-    // unsupervised axis graded against the held labels
-    "q_anova_pc1" -> (pcaCte + """
-         , sc AS (
-           SELECT q.vec_id,
-             round(CAST(sum(CAST(q.qv AS HUGEINT) * vf.v) AS DOUBLE)
-               / (1048576 * 1e12), 6) AS pc1_score
-           FROM q JOIN vfin vf ON vf.i = q.pos GROUP BY q.vec_id
-         ), v AS (
-           SELECT CAST(sc.pc1_score AS DECIMAL(18,4)) AS x, e.label AS g
-           FROM sc JOIN embeddings e ON e.vec_id = sc.vec_id
-           WHERE sc.pc1_score IS NOT NULL AND e.label IS NOT NULL
-         ), a AS (
-           SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
-             sum(x * x) AS q
-           FROM v GROUP BY g
-         ), b AS (
-           SELECT g, n, q, s,
-             CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
-               AS DECIMAL(18,6)) AS t
-           FROM a
-         ), c AS (
-           SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
-             sum(q) AS qq, sum(t) AS tt, sum(s) AS ss
-           FROM b
-         ), d AS (
-           SELECT n, k,
-             CAST(tt AS DOUBLE)
-               - round(CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / n, 6) AS ssb,
-             CAST(qq AS DOUBLE) - CAST(tt AS DOUBLE) AS ssw
-           FROM c)
-         SELECT n, k, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
-           CASE WHEN ssb + ssw <= 0 THEN NULL
-             ELSE round(ssb / (ssb + ssw), 6) END AS eta_sq,
-           CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN NULL
-             ELSE round((ssb / (k - 1)) / (ssw / (n - k)), 6) END AS f_stat
-         FROM d"""),
-
-    // the matryoshka sweep replayed with list slicing: per-dim prefix
-    // cosine (4dp + vec_id ties, the brute-force contract) vs the
-    // full-dim exact top-k
-    "q_dim_recall" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         dims AS (SELECT unnest([8, 16, 32]) AS dim),
-         tc AS (SELECT d.dim, x.vec_id, x.e[1:d.dim] AS e FROM ec x CROSS JOIN dims d),
-         tq AS (SELECT dim, vec_id AS query_id, e FROM tc WHERE vec_id < 5),
-         tt AS (
-           SELECT dim, query_id, vec_id FROM (
-             SELECT c.dim, q.query_id, c.vec_id,
-               row_number() OVER (PARTITION BY c.dim, q.query_id
-                 ORDER BY round(list_cosine_similarity(q.e, c.e), 4) DESC, c.vec_id) AS rank
-             FROM tc c JOIN tq q ON c.dim = q.dim AND c.vec_id <> q.query_id)
-           WHERE rank <= 3),
-         exact AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
-             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
-             WHERE c2.vec_id <> q.vec_id) t WHERE rank <= 3),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
-         SELECT CAST(t.dim AS INT) AS dim,
-           tot.exact_pairs,
-           CAST(count(*) AS BIGINT) AS trunc_pairs,
-           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
-           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
-         FROM tt t
-         LEFT JOIN exact e ON t.query_id = e.query_id AND t.vec_id = e.vec_id, tot
-         GROUP BY t.dim, tot.exact_pairs
-         ORDER BY dim""",
-
-    "q_ivf_recall" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, e, centroid_id FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, e, centroid_id, rn AS probe_rank FROM (
-             SELECT x.vec_id, x.e, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 4),
-         scored AS (
-           SELECT q.query_id, a.vec_id, q.probe_rank,
-             round(list_cosine_similarity(q.e, a.e), 4) AS cos_sim
-           FROM ca a JOIN qa q ON a.centroid_id = q.centroid_id AND a.vec_id <> q.query_id),
-         np AS (SELECT unnest([1, 2, 4]) AS nprobe),
-         ivf AS (
-           SELECT nprobe, query_id, vec_id FROM (
-             SELECT np.nprobe, s.query_id, s.vec_id,
-               row_number() OVER (PARTITION BY np.nprobe, s.query_id
-                 ORDER BY s.cos_sim DESC, s.vec_id) AS rank
-             FROM np CROSS JOIN scored s
-             WHERE s.probe_rank <= np.nprobe) WHERE rank <= 3),
-         exact AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
-             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
-             WHERE c2.vec_id <> q.vec_id) t WHERE rank <= 3),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
-         SELECT CAST(i.nprobe AS INT) AS nprobe,
-           tot.exact_pairs,
-           CAST(count(*) AS BIGINT) AS ivf_pairs,
-           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
-           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
-         FROM ivf i
-         LEFT JOIN exact e ON i.query_id = e.query_id AND i.vec_id = e.vec_id, tot
-         GROUP BY i.nprobe, tot.exact_pairs
-         ORDER BY nprobe""",
-
-    // the full PQ chain replayed: subvector slices, pseudo-codebooks,
-    // nearest-sub-centroid codes (6dp ‖x−c‖² with the pinned
-    // xx − 2xc + cc expression shape), fixed-point ADC lookup sums,
-    // exact-cosine re-rank of the 12 survivors
-    "q_pq_topk" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         sv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss),
-         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
-                FROM sv WHERE vec_id < 16),
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
-         approx AS (
-           SELECT query_id, vec_id,
-             round(CAST(CAST(sum(ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-           FROM enc JOIN lut USING (subspace, code)
-           WHERE vec_id <> query_id
-           GROUP BY query_id, vec_id),
-         surv AS (
-           SELECT query_id, vec_id, approx_ip FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_ip DESC, vec_id ASC) AS ar
-             FROM approx) WHERE ar <= 12)
-         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
-           SELECT s.query_id, s.vec_id, s.approx_ip,
-             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
-           FROM surv s
-           JOIN ec v ON v.vec_id = s.vec_id
-           JOIN ec q ON q.vec_id = s.query_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank""",
-
-    // IVFADC: the q_pq_topk ADC chain restricted to the q_ivf_indexed
-    // probe sets — a candidate participates iff its IVF centroid is
-    // among the query's nprobe=2 probes; everything else (codes, LUT,
-    // fixed-point sums, exact re-rank of the 12 survivors) is the
-    // identical pinned arithmetic
-    "q_ivf_pq" -> ivfPqChainSql(),
-
-    // seed-index + appendIvfPq + probe (q_ivf_pq_append): encoding is a
-    // pure per-row function of the FROZEN codebooks, so the maintenance
-    // chain (cold build over the seed, frozen-codebook append of the
-    // rest, guarded re-append of the same batch as a pinned no-op) must
-    // reproduce the cold chain over the union bit-for-bit — the oracle
-    // IS the cold replay; any append-path divergence (re-trained
-    // codebook, duplicated codes doubling an ADC sum, dropped rows)
-    // hash-mismatches here
-    "q_ivf_pq_append" -> ivfPqChainSql(),
-
-    // takedown replay, IVFADC: the identical pinned chain with the CODE
-    // side restricted to surviving vectors — frozen codebooks and the
-    // query/rerank arithmetic stay corpus-wide, exactly the engine's
-    // tombstone semantics (codes hidden, trained geometry untouched)
-    "q_forget_ivf" -> ivfPqChainSql(" WHERE v.vec_id % 7 <> 3"),
-
-    // retrain-and-swap: the whole chain (codebook draws included) over
-    // the survivor corpus — the retrained index never saw the forgotten
-    // vectors, unlike q_forget_ivf's corpus-wide frozen books
-    "q_ivf_retrain" -> ivfPqChainSql(ecWhere = " WHERE vec_id % 7 <> 3"),
-
-    // filtered-search replay: the same restricted chain with the
-    // predicate as the code-side filter — pre-ADC filtering must equal
-    // the unfiltered algorithm on the allowed sub-corpus
-    "q_ivf_filtered" -> ivfPqChainSql(" WHERE v.vec_id % 3 = 1"),
-
-    // drift replay: seed assignment feeds the store counts, batch
-    // assignment carries round-half-up 6dp fixed-point cosines whose
-    // LONG sum makes the mean engine-exact; unhit centroids read the
-    // -1.0 sentinel, never NULL
-    "q_ivf_drift" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         seed AS (SELECT vec_id, e FROM ec WHERE vec_id < 32 OR vec_id % 2 = 0),
-         batch AS (SELECT vec_id, e FROM ec WHERE vec_id >= 32 AND vec_id % 2 = 1),
-         sa AS (
-           SELECT vec_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM seed x CROSS JOIN c) WHERE rn = 1),
-         ba AS (
-           SELECT vec_id, centroid_id,
-             CAST(floor(cos6 * 1000000 + 0.5) AS BIGINT) AS c6
-           FROM (
-             SELECT x.vec_id, c.centroid_id,
-               round(list_cosine_similarity(x.e, c.e), 6) AS cos6,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM batch x CROSS JOIN c) WHERE rn = 1),
-         ns AS (
-           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_store
-           FROM sa GROUP BY 1),
-         nb AS (
-           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_batch,
-             round(sum(c6) / 1000000.0 / count(*), 6) AS mean_cos_batch
-           FROM ba GROUP BY 1)
-         SELECT c.centroid_id,
-           CAST(coalesce(ns.n_store, 0) AS BIGINT) AS n_store,
-           CAST(coalesce(nb.n_batch, 0) AS BIGINT) AS n_batch,
-           coalesce(nb.mean_cos_batch, -1.0) AS mean_cos_batch
-         FROM c LEFT JOIN ns USING (centroid_id) LEFT JOIN nb USING (centroid_id)
-         ORDER BY c.centroid_id""",
-
-    // q_ivf_pq with residual codes: res subtracts each vector's assigned
-    // centroid IN DOUBLE, the PQ chain (codebooks, encode, LUT) runs on
-    // residual slices, and approx adds the fixed-point q·centroid base
-    // term — ⟨q, c + r̂⟩ = q·c + Σ LUT, every term through the same 2^40
-    // quantization so the integer sum stays engine-exact
-    "q_ivf_pq_res" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
-         ca AS (
-           SELECT vec_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c) WHERE rn = 1),
-         qa AS (
-           SELECT vec_id AS query_id, centroid_id FROM (
-             SELECT x.vec_id, c.centroid_id,
-               row_number() OVER (PARTITION BY x.vec_id
-                 ORDER BY round(list_cosine_similarity(x.e, c.e), 6) DESC, c.centroid_id) AS rn
-             FROM ec x CROSS JOIN c WHERE x.vec_id < 5) WHERE rn <= 2),
-         res AS (
-           SELECT x.vec_id, list_transform(range(1, 65), i -> x.e[i] - ce.e[i]) AS r
-           FROM ec x
-           JOIN ca a ON a.vec_id = x.vec_id
-           JOIN c ce ON ce.centroid_id = a.centroid_id),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         rsv AS (
-           SELECT vec_id, subspace, r[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM res CROSS JOIN ss),
-         qsv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss WHERE vec_id < 5),
-         cb AS (SELECT subspace, vec_id - 32 AS centroid_id, sub AS c_sub
-                FROM rsv WHERE vec_id >= 32 AND vec_id < 48),
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM rsv v JOIN cb c USING (subspace)) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM qsv q JOIN cb c USING (subspace)),
-         qc AS (
-           SELECT q.query_id, q.centroid_id,
-             CAST(floor(round(list_sum(list_transform(range(1, 65),
-               i -> qe.e[i] * ce.e[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS qcq
-           FROM qa q
-           JOIN ec qe ON qe.vec_id = q.query_id
-           JOIN c ce ON ce.centroid_id = q.centroid_id),
-         approx AS (
-           SELECT l.query_id, n.vec_id,
-             round(CAST(qc.qcq + CAST(sum(l.ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-           FROM enc n
-           JOIN lut l ON l.subspace = n.subspace AND l.code = n.code
-           JOIN ca a ON a.vec_id = n.vec_id
-           JOIN qa q ON q.query_id = l.query_id AND q.centroid_id = a.centroid_id
-           JOIN qc ON qc.query_id = l.query_id AND qc.centroid_id = a.centroid_id
-           WHERE n.vec_id <> l.query_id
-           GROUP BY l.query_id, n.vec_id, qc.qcq),
-         surv AS (
-           SELECT query_id, vec_id, approx_ip FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_ip DESC, vec_id ASC) AS ar
-             FROM approx) WHERE ar <= 12)
-         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
-           SELECT s.query_id, s.vec_id, s.approx_ip,
-             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
-           FROM surv s
-           JOIN ec v ON v.vec_id = s.vec_id
-           JOIN ec q ON q.vec_id = s.query_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank""",
-
-    // the q_ivf_pq chain swept over nprobe: candidates carry the probe
-    // rank of the centroid they arrived through, shallower nprobes are
-    // FILTERS over one scored table (q_ivf_recall's contract), and the
-    // recall joins the q_embed_topk brute-force truth
-    "q_ivf_pq_recall" -> ivfPqRecallSql(),
-
-    // the filtered sweep replayed: enc (codes) and the exact truth both
-    // restricted to the allowed sub-corpus, frozen codebooks corpus-wide
-    "q_ivf_filtered_recall" -> ivfPqRecallSql(
-      storeWhere = " WHERE v.vec_id % 3 = 1",
-      exactAnd = " AND c2.vec_id % 3 = 1"),
-
-    // the whole 6-round BPE chain replayed: per-round pair argmax
-    // (count DESC, binary string tie-break) and the delimited-string
-    // replace whose left-to-right non-overlapping semantics IS greedy
-    // merge application — identical in both engines
-    "q_bpe" -> {
-      val rounds = 6
-      val finals = (0 until rounds).map(r =>
-        s"""SELECT CAST($r AS INT) AS round, w1 AS left_sym, w2 AS right_sym,
-            w1 || w2 AS merged, cnt AS pair_count FROM b$r""")
-        .mkString("\n         UNION ALL ")
-      s"""WITH ${bpeCtes(rounds)}
-         $finals
-         ORDER BY round"""
-    },
-
-    // the q_bpe chain's FINAL symbol state s6 is the segmented
-    // vocabulary; per-doc counts are one word join + aggregate on top
-    "q_bpe_tokens" -> {
-      val rounds = 6
-      s"""WITH ${bpeCtes(rounds)},
-         segn AS (
-           SELECT word,
-             CAST(len(string_split(substring(s, 2, length(s) - 2), '  ')) AS BIGINT) AS n_subwords
-           FROM s$rounds),
-         words AS (SELECT doc_id, unnest(tk) AS word FROM toks),
-         pd AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-             CAST(sum(n_subwords) AS BIGINT) AS n_subwords
-           FROM words JOIN segn USING (word) GROUP BY 1)
-         SELECT d.doc_id,
-           coalesce(pd.n_words, 0) AS n_words,
-           coalesce(pd.n_subwords, 0) AS n_subwords
-         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-         ORDER BY d.doc_id"""
-    },
-
-    // two q_lm_score chains (raw inner-join form + target LEFT-join form
-    // with unseen-bigram zeros), the ratio weight, and the md5-bucket
-    // membership filter — the full importance-resampling replay
-    "q_dsir" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), bi AS (
-           SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
-             SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
-               THEN list_transform(range(2, len(tk) + 1), i -> {'w1': tk[i-1], 'w2': tk[i]})
-               ELSE [] END) AS b
-             FROM toks) u
-         ), bc AS (
-           SELECT w1, w2, count(*) AS bcnt FROM bi GROUP BY 1, 2
-         ), uc AS (
-           SELECT w1, CAST(sum(bcnt) AS BIGINT) AS ucnt FROM bc GROUP BY 1
-         ), scored_r AS (
-           SELECT bi.doc_id,
-             round(CAST(sum(CAST(round(CAST(bc.bcnt AS DOUBLE) / uc.ucnt, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*), 4) AS lm_score
-           FROM bi JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
-           JOIN uc ON bi.w1 = uc.w1
-           GROUP BY 1
-         ), tgt AS (
-           SELECT doc_id FROM documents WHERE lang = 'de'
-         ), tbc AS (
-           SELECT w1, w2, count(*) AS tbcnt FROM bi JOIN tgt USING (doc_id) GROUP BY 1, 2
-         ), tuc AS (
-           SELECT w1, CAST(sum(tbcnt) AS BIGINT) AS tucnt FROM tbc GROUP BY 1
-         ), scored_t AS (
-           SELECT bi.doc_id,
-             round(CAST(sum(CAST(coalesce(round(CAST(tbc.tbcnt AS DOUBLE) / tuc.tucnt, 6), 0.0) AS DECIMAL(18,6))) AS DOUBLE)
-               / count(*), 4) AS lm_score
-           FROM bi LEFT JOIN tbc ON bi.w1 = tbc.w1 AND bi.w2 = tbc.w2
-           LEFT JOIN tuc ON bi.w1 = tuc.w1
-           GROUP BY 1
-         ), w AS (
-           SELECT d.doc_id,
-             coalesce(st.lm_score, 0.0) AS lm_target,
-             coalesce(sr.lm_score, 0.0) AS lm_raw
-           FROM documents d
-           LEFT JOIN scored_t st ON d.doc_id = st.doc_id
-           LEFT JOIN scored_r sr ON d.doc_id = sr.doc_id
-         ), ww AS (
-           SELECT doc_id, lm_target, lm_raw,
-             round(CASE WHEN lm_raw > 0 THEN lm_target / lm_raw
-               ELSE CAST(0.0 AS DOUBLE) END * CAST(1.0 AS DOUBLE), 6) AS weight
-           FROM w)
-         SELECT doc_id, lm_target, lm_raw, weight FROM ww
-         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
-               < floor(least(greatest(weight, 0.0), 1.0) * 10000)
-         ORDER BY doc_id""",
-
-    // the q_pq_topk ADC chain extended with approx ranks: per-rf top-k
-    // filters ONE scored table, recall joins the brute-force truth
-    "q_pq_recall" ->
-      """WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         sv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss),
-         cb AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
-                FROM sv WHERE vec_id < 16),
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb c USING (subspace)) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM sv q JOIN cb c USING (subspace) WHERE q.vec_id < 5),
-         ranked AS (
-           SELECT query_id, vec_id, approx_ip,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_ip DESC, vec_id ASC) AS ar
-           FROM (
-             SELECT query_id, vec_id,
-               round(CAST(CAST(sum(ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-             FROM enc JOIN lut USING (subspace, code)
-             WHERE vec_id <> query_id
-             GROUP BY query_id, vec_id)),
-         rf AS (SELECT unnest([1, 2, 4]) AS rerank_factor),
-         pq AS (
-           SELECT rerank_factor, query_id, vec_id FROM (
-             SELECT f.rerank_factor, r.query_id, r.vec_id,
-               row_number() OVER (PARTITION BY f.rerank_factor, r.query_id
-                 ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, r.vec_id ASC) AS rank
-             FROM ranked r
-             CROSS JOIN rf f
-             JOIN ec v ON v.vec_id = r.vec_id
-             JOIN ec q ON q.vec_id = r.query_id
-             WHERE r.ar <= f.rerank_factor * 3) WHERE rank <= 3),
-         exact AS (
-           SELECT query_id, vec_id FROM (
-             SELECT q.vec_id AS query_id, c2.vec_id AS vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.e, c2.e), 4) DESC, c2.vec_id) AS rank
-             FROM ec c2 CROSS JOIN (SELECT * FROM ec WHERE vec_id < 5) q
-             WHERE c2.vec_id <> q.vec_id) t WHERE rank <= 3),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs FROM exact)
-         SELECT CAST(p.rerank_factor AS INT) AS rerank_factor,
-           tot.exact_pairs,
-           CAST(count(*) AS BIGINT) AS pq_pairs,
-           CAST(count(e.query_id) AS BIGINT) AS hit_pairs,
-           CAST(count(e.query_id) AS DOUBLE) / CAST(tot.exact_pairs AS DOUBLE) AS recall_at_k
-         FROM pq p
-         LEFT JOIN exact e ON p.query_id = e.query_id AND p.vec_id = e.vec_id, tot
-         GROUP BY p.rerank_factor, tot.exact_pairs
-         ORDER BY rerank_factor""",
-
-    // the q_pq_topk ADC chain with cb := the Lloyd's-trained cb2 from
-    // pqTrainCtes — training replayed via fixed-point CTE iterations
-    "q_pq_trained" ->
-      s"""WITH ${pqTrainCtes(2)},
-         enc AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb2 c USING (subspace)) WHERE rn = 1),
-         lut AS (
-           SELECT q.vec_id AS query_id, q.subspace, c.centroid_id AS code,
-             CAST(floor(round(list_sum(list_transform(range(1, 17),
-               i -> q.sub[i] * c.c_sub[i])), 6) * 1099511627776 + 0.5) AS BIGINT) AS ipq
-           FROM sv q JOIN cb2 c USING (subspace) WHERE q.vec_id < 5),
-         approx AS (
-           SELECT query_id, vec_id,
-             round(CAST(CAST(sum(ipq) AS BIGINT) AS DOUBLE) / 1099511627776, 6) AS approx_ip
-           FROM enc JOIN lut USING (subspace, code)
-           WHERE vec_id <> query_id
-           GROUP BY query_id, vec_id),
-         surv AS (
-           SELECT query_id, vec_id, approx_ip FROM (
-             SELECT *, row_number() OVER (PARTITION BY query_id
-               ORDER BY approx_ip DESC, vec_id ASC) AS ar
-             FROM approx) WHERE ar <= 12)
-         SELECT query_id, vec_id, cos_sim, approx_ip, rank FROM (
-           SELECT s.query_id, s.vec_id, s.approx_ip,
-             round(list_cosine_similarity(q.e, v.e), 4) AS cos_sim,
-             row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(q.e, v.e), 4) DESC, s.vec_id ASC) AS rank
-           FROM surv s
-           JOIN ec v ON v.vec_id = s.vec_id
-           JOIN ec q ON q.vec_id = s.query_id) t
-         WHERE rank <= 3 ORDER BY query_id, rank""",
-
-    // MERGE INTO replay: latest row-image per key (unique seq =
-    // o_orderkey), deletes drop, anti-join passthrough of untouched keys
-    "q_cdc_apply" ->
-      """WITH ch AS (
-           SELECT o_custkey AS c_custkey,
-             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
-             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
-             o_totalprice AS c_acctbal,
-             o_orderpriority AS c_mktsegment,
-             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
-                  WHEN o_orderkey % 10 <= 7 THEN 'I'
-                  ELSE 'D' END AS op,
-             o_orderkey AS seq
-           FROM orders),
-         latest AS (
-           SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY c_custkey
-               ORDER BY seq DESC, op ASC) AS rn
-             FROM ch) WHERE rn = 1)
-         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM customer
-         WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
-         UNION ALL
-         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         FROM latest WHERE op <> 'D'
-         ORDER BY c_custkey""",
-
-    // SCD2 replay: the same changelog, one lead() window per key over
-    // ALL ops, deletes dropped after bounding their predecessor
-    "q_scd2" ->
-      """WITH ch AS (
-           SELECT o_custkey AS c_custkey,
-             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
-             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
-             o_totalprice AS c_acctbal,
-             o_orderpriority AS c_mktsegment,
-             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
-                  WHEN o_orderkey % 10 <= 7 THEN 'I'
-                  ELSE 'D' END AS op,
-             o_orderkey AS seq
-           FROM orders),
-         h AS (
-           SELECT *, seq AS valid_from,
-             lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq ASC, op ASC) AS valid_to
-           FROM ch)
-         SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-           op, seq, valid_from, valid_to,
-           (valid_to IS NULL AND op <> 'D') AS is_current
-         FROM h WHERE op <> 'D'
-         ORDER BY c_custkey, valid_from""",
-
-    // capture replay: the merged snapshot re-derived, then the same
-    // null-safe full-outer diff back to I/U/D row images
-    "q_cdc_diff" ->
-      """WITH ch AS (
-           SELECT o_custkey AS c_custkey,
-             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
-             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
-             o_totalprice AS c_acctbal,
-             o_orderpriority AS c_mktsegment,
-             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
-                  WHEN o_orderkey % 10 <= 7 THEN 'I'
-                  ELSE 'D' END AS op,
-             o_orderkey AS seq
-           FROM orders),
-         latest AS (
-           SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY c_custkey
-               ORDER BY seq DESC, op ASC) AS rn
-             FROM ch) WHERE rn = 1),
-         merged AS (
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM customer
-           WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
-           UNION ALL
-           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-           FROM latest WHERE op <> 'D'),
-         d AS (
-           SELECT o.c_custkey AS ok, n.c_custkey AS nk,
-             o.c_name AS on_, n.c_name AS nn,
-             o.c_nationkey AS onk, n.c_nationkey AS nnk,
-             o.c_acctbal AS ob, n.c_acctbal AS nb,
-             o.c_mktsegment AS os, n.c_mktsegment AS ns,
-             CASE WHEN o.c_custkey IS NULL THEN 'I'
-                  WHEN n.c_custkey IS NULL THEN 'D'
-                  WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name
-                        AND o.c_nationkey IS NOT DISTINCT FROM n.c_nationkey
-                        AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
-                        AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment)
-                    THEN 'U' END AS op
-           FROM customer o FULL OUTER JOIN merged n ON o.c_custkey = n.c_custkey)
-         SELECT CASE WHEN op = 'D' THEN ok ELSE nk END AS c_custkey,
-           CASE WHEN op = 'D' THEN on_ ELSE nn END AS c_name,
-           CASE WHEN op = 'D' THEN onk ELSE nnk END AS c_nationkey,
-           CASE WHEN op = 'D' THEN ob ELSE nb END AS c_acctbal,
-           CASE WHEN op = 'D' THEN os ELSE ns END AS c_mktsegment,
-           op
-         FROM d WHERE op IS NOT NULL
-         ORDER BY c_custkey""",
-
-    // incremental-maintenance identity: the oracle aggregates the MERGED
-    // snapshot from scratch — a hash match proves base+delta == rescan
-    "q_incr_agg" ->
-      """WITH ch AS (
-           SELECT o_custkey AS c_custkey,
-             'upd-' || CAST(o_orderkey AS VARCHAR) AS c_name,
-             CAST(o_orderkey % 25 AS INT) AS c_nationkey,
-             o_totalprice AS c_acctbal,
-             o_orderpriority AS c_mktsegment,
-             CASE WHEN o_orderkey % 10 <= 5 THEN 'U'
-                  WHEN o_orderkey % 10 <= 7 THEN 'I'
-                  ELSE 'D' END AS op,
-             o_orderkey AS seq
-           FROM orders),
-         latest AS (
-           SELECT * FROM (
-             SELECT *, row_number() OVER (PARTITION BY c_custkey
-               ORDER BY seq DESC, op ASC) AS rn
-             FROM ch) WHERE rn = 1),
-         merged AS (
-           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
-           WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
-           UNION ALL
-           SELECT c_custkey, c_mktsegment, c_acctbal FROM latest WHERE op <> 'D')
-         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
-         FROM merged GROUP BY 1 ORDER BY 1""",
-
-    // blocked linkage replay: within-nation pairs, the same three
-    // agreement rules, the same left-folded double score
-    "q_linkage" ->
-      """SELECT id_a, id_b, same_segment, close_balance, name_suffix, score,
-           CASE WHEN score >= 4.5 THEN 'match' ELSE 'possible' END AS tier
-         FROM (
-           SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-             a.c_mktsegment = b.c_mktsegment AS same_segment,
-             abs(a.c_acctbal - b.c_acctbal) < 50.0 AS close_balance,
-             right(a.c_name, 2) = right(b.c_name, 2) AS name_suffix,
-             CASE WHEN a.c_mktsegment = b.c_mktsegment
-               THEN CAST(2.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-             + CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 50.0
-               THEN CAST(2.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-             + CASE WHEN right(a.c_name, 2) = right(b.c_name, 2)
-               THEN CAST(1.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS score
-           FROM customer a JOIN customer b
-             ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey) t
-         WHERE score >= 3.5
-         ORDER BY id_a, id_b""",
-
-    // the engine's native Jaro-Winkler against the oracle's own
-    // implementation — same boost threshold (0.7), prefix cap (4) and
-    // empty-string convention; 4dp rounding before the cut on BOTH sides
-    "q_fuzzy_pairs" ->
-      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
-         ok AS (
-           SELECT p_brand FROM (SELECT p_brand, count(*) AS n FROM p GROUP BY 1)
-           WHERE n <= 4096
-         ), s AS (SELECT p.* FROM p JOIN ok USING (p_brand))
-         SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
-         FROM s a JOIN s b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
-         ORDER BY id_a, id_b""",
-
-    // sorted-neighborhood replay: the global rank is one row_number over
-    // the SAME total order (p_name, p_partkey) the distributed two-level
-    // rank computes; neighbor pairs are rank deltas in [1, w-1]
-    "q_snm_pairs" ->
-      """WITH r AS (
-           SELECT p_partkey AS id, p_name AS name,
-                  row_number() OVER (ORDER BY p_name, p_partkey) AS rn
-           FROM part
-         )
-         SELECT a.id AS id_a, b.id AS id_b,
-           round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
-         FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 7
-         WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.9
-         ORDER BY id_a, id_b""",
-
-    // HyperANF replay: per-node single-item registers (the q_hll_store
-    // md5Token60 arithmetic at p=8 — idx = h>>52, rho = 53−bitlen), three
-    // unrolled max-merge hops along the symmetrized span-pair edges,
-    // per-hop harmonic finalize — registers are exact integers, so the
-    // whole propagation is bit-replayable; est is one IEEE division
-    "q_hyperanf" -> {
-      val c = graft.operators.Sketches.hllConstant(8)
-      val rounds = (0 until 3).map { i =>
-        s"""r${i + 1} AS (
-           SELECT node, idx, max(mrho) AS mrho FROM (
-             SELECT node, idx, mrho FROM r$i
-             UNION ALL
-             SELECT e.src AS node, r.idx, r.mrho
-             FROM e JOIN r$i r ON e.dst = r.node
-           ) GROUP BY node, idx)"""
-      }.mkString(",\n         ")
-      val finals = (1 to 3).map { i =>
-        s"""SELECT CAST($i AS INT) AS h, node,
-           CAST(count(*) AS BIGINT) AS n_registers_used,
-           CAST(sum(CAST(1 AS BIGINT) << CAST(53 - mrho AS INT)) AS BIGINT)
-             + (256 - CAST(count(*) AS BIGINT)) * (CAST(1 AS BIGINT) << 53)
-             AS s_fixed
-           FROM r$i GROUP BY node"""
-      }.mkString(" UNION ALL ")
-      s"""WITH $spanPairCte, e AS (
-           SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst FROM p
-         ), nodes AS (SELECT DISTINCT src AS node FROM e),
-         r0 AS (
-           SELECT node, h >> 52 AS idx,
-             CASE WHEN (h & ((CAST(1 AS BIGINT) << 52) - 1)) = 0 THEN 53
-               ELSE 53 - length(ltrim(bin(h & ((CAST(1 AS BIGINT) << 52) - 1)), '0'))
-             END AS mrho
-           FROM (SELECT node,
-               CAST(concat('0x', substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-             FROM nodes)
-         ),
-         $rounds,
-         f AS ($finals)
-         SELECT h, node, n_registers_used, s_fixed,
-           $c / CAST(s_fixed AS DOUBLE) AS est_reach
-         FROM f ORDER BY h, node"""
-    },
-
-    // PageRank replay: the q_dupspans span substrate → distinct pair
-    // edges both directions → three iterations with 2^40 fixed-point
-    // contribution sums (exact integer addition in any order) and the
-    // pinned (1.0-0.85)/n + 0.85*(S/Q + dang/n/Q) rank expression
-    "q_pagerank" -> {
-      val iters = 3
-      val Q = 1L << 40
-      val iterCtes = (0 until iters).map { i =>
-        s"""d$i AS (
-           SELECT CAST(coalesce(sum(CAST(floor(rank * $Q + 0.5) AS BIGINT)), 0) AS BIGINT) AS dang
-           FROM r$i WHERE node NOT IN (SELECT src FROM od)),
-         c$i AS (
-           SELECT e.dst, CAST(sum(CAST(floor(r.rank / od.deg * $Q + 0.5) AS BIGINT)) AS BIGINT) AS s
-           FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
-           GROUP BY e.dst),
-         r${i + 1} AS (
-           SELECT n.node,
-             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-             + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c.s, 0) AS DOUBLE) / $Q
-               + CAST(d.dang AS DOUBLE) / nn.n / $Q) AS rank
-           FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, d$i d, nn)"""
-      }.mkString(",\n         ")
-      s"""WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), sp0 AS (
-           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         ), sp AS (
-           SELECT DISTINCT doc_id, span_md5 FROM sp0
-         ), linking AS (
-           SELECT span_md5 FROM (
-             SELECT span_md5, count(*) AS nd FROM sp GROUP BY span_md5)
-           WHERE nd > 1 AND nd <= 64
-         ), spl AS (
-           SELECT sp.doc_id, sp.span_md5 FROM sp JOIN linking USING (span_md5)
-         ), p AS (
-           SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-           FROM spl a JOIN spl b ON a.span_md5 = b.span_md5 AND a.doc_id < b.doc_id
-         ), e AS (
-           SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
-         ), nodes AS (
-           SELECT DISTINCT node FROM (
-             SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
-         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
-         $iterCtes
-         SELECT node, rank FROM r$iters ORDER BY node"""
-    },
-
-    // personalized PageRank replayed over the span pair graph: teleport
-    // share 1/|even nodes| on seeds (0 elsewhere) carried through the
-    // base term AND the dangling redistribution, same 2^40 fixed-point
-    // contribution sums and pinned IEEE rank expression as q_pagerank
-    "q_ppr" -> {
-      val iters = 3
-      val Q = 1L << 40
-      val iterCtes = (0 until iters).map { i =>
-        s"""d$i AS (
-           SELECT CAST(coalesce(sum(CAST(floor(rank * $Q + 0.5) AS BIGINT)), 0) AS BIGINT) AS dang
-           FROM r$i WHERE node NOT IN (SELECT src FROM od)),
-         c$i AS (
-           SELECT e.dst, CAST(sum(CAST(floor(r.rank / od.deg * $Q + 0.5) AS BIGINT)) AS BIGINT) AS s
-           FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
-           GROUP BY e.dst),
-         r${i + 1} AS (
-           SELECT n.node, n.share,
-             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * n.share
-             + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c.s, 0) AS DOUBLE) / $Q
-               + CAST(d.dang AS DOUBLE) / $Q * n.share) AS rank
-           FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, d$i d)"""
-      }.mkString(",\n         ")
-      s"""WITH $spanPairCte,
-         e AS (
-           SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p
-         ), nodes0 AS (
-           SELECT DISTINCT node FROM (
-             SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
-         ), sn AS (
-           SELECT CAST(count(*) AS BIGINT) AS ns FROM nodes0 WHERE node % 2 = 0
-         ), nodes AS (
-           SELECT node, CASE WHEN node % 2 = 0 THEN CAST(1.0 AS DOUBLE) / sn.ns
-                        ELSE CAST(0.0 AS DOUBLE) END AS share
-           FROM nodes0, sn
-         ), od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
-         r0 AS (SELECT node, share, share AS rank FROM nodes),
-         $iterCtes
-         SELECT node, rank FROM r$iters ORDER BY node"""
-    },
-
-    // triangles replayed by the literal ascending 3-join over the span
-    // pair graph (src < dst makes x < y < z automatic) — the engine's
-    // (deg, id) orientation enumerates the SAME triangle set, counted
-    // once either way; zero-participant nodes kept via the left join
-    "q_triangles" ->
-      s"""WITH $spanPairCte,
-         nodes AS (
-           SELECT DISTINCT node FROM (
-             SELECT src AS node FROM p UNION ALL SELECT dst AS node FROM p)
-         ), cnt AS (
-           SELECT node, count(*) AS c FROM (
-             SELECT x AS node FROM tri
-             UNION ALL SELECT y AS node FROM tri
-             UNION ALL SELECT z AS node FROM tri)
-           GROUP BY node
-         )
-         SELECT n.node, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
-         FROM nodes n LEFT JOIN cnt c USING (node) ORDER BY node""",
-
-    // the maintenance law replayed as set algebra: per-node union-graph
-    // triangle counts MINUS old-subgraph counts (the engine enumerates
-    // through the batch's edges instead — identical by the law)
-    "q_triangle_delta" ->
-      s"""WITH $spanPairCte,
-         po AS (SELECT src, dst FROM p WHERE (src + dst) % 3 <> 0),
-         trio AS (
-           SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
-           FROM po e1
-           JOIN po e2 ON e2.src = e1.dst
-           JOIN po e3 ON e3.src = e1.src AND e3.dst = e2.dst),
-         cu AS (
-           SELECT node, count(*) AS c FROM (
-             SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
-             UNION ALL SELECT z AS node FROM tri) GROUP BY node),
-         co AS (
-           SELECT node, count(*) AS c FROM (
-             SELECT x AS node FROM trio UNION ALL SELECT y AS node FROM trio
-             UNION ALL SELECT z AS node FROM trio) GROUP BY node)
-         SELECT cu.node AS node, CAST(cu.c - coalesce(co.c, 0) AS BIGINT) AS new_triangles
-         FROM cu LEFT JOIN co ON cu.node = co.node
-         WHERE cu.c - coalesce(co.c, 0) > 0
-         ORDER BY cu.node""",
-
-    // the 2-core peel unrolled 12 rounds (measured depth ≤ 3 at the
-    // oracle scales; converged rounds are no-ops) — monotone set
-    // operation, unique fixpoint, no floats anywhere
-    "q_kcore" ->
-      s"""WITH $spanPairCte,
-         ${kcoreCtes(2, 12)}
-         SELECT node, CAST(deg AS BIGINT) AS deg FROM d12
-         WHERE deg >= 2 ORDER BY node""",
-
-    // synchronous LPA replay: 3 unrolled rounds, each one neighbor-label
-    // count + (count desc, label asc) argmax — all-integer, no floats
-    "q_lpa" -> {
-      val iters = 3
-      val roundCtes = (0 until iters).map { i =>
-        s"""cn$i AS (
-           SELECT adj.v AS node, r$i.label, count(*) AS c
-           FROM adj JOIN r$i ON adj.u = r$i.node GROUP BY 1, 2
-         ), r${i + 1} AS (
-           SELECT n.node, coalesce(w.label, n.label) AS label
-           FROM r$i n LEFT JOIN (
-             SELECT node, label FROM (
-               SELECT node, label, row_number() OVER (PARTITION BY node
-                 ORDER BY c DESC, label) AS rn FROM cn$i) WHERE rn = 1) w
-           ON w.node = n.node)"""
-      }.mkString(",\n         ")
-      s"""WITH $spanPairCte,
-         adj AS (
-           SELECT src AS u, dst AS v FROM p
-           UNION ALL SELECT dst AS u, src AS v FROM p
-         ), r0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
-         $roundCtes
-         SELECT node, label FROM r$iters ORDER BY node"""
-    },
-
-    // weighted Bellman-Ford unroll: d_{i+1} = min(d_i, relax(d_i)) over
-    // the WEIGHTED span pairs (the q_pagerank_w edge recipe); integer
-    // costs make every round exact, and a fixed unroll >= the engine's
-    // early exit replays the frontier loop verbatim
-    "q_sssp" -> {
-      val rounds = 4
-      val iterCtes = (0 until rounds).map { i =>
-        s"""c$i AS (
-           SELECT adj.v AS node, min(d$i.cost + adj.w) AS cost
-           FROM adj JOIN d$i ON adj.u = d$i.node GROUP BY 1
-         ), d${i + 1} AS (
-           SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM (
-             SELECT node, cost FROM d$i UNION ALL SELECT node, cost FROM c$i)
-           GROUP BY node)"""
-      }.mkString(",\n         ")
-      s"""WITH $spanPairWeightedCte, adj AS (
-           SELECT src AS u, dst AS v, w FROM p
-           UNION ALL SELECT dst AS u, src AS v, w FROM p
-         ), d0 AS (
-           SELECT DISTINCT d.doc_id AS node, CAST(0 AS BIGINT) AS cost
-           FROM documents d
-           JOIN (SELECT DISTINCT u FROM adj) g ON g.u = d.doc_id
-           WHERE d.doc_id % 10 = 0
-         ),
-         $iterCtes
-         SELECT node, cost FROM d$rounds ORDER BY node"""
-    },
-
-    // BFS replay: 4 unrolled frontier-relaxation rounds — an empty
-    // frontier makes later rounds no-ops, exactly the engine's early
-    // exit, so the fixed unroll replays the loop
-    "q_bfs" -> {
-      val depth = 4
-      val rounds = (0 until depth).map { i =>
-        s"""n$i AS (
-           SELECT adj.v AS node, min(f$i.dist) + 1 AS dist
-           FROM adj JOIN f$i ON adj.u = f$i.node GROUP BY 1
-         ), x$i AS (
-           SELECT n$i.node, n$i.dist FROM n$i LEFT JOIN s$i ON s$i.node = n$i.node
-           WHERE s$i.node IS NULL
-         ), s${i + 1} AS (SELECT * FROM s$i UNION ALL SELECT * FROM x$i),
-         f${i + 1} AS (SELECT * FROM x$i)"""
-      }.mkString(",\n         ")
-      s"""WITH $spanPairCte,
-         adj AS (
-           SELECT src AS u, dst AS v FROM p
-           UNION ALL SELECT dst AS u, src AS v FROM p
-         ), s0 AS (
-           SELECT DISTINCT d.doc_id AS node, 0 AS dist FROM documents d
-           JOIN (SELECT DISTINCT u FROM adj) g ON g.u = d.doc_id
-           WHERE d.doc_id % 10 = 0
-         ), f0 AS (SELECT * FROM s0),
-         $rounds
-         SELECT node, dist FROM s$depth ORDER BY node"""
-    },
-
-    // closure summary over the same graph: integer counts (// is DuckDB
-    // integer division — exact like Spark's DIV) and the one pinned
-    // (3.0 · T) / wedges IEEE division
-    "q_triangle_stats" ->
-      s"""WITH $spanPairCte,
-         deg AS (
-           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-             SELECT src AS node FROM p UNION ALL SELECT dst AS node FROM p)
-           GROUP BY node
-         ), s AS (
-           SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
-             (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_edges,
-             (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
-             (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
-         )
-         SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           CASE WHEN n_wedges = 0 THEN CAST(0.0 AS DOUBLE)
-                ELSE CAST(3.0 AS DOUBLE) * n_triangles / n_wedges END AS global_clustering
-         FROM s""",
-
-    // rolling hash (base 257 mod 2^64) replayed byte-for-byte in DuckDB via
-    // HUGEINT list_reduce; valid because the corpus is ASCII (ord == byte) —
-    // the two's-complement fold at the end maps back to Spark's signed long
-    "q_fingerprint" ->
-      """SELECT doc_id,
-         CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fingerprint,
-         CAST(CASE WHEN hn >= 9223372036854775808 THEN hn - 18446744073709551616 ELSE hn END AS BIGINT) AS fingerprint_normalized
-         FROM (
-           SELECT doc_id,
-             list_reduce(list_prepend(CAST(0 AS HUGEINT),
-               list_transform(range(1, length(text) + 1), i -> CAST(ord(text[i]) AS HUGEINT))),
-               (acc, b) -> (acc * 257 + b) % 18446744073709551616) AS h,
-             list_reduce(list_prepend(CAST(0 AS HUGEINT),
-               list_transform(range(1, length(nt) + 1), i -> CAST(ord(nt[i]) AS HUGEINT))),
-               (acc, b) -> (acc * 257 + b) % 18446744073709551616) AS hn
-           FROM (SELECT doc_id, text, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
-                 FROM documents)) t
-         ORDER BY doc_id""",
-
-    // robust winnowing replay: the (hash, rightmost-pos) selection is ONE
-    // integer min over the folded key h*2^20 + (2^20-1-pos); 40-bit
-    // md5-prefix hash, per-doc window of 4, short docs keep their overall
-    // min (pos >= least(3, maxpos))
-    "q_winnow" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), shs AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), e AS (
-           SELECT doc_id, unnest(s) AS sh, generate_subscripts(s, 1) - 1 AS pos FROM shs
-         ), keyed AS (
-           SELECT doc_id, pos,
-             CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) * 1048576
-               + (1048575 - pos) AS key
-           FROM e
-         ), m AS (
-           SELECT doc_id, pos,
-             min(key) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
-             max(pos) OVER (PARTITION BY doc_id) AS mp
-           FROM keyed)
-         SELECT DISTINCT doc_id,
-           CAST(1048575 - (mk % 1048576) AS BIGINT) AS fp_pos,
-           CAST(mk // 1048576 AS BIGINT) AS fp_hash
-         FROM m WHERE pos >= least(3, mp)
-         ORDER BY doc_id, fp_pos""",
-
-    "q_winnow_pairs" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), shs AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), e AS (
-           SELECT doc_id, unnest(s) AS sh, generate_subscripts(s, 1) - 1 AS pos FROM shs
-         ), keyed AS (
-           SELECT doc_id, pos,
-             CAST(concat('0x', substr(md5(sh), 1, 10)) AS BIGINT) * 1048576
-               + (1048575 - pos) AS key
-           FROM e
-         ), m AS (
-           SELECT doc_id, pos,
-             min(key) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
-             max(pos) OVER (PARTITION BY doc_id) AS mp
-           FROM keyed
-         ), fp AS (
-           SELECT DISTINCT doc_id, CAST(mk // 1048576 AS BIGINT) AS h
-           FROM m WHERE pos >= least(3, mp)
-         ), link AS (
-           SELECT h FROM (SELECT h, count(*) AS nd FROM fp GROUP BY h)
-           WHERE nd > 1 AND nd <= 64
-         ), sl AS (
-           SELECT fp.doc_id, fp.h FROM fp JOIN link USING (h)
-         )
-         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           CAST(count(*) AS BIGINT) AS n_shared
-         FROM sl a JOIN sl b ON a.h = b.h AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 2
-         ORDER BY doc_id_a, doc_id_b""",
-    // the portable simhash is replayed bit-for-bit: same md5-hex-prefix
-    // token hash (60 bits), same per-bit majority vote, same bit assembly
-    "q_simhash_md5" ->
-      """WITH t AS (
-           SELECT doc_id,
-             unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS tok
-           FROM documents
-         ), h AS (
-           SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM t
-         ), v AS (
-           SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-           FROM h CROSS JOIN (SELECT unnest(range(60)) AS i) bits
-           GROUP BY doc_id, i
-         ), s AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS sh
-           FROM v GROUP BY doc_id
-         )
-         SELECT d.doc_id, CAST(coalesce(s.sh, 0) AS BIGINT) AS simhash
-         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
-         ORDER BY d.doc_id""",
-
-    // portable MinHash signatures replayed exactly: same string shingles
-    // as the jaccard oracle, one md5 per shingle split into two 56-bit
-    // halves a/b, permutation p = min(a + p*b) (Kirsch–Mitzenmacher)
-    "q_minhash_md5" -> {
-      val scols = (0 until 8).map(p =>
-        s"""CAST(min(a + $p * b) AS BIGINT) AS s$p""")
-        .mkString(",\n           ")
-      s"""WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), shs AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), e AS (
-           SELECT doc_id, unnest(s) AS sh FROM shs
-         ), ab AS (
-           SELECT doc_id,
-             CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS a,
-             CAST(concat('0x', substr(md5(sh), 17, 14)) AS BIGINT) AS b
-           FROM e
-         )
-         SELECT doc_id,
-           $scols
-         FROM ab GROUP BY doc_id ORDER BY doc_id"""
-    },
-
-    // the FULL portable LSH candidate path replayed: same md5 a+p*b
-    // signatures as q_minhash_md5, band bucket = md5 of band id + the
-    // band's signature values as decimal strings, candidates = bucket
-    // collisions (a < b, distinct), estimate = matching-permutation
-    // fraction. est values are k/16 — exact binary fractions, so the
-    // round(,4) is engine-safe.
-    "q_minhash_neardup" ->
-      s"""WITH ${lshCandidateCtes(16, 4)}
-         SELECT doc_id_a, doc_id_b, est_jaccard FROM est
-         WHERE est_jaccard >= 0.5
-         ORDER BY doc_id_a, doc_id_b""",
-
-    // seed-store + append + store read-back (q_lsh_append): bucketing and
-    // signatures are pure per-row functions of the doc, so the engine's
-    // incremental chain must equal the cold candidate path over the whole
-    // table — the SAME replay as q_minhash_neardup is the truth
-    "q_lsh_append" ->
-      s"""WITH ${lshCandidateCtes(16, 4)}
-         SELECT doc_id_a, doc_id_b, est_jaccard FROM est
-         WHERE est_jaccard >= 0.5
-         ORDER BY doc_id_a, doc_id_b""",
-
-    // takedown replay, near-dup store: the q_minhash_neardup candidate
-    // chain over SURVIVORS only — the engine's forget→compact must
-    // leave a store whose pair set equals this cold rebuild without
-    // the forgotten docs (no pair with a forgotten endpoint survives)
-    "q_forget_lsh" ->
-      s"""WITH ${lshCandidateCtes(16, 4, " WHERE doc_id % 7 <> 3")}
-         SELECT doc_id_a, doc_id_b, est_jaccard FROM est
-         WHERE est_jaccard >= 0.5
-         ORDER BY doc_id_a, doc_id_b""",
-
-    // ingest-dedup replay: the union pair set at the 0.5 cut, read from
-    // each odd doc's side — store partners are even ids, smaller-id
-    // batch partners implement keep-first; a doc survives (in_store)
-    // iff it drew neither kind of partner, which is exactly what the
-    // engine reads back from the post-append sigs sidecar
-    "q_ingest_dedup" ->
-      s"""WITH ${lshCandidateCtes(16, 4)},
-         p AS (
-           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.5
-         ), sym AS (
-           SELECT doc_id_b AS doc_id, doc_id_a AS partner FROM p
-           UNION ALL
-           SELECT doc_id_a AS doc_id, doc_id_b AS partner FROM p
-         ), flags AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_store_dups,
-             CAST(sum(CASE WHEN partner % 2 = 1 AND partner < doc_id
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups
-           FROM sym WHERE doc_id % 2 = 1 GROUP BY doc_id
-         )
-         SELECT d.doc_id,
-           CAST(coalesce(f.n_store_dups, 0) AS BIGINT) AS n_store_dups,
-           CAST(coalesce(f.n_batch_dups, 0) AS BIGINT) AS n_batch_dups,
-           (coalesce(f.n_store_dups, 0) > 0 OR coalesce(f.n_batch_dups, 0) > 0)
-             AS dropped,
-           (coalesce(f.n_store_dups, 0) = 0 AND coalesce(f.n_batch_dups, 0) = 0)
-             AS in_store
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-         LEFT JOIN flags f USING (doc_id)
-         ORDER BY d.doc_id""",
-
-    // the LSH candidate path AND the exact-jaccard truth in one chain:
-    // recall/precision are counts of their join — the two CTE families
-    // are the proven q_minhash_neardup and q_ngram_jaccard machinery
-    "q_lsh_recall" ->
-      s"""WITH ${lshCandidateCtes(16, 4)},
-         found AS (
-           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.5
-         ), exactp AS (
-           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-           FROM shs a JOIN shs b ON a.doc_id < b.doc_id
-           WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.5
-         ), c AS (
-           SELECT
-             (SELECT count(*) FROM exactp) AS exact_pairs,
-             (SELECT count(*) FROM found) AS lsh_pairs,
-             (SELECT count(*) FROM found f JOIN exactp e
-                ON f.doc_id_a = e.doc_id_a AND f.doc_id_b = e.doc_id_b) AS hit_pairs
-         )
-         SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
-           CAST(lsh_pairs AS BIGINT) AS lsh_pairs,
-           CAST(hit_pairs AS BIGINT) AS hit_pairs,
-           CASE WHEN exact_pairs > 0
-             THEN CAST(hit_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE)
-             ELSE 1.0 END AS recall,
-           CASE WHEN lsh_pairs > 0
-             THEN CAST(hit_pairs AS DOUBLE) / CAST(lsh_pairs AS DOUBLE)
-             ELSE 1.0 END AS lsh_precision
-         FROM c""",
-
-    // same candidate path at the lower 0.25 cut, verified with integer
-    // Levenshtein — the classic DP, bit-identical in every engine
-    "q_edit_neardup" ->
-      s"""WITH ${lshCandidateCtes(16, 4)}
-         SELECT doc_id_a, doc_id_b,
-           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
-         FROM est
-         JOIN documents da ON da.doc_id = doc_id_a
-         JOIN documents db ON db.doc_id = doc_id_b
-         WHERE est_jaccard >= 0.25
-           AND levenshtein(da.text, db.text) <= 64
-         ORDER BY doc_id_a, doc_id_b""",
-
-    "q_repetition" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), bg AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
-           FROM toks WHERE len(tk) >= 2
-         ), m AS (
-           SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS total FROM (
-             SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg) t
-           GROUP BY doc_id
-         )
-         SELECT t.doc_id AS doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-           CASE WHEN len(tk) > 0
-                THEN round(1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4)
-                ELSE 0.0 END AS dup_token_frac,
-           coalesce(round(CAST(m.mx AS DOUBLE) / m.total, 4), 0.0) AS top_bigram_frac
-         FROM toks t LEFT JOIN m ON t.doc_id = m.doc_id
-         ORDER BY doc_id""",
-
-    // same planted-pii augmentation as the Spark side; patterns are the
-    // shared Java/RE2 subset from operators.Pii
-    "q_pii" -> {
-      import operators.Pii.{EmailRe, Ipv4Re, PhoneRe}
-      s"""WITH aug AS (
-           SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0 THEN
-               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-               '@example.com or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
-             ELSE text END AS text
-           FROM documents
-         )
-         SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '$EmailRe', '<EMAIL>', 'g'),
-             '$Ipv4Re', '<IP>', 'g'),
-             '$PhoneRe', '<PHONE>', 'g') AS text_redacted,
-           CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips
-         FROM aug ORDER BY doc_id"""
-    },
-
-    // same md5-bucket arithmetic as q_split, with a per-stratum cut
-    "q_stratified" ->
-      """SELECT doc_id, lang FROM (
-           SELECT doc_id, lang,
-             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b,
-             CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'fr' THEN 1000
-                       ELSE 10000 END AS cut
-           FROM documents) t
-         WHERE b < cut ORDER BY doc_id""",
-
-    // chunk windows as q_chunks, then one global ordered prefix sum — the
-    // oracle's single window replays the engine's two-level distributed scan
-    "q_pack" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), ch AS (
-           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
-             CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens
-           FROM c
-         ), o AS (
-           SELECT doc_id, chunk_id, n_chunk_tokens,
-             coalesce(CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS global_offset
-           FROM ch
-         )
-         SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
-           CAST(global_offset // 256 AS BIGINT) AS seq_id
-         FROM o ORDER BY doc_id, chunk_id""",
-
-    // shard export replayed: same exclusive token-offset scan, shard =
-    // offset // ceil(total/8), manifest digests as bit_xor over each
-    // doc's 56-bit md5 half — byte-equal iff the engine's assignment,
-    // write, and read-back all preserved the corpus exactly
-    "q_publish_shards" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-           FROM documents
-         ), tot AS (
-           SELECT sum(n_tokens) AS total FROM t
-         ), c AS (
-           SELECT doc_id, text, n_tokens,
-             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
-           FROM t
-         ), a AS (
-           SELECT doc_id, text, n_tokens,
-             CAST(least(cum // ((total + 7) // 8), 7) AS INT) AS shard_id
-           FROM c, tot
-         )
-         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
-         FROM a GROUP BY shard_id ORDER BY shard_id""",
-
-    // incremental publish replayed: seed assignment = the clamped
-    // q_publish_shards scan over doc_id < 250 (budget frozen from the
-    // SEED total), appended docs ride their own prefix scan shifted by
-    // (max seed shard + 1) · budget — byte-equal iff the engine froze
-    // the budget, never rewrote a published shard, and the append
-    // landed exactly at the next free shard id
-    "q_publish_append" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-           FROM documents
-         ), seed AS (SELECT * FROM t WHERE doc_id < 250
-         ), tot AS (SELECT sum(n_tokens) AS total FROM seed
-         ), bud AS (SELECT (total + 7) // 8 AS b FROM tot
-         ), c1 AS (
-           SELECT doc_id, text, n_tokens,
-             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
-           FROM seed
-         ), a1 AS (
-           SELECT doc_id, text, n_tokens,
-             CAST(least(cum // (SELECT b FROM bud), 7) AS INT) AS shard_id
-           FROM c1
-         ), pad AS (
-           SELECT (max(shard_id) + 1) * (SELECT b FROM bud) AS p FROM a1
-         ), rest AS (SELECT * FROM t WHERE doc_id >= 250
-         ), rtot AS (SELECT sum(n_tokens) AS rt FROM rest
-         ), c2 AS (
-           SELECT doc_id, text, n_tokens,
-             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
-           FROM rest
-         ), a2 AS (
-           SELECT doc_id, text, n_tokens,
-             CAST(least(((SELECT p FROM pad) + cum) // (SELECT b FROM bud),
-               ((SELECT p FROM pad) + greatest((SELECT rt FROM rtot) - 1, 0))
-                 // (SELECT b FROM bud)) AS INT) AS shard_id
-           FROM c2
-         ), a AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
-         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
-         FROM a GROUP BY shard_id ORDER BY shard_id""",
-
-    // publish-then-forget: the original q_publish_shards assignment
-    // with the forgotten docs removed AFTER assignment — survivors keep
-    // their shard ids (the loader-checksum contract), so the replay is
-    // the full-corpus prefix scan filtered at the very end
-    "q_publish_forget" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-           FROM documents
-         ), tot AS (
-           SELECT sum(n_tokens) AS total FROM t
-         ), c AS (
-           SELECT doc_id, text, n_tokens,
-             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
-           FROM t
-         ), a AS (
-           SELECT doc_id, text, n_tokens,
-             CAST(least(cum // ((total + 7) // 8), 7) AS INT) AS shard_id
-           FROM c, tot
-         )
-         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
-         FROM a WHERE doc_id % 11 <> 5
-         GROUP BY shard_id ORDER BY shard_id""",
-
-    // the q_pack chain folded into the per-sequence fill report
-    "q_pack_stats" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), ch AS (
-           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
-             CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens
-           FROM c
-         ), o AS (
-           SELECT doc_id, chunk_id, n_chunk_tokens,
-             coalesce(CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS global_offset
-           FROM ch
-         ), packed AS (
-           SELECT n_chunk_tokens, CAST(global_offset // 256 AS BIGINT) AS seq_id FROM o)
-         SELECT seq_id, CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(n_chunk_tokens) AS BIGINT) AS tokens_used,
-           round(CAST(CAST(sum(n_chunk_tokens) AS BIGINT) AS DOUBLE) / 256, 4) AS fill_rate
-         FROM packed GROUP BY 1 ORDER BY 1""",
-
-    // hour buckets replayed as integer floor-division on epoch-ms (Spark's
-    // window() aligns "1 hour" windows to the epoch)
-    "q_event_windows" ->
-      """SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
-         event_type, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-
-    // arithmetic mirrored op-for-op; the double constants are interpolated
-    // from the SAME Scala computations the operator uses, so the parsed
-    // SQL literals are bit-identical doubles
-    "q_keyword_scores" -> {
-      val terms = Seq("spark", "data", "table")
-      val k1 = 1.2; val b = 0.75
-      val c1 = (k1 + 1.0).toString; val c2 = (1.0 - b).toString
-      val tfcols = terms.map(t =>
-        s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$t")
-        .mkString(",\n           ")
-      val dfcols = terms.map(t =>
-        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
-        .mkString(",\n           ")
-      val scores = terms.map(t =>
-        s"""round((CAST(N AS DOUBLE) - df_$t + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)
-             * (CAST(tf_$t AS DOUBLE) * $c1)
-             / (CAST(tf_$t AS DOUBLE) + $k1 * ($c2 + $b * len_ / avg_)), 4) AS score_$t""")
-        .mkString(",\n           ")
-      s"""WITH perdoc AS (
-           SELECT doc_id, CAST(len(tk) AS BIGINT) AS len_,
-           $tfcols
-           FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-                 FROM documents) t
-         ), stats AS (
-           SELECT count(*) AS N, CAST(sum(len_) AS DOUBLE) / count(*) AS avg_,
-           $dfcols
-           FROM perdoc
-         )
-         SELECT doc_id,
-           $scores
-         FROM perdoc CROSS JOIN stats ORDER BY doc_id"""
-    },
-
-    "q_corpus_stats" ->
-      """SELECT stratum, count(*) AS n_docs,
-         CAST(sum(nt) AS BIGINT) AS total_tokens,
-         round(CAST(sum(nt) AS DOUBLE) / count(*), 4) AS avg_tokens,
-         CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
-         FROM (SELECT lang AS stratum,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE length(string_split_regex(trim(text), '\s+')) END AS nt
-               FROM documents) t
-         GROUP BY stratum ORDER BY stratum""",
-
-    // water-filling arithmetic over per-stratum BIGINT counts — identical
-    // double ops in both engines
-    "q_mixture_plan" ->
-      """WITH counts AS (
-           SELECT lang AS stratum, count(*) AS n_docs,
-             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2 WHEN 'fr' THEN 0.2
-                       WHEN 'es' THEN 0.1 ELSE 0.0 END AS target_weight
-           FROM documents GROUP BY lang
-         ), t AS (
-           SELECT min(CAST(n_docs AS DOUBLE) / target_weight) AS tt
-           FROM counts WHERE target_weight > 0
-         )
-         SELECT stratum, n_docs, target_weight,
-           round(CASE WHEN target_weight > 0 THEN target_weight * tt / n_docs
-                      ELSE 0.0 END, 6) AS keep_frac
-         FROM counts CROSS JOIN t ORDER BY stratum""",
-
-    // the integer water level: cross-multiplied cut + floor +
-    // largest-remainder — every decision integer, Σ allocation = budget
-    "q_waterfill" ->
-      """WITH c AS (
-           SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n
-           FROM documents WHERE lang IS NOT NULL GROUP BY 1
-         ), r AS (
-           SELECT stratum, n,
-             CAST(row_number() OVER (ORDER BY n, stratum) AS BIGINT) AS idx,
-             CAST(coalesce(sum(n) OVER (ORDER BY n, stratum
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
-             CAST((SELECT count(*) FROM c) AS BIGINT) AS k
-           FROM c
-         ), cut AS (
-           SELECT min(idx) AS cut, arg_min(below, idx) AS cb
-           FROM r WHERE n * (k - idx + 1) > 400 - below
-         ), alloc AS (
-           SELECT r.stratum, r.n,
-             CASE WHEN cut.cut IS NULL OR r.idx < cut.cut THEN r.n
-               ELSE (400 - cut.cb) // (r.k - cut.cut + 1)
-                 + CASE WHEN r.idx - cut.cut < (400 - cut.cb) % (r.k - cut.cut + 1)
-                     THEN 1 ELSE 0 END END AS a
-           FROM r CROSS JOIN cut)
-         SELECT stratum, n AS n_docs, CAST(a AS BIGINT) AS allocation,
-           a < n AS capped,
-           round(CAST(a AS DOUBLE) / n, 6) AS keep_frac
-         FROM alloc ORDER BY stratum""",
-
-    // span windows replayed like q_chunks (stride 16, full 32-token
-    // windows only), fingerprint = md5 of the window text
-    "q_dupspans" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), sp AS (
-           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
-             md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         ), d AS (
-           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
-           FROM sp GROUP BY span_md5 HAVING count(DISTINCT doc_id) > 1
-         )
-         SELECT doc_id, chunk_id, span_md5, n_docs_sharing
-         FROM sp JOIN d USING (span_md5)
-         ORDER BY doc_id, chunk_id""",
-
-    // exact-substring spans: stride-1 16-token window md5s, cross-doc
-    // buckets, gaps-and-islands merge (break where p - lag(p) > 16) —
-    // the verification step is engine-side only (min==max text proof);
-    // the oracle's md5 equality is the same statement
-    "q_dupspans_exact" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-           FROM toks WHERE len(tk) >= 16
-         ), sp AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
-           FROM w
-         ), d AS (
-           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
-           FROM sp GROUP BY span_md5 HAVING count(DISTINCT doc_id) > 1
-         ), c AS (
-           SELECT sp.doc_id, sp.p, d.nd FROM sp JOIN d USING (span_md5)
-         ), g AS (
-           SELECT doc_id, p, nd,
-             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
-               THEN 1 ELSE 0 END AS brk
-           FROM c
-         ), i AS (
-           SELECT doc_id, p, nd,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
-           FROM g
-         )
-         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-           CAST(max(p) + 16 AS BIGINT) AS span_end,
-           CAST(max(p) + 16 - min(p) AS BIGINT) AS n_tokens,
-           CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(max(nd) AS BIGINT) AS max_docs_sharing
-         FROM i GROUP BY doc_id, island
-         ORDER BY doc_id, span_start""",
-
-    // the q_dupspans_exact span chain applied: token positions inside
-    // any covered range anti-join away, survivors re-join ordered by
-    // position — string_agg(ORDER BY pos) IS the concat_ws replay
-    "q_trim_spans" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-           FROM toks WHERE len(tk) >= 16
-         ), sp AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
-           FROM w
-         ), d AS (
-           SELECT span_md5 FROM sp GROUP BY span_md5
-           HAVING count(DISTINCT doc_id) > 1
-         ), c AS (
-           SELECT sp.doc_id, sp.p FROM sp JOIN d USING (span_md5)
-         ), g AS (
-           SELECT doc_id, p,
-             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
-               THEN 1 ELSE 0 END AS brk
-           FROM c
-         ), i AS (
-           SELECT doc_id, p,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
-           FROM g
-         ), spans AS (
-           SELECT doc_id, min(p) AS s, max(p) + 16 AS e
-           FROM i GROUP BY doc_id, island
-         ), tp AS (
-           SELECT doc_id, unnest(tk) AS tok, unnest(range(0, len(tk))) AS pos
-           FROM toks
-         ), kept AS (
-           SELECT tp.doc_id, tp.tok, tp.pos FROM tp
-           WHERE NOT EXISTS (SELECT 1 FROM spans v
-             WHERE v.doc_id = tp.doc_id AND tp.pos >= v.s AND tp.pos < v.e)
-         )
-         SELECT t.doc_id,
-           coalesce(k.m, md5('')) AS trimmed_md5,
-           CAST(len(t.tk) AS BIGINT) AS n_tokens_before,
-           CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept
-         FROM toks t LEFT JOIN (
-           SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS m,
-             count(*) AS n
-           FROM kept GROUP BY doc_id) k USING (doc_id)
-         ORDER BY t.doc_id""",
-
-    // store probe replay: fingerprints of the WHOLE corpus (seed ∪
-    // appended batch) grouped to distinct-doc counts, probed by the
-    // five docs' own prints — identical to the engine's store-served
-    // answer iff append under frozen geometry equals the cold build
-    "q_spanstore" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-           FROM toks WHERE len(tk) >= 16
-         ), sp AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
-           FROM w
-         ), store AS (
-           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_store_docs
-           FROM sp GROUP BY span_md5
-         )
-         SELECT pr.doc_id, pr.p, pr.span_md5, store.n_store_docs
-         FROM (SELECT * FROM sp WHERE doc_id < 5) pr
-         JOIN store USING (span_md5)
-         ORDER BY pr.doc_id, pr.p""",
-
-    // takedown replay: the q_spanstore probe chain with the STORE side
-    // restricted to surviving docs (doc_id % 7 <> 3) — the engine's
-    // tombstone anti-join must make live serving equal this cold-build-
-    // without answer; the probe side stays corpus-wide (doc 3 probes as
-    // a new batch and its prints count only surviving store docs)
-    "q_forget_span" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-           FROM toks WHERE len(tk) >= 16
-         ), sp AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
-           FROM w
-         ), store AS (
-           SELECT span_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_store_docs
-           FROM sp WHERE doc_id % 7 <> 3 GROUP BY span_md5
-         )
-         SELECT pr.doc_id, pr.p, pr.span_md5, store.n_store_docs
-         FROM (SELECT * FROM sp WHERE doc_id < 5) pr
-         JOIN store USING (span_md5)
-         ORDER BY pr.doc_id, pr.p""",
-
-    // Bloom sidecar replayed bit-for-bit: m_bits from the seed third's
-    // largest per-shard distinct-print count (bitsPerKey 12 × headroom
-    // 4, word-rounded, clamped to [1024, 2^26]); per-shard position
-    // sets from the md5-half Kirsch–Mitzenmacher family (k = 5) over
-    // the seed ∪ appended store prints; maybe = every probe-print
-    // position lands in its shard's set; n_dup = the exact print join
-    "q_spanstore_bloom" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-           FROM toks WHERE len(tk) >= 16
-         ), spd AS (
-           SELECT DISTINCT doc_id,
-             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5,
-             substr(md5(array_to_string(tk[p + 1 : p + 16], ' ')), 1, 1) AS shard
-           FROM w
-         ), store_prints AS (
-           SELECT DISTINCT span_md5, shard FROM spd WHERE doc_id % 3 IN (1, 2)
-         ), seed_n AS (
-           SELECT count(DISTINCT span_md5) AS n
-           FROM spd WHERE doc_id % 3 = 1 GROUP BY shard
-         ), mb AS (
-           SELECT CAST(least(greatest((12 * 4 * max(n) + 63) // 64 * 64,
-             1024), 67108864) AS BIGINT) AS m
-           FROM seed_n
-         ), ii AS (
-           SELECT unnest(range(5)) AS i
-         ), store_pos AS (
-           SELECT DISTINCT shard,
-             (CAST(concat('0x', substr(md5(span_md5), 1, 14)) AS BIGINT)
-              + i * CAST(concat('0x', substr(md5(span_md5), 17, 14)) AS BIGINT))
-             % (SELECT m FROM mb) AS pos
-           FROM store_prints CROSS JOIN ii
-         ), probe_prints AS (
-           SELECT doc_id, span_md5, shard FROM spd WHERE doc_id % 15 = 0
-         ), probe_pos AS (
-           SELECT doc_id, span_md5, shard,
-             (CAST(concat('0x', substr(md5(span_md5), 1, 14)) AS BIGINT)
-              + i * CAST(concat('0x', substr(md5(span_md5), 17, 14)) AS BIGINT))
-             % (SELECT m FROM mb) AS pos
-           FROM probe_prints CROSS JOIN ii
-         ), flg AS (
-           SELECT doc_id, span_md5, bool_and(s.pos IS NOT NULL) AS maybe
-           FROM probe_pos q LEFT JOIN store_pos s
-             ON q.shard = s.shard AND q.pos = s.pos
-           GROUP BY doc_id, span_md5
-         )
-         SELECT p.doc_id,
-           CAST(count(DISTINCT p.span_md5) AS BIGINT) AS n_prints,
-           CAST(count(DISTINCT CASE WHEN f.maybe THEN p.span_md5 END) AS BIGINT) AS n_maybe,
-           CAST(count(DISTINCT CASE WHEN st.span_md5 IS NOT NULL THEN p.span_md5 END) AS BIGINT) AS n_dup
-         FROM probe_prints p
-         JOIN flg f ON p.doc_id = f.doc_id AND p.span_md5 = f.span_md5
-         LEFT JOIN (SELECT DISTINCT span_md5 FROM store_prints) st
-           ON p.span_md5 = st.span_md5
-         GROUP BY p.doc_id
-         ORDER BY p.doc_id""",
-
-    // gauntlet replay: stage 1 is the q_ingest_dedup chain verbatim
-    // (union pair set, store partners even, keep-first on odd ids);
-    // stage 2 is the q_ingest_curate chain restricted to stage-1
-    // survivors (seed prints stay the even docs — stage 2 probes the
-    // span store BEFORE any survivor appends land). The whitespace
-    // tokenization CTE is shared: the LSH shingles and the span windows
-    // both derive from `toks`
-    "q_ingest_gauntlet" ->
-      s"""WITH ${lshCandidateCtes(16, 4)},
-         pr AS (
-           SELECT doc_id_a, doc_id_b FROM est WHERE est_jaccard >= 0.8
-         ), sym AS (
-           SELECT doc_id_b AS doc_id, doc_id_a AS partner FROM pr
-           UNION ALL
-           SELECT doc_id_a AS doc_id, doc_id_b AS partner FROM pr
-         ), flags AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN partner % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_store_dups,
-             CAST(sum(CASE WHEN partner % 2 = 1 AND partner < doc_id
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dups
-           FROM sym WHERE doc_id % 2 = 1 GROUP BY doc_id
-         ), stage1 AS (
-           SELECT d.doc_id,
-             CAST(coalesce(f.n_store_dups, 0) AS BIGINT) AS n_store_dups,
-             CAST(coalesce(f.n_batch_dups, 0) AS BIGINT) AS n_batch_dups,
-             (coalesce(f.n_store_dups, 0) > 0 OR coalesce(f.n_batch_dups, 0) > 0)
-               AS dedup_dropped
-           FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-           LEFT JOIN flags f USING (doc_id)
-         ), surv AS (
-           SELECT doc_id FROM stage1 WHERE NOT dedup_dropped
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-           FROM toks WHERE len(tk) >= 16
-         ), sp AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
-           FROM w
-         ), seedp AS (
-           SELECT DISTINCT span_md5 FROM sp WHERE doc_id % 2 = 0
-         ), hits AS (
-           SELECT sp.doc_id, sp.p FROM sp
-           JOIN seedp USING (span_md5)
-           JOIN surv USING (doc_id)
-         ), g AS (
-           SELECT doc_id, p,
-             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
-               THEN 1 ELSE 0 END AS brk
-           FROM hits
-         ), i AS (
-           SELECT doc_id, p,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
-           FROM g
-         ), spans AS (
-           SELECT doc_id, min(p) AS s, max(p) + 16 AS e
-           FROM i GROUP BY doc_id, island
-         ), batch2 AS (
-           SELECT t.doc_id, t.tk FROM toks t JOIN surv USING (doc_id)
-         ), tp AS (
-           SELECT doc_id, unnest(tk) AS tok, unnest(range(0, len(tk))) AS pos
-           FROM batch2
-         ), kept AS (
-           SELECT tp.doc_id, tp.tok, tp.pos FROM tp
-           WHERE NOT EXISTS (SELECT 1 FROM spans v
-             WHERE v.doc_id = tp.doc_id AND tp.pos >= v.s AND tp.pos < v.e)
-         ), curated AS (
-           SELECT b.doc_id,
-             coalesce(k.txt, '') AS text,
-             CAST(len(b.tk) AS BIGINT) AS n_tokens_before,
-             CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
-             (len(b.tk) = 0 OR
-              CAST(coalesce(k.n, 0) AS DOUBLE) / len(b.tk) < 0.3) AS curate_dropped
-           FROM batch2 b LEFT JOIN (
-             SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
-               count(*) AS n
-             FROM kept GROUP BY doc_id) k USING (doc_id)
-         )
-         SELECT s1.doc_id, s1.n_store_dups, s1.n_batch_dups, s1.dedup_dropped,
-           coalesce(md5(c.text), '') AS curated_md5,
-           CAST(coalesce(c.n_tokens_before, -1) AS BIGINT) AS n_tokens_before,
-           CAST(coalesce(c.n_tokens_kept, -1) AS BIGINT) AS n_tokens_kept,
-           coalesce(c.curate_dropped, false) AS curate_dropped
-         FROM stage1 s1 LEFT JOIN curated c USING (doc_id)
-         ORDER BY s1.doc_id""",
-
-    // ingest-curate replay: seed prints = even docs' windows; odd-doc
-    // windows found in the seed merge to maximal spans (gap > 16
-    // breaks an island), covered tokens are cut, docs below the 0.3
-    // kept fraction drop, and each survivor's post-append store-print
-    // count is recomputed from its TRIMMED text (append guarantees all
-    // of a survivor's prints are in the store, so the served count
-    // equals the recomputation iff the append landed)
-    "q_ingest_curate" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-           FROM toks WHERE len(tk) >= 16
-         ), sp AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(array_to_string(tk[p + 1 : p + 16], ' ')) AS span_md5
-           FROM w
-         ), seed AS (
-           SELECT DISTINCT span_md5 FROM sp WHERE doc_id % 2 = 0
-         ), hits AS (
-           SELECT sp.doc_id, sp.p FROM sp JOIN seed USING (span_md5)
-           WHERE sp.doc_id % 2 = 1
-         ), g AS (
-           SELECT doc_id, p,
-             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 16
-               THEN 1 ELSE 0 END AS brk
-           FROM hits
-         ), i AS (
-           SELECT doc_id, p,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
-           FROM g
-         ), spans AS (
-           SELECT doc_id, min(p) AS s, max(p) + 16 AS e
-           FROM i GROUP BY doc_id, island
-         ), batch AS (
-           SELECT doc_id, tk FROM toks WHERE doc_id % 2 = 1
-         ), tp AS (
-           SELECT doc_id, unnest(tk) AS tok, unnest(range(0, len(tk))) AS pos
-           FROM batch
-         ), kept AS (
-           SELECT tp.doc_id, tp.tok, tp.pos FROM tp
-           WHERE NOT EXISTS (SELECT 1 FROM spans v
-             WHERE v.doc_id = tp.doc_id AND tp.pos >= v.s AND tp.pos < v.e)
-         ), curated AS (
-           SELECT b.doc_id,
-             coalesce(k.txt, '') AS text,
-             CAST(len(b.tk) AS BIGINT) AS n_tokens_before,
-             CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
-             (len(b.tk) = 0 OR
-              CAST(coalesce(k.n, 0) AS DOUBLE) / len(b.tk) < 0.3) AS dropped
-           FROM batch b LEFT JOIN (
-             SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
-               count(*) AS n
-             FROM kept GROUP BY doc_id) k USING (doc_id)
-         ), surv AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM curated WHERE NOT dropped
-         ), sprints AS (
-           SELECT doc_id,
-             count(DISTINCT md5(array_to_string(tk[p + 1 : p + 16], ' '))) AS np
-           FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS p
-                 FROM surv WHERE len(tk) >= 16)
-           GROUP BY doc_id
-         )
-         SELECT c.doc_id, md5(c.text) AS curated_md5, c.n_tokens_before,
-           c.n_tokens_kept, c.dropped,
-           CAST(coalesce(sp2.np, 0) AS BIGINT) AS n_store_prints
-         FROM curated c LEFT JOIN sprints sp2 USING (doc_id)
-         ORDER BY c.doc_id""",
-
-    // the planted-prefix derived corpus (tk || tk[1:20]) walked by the
-    // same window/bucket/island chain, buckets keyed (doc_id, md5) with
-    // HAVING count(*) > 1 — intra-doc occurrences, not cross-doc docs
-    "q_selfrep_spans" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk0
-           FROM documents
-         ), planted AS (
-           SELECT doc_id, tk0 || tk0[1:20] AS tk FROM toks
-         ), w AS (
-           SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS p
-           FROM planted WHERE len(tk) >= 8
-         ), sp AS (
-           SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(array_to_string(tk[p + 1 : p + 8], ' ')) AS span_md5
-           FROM w
-         ), d AS (
-           SELECT doc_id, span_md5, CAST(count(*) AS BIGINT) AS reps
-           FROM sp GROUP BY doc_id, span_md5 HAVING count(*) > 1
-         ), c AS (
-           SELECT sp.doc_id, sp.p, d.reps
-           FROM sp JOIN d USING (doc_id, span_md5)
-         ), g AS (
-           SELECT doc_id, p, reps,
-             CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
-               THEN 1 ELSE 0 END AS brk
-           FROM c
-         ), i AS (
-           SELECT doc_id, p, reps,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
-           FROM g
-         )
-         SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
-           CAST(max(p) + 8 AS BIGINT) AS span_end,
-           CAST(max(p) + 8 - min(p) AS BIGINT) AS n_tokens,
-           CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(max(reps) AS BIGINT) AS max_repeats
-         FROM i GROUP BY doc_id, island
-         ORDER BY doc_id, span_start""",
-
-    "q_span_dup_frac" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) + 1)) AS cid
-           FROM toks
-         ), sp AS (
-           SELECT doc_id, md5(array_to_string(tk[cid*16 + 1 : cid*16 + 32], ' ')) AS span_md5
-           FROM c WHERE len(tk[cid*16 + 1 : cid*16 + 32]) = 32
-         ), sh AS (
-           SELECT span_md5, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span_md5
-         ), pd AS (
-           SELECT doc_id, count(*) AS n_spans,
-             CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
-           FROM sp JOIN sh USING (span_md5) GROUP BY doc_id
-         )
-         SELECT d.doc_id AS doc_id,
-           coalesce(pd.n_spans, 0) AS n_spans,
-           coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
-           coalesce(round(CAST(pd.n_dup_spans AS DOUBLE) / pd.n_spans, 4), 0.0) AS dup_span_frac
-         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-         ORDER BY doc_id""",
-
-    // same md5-bucket arithmetic as q_split with a per-row probability cut
-    "q_weighted_sample" ->
-      """SELECT doc_id, n_chars FROM documents
-         WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
-               < floor(least(greatest(n_chars / 1000.0, 0.0), 1.0) * 10000)
-         ORDER BY doc_id""",
-
-    // the q_pagerank chain with shared-span edge weights: out-STRENGTH
-    // replaces out-degree, contribution carries w — same fixed point
-    "q_pagerank_w" -> {
-      val iters = 3
-      val Q = 1L << 40
-      val iterCtes = (0 until iters).map { i =>
-        s"""d$i AS (
-           SELECT CAST(coalesce(sum(CAST(floor(rank * $Q + 0.5) AS BIGINT)), 0) AS BIGINT) AS dang
-           FROM r$i WHERE node NOT IN (SELECT src FROM od)),
-         c$i AS (
-           SELECT e.dst, CAST(sum(CAST(floor(r.rank * e.w / od.deg * $Q + 0.5) AS BIGINT)) AS BIGINT) AS s
-           FROM e JOIN r$i r ON e.src = r.node JOIN od ON e.src = od.src
-           GROUP BY e.dst),
-         r${i + 1} AS (
-           SELECT n.node,
-             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-             + CAST(0.85 AS DOUBLE) * (CAST(coalesce(c.s, 0) AS DOUBLE) / $Q
-               + CAST(d.dang AS DOUBLE) / nn.n / $Q) AS rank
-           FROM nodes n LEFT JOIN c$i c ON n.node = c.dst, d$i d, nn)"""
-      }.mkString(",\n         ")
-      s"""WITH $spanPairWeightedCte, e AS (
-           SELECT src, dst, w FROM p
-           UNION ALL SELECT dst AS src, src AS dst, w FROM p
-         ), nodes AS (
-           SELECT DISTINCT node FROM (
-             SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
-         ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         od AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src),
-         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn),
-         $iterCtes
-         SELECT node, rank FROM r$iters ORDER BY node"""
-    },
-
-    // the q_sessionize window replay + one grouped aggregate
-    "q_session_stats" ->
-      """WITH sess AS (
-           SELECT event_id, user_id, value, ms,
-             CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ms, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-           FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ms,
-                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
-                 FROM events) t)
-         SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-           min(ms) AS start_ms, max(ms) - min(ms) AS duration_ms,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-         FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""",
-
-    // md5-slice replay: first-seen slice per token, ≤slices running sum
-    "q_vocab_growth" ->
-      """WITH sl AS (
-           SELECT doc_id,
-             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS slice,
-             text FROM documents),
-         toks AS (
-           SELECT slice, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM sl),
-         dc AS (
-           SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len(tk)) AS BIGINT) AS n_tokens
-           FROM toks GROUP BY 1),
-         fs AS (
-           SELECT tok, min(slice) AS first_slice
-           FROM (SELECT slice, unnest(tk) AS tok FROM toks) GROUP BY 1),
-         nt AS (
-           SELECT first_slice AS slice, CAST(count(*) AS BIGINT) AS new_tokens
-           FROM fs GROUP BY 1)
-         SELECT dc.slice, dc.n_docs, dc.n_tokens,
-           coalesce(nt.new_tokens, 0) AS new_tokens,
-           CAST(sum(coalesce(nt.new_tokens, 0)) OVER (ORDER BY dc.slice
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
-         FROM dc LEFT JOIN nt USING (slice) ORDER BY slice""",
-
-    // lift replay on the q_lm_score bigram substrate: integer products
-    // cast to double once, one global rank with the (w1, w2) tie-break
-    "q_collocations" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), bi AS (
-           SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM (
-             SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
-               THEN list_transform(range(2, len(tk) + 1), i -> {'w1': tk[i-1], 'w2': tk[i]})
-               ELSE [] END) AS b
-             FROM toks) u
-         ), bc AS (
-           SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
-           FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
-         ), tk2 AS (SELECT unnest(tk) AS tok FROM toks),
-         uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk2 GROUP BY 1),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk2)
-         SELECT rank, w1, w2, pair_count, c1, c2, lift FROM (
-           SELECT bc.w1, bc.w2, bc.pair_count, u1.c AS c1, u2.c AS c2,
-             round(CAST(tot.n * bc.pair_count AS DOUBLE)
-               / CAST(u1.c * u2.c AS DOUBLE), 4) AS lift,
-             row_number() OVER (ORDER BY
-               round(CAST(tot.n * bc.pair_count AS DOUBLE)
-                 / CAST(u1.c * u2.c AS DOUBLE), 4) DESC, bc.w1 ASC, bc.w2 ASC) AS rank
-           FROM bc
-           JOIN uc u1 ON bc.w1 = u1.tok
-           JOIN uc u2 ON bc.w2 = u2.tok, tot) t
-         WHERE rank <= 20 ORDER BY rank""",
-
-    // gini replay: per-(doc, token) counts, windowed doc totals, 8dp
-    // squared shares into DECIMAL, the same 1 − Σp² expression
-    "q_gini" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), tc AS (
-           SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-           FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
-         ), tc2 AS (
-           SELECT doc_id, c,
-             CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
-           FROM tc
-         ), p AS (
-           SELECT doc_id, n,
-             CAST(round(CAST(c * c AS DOUBLE) / CAST(n * n AS DOUBLE), 8)
-               AS DECIMAL(18,8)) AS p2
-           FROM tc2
-         ), g AS (
-           SELECT doc_id, any_value(n) AS n_tokens,
-             round(1.0 - CAST(sum(p2) AS DOUBLE), 6) AS gini_diversity
-           FROM p GROUP BY 1)
-         SELECT d.doc_id,
-           coalesce(g.n_tokens, 0) AS n_tokens,
-           coalesce(g.gini_diversity, 0.0) AS gini_diversity
-         FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
-         ORDER BY d.doc_id""",
-
-    // transition replay: the q_sessionize lag ordering, counts +
-    // windowed row totals, one rounded division
-    "q_transitions" ->
-      """WITH s AS (
-           SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY epoch_ms(ts), event_id) AS from_type
-           FROM events
-         ), c AS (
-           SELECT from_type, event_type AS to_type,
-             CAST(count(*) AS BIGINT) AS n_transitions
-           FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
-         SELECT from_type, to_type, n_transitions,
-           round(CAST(n_transitions AS DOUBLE)
-             / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT), 4)
-             AS p_transition
-         FROM c ORDER BY from_type, to_type""",
-
-    // the trigram windows replayed with two leads; the top-20 cut is
-    // boundary-exact because ties break on the path itself
-    "q_paths" ->
-      """WITH t AS (
-           SELECT event_type AS step1,
-             lead(event_type, 1) OVER (PARTITION BY user_id
-               ORDER BY epoch_ms(ts), event_id) AS step2,
-             lead(event_type, 2) OVER (PARTITION BY user_id
-               ORDER BY epoch_ms(ts), event_id) AS step3
-           FROM events)
-         SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
-         FROM t WHERE step2 IS NOT NULL AND step3 IS NOT NULL
-         GROUP BY step1, step2, step3
-         ORDER BY n DESC, step1, step2, step3 LIMIT 20""",
-
-    "q_dwell" ->
-      """WITH s AS (
-           SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
-             lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY epoch_ms(ts), event_id) AS from_type,
-             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
-               ORDER BY epoch_ms(ts), event_id) AS prev_ms
-           FROM events)
-         SELECT from_type, event_type AS to_type,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(min(ts_ms - prev_ms) AS BIGINT) AS min_gap_ms,
-           CAST(max(ts_ms - prev_ms) AS BIGINT) AS max_gap_ms,
-           round(CAST(sum(CAST(ts_ms - prev_ms AS DECIMAL(18,0))) AS DOUBLE)
-             / count(*), 2) AS avg_gap_ms
-         FROM s WHERE from_type IS NOT NULL
-         GROUP BY from_type, to_type ORDER BY from_type, to_type""",
-
-    // md5-60 arithmetic replay, mod k instead of the split's buckets
-    "q_kfold" ->
-      """SELECT doc_id,
-           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS INT) AS fold
-         FROM documents ORDER BY doc_id""",
-
-    // HRW replay: the same md5Token60 score per (key, shard), list argmax
-    // with DuckDB's 1-based first-occurrence list_position == Spark's
-    // array_position tie-break
-    "q_rendezvous" ->
-      """WITH sc AS (
-           SELECT doc_id, list_transform(range(0, 16), s ->
-             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)) AS l
-           FROM documents)
-         SELECT doc_id, CAST(list_position(l, list_max(l)) - 1 AS INT) AS shard
-         FROM sc ORDER BY doc_id""",
-
-    // the full k-means chain + final assignment (the q_semantic_dedup af
-    // pattern) + label majority with the same tie-break
-    "q_cluster_purity" -> {
-      val iters = 2
-      s"""WITH ${kmeansCtes(8, iters)},
-         af AS (
-           SELECT vec_id, c FROM (
-             SELECT e.vec_id, c.c,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
-             FROM ev e CROSS JOIN cents$iters c) t WHERE rn = 1
-         ), lc AS (
-           SELECT af.c AS cluster_id, em.label, CAST(count(*) AS BIGINT) AS lcnt
-           FROM af JOIN embeddings em ON af.vec_id = em.vec_id GROUP BY 1, 2
-         ), tot AS (
-           SELECT cluster_id, CAST(sum(lcnt) AS BIGINT) AS n FROM lc GROUP BY 1)
-         SELECT cluster_id, n, top_label, n_top,
-           round(CAST(n_top AS DOUBLE) / n, 4) AS purity FROM (
-           SELECT lc.cluster_id, tot.n, lc.label AS top_label, lc.lcnt AS n_top,
-             row_number() OVER (PARTITION BY lc.cluster_id
-               ORDER BY lc.lcnt DESC, lc.label ASC) AS r
-           FROM lc JOIN tot USING (cluster_id)) t WHERE r = 1
-         ORDER BY cluster_id"""
-    },
-
-    // drift replay: identical shared-bin assignment and the same
-    // rounded-share TVD expression, bit-for-bit IEEE order
-    // exact KS: per-value counts, windowed cumulative sums, integer
-    // cross-product distances (HUGEINT ≡ the Spark side's decimal(38,0)),
-    // one double division at the end
-    "q_ks_drift" ->
-      """WITH h AS (
-           SELECT l_extendedprice AS v,
-             CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-             CAST(sum(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
-         t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
-             CAST(sum(cb) AS BIGINT) AS n_b FROM h),
-         c AS (SELECT v,
-             sum(ca) OVER (ORDER BY v) AS cca,
-             sum(cb) OVER (ORDER BY v) AS ccb
-           FROM h),
-         d AS (SELECT c.v,
-             abs(CAST(c.cca AS HUGEINT) * t.n_b
-               - CAST(c.ccb AS HUGEINT) * t.n_a) AS dn
-           FROM c CROSS JOIN t)
-         SELECT t.n_a, t.n_b,
-           CAST(max(d.dn) AS DOUBLE) AS d_num,
-           min(d.v) FILTER (WHERE d.dn = (SELECT max(dn) FROM d)) AS at_value,
-           CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN NULL
-             ELSE round(CAST(max(d.dn) AS DOUBLE)
-               / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) END AS d_stat
-         FROM d CROSS JOIN t GROUP BY t.n_a, t.n_b""",
-
-    "q_drift" ->
-      """WITH av AS (
-           SELECT l_extendedprice AS v FROM lineitem
-           WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
-         bv AS (
-           SELECT l_extendedprice AS v FROM lineitem
-           WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
-         uni AS (
-           SELECT v, CAST(1 AS BIGINT) AS isa FROM av
-           UNION ALL SELECT v, CAST(0 AS BIGINT) AS isa FROM bv),
-         st AS (
-           SELECT min(v) AS mn, max(v) AS mx,
-             CAST(sum(isa) AS BIGINT) AS na,
-             CAST(sum(1 - isa) AS BIGINT) AS nb
-           FROM uni),
-         binned AS (
-           SELECT CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
-             ELSE least(CAST(floor((v - st.mn) / (st.mx - st.mn) * 64) AS BIGINT),
-               CAST(63 AS BIGINT)) END AS bin,
-             isa, st.mn, st.mx, st.na, st.nb
-           FROM uni, st),
-         g AS (
-           SELECT bin, CAST(sum(isa) AS BIGINT) AS n_a,
-             CAST(sum(1 - isa) AS BIGINT) AS n_b,
-             any_value(mn) AS mn, any_value(mx) AS mx,
-             any_value(na) AS na, any_value(nb) AS nb
-           FROM binned GROUP BY bin)
-         SELECT bin,
-           mn + bin * (mx - mn) / 64 AS lo,
-           mn + (bin + 1) * (mx - mn) / 64 AS hi,
-           n_a, n_b,
-           round(CAST(n_a AS DOUBLE) / na, 6) AS share_a,
-           round(CAST(n_b AS DOUBLE) / nb, 6) AS share_b,
-           round(abs(round(CAST(n_a AS DOUBLE) / na, 6)
-             - round(CAST(n_b AS DOUBLE) / nb, 6)) / 2, 6) AS tvd_term
-         FROM g ORDER BY bin""",
-
-    // exact-integer TVD per source vs corpus: per-term |c_s·N_g − c_g·N_s|
-    // sums in HUGEINT (Spark: DECIMAL(38,0)), absent terms fold in closed
-    // form (N_g − Σ_{t∈V_s} c_g), one double division rounded 6dp
-    "q_vocab_drift" ->
-      """WITH tok AS (
-           SELECT source,
-             unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS t
-           FROM documents
-         ), bysrc AS (
-           SELECT source, t, CAST(count(*) AS BIGINT) AS c_s
-           FROM tok GROUP BY source, t
-         ), tot AS (
-           SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s,
-             CAST(count(*) AS BIGINT) AS v_s
-           FROM bysrc GROUP BY source
-         ), gl AS (
-           SELECT t, CAST(sum(c_s) AS BIGINT) AS c_g FROM bysrc GROUP BY t
-         ), ng AS (
-           SELECT CAST(sum(c_g) AS BIGINT) AS n_g FROM gl
-         ), terms AS (
-           SELECT b.source,
-             sum(abs(CAST(b.c_s AS HUGEINT) * ng.n_g
-               - CAST(g.c_g AS HUGEINT) * tt.n_s)) AS a,
-             CAST(sum(g.c_g) AS BIGINT) AS bsum
-           FROM bysrc b JOIN gl g USING (t) JOIN tot tt USING (source)
-           CROSS JOIN ng
-           GROUP BY b.source
-         )
-         SELECT tt.source, tt.n_s AS n_tokens, tt.v_s AS vocab_size,
-           round(CAST(te.a + CAST(ng.n_g - te.bsum AS HUGEINT) * tt.n_s AS DOUBLE)
-             / (2.0 * CAST(tt.n_s AS DOUBLE) * CAST(ng.n_g AS DOUBLE)), 6) AS tvd
-         FROM tot tt JOIN terms te USING (source) CROSS JOIN ng
-         ORDER BY source""",
-
-    // first-occurrence novelty per source: string shingles stand in for
-    // the engine's 64-bit-hashed ones (set identity and min-doc_id are
-    // preserved under the hash), min(doc_id) is the engine-free total
-    // order, counts exact, one rounded division
-    "q_novelty" ->
-      """WITH toks AS (
-           SELECT doc_id, source,
-             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id, source, unnest(
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1),
-                 i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END) AS s
-           FROM toks
-         ), fs AS (
-           SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
-         ), perdoc AS (
-           SELECT sh.doc_id, min(sh.source) AS source,
-             CAST(count(*) AS BIGINT) AS n_sh,
-             CAST(sum(CASE WHEN sh.doc_id = fs.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-           FROM sh JOIN fs USING (s) GROUP BY sh.doc_id
-         )
-         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
-           CAST(sum(n_novel) AS BIGINT) AS n_novel,
-           round(CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE), 6) AS novelty_rate
-         FROM perdoc GROUP BY source ORDER BY source""",
-
-    // c-TF-IDF replay: (group, term) counts, group df, the same
-    // rational-idf weight expression, rank window with term tie-break
-    "q_cluster_terms" ->
-      """WITH toks AS (
-           SELECT lang, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), terms AS (
-           SELECT lang, unnest(tk) AS term FROM toks
-         ), tf AS (
-           SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
-           FROM terms GROUP BY 1, 2
-         ), gdf AS (
-           SELECT term, CAST(count(*) AS BIGINT) AS gdf FROM tf GROUP BY 1
-         ), ng AS (
-           SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n FROM documents
-         ), wtd AS (
-           SELECT tf.lang, tf.term, tf.tf, gdf.gdf,
-             round(CAST(tf.tf AS DOUBLE) *
-               (CAST(ng.n + 1 AS DOUBLE) / CAST(gdf.gdf + 1 AS DOUBLE)), 4) AS weight
-           FROM tf JOIN gdf USING (term), ng)
-         SELECT lang, term, tf, gdf, weight, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY lang
-             ORDER BY weight DESC, term ASC) AS rank
-           FROM wtd) WHERE rank <= 10
-         ORDER BY lang, rank""",
-
-    // containment replay: same string shingles, same df cap, exact
-    // shared counts, both per-side ratios
-    "q_containment" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), shs AS (
-           SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END) AS sh
-           FROM toks
-         ), sizes AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shs GROUP BY 1
-         ), linking AS (
-           SELECT sh FROM (SELECT sh, count(*) AS df FROM shs GROUP BY 1)
-           WHERE df > 1 AND df <= 64
-         ), slim AS (
-           SELECT s.doc_id, s.sh FROM shs s JOIN linking USING (sh)
-         ), pairs AS (
-           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             CAST(count(*) AS BIGINT) AS n_shared
-           FROM slim a JOIN slim b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT p.doc_id_a, p.doc_id_b, p.n_shared,
-           round(CAST(p.n_shared AS DOUBLE) / sa.sz, 4) AS containment_a,
-           round(CAST(p.n_shared AS DOUBLE) / sb.sz, 4) AS containment_b
-         FROM pairs p
-         JOIN sizes sa ON p.doc_id_a = sa.doc_id
-         JOIN sizes sb ON p.doc_id_b = sb.doc_id
-         WHERE greatest(round(CAST(p.n_shared AS DOUBLE) / sa.sz, 4),
-                        round(CAST(p.n_shared AS DOUBLE) / sb.sz, 4)) >= 0.2
-         ORDER BY doc_id_a, doc_id_b""",
-
-    // shared-shingle counts recomputed from raw strings (the hashed join
-    // side loses nothing — same argument as the jaccard oracle)
-    "q_contamination" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pe AS (
-           SELECT doc_id AS probe_id, unnest(s) AS g FROM sh WHERE doc_id < 20
-         ), ce AS (
-           SELECT doc_id, unnest(s) AS g FROM sh
-         )
-         SELECT probe_id, doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         FROM pe JOIN ce USING (g) WHERE probe_id <> doc_id
-         GROUP BY probe_id, doc_id HAVING count(*) >= 2
-         ORDER BY probe_id, doc_id""",
-
-    // the q_contamination chain folded per doc and left-joined back onto
-    // the whole corpus: dropped = flagged at all, audit counts carried
-    "q_decontaminate" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pe AS (
-           SELECT doc_id AS probe_id, unnest(s) AS g FROM sh WHERE doc_id < 20
-         ), ce AS (
-           SELECT doc_id, unnest(s) AS g FROM sh
-         ), hits AS (
-           SELECT probe_id, doc_id, count(*) AS n_shared
-           FROM pe JOIN ce USING (g) WHERE probe_id <> doc_id
-           GROUP BY probe_id, doc_id HAVING count(*) >= 2
-         ), flagged AS (
-           SELECT doc_id, CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes_hit,
-             CAST(max(n_shared) AS BIGINT) AS max_shared
-           FROM hits GROUP BY doc_id
-         )
-         SELECT d.doc_id, f.doc_id IS NOT NULL AS dropped,
-           coalesce(f.n_probes_hit, 0) AS n_probes_hit,
-           coalesce(f.max_shared, 0) AS max_shared
-         FROM documents d LEFT JOIN flagged f USING (doc_id)
-         ORDER BY d.doc_id""",
-
-    // the composed pipeline replayed as one recursive CTE: quality gate
-    // (same 4dp-rounded ratios as q_quality), exact-dedup keeper set,
-    // jaccard pairs + min-label closure (as q_dedup_clusters), then split
-    // arithmetic (as q_split) and chunk windows (as q_chunks) over the
-    // survivors
-    "q_pipeline" ->
-      """WITH RECURSIVE q AS (
-           SELECT doc_id, text FROM (
-             SELECT doc_id, text,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-               CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                 round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                   / length(text), 4) END AS alpha_ratio
-             FROM documents) t
-           WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
-         ), keep1 AS (
-           SELECT min(doc_id) AS doc_id FROM q
-           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-         ), d2 AS (
-           SELECT q.doc_id, q.text FROM q JOIN keep1 USING (doc_id)
-         ), toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM d2
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pairs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM d2
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), canon AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
-         ), surv AS (
-           SELECT d2.doc_id, d2.text FROM d2
-           WHERE d2.doc_id IN (SELECT doc_id FROM canon WHERE doc_id = canonical_id)
-         ), tk2 AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM surv
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
-           FROM tk2
-         )
-         SELECT doc_id,
-           CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
-           CAST(cid AS INT) AS chunk_id,
-           CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens,
-           array_to_string(tk[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text
-         FROM (SELECT *,
-                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
-               FROM c) t
-         ORDER BY doc_id, chunk_id""",
-
-    // the composed replay: q_pipeline's curation CTE chain, train-split
-    // filter on the same md5 bucket arithmetic, then q_pack's flat window
-    // cumsum over the surviving chunk rows
-    "q_pipeline_pack" ->
-      """WITH RECURSIVE q AS (
-           SELECT doc_id, text FROM (
-             SELECT doc_id, text,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-               CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                 round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                   / length(text), 4) END AS alpha_ratio
-             FROM documents) t
-           WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
-         ), keep1 AS (
-           SELECT min(doc_id) AS doc_id FROM q
-           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-         ), d2 AS (
-           SELECT q.doc_id, q.text FROM q JOIN keep1 USING (doc_id)
-         ), toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM d2
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pairs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM d2
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), canon AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
-         ), surv AS (
-           SELECT d2.doc_id, d2.text FROM d2
-           WHERE d2.doc_id IN (SELECT doc_id FROM canon WHERE doc_id = canonical_id)
-         ), tk2 AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM surv
-         ), c AS (
-           SELECT doc_id, tk,
-             unnest(range(0, CAST(ceil(greatest(len(tk) - 64, 0) / 48.0) AS INT) + 1)) AS cid
-           FROM tk2
-         ), tr AS (
-           SELECT doc_id, CAST(cid AS INT) AS chunk_id,
-             CAST(len(tk[cid*48 + 1 : cid*48 + 64]) AS BIGINT) AS n_chunk_tokens
-           FROM (SELECT *,
-                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
-                 FROM c) t
-           WHERE b < 8000
-         ), o AS (
-           SELECT doc_id, chunk_id, n_chunk_tokens,
-             coalesce(CAST(sum(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS global_offset
-           FROM tr
-         )
-         SELECT doc_id, chunk_id, n_chunk_tokens, global_offset,
-           CAST(global_offset // 256 AS BIGINT) AS seq_id
-         FROM o ORDER BY doc_id, chunk_id""",
-
-    // BM25 replayed exactly: same posting/df/dl/avgdl statistics, the
-    // rational idf odds, the exact-binary-fraction saturation constants
-    // (2.25 / 0.3125 / 0.9375), 6dp fixed-point contributions summed
-    // order-free, 4dp score, row_number tie on doc_id
-    "q_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), pos AS (
-           SELECT doc_id, unnest(tk) AS term FROM toks
-         ), tfc AS (
-           SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2
-         ), dl AS (
-           SELECT doc_id, count(*) AS dl FROM pos GROUP BY 1
-         ), st AS (
-           SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-           FROM dl
-         ), dfx AS (
-           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
-         ), q AS (
-           SELECT DISTINCT doc_id AS query_id, term FROM tfc WHERE doc_id < 5
-         ), contrib AS (
-           SELECT q.query_id, t.doc_id,
-             CAST(round(
-               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
-               ((CAST(t.tf AS DOUBLE) * 2.25) /
-                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
-                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
-             , 6) AS DECIMAL(18,6)) AS c
-           FROM tfc t
-           JOIN q ON t.term = q.term
-           JOIN dfx ON t.term = dfx.term
-           JOIN dl ON t.doc_id = dl.doc_id
-           WHERE t.doc_id <> q.query_id
-         ), scored AS (
-           SELECT query_id, doc_id,
-             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
-           FROM contrib GROUP BY 1, 2
-         ), ranked AS (
-           SELECT query_id, doc_id, bm25,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY bm25 DESC, doc_id) AS rk
-           FROM scored
-         )
-         SELECT query_id, doc_id, bm25, CAST(rk AS INT) AS rank
-         FROM ranked WHERE rk <= 10
-         ORDER BY query_id, rank""",
-
-    // RM3 feedback replayed: the q_bm25 chain as pass 1, top-5 docs per
-    // query become the feedback set, expansion terms = top-10 NEW terms
-    // by the uniform-prior relevance model (order-free DECIMAL sums of
-    // round(tf/dl, 6), weight desc / term asc), pass 2 re-scores the
-    // same pinned saturation with w = 1.0 originals + 0.5 expansions
-    // multiplied INSIDE the 6dp round — the engine's exact chain
-    "q_bm25_prf" ->
-      """WITH toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM documents
-         ), pos AS (
-           SELECT doc_id, unnest(tk) AS term FROM toks
-         ), tfc AS (
-           SELECT doc_id, term, count(*) AS tf FROM pos GROUP BY 1, 2
-         ), dl AS (
-           SELECT doc_id, count(*) AS dl FROM pos GROUP BY 1
-         ), st AS (
-           SELECT CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-           FROM dl
-         ), dfx AS (
-           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1
-         ), q AS (
-           SELECT DISTINCT doc_id AS query_id, term FROM tfc WHERE doc_id < 5
-         ), contrib1 AS (
-           SELECT q.query_id, t.doc_id,
-             CAST(round(
-               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
-               ((CAST(t.tf AS DOUBLE) * 2.25) /
-                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
-                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
-             , 6) AS DECIMAL(18,6)) AS c
-           FROM tfc t
-           JOIN q ON t.term = q.term
-           JOIN dfx ON t.term = dfx.term
-           JOIN dl ON t.doc_id = dl.doc_id
-           WHERE t.doc_id <> q.query_id
-         ), scored1 AS (
-           SELECT query_id, doc_id,
-             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
-           FROM contrib1 GROUP BY 1, 2
-         ), fb AS (
-           SELECT query_id, doc_id FROM (
-             SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
-               ORDER BY bm25 DESC, doc_id) AS rk
-             FROM scored1) WHERE rk <= 5
-         ), rm AS (
-           SELECT fb.query_id, t.term,
-             sum(CAST(round(CAST(t.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE), 6)
-               AS DECIMAL(18,6))) AS w
-           FROM fb
-           JOIN tfc t ON t.doc_id = fb.doc_id
-           JOIN dl ON dl.doc_id = fb.doc_id
-           GROUP BY 1, 2
-         ), rmx AS (
-           SELECT rm.query_id, rm.term, rm.w FROM rm
-           WHERE NOT EXISTS (SELECT 1 FROM q
-             WHERE q.query_id = rm.query_id AND q.term = rm.term)
-         ), expn AS (
-           SELECT query_id, term FROM (
-             SELECT query_id, term, row_number() OVER (PARTITION BY query_id
-               ORDER BY w DESC, term) AS rk
-             FROM rmx) WHERE rk <= 10
-         ), q2 AS (
-           SELECT query_id, term, CAST(1.0 AS DOUBLE) AS w FROM q
-           UNION ALL
-           SELECT query_id, term, CAST(0.5 AS DOUBLE) AS w FROM expn
-         ), contrib2 AS (
-           SELECT q2.query_id, t.doc_id,
-             CAST(round(
-               ((((SELECT n FROM st) - dfx.df) + 0.5) / (dfx.df + 0.5)) *
-               ((CAST(t.tf AS DOUBLE) * 2.25) /
-                (CAST(t.tf AS DOUBLE) + (0.3125 + 0.9375 *
-                  (CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM st)))))
-               * q2.w
-             , 6) AS DECIMAL(18,6)) AS c
-           FROM tfc t
-           JOIN q2 ON t.term = q2.term
-           JOIN dfx ON t.term = dfx.term
-           JOIN dl ON t.doc_id = dl.doc_id
-           WHERE t.doc_id <> q2.query_id
-         ), scored2 AS (
-           SELECT query_id, doc_id,
-             round(CAST(sum(c) AS DOUBLE), 4) AS bm25
-           FROM contrib2 GROUP BY 1, 2
-         ), ranked AS (
-           SELECT query_id, doc_id, bm25,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY bm25 DESC, doc_id) AS rk
-           FROM scored2
-         )
-         SELECT query_id, doc_id, bm25, CAST(rk AS INT) AS rank
-         FROM ranked WHERE rk <= 10
-         ORDER BY query_id, rank""",
-
-    // the q_pipeline_pack curation chain at doc granularity, train
-    // split kept, folded into the q_publish_shards manifest tail
-    "q_pipeline_publish" ->
-      """WITH RECURSIVE q AS (
-           SELECT doc_id, text FROM (
-             SELECT doc_id, text,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-               CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                 round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                   / length(text), 4) END AS alpha_ratio
-             FROM documents) t
-           WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
-         ), keep1 AS (
-           SELECT min(doc_id) AS doc_id FROM q
-           GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-         ), d2 AS (
-           SELECT q.doc_id, q.text FROM q JOIN keep1 USING (doc_id)
-         ), toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
-           FROM d2
-         ), sh AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), pairs AS (
-           SELECT doc_id_a, doc_id_b FROM (
-             SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
-             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-           WHERE jaccard >= 0.8
-         ), edges AS (
-           SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-           UNION ALL SELECT doc_id_b, doc_id_a FROM pairs
-         ), reach(id, lbl) AS (
-           SELECT doc_id, doc_id FROM d2
-           UNION
-           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         ), canon AS (
-           SELECT id AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY id
-         ), surv AS (
-           SELECT d2.doc_id, d2.text FROM d2
-           WHERE d2.doc_id IN (SELECT doc_id FROM canon WHERE doc_id = canonical_id)
-         ), tr AS (
-           SELECT doc_id, text FROM (
-             SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
-             FROM surv) t
-           WHERE b < 8000
-         ), t2 AS (
-           SELECT doc_id, text,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
-           FROM tr
-         ), tot AS (
-           SELECT sum(n_tokens) AS total FROM t2
-         ), c2 AS (
-           SELECT doc_id, text, n_tokens,
-             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
-           FROM t2
-         ), a AS (
-           SELECT doc_id, text, n_tokens,
-             CAST(least(cum // ((total + 7) // 8), 7) AS INT) AS shard_id
-           FROM c2, tot
-         )
-         SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-           bit_xor(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS digest
-         FROM a GROUP BY shard_id ORDER BY shard_id""",
-
-    // sign-LSH replayed via SERIALIZED hyperplanes: the ±1 plane matrix is
-    // data-independent (SignLshBuckets.planeSigns — the exact XXH64 sign
-    // chain the codegen'd expression uses), so each (table, bit) plane
-    // ships as a 64-char '+'/'-' literal. Projections use a list_reduce
-    // LEFT FOLD, matching the expression's sequential double accumulation
-    // bit-for-bit; buckets join on (table, bucket) — Spark's
-    // xxhash64(bucket, table) join key is a pure re-keying of the same
-    // collision set. dim=64 is the embeddings-table vector width.
-    "q_embed_lsh_neardup" -> {
-      val vals = graft.functions.SignLshBuckets.planeSigns(8, 8, 64)
-        .map { case (t, k, pl) => s"($t, $k, '$pl')" }
-        .mkString(",\n           ")
-      s"""WITH planes(t, k, pl) AS (
-           VALUES $vals
-         ), e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-         ), proj AS (
-           SELECT vec_id, t, k,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(range(1, len(emb) + 1),
-                 d -> CASE WHEN substr(pl, CAST(d AS INT), 1) = '+' THEN emb[d] ELSE -emb[d] END)),
-               (acc, x) -> acc + x) AS p
-           FROM e CROSS JOIN planes
-         ), buckets AS (
-           SELECT vec_id, t,
-             CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY vec_id, t
-         ), cand AS (
-           SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-           FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-         )
-         SELECT vec_id_a, vec_id_b,
-           round(list_cosine_similarity(x.emb, y.emb), 4) AS cos_sim
-         FROM cand JOIN e x ON x.vec_id = vec_id_a JOIN e y ON y.vec_id = vec_id_b
-         WHERE cos_sim >= 0.3
-         ORDER BY vec_id_a, vec_id_b"""
-    },
-  )
-
-  /** q_langid Scala-side marker lists and SQL must agree; keep both derived
-    * from [[TextAnalysis.langMarkers]].
-    */
-
-  /** Shared oracle CTE chain replaying the portable LSH candidate path
-    * (Dedup.minHashNearDupPortable): toks → shingle sets → md5 a/b halves →
-    * wide signatures → band buckets → distinct collision pairs → `est`
-    * (doc_id_a, doc_id_b, est_jaccard). Callers append their own final
-    * SELECT over `est`.
-    */
-  /** The exact iterative k-means replay (Similarity.trainCodebook) as
-    * chained CTEs: ev (DOUBLE[] embeddings), qv (2^20 fixed-point
-    * components), cents0 (k lowest-id init), then per iteration j the
-    * assignment a{j}, fixed-point means m{j}, and cents{j+1}. Shared by
-    * q_kmeans (reads cents{iters} + a{iters-1}) and q_semantic_dedup
-    * (assigns against cents{iters}).
-    */
-  private def kmeansCtes(k: Int, iters: Int): String = {
-    val q = 1L << 20
-    val head = s"""ev AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings
-         ), qv AS (
-           SELECT vec_id, pos, floor(d[pos] * $q + 0.5) AS qq
-           FROM (SELECT vec_id, d, unnest(range(1, len(d) + 1)) AS pos FROM ev) t
-         ), cents0 AS (
-           SELECT vec_id AS c, d AS e FROM ev ORDER BY vec_id LIMIT $k
-         )"""
-    val steps = (0 until iters).map { j =>
-      s"""a$j AS (
-           SELECT vec_id, c FROM (
-             SELECT e.vec_id, c.c,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.d, c.e), 6) DESC, c.c) AS rn
-             FROM ev e CROSS JOIN cents$j c) t WHERE rn = 1
-         ), m$j AS (
-           SELECT a.c, qv.pos,
-             CAST(CAST(CAST(sum(qv.qq) AS DOUBLE) / (count(*) * $q.0) AS FLOAT) AS DOUBLE) AS mv,
-             count(*) AS cnt
-           FROM a$j a JOIN qv ON a.vec_id = qv.vec_id
-           GROUP BY a.c, qv.pos
-         ), cents${j + 1} AS (
-           SELECT p.c, CASE WHEN n.e IS NULL THEN p.e ELSE n.e END AS e
-           FROM cents$j p LEFT JOIN (
-             SELECT c, list(mv ORDER BY pos) AS e FROM m$j GROUP BY c) n ON p.c = n.c
-         )"""
-    }.mkString(",\n         ")
-    s"$head,\n         $steps"
-  }
-
-  /** DuckDB replay of [[graft.operators.Pq.pqCodebooksTrained]]: sv
-    * (inlined subvectors), qsv (2^20 fixed-point components), cb0 (the
-    * pseudo init), then per iteration j the per-(vec,subspace)
-    * assignment a{j}, fixed-point means m{j}, and cb{j+1}. The caller's
-    * chain reads cb{iters}. Pinned constants mirror the Spark side:
-    * m=4, ksub=16, sub=16, Q=2^20.
-    */
-  private def pqTrainCtes(iters: Int): String = {
-    val q = 1L << 20
-    val head = s"""ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         ss AS (SELECT unnest(range(0, 4)) AS subspace),
-         sv AS (
-           SELECT vec_id, subspace, e[subspace*16 + 1 : subspace*16 + 16] AS sub
-           FROM ec CROSS JOIN ss),
-         qsv AS (
-           SELECT vec_id, subspace, pos, floor(sub[pos] * $q + 0.5) AS qq
-           FROM (SELECT vec_id, subspace, sub, unnest(range(1, 17)) AS pos FROM sv) t),
-         cb0 AS (SELECT subspace, vec_id AS centroid_id, sub AS c_sub
-                 FROM sv WHERE vec_id < 16)"""
-    val steps = (0 until iters).map { j =>
-      s"""a$j AS (
-           SELECT vec_id, subspace, centroid_id AS code FROM (
-             SELECT v.vec_id, v.subspace, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id, v.subspace ORDER BY
-                 round(list_sum(list_transform(range(1, 17), i -> v.sub[i] * v.sub[i]))
-                   - 2 * list_sum(list_transform(range(1, 17), i -> v.sub[i] * c.c_sub[i]))
-                   + list_sum(list_transform(range(1, 17), i -> c.c_sub[i] * c.c_sub[i])), 6) ASC,
-                 c.centroid_id ASC) AS rn
-             FROM sv v JOIN cb$j c USING (subspace)) WHERE rn = 1),
-         m$j AS (
-           SELECT a.subspace, a.code, q.pos,
-             CAST(CAST(CAST(sum(q.qq) AS DOUBLE) / (count(*) * $q.0) AS FLOAT) AS DOUBLE) AS mv
-           FROM a$j a JOIN qsv q ON a.vec_id = q.vec_id AND a.subspace = q.subspace
-           GROUP BY a.subspace, a.code, q.pos),
-         cb${j + 1} AS (
-           SELECT p.subspace, p.centroid_id,
-             CASE WHEN n.e IS NULL THEN p.c_sub ELSE n.e END AS c_sub
-           FROM cb$j p LEFT JOIN (
-             SELECT subspace, code, list(mv ORDER BY pos) AS e
-             FROM m$j GROUP BY subspace, code) n
-           ON p.subspace = n.subspace AND p.centroid_id = n.code)"""
-    }.mkString(",\n         ")
-    s"$head,\n         $steps"
-  }
-
-  /** DuckDB replay of [[graft.operators.Classifier.linearProbe]]'s FULL
-    * training loop: presence features (md5 bucket hash + bias `dim`),
-    * all-zero integer weights w0, then per gradient step j the integer
-    * doc scores z{j}, residuals r{j}, per-feature gradients g{j}, and
-    * the float-collapsed update w{j+1}. Every sum is integer (exact,
-    * order-free); the only double arithmetic is the identical
-    * floor(lr2·g/F + 0.5) expression per feature per step (F = total
-    * presence rows — the step normalizer that keeps GD stable across
-    * corpus shapes). The caller's chain reads zf (scores under
-    * w{iters}) and y.
-    */
-  private def clfCtes(dim: Int, iters: Int, lr2: String): String = {
-    val q = 1L << 20
-    val head = s"""toks AS (
-           SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok
-           FROM documents
-         ), feats AS (
-           SELECT DISTINCT doc_id,
-             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $dim AS feat
-           FROM toks
-           UNION ALL SELECT doc_id, $dim AS feat FROM documents
-         ), y AS (
-           SELECT doc_id,
-             CASE WHEN text LIKE '%vector%' THEN CAST(1 AS BIGINT) ELSE 0 END AS y
-           FROM documents
-         ), nn AS (SELECT count(*) AS n FROM feats),
-         w0 AS (SELECT CAST(unnest(range(${dim + 1})) AS BIGINT) AS feat,
-                  CAST(0 AS BIGINT) AS qw)"""
-    val steps = (0 until iters).map { j =>
-      s"""z$j AS (
-           SELECT f.doc_id, sum(w.qw) AS z
-           FROM feats f JOIN w$j w USING (feat) GROUP BY 1
-         ), r$j AS (
-           SELECT y.doc_id, coalesce(z.z, 0) - $q * y.y AS r
-           FROM y LEFT JOIN z$j z USING (doc_id)
-         ), g$j AS (
-           SELECT f.feat, sum(r.r) AS g
-           FROM feats f JOIN r$j r USING (doc_id) GROUP BY 1
-         ), w${j + 1} AS (
-           SELECT w.feat,
-             w.qw - CAST(floor($lr2 * CAST(coalesce(g.g, 0) AS DOUBLE) / n.n + 0.5) AS BIGINT) AS qw
-           FROM w$j w LEFT JOIN g$j g USING (feat) CROSS JOIN nn n
-         )"""
-    }.mkString(",\n         ")
-    val tail = s"""zf AS (
-           SELECT f.doc_id, sum(w.qw) AS z
-           FROM feats f JOIN w$iters w USING (feat) GROUP BY 1
-         )"""
-    s"$head,\n         $steps,\n         $tail"
-  }
-
-  /** `docWhere` restricts the corpus the signature/band chain runs over
-    * (e.g. a tombstone takedown's survivors) — empty means all docs; the
-    * default emits byte-identical SQL to the historical unfiltered form,
-    * so existing oracle hashes are untouched.
-    */
-  private def lshCandidateCtes(n: Int, bands: Int,
-      docWhere: String = ""): String = {
-    val rows = n / bands
-    val scols = (0 until n)
-      .map(p => s"CAST(min(a + $p * b) AS BIGINT) AS s$p")
-      .mkString(",\n           ")
-    val bsel = (0 until bands).map { b =>
-      val vals = (b * rows until (b + 1) * rows)
-        .map(i => s"CAST(s$i AS VARCHAR)").mkString(", ")
-      s"SELECT doc_id, md5(concat_ws('_', '$b', $vals)) AS bucket FROM sig"
-    }.mkString("\n           UNION ALL ")
-    val mexpr = (0 until n)
-      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""toks AS (
-           SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
-           FROM documents$docWhere
-         ), shs AS (
-           SELECT doc_id,
-             CASE WHEN len(tk) >= 3 THEN
-               list_distinct(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')))
-             ELSE [array_to_string(tk, ' ')] END AS s
-           FROM toks
-         ), e AS (
-           SELECT doc_id, unnest(s) AS sh FROM shs
-         ), ab AS (
-           SELECT doc_id,
-             CAST(concat('0x', substr(md5(sh), 1, 14)) AS BIGINT) AS a,
-             CAST(concat('0x', substr(md5(sh), 17, 14)) AS BIGINT) AS b
-           FROM e
-         ), sig AS (
-           SELECT doc_id, $scols
-           FROM ab GROUP BY doc_id
-         ), banded AS (
-           $bsel
-         ), cand AS (
-           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-           FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         ), est AS (
-           SELECT doc_id_a, doc_id_b,
-             round(($mexpr) / $n.0, 4) AS est_jaccard
-           FROM cand JOIN sig x ON x.doc_id = cand.doc_id_a JOIN sig y ON y.doc_id = cand.doc_id_b
-         )"""
-  }
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    merged(Seq(QueriesPart1.m, QueriesPart2.m, QueriesPart3.m,
+      QueriesPart4.m), "query")
+
+  def oracleSql: Map[String, String] =
+    merged(Seq(OraclesPart1.m, OraclesPart2.m, OraclesPart3.m,
+      OraclesPart4.m), "oracle")
 }
