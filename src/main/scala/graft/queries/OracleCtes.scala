@@ -189,9 +189,21 @@ private[graft] object OracleCtes {
     * historical unfiltered form.
     */
   def ivfPqChainSql(storeWhere: String = "",
-      ecWhere: String = ""): String =
-    s"""WITH ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings$ecWhere),
-         c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32),
+      ecWhere: String = "",
+      trainedK: Option[(Int, Int)] = None): String = {
+    // trainedK = Some((k, iters)) swaps the pseudo centroid draw for the
+    // q_kmeans-proven fixed-point k-means chain (cents$iters) — the
+    // trained-retrain replay; the default emits byte-identical SQL to
+    // the historical pseudo form
+    val (trainPrefix, centroidCte) = trainedK match {
+      case None =>
+        ("", "c AS (SELECT vec_id AS centroid_id, e FROM ec WHERE vec_id < 32)")
+      case Some((k, iters)) =>
+        (kmeansCtes(k, iters) + ",\n         ",
+          s"c AS (SELECT c AS centroid_id, e FROM cents$iters)")
+    }
+    s"""WITH ${trainPrefix}ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings$ecWhere),
+         $centroidCte,
          ca AS (
            SELECT vec_id, centroid_id FROM (
              SELECT x.vec_id, c.centroid_id,
@@ -247,6 +259,7 @@ private[graft] object OracleCtes {
            JOIN ec v ON v.vec_id = s.vec_id
            JOIN ec q ON q.vec_id = s.query_id) t
          WHERE rank <= 3 ORDER BY query_id, rank"""
+  }
 
   /** Shared PCA replay prefix: quantized components, exact integer
     * moment/Gram sums, 9dp covariance, and the fixed-8-round power

@@ -915,6 +915,12 @@ private[graft] object OraclesPart3 {
     // vectors, unlike q_forget_ivf's corpus-wide frozen books
     "q_ivf_retrain" -> ivfPqChainSql(ecWhere = " WHERE vec_id % 7 <> 3"),
 
+    // trained retrain: the k-means chain (q_kmeans arithmetic at k=32,
+    // 2 iterations) feeding the IVFADC probe replay — codebook
+    // training, encoding, partition-pruned ADC, and exact re-rank as
+    // ONE cross-engine statement
+    "q_ivf_retrain_trained" -> ivfPqChainSql(trainedK = Some((32, 2))),
+
     // filtered-search replay: the same restricted chain with the
     // predicate as the code-side filter — pre-ADC filtering must equal
     // the unfiltered algorithm on the allowed sub-corpus

@@ -305,6 +305,22 @@ private[graft] object QueriesPart3 {
         .orderBy("query_id", "rank")
     }),
 
+    // the TRAINED retrain, oracle-gated end-to-end: retrainIvfPq with
+    // trainIters=2 replaces the pseudo books with the q_kmeans-proven
+    // fixed-point k-means chain over the store's members, re-encodes,
+    // swaps — and the DuckDB oracle replays k-means INTO the full
+    // IVFADC probe chain (kmeansCtes composed with ivfPqChainSql)
+    "q_ivf_retrain_trained" -> ((s, dir) => withTempStore("ivfretraintr") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.retrainIvfPq(s, emb, idx, trainIters = 2)
+      Similarity.ivfPqTopK(s, idx, emb.filter(col("vec_id") < 5), emb,
+          k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // intra-doc twin: exact boundaries of >=8-token substrings repeated
     // WITHIN a document. The synthetic corpus has no natural self-
     // repetition at any k (checked), so the gate plants one
