@@ -239,7 +239,15 @@ object Bench {
           // array) print as JVM identity hashes — per-run noise
           .replaceAll("@[0-9a-fA-F]{1,16}\\b", "@")
           .replaceAll("\\s+", " ")
-        val l = qe.analyzed.canonicalized.toString
+        // the ANALYZED plan, NOT canonicalized: canonicalization reorders
+        // commutative-op operands by child hashCode (MultiCommutativeOp),
+        // and that order is bistable across JVM runs of identical code —
+        // reproduced r19 with string dumps: the bm25 family's lfp flipped
+        // between exactly two operand permutations across three
+        // same-commit full-suite records (tools/fp-flap-rootcause.md).
+        // The analyzed string keeps source operand order (deterministic
+        // from code); exprIds are normalized by the regex instead.
+        val l = qe.analyzed.toString
           .replaceAll("#\\d+", "#")
           // store-lifecycle queries read per-run temp directories
           .replaceAll("file:[^\\s,\\]\\)]*", "file:")

@@ -776,7 +776,8 @@ object Streaming {
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
       autoCompactThreshold: Option[Int] = None,
-      dedupeIds: Boolean = false): Unit = {
+      dedupeIds: Boolean = false,
+      generational: Boolean = false): Unit = {
     autoCompactThreshold.foreach(t => require(t >= 1,
       "autoCompactThreshold must be >= 1 file per centroid"))
     shardedStoreIngest(spark, embDir, indexDir,
@@ -787,6 +788,12 @@ object Streaming {
     } { fs =>
       val files = maxFilesPerCentroid(fs, indexDir)
       autoCompactThreshold match {
+        // generational: flip a _current pointer instead of renaming the
+        // live dirs — serving probes racing the swap stay correct
+        // ([[graft.operators.StoreUpkeep.compactNewGeneration]])
+        case Some(thr) if files > thr && generational =>
+          graft.operators.StoreUpkeep.compactNewGeneration(spark, indexDir,
+            graft.operators.StoreUpkeep.IvfPqKind)
         case Some(thr) if files > thr =>
           compactInPlace(spark, fs, indexDir)
         case None if files > compactionWatermark =>
@@ -825,8 +832,14 @@ object Streaming {
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(inDir)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val metaPath = new org.apache.hadoop.fs.Path(storeDir + "_meta")
-    val fs = metaPath.getFileSystem(hconf)
+    val fs = new org.apache.hadoop.fs.Path(storeDir + "_meta")
+      .getFileSystem(hconf)
+    // cold detection resolves the generation pointer PER BATCH: after
+    // two generational auto-compactions the plain (gen-0) directories
+    // are reclaimed, and an unresolved existence probe would misread
+    // the store as cold and overwrite the serving generation
+    def storeExists(): Boolean = fs.exists(new org.apache.hadoop.fs.Path(
+      graft.operators.StoreGen.resolve(storeDir) + "_meta"))
     val commitPath = checkpointDir.map(d =>
       new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
     val writer0 = stream.writeStream
@@ -835,7 +848,7 @@ object Streaming {
           IngestCommitLog.lastCommitted(p.getFileSystem(hconf), p) >= batchId)
         if (!replayed) {
           val b = batch.toDF().localCheckpoint(true)
-          try body(b, !fs.exists(metaPath))
+          try body(b, !storeExists())
           finally graft.operators.Lineage.release(b)
           commitPath.foreach(p =>
             IngestCommitLog.commit(p.getFileSystem(hconf), p, batchId))
@@ -912,7 +925,8 @@ object Streaming {
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
       dedupeIds: Boolean = false,
-      autoCompactThreshold: Option[Int] = None): Unit =
+      autoCompactThreshold: Option[Int] = None,
+      generational: Boolean = false): Unit =
     shardedStoreIngest(spark, docsDir, storeDir,
         maxFilesPerTrigger, checkpointDir) { (b, cold) =>
       if (cold)
@@ -925,6 +939,9 @@ object Streaming {
       // visible (warn) or handled (auto-compact), never silent
       val files = maxFilesPerShard(fs, storeDir)
       autoCompactThreshold match {
+        case Some(thr) if files > thr && generational =>
+          graft.operators.StoreUpkeep.compactNewGeneration(spark, storeDir,
+            graft.operators.StoreUpkeep.LshKind)
         case Some(thr) if files > thr =>
           compactLshInPlace(spark, fs, storeDir)
         case None if files > compactionWatermark =>
@@ -957,7 +974,8 @@ object Streaming {
       maxFilesPerTrigger: Option[Int] = None,
       checkpointDir: Option[String] = None,
       autoCompactThreshold: Option[Int] = None,
-      withBloom: Boolean = false): Unit =
+      withBloom: Boolean = false,
+      generational: Boolean = false): Unit =
     shardedStoreIngest(spark, docsDir, storeDir,
         maxFilesPerTrigger, checkpointDir) { (b, cold) =>
       // withBloom: the cold build fuses the Bloom admission sidecar in;
@@ -969,6 +987,9 @@ object Streaming {
     } { fs =>
       val files = maxFilesPerShard(fs, storeDir)
       autoCompactThreshold match {
+        case Some(thr) if files > thr && generational =>
+          graft.operators.StoreUpkeep.compactNewGeneration(spark, storeDir,
+            graft.operators.StoreUpkeep.SpanKind)
         case Some(thr) if files > thr =>
           graft.operators.StoreUpkeep.compactInPlace(spark, storeDir,
             graft.operators.StoreUpkeep.SpanKind)
@@ -1167,7 +1188,8 @@ object Streaming {
   private[graft] def maxFilesPerCentroid(
       fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String): Int =
-    graft.operators.StoreUpkeep.maxPartitionFiles(fs, indexDir, "centroid_id=")
+    graft.operators.StoreUpkeep.maxPartitionFiles(fs,
+      graft.operators.StoreGen.resolve(indexDir), "centroid_id=")
 
   /** Rewrite + swap the code table under its live name — the swap
     * protocol now lives in [[graft.operators.StoreUpkeep]] (one
@@ -1187,7 +1209,8 @@ object Streaming {
   private[graft] def maxFilesPerShard(
       fs: org.apache.hadoop.fs.FileSystem,
       storeDir: String): Int =
-    graft.operators.StoreUpkeep.maxPartitionFiles(fs, storeDir, "shard=")
+    graft.operators.StoreUpkeep.maxPartitionFiles(fs,
+      graft.operators.StoreGen.resolve(storeDir), "shard=")
 
   /** [[compactInPlace]] for the three-directory LSH store — delegated
     * to the [[graft.operators.StoreUpkeep]] swap protocol. A crash

@@ -332,6 +332,31 @@ class StreamingSpec extends AnyFunSuite {
       "compaction swap orphaned the staging sidecar")
     assert(probed(bstore) == cold,
       "bloom-path probe over the streamed store must equal cold")
+    // generational twin: auto-compaction writes generation N+1 and
+    // flips the _current pointer instead of renaming live directories
+    // (always-on serving) — every store read resolves the pointer, so
+    // the probe surface is unchanged and still equals the cold build
+    val gstore = tmpDir("stream-span-gen").toString + "/store"
+    Streaming.streamingSpanIngest(spark, docsDir.toString, gstore,
+      minTokens = 16, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(tmpDir("stream-span-gen-ckpt").toString),
+      autoCompactThreshold = Some(1), generational = true)
+    assert(graft.operators.StoreGen.generation(gstore) >= 1L,
+      "generational auto-compaction must have flipped the pointer")
+    assert(probed(gstore) == cold,
+      "generational streamed store must serve the cold answer")
+    // replay against the flipped store: cold-detection resolves the
+    // pointer, so the fence sees an existing store and appends nothing
+    val grows = spark.read.parquet(
+      graft.operators.StoreGen.resolve(gstore)).count()
+    Streaming.streamingSpanIngest(spark, docsDir.toString, gstore,
+      minTokens = 16, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(tmpDir("stream-span-gen-ckpt2").toString),
+      autoCompactThreshold = Some(1), generational = true)
+    assert(spark.read.parquet(
+        graft.operators.StoreGen.resolve(gstore)).count() >= grows,
+      "re-streamed generational store must not cold-overwrite")
+    assert(probed(gstore) == cold)
     graft.operators.CacheRegistry.release(spark)
   }
 
