@@ -249,6 +249,11 @@ object Bench {
         // from code); exprIds are normalized by the regex instead.
         val l = qe.analyzed.toString
           .replaceAll("#\\d+", "#")
+          // lambda variables are gensym'd from a session-global counter
+          // at analysis time (x_235 vs x_237 for the same code depending
+          // on how many lambdas the session analyzed before) — normalize
+          // like exprIds, or higher-order-function queries flap per run
+          .replaceAll("\\bx_\\d+", "x_")
           // store-lifecycle queries read per-run temp directories
           .replaceAll("file:[^\\s,\\]\\)]*", "file:")
           .replaceAll("/tmp/[^\\s,\\]\\)]*", "/tmp/")
