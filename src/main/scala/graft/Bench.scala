@@ -262,8 +262,12 @@ object Bench {
           // repartition width, so the same code fingerprints apart
           // across core counts (r18: the bm25 family's lfp excursion) —
           // the gate hunts CODE-driven plan changes; the width is conf
-          // telemetry the physical fp still carries
-          .replaceAll("(Repartition(?:ByExpression)?[^,+]*), \\d+", "$1, ")
+          // telemetry the physical fp still carries. Two shapes: the
+          // bracketed expression list (which may itself contain commas
+          // — a multi-column RepartitionByExpression; advisor r19) and
+          // the bare single-expression/numeric forms
+          .replaceAll("(RepartitionByExpression \\[[^\\]]*\\]), \\d+", "$1, ")
+          .replaceAll("(Repartition(?:ByExpression)?[^,+\\[]*), \\d+", "$1, ")
           .replaceAll("\\s+", " ")
         dumpTo.foreach { p =>
           java.nio.file.Files.write(

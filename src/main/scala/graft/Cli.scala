@@ -261,10 +261,16 @@ object Cli {
           |          embedoutliers: [-k N] [-iters N] [-min-cos X];
           |          ivfpq/ivfpqrecall: [-index dir (reuse a written index)] [-nprobe N]
           |            (ivfpq: [-where 'sql predicate'] = filtered search);
-          |          ivfpqappend: -in <new-batch embeddings> -index dir;
+          |          ivfpqappend: -in <new-batch embeddings> -index dir
+          |            [-auto-compact-files N] [-generational true];
           |          ivfpqcompact: -index dir -dest dir [-files N];
           |          lshbuild: -in documents -index dir [-hashes N] [-bands N] [-shingle N] [-shards N];
-          |          lshappend: -in <new-batch documents> -index dir [-dedupe-ids true];
+          |          lshappend: -in <new-batch documents> -index dir [-dedupe-ids true]
+          |            [-auto-compact-files N] [-generational true]
+          |            (auto-compact-files: post-append StoreUpkeep at that
+          |             threshold; generational: swap via the _current pointer
+          |             flip — always-on serving — instead of in-place renames;
+          |             spanappend takes the same two flags);
           |          lshprobe: -in <new-batch documents> -index dir [-threshold X];
           |          lshdedup: -in <new-batch documents> -index dir [-threshold X]
           |            (drop near-dups of store or smaller-id batch docs, append survivors);
@@ -281,7 +287,9 @@ object Cli {
           |             column is absent and no -id-col names one);
           |          upkeep: -store span|lsh|ivfpq -index dir [-max-files N]
           |            [-max-sidecar-files N] [-apply-tombstones true]
-          |            (store health + threshold-triggered in-place compaction);
+          |            [-generational true] (store health + threshold-triggered
+          |             compaction: in-place renames, or the _current pointer
+          |             flip with -generational);
           |          qualityclf: [-label-col c] [-label-val v] [-dim N] [-iters N] [-lr2 X];
           |          auc/avgprec/calibrate/brier: -in <scored parquet> [-score-expr e]
           |            [-label-expr e] (auc/avgprec: [-by cols] [-quant-scale X];
@@ -299,8 +307,11 @@ object Cli {
           |          pubforget: -in <ids parquet> -dest <dir> [-files N] (rewrite
           |            only the shards holding those doc_ids; others byte-stable);
           |          ivfretrain: -in <corpus embeddings> -index dir [-train-iters N]
-          |            (retrain codebooks from the store's surviving members and
-          |             swap; N>0 = k-means-trained books, 0 = the pseudo draw);
+          |            [-generational true] (retrain codebooks from the store's
+          |             surviving members and swap — in place, or staged as
+          |             generation N+1 behind the pointer flip with
+          |             -generational; N>0 = k-means-trained books, 0 = the
+          |             pseudo draw);
           |          bm25: [-topk N] [-query-max-id N] [-log-idf true|false]
           |            (lexical retrieval, seed docs as queries);
           |          profile: [-cols a,b,...]; samplen: [-group-col c] [-n N];
@@ -860,11 +871,12 @@ object Cli {
         val idx = flags.getOrElse("index",
           fail("corpus -op ivfpqappend requires -index <dir> (an existing ivfpq index)"))
         Similarity.appendIvfPq(spark, docs, idx)
+        maybeUpkeepAfterAppend(spark, flags, idx, StoreUpkeep.IvfPqKind)
         // n_code_rows rides along as the duplication tell (advisor r12):
         // a clean index holds exactly m code rows per vector, so
         // n_code_rows > m·n_vectors means a redelivered batch slipped
         // past the checkpoint — countDistinct alone would hide it
-        spark.read.parquet(idx)
+        spark.read.parquet(operators.StoreGen.resolve(idx, spark))
           .groupBy(col("centroid_id").cast("long").as("centroid_id"))
           .agg(countDistinct(col("vec_id")).as("n_vectors"),
             count(lit(1)).as("n_code_rows"))
@@ -908,9 +920,12 @@ object Cli {
             bands = flags.getOrElse("bands", "4").toInt,
             shingleSize = flags.getOrElse("shingle", "3").toInt,
             nShards = flags.getOrElse("shards", "16").toInt)
-        else LshIndex.append(spark, docs, idx,
-          dedupeIds = flags.get("dedupe-ids").exists(_.toBoolean))
-        spark.read.parquet(idx)
+        else {
+          LshIndex.append(spark, docs, idx,
+            dedupeIds = flags.get("dedupe-ids").exists(_.toBoolean))
+          maybeUpkeepAfterAppend(spark, flags, idx, StoreUpkeep.LshKind)
+        }
+        spark.read.parquet(operators.StoreGen.resolve(idx, spark))
           .groupBy(col("shard").cast("long").as("shard"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
             count(lit(1)).as("n_bucket_rows"))
@@ -988,8 +1003,11 @@ object Cli {
         if (flags.getOrElse("op", "") == "spanbuild")
           SpanStore.write(docs, idx,
             minTokens = flags.getOrElse("min-tokens", "16").toInt)
-        else SpanStore.append(spark, docs, idx)
-        spark.read.parquet(idx)
+        else {
+          SpanStore.append(spark, docs, idx)
+          maybeUpkeepAfterAppend(spark, flags, idx, StoreUpkeep.SpanKind)
+        }
+        spark.read.parquet(operators.StoreGen.resolve(idx, spark))
           .groupBy(col("shard"))
           .agg(countDistinct(col("span_md5")).as("n_prints"),
             count(lit(1)).as("n_rows"))
@@ -1063,7 +1081,8 @@ object Cli {
         val idx = flags.getOrElse("index",
           fail("corpus -op ivfretrain requires -index <dir> (an existing IVFADC index)"))
         Similarity.retrainIvfPq(spark, docs, idx,
-          trainIters = flags.getOrElse("train-iters", "0").toInt)
+          trainIters = flags.getOrElse("train-iters", "0").toInt,
+          generational = flags.get("generational").exists(_.toBoolean))
         upkeepHealthDf(spark, idx, StoreUpkeep.IvfPqKind, compacted = true)
       }
       // bloom sidecar: build the per-shard admission bitsets over an
@@ -1118,9 +1137,11 @@ object Cli {
         }
         upkeepHealthDf(spark, idx, kind, compacted = false)
       }
-      // store small-file health + the threshold-triggered in-place
-      // compaction (StoreUpkeep policy); -apply-tombstones true opts a
-      // governance loop into eager physical takedown
+      // store small-file health + the threshold-triggered compaction
+      // (StoreUpkeep policy); -apply-tombstones true opts a governance
+      // loop into eager physical takedown; -generational true swaps via
+      // the _current pointer flip (always-on serving) instead of the
+      // in-place renames
       case "upkeep" => {
         val idx = flags.getOrElse("index",
           fail("corpus -op upkeep requires -index <dir> (an existing store)"))
@@ -1129,7 +1150,8 @@ object Cli {
           maxPartitionFiles = flags.getOrElse("max-files", "64").toInt,
           maxSidecarFiles = flags.getOrElse("max-sidecar-files", "64").toInt,
           compactOnTombstones =
-            flags.get("apply-tombstones").exists(_.toBoolean))
+            flags.get("apply-tombstones").exists(_.toBoolean),
+          generational = flags.get("generational").exists(_.toBoolean))
         upkeepHealthDf(spark, idx, kind, compacted = did)
       }
       case "spancompact" => {
@@ -1353,6 +1375,24 @@ object Cli {
       case "lsh"   => operators.StoreUpkeep.LshKind
       case "ivfpq" => operators.StoreUpkeep.IvfPqKind
       case other   => fail(s"unknown -store kind: $other (span|lsh|ivfpq)")
+    }
+
+  /** Post-append maintenance for the shell ingest ops (`ivfpqappend`/
+    * `lshappend`/`spanappend`): with `-auto-compact-files N` set, run
+    * the [[operators.StoreUpkeep.maybeCompact]] policy at that
+    * threshold after the append — `-generational true` swaps via the
+    * `_current` pointer flip (always-on serving) instead of the
+    * in-place renames — so a shell ingest loop is self-maintaining the
+    * way the streaming ingests are. Without the flag the append stays
+    * maintenance-free (the pre-r20 behavior).
+    */
+  private def maybeUpkeepAfterAppend(spark: SparkSession,
+      flags: Map[String, String], idx: String,
+      kind: operators.StoreUpkeep.Kind): Unit =
+    flags.get("auto-compact-files").map(_.toInt).foreach { thr =>
+      operators.StoreUpkeep.maybeCompact(spark, idx, kind,
+        maxPartitionFiles = thr, maxSidecarFiles = thr,
+        generational = flags.get("generational").exists(_.toBoolean))
     }
 
   /** One-row store-health frame for the forget/upkeep ops' output. */

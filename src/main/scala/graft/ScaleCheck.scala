@@ -1791,6 +1791,87 @@ object ScaleCheck {
         s"loop-built store serves $got pairs, cold build serves $want")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
     }
+    // The GENERATIONAL twin of the loop above (r19 verdict task 5): the
+    // always-on protocol had only unit-level laws — this drives the same
+    // 250-append ingest through `maybeCompact(generational = true)`, so
+    // every fired compaction is a pointer FLIP instead of an in-place
+    // rename. Gates, at every append: post-upkeep health within the
+    // documented bound, AND at most two generations on disk (serving +
+    // the grace window — the retention contract that bounds storage at
+    // 2× instead of leaking a generation per compaction); at every FIRED
+    // flip: full pair-serving equality across it; at the end: the
+    // loop-built store serves the cold-build answer.
+    time("storeupkeep generational 250-append ingest loop (64-file trigger)") {
+      val sdir = java.nio.file.Files.createTempDirectory("scale-upkeep-gen")
+        .toString
+      val idx = s"$sdir/lsh"
+      val corpus = spark.range(500L).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          transform(sequence(lit(0), lit(24)),
+            j => concat(lit("w"), pmod(col("id"), lit(50L)), lit("x"), j)))
+          .as("text"))
+      operators.LshIndex.write(corpus.filter(col("doc_id") < 2), idx,
+        nShards = 2)
+      def pairCount(): Long = {
+        val n = operators.LshIndex.lshPairs(spark, idx)
+          .queryExecution.toRdd.count()
+        operators.CacheRegistry.release(spark)
+        n
+      }
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val baseName = new org.apache.hadoop.fs.Path(idx).getName
+      def generationsOnDisk(): Seq[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(sdir)).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n == baseName || (n.startsWith(baseName + "_g") &&
+            n.stripPrefix(baseName + "_g").forall(_.isDigit)))
+      var fired = 0
+      for (b <- 1 until 250) {
+        operators.LshIndex.append(spark,
+          corpus.filter(col("doc_id") >= 2L * b && col("doc_id") < 2L * (b + 1)),
+          idx)
+        val h = operators.StoreUpkeep.health(spark, idx,
+          operators.StoreUpkeep.LshKind)
+        if (operators.StoreUpkeep.needsCompaction(h)) {
+          val before = pairCount()
+          require(operators.StoreUpkeep.maybeCompact(spark, idx,
+            operators.StoreUpkeep.LshKind, generational = true),
+            s"policy measured over-threshold but did not fire at append $b")
+          val after = pairCount()
+          require(after == before && before > 0L,
+            s"serving changed across the generation flip at append $b: " +
+              s"$before -> $after pairs")
+          fired += 1
+        }
+        val hPost = operators.StoreUpkeep.health(spark, idx,
+          operators.StoreUpkeep.LshKind)
+        require(hPost.maxPartitionFiles <= 64 && hPost.sidecarFiles <= 64,
+          s"post-upkeep health out of bounds at append $b: $hPost")
+        val gens = generationsOnDisk()
+        require(gens.size <= 2,
+          s"generation retention leaked at append $b: ${gens.sorted}")
+      }
+      val genNow = operators.StoreGen.generation(idx)
+      println(s"[scale] generational upkeep loop: $fired flips fired, " +
+        s"serving generation $genNow, on disk: " +
+        generationsOnDisk().sorted.mkString(", "))
+      require(fired >= 3,
+        s"loop must cross the 64-file trigger >= 3 times, fired $fired")
+      require(genNow == fired.toLong,
+        s"each fired compaction must be exactly one flip: gen $genNow " +
+          s"after $fired")
+      // end-to-end: the loop-built generational store serves the
+      // cold-build answer
+      val cold = s"$sdir/cold"
+      operators.LshIndex.write(corpus, cold, nShards = 2)
+      val want = operators.LshIndex.lshPairs(spark, cold)
+        .queryExecution.toRdd.count()
+      val got = pairCount()
+      require(got == want,
+        s"loop-built store serves $got pairs, cold build serves $want")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sdir))
+    }
     operators.CacheRegistry.release(spark)
     spark.stop()
   }

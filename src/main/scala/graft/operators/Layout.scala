@@ -295,15 +295,47 @@ object Layout {
     */
   def forgetPublished(spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, dir: String,
-      filesPerPartition: Int = 1): DataFrame = {
+      filesPerPartition: Int = 1): DataFrame =
+    forgetPublishedImpl(spark, ids, dir, filesPerPartition, Int.MaxValue)
+
+  /** [[forgetPublished]] with the crash-injection hook (`crashAfterSwaps`
+    * aborts after that many per-shard steps — spec-only). The swap loop
+    * is CRASH-RESUMABLE (r19 verdict task 4): the export is the one
+    * store a downstream loader consumes WHILE it mutates, so a forget
+    * that dies between two shard swaps must not strand a half-forgotten
+    * export recoverable only by hand. Protocol:
+    *
+    *   1. survivors staged under `<dir>_forgetting` (live untouched);
+    *   2. an INTENT file (`_forget_intent.json`: affected shard ids
+    *      split partial/fully-forgotten + the target forget_gen) lands
+    *      in the staging dir — write-temp-then-rename, so it appears
+    *      only complete, and only after the staged data is all there;
+    *   3. the per-shard swap loop, every step idempotent;
+    *   4. the meta sidecar bumps to the recorded forget_gen;
+    *   5. staging (intent included) is deleted.
+    *
+    * A crash before 2 leaves the live export untouched (stale staging
+    * is garbage, cleared at the next attempt). A crash after 2 is
+    * detected by the NEXT forgetPublished call, which re-runs the
+    * idempotent loop to completion — roll FORWARD, never back: some
+    * shards already serve post-forget bytes a loader may have
+    * checksummed — bumps the meta to the intent's recorded generation,
+    * and only then touches the new call's own ids.
+    */
+  private[graft] def forgetPublishedImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, dir: String, filesPerPartition: Int,
+      crashAfterSwaps: Int): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resumePendingForget(spark, dir, fs)
     val meta = StoreMeta.read(dir)
     val forget = broadcast(
       ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct())
     val store = readShards(spark, dir)
     val affected = store.join(forget, Seq("doc_id"), "left_semi")
       .select("shard_id").distinct().collect().map(_.getInt(0)).sorted
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetGen = meta.get("forget_gen").map(_.toLong).getOrElse(0L) + 1L
     if (affected.nonEmpty) {
       val staging = dir + "_forgetting"
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -314,27 +346,120 @@ object Layout {
           .join(forget, Seq("doc_id"), "left_anti")
           .select("doc_id", "text", "n_tokens", "shard_id"),
         staging, Seq("shard_id"), filesPerPartition, sortCols = Seq("doc_id"))
-      for (sid <- affected) {
-        val live = new org.apache.hadoop.fs.Path(s"$dir/shard_id=$sid")
-        val staged = new org.apache.hadoop.fs.Path(s"$staging/shard_id=$sid")
-        val retired = new org.apache.hadoop.fs.Path(
-          s"$dir/shard_id=$sid" + "_preforget")
-        fs.delete(retired, true)
-        require(fs.rename(live, retired),
-          s"forgetPublished: rename $live -> $retired failed")
-        // a shard whose every doc was forgotten has no staged dir — it
-        // simply disappears from the export (its manifest row with it)
-        if (fs.exists(staged)) require(fs.rename(staged, live),
-          s"forgetPublished: rename $staged -> $live failed " +
-            s"(recover the shard from $retired)")
-        fs.delete(retired, true)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      // a shard whose every doc was forgotten has no staged dir — it
+      // simply disappears from the export (its manifest row with it);
+      // the split is recorded in the intent because the distinction is
+      // exactly what a resumer can no longer infer once staged dirs
+      // start being consumed by renames
+      val (partial, full) = affected.partition(sid => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$staging/shard_id=$sid")))
+      writeIntent(fs, staging, partial, full, targetGen)
+      applyForgetSwaps(fs, dir, staging, partial, full, crashAfterSwaps)
     }
     StoreMeta.write(dir,
       "budget" -> meta("budget"), "max_doc_id" -> meta("max_doc_id"),
-      "next_shard" -> meta("next_shard"),
-      "forget_gen" -> (meta.get("forget_gen").map(_.toLong).getOrElse(0L) + 1L))
+      "next_shard" -> meta("next_shard"), "forget_gen" -> targetGen)
+    if (affected.nonEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(dir + "_forgetting"), true)
     shardManifest(readShards(spark, dir))
+  }
+
+  private def intentPath(staging: String) =
+    new org.apache.hadoop.fs.Path(staging, "_forget_intent.json")
+
+  private def writeIntent(fs: org.apache.hadoop.fs.FileSystem,
+      staging: String, partial: Seq[Int], full: Seq[Int],
+      targetGen: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(staging, "_forget_intent.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"partial":[${partial.mkString(",")}],""" +
+        s""""full":[${full.mkString(",")}],"forget_gen":$targetGen}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, intentPath(staging)),
+      s"forgetPublished: intent write failed under $staging")
+  }
+
+  /** The per-shard swap loop, every step idempotent against re-runs
+    * from ANY crash point: a partial shard is (rename live aside if
+    * still present, staged in, retired dropped) — a consumed staged dir
+    * means the swap already happened, only the retired copy can remain;
+    * a fully-forgotten shard is a direct delete. Re-running the whole
+    * loop after a crash lands on the law's post-state.
+    */
+  private def applyForgetSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, staging: String, partial: Seq[Int], full: Seq[Int],
+      crashAfterSwaps: Int): Unit = {
+    var steps = 0
+    def step(): Unit = {
+      steps += 1
+      if (steps >= crashAfterSwaps)
+        throw new IllegalStateException(
+          s"forgetPublished: injected crash after $steps swaps (spec hook)")
+    }
+    for (sid <- partial) {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/shard_id=$sid")
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/shard_id=$sid")
+      val retired = new org.apache.hadoop.fs.Path(
+        s"$dir/shard_id=$sid" + "_preforget")
+      if (fs.exists(staged)) {
+        if (fs.exists(live)) {
+          fs.delete(retired, true)
+          require(fs.rename(live, retired),
+            s"forgetPublished: rename $live -> $retired failed")
+        }
+        require(fs.rename(staged, live),
+          s"forgetPublished: rename $staged -> $live failed " +
+            s"(recover the shard from $retired)")
+      }
+      fs.delete(retired, true)
+      step()
+    }
+    for (sid <- full) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/shard_id=$sid"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/shard_id=$sid" + "_preforget"), true)
+      step()
+    }
+  }
+
+  /** Detect and finish an interrupted [[forgetPublished]] from its
+    * intent file — re-run the idempotent loop, bump the meta to the
+    * recorded generation, clear the staging. No intent = nothing
+    * pending (a crash before the intent write never touched the live
+    * export).
+    */
+  private def resumePendingForget(spark: org.apache.spark.sql.SparkSession,
+      dir: String, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val staging = dir + "_forgetting"
+    val p = intentPath(staging)
+    val bytes: Option[Array[Byte]] =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some(buf.toByteArray)
+        } finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    bytes.foreach { b =>
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      def idsOf(field: String): Seq[Int] = {
+        val node = root.get(field)
+        (0 until node.size()).map(node.get(_).asInt())
+      }
+      applyForgetSwaps(fs, dir, staging, idsOf("partial"), idsOf("full"),
+        Int.MaxValue)
+      val meta = StoreMeta.read(dir)
+      StoreMeta.write(dir,
+        "budget" -> meta("budget"), "max_doc_id" -> meta("max_doc_id"),
+        "next_shard" -> meta("next_shard"),
+        "forget_gen" -> root.get("forget_gen").asLong())
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
   }
 }

@@ -764,10 +764,24 @@ object Similarity {
     * cold build's own passes, then [[StoreUpkeep.swapStaged]]'s rename
     * protocol over data AND sidecars (codebooks change here, so `_pq`/
     * `_codebook`/`_meta` swap too; single-writer, like any compaction).
+    *
+    * `generational = true` is the ALWAYS-ON variant (r19 verdict task
+    * 3): instead of the in-place rename swap — which pauses serving for
+    * the swap window and has no object-store atomicity — the rebuilt
+    * index (data AND codebook sidecars) is staged as generation N+1 and
+    * the `_current` pointer flips LAST ([[StoreGen]]'s atomic replace).
+    * A probe that resolved the pointer before the flip finishes on
+    * generation N's intact directories (the same grace retention as
+    * [[StoreUpkeep.compactNewGeneration]]: N stays, N−1 goes), so a
+    * store that compacts via generations can now retrain without ever
+    * pausing serving.
     */
   def retrainIvfPq(spark: org.apache.spark.sql.SparkSession,
-      corpus: DataFrame, dir0: String, trainIters: Int = 0): Unit = {
-    val dir = StoreGen.resolve(dir0, spark)
+      corpus: DataFrame, dir0: String, trainIters: Int = 0,
+      generational: Boolean = false): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val gen = StoreGen.generation(dir0, hconf)
+    val dir = StoreGen.path(dir0, gen)
     val meta = StoreMeta.read(dir)
     val numCentroids = meta("num_centroids").toInt
     val (m, ksub, dim) = (meta("m").toInt, meta("ksub").toInt,
@@ -782,20 +796,34 @@ object Similarity {
       if (trainIters <= 0) None
       else Some(trainCodebook(members, numCentroids, trainIters)
         .select(col("centroid_id").as("vec_id"), col("embedding")))
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = dir + "_retraining"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    // the rebuilt index replaces the codebooks, so ALL sidecars move
+    // with the data; the new store starts tombstone-free (the rebuild
+    // applied them via membership)
     val suffixes = Seq("", "_codebook", "_pq", "_meta")
-    // a dead prior attempt's staging is garbage
-    suffixes.foreach(sfx =>
+    val staging =
+      if (generational) StoreGen.path(dir0, gen + 1) else dir + "_retraining"
+    // a dead prior attempt's staging is garbage (generational: also any
+    // tomb sidecar a crashed attempt's staging accumulated)
+    (suffixes ++ Seq("_tomb", "_tomb_meta")).foreach(sfx =>
       fs.delete(new org.apache.hadoop.fs.Path(staging + sfx), true))
     // the tombstones the rebuild applies (via membership) — snapshot so
     // a forget racing the rebuild stays pending, never silently dropped
     val tombSnapshot = Tombstones.listFiles(fs, dir)
     writeIvfPqIndex(members, staging, numCentroids, m, ksub, dim,
       byResidual, codebook = trained)
-    StoreUpkeep.swapStaged(fs, dir, staging, suffixes)
-    Tombstones.clear(fs, dir, tombSnapshot)
+    if (generational) {
+      // flip LAST; generation N stays as the in-flight readers' grace
+      // window (its pending tombstones age out with it), N−1 goes
+      StoreGen.setGeneration(dir0, gen + 1, hconf)
+      if (gen >= 1)
+        (suffixes ++ Seq("_tomb", "_tomb_meta")).foreach(sfx => fs.delete(
+          new org.apache.hadoop.fs.Path(
+            StoreGen.path(dir0, gen - 1) + sfx), true))
+    } else {
+      StoreUpkeep.swapStaged(fs, dir, staging, suffixes)
+      Tombstones.clear(fs, dir, tombSnapshot)
+    }
   }
 
   /** Compact an IVFADC code table that [[appendIvfPq]] has grown by

@@ -169,6 +169,61 @@ object StoreUpkeep {
     go
   }
 
+  /** Measure codebook drift and (when the documented threshold trips)
+    * retrain-and-swap — [[maybeCompact]]'s twin for CODEBOOK health
+    * (r19 verdict task 6): [[Similarity.ivfDriftReport]] measures,
+    * [[Similarity.retrainIvfPq]] acts, and this connects them so a
+    * self-scheduling ingest loop covers codebook staleness like it
+    * covers small-file growth. Returns true iff a retrain ran.
+    *
+    * The policy, over the drift report of `batch` (a recent sample of
+    * what the store is being asked to absorb — the loop's latest
+    * micro-batch is the natural choice) against the store's frozen
+    * codebook:
+    *
+    *   - `minMeanCos`: fire when the batch's n_batch-weighted mean
+    *     assignment cosine falls BELOW this — vectors land ever farther
+    *     from their nearest centroid, codes quantize coarser, recall at
+    *     fixed nprobe decays. 0.70 default: an in-distribution batch on
+    *     a trained codebook sits well above it, a drifted draw (mass in
+    *     directions the codebook never saw) well below.
+    *   - `maxMassSkew`: fire when the most-loaded centroid's batch mass
+    *     exceeds this multiple of the uniform share (n_batch_max ·
+    *     num_centroids / n_batch_total) — assignment piling onto few
+    *     centroids decays probe pruning toward a full scan even when
+    *     cosines look healthy. 4.0 default: a balanced codebook keeps
+    *     the max share within a small factor of uniform; a collapsed
+    *     corpus concentrates an order of magnitude.
+    *
+    * Cost when the policy does NOT fire: exactly the drift report — one
+    * broadcast-codebook assignment pass over the batch, a footer-only
+    * store walk, an answer-sized (num_centroids rows) collect. The
+    * retrain itself is the offline-job-shaped rebuild
+    * ([[Similarity.retrainIvfPq]], k-means via `trainIters`), swapped
+    * in place or — `generational = true` — staged as generation N+1
+    * behind the atomic pointer flip.
+    */
+  def maybeRetrain(spark: SparkSession, corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, dir: String,
+      minMeanCos: Double = 0.70, maxMassSkew: Double = 4.0,
+      trainIters: Int = 2, generational: Boolean = false): Boolean = {
+    val report = Similarity.ivfDriftReport(spark, dir, batch).collect()
+    val hit = report.filter(_.getAs[Long]("n_batch") > 0L)
+    if (hit.isEmpty) false
+    else {
+      val nBatch = hit.map(_.getAs[Long]("n_batch")).sum
+      val meanCos = hit.map(r =>
+        r.getAs[Long]("n_batch") * r.getAs[Double]("mean_cos_batch")).sum /
+        nBatch
+      val skew = hit.map(_.getAs[Long]("n_batch")).max.toDouble *
+        report.length / nBatch
+      val fire = meanCos < minMeanCos || skew > maxMassSkew
+      if (fire)
+        Similarity.retrainIvfPq(spark, corpus, dir, trainIters, generational)
+      fire
+    }
+  }
+
   /** The unconditional in-place compact-and-swap (see the object doc
     * for the protocol). Public for governance loops that already know
     * they want the rewrite (e.g. eager takedown application).

@@ -915,6 +915,15 @@ private[graft] object OraclesPart3 {
     // vectors, unlike q_forget_ivf's corpus-wide frozen books
     "q_ivf_retrain" -> ivfPqChainSql(ecWhere = " WHERE vec_id % 7 <> 3"),
 
+    // generational retrain: the SAME survivor cold chain — the pointer
+    // flip changes where the bytes live, never what serves
+    "q_ivf_retrain_gen" -> ivfPqChainSql(ecWhere = " WHERE vec_id % 7 <> 3"),
+
+    // drift policy: the fired retrain's post-state is the survivor cold
+    // chain (a non-firing policy would have served the frozen-codebook
+    // q_forget_ivf answers instead — the oracle distinguishes them)
+    "q_retrain_policy" -> ivfPqChainSql(ecWhere = " WHERE vec_id % 7 <> 3"),
+
     // trained retrain: the k-means chain (q_kmeans arithmetic at k=32,
     // 2 iterations) feeding the IVFADC probe replay — codebook
     // training, encoding, partition-pruned ADC, and exact re-rank as

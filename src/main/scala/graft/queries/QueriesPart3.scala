@@ -305,6 +305,58 @@ private[graft] object QueriesPart3 {
         .orderBy("query_id", "rank")
     }),
 
+    // the GENERATIONAL retrain (r19 verdict task 3): identical
+    // governance semantics to q_ivf_retrain, but the rebuilt index —
+    // retrained _codebook/_pq sidecars included — stages as generation
+    // 1 behind the atomic _current pointer flip instead of the in-place
+    // rename swap, so serving never pauses. The probe resolves the
+    // pointer; the oracle is the SAME survivor cold chain, which is the
+    // law: the always-on protocol changes where bytes live, never what
+    // serves
+    "q_ivf_retrain_gen" -> ((s, dir) => withTempStore("ivfretraingen") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.forgetIvfPq(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
+      Similarity.retrainIvfPq(s, emb, idx, generational = true)
+      require(graft.operators.StoreGen.resolve(idx, s) == idx + "_g1",
+        "generational retrain must serve from generation 1")
+      val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+      Similarity.ivfPqTopK(s, idx, survivors.filter(col("vec_id") < 5),
+          survivors, k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // the drift POLICY end-to-end (r19 verdict task 6):
+    // StoreUpkeep.maybeRetrain measures a genuinely drifted probe batch
+    // (the corpus NEGATED — no codebook direction is near it, so the
+    // weighted mean assignment cosine sits far below the documented
+    // 0.70 default) and fires the retrain itself. The drifted batch is
+    // only MEASURED, never ingested; firing is observable because the
+    // store carries a pending forget — a non-firing policy would serve
+    // q_forget_ivf's frozen-codebook answers, the firing one serves the
+    // survivor cold chain the oracle replays
+    "q_retrain_policy" -> ((s, dir) => withTempStore("retrainpolicy") { tmp =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = tmp + "/index"
+      Similarity.writeIvfPqIndex(emb, idx, numCentroids = 32,
+        m = 4, ksub = 16, dim = 64)
+      Similarity.forgetIvfPq(s,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"), idx)
+      val drifted = emb.filter(col("vec_id") < 64).select(col("vec_id"),
+        expr("transform(embedding, x -> -x)").as("embedding"))
+      val fired = graft.operators.StoreUpkeep.maybeRetrain(
+        s, emb, drifted, idx, trainIters = 0)
+      require(fired,
+        "construction: the negated batch must cross the default threshold")
+      val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+      Similarity.ivfPqTopK(s, idx, survivors.filter(col("vec_id") < 5),
+          survivors, k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     // the TRAINED retrain, oracle-gated end-to-end: retrainIvfPq with
     // trainIters=2 replaces the pseudo books with the q_kmeans-proven
     // fixed-point k-means chain over the store's members, re-encodes,

@@ -362,6 +362,66 @@ class CliSpec extends AnyFunSuite {
       .select("vec_id").distinct().count() == 500L)
   }
 
+  test("corpus subcommand: -generational plumbs the pointer-flip protocol through upkeep, append, and ivfretrain") {
+    import graft.operators.StoreGen
+    val tmp = java.nio.file.Files
+      .createTempDirectory("clispec-generational").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = tmp + "/store"
+    val seedPath = tmp + "/seed"
+    val batchPath = tmp + "/batch"
+    docs.filter("doc_id % 2 = 0").write.parquet(seedPath)
+    docs.filter("doc_id % 2 = 1").write.parquet(batchPath)
+    captureOut { Cli.runCorpus(spark, Map(
+      "in" -> seedPath, "op" -> "lshbuild", "index" -> idx)) }
+    val distinctSeed = spark.read.parquet(idx + "_sigs")
+      .select("doc_id").distinct().count()
+    // takedown + `upkeep -generational -apply-tombstones`: the eager
+    // physical application runs as a generation FLIP — the plain (gen 0)
+    // directory is never mutated, serving moves behind the pointer
+    captureOut { Cli.runCorpus(spark, Map("in" -> batchPath,
+      "op" -> "forget", "store" -> "lsh", "index" -> idx)) }
+    val up = captureOut { Cli.runCorpus(spark, Map("op" -> "upkeep",
+      "store" -> "lsh", "index" -> idx, "apply-tombstones" -> "true",
+      "generational" -> "true")) }
+    assert(up.contains("compacted") && up.contains("true"), up)
+    assert(StoreGen.resolve(idx) == idx + "_g1",
+      "upkeep -generational must flip the pointer, not rename in place")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(idx)),
+      "generation 0 stays as the in-flight readers' grace window")
+    // `lshappend -auto-compact-files 0 -generational`: the shell ingest
+    // is self-maintaining — the forced post-append compaction flips to
+    // generation 2 and the census follows the pointer (it reports the
+    // full post-append store, not the stale gen-0 directory)
+    val app = captureOut { Cli.runCorpus(spark, Map("in" -> batchPath,
+      "op" -> "lshappend", "index" -> idx,
+      "auto-compact-files" -> "0", "generational" -> "true")) }
+    assert(app.contains("n_docs") && app.contains("Rows: "), app)
+    assert(StoreGen.resolve(idx) == idx + "_g2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx)),
+      "generation 0 (one-behind-grace) reclaimed at the second flip")
+    // the forget applied physically at the flip, so the append re-admits
+    // the batch: every doc serves from generation 2
+    assert(spark.read.parquet(idx + "_g2_sigs")
+      .select("doc_id").distinct().count()
+      == docs.select("doc_id").distinct().count())
+    assert(distinctSeed > 0)
+    // `ivfretrain -generational`: the rebuilt index (codebooks included)
+    // stages as generation 1 behind the pointer flip
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = tmp + "/ivf"
+    graft.operators.Similarity.writeIvfPqIndex(emb, ivf, numCentroids = 8)
+    val rt = captureOut { Cli.runCorpus(spark, Map(
+      "in" -> "/root/testdata/sf0.001/embeddings.parquet",
+      "op" -> "ivfretrain", "index" -> ivf, "generational" -> "true")) }
+    assert(rt.contains("compacted") && rt.contains("Rows: 1"), rt)
+    assert(StoreGen.resolve(ivf) == ivf + "_g1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ivf + "_g1_codebook")),
+      "the staged generation carries the retrained codebook sidecars")
+  }
+
   test("corpus subcommand: lsh store maintenance (build, probe, append, compact)") {
     val tmp = java.nio.file.Files
       .createTempDirectory("clispec-lsh-maint").toString

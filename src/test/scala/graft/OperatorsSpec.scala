@@ -2841,6 +2841,136 @@ class OperatorsSpec extends AnyFunSuite {
         s"before=$before after=$after")
   }
 
+  test("ivfadc retrain (generational): rebuild staged as N+1 behind the pointer flip; grace generation serves the old answers") {
+    import graft.operators.{StoreGen, StoreUpkeep, Tombstones}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ivfretrain-gen")
+      .toString
+    val idx = base + "/ix"
+    Similarity.writeIvfPqIndex(emb, idx, numCentroids = 8,
+      m = 4, ksub = 16, dim = 64)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // move to generation 1 first so the grace-window leg can probe a
+    // pinned _g path (a plain-path reader re-resolves the pointer)
+    assert(StoreUpkeep.compactNewGeneration(spark, idx,
+      StoreUpkeep.IvfPqKind) == 1L)
+    val queries = emb.filter(col("vec_id") < 4)
+    def probe(d: String) = Similarity.ivfPqTopK(spark, d, queries, emb,
+      k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = 64)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = probe(idx)
+    assert(StoreGen.resolve(idx) == idx + "_g1")
+    // the law (r19 verdict task 3): a probe that resolved BEFORE the
+    // retrain flip serves the old generation's answers — generation 1
+    // stays intact as the grace window while generation 2 takes over
+    Similarity.retrainIvfPq(spark, emb, idx, generational = true)
+    assert(StoreGen.resolve(idx) == idx + "_g2")
+    assert(probe(idx + "_g1") == before,
+      "in-flight read must complete on the retired generation")
+    // engine-exact rebuild (trainIters = 0, no tombstones): the new
+    // generation is row-identical serving — same answers
+    assert(probe(idx) == before)
+    // generation 0 (one-behind-grace) reclaimed, sidecars included
+    for (sfx <- Seq("", "_codebook", "_pq", "_meta"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + sfx)),
+        s"generation 0 suffix '$sfx' must be reclaimed")
+    // takedown through a generational retrain: forget a served answer,
+    // retrain — the rebuild never sees the forgotten vector, the new
+    // generation starts tombstone-free, the grace generation keeps its
+    // pending sidecar until reclamation
+    import spark.implicits._
+    val doomed = before.head.getLong(1)
+    Similarity.forgetIvfPq(spark, Seq(doomed).toDF("vec_id"), idx)
+    assert(Tombstones.exists(idx + "_g2"))
+    Similarity.retrainIvfPq(spark, emb, idx, generational = true)
+    assert(StoreGen.resolve(idx) == idx + "_g3")
+    assert(!Tombstones.exists(idx + "_g3"),
+      "rebuild applies the tombstone physically")
+    assert(Tombstones.exists(idx + "_g2"),
+      "grace generation keeps its pending sidecar")
+    val served = spark.read.parquet(idx + "_g3")
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!served.contains(doomed), "forgotten id survived the retrain")
+    assert(probe(idx).forall(_.getLong(1) != doomed))
+  }
+
+  test("StoreUpkeep.maybeRetrain: drift policy fires exactly at the documented threshold and recovers recall; a no-drift draw never fires") {
+    import graft.operators.StoreUpkeep
+    import spark.implicits._
+    // healthy state: 8 TIGHT clusters, k-means-trained codebook — an
+    // in-distribution batch assigns at cosine ≈ 1 and spreads evenly,
+    // so neither the minMeanCos nor the maxMassSkew leg trips
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = (0 until 8).map(_ =>
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    def draw(center: Array[Float], noise: Double): Array[Float] =
+      unit(center.map(x => x + (rnd.nextGaussian() * noise).toFloat))
+    val corpus0 = (0 until 8).flatMap { j =>
+      (0 until 40).map(i => (j * 100L + i, draw(centers(j), 0.05)))
+    }
+    val corpus0Df = corpus0.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("maybe-retrain")
+      .toString + "/ix"
+    Similarity.writeIvfPqIndex(corpus0Df, idx, numCentroids = 16,
+      m = 4, ksub = 16, dim = dim)
+    Similarity.retrainIvfPq(spark, corpus0Df, idx, trainIters = 4)
+    val booksBefore = spark.read.parquet(idx + "_codebook")
+      .orderBy("vec_id").collect().toSeq
+    val inBatch = (0 until 8).flatMap { j =>
+      (0 until 5).map(i => (9000L + j * 10L + i, draw(centers(j), 0.05)))
+    }.toDF("vec_id", "embedding")
+    assert(!StoreUpkeep.maybeRetrain(spark, corpus0Df, inBatch, idx),
+      "no-drift draw must never fire")
+    assert(spark.read.parquet(idx + "_codebook").orderBy("vec_id")
+      .collect().toSeq == booksBefore, "a non-firing policy must not touch " +
+      "the codebook")
+    // drift: 8 NEW tight clusters at the ANTIPODES of the old centers —
+    // directions the trained codebook has no centroid near, so batch
+    // cosines collapse and recall at fixed nprobe decays
+    val drifted = (0 until 8).flatMap { j =>
+      (0 until 40).map(i => (5000L + j * 100L + i, draw(centers(j).map(-_), 0.05)))
+    }
+    val driftedDf = drifted.toDF("vec_id", "embedding")
+    Similarity.appendIvfPq(spark, driftedDf, idx)
+    val corpus1Df = (corpus0 ++ drifted).toDF("vec_id", "embedding")
+    val driftBatch = (0 until 8).flatMap { j =>
+      (0 until 5).map(i => (9500L + j * 10L + i, draw(centers(j).map(-_), 0.05)))
+    }.toDF("vec_id", "embedding")
+    // the measured signal the policy gates on
+    val report = Similarity.ivfDriftReport(spark, idx, driftBatch).collect()
+      .filter(_.getAs[Long]("n_batch") > 0L)
+    val nb = report.map(_.getAs[Long]("n_batch")).sum
+    val meanCos = report.map(r =>
+      r.getAs[Long]("n_batch") * r.getAs[Double]("mean_cos_batch")).sum / nb
+    info(f"drift-batch weighted mean assignment cosine: $meanCos%.3f")
+    assert(meanCos < 0.70, s"construction must sit below the documented " +
+      s"default threshold, got $meanCos")
+    // threshold exactness: the same drifted batch with the bar set BELOW
+    // its measured cosine (and the skew leg disabled) must NOT fire —
+    // firing is the threshold crossing, not the call
+    assert(!StoreUpkeep.maybeRetrain(spark, corpus1Df, driftBatch, idx,
+      minMeanCos = meanCos - 0.05, maxMassSkew = 1e9),
+      "policy fired below its threshold")
+    // at the defaults it fires, k-means retrains, and recall recovers
+    val qdrift = (0 until 8).map(j => drifted(j * 40)).toDF("vec_id", "embedding")
+    def recall1(): Double = Similarity.ivfPqRecall(spark, idx, qdrift,
+        corpus1Df, k = 5, nprobes = Seq(1), rerankFactor = 8, m = 4, dim = dim)
+      .collect().head.getDouble(4)
+    val before = recall1()
+    assert(StoreUpkeep.maybeRetrain(spark, corpus1Df, driftBatch, idx),
+      "policy must fire past the documented threshold")
+    val after = recall1()
+    info(s"recall@5 nprobe=1: before=$before after=$after")
+    assert(after >= before && after >= 0.8,
+      s"firing policy did not recover recall: before=$before after=$after")
+  }
+
   test("residual ivfadc: same surface, non-degenerate codebooks, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 4)
@@ -4251,6 +4381,61 @@ class OperatorsSpec extends AnyFunSuite {
       Layout.appendShards(spark,
         Seq(byShard(3).head -> "resurrected").toDF("doc_id", "text"), dir)
     }
+  }
+
+  test("forgetPublished: a crash between two shard swaps resumes to the law's post-state on the next call") {
+    val base = java.nio.file.Files.createTempDirectory("pubforget-crash")
+      .toString
+    val dir = base + "/shards"
+    Layout.publishInit(spark, docs, dir, nShards = 8)
+    val shardSchema = "doc_id BIGINT, text STRING, n_tokens BIGINT, shard_id INT"
+    val byShard = spark.read.schema(shardSchema).parquet(dir)
+      .select("doc_id", "shard_id").collect()
+      .groupBy(_.getInt(1)).map { case (s, rs) =>
+        s -> rs.map(_.getLong(0)).toSet }
+    import spark.implicits._
+    // a forget spanning THREE partial shards and one vanishing shard —
+    // then die after the first swap (the spec hook aborts the loop), so
+    // the export is live with shard 0 rewritten and shards 2/4/6 still
+    // holding forgotten docs, intent on disk
+    val doomed = (byShard(6) + byShard(0).head + byShard(2).head +
+      byShard(4).head).toSeq.toDF("doc_id")
+    intercept[IllegalStateException] {
+      Layout.forgetPublishedImpl(spark, doomed, dir,
+        filesPerPartition = 1, crashAfterSwaps = 1)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      dir + "_forgetting/_forget_intent.json")),
+      "the crashed forget must leave its intent on disk")
+    val midState = spark.read.schema(shardSchema).parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.collect().map(_.getLong(0)).exists(midState.contains),
+      "construction: the crash must strand some forgotten docs live")
+    // meta did NOT move — the generation marker only bumps once the
+    // swaps are all in (a loader seeing forget_gen=1 may trust it)
+    assert(!graft.operators.StoreMeta.read(dir).contains("forget_gen"))
+    // the NEXT call detects the intent, rolls the pending forget
+    // FORWARD to completion, THEN applies its own (empty) forget set —
+    // landing on exactly the law's post-state
+    val manifest = Layout.forgetPublished(spark,
+        Seq.empty[Long].toDF("doc_id"), dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(!manifest.contains(6), "fully-forgotten shard must vanish")
+    assert(manifest(0) == byShard(0).size - 1 &&
+      manifest(2) == byShard(2).size - 1 &&
+      manifest(4) == byShard(4).size - 1)
+    val left = spark.read.schema(shardSchema).parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.collect().map(_.getLong(0)).forall(!left.contains(_)),
+      "resume must finish every pending swap")
+    // resumed forget lands its recorded generation; the empty follow-up
+    // forget bumps once more; staging + intent are gone
+    assert(graft.operators.StoreMeta.read(dir)("forget_gen") == "2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "_forgetting")))
+    // untouched shards stayed byte-stable through crash + resume
+    assert(manifest(1) == byShard(1).size && manifest(3) == byShard(3).size)
   }
 
   test("generation-pointer compaction: a probe racing the flip completes on the old generation; serving unchanged for new reads") {
