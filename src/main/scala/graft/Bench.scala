@@ -252,8 +252,13 @@ object Bench {
           // lambda variables are gensym'd from a session-global counter
           // at analysis time (x_235 vs x_237 for the same code depending
           // on how many lambdas the session analyzed before) — normalize
-          // like exprIds, or higher-order-function queries flap per run
-          .replaceAll("\\bx_\\d+", "x_")
+          // like exprIds, or higher-order-function queries flap per run.
+          // ALL of Spark's fresh-var names, not just x: multi-arg
+          // lambdas bind y/z (aggregate's (acc, t) prints y_N), indexed
+          // transforms bind i — and the counter shifts whenever the
+          // suite's slow-query RERUNS re-analyze earlier plans, which is
+          // how q_quality's lfp flapped across same-commit records (r20)
+          .replaceAll("\\b[xyzi]_\\d+", "x_")
           // store-lifecycle queries read per-run temp directories
           .replaceAll("file:[^\\s,\\]\\)]*", "file:")
           .replaceAll("/tmp/[^\\s,\\]\\)]*", "/tmp/")
