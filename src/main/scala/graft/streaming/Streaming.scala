@@ -767,6 +767,19 @@ object Streaming {
     * for manual recovery, never a silent loss. With the threshold unset,
     * a count past [[compactionWatermark]] logs a compaction-needed
     * warning instead — growth is visible either way (pinned by spec).
+    *
+    * Codebook health rides the same loop (r19 verdict task 6, the
+    * streaming wiring): with `driftRetrain = Some(minMeanCos)`, every
+    * appended batch is ALSO the drift policy's probe sample —
+    * [[graft.operators.StoreUpkeep.maybeRetrain]] measures it against
+    * the frozen codebook and, past the threshold, retrains from the
+    * stream's own source directory (`embDir` is the raw-vector corpus
+    * of record; membership still comes from the STORE, so files not yet
+    * ingested don't leak into the rebuild). `generational` applies to
+    * the retrain swap exactly as it does to the compaction. A
+    * non-firing batch pays one broadcast-codebook assignment pass over
+    * itself — the cost class of the encode it just ran. The check sits
+    * INSIDE the replay fence: a replayed batch re-measures nothing.
     */
   def streamingIvfPqIngest(
       spark: SparkSession,
@@ -777,14 +790,24 @@ object Streaming {
       checkpointDir: Option[String] = None,
       autoCompactThreshold: Option[Int] = None,
       dedupeIds: Boolean = false,
-      generational: Boolean = false): Unit = {
+      generational: Boolean = false,
+      driftRetrain: Option[Double] = None,
+      retrainIters: Int = 2): Unit = {
     autoCompactThreshold.foreach(t => require(t >= 1,
       "autoCompactThreshold must be >= 1 file per centroid"))
     shardedStoreIngest(spark, embDir, indexDir,
         maxFilesPerTrigger, checkpointDir) { (b, cold) =>
       if (cold)
         graft.operators.Similarity.writeIvfPqIndex(b, indexDir, numCentroids)
-      else graft.operators.Similarity.appendIvfPq(spark, b, indexDir, dedupeIds)
+      else {
+        graft.operators.Similarity.appendIvfPq(spark, b, indexDir, dedupeIds)
+        driftRetrain.foreach { thr =>
+          graft.operators.StoreUpkeep.maybeRetrain(spark,
+            spark.read.parquet(embDir), b, indexDir,
+            minMeanCos = thr, trainIters = retrainIters,
+            generational = generational)
+        }
+      }
     } { fs =>
       val files = maxFilesPerCentroid(fs, indexDir)
       autoCompactThreshold match {

@@ -1292,4 +1292,95 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(3)))
     assert(batch.toSeq == streamed.toSeq)
   }
+
+  test("ivfpq ingest with driftRetrain: a drifted batch fires the retrain mid-stream (streamed = driver loop); an in-distribution stream never fires") {
+    import spark.implicits._
+    // clustered seed + ANTIPODAL drifted clusters (the maybeRetrain spec
+    // construction): under the seed-drawn codebook the drifted batch's
+    // assignment cosines collapse below the 0.70 bar; an in-distribution
+    // second file stays near 1.0 and must leave the codebook untouched
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = (0 until 8).map(_ =>
+      unit(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    def draw(c: Array[Float], noise: Double): Array[Float] =
+      unit(c.map(x => x + (rnd.nextGaussian() * noise).toFloat))
+    // id encoding interleaves clusters (id = i·8 + j) so the cold
+    // build's pseudo codebook (vec_id < numCentroids = the first 16
+    // ids) covers ALL 8 clusters — an in-distribution batch then
+    // assigns at cosine ≈ 1 and must not fire, while the antipodal
+    // batch collapses regardless of which members became centroids
+    val seed = (0 until 8).flatMap { j =>
+      (0 until 40).map(i => (i * 8L + j, draw(centers(j), 0.05)))
+    }
+    val drifted = (0 until 8).flatMap { j =>
+      (0 until 40).map(i =>
+        (5000L + j * 100L + i, draw(centers(j).map(-_), 0.05)))
+    }
+    val inDist = (0 until 8).flatMap { j =>
+      (0 until 40).map(i => (5000L + j * 100L + i, draw(centers(j), 0.05)))
+    }
+    def mkSource(second: Seq[(Long, Array[Float])]): String = {
+      val srcDir = tmpDir("stream-driftrt-src")
+      def addFile(df: org.apache.spark.sql.DataFrame, name: String,
+          mtimeMs: Long): Unit = {
+        val stage = tmpDir("stream-driftrt-stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = Files.move(part, srcDir.resolve(name))
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      addFile(seed.toDF("vec_id", "embedding"), "f1.parquet", t0)
+      addFile(second.toDF("vec_id", "embedding"), "f2.parquet", t0 + 10000)
+      srcDir.toString
+    }
+    def books(dir: String) = spark.read.parquet(dir + "_codebook")
+      .orderBy("vec_id").collect().toSeq
+    // DRIFTED stream: batch 1 cold-builds, batch 2 appends + fires
+    val src1 = mkSource(drifted)
+    val idx = tmpDir("stream-driftrt").toString + "/ix"
+    Streaming.streamingIvfPqIngest(spark, src1, idx, numCentroids = 16,
+      maxFilesPerTrigger = Some(1), driftRetrain = Some(0.70),
+      retrainIters = 2)
+    // streamed ≡ the driver loop: cold build on f1, append f2, then the
+    // fired policy's retrain over the source corpus at the same iters
+    val replayIdx = tmpDir("stream-driftrt-replay").toString + "/ix"
+    graft.operators.Similarity.writeIvfPqIndex(
+      seed.toDF("vec_id", "embedding"), replayIdx, numCentroids = 16)
+    graft.operators.Similarity.appendIvfPq(spark,
+      drifted.toDF("vec_id", "embedding"), replayIdx)
+    graft.operators.Similarity.retrainIvfPq(spark,
+      spark.read.parquet(src1), replayIdx, trainIters = 2)
+    assert(books(idx) == books(replayIdx),
+      "streamed drift-retrain must land the driver loop's trained books")
+    val all = (seed ++ drifted).toDF("vec_id", "embedding")
+    def probe(dir: String) = graft.operators.Similarity
+      .ivfPqTopK(spark, dir, all.filter(col("vec_id") < 4), all,
+        k = 3, nprobe = 2, rerankFactor = 4, m = 4, dim = dim)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probe(idx) == probe(replayIdx))
+    // the retrain actually MOVED the books (pseudo draw replaced)
+    val pseudoIdx = tmpDir("stream-driftrt-pseudo").toString + "/ix"
+    graft.operators.Similarity.writeIvfPqIndex(
+      seed.toDF("vec_id", "embedding"), pseudoIdx, numCentroids = 16)
+    assert(books(idx) != books(pseudoIdx),
+      "construction: the fired retrain must replace the seed-drawn books")
+    // IN-DISTRIBUTION stream at the same threshold: the policy never
+    // fires — end-state books are exactly the seed cold build's
+    val src2 = mkSource(inDist)
+    val idx2 = tmpDir("stream-driftrt-nofire").toString + "/ix"
+    Streaming.streamingIvfPqIngest(spark, src2, idx2, numCentroids = 16,
+      maxFilesPerTrigger = Some(1), driftRetrain = Some(0.70),
+      retrainIters = 2)
+    assert(books(idx2) == books(pseudoIdx),
+      "an in-distribution stream must never fire the retrain")
+    graft.operators.CacheRegistry.release(spark)
+  }
 }
