@@ -478,8 +478,78 @@ object JaroWinkler {
   def score(aS: UTF8String, bS: UTF8String): Double = {
     val ab = aS.getBytes
     val bb = bS.getBytes
-    if (allAscii(ab) && allAscii(bb)) scoreBytes(ab, bb)
-    else scoreChars(aS.toString, bS.toString)
+    if (allAscii(ab) && allAscii(bb)) {
+      // bit-parallel matcher for the ≤64-char case (names/titles — the
+      // overwhelming linkage shape): same algorithm, O(la+lb) instead of
+      // O(la·window) and no per-pair boolean-array allocation. Longer
+      // ASCII falls back to the scalar loop below.
+      if (ab.length <= 64 && bb.length <= 64) scoreBits(ab, bb)
+      else scoreBytes(ab, bb)
+    } else scoreChars(aS.toString, bS.toString)
+  }
+
+  // per-thread byte→positions-of-byte-in-b masks; entries used by a pair
+  // are zeroed on exit so the table is clean for the next pair (O(lb),
+  // vs O(128) to clear the whole table)
+  private val posMaskTL = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](128)
+  }
+
+  /** Bit-parallel Jaro-Winkler for ASCII inputs of length ≤ 64.
+    * Match step: the scalar algorithm assigns each a-position i the
+    * LOWEST unmatched j in its window with b(j) == a(i); here that is
+    * `lowestOneBit(positionsOf(a(i)) & windowMask & ~matched)` — the
+    * identical assignment, one word op instead of a window scan.
+    * Transposition walk and all arithmetic are verbatim from
+    * [[scoreBytes]], so the two paths return identical bits
+    * (pinned by OperatorsSpec's cross-path fuzz).
+    */
+  private def scoreBits(a: Array[Byte], b: Array[Byte]): Double = {
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val posMask = posMaskTL.get()
+    var j = 0
+    while (j < lb) { posMask(b(j)) |= 1L << j; j += 1 }
+    var aMatched = 0L
+    var bMatched = 0L
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      if (lo <= hi) {
+        val width = hi - lo + 1
+        val wm = if (width == 64) -1L else ((1L << width) - 1L) << lo
+        val cand = posMask(a(i)) & wm & ~bMatched
+        if (cand != 0L) {
+          bMatched |= java.lang.Long.lowestOneBit(cand)
+          aMatched |= 1L << i
+          m += 1
+        }
+      }
+      i += 1
+    }
+    j = 0
+    while (j < lb) { posMask(b(j)) = 0L; j += 1 }
+    if (m == 0) return 0.0
+    var t = 0
+    var am = aMatched
+    var bm = bMatched
+    while (am != 0L) {
+      if (a(java.lang.Long.numberOfTrailingZeros(am)) !=
+        b(java.lang.Long.numberOfTrailingZeros(bm))) t += 1
+      am &= am - 1
+      bm &= bm - 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb
+      + (m - t / 2).toDouble / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
   }
 
   private def allAscii(b: Array[Byte]): Boolean = {

@@ -35,21 +35,27 @@ object Retrieval {
       queryMaxId: Long,
       k: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // decimal substrate: 4dp weights exact in DECIMAL(18,4) — dot/norm
-    // sums are order-free (the sparseCosinePairs-proven convention)
+    // fixed-point LONG substrate (was DECIMAL(18,4)) — the exact
+    // scaled-integer convention proven in [[Tfidf.sparseCosinePairs]]:
+    // 4dp weights scale to exact integers, products/sums stay exact
+    // longs (doc-length-bounded, corpus-size-independent), fl(S)/1e8
+    // reproduces the decimal→double cast bit-for-bit, and the sums are
+    // order-free because they are integer arithmetic
     val w = vectors.select(col("doc_id"), col("term"),
-        col("tfidf").cast("decimal(18,4)").as("w"))
+        round(col("tfidf") * lit(1e4), 0).cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheRegistry.track(w)
     val norms = w.groupBy("doc_id")
-      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("__norm"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double") / lit(1e8))
+        .as("__norm"))
     val q = broadcast(
       w.filter(col("doc_id") < queryMaxId)
         .select(col("doc_id").as("query_id"), col("term"), col("w").as("__qw")))
     val dots = w.join(q, Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("__qw") * col("w")).cast("double").as("__dot"))
+      .agg((sum(col("__qw") * col("w")).cast("double") / lit(1e8))
+        .as("__dot"))
     val qNorms = broadcast(
       norms.filter(col("doc_id") < queryMaxId)
         .select(col("doc_id").as("query_id"), col("__norm").as("__qn")))
@@ -204,13 +210,26 @@ object Retrieval {
         // stopword-posting blowup
         cand.join(tfc, Seq("doc_id")).join(qtB, Seq("query_id", "term"))
     }
+    // fixed-point LONG accumulation, bit-identical to the former
+    // decimal(18,6) sum (r20 stage profile: the contribution aggregate
+    // was the query's dominant stage, and a 6dp sum at decimal
+    // precision 28 runs on BigDecimal-backed buffers — guide §2.3
+    // narrower types). Equivalence, step by step: round(x, 6) yields
+    // the nearest double y to the 6dp value v; y·1e6 errs from the
+    // integer v·1e6 by ≤ |v|·1e6·2⁻⁵² (≪ 0.5 for any BM25 contribution,
+    // |v| < 3.5e7), so round(y·1e6) IS v·1e6 exactly; the long sum n is
+    // exact (a per-(query, doc) group is ≤ query-length terms, each
+    // ≤ ~1e8 scaled — no overflow at any corpus size since groups don't
+    // grow with the corpus); and fl(n)/1e6 with n < 2⁵³ is the same
+    // correctly-rounded double the decimal→double cast produced.
     contribs
       .join(dl, Seq("doc_id"))
       .crossJoin(stats)
       .select(col("query_id"), col("doc_id"),
-        round(idf * sat * col("__w"), 6).cast("decimal(18,6)").as("__c"))
+        round(round(idf * sat * col("__w"), 6) * lit(1e6), 0)
+          .cast("long").as("__c"))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(col("__c")).cast("double"), 4).as("bm25"))
+      .agg(round(sum(col("__c")).cast("double") / lit(1e6), 4).as("bm25"))
   }
 
   /** BM25 with RM3-style pseudo-relevance feedback — the classic

@@ -104,14 +104,23 @@ object Tfidf {
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     import org.apache.spark.storage.StorageLevel
-    // decimal substrate: 4dp weights are exact in DECIMAL(18,4); products
-    // and sums stay exact, so accumulation order is irrelevant.
+    // fixed-point LONG substrate (was DECIMAL(18,4); r20 stage profile —
+    // the pair join+dot aggregate dominated the query and a decimal
+    // product sum promotes to precision >18, i.e. BigDecimal-backed
+    // buffers; guide §2.3 narrower types). Exactness is unchanged: the
+    // 4dp weight v scales to the exact integer v·1e4 (tfidf is already
+    // 4dp, so round(w·1e4) hits it exactly — the double is within an
+    // ulp of the integer), products (≤1e12) and per-pair/per-doc sums
+    // (≤ shared-terms · 1e12) stay far inside the exact-long and
+    // exact-double-integer (2⁵³) ranges at ANY corpus size (the sums
+    // are doc-length-bounded, not corpus-bounded), and fl(S)/1e8 is the
+    // same correctly-rounded double the old decimal→double cast gave.
     // persisted: the vector table feeds FIVE consumers (norms, df cap,
     // pair-gen, both dot sides) — uncached, each re-runs the entire
     // upstream tfidf build (tokenize + two aggs + join); measured 5.8s ->
     // ~1.5s at sf0.1
     val w = vectors.select(col("doc_id"), col("term"),
-      col("tfidf").cast("decimal(18,4)").as("w"))
+      round(col("tfidf") * lit(1e4), 0).cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     CacheRegistry.track(w)
     // NO eager w.count(): subDots' eager fill below is the first action
@@ -124,7 +133,7 @@ object Tfidf {
     // over-cap postings) all run after subDots' fill and hit warm cache.
 
     val norms = w.groupBy("doc_id")
-      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("norm"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double") / lit(1e8)).as("norm"))
 
     val dRow = w.agg(countDistinct(col("doc_id")).as("__D"))
     val dft = w.groupBy("term").agg(count(lit(1)).as("__df"))
@@ -164,12 +173,13 @@ object Tfidf {
       .groupBy("doc_id_a", "doc_id_b")
       .agg(sum(col("wa") * col("wb")).as("__dot_over"))
 
-    // both partial dots are exact DECIMAL sums, so the split-and-add
-    // equals the single sum over all shared terms bit-for-bit
+    // both partial dots are exact scaled-integer sums, so the
+    // split-and-add equals the single sum over all shared terms
+    // bit-for-bit
     val dots = subDots.join(overDots, Seq("doc_id_a", "doc_id_b"), "left")
       .select(col("doc_id_a"), col("doc_id_b"),
-        (col("__dot_sub") + coalesce(col("__dot_over"), lit(0)))
-          .cast("double").as("__dot"))
+        ((col("__dot_sub") + coalesce(col("__dot_over"), lit(0L)))
+          .cast("double") / lit(1e8)).as("__dot"))
 
     dots
       .join(norms.select(col("doc_id").as("doc_id_a"), col("norm").as("__na")), "doc_id_a")

@@ -296,9 +296,9 @@ private[graft] object QueriesPart4 {
           (a, b) => substring(a("c_name"), -2, 2) === substring(b("c_name"), -2, 2)))
       // broadcastSide: 25 nations would cap a shuffled self-join at 25
       // busy tasks; the broadcast join parallelizes over the scan
-      Linkage.linkPairs(Tables.load(s, dir, "customer"),
+      sortBarrier(Linkage.linkPairs(Tables.load(s, dir, "customer"),
           "c_custkey", "c_nationkey", rules,
-          matchAt = 4.5, possibleAt = 3.5, broadcastSide = true)
+          matchAt = 4.5, possibleAt = 3.5, broadcastSide = true), "id_a")
         .orderBy("id_a", "id_b")
     }),
 
@@ -309,9 +309,9 @@ private[graft] object QueriesPart4 {
     // scoring on 25 reducers; broadcasting the capped record slim lets
     // the row-partitioned scan side use every core
     "q_fuzzy_pairs" -> ((s, dir) =>
-      Linkage.fuzzyPairs(Tables.load(s, dir, "part"),
+      sortBarrier(Linkage.fuzzyPairs(Tables.load(s, dir, "part"),
           "p_partkey", "p_brand", "p_name", threshold = 0.9,
-          broadcastSide = true)
+          broadcastSide = true), "id_a")
         .orderBy("id_a", "id_b")),
 
     // hop-bounded weighted shortest paths over the span graph: cheapest
@@ -331,8 +331,8 @@ private[graft] object QueriesPart4 {
     // candidates whatever the value distribution, the complement of
     // q_fuzzy_pairs' blocking. Global rank = range partitions + offsets
     "q_snm_pairs" -> ((s, dir) =>
-      Linkage.sortedNeighborhoodPairs(Tables.load(s, dir, "part"),
-          "p_partkey", "p_name", "p_name", window = 8, threshold = 0.9)
+      sortBarrier(Linkage.sortedNeighborhoodPairs(Tables.load(s, dir, "part"),
+          "p_partkey", "p_name", "p_name", window = 8, threshold = 0.9), "id_a")
         .orderBy("id_a", "id_b")),
 
     // PageRank centrality over the duplication-link graph (docs sharing
@@ -427,8 +427,8 @@ private[graft] object QueriesPart4 {
     // more clusters mean a more parallel (and smaller) pair join, and one
     // training round halves the driver-synced k-means jobs
     "q_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
-          k = 16, iters = 1, threshold = 0.4)
+      sortBarrier(Similarity.semanticDedup(Tables.load(s, dir, "embeddings"),
+          k = 16, iters = 1, threshold = 0.4), "vec_id")
         .orderBy("vec_id")),
 
     // centroid-distance outliers: vectors whose rounded cosine to their

@@ -135,6 +135,31 @@ private[graft] object QueryShared {
   def dsum6(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Exchange barrier under a final global sort (guide §1.1 empirical
+    * loop + §7.2 plan reading; r20 profile evidence): `orderBy` plans a
+    * range exchange whose partitioner SAMPLES its child RDD before the
+    * real pass, so everything pipelined into that exchange — for a
+    * map-heavy tail with no exchange of its own (broadcast-join pair
+    * scoring, within-cluster similarity joins) that is the whole
+    * expensive chain — executes twice per action. Stage-profiled on
+    * q_fuzzy_pairs/q_semantic_dedup: two same-shape stages of equal CPU,
+    * one with the range exchange's shuffle write and one without (the
+    * sampler). A `repartition` barrier does NOT survive — the optimizer
+    * elides a user shuffle directly under a global sort (verified:
+    * the plan kept exactly one Exchange) — so the barrier is a tracked
+    * persist of the ANSWER-SIZED result: the sampler's pass fills the
+    * cache partition by partition and the sort's real pass reads it
+    * back, so the expensive tail computes once per action. Row set and
+    * final order are unchanged — the orderBy above still imposes the
+    * total order. Scale-safe: what persists is threshold-kept pairs
+    * (answer-sized), never the corpus, at MEMORY_AND_DISK (spillable);
+    * CacheRegistry releases it after the query like every operator
+    * intermediate.
+    */
+  def sortBarrier(df: DataFrame, key: String = ""): DataFrame =
+    CacheRegistry.track(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Run `body` against a fresh temp directory, eagerly materialize its
     * result (executor-side, spillable), then recursively delete the
     * directory — the q_compact discipline (advisor r14) generalized to

@@ -4235,6 +4235,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.head.isNullAt(0))
   }
 
+  test("jaro_winkler: bit-parallel fast path ≡ reference scalar algorithm (fuzz, incl. the 64-length boundary)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reference: the textbook boolean-array Jaro-Winkler,
+    // matching the oracle engine's conventions (integer t/2, 0.7 boost
+    // gate, both-empty → 0)
+    def ref(a: String, b: String): Double = {
+      val la = a.length; val lb = b.length
+      if (la == 0 || lb == 0) return 0.0
+      val window = math.max(0, math.max(la, lb) / 2 - 1)
+      val aM = new Array[Boolean](la); val bM = new Array[Boolean](lb)
+      var m = 0
+      for (i <- 0 until la) {
+        val lo = math.max(0, i - window); val hi = math.min(lb - 1, i + window)
+        var j = lo
+        var done = false
+        while (j <= hi && !done) {
+          if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+            aM(i) = true; bM(j) = true; m += 1; done = true
+          }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var t = 0; var k = 0
+      for (i <- 0 until la) if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      val jaro = (m.toDouble / la + m.toDouble / lb + (m - t / 2).toDouble / m) / 3.0
+      if (jaro <= 0.7) return jaro
+      var l = 0
+      val maxL = math.min(4, math.min(la, lb))
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+    val rnd = new scala.util.Random(20260818L)
+    // small alphabet forces dense match/transposition structure; lengths
+    // straddle 64 so the fuzz crosses bit-path → scalar-path fallback
+    def randStr(maxLen: Int): String = {
+      val n = rnd.nextInt(maxLen + 1)
+      (0 until n).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    }
+    for (_ <- 1 to 4000) {
+      val a = randStr(70); val b = randStr(70)
+      val got = graft.functions.JaroWinkler.score(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(got == ref(a, b), s"jw('$a', '$b'): got $got, want ${ref(a, b)}")
+    }
+    // exact 64/65 boundary pairs (wm width-64 branch, fallback handoff)
+    for (la <- Seq(63, 64, 65); lb <- Seq(63, 64, 65)) {
+      val a = Seq.fill(la)(('a' + rnd.nextInt(3)).toChar).mkString
+      val b = Seq.fill(lb)(('a' + rnd.nextInt(3)).toChar).mkString
+      val got = graft.functions.JaroWinkler.score(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(got == ref(a, b), s"boundary $la×$lb: got $got, want ${ref(a, b)}")
+    }
+  }
+
   test("association rules: hand-computed support/confidence/lift, mega-basket exclusion") {
     val df = Seq(
       (1L, "x"), (1L, "y"),
