@@ -151,9 +151,7 @@ object Dedup {
     // strings); each permutation re-hashes the 8-byte value (hash
     // composition keeps the family uniform, ~2× cheaper than numHashes
     // string hashes)
-    // small-input parallelism guard: the shingle+hash explode otherwise
-    // inherits the raw scan partitioning (one task on a compact file)
-    val exploded = withHashedShingleSets(Parallelism.ensure(docs), shingleSize)
+    val exploded = withHashedShingleSets(docs, shingleSize)
       .select(col("doc_id"), explode_outer(col("sh_set")).as("h0"))
       .filter(col("h0").isNotNull) // see [[safeExplodeNote]]
     if (fused)
@@ -181,10 +179,7 @@ object Dedup {
   def minHashSignaturesPortable(
       docs: DataFrame, numHashes: Int, shingleSize: Int): DataFrame = {
     require(numHashes < 128, "a + p*b stays below 2^63 only for p < 128")
-    // small-input parallelism guard, as in [[minHashSignatures]]: the
-    // per-shingle md5 pass is the dominant map work of every LSH store
-    // build/append/probe and must not run single-task on a compact batch
-    val exploded = withShingles(Parallelism.ensure(docs), shingleSize)
+    val exploded = withShingles(docs, shingleSize)
       .select(col("doc_id"), explode_outer(col("__shingles")).as("sh"))
       .filter(col("sh").isNotNull) // see [[safeExplodeNote]]
       .withColumn("__m", md5(col("sh")))
@@ -352,8 +347,7 @@ object Dedup {
     */
   private def simHashOver(
       docs: DataFrame, hashOf: Column => Column, bits: Int): DataFrame = {
-    // small-input parallelism guard (see [[minHashSignatures]])
-    val exploded = Parallelism.ensure(docs).select(col("doc_id"),
+    val exploded = docs.select(col("doc_id"),
       explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull) // see [[safeExplodeNote]]
       .withColumn("__h", hashOf(col("tok")))
@@ -638,11 +632,7 @@ object Dedup {
     require(k >= 1 && window >= 1)
     import org.apache.spark.sql.expressions.Window
     val P = 1L << 20
-    // small-input parallelism guard: the shingle+md5 map chain otherwise
-    // runs on the raw scan partitioning — one task for a compact corpus
-    // file (r20 stage profile: a single-task fingerprint stage ahead of
-    // 32 idle cores); a big input passes through untouched
-    val seqd = Parallelism.ensure(docs)
+    val seqd = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
         when(size(col("__toks")) >= k,
@@ -1014,12 +1004,7 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     def windowText(toksCol: Column, p: Column): Column =
       concat_ws(" ", slice(toksCol, p + 1, lit(k)))
-    // small-input parallelism guard (r20 stage profile: the tokenize +
-    // per-position md5 pass — the operator's dominant map work — ran as
-    // ONE task over a compact corpus file while every other core idled;
-    // a big input already has ≥ parallelism partitions and passes
-    // through untouched)
-    val src = Parallelism.ensure(docs)
+    val src = docs
     val spans = CacheRegistry.track(src
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
       .filter(size(col("__toks")) >= k)

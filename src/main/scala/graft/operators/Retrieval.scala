@@ -210,26 +210,21 @@ object Retrieval {
         // stopword-posting blowup
         cand.join(tfc, Seq("doc_id")).join(qtB, Seq("query_id", "term"))
     }
-    // fixed-point LONG accumulation, bit-identical to the former
-    // decimal(18,6) sum (r20 stage profile: the contribution aggregate
-    // was the query's dominant stage, and a 6dp sum at decimal
-    // precision 28 runs on BigDecimal-backed buffers — guide §2.3
-    // narrower types). Equivalence, step by step: round(x, 6) yields
-    // the nearest double y to the 6dp value v; y·1e6 errs from the
-    // integer v·1e6 by ≤ |v|·1e6·2⁻⁵² (≪ 0.5 for any BM25 contribution,
-    // |v| < 3.5e7), so round(y·1e6) IS v·1e6 exactly; the long sum n is
-    // exact (a per-(query, doc) group is ≤ query-length terms, each
-    // ≤ ~1e8 scaled — no overflow at any corpus size since groups don't
-    // grow with the corpus); and fl(n)/1e6 with n < 2⁵³ is the same
-    // correctly-rounded double the decimal→double cast produced.
+    // NOTE (r20 optimization round, measured and kept as-is): a
+    // fixed-point LONG variant (round(round(x,6)·1e6) summed as long)
+    // was prototyped and REVERTED — an interleaved A/B (min of 5,
+    // SPARK_GRAFT_ONLY, same calm window) measured it at 13.6 s CPU vs
+    // 11.0 s for this decimal form on q_bm25: the 6dp contribution sum
+    // at decimal(28,6) stays on Spark's compact-long add path (no
+    // BigDecimal boxing at these magnitudes), so the long variant's
+    // second per-row ROUND cost more than the decimal add it saved.
     contribs
       .join(dl, Seq("doc_id"))
       .crossJoin(stats)
       .select(col("query_id"), col("doc_id"),
-        round(round(idf * sat * col("__w"), 6) * lit(1e6), 0)
-          .cast("long").as("__c"))
+        round(idf * sat * col("__w"), 6).cast("decimal(18,6)").as("__c"))
       .groupBy("query_id", "doc_id")
-      .agg(round(sum(col("__c")).cast("double") / lit(1e6), 4).as("bm25"))
+      .agg(round(sum(col("__c")).cast("double"), 4).as("bm25"))
   }
 
   /** BM25 with RM3-style pseudo-relevance feedback — the classic

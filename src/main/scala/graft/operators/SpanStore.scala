@@ -82,10 +82,7 @@ object SpanStore {
     Tombstones.add(docIds, StoreGen.resolve(dir, spark))
 
   private def fingerprints(docs: DataFrame, k: Int, shardChars: Int): DataFrame =
-    // small-input parallelism guard: the tokenize + per-position md5
-    // pass (the store family's dominant map work) must not inherit a
-    // compact batch's single scan partition (r20 profile)
-    Parallelism.ensure(docs)
+    docs
       .select(col("doc_id").cast("long").as("doc_id"),
         TextAnalysis.tokens(col("text")).as("__toks"))
       .filter(size(col("__toks")) >= k)

@@ -331,8 +331,11 @@ private[graft] object QueriesPart4 {
     // candidates whatever the value distribution, the complement of
     // q_fuzzy_pairs' blocking. Global rank = range partitions + offsets
     "q_snm_pairs" -> ((s, dir) =>
-      sortBarrier(Linkage.sortedNeighborhoodPairs(Tables.load(s, dir, "part"),
-          "p_partkey", "p_name", "p_name", window = 8, threshold = 0.9), "id_a")
+      // NO sortBarrier here (measured r20): SNM's scoring tail is already
+      // behind its own rank/offset exchanges and persists, so the
+      // barrier's cache fill only added cost (A/B: 12.0 -> 12.6 cpu-s)
+      Linkage.sortedNeighborhoodPairs(Tables.load(s, dir, "part"),
+          "p_partkey", "p_name", "p_name", window = 8, threshold = 0.9)
         .orderBy("id_a", "id_b")),
 
     // PageRank centrality over the duplication-link graph (docs sharing
