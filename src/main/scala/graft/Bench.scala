@@ -98,6 +98,32 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case e if scala.util.control.NonFatal(e) => () }
     }
+    // ---- untimed substrate warm-up (r20 verdict task 7) ----
+    // Three cross-query substrates are memoized per (session, sfDir)
+    // behind checkpoint-backed lineage cuts / driver-local tables
+    // (QueryShared.dedupLabels / spanEdges / trainedCodebook8). Before
+    // this warm-up the FIRST family member in suite order paid the
+    // substrate while later members measured nearly free, so per-query
+    // walls didn't measure the query. Pre-fill all three here and
+    // report each fill's seconds as its own line item: every timed
+    // query is uniformly warm, and the suite total still carries the
+    // substrate cost exactly once (substrate_sec is added into
+    // value/adjusted_total below so totals stay comparable with
+    // pre-r21 records, where the same cost sat inside first-member
+    // query walls).
+    def timedFill(label: String)(f: => Long): (String, Double) = {
+      val t0 = System.nanoTime()
+      try f catch { case e if scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] substrate $label unavailable: $e"); -1L }
+      label -> (System.nanoTime() - t0) / 1e9
+    }
+    val substrates: Seq[(String, Double)] = Seq(
+      timedFill("dedup_labels")(queries.QueryShared.dedupLabels(spark, sfDir).count()),
+      timedFill("span_edges")(queries.QueryShared.spanEdges(spark, sfDir).count()),
+      timedFill("codebook")(queries.QueryShared.trainedCodebook8(spark, sfDir).count()))
+    val substrateSec = substrates.map(_._2).sum
+    val substratesJson = substrates
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Parse-pipeline throughput against the reference's headline number
     // (~5.1M lines/sec single-core Go, BASELINE.md): replicate the 212-line
     // fixture to ~1M lines, parse end-to-end (OSC split + classify + strip +
@@ -349,17 +375,19 @@ object Bench {
         val a = measure(name, fn)
         if (repeat.isDefined) {
           println(s"""{"repeat_attempt":{"name":"$name","i":$i,"wall":${a.wall},"cpu":${a.cpu},"gc_ms":${a.gcMs},"peak_mb":${a.peakMb},"fp":"${a.fp}","m1":${a.m1}}}""")
-          // repeat mode models the SUITE's between-query hygiene so
-          // attempts are iid, not warm-cache continuations
-          operators.CacheRegistry.release(spark)
-          spark.catalog.clearCache()
         }
+        // release after EVERY attempt (r20 verdict task 3), not only in
+        // repeat mode: with the release running after both attempts,
+        // attempt 2 re-resolved attempt 1's still-cached plans, so a
+        // query that persists its final answer (QueryShared.sortBarrier)
+        // recorded a warm cache READ as its min-of-2 wall. Attempts are
+        // now iid — codegen/JIT stay warm (that is what min-of-2 is
+        // for), data caches do not. This also drops intermediates so
+        // queries don't inherit each other's cached blocks.
+        operators.CacheRegistry.release(spark)
+        spark.catalog.clearCache()
         a
       }
-      // dedup operators persist small intermediates; drop them so queries
-      // don't inherit each other's cached blocks (and their GC pressure)
-      operators.CacheRegistry.release(spark)
-      spark.catalog.clearCache()
       // cpu_sec reported for the SAME attempt the wall minimum came from
       name -> (if (times.exists(_.wall == -1.0)) failedAttempt
         else times.minBy(_.wall))
@@ -369,10 +397,17 @@ object Bench {
     // state a long-running ingest service actually operates in
     // SPARK_GRAFT_PARSE=force measures parse throughput even in an
     // SPARK_GRAFT_ONLY iteration run — the isolated-scanner experiment
-    val parseRate =
-      if (only.isEmpty || sys.env.get("SPARK_GRAFT_PARSE").contains("force"))
-        measureParseRate()
+    // Gate the sample on host load like the suite start (r20 verdict
+    // task 9: the r20 sample ran in the suite's own load shadow and
+    // recorded 2.48 M lines/s against a 9.97 M quiet record, grazing
+    // the 2× BASELINE gate) — and record the m1 it actually ran under
+    // so the number adjudicates itself.
+    val doParse =
+      only.isEmpty || sys.env.get("SPARK_GRAFT_PARSE").contains("force")
+    val parseM1: Double =
+      if (doParse) waitForQuietHost(maxWaitSec = 180, quietM1 = 1.5)._2
       else -1.0
+    val parseRate = if (doParse) measureParseRate() else -1.0
 
     // contamination auto-rerun (r8/r10/r11: three recorded runs carried
     // host-noise outliers that each took a judge-side isolated re-run to
@@ -624,7 +659,12 @@ object Bench {
         """{"checked":false}"""
       }
     // failed queries (-1) are excluded from the totals, not billed as ~0s
-    val total = results.map(_._2.wall).filter(_ >= 0).sum
+    // substrate_sec rides in the totals (NOT in any per-query wall): the
+    // suite pays the three memoized substrates once, and before r21 that
+    // cost sat inside first-family-member walls — adding it here keeps
+    // `value` round-over-round comparable while per-query walls now
+    // measure only their own query
+    val total = results.map(_._2.wall).filter(_ >= 0).sum + substrateSec
     val totalCpu = results.map(_._2.cpu).filter(_ >= 0).sum
     // self-correcting headline (r12 verdict task 2): substitute each
     // flagged query's clean rerun wall (when the rerun IS cleaner — a
@@ -649,20 +689,23 @@ object Bench {
         case _ => c
       }
     val adjustedTotal = results
-      .collect { case (name, a) if a.wall >= 0 => adjWall(name, a.wall) }.sum
+      .collect { case (name, a) if a.wall >= 0 => adjWall(name, a.wall) }.sum +
+      substrateSec
     val adjustedTotalCpu = results
       .collect { case (name, a) if a.cpu >= 0 => adjCpu(name, a.cpu) }.sum
     val (loadEnd, m1End) = loadavg()
     val loadJson = s"""{"start":$loadStart,"end":$loadEnd,"start_waited_sec":$startWaitedSec,"rerun_m1":$rerunM1,"rerun_waited_sec":$rerunWaitedSec}"""
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"parse_lines_per_sec":$parseRate,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"git":"$gitHead","data_fp":"$dataFp","rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"queries":$qs,"cpu":$cpus_,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"substrates":$substratesJson,"substrate_sec":$substrateSec,"parse_lines_per_sec":$parseRate,"parse_m1":$parseM1,"plans":$plansJson,"plans_logical":$plansLogicalJson,"gc_ms":$gcJson,"peak_mb":$peakJson,"m1":$m1Json,"fp_diff":$fpDiffJson,"git":"$gitHead","data_fp":"$dataFp","rerun":$rerunJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(fullJson)
-    // LAST line is a compact summary (<400 bytes): the full line above
-    // grows with the suite and a bounded tail capture truncates it from
-    // the front (BENCH_r05-r07 stored `parsed: null`) — totals and the
-    // worst offenders must survive any tail window. Load appears here as
-    // just the two m1 numbers: the full object lives in fullJson /
-    // bench-last.json, and ~130 bytes of it here would erode exactly the
-    // truncation headroom this line exists to guarantee.
+    // LAST line is the driver-contract summary: metric/value/unit plus
+    // the PER-QUERY WALL MAP (r20 verdict task 2 — every BENCH_r*.json
+    // back to r18 stored `parsed: null`, leaving PERF with no per-query
+    // table/geomean/scaling; the contract line must itself carry
+    // "queries"). Decoration-free now that build.sbt sets
+    // outputStrategy := StdoutOutput and showSuccess := false, so this
+    // line is literally the process's (and sbt's) final stdout line.
+    // Plans/gc/peak/m1 maps stay in fullJson / bench-last.json — they
+    // triple the line size without serving the parser.
     val nFailed = results.count(_._2.wall < 0)
     // surfaced in the summary so a tail-truncated capture still shows
     // whether any plan moved since the previous same-sf record
@@ -678,7 +721,7 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, w) => "\"" + k + "\":" + f"$w%.2f" }
       .mkString("{", ",", "}")
-    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","adjusted_total":$adjustedTotal,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"n_queries":${results.size},"n_failed":$nFailed,"n_rerun":${reruns.size},"parse_lines_per_sec":$parseRate,"worst_wall":$worst,"m1_start":$m1Start,"m1_end":$m1End,"n_fp_changed":$nFpChanged,"sf":"$sfDir"}"""
+    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"adjusted_total":$adjustedTotal,"total_cpu_sec":$totalCpu,"adjusted_total_cpu":$adjustedTotalCpu,"n_queries":${results.size},"n_failed":$nFailed,"n_rerun":${reruns.size},"substrate_sec":$substrateSec,"parse_lines_per_sec":$parseRate,"parse_m1":$parseM1,"worst_wall":$worst,"m1_start":$m1Start,"m1_end":$m1End,"n_fp_changed":$nFpChanged,"sf":"$sfDir"}"""
     println(summaryJson)
     // DURABLE copy: the stdout capture window has truncated the full
     // per-query wall map every round since r5 (and r8's 13 s q_cube

@@ -29,6 +29,23 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** Run one check per independent law CONCURRENTLY (the store-law
+    * draws are ~8 serial Spark actions each, mostly driver/job latency
+    * on a session that never fills the host — the guide's "overlap
+    * independent jobs" applied to the test harness). Laws use disjoint
+    * temp dirs; the caller releases tracked caches ONCE after the join
+    * (a per-law release could drop a sibling law's in-flight blocks).
+    */
+  private def allLawsConcurrently[A](laws: Seq[A])(body: A => Boolean): Boolean = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ok = laws.map(l => Future(body(l)))
+      .map(Await.result(_, Duration.Inf)).forall(identity)
+    graft.operators.CacheRegistry.release(spark)
+    ok
+  }
+
   /** Reference labeling: sequential union-find over the same edges. */
   private def ufLabels(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -428,7 +445,7 @@ class PropertySpec extends AnyFunSuite {
       replayIdx <- Gen.choose(0, 2)
     } yield (nb, salt, replayIdx)
     check(Prop.forAll(genCase) { case (nb, salt, replayIdx) =>
-      laws.forall { law =>
+      allLawsConcurrently(laws) { law =>
         val base = java.nio.file.Files
           .createTempDirectory(s"prop-store-${law.name}").toString
         val part = pmod(xxhash64(col(law.keyCol) + lit(salt)), lit(nb))
@@ -446,7 +463,6 @@ class PropertySpec extends AnyFunSuite {
           }
         law.compactFn(s"$base/s", s"$base/c")
         val compacted = law.serve(s"$base/c")
-        graft.operators.CacheRegistry.release(spark)
         val ok = cold.nonEmpty && incr == cold &&
           afterReplay == cold && compacted == cold
         if (!ok) println(s"[prop] store law broke: ${law.name} nb=$nb " +
@@ -512,7 +528,7 @@ class PropertySpec extends AnyFunSuite {
         (s, t) => Similarity.compactIvfPq(spark, s, t)))
 
     check(Prop.forAll(Gen.choose(0L, 1000L)) { salt =>
-      laws.forall { law =>
+      allLawsConcurrently(laws) { law =>
         val base = java.nio.file.Files
           .createTempDirectory(s"prop-forget-${law.name}").toString
         val doomed = law.forgettable &&
@@ -524,7 +540,6 @@ class PropertySpec extends AnyFunSuite {
         val live = law.serve(s"$base/full")
         law.compactFn(s"$base/full", s"$base/c")
         val compacted = law.serve(s"$base/c")
-        graft.operators.CacheRegistry.release(spark)
         val ok = want.nonEmpty && live == want && compacted == want &&
           Tombstones.exists(s"$base/full") && !Tombstones.exists(s"$base/c")
         if (!ok) println(s"[prop] forget law broke: ${law.name} salt=$salt " +
