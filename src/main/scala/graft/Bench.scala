@@ -120,7 +120,8 @@ object Bench {
     val substrates: Seq[(String, Double)] = Seq(
       timedFill("dedup_labels")(queries.QueryShared.dedupLabels(spark, sfDir).count()),
       timedFill("span_edges")(queries.QueryShared.spanEdges(spark, sfDir).count()),
-      timedFill("codebook")(queries.QueryShared.trainedCodebook8(spark, sfDir).count()))
+      timedFill("codebook")(queries.QueryShared.trainedCodebook8(spark, sfDir).count()),
+      timedFill("bm25_tfc")(queries.QueryShared.bm25Tfc(spark, sfDir).count()))
     val substrateSec = substrates.map(_._2).sum
     val substratesJson = substrates
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1555,7 +1555,17 @@ object Similarity {
     */
   def mutualNeighbors(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val c = withNorm(embeddings, "vec_id", "vec_id")
+    // Parallelism.ensure on the STREAM side of the all-pairs crossJoin:
+    // every vector is a query here, so this stage does |corpus|² dot
+    // products — a compact embeddings file arrives as ONE scan
+    // partition and the whole quadratic pass ran on a single core
+    // (r21 stage profile: one 4.2 s single-task stage, 31 cores idle).
+    // The guard keys on vec_id while the downstream top-1 aggregate
+    // keys on query_id, so the aggregate's own exchange stays put (the
+    // r20 ensure-revert trap does not apply).
+    val c = withNorm(
+      Parallelism.ensure(embeddings.select("vec_id", "embedding"), "vec_id"),
+      "vec_id", "vec_id")
     val q = broadcast(c.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), col("__norm").as("q_norm")))
     val top1 = CacheRegistry.track(aggTopK(

@@ -350,11 +350,22 @@ object SpanStore {
     * [[LshIndex.probe]]'s tracked intermediates.
     */
   def probe(spark: SparkSession, batch: DataFrame, dir0: String,
-      broadcastProbe: Boolean = true, useBloom: Boolean = true): DataFrame = {
+      broadcastProbe: Boolean = true, useBloom: Boolean = true,
+      printsPre: Option[DataFrame] = None,
+      bloomCandidatesPre: Option[DataFrame] = None): DataFrame = {
     val dir = StoreGen.resolve(dir0, spark)
     val (k, sc) = readGeometry(dir)
-    val bf = CacheRegistry.track(fingerprints(batch, k, sc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // reuse handles (r21, guide §6 write-once/reuse): accounting callers
+    // (q_spanstore_bloom's shape) already hold this batch's [[printsOf]]
+    // frame and its [[bloomMaybe]] verdict for their own per-print
+    // columns — without the handles the probe re-tokenized + re-md5'd
+    // the batch and re-ran the Bloom check, doubling both passes per
+    // ingest batch. `printsPre` MUST be printsOf(batch, dir) and
+    // `bloomCandidatesPre` MUST be bloomMaybe over its distinct prints
+    // (both ideally persisted by the caller); answers are unchanged by
+    // construction — the frames are the ones probe would derive itself.
+    val bf = printsPre.getOrElse(CacheRegistry.track(fingerprints(batch, k, sc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     // Bloom admission (when the sidecar exists): clear definitely-new
     // prints BEFORE any store planning, so both the shard IN-list and
     // the semi-join key set shrink to possible-duplicates only — a
@@ -362,10 +373,10 @@ object SpanStore {
     // unchanged: Bloom positives still exact-verify against the store.
     val candidates =
       if (useBloom && hasBloom(dir))
-        CacheRegistry.track(
+        bloomCandidatesPre.getOrElse(CacheRegistry.track(
           bloomMaybe(spark, bf.select("shard", "span_md5").distinct(), dir,
             broadcastWords = broadcastProbe)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
       else bf
     // partition-pruned store scan: only the shards this batch hashes to.
     // The shard universe is <= 16^shardChars values, so the collect is

@@ -39,6 +39,11 @@ object Tfidf {
   private def ngramTerms(text: Column, n: Int): Column = {
     val tk = TextAnalysis.tokens(text)
     if (n == 1) tk
+    // NOTE (r21): a bigram fast path (concat of two element_at lookups
+    // instead of slice+array_join) measured a wash at sf0.1 — the
+    // lambda body runs interpreted either way (HOFs are outside
+    // whole-stage codegen), so the saved 2-element array allocation
+    // didn't move the stage. Reverted to keep one code path.
     else when(size(tk) >= n,
         transform(sequence(lit(1), size(tk) - (n - 1)),
           i => array_join(slice(tk, i, lit(n)), " ")))
@@ -144,7 +149,19 @@ object Tfidf {
     // one term-blocked join does double duty: it both GENERATES the
     // candidate pairs (any pair sharing a sub-cap term) and accumulates
     // their dot product over those sub-cap terms — the intermediate is
-    // exactly the shared sub-cap postings, never cand × doc-terms
+    // exactly the shared sub-cap postings, never cand × doc-terms.
+    // NOTE (r21 optimization round, measured and REVERTED): a
+    // [[Dedup.pairsFromIdLists]]-style hybrid (collect each term's
+    // postings into a sorted list, expand C(n,2) (a, b, wa·wb) triples
+    // inline under a 128 cutoff, self-join only the tail, explicit
+    // repartition so AQE couldn't serialize the expansion) measured
+    // WORSE on q_sparse_cosine — 5.2–5.5 s wall / 54–56 s CPU vs
+    // 4.2–4.3 s / 41–43 s for this join (3 consecutive min-of-2 runs
+    // each, same quiet host): the nested higher-order-function lambdas
+    // that build the pair structs run INTERPRETED (HOFs are outside
+    // whole-stage codegen), costing more per pair than the SMJ row it
+    // saved. Dedup's id-list expansion wins because its lists carry bare
+    // longs and feed a distinct, not a weighted product per pair.
     val wGen = w.join(genTerms, "term")
     // persisted + eagerly filled: subDots feeds TWO consumers of the one
     // downstream query (the over-cap completion's pair list and the final

@@ -108,9 +108,15 @@ private[graft] object QueriesPart3 {
       val batch = docs.filter(col("doc_id") % 15 === 0)
       val pr = CacheRegistry.track(operators.SpanStore.printsOf(s, batch, store)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val maybe = operators.SpanStore.bloomMaybe(s,
-        pr.select("shard", "span_md5").distinct(), store)
-      val hits = operators.SpanStore.probe(s, batch, store) // bloom path ON
+      // persisted: three consumers — the n_maybe join below plus the
+      // probe's shard IN-list and semi-join key set (passed through the
+      // reuse handles so the probe neither re-fingerprints the batch nor
+      // re-runs the Bloom check it already has — r21, guide §6)
+      val maybe = CacheRegistry.track(operators.SpanStore.bloomMaybe(s,
+          pr.select("shard", "span_md5").distinct(), store)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val hits = operators.SpanStore.probe(s, batch, store, // bloom path ON
+        printsPre = Some(pr), bloomCandidatesPre = Some(maybe))
       val perDoc = pr.groupBy("doc_id")
         .agg(countDistinct(col("span_md5")).as("n_prints"))
       val nMaybe = pr.join(maybe, Seq("shard", "span_md5"), "left_semi")
@@ -573,7 +579,8 @@ private[graft] object QueriesPart3 {
       operators.Retrieval.rrfHybridBm25TopK(
           Tables.load(s, dir, "documents"),
           Tables.load(s, dir, "embeddings"),
-          nQueries = 3, perList = 20, k = 10)
+          nQueries = 3, perList = 20, k = 10,
+          tfcPre = Some(bm25Tfc(s, dir)))
         .orderBy("query_id", "rank")),
 
     // expansion INSIDE the hybrid: the lexical leg is RM3-expanded BM25
@@ -583,7 +590,8 @@ private[graft] object QueriesPart3 {
       operators.Retrieval.rrfHybridPrfTopK(
           Tables.load(s, dir, "documents"),
           Tables.load(s, dir, "embeddings"),
-          nQueries = 3, perList = 20, k = 10)
+          nQueries = 3, perList = 20, k = 10,
+          tfcPre = Some(bm25Tfc(s, dir)))
         .orderBy("query_id", "rank")),
 
     // diversity-aware exemplar selection: greedy MMR over the dense

@@ -2156,4 +2156,49 @@ class OperatorsSpec2 extends AnyFunSuite {
     assert(got == want, "post-takedown serving != cold build without")
     CacheRegistry.release(spark)
   }
+
+  test("SpanStore.probe reuse handles (printsPre/bloomCandidatesPre) == plain probe") {
+    // the r21 q_spanstore_bloom optimization passes the caller's own
+    // printsOf frame and bloomMaybe verdict into probe instead of
+    // letting it re-derive both — this pins the handles row-identical
+    // to the handle-free path on a bloom-sidecar store with appends
+    val dir = java.nio.file.Files.createTempDirectory("probe-reuse").toString + "/s"
+    val d = docs.limit(60)
+    SpanStore.write(d.filter(col("doc_id") % 3 === 1), dir,
+      minTokens = 8, shardChars = 1, withBloom = true)
+    SpanStore.append(spark, d.filter(col("doc_id") % 3 === 2), dir)
+    val batch = d.filter(col("doc_id") % 3 === 0)
+    val plain = SpanStore.probe(spark, batch, dir)
+      .collect().map(_.toSeq).toSet
+    val pr = CacheRegistry.track(SpanStore.printsOf(spark, batch, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val maybe = CacheRegistry.track(SpanStore.bloomMaybe(spark,
+        pr.select("shard", "span_md5").distinct(), dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val reused = SpanStore.probe(spark, batch, dir,
+        printsPre = Some(pr), bloomCandidatesPre = Some(maybe))
+      .collect().map(_.toSeq).toSet
+    assert(plain.nonEmpty, "probe fixture must produce hits")
+    assert(reused == plain, "reuse handles changed the probe answer")
+    CacheRegistry.release(spark)
+  }
+
+  test("Retrieval tfcPre (shared posting substrate) == per-call build, all rankers") {
+    // r21: the bm25 family threads one lineage-cut (doc_id, term, tf)
+    // table through tfcPre instead of each ranker rebuilding it — pin
+    // every ranker row-identical with and without the handle
+    val d = docs.limit(80).select("doc_id", "text")
+    val tfc = graft.operators.Lineage.cut(Retrieval.bm25Tfc(d))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Retrieval.bm25TopK(d, 5, 10, logIdf = false,
+        tfcPre = Some(tfc))) ==
+      rows(Retrieval.bm25TopK(d, 5, 10, logIdf = false)))
+    assert(rows(Retrieval.bm25PrfTopK(d, 5, 10, fbDocs = 3, fbTerms = 5,
+        logIdf = false, tfcPre = Some(tfc))) ==
+      rows(Retrieval.bm25PrfTopK(d, 5, 10, fbDocs = 3, fbTerms = 5,
+        logIdf = false)))
+    CacheRegistry.release(spark)
+    graft.operators.Lineage.release(tfc, deleteFiles = true)
+  }
 }
